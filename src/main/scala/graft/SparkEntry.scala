@@ -1,13 +1,351 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 re-expressed
+  * Spark-first; [[oracleSql]] carries the DuckDB-equivalent ANSI SQL the
+  * driver hash-compares against at sf0.01. Column names and ordering are
+  * deliberately identical on both sides; float aggregates are rounded and
+  * ties broken by key so hashes are stable (SURVEY.md §7.4.4).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core retrieval shape (`QA_using_pinecone.py:31-50`):
+    * metadata-filtered cosine top-k over the vector index joined back to
+    * document text — filter pushed below the score, TakeOrderedAndProject
+    * for the top-k, broadcast join for the k-row context assembly.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = t(spark, dir, "embeddings")
+    val docs = t(spark, dir, "documents")
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val topk = emb
+      .filter($"label".isin(0, 1, 2, 3, 4))
+      .select($"vec_id",
+        round(VectorFunctions.cosineSim($"embedding", lit(qv)), 4).as("score"))
+      .orderBy($"score".desc, $"vec_id")
+      .limit(5)
+    topk.join(docs, topk("vec_id") === docs("doc_id"))
+      .select($"vec_id", $"score", substring($"text", 1, 80).as("context"))
+      .orderBy($"score".desc, $"vec_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // Operator queries (SURVEY.md §2). Names are stable driver-facing ids.
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1-analog pricing summary: partial+final hash agg, one shuffle on the
+    // two grouping keys (TPC-H Q1 shape).
+    "q01_pricing_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // J1: FK equi-join user→chats analog (customer ⋈ orders ⋈ nation);
+    // nation broadcast (tiny dim), orders⋈customer shuffle-hash on key.
+    "q02_nation_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("total_price"))
+        .orderBy($"n_name")
+    }),
+
+    // J3 semi-join: registration duplicate-check analog (`main.py:36-38`).
+    "q03_customers_with_orders" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // J2/U2 anti-join: insert-if-absent / delete-by-predicate analog
+    // (`pipeline2.py:315-331`).
+    "q04_customers_without_orders" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // W7 top-k: plans as TakeOrderedAndProject — no full sort at scale.
+    "q05_top_orders" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    }),
+
+    // P6 IN-list predicate (`QA_using_pinecone.py:41` metadata filter).
+    "q06_segment_filter" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // W1/P9: row numbering + id synthesis `FormName + "_" + index`
+    // (`pipeline1.py:700`, `pipeline2.py:130-132`).
+    "q07_order_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("order_tag",
+          concat($"o_custkey".cast("string"), lit("_"), $"rn".cast("string")))
+        .select($"o_orderkey", $"o_custkey", $"rn", $"order_tag")
+        .orderBy($"o_orderkey")
+    }),
+
+    // W2 running sum (`CummulativeTokenCount`, `pipeline1.py:139-146`).
+    "q08_running_value" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("run_sum", round(sum($"value").over(w), 2))
+        .select($"event_id", $"user_id", $"run_sum")
+        .orderBy($"event_id")
+    }),
+
+    // A2 distinct (`SELECT DISTINCT form_name`, `pipeline2.py:60`).
+    "q09_distinct_pairs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang", $"source").distinct()
+        .orderBy($"lang", $"source")
+    }),
+
+    // A1 ordered string-agg: paragraphs joined in-order per section
+    // (`pipeline1.py:184-185`); order made explicit via sorted structs.
+    "q10_lang_digest" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("snip", substring($"text", 1, 10))
+        .groupBy($"lang")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(doc_id, snip))), x -> x.snip), '|')").as("texts"))
+        .orderBy($"lang")
+    }),
+
+    // P8 derived token counts (engine tokenizer, SURVEY.md §7.4.1).
+    "q11_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          length($"text").cast("long").as("len"),
+          TextFunctions.wsTokenCountCol($"text").cast("long").as("ws_tokens"),
+          TextFunctions.numTokensCol($"text").cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // U1 union (schema-aligned concat, `pipeline1.py:703`).
+    "q12_entity_union" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer").select($"c_name".as("name"), lit("customer").as("kind"))
+        .unionByName(
+          t(s, dir, "supplier").select($"s_name".as("name"), lit("supplier").as("kind")))
+        .orderBy($"kind", $"name")
+    }),
+
+    // A5 fixed-size batching (`BatchGenerator`, `pipeline2.py:85-102`).
+    "q13_upsert_batches" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.orderBy($"vec_id")
+      t(s, dir, "embeddings")
+        .withColumn("batch",
+          floor((row_number().over(w).cast("long") - 1) / 300.0).cast("long"))
+        .groupBy($"batch")
+        .agg(count(lit(1)).as("n"), min($"vec_id").as("first_id"), max($"vec_id").as("last_id"))
+        .orderBy($"batch")
+    }),
+
+    // W6 offset+limit pagination (`crud.py:32-33`).
+    "q14_page" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+        .offset(100).limit(20)
+    }),
+
+    // W3 classification when-chain (`pipeline1.py:151-162`).
+    "q15_doc_class" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          when($"n_chars" < 150, "short").when($"n_chars" < 300, "medium")
+            .otherwise("long").as("size_class"),
+          TextFunctions.classifyMarkdownCol($"text").as("md_class"))
+        .orderBy($"doc_id")
+    }),
+
+    // P2/P12 regex scrub + extract (`pipeline1.py:114-134`, `383-388`).
+    "q16_regex_ops" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          regexp_extract($"text", "^(\\w+)", 1).as("first_word"),
+          length(regexp_replace($"text", "\\bthe\\b", "")).cast("long").as("scrub_len"))
+        .orderBy($"doc_id")
+    }),
+
+    // W4 section assignment as pure window expressions — the verified
+    // reference state machine (`pipeline1.py:167-179`): pre-heading rows
+    // each open a section; a heading opens one absorbing what follows.
+    "q17_sections" -> ((s, dir) => {
+      import s.implicits._
+      val byDoc = Window.partitionBy($"source").orderBy($"doc_id")
+      val before = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+      val upToHere = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("is_heading", ($"n_chars" > 300).cast("int"))
+        .withColumn("seen_before", coalesce(max($"is_heading").over(before), lit(0)))
+        .withColumn("section",
+          sum(when($"is_heading" === 1 || $"seen_before" === 0, 1).otherwise(0))
+            .over(upToHere).cast("long"))
+        .select($"doc_id", $"source", $"section")
+        .orderBy($"doc_id")
+    }),
+
+    // A3-analog grouped stats over the events table.
+    "q18_event_type_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          round(sum($"value"), 2).as("total_value"))
+        .orderBy($"event_type")
+    }),
+
+    // W5/P5 newest-first user history (`main.py:73`).
+    "q19_user_history" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .filter($"user_id" === 7)
+        .orderBy($"ts".desc, $"event_id".desc)
+        .select($"event_id", $"event_type", round($"value", 2).as("value"))
+        .limit(20)
+    }),
+
+    // J5/W7: the reference's whole "query engine" — metadata-filtered
+    // cosine top-k (`QA_using_pinecone.py:31-44`). Filter sits below the
+    // score; top-k is TakeOrderedAndProject, never a full sort.
+    "q20_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      emb.filter($"label".isin(0, 1, 2, 3, 4))
+        .select($"vec_id",
+          round(VectorFunctions.cosineSim($"embedding", lit(qv)), 4).as("score"))
+        .orderBy($"score".desc, $"vec_id")
+        .limit(5)
+    }),
+
+    // A3/A4 index stats: counts + dimension probe (`pipeline2.py:134`,
+    // `161-164`).
+    "q21_label_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n"), min(size($"embedding")).cast("long").as("dim"))
+        .orderBy($"label")
+    }),
+
+    // Exact dedup by content hash (north-star op; MD5 is byte-identical
+    // across engine and oracle).
+    "q22_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_doc_id"))
+        .orderBy($"keeper_doc_id")
+    })
+  )
+
+  /** DuckDB oracle equivalents, same column names/order keys. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, round(avg(l_discount),4) AS avg_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_nation_revenue" ->
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name""",
+    "q03_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+    "q04_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""",
+    "q05_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q06_segment_filter" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') ORDER BY c_custkey""",
+    "q07_order_rank" ->
+      """SELECT o_orderkey, o_custkey, rn, o_custkey::VARCHAR || '_' || rn::VARCHAR AS order_tag FROM (SELECT o_orderkey, o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) ORDER BY o_orderkey""",
+    "q08_running_value" ->
+      """SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_sum FROM events ORDER BY event_id""",
+    "q09_distinct_pairs" ->
+      """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",
+    "q10_lang_digest" ->
+      """SELECT lang, string_agg(substr(text,1,10), '|' ORDER BY doc_id) AS texts FROM documents GROUP BY lang ORDER BY lang""",
+    "q11_token_stats" ->
+      """SELECT doc_id, length(text)::BIGINT AS len, len(regexp_split_to_array(trim(text),'\s+'))::BIGINT AS ws_tokens, len(regexp_extract_all(text,'\w+|[^\w\s]'))::BIGINT AS n_tokens FROM documents ORDER BY doc_id""",
+    "q12_entity_union" ->
+      """SELECT * FROM (SELECT c_name AS name, 'customer' AS kind FROM customer UNION ALL SELECT s_name AS name, 'supplier' AS kind FROM supplier) ORDER BY kind, name""",
+    "q13_upsert_batches" ->
+      """SELECT batch, count(*) AS n, min(vec_id) AS first_id, max(vec_id) AS last_id FROM (SELECT vec_id, floor((row_number() OVER (ORDER BY vec_id)-1)/300.0)::BIGINT AS batch FROM embeddings) GROUP BY batch ORDER BY batch""",
+    "q14_page" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100""",
+    "q15_doc_class" ->
+      """SELECT doc_id, CASE WHEN n_chars < 150 THEN 'short' WHEN n_chars < 300 THEN 'medium' ELSE 'long' END AS size_class, CASE WHEN starts_with(text,'###') THEN 'Heading3' WHEN starts_with(text,'##') THEN 'Heading2' WHEN starts_with(text,'#') THEN 'Heading1' WHEN starts_with(text,'**') THEN 'Bold' WHEN starts_with(text,'*') THEN 'Bullet' ELSE 'Paragraph' END AS md_class FROM documents ORDER BY doc_id""",
+    "q16_regex_ops" ->
+      """SELECT doc_id, regexp_extract(text,'^(\w+)',1) AS first_word, length(regexp_replace(text,'\bthe\b','','g'))::BIGINT AS scrub_len FROM documents ORDER BY doc_id""",
+    "q17_sections" ->
+      """SELECT doc_id, source, sum(CASE WHEN is_heading = 1 OR seen_before = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS section FROM (SELECT doc_id, source, is_heading, coalesce(max(is_heading) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_before FROM (SELECT doc_id, source, CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS is_heading FROM documents)) ORDER BY doc_id""",
+    "q18_event_type_stats" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users, round(sum(value),2) AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
+    "q19_user_history" ->
+      """SELECT event_id, event_type, round(value,2) AS value FROM events WHERE user_id = 7 ORDER BY ts DESC, event_id DESC LIMIT 20""",
+    "q20_cosine_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),4) AS score FROM embeddings WHERE label IN (0,1,2,3,4) ORDER BY score DESC, vec_id LIMIT 5""",
+    "q21_label_stats" ->
+      """SELECT label, count(*) AS n, min(len(embedding))::BIGINT AS dim FROM embeddings GROUP BY label ORDER BY label""",
+    "q22_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id"""
+  )
 }

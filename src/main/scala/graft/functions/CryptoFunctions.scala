@@ -1,0 +1,77 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.SecureRandom
+import java.util.Base64
+import javax.crypto.spec.PBEKeySpec
+import javax.crypto.{Mac, SecretKeyFactory}
+import javax.crypto.spec.SecretKeySpec
+
+/** App-layer crypto utilities mirroring the reference's auth surface:
+  * PBKDF2-SHA256 with 16-byte salt (`fastapi-backend/fastapiservice/crud.py:14-25`,
+  * passlib default 29000 iterations) and JWT HS256 with `exp`
+  * (`jwt_utils.py:11-26`). Driver-side utilities — not data-plane operators —
+  * but exposed so register/login analog queries (SURVEY.md §2.3 J3/P4) can
+  * produce and verify credentials deterministically.
+  */
+object CryptoFunctions {
+
+  val Pbkdf2Iterations = 29000
+  val SaltBytes = 16
+
+  def newSalt(): Array[Byte] = {
+    val salt = new Array[Byte](SaltBytes)
+    new SecureRandom().nextBytes(salt)
+    salt
+  }
+
+  def pbkdf2Hash(password: String, salt: Array[Byte], iterations: Int = Pbkdf2Iterations): String = {
+    val spec = new PBEKeySpec(password.toCharArray, salt, iterations, 256)
+    val f = SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+    Base64.getEncoder.encodeToString(f.generateSecret(spec).getEncoded)
+  }
+
+  def pbkdf2Verify(password: String, salt: Array[Byte], expected: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      pbkdf2Hash(password, salt).getBytes(StandardCharsets.UTF_8),
+      expected.getBytes(StandardCharsets.UTF_8))
+
+  private def b64url(bytes: Array[Byte]): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)
+
+  private def hmacSha256(key: String, data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key.getBytes(StandardCharsets.UTF_8), "HmacSHA256"))
+    mac.doFinal(data.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Minimal HS256 JWT: header.payload.signature; expiry epoch-seconds claim
+    * (30-minute default in the reference, `jwt_utils.py:9`).
+    */
+  def jwtEncode(subject: String, expEpochSeconds: Long, secret: String): String = {
+    val header = b64url("""{"alg":"HS256","typ":"JWT"}""".getBytes(StandardCharsets.UTF_8))
+    val payload = b64url(s"""{"sub":"$subject","exp":$expEpochSeconds}""".getBytes(StandardCharsets.UTF_8))
+    val signature = b64url(hmacSha256(secret, s"$header.$payload"))
+    s"$header.$payload.$signature"
+  }
+
+  /** Returns Some(subject) iff signature valid and not expired at `now`. */
+  def jwtDecode(token: String, secret: String, nowEpochSeconds: Long): Option[String] = {
+    token.split('.') match {
+      case Array(h, p, s) =>
+        val expected = b64url(hmacSha256(secret, s"$h.$p"))
+        if (!java.security.MessageDigest.isEqual(
+            expected.getBytes(StandardCharsets.UTF_8), s.getBytes(StandardCharsets.UTF_8))) None
+        else {
+          val payload = new String(Base64.getUrlDecoder.decode(p), StandardCharsets.UTF_8)
+          val sub = """"sub":"([^"]*)"""".r.findFirstMatchIn(payload).map(_.group(1))
+          val exp = """"exp":(\d+)""".r.findFirstMatchIn(payload).map(_.group(1).toLong)
+          (sub, exp) match {
+            case (Some(u), Some(e)) if e > nowEpochSeconds => Some(u)
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text functions mirroring the reference's row-level text surface
+  * (SURVEY.md §2.8) as codegen-friendly Column compositions, plus the
+  * plain-Scala twins the sequential packers (C1-C4) call per line.
+  */
+object TextFunctions {
+
+  /** Tokenizer regex: word runs or single non-space symbols. This is the
+    * engine-defined deterministic stand-in for tiktoken's cl100k_base
+    * (`pipeline1.py:69-72`) — rank files are not vendorable offline, so
+    * chunk boundaries are pinned to THIS tokenizer (SURVEY.md §7.4.1).
+    * ASCII `\w` semantics match Java regex and DuckDB's RE2.
+    */
+  val TokenRegex = "\\w+|[^\\w\\s]"
+  private val tokenPattern = java.util.regex.Pattern.compile(TokenRegex)
+
+  /** Plain-Scala token count (used inside packers; identical to the
+    * columnar form below).
+    */
+  def numTokens(s: String): Int = {
+    val m = tokenPattern.matcher(s)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Columnar token count: size(regexp_extract_all(text, TokenRegex)). */
+  def numTokensCol(c: Column): Column =
+    when(c.isNull, lit(0))
+      .otherwise(size(regexp_extract_all(c, lit(TokenRegex), lit(0))))
+
+  /** Whitespace token count (the cheap variant for quality stats). */
+  def wsTokenCountCol(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** Scrub LaTeX table blocks and `+++…+++` warning spans before paragraph
+    * split (reference `pipeline1.py:114-134`; DOTALL on the warning span).
+    */
+  def scrubCol(c: Column): Column = {
+    val noTabular = regexp_replace(c, "(?s)\\\\begin\\{tabular\\}.*?\\\\end\\{tabular\\}", "")
+    val noTable = regexp_replace(noTabular, "(?s)\\\\begin\\{table\\}.*?\\\\end\\{table\\}", "")
+    regexp_replace(noTable, "(?s)\\+\\+\\+.*?\\+\\+\\+", "")
+  }
+
+  def scrub(s: String): String =
+    s.replaceAll("(?s)\\\\begin\\{tabular\\}.*?\\\\end\\{tabular\\}", "")
+      .replaceAll("(?s)\\\\begin\\{table\\}.*?\\\\end\\{table\\}", "")
+      .replaceAll("(?s)\\+\\+\\+.*?\\+\\+\\+", "")
+
+  /** Markdown semantic classification; order of checks matters (`###` before
+    * `##` before `#`) — reference `pipeline1.py:151-162`.
+    */
+  def classifyMarkdownCol(c: Column): Column =
+    when(c.startsWith("###"), "Heading3")
+      .when(c.startsWith("##"), "Heading2")
+      .when(c.startsWith("#"), "Heading1")
+      .when(c.startsWith("**"), "Bold")
+      .when(c.startsWith("*"), "Bullet")
+      .otherwise("Paragraph")
+
+  def classifyMarkdown(s: String): String =
+    if (s.startsWith("###")) "Heading3"
+    else if (s.startsWith("##")) "Heading2"
+    else if (s.startsWith("#")) "Heading1"
+    else if (s.startsWith("**")) "Bold"
+    else if (s.startsWith("*")) "Bullet"
+    else "Paragraph"
+
+  /** Character-level n-gram shingles (near-dup building block). */
+  def shingles(s: String, n: Int): Seq[String] = {
+    val t = s.trim
+    if (t.length < n) Seq(t) else (0 to t.length - n).map(i => t.substring(i, i + n))
+  }
+
+  /** Word-level n-gram shingles joined by a single space. */
+  def wordShingles(s: String, n: Int): Seq[String] = {
+    val words = s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (words.length <= n) Seq(words.mkString(" "))
+    else words.sliding(n).map(_.mkString(" ")).toSeq
+  }
+}
