@@ -298,6 +298,180 @@ object SparkEntry {
         .groupBy(md5($"text").as("content_hash"))
         .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_doc_id"))
         .orderBy($"keeper_doc_id")
+    }),
+
+    // C1/C2 distributed: greedy token-budget packing per form (source), one
+    // groupByKey shuffle, sequential packer inside the group. Non-SQL-
+    // expressible (greedy stateful scan) → driver records rows-only.
+    "q23_chunk_pypdf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"source".as("formName"), $"doc_id".as("seq"), $"text")
+        .as[graft.operators.ChunkingJob.DocInput]
+      graft.operators.ChunkingJob.chunkPyPdf(docs, tokenLimit = 200)
+        .toDF().orderBy($"FormName", $"ChunkId", $"Content")
+    }),
+
+    // C3/C4 distributed: nougat sectionize → section packing → oversized
+    // split with heading carry. Rows-only.
+    "q24_chunk_nougat" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"source".as("formName"), $"doc_id".as("seq"), $"text")
+        .as[graft.operators.ChunkingJob.DocInput]
+      graft.operators.ChunkingJob.chunkNougat(docs, tokenLimit = 200)
+        .toDF().orderBy($"FormName", $"ChunkId")
+    }),
+
+    // MinHash signatures (4 hashes over 5-char shingles) — scan-side only.
+    "q25_minhash_sig" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.minhashSig(t(s, dir, "documents"), "text", 4, 5)
+        .select($"doc_id",
+          element_at($"minhash", 1).as("mh0"), element_at($"minhash", 2).as("mh1"),
+          element_at($"minhash", 3).as("mh2"), element_at($"minhash", 4).as("mh3"))
+        .orderBy($"doc_id")
+    }),
+
+    // 32-bit SimHash over whitespace tokens.
+    "q26_simhash" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", graft.operators.Dedup.simhash32("text").cast("long").as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // Exact 5-gram Jaccard between consecutive documents (near-dup verify).
+    "q27_jaccard_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val a = d.as("a"); val b = d.as("b")
+      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          round(graft.operators.Dedup.jaccard(col("a.text"), col("b.text"), 5), 4).as("jac"))
+        .orderBy($"id_a")
+    }),
+
+    // Language-ID heuristic + composite quality score (training-data ops).
+    "q28_lang_quality" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          graft.operators.TextAnalysis.languageId($"text").as("lang_pred"),
+          graft.operators.TextAnalysis.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // Rolling word-3-gram fingerprint (min stable hash — winnowing flavor).
+    "q29_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // Brute-force ANN baseline: 3 query vectors × corpus, per-query top-3 by
+    // cosine (queries broadcast; corpus scanned once).
+    "q30_ann_brute" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      graft.operators.SimilaritySearch.bruteForceTopK(emb, queries, 3)
+        .select($"query_id", $"neighbor_id", round($"score", 4).as("score"),
+          $"rank".cast("long").as("rank"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Sign-LSH bucketing (the ANN scale path): 4 deterministic hyperplanes
+    // → 16 buckets, computed at scan time.
+    "q31_lsh_buckets" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .withColumn("bucket",
+          graft.operators.SimilaritySearch.signBucket($"embedding", 64, 4).cast("long"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }),
+
+    // J4 existence probe per group, as a grouped flag — not a full scan.
+    "q33_exists_probe" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(max(when($"n_chars" > 350, 1).otherwise(0)).cast("long").as("has_large"),
+          count(lit(1)).as("n_docs"))
+        .orderBy($"source")
+    }),
+
+    // Pipeline 1 end-to-end (rows-only): chunk → deterministic embed via
+    // mapPartitions batches → chunk table with vector dims.
+    "q34_embed_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"source".as("formName"), $"doc_id".as("seq"), $"text")
+        .as[graft.operators.ChunkingJob.DocInput]
+      val chunks = graft.operators.ChunkingJob.chunkPyPdf(docs, tokenLimit = 200).toDF()
+      graft.embed.EmbeddingJob
+        .embedColumn(chunks, "Content", new graft.embed.DeterministicEmbedder(16))
+        .select($"FormName", $"ChunkId", $"TokenCount", size($"Embeddings").cast("long").as("dim"))
+        .orderBy($"FormName", $"ChunkId", $"TokenCount")
+    }),
+
+    // The reference's /askQuestion path end-to-end (rows-only): question
+    // embedded deterministically, title-filtered cosine top-k over the
+    // index shape (J5+W7+P6).
+    "q35_retrieval_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val index = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select($"vec_id".cast("string").as("vector_id"),
+          $"embedding".as("content_vector"), $"source".as("title"), $"text")
+      val qv = new graft.embed.DeterministicEmbedder(64)
+        .embedOne("how do i join two large tables")
+      graft.query.Retriever
+        .topK(index, qv, Seq("src0", "src1", "src2", "src3", "src4"), k = 5)
+        .select($"vector_id", $"title", round($"score", 4).as("score"))
+    }),
+
+    // Multimodal plumbing: opaque binary column + batch-wise stub decode in
+    // mapPartitions (real codec would swap in); metadata is md5-derived so
+    // the oracle can check the full path.
+    "q36_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      val withBin = t(s, dir, "documents")
+        .select($"doc_id", $"text".cast("binary").as("media"))
+      graft.operators.Multimodal.extractMeta(withBin, "media")
+        .select($"doc_id",
+          $"media_meta.byte_length".as("byte_length"),
+          $"media_meta.content_md5".as("content_md5"),
+          $"media_meta.fake_width".cast("long").as("fake_width"),
+          $"media_meta.fake_height".cast("long").as("fake_height"))
+        .orderBy($"doc_id")
+    }),
+
+    // Pipeline-2 index lifecycle (rows-only): upsert two forms → delete one
+    // by title → delete two ids → per-form stats of the surviving state.
+    // Parquet-table rewrites with anti-join deletes (U2), id minting per
+    // title (P9).
+    "q37_index_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_index").toString
+      val idx = new graft.index.VectorIndex(s, s"$tmp/index")
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val records = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .filter($"source".isin("src0", "src1", "src2"))
+        .select($"source".as("title"), $"text", $"embedding".as("content_vector"),
+          $"doc_id")
+      idx.upsert(records, "doc_id")
+      idx.deleteByForms(Seq("src2"))
+      val victims = idx.read.filter($"title" === "src0")
+        .orderBy($"vector_id").limit(2)
+        .select($"vector_id").as[String].collect().toSeq
+      idx.deleteByIds(victims)
+      idx.stats.orderBy($"title")
     })
   )
 
@@ -346,6 +520,27 @@ object SparkEntry {
     "q21_label_stats" ->
       """SELECT label, count(*) AS n, min(len(embedding))::BIGINT AS dim FROM embeddings GROUP BY label ORDER BY label""",
     "q22_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id"""
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id""",
+    "q25_minhash_sig" -> {
+      def mh(j: Int) =
+        s"list_min(list_transform(CASE WHEN length(text) < 5 THEN [text] ELSE list_transform(range(1, length(text)-3), i -> substr(text, i, 5)) END, s -> ('0x' || substr(md5('$j:' || s), 1, 15))::BIGINT)) AS mh$j"
+      s"""SELECT doc_id, ${mh(0)}, ${mh(1)}, ${mh(2)}, ${mh(3)} FROM documents ORDER BY doc_id"""
+    },
+    "q26_simhash" ->
+      """SELECT doc_id, list_sum(list_transform(range(0,32), k -> CASE WHEN coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != ''), t -> CASE WHEN (('0x' || substr(md5(t),1,15))::BIGINT >> k) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS simhash FROM documents ORDER BY doc_id""",
+    "q27_jaccard_pairs" ->
+      """SELECT id_a, id_b, round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(sa || sb)), 4) AS jac FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, list_distinct(CASE WHEN length(a.text) < 5 THEN [a.text] ELSE list_transform(range(1, length(a.text)-3), i -> substr(a.text, i, 5)) END) AS sa, list_distinct(CASE WHEN length(b.text) < 5 THEN [b.text] ELSE list_transform(range(1, length(b.text)-3), i -> substr(b.text, i, 5)) END) AS sb FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) ORDER BY id_a""",
+    "q28_lang_quality" ->
+      """SELECT doc_id, CASE WHEN best <= 0 THEN 'und' WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' ELSE 'und' END AS lang_pred, round((least(length(text)::DOUBLE / 500.0, 1.0) + length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE / greatest(length(text)::DOUBLE, 1.0) + least(len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with','el','la','de','que','y','en','un','los','se','por','der','die','das','und','ist','nicht','ein','mit','auf','zu','le','les','et','est','une','dans')))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) * 5.0, 1.0) + CASE WHEN coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality FROM (SELECT doc_id, text, toks, len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de, len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with'))) AS s_en, len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es, len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que'))) AS s_fr, greatest(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))), len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with'))), len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','los','se','por'))), len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que')))) AS best FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents)) ORDER BY doc_id""",
+    "q29_fingerprint" ->
+      """SELECT doc_id, list_min(list_transform(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END, g -> ('0x' || substr(md5(g),1,15))::BIGINT)) AS fp FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents) ORDER BY doc_id""",
+    "q30_ann_brute" ->
+      """SELECT query_id, neighbor_id, round(sc, 4) AS score, rn AS rank FROM (SELECT query_id, neighbor_id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn FROM (SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sc FROM embeddings e, (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0,1,2)) q WHERE e.vec_id <> q.query_id)) WHERE rn <= 3 ORDER BY query_id, rank""",
+    "q31_lsh_buckets" ->
+      """SELECT bucket, count(*) AS n FROM (SELECT list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings) GROUP BY bucket ORDER BY bucket""",
+    "q33_exists_probe" ->
+      """SELECT source, max(CASE WHEN n_chars > 350 THEN 1 ELSE 0 END)::BIGINT AS has_large, count(*) AS n_docs FROM documents GROUP BY source ORDER BY source""",
+    "q36_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_length, md5(text) AS content_md5, (('0x' || substr(md5(text),1,15))::BIGINT % 1920)::BIGINT AS fake_width, (('0x' || substr(md5(text),1,15))::BIGINT % 1080)::BIGINT AS fake_height FROM documents ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — correct answer, O(n·q). For one
+  * query vector this is `TakeOrderedAndProject` over a single scan (the
+  * reference's whole retrieval path); for a query SET it is a broadcast
+  * nested-loop (queries broadcast, corpus scanned once) + per-query window
+  * top-k.
+  *
+  * Scale path: sign-LSH bucketing — vectors land in 2^p buckets keyed by the
+  * sign pattern of p fixed pseudo-random hyperplanes (deterministic seeded
+  * unit vectors). Queries probe only their own bucket: the scan shrinks
+  * ~2^p-fold, the join is an equi-join on bucket id (shuffle-hash, or
+  * broadcast when the query set is small), recall traded via p and
+  * multi-probe. An IVF variant would swap the hash for learned centroids;
+  * the plumbing below is identical.
+  */
+object SimilaritySearch {
+
+  /** Brute-force top-k neighbors for each query row.
+    * `queries(qidCol, vecCol)` × `corpus(idCol, vecCol)` → per-query top-k
+    * by cosine. Queries are broadcast (small side by contract).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", qidCol: String = "query_id",
+      vecCol: String = "embedding", excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(qidCol), col(vecCol).as("query_vec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(q, if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .withColumn("score", VectorFunctions.cosineSim(col(vecCol), col("query_vec")))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Deterministic hyperplane component h(plane, i) in [-1, 1]. */
+  private def planeComponent(plane: Int, i: Int): Double =
+    ((graft.functions.HashFunctions.stableHash64(s"plane:$plane:$i") % 2001L) - 1000L) / 1000.0
+
+  /** Sign-LSH bucket id (0 .. 2^planes − 1) for a vector column of
+    * dimension `dim`: bit p = 1 iff dot(v, hyperplane_p) > 0. Pure
+    * expression — computed at scan time, no shuffle, oracle-reproducible.
+    */
+  def signBucket(vecCol: Column, dim: Int, planes: Int): Column = {
+    (0 until planes).map { p =>
+      val planeVec = lit((0 until dim).map(i => planeComponent(p, i)).toArray)
+      when(VectorFunctions.dotProduct(vecCol, planeVec) > 0.0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: equi-join on bucket id, then per-query top-k inside
+    * the bucket. Probes only the query's own bucket (single-probe).
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, planes: Int,
+      idCol: String = "vec_id", qidCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("bucket", signBucket(col(vecCol), dim, planes))
+    val q = broadcast(queries.select(col(qidCol), col(vecCol).as("query_vec"))
+      .withColumn("bucket", signBucket(col("query_vec"), dim, planes)))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("score", VectorFunctions.cosineSim(col(vecCol), col("query_vec")))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("score"), col("rank"), col("bucket"))
+  }
+}

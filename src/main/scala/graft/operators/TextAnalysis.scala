@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextFunctions}
+
+/** Text-analysis columns for training-data pipelines: language ID, quality
+  * scoring, token counting, document fingerprinting. All pure expression
+  * compositions — scan-side, codegen'd, oracle-reproducible — so a 100 TB
+  * corpus pays one read and no shuffle for the whole column set.
+  */
+object TextAnalysis {
+
+  /** Tiny deterministic stopword inventories for the n-gram/stopword
+    * language heuristic. Scores are hit COUNTS of language-marker words.
+    */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "dans", "que"))
+
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  private def tokensOf(textCol: Column): Column =
+    filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
+
+  /** Predicted language: argmax of marker hits (ties broken by language
+    * code order), "und" (undetermined) when nothing matches.
+    */
+  def languageId(textCol: Column): Column = {
+    val tokens = tokensOf(textCol)
+    val scored = Markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, hitCount(tokens, words))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>
+      acc.when(score === best, lang) // first (alphabetical) max wins
+    }.otherwise("und")
+  }
+
+  /** Quality-score components + composite in [0, 1]:
+    * length score (saturating at 500 chars), alpha ratio, stopword presence,
+    * mean word length window [3, 12]. Mirrors the shape of public corpus
+    * filters (C4-style heuristics) without any external model.
+    */
+  def qualityScore(textCol: Column): Column = {
+    val tokens = tokensOf(textCol)
+    val nTok = size(tokens).cast("double")
+    val lenScore = least(length(textCol).cast("double") / 500.0, lit(1.0))
+    val alphaRatio =
+      length(regexp_replace(textCol, "[^a-zA-Z ]", "")).cast("double") /
+        greatest(length(textCol).cast("double"), lit(1.0))
+    val stopScore = least(
+      hitCount(tokens, Markers.values.flatten.toSeq.distinct).cast("double") /
+        greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+    val meanWordLen =
+      aggregate(tokens, lit(0), (acc, t) => acc + length(t)).cast("double") /
+        greatest(nTok, lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.5)
+    round((lenScore + alphaRatio + stopScore + wordLenScore) / 4.0, 4)
+  }
+
+  /** Token counts: engine BPE-ish tokenizer + whitespace variant. */
+  def tokenCounts(textCol: Column): Seq[(String, Column)] = Seq(
+    "n_tokens" -> TextFunctions.numTokensCol(textCol).cast("long"),
+    "ws_tokens" -> TextFunctions.wsTokenCountCol(textCol).cast("long"))
+
+  /** Document fingerprint: min stable hash over word 3-gram shingles — a
+    * 1-component MinHash usable as a cheap near-dup blocking key (winnowing
+    * flavor). Texts with < 3 words hash the whole text.
+    */
+  def fingerprint(textCol: Column): Column = {
+    val tokens = tokensOf(textCol)
+    val n = size(tokens)
+    val grams = when(n < 3, array(concat_ws(" ", tokens)))
+      .otherwise(transform(sequence(lit(1), n - 2),
+        i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))
+    array_min(transform(grams, g => HashFunctions.stableHash64(g)))
+  }
+}
