@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan inspector: prints `explain("formatted")` for the named queries (or a
+  * headline set) so the physical shapes can be audited — broadcast joins
+  * where a side is small, TakeOrderedAndProject for top-k, PushedFilters /
+  * ReadSchema pruning at the parquet scans, WholeStageCodegen spans around
+  * the expression-heavy operators.
+  *
+  * Usage: runMain graft.Plans [sfDir] [query ...]
+  */
+object Plans {
+  private val Headline = Seq(
+    "q01_pricing_agg", "q02_nation_revenue", "q05_top_orders",
+    "q06_segment_filter", "q11_token_stats", "q20_cosine_topk",
+    "q25_minhash_sig", "q30_ann_brute", "q31_lsh_buckets")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else Headline
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

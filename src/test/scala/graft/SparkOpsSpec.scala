@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.embed.DeterministicEmbedder
+import graft.index.VectorIndex
+import graft.operators.ChunkingJob
+import graft.query.{AppQueries, Retriever}
+
+/** Integration specs that need a SparkSession: distributed packers vs the
+  * pure-Scala algorithms, embedding determinism, index lifecycle, retrieval
+  * end-to-end (context assembly parity with `QA_using_pinecone.py:45-55`),
+  * the streaming ingest chain, and the windowed sectionizer vs the state
+  * machine.
+  */
+class SparkOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val docTexts = Seq(
+    ("formA", 0L, "alpha beta gamma delta epsilon zeta eta theta"),
+    ("formA", 1L, "iota kappa lambda mu nu xi omicron pi"),
+    ("formB", 0L, "# Heading\nbody one two three\nmore body text here"))
+
+  test("distributed chunkPyPdf equals the local packer per form") {
+    import spark.implicits._
+    val ds = docTexts.toDF("formName", "seq", "text").as[ChunkingJob.DocInput]
+    val got = ChunkingJob.chunkPyPdf(ds, tokenLimit = 10).collect()
+      .groupBy(_.FormName).view.mapValues(_.sortBy(_.ChunkId).map(_.Content).toVector).toMap
+    val local = docTexts.groupBy(_._1).map { case (form, rows) =>
+      val text = rows.sortBy(_._2).map(_._3).mkString("\n")
+      form -> graft.operators.ChunkPacker
+        .packPyPdf(text.split("\n", -1).toSeq, 10).map(_.content)
+    }
+    assert(got.keySet == local.keySet)
+    for (form <- got.keySet) assert(got(form).sorted == local(form).sorted.toVector, form)
+  }
+
+  test("windowed sectionizeDF matches the Sectionizer state machine") {
+    import spark.implicits._
+    val text = "Intro one.\nAnother intro.\n# Title\nBody a.\n* bullet\n## Sub\nBody b."
+    val paras = text.split("\n").zipWithIndex
+      .map { case (p, i) => ("f1", i.toLong, p) }.toSeq
+      .toDF("formName", "lineNo", "para")
+    val got = ChunkingJob.sectionizeDF(paras)
+      .select("lineNo", "paraSemantics", "section")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val want = graft.operators.Sectionizer.paragraphs("f1", text)
+      .map(p => (p.paraNumber.toLong, p.paraSemantics, p.section.toLong))
+    assert(got.toSeq == want)
+  }
+
+  test("deterministic embedder: unit norm, stable across calls and JVms") {
+    val e = new DeterministicEmbedder(32)
+    val v1 = e.embedOne("hello world")
+    val v2 = e.embedOne("hello world")
+    assert(v1.toSeq == v2.toSeq)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3)
+    assert(e.embedOne("hello world!").toSeq != v1.toSeq)
+  }
+
+  test("vector index lifecycle: upsert is idempotent, deletes rewrite state") {
+    import spark.implicits._
+    val dir = tmpDir("graft_idx")
+    val idx = new VectorIndex(spark, s"$dir/index")
+    val e = new DeterministicEmbedder(8)
+    val records = Seq(("formA", "text a1", 0L), ("formA", "text a2", 1L), ("formB", "text b1", 0L))
+      .toDF("title", "text", "ord")
+      .withColumn("content_vector", org.apache.spark.sql.functions.lit(e.embedOne("x")))
+    idx.upsert(records, "ord")
+    assert(idx.read.count() == 3)
+    assert(idx.dimension == 8)
+    idx.upsert(records, "ord") // same ids -> replaced, not duplicated
+    assert(idx.read.count() == 3)
+    assert(idx.formExists("formA") && !idx.formExists("formC"))
+    idx.deleteByForms(Seq("formB"))
+    assert(idx.read.count() == 2)
+    idx.deleteByIds(Seq("formA_0"))
+    assert(idx.read.as[(String, Seq[Float], String, String)].collect().map(_._1).toSet == Set("formA_1"))
+    idx.deleteAll()
+    assert(idx.read.count() == 0)
+  }
+
+  test("retriever ask: filtered top-k + context assembly parity") {
+    import spark.implicits._
+    val e = new DeterministicEmbedder(16)
+    val rows = (0 until 20).map { i =>
+      val form = if (i % 2 == 0) "formA" else "formB"
+      (s"${form}_$i", e.embedOne(s"content number $i").toSeq, form, s"content number $i")
+    }
+    val index = rows.toDF("vector_id", "content_vector", "title", "text")
+    val (hits, context) = Retriever.ask(index, "content number 4", Seq("formA"), e, k = 2)
+    val got = hits.select("vector_id", "title").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.length == 2)
+    assert(got.forall(_._2 == "formA"))
+    // the query text itself is in the index -> cosine 1.0 with its own vector
+    assert(got.head._1 == "formA_4")
+    val texts = hits.select("text").collect().map(_.getString(0))
+    assert(context == texts.mkString("\n") + "\n\n Question: content number 4")
+  }
+
+  test("streaming: chunk CSV stream -> embed -> index append (AvailableNow)") {
+    import spark.implicits._
+    val in = tmpDir("graft_stream_in")
+    val out = tmpDir("graft_stream_out")
+    val ck = tmpDir("graft_stream_ck")
+    Seq(("hello chunk one", 3, "formA", "formA_0", null.asInstanceOf[String]),
+        ("hello chunk two", 3, "formB", "formB_0", null.asInstanceOf[String]))
+      .toDF("Content", "TokenCount", "FormName", "ChunkId", "Embeddings")
+      .write.option("header", true).mode("overwrite").csv(in)
+    val q = graft.streaming.StreamingIngest.chunkCsvToIndex(
+      spark, in, s"$out/index", ck, new DeterministicEmbedder(8))
+    q.awaitTermination(60000)
+    val idx = spark.read.parquet(s"$out/index")
+    assert(idx.count() == 2)
+    assert(idx.columns.toSet == Set("vector_id", "content_vector", "title", "text"))
+    val v = idx.filter($"vector_id" === "formA_0")
+      .select("content_vector").as[Seq[Float]].head()
+    assert(v == new DeterministicEmbedder(8).embedOne("hello chunk one").toSeq)
+  }
+
+  test("app queries: register/login analog + anti-join form sync") {
+    import spark.implicits._
+    val users = AppQueries.newUserRow(spark, 1L, "a@b.com", "pw!12345")
+    assert(AppQueries.emailExists(users, "a@b.com"))
+    assert(!AppQueries.emailExists(users, "other@b.com"))
+    assert(AppQueries.verifyLogin(users, "a@b.com", "pw!12345"))
+    assert(!AppQueries.verifyLogin(users, "a@b.com", "wrong"))
+    val existing = Seq("f1", "f2").toDF("form_name")
+    val processed = Seq("f2", "f3").toDF("form_name")
+    assert(AppQueries.newForms(existing, processed).as[String].collect().toSeq == Seq("f3"))
+  }
+
+  test("jwt roundtrip honors expiry and tamper") {
+    import graft.functions.CryptoFunctions._
+    val tok = jwtEncode("user@x.com", 1000L, "secret")
+    assert(jwtDecode(tok, "secret", 500L).contains("user@x.com"))
+    assert(jwtDecode(tok, "secret", 1500L).isEmpty)       // expired
+    assert(jwtDecode(tok, "wrong", 500L).isEmpty)         // bad signature
+    assert(jwtDecode(tok.dropRight(2) + "xx", "secret", 500L).isEmpty)
+  }
+}
