@@ -472,6 +472,23 @@ object SparkEntry {
         .select($"vector_id").as[String].collect().toSeq
       idx.deleteByIds(victims)
       idx.stats.orderBy($"title")
+    }),
+
+    // P7 validation predicates (email + lookahead-free password rule) over
+    // synthesized candidates.
+    "q38_validation" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey",
+          concat(lower(regexp_replace($"c_name", "[^A-Za-z0-9]", "")),
+            when($"c_custkey" % 3 === 0, "@example.org").otherwise("@example.com")).as("email_cand"),
+          when($"c_custkey" % 2 === 0, regexp_replace($"c_name", "#", ""))
+            .otherwise($"c_name").as("password_cand"))
+        .withColumn("email_ok",
+          graft.functions.TextFunctions.emailValidCol($"email_cand").cast("int"))
+        .withColumn("password_ok",
+          graft.functions.TextFunctions.passwordValidCol($"password_cand").cast("int"))
+        .orderBy($"c_custkey")
     })
   )
 
@@ -541,6 +558,8 @@ object SparkEntry {
     "q33_exists_probe" ->
       """SELECT source, max(CASE WHEN n_chars > 350 THEN 1 ELSE 0 END)::BIGINT AS has_large, count(*) AS n_docs FROM documents GROUP BY source ORDER BY source""",
     "q36_multimodal_meta" ->
-      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_length, md5(text) AS content_md5, (('0x' || substr(md5(text),1,15))::BIGINT % 1920)::BIGINT AS fake_width, (('0x' || substr(md5(text),1,15))::BIGINT % 1080)::BIGINT AS fake_height FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_length, md5(text) AS content_md5, (('0x' || substr(md5(text),1,15))::BIGINT % 1920)::BIGINT AS fake_width, (('0x' || substr(md5(text),1,15))::BIGINT % 1080)::BIGINT AS fake_height FROM documents ORDER BY doc_id""",
+    "q38_validation" ->
+      """SELECT c_custkey, email_cand, password_cand, CASE WHEN regexp_matches(email_cand, '^.+@.+\.(com)$') THEN 1 ELSE 0 END AS email_ok, CASE WHEN regexp_matches(password_cand, '^\S{5,}$') AND regexp_matches(password_cand, '[!@#$%^&*]') THEN 1 ELSE 0 END AS password_ok FROM (SELECT c_custkey, lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || CASE WHEN c_custkey % 3 = 0 THEN '@example.org' ELSE '@example.com' END AS email_cand, CASE WHEN c_custkey % 2 = 0 THEN replace(c_name, '#', '') ELSE c_name END AS password_cand FROM customer) ORDER BY c_custkey"""
   )
 }

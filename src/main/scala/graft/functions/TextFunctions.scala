@@ -77,6 +77,33 @@ object TextFunctions {
     if (t.length < n) Seq(t) else (0 to t.length - n).map(i => t.substring(i, i + n))
   }
 
+  /** P7 validation predicates (`Registration.py:32-35`). The password rule
+    * `^(?=.*[!@#$%^&*])\S{5,}$` is rewritten lookahead-free (RE2/oracle
+    * compatible): all-non-space of length ≥5 AND contains a special char.
+    */
+  def emailValidCol(c: Column): Column = c.rlike("^.+@.+\\.(com)$")
+
+  def passwordValidCol(c: Column): Column =
+    c.rlike("^\\S{5,}$") && c.rlike("[!@#$%^&*]")
+
+  def emailValid(s: String): Boolean = s.matches(".+@.+\\.(com)$")
+
+  def passwordValid(s: String): Boolean =
+    s.matches("\\S{5,}") && java.util.regex.Pattern.compile("[!@#$%^&*]").matcher(s).find()
+
+  /** Run-scoped timestamp tag `%d_%m_%Y_%H_%M_%S` (`pipeline1.py:309`). */
+  def timestampTag(): Column =
+    date_format(current_timestamp(), "dd_MM_yyyy_HH_mm_ss")
+
+  /** Random alphanumeric id of length n (`pipeline1.py:63-66`; ids only,
+    * crypto strength not required).
+    */
+  def randomAlnum(n: Int): String = {
+    val chars = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    (1 to n).map(_ => chars(rnd.nextInt(chars.length))).mkString
+  }
+
   /** Word-level n-gram shingles joined by a single space. */
   def wordShingles(s: String, n: Int): Seq[String] = {
     val words = s.trim.split("\\s+").toSeq.filter(_.nonEmpty)

@@ -1,0 +1,126 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PDF acquisition sources (SURVEY.md §2.1 S1-S4) with the network/codec
+  * boundaries pluggable: the HTTP head/get functions and the PDF text
+  * decoder are injected so tests (and this codec-less container) run a
+  * deterministic stub while a real deployment drops in an HTTP client and
+  * PDFBox without touching the dataflow.
+  */
+object PdfIngest {
+
+  /** Filename from URL (`pipeline1.py:383-388`): `/([^/]+\.pdf)$`, else a
+    * synthesized `InputPDF_<runId>-<i>.pdf`.
+    */
+  val FilenameRegex = """\/([^/]+\.pdf)$"""
+
+  def pdfFilename(link: String, runId: String, index: Int): String = {
+    val m = java.util.regex.Pattern.compile(FilenameRegex).matcher(link)
+    if (m.find()) m.group(1) else s"InputPDF_$runId-$index.pdf"
+  }
+
+  /** Columnar twin (P12 path mangling). */
+  def pdfFilenameCol(linkCol: org.apache.spark.sql.Column, runId: String): org.apache.spark.sql.Column = {
+    val extracted = regexp_extract(linkCol, FilenameRegex, 1)
+    when(extracted =!= "", extracted)
+      .otherwise(concat(lit(s"InputPDF_$runId-"), monotonically_increasing_id().cast("string"), lit(".pdf")))
+  }
+
+  final case class UrlCheck(url: String, status: Int, contentType: String, ok: Boolean, issue: String)
+
+  /** S1 pre-flight validation (`pipeline1.py:331-368`): HEAD each URL;
+    * valid iff status 200 AND content-type contains "application/pdf"
+    * (case-insensitive). ALL failures are collected, then the batch aborts
+    * — fail-fast before any expensive work (SURVEY.md §4.1).
+    */
+  def validateUrls(urls: Seq[String], head: String => (Int, String)): Seq[UrlCheck] =
+    urls.map { u =>
+      val (status, ct) = head(u)
+      val ok = status == 200 && ct.toLowerCase.contains("application/pdf")
+      val issue =
+        if (ok) ""
+        else if (status != 200) s"status $status"
+        else s"content-type '$ct' is not application/pdf"
+      UrlCheck(u, status, ct, ok, issue)
+    }
+
+  def requireValid(checks: Seq[UrlCheck]): Unit = {
+    val bad = checks.filterNot(_.ok)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        "PDF link validation failed: " + bad.map(c => s"${c.url} (${c.issue})").mkString("; "))
+  }
+
+  final case class FetchedPdf(url: String, filename: String, content: Array[Byte])
+
+  /** S2 distributed fetch: GET inside mapPartitions (one HTTP client per
+    * partition at scale), same 200+content-type gate as the reference's
+    * download loop (`pipeline1.py:371-449`).
+    */
+  def fetchPdfs(
+      spark: SparkSession,
+      urls: Seq[String],
+      runId: String,
+      get: String => (Int, String, Array[Byte])): Dataset[FetchedPdf] = {
+    import spark.implicits._
+    val indexed = urls.zipWithIndex
+    spark.createDataset(indexed).repartition(math.min(urls.size, 32).max(1))
+      .mapPartitions { it =>
+        it.flatMap { case (link, i) =>
+          val (status, ct, bytes) = get(link)
+          if (status == 200 && ct.toLowerCase.contains("application/pdf"))
+            Some(FetchedPdf(link, pdfFilename(link, runId, i), bytes))
+          else None
+        }
+      }
+  }
+
+  /** S3: binary-file corpus + pluggable page-text decoder. The default
+    * decoder is a clearly-marked STUB (no PDF codec in this container):
+    * bytes that decode as UTF-8 pass through, else empty — the dataflow
+    * (binaryFile source, per-file concat of page texts) is the real part.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"),
+        element_at(split(col("path"), "/"), -1).as("filename"))
+
+  val stubPdfToText: Array[Byte] => String = bytes =>
+    try new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    catch { case _: Throwable => "" }
+
+  def extractText(binaries: DataFrame, pdfToText: Array[Byte] => String = stubPdfToText): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries.select(col("filename"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (name, bytes) =>
+        val form = name.replaceAll("\\.(pdf|mmd)$", "")
+        (form, pdfToText(bytes))
+      }
+      .toDF("formName", "text")
+  }
+
+  /** S4 nougat response handling (`pipeline1.py:513-533`): status matrix
+    * mapped to actionable errors; 200 body is stripped of its JSON quotes
+    * and unescaped in the reference's exact order: `\n\n` → newline pair,
+    * `\n` → newline, `\\` → `\`.
+    */
+  def nougatUnescape(rawBody: String): String = {
+    val inner = if (rawBody.length >= 2) rawBody.substring(1, rawBody.length - 1) else rawBody
+    inner
+      .replace("\\n\\n", "\n\n")
+      .replace("\\n", "\n")
+      .replace("\\\\", "\\")
+  }
+
+  def nougatStatusError(status: Int): Option[String] = status match {
+    case 200 => None
+    case 404 => Some("Check if Nougat API server is accessible via the Nougat API URL")
+    case 422 => Some("Please provide a PDF to Nougat API server")
+    case 502 => Some("Check if Nougat API server is running")
+    case other => Some(s"Unexpected Nougat API status $other")
+  }
+}

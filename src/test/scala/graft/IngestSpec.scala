@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.sources.{PdfIngest, Sinks}
+
+/** S1-S8/S11 source-and-sink specs with stubbed network/codec boundaries. */
+class IngestSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("S1 url validation: 200+pdf passes, wrong type/status collected then abort") {
+    val head: String => (Int, String) = {
+      case u if u.contains("good") => (200, "application/pdf; charset=binary")
+      case u if u.contains("html") => (200, "text/html")
+      case _ => (404, "")
+    }
+    val checks = PdfIngest.validateUrls(
+      Seq("http://x/good.pdf", "http://x/html.pdf", "http://x/missing.pdf"), head)
+    assert(checks.map(_.ok) == Seq(true, false, false))
+    val ex = intercept[IllegalArgumentException](PdfIngest.requireValid(checks))
+    assert(ex.getMessage.contains("html.pdf") && ex.getMessage.contains("missing.pdf"))
+    PdfIngest.requireValid(checks.take(1)) // no throw
+  }
+
+  test("S2 filename regex + synthesized fallback id") {
+    assert(PdfIngest.pdfFilename("https://sec.gov/forms/form-10k.pdf", "run1", 0) == "form-10k.pdf")
+    assert(PdfIngest.pdfFilename("https://sec.gov/forms/download?id=7", "run1", 3) == "InputPDF_run1-3.pdf")
+  }
+
+  test("S2 distributed fetch keeps only valid pdf responses") {
+    val get: String => (Int, String, Array[Byte]) = {
+      case u if u.endsWith("a.pdf") => (200, "application/pdf", "AAA".getBytes)
+      case _ => (200, "text/html", "nope".getBytes)
+    }
+    val fetched = PdfIngest.fetchPdfs(spark, Seq("http://x/a.pdf", "http://x/b"), "run1", get).collect()
+    assert(fetched.map(_.filename).toSeq == Seq("a.pdf"))
+    assert(new String(fetched.head.content) == "AAA")
+  }
+
+  test("S3 binaryFile source -> stub text extraction -> formName") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "formX.pdf"), "line one\nline two".getBytes)
+    val texts = PdfIngest.extractText(PdfIngest.readBinaryDir(spark, dir)).collect()
+    assert(texts.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("formX", "line one\nline two")))
+  }
+
+  test("S4 nougat unescape order and status matrix") {
+    // raw body arrives JSON-quoted; \n\n before \n before backslash-unescape
+    val raw = "\"para one\\n\\npara two\\nline\\\\alpha\""
+    assert(PdfIngest.nougatUnescape(raw) == "para one\n\npara two\nline\\alpha")
+    assert(PdfIngest.nougatStatusError(200).isEmpty)
+    assert(PdfIngest.nougatStatusError(404).get.contains("accessible"))
+    assert(PdfIngest.nougatStatusError(422).get.contains("provide a PDF"))
+    assert(PdfIngest.nougatStatusError(502).get.contains("running"))
+  }
+
+  test("S6/S7 chunk CSV roundtrip with serialized embeddings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val chunks = Seq(("hello world", 2, "formA", "formA_0", Seq(0.5f, -0.25f)))
+      .toDF("Content", "TokenCount", "FormName", "ChunkId", "Embeddings")
+    Sinks.writeChunkCsv(chunks, s"$dir/chunks")
+    val back = Tables.readChunkCsv(spark, s"$dir/chunks").collect().head
+    assert(back.getString(0) == "hello world")
+    assert(back.getAs[scala.collection.Seq[Float]]("Embeddings").toSeq == Seq(0.5f, -0.25f))
+  }
+
+  test("S11 batched sink: fixed-size groups per partition") {
+    import spark.implicits._
+    val df = (1 to 1000).toDF("n").repartition(2)
+    val sizes = Sinks.batchSizes(df, 300)
+    assert(sizes.sum == 1000)
+    assert(sizes.forall(_ <= 300))
+  }
+
+  test("P7 validation predicates incl. lookahead-free password rewrite") {
+    assert(TextFunctions.emailValid("a@b.com"))
+    assert(!TextFunctions.emailValid("a@b.org"))
+    assert(!TextFunctions.emailValid("nope"))
+    assert(TextFunctions.passwordValid("abc!2x"))
+    assert(!TextFunctions.passwordValid("abcdef"))   // no special
+    assert(!TextFunctions.passwordValid("a! x"))     // space
+    assert(!TextFunctions.passwordValid("a!x"))      // too short
+  }
+
+  test("misc scalars: random alnum shape") {
+    val s = TextFunctions.randomAlnum(6)
+    assert(s.length == 6 && s.forall(_.isLetterOrDigit))
+  }
+}
