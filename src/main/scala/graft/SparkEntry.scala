@@ -336,8 +336,8 @@ object SparkEntry {
     // 32-bit SimHash over whitespace tokens.
     "q26_simhash" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .select($"doc_id", graft.operators.Dedup.simhash32("text").cast("long").as("simhash"))
+      graft.operators.Dedup.simhash32(t(s, dir, "documents"), "text", "simhash")
+        .select($"doc_id", $"simhash".cast("long").as("simhash"))
         .orderBy($"doc_id")
     }),
 
@@ -356,9 +356,10 @@ object SparkEntry {
     "q28_lang_quality" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
+        .withColumn("toks", graft.operators.TextAnalysis.tokensCol($"text"))
         .select($"doc_id",
-          graft.operators.TextAnalysis.languageId($"text").as("lang_pred"),
-          graft.operators.TextAnalysis.qualityScore($"text").as("quality"))
+          graft.operators.TextAnalysis.languageIdFromTokens($"toks").as("lang_pred"),
+          graft.operators.TextAnalysis.qualityScoreFromTokens($"text", $"toks").as("quality"))
         .orderBy($"doc_id")
     }),
 
@@ -489,6 +490,78 @@ object SparkEntry {
         .withColumn("password_ok",
           graft.functions.TextFunctions.passwordValidCol($"password_cand").cast("int"))
         .orderBy($"c_custkey")
+    }),
+
+    // MinHash+LSH near-dup end-to-end: 8-hash signatures over 4-char
+    // shingles -> 4 bands x 2 rows -> candidate pairs by band-hash equi-join
+    // (ONE shuffle, never all-pairs) -> estimated-Jaccard verify >= 0.5.
+    "q39_neardup_lsh" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.nearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Embedding-cosine near-dup inside sign-LSH buckets: bucket equi-join
+    // (not all-pairs), cosine verify > 0.3.
+    "q40_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val b = t(s, dir, "embeddings")
+        .withColumn("bucket",
+          graft.operators.SimilaritySearch.signBucket($"embedding", 64, 4).cast("long"))
+        .select($"vec_id", $"embedding", $"bucket")
+      val a = b.select($"vec_id".as("id_a"), $"embedding".as("emb_a"), $"bucket")
+      val c = b.select($"vec_id".as("id_b"), $"embedding".as("emb_b"), $"bucket")
+      a.join(c, Seq("bucket")).filter($"id_a" < $"id_b")
+        .withColumn("score",
+          graft.functions.VectorFunctions.cosineSim($"emb_a", $"emb_b"))
+        .filter($"score" > 0.3)
+        .select($"id_a", $"id_b", round($"score", 4).as("score"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Fact-fact shuffle join + calendar rollup (J1 at fact scale; AQE picks
+    // the join strategy, aggregation is partial+final).
+    "q41_monthly_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+        .orderBy($"month")
+    }),
+
+    // Mergeable MinHash union via a typed Aggregator: per-source signature =
+    // element-wise min of member signatures (partial+final composes exactly).
+    "q42_source_signature" -> ((s, dir) => {
+      import s.implicits._
+      // element-wise min per component stays in codegen (partial+final
+      // hash agg); the typed MinHashUnionAgg Aggregator is the library API
+      // for streaming/hierarchical merges (SparkOpsSpec covers it)
+      graft.operators.Dedup.minhashSig(t(s, dir, "documents"), "text", 4, 5)
+        .groupBy($"source")
+        .agg(min(element_at($"minhash", 1)).as("mh0"),
+          min(element_at($"minhash", 2)).as("mh1"),
+          min(element_at($"minhash", 3)).as("mh2"),
+          min(element_at($"minhash", 4)).as("mh3"))
+        .orderBy($"source")
+    }),
+
+    // Skew-safe two-phase (salted) aggregation: partial agg on
+    // (key, salt = id % 8), final agg on key — result identical to the
+    // direct group-by, shuffle skew bounded by 8x fan-out.
+    "q43_salted_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("salt", ($"event_id" % 8).cast("int"))
+        .groupBy($"event_type", $"salt")
+        .agg(count(lit(1)).as("pc"), sum($"value").as("ps"))
+        .groupBy($"event_type")
+        .agg(sum($"pc").as("n"), round(sum($"ps"), 2).as("total_value"))
+        .orderBy($"event_type")
     })
   )
 
@@ -539,9 +612,12 @@ object SparkEntry {
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id""",
     "q25_minhash_sig" -> {
-      def mh(j: Int) =
-        s"list_min(list_transform(CASE WHEN length(text) < 5 THEN [text] ELSE list_transform(range(1, length(text)-3), i -> substr(text, i, 5)) END, s -> ('0x' || substr(md5('$j:' || s), 1, 15))::BIGINT)) AS mh$j"
-      s"""SELECT doc_id, ${mh(0)}, ${mh(1)}, ${mh(2)}, ${mh(3)} FROM documents ORDER BY doc_id"""
+      def mh(j: Int) = {
+        val a = (1000003L * (j + 1)) % 2147483647L
+        val b = 12345L + 7919L * j
+        s"list_min(list_transform(shash, h -> (h * $a + $b) % 2147483647)) AS mh$j"
+      }
+      s"""SELECT doc_id, ${mh(0)}, ${mh(1)}, ${mh(2)}, ${mh(3)} FROM (SELECT doc_id, list_transform(CASE WHEN length(text) < 5 THEN [text] ELSE list_transform(range(1, length(text)-3), i -> substr(text, i, 5)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM documents) ORDER BY doc_id"""
     },
     "q26_simhash" ->
       """SELECT doc_id, list_sum(list_transform(range(0,32), k -> CASE WHEN coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != ''), t -> CASE WHEN (('0x' || substr(md5(t),1,15))::BIGINT >> k) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS simhash FROM documents ORDER BY doc_id""",
@@ -560,6 +636,16 @@ object SparkEntry {
     "q36_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_length, md5(text) AS content_md5, (('0x' || substr(md5(text),1,15))::BIGINT % 1920)::BIGINT AS fake_width, (('0x' || substr(md5(text),1,15))::BIGINT % 1080)::BIGINT AS fake_height FROM documents ORDER BY doc_id""",
     "q38_validation" ->
-      """SELECT c_custkey, email_cand, password_cand, CASE WHEN regexp_matches(email_cand, '^.+@.+\.(com)$') THEN 1 ELSE 0 END AS email_ok, CASE WHEN regexp_matches(password_cand, '^\S{5,}$') AND regexp_matches(password_cand, '[!@#$%^&*]') THEN 1 ELSE 0 END AS password_ok FROM (SELECT c_custkey, lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || CASE WHEN c_custkey % 3 = 0 THEN '@example.org' ELSE '@example.com' END AS email_cand, CASE WHEN c_custkey % 2 = 0 THEN replace(c_name, '#', '') ELSE c_name END AS password_cand FROM customer) ORDER BY c_custkey"""
+      """SELECT c_custkey, email_cand, password_cand, CASE WHEN regexp_matches(email_cand, '^.+@.+\.(com)$') THEN 1 ELSE 0 END AS email_ok, CASE WHEN regexp_matches(password_cand, '^\S{5,}$') AND regexp_matches(password_cand, '[!@#$%^&*]') THEN 1 ELSE 0 END AS password_ok FROM (SELECT c_custkey, lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || CASE WHEN c_custkey % 3 = 0 THEN '@example.org' ELSE '@example.com' END AS email_cand, CASE WHEN c_custkey % 2 = 0 THEN replace(c_name, '#', '') ELSE c_name END AS password_cand FROM customer) ORDER BY c_custkey""",
+    "q39_neardup_lsh" ->
+      """WITH sig AS (SELECT doc_id, list_transform(range(0,8), j -> list_min(list_transform(shash, h -> (h * ((1000003*(j+1)) % 2147483647) + (12345 + 7919*j)) % 2147483647))) AS mh FROM (SELECT doc_id, list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM documents)), bands AS (SELECT doc_id, b, ('0x' || substr(md5(mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR), 1, 15))::BIGINT AS h FROM sig, (SELECT unnest(range(0,4)) AS b)), cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id) SELECT id_a, id_b, est_jac FROM (SELECT id_a, id_b, round(len(list_filter(range(0,8), i -> sa.mh[i+1] = sb.mh[i+1]))::DOUBLE / 8.0, 4) AS est_jac FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b) WHERE est_jac >= 0.5 ORDER BY id_a, id_b""",
+    "q40_embed_neardup" ->
+      """WITH b AS (SELECT vec_id, embedding, list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings) SELECT a.vec_id AS id_a, c.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS score FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0.3 ORDER BY id_a, id_b""",
+    "q41_monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY month""",
+    "q42_source_signature" ->
+      """SELECT source, min(mh0) AS mh0, min(mh1) AS mh1, min(mh2) AS mh2, min(mh3) AS mh3 FROM (SELECT source, list_min(list_transform(shash, h -> (h * 1000003 + 12345) % 2147483647)) AS mh0, list_min(list_transform(shash, h -> (h * 2000006 + 20264) % 2147483647)) AS mh1, list_min(list_transform(shash, h -> (h * 3000009 + 28183) % 2147483647)) AS mh2, list_min(list_transform(shash, h -> (h * 4000012 + 36102) % 2147483647)) AS mh3 FROM (SELECT source, list_transform(CASE WHEN length(text) < 5 THEN [text] ELSE list_transform(range(1, length(text)-3), i -> substr(text, i, 5)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM documents)) GROUP BY source ORDER BY source""",
+    "q43_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

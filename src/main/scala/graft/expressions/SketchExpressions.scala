@@ -1,0 +1,193 @@
+package org.apache.spark.sql.graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sketch expressions evaluated as ONE compiled JVM loop per row.
+  *
+  * The same sketches expressed with Spark's higher-order functions
+  * (transform/aggregate lambdas) are interpreted per ELEMENT — ~2 µs per
+  * lambda application, which at 300 shingles × 8 hashes per document
+  * dominates the scan. These expressions keep per-row granularity
+  * (CodegenFallback costs one virtual call per row), with the inner loops in
+  * compiled Scala, and produce bit-identical values to the HOF formulation —
+  * the DuckDB oracles are unchanged.
+  */
+private object SketchHash {
+  val Modulus = 2147483647L
+
+  /** First 60 bits of md5 as a non-negative long — identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` (HashFunctions.stableHash64).
+    */
+  def stable60(md: MessageDigest, bytes: Array[Byte], from: Int, len: Int): Long = {
+    md.reset()
+    md.update(bytes, from, len)
+    val d = md.digest()
+    // 15 hex chars = 60 bits = 7.5 bytes: bytes 0-6 fully, high nibble of byte 7
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+}
+
+/** MinHash signature over character shingles:
+  * `sig[j] = min over shingles s of ((stable60(md5(s)) % M) * A_j + B_j) % M`.
+  * Texts shorter than the shingle length hash the whole text (matching
+  * `Dedup.shinglesCol`). NOTE: shingles are CHARACTER windows; byte offsets
+  * are computed per window from the UTF8 string, so ASCII-heavy corpora pay
+  * no decode.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val as: Array[Long] = Array.tabulate(numHashes)(j => (1000003L * (j + 1)) % SketchHash.Modulus)
+  private val bs: Array[Long] = Array.tabulate(numHashes)(j => 12345L + 7919L * j)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val md = MessageDigest.getInstance("MD5")
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    def absorb(shingle: String): Unit = {
+      val b = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val base = SketchHash.stable60(md, b, 0, b.length) % SketchHash.Modulus
+      var j = 0
+      while (j < numHashes) {
+        val v = (base * as(j) + bs(j)) % SketchHash.Modulus
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    if (s.length < shingleLen) absorb(s)
+    else {
+      var i = 0
+      val last = s.length - shingleLen
+      while (i <= last) { absorb(s.substring(i, i + shingleLen)); i += 1 }
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** Character n-gram shingles as one compiled loop (the `transform(sequence)`
+  * + `substr` lambda formulation is interpreted per shingle). Matches
+  * `Dedup.shinglesCol`: texts shorter than n yield [text].
+  */
+case class CharShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < n) new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+    else {
+      val out = new Array[Any](s.length - n + 1)
+      var i = 0
+      while (i <= s.length - n) {
+        out(i) = UTF8String.fromString(s.substring(i, i + n))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_shingles"
+}
+
+/** Word-3-gram min-hash fingerprint in one compiled loop — identical values
+  * to `TextAnalysis.fingerprintFromTokens(tokensCol(text))`: lowercased
+  * whitespace tokens; < 3 tokens hashes the space-joined token string.
+  */
+case class WordFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val tokens = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+      .split("\\s+").filter(_.nonEmpty)
+    def h(s: String): Long = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      SketchHash.stable60(md, b, 0, b.length)
+    }
+    if (tokens.length < 3) h(tokens.mkString(" "))
+    else {
+      var min = Long.MaxValue
+      var i = 0
+      while (i + 2 < tokens.length) {
+        val v = h(tokens(i) + " " + tokens(i + 1) + " " + tokens(i + 2))
+        if (v < min) min = v
+        i += 1
+      }
+      min
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordFingerprint =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_fingerprint"
+}
+
+/** 32-bit SimHash over whitespace tokens of the trimmed text: bit k is set
+  * iff the ±1 sum of bit k across `stable60(md5(token))` values is positive
+  * (identical to the HOF formulation in Dedup.simhash32).
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](32)
+    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    var t = 0
+    while (t < tokens.length) {
+      val tok = tokens(t)
+      if (tok.nonEmpty) {
+        val b = tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = SketchHash.stable60(md, b, 0, b.length)
+        var k = 0
+        while (k < 32) {
+          if (((h >> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 32) { if (counts(k) > 0) out |= 1L << k; k += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash32"
+}

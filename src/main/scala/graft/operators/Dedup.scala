@@ -21,25 +21,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
   /** Character n-gram shingles as an array column (texts shorter than n
-    * yield the whole text as a single shingle).
+    * yield the whole text as a single shingle). Native expression — one
+    * compiled loop per row.
     */
-  def shinglesCol(textCol: Column, n: Int): Column =
-    when(length(textCol) < n, array(textCol))
-      .otherwise(transform(
-        sequence(lit(1), length(textCol) - n + 1),
-        i => textCol.substr(i, lit(n))))
+  def shinglesCol(textCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.toColumn(org.apache.spark.sql.graft.expressions.CharShingles(
+      Bridge.toExpr(textCol), n))
+  }
 
-  /** One MinHash component: `min over shingles s of stableHash64(seed:s)`. */
-  def minhashComponent(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => HashFunctions.stableHash64(s, seed)))
+  /** MinHash universe: 31-bit prime modulus so the affine per-component mix
+    * `(A_j·h + B_j) mod M` never overflows a signed 64-bit int — DuckDB
+    * errors on BIGINT overflow, Spark wraps silently; staying under 2^54
+    * keeps both engines exact and identical.
+    */
+  val MinhashModulus = 2147483647L
+  def minhashA(j: Int): Long = (1000003L * (j + 1)) % MinhashModulus
+  def minhashB(j: Int): Long = 12345L + 7919L * j
 
   /** MinHash signature (array<bigint> of length numHashes) added as
-    * `minhash`. Scan-side only — no shuffle.
+    * `minhash`. Runs as ONE compiled loop per row via the native
+    * [[org.apache.spark.sql.graft.expressions.MinHashSig]] expression —
+    * scan-side only, no shuffle; a higher-order-function formulation is
+    * interpreted per element and ~10× slower at bench scale.
     */
   def minhashSig(df: DataFrame, textCol: String, numHashes: Int, shingle: Int): DataFrame = {
-    val sh = shinglesCol(col(textCol), shingle)
-    df.withColumn("minhash",
-      array((0 until numHashes).map(j => minhashComponent(sh, j)): _*))
+    import org.apache.spark.sql.graft.Bridge
+    df.withColumn("minhash", Bridge.toColumn(
+      org.apache.spark.sql.graft.expressions.MinHashSig(
+        Bridge.toExpr(col(textCol)), numHashes, shingle)))
   }
 
   /** LSH candidate pairs: signatures banded `bands × rowsPerBand`; a pair is
@@ -53,7 +63,9 @@ object Dedup {
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => HashFunctions.stableHash64(
-          concat_ws(",", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+          concat_ws(",",
+            transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))))))
         .as(Seq("band", "band_hash")))
     val a = exploded.as("a")
     val b = exploded.as("b")
@@ -62,6 +74,39 @@ object Dedup {
         col("a.band_hash") === col("b.band_hash") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup end-to-end: signatures are carried THROUGH the
+    * band explode so they are computed once per join side (never re-joined
+    * back), the estimated-Jaccard verify runs in the join projection, and
+    * the threshold filter precedes the pair dedup — at scale the shuffle
+    * carries only (band, hash)-bucketed rows and the distinct only
+    * above-threshold pairs.
+    */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingle: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val sigs = minhashSig(df, textCol, numHashes, shingle).select(col(idCol), col("minhash"))
+    val exploded = sigs.select(
+      col(idCol), col("minhash"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => HashFunctions.stableHash64(
+          concat_ws(",",
+            transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))))))
+        .as(Seq("band", "band_hash")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(sigJaccard(col("a.minhash"), col("b.minhash")), 4).as("est_jac"))
+      .filter(col("est_jac") >= threshold)
       .distinct()
   }
 
@@ -81,17 +126,11 @@ object Dedup {
     * k across token hashes is positive. Hamming distance between simhashes
     * approximates token-set distance; bucket joins on it are the scale path.
     */
-  def simhash32(textColName: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 31), k ->
-       |    CASE WHEN aggregate(
-       |      filter(split(trim($textColName), '\\\\s+'), t -> t != ''),
-       |      0,
-       |      (acc, t) -> acc + CASE WHEN
-       |        shiftright(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), k) % 2 = 1
-       |      THEN 1 ELSE -1 END) > 0
-       |    THEN shiftleft(cast(1 as bigint), k) ELSE cast(0 as bigint) END),
-       |  cast(0 as bigint), (acc, v) -> acc + v)""".stripMargin)
+  def simhash32(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    df.withColumn(outCol, Bridge.toColumn(
+      org.apache.spark.sql.graft.expressions.SimHash32(Bridge.toExpr(col(textCol)))))
+  }
 
   /** Embedding near-dup: cosine above `threshold` marks a duplicate pair.
     * Pairing strategy is the caller's (LSH buckets, consecutive ids, ANN

@@ -9,8 +9,16 @@ import graft.functions.{HashFunctions, TextFunctions}
   * scoring, token counting, document fingerprinting. All pure expression
   * compositions — scan-side, codegen'd, oracle-reproducible — so a 100 TB
   * corpus pays one read and no shuffle for the whole column set.
+  *
+  * Callers should materialize [[tokensCol]] once (`withColumn`) and feed it
+  * to the `*FromTokens` variants: an inline tokens expression is duplicated
+  * into every lambda that references it, re-running split/lower per use.
   */
 object TextAnalysis {
+
+  /** Lowercased whitespace tokens. */
+  def tokensCol(textCol: Column): Column =
+    filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
 
   /** Tiny deterministic stopword inventories for the n-gram/stopword
     * language heuristic. Scores are hit COUNTS of language-marker words.
@@ -24,14 +32,10 @@ object TextAnalysis {
   private def hitCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
-  private def tokensOf(textCol: Column): Column =
-    filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
-
   /** Predicted language: argmax of marker hits (ties broken by language
     * code order), "und" (undetermined) when nothing matches.
     */
-  def languageId(textCol: Column): Column = {
-    val tokens = tokensOf(textCol)
+  def languageIdFromTokens(tokens: Column): Column = {
     val scored = Markers.toSeq.sortBy(_._1).map { case (lang, words) =>
       (lang, hitCount(tokens, words))
     }
@@ -41,13 +45,14 @@ object TextAnalysis {
     }.otherwise("und")
   }
 
+  def languageId(textCol: Column): Column = languageIdFromTokens(tokensCol(textCol))
+
   /** Quality-score components + composite in [0, 1]:
     * length score (saturating at 500 chars), alpha ratio, stopword presence,
     * mean word length window [3, 12]. Mirrors the shape of public corpus
     * filters (C4-style heuristics) without any external model.
     */
-  def qualityScore(textCol: Column): Column = {
-    val tokens = tokensOf(textCol)
+  def qualityScoreFromTokens(textCol: Column, tokens: Column): Column = {
     val nTok = size(tokens).cast("double")
     val lenScore = least(length(textCol).cast("double") / 500.0, lit(1.0))
     val alphaRatio =
@@ -63,6 +68,9 @@ object TextAnalysis {
     round((lenScore + alphaRatio + stopScore + wordLenScore) / 4.0, 4)
   }
 
+  def qualityScore(textCol: Column): Column =
+    qualityScoreFromTokens(textCol, tokensCol(textCol))
+
   /** Token counts: engine BPE-ish tokenizer + whitespace variant. */
   def tokenCounts(textCol: Column): Seq[(String, Column)] = Seq(
     "n_tokens" -> TextFunctions.numTokensCol(textCol).cast("long"),
@@ -72,12 +80,20 @@ object TextAnalysis {
     * 1-component MinHash usable as a cheap near-dup blocking key (winnowing
     * flavor). Texts with < 3 words hash the whole text.
     */
-  def fingerprint(textCol: Column): Column = {
-    val tokens = tokensOf(textCol)
+  def fingerprintFromTokens(tokens: Column): Column = {
     val n = size(tokens)
     val grams = when(n < 3, array(concat_ws(" ", tokens)))
       .otherwise(transform(sequence(lit(1), n - 2),
         i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))
     array_min(transform(grams, g => HashFunctions.stableHash64(g)))
+  }
+
+  /** Native single-loop form — identical values to
+    * `fingerprintFromTokens(tokensCol(textCol))`.
+    */
+  def fingerprint(textCol: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.toColumn(org.apache.spark.sql.graft.expressions.WordFingerprint(
+      Bridge.toExpr(textCol)))
   }
 }

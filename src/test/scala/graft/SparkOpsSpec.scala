@@ -145,6 +145,91 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(AppQueries.newForms(existing, processed).as[String].collect().toSeq == Seq("f3"))
   }
 
+  test("native sketch expressions: edge inputs + parity with HOF formulas") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, ""), (1L, "ab"), (2L, "one two"), (3L, "alpha beta gamma delta"),
+      (4L, "the  quick   brown fox jumps over the lazy dog again and again"))
+      .toDF("id", "text")
+    // minhash: native vs affine-mix over HOF shingles must agree row-for-row
+    val native = graft.operators.Dedup.minhashSig(df, "text", 4, 5)
+      .select($"id", $"minhash").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = df.withColumn("shash",
+        transform(graft.operators.Dedup.shinglesCol($"text", 5),
+          s => graft.functions.HashFunctions.stableHash64(s) % graft.operators.Dedup.MinhashModulus))
+      .withColumn("minhash", array((0 until 4).map { j =>
+        array_min(transform(col("shash"), h =>
+          (h * graft.operators.Dedup.minhashA(j) + graft.operators.Dedup.minhashB(j)) %
+            graft.operators.Dedup.MinhashModulus))
+      }: _*))
+      .select($"id", $"minhash").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof)
+    // simhash/fingerprint: defined (no throw) on empty + short inputs,
+    // deterministic, and fingerprint of <3 tokens equals hash of join
+    val sk = graft.operators.Dedup.simhash32(df, "text", "sh")
+      .select($"id", $"sh").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sk.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    val fp = df.select($"id", graft.operators.TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(2L) == graft.functions.HashFunctions.stableHash64("one two"))
+    assert(fp(0L) == graft.functions.HashFunctions.stableHash64(""))
+  }
+
+  test("MinHashUnionAgg equals element-wise min over grouped signatures") {
+    import spark.implicits._
+    val sigs = Seq(("a", Seq(5L, 1L, 9L)), ("a", Seq(3L, 7L, 2L)), ("b", Seq(4L, 4L, 4L)))
+      .toDS()
+    val got = sigs.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.operators.MinHashUnionAgg.column(3))
+      .collect().toMap
+    assert(got("a") == Seq(3L, 1L, 2L))
+    assert(got("b") == Seq(4L, 4L, 4L))
+  }
+
+  test("GraftExtensions + registry expose cosine_sim/dot_product to SQL") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c, " +
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 11.0)
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    val r2 = s2.sql("SELECT cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS c").head()
+    assert(math.abs(r2.getDouble(0) - 1.0) < 1e-9)
+  }
+
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    val in = tmpDir("graft_state_in")
+    val ck = tmpDir("graft_state_ck")
+    Seq((1L, 1.5), (1L, 2.5), (2L, 10.0)).toDF("user_id", "value")
+      .write.mode("append").parquet(in)
+    val stream = spark.readStream
+      .schema("user_id LONG, value DOUBLE")
+      .parquet(in)
+      .as[StatefulOps.UserEvent]
+    val totals = StatefulOps.runningUserTotals(stream)
+    val q = totals.writeStream
+      .outputMode("update")
+      .format("memory").queryName("totals")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    // second micro-batch: state must carry over
+    Seq((1L, 6.0)).toDF("user_id", "value").write.mode("append").parquet(in)
+    q.processAllAvailable()
+    val last = spark.sql(
+      "SELECT n_events, total_value FROM totals WHERE user_id = 1 ORDER BY n_events DESC LIMIT 1").head()
+    q.stop()
+    assert(last.getLong(0) == 3L)
+    assert(math.abs(last.getDouble(1) - 10.0) < 1e-9)
+  }
+
   test("jwt roundtrip honors expiry and tamper") {
     import graft.functions.CryptoFunctions._
     val tok = jwtEncode("user@x.com", 1000L, "secret")
