@@ -562,6 +562,39 @@ object SparkEntry {
         .groupBy($"event_type")
         .agg(sum($"pc").as("n"), round(sum($"ps"), 2).as("total_value"))
         .orderBy($"event_type")
+    }),
+
+    // Skew-safe salted equi-join (deterministic salt from event_id; small
+    // side replicated saltFactor times) — row-identical to the plain join.
+    "q44_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val events = t(s, dir, "events")
+      val dim = events.select($"event_type").distinct()
+        .withColumn("type_tag", concat(lit("t:"), $"event_type"))
+      graft.operators.Salting.saltedJoin(events, dim, "event_type", $"event_id", 8)
+        .groupBy($"event_type", $"type_tag")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"event_type")
+    }),
+
+    // C6 end-to-end /askQuestion: deterministic question embedding, filtered
+    // top-k, context assembly with the reference's exact prompt shape
+    // (`QA_using_pinecone.py:45-55`). Rows-only (context is engine-defined).
+    "q45_ask_context" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val index = emb.join(docs, emb("vec_id") === docs("doc_id"))
+        .select($"vec_id".cast("string").as("vector_id"),
+          $"embedding".as("content_vector"), $"source".as("title"),
+          substring($"text", 1, 60).as("text"))
+      val question = "which table has the highest aggregate value"
+      val (hits, context) = graft.query.Retriever.ask(
+        index, question, Seq("src1", "src3", "src5"),
+        new graft.embed.DeterministicEmbedder(64), k = 2)
+      val ids = hits.select($"vector_id").as[String].collect().toSeq
+      import s.implicits._
+      Seq((question, ids.mkString(","), context)).toDF("question", "top_ids", "context")
     })
   )
 
@@ -646,6 +679,8 @@ object SparkEntry {
     "q42_source_signature" ->
       """SELECT source, min(mh0) AS mh0, min(mh1) AS mh1, min(mh2) AS mh2, min(mh3) AS mh3 FROM (SELECT source, list_min(list_transform(shash, h -> (h * 1000003 + 12345) % 2147483647)) AS mh0, list_min(list_transform(shash, h -> (h * 2000006 + 20264) % 2147483647)) AS mh1, list_min(list_transform(shash, h -> (h * 3000009 + 28183) % 2147483647)) AS mh2, list_min(list_transform(shash, h -> (h * 4000012 + 36102) % 2147483647)) AS mh3 FROM (SELECT source, list_transform(CASE WHEN length(text) < 5 THEN [text] ELSE list_transform(range(1, length(text)-3), i -> substr(text, i, 5)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM documents)) GROUP BY source ORDER BY source""",
     "q43_salted_agg" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY event_type ORDER BY event_type"""
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
+    "q44_salted_join" ->
+      """SELECT event_type, 't:' || event_type AS type_tag, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }

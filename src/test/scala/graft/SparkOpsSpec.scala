@@ -230,6 +230,37 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(math.abs(last.getDouble(1) - 10.0) < 1e-9)
   }
 
+  test("IVF ANN: nprobe=k equals brute force; nprobe=1 returns valid subset") {
+    import spark.implicits._
+    val e = new DeterministicEmbedder(16)
+    val corpus = (0 until 60).map(i => (i.toLong, e.embedOne(s"doc $i").toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 3).map(i => (i.toLong, e.embedOne(s"doc $i").toSeq))
+      .toDF("query_id", "embedding")
+    val cents = graft.operators.IvfIndex.centroids(corpus, k = 4, iters = 2)
+    assert(cents.count() == 4)
+    val exact = graft.operators.SimilaritySearch.bruteForceTopK(corpus, queries, 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.operators.IvfIndex.topK(corpus, queries, cents, k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact) // probing every cell degenerates to brute force
+    val one = graft.operators.IvfIndex.topK(corpus, queries, cents, k = 5, nprobe = 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one.nonEmpty && one.subsetOf(corpus.select("vec_id").as[Long].collect().toSet
+      .flatMap((id: Long) => (0 until 3).map(q => (q.toLong, id)))))
+  }
+
+  test("salted join is row-identical to the plain join") {
+    import spark.implicits._
+    val big = (1 to 500).map(i => (i.toLong, s"k${i % 3}", i * 1.0)).toDF("id", "key", "v")
+    val small = Seq(("k0", "zero"), ("k1", "one"), ("k2", "two")).toDF("key", "name")
+    val salted = graft.operators.Salting.saltedJoin(big, small, "key", $"id", 8)
+      .select("id", "key", "v", "name").collect().map(_.toSeq).toSet
+    val plain = big.join(small, "key")
+      .select("id", "key", "v", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
   test("jwt roundtrip honors expiry and tamper") {
     import graft.functions.CryptoFunctions._
     val tok = jwtEncode("user@x.com", 1000L, "secret")
