@@ -595,6 +595,56 @@ object SparkEntry {
       val ids = hits.select($"vector_id").as[String].collect().toSeq
       import s.implicits._
       Seq((question, ids.mkString(","), context)).toDF("question", "top_ids", "context")
+    }),
+
+    // Multi-level aggregation (rollup): per-type and grand-total in one
+    // pass (Expand + partial/final agg).
+    "q46_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .rollup($"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .select(coalesce($"event_type", lit("ALL")).as("event_type"), $"n", $"total_value")
+        .orderBy($"event_type")
+    }),
+
+    // Pivot: per-user event-type counts as columns (conditional-agg form in
+    // the oracle — the classic pivot lowering).
+    "q47_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .filter($"user_id" < 10)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "view", "error", "signup", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    }),
+
+    // Tumbling 1-hour event-time buckets (batch form of the streaming
+    // window; ts is epoch-nanos — see Tables.load).
+    "q48_hourly" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("hour_bucket", floor($"ts" / 3600000000000L).cast("long"))
+        .groupBy($"hour_bucket")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        .orderBy($"hour_bucket")
+    }),
+
+    // As-of join composed from union + ordered window (one shuffle on the
+    // key): each error event picks up the user's most recent prior click
+    // value. Oracle uses DuckDB's native ASOF LEFT JOIN.
+    "q49_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"value")
+      graft.operators.AsOfJoin.lastPriorValue(errors, clicks, "user_id", "ts", "value")
+        .select($"event_id", $"user_id", round($"asof_value", 2).as("last_click_value"))
+        .orderBy($"event_id")
     })
   )
 
@@ -681,6 +731,14 @@ object SparkEntry {
     "q43_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
     "q44_salted_join" ->
-      """SELECT event_type, 't:' || event_type AS type_tag, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY event_type ORDER BY event_type"""
+      """SELECT event_type, 't:' || event_type AS type_tag, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY event_type ORDER BY event_type""",
+    "q46_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type""",
+    "q47_pivot" ->
+      """SELECT user_id, sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click, sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase FROM events WHERE user_id < 10 GROUP BY user_id ORDER BY user_id""",
+    "q48_hourly" ->
+      """SELECT floor(epoch_ns(ts) / 3600000000000)::BIGINT AS hour_bucket, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY 1 ORDER BY hour_bucket""",
+    "q49_asof" ->
+      """SELECT e.event_id, e.user_id, round(c.value, 2) AS last_click_value FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c ON e.user_id = c.user_id AND e.ts >= c.ts ORDER BY e.event_id"""
   )
 }

@@ -250,6 +250,19 @@ class SparkOpsSpec extends AnyFunSuite {
       .flatMap((id: Long) => (0 until 3).map(q => (q.toLong, id)))))
   }
 
+  test("as-of join: <= visibility at equal timestamps, null before first right row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 100L, 1.5), (10L, 150L, 9.9)).toDF("user_id", "ts", "value")
+    val got = graft.operators.AsOfJoin.lastPriorValue(left, right, "user_id", "ts", "value")
+      .select("event_id", "asof_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got(1L).contains(1.5))  // equal ts -> right row visible (<=)
+    assert(got(2L).contains(9.9))  // ts 200 sees the 150 click
+    assert(got(3L).isEmpty)        // ts 50 has no prior right row
+  }
+
   test("salted join is row-identical to the plain join") {
     import spark.implicits._
     val big = (1 to 500).map(i => (i.toLong, s"k${i % 3}", i * 1.0)).toDF("id", "key", "v")
