@@ -58,7 +58,7 @@ object SparkEntry {
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
           round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("sum_disc_price"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
           round(avg($"l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy($"l_returnflag", $"l_linestatus")
@@ -530,7 +530,7 @@ object SparkEntry {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
         .orderBy($"month")
     }),
 
@@ -645,13 +645,29 @@ object SparkEntry {
       graft.operators.AsOfJoin.lastPriorValue(errors, clicks, "user_id", "ts", "value")
         .select($"event_id", $"user_id", round($"asof_value", 2).as("last_click_value"))
         .orderBy($"event_id")
+    }),
+
+    // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
+    // Catalyst function — the full declarative surface, same plan as the
+    // DataFrame form (filter pushdown + TakeOrderedAndProject).
+    "q50_sql_interface" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("v_embeddings")
+      s.sql(
+        """SELECT e.vec_id,
+          |       round(cosine_sim(e.embedding,
+          |         (SELECT first(embedding) FROM v_embeddings WHERE vec_id = 7)), 4) AS score
+          |FROM v_embeddings e
+          |WHERE e.label IN (5, 6, 7)
+          |ORDER BY score DESC, vec_id
+          |LIMIT 8""".stripMargin)
     })
   )
 
   /** DuckDB oracle equivalents, same column names/order keys. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, round(avg(l_discount),4) AS avg_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price, round(avg(l_discount),4) AS avg_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q02_nation_revenue" ->
       """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS total_price FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name""",
     "q03_customers_with_orders" ->
@@ -707,7 +723,7 @@ object SparkEntry {
     "q27_jaccard_pairs" ->
       """SELECT id_a, id_b, round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(sa || sb)), 4) AS jac FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, list_distinct(CASE WHEN length(a.text) < 5 THEN [a.text] ELSE list_transform(range(1, length(a.text)-3), i -> substr(a.text, i, 5)) END) AS sa, list_distinct(CASE WHEN length(b.text) < 5 THEN [b.text] ELSE list_transform(range(1, length(b.text)-3), i -> substr(b.text, i, 5)) END) AS sb FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) ORDER BY id_a""",
     "q28_lang_quality" ->
-      """SELECT doc_id, CASE WHEN best <= 0 THEN 'und' WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' ELSE 'und' END AS lang_pred, round((least(length(text)::DOUBLE / 500.0, 1.0) + length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE / greatest(length(text)::DOUBLE, 1.0) + least(len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with','el','la','de','que','y','en','un','los','se','por','der','die','das','und','ist','nicht','ein','mit','auf','zu','le','les','et','est','une','dans')))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) * 5.0, 1.0) + CASE WHEN coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) / 4.0, 4) AS quality FROM (SELECT doc_id, text, toks, len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de, len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with'))) AS s_en, len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es, len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que'))) AS s_fr, greatest(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))), len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with'))), len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','los','se','por'))), len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que')))) AS best FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents)) ORDER BY doc_id""",
+      """SELECT doc_id, CASE WHEN best <= 0 THEN 'und' WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' ELSE 'und' END AS lang_pred, floor((least(length(text)::DOUBLE / 500.0, 1.0) + length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE / greatest(length(text)::DOUBLE, 1.0) + least(len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with','el','la','de','que','y','en','un','los','se','por','der','die','das','und','ist','nicht','ein','mit','auf','zu','le','les','et','est','une','dans')))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) * 5.0, 1.0) + CASE WHEN coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) / 4.0 * 10000.0) / 10000.0 AS quality FROM (SELECT doc_id, text, toks, len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de, len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with'))) AS s_en, len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es, len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que'))) AS s_fr, greatest(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))), len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with'))), len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','los','se','por'))), len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que')))) AS best FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents)) ORDER BY doc_id""",
     "q29_fingerprint" ->
       """SELECT doc_id, list_min(list_transform(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END, g -> ('0x' || substr(md5(g),1,15))::BIGINT)) AS fp FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents) ORDER BY doc_id""",
     "q30_ann_brute" ->
@@ -725,7 +741,7 @@ object SparkEntry {
     "q40_embed_neardup" ->
       """WITH b AS (SELECT vec_id, embedding, list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings) SELECT a.vec_id AS id_a, c.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS score FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0.3 ORDER BY id_a, id_b""",
     "q41_monthly_revenue" ->
-      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY month""",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY month""",
     "q42_source_signature" ->
       """SELECT source, min(mh0) AS mh0, min(mh1) AS mh1, min(mh2) AS mh2, min(mh3) AS mh3 FROM (SELECT source, list_min(list_transform(shash, h -> (h * 1000003 + 12345) % 2147483647)) AS mh0, list_min(list_transform(shash, h -> (h * 2000006 + 20264) % 2147483647)) AS mh1, list_min(list_transform(shash, h -> (h * 3000009 + 28183) % 2147483647)) AS mh2, list_min(list_transform(shash, h -> (h * 4000012 + 36102) % 2147483647)) AS mh3 FROM (SELECT source, list_transform(CASE WHEN length(text) < 5 THEN [text] ELSE list_transform(range(1, length(text)-3), i -> substr(text, i, 5)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM documents)) GROUP BY source ORDER BY source""",
     "q43_salted_agg" ->
@@ -739,6 +755,8 @@ object SparkEntry {
     "q48_hourly" ->
       """SELECT floor(epoch_ns(ts) / 3600000000000)::BIGINT AS hour_bucket, count(*) AS n, round(sum(value), 2) AS total_value FROM events GROUP BY 1 ORDER BY hour_bucket""",
     "q49_asof" ->
-      """SELECT e.event_id, e.user_id, round(c.value, 2) AS last_click_value FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c ON e.user_id = c.user_id AND e.ts >= c.ts ORDER BY e.event_id"""
+      """SELECT e.event_id, e.user_id, round(c.value, 2) AS last_click_value FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c ON e.user_id = c.user_id AND e.ts >= c.ts ORDER BY e.event_id""",
+    "q50_sql_interface" ->
+      """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)), 4) AS score FROM embeddings WHERE label IN (5, 6, 7) ORDER BY score DESC, vec_id LIMIT 8"""
   )
 }

@@ -65,7 +65,11 @@ object TextAnalysis {
       aggregate(tokens, lit(0), (acc, t) => acc + length(t)).cast("double") /
         greatest(nTok, lit(1.0))
     val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.5)
-    round((lenScore + alphaRatio + stopScore + wordLenScore) / 4.0, 4)
+    // floor-quantize, don't round: both engines compute the identical double
+    // here, but round() implementations differ at exact .xxxx5 boundaries
+    // (Spark goes through the shortest decimal repr, DuckDB through binary
+    // x*1e4+0.5) — floor of the same double is bit-stable on both.
+    floor((lenScore + alphaRatio + stopScore + wordLenScore) / 4.0 * 10000.0) / 10000.0
   }
 
   def qualityScore(textCol: Column): Column =
