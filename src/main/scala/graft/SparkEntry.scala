@@ -348,7 +348,7 @@ object SparkEntry {
       val a = d.as("a"); val b = d.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(graft.operators.Dedup.jaccard(col("a.text"), col("b.text"), 5), 4).as("jac"))
+          (floor(graft.operators.Dedup.jaccard(col("a.text"), col("b.text"), 5) * 10000.0) / 10000.0).as("jac"))
         .orderBy($"id_a")
     }),
 
@@ -721,7 +721,7 @@ object SparkEntry {
     "q26_simhash" ->
       """SELECT doc_id, list_sum(list_transform(range(0,32), k -> CASE WHEN coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != ''), t -> CASE WHEN (('0x' || substr(md5(t),1,15))::BIGINT >> k) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS simhash FROM documents ORDER BY doc_id""",
     "q27_jaccard_pairs" ->
-      """SELECT id_a, id_b, round(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(sa || sb)), 4) AS jac FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, list_distinct(CASE WHEN length(a.text) < 5 THEN [a.text] ELSE list_transform(range(1, length(a.text)-3), i -> substr(a.text, i, 5)) END) AS sa, list_distinct(CASE WHEN length(b.text) < 5 THEN [b.text] ELSE list_transform(range(1, length(b.text)-3), i -> substr(b.text, i, 5)) END) AS sb FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) ORDER BY id_a""",
+      """SELECT id_a, id_b, floor(len(list_intersect(sa, sb))::DOUBLE / len(list_distinct(sa || sb)) * 10000.0) / 10000.0 AS jac FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, list_distinct(CASE WHEN length(a.text) < 5 THEN [a.text] ELSE list_transform(range(1, length(a.text)-3), i -> substr(a.text, i, 5)) END) AS sa, list_distinct(CASE WHEN length(b.text) < 5 THEN [b.text] ELSE list_transform(range(1, length(b.text)-3), i -> substr(b.text, i, 5)) END) AS sb FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) ORDER BY id_a""",
     "q28_lang_quality" ->
       """SELECT doc_id, CASE WHEN best <= 0 THEN 'und' WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es' WHEN s_fr = best THEN 'fr' ELSE 'und' END AS lang_pred, floor((least(length(text)::DOUBLE / 500.0, 1.0) + length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE / greatest(length(text)::DOUBLE, 1.0) + least(len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with','el','la','de','que','y','en','un','los','se','por','der','die','das','und','ist','nicht','ein','mit','auf','zu','le','les','et','est','une','dans')))::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) * 5.0, 1.0) + CASE WHEN coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE / greatest(len(toks)::DOUBLE, 1.0) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) / 4.0 * 10000.0) / 10000.0 AS quality FROM (SELECT doc_id, text, toks, len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de, len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with'))) AS s_en, len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','los','se','por'))) AS s_es, len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que'))) AS s_fr, greatest(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))), len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in','that','it','with'))), len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','los','se','por'))), len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans','que')))) AS best FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents)) ORDER BY doc_id""",
     "q29_fingerprint" ->
