@@ -250,6 +250,25 @@ class SparkOpsSpec extends AnyFunSuite {
       .flatMap((id: Long) => (0 until 3).map(q => (q.toLong, id)))))
   }
 
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val a = (1 to 2000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 2000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
+      b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // bucket layout replaces the shuffle
+      assert(joined.count() == 2000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("as-of join: <= visibility at equal timestamps, null before first right row") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 10L, 50L))
