@@ -82,6 +82,56 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Fraction of positions where two long arrays agree — the MinHash
+  * estimated-Jaccard verifier. Full codegen: runs inside WholeStageCodegen
+  * on millions of candidate pairs (the zip_with+aggregate form interprets
+  * two lambdas per element).
+  */
+case class ArrayAgreeRatio(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) 0.0
+    else {
+      var eq = 0; var i = 0
+      while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+      eq.toDouble / x.numElements()
+    }
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = ($n == 0) ? 0.0 : ((double) $eq) / $a.numElements();
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAgreeRatio =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "array_agree_ratio"
+}
+
 /** Character n-gram shingles as one compiled loop (the `transform(sequence)`
   * + `substr` lambda formulation is interpreted per shingle). Matches
   * `Dedup.shinglesCol`: texts shorter than n yield [text].

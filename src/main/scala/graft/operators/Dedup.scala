@@ -110,10 +110,14 @@ object Dedup {
       .distinct()
   }
 
-  /** Estimated Jaccard from two equal-length signatures. */
-  def sigJaccard(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+  /** Estimated Jaccard from two equal-length signatures (codegen — runs on
+    * millions of candidate pairs).
+    */
+  def sigJaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.toColumn(org.apache.spark.sql.graft.expressions.ArrayAgreeRatio(
+      Bridge.toExpr(a), Bridge.toExpr(b)))
+  }
 
   /** Exact n-gram Jaccard between two text columns' distinct shingle sets. */
   def jaccard(textA: Column, textB: Column, n: Int): Column = {
