@@ -472,7 +472,12 @@ object SparkEntry {
         .orderBy($"vector_id").limit(2)
         .select($"vector_id").as[String].collect().toSeq
       idx.deleteByIds(victims)
-      idx.stats.orderBy($"title")
+      // materialize stats, then remove the temp index so repeated
+      // Verify/Bench rounds don't accumulate parquet copies in /tmp
+      val statRows = idx.stats.orderBy($"title")
+        .as[(String, Long)].collect().toSeq
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      statRows.toDF("title", "n_vectors")
     }),
 
     // P7 validation predicates (email + lookahead-free password rule) over
@@ -593,7 +598,6 @@ object SparkEntry {
         index, question, Seq("src1", "src3", "src5"),
         new graft.embed.DeterministicEmbedder(64), k = 2)
       val ids = hits.select($"vector_id").as[String].collect().toSeq
-      import s.implicits._
       Seq((question, ids.mkString(","), context)).toDF("question", "top_ids", "context")
     }),
 
@@ -687,7 +691,7 @@ object SparkEntry {
     "q10_lang_digest" ->
       """SELECT lang, string_agg(substr(text,1,10), '|' ORDER BY doc_id) AS texts FROM documents GROUP BY lang ORDER BY lang""",
     "q11_token_stats" ->
-      """SELECT doc_id, length(text)::BIGINT AS len, len(regexp_split_to_array(trim(text),'\s+'))::BIGINT AS ws_tokens, len(regexp_extract_all(text,'\w+|[^\w\s]'))::BIGINT AS n_tokens FROM documents ORDER BY doc_id""",
+      """SELECT doc_id, length(text)::BIGINT AS len, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END::BIGINT AS ws_tokens, len(regexp_extract_all(text,'\w+|[^\w\s]'))::BIGINT AS n_tokens FROM documents ORDER BY doc_id""",
     "q12_entity_union" ->
       """SELECT * FROM (SELECT c_name AS name, 'customer' AS kind FROM customer UNION ALL SELECT s_name AS name, 'supplier' AS kind FROM supplier) ORDER BY kind, name""",
     "q13_upsert_batches" ->

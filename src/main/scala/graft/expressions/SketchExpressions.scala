@@ -67,11 +67,17 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int)
         j += 1
       }
     }
-    if (s.length < shingleLen) absorb(s)
+    // window by CODE POINTS, matching Spark's length()/substring and the
+    // DuckDB oracle (UTF-16 units would diverge on astral chars)
+    val cps = s.codePoints().toArray
+    if (cps.length < shingleLen) absorb(s)
     else {
       var i = 0
-      val last = s.length - shingleLen
-      while (i <= last) { absorb(s.substring(i, i + shingleLen)); i += 1 }
+      val last = cps.length - shingleLen
+      while (i <= last) {
+        absorb(new String(cps, i, shingleLen))
+        i += 1
+      }
     }
     new GenericArrayData(sig)
   }
@@ -145,12 +151,13 @@ case class CharShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    if (s.length < n) new GenericArrayData(Array[Any](UTF8String.fromString(s)))
+    val cps = s.codePoints().toArray // code-point windows (oracle parity)
+    if (cps.length < n) new GenericArrayData(Array[Any](UTF8String.fromString(s)))
     else {
-      val out = new Array[Any](s.length - n + 1)
+      val out = new Array[Any](cps.length - n + 1)
       var i = 0
-      while (i <= s.length - n) {
-        out(i) = UTF8String.fromString(s.substring(i, i + n))
+      while (i <= cps.length - n) {
+        out(i) = UTF8String.fromString(new String(cps, i, n))
         i += 1
       }
       new GenericArrayData(out)

@@ -36,16 +36,32 @@ final class VectorIndex(spark: SparkSession, path: String) {
 
   /** Upsert chunk rows (columns: title, text, content_vector). Ids are
     * minted `title + "_" + n` with n = row_number per title ordered by
-    * `ordCol` — the per-form twin of `pipeline2.py:130-132` (the reference
-    * uses the global CSV index; per-title numbering keeps id minting
-    * shuffle-local and stable under any partitioning at scale).
-    * Existing records with the same vector_id are replaced.
+    * `ordCol`, OFFSET by the number of records the title already holds —
+    * the per-form twin of `pipeline2.py:130-132` (the reference uses the
+    * global CSV index; per-title numbering keeps id minting shuffle-local
+    * and stable under any partitioning at scale).
+    *
+    * Two id-minting modes:
+    *  - `append = false` (default, reference parity): ids index the INCOMING
+    *    batch from 0 — re-upserting the same batch replaces its records
+    *    (idempotent), but a PARTIAL batch for an existing title overwrites
+    *    that title's low ids (the reference re-uploads whole forms, so this
+    *    matches `pipeline2.py`'s model).
+    *  - `append = true`: ids continue from the title's existing record
+    *    count, so incremental adds never clobber prior records.
     */
-  def upsert(records: DataFrame, ordCol: String): Unit = {
+  def upsert(records: DataFrame, ordCol: String, append: Boolean = false): Unit = {
     val w = Window.partitionBy($"title").orderBy(col(ordCol))
-    val withIds = records
+    val numbered = records.withColumn("__rn", row_number().over(w) - 1)
+    val withIds = (
+      if (!exists || !append) numbered.withColumn("__base", lit(0L))
+      else {
+        val existingCounts = read.groupBy($"title").agg(count(lit(1)).as("__base"))
+        numbered.join(broadcast(existingCounts), Seq("title"), "left")
+          .withColumn("__base", coalesce($"__base", lit(0L)))
+      })
       .withColumn("vector_id",
-        concat($"title", lit("_"), (row_number().over(w) - 1).cast("string")))
+        concat($"title", lit("_"), ($"__base" + $"__rn").cast("string")))
       .select($"vector_id", $"content_vector", $"title", $"text")
     val next =
       if (!exists) withIds

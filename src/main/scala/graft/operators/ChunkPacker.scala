@@ -58,19 +58,29 @@ object ChunkPacker {
   }
 
   /** C1+C2 — the PyPDF path (`pipeline1.py:689-697`): pack lines with "\n";
-    * re-pack oversized lines word-by-word with " ".
+    * re-pack oversized lines word-by-word with " ". Returns the two passes
+    * separately (ChunkId minting needs the first-pass count — the pandas
+    * index restarts between passes, `pipeline1.py:700`).
     */
-  def packPyPdf(
+  def packPyPdfPasses(
       lines: Iterable[String],
       tokenLimit: Int,
-      numTokens: String => Int = TextFunctions.numTokens): Vector[Chunk] = {
+      numTokens: String => Int = TextFunctions.numTokens): (Vector[String], Vector[String]) = {
     val first = packLines(lines, "\n", tokenLimit, numTokens)
     val secondPass =
       if (first.oversized.nonEmpty) {
         val words = first.oversized.flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
         packLines(words, " ", tokenLimit, numTokens).chunks
-      } else Vector.empty
-    (first.chunks ++ secondPass).map(c => Chunk(c, numTokens(c)))
+      } else Vector.empty[String]
+    (first.chunks, secondPass)
+  }
+
+  def packPyPdf(
+      lines: Iterable[String],
+      tokenLimit: Int,
+      numTokens: String => Int = TextFunctions.numTokens): Vector[Chunk] = {
+    val (first, second) = packPyPdfPasses(lines, tokenLimit, numTokens)
+    (first ++ second).map(c => Chunk(c, numTokens(c)))
   }
 
   /** ChunkIds as pipeline 1 mints them (`pipeline1.py:700`): the pandas index

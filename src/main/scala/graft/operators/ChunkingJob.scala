@@ -27,14 +27,9 @@ object ChunkingJob {
       // several rows may share a form: order by seq so packing is stable
       // under any partitioning (flatMapGroups has no intra-group order)
       val text = rows.toSeq.sortBy(_.seq).map(_.text).mkString("\n")
-      val first = ChunkPacker.packLines(text.split("\n", -1).toSeq, "\n", tokenLimit)
-      val second =
-        if (first.oversized.nonEmpty) {
-          val words = first.oversized.flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
-          ChunkPacker.packLines(words, " ", tokenLimit).chunks
-        } else Vector.empty[String]
-      val all = first.chunks ++ second
-      val ids = ChunkPacker.pyPdfChunkIds(first.chunks.size, all.size, form, parityIds)
+      val (first, second) = ChunkPacker.packPyPdfPasses(text.split("\n", -1).toSeq, tokenLimit)
+      val all = first ++ second
+      val ids = ChunkPacker.pyPdfChunkIds(first.size, all.size, form, parityIds)
       all.zip(ids).iterator.map { case (c, id) =>
         ChunkRow(c, TextFunctions.numTokens(c), form, id)
       }

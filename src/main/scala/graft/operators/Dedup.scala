@@ -52,30 +52,46 @@ object Dedup {
         Bridge.toExpr(col(textCol)), numHashes, shingle)))
   }
 
-  /** LSH candidate pairs: signatures banded `bands × rowsPerBand`; a pair is
-    * a candidate iff some band hashes equal. One shuffle on (band, hash);
-    * within-bucket self-join only — never all-pairs.
+  /** Band-hash explode shared by the LSH paths: one output row per
+    * (band, band_hash) per input row, carrying `carryCols` through.
     */
-  def lshCandidates(
-      sigDF: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val exploded = sigDF.select(
-      col(idCol),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => HashFunctions.stableHash64(
-          concat_ws(",",
-            transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string"))))))
-        .as(Seq("band", "band_hash")))
+  private def bandExplode(
+      sigDF: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+      carryCols: Seq[String]): DataFrame =
+    sigDF.select(
+      (col(idCol) +: carryCols.map(col)) :+
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => HashFunctions.stableHash64(
+            concat_ws(",",
+              transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                x => x.cast("string"))))))
+          .as(Seq("band", "band_hash")): _*)
+
+  /** Banded self-join: candidate pairs (id_a < id_b) sharing some band
+    * hash, with each side's carried columns suffixed _a/_b.
+    */
+  private def bandSelfJoin(
+      sigDF: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
+      carryCols: Seq[String]): DataFrame = {
+    val exploded = bandExplode(sigDF, idCol, bands, rowsPerBand, carryCols)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+      .select((Seq(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")) ++
+        carryCols.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))): _*)
   }
+
+  /** LSH candidate pairs: signatures banded `bands × rowsPerBand`; a pair is
+    * a candidate iff some band hashes equal. One shuffle on (band, hash);
+    * within-bucket self-join only — never all-pairs.
+    */
+  def lshCandidates(
+      sigDF: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+    bandSelfJoin(sigDF, idCol, bands, rowsPerBand, Nil).distinct()
 
   /** MinHash+LSH near-dup end-to-end: signatures are carried THROUGH the
     * band explode so they are computed once per join side (never re-joined
@@ -89,23 +105,9 @@ object Dedup {
       numHashes: Int, shingle: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val sigs = minhashSig(df, textCol, numHashes, shingle).select(col(idCol), col("minhash"))
-    val exploded = sigs.select(
-      col(idCol), col("minhash"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => HashFunctions.stableHash64(
-          concat_ws(",",
-            transform(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string"))))))
-        .as(Seq("band", "band_hash")))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(sigJaccard(col("a.minhash"), col("b.minhash")), 4).as("est_jac"))
+    bandSelfJoin(sigs, idCol, bands, rowsPerBand, Seq("minhash"))
+      .select(col("id_a"), col("id_b"),
+        round(sigJaccard(col("minhash_a"), col("minhash_b")), 4).as("est_jac"))
       .filter(col("est_jac") >= threshold)
       .distinct()
   }

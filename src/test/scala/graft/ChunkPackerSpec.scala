@@ -32,15 +32,9 @@ class ChunkPackerSpec extends AnyFunSuite {
     val lines = text.split("\n", -1).toSeq
 
     test(s"$name: PyPDF pass 1+2 (C1/C2) matches golden") {
-      val first = ChunkPacker.packLines(lines, "\n", limit)
-      assert(first.chunks == strs(d \ "pypdf_first"))
-      val expectedSecond = strs(d \ "pypdf_second")
-      val second =
-        if (first.oversized.nonEmpty) {
-          val words = first.oversized.flatMap(_.trim.split("\\s+").filter(_.nonEmpty))
-          ChunkPacker.packLines(words, " ", limit).chunks
-        } else Vector.empty[String]
-      assert(second == expectedSecond)
+      val (first, second) = ChunkPacker.packPyPdfPasses(lines, limit)
+      assert(first == strs(d \ "pypdf_first"))
+      assert(second == strs(d \ "pypdf_second"))
     }
 
     test(s"$name: paragraphs (clean/classify/sectionize W1-W4) match golden") {

@@ -87,6 +87,15 @@ class SparkOpsSpec extends AnyFunSuite {
     idx.upsert(records, "ord") // same ids -> replaced, not duplicated
     assert(idx.read.count() == 3)
     assert(idx.formExists("formA") && !idx.formExists("formC"))
+    // append mode: incremental upsert mints OFFSET ids — never re-mints
+    // over existing records
+    val more = Seq(("formA", "text a3", 9L)).toDF("title", "text", "ord")
+      .withColumn("content_vector", org.apache.spark.sql.functions.lit(e.embedOne("y")))
+    idx.upsert(more, "ord", append = true)
+    assert(idx.read.count() == 4)
+    assert(idx.read.filter($"vector_id" === "formA_2").count() == 1)
+    assert(idx.read.filter($"vector_id" === "formA_0" && $"text" === "text a1").count() == 1)
+    idx.deleteByIds(Seq("formA_2"))
     idx.deleteByForms(Seq("formB"))
     assert(idx.read.count() == 2)
     idx.deleteByIds(Seq("formA_0"))
