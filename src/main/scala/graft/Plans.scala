@@ -14,7 +14,8 @@ object Plans {
   private val Headline = Seq(
     "q01_pricing_agg", "q02_nation_revenue", "q05_top_orders",
     "q06_segment_filter", "q11_token_stats", "q20_cosine_topk",
-    "q25_minhash_sig", "q30_ann_brute", "q31_lsh_buckets")
+    "q23_chunk_pypdf", "q25_minhash_sig", "q30_ann_brute",
+    "q31_lsh_buckets", "q39_neardup_lsh", "q49_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
