@@ -19,6 +19,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Floor-quantize to 4 decimals. Per-row deterministic doubles must NOT use
+    * round(): Spark rounds via the shortest decimal repr, DuckDB in binary —
+    * they diverge when the repr ends in "…5" at the cut. floor of the same
+    * double is bit-stable on both engines (SURVEY.md §7.4.4).
+    */
+  private def fq4(c: Column): Column = floor(c * 10000.0) / 10000.0
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core retrieval shape (`QA_using_pinecone.py:31-50`):
     * metadata-filtered cosine top-k over the vector index joined back to
@@ -35,7 +42,7 @@ object SparkEntry {
     val topk = emb
       .filter($"label".isin(0, 1, 2, 3, 4))
       .select($"vec_id",
-        round(VectorFunctions.cosineSim($"embedding", lit(qv)), 4).as("score"))
+        fq4(VectorFunctions.cosineSim($"embedding", lit(qv))).as("score"))
       .orderBy($"score".desc, $"vec_id")
       .limit(5)
     topk.join(docs, topk("vec_id") === docs("doc_id"))
@@ -275,7 +282,7 @@ object SparkEntry {
         .head().getSeq[Float](0).toArray
       emb.filter($"label".isin(0, 1, 2, 3, 4))
         .select($"vec_id",
-          round(VectorFunctions.cosineSim($"embedding", lit(qv)), 4).as("score"))
+          fq4(VectorFunctions.cosineSim($"embedding", lit(qv))).as("score"))
         .orderBy($"score".desc, $"vec_id")
         .limit(5)
     }),
@@ -379,7 +386,7 @@ object SparkEntry {
       val queries = emb.filter($"vec_id".isin(0, 1, 2))
         .select($"vec_id".as("query_id"), $"embedding")
       graft.operators.SimilaritySearch.bruteForceTopK(emb, queries, 3)
-        .select($"query_id", $"neighbor_id", round($"score", 4).as("score"),
+        .select($"query_id", $"neighbor_id", fq4($"score").as("score"),
           $"rank".cast("long").as("rank"))
         .orderBy($"query_id", $"rank")
     }),
@@ -433,7 +440,7 @@ object SparkEntry {
         .embedOne("how do i join two large tables")
       graft.query.Retriever
         .topK(index, qv, Seq("src0", "src1", "src2", "src3", "src4"), k = 5)
-        .select($"vector_id", $"title", round($"score", 4).as("score"))
+        .select($"vector_id", $"title", fq4($"score").as("score"))
     }),
 
     // Multimodal plumbing: opaque binary column + batch-wise stub decode in
@@ -522,7 +529,7 @@ object SparkEntry {
         .withColumn("score",
           graft.functions.VectorFunctions.cosineSim($"emb_a", $"emb_b"))
         .filter($"score" > 0.3)
-        .select($"id_a", $"id_b", round($"score", 4).as("score"))
+        .select($"id_a", $"id_b", fq4($"score").as("score"))
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -659,8 +666,8 @@ object SparkEntry {
       t(s, dir, "embeddings").createOrReplaceTempView("v_embeddings")
       s.sql(
         """SELECT e.vec_id,
-          |       round(cosine_sim(e.embedding,
-          |         (SELECT first(embedding) FROM v_embeddings WHERE vec_id = 7)), 4) AS score
+          |       floor(cosine_sim(e.embedding,
+          |         (SELECT first(embedding) FROM v_embeddings WHERE vec_id = 7)) * 10000.0) / 10000.0 AS score
           |FROM v_embeddings e
           |WHERE e.label IN (5, 6, 7)
           |ORDER BY score DESC, vec_id
@@ -709,7 +716,7 @@ object SparkEntry {
     "q19_user_history" ->
       """SELECT event_id, event_type, round(value,2) AS value FROM events WHERE user_id = 7 ORDER BY ts DESC, event_id DESC LIMIT 20""",
     "q20_cosine_topk" ->
-      """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)),4) AS score FROM embeddings WHERE label IN (0,1,2,3,4) ORDER BY score DESC, vec_id LIMIT 5""",
+      """SELECT vec_id, floor(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) * 10000.0) / 10000.0 AS score FROM embeddings WHERE label IN (0,1,2,3,4) ORDER BY score DESC, vec_id LIMIT 5""",
     "q21_label_stats" ->
       """SELECT label, count(*) AS n, min(len(embedding))::BIGINT AS dim FROM embeddings GROUP BY label ORDER BY label""",
     "q22_dedup_exact" ->
@@ -731,7 +738,7 @@ object SparkEntry {
     "q29_fingerprint" ->
       """SELECT doc_id, list_min(list_transform(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] ELSE list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END, g -> ('0x' || substr(md5(g),1,15))::BIGINT)) AS fp FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t != '') AS toks FROM documents) ORDER BY doc_id""",
     "q30_ann_brute" ->
-      """SELECT query_id, neighbor_id, round(sc, 4) AS score, rn AS rank FROM (SELECT query_id, neighbor_id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn FROM (SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sc FROM embeddings e, (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0,1,2)) q WHERE e.vec_id <> q.query_id)) WHERE rn <= 3 ORDER BY query_id, rank""",
+      """SELECT query_id, neighbor_id, floor(sc * 10000.0) / 10000.0 AS score, rn AS rank FROM (SELECT query_id, neighbor_id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn FROM (SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sc FROM embeddings e, (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0,1,2)) q WHERE e.vec_id <> q.query_id)) WHERE rn <= 3 ORDER BY query_id, rank""",
     "q31_lsh_buckets" ->
       """SELECT bucket, count(*) AS n FROM (SELECT list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings) GROUP BY bucket ORDER BY bucket""",
     "q33_exists_probe" ->
@@ -743,7 +750,7 @@ object SparkEntry {
     "q39_neardup_lsh" ->
       """WITH sig AS (SELECT doc_id, list_transform(range(0,8), j -> list_min(list_transform(shash, h -> (h * ((1000003*(j+1)) % 2147483647) + (12345 + 7919*j)) % 2147483647))) AS mh FROM (SELECT doc_id, list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM documents)), bands AS (SELECT doc_id, b, ('0x' || substr(md5(mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR), 1, 15))::BIGINT AS h FROM sig, (SELECT unnest(range(0,4)) AS b)), cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id) SELECT id_a, id_b, est_jac FROM (SELECT id_a, id_b, round(len(list_filter(range(0,8), i -> sa.mh[i+1] = sb.mh[i+1]))::DOUBLE / 8.0, 4) AS est_jac FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b) WHERE est_jac >= 0.5 ORDER BY id_a, id_b""",
     "q40_embed_neardup" ->
-      """WITH b AS (SELECT vec_id, embedding, list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings) SELECT a.vec_id AS id_a, c.vec_id AS id_b, round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS score FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0.3 ORDER BY id_a, id_b""",
+      """WITH b AS (SELECT vec_id, embedding, list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings) SELECT a.vec_id AS id_a, c.vec_id AS id_b, floor(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 10000.0) / 10000.0 AS score FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0.3 ORDER BY id_a, id_b""",
     "q41_monthly_revenue" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_items, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY month""",
     "q42_source_signature" ->
@@ -761,6 +768,6 @@ object SparkEntry {
     "q49_asof" ->
       """SELECT e.event_id, e.user_id, round(c.value, 2) AS last_click_value FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c ON e.user_id = c.user_id AND e.ts >= c.ts ORDER BY e.event_id""",
     "q50_sql_interface" ->
-      """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)), 4) AS score FROM embeddings WHERE label IN (5, 6, 7) ORDER BY score DESC, vec_id LIMIT 8"""
+      """SELECT vec_id, floor(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)) * 10000.0) / 10000.0 AS score FROM embeddings WHERE label IN (5, 6, 7) ORDER BY score DESC, vec_id LIMIT 8"""
   )
 }

@@ -38,19 +38,30 @@ object TextFunctions {
     when(length(trim(c)) === 0, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))
 
-  /** Scrub LaTeX table blocks and `+++…+++` warning spans before paragraph
-    * split (reference `pipeline1.py:114-134`; DOTALL on the warning span).
+  /** The reference's MMD scrub regexes (`pipeline1.py:114-134`), in
+    * application order: each `\begin{tabular}` / `\end{tabular}` /
+    * `\begin{table}` / `\end{table}` marker is scrubbed TO END OF LINE (not
+    * the whole block) and replaced with a newline; `+++…+++` Nougat warning
+    * spans are scrubbed DOTALL, also to a newline. This is the ONE scrub
+    * implementation repo-wide — `Sectionizer.cleanMmd` delegates here, and
+    * [[scrubCol]] is the columnar twin built from the same patterns.
     */
-  def scrubCol(c: Column): Column = {
-    val noTabular = regexp_replace(c, "(?s)\\\\begin\\{tabular\\}.*?\\\\end\\{tabular\\}", "")
-    val noTable = regexp_replace(noTabular, "(?s)\\\\begin\\{table\\}.*?\\\\end\\{table\\}", "")
-    regexp_replace(noTable, "(?s)\\+\\+\\+.*?\\+\\+\\+", "")
+  val ScrubLinePatterns: Seq[String] = Seq(
+    """\\begin\{tabular\}.*?\n""",
+    """\\end\{tabular\}.*?\n""",
+    """\\begin\{table\}.*?\n""",
+    """\\end\{table\}.*?\n""")
+  val ScrubSpanPattern: String = """(?s)\+\+\+(.*?)\+\+\+"""
+
+  def scrub(s: String): String = {
+    val noLines = ScrubLinePatterns.foldLeft(s)((t, p) => t.replaceAll(p, "\n"))
+    noLines.replaceAll(ScrubSpanPattern, "\n")
   }
 
-  def scrub(s: String): String =
-    s.replaceAll("(?s)\\\\begin\\{tabular\\}.*?\\\\end\\{tabular\\}", "")
-      .replaceAll("(?s)\\\\begin\\{table\\}.*?\\\\end\\{table\\}", "")
-      .replaceAll("(?s)\\+\\+\\+.*?\\+\\+\\+", "")
+  def scrubCol(c: Column): Column = {
+    val noLines = ScrubLinePatterns.foldLeft(c)((t, p) => regexp_replace(t, p, "\n"))
+    regexp_replace(noLines, ScrubSpanPattern, "\n")
+  }
 
   /** Markdown semantic classification; order of checks matters (`###` before
     * `##` before `#`) — reference `pipeline1.py:151-162`.

@@ -32,7 +32,8 @@ final class VectorIndex(spark: SparkSession, path: String) {
     */
   def dimension: Int =
     if (!exists) 0
-    else read.select(size($"content_vector")).head().getInt(0)
+    else read.select(size($"content_vector")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Upsert chunk rows (columns: title, text, content_vector). Ids are
     * minted `title + "_" + n` with n = row_number per title ordered by

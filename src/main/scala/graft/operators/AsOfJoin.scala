@@ -17,21 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Left rows gain `asof_<valueCol>` = last right `valueCol` at or before
-    * the left row's `timeCol` (per `keyCol`); null when no prior right row.
-    * Right rows at the SAME timestamp as a left row are visible to it
-    * (<= semantics, matching SQL ASOF JOIN).
+  /** Left rows gain `asof_<valueCol>` = the `valueCol` of the last right ROW
+    * at or before the left row's `timeCol` (per `keyCol`); null when no
+    * prior right row. Right rows at the SAME timestamp as a left row are
+    * visible to it (<= semantics, matching SQL ASOF JOIN).
+    *
+    * The window carries `struct(time, value)` — not the bare value — so a
+    * matched right row whose value is NULL yields NULL (the SQL ASOF
+    * answer), never an older row's value.
     */
   def lastPriorValue(
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String, valueCol: String): DataFrame = {
+    val outCol = s"asof_$valueCol"
+    require(!left.columns.contains(outCol),
+      s"left frame already has a column named '$outCol'")
     val leftCols = left.columns
+    val rvType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", right.schema(timeCol).dataType),
+      org.apache.spark.sql.types.StructField("v", right.schema(valueCol).dataType)))
     val l = left
-      .withColumn("__rv", lit(null).cast(right.schema(valueCol).dataType))
+      .withColumn("__rv", lit(null).cast(rvType))
       .withColumn("__isright", lit(0))
     val r = right.select(
       col(keyCol), col(timeCol).as(timeCol),
-      col(valueCol).as("__rv"), lit(1).as("__isright"))
+      struct(col(timeCol).as("t"), col(valueCol).as("v")).as("__rv"),
+      lit(1).as("__isright"))
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
     }.select((leftCols.map(col) :+ col("__rv") :+ col("__isright")): _*)
@@ -42,7 +53,7 @@ object AsOfJoin {
       .orderBy(col(timeCol).asc, col("__isright").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(s"asof_$valueCol", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn(outCol, last(col("__rv"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("__isright") === 0)
       .drop("__rv", "__isright")
   }

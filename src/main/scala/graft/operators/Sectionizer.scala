@@ -26,20 +26,12 @@ object Sectionizer {
 
   final case class Section(section: Int, chunk: String, tokenCount: Int, cumulativeTokenCount: Int)
 
-  /** MMD cleaning exactly as the reference does it (`pipeline1.py:114-134`):
-    * `\begin{tabular}` / `\end{tabular}` / `\begin{table}` / `\end{table}`
-    * each scrubbed TO END OF LINE (not the whole block) and replaced by a
-    * newline; `+++…+++` warning spans scrubbed DOTALL.
+  /** MMD cleaning exactly as the reference does it (`pipeline1.py:114-134`)
+    * — delegates to the single scrub implementation in
+    * [[TextFunctions.scrub]] (line-scoped table markers, DOTALL warning
+    * spans, `"\n"` replacement).
     */
-  def cleanMmd(contents: String): String = {
-    var s = contents
-    s = s.replaceAll("""\\begin\{tabular\}.*?\n""", "\n")
-    s = s.replaceAll("""\\end\{tabular\}.*?\n""", "\n")
-    s = s.replaceAll("""\\begin\{table\}.*?\n""", "\n")
-    s = s.replaceAll("""\\end\{table\}.*?\n""", "\n")
-    s = s.replaceAll("""(?s)\+\+\+(.*?)\+\+\+""", "\n")
-    s
-  }
+  def cleanMmd(contents: String): String = TextFunctions.scrub(contents)
 
   /** Paragraph table with semantics + sections (`pipeline1.py:136-179`). */
   def paragraphs(

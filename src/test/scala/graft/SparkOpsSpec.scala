@@ -302,6 +302,39 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("as-of join: matched right row with NULL value yields NULL, not an older value") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 200L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 100L, Some(1.5)), (10L, 150L, None))
+      .toDF("user_id", "ts", "value")
+    val got = graft.operators.AsOfJoin.lastPriorValue(left, right, "user_id", "ts", "value")
+      .select("asof_value").collect().map(r => Option(r.get(0)))
+    assert(got.toSeq == Seq(None)) // DuckDB ASOF matches the ts=150 row whose value is NULL
+    val clash = left.withColumn("asof_value", org.apache.spark.sql.functions.lit(0))
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.lastPriorValue(clash, right, "user_id", "ts", "value")
+    }
+  }
+
+  test("scrub: one repo-wide semantics, line-scoped, pinned to pipeline1.py:114-134") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val samples = Seq(
+      "keep\n\\begin{tabular}{cc} x\ninner stays\n\\end{tabular} y\n+++ warn\nmore +++\nend",
+      "\\begin{table} t\nrow\n\\end{table}\ntail",
+      "no markers at all",
+      "+++only warning+++")
+    // plain-Scala twin == Sectionizer.cleanMmd (delegation) and is line-scoped
+    samples.foreach { s =>
+      assert(TextFunctions.scrub(s) == graft.operators.Sectionizer.cleanMmd(s))
+    }
+    assert(TextFunctions.scrub(samples.head).contains("inner stays"))
+    // columnar twin produces identical strings
+    val got = samples.toDF("s")
+      .select(TextFunctions.scrubCol($"s").as("c")).as[String].collect()
+    assert(got.toSeq == samples.map(TextFunctions.scrub))
+  }
+
   test("jwt roundtrip honors expiry and tamper") {
     import graft.functions.CryptoFunctions._
     val tok = jwtEncode("user@x.com", 1000L, "secret")
