@@ -675,6 +675,218 @@ object SparkEntry {
     })
   )
 
+  // ---------------------------------------------------------------------
+  // Oracle building blocks for the sequential packers (C1-C4): DuckDB
+  // recursive CTEs replay the greedy folds line-by-line with the same
+  // tokenizer regex, so the distributed flatMapGroups output is
+  // independently verified — not just spec-covered (pipeline1.py:75-104,
+  // 190-253 semantics; quirks documented in ChunkPacker).
+  // ---------------------------------------------------------------------
+
+  private val Tok = """\w+|[^\w\s]""" // TextFunctions.TokenRegex, RE2-safe
+  private val Lim = 200
+
+  /** Pass-1/pass-2 greedy line packer (C1+C2) as a recursive CTE; `select`
+    * is applied over rows (form, i [1-based chunk index within its pass],
+    * chunks [the pass's chunk list]).
+    */
+  private def pypdfPackerSql(select: String): String =
+    raw"""WITH RECURSIVE
+rawlines AS (
+  SELECT source AS form, doc_id, unnest(range(1, len(l)+1)) AS li, l
+  FROM (SELECT source, doc_id, string_split(text, chr(10)) AS l FROM documents)),
+lines AS (
+  SELECT form, row_number() OVER (PARTITION BY form ORDER BY doc_id, li) AS idx, line
+  FROM (SELECT form, doc_id, li, trim(l[li]) AS line FROM rawlines)
+  WHERE line != ''),
+formn AS (SELECT form, max(idx) AS n FROM lines GROUP BY form),
+pack1 AS (
+  SELECT form, 0::BIGINT AS idx, '' AS buffer,
+         CAST([] AS VARCHAR[]) AS chunks, CAST([] AS VARCHAR[]) AS oversized, n
+  FROM formn
+  UNION ALL
+  SELECT s.form, s.idx + 1,
+    CASE WHEN len(regexp_extract_all(l.line, '$Tok')) > $Lim THEN ''
+         WHEN len(regexp_extract_all(s.buffer || l.line, '$Tok')) < $Lim
+           THEN s.buffer || chr(10) || l.line
+         ELSE l.line END,
+    CASE WHEN len(regexp_extract_all(l.line, '$Tok')) > $Lim
+           THEN (CASE WHEN s.buffer != '' THEN list_append(s.chunks, s.buffer) ELSE s.chunks END)
+         WHEN len(regexp_extract_all(s.buffer || l.line, '$Tok')) < $Lim THEN s.chunks
+         ELSE list_append(s.chunks, s.buffer) END,
+    CASE WHEN len(regexp_extract_all(l.line, '$Tok')) > $Lim
+           THEN list_append(s.oversized, l.line) ELSE s.oversized END,
+    s.n
+  FROM pack1 s JOIN lines l ON l.form = s.form AND l.idx = s.idx + 1
+  WHERE s.idx < s.n),
+final1 AS (
+  SELECT form,
+    CASE WHEN buffer != '' THEN list_append(chunks, buffer) ELSE chunks END AS chunks,
+    oversized
+  FROM pack1 WHERE idx = n),
+words AS (
+  SELECT form, row_number() OVER (PARTITION BY form ORDER BY oi, wi) AS idx, w AS line
+  FROM (
+    SELECT form, oi, unnest(range(1, len(ws)+1)) AS wi, ws
+    FROM (
+      SELECT form, unnest(range(1, len(oversized)+1)) AS oi, oversized
+      FROM final1 WHERE len(oversized) > 0
+    ), LATERAL (SELECT list_filter(string_split_regex(trim(oversized[oi]), '\s+'), x -> x != '') AS ws)
+  ), LATERAL (SELECT ws[wi] AS w)
+  WHERE w IS NOT NULL),
+wordn AS (SELECT form, max(idx) AS n FROM words GROUP BY form),
+pack2 AS (
+  SELECT form, 0::BIGINT AS idx, '' AS buffer, CAST([] AS VARCHAR[]) AS chunks, n
+  FROM wordn
+  UNION ALL
+  SELECT s.form, s.idx + 1,
+    CASE WHEN len(regexp_extract_all(l.line, '$Tok')) > $Lim THEN ''
+         WHEN len(regexp_extract_all(s.buffer || l.line, '$Tok')) < $Lim
+           THEN s.buffer || ' ' || l.line
+         ELSE l.line END,
+    CASE WHEN len(regexp_extract_all(l.line, '$Tok')) > $Lim
+           THEN (CASE WHEN s.buffer != '' THEN list_append(s.chunks, s.buffer) ELSE s.chunks END)
+         WHEN len(regexp_extract_all(s.buffer || l.line, '$Tok')) < $Lim THEN s.chunks
+         ELSE list_append(s.chunks, s.buffer) END,
+    s.n
+  FROM pack2 s JOIN words l ON l.form = s.form AND l.idx = s.idx + 1
+  WHERE s.idx < s.n),
+final2 AS (
+  SELECT form,
+    CASE WHEN buffer != '' THEN list_append(chunks, buffer) ELSE chunks END AS chunks
+  FROM pack2 WHERE idx = n),
+allchunks AS (
+  SELECT form, unnest(range(1, len(chunks)+1)) AS i, chunks FROM final1
+  UNION ALL
+  SELECT form, unnest(range(1, len(chunks)+1)) AS i, chunks FROM final2)
+$select"""
+
+  /** Nougat path (C3+C4) as recursive CTEs: scrub → paragraphs → window
+    * state-machine sections → greedy section packer (buffer tokens recomputed
+    * from the buffer each step, as the reference does) → oversized-section
+    * splitter with heading carried separator-free; ids are global per form.
+    */
+  private val nougatPackerSql: String =
+    raw"""WITH RECURSIVE
+formtext AS (
+  SELECT source AS form, string_agg(text, chr(10) ORDER BY doc_id) AS txt
+  FROM documents GROUP BY source),
+paras0 AS (
+  SELECT form, unnest(range(1, len(l)+1)) AS li, l
+  FROM (SELECT form, string_split(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt, '\\begin\{tabular\}.*?\n', chr(10), 'g'), '\\end\{tabular\}.*?\n', chr(10), 'g'), '\\begin\{table\}.*?\n', chr(10), 'g'), '\\end\{table\}.*?\n', chr(10), 'g'), '(?s)\+\+\+(.*?)\+\+\+', chr(10), 'g'), chr(10)) AS l FROM formtext)),
+paras AS (
+  SELECT form, row_number() OVER (PARTITION BY form ORDER BY li) AS idx, p,
+         starts_with(p, '#') AS ish
+  FROM (SELECT form, li, l[li] AS p FROM paras0)
+  WHERE p != ''),
+sectioned AS (
+  SELECT form, idx, p,
+    sum(CASE WHEN ish OR NOT seen_before THEN 1 ELSE 0 END)
+      OVER (PARTITION BY form ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS section
+  FROM (
+    SELECT form, idx, p, ish,
+      coalesce(max(CASE WHEN ish THEN 1 ELSE 0 END)
+        OVER (PARTITION BY form ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1 AS seen_before
+    FROM paras)),
+sections AS (
+  SELECT form, row_number() OVER (PARTITION BY form ORDER BY section) AS idx,
+         sec, len(regexp_extract_all(sec, '$Tok')) AS stok
+  FROM (SELECT form, section, string_agg(p, chr(10) ORDER BY idx) AS sec
+        FROM sectioned GROUP BY form, section)),
+secn AS (SELECT form, max(idx) AS n FROM sections GROUP BY form),
+pack AS (
+  SELECT form, 0::BIGINT AS idx, '' AS buffer,
+         CAST([] AS VARCHAR[]) AS chunks, CAST([] AS VARCHAR[]) AS oversized, n
+  FROM secn
+  UNION ALL
+  SELECT s.form, s.idx + 1,
+    CASE WHEN l.stok > $Lim THEN ''
+         WHEN l.stok + len(regexp_extract_all(s.buffer, '$Tok')) < $Lim
+           THEN s.buffer || chr(10) || l.sec
+         ELSE l.sec END,
+    CASE WHEN l.stok > $Lim
+           THEN (CASE WHEN s.buffer != '' THEN list_append(s.chunks, s.buffer) ELSE s.chunks END)
+         WHEN l.stok + len(regexp_extract_all(s.buffer, '$Tok')) < $Lim THEN s.chunks
+         ELSE list_append(s.chunks, s.buffer) END,
+    CASE WHEN l.stok > $Lim THEN list_append(s.oversized, l.sec) ELSE s.oversized END,
+    s.n
+  FROM pack s JOIN sections l ON l.form = s.form AND l.idx = s.idx + 1
+  WHERE s.idx < s.n),
+packed AS (
+  SELECT form,
+    CASE WHEN buffer != '' THEN list_append(chunks, buffer) ELSE chunks END AS chunks,
+    oversized
+  FROM pack WHERE idx = n),
+osent0 AS (
+  SELECT form, oi, unnest(range(1, len(ls)+1)) AS si, ls
+  FROM (
+    SELECT form, unnest(range(1, len(oversized)+1)) AS oi, oversized
+    FROM packed WHERE len(oversized) > 0
+  ), LATERAL (SELECT string_split(oversized[oi], chr(10)) AS ls)),
+osent AS (
+  SELECT form, oi, row_number() OVER (PARTITION BY form, oi ORDER BY si) AS idx, sent
+  FROM (SELECT form, oi, si, trim(ls[si]) AS sent FROM osent0)
+  WHERE sent != ''),
+ohead AS (
+  SELECT form, oi,
+    CASE WHEN max(CASE WHEN idx = 1 THEN starts_with(sent, '#') END) THEN
+      max(CASE WHEN idx = 1 THEN sent END) ELSE '' END AS heading
+  FROM osent GROUP BY form, oi),
+obody AS (
+  SELECT s.form, s.oi,
+    row_number() OVER (PARTITION BY s.form, s.oi ORDER BY s.idx) AS idx, s.sent,
+    len(regexp_extract_all(s.sent, '$Tok')) AS t
+  FROM osent s JOIN ohead h ON s.form = h.form AND s.oi = h.oi
+  WHERE NOT (h.heading != '' AND s.idx = 1)),
+obodyn AS (
+  SELECT h.form, h.oi, h.heading, coalesce(b.n, 0) AS n
+  FROM ohead h LEFT JOIN (SELECT form, oi, max(idx) AS n FROM obody GROUP BY form, oi) b
+    ON b.form = h.form AND b.oi = h.oi),
+osplit AS (
+  SELECT form, oi, 0::BIGINT AS idx, heading AS buffer,
+         CAST([] AS VARCHAR[]) AS chunks, heading, n
+  FROM obodyn
+  UNION ALL
+  SELECT s.form, s.oi, s.idx + 1,
+    CASE WHEN l.t + (CASE WHEN s.idx = 0 THEN 0
+                          ELSE len(regexp_extract_all(s.buffer, '$Tok')) END) < $Lim
+           THEN s.buffer || chr(10) || l.sent
+         ELSE s.heading || l.sent END,
+    CASE WHEN l.t + (CASE WHEN s.idx = 0 THEN 0
+                          ELSE len(regexp_extract_all(s.buffer, '$Tok')) END) < $Lim
+           THEN s.chunks
+         ELSE list_append(s.chunks, s.buffer) END,
+    s.heading, s.n
+  FROM osplit s JOIN obody l ON l.form = s.form AND l.oi = s.oi AND l.idx = s.idx + 1
+  WHERE s.idx < s.n),
+splits AS (
+  SELECT form, oi,
+    CASE WHEN buffer != '' THEN list_append(chunks, buffer) ELSE chunks END AS chunks
+  FROM osplit WHERE idx = n),
+allrows AS (
+  SELECT form, c, row_number() OVER (PARTITION BY form ORDER BY pass, oi, i) - 1 AS cid
+  FROM (
+    SELECT form, 0 AS pass, 0::BIGINT AS oi, i, chunks[i] AS c
+    FROM (SELECT form, unnest(range(1, len(chunks)+1)) AS i, chunks FROM packed)
+    UNION ALL
+    SELECT form, 1 AS pass, oi, i, chunks[i] AS c
+    FROM (SELECT form, oi, unnest(range(1, len(chunks)+1)) AS i, chunks FROM splits)
+  ))
+SELECT c AS Content,
+       len(regexp_extract_all(c, '$Tok'))::INT AS TokenCount,
+       form AS FormName,
+       form || '_' || cid::VARCHAR AS ChunkId
+FROM allrows"""
+
+  /** Question vector CTEs reproducing DeterministicEmbedder(64).embedOne:
+    * component i = ((stable60(md5("i:text")) % 2001) - 1000)/1000, then
+    * L2-normalize and round-trip through FLOAT — bit-identical to the
+    * engine's float literal (`Embedder.scala:24-31`).
+    */
+  private def questionVecCte(question: String): String =
+    s"""raw AS (SELECT list_transform(range(0,64), i -> ((('0x' || substr(md5(i::VARCHAR || ':$question'), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS r),
+qv AS (SELECT list_transform(r, x -> (x / n)::FLOAT::DOUBLE) AS v FROM (SELECT r, sqrt(list_sum(list_transform(r, x -> x*x))) AS n FROM raw))"""
+
   /** DuckDB oracle equivalents, same column names/order keys. */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -721,6 +933,30 @@ object SparkEntry {
       """SELECT label, count(*) AS n, min(len(embedding))::BIGINT AS dim FROM embeddings GROUP BY label ORDER BY label""",
     "q22_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id""",
+    "q23_chunk_pypdf" -> pypdfPackerSql(
+      s"""SELECT chunks[i] AS Content, len(regexp_extract_all(chunks[i], '$Tok'))::INT AS TokenCount, form AS FormName, form || '_' || (i-1)::VARCHAR AS ChunkId FROM allchunks"""),
+    "q24_chunk_nougat" -> nougatPackerSql,
+    "q34_embed_pipeline" -> pypdfPackerSql(
+      """SELECT form AS FormName, form || '_' || (i-1)::VARCHAR AS ChunkId, len(regexp_extract_all(chunks[i], '""" + Tok + """'))::INT AS TokenCount, 16::BIGINT AS dim FROM allchunks"""),
+    "q35_retrieval_e2e" ->
+      s"""WITH ${questionVecCte("how do i join two large tables")}
+SELECT vector_id, title, floor(sc * 10000.0) / 10000.0 AS score FROM
+ (SELECT e.vec_id::VARCHAR AS vector_id, d.source AS title,
+   list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM qv)) AS sc
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.source IN ('src0','src1','src2','src3','src4')
+  ORDER BY sc DESC, vector_id LIMIT 5)""",
+    "q45_ask_context" ->
+      s"""WITH ${questionVecCte("which table has the highest aggregate value")},
+topk AS (SELECT e.vec_id::VARCHAR AS vector_id, substr(d.text, 1, 60) AS text,
+   list_cosine_similarity(e.embedding::DOUBLE[], (SELECT v FROM qv)) AS sc
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.source IN ('src1','src3','src5')
+  ORDER BY sc DESC, vector_id LIMIT 2)
+SELECT 'which table has the highest aggregate value' AS question,
+  string_agg(vector_id, ',' ORDER BY sc DESC, vector_id) AS top_ids,
+  string_agg(text, chr(10) ORDER BY sc DESC, vector_id) || chr(10) || chr(10) || ' Question: which table has the highest aggregate value' AS context
+FROM topk""",
     "q25_minhash_sig" -> {
       def mh(j: Int) = {
         val a = (1000003L * (j + 1)) % 2147483647L
