@@ -459,10 +459,14 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // Pipeline-2 index lifecycle (rows-only): upsert two forms → delete one
-    // by title → delete two ids → per-form stats of the surviving state.
-    // Parquet-table rewrites with anti-join deletes (U2), id minting per
-    // title (P9).
+    // Pipeline-2 index + stats-mirror lifecycle: upsert three forms and
+    // mirror them into the stats table → delete one form by title (index +
+    // mirror) → delete two ids → delete ALL of one form's vectors by id →
+    // prune mirror rows whose vectors are gone. Parquet-table rewrites with
+    // anti-join deletes (U2), id minting per title (P9), versioned
+    // pointer-swap snapshots under the hood. Mirror states are materialized
+    // per step (≤3 rows — the stats table is a handful of rows per the
+    // reference's `vectordatabasestats`).
     "q37_index_lifecycle" -> ((s, dir) => {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft_index").toString
@@ -474,17 +478,31 @@ object SparkEntry {
         .select($"source".as("title"), $"text", $"embedding".as("content_vector"),
           $"doc_id")
       idx.upsert(records, "doc_id")
+      // stats mirror: insert-if-absent against an empty catalog (J2)
+      val empty = Seq.empty[String].toDF("form_name")
+      var mirror = graft.query.AppQueries
+        .newForms(empty, idx.stats.select($"title".as("form_name")))
+        .as[String].collect().toSeq.toDF("form_name")
       idx.deleteByForms(Seq("src2"))
+      mirror = graft.query.AppQueries.mirrorDeleteForms(mirror, Seq("src2"))
+        .as[String].collect().toSeq.toDF("form_name")
       val victims = idx.read.filter($"title" === "src0")
         .orderBy($"vector_id").limit(2)
         .select($"vector_id").as[String].collect().toSeq
       idx.deleteByIds(victims)
-      // materialize stats, then remove the temp index so repeated
-      // Verify/Bench rounds don't accumulate parquet copies in /tmp
+      // empty src1 out by ids (NOT by form) so the mirror goes stale...
+      val gone = idx.idsForForms(Seq("src1")).as[String].collect().toSeq
+      idx.deleteByIds(gone)
+      // ...and prune-orphans brings it back in sync (`pipeline2.py:354-367`)
+      val mirrorTitles = graft.query.AppQueries
+        .pruneOrphans(mirror, idx.read.select($"title"))
+        .as[String].collect().toSeq
       val statRows = idx.stats.orderBy($"title")
         .as[(String, Long)].collect().toSeq
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      statRows.toDF("title", "n_vectors")
+      (statRows.map { case (t0, n) => ("index", t0, n) } ++
+        mirrorTitles.sorted.map(t0 => ("mirror", t0, 1L)))
+        .toDF("kind", "title", "n")
     }),
 
     // P7 validation predicates (email + lookahead-free password rule) over
@@ -981,6 +999,23 @@ FROM topk""",
       """SELECT source, max(CASE WHEN n_chars > 350 THEN 1 ELSE 0 END)::BIGINT AS has_large, count(*) AS n_docs FROM documents GROUP BY source ORDER BY source""",
     "q36_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_length, md5(text) AS content_md5, (('0x' || substr(md5(text),1,15))::BIGINT % 1920)::BIGINT AS fake_width, (('0x' || substr(md5(text),1,15))::BIGINT % 1080)::BIGINT AS fake_height FROM documents ORDER BY doc_id""",
+    "q37_index_lifecycle" ->
+      """WITH recs AS (
+  SELECT d.source AS title,
+         row_number() OVER (PARTITION BY d.source ORDER BY e.vec_id) - 1 AS rn
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+  WHERE d.source IN ('src0','src1','src2')),
+ids AS (SELECT title, title || '_' || rn::VARCHAR AS vector_id FROM recs),
+after_form_delete AS (SELECT * FROM ids WHERE title != 'src2'),
+victims AS (SELECT vector_id FROM after_form_delete WHERE title = 'src0' ORDER BY vector_id LIMIT 2),
+survivors AS (
+  SELECT * FROM after_form_delete
+  WHERE vector_id NOT IN (SELECT vector_id FROM victims) AND title != 'src1')
+SELECT kind, title, n FROM (
+  SELECT 'index' AS kind, title, count(*)::BIGINT AS n FROM survivors GROUP BY title
+  UNION ALL
+  SELECT 'mirror' AS kind, title, 1::BIGINT AS n FROM (SELECT DISTINCT title FROM survivors))
+ORDER BY kind, title""",
     "q38_validation" ->
       """SELECT c_custkey, email_cand, password_cand, CASE WHEN regexp_matches(email_cand, '^.+@.+\.(com)$') THEN 1 ELSE 0 END AS email_ok, CASE WHEN regexp_matches(password_cand, '^\S{5,}$') AND regexp_matches(password_cand, '[!@#$%^&*]') THEN 1 ELSE 0 END AS password_ok FROM (SELECT c_custkey, lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || CASE WHEN c_custkey % 3 = 0 THEN '@example.org' ELSE '@example.com' END AS email_cand, CASE WHEN c_custkey % 2 = 0 THEN replace(c_name, '#', '') ELSE c_name END AS password_cand FROM customer) ORDER BY c_custkey""",
     "q39_neardup_lsh" ->

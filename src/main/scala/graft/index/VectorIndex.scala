@@ -1,5 +1,6 @@
 package graft.index
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,21 +15,45 @@ import org.apache.spark.sql.functions._
   * driver-side id scan. The reference's `top_k = total_vector_count` id
   * listing (`pipeline2.py:165`, `221` — a full-index scan per form) becomes a
   * plain filter (SURVEY.md §4.2).
+  *
+  * Storage layout: versioned snapshots `<path>/v<N>/` plus a `_CURRENT`
+  * pointer file naming the live version. Every mutation writes the next
+  * state ONCE (to `v<N+1>`, never over the directory it is reading), then
+  * atomically swaps the pointer via rename-with-overwrite; older snapshots
+  * beyond the previous one are garbage-collected. A crash mid-write leaves
+  * `_CURRENT` untouched, so readers never observe a partial index — and at
+  * scale each delete/upsert pays exactly one data write instead of the
+  * write-tmp-read-tmp-write-final double copy.
   */
 final class VectorIndex(spark: SparkSession, path: String) {
 
   import spark.implicits._
 
-  def exists: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p)
-  }
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def root = new Path(path)
+  private def fs = root.getFileSystem(hconf)
+  private def pointerPath = new Path(root, "_CURRENT")
+  private def versionDir(v: Long) = new Path(root, s"v$v")
 
-  def read: DataFrame = spark.read.parquet(path)
+  /** -1 when the index has never been written. */
+  private def currentVersion: Long =
+    if (!fs.exists(pointerPath)) -1L
+    else {
+      val in = fs.open(pointerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+
+  def exists: Boolean = fs.exists(pointerPath)
+
+  /** Reads the version that is current NOW — a snapshot: later mutations
+    * write new version dirs, so a DataFrame obtained here stays readable
+    * until its version is GC'd (one mutation later).
+    */
+  def read: DataFrame = spark.read.parquet(versionDir(currentVersion).toString)
 
   /** Index dimension derived from data, as the reference creates indexes
-    * (`pipeline2.py:134-138`).
+    * (`pipeline2.py:134-138`); 0 for an absent or empty index.
     */
   def dimension: Int =
     if (!exists) 0
@@ -90,12 +115,24 @@ final class VectorIndex(spark: SparkSession, path: String) {
   def idsForForms(titles: Seq[String]): DataFrame =
     read.filter($"title".isin(titles: _*)).select($"vector_id")
 
+  /** One data write + an atomic pointer swap; keeps the previous snapshot
+    * for in-flight readers and GCs everything older.
+    */
   private def rewrite(next: DataFrame): Unit = {
-    // materialize before overwriting the path we read from
-    val tmp = path.stripSuffix("/") + ".tmp"
-    next.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path)
-    val p = new org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val cur = currentVersion
+    val nxt = cur + 1
+    next.write.mode(SaveMode.Overwrite).parquet(versionDir(nxt).toString)
+    val tmp = new Path(root, s"_CURRENT.$nxt.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nxt.toString.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(fs.getUri, hconf)
+      .rename(tmp, pointerPath, Options.Rename.OVERWRITE)
+    val keep = Set(cur, nxt)
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v") && name.drop(1).forall(_.isDigit)
+          && !keep.contains(name.drop(1).toLong))
+        fs.delete(st.getPath, true)
+    }
   }
 }

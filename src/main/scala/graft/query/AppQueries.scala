@@ -60,4 +60,27 @@ object AppQueries {
   /** Forms catalog (A2 distinct, `pipeline2.py:60`). */
   def formCatalog(stats: DataFrame): DataFrame =
     stats.select("form_name").distinct()
+
+  // -------------------------------------------------------------------
+  // Stats-table mirror deletes (`pipeline2.py:333-367`): pipeline 2 keeps
+  // `vectordatabasestats` in lock-step with the vector index. Each helper
+  // returns the stats table's NEXT state as a lazy plan — at scale these
+  // are distributed rewrites (filters / semi-joins), never id scans.
+  // -------------------------------------------------------------------
+
+  /** Mirror of delete-by-form-name (`pipeline2.py:333-345`). */
+  def mirrorDeleteForms(stats: DataFrame, titles: Seq[String]): DataFrame =
+    stats.filter(!col("form_name").isin(titles: _*))
+
+  /** Mirror of delete-all (`pipeline2.py:347-352`). */
+  def mirrorDeleteAll(stats: DataFrame): DataFrame = stats.limit(0)
+
+  /** Mirror of delete-where-vectors-gone (`pipeline2.py:354-367`): keep only
+    * stats rows whose form still has vectors in the index — a semi-join
+    * against the index's surviving titles.
+    */
+  def pruneOrphans(stats: DataFrame, indexTitles: DataFrame): DataFrame =
+    stats.join(
+      indexTitles.select(col(indexTitles.columns.head).as("form_name")).distinct(),
+      Seq("form_name"), "left_semi")
 }

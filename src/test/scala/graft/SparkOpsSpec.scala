@@ -104,6 +104,44 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(idx.read.count() == 0)
   }
 
+  test("vector index: versioned snapshots, pointer swap, GC keeps current+previous") {
+    import spark.implicits._
+    val dir = tmpDir("graft_idx_v")
+    val idx = new VectorIndex(spark, s"$dir/index")
+    val e = new DeterministicEmbedder(8)
+    val records = Seq(("fA", "t1", 0L), ("fA", "t2", 1L), ("fB", "t3", 0L))
+      .toDF("title", "text", "ord")
+      .withColumn("content_vector", org.apache.spark.sql.functions.lit(e.embedOne("x")))
+    idx.upsert(records, "ord")                       // v0
+    val snapshot = idx.read                          // bound to v0
+    idx.deleteByForms(Seq("fB"))                     // v1; v0 kept for in-flight readers
+    assert(snapshot.count() == 3)                    // old snapshot still readable
+    assert(idx.read.count() == 2)
+    idx.deleteByIds(Seq("fA_0"))                     // v2; v0 GC'd
+    val root = new java.io.File(s"$dir/index")
+    val versions = root.listFiles().map(_.getName).filter(_.matches("v\\d+")).sorted
+    assert(versions.toSeq == Seq("v1", "v2"))        // exactly current + previous
+    assert(new java.io.File(root, "_CURRENT").exists())
+    assert(idx.read.as[(String, Seq[Float], String, String)].collect().map(_._1).toSeq == Seq("fA_1"))
+    assert(idx.dimension == 8)
+    idx.deleteAll()
+    assert(idx.read.count() == 0 && idx.dimension == 0) // empty (not absent) index
+  }
+
+  test("stats mirror helpers track index deletes (pipeline2 mirror semantics)") {
+    import spark.implicits._
+    val stats = Seq("fA", "fB", "fC").toDF("form_name")
+    val afterForms = AppQueries.mirrorDeleteForms(stats, Seq("fC"))
+      .as[String].collect().toSet
+    assert(afterForms == Set("fA", "fB"))
+    // prune-orphans: fB's vectors are gone from the index
+    val indexTitles = Seq("fA").toDF("title")
+    val pruned = AppQueries.pruneOrphans(afterForms.toSeq.toDF("form_name"), indexTitles)
+      .as[String].collect().toSet
+    assert(pruned == Set("fA"))
+    assert(AppQueries.mirrorDeleteAll(stats).count() == 0)
+  }
+
   test("retriever ask: filtered top-k + context assembly parity") {
     import spark.implicits._
     val e = new DeterministicEmbedder(16)
