@@ -190,12 +190,13 @@ object SparkEntry {
     }),
 
     // A5 fixed-size batching (`BatchGenerator`, `pipeline2.py:85-102`).
+    // Global rank WITHOUT a single-partition window: range partitions +
+    // local positions + broadcast offsets (Batching.globalRowNumber) —
+    // identical numbering, every stage parallel.
     "q13_upsert_batches" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.orderBy($"vec_id")
-      t(s, dir, "embeddings")
-        .withColumn("batch",
-          floor((row_number().over(w).cast("long") - 1) / 300.0).cast("long"))
+      graft.operators.Batching.globalRowNumber(t(s, dir, "embeddings"), $"vec_id", 32)
+        .withColumn("batch", floor(($"rn" - 1) / 300.0).cast("long"))
         .groupBy($"batch")
         .agg(count(lit(1)).as("n"), min($"vec_id").as("first_id"), max($"vec_id").as("last_id"))
         .orderBy($"batch")
@@ -360,13 +361,14 @@ object SparkEntry {
     }),
 
     // Language-ID heuristic + composite quality score (training-data ops).
+    // Native single-loop expression; the HOF twin (languageIdFromTokens +
+    // qualityScoreFromTokens) is value-identical and spec-pinned.
     "q28_lang_quality" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
-        .withColumn("toks", graft.operators.TextAnalysis.tokensCol($"text"))
+        .withColumn("lq", graft.operators.TextAnalysis.langQualityCol($"text"))
         .select($"doc_id",
-          graft.operators.TextAnalysis.languageIdFromTokens($"toks").as("lang_pred"),
-          graft.operators.TextAnalysis.qualityScoreFromTokens($"text", $"toks").as("quality"))
+          $"lq.lang_pred".as("lang_pred"), $"lq.quality".as("quality"))
         .orderBy($"doc_id")
     }),
 
@@ -400,6 +402,23 @@ object SparkEntry {
           graft.operators.SimilaritySearch.signBucket($"embedding", 64, 4).cast("long"))
         .groupBy($"bucket").agg(count(lit(1)).as("n"))
         .orderBy($"bucket")
+    }),
+
+    // IVF ANN (the learned-bucket scale path): 8 deterministic seed
+    // centroids (k lowest ids, iters=0 so the oracle sidesteps float-mean
+    // aggregation-order nondeterminism; Lloyd refinement is spec-covered),
+    // nprobe=2 — corpus scanned once, probe is a centroid equi-join,
+    // per-cell top-k windows. ~k/nprobe of the corpus scored per query.
+    "q32_ivf_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
+      graft.operators.IvfIndex.topK(emb, queries, cents, k = 3, nprobe = 2)
+        .select($"query_id", $"neighbor_id", fq4($"score").as("score"),
+          $"rank".cast("long").as("rank"))
+        .orderBy($"query_id", $"rank")
     }),
 
     // J4 existence probe per group, as a grouped flag — not a full scan.
@@ -995,6 +1014,16 @@ FROM topk""",
       """SELECT query_id, neighbor_id, floor(sc * 10000.0) / 10000.0 AS score, rn AS rank FROM (SELECT query_id, neighbor_id, sc, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn FROM (SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sc FROM embeddings e, (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0,1,2)) q WHERE e.vec_id <> q.query_id)) WHERE rn <= 3 ORDER BY query_id, rank""",
     "q31_lsh_buckets" ->
       """SELECT bucket, count(*) AS n FROM (SELECT list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings) GROUP BY bucket ORDER BY bucket""",
+    "q32_ivf_ann" ->
+      """WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+corpcell AS (SELECT vec_id, embedding, centroid_id FROM (SELECT e.vec_id, e.embedding, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+probes AS (SELECT query_id, qv, centroid_id FROM (SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0,1,2)) q, cents c) WHERE rn <= 2)
+SELECT query_id, neighbor_id, floor(sc * 10000.0) / 10000.0 AS score, rank FROM (
+  SELECT p.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.embedding::DOUBLE[], p.qv::DOUBLE[]) AS sc,
+    row_number() OVER (PARTITION BY p.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.qv::DOUBLE[]) DESC, e.vec_id) AS rank
+  FROM corpcell e JOIN probes p ON e.centroid_id = p.centroid_id
+  WHERE e.vec_id <> p.query_id)
+WHERE rank <= 3 ORDER BY query_id, rank""",
     "q33_exists_probe" ->
       """SELECT source, max(CASE WHEN n_chars > 350 THEN 1 ELSE 0 END)::BIGINT AS has_large, count(*) AS n_docs FROM documents GROUP BY source ORDER BY source""",
     "q36_multimodal_meta" ->

@@ -208,6 +208,88 @@ case class WordFingerprint(child: Expression)
   override def prettyName: String = "word_fingerprint"
 }
 
+/** Language-ID + quality score in ONE compiled loop per row, returning
+  * `struct<lang_pred: string, quality: double>` — value-identical to the
+  * HOF formulation in `TextAnalysis.languageIdFromTokens` /
+  * `qualityScoreFromTokens` (which interprets 4 marker-set filters plus an
+  * aggregate lambda per row). Semantics pinned:
+  *  - tokens = lowercased trimmed text split on \s+, empties dropped;
+  *  - lang = alphabetically-first argmax of marker-hit counts, "und" if 0;
+  *  - quality = floor((lenScore + alphaRatio + stopScore + wordLenScore)
+  *    / 4 * 1e4) / 1e4 with the exact same operand order (floor-quantize,
+  *    not round — cross-engine bit-stability).
+  */
+case class LangQuality(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  // marker lookup tables compiled once per expression instance
+  private val langs: Array[String] = markers.map(_._1).sorted.toArray
+  private val sets: Array[Set[String]] =
+    langs.map(l => markers.toMap.apply(l).toSet)
+  private val allMarkers: Set[String] = sets.foldLeft(Set.empty[String])(_ ++ _)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val tokens = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+    // one pass over tokens: per-language hits, union hits, summed lengths
+    val hits = new Array[Int](langs.length)
+    var unionHits = 0
+    var tokLenSum = 0L
+    var t = 0
+    while (t < tokens.length) {
+      val tok = tokens(t)
+      tokLenSum += tok.codePointCount(0, tok.length)
+      var j = 0
+      while (j < langs.length) {
+        if (sets(j).contains(tok)) hits(j) += 1
+        j += 1
+      }
+      if (allMarkers.contains(tok)) unionHits += 1
+      t += 1
+    }
+    var best = 0
+    var bestJ = -1
+    var j = 0
+    while (j < langs.length) {
+      if (hits(j) > best) { best = hits(j); bestJ = j } // first (alphabetical) max
+      j += 1
+    }
+    val lang = if (best <= 0) "und" else langs(bestJ)
+
+    // one pass over characters: code-point length + [a-zA-Z ] count
+    val nChars = s.codePointCount(0, s.length).toDouble
+    var alpha = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == ' ') alpha += 1
+      i += 1
+    }
+
+    val nTok = tokens.length.toDouble
+    val lenScore = math.min(nChars / 500.0, 1.0)
+    val alphaRatio = alpha.toDouble / math.max(nChars, 1.0)
+    val stopScore = math.min(unionHits.toDouble / math.max(nTok, 1.0) * 5.0, 1.0)
+    val meanWordLen = tokLenSum.toDouble / math.max(nTok, 1.0)
+    val wordLenScore = if (meanWordLen >= 3.0 && meanWordLen <= 12.0) 1.0 else 0.5
+    val quality =
+      math.floor((lenScore + alphaRatio + stopScore + wordLenScore) / 4.0 * 10000.0) / 10000.0
+    org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(lang), quality)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangQuality =
+    copy(child = newChild)
+
+  override def prettyName: String = "lang_quality"
+}
+
 /** 32-bit SimHash over whitespace tokens of the trimmed text: bit k is set
   * iff the ±1 sum of bit k across `stable60(md5(token))` values is positive
   * (identical to the HOF formulation in Dedup.simhash32).

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global row numbering (A5 batching support,
+  * `pipeline2.py:85-102`). `row_number() OVER (ORDER BY ord)` plans a
+  * single-partition WindowExec — every row moves to one task. This operator
+  * produces the IDENTICAL numbering with no window at all:
+  *
+  *  1. range-repartition on `ord` (partition k holds ranks strictly before
+  *     partition k+1) and sort within partitions;
+  *  2. local 1-based position from `monotonically_increasing_id()` — its
+  *     layout is `partitionId * 2^33 + positionInPartition`, so the low 33
+  *     bits ARE the position after the local sort (no window, no shuffle);
+  *  3. per-partition row counts (a tiny partial-agg job, numPartitions
+  *     rows) → prefix-sum offsets on the driver → broadcast-joined back.
+  *
+  * One range shuffle + one local sort total; every stage is parallel. The
+  * per-partition position bound is 2^33 rows (~8.6 B) — far beyond any sane
+  * partition sizing.
+  */
+object Batching {
+
+  private val LocalMask = (1L << 33) - 1
+
+  /** Adds `out` = global 1-based rank of `ord` (ties impossible for a unique
+    * key; for non-unique keys the order within equal values follows the
+    * range partitioner, like row_number's arbitrary tie order).
+    */
+  def globalRowNumber(
+      df: DataFrame, ord: Column, numPartitions: Int, out: String = "rn"): DataFrame = {
+    val parted = df.repartitionByRange(numPartitions, ord)
+      .sortWithinPartitions(ord)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", monotonically_increasing_id().bitwiseAND(lit(LocalMask)) + 1)
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // prefix sum: offset of partition k = total rows in partitions < k
+    var acc = 0L
+    val offRows = counts.map { case (pid, c) => val row = (pid, acc); acc += c; row }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offRows.toSeq.toDF("__pid", "__off")
+    parted.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(out, (col("__off") + col("__lrn")).cast("long"))
+      .drop("__pid", "__lrn")
+  }
+}

@@ -44,20 +44,30 @@ object IvfIndex {
   /** Deterministic centroids: seeds = vectors of the k lowest ids, then
     * `iters` Lloyd steps (assign → positional mean). Empty cells keep their
     * previous centroid.
+    *
+    * Seeds are numbered via a k-row collect (no single-partition window for
+    * k rows), and each iteration is `localCheckpoint`ed: without the cut,
+    * iteration i's plan embeds all prior iterations — assignment recomputed
+    * i times by iteration i and an optimizer blow-up at real scale.
     */
   def centroids(corpus: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val seedW = Window.orderBy(col(idCol))
-    var cents = corpus.orderBy(col(idCol)).limit(k)
-      .select((row_number().over(seedW) - 1).as("centroid_id"), col(vecCol).as("centroid"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).as[Seq[Float]].collect()
+    var cents = seeds.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("centroid_id", "centroid")
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, cents, idCol, vecCol)
       val means = meanVectors(assigned.withColumnRenamed(vecCol, "__v"), "__v")
-      // keep old centroid where a cell went empty
+      // keep old centroid where a cell went empty; checkpoint cuts lineage
+      // (k rows — the materialization is trivial)
       cents = cents.alias("old")
         .join(means.alias("new"), Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("new.centroid"), col("old.centroid")).as("centroid"))
+        .localCheckpoint()
     }
     cents
   }

@@ -75,6 +75,18 @@ object TextAnalysis {
   def qualityScore(textCol: Column): Column =
     qualityScoreFromTokens(textCol, tokensCol(textCol))
 
+  /** Language-ID + quality in ONE compiled loop per row:
+    * `struct<lang_pred, quality>` — value-identical to
+    * `languageIdFromTokens` + `qualityScoreFromTokens` over `tokensCol`
+    * (which interpret 4 marker filters and an aggregate lambda per row;
+    * measured ~3x slower at sf0.1).
+    */
+  def langQualityCol(textCol: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.toColumn(org.apache.spark.sql.graft.expressions.LangQuality(
+      Bridge.toExpr(textCol), Markers.toSeq.map { case (l, ws) => (l, ws) }))
+  }
+
   /** Token counts: engine BPE-ish tokenizer + whitespace variant. */
   def tokenCounts(textCol: Column): Seq[(String, Column)] = Seq(
     "n_tokens" -> TextFunctions.numTokensCol(textCol).cast("long"),

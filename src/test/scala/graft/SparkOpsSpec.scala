@@ -222,6 +222,40 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(fp(0L) == graft.functions.HashFunctions.stableHash64(""))
   }
 
+  test("native LangQuality equals the HOF language-id + quality formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, ""), (1L, "   "), (2L, "the quick brown fox and the lazy dog"),
+      (3L, "el perro y la casa de los padres"), (4L, "der hund ist nicht ein tier"),
+      (5L, "le chat est dans une maison"), (6L, "zzz qqq 12345 !!!"),
+      (7L, "la la la"), // marker shared by es + fr: alphabetical-first max must win
+      (8L, "x " * 300)) // long text saturating the length score
+      .toDF("doc_id", "text")
+    val native = df.withColumn("lq", graft.operators.TextAnalysis.langQualityCol($"text"))
+      .select($"doc_id", $"lq.lang_pred", $"lq.quality")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toMap
+    val hof = df.withColumn("toks", graft.operators.TextAnalysis.tokensCol($"text"))
+      .select($"doc_id",
+        graft.operators.TextAnalysis.languageIdFromTokens($"toks"),
+        graft.operators.TextAnalysis.qualityScoreFromTokens($"text", $"toks"))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toMap
+    assert(native == hof)
+  }
+
+  test("globalRowNumber equals the global window row_number, with no WindowExec") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = scala.util.Random.shuffle((1 to 1000).toList)
+      .map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val got = graft.operators.Batching.globalRowNumber(df, $"k", 7)
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    val gotMap = got.select("k", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wantMap = df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"k")).cast("long"))
+      .select("k", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotMap == wantMap)
+  }
+
   test("MinHashUnionAgg equals element-wise min over grouped signatures") {
     import spark.implicits._
     val sigs = Seq(("a", Seq(5L, 1L, 9L)), ("a", Seq(3L, 7L, 2L)), ("b", Seq(4L, 4L, 4L)))
