@@ -695,6 +695,35 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // ApplicationLog analog (`pipeline1.py:296-313`): one correlation id per
+    // run, structured rows through a CollectionAccumulator (executor-safe),
+    // then an aggregation over the run's log — counts per component/status,
+    // n_runs proves every row carries the run's single correlation id.
+    // Deterministic details derive from the documents table so the oracle
+    // can recompute the expected matrix.
+    "q51_app_log" -> ((s, dir) => {
+      import s.implicits._
+      val log = graft.query.ApplicationLog(s)
+      val docs = t(s, dir, "documents")
+      val perForm = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n"), max($"n_chars").as("mx"))
+        .orderBy($"source")
+        .collect()
+      perForm.foreach { r =>
+        val (src, n, mx) = (r.getString(0), r.getLong(1), r.getLong(2))
+        log.log("pipeline1", "Info", s"extracted $src")
+        log.log("pipeline1", "Info", s"chunked $src n=$n")
+        if (mx > 350) log.log("pipeline1", "Error", s"oversized paragraph in $src")
+      }
+      log.log("pipeline2", "Info", s"indexed ${perForm.map(_.getLong(1)).sum} docs")
+      log.toDF
+        .groupBy($"Application_Component".as("component"),
+          $"Application_LogStatus".as("log_status"))
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct($"Application_LogCorrelationID").as("n_runs"))
+        .orderBy($"component", $"log_status")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -1068,6 +1097,14 @@ ORDER BY kind, title""",
     "q49_asof" ->
       """SELECT e.event_id, e.user_id, round(c.value, 2) AS last_click_value FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c ON e.user_id = c.user_id AND e.ts >= c.ts ORDER BY e.event_id""",
     "q50_sql_interface" ->
-      """SELECT vec_id, floor(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)) * 10000.0) / 10000.0 AS score FROM embeddings WHERE label IN (5, 6, 7) ORDER BY score DESC, vec_id LIMIT 8"""
+      """SELECT vec_id, floor(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)) * 10000.0) / 10000.0 AS score FROM embeddings WHERE label IN (5, 6, 7) ORDER BY score DESC, vec_id LIMIT 8""",
+    "q51_app_log" ->
+      """SELECT component, log_status, n_entries, n_runs FROM (
+  SELECT 'pipeline1' AS component, 'Info' AS log_status, 2*count(DISTINCT source) AS n_entries, 1::BIGINT AS n_runs FROM documents
+  UNION ALL
+  SELECT 'pipeline1', 'Error', count(*), 1::BIGINT FROM (SELECT source, max(n_chars) AS mx FROM documents GROUP BY source) WHERE mx > 350
+  UNION ALL
+  SELECT 'pipeline2', 'Info', 1::BIGINT, 1::BIGINT
+) WHERE n_entries > 0 ORDER BY component, log_status"""
   )
 }

@@ -32,6 +32,61 @@ final class DeterministicEmbedder(val dim: Int) extends Embedder {
   override def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map(embedOne)
 }
 
+/** Batched HTTP embedding boundary (the ada-002 call,
+  * `pipeline1.py:849-881`): POSTs `{"model": ..., "input": [texts]}` and
+  * reads `{"data": [{"embedding": [...]}, ...]}` in input order. The
+  * transport is injectable — tests run offline against a canned responder;
+  * production uses the default `java.net.http` POST with the bearer key.
+  * Deployment is config, not code: swap `DeterministicEmbedder` for this in
+  * the EmbeddingJob call and wrap with [[ThrottledEmbedder]] for the
+  * reference's rate ceiling. NEVER call per-row — [[EmbeddingJob]] batches
+  * per partition.
+  */
+final class HttpEmbedder(
+    endpoint: String,
+    model: String,
+    apiKey: String,
+    val dim: Int,
+    transport: String => String = null) extends Embedder {
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def post(body: String): String =
+    if (transport != null) transport(body)
+    else {
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .timeout(java.time.Duration.ofSeconds(120))
+        .header("Content-Type", "application/json")
+        .header("Authorization", s"Bearer $apiKey")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"embedding endpoint HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+      resp.body()
+    }
+
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    if (texts.isEmpty) return Seq.empty
+    val body = JsonMethods.compact(JsonMethods.render(
+      JObject("model" -> JString(model), "input" -> JArray(texts.map(JString(_)).toList))))
+    val parsed = JsonMethods.parse(post(body))
+    val out = (parsed \ "data").children.map { d =>
+      (d \ "embedding").children.map {
+        case JDouble(x) => x.toFloat
+        case JInt(x) => x.toFloat
+        case other => throw new java.io.IOException(s"non-numeric embedding component: $other")
+      }.toArray
+    }
+    require(out.size == texts.size,
+      s"embedding endpoint returned ${out.size} vectors for ${texts.size} inputs")
+    out
+  }
+}
+
 /** Throttled decorator mirroring the reference's rate ceiling (3 calls per
   * 65 s cycle, `pipeline1.py:871-879`) — applied per PARTITION batch, not
   * per row, so a 1000-executor run self-limits without driver coordination.

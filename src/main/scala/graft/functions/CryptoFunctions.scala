@@ -25,16 +25,52 @@ object CryptoFunctions {
     salt
   }
 
-  def pbkdf2Hash(password: String, salt: Array[Byte], iterations: Int = Pbkdf2Iterations): String = {
+  private def pbkdf2Raw(password: String, salt: Array[Byte], iterations: Int): Array[Byte] = {
     val spec = new PBEKeySpec(password.toCharArray, salt, iterations, 256)
     val f = SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
-    Base64.getEncoder.encodeToString(f.generateSecret(spec).getEncoded)
+    f.generateSecret(spec).getEncoded
   }
+
+  def pbkdf2Hash(password: String, salt: Array[Byte], iterations: Int = Pbkdf2Iterations): String =
+    Base64.getEncoder.encodeToString(pbkdf2Raw(password, salt, iterations))
 
   def pbkdf2Verify(password: String, salt: Array[Byte], expected: String): Boolean =
     java.security.MessageDigest.isEqual(
       pbkdf2Hash(password, salt).getBytes(StandardCharsets.UTF_8),
       expected.getBytes(StandardCharsets.UTF_8))
+
+  // --- passlib modular-crypt format (`crud.py:14-25` stores
+  // `pbkdf2_sha256.using(salt=...).hash(pw)`, i.e.
+  // `$pbkdf2-sha256$<rounds>$<salt>$<hash>` with passlib's "adapted base64":
+  // standard alphabet, '+' -> '.', padding stripped). These round-trip
+  // against a reference-written credentials table and vice versa. ---
+
+  private def ab64Encode(bytes: Array[Byte]): String =
+    Base64.getEncoder.withoutPadding.encodeToString(bytes).replace('+', '.')
+
+  private def ab64Decode(s: String): Array[Byte] = {
+    val std = s.replace('.', '+')
+    val pad = "=" * ((4 - std.length % 4) % 4)
+    Base64.getDecoder.decode(std + pad)
+  }
+
+  /** The exact string the reference stores in `user_hashpassword`. */
+  def pbkdf2ModularCrypt(password: String, salt: Array[Byte],
+      iterations: Int = Pbkdf2Iterations): String =
+    s"$$pbkdf2-sha256$$$iterations$$${ab64Encode(salt)}$$${ab64Encode(pbkdf2Raw(password, salt, iterations))}"
+
+  /** Verify against a stored modular-crypt string (engine- OR
+    * reference-written); rounds and salt come from the string itself.
+    */
+  def pbkdf2ModularVerify(password: String, stored: String): Boolean =
+    stored.split('$') match {
+      case Array("", "pbkdf2-sha256", rounds, saltB64, _) =>
+        java.security.MessageDigest.isEqual(
+          pbkdf2ModularCrypt(password, ab64Decode(saltB64), rounds.toInt)
+            .getBytes(StandardCharsets.UTF_8),
+          stored.getBytes(StandardCharsets.UTF_8))
+      case _ => false
+    }
 
   private def b64url(bytes: Array[Byte]): String =
     Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)

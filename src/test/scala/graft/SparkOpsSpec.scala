@@ -407,6 +407,53 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(got.toSeq == samples.map(TextFunctions.scrub))
   }
 
+  test("application log: executor-side accumulator rows share the run correlation id") {
+    import spark.implicits._
+    val log = graft.query.ApplicationLog(spark)
+    assert(log.correlationId.matches("""\d{2}_\d{2}_\d{4}_\d{2}_\d{2}_\d{2}-[a-zA-Z0-9]{6}"""))
+    val df = (1 to 100).toDF("x").repartition(4)
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      log.log("embed", "Info", s"batch of ${it.size} rows") // runs ON EXECUTORS
+    }
+    assert(log.entries.size == 4)
+    assert(log.entries.forall(_._1 == log.correlationId))
+    log.log("driver", "Error", "boom")
+    val snap = log.toDF
+    assert(snap.count() == 5)
+    assert(snap.select("Application_LogId").as[Long].collect().sorted.toSeq == (1L to 5L))
+    assert(snap.filter($"Application_LogStatus" === "Error").count() == 1)
+  }
+
+  test("pbkdf2 modular-crypt matches the passlib stored format bidirectionally") {
+    import graft.functions.CryptoFunctions._
+    val salt = Array.tabulate(16)(_.toByte)
+    // independent vector: hashlib.pbkdf2_hmac('sha256', b's3cretPass!',
+    // bytes(range(16)), 29000, 32) in passlib's $pbkdf2-sha256$ encoding
+    val reference =
+      "$pbkdf2-sha256$29000$AAECAwQFBgcICQoLDA0ODw$O9OPq8SKj3L7VaHJ4MB9HrTWqxT76nMYtzOlH8TdzEk"
+    assert(pbkdf2ModularCrypt("s3cretPass!", salt) == reference)     // engine writes ref format
+    assert(pbkdf2ModularVerify("s3cretPass!", reference))            // engine verifies ref-written
+    assert(!pbkdf2ModularVerify("wrongPass", reference))
+    assert(!pbkdf2ModularVerify("s3cretPass!", "$scrypt$whatever$x$y"))
+    // non-default rounds round-trip (rounds parsed from the stored string)
+    val other = pbkdf2ModularCrypt("pw", salt, iterations = 1000)
+    assert(other.startsWith("$pbkdf2-sha256$1000$") && pbkdf2ModularVerify("pw", other))
+  }
+
+  test("HttpEmbedder parses the batched embeddings response in input order") {
+    val canned = (body: String) => {
+      assert(body.contains("\"model\":\"test-model\"") && body.contains("\"input\":[\"a\",\"b\"]"))
+      """{"data":[{"embedding":[0.25,0.5]},{"embedding":[1,-1]}]}"""
+    }
+    val e = new graft.embed.HttpEmbedder("http://unused", "test-model", "key", 2, canned)
+    val got = e.embed(Seq("a", "b"))
+    assert(got.map(_.toSeq) == Seq(Seq(0.25f, 0.5f), Seq(1f, -1f)))
+    assert(e.embed(Seq.empty).isEmpty)
+    val short = new graft.embed.HttpEmbedder("http://unused", "m", "k", 2,
+      _ => """{"data":[{"embedding":[1,2]}]}""")
+    intercept[IllegalArgumentException] { short.embed(Seq("a", "b")) }
+  }
+
   test("jwt roundtrip honors expiry and tamper") {
     import graft.functions.CryptoFunctions._
     val tok = jwtEncode("user@x.com", 1000L, "secret")
