@@ -208,6 +208,48 @@ case class WordFingerprint(child: Expression)
   override def prettyName: String = "word_fingerprint"
 }
 
+/** Exact character-shingle Jaccard between two strings in one compiled pass:
+  * distinct n-gram sets of both sides (code-point windows; texts shorter
+  * than n contribute themselves), then |A∩B| / |A∪B| — value-identical to
+  * `size(array_intersect(distinct a, distinct b)) / size(array_union(...))`
+  * over [[CharShingles]] without materializing four intermediate arrays
+  * per pair.
+  */
+case class ShingleJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def shingleSet(s: String): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    val cps = s.codePoints().toArray
+    if (cps.length < n) out.add(s)
+    else {
+      var i = 0
+      while (i <= cps.length - n) { out.add(new String(cps, i, n)); i += 1 }
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = shingleSet(a.asInstanceOf[UTF8String].toString)
+    val sb = shingleSet(b.asInstanceOf[UTF8String].toString)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleJaccard =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "shingle_jaccard"
+}
+
 /** Language-ID + quality score in ONE compiled loop per row, returning
   * `struct<lang_pred: string, quality: double>` — value-identical to the
   * HOF formulation in `TextAnalysis.languageIdFromTokens` /

@@ -121,8 +121,21 @@ object Dedup {
       Bridge.toExpr(a), Bridge.toExpr(b)))
   }
 
-  /** Exact n-gram Jaccard between two text columns' distinct shingle sets. */
+  /** Exact n-gram Jaccard between two text columns' distinct shingle sets —
+    * ONE compiled pass per pair (native [[ShingleJaccard]]); the
+    * distinct/intersect/union array formulation builds four intermediate
+    * arrays per pair and is several times slower at bench scale.
+    */
   def jaccard(textA: Column, textB: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.toColumn(org.apache.spark.sql.graft.expressions.ShingleJaccard(
+      Bridge.toExpr(textA), Bridge.toExpr(textB), n))
+  }
+
+  /** The HOF formulation of [[jaccard]] — kept as the independent
+    * cross-check the native expression is spec-pinned against.
+    */
+  def jaccardHof(textA: Column, textB: Column, n: Int): Column = {
     val sa = array_distinct(shinglesCol(textA, n))
     val sb = array_distinct(shinglesCol(textB, n))
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))

@@ -222,6 +222,19 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(fp(0L) == graft.functions.HashFunctions.stableHash64(""))
   }
 
+  test("native ShingleJaccard equals the distinct/intersect/union formulation") {
+    import spark.implicits._
+    val texts = Seq("", "ab", "abcdef", "abcdefgh", "xyzabcde", "the same the same",
+      "totally different words here", "abcde")
+    val pairs = for (a <- texts; b <- texts) yield (a, b)
+    val df = pairs.toDF("ta", "tb")
+    val both = df.select(
+        graft.operators.Dedup.jaccard($"ta", $"tb", 4).as("native"),
+        graft.operators.Dedup.jaccardHof($"ta", $"tb", 4).as("hof"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    both.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
+  }
+
   test("native LangQuality equals the HOF language-id + quality formulation") {
     import spark.implicits._
     val df = Seq(
@@ -422,6 +435,30 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(snap.count() == 5)
     assert(snap.select("Application_LogId").as[Long].collect().sorted.toSeq == (1L to 5L))
     assert(snap.filter($"Application_LogStatus" === "Error").count() == 1)
+  }
+
+  test("OpConfig validates payloads with the reference's exact failure modes") {
+    import graft.app.{IndexOp, OpConfig}
+    assert(OpConfig.validate("upsert", "gs://x/chunks.csv") == Right(IndexOp.Upsert("gs://x/chunks.csv")))
+    assert(OpConfig.validate("upsert", Seq("x")).isLeft)
+    assert(OpConfig.validate("deleteByFormNames", Seq("f1", "f2")) ==
+      Right(IndexOp.DeleteByFormNames(Seq("f1", "f2"))))
+    assert(OpConfig.validate("deleteByFormNames", Seq.empty[String]).isLeft)      // empty list
+    assert(OpConfig.validate("deleteByFormNames", Seq("f1", "  ")).isLeft)        // whitespace
+    assert(OpConfig.validate("deleteByVectorIds", "notalist").isLeft)
+    assert(OpConfig.validate("deleteAll", null) == Right(IndexOp.DeleteAll))
+    assert(OpConfig.validate("deleteAll", "payload").isLeft)
+    assert(OpConfig.validate("bogus", null).isLeft)
+    // validated ops drive the real index end-to-end
+    val dir = tmpDir("graft_enginemain")
+    import spark.implicits._
+    val e = new DeterministicEmbedder(8)
+    val records = Seq(("f1", "t1", 0L), ("f2", "t2", 0L)).toDF("title", "text", "ord")
+      .withColumn("content_vector", org.apache.spark.sql.functions.lit(e.embedOne("x")))
+    new VectorIndex(spark, s"$dir/index").upsert(records, "ord")
+    val stats = OpConfig.run(spark, s"$dir/index",
+      OpConfig.validate("deleteByFormNames", Seq("f2")).toOption.get)
+    assert(stats.as[(String, Long)].collect().toMap == Map("f1" -> 1L))
   }
 
   test("pbkdf2 modular-crypt matches the passlib stored format bidirectionally") {
