@@ -724,6 +724,38 @@ object SparkEntry {
         .orderBy($"component", $"log_status")
     }),
 
+    // Multi-probe sign-LSH ANN: each query probes its own bucket plus all
+    // Hamming-1 neighbors (planes+1 probes) — only the broadcast QUERY side
+    // replicates; the corpus is scanned once, joined by bucket equi-join,
+    // top-k window spans the probed buckets.
+    "q52_ann_multiprobe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      graft.operators.SimilaritySearch.lshTopKMultiProbe(emb, queries, 3, 64, 4)
+        .select($"query_id", $"neighbor_id", fq4($"score").as("score"),
+          $"rank".cast("long").as("rank"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // Near-dup cluster resolution: full-signature-agreement LSH pairs
+    // (est_jac = 1.0 — the "same document" candidates; looser thresholds on
+    // this templated corpus collapse into one giant component) → connected
+    // components by iterative min-label propagation (one join shuffle per
+    // round, localCheckpoint'ed labels, O(diameter) rounds) → every doc
+    // mapped to its component's minimum id as the dedup keeper.
+    "q53_dedup_resolve" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        docs, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
+      graft.operators.Dedup.resolveClusters(pairs, docs.select($"doc_id"))
+        .select($"id".as("doc_id"), $"keeper_id")
+        .orderBy($"doc_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -944,6 +976,17 @@ SELECT c AS Content,
        form || '_' || cid::VARCHAR AS ChunkId
 FROM allrows"""
 
+  /** MinHash-LSH candidate + verify CTEs shared by q39 (pair list) and q53
+    * (cluster resolution): 8-hash signatures over 4-char shingles, 4 bands
+    * of 2 rows, within-bucket candidates, estimated Jaccard.
+    */
+  private val LshVerifiedCtes: String =
+    """sig AS (SELECT doc_id, list_transform(range(0,8), j -> list_min(list_transform(shash, h -> (h * ((1000003*(j+1)) % 2147483647) + (12345 + 7919*j)) % 2147483647))) AS mh FROM (SELECT doc_id, list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM documents)), bands AS (SELECT doc_id, b, ('0x' || substr(md5(mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR), 1, 15))::BIGINT AS h FROM sig, (SELECT unnest(range(0,4)) AS b)), cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id), verified AS (SELECT id_a, id_b, round(len(list_filter(range(0,8), i -> sa.mh[i+1] = sb.mh[i+1]))::DOUBLE / 8.0, 4) AS est_jac FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)"""
+
+  /** Sign-LSH bucket id of `vec` (4 planes × 64 dims) — q31's formula. */
+  private def bucketSql(vec: String): String =
+    s"""list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> $vec[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT"""
+
   /** Question vector CTEs reproducing DeterministicEmbedder(64).embedOne:
     * component i = ((stable60(md5("i:text")) % 2001) - 1000)/1000, then
     * L2-normalize and round-trip through FLOAT — bit-identical to the
@@ -1077,7 +1120,7 @@ ORDER BY kind, title""",
     "q38_validation" ->
       """SELECT c_custkey, email_cand, password_cand, CASE WHEN regexp_matches(email_cand, '^.+@.+\.(com)$') THEN 1 ELSE 0 END AS email_ok, CASE WHEN regexp_matches(password_cand, '^\S{5,}$') AND regexp_matches(password_cand, '[!@#$%^&*]') THEN 1 ELSE 0 END AS password_ok FROM (SELECT c_custkey, lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || CASE WHEN c_custkey % 3 = 0 THEN '@example.org' ELSE '@example.com' END AS email_cand, CASE WHEN c_custkey % 2 = 0 THEN replace(c_name, '#', '') ELSE c_name END AS password_cand FROM customer) ORDER BY c_custkey""",
     "q39_neardup_lsh" ->
-      """WITH sig AS (SELECT doc_id, list_transform(range(0,8), j -> list_min(list_transform(shash, h -> (h * ((1000003*(j+1)) % 2147483647) + (12345 + 7919*j)) % 2147483647))) AS mh FROM (SELECT doc_id, list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM documents)), bands AS (SELECT doc_id, b, ('0x' || substr(md5(mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR), 1, 15))::BIGINT AS h FROM sig, (SELECT unnest(range(0,4)) AS b)), cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id) SELECT id_a, id_b, est_jac FROM (SELECT id_a, id_b, round(len(list_filter(range(0,8), i -> sa.mh[i+1] = sb.mh[i+1]))::DOUBLE / 8.0, 4) AS est_jac FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b) WHERE est_jac >= 0.5 ORDER BY id_a, id_b""",
+      s"""WITH $LshVerifiedCtes SELECT id_a, id_b, est_jac FROM verified WHERE est_jac >= 0.5 ORDER BY id_a, id_b""",
     "q40_embed_neardup" ->
       """WITH b AS (SELECT vec_id, embedding, list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings) SELECT a.vec_id AS id_a, c.vec_id AS id_b, floor(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 10000.0) / 10000.0 AS score FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0.3 ORDER BY id_a, id_b""",
     "q41_monthly_revenue" ->
@@ -1098,6 +1141,20 @@ ORDER BY kind, title""",
       """SELECT e.event_id, e.user_id, round(c.value, 2) AS last_click_value FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c ON e.user_id = c.user_id AND e.ts >= c.ts ORDER BY e.event_id""",
     "q50_sql_interface" ->
       """SELECT vec_id, floor(list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 7)) * 10000.0) / 10000.0 AS score FROM embeddings WHERE label IN (5, 6, 7) ORDER BY score DESC, vec_id LIMIT 8""",
+    "q52_ann_multiprobe" ->
+      s"""WITH bkt AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+qp AS (SELECT query_id, qv, xor(bucket, flip) AS bucket FROM (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bkt WHERE vec_id IN (0,1,2)), (SELECT unnest([0,1,2,4,8]) AS flip))
+SELECT query_id, neighbor_id, floor(sc * 10000.0) / 10000.0 AS score, rank FROM (
+  SELECT q.query_id, c.vec_id AS neighbor_id, list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sc,
+    row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, c.vec_id) AS rank
+  FROM bkt c JOIN qp q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id)
+WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q53_dedup_resolve" ->
+      s"""WITH RECURSIVE $LshVerifiedCtes,
+good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 1.0),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id)
+SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY doc_id""",
     "q51_app_log" ->
       """SELECT component, log_status, n_entries, n_runs FROM (
   SELECT 'pipeline1' AS component, 'Info' AS log_status, 2*count(DISTINCT source) AS n_entries, 1::BIGINT AS n_runs FROM documents

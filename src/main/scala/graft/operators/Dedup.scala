@@ -157,4 +157,39 @@ object Dedup {
     */
   def cosineNearDup(vecA: Column, vecB: Column, threshold: Double): Column =
     graft.functions.VectorFunctions.cosineSim(vecA, vecB) > threshold
+
+  /** Resolve near-dup pairs into clusters: every id gets
+    * `keeper_id` = the minimum id of its connected component in the
+    * undirected pair graph (ids not in any pair keep themselves).
+    *
+    * Iterative min-label propagation — the standard large-graph connected
+    * components: each round is ONE join shuffle (edges ⋈ labels) + a
+    * min-aggregate, labels are `localCheckpoint`ed per round so lineage
+    * stays O(1), and the loop stops when a round changes nothing
+    * (O(component diameter) rounds; near-dup clusters are shallow). At
+    * 100 TB this never materializes the graph on the driver — the only
+    * driver-side values are the per-round change counts.
+    */
+  def resolveClusters(pairs: DataFrame, allIds: DataFrame): DataFrame = {
+    val idc = allIds.columns.head
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // reused every round; pairs' lineage paid once
+    var labels = allIds.select(col(idc).as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("id"), col("label").as("keeper_id"))
+  }
 }

@@ -58,6 +58,35 @@ object SimilaritySearch {
     }.reduce(_ + _)
   }
 
+  /** Multi-probe sign-LSH ANN: each query probes its own bucket AND every
+    * Hamming-1 neighbor (one hyperplane sign flipped) — `planes + 1` probes.
+    * Recall recovers most of what single-probe loses at bucket boundaries
+    * for the cost of replicating only the QUERY side (exploded before the
+    * broadcast); the corpus is still scanned once and joined by bucket
+    * equi-join. The top-k window spans all probed buckets.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, planes: Int,
+      idCol: String = "vec_id", qidCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("bucket", signBucket(col(vecCol), dim, planes))
+    val probeSet = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
+    val q = broadcast(queries.select(col(qidCol), col(vecCol).as("query_vec"))
+      .withColumn("bucket0", signBucket(col("query_vec"), dim, planes))
+      .withColumn("flip", explode(probeSet))
+      .withColumn("bucket", col("bucket0").bitwiseXOR(col("flip")))
+      .drop("bucket0", "flip"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("score", VectorFunctions.cosineSim(col(vecCol), col("query_vec")))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** LSH-bucketed ANN: equi-join on bucket id, then per-query top-k inside
     * the bucket. Probes only the query's own bucket (single-probe).
     */

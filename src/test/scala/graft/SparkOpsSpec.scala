@@ -235,6 +235,36 @@ class SparkOpsSpec extends AnyFunSuite {
     both.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
   }
 
+  test("resolveClusters: min-label propagation finds connected-component keepers") {
+    import spark.implicits._
+    // components: {1,2,3,9} (chain 9-1, 1-2, 2-3), {5,7}, isolated {4}
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 1L), (5L, 7L)).toDF("id_a", "id_b")
+    val ids = (1L to 9L).toDF("doc_id")
+    val got = graft.operators.Dedup.resolveClusters(pairs, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 4L -> 4L, 6L -> 6L, 8L -> 8L))
+  }
+
+  test("multi-probe LSH: recall at least matches single-probe per query") {
+    import spark.implicits._
+    val e = new DeterministicEmbedder(16)
+    val corpus = (0L until 200L).map(i => (i, e.embedOne(s"doc $i").toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def best(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"rank" === 1).select($"query_id", $"score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val single = best(graft.operators.SimilaritySearch
+      .lshTopK(corpus, queries, 3, 16, 4))
+    val multi = best(graft.operators.SimilaritySearch
+      .lshTopKMultiProbe(corpus, queries, 3, 16, 4))
+    // every query answered, and the multi-probe best is never worse
+    assert(multi.keySet == Set(0L, 1L, 2L))
+    single.foreach { case (q, s) => assert(multi(q) >= s - 1e-12) }
+  }
+
   test("native LangQuality equals the HOF language-id + quality formulation") {
     import spark.implicits._
     val df = Seq(
