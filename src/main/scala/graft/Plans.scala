@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   private val Headline = Seq(
     "q01_pricing_agg", "q02_nation_revenue", "q05_top_orders",
-    "q06_segment_filter", "q11_token_stats", "q20_cosine_topk",
-    "q23_chunk_pypdf", "q25_minhash_sig", "q30_ann_brute",
-    "q31_lsh_buckets", "q39_neardup_lsh", "q49_asof")
+    "q06_segment_filter", "q11_token_stats", "q13_upsert_batches",
+    "q20_cosine_topk", "q23_chunk_pypdf", "q25_minhash_sig",
+    "q30_ann_brute", "q31_lsh_buckets", "q32_ivf_ann",
+    "q39_neardup_lsh", "q49_asof", "q52_ann_multiprobe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

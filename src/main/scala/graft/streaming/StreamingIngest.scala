@@ -10,8 +10,9 @@ import graft.embed.{Embedder, EmbeddingJob}
 /** Structured-Streaming surface (SURVEY.md §2.10): the reference is batch-
   * only, so these streams exist to chain pipeline 1 → pipeline 2 continuously
   * — (a) a file stream of chunk CSVs embedded and appended to the index via
-  * foreachBatch, (b) an append-only chat-history stream. No watermarks: no
-  * event-time aggregation exists in the reference to replicate.
+  * foreachBatch, (b) watermarked event-time windowed aggregation (the q48
+  * rollup as a stream), (c) an append-only chat-history stream. Custom
+  * keyed state lives in [[StatefulOps]] (mapGroupsWithState).
   */
 object StreamingIngest {
 
@@ -50,6 +51,19 @@ object StreamingIngest {
       }
       .start()
   }
+
+  /** Event-time tumbling windows with a watermark — the streaming twin of
+    * the q48 batch rollup: per-hour event totals that FINALIZE (append-mode
+    * emit) once the watermark passes the window end, so late events inside
+    * `delay` still count and state is bounded. At scale this is a keyed
+    * streaming aggregation: state partitions by window like any groupBy key.
+    */
+  def hourlyEventTotals(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("n"), col("total_value"))
 
   /** Append-only chat-history stream over a parquet directory, newest-first
     * per user in each micro-batch consumer (the W5 shape, streaming).

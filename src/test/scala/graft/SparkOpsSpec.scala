@@ -326,6 +326,26 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(0) - 1.0) < 1e-9)
   }
 
+  test("watermarked hourly windows finalize in append mode as event time advances") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("ts", "value")
+    val q = graft.streaming.StreamingIngest.hourlyEventTotals(events, delay = "10 minutes")
+      .writeStream.format("memory").queryName("hourly_totals").outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((ts(0, 10), 1.5), (ts(0, 40), 2.5), (ts(1, 10), 4.0))
+      q.processAllAvailable() // watermark 1:00 -> hour-0 window finalizes
+      input.addData((ts(3, 30), 8.0))
+      q.processAllAvailable() // watermark 3:20 -> hour-1 finalizes; hour-3 still open
+      val got = spark.table("hourly_totals")
+        .select(org.apache.spark.sql.functions.hour($"hour_start"), $"n", $"total_value")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set((0, 2L, 4.0), (1, 1L, 4.0))) // hour 3 not emitted (window open)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     import graft.streaming.StatefulOps
