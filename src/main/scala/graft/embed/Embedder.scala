@@ -52,11 +52,14 @@ final class HttpEmbedder(
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
+  // one client per executor (connection keep-alive across batches);
+  // @transient so the embedder itself stays serializable into tasks
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+
   private def post(body: String): String =
     if (transport != null) transport(body)
     else {
-      val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofSeconds(30)).build()
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
         .timeout(java.time.Duration.ofSeconds(120))
         .header("Content-Type", "application/json")
@@ -83,6 +86,9 @@ final class HttpEmbedder(
     }
     require(out.size == texts.size,
       s"embedding endpoint returned ${out.size} vectors for ${texts.size} inputs")
+    // fail at the HTTP boundary, not rows later inside retrieval queries
+    require(out.forall(_.length == dim),
+      s"embedding endpoint returned a vector of dimension ${out.map(_.length).find(_ != dim).get}, expected $dim")
     out
   }
 }

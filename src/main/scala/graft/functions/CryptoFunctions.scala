@@ -60,15 +60,20 @@ object CryptoFunctions {
     s"$$pbkdf2-sha256$$$iterations$$${ab64Encode(salt)}$$${ab64Encode(pbkdf2Raw(password, salt, iterations))}"
 
   /** Verify against a stored modular-crypt string (engine- OR
-    * reference-written); rounds and salt come from the string itself.
+    * reference-written); rounds and salt come from the string itself. A
+    * malformed or corrupt stored value simply fails to verify — it must
+    * never throw (one bad row would otherwise kill a whole verification
+    * query).
     */
   def pbkdf2ModularVerify(password: String, stored: String): Boolean =
     stored.split('$') match {
       case Array("", "pbkdf2-sha256", rounds, saltB64, _) =>
-        java.security.MessageDigest.isEqual(
-          pbkdf2ModularCrypt(password, ab64Decode(saltB64), rounds.toInt)
-            .getBytes(StandardCharsets.UTF_8),
-          stored.getBytes(StandardCharsets.UTF_8))
+        scala.util.Try {
+          java.security.MessageDigest.isEqual(
+            pbkdf2ModularCrypt(password, ab64Decode(saltB64), rounds.toInt)
+              .getBytes(StandardCharsets.UTF_8),
+            stored.getBytes(StandardCharsets.UTF_8))
+        }.getOrElse(false)
       case _ => false
     }
 

@@ -22,9 +22,9 @@ object AsOfJoin {
     * prior right row. Right rows at the SAME timestamp as a left row are
     * visible to it (<= semantics, matching SQL ASOF JOIN).
     *
-    * The window carries `struct(time, value)` — not the bare value — so a
-    * matched right row whose value is NULL yields NULL (the SQL ASOF
-    * answer), never an older row's value.
+    * The window carries a struct wrapping the value — not the bare value —
+    * so a matched right row whose value is NULL yields NULL (the SQL ASOF
+    * answer, the struct itself being non-null), never an older row's value.
     */
   def lastPriorValue(
       left: DataFrame, right: DataFrame,
@@ -34,14 +34,13 @@ object AsOfJoin {
       s"left frame already has a column named '$outCol'")
     val leftCols = left.columns
     val rvType = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("t", right.schema(timeCol).dataType),
       org.apache.spark.sql.types.StructField("v", right.schema(valueCol).dataType)))
     val l = left
       .withColumn("__rv", lit(null).cast(rvType))
       .withColumn("__isright", lit(0))
     val r = right.select(
       col(keyCol), col(timeCol).as(timeCol),
-      struct(col(timeCol).as("t"), col(valueCol).as("v")).as("__rv"),
+      struct(col(valueCol).as("v")).as("__rv"),
       lit(1).as("__isright"))
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null))

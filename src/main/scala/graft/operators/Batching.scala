@@ -30,10 +30,16 @@ object Batching {
     */
   def globalRowNumber(
       df: DataFrame, ord: Column, numPartitions: Int, out: String = "rn"): DataFrame = {
+    // localCheckpoint pins ONE partitioning for both jobs below: the counts
+    // action and the final join would otherwise each re-execute the range
+    // exchange, whose sampled boundaries are not guaranteed identical across
+    // plans — offsets computed against one layout must not be applied to
+    // another.
     val parted = df.repartitionByRange(numPartitions, ord)
       .sortWithinPartitions(ord)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrn", monotonically_increasing_id().bitwiseAND(lit(LocalMask)) + 1)
+      .localCheckpoint()
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     // prefix sum: offset of partition k = total rows in partitions < k

@@ -23,6 +23,13 @@ import graft.functions.TextFunctions
   * accumulator merge is Spark's own task-result channel. `toDF` snapshots
   * the accumulated rows; `writeTo` appends them to a parquet table with the
   * DDL's column names.
+  *
+  * Delivery semantics: accumulator updates from inside TRANSFORMATIONS are
+  * at-least-once — a retried or speculative task re-applies them, so
+  * executor-side rows can duplicate under failure (the reference's
+  * INSERT-per-log-row from a retried Airflow task duplicates identically).
+  * Driver-side `log` calls and updates inside actions are exactly-once;
+  * counts that must be exact should log from the driver, as q51 does.
   */
 final class ApplicationLog(spark: SparkSession, val correlationId: String)
     extends Serializable {

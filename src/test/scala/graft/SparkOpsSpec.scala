@@ -522,6 +522,10 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(pbkdf2ModularVerify("s3cretPass!", reference))            // engine verifies ref-written
     assert(!pbkdf2ModularVerify("wrongPass", reference))
     assert(!pbkdf2ModularVerify("s3cretPass!", "$scrypt$whatever$x$y"))
+    // malformed stored values fail to verify, never throw
+    assert(!pbkdf2ModularVerify("pw", "$pbkdf2-sha256$notanum$AAAA$BBBB"))
+    assert(!pbkdf2ModularVerify("pw", "$pbkdf2-sha256$29000$!!bad-b64!!$BBBB"))
+    assert(!pbkdf2ModularVerify("pw", "$pbkdf2-sha256$99999999999$AAAA$BBBB"))
     // non-default rounds round-trip (rounds parsed from the stored string)
     val other = pbkdf2ModularCrypt("pw", salt, iterations = 1000)
     assert(other.startsWith("$pbkdf2-sha256$1000$") && pbkdf2ModularVerify("pw", other))
@@ -539,6 +543,10 @@ class SparkOpsSpec extends AnyFunSuite {
     val short = new graft.embed.HttpEmbedder("http://unused", "m", "k", 2,
       _ => """{"data":[{"embedding":[1,2]}]}""")
     intercept[IllegalArgumentException] { short.embed(Seq("a", "b")) }
+    // wrong-dimension vectors fail at the boundary, not rows later
+    val wrongDim = new graft.embed.HttpEmbedder("http://unused", "m", "k", 3,
+      _ => """{"data":[{"embedding":[1,2]}]}""")
+    intercept[IllegalArgumentException] { wrongDim.embed(Seq("a")) }
   }
 
   test("jwt roundtrip honors expiry and tamper") {
