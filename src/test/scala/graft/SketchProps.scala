@@ -80,6 +80,35 @@ object SketchProps extends Properties("SketchExpressions") {
     WordFingerprint(lit(s)).eval(null) == refFingerprint(s)
   }
 
+  property("ShingleJaccard == set-intersection reference") = forAll(text, text) { (a, b) =>
+    val sa = refShingles(a, 4).toSet
+    val sb = refShingles(b, 4).toSet
+    val want = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    ShingleJaccard(lit(a), lit(b), 4).eval(null) == want
+  }
+
+  property("LangQuality == independent marker-count + score reference") = forAll(text) { s =>
+    val markers = graft.operators.TextAnalysis.Markers
+    val tokens = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+    val hits = markers.toVector.sortBy(_._1)
+      .map { case (l, ws) => (l, tokens.count(ws.toSet)) }
+    val best = if (hits.isEmpty) 0 else hits.map(_._2).max
+    val wantLang = if (best <= 0) "und" else hits.find(_._2 == best).get._1
+    val all = markers.values.flatten.toSet
+    val nChars = s.codePointCount(0, s.length).toDouble
+    val nTok = tokens.length.toDouble
+    val lenScore = math.min(nChars / 500.0, 1.0)
+    val alpha = s.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == ' ')
+    val alphaRatio = alpha / math.max(nChars, 1.0)
+    val stopScore = math.min(tokens.count(all) / math.max(nTok, 1.0) * 5.0, 1.0)
+    val mwl = tokens.map(t => t.codePointCount(0, t.length)).sum / math.max(nTok, 1.0)
+    val wordLenScore = if (mwl >= 3.0 && mwl <= 12.0) 1.0 else 0.5
+    val wantQ = math.floor((lenScore + alphaRatio + stopScore + wordLenScore) / 4.0 * 10000.0) / 10000.0
+    val got = LangQuality(lit(s), markers.toSeq)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    got.getUTF8String(0).toString == wantLang && got.getDouble(1) == wantQ
+  }
+
   property("ArrayAgreeRatio counts agreements over left length") = {
     val arr = Gen.listOfN(8, Gen.chooseNum(0L, 10L))
     forAll(arr, arr) { (a, b) =>

@@ -511,6 +511,22 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(stats.as[(String, Long)].collect().toMap == Map("f1" -> 1L))
   }
 
+  test("JDBC sink/source roundtrip against embedded Derby (S9/S10)") {
+    import spark.implicits._
+    val props = new java.util.Properties()
+    props.put("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val creds = Seq((1L, "a@x.com", true), (2L, "b@x.com", false))
+      .toDF("user_id", "user_email", "active")
+    graft.sources.Sinks.jdbcAppend(creds, url, "usercredentials", props)
+    graft.sources.Sinks.jdbcAppend(
+      Seq((3L, "c@x.com", true)).toDF("user_id", "user_email", "active"),
+      url, "usercredentials", props) // append, not overwrite
+    val back = graft.sources.Sinks.jdbcRead(spark, url, "usercredentials", props)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(back == Set((1L, "a@x.com", true), (2L, "b@x.com", false), (3L, "c@x.com", true)))
+  }
+
   test("pbkdf2 modular-crypt matches the passlib stored format bidirectionally") {
     import graft.functions.CryptoFunctions._
     val salt = Array.tabulate(16)(_.toByte)
