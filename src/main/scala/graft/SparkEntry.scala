@@ -724,6 +724,18 @@ object SparkEntry {
         .orderBy($"component", $"log_status")
     }),
 
+    // Multimodal frame sampling: video-like binary rows explode 1→N into
+    // frame rows batch-wise (stub decode; real 1→N plumbing). frame_md5 is
+    // md5(content_md5:idx) so the oracle replays the whole path.
+    "q54_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val withBin = t(s, dir, "documents")
+        .select($"doc_id", $"text".cast("binary").as("media"))
+      graft.operators.Multimodal.sampleFrames(withBin, "media", strideBytes = 200, maxFrames = 4)
+        .select($"doc_id", $"frame_idx", $"frame_md5")
+        .orderBy($"doc_id", $"frame_idx")
+    }),
+
     // Multi-probe sign-LSH ANN: each query probes its own bucket plus all
     // Hamming-1 neighbors (planes+1 probes) — only the broadcast QUERY side
     // replicates; the corpus is scanned once, joined by bucket equi-join,
@@ -1155,6 +1167,8 @@ good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 1.0),
 edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
 reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id)
 SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "q54_multimodal_frames" ->
+      """SELECT doc_id, i AS frame_idx, md5(md5(text) || ':' || i::VARCHAR) AS frame_md5 FROM (SELECT doc_id, text, unnest(range(0, greatest(1, least(4, cast(ceil(octet_length(encode(text)) / 200.0) AS BIGINT))))) AS i FROM documents) ORDER BY doc_id, frame_idx""",
     "q51_app_log" ->
       """SELECT component, log_status, n_entries, n_runs FROM (
   SELECT 'pipeline1' AS component, 'Info' AS log_status, 2*count(DISTINCT source) AS n_entries, 1::BIGINT AS n_runs FROM documents

@@ -63,4 +63,89 @@ object Multimodal {
       "fake_width" -> (h % 1920).cast("int"),
       "fake_height" -> (h % 1080).cast("int"))
   }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** STUB resize: a real implementation decodes, scales, re-encodes; the
+    * stub emits deterministic md5-derived bytes tagged with the target
+    * dimensions so the pipeline shape (binary in → binary out, batch-wise,
+    * schema preserved plus `resized`) is fully exercised and testable.
+    */
+  def resize(df: DataFrame, binaryCol: String, width: Int, height: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("resized", BinaryType, nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val fake = md5Hex(row.getAs[Array[Byte]](binIdx)) + s":${width}x$height"
+          Row.fromSeq(row.toSeq :+ fake.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame sampling for video-like media: each input row explodes into
+    * `max(1, min(maxFrames, ceil(len / strideBytes)))` frame rows carrying
+    * `(frame_idx, frame, frame_md5)`. The frame DECODE is the stub
+    * (deterministic md5-derived bytes — no codec in this container), but
+    * the 1→N batch-wise explode, schema, and partitioning are the real
+    * plumbing a JNI/FFI frame extractor would drop into. `frame_md5` is
+    * md5(content_md5 + ":" + idx) — oracle-reproducible.
+    */
+  def sampleFrames(df: DataFrame, binaryCol: String, strideBytes: Int,
+      maxFrames: Int, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = false),
+      StructField("frame_md5", StringType, nullable = false)))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          val contentMd5 = md5Hex(bytes)
+          val n = math.max(1L, math.min(maxFrames.toLong,
+            math.ceil(bytes.length.toDouble / strideBytes).toLong))
+          (0L until n).map { i =>
+            val fm = md5Hex(s"$contentMd5:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            Row.fromSeq(row.toSeq ++ Seq(i, fm.getBytes(java.nio.charset.StandardCharsets.UTF_8), fm))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Feature extraction: media bytes → embedding vector through the
+    * pluggable [[graft.embed.Embedder]] (stub embeds the content md5; a
+    * real deployment swaps in a vision/audio encoder behind the same
+    * trait), wiring multimodal columns into the engine's ANN/dedup
+    * operators. Batch-wise like every media step.
+    */
+  def embedBinary(df: DataFrame, binaryCol: String,
+      embedder: graft.embed.Embedder, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("media_embedding", ArrayType(FloatType, containsNull = false), nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val keys = batch.map(row => md5Hex(row.getAs[Array[Byte]](binIdx)))
+        val vecs = embedder.embed(keys)
+        batch.iterator.zip(vecs.iterator).map { case (row, v) =>
+          Row.fromSeq(row.toSeq :+ v.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -142,6 +142,29 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(AppQueries.mirrorDeleteAll(stats).count() == 0)
   }
 
+  test("multimodal resize/frames/embed keep schema, batch shape, and determinism") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 450), (2L, "tiny")).toDF("doc_id", "txt")
+      .select($"doc_id", $"txt".cast("binary").as("media"))
+    val resized = graft.operators.Multimodal.resize(df, "media", 64, 64)
+    assert(resized.columns.toSeq == Seq("doc_id", "media", "resized"))
+    val tag = new String(resized.filter($"doc_id" === 1L).select("resized")
+      .head().getAs[Array[Byte]](0))
+    assert(tag.endsWith(":64x64"))
+    val frames = graft.operators.Multimodal.sampleFrames(df, "media", 200, 4)
+      .select($"doc_id", $"frame_idx").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(frames.count(_._1 == 1L) == 3) // ceil(450/200) = 3 frames
+    assert(frames.count(_._2 == 0L) == 2) // every doc has frame 0 (min 1 frame)
+    val e = new DeterministicEmbedder(8)
+    val emb = graft.operators.Multimodal.embedBinary(df, "media", e)
+      .select($"doc_id", $"media_embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    // embedding = embedder over the content md5 (stable, re-derivable)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(("x" * 450).getBytes).map(b => f"$b%02x").mkString
+    assert(emb(1L) == e.embedOne(md5hex).toSeq)
+  }
+
   test("retriever ask: filtered top-k + context assembly parity") {
     import spark.implicits._
     val e = new DeterministicEmbedder(16)
