@@ -768,6 +768,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Corpus profiling (training-data QA): per-source document counts,
+    // language cardinality, exact length quantiles (Spark `percentile` and
+    // DuckDB `quantile_cont` share the interpolation contract), short-doc
+    // rate. One partial+final agg pass over the scan.
+    "q55_corpus_profile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          expr("percentile(n_chars, 0.5)").as("median_chars"),
+          expr("percentile(n_chars, 0.9)").as("p90_chars"),
+          floor(avg($"n_chars") * 10000.0).cast("long").as("avg_chars_q"),
+          sum(when($"n_chars" < 150, 1).otherwise(0)).cast("long").as("n_short"))
+        .orderBy($"source")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -1167,6 +1185,8 @@ good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 1.0),
 edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
 reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id)
 SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "q55_corpus_profile" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars, floor(avg(n_chars) * 10000.0)::BIGINT AS avg_chars_q, sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS n_short FROM documents GROUP BY source ORDER BY source""",
     "q54_multimodal_frames" ->
       """SELECT doc_id, i AS frame_idx, md5(md5(text) || ':' || i::VARCHAR) AS frame_md5 FROM (SELECT doc_id, text, unnest(range(0, greatest(1, least(4, cast(ceil(octet_length(encode(text)) / 200.0) AS BIGINT))))) AS i FROM documents) ORDER BY doc_id, frame_idx""",
     "q51_app_log" ->
