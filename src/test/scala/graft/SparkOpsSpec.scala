@@ -417,6 +417,25 @@ class SparkOpsSpec extends AnyFunSuite {
       .flatMap((id: Long) => (0 until 3).map(q => (q.toLong, id)))))
   }
 
+  test("retrieval plan shape: IN-filter pushed to the parquet scan, top-k is TakeOrderedAndProject") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft_planshape")
+    val e = new DeterministicEmbedder(8)
+    (0 until 100).map(i => (i.toLong, i % 5, e.embedOne(s"v$i").toSeq))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/emb")
+    val emb = spark.read.parquet(s"$dir/emb")
+    val qv = e.embedOne("question")
+    val topk = emb.filter($"label".isin(0, 1))
+      .select($"vec_id",
+        graft.functions.VectorFunctions.cosineSim($"embedding", lit(qv)).as("score"))
+      .orderBy($"score".desc, $"vec_id").limit(5)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan) // never a full sort
+    assert(plan.contains("PushedFilters: [In(label"), plan) // filter at the scan
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
