@@ -508,10 +508,10 @@ object SparkEntry {
       val victims = idx.read.filter($"title" === "src0")
         .orderBy($"vector_id").limit(2)
         .select($"vector_id").as[String].collect().toSeq
-      idx.deleteByIds(victims)
-      // empty src1 out by ids (NOT by form) so the mirror goes stale...
+      // ...and empty src1 out BY IDS (not by form) so the mirror goes
+      // stale; one id-delete rewrite covers both
       val gone = idx.idsForForms(Seq("src1")).as[String].collect().toSeq
-      idx.deleteByIds(gone)
+      idx.deleteByIds(victims ++ gone)
       // ...and prune-orphans brings it back in sync (`pipeline2.py:354-367`)
       val mirrorTitles = graft.query.AppQueries
         .pruneOrphans(mirror, idx.read.select($"title"))
