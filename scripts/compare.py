@@ -4,29 +4,58 @@
 each oracle SQL in DuckDB over the same testdata parquet tables and compares
 row sets (columns sorted by name, rows sorted, values hashed after
 normalization). Usage: compare.py <sfDir> <verifyOutDir>
+
+Values are fetched with fetchall(), NOT pandas .df(): pandas silently coerces
+DECIMAL to float64, which masked a real driver failure (q50's score column was
+DECIMAL(28,7); locally it compared equal, on the driver it hash-mismatched
+0.3246000 vs 0.3246). Decimal objects keep their scale through str(), so the
+same class of bug now fails here too. A DESCRIBE-based type-family check
+additionally reports decimal-vs-double mismatches explicitly.
 """
-import sys, json, glob, os
+import sys, json, glob, os, decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def norm_cell(v):
+    if isinstance(v, decimal.Decimal):
+        # deliberately NOT float-canonicalized: a decimal-typed engine column
+        # must fail against a double oracle, exactly as the driver fails it
+        return str(v)
     if isinstance(v, float):
         # driver-style canonicalization; engine queries already round
         return f"{v:.9g}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
-def canon(df):
-    cols = sorted(df.columns)
-    df = df[cols]
-    rows = [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    rows.sort()
-    return cols, rows
+def type_family(duck_type):
+    t = duck_type.upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    return t
+
+def run(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    trows = con.execute(f"DESCRIBE {sql}").fetchall()
+    types = {r[0]: type_family(r[1]) for r in trows}
+    return cols, rows, types
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    ccols = [cols[i] for i in order]
+    crows = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    return ccols, crows
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -43,17 +72,25 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({spark_glob!r})").df()
-            want = con.execute(sql).df()
+            gc0, gr0, gt = run(con, f"SELECT * FROM read_parquet({spark_glob!r})")
+            wc0, wr0, wt = run(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        gc, gr = canon(got)
-        wc, wr = canon(want)
+        gc, gr = canon(gc0, gr0)
+        wc, wr = canon(wc0, wr0)
+        type_mismatch = [
+            c for c in gc if c in wt and
+            {"decimal", "float"} == {gt.get(c), wt.get(c)}
+        ]
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+        elif type_mismatch:
+            detail = ", ".join(f"{c}: spark={gt[c]} oracle={wt[c]}"
+                               for c in type_mismatch)
+            print(f"FAIL {name}: decimal/double type mismatch ({detail})")
             n_fail += 1
         elif gr != wr:
             diffs = [i for i, (a, b) in enumerate(zip(gr, wr)) if a != b][:3]

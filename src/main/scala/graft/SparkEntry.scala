@@ -795,7 +795,7 @@ object SparkEntry {
       s.sql(
         """SELECT e.vec_id,
           |       floor(cosine_sim(e.embedding,
-          |         (SELECT first(embedding) FROM v_embeddings WHERE vec_id = 7)) * 10000.0) / 10000.0 AS score
+          |         (SELECT first(embedding) FROM v_embeddings WHERE vec_id = 7)) * 1e4) / 1e4 AS score
           |FROM v_embeddings e
           |WHERE e.label IN (5, 6, 7)
           |ORDER BY score DESC, vec_id

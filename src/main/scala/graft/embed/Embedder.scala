@@ -93,6 +93,41 @@ final class HttpEmbedder(
   }
 }
 
+/** Failure-policy decorator — the piece a 100 TB run cannot live without:
+  * one flaky batch must not kill a 1000-executor job. A failing batch is
+  * retried `maxRetries` times with exponential backoff; if it still fails,
+  * lenient mode maps every text of the batch to an EMPTY vector and the job
+  * continues — reference parity: `pipeline1.py:872-879` wraps the embedding
+  * call and leaves failed rows' Embeddings empty rather than aborting the
+  * DAG. `lenient = false` rethrows after the retries for callers that want
+  * fail-fast semantics. `sleeper` is injectable so specs run without wall
+  * clock.
+  */
+final class ResilientEmbedder(
+    underlying: Embedder,
+    maxRetries: Int = 2,
+    backoffMillis: Long = 1000L,
+    lenient: Boolean = true,
+    sleeper: Long => Unit = Thread.sleep) extends Embedder {
+  def dim: Int = underlying.dim
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    var attempt = 0
+    var out: Seq[Array[Float]] = null
+    while (out == null) {
+      try out = underlying.embed(texts)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt < maxRetries) {
+            sleeper(backoffMillis << attempt)
+            attempt += 1
+          } else if (lenient) out = texts.map(_ => Array.empty[Float])
+          else throw e
+      }
+    }
+    out
+  }
+}
+
 /** Throttled decorator mirroring the reference's rate ceiling (3 calls per
   * 65 s cycle, `pipeline1.py:871-879`) — applied per PARTITION batch, not
   * per row, so a 1000-executor run self-limits without driver coordination.

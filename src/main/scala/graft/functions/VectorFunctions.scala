@@ -39,17 +39,19 @@ object VectorFunctions {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Register SQL names so `expr("cosine_sim(a, b)")` and spark.sql work. */
+  /** Register the full graft SQL surface ([[SqlFunctions.builders]]) so
+    * `expr("cosine_sim(a, b)")`, `spark.sql("... minhash_sig(text, 16, 3)")`
+    * etc. work without session extensions.
+    */
   def register(spark: SparkSession): Unit = {
     val registry = Bridge.classic(spark).sessionState.functionRegistry
     import org.apache.spark.sql.catalyst.FunctionIdentifier
-    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    SqlFunctions.builders.foreach { case (name, builder) =>
       registry.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder)
-    reg("cosine_sim", es => CosineSimilarity(es(0), es(1)))
-    reg("dot_product", es => DotProduct(es(0), es(1)))
+    }
   }
 }

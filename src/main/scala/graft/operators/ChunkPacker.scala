@@ -32,14 +32,14 @@ object ChunkPacker {
     * aside and flush the buffer.
     */
   def packLines(
-      lines: Iterable[String],
+      lines: IterableOnce[String],
       delim: String,
       tokenLimit: Int,
       numTokens: String => Int = TextFunctions.numTokens): PackResult = {
     val chunks = Vector.newBuilder[String]
     val oversized = Vector.newBuilder[String]
     var buffer = ""
-    for (raw <- lines) {
+    for (raw <- lines.iterator) {
       val line = raw.trim
       if (line.nonEmpty) {
         if (numTokens(line) > tokenLimit) {
@@ -63,7 +63,7 @@ object ChunkPacker {
     * index restarts between passes, `pipeline1.py:700`).
     */
   def packPyPdfPasses(
-      lines: Iterable[String],
+      lines: IterableOnce[String],
       tokenLimit: Int,
       numTokens: String => Int = TextFunctions.numTokens): (Vector[String], Vector[String]) = {
     val first = packLines(lines, "\n", tokenLimit, numTokens)

@@ -18,31 +18,68 @@ object ChunkingJob {
   final case class DocInput(formName: String, seq: Long, text: String)
   final case class ChunkRow(Content: String, TokenCount: Int, FormName: String, ChunkId: String)
 
+  /** Lazily group a (formName, seq)-sorted partition iterator into
+    * consecutive per-form runs WITHOUT materializing any group: each inner
+    * iterator streams straight off the partition iterator, and advancing to
+    * the next run drains whatever of the previous run was left unread. The
+    * shuffle sort replaces the old in-heap `rows.toSeq.sortBy` — at 100x
+    * scale a hot form no longer has to fit in one task's heap as row
+    * objects; only the packer's O(tokenLimit) buffer is resident.
+    */
+  private def formRuns(rows: Iterator[DocInput]): Iterator[(String, Iterator[DocInput])] =
+    new Iterator[(String, Iterator[DocInput])] {
+      private val buf = rows.buffered
+      private var run: Iterator[DocInput] = Iterator.empty
+      private def drain(): Unit = while (run.hasNext) run.next()
+      def hasNext: Boolean = { drain(); buf.hasNext }
+      def next(): (String, Iterator[DocInput]) = {
+        drain()
+        val form = buf.head.formName
+        run = new Iterator[DocInput] {
+          def hasNext: Boolean = buf.hasNext && buf.head.formName == form
+          def next(): DocInput = buf.next()
+        }
+        (form, run)
+      }
+    }
+
+  private def byForm(docs: Dataset[DocInput]): Dataset[DocInput] =
+    docs.repartition(col("formName")).sortWithinPartitions(col("formName"), col("seq"))
+
   /** PyPDF path (C1+C2): text split to lines inside the group — no
-    * per-line shuffle, document order preserved by construction.
+    * per-line shuffle, document order preserved by the shuffle sort.
+    * Lines stream from the sorted run straight into the packer (splitting
+    * per document is identical to splitting the "\n"-joined form text:
+    * `(a + "\n" + b).split("\n", -1) == a.split(...) ++ b.split(...)`).
     */
   def chunkPyPdf(docs: Dataset[DocInput], tokenLimit: Int, parityIds: Boolean = true): Dataset[ChunkRow] = {
     import docs.sparkSession.implicits._
-    docs.groupByKey(_.formName).flatMapGroups { (form, rows) =>
-      // several rows may share a form: order by seq so packing is stable
-      // under any partitioning (flatMapGroups has no intra-group order)
-      val text = rows.toSeq.sortBy(_.seq).map(_.text).mkString("\n")
-      val (first, second) = ChunkPacker.packPyPdfPasses(text.split("\n", -1).toSeq, tokenLimit)
-      val all = first ++ second
-      val ids = ChunkPacker.pyPdfChunkIds(first.size, all.size, form, parityIds)
-      all.zip(ids).iterator.map { case (c, id) =>
-        ChunkRow(c, TextFunctions.numTokens(c), form, id)
+    byForm(docs).mapPartitions { rows =>
+      formRuns(rows).flatMap { case (form, docRows) =>
+        val lines = docRows.flatMap(_.text.split("\n", -1).iterator)
+        val (first, second) = ChunkPacker.packPyPdfPasses(lines, tokenLimit)
+        val all = first ++ second
+        val ids = ChunkPacker.pyPdfChunkIds(first.size, all.size, form, parityIds)
+        all.zip(ids).iterator.map { case (c, id) =>
+          ChunkRow(c, TextFunctions.numTokens(c), form, id)
+        }
       }
     }
   }
 
-  /** Nougat path (clean → sectionize → C3 → C4) per form. */
+  /** Nougat path (clean → sectionize → C3 → C4) per form. The scrub's
+    * DOTALL patterns (LaTeX table blocks) span lines, so one form's TEXT is
+    * still assembled as a single string — bounded by document size, not by
+    * the row-object overhead the old `rows.toSeq` group buffer paid.
+    */
   def chunkNougat(docs: Dataset[DocInput], tokenLimit: Int): Dataset[ChunkRow] = {
     import docs.sparkSession.implicits._
-    docs.groupByKey(_.formName).flatMapGroups { (form, rows) =>
-      val text = rows.toSeq.sortBy(_.seq).map(_.text).mkString("\n")
-      Sectionizer.chunkDocument(form, text, tokenLimit).zipWithIndex.iterator.map {
-        case (c, i) => ChunkRow(c.content, c.tokenCount, form, s"${form}_$i")
+    byForm(docs).mapPartitions { rows =>
+      formRuns(rows).flatMap { case (form, docRows) =>
+        val text = docRows.map(_.text).mkString("\n")
+        Sectionizer.chunkDocument(form, text, tokenLimit).zipWithIndex.iterator.map {
+          case (c, i) => ChunkRow(c.content, c.tokenCount, form, s"${form}_$i")
+        }
       }
     }
   }

@@ -31,14 +31,23 @@ object IvfIndex {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> cast(x.m as float))")
         .as("centroid"))
 
-  /** Assign each row to its best centroid by cosine (ties → lowest id). */
+  /** Assign each row to its best centroid by cosine (ties → lowest id).
+    *
+    * The k-fold blow-up from the broadcast crossJoin collapses in a
+    * partial+final `max_by` aggregate — the argmax happens map-side, so only
+    * n rows (not k x n) ever cross the shuffle. (Round-2 shape was
+    * row_number over a Window partitioned by id, which shuffled all k x n
+    * scored rows just to pick one of k per id.)
+    */
   def assign(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("cscore", VectorFunctions.cosineSim(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cscore").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+    scored.groupBy(col(idCol))
+      .agg(max_by(
+        struct(col(vecCol), col("centroid_id")),
+        struct(col("cscore"), (-col("centroid_id")).as("nid"))).as("best"))
+      .select(col(idCol), col(s"best.$vecCol").as(vecCol), col("best.centroid_id"))
   }
 
   /** Deterministic centroids: seeds = vectors of the k lowest ids, then
