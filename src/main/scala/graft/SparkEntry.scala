@@ -432,7 +432,9 @@ object SparkEntry {
     }),
 
     // Pipeline 1 end-to-end (rows-only): chunk → deterministic embed via
-    // mapPartitions batches → chunk table with vector dims.
+    // mapPartitions batches → chunk table with vector dims. The embedder is
+    // wrapped in the production failure policy (ResilientEmbedder: retry +
+    // per-row lenient blanking) exactly as the HTTP stack composes it.
     "q34_embed_pipeline" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -440,7 +442,8 @@ object SparkEntry {
         .as[graft.operators.ChunkingJob.DocInput]
       val chunks = graft.operators.ChunkingJob.chunkPyPdf(docs, tokenLimit = 200).toDF()
       graft.embed.EmbeddingJob
-        .embedColumn(chunks, "Content", new graft.embed.DeterministicEmbedder(16))
+        .embedColumn(chunks, "Content",
+          new graft.embed.ResilientEmbedder(new graft.embed.DeterministicEmbedder(16)))
         .select($"FormName", $"ChunkId", $"TokenCount", size($"Embeddings").cast("long").as("dim"))
         .orderBy($"FormName", $"ChunkId", $"TokenCount")
     }),

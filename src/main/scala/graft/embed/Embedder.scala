@@ -96,12 +96,14 @@ final class HttpEmbedder(
 /** Failure-policy decorator — the piece a 100 TB run cannot live without:
   * one flaky batch must not kill a 1000-executor job. A failing batch is
   * retried `maxRetries` times with exponential backoff; if it still fails,
-  * lenient mode maps every text of the batch to an EMPTY vector and the job
-  * continues — reference parity: `pipeline1.py:872-879` wraps the embedding
-  * call and leaves failed rows' Embeddings empty rather than aborting the
-  * DAG. `lenient = false` rethrows after the retries for callers that want
-  * fail-fast semantics. `sleeper` is injectable so specs run without wall
-  * clock.
+  * lenient mode isolates the failure PER ROW — each text of the batch is
+  * re-embedded on its own (same retry policy) and only the texts that fail
+  * individually come back as EMPTY vectors, so one poison row never blanks
+  * its 299 batch-mates. Reference parity: `pipeline1.py:872-879` wraps the
+  * per-row embedding call and leaves only the failing row's Embeddings
+  * empty rather than aborting the DAG. `lenient = false` rethrows after the
+  * batch retries for callers that want fail-fast semantics. `sleeper` is
+  * injectable so specs run without wall clock.
   */
 final class ResilientEmbedder(
     underlying: Embedder,
@@ -110,21 +112,35 @@ final class ResilientEmbedder(
     lenient: Boolean = true,
     sleeper: Long => Unit = Thread.sleep) extends Embedder {
   def dim: Int = underlying.dim
-  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+
+  /** One call with the retry/backoff policy; rethrows when retries run out. */
+  private def withRetries(texts: Seq[String]): Seq[Array[Float]] = {
     var attempt = 0
-    var out: Seq[Array[Float]] = null
-    while (out == null) {
-      try out = underlying.embed(texts)
+    while (true) {
+      try return underlying.embed(texts)
       catch {
         case scala.util.control.NonFatal(e) =>
-          if (attempt < maxRetries) {
-            sleeper(backoffMillis << attempt)
-            attempt += 1
-          } else if (lenient) out = texts.map(_ => Array.empty[Float])
-          else throw e
+          if (attempt >= maxRetries) throw e
+          sleeper(backoffMillis << attempt)
+          attempt += 1
       }
     }
-    out
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    if (texts.isEmpty) return Seq.empty
+    try withRetries(texts)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (!lenient) throw e
+        else if (texts.sizeIs == 1) Seq(Array.empty[Float])
+        else // per-row isolation: only individually-failing rows blank
+          texts.map { t =>
+            try withRetries(Seq(t)).head
+            catch { case scala.util.control.NonFatal(_) => Array.empty[Float] }
+          }
+    }
   }
 }
 

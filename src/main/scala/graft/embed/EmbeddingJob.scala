@@ -11,6 +11,26 @@ import org.apache.spark.sql.types._
   */
 object EmbeddingJob {
 
+  /** The production embedding stack, composed the way a deployment wires it:
+    * HTTP boundary → per-partition rate ceiling → retry/backoff with per-row
+    * lenient blanking. Swap [[DeterministicEmbedder]] in for offline/oracle
+    * runs; the failure policy wraps either the same way (see
+    * `SparkEntry.q34_embed_pipeline`).
+    */
+  def httpStack(
+      endpoint: String,
+      model: String,
+      apiKey: String,
+      dim: Int,
+      callsPerCycle: Int = 3,
+      cycleSleepMillis: Long = 65000L,
+      maxRetries: Int = 2,
+      lenient: Boolean = true): Embedder =
+    new ResilientEmbedder(
+      new ThrottledEmbedder(
+        new HttpEmbedder(endpoint, model, apiKey, dim), callsPerCycle, cycleSleepMillis),
+      maxRetries = maxRetries, lenient = lenient)
+
   /** Adds `embeddingCol` (array<float>) by embedding `textCol`. */
   def embedColumn(
       df: DataFrame,

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.embed.{DeterministicEmbedder, Embedder, EmbeddingJob, HttpEmbedder, ResilientEmbedder}
+
+/** Failure-policy specs for the embedding stack (C5): retry/backoff against
+  * the canned HTTP transport, lenient per-row blanking (reference parity with
+  * `pipeline1.py:872-879` — only the failing row's Embeddings end up empty),
+  * and fail-fast mode. The `sleeper` is injected so no spec sleeps.
+  */
+class EmbedderSpec extends AnyFunSuite {
+
+  private val goodJson = """{"data":[{"embedding":[0.25,0.5]}]}"""
+
+  test("resilient: transient 5xx twice then 2xx succeeds, with two backoff sleeps") {
+    var calls = 0
+    val transport = (_: String) => {
+      calls += 1
+      if (calls <= 2) throw new java.io.IOException("embedding endpoint HTTP 503")
+      goodJson
+    }
+    val sleeps = scala.collection.mutable.Buffer.empty[Long]
+    val e = new ResilientEmbedder(
+      new HttpEmbedder("http://unused", "m", "k", 2, transport),
+      maxRetries = 2, backoffMillis = 1000L, sleeper = sleeps += _)
+    val got = e.embed(Seq("a"))
+    assert(got.map(_.toSeq) == Seq(Seq(0.25f, 0.5f)))
+    assert(calls == 3)
+    assert(sleeps.toSeq == Seq(1000L, 2000L)) // exponential: backoff << attempt
+  }
+
+  test("resilient: persistent failure + lenient blanks the row and the job continues") {
+    val transport = (_: String) => throw new java.io.IOException("embedding endpoint HTTP 500")
+    val sleeps = scala.collection.mutable.Buffer.empty[Long]
+    val e = new ResilientEmbedder(
+      new HttpEmbedder("http://unused", "m", "k", 2, transport),
+      maxRetries = 1, backoffMillis = 10L, sleeper = sleeps += _)
+    assert(e.embed(Seq("only")).map(_.toSeq) == Seq(Seq.empty))
+    assert(sleeps.toSeq == Seq(10L)) // one retry, then lenient fallback
+  }
+
+  test("resilient: lenient=false rethrows the underlying failure after retries") {
+    val transport = (_: String) => throw new java.io.IOException("embedding endpoint HTTP 500")
+    val e = new ResilientEmbedder(
+      new HttpEmbedder("http://unused", "m", "k", 2, transport),
+      maxRetries = 1, backoffMillis = 1L, lenient = false, sleeper = _ => ())
+    intercept[java.io.IOException] { e.embed(Seq("a", "b")) }
+  }
+
+  test("resilient: one poison row blanks ONLY itself — per-row reference parity") {
+    // underlying fails any batch containing the poison text; other rows embed
+    val det = new DeterministicEmbedder(4)
+    val underlying = new Embedder {
+      def dim = 4
+      def embed(texts: Seq[String]): Seq[Array[Float]] =
+        if (texts.contains("poison")) throw new java.io.IOException("HTTP 400")
+        else texts.map(det.embedOne)
+    }
+    val sleeps = scala.collection.mutable.Buffer.empty[Long]
+    val e = new ResilientEmbedder(underlying, maxRetries = 1, backoffMillis = 7L,
+      sleeper = sleeps += _)
+    val got = e.embed(Seq("ok-a", "poison", "ok-b"))
+    assert(got.length == 3)
+    assert(got(0).toSeq == det.embedOne("ok-a").toSeq) // batch-mates survive intact
+    assert(got(1).isEmpty)                             // exactly the failing row blanks
+    assert(got(2).toSeq == det.embedOne("ok-b").toSeq)
+    // batch retried once, then the poison singleton retried once
+    assert(sleeps.toSeq == Seq(7L, 7L))
+  }
+
+  test("production stack composes resilient over throttled over http") {
+    val stack = EmbeddingJob.httpStack("http://unused", "m", "k", dim = 8)
+    assert(stack.isInstanceOf[ResilientEmbedder])
+    assert(stack.dim == 8)
+  }
+
+  test("resilient over a healthy embedder is a pass-through (q34 wiring)") {
+    val det = new DeterministicEmbedder(16)
+    val e = new ResilientEmbedder(det)
+    assert(e.embed(Seq("x", "y")).map(_.toSeq) == Seq("x", "y").map(det.embedOne(_).toSeq))
+    assert(e.embed(Seq.empty).isEmpty)
+  }
+}
