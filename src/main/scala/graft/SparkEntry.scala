@@ -789,6 +789,37 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // The whole q39 MinHash-LSH dedup pipeline expressed PURELY in SQL text
+    // through the registered native functions (minhash_sig at the scan,
+    // band hashes via md5/conv — the same stableHash64 formula the
+    // DataFrame path compiles, in-bucket signature-agreement verify,
+    // threshold before DISTINCT). Proves a SQL-only user can run the dedup
+    // suite; values are bit-identical to q39's DataFrame plan.
+    "q56_sql_dedup" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("v_documents")
+      s.sql(
+        """WITH sig AS (
+          |  SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents
+          |),
+          |bands AS (
+          |  SELECT doc_id, mh, b,
+          |         cast(conv(substring(md5(concat_ws(',',
+          |           transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
+          |  FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS b
+          |),
+          |ver AS (
+          |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+          |         round(size(filter(sequence(1, 8),
+          |           i -> element_at(a.mh, i) = element_at(c.mh, i))) / 8.0D, 4) AS est_jac
+          |  FROM bands a JOIN bands c
+          |    ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
+          |)
+          |SELECT DISTINCT id_a, id_b, est_jac FROM ver
+          |WHERE est_jac >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin)
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -1153,6 +1184,9 @@ ORDER BY kind, title""",
     "q38_validation" ->
       """SELECT c_custkey, email_cand, password_cand, CASE WHEN regexp_matches(email_cand, '^.+@.+\.(com)$') THEN 1 ELSE 0 END AS email_ok, CASE WHEN regexp_matches(password_cand, '^\S{5,}$') AND regexp_matches(password_cand, '[!@#$%^&*]') THEN 1 ELSE 0 END AS password_ok FROM (SELECT c_custkey, lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || CASE WHEN c_custkey % 3 = 0 THEN '@example.org' ELSE '@example.com' END AS email_cand, CASE WHEN c_custkey % 2 = 0 THEN replace(c_name, '#', '') ELSE c_name END AS password_cand FROM customer) ORDER BY c_custkey""",
     "q39_neardup_lsh" ->
+      s"""WITH $LshVerifiedCtes SELECT id_a, id_b, est_jac FROM verified WHERE est_jac >= 0.5 ORDER BY id_a, id_b""",
+    // q56 is the SQL-text expression of exactly q39's pipeline — same oracle
+    "q56_sql_dedup" ->
       s"""WITH $LshVerifiedCtes SELECT id_a, id_b, est_jac FROM verified WHERE est_jac >= 0.5 ORDER BY id_a, id_b""",
     "q40_embed_neardup" ->
       """WITH b AS (SELECT vec_id, embedding, list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings) SELECT a.vec_id AS id_a, c.vec_id AS id_b, floor(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 10000.0) / 10000.0 AS score FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0.3 ORDER BY id_a, id_b""",

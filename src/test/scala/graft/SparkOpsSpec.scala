@@ -333,6 +333,58 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(got("b") == Seq(4L, 4L, 4L))
   }
 
+  test("SQL front door: every registered sketch name parses and is bit-identical to the DataFrame ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions._
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq(
+      (0L, "", ""),
+      (1L, "the quick brown fox jumps over the lazy dog", "the quick brown cat"),
+      (2L, "el perro y la casa de los padres en un lugar", "alpha beta gamma"),
+      (3L, "ab", "abcd"))
+      .toDF("id", "ta", "tb")
+    df.createOrReplaceTempView("v_sketch")
+    // every name in SqlFunctions.builders, through the SQL parser
+    val viaSql = spark.sql(
+      """SELECT id,
+        |  minhash_sig(ta, 4, 3) AS mh,
+        |  simhash32(ta) AS sh,
+        |  shingle_jaccard(ta, tb, 3) AS jac,
+        |  lang_quality(ta).lang_pred AS lp,
+        |  lang_quality(ta).quality AS lqual,
+        |  word_fingerprint(ta) AS fp,
+        |  char_shingles(ta, 3) AS cs,
+        |  cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |FROM v_sketch ORDER BY id""".stripMargin)
+      .collect().map(_.toSeq)
+    val viaDf = df.select($"id",
+        Bridge.toColumn(MinHashSig(Bridge.toExpr($"ta"), 4, 3)).as("mh"),
+        Bridge.toColumn(SimHash32(Bridge.toExpr($"ta"))).as("sh"),
+        graft.operators.Dedup.jaccard($"ta", $"tb", 3).as("jac"),
+        graft.operators.TextAnalysis.langQualityCol($"ta").getField("lang_pred").as("lp"),
+        graft.operators.TextAnalysis.langQualityCol($"ta").getField("quality").as("lqual"),
+        graft.operators.TextAnalysis.fingerprint($"ta").as("fp"),
+        graft.operators.Dedup.shinglesCol($"ta", 3).as("cs"),
+        graft.functions.VectorFunctions
+          .cosineSim(org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f)),
+            org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f))).as("cos"),
+        graft.functions.VectorFunctions
+          .dotProduct(org.apache.spark.sql.functions.array(lit(1.0d), lit(2.0d)),
+            org.apache.spark.sql.functions.array(lit(3.0d), lit(4.0d))).as("dp"))
+      .orderBy($"id")
+      .collect().map(_.toSeq)
+    assert(viaSql.toSeq == viaDf.toSeq)
+    // non-literal int args are rejected with the declared message, not miscompiled
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(ta, id + 1, 3) FROM v_sketch").collect()
+    }
+    assert(err.getMessage.contains("must be a literal integer")
+      || Option(err.getCause).exists(_.getMessage.contains("must be a literal integer")))
+  }
+
   test("GraftExtensions + registry expose cosine_sim/dot_product to SQL") {
     graft.functions.VectorFunctions.register(spark)
     val r = spark.sql(
