@@ -771,6 +771,32 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Mid-range near-dup cluster resolution: the corpus is sliced into 3
+    // overlapping windows per document (stride n/8, width n/2), so adjacent
+    // windows of one document land in the 0.5 ≤ est_jac < 1 band while the
+    // outer pair usually does not — chains A~B~C with A≁C that min-label
+    // propagation must actually ITERATE to resolve (≥2 rounds; q53's
+    // exact-dup components collapse in one). Same bucketed LSH candidate
+    // path as q39; edges filtered to the mid-range band before resolution.
+    "q57_dedup_midrange" -> ((s, dir) => {
+      import s.implicits._
+      val win = t(s, dir, "documents")
+        .filter($"doc_id" < 200)
+        .withColumn("stride", greatest(lit(1L), floor(length($"text") / lit(8.0))))
+        .withColumn("wlen", greatest(lit(4L), floor(length($"text") / lit(2.0))))
+        .select(($"doc_id" * 3).as("base"), $"text", $"stride", $"wlen",
+          explode(sequence(lit(0L), lit(2L))).as("w"))
+        .select(($"base" + $"w").as("win_id"),
+          $"text".substr(($"w" * $"stride" + 1).cast("int"), $"wlen".cast("int")).as("wtext"))
+      val pairs = graft.operators.Dedup.nearDupPairs(
+          win, "win_id", "wtext",
+          numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+        .filter($"est_jac" < 1.0)
+      graft.operators.Dedup.resolveClusters(pairs, win.select($"win_id"))
+        .select($"id".as("win_id"), $"keeper_id")
+        .orderBy($"win_id")
+    }),
+
     // Corpus profiling (training-data QA): per-source document counts,
     // language cardinality, exact length quantiles (Spark `percentile` and
     // DuckDB `quantile_cont` share the interpolation contract), short-doc
@@ -1040,12 +1066,15 @@ SELECT c AS Content,
        form || '_' || cid::VARCHAR AS ChunkId
 FROM allrows"""
 
-  /** MinHash-LSH candidate + verify CTEs shared by q39 (pair list) and q53
-    * (cluster resolution): 8-hash signatures over 4-char shingles, 4 bands
-    * of 2 rows, within-bucket candidates, estimated Jaccard.
+  /** MinHash-LSH candidate + verify CTEs shared by q39/q56 (pair list), q53
+    * (cluster resolution), and q57 (mid-range windows): 8-hash signatures
+    * over 4-char shingles, 4 bands of 2 rows, within-bucket candidates,
+    * estimated Jaccard. `src` is any relation with (doc_id, text).
     */
-  private val LshVerifiedCtes: String =
-    """sig AS (SELECT doc_id, list_transform(range(0,8), j -> list_min(list_transform(shash, h -> (h * ((1000003*(j+1)) % 2147483647) + (12345 + 7919*j)) % 2147483647))) AS mh FROM (SELECT doc_id, list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM documents)), bands AS (SELECT doc_id, b, ('0x' || substr(md5(mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR), 1, 15))::BIGINT AS h FROM sig, (SELECT unnest(range(0,4)) AS b)), cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id), verified AS (SELECT id_a, id_b, round(len(list_filter(range(0,8), i -> sa.mh[i+1] = sb.mh[i+1]))::DOUBLE / 8.0, 4) AS est_jac FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)"""
+  private def lshVerifiedCtes(src: String): String =
+    s"""sig AS (SELECT doc_id, list_transform(range(0,8), j -> list_min(list_transform(shash, h -> (h * ((1000003*(j+1)) % 2147483647) + (12345 + 7919*j)) % 2147483647))) AS mh FROM (SELECT doc_id, list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM $src)), bands AS (SELECT doc_id, b, ('0x' || substr(md5(mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR), 1, 15))::BIGINT AS h FROM sig, (SELECT unnest(range(0,4)) AS b)), cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id), verified AS (SELECT id_a, id_b, round(len(list_filter(range(0,8), i -> sa.mh[i+1] = sb.mh[i+1]))::DOUBLE / 8.0, 4) AS est_jac FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)"""
+
+  private val LshVerifiedCtes: String = lshVerifiedCtes("documents")
 
   /** Sign-LSH bucket id of `vec` (4 planes × 64 dims) — q31's formula. */
   private def bucketSql(vec: String): String =
@@ -1222,6 +1251,14 @@ good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 1.0),
 edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
 reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id)
 SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY doc_id""",
+    "q57_dedup_midrange" ->
+      s"""WITH RECURSIVE
+win AS (SELECT doc_id*3 + w AS doc_id, substr(text, 1 + w*greatest(1, cast(floor(length(text)/8.0) AS BIGINT)), greatest(4, cast(floor(length(text)/2.0) AS BIGINT))) AS text FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200), (SELECT unnest([0,1,2]) AS w)),
+${lshVerifiedCtes("win")},
+good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.5 AND est_jac < 1.0),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM win UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id)
+SELECT id AS win_id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY win_id""",
     "q55_corpus_profile" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars, floor(avg(n_chars) * 10000.0)::BIGINT AS avg_chars_q, sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS n_short FROM documents GROUP BY source ORDER BY source""",
     "q54_multimodal_frames" ->

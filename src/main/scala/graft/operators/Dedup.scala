@@ -170,7 +170,15 @@ object Dedup {
     * 100 TB this never materializes the graph on the driver — the only
     * driver-side values are the per-round change counts.
     */
-  def resolveClusters(pairs: DataFrame, allIds: DataFrame): DataFrame = {
+  def resolveClusters(pairs: DataFrame, allIds: DataFrame): DataFrame =
+    resolveClustersCounted(pairs, allIds)._1
+
+  /** [[resolveClusters]] plus the number of propagation rounds that moved at
+    * least one label — observable evidence that multi-hop components really
+    * iterated (any chain A~B~C resolved through B needs ≥ 2 rounds for A's
+    * label to reach C).
+    */
+  def resolveClustersCounted(pairs: DataFrame, allIds: DataFrame): (DataFrame, Int) = {
     val idc = allIds.columns.head
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -178,6 +186,7 @@ object Dedup {
     var labels = allIds.select(col(idc).as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
@@ -188,8 +197,9 @@ object Dedup {
         .localCheckpoint()
       changed = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old")).count()
+      if (changed > 0) rounds += 1
       labels = next
     }
-    labels.select(col("id"), col("label").as("keeper_id"))
+    (labels.select(col("id"), col("label").as("keeper_id")), rounds)
   }
 }

@@ -269,6 +269,34 @@ class SparkOpsSpec extends AnyFunSuite {
       5L -> 5L, 7L -> 5L, 4L -> 4L, 6L -> 6L, 8L -> 8L))
   }
 
+  test("mid-range near-dup chains (0.5 <= est_jac < 1) need >= 2 propagation rounds") {
+    import spark.implicits._
+    // sliding-token docs: adjacent docs share 30/40 tokens (est_jac lands in
+    // the mid band), non-adjacent share less — a chain 0~1~2~... where the
+    // ends are NOT direct candidates, so the min label must hop
+    val docs = (0 until 6).map { i =>
+      (i.toLong, (10 * i until 10 * i + 40).map(k => s"w$k").mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.nearDupPairs(
+        docs, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      .filter($"est_jac" < 1.0)
+    val jacs = pairs.select("id_a", "id_b", "est_jac").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jacs.nonEmpty)
+    assert(jacs.values.forall(j => j >= 0.5 && j < 1.0)) // genuinely mid-range edges
+    val (labels, rounds) = graft.operators.Dedup.resolveClustersCounted(
+      pairs, docs.select($"doc_id"))
+    assert(rounds >= 2, s"expected multi-hop propagation, got $rounds round(s)")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the chain resolves to one component keyed by its minimum id
+    val chained = jacs.keySet.flatMap { case (a, b) => Set(a, b) }
+    assert(chained.size >= 3)
+    // every doc on a mid-range edge reachable from doc 0 resolves to keeper 0
+    if (chained.contains(0L)) assert(got(1L) == 0L || got(0L) == 0L)
+    assert(got.values.toSet.size < 6) // at least one multi-doc cluster formed
+  }
+
   test("multi-probe LSH: recall at least matches single-probe per query") {
     import spark.implicits._
     val e = new DeterministicEmbedder(16)
