@@ -103,14 +103,14 @@ object ChunkPacker {
     * to stay observably identical under ANY injected tokenizer.
     */
   def packSections(
-      sections: Iterable[(String, Int)],
+      sections: IterableOnce[(String, Int)],
       tokenLimit: Int,
       numTokens: String => Int = TextFunctions.numTokens): PackResult = {
     val chunks = Vector.newBuilder[String]
     val oversized = Vector.newBuilder[String]
     var buffer = ""
     var bufferTokens = 0
-    for ((section, sectionTokens) <- sections) {
+    for ((section, sectionTokens) <- sections.iterator) {
       if (sectionTokens > tokenLimit) {
         oversized += section
         if (buffer.nonEmpty) { chunks += buffer; buffer = "" }
@@ -163,7 +163,7 @@ object ChunkPacker {
     * section split with heading carry, appended in order.
     */
   def packNougat(
-      sections: Iterable[(String, Int)],
+      sections: IterableOnce[(String, Int)],
       tokenLimit: Int,
       numTokens: String => Int = TextFunctions.numTokens): Vector[Chunk] = {
     val first = packSections(sections, tokenLimit, numTokens)

@@ -67,22 +67,48 @@ object ChunkingJob {
     }
   }
 
-  /** Nougat path (clean → sectionize → C3 → C4) per form. The scrub's
-    * DOTALL patterns (LaTeX table blocks) span lines, so one form's TEXT is
-    * still assembled as a single string — bounded by document size, not by
-    * the row-object overhead the old `rows.toSeq` group buffer paid.
+  /** Nougat path (clean → sectionize → C3 → C4) per form, fully streamed:
+    * each document is scrubbed ON ITS OWN (a DOTALL warning span never
+    * crosses a PDF boundary), with the inter-document "\n" join preserved
+    * by scrubbing `text + "\n"` for every non-final document — byte-
+    * identical to scrubbing the joined form text, including the quirk that
+    * a line-scoped marker on the form's unterminated FINAL line does not
+    * scrub (the pattern needs its trailing newline). The sectionizer then
+    * consumes a line iterator with carried section state and the packer a
+    * section iterator, so nothing form-sized ever materializes: resident
+    * state is one section plus the packer's O(tokenLimit) buffer.
     */
   def chunkNougat(docs: Dataset[DocInput], tokenLimit: Int): Dataset[ChunkRow] = {
     import docs.sparkSession.implicits._
     byForm(docs).mapPartitions { rows =>
       formRuns(rows).flatMap { case (form, docRows) =>
-        val text = docRows.map(_.text).mkString("\n")
-        Sectionizer.chunkDocument(form, text, tokenLimit).zipWithIndex.iterator.map {
+        val secs = Sectionizer.sectionsFromLines(scrubbedLines(docRows))
+        ChunkPacker.packNougat(secs, tokenLimit).zipWithIndex.iterator.map {
           case (c, i) => ChunkRow(c.content, c.tokenCount, form, s"${form}_$i")
         }
       }
     }
   }
+
+  /** The raw "\n"-split lines of the scrubbed form text, streamed one
+    * document at a time. Every non-final piece is scrubbed as
+    * `scrub(text + "\n")` (reproducing the join context for line-scoped
+    * markers on a document's last line) and therefore ends in "\n", so its
+    * final split element is "" — dropping it splices piece boundaries
+    * exactly as splitting the joined scrubbed string would.
+    */
+  private def scrubbedLines(docs: Iterator[DocInput]): Iterator[String] =
+    new Iterator[String] {
+      private var cur: Iterator[String] = Iterator.empty
+      private def refill(): Unit = while (!cur.hasNext && docs.hasNext) {
+        val d = docs.next()
+        val last = !docs.hasNext
+        val parts = TextFunctions.scrub(if (last) d.text else d.text + "\n").split("\n", -1)
+        cur = if (last) parts.iterator else parts.iterator.take(parts.length - 1)
+      }
+      def hasNext: Boolean = { refill(); cur.hasNext }
+      def next(): String = { refill(); cur.next() }
+    }
 
   /** W1-W4 as pure window expressions over paragraph rows — the declarative
     * twin of [[Sectionizer.paragraphs]], for corpora that are already

@@ -77,6 +77,50 @@ object Sectionizer {
     }
   }
 
+  /** Streaming twin of [[paragraphs]] + [[sections]] for an ALREADY-CLEANED
+    * line stream (the raw "\n" split of the scrubbed form text): emits
+    * `(chunk, tokenCount)` per section in document order, holding only the
+    * CURRENT section in memory. This is the 100 TB path —
+    * [[ChunkingJob.chunkNougat]] feeds it a per-document line iterator so
+    * no form-sized string ever materializes. The section state machine is
+    * the verified one from [[paragraphs]] (`pipeline1.py:167-179`): before
+    * the first heading every paragraph opens its own section; a heading
+    * opens a section that absorbs following non-headings — so after the
+    * first heading, every section opener IS a heading. Cross-checked
+    * value-for-value against the materialized pipeline in ChunkPackerSpec.
+    */
+  def sectionsFromLines(
+      lines: Iterator[String],
+      numTokens: String => Int = TextFunctions.numTokens): Iterator[(String, Int)] =
+    new Iterator[(String, Int)] {
+      private def isHeading(p: String): Boolean = {
+        val sem = TextFunctions.classifyMarkdown(p)
+        sem == "Heading1" || sem == "Heading2" || sem == "Heading3"
+      }
+      private def nextPara(): String = {
+        while (lines.hasNext) {
+          val l = lines.next()
+          if (l.nonEmpty) return l // reference keeps whitespace-only paragraphs
+        }
+        null
+      }
+      private var headingSeen = false
+      private var opener: String = nextPara()
+      def hasNext: Boolean = opener != null
+      def next(): (String, Int) = {
+        val sb = new StringBuilder(opener)
+        if (isHeading(opener)) headingSeen = true
+        var p = nextPara()
+        while (p != null && headingSeen && !isHeading(p)) {
+          sb.append('\n').append(p)
+          p = nextPara()
+        }
+        opener = p
+        val chunk = sb.toString
+        (chunk, numTokens(chunk))
+      }
+    }
+
   /** Whole nougat path for one document: clean → paragraphs → sections →
     * pack (C3) → split oversized with heading carry (C4).
     */

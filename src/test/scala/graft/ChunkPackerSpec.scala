@@ -67,6 +67,14 @@ class ChunkPackerSpec extends AnyFunSuite {
       val got = Sectionizer.chunkDocument(name, text, limit).map(_.content)
       assert(got == strs(d \ "nougat_chunks"))
     }
+
+    test(s"$name: streaming sectionsFromLines equals the materialized sections") {
+      val cleanedLines = Sectionizer.cleanMmd(text).split("\n", -1).iterator
+      val streamed = Sectionizer.sectionsFromLines(cleanedLines).toVector
+      val want = Sectionizer.sections(Sectionizer.paragraphs(name, text))
+        .map(s => (s.chunk, s.tokenCount))
+      assert(streamed == want)
+    }
   }
 
   test("quirk: exact-limit line flushes an empty buffer (C1 else-branch)") {

@@ -49,6 +49,35 @@ class SparkOpsSpec extends AnyFunSuite {
     for (form <- got.keySet) assert(got(form).sorted == local(form).sorted.toVector, form)
   }
 
+  test("streamed chunkNougat equals whole-form chunking, incl. scrub markers at doc boundaries") {
+    import spark.implicits._
+    val forms = Seq(
+      // f1: a line-scoped marker on a NON-final doc's last line (terminated
+      // by the join "\n" -> scrubs), a DOTALL span inside one doc, and a
+      // marker on the form's unterminated FINAL line (must NOT scrub)
+      ("f1", 0L, "# Head\nbody a\n\\begin{tabular}{cc} gone"),
+      ("f1", 1L, "tail line\n+++ nougat warn +++\nmore body"),
+      ("f1", 2L, "## Sub\nlast doc\n\\begin{table} unterminated"),
+      // f2: single doc, empty-line handling
+      ("f2", 0L, "solo intro\n\nsecond para"))
+    val ds = forms.toDF("formName", "seq", "text").as[ChunkingJob.DocInput]
+    val got = ChunkingJob.chunkNougat(ds, tokenLimit = 6).collect()
+      .groupBy(_.FormName).view
+      .mapValues(_.sortBy(c => c.ChunkId.drop(c.FormName.length + 1).toInt)
+        .map(c => (c.Content, c.TokenCount)).toVector).toMap
+    val want = forms.groupBy(_._1).map { case (form, rows) =>
+      val joined = rows.sortBy(_._2).map(_._3).mkString("\n")
+      form -> graft.operators.Sectionizer.chunkDocument(form, joined, 6)
+        .map(c => (c.content, c.tokenCount))
+    }
+    assert(got == want)
+    // the boundary semantics actually fired: non-final marker scrubbed,
+    // final unterminated marker kept
+    val f1 = got("f1").map(_._1).mkString("\n")
+    assert(!f1.contains("tabular") && !f1.contains("nougat warn"))
+    assert(f1.contains("\\begin{table} unterminated"))
+  }
+
   test("windowed sectionizeDF matches the Sectionizer state machine") {
     import spark.implicits._
     val text = "Intro one.\nAnother intro.\n# Title\nBody a.\n* bullet\n## Sub\nBody b."
