@@ -526,6 +526,30 @@ class SparkOpsSpec extends AnyFunSuite {
       .flatMap((id: Long) => (0 until 3).map(q => (q.toLong, id)))))
   }
 
+  test("plan pins: IVF assign is a map-side max_by (no Window); chunking shuffles a sort, not objects") {
+    import spark.implicits._
+    val e = new DeterministicEmbedder(8)
+    val corpus = (0L until 50L).map(i => (i, e.embedOne(s"c$i").toSeq))
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.IvfIndex.centroids(corpus, k = 4, iters = 0)
+    // round-2 regression shape: row_number over a Window shuffled k x n
+    // scored rows; the pinned shape collapses the argmax in a partial+final
+    // max_by aggregate, so only n rows cross the shuffle
+    val assignPlan = graft.operators.IvfIndex.assign(corpus, cents, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Window"), assignPlan)
+    assert(assignPlan.contains("max_by"), assignPlan)
+    // round-2 regression shape: groupByKey(form).flatMapGroups shuffled
+    // deserialized row objects and buffered each group; the pinned shape is
+    // a columnar exchange + within-partition sort feeding mapPartitions
+    val ds = docTexts.toDF("formName", "seq", "text").as[ChunkingJob.DocInput]
+    val chunkPlan = ChunkingJob.chunkPyPdf(ds, tokenLimit = 10)
+      .queryExecution.executedPlan.toString
+    assert(chunkPlan.contains("Exchange hashpartitioning"), chunkPlan)
+    assert(chunkPlan.contains("Sort ["), chunkPlan)
+    assert(!chunkPlan.contains("FlatMapGroups"), chunkPlan)
+  }
+
   test("retrieval plan shape: IN-filter pushed to the parquet scan, top-k is TakeOrderedAndProject") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
