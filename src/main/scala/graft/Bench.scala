@@ -72,7 +72,12 @@ object Bench {
     // subtract from the headline total; surface them as a count instead
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"passes":$passes,"load_start":"$loadStart","load_end":"$loadEnd","queries":$qs,"sf":"$sfDir"}""")
+    // per-pass totals expose inter-pass variance directly — a reader can see
+    // machine contention in the record instead of trusting loadavg alone
+    val perPass = allPasses
+      .map(p => p.collect { case (_, v) if v >= 0 => v }.sum)
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"passes":$passes,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
