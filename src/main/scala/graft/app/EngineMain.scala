@@ -60,6 +60,10 @@ object OpConfig {
 
   /** Execute a validated op against the index, returning the post-op stats
     * frame (`describe_index_stats` analog the reference prints per run).
+    * Upsert creates the index if absent (data-derived dimension, as the
+    * reference does); every other op against a never-created index fails
+    * with a clear reference-style message instead of a raw path-not-found
+    * on the `v-1` snapshot dir.
     */
   def run(spark: SparkSession, indexPath: String, op: IndexOp) = {
     val idx = new VectorIndex(spark, indexPath)
@@ -69,6 +73,9 @@ object OpConfig {
           .select(col("FormName").as("title"), col("Content").as("text"),
             col("Embeddings").as("content_vector"), col("ChunkId").as("ord"))
         idx.upsert(chunks, "ord")
+      case _ if !idx.exists =>
+        throw new IllegalArgumentException(
+          s"Index does not exist at $indexPath - run an upsert operation first")
       case IndexOp.DeleteByFormNames(names) => idx.deleteByForms(names)
       case IndexOp.DeleteByVectorIds(ids) => idx.deleteByIds(ids)
       case IndexOp.DeleteAll => idx.deleteAll()
@@ -95,11 +102,21 @@ object EngineMain {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // exit code is set INSIDE the try and acted on after the finally:
+    // System.exit skips finally blocks, so calling it in the match arm
+    // would leak the session
+    var exitCode = 0
     try
       OpConfig.validate(opType, payload) match {
-        case Left(err) => System.err.println(err); sys.exit(2)
-        case Right(op) => OpConfig.run(spark, indexPath, op).show(truncate = false)
+        case Left(err) => System.err.println(err); exitCode = 2
+        case Right(op) =>
+          try OpConfig.run(spark, indexPath, op).show(truncate = false)
+          catch {
+            case e: IllegalArgumentException =>
+              System.err.println(e.getMessage); exitCode = 2
+          }
       }
     finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   * `_CURRENT` untouched, so readers never observe a partial index — and at
   * scale each delete/upsert pays exactly one data write instead of the
   * write-tmp-read-tmp-write-final double copy.
+  *
+  * Concurrency contract: any number of READERS are safe at any time
+  * (snapshots are immutable; GC keeps the previous version for in-flight
+  * plans), but mutations assume a SINGLE WRITER — the reference's model,
+  * where one Airflow DAG run owns the index. Two concurrent writers could
+  * both read version N and write the same v(N+1) dir; [[rewrite]] detects
+  * the collision best-effort by re-reading `_CURRENT` just before the
+  * pointer swap and aborting if another writer advanced it. That check
+  * closes the data-overwrite window, not every interleaving (a true CAS
+  * needs the store's conditional primitives) — serialize writers
+  * externally.
   */
 final class VectorIndex(spark: SparkSession, path: String) {
 
@@ -122,6 +133,14 @@ final class VectorIndex(spark: SparkSession, path: String) {
     val cur = currentVersion
     val nxt = cur + 1
     next.write.mode(SaveMode.Overwrite).parquet(versionDir(nxt).toString)
+    // single-writer collision detection (see class doc): if another writer
+    // advanced _CURRENT while we were writing, our snapshot may have raced
+    // theirs on the same version dir — abort before publishing it
+    val nowCur = currentVersion
+    if (nowCur != cur)
+      throw new java.util.ConcurrentModificationException(
+        s"VectorIndex at $path: _CURRENT moved v$cur -> v$nowCur during a rewrite; " +
+          "mutations require a single writer")
     val tmp = new Path(root, s"_CURRENT.$nxt.tmp")
     val out = fs.create(tmp, true)
     try out.write(nxt.toString.getBytes("UTF-8")) finally out.close()

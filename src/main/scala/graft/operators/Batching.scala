@@ -42,6 +42,15 @@ object Batching {
       .localCheckpoint()
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // the local position lives in monotonically_increasing_id's low 33 bits;
+    // a partition beyond 2^33 rows would silently bleed into the partition-id
+    // bits and corrupt every rank after the mask — fail fast instead (the
+    // per-partition totals are already on the driver, so the check is free)
+    counts.find(_._2 > LocalMask).foreach { case (pid, c) =>
+      throw new IllegalStateException(
+        s"globalRowNumber: partition $pid holds $c rows, over the 2^33 local-position " +
+          s"bound — raise numPartitions (currently $numPartitions)")
+    }
     // prefix sum: offset of partition k = total rows in partitions < k
     var acc = 0L
     val offRows = counts.map { case (pid, c) => val row = (pid, acc); acc += c; row }

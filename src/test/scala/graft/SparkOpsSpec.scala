@@ -684,6 +684,12 @@ class SparkOpsSpec extends AnyFunSuite {
     val stats = OpConfig.run(spark, s"$dir/index",
       OpConfig.validate("deleteByFormNames", Seq("f2")).toOption.get)
     assert(stats.as[(String, Long)].collect().toMap == Map("f1" -> 1L))
+    // deletes against a never-created index fail with a clear message, not a
+    // raw path-not-found on the v-1 snapshot dir
+    val err = intercept[IllegalArgumentException] {
+      OpConfig.run(spark, s"$dir/absent", IndexOp.DeleteAll)
+    }
+    assert(err.getMessage.contains("Index does not exist"))
   }
 
   test("JDBC sink/source roundtrip against embedded Derby (S9/S10)") {
