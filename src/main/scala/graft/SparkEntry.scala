@@ -836,8 +836,7 @@ object SparkEntry {
           |),
           |ver AS (
           |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-          |         round(size(filter(sequence(1, 8),
-          |           i -> element_at(a.mh, i) = element_at(c.mh, i))) / 8.0D, 4) AS est_jac
+          |         round(sig_jaccard(a.mh, c.mh), 4) AS est_jac
           |  FROM bands a JOIN bands c
           |    ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
           |)

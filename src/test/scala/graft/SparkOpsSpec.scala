@@ -409,6 +409,7 @@ class SparkOpsSpec extends AnyFunSuite {
         |  minhash_sig(ta, 4, 3) AS mh,
         |  simhash32(ta) AS sh,
         |  shingle_jaccard(ta, tb, 3) AS jac,
+        |  sig_jaccard(minhash_sig(ta, 4, 3), minhash_sig(tb, 4, 3)) AS sjac,
         |  lang_quality(ta).lang_pred AS lp,
         |  lang_quality(ta).quality AS lqual,
         |  word_fingerprint(ta) AS fp,
@@ -421,6 +422,9 @@ class SparkOpsSpec extends AnyFunSuite {
         Bridge.toColumn(MinHashSig(Bridge.toExpr($"ta"), 4, 3)).as("mh"),
         Bridge.toColumn(SimHash32(Bridge.toExpr($"ta"))).as("sh"),
         graft.operators.Dedup.jaccard($"ta", $"tb", 3).as("jac"),
+        graft.operators.Dedup.sigJaccard(
+          Bridge.toColumn(MinHashSig(Bridge.toExpr($"ta"), 4, 3)),
+          Bridge.toColumn(MinHashSig(Bridge.toExpr($"tb"), 4, 3))).as("sjac"),
         graft.operators.TextAnalysis.langQualityCol($"ta").getField("lang_pred").as("lp"),
         graft.operators.TextAnalysis.langQualityCol($"ta").getField("quality").as("lqual"),
         graft.operators.TextAnalysis.fingerprint($"ta").as("fp"),
