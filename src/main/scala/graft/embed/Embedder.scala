@@ -147,16 +147,18 @@ final class ResilientEmbedder(
 /** Throttled decorator mirroring the reference's rate ceiling (3 calls per
   * 65 s cycle, `pipeline1.py:871-879`) — applied per PARTITION batch, not
   * per row, so a 1000-executor run self-limits without driver coordination.
+  * `sleeper` is injectable so the cadence itself is spec-testable.
   */
 final class ThrottledEmbedder(
     underlying: Embedder,
     callsPerCycle: Int = 3,
-    cycleSleepMillis: Long = 65000L) extends Embedder {
+    cycleSleepMillis: Long = 65000L,
+    sleeper: Long => Unit = Thread.sleep) extends Embedder {
   def dim: Int = underlying.dim
   override def embed(texts: Seq[String]): Seq[Array[Float]] = {
     val out = Seq.newBuilder[Array[Float]]
     texts.grouped(callsPerCycle).zipWithIndex.foreach { case (batch, i) =>
-      if (i > 0) Thread.sleep(cycleSleepMillis)
+      if (i > 0) sleeper(cycleSleepMillis)
       out ++= underlying.embed(batch)
     }
     out.result()

@@ -191,14 +191,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_min"))
+      // ONE join per round: the change flag rides through the checkpoint, so
+      // counting movers is a scan of materialized partitions — not a second
+      // labels-sized join shuffle (labels only ever decrease, so moved ⇔
+      // some neighbor label is strictly smaller)
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("__moved"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      changed = next.filter(col("__moved")).count()
       if (changed > 0) rounds += 1
-      labels = next
+      labels = next.drop("__moved")
     }
     (labels.select(col("id"), col("label").as("keeper_id")), rounds)
   }

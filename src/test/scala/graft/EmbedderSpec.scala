@@ -69,6 +69,24 @@ class EmbedderSpec extends AnyFunSuite {
     assert(sleeps.toSeq == Seq(7L, 7L))
   }
 
+  test("throttle cadence: one sleep between cycles, none before the first") {
+    val seen = scala.collection.mutable.Buffer.empty[Int]
+    val det = new DeterministicEmbedder(4)
+    val counting = new Embedder {
+      def dim = 4
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        seen += texts.size; texts.map(det.embedOne)
+      }
+    }
+    val sleeps = scala.collection.mutable.Buffer.empty[Long]
+    val e = new graft.embed.ThrottledEmbedder(counting, callsPerCycle = 3,
+      cycleSleepMillis = 65000L, sleeper = sleeps += _)
+    val got = e.embed((1 to 7).map(i => s"t$i"))
+    assert(got.size == 7)
+    assert(seen.toSeq == Seq(3, 3, 1))          // reference cycle size
+    assert(sleeps.toSeq == Seq(65000L, 65000L)) // between cycles only
+  }
+
   test("production stack composes resilient over throttled over http") {
     val stack = EmbeddingJob.httpStack("http://unused", "m", "k", dim = 8)
     assert(stack.isInstanceOf[ResilientEmbedder])
