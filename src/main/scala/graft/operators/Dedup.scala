@@ -74,7 +74,14 @@ object Dedup {
   private def bandSelfJoin(
       sigDF: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
       carryCols: Seq[String]): DataFrame = {
+    // materialize the exploded band rows ONCE before self-joining: Spark does
+    // not reuse the exchange across the two join sides here, so without the
+    // cut the full text scan + signature computation runs twice. The
+    // signatures are the expensive part (md5 per shingle over the whole
+    // corpus) while a band row is ~10 small values — at 100 TB the
+    // checkpoint is a tiny fraction of the scan it avoids re-running.
     val exploded = bandExplode(sigDF, idCol, bands, rowsPerBand, carryCols)
+      .localCheckpoint()
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
