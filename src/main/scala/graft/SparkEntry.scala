@@ -195,7 +195,11 @@ object SparkEntry {
     // identical numbering, every stage parallel.
     "q13_upsert_batches" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Batching.globalRowNumber(t(s, dir, "embeddings"), $"vec_id", 32)
+      // project BEFORE ranking: globalRowNumber checkpoints its input to pin
+      // one range partitioning, and batching needs only the key — carrying
+      // the 64-float vectors through the checkpoint would pay ~64x the IO
+      graft.operators.Batching.globalRowNumber(
+          t(s, dir, "embeddings").select($"vec_id"), $"vec_id", 32)
         .withColumn("batch", floor(($"rn" - 1) / 300.0).cast("long"))
         .groupBy($"batch")
         .agg(count(lit(1)).as("n"), min($"vec_id").as("first_id"), max($"vec_id").as("last_id"))
