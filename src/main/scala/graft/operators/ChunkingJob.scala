@@ -97,7 +97,7 @@ object ChunkingJob {
     * final split element is "" — dropping it splices piece boundaries
     * exactly as splitting the joined scrubbed string would.
     */
-  private def scrubbedLines(docs: Iterator[DocInput]): Iterator[String] =
+  private[graft] def scrubbedLines(docs: Iterator[DocInput]): Iterator[String] =
     new Iterator[String] {
       private var cur: Iterator[String] = Iterator.empty
       private def refill(): Unit = while (!cur.hasNext && docs.hasNext) {

@@ -78,4 +78,40 @@ object PackerProps extends Properties("ChunkPacker") {
     val secs = paras.map(_.section)
     secs.isEmpty || (secs.head == 1 && secs.zip(secs.tail).forall { case (a, b) => b == a || b == a + 1 })
   }
+
+  // nougat-flavored lines: headings, bullets, scrub markers, blanks — the
+  // shapes the streaming sectionizer and per-doc scrub must splice exactly
+  private val nougatLine: Gen[String] = Gen.frequency(
+    5 -> line,
+    1 -> line.map("# " + _),
+    1 -> line.map("## " + _),
+    1 -> line.map("* " + _),
+    1 -> Gen.const(""),
+    1 -> line.map("\\begin{tabular}{cc} " + _),
+    1 -> line.map("\\end{table} " + _))
+  private val nougatText: Gen[String] =
+    Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, nougatLine).map(_.mkString("\n")))
+
+  property("streaming sectionsFromLines == materialized sections∘paragraphs") =
+    forAll(nougatText) { text =>
+      val streamed = graft.operators.Sectionizer
+        .sectionsFromLines(graft.operators.Sectionizer.cleanMmd(text).split("\n", -1).iterator)
+        .toVector
+      val want = graft.operators.Sectionizer
+        .sections(graft.operators.Sectionizer.paragraphs("f", text))
+        .map(s => (s.chunk, s.tokenCount))
+      streamed == want
+    }
+
+  property("per-doc scrubbedLines splice == whole-form scrub split") = {
+    val docsGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, nougatText))
+    forAll(docsGen) { texts =>
+      val run = texts.zipWithIndex.map { case (t, i) =>
+        graft.operators.ChunkingJob.DocInput("f", i.toLong, t)
+      }
+      val streamed = graft.operators.ChunkingJob.scrubbedLines(run.iterator).toList
+      val whole = TextFunctions.scrub(texts.mkString("\n")).split("\n", -1).toList
+      streamed == whole
+    }
+  }
 }
