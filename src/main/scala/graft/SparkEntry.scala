@@ -801,6 +801,25 @@ object SparkEntry {
         .orderBy($"win_id")
     }),
 
+    // Deterministic train/val/test corpus split — the standard LLM-pipeline
+    // split op done hash-stable instead of random: bucket = stable 60-bit
+    // md5 hash of a salted doc id mod 100, 80/10/10 assignment. Scan-side
+    // (no shuffle until the stats agg), reproducible across engines and
+    // runs, and immune to re-partitioning — the properties a 100 TB split
+    // needs. Output: per (source, split) doc and token counts.
+    "q58_hash_split" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = pmod(graft.functions.HashFunctions
+        .stableHash64(concat(lit("split:"), $"doc_id".cast("string"))), lit(100L))
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.numTokensCol($"text")).cast("long").as("n_tokens"))
+        .orderBy($"source", $"split")
+    }),
+
     // Corpus profiling (training-data QA): per-source document counts,
     // language cardinality, exact length quantiles (Spark `percentile` and
     // DuckDB `quantile_cont` share the interpolation contract), short-doc
@@ -1262,6 +1281,8 @@ good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.5 AND est_jac < 1.0)
 edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
 reach AS (SELECT doc_id AS id, doc_id AS r FROM win UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id)
 SELECT id AS win_id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY win_id""",
+    "q58_hash_split" ->
+      raw"""SELECT source, split, count(*) AS n_docs, sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::BIGINT AS n_tokens FROM (SELECT source, text, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT source, text, ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b FROM documents)) GROUP BY source, split ORDER BY source, split""",
     "q55_corpus_profile" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars, floor(avg(n_chars) * 10000.0)::BIGINT AS avg_chars_q, sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS n_short FROM documents GROUP BY source ORDER BY source""",
     "q54_multimodal_frames" ->
