@@ -16,7 +16,8 @@ object Plans {
     "q06_segment_filter", "q11_token_stats", "q13_upsert_batches",
     "q20_cosine_topk", "q23_chunk_pypdf", "q25_minhash_sig",
     "q30_ann_brute", "q31_lsh_buckets", "q32_ivf_ann",
-    "q39_neardup_lsh", "q49_asof", "q52_ann_multiprobe")
+    "q39_neardup_lsh", "q49_asof", "q52_ann_multiprobe",
+    "q56_sql_dedup", "q58_hash_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
