@@ -52,10 +52,12 @@ object Dedup {
         Bridge.toExpr(col(textCol)), numHashes, shingle)))
   }
 
-  /** Band-hash explode shared by the LSH paths: one output row per
-    * (band, band_hash) per input row, carrying `carryCols` through.
+  /** Band-hash explode shared by the LSH paths (batch self-join here;
+    * per-bucket streaming state in [[graft.streaming.StatefulOps]]): one
+    * output row per (band, band_hash) per input row, carrying `carryCols`
+    * through.
     */
-  private def bandExplode(
+  private[graft] def bandExplode(
       sigDF: DataFrame, idCol: String, bands: Int, rowsPerBand: Int,
       carryCols: Seq[String]): DataFrame =
     sigDF.select(

@@ -482,6 +482,37 @@ class SparkOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup pairs across micro-batches equal the batch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = (0 until 6).map { i =>
+      (i.toLong, (10 * i until 10 * i + 40).map(k => s"w$k").mkString(" "))
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val pairs = graft.streaming.StatefulOps.streamingNearDupPairs(
+      stream, "doc_id", "text",
+      numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("nd_pairs")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      // a pair may surface from several shared buckets (the batch path
+      // dedups the same way with its distinct)
+      val got = spark.table("nd_pairs").dropDuplicates("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.operators.Dedup.nearDupPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", 8, 4, 4, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+      // bucket state carried across micro-batches: some pair spans the split
+      assert(want.exists { case (a, b, _) => a < 3 && b >= 3 })
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     import graft.streaming.StatefulOps
