@@ -26,7 +26,7 @@ object ChunkingJob {
     * scale a hot form no longer has to fit in one task's heap as row
     * objects; only the packer's O(tokenLimit) buffer is resident.
     */
-  private def formRuns(rows: Iterator[DocInput]): Iterator[(String, Iterator[DocInput])] =
+  private[graft] def formRuns(rows: Iterator[DocInput]): Iterator[(String, Iterator[DocInput])] =
     new Iterator[(String, Iterator[DocInput])] {
       private val buf = rows.buffered
       private var run: Iterator[DocInput] = Iterator.empty

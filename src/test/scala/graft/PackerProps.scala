@@ -103,6 +103,30 @@ object PackerProps extends Properties("ChunkPacker") {
       streamed == want
     }
 
+  property("formRuns: lossless grouping of a sorted stream, robust to partial reads") = {
+    val runGen = for {
+      nForms <- Gen.chooseNum(0, 6)
+      sizes <- Gen.listOfN(nForms, Gen.chooseNum(1, 5))
+    } yield sizes.zipWithIndex.flatMap { case (n, f) =>
+      (0 until n).map(i => graft.operators.ChunkingJob.DocInput(s"form$f", i.toLong, s"t$f-$i"))
+    }
+    forAll(runGen, Gen.chooseNum(0, 5)) { (rows, keep) =>
+      // full consumption reproduces the exact grouping
+      val full = graft.operators.ChunkingJob.formRuns(rows.iterator)
+        .map { case (f, it) => (f, it.toList) }.toList
+      val want = rows.foldLeft(List.empty[(String, List[graft.operators.ChunkingJob.DocInput])]) {
+        case ((f, ds) :: rest, d) if f == d.formName => (f, ds :+ d) :: rest
+        case (acc, d) => (d.formName, List(d)) :: acc
+      }.reverse
+      val fullOk = full == want
+      // reading only `keep` docs of each run must not corrupt later runs
+      val partial = graft.operators.ChunkingJob.formRuns(rows.iterator)
+        .map { case (f, it) => (f, it.take(keep).toList) }.toList
+      val partialOk = partial == want.map { case (f, ds) => (f, ds.take(keep)) }
+      Prop(fullOk && partialOk)
+    }
+  }
+
   property("per-doc scrubbedLines splice == whole-form scrub split") = {
     val docsGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, nougatText))
     forAll(docsGen) { texts =>

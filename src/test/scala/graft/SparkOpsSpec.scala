@@ -212,6 +212,31 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(context == texts.mkString("\n") + "\n\n Question: content number 4")
   }
 
+  test("distributed embedColumn with the resilient HTTP stack: one poison row blanks alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.size
+    // canned transport: any request whose payload mentions the poison text
+    // fails; the production policy retries the batch, then isolates per row
+    val transport = (body: String) =>
+      if (body.contains("poisoned-text")) throw new java.io.IOException("HTTP 500")
+      else {
+        // one canned vector per element of the "input" array (texts here
+        // contain no commas, so counting separators is exact)
+        val in = body.substring(body.indexOf("\"input\":[") + 9, body.lastIndexOf("]"))
+        val n = if (in.isEmpty) 0 else in.count(_ == ',') + 1
+        s"""{"data":[${Seq.fill(n)("""{"embedding":[0.5,0.5]}""").mkString(",")}]}"""
+      }
+    val embedder = new graft.embed.ResilientEmbedder(
+      new graft.embed.HttpEmbedder("http://unused", "m", "k", 2, transport),
+      maxRetries = 1, backoffMillis = 1L, sleeper = _ => ())
+    val df = Seq((1L, "fine one"), (2L, "poisoned-text"), (3L, "fine two"))
+      .toDF("id", "Content").repartition(1) // one partition -> one batch
+    val got = graft.embed.EmbeddingJob.embedColumn(df, "Content", embedder, batchSize = 3)
+      .select($"id", size($"Embeddings").as("dim"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 2, 2L -> 0, 3L -> 2)) // only the poison row is empty
+  }
+
   test("streaming: chunk CSV stream -> embed -> index append (AvailableNow)") {
     import spark.implicits._
     val in = tmpDir("graft_stream_in")
