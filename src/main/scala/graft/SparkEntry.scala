@@ -312,9 +312,10 @@ object SparkEntry {
         .orderBy($"keeper_doc_id")
     }),
 
-    // C1/C2 distributed: greedy token-budget packing per form (source), one
-    // groupByKey shuffle, sequential packer inside the group. Non-SQL-
-    // expressible (greedy stateful scan) → driver records rows-only.
+    // C1/C2 distributed: greedy token-budget packing per form (source) —
+    // ONE columnar shuffle (repartition + within-partition sort), packer
+    // streams the sorted per-form runs. Replayed exactly by the
+    // recursive-CTE oracle below.
     "q23_chunk_pypdf" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")

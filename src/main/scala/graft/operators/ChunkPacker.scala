@@ -3,10 +3,11 @@ package graft.operators
 import graft.functions.TextFunctions
 
 /** Greedy token-budget chunk packers — the reference's sequential-stateful
-  * core (SURVEY.md §2.6, C1-C4). Pure Scala state machines; the distributed
-  * wrappers live in [[ChunkingJob]] (`groupByKey(form).flatMapGroups`), so
-  * parallelism is across documents — which is what scales at 100 TB (millions
-  * of docs), per SURVEY.md §7.4.3.
+  * core (SURVEY.md §2.6, C1-C4). Pure Scala state machines consuming
+  * streamed input; the distributed wrappers live in [[ChunkingJob]]
+  * (repartition(form) + within-partition sort + mapPartitions over streamed
+  * per-form runs), so parallelism is across documents — which is what
+  * scales at 100 TB (millions of docs), per SURVEY.md §7.4.3.
   *
   * Reference-parity quirks preserved deliberately (all in
   * `/root/reference/airflow-pipeline/dags/pipeline1.py`):
