@@ -78,6 +78,26 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(f1.contains("\\begin{table} unterminated"))
   }
 
+  test("chunkNougat: one hot form with thousands of documents streams through") {
+    import spark.implicits._
+    // a single form (the worst skew case) with ~3000 docs; the streamed path
+    // must pack it with only section-sized state — and word totals must be
+    // conserved end-to-end
+    val docs = (0 until 3000).map { i =>
+      val body = (0 until 8).map(w => s"w${i}x$w").mkString(" ")
+      ("hot", i.toLong, if (i % 50 == 0) s"# sec$i\n$body" else body)
+    }
+    val ds = docs.toDF("formName", "seq", "text").as[ChunkingJob.DocInput]
+    val chunks = ChunkingJob.chunkNougat(ds, tokenLimit = 200).collect()
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.FormName == "hot"))
+    // count by pattern, not whitespace split: the C4 heading carry prefixes
+    // with NO separator (reference quirk), merging the heading into the
+    // first body word of continuation chunks
+    val gotWords = "w\\d+x\\d+".r.findAllIn(chunks.iterator.map(_.Content).mkString(" ")).size
+    assert(gotWords == 3000 * 8)
+  }
+
   test("windowed sectionizeDF matches the Sectionizer state machine") {
     import spark.implicits._
     val text = "Intro one.\nAnother intro.\n# Title\nBody a.\n* bullet\n## Sub\nBody b."
