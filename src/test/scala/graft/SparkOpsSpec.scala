@@ -498,13 +498,31 @@ class SparkOpsSpec extends AnyFunSuite {
         "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) == 11.0)
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    val r2 = s2.sql("SELECT cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS c").head()
-    assert(math.abs(r2.getDouble(0) - 1.0) < 1e-9)
+    // a GENUINELY fresh session (active/default cleared — getOrCreate with
+    // an active session would hand back the already-registered one and
+    // never run the injection path), sharing the existing SparkContext
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark)
+      val r2 = s2.sql(
+        "SELECT cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS c, " +
+          "simhash32('alpha beta gamma') AS sh, " +
+          "sig_jaccard(array(1L, 2L, 3L, 4L), array(1L, 2L, 9L, 9L)) AS sj").head()
+      assert(math.abs(r2.getDouble(0) - 1.0) < 1e-9)
+      // injected natives match the registry-path values on the main session
+      val want = spark.sql("SELECT simhash32('alpha beta gamma')").head().getLong(0)
+      assert(r2.getLong(1) == want)
+      assert(r2.getDouble(2) == 0.5)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
   }
 
   test("watermarked hourly windows finalize in append mode as event time advances") {
