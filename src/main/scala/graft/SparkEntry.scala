@@ -844,7 +844,11 @@ object SparkEntry {
     // band hashes via md5/conv — the same stableHash64 formula the
     // DataFrame path compiles, in-bucket signature-agreement verify,
     // threshold before DISTINCT). Proves a SQL-only user can run the dedup
-    // suite; values are bit-identical to q39's DataFrame plan.
+    // suite; values are bit-identical to q39's DataFrame plan. Known
+    // tradeoff of the pure-SQL form: Spark inlines the sig CTE into both
+    // self-join sides (no CTE materialization), so the signature scan runs
+    // twice — the DataFrame operator avoids that with a localCheckpoint of
+    // the band rows. SQL users at scale should stage sigs through a table.
     "q56_sql_dedup" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       t(s, dir, "documents").createOrReplaceTempView("v_documents")
