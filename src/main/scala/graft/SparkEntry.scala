@@ -821,6 +821,23 @@ object SparkEntry {
         .orderBy($"source", $"split")
     }),
 
+    // Training-sequence packing: documents greedily packed in corpus order
+    // into <= 500-token sequences per source (never splitting a document;
+    // an oversized document gets its own sequence) — the standard LLM
+    // pretraining batch-construction op, one shuffle + streamed fold.
+    // Oracle replays the greedy fold as a recursive CTE.
+    "q59_sequence_pack" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"source".as("formName"), $"doc_id".as("seq"), $"text")
+        .as[graft.operators.ChunkingJob.DocInput]
+      graft.operators.SequencePacker.packBySource(docs, tokenBudget = 500)
+        .groupBy($"source", $"seq_no")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_tokens").cast("long").as("seq_tokens"))
+        .orderBy($"source", $"seq_no")
+    }),
+
     // Corpus profiling (training-data QA): per-source document counts,
     // language cardinality, exact length quantiles (Spark `percentile` and
     // DuckDB `quantile_cont` share the interpolation contract), short-doc
@@ -1288,6 +1305,25 @@ reach AS (SELECT doc_id AS id, doc_id AS r FROM win UNION SELECT e.dst AS id, re
 SELECT id AS win_id, min(r) AS keeper_id FROM reach GROUP BY id ORDER BY win_id""",
     "q58_hash_split" ->
       raw"""SELECT source, split, count(*) AS n_docs, sum(len(regexp_extract_all(text, '\w+|[^\w\s]')))::BIGINT AS n_tokens FROM (SELECT source, text, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM (SELECT source, text, ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b FROM documents)) GROUP BY source, split ORDER BY source, split""",
+    "q59_sequence_pack" ->
+      raw"""WITH RECURSIVE
+d AS (SELECT source, doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS t, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS idx FROM documents),
+srcn AS (SELECT source, max(idx) AS n FROM d GROUP BY source),
+pack AS (
+  SELECT source, 0::BIGINT AS idx, 0::BIGINT AS cur, 0::BIGINT AS seq, n FROM srcn
+  UNION ALL
+  SELECT p.source, p.idx + 1,
+    CASE WHEN p.cur = 0 OR p.cur + dd.t > 500 THEN dd.t::BIGINT ELSE p.cur + dd.t END,
+    CASE WHEN p.cur = 0 OR p.cur + dd.t > 500 THEN p.seq + 1 ELSE p.seq END,
+    p.n
+  FROM pack p JOIN d dd ON dd.source = p.source AND dd.idx = p.idx + 1
+  WHERE p.idx < p.n),
+assigned AS (
+  SELECT p.source, dd.doc_id, p.seq AS seq_no, dd.t
+  FROM pack p JOIN d dd ON dd.source = p.source AND dd.idx = p.idx
+  WHERE p.idx >= 1)
+SELECT source, seq_no, count(*) AS n_docs, sum(t)::BIGINT AS seq_tokens
+FROM assigned GROUP BY source, seq_no ORDER BY source, seq_no""",
     "q55_corpus_profile" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars, floor(avg(n_chars) * 10000.0)::BIGINT AS avg_chars_q, sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS n_short FROM documents GROUP BY source ORDER BY source""",
     "q54_multimodal_frames" ->

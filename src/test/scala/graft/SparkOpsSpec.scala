@@ -98,6 +98,23 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(gotWords == 3000 * 8)
   }
 
+  test("sequence packing: greedy per-source fold, oversized docs alone, tokens conserved") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 0L, "a b c"),           // 3 -> seq 1 (cur 3)
+      ("s1", 1L, "d e"),             // 2 -> seq 1 (cur 5)
+      ("s1", 2L, "f g h i"),         // 5+4 > 6 -> seq 2 (cur 4)
+      ("s1", 3L, "j k l m n o p"),   // 7 > budget -> its own seq 3
+      ("s1", 4L, "q"),               // 7+1 > 6 -> seq 4
+      ("s2", 0L, "x y"))             // s2 restarts at seq 1
+      .toDF("formName", "seq", "text").as[ChunkingJob.DocInput]
+    val got = graft.operators.SequencePacker.packBySource(docs, tokenBudget = 6)
+      .collect().map(p => (p.source, p.doc_id, p.seq_no, p.doc_tokens)).toSet
+    assert(got == Set(
+      ("s1", 0L, 1L, 3), ("s1", 1L, 1L, 2), ("s1", 2L, 2L, 4),
+      ("s1", 3L, 3L, 7), ("s1", 4L, 4L, 1), ("s2", 0L, 1L, 2)))
+  }
+
   test("windowed sectionizeDF matches the Sectionizer state machine") {
     import spark.implicits._
     val text = "Intro one.\nAnother intro.\n# Title\nBody a.\n* bullet\n## Sub\nBody b."
