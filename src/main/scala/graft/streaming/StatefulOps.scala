@@ -49,7 +49,11 @@ object StatefulOps {
     * Scale shape: state is partitioned by bucket like any keyed stream —
     * the same one-shuffle candidate structure as the batch join, with
     * per-bucket membership instead of a self-join. Assumes each doc id is
-    * delivered once (upstream exactly-once source).
+    * delivered once (upstream exactly-once source). State grows with the
+    * corpus: an unbounded production stream should bound it (state TTL /
+    * periodic snapshot-and-reset against the batch operator) — dedup
+    * against an ever-growing history is a retention POLICY decision, so
+    * the operator does not pick one silently.
     */
   def streamingNearDupPairs(
       docs: DataFrame, idCol: String, textCol: String,
