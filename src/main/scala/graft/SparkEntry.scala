@@ -861,28 +861,30 @@ object SparkEntry {
     // band hashes via md5/conv — the same stableHash64 formula the
     // DataFrame path compiles, in-bucket signature-agreement verify,
     // threshold before DISTINCT). Proves a SQL-only user can run the dedup
-    // suite; values are bit-identical to q39's DataFrame plan. Known
-    // tradeoff of the pure-SQL form: Spark inlines the sig CTE into both
-    // self-join sides (no CTE materialization), so the signature scan runs
-    // twice — the DataFrame operator avoids that with a localCheckpoint of
-    // the band rows. SQL users at scale should stage sigs through a table.
+    // suite; values are bit-identical to q39's DataFrame plan. Spark inlines
+    // WITH-CTEs into every consumer, so a single-statement form would scan
+    // the corpus + compute signatures TWICE (once per self-join side); the
+    // band relation is therefore staged through an eagerly-cached temp view
+    // — the SQL analogue of the DataFrame path's localCheckpoint in
+    // Dedup.bandSelfJoin. All statements are plain SQL: a SQL-only user
+    // stages at scale exactly this way (or INSERTs into a staging table).
     "q56_sql_dedup" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       t(s, dir, "documents").createOrReplaceTempView("v_documents")
+      s.sql("UNCACHE TABLE IF EXISTS v_sql_bands") // clean slate per run
       s.sql(
-        """WITH sig AS (
-          |  SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents
-          |),
-          |bands AS (
-          |  SELECT doc_id, mh, b,
-          |         cast(conv(substring(md5(concat_ws(',',
-          |           transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
-          |  FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS b
-          |),
-          |ver AS (
+        """CREATE OR REPLACE TEMP VIEW v_sql_bands AS
+          |SELECT doc_id, mh, b,
+          |       cast(conv(substring(md5(concat_ws(',',
+          |         transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
+          |FROM (SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents) sig
+          |LATERAL VIEW explode(sequence(0, 3)) t AS b""".stripMargin)
+      s.sql("CACHE TABLE v_sql_bands") // eager: ONE corpus scan, ONE minhash pass
+      s.sql(
+        """WITH ver AS (
           |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
           |         round(sig_jaccard(a.mh, c.mh), 4) AS est_jac
-          |  FROM bands a JOIN bands c
+          |  FROM v_sql_bands a JOIN v_sql_bands c
           |    ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
           |)
           |SELECT DISTINCT id_a, id_b, est_jac FROM ver

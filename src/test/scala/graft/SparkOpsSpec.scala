@@ -684,6 +684,39 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [In(label"), plan) // filter at the scan
   }
 
+  test("plan pins: q56 probes the cached band view on both join sides; q59 packs via Exchange+sort, no FlatMapGroups") {
+    import spark.implicits._
+    // q56: the pure-SQL dedup must stage signatures through the eagerly
+    // cached temp view — if either self-join side fell back to recomputing
+    // from parquet, the corpus scan + MinHash pass would run twice (the
+    // round-4 scale-killer this pin guards against)
+    val dir = tmpDir("graft_q56plan")
+    (0 until 40).map(i =>
+        (i.toLong, s"the quick brown fox ${i % 8} jumps over the lazy dog ${i % 8} again and again"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dedup = SparkEntry.queries("q56_sql_dedup")(spark, dir)
+    assert(dedup.count() > 0) // identical docs per i%8 group -> pairs exist
+    assert(spark.catalog.isCached("v_sql_bands"))
+    val dedupPlan = dedup.queryExecution.executedPlan.toString
+    // Spark 4 prints the cached-view scan as "Scan In-memory table <name>";
+    // the InMemoryRelation child it shows is display-only (built once at
+    // CACHE TABLE time, not per reference)
+    val memScans = "Scan In-memory table v_sql_bands".r.findAllIn(dedupPlan).size
+    assert(memScans == 2, dedupPlan)
+    // q59: sequence packing must keep the chunk-shuffle shape — a columnar
+    // exchange + within-partition sort feeding mapPartitions; a refactor
+    // back to groupByKey.flatMapGroups would shuffle deserialized objects
+    // and buffer whole groups (invisible to the oracle, caught here)
+    val ds = (0 until 20).map(i => (s"src${i % 3}", i.toLong, s"tok tok tok doc $i"))
+      .toDF("formName", "seq", "text").as[ChunkingJob.DocInput]
+    val packPlan = graft.operators.SequencePacker.packBySource(ds, tokenBudget = 8)
+      .queryExecution.executedPlan.toString
+    assert(packPlan.contains("Exchange hashpartitioning"), packPlan)
+    assert(packPlan.contains("Sort ["), packPlan)
+    assert(!packPlan.contains("FlatMapGroups"), packPlan)
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
