@@ -33,6 +33,35 @@ object StatefulOps {
   final case class NearDupPair(id_a: Long, id_b: Long, est_jac: Double)
   /** Per-bucket LSH state: (doc id, minhash signature) seen so far. */
   final case class BucketState(members: Seq[(Long, Seq[Long])])
+  /** Per-bucket LSH state with event times: (doc id, signature, epoch ms). */
+  final case class TimedBucketState(members: Seq[(Long, Seq[Long], Long)])
+
+  /** State-retention policy for [[streamingNearDupPairs]]. */
+  sealed trait Retention
+  /** Unbounded: every member ever seen stays in its bucket — exact batch
+    * parity over the whole stream, state grows with the corpus. For finite
+    * replays and tests; an unbounded production stream should use
+    * [[EventWindow]].
+    */
+  case object KeepAll extends Retention
+  /** Bounded: documents carry an event-time TIMESTAMP column `tsCol`
+    * (watermarked by the operator with `watermarkDelay`); a pair is emitted
+    * only between docs whose event times differ by at most `windowMs`, and a
+    * bucket retains only members within `windowMs` of the newest event time
+    * it has seen. Idle buckets are dropped wholesale once the watermark
+    * passes their window (event-time timeout), so total state is
+    * O(docs per retention window) — not O(corpus). Arrivals out of order by
+    * more than the watermark slack may miss pairs against already-pruned
+    * members; the slack bounds that loss exactly as it bounds lateness.
+    */
+  final case class EventWindow(
+      tsCol: String, windowMs: Long, watermarkDelay: String = "0 seconds") extends Retention
+
+  private def roundedJaccard(a: Seq[Long], b: Seq[Long], numHashes: Int): Double = {
+    val agree = a.iterator.zip(b.iterator).count { case (x, y) => x == y }
+    BigDecimal(agree.toDouble / numHashes)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
 
   /** Streaming twin of [[graft.operators.Dedup.nearDupPairs]]: incoming
     * documents are minhash-signed scan-side (same native expression),
@@ -49,13 +78,24 @@ object StatefulOps {
     * Scale shape: state is partitioned by bucket like any keyed stream —
     * the same one-shuffle candidate structure as the batch join, with
     * per-bucket membership instead of a self-join. Assumes each doc id is
-    * delivered once (upstream exactly-once source). State grows with the
-    * corpus: an unbounded production stream should bound it (state TTL /
-    * periodic snapshot-and-reset against the batch operator) — dedup
-    * against an ever-growing history is a retention POLICY decision, so
-    * the operator does not pick one silently.
+    * delivered once (upstream exactly-once source). Retention is a POLICY
+    * decision the caller makes explicitly: [[KeepAll]] (default) matches
+    * the batch operator over the whole stream but grows state with the
+    * corpus; [[EventWindow]] bounds state to a sliding event-time window
+    * and matches the batch operator restricted to pairs within the window.
     */
   def streamingNearDupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingle: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, retention: Retention = KeepAll): Dataset[NearDupPair] =
+    retention match {
+      case KeepAll =>
+        keepAllPairs(docs, idCol, textCol, numHashes, shingle, bands, rowsPerBand, threshold)
+      case w: EventWindow =>
+        windowedPairs(docs, idCol, textCol, numHashes, shingle, bands, rowsPerBand, threshold, w)
+    }
+
+  private def keepAllPairs(
       docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingle: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): Dataset[NearDupPair] = {
@@ -75,9 +115,7 @@ object StatefulOps {
           val out = Seq.newBuilder[NearDupPair]
           rows.foreach { case (_, _, id, sig) =>
             members.foreach { case (seenId, seenSig) =>
-              val agree = seenSig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
-              val jac = BigDecimal(agree.toDouble / numHashes)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val jac = roundedJaccard(seenSig, sig, numHashes)
               if (jac >= threshold && seenId != id)
                 out += NearDupPair(math.min(seenId, id), math.max(seenId, id), jac)
             }
@@ -85,6 +123,57 @@ object StatefulOps {
           }
           state.update(BucketState(members))
           out.result().iterator
+      }
+  }
+
+  /** [[EventWindow]] path: same bucket structure, but membership and pairing
+    * are bounded by the event-time window. Pruning keys off the newest event
+    * time the bucket has seen (monotone, so an in-slack late arrival can
+    * still pair with everything it is entitled to), and the event-time
+    * timeout removes a bucket's state entirely once the watermark passes
+    * `newest + windowMs` — a bucket that stops receiving data costs nothing.
+    */
+  private def windowedPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingle: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, w: EventWindow): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    val sigs = graft.operators.Dedup
+      .minhashSig(docs.withWatermark(w.tsCol, w.watermarkDelay), textCol, numHashes, shingle)
+      .select(col(idCol), col("minhash"), col(w.tsCol))
+    val exploded = graft.operators.Dedup
+      .bandExplode(sigs, idCol, bands, rowsPerBand, Seq("minhash", w.tsCol))
+      .select(col("band"), col("band_hash"), col(idCol).as("id"), col("minhash"), col(w.tsCol))
+      .as[(Int, Long, Long, Seq[Long], java.sql.Timestamp)]
+    exploded
+      .groupByKey { case (band, hash, _, _, _) => (band, hash) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long], java.sql.Timestamp)],
+         state: GroupState[TimedBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[NearDupPair]
+            rows.foreach { case (_, _, id, sig, ts) =>
+              val t = ts.getTime
+              members.foreach { case (seenId, seenSig, seenTs) =>
+                if (math.abs(t - seenTs) <= w.windowMs && seenId != id) {
+                  val jac = roundedJaccard(seenSig, sig, numHashes)
+                  if (jac >= threshold)
+                    out += NearDupPair(math.min(seenId, id), math.max(seenId, id), jac)
+                }
+              }
+              members = members :+ ((id, sig, t))
+            }
+            val newest = members.iterator.map(_._3).max
+            members = members.filter(_._3 >= newest - w.windowMs)
+            state.update(TimedBucketState(members))
+            // strictly after the current watermark or Spark rejects it; fires
+            // once no in-slack arrival can still pair with this bucket
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, newest + w.windowMs + 1))
+            out.result().iterator
+          }
       }
   }
 }

@@ -593,6 +593,100 @@ class SparkOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EventWindow retention: old bucket members age out; pairs match the batch operator within the window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // offset from epoch 0: the initial watermark IS 0 and rows at-or-before
+    // the watermark are dropped as late
+    def ts(sec: Int) = new java.sql.Timestamp(3600000L + sec * 1000L)
+    // four identical docs (every pair est_jac 1.0 unbounded) spread so only
+    // (A,B) and (C,D) are within the 5 s window; E/F are unique texts that
+    // keep the stream advancing so the event-time timeout can fire
+    val text = (0 until 40).map(k => s"w$k").mkString(" ")
+    val docs = Seq(
+      (0L, text, ts(0)), (1L, text, ts(1)), (2L, text, ts(20)), (3L, text, ts(21)),
+      (4L, (100 until 140).map(k => s"u$k").mkString(" "), ts(40)),
+      (5L, (200 until 240).map(k => s"v$k").mkString(" "), ts(60)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val pairs = graft.streaming.StatefulOps.streamingNearDupPairs(
+      stream, "doc_id", "text", numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2,
+      threshold = 0.5, retention = graft.streaming.StatefulOps.EventWindow("ts", windowMs = 5000L))
+    val q = pairs.writeStream.format("memory").queryName("nd_windowed")
+      .outputMode("append").start()
+    try {
+      def stateRows(): Long = q.lastProgress.stateOperators(0).numRowsTotal
+      input.addData(docs(0), docs(1)); q.processAllAvailable() // A@0s, B@1s
+      input.addData(docs(2)); q.processAllAvailable()          // C@20s: A,B aged out
+      input.addData(docs(3)); q.processAllAvailable()          // D@21s: pairs with C only
+      input.addData(docs(4)); q.processAllAvailable()          // E@40s advances watermark
+      val afterE = stateRows()
+      input.addData(docs(5)); q.processAllAvailable()          // F@60s: C/D buckets time out
+      // net zero: F's buckets arrive, the timed-out C/D buckets leave — the
+      // unbounded twin would have grown by F's bucket count instead
+      assert(stateRows() == afterE, s"state ${stateRows()} vs $afterE — event-time timeout did not prune")
+      val got = spark.table("nd_windowed").dropDuplicates("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // contract: the batch operator restricted to pairs inside the window
+      val tsById = docs.map(d => d._1 -> d._3.getTime).toMap
+      val want = graft.operators.Dedup.nearDupPairs(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"), "doc_id", "text", 8, 4, 4, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => math.abs(tsById(a) - tsById(b)) <= 5000L }.toSet
+      assert(got == want)
+      assert(got == Set((0L, 1L, 1.0), (2L, 3L, 1.0))) // and not the aged-out cross pairs
+    } finally q.stop()
+  }
+
+  test("streaming near-dup equals batch for 100 random micro-batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 100 independent corpora, each split at random points into 1-4 chunks;
+    // chunk r of every case rides micro-batch r, so all 100 splits are
+    // exercised in ~4 batches of ONE query. Cases share no shingles (per-case
+    // word prefix), so bucket state and the batch expectation both decompose
+    // per case; a freak band-hash collision across cases is rejected by the
+    // est_jac >= 0.5 verify exactly as in the batch path.
+    val rnd = new scala.util.Random(20260812L)
+    val cases = (0 until 100).map { c =>
+      val docs = (0 until 5).map { i =>
+        ((c * 1000 + i).toLong, (10 * i until 10 * i + 40).map(k => s"c${c}w$k").mkString(" "))
+      }
+      val cuts = Seq.fill(rnd.nextInt(4))(rnd.nextInt(docs.size + 1)).sorted
+      val bounds = (0 +: cuts :+ docs.size).toVector
+      val chunks = bounds.zip(bounds.tail).map { case (a, b) => docs.slice(a, b) }
+      (docs, chunks)
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val pairs = graft.streaming.StatefulOps.streamingNearDupPairs(
+      stream, "doc_id", "text", numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2,
+      threshold = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("nd_splits")
+      .outputMode("append").start()
+    try {
+      val maxChunks = cases.map(_._2.size).max
+      for (r <- 0 until maxChunks) {
+        val batchDocs = cases.flatMap { case (_, chunks) =>
+          if (r < chunks.size) chunks(r) else Nil }
+        if (batchDocs.nonEmpty) { input.addData(batchDocs: _*); q.processAllAvailable() }
+      }
+      val got = spark.table("nd_splits").dropDuplicates("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // ONE batch run over the union == union of per-case batch runs (cases
+      // are shingle-disjoint), at a fraction of 100 separate jobs
+      val all = cases.flatMap(_._1)
+      val want = graft.operators.Dedup.nearDupPairs(
+          all.toDF("doc_id", "text"), "doc_id", "text", 8, 4, 4, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+      // the splits really cut inside corpora: some pair must span chunks
+      val chunkOf = cases.zipWithIndex.flatMap { case ((_, chunks), _) =>
+        chunks.zipWithIndex.flatMap { case (ch, r) => ch.map(d => d._1 -> r) } }.toMap
+      assert(want.exists { case (a, b, _) => chunkOf(a) != chunkOf(b) })
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across micro-batches") {
     import spark.implicits._
     import graft.streaming.StatefulOps
