@@ -59,7 +59,16 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val allPasses = (1 to passes).map(_ => onePass())
+    // contention hygiene (round-4 lesson: a pass run at loadavg >2 produced
+    // six phantom sub-1.5 s regressions): when the machine is already busy
+    // at start, run one extra pass so the per-query min has a better chance
+    // of catching a quiet window, and flag the record as contended so
+    // round-over-round readers can discount noise explicitly.
+    val load1 = loadStart.split(",").headOption
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.0)
+    val contended = load1 > 1.5
+    val effPasses = if (contended) passes + 1 else passes
+    val allPasses = (1 to effPasses).map(_ => onePass())
     // per-query min over successful passes; -1 only if EVERY pass failed
     val results = ordered.map(_._1).zipWithIndex.map { case (name, i) =>
       val times = allPasses.map(_(i)._2).filter(_ >= 0)
@@ -77,7 +86,7 @@ object Bench {
     val perPass = allPasses
       .map(p => p.collect { case (_, v) if v >= 0 => v }.sum)
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"passes":$passes,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"passes":$effPasses,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
