@@ -25,11 +25,16 @@ object EmbeddingJob {
       callsPerCycle: Int = 3,
       cycleSleepMillis: Long = 65000L,
       maxRetries: Int = 2,
-      lenient: Boolean = true): Embedder =
+      lenient: Boolean = true,
+      backoffMillis: Long = 1000L,
+      transport: String => String = null,
+      sleeper: Long => Unit = Thread.sleep): Embedder =
     new ResilientEmbedder(
       new ThrottledEmbedder(
-        new HttpEmbedder(endpoint, model, apiKey, dim), callsPerCycle, cycleSleepMillis),
-      maxRetries = maxRetries, lenient = lenient)
+        new HttpEmbedder(endpoint, model, apiKey, dim, transport),
+        callsPerCycle, cycleSleepMillis, sleeper),
+      maxRetries = maxRetries, lenient = lenient,
+      backoffMillis = backoffMillis, sleeper = sleeper)
 
   /** Adds `embeddingCol` (array<float>) by embedding `textCol`. */
   def embedColumn(

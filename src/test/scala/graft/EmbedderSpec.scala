@@ -93,6 +93,33 @@ class EmbedderSpec extends AnyFunSuite {
     assert(stack.dim == 8)
   }
 
+  test("httpStack composed: one run throttles AND isolates a poison row; retries re-pay the throttle") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // canned transport: any batch containing the poison text 500s; otherwise
+    // one vector per input element, in order
+    val transport = (body: String) => {
+      val inputs = (JsonMethods.parse(body) \ "input").children.collect { case JString(s) => s }
+      if (inputs.contains("poison")) throw new java.io.IOException("embedding endpoint HTTP 500")
+      """{"data":[""" + inputs.map(_ => """{"embedding":[0.25,0.5]}""").mkString(",") + "]}"
+    }
+    val sleeps = scala.collection.mutable.Buffer.empty[Long]
+    val stack = EmbeddingJob.httpStack("http://unused", "m", "k", dim = 2,
+      callsPerCycle = 2, cycleSleepMillis = 100L, maxRetries = 1,
+      backoffMillis = 7L, transport = transport, sleeper = sleeps += _)
+    val got = stack.embed(Seq("a", "b", "poison", "d", "e"))
+    // exactly the poison row blanks; its cycle-mate "d" survives
+    assert(got.map(_.toSeq) == Seq(
+      Seq(0.25f, 0.5f), Seq(0.25f, 0.5f), Seq.empty, Seq(0.25f, 0.5f), Seq(0.25f, 0.5f)))
+    // the composition order (Resilient OUTSIDE Throttled) has a real
+    // behavioral consequence pinned here: the batch retry re-runs the whole
+    // throttled batch, so it re-pays the inter-cycle sleep (second 100)
+    // before hitting the poison cycle again; then per-row isolation runs
+    // singleton batches (no inter-cycle sleeps) and only the poison
+    // singleton backs off (final 7) before blanking
+    assert(sleeps.toSeq == Seq(100L, 7L, 100L, 7L))
+  }
+
   test("resilient over a healthy embedder is a pass-through (q34 wiring)") {
     val det = new DeterministicEmbedder(16)
     val e = new ResilientEmbedder(det)
