@@ -869,27 +869,8 @@ object SparkEntry {
     // Dedup.bandSelfJoin. All statements are plain SQL: a SQL-only user
     // stages at scale exactly this way (or INSERTs into a staging table).
     "q56_sql_dedup" -> ((s, dir) => {
-      graft.functions.VectorFunctions.register(s)
       t(s, dir, "documents").createOrReplaceTempView("v_documents")
-      s.sql("UNCACHE TABLE IF EXISTS v_sql_bands") // clean slate per run
-      s.sql(
-        """CREATE OR REPLACE TEMP VIEW v_sql_bands AS
-          |SELECT doc_id, mh, b,
-          |       cast(conv(substring(md5(concat_ws(',',
-          |         transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
-          |FROM (SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents) sig
-          |LATERAL VIEW explode(sequence(0, 3)) t AS b""".stripMargin)
-      s.sql("CACHE TABLE v_sql_bands") // eager: ONE corpus scan, ONE minhash pass
-      s.sql(
-        """WITH ver AS (
-          |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-          |         round(sig_jaccard(a.mh, c.mh), 4) AS est_jac
-          |  FROM v_sql_bands a JOIN v_sql_bands c
-          |    ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
-          |)
-          |SELECT DISTINCT id_a, id_b, est_jac FROM ver
-          |WHERE est_jac >= 0.5
-          |ORDER BY id_a, id_b""".stripMargin)
+      sqlDedupPipeline(s)
     }),
 
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
@@ -908,6 +889,38 @@ object SparkEntry {
           |LIMIT 8""".stripMargin)
     })
   )
+
+  /** The q56 SQL-text dedup pipeline against an existing `v_documents` temp
+    * view — factored out so [[ScaleProbe]] measures exactly the shipped
+    * statements. The band relation is staged through an eagerly-cached temp
+    * view (plain SQL a SQL-only user can type) so the corpus scan + MinHash
+    * pass runs ONCE; the self-join probes the cache from both sides. The
+    * staging view body deliberately uses an inline subquery, not a WITH-CTE:
+    * a CTE gets a fresh id each time the view is expanded, which defeats the
+    * cache manager's canonicalized-plan match and silently recomputes.
+    */
+  def sqlDedupPipeline(s: SparkSession): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    s.sql("UNCACHE TABLE IF EXISTS v_sql_bands") // clean slate per run
+    s.sql(
+      """CREATE OR REPLACE TEMP VIEW v_sql_bands AS
+        |SELECT doc_id, mh, b,
+        |       cast(conv(substring(md5(concat_ws(',',
+        |         transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
+        |FROM (SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents) sig
+        |LATERAL VIEW explode(sequence(0, 3)) t AS b""".stripMargin)
+    s.sql("CACHE TABLE v_sql_bands") // eager: ONE corpus scan, ONE minhash pass
+    s.sql(
+      """WITH ver AS (
+        |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |         round(sig_jaccard(a.mh, c.mh), 4) AS est_jac
+        |  FROM v_sql_bands a JOIN v_sql_bands c
+        |    ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
+        |)
+        |SELECT DISTINCT id_a, id_b, est_jac FROM ver
+        |WHERE est_jac >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)
+  }
 
   // ---------------------------------------------------------------------
   // Oracle building blocks for the sequential packers (C1-C4): DuckDB
