@@ -838,6 +838,78 @@ object SparkEntry {
         .orderBy($"source", $"seq_no")
     }),
 
+    // Eval-set decontamination — the canonical pre-training hygiene op:
+    // training documents sharing ANY word 4-gram with a held-out eval set
+    // (docs with doc_id % 83 == 7 here) are flagged with their overlap
+    // count. Grams are computed scan-side by the native word_ngrams
+    // expression; the eval gram set is tiny by construction (eval sets are
+    // benchmarks, not corpora) and BROADCAST, so the contamination probe is
+    // one corpus scan + a broadcast hash join — no shuffle of the corpus at
+    // 100 TB. Gram size 4 on this corpus (uniform draws over a small word
+    // vocabulary) flags a selective non-empty set — 5-grams never collide,
+    // 3-grams flag half the corpus; real pipelines tune n the same way.
+    "q60_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val grams = t(s, dir, "documents")
+        .select($"doc_id",
+          explode(graft.operators.TextAnalysis.wordNGrams($"text", 4)).as("g"))
+      val evalGrams = grams.filter($"doc_id" % 83 === 7).select($"g").distinct()
+      grams.filter($"doc_id" % 83 =!= 7)
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"g").cast("long").as("n_shared"))
+        .orderBy($"doc_id")
+    }),
+
+    // Gopher-style repetition quality filter: per-document duplicate-line
+    // fraction and most-common-token fraction, with the keep decision
+    // (dup_line_frac <= 0.3 AND top_tok_frac <= 0.2). Line metrics are pure
+    // scan-side array ops; token metrics are explode → two partial+final
+    // aggs keyed by (doc, token) then doc — the standard distributed shape
+    // for per-doc token histograms (no per-doc collect, skew-safe).
+    "q61_repetition_filter" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val lineStats = d.select($"doc_id",
+          filter(split($"text", "\n"), x => length(trim(x)) > 0).as("ls"))
+        .select($"doc_id",
+          size($"ls").cast("long").as("n_lines"),
+          size(array_distinct($"ls")).cast("long").as("n_distinct_lines"))
+      val tokStats = d
+        .select($"doc_id", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("maxc"), sum($"c").as("ntok"))
+      lineStats.join(tokStats, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_lines", $"n_distinct_lines",
+          fq4(when($"n_lines" > 0,
+              lit(1.0) - $"n_distinct_lines".cast("double") / $"n_lines")
+            .otherwise(lit(0.0))).as("dup_line_frac"),
+          fq4(coalesce($"maxc".cast("double") / $"ntok", lit(0.0))).as("top_tok_frac"))
+        .withColumn("keep",
+          ($"dup_line_frac" <= 0.3 && $"top_tok_frac" <= 0.2).cast("int"))
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic per-source mixture sampling — domain weighting without
+    // randomness: each source gets a reproducible rate (basis points derived
+    // from a salted stable hash of the source name), each doc keeps iff its
+    // own salted hash falls under the rate. Scan-side decisions (no shuffle
+    // until the audit agg), reproducible across engines, runs and
+    // partitionings — re-running the pipeline on a re-bucketed 100 TB corpus
+    // selects the SAME documents.
+    "q62_source_mix" -> ((s, dir) => {
+      import s.implicits._
+      val rateBp = lit(2000L) + pmod(graft.functions.HashFunctions
+        .stableHash64(concat(lit("mix:"), $"source")), lit(7000L))
+      val kept = pmod(graft.functions.HashFunctions
+        .stableHash64(concat(lit("sample:"), $"doc_id".cast("string"))), lit(10000L)) < rateBp
+      t(s, dir, "documents")
+        .select($"source", rateBp.as("rate_bp"), kept.cast("int").as("kept"))
+        .groupBy($"source", $"rate_bp")
+        .agg(count(lit(1)).as("n_docs"), sum($"kept").cast("long").as("n_kept"))
+        .orderBy($"source")
+    }),
+
     // Corpus profiling (training-data QA): per-source document counts,
     // language cardinality, exact length quantiles (Spark `percentile` and
     // DuckDB `quantile_cont` share the interpolation contract), short-doc
@@ -1339,6 +1411,38 @@ assigned AS (
   WHERE p.idx >= 1)
 SELECT source, seq_no, count(*) AS n_docs, sum(t)::BIGINT AS seq_tokens
 FROM assigned GROUP BY source, seq_no ORDER BY source, seq_no""",
+    "q60_decontaminate" ->
+      raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 4)
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) BETWEEN 1 AND 3
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 83 = 7)
+SELECT doc_id, count(DISTINCT g)::BIGINT AS n_shared
+FROM grams JOIN ev USING (g)
+WHERE doc_id % 83 <> 7
+GROUP BY doc_id ORDER BY doc_id""",
+    "q61_repetition_filter" ->
+      raw"""WITH ln AS (
+  SELECT doc_id, len(ls)::BIGINT AS n_lines, len(list_distinct(ls))::BIGINT AS n_distinct_lines
+  FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS ls FROM documents)),
+tf AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS f
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT doc_id, n_lines, n_distinct_lines,
+  floor((CASE WHEN n_lines > 0 THEN 1.0 - n_distinct_lines::DOUBLE / n_lines ELSE 0.0 END) * 10000.0) / 10000.0 AS dup_line_frac,
+  floor(coalesce(tf.f, 0.0) * 10000.0) / 10000.0 AS top_tok_frac,
+  CASE WHEN dup_line_frac <= 0.3 AND top_tok_frac <= 0.2 THEN 1 ELSE 0 END AS keep
+FROM ln LEFT JOIN tf USING (doc_id) ORDER BY doc_id""",
+    "q62_source_mix" ->
+      """SELECT source, (2000 + hm)::BIGINT AS rate_bp, count(*) AS n_docs, sum(CASE WHEN hs < 2000 + hm THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM (SELECT source, ('0x' || substr(md5('mix:' || source), 1, 15))::BIGINT % 7000 AS hm, ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS hs FROM documents)
+GROUP BY source, hm ORDER BY source""",
     "q55_corpus_profile" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars, floor(avg(n_chars) * 10000.0)::BIGINT AS avg_chars_q, sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS n_short FROM documents GROUP BY source ORDER BY source""",
     "q54_multimodal_frames" ->

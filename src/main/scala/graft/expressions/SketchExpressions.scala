@@ -208,6 +208,54 @@ case class WordFingerprint(child: Expression)
   override def prettyName: String = "word_fingerprint"
 }
 
+/** Space-joined lowercase word n-grams as `array<string>` — the unit of
+  * eval-set decontamination (remove training docs sharing any n-gram with a
+  * held-out benchmark). Tokens are whitespace-split lowercased words; a text
+  * with 1 to n-1 tokens contributes its whole token run as one gram (so
+  * short docs are still decontaminatable), an empty/blank text none. One
+  * compiled loop per row; the HOF formulation (transform over sequence with
+  * slice+array_join per element) interprets two lambdas per gram.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(n >= 1, s"word_ngrams: n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.trim.toLowerCase
+      .split("\\s+").filter(_.nonEmpty)
+    val grams: Array[UTF8String] =
+      if (tokens.isEmpty) Array.empty
+      else if (tokens.length < n) Array(UTF8String.fromString(tokens.mkString(" ")))
+      else {
+        val out = new Array[UTF8String](tokens.length - n + 1)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= tokens.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(tokens(i + j))
+            j += 1
+          }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        out
+      }
+    new GenericArrayData(grams.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngrams"
+}
+
 /** Exact character-shingle Jaccard between two strings in one compiled pass:
   * distinct n-gram sets of both sides (code-point windows; texts shorter
   * than n contribute themselves), then |A∩B| / |A∪B| — value-identical to

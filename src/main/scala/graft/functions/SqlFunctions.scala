@@ -37,5 +37,7 @@ object SqlFunctions {
       graft.operators.TextAnalysis.Markers.toSeq.map { case (l, ws) => (l, ws) })),
     "word_fingerprint" -> (es => WordFingerprint(es(0))),
     "char_shingles" -> (es => CharShingles(es(0),
-      intArg("char_shingles", "n", es(1)))))
+      intArg("char_shingles", "n", es(1)))),
+    "word_ngrams" -> (es => WordNGrams(es(0),
+      intArg("word_ngrams", "n", es(1)))))
 }

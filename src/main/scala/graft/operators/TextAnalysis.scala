@@ -112,4 +112,26 @@ object TextAnalysis {
     Bridge.toColumn(org.apache.spark.sql.graft.expressions.WordFingerprint(
       Bridge.toExpr(textCol)))
   }
+
+  /** Space-joined lowercase word n-grams (`array<string>`) — the unit of
+    * eval-set decontamination. 1 to n-1 tokens → the whole run as one gram;
+    * blank text → empty array. Native one-loop expression.
+    */
+  def wordNGrams(textCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.toColumn(org.apache.spark.sql.graft.expressions.WordNGrams(
+      Bridge.toExpr(textCol), n))
+  }
+
+  /** HOF formulation of [[wordNGrams]] — the independent cross-check the
+    * native expression is property-pinned against (two interpreted lambdas
+    * per gram; use the native form in pipelines).
+    */
+  def wordNGramsFromTokens(tokens: Column, n: Int): Column = {
+    val sz = size(tokens)
+    when(sz === 0, array().cast("array<string>"))
+      .when(sz < n, array(concat_ws(" ", tokens)))
+      .otherwise(transform(sequence(lit(1), sz - (n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+  }
 }

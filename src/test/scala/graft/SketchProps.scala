@@ -80,6 +80,18 @@ object SketchProps extends Properties("SketchExpressions") {
     WordFingerprint(lit(s)).eval(null) == refFingerprint(s)
   }
 
+  property("WordNGrams == sliding reference incl. short/blank texts") =
+    forAll(text, Gen.chooseNum(1, 4)) { (s, n) =>
+      val toks = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      val want: Vector[String] =
+        if (toks.isEmpty) Vector.empty
+        else if (toks.length < n) Vector(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toVector
+      val got = WordNGrams(lit(s), n).eval(null).asInstanceOf[ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toVector
+      got == want
+    }
+
   property("ShingleJaccard == set-intersection reference") = forAll(text, text) { (a, b) =>
     val sa = refShingles(a, 4).toSet
     val sb = refShingles(b, 4).toSet

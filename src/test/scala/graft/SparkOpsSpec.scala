@@ -476,6 +476,7 @@ class SparkOpsSpec extends AnyFunSuite {
         |  lang_quality(ta).quality AS lqual,
         |  word_fingerprint(ta) AS fp,
         |  char_shingles(ta, 3) AS cs,
+        |  word_ngrams(ta, 3) AS ng,
         |  cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
         |FROM v_sketch ORDER BY id""".stripMargin)
@@ -491,6 +492,10 @@ class SparkOpsSpec extends AnyFunSuite {
         graft.operators.TextAnalysis.langQualityCol($"ta").getField("quality").as("lqual"),
         graft.operators.TextAnalysis.fingerprint($"ta").as("fp"),
         graft.operators.Dedup.shinglesCol($"ta", 3).as("cs"),
+        // the HOF formulation, not the native expression again — so this row
+        // also pins native == independent higher-order-function path
+        graft.operators.TextAnalysis.wordNGramsFromTokens(
+          graft.operators.TextAnalysis.tokensCol($"ta"), 3).as("ng"),
         graft.functions.VectorFunctions
           .cosineSim(org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f)),
             org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f))).as("cos"),
