@@ -910,6 +910,50 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Corpus vocabulary top-k — the tokenizer-training primitive: global
+    // token frequencies, top 20 with a deterministic tie-break. ONE shuffle
+    // (partial+final count keyed by token — the map-side combine collapses
+    // each partition to its distinct tokens before the exchange) and a
+    // TakeOrderedAndProject; at 100 TB the shuffle carries vocabulary-sized
+    // data, not corpus-sized.
+    "q63_vocab_topk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token").limit(20)
+    }),
+
+    // PII redaction — pre-training scrub of emails and phone numbers to
+    // typed placeholders, with a per-row redaction count for audit. Pure
+    // scan-side regexp_replace (codegen'd, no shuffle); patterns chosen to
+    // behave identically in Java regex and RE2 so the oracle reproduces the
+    // scrub byte-for-byte. PII is synthesized from the customer table
+    // (name-derived email; key-derived phone present for 2/3 of rows) since
+    // the documents corpus contains none.
+    "q64_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val phone = format_string("%02d-%03d-%03d-%04d",
+        ($"c_nationkey" + 10).cast("int"),
+        (lit(100) + $"c_custkey" % 900).cast("int"),
+        (lit(100) + ($"c_custkey" * 7) % 900).cast("int"),
+        (lit(1000) + ($"c_custkey" * 13) % 9000).cast("int"))
+      val raw = concat(
+        lit("contact "), lower(regexp_replace($"c_name", "[^A-Za-z0-9]", "")),
+        lit("@corp.example"),
+        when($"c_custkey" % 3 =!= 0, concat(lit(" ph "), phone)).otherwise(lit("")),
+        lit(" end"))
+      t(s, dir, "customer")
+        .select($"c_custkey",
+          regexp_replace(
+            regexp_replace(raw, raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+            raw"\d{2}-\d{3}-\d{3}-\d{4}", "<PHONE>").as("scrubbed"))
+        .withColumn("n_redacted",
+          ((size(split($"scrubbed", "<EMAIL>", -1)) - 1) +
+           (size(split($"scrubbed", "<PHONE>", -1)) - 1)).cast("long"))
+        .orderBy($"c_custkey")
+    }),
+
     // Corpus profiling (training-data QA): per-source document counts,
     // language cardinality, exact length quantiles (Spark `percentile` and
     // DuckDB `quantile_cont` share the interpolation contract), short-doc
@@ -1443,6 +1487,14 @@ FROM ln LEFT JOIN tf USING (doc_id) ORDER BY doc_id""",
       """SELECT source, (2000 + hm)::BIGINT AS rate_bp, count(*) AS n_docs, sum(CASE WHEN hs < 2000 + hm THEN 1 ELSE 0 END)::BIGINT AS n_kept
 FROM (SELECT source, ('0x' || substr(md5('mix:' || source), 1, 15))::BIGINT % 7000 AS hm, ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS hs FROM documents)
 GROUP BY source, hm ORDER BY source""",
+    "q63_vocab_topk" ->
+      raw"""SELECT w AS token, count(*) AS n FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents) GROUP BY w ORDER BY n DESC, token LIMIT 20""",
+    "q64_pii_scrub" ->
+      raw"""SELECT c_custkey, scrubbed, ((len(string_split(scrubbed, '<EMAIL>')) - 1) + (len(string_split(scrubbed, '<PHONE>')) - 1))::BIGINT AS n_redacted
+FROM (SELECT c_custkey, regexp_replace(regexp_replace(
+  'contact ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@corp.example' || CASE WHEN c_custkey % 3 <> 0 THEN ' ph ' || printf('%02d-%03d-%03d-%04d', (c_nationkey + 10)::INT, (100 + c_custkey % 900)::INT, (100 + (c_custkey * 7) % 900)::INT, (1000 + (c_custkey * 13) % 9000)::INT) ELSE '' END || ' end',
+  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '\d{2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed FROM customer)
+ORDER BY c_custkey""",
     "q55_corpus_profile" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars, floor(avg(n_chars) * 10000.0)::BIGINT AS avg_chars_q, sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS n_short FROM documents GROUP BY source ORDER BY source""",
     "q54_multimodal_frames" ->
