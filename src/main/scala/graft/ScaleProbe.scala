@@ -23,11 +23,21 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val offset = 10000000L
+    // a fresh session's in-memory catalog has no tables, so DROP TABLE can't
+    // clear a previous run's managed-table directory — remove the location
+    // itself or CTAS fails with LOCATION_ALREADY_EXISTS
+    val warehouse = java.nio.file.Paths.get("/tmp/graft_probe_warehouse")
+    if (java.nio.file.Files.exists(warehouse)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(warehouse).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_probe_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,6 +73,33 @@ object ScaleProbe {
       scaled.createOrReplaceTempView("v_documents")
       SparkEntry.sqlDedupPipeline(spark)
     }
+    // the staging variant COVERAGE.md recommends for 100 TB SQL deployments:
+    // stage the band relation into a COLUMNAR parquet table (CTAS) instead
+    // of the in-memory cache, so the self-join probes compressed columnar
+    // scans; statements stay plain SQL (band SQL mirrors sqlDedupPipeline)
+    val q56t = timed("q56_sql_dedup_tablestage_10x") {
+      graft.functions.VectorFunctions.register(spark)
+      scaled.createOrReplaceTempView("v_documents")
+      spark.sql("DROP TABLE IF EXISTS sql_bands_tbl")
+      spark.sql(
+        """CREATE TABLE sql_bands_tbl USING parquet AS
+          |SELECT doc_id, mh, b,
+          |       cast(conv(substring(md5(concat_ws(',',
+          |         transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
+          |FROM (SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents) sig
+          |LATERAL VIEW explode(sequence(0, 3)) t AS b""".stripMargin)
+      spark.sql(
+        """WITH ver AS (
+          |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+          |         round(sig_jaccard(a.mh, c.mh), 4) AS est_jac
+          |  FROM sql_bands_tbl a JOIN sql_bands_tbl c
+          |    ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
+          |)
+          |SELECT DISTINCT id_a, id_b, est_jac FROM ver
+          |WHERE est_jac >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin)
+    }
+
     val q57 = timed("q57_dedup_midrange_10x") {
       // q57's shape on each copy's first 200 docs (2000 docs of windows)
       val win = scaled
@@ -81,7 +118,7 @@ object ScaleProbe {
         .select($"id".as("win_id"), $"keeper_id")
     }
 
-    val qs = Seq(q39, q56, q57)
+    val qs = Seq(q39, q56, q56t, q57)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()
