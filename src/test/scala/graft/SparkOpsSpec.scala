@@ -814,6 +814,18 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(packPlan.contains("Exchange hashpartitioning"), packPlan)
     assert(packPlan.contains("Sort ["), packPlan)
     assert(!packPlan.contains("FlatMapGroups"), packPlan)
+    // q60: decontamination must probe the eval grams by BROADCAST — a
+    // sort-merge join would shuffle the whole corpus's gram explosion
+    val decontPlan = SparkEntry.queries("q60_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(decontPlan.contains("BroadcastHashJoin"), decontPlan)
+    assert(!decontPlan.contains("SortMergeJoin"), decontPlan)
+    // q63: vocabulary top-k must be a partial+final count feeding
+    // TakeOrderedAndProject — never a full sort of the vocabulary
+    val vocabPlan = SparkEntry.queries("q63_vocab_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject"), vocabPlan)
+    assert("HashAggregate".r.findAllIn(vocabPlan).size >= 2, vocabPlan)
   }
 
   test("bucketed tables co-locate the join: no Exchange in the plan") {
