@@ -643,6 +643,66 @@ class SparkOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EventWindow retention equals window-restricted batch for random corpora, timestamps and splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 30 SHINGLE-disjoint cases per window (every character of case c's
+    // words comes from a 4-codepoint alphabet unique to c — a shared word
+    // PREFIX is not enough, the 4-char shingles themselves must be
+    // disjoint, else genuinely-similar cross-case docs share buckets where
+    // arrivals are not time-ordered and pruning legitimately diverges from
+    // the batch restriction). Docs get random event times and are fed in
+    // event-time order at random split points: time-ordered arrival is the
+    // operator's stated contract — pruning keys off the monotone bucket
+    // max, so any in-order split must reproduce the batch operator
+    // restricted to |Δts| <= window exactly.
+    val rnd = new scala.util.Random(5L)
+    for (windowSec <- Seq(3L, 8L)) {
+      val cases = (0 until 30).map { c =>
+        def word(k: Int): String =
+          (0 until 4).map(p => (0x3400 + c * 8 + ((k >> (2 * p)) & 3)).toChar).mkString
+        val docs = (0 until 5).map { i =>
+          ((c * 1000 + i).toLong,
+            (10 * i until 10 * i + 40).map(word).mkString(" "),
+            new java.sql.Timestamp(3600000L + rnd.nextInt(15000)))
+        }.sortBy(_._3.getTime)
+        val cuts = Seq.fill(rnd.nextInt(4))(rnd.nextInt(docs.size + 1)).sorted
+        val bounds = (0 +: cuts :+ docs.size).toVector
+        (docs, bounds.zip(bounds.tail).map { case (a, b) => docs.slice(a, b) })
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+      // watermark slack must exceed the cross-case timestamp spread (15 s):
+      // the watermark chases the GLOBAL max event time, and batch r+1 can
+      // carry another case's doc with an earlier timestamp — in-slack it is
+      // kept, exactly the out-of-orderness the delay parameter exists for
+      val pairs = graft.streaming.StatefulOps.streamingNearDupPairs(
+        input.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5,
+        retention = graft.streaming.StatefulOps.EventWindow(
+          "ts", windowSec * 1000L, watermarkDelay = "60 seconds"))
+      val q = pairs.writeStream.format("memory").queryName(s"nd_win$windowSec")
+        .outputMode("append").start()
+      try {
+        // batch r carries every case's r-th chunk; each case's own chunks
+        // are time-ordered, which is what the pruning contract requires
+        for (r <- 0 until cases.map(_._2.size).max) {
+          val batch = cases.flatMap { case (_, ch) => if (r < ch.size) ch(r) else Nil }
+          if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+        }
+        val got = spark.table(s"nd_win$windowSec").dropDuplicates("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val all = cases.flatMap(_._1)
+        val tsById = all.map(d => d._1 -> d._3.getTime).toMap
+        val want = graft.operators.Dedup.nearDupPairs(
+            all.map(d => (d._1, d._2)).toDF("doc_id", "text"), "doc_id", "text", 8, 4, 4, 2, 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .filter { case (a, b) => math.abs(tsById(a) - tsById(b)) <= windowSec * 1000L }.toSet
+        assert(got == want, s"window ${windowSec}s")
+        assert(want.nonEmpty) // the window really bites at these timestamps
+      } finally q.stop()
+    }
+  }
+
   test("streaming near-dup equals batch for 100 random micro-batch splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
