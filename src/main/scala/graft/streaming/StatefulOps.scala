@@ -47,12 +47,16 @@ object StatefulOps {
   /** Bounded: documents carry an event-time TIMESTAMP column `tsCol`
     * (watermarked by the operator with `watermarkDelay`); a pair is emitted
     * only between docs whose event times differ by at most `windowMs`, and a
-    * bucket retains only members within `windowMs` of the newest event time
-    * it has seen. Idle buckets are dropped wholesale once the watermark
-    * passes their window (event-time timeout), so total state is
-    * O(docs per retention window) — not O(corpus). Arrivals out of order by
-    * more than the watermark slack may miss pairs against already-pruned
-    * members; the slack bounds that loss exactly as it bounds lateness.
+    * bucket retains a member until the WATERMARK passes
+    * `member ts + windowMs` — the exact moment Spark guarantees no
+    * still-admissible arrival can pair with it (anything older than the
+    * watermark is dropped as late before reaching the operator). So every
+    * admitted arrival, in order or not, pairs with precisely the members it
+    * is entitled to; only late-dropped rows lose pairs, and the watermark
+    * delay bounds that loss exactly as it bounds lateness anywhere else.
+    * Idle buckets are dropped wholesale once the watermark passes their
+    * newest member's window (event-time timeout), so total state is
+    * O(docs per window + watermark slack) per bucket — not O(corpus).
     */
   final case class EventWindow(
       tsCol: String, windowMs: Long, watermarkDelay: String = "0 seconds") extends Retention
@@ -127,11 +131,16 @@ object StatefulOps {
   }
 
   /** [[EventWindow]] path: same bucket structure, but membership and pairing
-    * are bounded by the event-time window. Pruning keys off the newest event
-    * time the bucket has seen (monotone, so an in-slack late arrival can
-    * still pair with everything it is entitled to), and the event-time
-    * timeout removes a bucket's state entirely once the watermark passes
-    * `newest + windowMs` — a bucket that stops receiving data costs nothing.
+    * are bounded by the event-time window. Pruning keys off the CURRENT
+    * WATERMARK, not the bucket's max event time: the bucket max advances on
+    * any new arrival, but Spark still admits rows up to the watermark slack
+    * behind it, and such an in-slack out-of-order arrival is entitled to
+    * pair with members up to `windowMs` before itself. A member is therefore
+    * retained until `watermark > member ts + windowMs`, when no admissible
+    * future arrival can reach it. The event-time timeout removes a bucket's
+    * state entirely once the watermark passes `newest + windowMs` — by which
+    * point every member is individually prunable — so a bucket that stops
+    * receiving data costs nothing.
     */
   private def windowedPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -165,8 +174,14 @@ object StatefulOps {
               }
               members = members :+ ((id, sig, t))
             }
+            // prune on the watermark: a member at ts can still pair with an
+            // admitted arrival until the watermark passes ts + windowMs.
+            // Bucket-max pruning here would silently lose pairs for in-slack
+            // out-of-order arrivals. The current arrival always survives
+            // (its event time is above the watermark or it was late-dropped
+            // upstream), so members is never emptied by this filter.
+            members = members.filter(_._3 >= state.getCurrentWatermarkMs() - w.windowMs)
             val newest = members.iterator.map(_._3).max
-            members = members.filter(_._3 >= newest - w.windowMs)
             state.update(TimedBucketState(members))
             // strictly after the current watermark or Spark rejects it; fires
             // once no in-slack arrival can still pair with this bucket

@@ -643,38 +643,67 @@ class SparkOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("EventWindow: an in-slack out-of-order arrival still pairs with every entitled member") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // The exact scenario bucket-max pruning got wrong: B@20s advances the
+    // bucket max far past A@0s (Δ > window, no pair), then C@4s arrives
+    // out of order but inside the 30 s watermark slack. C is entitled to
+    // pair with A (Δ4s <= 5s window); pruning on the bucket max would have
+    // evicted A when B landed and silently lost the pair. Watermark-based
+    // pruning keeps A until the watermark passes 0s + 5s.
+    def ts(sec: Int) = new java.sql.Timestamp(3600000L + sec * 1000L)
+    val text = (0 until 40).map(k => s"o$k").mkString(" ")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pairs = graft.streaming.StatefulOps.streamingNearDupPairs(
+      input.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
+      numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5,
+      retention = graft.streaming.StatefulOps.EventWindow(
+        "ts", windowMs = 5000L, watermarkDelay = "30 seconds"))
+    val q = pairs.writeStream.format("memory").queryName("nd_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, text, ts(0)), (1L, text, ts(20))); q.processAllAvailable()
+      input.addData((2L, text, ts(4))); q.processAllAvailable() // in-slack, out of order
+      val got = spark.table("nd_ooo").dropDuplicates("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((0L, 2L))) // A-C pairs; A-B and B-C exceed the window
+    } finally q.stop()
+  }
+
   test("EventWindow retention equals window-restricted batch for random corpora, timestamps and splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     // 30 SHINGLE-disjoint cases per window (every character of case c's
     // words comes from a 4-codepoint alphabet unique to c — a shared word
     // PREFIX is not enough, the 4-char shingles themselves must be
-    // disjoint, else genuinely-similar cross-case docs share buckets where
-    // arrivals are not time-ordered and pruning legitimately diverges from
-    // the batch restriction). Docs get random event times and are fed in
-    // event-time order at random split points: time-ordered arrival is the
-    // operator's stated contract — pruning keys off the monotone bucket
-    // max, so any in-order split must reproduce the batch operator
-    // restricted to |Δts| <= window exactly.
+    // disjoint, so each case's bucket state and pair structure is
+    // independent and a failure localizes to one case). Docs get random
+    // event times and arrive in RANDOM order at random split points:
+    // pruning keys off the watermark, not the bucket max, so any arrival
+    // order whose lateness stays inside the watermark slack must reproduce
+    // the batch operator restricted to |Δts| <= window exactly — feeding
+    // shuffled is precisely the out-of-order entitlement the bucket-max
+    // scheme silently violated.
     val rnd = new scala.util.Random(5L)
     for (windowSec <- Seq(3L, 8L)) {
       val cases = (0 until 30).map { c =>
         def word(k: Int): String =
           (0 until 4).map(p => (0x3400 + c * 8 + ((k >> (2 * p)) & 3)).toChar).mkString
-        val docs = (0 until 5).map { i =>
+        val docs = rnd.shuffle((0 until 5).map { i =>
           ((c * 1000 + i).toLong,
             (10 * i until 10 * i + 40).map(word).mkString(" "),
             new java.sql.Timestamp(3600000L + rnd.nextInt(15000)))
-        }.sortBy(_._3.getTime)
+        })
         val cuts = Seq.fill(rnd.nextInt(4))(rnd.nextInt(docs.size + 1)).sorted
         val bounds = (0 +: cuts :+ docs.size).toVector
         (docs, bounds.zip(bounds.tail).map { case (a, b) => docs.slice(a, b) })
       }
       val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, java.sql.Timestamp)]
-      // watermark slack must exceed the cross-case timestamp spread (15 s):
-      // the watermark chases the GLOBAL max event time, and batch r+1 can
-      // carry another case's doc with an earlier timestamp — in-slack it is
-      // kept, exactly the out-of-orderness the delay parameter exists for
+      // watermark slack must exceed the full timestamp spread (15 s): the
+      // watermark chases the GLOBAL max event time, and with shuffled
+      // arrival any batch can carry a doc with an earlier timestamp —
+      // in-slack it is admitted and must still find every entitled partner
       val pairs = graft.streaming.StatefulOps.streamingNearDupPairs(
         input.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text",
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5,
@@ -683,8 +712,8 @@ class SparkOpsSpec extends AnyFunSuite {
       val q = pairs.writeStream.format("memory").queryName(s"nd_win$windowSec")
         .outputMode("append").start()
       try {
-        // batch r carries every case's r-th chunk; each case's own chunks
-        // are time-ordered, which is what the pruning contract requires
+        // batch r carries every case's r-th chunk, in whatever (shuffled)
+        // order the case generated — no per-case time ordering anywhere
         for (r <- 0 until cases.map(_._2.size).max) {
           val batch = cases.flatMap { case (_, ch) => if (r < ch.size) ch(r) else Nil }
           if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
