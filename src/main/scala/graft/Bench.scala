@@ -57,7 +57,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // outside the timed region: bookkeeping, not query work — a staged
+      // cache (q56's band view) must not skew every LATER query's memory
+      SparkEntry.releaseStaging(spark)
+      name -> (if (ok) elapsed else -1.0)
     }
     // contention hygiene (round-4 lesson: a pass run at loadavg >2 produced
     // six phantom sub-1.5 s regressions): when the machine is already busy

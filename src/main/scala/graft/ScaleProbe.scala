@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** One-shot 10× scale probe for the three dedup pipelines: the documents
   * table from `SPARK_GRAFT_SF_DIR` (default sf0.1) is unioned `copies`
-  * times with disjoint id ranges and a per-copy text perturbation (clones
-  * are near- rather than exact-duplicates, so the verify stage does real
-  * work), then the q39 (DataFrame LSH), q56 (SQL-text staged pipeline) and
-  * q57 (mid-range windows + label propagation) shapes run once each on the
-  * scaled corpus. Prints one JSON line of wall-times + output rows.
+  * times with disjoint id ranges as EXACT copies — per-copy text
+  * perturbation was tried and rejected (see the inline comment below and
+  * COVERAGE.md: a shared tag dominates the shortest docs' shingle sets and
+  * manufactures spurious corpus-wide clusters), and exact copies make the
+  * expected pair count closed-form checkable — then the q39 (DataFrame
+  * LSH), q56 (SQL-text staged pipeline) and q57 (mid-range windows + label
+  * propagation) shapes run once each on the scaled corpus. Prints one JSON
+  * line of wall-times + output rows.
   *
   * Not a driver gate — direct evidence (recorded in COVERAGE.md) that the
   * bucketed one-shuffle plans hold an order of magnitude past bench scale:
@@ -73,6 +76,9 @@ object ScaleProbe {
       scaled.createOrReplaceTempView("v_documents")
       SparkEntry.sqlDedupPipeline(spark)
     }
+    // the cache-staged run is over; drop its band relation so the next two
+    // probes measure their own memory footprint, not q56's leftover cache
+    SparkEntry.releaseStaging(spark)
     // the staging variant COVERAGE.md recommends for 100 TB SQL deployments:
     // stage the band relation into a COLUMNAR parquet table (CTAS) instead
     // of the in-memory cache, so the self-join probes compressed columnar

@@ -1006,6 +1006,16 @@ object SparkEntry {
     })
   )
 
+  /** Drop staging relations a query pinned for its own execution (q56's
+    * eagerly-cached `v_sql_bands`). The cache must outlive the RETURNED
+    * lazy DataFrame until the caller materializes it — uncaching inside the
+    * query builder would silently recompute the corpus scan per join side —
+    * so harnesses (Bench, Verify) call this after each query's write
+    * instead; otherwise the band relation rides executor memory into every
+    * subsequent query of the pass. */
+  def releaseStaging(s: SparkSession): Unit =
+    s.sql("UNCACHE TABLE IF EXISTS v_sql_bands")
+
   /** The q56 SQL-text dedup pipeline against an existing `v_documents` temp
     * view — factored out so [[ScaleProbe]] measures exactly the shipped
     * statements. The band relation is staged through an eagerly-cached temp
