@@ -26,6 +26,45 @@ object SparkEntry {
     */
   private def fq4(c: Column): Column = floor(c * 10000.0) / 10000.0
 
+  /** Query-term list shared by the BM25 (q66) and hybrid-RRF (q67) rankers
+    * — mirrored literally in their oracle SQL.
+    */
+  private val Bm25Terms = Seq("join", "vector", "window", "stream")
+
+  /** BM25 (k1=1.2, b=0.75) scores over the documents table for
+    * [[Bm25Terms]], docs matching no term excluded. Scale shape (shared by
+    * q66/q67): per-term tf and dl are scan-side array ops — the term list
+    * is a literal, so there is NO explode and no (doc, term) shuffle; the
+    * corpus-global stats (N, avgdl, per-term df) are one single-row
+    * aggregate broadcast back. Two corpus scans total (idf is
+    * corpus-global — inherent), zero data shuffles. Float parity with the
+    * oracle: idf floor-quantizes the only transcendental (ln) at 1e-4, and
+    * every constant is written as a plain literal on both sides (2.2, not
+    * k1+1.0 — Scala's `1.2+1.0` and DuckDB's DECIMAL `1.2+1.0` round to
+    * DIFFERENT doubles, while the literal `2.2` parses identically).
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Bm25Terms
+    val base = t(s, dir, "documents")
+      .select($"doc_id", graft.operators.TextAnalysis.tokensCol($"text").as("tk"))
+      .select($"doc_id" +: size($"tk").cast("double").as("dl") +:
+        terms.map(tm => size(filter($"tk", x => x === tm)).cast("double").as(s"tf_$tm")): _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg($"dl").as("avgdl") +:
+        terms.map(tm => sum((col(s"tf_$tm") > 0).cast("long")).cast("double").as(s"df_$tm")): _*)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score", terms.map { tm =>
+        val tf = col(s"tf_$tm")
+        val df = col(s"df_$tm")
+        val idf = floor(log((($"n_docs" - df + 0.5) / (df + 0.5)) + 1.0) * 10000.0) / 10000.0
+        idf * (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
+      }.reduce(_ + _))
+      .filter(terms.map(tm => col(s"tf_$tm")).reduce(_ + _) > 0)
+      .select($"doc_id", $"score")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core retrieval shape (`QA_using_pinecone.py:31-50`):
     * metadata-filtered cosine top-k over the vector index joined back to
@@ -954,6 +993,138 @@ object SparkEntry {
         .orderBy($"c_custkey")
     }),
 
+    // Gap-based sessionization over the events stream table (6 h inactivity
+    // gap; ts is epoch-nanos — Tables.load). The lag and the running sum
+    // share one Window partitioning, and the per-session rollup groups on
+    // (user, session_seq) whose clustering the user-hash Exchange already
+    // satisfies — ONE shuffle end to end, plan-pinned. The streaming twin
+    // (StatefulOps.streamingSessionize) closes the same sessions on the
+    // watermark; their session numbering provably agrees.
+    "q65_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      // µs domain on BOTH sides: the parquet carries TIMESTAMP(NANOS) but
+      // DuckDB truncates to µs on read, so gap decisions and outputs must
+      // be µs to agree. Integer `div` — a double division of epoch-nano
+      // longs (~1.7e18 > 2^53) silently loses the low bits.
+      graft.operators.Sessionize.sessionSummary(
+          t(s, dir, "events")
+            .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"), $"value"),
+          "user_id", "ts_us", "event_id", "value", gap = 21600000000L)
+        .select($"user_id", $"session_seq", $"n_events",
+          $"start_ts".as("start_us"), $"dur".as("dur_us"), $"total_value")
+        .orderBy($"user_id", $"session_seq")
+    }),
+
+    // BM25 lexical top-k retrieval (k1=1.2, b=0.75) — the lexical
+    // complement of the cosine ANN family. Per-term tf and the document
+    // length are SCAN-SIDE array ops on the tokens (the query's term list
+    // is a literal, so no explode and no (doc, term) shuffle exists at
+    // all); the corpus-global stats (N, avgdl, per-term df) are one
+    // single-row aggregate cross-joined back as a broadcast. Two corpus
+    // scans total — inherent, idf is corpus-global — then a pure scan-side
+    // score and a TakeOrderedAndProject top-k. At 100 TB nothing shuffles
+    // but one stats row. idf is floor-quantized at 1e-4 so the only
+    // transcendental (ln) can't flip the hash across engines; everything
+    // else is exact integer-derived double math mirrored operation-for-
+    // operation in the oracle.
+    "q66_bm25" -> ((s, dir) => {
+      import s.implicits._
+      bm25Scores(s, dir)
+        .select($"doc_id", fq4($"score").as("score"))
+        .orderBy($"score".desc, $"doc_id").limit(10)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 lexical
+    // ranking and the cosine vector ranking for the same information need
+    // (query vec_id 0's embedding; doc_id and vec_id are aligned 1:1 in
+    // the testdata). Each side is reduced to its top 20 FIRST via
+    // TakeOrderedAndProject — rank positions are then assigned on k-row
+    // results (single-partition window over 20 rows, not the corpus), the
+    // standard scale shape for fusing rankers. Missing-from-one-list docs
+    // contribute 0 from that list (full outer join + coalesce), per the
+    // RRF paper's convention.
+    "q67_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val lexTop = bm25Scores(s, dir)
+        .orderBy($"score".desc, $"doc_id").limit(20)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long"))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter($"vec_id" === 0).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val vecTop = emb.filter($"vec_id" =!= 0)
+        .select($"vec_id".as("doc_id"),
+          VectorFunctions.cosineSim($"embedding", lit(qv)).as("vscore"))
+        .orderBy($"vscore".desc, $"doc_id").limit(20)
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy($"vscore".desc, $"doc_id")).cast("long"))
+      lexTop.select($"doc_id", $"lex_rank")
+        .join(vecTop.select($"doc_id", $"vec_rank"), Seq("doc_id"), "full_outer")
+        .withColumn("rrf", floor(
+          (coalesce(lit(1.0) / ($"lex_rank" + 60.0), lit(0.0)) +
+           coalesce(lit(1.0) / ($"vec_rank" + 60.0), lit(0.0))) * 1000000.0) / 1000000.0)
+        .orderBy($"rrf".desc, $"doc_id").limit(10)
+    }),
+
+    // Paragraph-level exact dedup with document reconstruction (the CCNet
+    // move: drop every repeated paragraph, keep its first occurrence by
+    // (doc, position), rebuild documents from what survives). The testdata
+    // documents are single-line, so "paragraphs" here are fixed 3-token
+    // segments — ~19% of segments repeat across this corpus, exercising
+    // the real cross-document path. Scale shape: posexplode at the scan,
+    // ONE shuffle keyed by paragraph content for the first-occurrence
+    // window, then the per-doc rebuild groups on doc_id (second, doc-keyed
+    // shuffle) using the q10 ordered-collect idiom. No self-join, no
+    // corpus² anything; the paragraph-hash exchange is the canonical
+    // distributed shape for this op.
+    "q68_paragraph_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val pars = t(s, dir, "documents")
+        .select($"doc_id", graft.operators.TextAnalysis.tokensCol($"text").as("tk"))
+        .filter(size($"tk") > 0)
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), ((size($"tk") + 2) / 3).cast("int") - 1),
+          i => array_join(slice($"tk", i * 3 + 1, lit(3)), " "))))
+        .select($"doc_id", ($"pos" + 1).as("idx"), $"col".as("p"))
+      val w = Window.partitionBy($"p").orderBy($"doc_id", $"idx")
+      pars.withColumn("rn", row_number().over(w))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_pars"),
+          sum(($"rn" === 1).cast("int")).cast("long").as("n_kept"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(when($"rn" === 1, struct($"idx", $"p")))),
+            kv => kv.getField("p")))).as("kept_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // Unigram-LM document scoring (add-one smoothing): the KenLM-style
+    // quality signal, reduced to its distributable core. Token log-probs
+    // are floor-quantized to integer micro-nats AT THE SCAN, so the
+    // distributed sum is exact integer math — order-independent across any
+    // partitioning, and the only transcendental (ln) is quantized before
+    // it can flip a hash. Two corpus scans (the LM must be counted before
+    // docs are scored — inherent); the vocabulary-sized frequency table
+    // broadcasts back (bounded by vocab, not corpus; a shuffle join is the
+    // fallback if vocab ever outgrows broadcast), and the final per-doc
+    // shuffle carries 16-byte (doc_id, lpu) rows, not text.
+    "q69_unigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val tokens = t(s, dir, "documents")
+        .select($"doc_id", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      val freq = tokens.groupBy($"w").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum($"c").as("tcnt"), count(lit(1)).as("vsz"))
+      tokens.join(broadcast(freq), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          floor(log(($"c" + 1).cast("double") / ($"tcnt" + $"vsz").cast("double")) * 1000000.0)
+            .cast("long").as("lpu"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"lpu").as("sum_lp_u"))
+        .withColumn("avg_lp4",
+          floor($"sum_lp_u".cast("double") / $"n_tok" / 100.0) / 10000.0)
+        .orderBy($"doc_id")
+    }),
+
     // Corpus profiling (training-data QA): per-source document counts,
     // language cardinality, exact length quantiles (Spark `percentile` and
     // DuckDB `quantile_cont` share the interpolation contract), short-doc
@@ -1505,6 +1676,99 @@ FROM (SELECT c_custkey, regexp_replace(regexp_replace(
   'contact ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@corp.example' || CASE WHEN c_custkey % 3 <> 0 THEN ' ph ' || printf('%02d-%03d-%03d-%04d', (c_nationkey + 10)::INT, (100 + c_custkey % 900)::INT, (100 + (c_custkey * 7) % 900)::INT, (1000 + (c_custkey * 13) % 9000)::INT) ELSE '' END || ' end',
   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'), '\d{2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS scrubbed FROM customer)
 ORDER BY c_custkey""",
+    "q65_sessionize" ->
+      """SELECT user_id, session_seq, count(*) AS n_events, min(tus) AS start_us, (max(tus) - min(tus))::BIGINT AS dur_us, round(sum(value), 2) AS total_value
+FROM (SELECT user_id, event_id, value, tus,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+      FROM (SELECT event_id, user_id, value, epoch_us(ts) AS tus,
+              CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 21600000000
+                   THEN 1 ELSE 0 END AS is_new
+            FROM events))
+GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+    "q66_bm25" ->
+      raw"""WITH base AS (
+  SELECT doc_id, len(tk)::DOUBLE AS dl,
+         len(list_filter(tk, x -> x = 'join'))::DOUBLE AS tf_join,
+         len(list_filter(tk, x -> x = 'vector'))::DOUBLE AS tf_vector,
+         len(list_filter(tk, x -> x = 'window'))::DOUBLE AS tf_window,
+         len(list_filter(tk, x -> x = 'stream'))::DOUBLE AS tf_stream
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tk FROM documents)),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_join,
+         sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_vector,
+         sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_window,
+         sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_stream
+  FROM base)
+SELECT doc_id, floor((
+    (floor(ln(((n_docs - df_join + 0.5) / (df_join + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + (floor(ln(((n_docs - df_vector + 0.5) / (df_vector + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + (floor(ln(((n_docs - df_window + 0.5) / (df_window + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  + (floor(ln(((n_docs - df_stream + 0.5) / (df_stream + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * dl / avgdl))
+  ) * 10000.0) / 10000.0 AS score
+FROM base CROSS JOIN stats
+WHERE tf_join + tf_vector + tf_window + tf_stream > 0
+ORDER BY score DESC, doc_id LIMIT 10""",
+    "q67_hybrid_rrf" ->
+      raw"""WITH base AS (
+  SELECT doc_id, len(tk)::DOUBLE AS dl,
+         len(list_filter(tk, x -> x = 'join'))::DOUBLE AS tf_join,
+         len(list_filter(tk, x -> x = 'vector'))::DOUBLE AS tf_vector,
+         len(list_filter(tk, x -> x = 'window'))::DOUBLE AS tf_window,
+         len(list_filter(tk, x -> x = 'stream'))::DOUBLE AS tf_stream
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tk FROM documents)),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_join,
+         sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_vector,
+         sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_window,
+         sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_stream
+  FROM base),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS lex_rank
+  FROM (SELECT doc_id, (
+      (floor(ln(((n_docs - df_join + 0.5) / (df_join + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    + (floor(ln(((n_docs - df_vector + 0.5) / (df_vector + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    + (floor(ln(((n_docs - df_window + 0.5) / (df_window + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    + (floor(ln(((n_docs - df_stream + 0.5) / (df_stream + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf_stream * 2.2) / (tf_stream + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    ) AS score
+    FROM base CROSS JOIN stats
+    WHERE tf_join + tf_vector + tf_window + tf_stream > 0
+    ORDER BY score DESC, doc_id LIMIT 20)),
+vec AS (
+  SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id)::BIGINT AS vec_rank
+  FROM (SELECT vec_id AS doc_id,
+               list_cosine_similarity(embedding::DOUBLE[], (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) AS vscore
+        FROM embeddings WHERE vec_id <> 0
+        ORDER BY vscore DESC, doc_id LIMIT 20))
+SELECT doc_id, lex_rank, vec_rank,
+       floor((coalesce(1.0 / (lex_rank::DOUBLE + 60.0), 0.0) + coalesce(1.0 / (vec_rank::DOUBLE + 60.0), 0.0)) * 1000000.0) / 1000000.0 AS rrf
+FROM lex FULL OUTER JOIN vec USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "q68_paragraph_dedup" ->
+      raw"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tk FROM documents),
+segs AS (
+  SELECT doc_id, i AS idx, array_to_string(tk[(i-1)*3+1 : i*3], ' ') AS p
+  FROM toks, (SELECT unnest(range(1, 1000)) AS i)
+  WHERE len(tk) > 0 AND (i-1)*3 < len(tk)),
+rk AS (
+  SELECT doc_id, idx, p, row_number() OVER (PARTITION BY p ORDER BY doc_id, idx) AS rn FROM segs)
+SELECT doc_id, count(*) AS n_pars,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       md5(coalesce(string_agg(p, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS kept_md5
+FROM rk GROUP BY doc_id ORDER BY doc_id""",
+    "q69_unigram_lm" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS tcnt, count(*) AS vsz FROM freq)
+SELECT doc_id, count(*) AS n_tok, sum(lpu)::BIGINT AS sum_lp_u,
+       floor(sum(lpu)::DOUBLE / count(*) / 100.0) / 10000.0 AS avg_lp4
+FROM (SELECT doc_id, floor(ln((c + 1)::DOUBLE / (tcnt + vsz)::DOUBLE) * 1000000.0)::BIGINT AS lpu
+      FROM tok JOIN freq USING (w) CROSS JOIN tot)
+GROUP BY doc_id ORDER BY doc_id""",
     "q55_corpus_profile" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars, floor(avg(n_chars) * 10000.0)::BIGINT AS avg_chars_q, sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS n_short FROM documents GROUP BY source ORDER BY source""",
     "q54_multimodal_frames" ->

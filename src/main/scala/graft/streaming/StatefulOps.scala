@@ -191,4 +191,80 @@ object StatefulOps {
           }
       }
   }
+
+  /** One buffered event: (epoch ms, tie-break id, value). */
+  final case class SessionizeState(nextSeq: Long, buffer: Seq[(Long, Long, Double)])
+  final case class SessionSummary(
+      user_id: Long, session_seq: Long, n_events: Long,
+      start_ms: Long, dur_ms: Long, total_value: Double)
+
+  /** Streaming twin of [[graft.operators.Sessionize.sessionSummary]]:
+    * events (`user_id`, `event_id`, `ts` TIMESTAMP, `value`) are keyed by
+    * user; each user's state buffers the events of still-open sessions and
+    * a session is emitted exactly when the WATERMARK passes its last event
+    * time + `gapMs` — the moment Spark guarantees no admissible arrival
+    * can still extend it (anything older is dropped as late upstream). An
+    * event-time timeout fires at the earliest unclosed session's close
+    * time, so a user who goes quiet still gets their final session emitted
+    * and their state removed — state is O(open-session events) per user,
+    * not O(stream).
+    *
+    * Session numbering matches the batch operator: sessions of one user
+    * close in event-time order (session k's last + gap < session k+1's
+    * first by construction of the gap split), so the running `nextSeq`
+    * counter assigns the same 1-based sequence the batch running-sum does.
+    * In-slack out-of-order arrivals are handled by sorting the buffer on
+    * every invocation; only the close decision consults the watermark.
+    * Emitted totals sum values in (ts, event_id) order — deterministic,
+    * unlike a batch fold over arbitrary partition order, so exact-binary
+    * test values compare bit-for-bit.
+    */
+  def streamingSessionize(
+      events: DataFrame, gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+
+    // split a (ts, id, value) buffer sorted on (ts, id) at gaps > gapMs
+    def sessionsOf(buf: Seq[(Long, Long, Double)]): Seq[Seq[(Long, Long, Double)]] =
+      buf.foldLeft(Vector.empty[Vector[(Long, Long, Double)]]) { (acc, e) =>
+        if (acc.nonEmpty && e._1 - acc.last.last._1 <= gapMs)
+          acc.init :+ (acc.last :+ e)
+        else acc :+ Vector(e)
+      }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionizeState]) =>
+          val prev = state.getOption.getOrElse(SessionizeState(1L, Seq.empty))
+          val buf = (prev.buffer ++ rows.map(r => (r._3.getTime, r._2, r._4)))
+            .sortBy(e => (e._1, e._2))
+          val wm = state.getCurrentWatermarkMs()
+          // a session is closed when the watermark is strictly past
+          // last + gap: any admitted future arrival has ts > wm > last + gap
+          // and would start a new session anyway
+          val (closed, open) = sessionsOf(buf).partition(s => wm > s.last._1 + gapMs)
+          val out = closed.zipWithIndex.map { case (s, i) =>
+            val total = BigDecimal(s.iterator.map(_._3).sum)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            SessionSummary(uid, prev.nextSeq + i, s.size.toLong,
+              s.head._1, s.last._1 - s.head._1, total)
+          }
+          // state keeps the seq counter even with no open session: removing
+          // it would restart a returning user at session 1. The residual
+          // cost is one counter row per user ever seen (the same footprint
+          // as runningUserTotals) — bounded by users, not by the stream. No
+          // timeout is set when nothing is open (nothing left to close).
+          state.update(SessionizeState(prev.nextSeq + closed.size, open.flatten))
+          if (open.nonEmpty)
+            // wake at the earliest unclosed session's close time (strictly
+            // after the current watermark or Spark rejects the timestamp)
+            state.setTimeoutTimestamp(math.max(wm + 1, open.head.last._1 + gapMs + 1))
+          out.iterator
+      }
+  }
 }

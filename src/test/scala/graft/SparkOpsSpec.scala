@@ -1102,4 +1102,154 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(jwtDecode(tok, "wrong", 500L).isEmpty)         // bad signature
     assert(jwtDecode(tok.dropRight(2) + "xx", "secret", 500L).isEmpty)
   }
+
+  test("sessionize: gap splits sessions, exactly-gap extends, one shuffle end to end") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 0L, 1.25), (2L, 1L, 10L, 2.5),   // session 1 of user 1
+      (3L, 1L, 100L, 0.25), (4L, 1L, 111L, 1.0), // gap 90 > 20 -> session 2
+      (5L, 2L, 50L, 3.0), (6L, 2L, 70L, 0.5))    // exactly gap apart -> ONE session
+      .toDF("event_id", "user_id", "ts", "value")
+    val summary = graft.operators.Sessionize
+      .sessionSummary(ev, "user_id", "ts", "event_id", "value", gap = 20L)
+    val got = summary.orderBy($"user_id", $"session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, 0L, 10L, 3.75), (1L, 2L, 2L, 100L, 11L, 1.25),
+      (2L, 1L, 2L, 50L, 20L, 3.5)))
+    // ONE Exchange: the lag and the running sum share the user-hash
+    // partitioning, and the per-session rollup's (user, session_seq)
+    // clustering is satisfied by that same partitioning — a second
+    // hashpartitioning in this plan means the rollup re-shuffled
+    val plan = summary.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("plan pins: BM25 is scan-side tf + broadcast stats + top-k; paragraph dedup shuffles content once") {
+    import spark.implicits._
+    val dir = tmpDir("graft_q66plan")
+    (0 until 60).map(i =>
+        (i.toLong, s"join vector stream window doc $i pad${i % 7} pad${i % 5} tail"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // q66: the literal term list means tf/dl are array ops at the scan —
+    // NO Generate (explode) and no (doc, term) shuffle may exist; the
+    // single-row stats come back via broadcast, and the top-k must be
+    // TakeOrderedAndProject, never a full sort
+    val p66 = SparkEntry.queries("q66_bm25")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p66.contains("TakeOrderedAndProject"), p66)
+    assert(!p66.contains("Generate"), p66)
+    assert(!p66.contains("SortMergeJoin"), p66)
+    assert(p66.contains("Broadcast"), p66)
+    // q68: exactly two exchanges — content-keyed for the first-occurrence
+    // window, doc-keyed for the rebuild; no join-back (the window decides
+    // keep/drop in place)
+    val p68 = SparkEntry.queries("q68_paragraph_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p68).size == 2, p68)
+    assert(!p68.contains("SortMergeJoin"), p68)
+  }
+
+  test("streaming sessionize: sessions close on the watermark; numbering survives idle users") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // offset from epoch 0: the initial watermark IS 0 and rows at-or-before
+    // the watermark are dropped as late
+    def ts(sec: Long) = new java.sql.Timestamp(3600000L + sec * 1000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts", "value")
+    val q = graft.streaming.StatefulOps.streamingSessionize(events, gapMs = 5000L)
+      .writeStream.format("memory").queryName("sess_wm").outputMode("append").start()
+    try {
+      input.addData((1L, 1L, ts(0), 1.25), (1L, 2L, ts(2), 2.5))
+      q.processAllAvailable() // watermark 2s: 2s + gap not passed, nothing closes
+      assert(spark.table("sess_wm").count() == 0)
+      input.addData((1L, 3L, ts(20), 0.5))
+      q.processAllAvailable() // watermark 20s > 2s + 5s: session 1 closes
+      input.addData((1L, 4L, ts(60), 0.25))
+      q.processAllAvailable() // watermark 60s: session 2 ({20s}) closes
+      input.addData((1L, 5L, ts(120), 1.0))
+      q.processAllAvailable() // user was fully idle (no open session) between
+      // 60s closing and this arrival — numbering must continue at 4, which
+      // is exactly what removing the counter state would break
+      input.addData((2L, 6L, ts(200), 0.75))
+      q.processAllAvailable() // stranger's watermark push closes user 1's {120s}
+      val got = spark.table("sess_wm")
+        .as[graft.streaming.StatefulOps.SessionSummary].collect()
+        .sortBy(s => (s.user_id, s.session_seq)).toSeq
+      assert(got == Seq(
+        graft.streaming.StatefulOps.SessionSummary(1L, 1L, 2L, ts(0).getTime, 2000L, 3.75),
+        graft.streaming.StatefulOps.SessionSummary(1L, 2L, 1L, ts(20).getTime, 0L, 0.5),
+        graft.streaming.StatefulOps.SessionSummary(1L, 3L, 1L, ts(60).getTime, 0L, 0.25),
+        graft.streaming.StatefulOps.SessionSummary(1L, 4L, 1L, ts(120).getTime, 0L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize equals the batch operator for 100 random corpora and micro-batch splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // One long-lived query; each case uses disjoint user ids and a time
+    // base far past the previous case's, so the shared watermark only ever
+    // moves forward and each case's state is independent (the same
+    // technique as the near-dup split property). Values are multiples of
+    // 0.25 so batch partial-agg sums and the streaming ordered fold are
+    // both exact and compare bit-for-bit after 2-dp rounding.
+    val rnd = new scala.util.Random(11L)
+    val gapMs = 5000L
+    val all = scala.collection.mutable.Buffer.empty[(Long, Long, java.sql.Timestamp, Double)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts", "value")
+    // the watermark slack exceeds each case's 60 s timestamp spread, so
+    // events can arrive in ANY order within a case without being dropped
+    // as late (with 0 slack even an EQUAL timestamp straddling a batch
+    // boundary is late — ts <= watermark drops); parity must then come
+    // entirely from the operator's buffer sort + watermark-close logic
+    val q = graft.streaming.StatefulOps
+      .streamingSessionize(events, gapMs, watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("sess_prop").outputMode("append").start()
+    try {
+      var eid = 0L
+      for (c <- 0 until 100) {
+        val base = 3600000L + c.toLong * 10000000L
+        val evs = rnd.shuffle((for {
+          u <- 0 until 3
+          _ <- 0 until (2 + rnd.nextInt(9))
+        } yield {
+          eid += 1
+          ((c * 10 + u).toLong, eid,
+            new java.sql.Timestamp(base + rnd.nextInt(60) * 1000L),
+            rnd.nextInt(16) * 0.25)
+        }).toSeq)
+        val cuts = Seq.fill(rnd.nextInt(3))(rnd.nextInt(evs.size + 1)).sorted
+        val bounds = (0 +: cuts :+ evs.size).toVector
+        bounds.zip(bounds.tail).foreach { case (a, b) =>
+          val batch = evs.slice(a, b)
+          if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+        }
+        all ++= evs
+      }
+      // sentinel far past the last case closes every open session
+      input.addData((999999L, eid + 1,
+        new java.sql.Timestamp(3600000L + 100L * 10000000L), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_prop").filter($"user_id" =!= 999999L)
+        .as[graft.streaming.StatefulOps.SessionSummary].collect()
+        .map(s => (s.user_id, s.session_seq, s.n_events, s.start_ms, s.dur_ms, s.total_value))
+        .toSet
+      val want = graft.operators.Sessionize.sessionSummary(
+          all.toSeq.map(e => (e._2, e._1, e._3.getTime, e._4))
+            .toDF("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value", gapMs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+        .toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).toSeq.sorted.take(5)} batch-only=${(want -- got).toSeq.sorted.take(5)}")
+    } finally q.stop()
+  }
 }
