@@ -1097,6 +1097,86 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // C4/Gopher-style composite quality filter: token count bounds, mean
+    // token length band, and stopword presence — the rule family every
+    // pre-training corpus pass applies before anything expensive runs.
+    // All metrics are scan-side array ops on the tokens (no explode, no
+    // shuffle at all before the final ORDER BY); decisions compare exact
+    // integer-derived ratios so they reproduce bit-for-bit in the oracle.
+    // Thresholds sit inside this corpus's observed distribution (n_tok
+    // 5%-95% spans 16-94, ~9% of docs have zero stopwords) so both keep
+    // outcomes occur.
+    "q70_quality_filter" -> ((s, dir) => {
+      import s.implicits._
+      val stopAny = graft.operators.TextAnalysis.Markers("en").map(_.asInstanceOf[Any])
+      t(s, dir, "documents")
+        .select($"doc_id", graft.operators.TextAnalysis.tokensCol($"text").as("tk"))
+        .select($"doc_id",
+          size($"tk").cast("long").as("n_tok"),
+          aggregate($"tk", lit(0), (acc, x) => acc + length(x)).cast("long").as("sum_len"),
+          size(filter($"tk", x => x.isin(stopAny: _*))).cast("long").as("n_stop"))
+        .select($"doc_id", $"n_tok",
+          fq4($"sum_len".cast("double") / $"n_tok").as("mean_len4"),
+          fq4($"n_stop".cast("double") / $"n_tok").as("frac_stop4"),
+          ($"n_tok" >= 20 && $"n_tok" <= 80 && $"n_stop" > 0 &&
+            $"sum_len".cast("double") / $"n_tok" >= 3.0 &&
+            $"sum_len".cast("double") / $"n_tok" <= 6.0).cast("int").as("keep"))
+        .orderBy($"doc_id")
+    }),
+
+    // Per-document tf-idf keyword extraction (top 3): the classic
+    // summarization/labeling primitive. Shape: one (doc, token) partial+
+    // final count (the map-side combine collapses each partition's token
+    // stream before the exchange), the vocabulary-sized df table broadcast
+    // back, then a per-doc window over the ALREADY-REDUCED (doc, token)
+    // rows — the second shuffle carries distinct doc-term pairs, not the
+    // token stream. idf quantizes the transcendental at 1e-6 and ranking
+    // uses the quantized score on both sides, so order ties break
+    // identically (then by token).
+    "q71_tfidf_keywords" -> ((s, dir) => {
+      import s.implicits._
+      val tf = t(s, dir, "documents")
+        .select($"doc_id", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy($"w").agg(count(lit(1)).cast("double").as("df"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).cast("double").as("n_docs"))
+      tf.join(broadcast(dft), Seq("w"))
+        .crossJoin(broadcast(nd))
+        .withColumn("idf", floor(log($"n_docs" / $"df") * 1000000.0) / 1000000.0)
+        .withColumn("score", fq4($"tf" * $"idf"))
+        .withColumn("kw_rank", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score".desc, $"w")).cast("long"))
+        .filter($"kw_rank" <= 3)
+        .select($"doc_id", $"kw_rank", $"w".as("token"), $"score")
+        .orderBy($"doc_id", $"kw_rank")
+    }),
+
+    // Hourly event-rate anomaly detection: per-hour counts z-scored
+    // against the trailing 24 h (excluding the current hour), flagged at
+    // |z| > 2 — the monitoring query every event pipeline runs. The window
+    // runs over the HOUR-GRAIN aggregate (already corpus-reduced: bounded
+    // by wall-clock hours, not events), so the single-partition ordering
+    // is a few hundred rows at any corpus size. Variance comes from exact
+    // integer window sums (sum, sum of squares) with the textbook formula
+    // written identically on both sides — no engine stddev, whose
+    // accumulation order would differ.
+    "q72_event_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .withColumn("hour_bucket", floor($"ts" / 3600000000000L).cast("long"))
+        .groupBy($"hour_bucket").agg(count(lit(1)).as("n"))
+      val fr = Window.orderBy($"hour_bucket").rowsBetween(-24, -1)
+      val cnt = count($"n").over(fr).cast("double")
+      val s1 = sum($"n").over(fr).cast("double")
+      val s2 = sum($"n" * $"n").over(fr).cast("double")
+      val variance = (s2 - (s1 * s1) / cnt) / (cnt - 1.0)
+      val z = ($"n".cast("double") - s1 / cnt) / sqrt(variance)
+      hourly
+        .withColumn("z4", when(cnt >= 12.0 && variance > 0.0, fq4(z)))
+        .withColumn("anomaly", when($"z4".isNotNull, (abs($"z4") > 2.0).cast("int")))
+        .orderBy($"hour_bucket")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -1759,6 +1839,46 @@ SELECT doc_id, count(*) AS n_pars,
        sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
        md5(coalesce(string_agg(p, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS kept_md5
 FROM rk GROUP BY doc_id ORDER BY doc_id""",
+    "q70_quality_filter" ->
+      raw"""SELECT doc_id, n_tok,
+       floor((sum_len::DOUBLE / n_tok) * 10000.0) / 10000.0 AS mean_len4,
+       floor((n_stop::DOUBLE / n_tok) * 10000.0) / 10000.0 AS frac_stop4,
+       CASE WHEN n_tok >= 20 AND n_tok <= 80 AND n_stop > 0
+              AND sum_len::DOUBLE / n_tok >= 3.0 AND sum_len::DOUBLE / n_tok <= 6.0
+            THEN 1 ELSE 0 END AS keep
+FROM (SELECT doc_id, len(tk)::BIGINT AS n_tok,
+             list_sum(list_transform(tk, x -> len(x)))::BIGINT AS sum_len,
+             len(list_filter(tk, x -> list_contains(['the','a','of','and','is','to','in','that','it','with'], x)))::BIGINT AS n_stop
+      FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tk FROM documents))
+ORDER BY doc_id""",
+    "q71_tfidf_keywords" ->
+      raw"""WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+dft AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+SELECT doc_id, kw_rank, w AS token, score FROM (
+  SELECT doc_id, w, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w)::BIGINT AS kw_rank
+  FROM (SELECT doc_id, w,
+               floor((tf * (floor(ln(n_docs / df) * 1000000.0) / 1000000.0)) * 10000.0) / 10000.0 AS score
+        FROM tf JOIN dft USING (w) CROSS JOIN nd))
+WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""",
+    "q72_event_anomaly" ->
+      """SELECT hour_bucket, n, z4,
+       CASE WHEN z4 IS NOT NULL THEN (CASE WHEN abs(z4) > 2.0 THEN 1 ELSE 0 END) END AS anomaly
+FROM (SELECT hour_bucket, n,
+        CASE WHEN cnt24 >= 12 AND (sumsq24::DOUBLE - (sum24::DOUBLE * sum24::DOUBLE) / cnt24::DOUBLE) / (cnt24::DOUBLE - 1.0) > 0
+             THEN floor(((n::DOUBLE - sum24::DOUBLE / cnt24::DOUBLE)
+                         / sqrt((sumsq24::DOUBLE - (sum24::DOUBLE * sum24::DOUBLE) / cnt24::DOUBLE) / (cnt24::DOUBLE - 1.0))) * 10000.0) / 10000.0
+             ELSE NULL END AS z4
+      FROM (SELECT hour_bucket, n,
+              count(*) OVER fr AS cnt24,
+              sum(n) OVER fr AS sum24,
+              sum(n * n) OVER fr AS sumsq24
+            FROM (SELECT floor(epoch_ns(ts) / 3600000000000)::BIGINT AS hour_bucket, count(*) AS n FROM events GROUP BY 1)
+            WINDOW fr AS (ORDER BY hour_bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)))
+ORDER BY hour_bucket""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -1150,6 +1150,18 @@ class SparkOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(p68).size == 2, p68)
     assert(!p68.contains("SortMergeJoin"), p68)
+    // q70: every metric is a scan-side array op — no Generate (explode)
+    // and no hashpartitioning exchange may appear (ORDER BY is range)
+    val p70 = SparkEntry.queries("q70_quality_filter")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p70.contains("Generate"), p70)
+    assert(!p70.contains("Exchange hashpartitioning"), p70)
+    // q71: the vocabulary-sized df table must come back by BROADCAST — a
+    // sort-merge join would shuffle the reduced (doc, term) rows again
+    val p71 = SparkEntry.queries("q71_tfidf_keywords")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p71.contains("BroadcastHashJoin"), p71)
+    assert(!p71.contains("SortMergeJoin"), p71)
   }
 
   test("streaming sessionize: sessions close on the watermark; numbering survives idle users") {
