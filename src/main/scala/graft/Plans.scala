@@ -17,7 +17,9 @@ object Plans {
     "q20_cosine_topk", "q23_chunk_pypdf", "q25_minhash_sig",
     "q30_ann_brute", "q31_lsh_buckets", "q32_ivf_ann",
     "q39_neardup_lsh", "q49_asof", "q52_ann_multiprobe",
-    "q56_sql_dedup", "q58_hash_split", "q60_decontaminate")
+    "q56_sql_dedup", "q58_hash_split", "q60_decontaminate",
+    "q65_sessionize", "q66_bm25", "q68_paragraph_dedup",
+    "q71_tfidf_keywords", "q72_event_anomaly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -124,7 +124,23 @@ object ScaleProbe {
         .select($"id".as("win_id"), $"keeper_id")
     }
 
-    val qs = Seq(q39, q56, q56t, q57)
+    // q68's shape: the content-keyed first-occurrence window over the 10×
+    // segment stream (~10× the segments, same distinct set — every clone
+    // copy's segments lose to the offset-0 copy), then the doc-keyed
+    // rebuild. Probes the one shape the dedup trio doesn't: a corpus-sized
+    // window shuffle keyed by content.
+    val q68s = timed("q68_paragraph_dedup_10x") {
+      val pars = scaled
+        .select($"doc_id", graft.operators.TextAnalysis.tokensCol($"text").as("tk"))
+        .filter(size($"tk") > 0)
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), ((size($"tk") + 2) / 3).cast("int") - 1),
+          i => array_join(slice($"tk", i * 3 + 1, lit(3)), " "))))
+        .select($"doc_id", ($"pos" + 1).as("idx"), $"col".as("p"))
+      graft.operators.ParagraphDedup.dedupSummary(pars, "doc_id", "idx", "p")
+    }
+
+    val qs = Seq(q39, q56, q56t, q57, q68s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

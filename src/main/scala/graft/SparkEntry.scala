@@ -1086,14 +1086,7 @@ object SparkEntry {
           sequence(lit(0), ((size($"tk") + 2) / 3).cast("int") - 1),
           i => array_join(slice($"tk", i * 3 + 1, lit(3)), " "))))
         .select($"doc_id", ($"pos" + 1).as("idx"), $"col".as("p"))
-      val w = Window.partitionBy($"p").orderBy($"doc_id", $"idx")
-      pars.withColumn("rn", row_number().over(w))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_pars"),
-          sum(($"rn" === 1).cast("int")).cast("long").as("n_kept"),
-          md5(concat_ws(" ", transform(
-            array_sort(collect_list(when($"rn" === 1, struct($"idx", $"p")))),
-            kv => kv.getField("p")))).as("kept_md5"))
+      graft.operators.ParagraphDedup.dedupSummary(pars, "doc_id", "idx", "p")
         .orderBy($"doc_id")
     }),
 

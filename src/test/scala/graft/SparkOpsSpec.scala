@@ -1164,6 +1164,76 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(!p71.contains("SortMergeJoin"), p71)
   }
 
+  test("sessionize matches a plain-Scala reference over 50 random corpora") {
+    import spark.implicits._
+    // independent re-derivation: per user, sort by (ts, id), split where
+    // the gap exceeds `gap`, number sessions 1.., summarize — then compare
+    // the operator's whole output set. Random collisions in ts (the 0-40
+    // range over up to 30 events) exercise the tie-break.
+    val rnd = new scala.util.Random(17L)
+    for (_ <- 0 until 50) {
+      val gap = 1 + rnd.nextInt(10)
+      val events = (0 until (5 + rnd.nextInt(25))).map { i =>
+        (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(40).toLong, rnd.nextInt(16) * 0.25)
+      }
+      val want = events.groupBy(_._2).flatMap { case (uid, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._1))
+        val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long, Long, Double)]]) {
+          (acc, e) =>
+            if (acc.nonEmpty && e._3 - acc.last.last._3 <= gap) acc.init :+ (acc.last :+ e)
+            else acc :+ Vector(e)
+        }
+        sessions.zipWithIndex.map { case (ss, i) =>
+          val total = BigDecimal(ss.map(_._4).sum)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (uid, (i + 1).toLong, ss.size.toLong, ss.head._3, ss.last._3 - ss.head._3, total)
+        }
+      }.toSet
+      val got = graft.operators.Sessionize.sessionSummary(
+          events.toDF("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value", gap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+        .toSet
+      assert(got == want, s"gap=$gap events=$events")
+    }
+  }
+
+  test("paragraph dedup matches a plain-Scala first-occurrence reference over 50 random corpora") {
+    import spark.implicits._
+    // paragraphs drawn from an 8-symbol alphabet force heavy cross-document
+    // repetition; the reference keeps the first (doc, idx) occurrence of
+    // each distinct paragraph and rebuilds each doc from its survivors
+    val rnd = new scala.util.Random(23L)
+    for (_ <- 0 until 50) {
+      val docs = (0 until (3 + rnd.nextInt(8))).map { d =>
+        d.toLong -> (0 until (1 + rnd.nextInt(12))).map(_ => s"p${rnd.nextInt(8)}")
+      }
+      val pars = docs.flatMap { case (d, ps) =>
+        ps.zipWithIndex.map { case (p, i) => (d, (i + 1).toLong, p) }
+      }
+      val firstOf = pars.sortBy(r => (r._1, r._2))
+        .foldLeft(Map.empty[String, (Long, Long)]) { (m, r) =>
+          if (m.contains(r._3)) m else m + (r._3 -> (r._1, r._2))
+        }
+      val md5hex = (s: String) => java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = docs.map { case (d, ps) =>
+        val kept = ps.zipWithIndex.collect {
+          case (p, i) if firstOf(p) == (d, (i + 1).toLong) => p
+        }
+        (d, ps.size.toLong, kept.size.toLong, md5hex(kept.mkString(" ")))
+      }.toSet
+      val got = graft.operators.ParagraphDedup.dedupSummary(
+          pars.toDF("doc_id", "idx", "p"), "doc_id", "idx", "p")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got == want, s"docs=$docs")
+    }
+  }
+
   test("streaming sessionize: sessions close on the watermark; numbering survives idle users") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
