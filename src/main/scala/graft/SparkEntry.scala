@@ -1170,6 +1170,50 @@ object SparkEntry {
         .orderBy($"hour_bucket")
     }),
 
+    // Mergeable KMV distinct-count sketch (k=16) per source: the shuffle
+    // carries ≤ k longs per group (partial+final Aggregator), never the
+    // distinct stream — the cardinality twin of q42's MinHash union. The
+    // deterministic stable hash makes even the APPROXIMATE estimate
+    // oracle-checkable bit-for-bit (row_number over the same md5 hashes);
+    // k=16 sits below this corpus's ~40-token vocabulary so the (k-1)·M/h_k
+    // estimator path actually runs, and n_exact rides along so the record
+    // shows the accuracy. At 100 TB the same sketch column feeds
+    // hierarchical rollups (merge without re-scanning).
+    "q73_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val kmvAgg = udaf(new graft.operators.KmvSketchAgg(16))
+      t(s, dir, "documents")
+        .select($"source", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .select($"source", $"w",
+          graft.functions.HashFunctions.stableHash64(concat(lit("kmv:"), $"w")).as("h"))
+        .groupBy($"source")
+        .agg(countDistinct($"w").as("n_exact"), kmvAgg($"h").as("sk"))
+        .select($"source", $"n_exact",
+          fq4(when(size($"sk") < 16, size($"sk").cast("double"))
+            .otherwise(lit(15.0) * lit(graft.operators.KmvSketch.Modulus) /
+              element_at($"sk", 16).cast("double"))).as("est4"))
+        .orderBy($"source")
+    }),
+
+    // Deterministic epoch shuffle — the training-order primitive: each
+    // epoch's order is a sort by a salted stable hash of the doc id, so
+    // re-running on any partitioning (or any engine) reproduces the same
+    // permutation, and epoch 1 is decorrelated from epoch 0 by the salt.
+    // Positions come from Batching.globalRowNumber (range shuffle + local
+    // sort + broadcast prefix sums) — NEVER a single-partition
+    // row_number() window; one range shuffle per epoch is the whole cost.
+    "q74_epoch_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+      def pos(epoch: Int, out: String) = graft.operators.Batching.globalRowNumber(
+        docs.withColumn("__h", graft.functions.HashFunctions.stableHash64(
+          concat(lit(s"epoch$epoch:"), $"doc_id".cast("string")))),
+        col("__h"), numPartitions = 8, out = out)
+        .select($"doc_id", col(out))
+      pos(0, "pos_e0").join(pos(1, "pos_e1"), Seq("doc_id"))
+        .orderBy($"doc_id")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -1872,6 +1916,30 @@ FROM (SELECT hour_bucket, n,
             FROM (SELECT floor(epoch_ns(ts) / 3600000000000)::BIGINT AS hour_bucket, count(*) AS n FROM events GROUP BY 1)
             WINDOW fr AS (ORDER BY hour_bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)))
 ORDER BY hour_bucket""",
+    "q73_kmv_distinct" ->
+      raw"""WITH tok AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+dh AS (SELECT DISTINCT source, ('0x' || substr(md5('kmv:' || w), 1, 15))::BIGINT AS h FROM tok),
+rk AS (SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY source) AS m
+       FROM dh)
+SELECT t.source, t.n_exact,
+       floor((CASE WHEN e.m < 16 THEN e.m::DOUBLE
+                   ELSE 15.0 * 1152921504606846976.0 / e.h16::DOUBLE END) * 10000.0) / 10000.0 AS est4
+FROM (SELECT source, count(DISTINCT w)::BIGINT AS n_exact FROM tok GROUP BY source) t
+JOIN (SELECT source, max(m)::BIGINT AS m, max(CASE WHEN rn = 16 THEN h END) AS h16 FROM rk GROUP BY source) e
+  ON t.source = e.source
+ORDER BY t.source""",
+    "q74_epoch_shuffle" ->
+      """SELECT doc_id,
+       row_number() OVER (ORDER BY h0)::BIGINT AS pos_e0,
+       row_number() OVER (ORDER BY h1)::BIGINT AS pos_e1
+FROM (SELECT doc_id,
+        ('0x' || substr(md5('epoch0:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h0,
+        ('0x' || substr(md5('epoch1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h1
+      FROM documents)
+ORDER BY doc_id""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -1234,6 +1234,33 @@ class SparkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch: partition-invariant, equals a plain-Scala reference, estimator sane") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    // the sketch of a multiset is a pure function of its distinct hash set,
+    // so ANY partitioning (any partial/merge tree) must produce the
+    // identical sorted k-minima — the mergeability contract the 100 TB
+    // rollup story rests on
+    val rnd = new scala.util.Random(29L)
+    val k = 16
+    for (_ <- 0 until 10) {
+      val vals = (0 until (50 + rnd.nextInt(500))).map(_ => s"v${rnd.nextInt(300)}")
+      val hashes = vals.map(v => graft.functions.HashFunctions.stableHash64(s"kmv:$v"))
+      val ref = hashes.distinct.sorted.take(k)
+      val kmvAgg = udaf(new graft.operators.KmvSketchAgg(k))
+      for (parts <- Seq(1, 3, 8)) {
+        val sk = hashes.toDS().repartition(parts)
+          .select(kmvAgg(col("value")))
+          .as[Seq[Long]].head()
+        assert(sk == ref, s"parts=$parts")
+      }
+      val est = graft.operators.KmvSketch.estimate(ref, k)
+      val exact = vals.distinct.size
+      if (exact < k) assert(est == exact.toDouble)
+      else assert(math.abs(est - exact) / exact < 0.6, s"est=$est exact=$exact")
+    }
+  }
+
   test("streaming sessionize: sessions close on the watermark; numbering survives idle users") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
