@@ -192,6 +192,37 @@ object StatefulOps {
       }
   }
 
+  final case class DistinctEstimate(key: String, n_rows: Long, n_sketch: Long, est: Double)
+
+  /** Streaming running distinct-count per key: the state IS a
+    * [[graft.operators.KmvSketchAgg]] buffer (≤ k longs per key, however
+    * many rows stream through), updated with the Aggregator's own
+    * reduce — the literal hierarchical-merge story the batch sketch
+    * promises, realized as a stream. Emits one updated estimate per key
+    * per micro-batch; `n_rows` (rows absorbed so far) is monotone, so a
+    * reader of the update stream picks each key's latest row by it.
+    * Inputs are (key, stable hash) pairs — hash at the scan with
+    * [[graft.functions.HashFunctions.stableHash64]], exactly like the
+    * batch q73 path, so stream and batch estimates are identical on the
+    * same data.
+    */
+  def runningDistinct(
+      hashed: Dataset[(String, Long)], k: Int): Dataset[DistinctEstimate] = {
+    import hashed.sparkSession.implicits._
+    val sketcher = new graft.operators.KmvSketchAgg(k)
+    hashed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Long])]) =>
+          var (n, sk) = state.getOption.getOrElse((0L, sketcher.zero))
+          it.foreach { case (_, h) => n += 1; sk = sketcher.reduce(sk, h) }
+          state.update((n, sk))
+          DistinctEstimate(key, n, sk.length.toLong,
+            graft.operators.KmvSketch.estimate(sk.toSeq, k))
+      }
+  }
+
   /** One buffered event: (epoch ms, tie-break id, value). */
   final case class SessionizeState(nextSeq: Long, buffer: Seq[(Long, Long, Double)])
   final case class SessionSummary(

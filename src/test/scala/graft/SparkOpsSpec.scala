@@ -1130,8 +1130,8 @@ class SparkOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = tmpDir("graft_q66plan")
     (0 until 60).map(i =>
-        (i.toLong, s"join vector stream window doc $i pad${i % 7} pad${i % 5} tail"))
-      .toDF("doc_id", "text")
+        (i.toLong, s"join vector stream window doc $i pad${i % 7} pad${i % 5} tail", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // q66: the literal term list means tf/dl are array ops at the scan —
     // NO Generate (explode) and no (doc, term) shuffle may exist; the
@@ -1162,6 +1162,19 @@ class SparkOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p71.contains("BroadcastHashJoin"), p71)
     assert(!p71.contains("SortMergeJoin"), p71)
+    // q69: the unigram LM joins the vocab-sized frequency table back by
+    // broadcast too — the token stream must never shuffle for the join
+    val p69 = SparkEntry.queries("q69_unigram_lm")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p69.contains("BroadcastHashJoin"), p69)
+    assert(!p69.contains("SortMergeJoin"), p69)
+    // q73: the KMV sketch must run partial+final (two HashAggregate levels
+    // around one exchange) — a sketch that only aggregated post-shuffle
+    // would ship the token stream instead of k-long sketches
+    val p73 = SparkEntry.queries("q73_kmv_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p73.contains("SortMergeJoin"), p73)
+    assert("HashAggregate".r.findAllIn(p73).size >= 2, p73)
   }
 
   test("sessionize matches a plain-Scala reference over 50 random corpora") {
@@ -1259,6 +1272,41 @@ class SparkOpsSpec extends AnyFunSuite {
       if (exact < k) assert(est == exact.toDouble)
       else assert(math.abs(est - exact) / exact < 0.6, s"est=$est exact=$exact")
     }
+  }
+
+  test("streaming running distinct equals the batch KMV sketch across random splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the per-key state is the KMV buffer itself, updated by the same
+    // Aggregator reduce the batch path uses — so the final stream estimate
+    // must equal the batch sketch of the whole stream, whatever the splits
+    val rnd = new scala.util.Random(31L)
+    val k = 16
+    val hashed = (0 until 400).map { i =>
+      (s"k${i % 3}", graft.functions.HashFunctions.stableHash64(s"kmv:v${rnd.nextInt(200)}"))
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = graft.streaming.StatefulOps.runningDistinct(input.toDS(), k)
+      .writeStream.format("memory").queryName("rdist").outputMode("update").start()
+    try {
+      val cuts = Seq.fill(3)(rnd.nextInt(hashed.size + 1)).sorted
+      val bounds = (0 +: cuts :+ hashed.size).toVector
+      bounds.zip(bounds.tail).foreach { case (a, b) =>
+        val batch = hashed.slice(a, b)
+        if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+      }
+      val fin = spark.table("rdist")
+        .as[graft.streaming.StatefulOps.DistinctEstimate].collect()
+        .groupBy(_.key).map { case (key, rs) =>
+          val last = rs.maxBy(_.n_rows)
+          key -> (last.n_sketch, last.est)
+        }
+      val want = hashed.groupBy(_._1).map { case (key, hs) =>
+        val ref = hs.map(_._2).distinct.sorted.take(k)
+        key -> (ref.length.toLong, graft.operators.KmvSketch.estimate(ref, k))
+      }
+      assert(fin == want)
+    } finally q.stop()
   }
 
   test("streaming sessionize: sessions close on the watermark; numbering survives idle users") {
