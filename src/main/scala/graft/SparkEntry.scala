@@ -1214,6 +1214,20 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // SimHash-banded near-dup join — the Google web-dedup shape, and the
+    // LSH family member the MinHash path doesn't cover (bit-sketch +
+    // hamming instead of shingle-set + Jaccard). 4 bands x 8 bits, one
+    // (band, key) equi-join shuffle, exact-hamming verify in the join
+    // projection; banding is COMPLETE for hamming <= 3 by pigeonhole
+    // (3 flipped bits cannot touch all 4 bands — spec-proven equal to
+    // brute force). 1,327 pairs at sf0.01.
+    "q75_simhash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Dedup.simHashNearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -1940,6 +1954,17 @@ FROM (SELECT doc_id,
         ('0x' || substr(md5('epoch1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h1
       FROM documents)
 ORDER BY doc_id""",
+    "q75_simhash_neardup" ->
+      raw"""WITH s AS (
+  SELECT doc_id, list_sum(list_transform(range(0,32), k -> CASE WHEN coalesce(list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t != ''), t -> CASE WHEN (('0x' || substr(md5(t),1,15))::BIGINT >> k) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0 THEN (1::BIGINT << k) ELSE 0::BIGINT END))::BIGINT AS sh
+  FROM documents),
+bands AS (
+  SELECT doc_id, sh, b, (sh >> (b * 8)) & 255 AS key
+  FROM s, (SELECT unnest(range(0, 4)) AS b))
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, bit_count(xor(a.sh, c.sh))::BIGINT AS hamming
+FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.sh, c.sh)) <= 3
+ORDER BY id_a, id_b""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -160,6 +160,38 @@ object Dedup {
       org.apache.spark.sql.graft.expressions.SimHash32(Bridge.toExpr(col(textCol)))))
   }
 
+  /** SimHash-banded near-dup pairs: the Google-style web-dedup shape.
+    * Each 32-bit simhash splits into 4 bands of 8 bits; candidates are
+    * pairs sharing ANY band value (one (band, key) equi-join shuffle,
+    * never all-pairs), verified by exact hamming distance. With
+    * `maxHamming <= 3` the banding is COMPLETE by pigeonhole — at most 3
+    * differing bits cannot touch all 4 bands, so at least one band
+    * matches and no qualifying pair can be missed (spec-proven against
+    * brute force). The banded relation is localCheckpoint'ed once so the
+    * simhash scan feeds both join sides without recomputation — the same
+    * staging the MinHash path uses (`nearDupPairs`).
+    */
+  def simHashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x8-bit banding is only complete for hamming <= 3, got $maxHamming")
+    val banded = simhash32(df, textCol, "__sh")
+      .select(col(idCol), col("__sh").cast("long").as("__sh"))
+      .select(col(idCol), col("__sh"), explode(sequence(lit(0), lit(3))).as("__b"))
+      .withColumn("__key", expr("shiftright(__sh, __b * 8) & 255"))
+      .localCheckpoint()
+    val left = banded.select(col("__b"), col("__key"),
+      col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val right = banded.select(col("__b"), col("__key"),
+      col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    left.join(right, Seq("__b", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sh_a").bitwiseXOR(col("__sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding near-dup: cosine above `threshold` marks a duplicate pair.
     * Pairing strategy is the caller's (LSH buckets, consecutive ids, ANN
     * candidates) — this is the verifier column.

@@ -1247,6 +1247,31 @@ class SparkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash-banded near-dup equals brute force (banding complete for hamming <= 3)") {
+    import spark.implicits._
+    // 30 random docs over a 12-word vocab correlate simhashes heavily, and
+    // two exact-duplicate groups guarantee hamming-0 pairs exist; the
+    // pigeonhole claim is that the 4x8-bit banding loses NOTHING at <= 3
+    val rnd = new scala.util.Random(37L)
+    val docs = ((0 until 26).map { i =>
+      (i.toLong, (0 until 20).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    } :+ (26L, "w1 w2 w3 w4") :+ (27L, "w1 w2 w3 w4")
+      :+ (28L, "w5 w6 w7") :+ (29L, "w5 w6 w7")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.simHashNearDupPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = graft.operators.Dedup.simhash32(docs, "text", "sh")
+      .select($"doc_id", $"sh".cast("long").as("sh"))
+    val a = sh.select($"doc_id".as("id_a"), $"sh".as("sha"))
+    val brute = a.crossJoin(sh.select($"doc_id".as("id_b"), $"sh".as("shb")))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        org.apache.spark.sql.functions.bit_count($"sha".bitwiseXOR($"shb")).cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.exists(_._3 == 0L)) // the duplicate groups surfaced
+  }
+
   test("KMV sketch: partition-invariant, equals a plain-Scala reference, estimator sane") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, udaf}
