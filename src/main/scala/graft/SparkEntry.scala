@@ -31,39 +31,13 @@ object SparkEntry {
     */
   private val Bm25Terms = Seq("join", "vector", "window", "stream")
 
-  /** BM25 (k1=1.2, b=0.75) scores over the documents table for
-    * [[Bm25Terms]], docs matching no term excluded. Scale shape (shared by
-    * q66/q67): per-term tf and dl are scan-side array ops — the term list
-    * is a literal, so there is NO explode and no (doc, term) shuffle; the
-    * corpus-global stats (N, avgdl, per-term df) are one single-row
-    * aggregate broadcast back. Two corpus scans total (idf is
-    * corpus-global — inherent), zero data shuffles. Float parity with the
-    * oracle: idf floor-quantizes the only transcendental (ln) at 1e-4, and
-    * every constant is written as a plain literal on both sides (2.2, not
-    * k1+1.0 — Scala's `1.2+1.0` and DuckDB's DECIMAL `1.2+1.0` round to
-    * DIFFERENT doubles, while the literal `2.2` parses identically).
+  /** BM25 over the documents table for [[Bm25Terms]] — the library API is
+    * [[graft.query.LexicalRetriever.bm25Scores]]; see its doc for the
+    * scale shape and the cross-engine float policy.
     */
-  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val terms = Bm25Terms
-    val base = t(s, dir, "documents")
-      .select($"doc_id", graft.operators.TextAnalysis.tokensCol($"text").as("tk"))
-      .select($"doc_id" +: size($"tk").cast("double").as("dl") +:
-        terms.map(tm => size(filter($"tk", x => x === tm)).cast("double").as(s"tf_$tm")): _*)
-    val stats = base.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg($"dl").as("avgdl") +:
-        terms.map(tm => sum((col(s"tf_$tm") > 0).cast("long")).cast("double").as(s"df_$tm")): _*)
-    base.crossJoin(broadcast(stats))
-      .withColumn("score", terms.map { tm =>
-        val tf = col(s"tf_$tm")
-        val df = col(s"df_$tm")
-        val idf = floor(log((($"n_docs" - df + 0.5) / (df + 0.5)) + 1.0) * 10000.0) / 10000.0
-        idf * (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))
-      }.reduce(_ + _))
-      .filter(terms.map(tm => col(s"tf_$tm")).reduce(_ + _) > 0)
-      .select($"doc_id", $"score")
-  }
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame =
+    graft.query.LexicalRetriever.bm25Scores(
+      t(s, dir, "documents"), "doc_id", "text", Bm25Terms)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core retrieval shape (`QA_using_pinecone.py:31-50`):
@@ -1058,11 +1032,10 @@ object SparkEntry {
         .orderBy($"vscore".desc, $"doc_id").limit(20)
         .withColumn("vec_rank",
           row_number().over(Window.orderBy($"vscore".desc, $"doc_id")).cast("long"))
-      lexTop.select($"doc_id", $"lex_rank")
-        .join(vecTop.select($"doc_id", $"vec_rank"), Seq("doc_id"), "full_outer")
-        .withColumn("rrf", floor(
-          (coalesce(lit(1.0) / ($"lex_rank" + 60.0), lit(0.0)) +
-           coalesce(lit(1.0) / ($"vec_rank" + 60.0), lit(0.0))) * 1000000.0) / 1000000.0)
+      graft.query.LexicalRetriever.rrfFuse(
+          lexTop.select($"doc_id", $"lex_rank"),
+          vecTop.select($"doc_id", $"vec_rank"),
+          "doc_id", "lex_rank", "vec_rank")
         .orderBy($"rrf".desc, $"doc_id").limit(10)
     }),
 
