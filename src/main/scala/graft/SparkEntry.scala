@@ -1016,7 +1016,10 @@ object SparkEntry {
     // results (single-partition window over 20 rows, not the corpus), the
     // standard scale shape for fusing rankers. Missing-from-one-list docs
     // contribute 0 from that list (full outer join + coalesce), per the
-    // RRF paper's convention.
+    // RRF paper's convention. The fuse itself plans as a SortMergeJoin —
+    // Spark cannot broadcast a full-outer join — but both inputs are
+    // top-k-bounded (20 rows each at ANY corpus size), so the exchange it
+    // sorts is k rows, not data.
     "q67_hybrid_rrf" -> ((s, dir) => {
       import s.implicits._
       val lexTop = bm25Scores(s, dir)

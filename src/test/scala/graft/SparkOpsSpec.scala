@@ -1247,6 +1247,44 @@ class SparkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 matches an independent plain-Scala reference over 30 random corpora") {
+    import spark.implicits._
+    // the q66 oracle MIRRORS the expression structure, so it cannot catch a
+    // bug shared by both sides; this reference re-derives BM25 from the
+    // formula (Robertson k1=1.2, b=0.75, +1-smoothed idf) independently
+    val rnd = new scala.util.Random(41L)
+    for (_ <- 0 until 30) {
+      val vocab = (0 until 10).map(i => s"w$i") ++ Seq("join", "vector")
+      val terms = Seq("join", "vector")
+      val docs = (0 until (5 + rnd.nextInt(20))).map { d =>
+        (d.toLong, (0 until (3 + rnd.nextInt(30)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val toks = docs.map { case (d, text) =>
+        d -> text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val n = docs.size.toDouble
+      val avgdl = toks.values.map(_.size).sum.toDouble / n
+      val dfm = terms.map(tm => tm -> toks.values.count(_.contains(tm)).toDouble).toMap
+      val want = docs.flatMap { case (d, _) =>
+        val tk = toks(d)
+        val score = terms.map { tm =>
+          val tf = tk.count(_ == tm).toDouble
+          val idf = math.floor(math.log((n - dfm(tm) + 0.5) / (dfm(tm) + 0.5) + 1.0) * 10000.0) / 10000.0
+          idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * tk.size / avgdl))
+        }.sum
+        if (terms.exists(tk.contains)) Some(d -> score) else None
+      }.toMap
+      val got = graft.query.LexicalRetriever.bm25Scores(
+          docs.toDF("doc_id", "text"), "doc_id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (d, s) =>
+        assert(math.abs(s - want(d)) < 1e-9, s"doc $d: $s vs ${want(d)}")
+      }
+    }
+  }
+
   test("simhash-banded near-dup equals brute force (banding complete for hamming <= 3)") {
     import spark.implicits._
     // 30 random docs over a 12-word vocab correlate simhashes heavily, and
