@@ -1204,6 +1204,28 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Exact-quota stratified sampling: each source contributes its 10
+    // smallest salted-hash documents — the deterministic counterpart of
+    // q62's rate-based mixture (rates give you proportions; quotas give
+    // you exact per-stratum counts, what an eval-set builder wants).
+    // Reproducible across engines/partitionings like every hash-ordered
+    // op here. ONE shuffle on source; the rank <= 10 filter is pushed
+    // into the sort as WindowGroupLimit (plan-pinned) so each partition
+    // keeps only its top candidates — never a full per-group sort
+    // materialization.
+    "q76_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      t(s, dir, "documents")
+        .select($"source", $"doc_id",
+          graft.functions.HashFunctions.stableHash64(
+            concat(lit("strat:"), $"doc_id".cast("string"))).as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 10)
+        .select($"source", $"rk", $"doc_id")
+        .orderBy($"source", $"rk")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -1941,6 +1963,14 @@ SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, bit_count(xor(a.sh, c.sh))::
 FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
 WHERE bit_count(xor(a.sh, c.sh)) <= 3
 ORDER BY id_a, id_b""",
+    "q76_stratified_sample" ->
+      """SELECT source, rk, doc_id
+FROM (SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source ORDER BY h, doc_id)::BIGINT AS rk
+      FROM (SELECT source, doc_id,
+              ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM documents))
+WHERE rk <= 10 ORDER BY source, rk""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -1175,6 +1175,12 @@ class SparkOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p73.contains("SortMergeJoin"), p73)
     assert("HashAggregate".r.findAllIn(p73).size >= 2, p73)
+    // q76: the rank <= quota filter must push into the sort as
+    // WindowGroupLimit — each partition keeps its top candidates instead
+    // of sorting and materializing every group in full
+    val p76 = SparkEntry.queries("q76_stratified_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p76.contains("WindowGroupLimit"), p76)
   }
 
   test("sessionize matches a plain-Scala reference over 50 random corpora") {
