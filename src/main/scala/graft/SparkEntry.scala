@@ -1226,6 +1226,33 @@ object SparkEntry {
         .orderBy($"source", $"rk")
     }),
 
+    // Corpus snapshot diff — dataset versioning's primitive: two corpus
+    // states full-outer-joined on the doc key, rows classified
+    // added/removed/changed/same by content hash. The "previous" snapshot
+    // is derived deterministically from the current one (docs %17==3
+    // absent then → added; %13==2 texts perturbed → changed; ghost ids →
+    // removed) so the oracle reproduces it exactly. ONE co-partitioned
+    // id-keyed join carrying (id, md5) pairs — never document text — then
+    // a 4-row rollup; the shape a 100 TB nightly-diff job wants.
+    "q77_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val cur = d.select($"doc_id", md5($"text").as("h_cur"))
+      val prev = d.filter($"doc_id" % 17 =!= 3)
+        .select($"doc_id",
+          md5(when($"doc_id" % 13 === 2, concat($"text", lit(" v1")))
+            .otherwise($"text")).as("h_prev"))
+        .unionByName(d.filter($"doc_id" % 19 === 5)
+          .select(($"doc_id" + 1000000L).as("doc_id"), md5($"text").as("h_prev")))
+      cur.join(prev, Seq("doc_id"), "full_outer")
+        .select(when($"h_prev".isNull, "added")
+          .when($"h_cur".isNull, "removed")
+          .when($"h_cur" =!= $"h_prev", "changed")
+          .otherwise("same").as("status"))
+        .groupBy($"status").agg(count(lit(1)).as("n"))
+        .orderBy($"status")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -1971,6 +1998,20 @@ FROM (SELECT source, doc_id,
               ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
             FROM documents))
 WHERE rk <= 10 ORDER BY source, rk""",
+    "q77_snapshot_diff" ->
+      """SELECT status, count(*) AS n FROM (
+  SELECT CASE WHEN p.h_prev IS NULL THEN 'added'
+              WHEN c.h_cur IS NULL THEN 'removed'
+              WHEN c.h_cur <> p.h_prev THEN 'changed'
+              ELSE 'same' END AS status
+  FROM (SELECT doc_id, md5(text) AS h_cur FROM documents) c
+  FULL OUTER JOIN (
+    SELECT doc_id, md5(CASE WHEN doc_id % 13 = 2 THEN text || ' v1' ELSE text END) AS h_prev
+    FROM documents WHERE doc_id % 17 <> 3
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_prev FROM documents WHERE doc_id % 19 = 5
+  ) p USING (doc_id))
+GROUP BY status ORDER BY status""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
