@@ -272,8 +272,23 @@ object StatefulOps {
         (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Double)],
          state: GroupState[SessionizeState]) =>
           val prev = state.getOption.getOrElse(SessionizeState(1L, Seq.empty))
-          val buf = (prev.buffer ++ rows.map(r => (r._3.getTime, r._2, r._4)))
+          // the stored buffer is already (ts, id)-sorted — sort only the
+          // arrivals and merge the two runs, O(B + A log A) instead of
+          // re-sorting the whole buffer every micro-batch on a hot key
+          val incoming = rows.map(r => (r._3.getTime, r._2, r._4)).toVector
             .sortBy(e => (e._1, e._2))
+          val buf = {
+            val out = Vector.newBuilder[(Long, Long, Double)]
+            var (i, j) = (0, 0)
+            val (a, b) = (prev.buffer, incoming)
+            while (i < a.length || j < b.length) {
+              val takeA = j >= b.length ||
+                (i < a.length && (a(i)._1 < b(j)._1 ||
+                  (a(i)._1 == b(j)._1 && a(i)._2 <= b(j)._2)))
+              if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+            }
+            out.result()
+          }
           val wm = state.getCurrentWatermarkMs()
           // a session is closed when the watermark is strictly past
           // last + gap: any admitted future arrival has ts > wm > last + gap
