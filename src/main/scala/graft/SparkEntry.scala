@@ -1253,6 +1253,30 @@ object SparkEntry {
         .orderBy($"status")
     }),
 
+    // Incremental near-dup — the nightly-ingest dedup shape: the q58 hash
+    // split carves a ~10% "new batch" (bucket >= 90) out of documents; the
+    // remaining 90% stands in for the existing corpus, whose signature
+    // index would be a STORED bucketed table in production (computed once
+    // at ingest — here derived inline because the harness is stateless).
+    // New docs are signature-banded ONCE, probed against the index, and
+    // self-joined among themselves — per-batch cost O(delta + matched
+    // buckets), never O(corpus^2). Output = q39's full-corpus pairs
+    // restricted to pairs touching the delta (spec-proven), tagged
+    // new_new / new_old.
+    "q78_incremental_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bucket = pmod(graft.functions.HashFunctions
+        .stableHash64(concat(lit("split:"), $"doc_id".cast("string"))), lit(100L))
+      val index = graft.operators.Dedup.signatureIndex(
+        docs.filter(bucket < 90), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2)
+      graft.operators.Dedup.incrementalNearDupPairs(
+          index, docs.filter(bucket >= 90), "doc_id", "text",
+          numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2012,6 +2036,17 @@ WHERE rk <= 10 ORDER BY source, rk""",
     SELECT doc_id + 1000000 AS doc_id, md5(text) AS h_prev FROM documents WHERE doc_id % 19 = 5
   ) p USING (doc_id))
 GROUP BY status ORDER BY status""",
+    // the full-corpus verified pairs restricted to pairs touching the delta
+    // (bucket >= 90) — exactly what the incremental operator must produce
+    "q78_incremental_neardup" ->
+      s"""WITH $LshVerifiedCtes,
+dd AS (SELECT doc_id FROM documents WHERE ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 >= 90)
+SELECT id_a, id_b, est_jac,
+  CASE WHEN id_a IN (SELECT doc_id FROM dd) AND id_b IN (SELECT doc_id FROM dd)
+       THEN 'new_new' ELSE 'new_old' END AS pair_kind
+FROM verified
+WHERE est_jac >= 0.5 AND (id_a IN (SELECT doc_id FROM dd) OR id_b IN (SELECT doc_id FROM dd))
+ORDER BY id_a, id_b""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

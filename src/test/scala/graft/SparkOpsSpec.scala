@@ -388,6 +388,34 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(got.values.toSet.size < 6) // at least one multi-doc cluster formed
   }
 
+  test("incremental near-dup equals the full self-join restricted to delta-touching pairs") {
+    import spark.implicits._
+    // sliding-token corpus: adjacent docs are mid-range near-dups, plus an
+    // exact clone pair — so the split produces new_new, new_old, and
+    // corpus-only pairs (the last must be ABSENT from the incremental output)
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, (10 * i until 10 * i + 40).map(k => s"w$k").mkString(" "))
+    } :+ (102L, (0 until 40).map(k => s"w$k").mkString(" "))).toDF("doc_id", "text")
+    val delta = docs.filter($"doc_id" % 3 === 0)
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val index = graft.operators.Dedup.signatureIndex(corpus, "doc_id", "text", 8, 4, 4, 2)
+    val got = graft.operators.Dedup.incrementalNearDupPairs(
+        index, delta, "doc_id", "text", 8, 4, 4, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val deltaIds = delta.collect().map(_.getLong(0)).toSet
+    val want = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text", 8, 4, 4, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => deltaIds(a) || deltaIds(b) }
+      .map { case (a, b, j) =>
+        (a, b, j, if (deltaIds(a) && deltaIds(b)) "new_new" else "new_old") }.toSet
+    assert(got == want)
+    assert(got.exists(_._4 == "new_new") && got.exists(_._4 == "new_old"))
+    // and the full join really had corpus-only pairs the incremental run skipped
+    val full = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text", 8, 4, 4, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.exists { case (a, b) => !deltaIds(a) && !deltaIds(b) })
+  }
+
   test("multi-probe LSH: recall at least matches single-probe per query") {
     import spark.implicits._
     val e = new DeterministicEmbedder(16)
