@@ -1277,6 +1277,31 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Sampled quantile profile — the mergeable path to q55's exact
+    // quantiles: a deterministic bottom-16-by-salted-hash sample per source
+    // (partial+final mergeable, the shuffle carries <= 16 pairs per group,
+    // not the group) and exact order statistics OF the sample. Quantile
+    // ranks use pure integer math (floor((p*n+99)/100) = ceil(p*n/100)) so
+    // neither engine's decimal-vs-double ceil can disagree; the
+    // deterministic hash makes even the sample membership oracle-checkable
+    // bit-for-bit — none of t-digest/GK's engine-specific rank error.
+    "q79_sampled_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val sampleAgg = udaf(new graft.operators.BottomMSampleAgg(16))
+      def kth(vals: Column, p: Int): Column = element_at(vals,
+        floor((lit(p) * size(vals) + lit(99)) / lit(100.0)).cast("int")).as(s"p$p")
+      t(s, dir, "documents")
+        .select($"source",
+          graft.functions.HashFunctions.stableHash64(
+            concat(lit("sample:"), $"doc_id".cast("string"))).as("h"),
+          $"n_chars")
+        .groupBy($"source")
+        .agg(sampleAgg($"h", $"n_chars").as("vals"))
+        .select($"source", size($"vals").cast("long").as("sample_n"),
+          kth($"vals", 25), kth($"vals", 50), kth($"vals", 75), kth($"vals", 90))
+        .orderBy($"source")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2047,6 +2072,21 @@ SELECT id_a, id_b, est_jac,
 FROM verified
 WHERE est_jac >= 0.5 AND (id_a IN (SELECT doc_id FROM dd) OR id_b IN (SELECT doc_id FROM dd))
 ORDER BY id_a, id_b""",
+    // sample membership replayed by rank over the same salted hash; the
+    // value at sample-rank k is tie-insensitive, so row_number ties on
+    // equal n_chars cannot flip the reported quantile
+    "q79_sampled_quantiles" ->
+      """WITH s AS (SELECT source, n_chars, row_number() OVER (PARTITION BY source ORDER BY h, n_chars) AS rk
+  FROM (SELECT source, n_chars, ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h FROM documents)),
+r AS (SELECT source, n_chars, row_number() OVER (PARTITION BY source ORDER BY n_chars) AS vr,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM (SELECT source, n_chars FROM s WHERE rk <= 16))
+SELECT source, max(n)::BIGINT AS sample_n,
+  min(CASE WHEN vr = cast(floor((25*n + 99) / 100.0) AS BIGINT) THEN n_chars END)::BIGINT AS p25,
+  min(CASE WHEN vr = cast(floor((50*n + 99) / 100.0) AS BIGINT) THEN n_chars END)::BIGINT AS p50,
+  min(CASE WHEN vr = cast(floor((75*n + 99) / 100.0) AS BIGINT) THEN n_chars END)::BIGINT AS p75,
+  min(CASE WHEN vr = cast(floor((90*n + 99) / 100.0) AS BIGINT) THEN n_chars END)::BIGINT AS p90
+FROM r GROUP BY source ORDER BY source""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -1371,6 +1371,29 @@ class SparkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bottom-m sample: partition-invariant, equals a plain-Scala reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    // sample membership is a pure function of the (hash, value) multiset —
+    // any partial/merge tree must produce the identical sorted value sample
+    val rnd = new scala.util.Random(37L)
+    val m = 16
+    for (_ <- 0 until 10) {
+      val rows = (0 until (5 + rnd.nextInt(80))).map { i =>
+        (graft.functions.HashFunctions.stableHash64(s"sample:$i:${rnd.nextInt(9)}"),
+          rnd.nextInt(40).toLong)
+      }
+      val ref = rows.sorted.take(m).map(_._2).sorted
+      val sampleAgg = udaf(new graft.operators.BottomMSampleAgg(m))
+      for (parts <- Seq(1, 3, 8)) {
+        val got = rows.toDF("h", "v").repartition(parts)
+          .select(sampleAgg(col("h"), col("v")))
+          .as[Seq[Long]].head()
+        assert(got == ref, s"parts=$parts")
+      }
+    }
+  }
+
   test("streaming running distinct equals the batch KMV sketch across random splits") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
