@@ -1302,6 +1302,26 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Two-stage quantized ANN — the memory-bound ANN shape: int8-quantize
+    // the corpus (the stored index is 4x smaller; here derived inline),
+    // rank candidates by the EXACT INTEGER dot of quantized vectors,
+    // rescore the top-8 survivors with the true float cosine, emit top-3.
+    // floor(x*scale + 0.5) quantization keeps both engines bit-identical
+    // (round() is half-even vs half-away across engines), and qdot rides to
+    // the output as integer evidence of the quantized stage.
+    "q80_quantized_ann" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.quantizedTopK(
+          emb,
+          emb.filter($"vec_id".isin(0, 1, 2))
+            .select($"vec_id".as("query_id"), $"embedding"),
+          k = 3, candidates = 8)
+        .select($"query_id", $"neighbor_id", $"qdot",
+          fq4($"score").as("score"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2087,6 +2107,24 @@ SELECT source, max(n)::BIGINT AS sample_n,
   min(CASE WHEN vr = cast(floor((75*n + 99) / 100.0) AS BIGINT) THEN n_chars END)::BIGINT AS p75,
   min(CASE WHEN vr = cast(floor((90*n + 99) / 100.0) AS BIGINT) THEN n_chars END)::BIGINT AS p90
 FROM r GROUP BY source ORDER BY source""",
+    "q80_quantized_ann" ->
+      """WITH mx AS (SELECT vec_id, embedding, list_max(list_transform(embedding, x -> abs(x)))::DOUBLE AS mab FROM embeddings),
+qz AS (SELECT vec_id, embedding, 127 / mab AS s,
+         list_transform(embedding, x -> cast(floor(x::DOUBLE * (127 / mab) + 0.5) AS BIGINT)) AS qv
+       FROM mx),
+cand AS (SELECT query_id, neighbor_id, qdot, qdot::DOUBLE / (sq * sc2) AS ascore, emb_c, emb_q FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(0,64), i -> q.qv[i+1] * c.qv[i+1]))::BIGINT AS qdot,
+         q.s AS sq, c.s AS sc2, c.embedding AS emb_c, q.embedding AS emb_q
+  FROM qz c, (SELECT * FROM qz WHERE vec_id IN (0,1,2)) q
+  WHERE c.vec_id <> q.vec_id)),
+resc AS (SELECT query_id, neighbor_id, qdot,
+           list_cosine_similarity(emb_c::DOUBLE[], emb_q::DOUBLE[]) AS sc
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS r1 FROM cand)
+         WHERE r1 <= 8)
+SELECT query_id, neighbor_id, qdot, floor(sc * 10000.0) / 10000.0 AS score, rn AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn FROM resc)
+WHERE rn <= 3 ORDER BY query_id, rank""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -416,6 +416,49 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(full.exists { case (a, b) => !deltaIds(a) && !deltaIds(b) })
   }
 
+  test("quantized two-stage ANN equals a plain-Scala reference bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    val dim = 12
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))).toMap
+    val corpus = vecs.toSeq.sortBy(_._1).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val got = graft.operators.SimilaritySearch.quantizedTopK(
+        corpus, queries, k = 3, candidates = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+
+    // plain-Scala twin of the exact formulas: floor(x*scale+0.5) int8
+    // quantization, integer dot, descale, then exact cosine in index order
+    def quant(v: Array[Float]): (Double, Array[Long]) = {
+      val s = 127.0 / v.map(math.abs).max.toDouble
+      (s, v.map(x => math.floor(x.toDouble * s + 0.5).toLong))
+    }
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (0L until 3L).flatMap { qid =>
+      val (sq, qq) = quant(vecs(qid))
+      val stage1 = vecs.keys.filter(_ != qid).toSeq.map { cid =>
+        val (sc, qc) = quant(vecs(cid))
+        val qdot = qq.zip(qc).map { case (x, y) => x * y }.sum
+        (cid, qdot, qdot.toDouble / (sq * sc))
+      }.sortBy { case (cid, _, a) => (-a, cid) }.take(6)
+      stage1.map { case (cid, qdot, _) => (cid, qdot, cosine(vecs(cid), vecs(qid))) }
+        .sortBy { case (cid, _, s) => (-s, cid) }.take(3).zipWithIndex
+        .map { case ((cid, qdot, s), i) => (qid, cid, qdot, s, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("multi-probe LSH: recall at least matches single-probe per query") {
     import spark.implicits._
     val e = new DeterministicEmbedder(16)
