@@ -1322,6 +1322,52 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // The dedup END PRODUCT: near-dup pairs -> connected components ->
+    // keeper map joined BACK to the corpus (one co-partitioned id equi-join
+    // — the map carries two longs per doc, never text), keeping one doc per
+    // cluster. Output is the per-source kept/dropped ledger a corpus
+    // curation run reports; at 100 TB the same plan writes the kept docs
+    // instead of counting them.
+    "q81_dedup_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        docs, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
+      val keep = graft.operators.Dedup.resolveClusters(pairs, docs.select($"doc_id"))
+      docs.join(keep, docs("doc_id") === keep("id"))
+        .select($"source", ($"keeper_id" === $"doc_id").as("kept"), $"text")
+        .groupBy($"source")
+        .agg(sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"kept", 0L).otherwise(1L)).as("n_dropped"),
+          sum(when($"kept", TextFunctions.numTokensCol($"text")).otherwise(lit(0)))
+            .cast("long").as("kept_tokens"))
+        .orderBy($"source")
+    }),
+
+    // Hard-negative mining — the contrastive-training data op: for each
+    // query vector, the top-3 most-similar corpus vectors with a DIFFERENT
+    // label (nearest wrong answers). Same scale shape as brute-force ANN:
+    // queries broadcast, one corpus scan, label inequality evaluated in the
+    // broadcast join condition, per-query top-k window over the survivors.
+    "q82_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding".as("query_vec"),
+          $"label".as("q_label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
+      emb.join(broadcast(q), $"label" =!= $"q_label")
+        .withColumn("score",
+          graft.functions.VectorFunctions.cosineSim($"embedding", $"query_vec"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"label",
+          fq4($"score").as("score"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2124,6 +2170,27 @@ resc AS (SELECT query_id, neighbor_id, qdot,
          WHERE r1 <= 8)
 SELECT query_id, neighbor_id, qdot, floor(sc * 10000.0) / 10000.0 AS score, rn AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS rn FROM resc)
+WHERE rn <= 3 ORDER BY query_id, rank""",
+    // q53's component resolution joined back to the corpus as a keep filter
+    "q81_dedup_corpus" ->
+      raw"""WITH RECURSIVE $LshVerifiedCtes,
+good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 1.0),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id),
+keep AS (SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY id)
+SELECT source,
+  sum(CASE WHEN keeper_id = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  sum(CASE WHEN keeper_id = doc_id THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+  sum(CASE WHEN keeper_id = doc_id THEN len(regexp_extract_all(text, '\w+|[^\w\s]')) ELSE 0 END)::BIGINT AS kept_tokens
+FROM documents JOIN keep USING (doc_id)
+GROUP BY source ORDER BY source""",
+    "q82_hard_negatives" ->
+      """SELECT query_id, neighbor_id, label, floor(sc * 10000.0) / 10000.0 AS score, rn AS rank FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sc,
+    row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id) AS rn
+  FROM embeddings e, (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS q_label FROM embeddings WHERE vec_id IN (0,1,2)) q
+  WHERE e.label <> q.q_label)
 WHERE rn <= 3 ORDER BY query_id, rank""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
