@@ -1368,6 +1368,57 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Leakage-safe split — q58's hash split made near-dup-aware: the split
+    // bucket is hashed from the CLUSTER KEEPER id (q53's component
+    // resolution), not the doc id, so a near-dup pair can never straddle
+    // train/test — the eval-contamination failure mode of naive per-doc
+    // splits. Cost over q58 is the cluster resolution plus one keeper-map
+    // equi-join; the split itself stays scan-side and engine-reproducible.
+    "q83_leakage_safe_split" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        docs, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
+      val keep = graft.operators.Dedup.resolveClusters(pairs, docs.select($"doc_id"))
+      val bucket = pmod(graft.functions.HashFunctions
+        .stableHash64(concat(lit("split:"), $"keeper_id".cast("string"))), lit(100L))
+      docs.join(keep, docs("doc_id") === keep("id"))
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"keeper_id").as("n_clusters"))
+        .orderBy($"source", $"split")
+    }),
+
+    // Vocabulary coverage curve — the tokenizer-design op: how many
+    // distinct word types cover 50% / 90% / 99% of all token occurrences.
+    // One corpus scan + a vocabulary-sized agg; the running sum windows
+    // over the FREQUENCY-SORTED VOCABULARY (bounded by distinct types, not
+    // corpus size), so the only corpus-sized shuffle is the word count.
+    "q84_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val freq = t(s, dir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"c".desc, $"w").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = freq
+        .withColumn("cum", sum($"c").over(w))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"c".desc, $"w")).cast("long"))
+      val tot = freq.agg(sum($"c").as("tot"), count(lit(1)).as("n_types"))
+      ranked.crossJoin(broadcast(tot))
+        .groupBy($"tot", $"n_types")
+        .agg(
+          min(when($"cum" * 100 >= $"tot" * 50, $"rk")).as("types_p50"),
+          min(when($"cum" * 100 >= $"tot" * 90, $"rk")).as("types_p90"),
+          min(when($"cum" * 100 >= $"tot" * 99, $"rk")).as("types_p99"))
+        .select($"tot".cast("long").as("n_tokens"), $"n_types",
+          $"types_p50", $"types_p90", $"types_p99")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2192,6 +2243,29 @@ GROUP BY source ORDER BY source""",
   FROM embeddings e, (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS q_label FROM embeddings WHERE vec_id IN (0,1,2)) q
   WHERE e.label <> q.q_label)
 WHERE rn <= 3 ORDER BY query_id, rank""",
+    "q83_leakage_safe_split" ->
+      s"""WITH RECURSIVE $LshVerifiedCtes,
+good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 1.0),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id),
+keep AS (SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY id)
+SELECT source, split, count(*) AS n_docs, count(DISTINCT keeper_id) AS n_clusters
+FROM (SELECT d.source, k.keeper_id,
+  CASE WHEN ('0x' || substr(md5('split:' || k.keeper_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+       WHEN ('0x' || substr(md5('split:' || k.keeper_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
+GROUP BY source, split ORDER BY source, split""",
+    "q84_vocab_coverage" ->
+      raw"""WITH freq AS (SELECT w, count(*) AS c FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents) GROUP BY w),
+ranked AS (SELECT c, sum(c) OVER (ORDER BY c DESC, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (ORDER BY c DESC, w) AS rk FROM freq),
+tot AS (SELECT sum(c) AS tot, count(*) AS n_types FROM freq)
+SELECT tot::BIGINT AS n_tokens, n_types::BIGINT AS n_types,
+  min(CASE WHEN cum * 100 >= tot * 50 THEN rk END)::BIGINT AS types_p50,
+  min(CASE WHEN cum * 100 >= tot * 90 THEN rk END)::BIGINT AS types_p90,
+  min(CASE WHEN cum * 100 >= tot * 99 THEN rk END)::BIGINT AS types_p99
+FROM ranked, tot GROUP BY tot, n_types ORDER BY n_tokens""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -1254,6 +1254,74 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(p76.contains("WindowGroupLimit"), p76)
   }
 
+  test("plan pins: q78 computes delta signatures once; q80 rescores only stage-1 survivors") {
+    import spark.implicits._
+    val dir = tmpDir("graft_q78plan")
+    (0 until 40).map(i =>
+        (i.toLong, s"the quick brown fox ${i % 8} jumps over the lazy dog ${i % 8} again and again",
+          "src", 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = new DeterministicEmbedder(8)
+    (0 until 50).map(i => (i.toLong, e.embedOne(s"v$i").toSeq, i % 5))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // q78: the delta's minhash pass runs ONCE (checkpointed band rows feed
+    // the index probe and both self-join sides as ExistingRDD scans); only
+    // the inline corpus index computes minhash_sig in this stateless
+    // harness — in production that side is a stored table and disappears
+    val p78 = SparkEntry.queries("q78_incremental_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("minhash_sig".r.findAllIn(p78).size == 1, p78)
+    assert("Scan ExistingRDD".r.findAllIn(p78).size >= 3, p78)
+    assert(!p78.contains("CartesianProduct"), p78)
+    // q80: queries broadcast (corpus scanned once, never shuffled), the
+    // stage-1 quantized rank collapses via partial+final WindowGroupLimit
+    // (only <= candidates rows per query cross the shuffle), and the exact
+    // cosine is computed ABOVE the r1 filter — only on stage-1 survivors
+    val p80 = SparkEntry.queries("q80_quantized_ann")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p80.contains("BroadcastNestedLoopJoin BuildRight"), p80)
+    assert(p80.contains("row_number(), 8, Partial"), p80)
+    assert("cosine_sim".r.findAllIn(p80).size == 1, p80)
+    val cosAt = p80.indexOf("cosine_sim")
+    assert(cosAt > p80.indexOf("row_number(), 3, Final"), p80)
+    assert(cosAt < p80.indexOf("row_number(), 8, Final"), p80)
+    // q84: the corpus-sized shuffle is the word count only (partial+final
+    // agg); the totals come back by broadcast, never a sort-merge join
+    val p84 = SparkEntry.queries("q84_vocab_coverage")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p84).size >= 2, p84)
+    assert(p84.contains("Broadcast"), p84)
+    assert(!p84.contains("SortMergeJoin"), p84)
+  }
+
+  test("leakage-safe split never places two docs of one near-dup cluster in different splits") {
+    import spark.implicits._
+    val dir = tmpDir("graft_q83safe")
+    // 30 clusters of 3 exact clones each, with token-DISJOINT cluster
+    // bodies (an 8-hash signature can collide across near-identical
+    // templates, which would merge clusters and break the arithmetic below)
+    (0 until 90).map(i =>
+        (i.toLong, (0 until 30).map(k => s"w${(i % 30) * 50 + k}").mkString(" "), "src", 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q83_leakage_safe_split")(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // every cluster lands wholly in one split: per split, n_docs must be a
+    // multiple of 3 and exactly 3x the cluster count
+    assert(rows.map(_._2).sum == 90L)
+    rows.foreach { case (split, nDocs, nClusters) =>
+      assert(nDocs == 3 * nClusters, s"$split: $nDocs docs vs $nClusters clusters")
+    }
+    // and the naive per-doc split DOES straddle at least one cluster here,
+    // so the test would catch a regression to doc-id hashing
+    val naive = graft.functions.HashFunctions
+    val buckets = (0 until 90).groupBy(_ % 30).values.map(g =>
+      g.map(i => naive.stableHash64(s"split:$i") % 100 < 80).toSet.size)
+    assert(buckets.exists(_ > 1))
+  }
+
   test("sessionize matches a plain-Scala reference over 50 random corpora") {
     import spark.implicits._
     // independent re-derivation: per user, sort by (ts, id), split where
