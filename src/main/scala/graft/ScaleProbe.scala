@@ -140,7 +140,27 @@ object ScaleProbe {
       graft.operators.ParagraphDedup.dedupSummary(pars, "doc_id", "idx", "p")
     }
 
-    val qs = Seq(q39, q56, q56t, q57, q68s)
+    // q78's shape: incremental dedup against the STORED signature index.
+    // The index of the first copies−1 copies is written to parquet UNTIMED
+    // (the once-at-ingest cost a production deployment has already paid);
+    // the timed run signature-bands ONLY the newest copy and probes the
+    // stored table — the nightly cost, which must scale with the delta,
+    // not the corpus. Expected rows are closed-form: a pair touches the
+    // delta iff not both sides are in the old copies, so
+    // (copies² − (copies−1)²)·P₁ + (C(copies,2) − C(copies−1,2))·N.
+    val deltaLo = (copies - 1) * offset
+    graft.operators.Dedup.signatureIndex(
+        scaled.filter($"doc_id" < deltaLo), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2)
+      .write.mode("overwrite").parquet("/tmp/graft_probe_warehouse/inc_index")
+    val q78s = timed("q78_incremental_neardup_10x") {
+      graft.operators.Dedup.incrementalNearDupPairs(
+        spark.read.parquet("/tmp/graft_probe_warehouse/inc_index"),
+        scaled.filter($"doc_id" >= deltaLo), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+    }
+
+    val qs = Seq(q39, q56, q56t, q57, q68s, q78s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()
