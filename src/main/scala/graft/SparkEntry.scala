@@ -1394,20 +1394,19 @@ object SparkEntry {
 
     // Vocabulary coverage curve — the tokenizer-design op: how many
     // distinct word types cover 50% / 90% / 99% of all token occurrences.
-    // One corpus scan + a vocabulary-sized agg; the running sum windows
-    // over the FREQUENCY-SORTED VOCABULARY (bounded by distinct types, not
-    // corpus size), so the only corpus-sized shuffle is the word count.
+    // One corpus scan + a vocabulary-sized agg; the cumulative distribution
+    // over the frequency-sorted vocabulary runs through
+    // Batching.globalRunningSum (range shuffle + driver prefix offsets +
+    // streamed fold) — NEVER `sum() OVER (ORDER BY …)`'s single-partition
+    // window, which a web-scale vocabulary (10^8+ types) would bottleneck.
     "q84_vocab_coverage" -> ((s, dir) => {
       import s.implicits._
       val freq = t(s, dir, "documents")
         .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"c".desc, $"w").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = freq
-        .withColumn("cum", sum($"c").over(w))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy($"c".desc, $"w")).cast("long"))
+      val ranked = graft.operators.Batching.globalRunningSum(
+        freq, Seq($"c".desc, $"w"), "c", numPartitions = 8,
+        outPos = "rk", outCum = "cum")
       val tot = freq.agg(sum($"c").as("tot"), count(lit(1)).as("n_types"))
       ranked.crossJoin(broadcast(tot))
         .groupBy($"tot", $"n_types")

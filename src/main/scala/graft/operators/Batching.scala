@@ -61,4 +61,50 @@ object Batching {
       .withColumn(out, (col("__off") + col("__lrn")).cast("long"))
       .drop("__pid", "__lrn")
   }
+
+  /** Scale-safe global running sum (and 1-based position) of `valueCol` in
+    * `ord` order — the cumulative-distribution shape (vocabulary coverage,
+    * token-budget curricula) without `sum() OVER (ORDER BY …)`'s
+    * single-partition WindowExec:
+    *
+    *  1. range-repartition on `ord` + sort within partitions;
+    *  2. ONE tiny job collects per-partition row counts and value sums
+    *     (numPartitions rows) → prefix offsets on the driver;
+    *  3. a streamed per-partition fold (O(1) state, closure-carried
+    *     offsets — no join, no window) emits position and running sum.
+    *
+    * Identical results to the global window for any total `ord` order;
+    * every stage is parallel. `valueCol` must be LONG (cast upstream).
+    */
+  def globalRunningSum(
+      df: DataFrame, ord: Seq[Column], valueCol: String, numPartitions: Int,
+      outPos: String = "pos", outCum: String = "cum"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val parted = df.repartitionByRange(numPartitions, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // pin one layout for the offsets job and the fold
+    val perPart = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var accN = 0L
+    var accS = 0L
+    val offsets: Map[Int, (Long, Long)] = perPart.map { case (pid, n, s) =>
+      val o = (pid, (accN, accS)); accN += n; accS += s; o
+    }.toMap
+    val vIdx = parted.schema.fieldIndex(valueCol)
+    val schema = parted.schema.add(outPos, LongType).add(outCum, LongType)
+    parted.mapPartitions { it =>
+      val (posOff, sumOff) = offsets.getOrElse(
+        org.apache.spark.TaskContext.getPartitionId(), (0L, 0L))
+      var pos = 0L
+      var run = 0L
+      it.map { r =>
+        pos += 1L; run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ (posOff + pos) :+ (sumOff + run))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .drop("__pid")
+  }
 }

@@ -1288,12 +1288,38 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(cosAt > p80.indexOf("row_number(), 3, Final"), p80)
     assert(cosAt < p80.indexOf("row_number(), 8, Final"), p80)
     // q84: the corpus-sized shuffle is the word count only (partial+final
-    // agg); the totals come back by broadcast, never a sort-merge join
+    // agg); the totals come back by broadcast, never a sort-merge join —
+    // and the cumulative distribution runs windowless (globalRunningSum),
+    // so NO WindowExec may appear anywhere in the plan
     val p84 = SparkEntry.queries("q84_vocab_coverage")(spark, dir)
       .queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(p84).size >= 2, p84)
     assert(p84.contains("Broadcast"), p84)
     assert(!p84.contains("SortMergeJoin"), p84)
+    assert(!p84.contains("Window"), p84)
+  }
+
+  test("globalRunningSum equals the single-partition window for random data and partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{row_number, sum}
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rnd = new scala.util.Random(43L)
+    for (_ <- 0 until 5) {
+      val rows = (0 until (20 + rnd.nextInt(300)))
+        .map(i => (s"k$i", 1L + rnd.nextInt(50).toLong))
+      val df = rows.toDF("w", "c").repartition(1 + rnd.nextInt(7))
+      val want = df
+        .withColumn("rk", row_number().over(W.orderBy($"c".desc, $"w")).cast("long"))
+        .withColumn("cum", sum($"c").over(
+          W.orderBy($"c".desc, $"w").rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select("w", "c", "rk", "cum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val got = graft.operators.Batching.globalRunningSum(
+          df, Seq($"c".desc, $"w"), "c", numPartitions = 1 + rnd.nextInt(7),
+          outPos = "rk", outCum = "cum")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want)
+    }
   }
 
   test("leakage-safe split never places two docs of one near-dup cluster in different splits") {
