@@ -1418,6 +1418,145 @@ object SparkEntry {
           $"types_p50", $"types_p90", $"types_p99")
     }),
 
+    // Span-level EXACT substring dedup (Lee et al. arXiv:2107.06499): every
+    // 5-token window repeated anywhere in the corpus marks its positions
+    // duplicated; per doc the marks merge into maximal runs. The corpus
+    // shuffle carries (doc, pos, xxhash64) — never window text; run-merge is
+    // one lag window per doc. Catches boilerplate INSIDE otherwise-unique
+    // docs, which q22/q39/q68 structurally cannot.
+    "q85_span_dedup" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.SpanDedup.spanProfile(
+        t(s, dir, "documents"), "doc_id",
+        graft.operators.TextAnalysis.tokensCol($"text"), k = 5, minCount = 2)
+        .orderBy($"doc_id")
+    }),
+
+    // BPE merge statistics — tokenizer training's step 1 (Sennrich et al.
+    // arXiv:1508.07909): weighted adjacent character-pair counts over the
+    // VOCABULARY (types × counts), top-20 merge candidates. The corpus pays
+    // exactly one scan + one word-count shuffle; pair explosion and the
+    // top-k (TakeOrderedAndProject) run on the vocab-sized table. The full
+    // iterative trainer (BpeTokenizer.train) is spec-verified against a
+    // plain-Scala reference; this query oracles its distributed core.
+    "q86_bpe_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val wf = graft.operators.BpeTokenizer.wordFrequencies(
+        t(s, dir, "documents"), graft.operators.TextAnalysis.tokensCol($"text"))
+      graft.operators.BpeTokenizer.pairCounts(
+        graft.operators.BpeTokenizer.initSymbols(wf.filter(length($"w") >= 2)))
+        .orderBy($"cnt".desc, $"l", $"r")
+        .limit(20)
+    }),
+
+    // Bloom-prefiltered decontamination: the eval set's 3-gram fingerprints
+    // build a Bloom filter (driver-merged, ~1.2 MB at 1% fpp per 10^6
+    // grams) that prunes the corpus gram stream BEFORE the equi-join — at
+    // 100 TB the filter broadcasts to every executor and drops ~99% of
+    // clean grams scan-side, so the join shuffle carries only candidates.
+    // Survivors are verified by the exact semi-join, so the OUTPUT is
+    // exact: false positives cost shuffle bytes, never correctness.
+    "q87_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          graft.operators.TextAnalysis.tokensCol($"text").as("w"))
+      def grams(df: DataFrame): DataFrame = {
+        val long = df.filter(size($"w") >= 4)
+          .select($"doc_id",
+            explode(transform(sequence(lit(1), size($"w") - 2),
+              i => concat_ws(" ", slice($"w", i, lit(3))))).as("g"))
+        val short = df.filter(size($"w").between(1, 3))
+          .select($"doc_id", concat_ws(" ", $"w").as("g"))
+        long.union(short).select($"doc_id", xxhash64($"g").as("gh"))
+      }
+      val all = grams(toks)
+      val ev = all.filter($"doc_id" % 83 === 7).select($"gh").distinct()
+      val corpus = all.filter($"doc_id" % 83 =!= 7)
+      // size the filter from the eval set's true cardinality (one count of
+      // the SMALL side — the eval set, not the corpus) so fpp holds at any SF
+      val bf = ev.stat.bloomFilter("gh", math.max(ev.count(), 1000L), 0.01)
+      val mightContain = udf((gh: Long) => bf.mightContainLong(gh))
+      val hits = corpus.filter(mightContain($"gh"))
+        .join(ev, "gh")
+        .select($"doc_id").distinct()
+      t(s, dir, "documents")
+        .filter($"doc_id" % 83 =!= 7)
+        .join(hits.withColumn("contam", lit(1)), Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"contam", lit(0))).cast("long").as("n_contam"),
+          sum(when($"contam".isNull, 1).otherwise(0)).cast("long").as("n_clean"))
+        .orderBy($"source")
+    }),
+
+    // Bucketed co-located join — the 100 TB fact⋈fact answer: both sides
+    // written bucketed+sorted on the join key (8 buckets, one file each via
+    // pre-repartition on the same hash), so the merge join runs with ZERO
+    // exchange and zero sort below it (plan-pinned in SparkOpsSpec). The
+    // ≤25-row aggregate is collected so the scratch tables can be dropped
+    // before returning — same lifecycle pattern as q37.
+    "q88_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      Seq("graft_bkt_orders", "graft_bkt_customer")
+        .foreach(t0 => s.sql(s"DROP TABLE IF EXISTS $t0"))
+      t(s, dir, "orders").repartition(8, $"o_custkey")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/orders").saveAsTable("graft_bkt_orders")
+      t(s, dir, "customer").repartition(8, $"c_custkey")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/customer").saveAsTable("graft_bkt_customer")
+      val rows = s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_customer").hint("merge"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum($"o_totalprice"), 2).as("revenue2"))
+        .orderBy($"c_nationkey")
+        .as[(Long, Long, Double)].collect().toSeq
+      Seq("graft_bkt_orders", "graft_bkt_customer")
+        .foreach(t0 => s.sql(s"DROP TABLE IF EXISTS $t0"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      rows.toDF("c_nationkey", "n_orders", "revenue2")
+    }),
+
+    // Partition-pruned scan: the corpus written partitioned by source, read
+    // back with a partition predicate — the scan touches ONE directory of
+    // twenty (PartitionFilters pinned in SparkOpsSpec; at 100 TB this is
+    // the difference between reading 5 TB and 100 TB). Result collected
+    // (≤ n_langs rows) so the scratch dir can be removed, as in q37/q88.
+    "q89_pruned_scan" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      t(s, dir, "documents").write.partitionBy("source").parquet(s"$tmp/docs")
+      val rows = s.read.parquet(s"$tmp/docs")
+        .filter($"source" === "src1")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang")
+        .as[(String, Long, Long)].collect().toSeq
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      rows.toDF("lang", "n_docs", "sum_chars")
+    }),
+
+    // Edit-distance verifier — the dedup pipeline's third similarity
+    // family (set-overlap: jaccard q27; bit-sketch: simhash q26/q75;
+    // sequence-alignment: levenshtein here), over the q27 adjacent-pair
+    // shape. Cross-engine parity of the DP itself is what's under test;
+    // as a verify stage it runs on LSH candidates, never corpus².
+    "q90_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "documents").select($"doc_id".as("id_a"), $"text".as("ta"))
+      val b = t(s, dir, "documents").select($"doc_id".as("id_b"), $"text".as("tb"))
+      a.join(b, $"id_b" === $"id_a" + 1)
+        .select($"id_a", $"id_b",
+          levenshtein($"ta", $"tb").cast("long").as("lev"),
+          fq4(lit(1.0) - levenshtein($"ta", $"tb").cast("double") /
+            greatest(length($"ta"), length($"tb"), lit(1))).as("sim4"))
+        .orderBy($"id_a")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2265,6 +2404,53 @@ SELECT tot::BIGINT AS n_tokens, n_types::BIGINT AS n_types,
   min(CASE WHEN cum * 100 >= tot * 90 THEN rk END)::BIGINT AS types_p90,
   min(CASE WHEN cum * 100 >= tot * 99 THEN rk END)::BIGINT AS types_p99
 FROM ranked, tot GROUP BY tot, n_types ORDER BY n_tokens""",
+    "q85_span_dedup" ->
+      raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks WHERE len(w) >= 5)),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+runs AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL THEN 5
+              ELSE least(5, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)) END AS contrib,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END AS new_run
+  FROM dpos)
+SELECT t.doc_id, len(t.w)::BIGINT AS n_tok,
+       coalesce(count(r.pos), 0)::BIGINT AS n_dup_grams,
+       coalesce(sum(r.new_run), 0)::BIGINT AS n_runs,
+       coalesce(sum(r.contrib), 0)::BIGINT AS n_dup_tokens,
+       floor(coalesce(sum(r.contrib), 0)::DOUBLE / greatest(len(t.w), 1) * 10000.0) / 10000.0 AS dup_frac4
+FROM toks t LEFT JOIN runs r USING (doc_id)
+GROUP BY t.doc_id, len(t.w) ORDER BY t.doc_id""",
+    "q86_bpe_pairs" ->
+      raw"""WITH wf AS (SELECT w, count(*)::BIGINT AS c FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents) GROUP BY w)
+SELECT substr(w, i, 1) AS l, substr(w, i+1, 1) AS r, sum(c)::BIGINT AS cnt
+FROM (SELECT w, c, unnest(range(1, length(w))) AS i FROM wf WHERE length(w) >= 2)
+GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 20""",
+    "q87_bloom_decontaminate" ->
+      raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks WHERE len(w) >= 4)
+  UNION ALL
+  SELECT doc_id, array_to_string(w, ' ') AS g FROM toks WHERE len(w) BETWEEN 1 AND 3),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 83 = 7),
+hits AS (SELECT DISTINCT g2.doc_id FROM grams g2 JOIN ev USING (g) WHERE g2.doc_id % 83 <> 7)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contam,
+       sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_clean
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 83 <> 7
+GROUP BY d.source ORDER BY d.source""",
+    "q88_bucketed_join" ->
+      """SELECT c_nationkey::BIGINT AS c_nationkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS revenue2 FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q89_pruned_scan" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars FROM documents WHERE source = 'src1' GROUP BY lang ORDER BY lang""",
+    "q90_edit_distance" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.text, b.text)::BIGINT AS lev, floor((1.0 - levenshtein(a.text, b.text)::DOUBLE / greatest(length(a.text), length(b.text), 1)) * 10000.0) / 10000.0 AS sim4 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
