@@ -1567,6 +1567,56 @@ object SparkEntry {
         .orderBy($"id_a")
     }),
 
+    // Count-Min sketch heavy hitters: the sketch ingests the raw token
+    // stream through a mergeable typed Aggregator (partial+final — each
+    // partition reduces to one 4×128 long array, the merge tree ships
+    // 4 KB sketches, never tokens), then the top-20 exact words read their
+    // point estimates from the broadcast sketch. CMS guarantees est >= cnt
+    // (one-sided error); the oracle rebuilds the identical counter table
+    // relationally from the same md5 hash family.
+    "q91_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val depth = 4; val width = 128
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      val cms = udaf(new graft.operators.CountMinAgg(depth, width),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+      val sketch = toks
+        .select(graft.operators.CountMinAgg.bucketsCol($"w", depth, width).as("bs"))
+        .agg(cms($"bs").as("sketch"))
+      val top = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"w").limit(20)
+      top.crossJoin(broadcast(sketch))
+        .select($"w", $"cnt",
+          graft.operators.CountMinAgg.estimateCol($"w", $"sketch", depth, width).as("est"))
+        .withColumn("overcount", $"est" - $"cnt")
+        .orderBy($"cnt".desc, $"w")
+    }),
+
+    // Bucketed interval join: per-user 24 h incident windows (opened at
+    // the user's first purchase) joined to EVERY event falling inside —
+    // `pt BETWEEN lo AND hi` turned into a bucket equi-join + refine
+    // (IntervalJoin), never a nested-loop. Timestamps compare in the µs
+    // domain (DuckDB truncates the parquet's nanos; `div`, not `/`, keeps
+    // epoch-scale longs exact) and values sum as integer micro-units.
+    "q92_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val dayUs = 86400000000L
+      val ev = t(s, dir, "events")
+        .select($"event_id", expr("ts div 1000").as("ts_us"), $"user_id",
+          $"event_type", floor($"value" * 1000000.0).cast("long").as("v_u"))
+      val win = ev.filter($"event_type" === "purchase" && $"user_id" % 5 === 0)
+        .groupBy($"user_id").agg(min($"ts_us").as("lo"))
+        .select($"user_id".as("w_user"), $"lo", ($"lo" + dayUs).as("hi"))
+      graft.operators.IntervalJoin
+        .joinPointsToIntervals(ev, "ts_us", win, "lo", "hi", dayUs)
+        .groupBy($"w_user", $"lo")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"),
+          sum($"v_u").as("sum_value_u"))
+        .orderBy($"w_user")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2461,6 +2511,22 @@ GROUP BY d.source ORDER BY d.source""",
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars FROM documents WHERE source = 'src1' GROUP BY lang ORDER BY lang""",
     "q90_edit_distance" ->
       """SELECT id_a, id_b, CASE WHEN lev0 <= 300 THEN lev0 ELSE -1 END::BIGINT AS lev, CASE WHEN lev0 <= 300 THEN floor((1.0 - lev0::DOUBLE / mx) * 10000.0) / 10000.0 ELSE -1.0 END AS sim4 FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.text, b.text) AS lev0, greatest(length(a.text), length(b.text), 1) AS mx FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1) ORDER BY id_a""",
+    "q91_countmin" ->
+      raw"""WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+wf AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+bk AS (SELECT w, c, j, ('0x' || substr(md5('cms' || j::VARCHAR || ':' || w), 1, 15))::BIGINT % 128 AS b
+       FROM wf, (SELECT unnest(range(0, 4)) AS j)),
+sums AS (SELECT j, b, sum(c)::BIGINT AS s FROM bk GROUP BY j, b),
+est AS (SELECT w, min(s)::BIGINT AS est FROM bk JOIN sums USING (j, b) GROUP BY w)
+SELECT w, c AS cnt, est, (est - c)::BIGINT AS overcount
+FROM wf JOIN est USING (w)
+ORDER BY cnt DESC, w LIMIT 20""",
+    "q92_interval_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, floor(value * 1000000.0)::BIGINT AS v_u FROM events),
+win AS (SELECT user_id AS w_user, min(ts_us) AS lo, min(ts_us) + 86400000000 AS hi FROM ev WHERE event_type = 'purchase' AND user_id % 5 = 0 GROUP BY user_id)
+SELECT w_user, lo, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users, sum(e.v_u)::BIGINT AS sum_value_u
+FROM win w JOIN ev e ON e.ts_us >= w.lo AND e.ts_us < w.hi
+GROUP BY w_user, lo ORDER BY w_user""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join as a bucketed EQUI-join — the scale answer to
+  * `ON pt BETWEEN lo AND hi`, which Catalyst can only execute as a
+  * (broadcast) nested-loop: O(|points|·|intervals|) comparisons even when
+  * the match density is tiny.
+  *
+  * Shape: each interval explodes into the time buckets it covers
+  * (⌈len/bucketSize⌉ + 1 rows — bounded when interval length is bounded),
+  * each point maps to exactly ONE bucket (`pt div bucketSize` — so no
+  * post-join dedup is ever needed), and the join runs on the bucket id
+  * with the exact range predicate as a cheap refine. Cost becomes
+  * O(points + intervals·spread + matches) through one hash shuffle (or a
+  * broadcast when the exploded interval side is small), and AQE handles a
+  * skewed bucket like any other hot key. Pick `bucketSize` near the
+  * typical interval length: much smaller multiplies the interval
+  * replication, much larger piles unrelated points into each bucket.
+  */
+object IntervalJoin {
+
+  /** Join `points` to half-open `[lo, hi)` `intervals`. All three columns
+    * must be integral (same unit); every matching (point, interval) pair
+    * appears exactly once.
+    */
+  def joinPointsToIntervals(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    // integer `div`, not `/`: Column./ is DOUBLE division and epoch-scale
+    // longs past 2^53 would silently lose low bits
+    val iv = intervals.withColumn("bkt",
+      explode(sequence(expr(s"$loCol div $bucketSize"),
+        expr(s"($hiCol - 1) div $bucketSize"))))
+    points.withColumn("bkt", expr(s"$ptCol div $bucketSize"))
+      .join(iv, "bkt")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("bkt")
+  }
+}

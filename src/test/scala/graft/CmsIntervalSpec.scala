@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CountMinAgg, IntervalJoin}
+
+/** Count-Min sketch: mergeability (partition-count invariance), one-sided
+  * error against exact counts, and equality with the relationally-built
+  * counter table. Interval join: exact pair parity with a nested-loop
+  * reference over randomized corpora, plus the no-nested-loop plan pin.
+  */
+class CmsIntervalSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val depth = 4
+  private val width = 32
+
+  private def sketchOf(words: Seq[String], partitions: Int): Seq[Long] = {
+    import spark.implicits._
+    val cms = udaf(new CountMinAgg(depth, width),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+    words.toDF("w").repartition(partitions)
+      .select(CountMinAgg.bucketsCol(col("w"), depth, width).as("bs"))
+      .agg(cms(col("bs")).as("sk"))
+      .collect()(0).getSeq[Long](0).toSeq
+  }
+
+  test("CMS is partition-invariant (mergeable) and equals the relational counter table") {
+    val words = (0 until 500).map(i => s"tok${i % 37}") ++ Seq.fill(100)("hot")
+    val one = sketchOf(words, 1)
+    assert(sketchOf(words, 4) == one)
+    assert(sketchOf(words, 7) == one)
+    // relational rebuild: counter[j][b] = total occurrences hashing there
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val table = Array.fill(depth * width)(0L)
+    exact.foreach { case (w, c) =>
+      (0 until depth).foreach { j =>
+        val b = (graft.functions.HashFunctions.stableHash64(s"cms$j:$w") % width).toInt
+        table(j * width + b) += c
+      }
+    }
+    assert(one == table.toSeq)
+    assert(one.sum == depth.toLong * words.size)
+  }
+
+  test("CMS estimates are one-sided: est >= exact count for every key") {
+    import spark.implicits._
+    val words = (0 until 800).map(i => s"k${i % 61}")
+    val sk = sketchOf(words, 4)
+    val skDf = Seq(sk).toDF("sketch")
+    val got = words.toDF("w").groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(skDf))
+      .select(col("w"), col("cnt"),
+        CountMinAgg.estimateCol(col("w"), col("sketch"), depth, width).as("est"))
+      .collect()
+    assert(got.length == 61)
+    got.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"${r.getString(0)}: est ${r.getLong(2)} < cnt ${r.getLong(1)}"))
+  }
+
+  test("interval join matches the nested-loop reference over random corpora, one row per matching pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    (0 until 5).foreach { _ =>
+      val b = 100L
+      val points = (0 until 300).map(i => (i.toLong, rnd.nextLong(5000L)))
+      val intervals = (0 until 40).map { i =>
+        val lo = rnd.nextLong(4800L)
+        // lengths from sub-bucket to several buckets, incl. length 1
+        (i.toLong, lo, lo + 1 + rnd.nextLong(400L))
+      }
+      val got = IntervalJoin.joinPointsToIntervals(
+          points.toDF("pid", "pt"), "pt",
+          intervals.toDF("iid", "lo", "hi"), "lo", "hi", b)
+        .select(col("pid"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = for {
+        (pid, pt) <- points
+        (iid, lo, hi) <- intervals
+        if pt >= lo && pt < hi
+      } yield (pid, iid)
+      assert(got.sorted == want.sorted) // exact multiset: no dups, no misses
+    }
+  }
+
+  test("interval join boundary semantics are half-open and the plan has no nested loop") {
+    import spark.implicits._
+    val points = Seq((0L, 99L), (1L, 100L), (2L, 199L), (3L, 200L)).toDF("pid", "pt")
+    val intervals = Seq((7L, 100L, 200L)).toDF("iid", "lo", "hi")
+    val joined = IntervalJoin.joinPointsToIntervals(
+      points, "pt", intervals, "lo", "hi", 50L)
+    assert(joined.select(col("pid")).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L)) // lo inclusive, hi exclusive
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
