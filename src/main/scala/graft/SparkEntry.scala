@@ -1617,6 +1617,40 @@ object SparkEntry {
         .orderBy($"w_user")
     }),
 
+    // DSIR-style importance weighting (Xie et al. arXiv:2302.03169,
+    // reduced to its distributable core): per-doc log-ratio of a TARGET
+    // domain unigram LM (source src1) vs the corpus LM decides data
+    // selection. Each LM's token log-prob is floor-quantized to integer
+    // micro-nats THE MOMENT ln is computed (the q69 rule — one
+    // transcendental per word type per LM, then exact integer math), so
+    // the per-doc sum is order-independent across any partitioning. Both
+    // vocab-sized frequency tables broadcast; the token stream never
+    // shuffles for the joins, and the only corpus-sized shuffle is the
+    // final per-doc rollup of 16-byte rows.
+    "q93_importance_weights" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      val cf = toks.groupBy($"w").agg(count(lit(1)).as("cc"))
+      val tf = toks.filter($"source" === "src1")
+        .groupBy($"w").agg(count(lit(1)).as("ct"))
+      val tot = cf.agg(sum($"cc").as("ctot"), count(lit(1)).as("vsz"))
+        .crossJoin(tf.agg(coalesce(sum($"ct"), lit(0L)).as("ttot")))
+      toks.join(broadcast(cf), Seq("w"))
+        .join(broadcast(tf), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          (floor(log((coalesce($"ct", lit(0L)) + 1).cast("double") /
+              ($"ttot" + $"vsz").cast("double")) * 1000000.0) -
+            floor(log(($"cc" + 1).cast("double") /
+              ($"ctot" + $"vsz").cast("double")) * 1000000.0)).as("lru"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"lru").cast("long").as("score_u"))
+        .withColumn("keep", ($"score_u" > 0).cast("int"))
+        .orderBy($"doc_id")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2527,6 +2561,17 @@ win AS (SELECT user_id AS w_user, min(ts_us) AS lo, min(ts_us) + 86400000000 AS 
 SELECT w_user, lo, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users, sum(e.v_u)::BIGINT AS sum_value_u
 FROM win w JOIN ev e ON e.ts_us >= w.lo AND e.ts_us < w.hi
 GROUP BY w_user, lo ORDER BY w_user""",
+    "q93_importance_weights" ->
+      raw"""WITH tok AS (SELECT doc_id, source, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+cf AS (SELECT w, count(*)::BIGINT AS cc FROM tok GROUP BY w),
+tf AS (SELECT w, count(*)::BIGINT AS ct FROM tok WHERE source = 'src1' GROUP BY w),
+tot AS (SELECT (SELECT sum(cc) FROM cf)::BIGINT AS ctot, (SELECT count(*) FROM cf)::BIGINT AS vsz, (SELECT coalesce(sum(ct), 0) FROM tf)::BIGINT AS ttot)
+SELECT doc_id, count(*) AS n_tok, sum(lru)::BIGINT AS score_u, CASE WHEN sum(lru) > 0 THEN 1 ELSE 0 END AS keep
+FROM (SELECT doc_id,
+        floor(ln((coalesce(ct, 0) + 1)::DOUBLE / (ttot + vsz)::DOUBLE) * 1000000.0)::BIGINT
+      - floor(ln((cc + 1)::DOUBLE / (ctot + vsz)::DOUBLE) * 1000000.0)::BIGINT AS lru
+      FROM tok JOIN cf USING (w) LEFT JOIN tf USING (w) CROSS JOIN tot)
+GROUP BY doc_id ORDER BY doc_id""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
