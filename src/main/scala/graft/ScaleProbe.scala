@@ -160,7 +160,19 @@ object ScaleProbe {
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
     }
 
-    val qs = Seq(q39, q56, q56t, q57, q68s, q78s)
+    // q85's shape: span-level exact dedup over the 10× corpus. With every
+    // doc cloned `copies` times every k-gram occurs ≥ copies ≥ 2 times, so
+    // the closed form is total: each doc with ≥ k tokens reports full
+    // coverage (n_dup_tokens = n_tok, n_runs = 1) and the output has
+    // exactly n_docs rows. Probes the (doc, pos, 8-byte-hash) shuffle +
+    // per-doc lag window at 10× the positions.
+    val q85s = timed("q85_span_dedup_10x") {
+      graft.operators.SpanDedup.spanProfile(
+        scaled, "doc_id", graft.operators.TextAnalysis.tokensCol($"text"),
+        k = 5, minCount = 2)
+    }
+
+    val qs = Seq(q39, q56, q56t, q57, q68s, q78s, q85s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()
