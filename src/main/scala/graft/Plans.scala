@@ -19,7 +19,9 @@ object Plans {
     "q39_neardup_lsh", "q49_asof", "q52_ann_multiprobe",
     "q56_sql_dedup", "q58_hash_split", "q60_decontaminate",
     "q65_sessionize", "q66_bm25", "q68_paragraph_dedup",
-    "q71_tfidf_keywords", "q72_event_anomaly")
+    "q71_tfidf_keywords", "q72_event_anomaly",
+    "q85_span_dedup", "q87_bloom_decontaminate", "q90_edit_distance",
+    "q91_countmin", "q92_interval_join", "q93_importance_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1651,6 +1651,28 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // SCD2 interval versioning — the dataset-versioning WRITE shape that
+    // complements q77's snapshot diff: each key's change events become
+    // [valid_from, valid_to) rows with an is_current flag, built from ONE
+    // per-key window (row_number + lead share the same sort), in the exact
+    // µs/micro-unit integer domain. At 100 TB this is one shuffle on the
+    // key — no self-join of snapshots, no driver state.
+    "q94_scd2_versions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
+          floor($"value" * 1000000.0).cast("long").as("v_u"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("nxt", lead($"ts_us", 1).over(w))
+        .select($"user_id", $"version", $"v_u",
+          $"ts_us".as("valid_from_us"),
+          coalesce($"nxt", lit(Long.MaxValue)).as("valid_to_us"),
+          $"nxt".isNull.cast("int").as("is_current"))
+        .orderBy($"user_id", $"version")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2572,6 +2594,13 @@ FROM (SELECT doc_id,
       - floor(ln((cc + 1)::DOUBLE / (ctot + vsz)::DOUBLE) * 1000000.0)::BIGINT AS lru
       FROM tok JOIN cf USING (w) LEFT JOIN tf USING (w) CROSS JOIN tot)
 GROUP BY doc_id ORDER BY doc_id""",
+    "q94_scd2_versions" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, floor(value * 1000000.0)::BIGINT AS v_u FROM events WHERE event_type = 'purchase')
+SELECT user_id, row_number() OVER w AS version, v_u, ts_us AS valid_from_us,
+       coalesce(lead(ts_us) OVER w, 9223372036854775807) AS valid_to_us,
+       CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, version""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
