@@ -1673,6 +1673,41 @@ object SparkEntry {
         .orderBy($"user_id", $"version")
     }),
 
+    // End-to-end training-data pipeline composite: quality filter (q70's
+    // predicate) → exact dedup keep-first (q22's rule) → hash-stable split
+    // (q58's buckets) → per-(source, split) corpus stats, all ONE lazy
+    // plan — no stage materializes, Catalyst fuses the scan-side filter
+    // and tokenization into the dedup window's exchange, and the whole
+    // pipeline costs two shuffles (content window + final agg). This is
+    // the composition story: the verified operators chain without
+    // intermediate tables or driver round-trips.
+    "q95_pipeline_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val stopAny = graft.operators.TextAnalysis.Markers("en").map(_.asInstanceOf[Any])
+      val base = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"text",
+          graft.operators.TextAnalysis.tokensCol($"text").as("tk"))
+        .select($"doc_id", $"source", $"text",
+          size($"tk").cast("long").as("n_tok"),
+          aggregate($"tk", lit(0), (acc, x) => acc + length(x)).cast("long").as("sum_len"),
+          size(filter($"tk", x => x.isin(stopAny: _*))).cast("long").as("n_stop"))
+      val kept = base.filter($"n_tok" >= 20 && $"n_tok" <= 80 && $"n_stop" > 0 &&
+        $"sum_len".cast("double") / $"n_tok" >= 3.0 &&
+        $"sum_len".cast("double") / $"n_tok" <= 6.0)
+      val uniq = kept
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5($"text")).orderBy($"doc_id")))
+        .filter($"rn" === 1)
+      val bucket = pmod(graft.functions.HashFunctions
+        .stableHash64(concat(lit("split:"), $"doc_id".cast("string"))), lit(100L))
+      uniq
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .orderBy($"source", $"split")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2601,6 +2636,15 @@ SELECT user_id, row_number() OVER w AS version, v_u, ts_us AS valid_from_us,
        CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
 FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ORDER BY user_id, version""",
+    "q95_pipeline_e2e" ->
+      raw"""WITH m AS (SELECT doc_id, source, text, len(tk)::BIGINT AS n_tok, list_sum(list_transform(tk, x -> len(x)))::BIGINT AS sum_len,
+             len(list_filter(tk, x -> list_contains(['the','a','of','and','is','to','in','that','it','with'], x)))::BIGINT AS n_stop
+      FROM (SELECT doc_id, source, text, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tk FROM documents)),
+kept AS (SELECT * FROM m WHERE n_tok BETWEEN 20 AND 80 AND n_stop > 0 AND sum_len::DOUBLE / n_tok >= 3.0 AND sum_len::DOUBLE / n_tok <= 6.0),
+uniq AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1),
+sp AS (SELECT source, n_tok, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT source, n_tok, ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b FROM uniq))
+SELECT source, split, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens FROM sp GROUP BY source, split ORDER BY source, split""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -223,6 +223,38 @@ object StatefulOps {
       }
   }
 
+  final case class CmsSnapshot(key: String, n_items: Long, sketch: Seq[Long])
+
+  /** Streaming twin of the Count-Min frequency sketch (q91): per-key state
+    * IS the depth×width counter array, updated by the SAME
+    * [[graft.operators.CountMinAgg]] reduce the batch aggregator runs, so
+    * after any micro-batch split the running sketch is bit-identical to
+    * the batch sketch of everything seen so far (CMS is a commutative
+    * monoid — order and batching cannot change the counters). State is
+    * O(depth·width) per key — bounded regardless of stream length, the
+    * property that makes CMS the streaming heavy-hitter structure.
+    *
+    * Inputs are (key, buckets) pairs — bucket at the scan with
+    * [[graft.operators.CountMinAgg.bucketsCol]], exactly like the batch
+    * q91 path.
+    */
+  def runningFrequencySketch(
+      bucketed: Dataset[(String, Seq[Int])],
+      depth: Int, width: Int): Dataset[CmsSnapshot] = {
+    import bucketed.sparkSession.implicits._
+    val agg = new graft.operators.CountMinAgg(depth, width)
+    bucketed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Seq[Int])],
+         state: GroupState[(Long, Array[Long])]) =>
+          var (n, sk) = state.getOption.getOrElse((0L, agg.zero))
+          it.foreach { case (_, bs) => n += 1; sk = agg.reduce(sk, bs) }
+          state.update((n, sk))
+          CmsSnapshot(key, n, sk.toSeq)
+      }
+  }
+
   /** One buffered event: (epoch ms, tie-break id, value). */
   final case class SessionizeState(nextSeq: Long, buffer: Seq[(Long, Long, Double)])
   final case class SessionSummary(

@@ -95,6 +95,34 @@ class CmsIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CMS equals the batch sketch after every random micro-batch split") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(42L)
+    val words = (0 until 400).map(i => s"s${i % 23}")
+    val batch = sketchOf(words, 3)
+    (0 until 3).foreach { _ =>
+      val cut = 1 + rnd.nextInt(words.length - 1)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val snaps = graft.streaming.StatefulOps.runningFrequencySketch(
+        input.toDF().toDF("w")
+          .select(lit("all").as("k"),
+            CountMinAgg.bucketsCol(col("w"), depth, width).as("bs"))
+          .as[(String, Seq[Int])],
+        depth, width)
+      val q = snaps.writeStream.format("memory").queryName("cms_run")
+        .outputMode("update").start()
+      try {
+        input.addData(words.take(cut): _*); q.processAllAvailable()
+        input.addData(words.drop(cut): _*); q.processAllAvailable()
+        val last = spark.table("cms_run")
+          .orderBy(col("n_items").desc).limit(1).collect()(0)
+        assert(last.getLong(1) == words.length.toLong)
+        assert(last.getSeq[Long](2).toSeq == batch)
+      } finally q.stop()
+    }
+  }
+
   test("interval join boundary semantics are half-open and the plan has no nested loop") {
     import spark.implicits._
     val points = Seq((0L, 99L), (1L, 100L), (2L, 199L), (3L, 200L)).toDF("pid", "pt")
