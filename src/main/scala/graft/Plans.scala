@@ -21,7 +21,8 @@ object Plans {
     "q65_sessionize", "q66_bm25", "q68_paragraph_dedup",
     "q71_tfidf_keywords", "q72_event_anomaly",
     "q85_span_dedup", "q87_bloom_decontaminate", "q90_edit_distance",
-    "q91_countmin", "q92_interval_join", "q93_importance_weights")
+    "q91_countmin", "q92_interval_join", "q93_importance_weights",
+    "q94_scd2_versions", "q95_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

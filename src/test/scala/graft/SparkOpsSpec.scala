@@ -1258,6 +1258,16 @@ class SparkOpsSpec extends AnyFunSuite {
     val p76 = SparkEntry.queries("q76_stratified_sample")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(p76.contains("WindowGroupLimit"), p76)
+    // q95: the composite pipeline fuses to exactly TWO hashpartitioning
+    // exchanges (dedup content window + final agg; the ORDER BY range
+    // exchange moves k result rows), and the keep-first rank runs as a
+    // partial WindowGroupLimit BELOW the content exchange, so only each
+    // partition's first candidate per content hash is shuffled
+    val p95 = SparkEntry.queries("q95_pipeline_e2e")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p95).size == 2, p95)
+    assert("WindowGroupLimit".r.findAllIn(p95).size == 2, p95)
+    assert(!p95.contains("SortMergeJoin"), p95)
   }
 
   test("plan pins: q78 computes delta signatures once; q80 rescores only stage-1 survivors") {
