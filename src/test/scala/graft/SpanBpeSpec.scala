@@ -66,6 +66,43 @@ class SpanBpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("SpanDedup matches a plain-Scala reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(90210L)
+    (0 until 4).foreach { _ =>
+      val k = 2 + rnd.nextInt(3) // 2..4
+      // small alphabet forces plenty of repeated windows, incl. within-doc
+      val docs = (0 until 25).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(20))(s"w${rnd.nextInt(6)}").mkString(" "))
+      }
+      val got = graft.operators.SpanDedup.spanProfile(
+          docs.toDF("doc_id", "text"), "doc_id",
+          graft.operators.TextAnalysis.tokensCol(col("text")), k = k, minCount = 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      // reference: brute-force gram counts, then per-doc covered-set union
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val freq = toks.values.flatMap(_.sliding(k).filter(_.size == k).map(_.mkString(" ")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      docs.foreach { case (id, _) =>
+        val w = toks(id)
+        val dupStarts = (0 to w.size - k)
+          .filter(i => freq(w.slice(i, i + k).mkString(" ")) >= 2)
+        val covered = dupStarts.flatMap(i => i until i + k).toSet
+        val runs = covered.toSeq.sorted
+          .foldLeft(0 -> -2) { case ((n, prev), p) =>
+            (if (p == prev + 1) n else n + 1) -> p
+          }._1
+        val (nTok, nGrams, nRuns, nDup) = got(id)
+        assert(nTok == w.size.toLong)
+        assert(nGrams == dupStarts.size.toLong)
+        assert(nDup == covered.size.toLong)
+        assert(nRuns == runs.toLong, s"doc $id k=$k: $w")
+      }
+    }
+  }
+
   test("SpanDedup: a document below k tokens appears with a zero profile") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
@@ -136,6 +173,24 @@ class SpanBpeSpec extends AnyFunSuite {
       .collect()(0).getSeq[scala.collection.Seq[String]](0)
     val firstDocWords = corpus.head.split(" ").toSeq
     assert(enc.map(_.toSeq) == firstDocWords.map(refVocab))
+  }
+
+  test("BpeTokenizer.train matches the reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    (0 until 3).foreach { _ =>
+      val alphabet = "abcde"
+      val corpus = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(6))(
+          Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString
+        ).mkString(" "))
+      }
+      val wf = BpeTokenizer.wordFrequencies(
+        corpus.toDF("doc_id", "text"), TextAnalysis.tokensCol(col("text")))
+      val words = wf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = BpeTokenizer.train(wf, nMerges = 8).map(m => (m.l, m.r, m.cnt))
+      assert(got == refBpe(words, 8)._1)
+    }
   }
 
   test("BPE merge fold resolves overlapping occurrences leftmost-first") {
