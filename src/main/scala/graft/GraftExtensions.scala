@@ -21,5 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
+    // planner surface: BETWEEN-style range joins → bucketed equi-join
+    // (no-op until spark.graft.intervalJoin.bucketSize is set positive)
+    ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
   }
 }

@@ -1708,6 +1708,40 @@ object SparkEntry {
         .orderBy($"source", $"split")
     }),
 
+    // q92's semantics through the PLANNER instead of the operator: the
+    // join is written as the natural BETWEEN theta-join and the
+    // RangeJoinRewrite optimizer rule (config-gated, installed via
+    // extraOptimizations / GraftExtensions) rewrites it to the bucketed
+    // equi-join + refine — no nested loop reaches execution. The physical
+    // plan is forced inside the config window (plans are lazy; the gate
+    // must be open when the logical plan optimizes, not when the driver
+    // runs the action).
+    "q96_range_join_rewrite" -> ((s, dir) => {
+      import s.implicits._
+      val halfDayUs = 43200000000L
+      if (!s.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new graft.plans.RangeJoinRewrite
+      s.conf.set("spark.graft.intervalJoin.bucketSize", halfDayUs.toString)
+      try {
+        val ev = t(s, dir, "events")
+          .select($"event_id", expr("ts div 1000").as("ts_us"), $"user_id",
+            $"event_type", floor($"value" * 1000000.0).cast("long").as("v_u"))
+        val win = ev.filter($"event_type" === "signup" && $"user_id" % 7 === 1)
+          .groupBy($"user_id").agg(min($"ts_us").as("lo"))
+          .select($"user_id".as("w_user"), $"lo", ($"lo" + halfDayUs).as("hi"))
+        val out = ev.join(win, $"ts_us" >= $"lo" && $"ts_us" < $"hi")
+          .groupBy($"w_user", $"lo")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"),
+            sum($"v_u").as("sum_value_u"))
+          .orderBy($"w_user")
+        out.queryExecution.executedPlan // force optimization under the gate
+        out
+      } finally s.conf.unset("spark.graft.intervalJoin.bucketSize")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2645,6 +2679,12 @@ uniq AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDE
 sp AS (SELECT source, n_tok, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
        FROM (SELECT source, n_tok, ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b FROM uniq))
 SELECT source, split, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens FROM sp GROUP BY source, split ORDER BY source, split""",
+    "q96_range_join_rewrite" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, floor(value * 1000000.0)::BIGINT AS v_u FROM events),
+win AS (SELECT user_id AS w_user, min(ts_us) AS lo, min(ts_us) + 43200000000 AS hi FROM ev WHERE event_type = 'signup' AND user_id % 7 = 1 GROUP BY user_id)
+SELECT w_user, lo, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users, sum(e.v_u)::BIGINT AS sum_value_u
+FROM win w JOIN ev e ON e.ts_us >= w.lo AND e.ts_us < w.hi
+GROUP BY w_user, lo ORDER BY w_user""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

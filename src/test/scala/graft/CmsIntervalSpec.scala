@@ -123,6 +123,47 @@ class CmsIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoinRewrite: a BETWEEN theta-join plans bucketed with identical results; gated off by default") {
+    import spark.implicits._
+    val points = (0 until 300).map(i => (i.toLong, (i * 37 % 5000).toLong)).toDF("pid", "pt")
+    val intervals = (0 until 30).map { i =>
+      val lo = (i * 161 % 4500).toLong; (i.toLong, lo, lo + 350L)
+    }.toDF("iid", "lo", "hi")
+    def theta() = points.join(intervals,
+      col("pt") >= col("lo") && col("pt") < col("hi"))
+    val want = theta().select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // without the rule: Catalyst has no equi key — nested loop
+    assert(theta().queryExecution.executedPlan.toString.contains("NestedLoop"))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ new graft.plans.RangeJoinRewrite
+    try {
+      // rule present but gated off: plan unchanged
+      assert(theta().queryExecution.executedPlan.toString.contains("NestedLoop"))
+      spark.conf.set("spark.graft.intervalJoin.bucketSize", "400")
+      val plan = theta().queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), plan)
+      assert(plan.contains("Generate"), plan) // exploded interval buckets
+      val got = theta().select(col("pid"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == want) // exact multiset — refine kept, no bucket dups
+      // an equi-keyed join is NOT touched (it already hash-joins)
+      val equi = points.join(intervals, col("pt") === col("lo"))
+        .queryExecution.executedPlan.toString
+      assert(!equi.contains("Generate"), equi)
+    } finally {
+      spark.conf.unset("spark.graft.intervalJoin.bucketSize")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("q96 plans without a nested loop — the rewrite fires under its gate inside the query") {
+    val df = SparkEntry.queries("q96_range_join_rewrite")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("interval join boundary semantics are half-open and the plan has no nested loop") {
     import spark.implicits._
     val points = Seq((0L, 99L), (1L, 100L), (2L, 199L), (3L, 200L)).toDF("pid", "pt")
