@@ -23,7 +23,10 @@ object IntervalJoin {
 
   /** Join `points` to half-open `[lo, hi)` `intervals`. All three columns
     * must be integral (same unit); every matching (point, interval) pair
-    * appears exactly once.
+    * appears exactly once. Negative domains are safe: `div` truncates
+    * toward zero rather than flooring, but it is monotone and applied
+    * identically to both sides, so the bucket cover stays consistent
+    * (property-tested over zero-straddling corpora).
     */
   def joinPointsToIntervals(
       points: DataFrame, ptCol: String,

@@ -73,11 +73,17 @@ class CmsIntervalSpec extends AnyFunSuite {
   test("interval join matches the nested-loop reference over random corpora, one row per matching pair") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)
-    (0 until 5).foreach { _ =>
+    (0 until 5).foreach { round =>
       val b = 100L
-      val points = (0 until 300).map(i => (i.toLong, rnd.nextLong(5000L)))
+      // rounds 3-4 use a NEGATIVE-straddling domain: `div` truncates toward
+      // zero (not floor), but it does so monotonically and identically on
+      // the point and interval sides, so bucketing stays consistent — the
+      // zero-straddling "double bucket" contains exactly the points whose
+      // intervals also map there
+      val shift = if (round >= 3) 2500L else 0L
+      val points = (0 until 300).map(i => (i.toLong, rnd.nextLong(5000L) - shift))
       val intervals = (0 until 40).map { i =>
-        val lo = rnd.nextLong(4800L)
+        val lo = rnd.nextLong(4800L) - shift
         // lengths from sub-bucket to several buckets, incl. length 1
         (i.toLong, lo, lo + 1 + rnd.nextLong(400L))
       }
