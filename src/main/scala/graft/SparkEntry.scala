@@ -1742,6 +1742,27 @@ object SparkEntry {
       } finally s.conf.unset("spark.graft.intervalJoin.bucketSize")
     }),
 
+    // Cross-source duplication matrix — dedup ANALYTICS: which source
+    // pairs share near-duplicate content (the "which crawls overlap, drop
+    // which feed" decision). The q39 pipeline produces the pairs; two
+    // doc_id-keyed joins attach sources (the pair side is output-sized,
+    // the dim side carries two small columns, never text), and the
+    // unordered (least, greatest) normalization folds both pair
+    // orientations into one matrix cell.
+    "q97_dup_source_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      val src = t(s, dir, "documents").select($"doc_id", $"source")
+      pairs
+        .join(src.toDF("id_a", "sa"), "id_a")
+        .join(src.toDF("id_b", "sb"), "id_b")
+        .select(least($"sa", $"sb").as("src_a"), greatest($"sa", $"sb").as("src_b"))
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2685,6 +2706,11 @@ win AS (SELECT user_id AS w_user, min(ts_us) AS lo, min(ts_us) + 43200000000 AS 
 SELECT w_user, lo, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users, sum(e.v_u)::BIGINT AS sum_value_u
 FROM win w JOIN ev e ON e.ts_us >= w.lo AND e.ts_us < w.hi
 GROUP BY w_user, lo ORDER BY w_user""",
+    "q97_dup_source_matrix" ->
+      s"""WITH $LshVerifiedCtes, pairs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.5)
+SELECT least(da.source, db.source) AS src_a, greatest(da.source, db.source) AS src_b, count(*) AS n_pairs
+FROM pairs p JOIN documents da ON p.id_a = da.doc_id JOIN documents db ON p.id_b = db.doc_id
+GROUP BY src_a, src_b ORDER BY src_a, src_b""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
