@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   * Scale shape: tokens are windowed AT THE SCAN into (doc, pos, gram-hash)
   * triples — the corpus-sized shuffle that decides duplication carries an
   * 8-byte xxhash64 per window, never gram text (at k=50 the text would be
-  * ~300 bytes/row; the hash is 97% shuffle reduction). Frequency is one
-  * hash-agg on the hash; positions join back on the same key (no second
-  * text scan); the run merge is a per-document window over positions whose
+  * ~300 bytes/row; the hash is 97% shuffle reduction). Duplication is
+  * decided IN PLACE by a count window over the hash (the ParagraphDedup
+  * move: a window, not a groupBy + join-back, so the expensive hashing
+  * pass runs exactly once and there is no second gram-stream shuffle);
+  * the run merge is a per-document window over surviving positions whose
   * state is one lag — with fixed-length windows sorted by start, interval
   * union is closed-form: a window contributes min(k, start − prev_start)
   * covered tokens and opens a run iff the gap > k. No self-join, no
-  * corpus² — cost is O(tokens) rows through two hash shuffles.
+  * corpus² — cost is O(tokens) rows through two hash shuffles (gh, doc).
+  * The only other corpus touch is a tokenize-and-count scan for each
+  * document's n_tok (needed to report zero-profile docs) — cheap relative
+  * to the per-position hashing, and far cheaper at 100 TB than
+  * materializing the O(tokens) gram stream to avoid it.
   *
   * Hashing trades a 2^-64 per-pair collision chance for the 40× shuffle
   * compression — the standard large-corpus choice (a collision merely
@@ -59,12 +65,13 @@ object SpanDedup {
       k: Int = 5, minCount: Int = 2): DataFrame = {
     val toks = docs.select(col(docCol), tokens.as("w"))
     val grams = gramPositions(docs, docCol, tokens, k)
-    // frequency of each window content — 8-byte keys, map-side partial agg
-    val dup = grams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("n_occ"))
+    // duplication decided in place: ONE shuffle of the gram stream on the
+    // 8-byte hash, no join-back — so the scan-side hashing runs once
+    val dpos = grams
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("gh"))))
       .filter(col("n_occ") >= minCount)
-      .select(col("gh"))
-    val dpos = grams.join(dup, "gh").select(col(docCol), col("pos"))
+      .select(col(docCol), col("pos"))
     val byDoc = Window.partitionBy(col(docCol)).orderBy(col("pos"))
     val marked = dpos
       .withColumn("lg", lag(col("pos"), 1).over(byDoc))
