@@ -1471,7 +1471,12 @@ object SparkEntry {
         long.union(short).select($"doc_id", xxhash64($"g").as("gh"))
       }
       val all = grams(toks)
+      // the eval side is SMALL by definition — checkpoint its distinct
+      // grams once so the bloom build, the cardinality count and the exact
+      // verify join all read the materialized set instead of re-hashing
+      // the eval scan three times (the corpus branch still scans once)
       val ev = all.filter($"doc_id" % 83 === 7).select($"gh").distinct()
+        .localCheckpoint(true)
       val corpus = all.filter($"doc_id" % 83 =!= 7)
       // size the filter from the eval set's true cardinality (one count of
       // the SMALL side — the eval set, not the corpus) so fpp holds at any SF
@@ -1623,25 +1628,27 @@ object SparkEntry {
     // selection. Each LM's token log-prob is floor-quantized to integer
     // micro-nats THE MOMENT ln is computed (the q69 rule — one
     // transcendental per word type per LM, then exact integer math), so
-    // the per-doc sum is order-independent across any partitioning. Both
-    // vocab-sized frequency tables broadcast; the token stream never
-    // shuffles for the joins, and the only corpus-sized shuffle is the
-    // final per-doc rollup of 16-byte rows.
+    // the per-doc sum is order-independent across any partitioning. BOTH
+    // LMs come from one grouped pass (conditional count for the target
+    // domain) and broadcast as one vocab-sized table; the token stream
+    // never shuffles for the join, and the only corpus-sized shuffle is
+    // the final per-doc rollup of 16-byte rows.
     "q93_importance_weights" -> ((s, dir) => {
       import s.implicits._
       val toks = t(s, dir, "documents")
         .select($"doc_id", $"source",
           explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
-      val cf = toks.groupBy($"w").agg(count(lit(1)).as("cc"))
-      val tf = toks.filter($"source" === "src1")
-        .groupBy($"w").agg(count(lit(1)).as("ct"))
-      val tot = cf.agg(sum($"cc").as("ctot"), count(lit(1)).as("vsz"))
-        .crossJoin(tf.agg(coalesce(sum($"ct"), lit(0L)).as("ttot")))
-      toks.join(broadcast(cf), Seq("w"))
-        .join(broadcast(tf), Seq("w"), "left")
+      // BOTH LMs from one grouped pass (conditional count for the target
+      // domain) — one corpus scan and one broadcast join instead of two
+      // frequency tables built and joined separately
+      val freq = toks.groupBy($"w").agg(count(lit(1)).as("cc"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("ct"))
+      val tot = freq.agg(sum($"cc").as("ctot"), count(lit(1)).as("vsz"),
+        sum($"ct").as("ttot"))
+      toks.join(broadcast(freq), Seq("w"))
         .crossJoin(broadcast(tot))
         .select($"doc_id",
-          (floor(log((coalesce($"ct", lit(0L)) + 1).cast("double") /
+          (floor(log(($"ct" + 1).cast("double") /
               ($"ttot" + $"vsz").cast("double")) * 1000000.0) -
             floor(log(($"cc" + 1).cast("double") /
               ($"ctot" + $"vsz").cast("double")) * 1000000.0)).as("lru"))

@@ -1239,11 +1239,12 @@ class SparkOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p69.contains("BroadcastHashJoin"), p69)
     assert(!p69.contains("SortMergeJoin"), p69)
-    // q93: BOTH LM frequency tables (corpus + target domain) come back by
-    // broadcast — the token stream must never shuffle for either join
+    // q93: BOTH LMs (corpus + target domain) come from ONE grouped pass
+    // and broadcast as a single vocab table — exactly one BroadcastHashJoin
+    // against the token stream, which never shuffles for it
     val p93 = SparkEntry.queries("q93_importance_weights")(spark, dir)
       .queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(p93).size >= 2, p93)
+    assert("BroadcastHashJoin".r.findAllIn(p93).size == 1, p93)
     assert(!p93.contains("SortMergeJoin"), p93)
     // q73: the KMV sketch must run partial+final (two HashAggregate levels
     // around one exchange) — a sketch that only aggregated post-shuffle
