@@ -1401,9 +1401,13 @@ object SparkEntry {
     // window, which a web-scale vocabulary (10^8+ types) would bottleneck.
     "q84_vocab_coverage" -> ((s, dir) => {
       import s.implicits._
+      // the frequency table feeds the ranker AND the totals (and the
+      // ranker reads it twice for its prefix offsets): checkpoint the
+      // VOCAB-sized result once so the corpus token aggregation runs once
       val freq = t(s, dir, "documents")
         .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val ranked = graft.operators.Batching.globalRunningSum(
         freq, Seq($"c".desc, $"w"), "c", numPartitions = 8,
         outPos = "rk", outCum = "cum")
