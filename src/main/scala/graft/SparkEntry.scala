@@ -1774,6 +1774,41 @@ object SparkEntry {
         .orderBy($"src_a", $"src_b")
     }),
 
+    // Curriculum bucketing: documents ordered by LM difficulty (q69's
+    // integer micro-nat scoring) and cut into 10 equal-count buckets —
+    // the difficulty-ordered curriculum / perplexity-pruning op. The
+    // global rank comes from Batching.globalRowNumber (range shuffle +
+    // broadcast prefix offsets — NEVER a single-partition ORDER BY
+    // window), the total from the ranked relation's own checkpoint (no
+    // second scoring pass), and the decile cut is exact integer math.
+    "q98_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val tokens = t(s, dir, "documents")
+        .select($"doc_id", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      val freq = tokens.groupBy($"w").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum($"c").as("tcnt"), count(lit(1)).as("vsz"))
+      val scored = tokens.join(broadcast(freq), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          floor(log(($"c" + 1).cast("double") / ($"tcnt" + $"vsz").cast("double")) * 1000000.0)
+            .cast("long").as("lpu"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum($"lpu").as("sum_lp_u"))
+        .select($"doc_id",
+          (floor($"sum_lp_u".cast("double") / $"n_tok" / 100.0) / 10000.0).as("avg_lp4"))
+      val ranked = graft.operators.Batching.globalRowNumber(
+        scored, struct($"avg_lp4", $"doc_id"), numPartitions = 8, out = "rk")
+      // ranked is checkpoint-backed inside globalRowNumber: the total rank
+      // reads that checkpoint, not a second scoring pass
+      val n = ranked.agg(max($"rk").as("n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("bucket", expr("((rk - 1) * 10) div n"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"avg_lp4").as("lo_lp4"), max($"avg_lp4").as("hi_lp4"))
+        .orderBy($"bucket")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2722,6 +2757,17 @@ GROUP BY w_user, lo ORDER BY w_user""",
 SELECT least(da.source, db.source) AS src_a, greatest(da.source, db.source) AS src_b, count(*) AS n_pairs
 FROM pairs p JOIN documents da ON p.id_a = da.doc_id JOIN documents db ON p.id_b = db.doc_id
 GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+    "q98_curriculum" ->
+      raw"""WITH tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS tcnt, count(*) AS vsz FROM freq),
+scored AS (SELECT doc_id, floor(sum(lpu)::DOUBLE / count(*) / 100.0) / 10000.0 AS avg_lp4
+           FROM (SELECT doc_id, floor(ln((c + 1)::DOUBLE / (tcnt + vsz)::DOUBLE) * 1000000.0)::BIGINT AS lpu
+                 FROM tok JOIN freq USING (w) CROSS JOIN tot)
+           GROUP BY doc_id),
+rk AS (SELECT avg_lp4, row_number() OVER (ORDER BY avg_lp4, doc_id) AS rk, count(*) OVER () AS n FROM scored)
+SELECT ((rk - 1) * 10) // n AS bucket, count(*) AS n_docs, min(avg_lp4) AS lo_lp4, max(avg_lp4) AS hi_lp4
+FROM rk GROUP BY bucket ORDER BY bucket""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),

@@ -1314,6 +1314,13 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(p84.contains("Broadcast"), p84)
     assert(!p84.contains("SortMergeJoin"), p84)
     assert(!p84.contains("Window"), p84)
+    // q98: the curriculum rank is windowless too (globalRowNumber — range
+    // shuffle + broadcast offsets), the LM comes back by broadcast
+    val p98 = SparkEntry.queries("q98_curriculum")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p98.contains("Window"), p98)
+    assert(p98.contains("BroadcastHashJoin"), p98)
+    assert(!p98.contains("SortMergeJoin"), p98)
   }
 
   test("globalRunningSum equals the single-partition window for random data and partitionings") {
