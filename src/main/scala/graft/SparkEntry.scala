@@ -1809,6 +1809,38 @@ object SparkEntry {
         .orderBy($"bucket")
     }),
 
+    // Temperature-based mixture sampling (T = 2): per-source keep-rates
+    // ∝ sqrt(n_s) — the UniMax-style rebalance that upweights small
+    // sources, vs q62's fixed rates. EVERYTHING after sqrt is integer
+    // math: sqrt is IEEE-correctly-rounded on both engines, its result is
+    // floor-quantized to milli-units immediately, and the rate becomes
+    // floor(budget·wq·10^6 / (Σwq·n_s)) ppm — so the 20-value weight sum
+    // is exact and no aggregation order can flip a rate. Selection is the
+    // q58/q62 salted-hash bucket: scan-side, reproducible across engines
+    // and partitionings.
+    "q99_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val per = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("wq", floor(sqrt($"n_docs".cast("double")) * 1000.0).cast("long"))
+      val tot = per.agg(sum($"wq").as("wsum"), sum($"n_docs").as("n_tot"))
+      // share first, then budget: every intermediate stays ≤ budget·10^6,
+      // which fits a long even at 10^12 documents (budget·wq·10^6 would not)
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(n_tot * 6) div 10"))
+        .withColumn("share_ppm", expr("(wq * 1000000L) div wsum"))
+        .withColumn("rate_ppm",
+          expr("least(1000000L, (budget * share_ppm) div n_docs)"))
+        .select($"source", $"rate_ppm")
+      val keep = pmod(graft.functions.HashFunctions
+        .stableHash64(concat(lit("mix:"), $"doc_id".cast("string"))), lit(1000000L))
+      docs.join(broadcast(rates), Seq("source"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), first($"rate_ppm").as("rate_ppm"),
+          sum(when(keep < $"rate_ppm", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"source")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2768,6 +2800,14 @@ scored AS (SELECT doc_id, floor(sum(lpu)::DOUBLE / count(*) / 100.0) / 10000.0 A
 rk AS (SELECT avg_lp4, row_number() OVER (ORDER BY avg_lp4, doc_id) AS rk, count(*) OVER () AS n FROM scored)
 SELECT ((rk - 1) * 10) // n AS bucket, count(*) AS n_docs, min(avg_lp4) AS lo_lp4, max(avg_lp4) AS hi_lp4
 FROM rk GROUP BY bucket ORDER BY bucket""",
+    "q99_temperature_mix" ->
+      """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs, floor(sqrt(count(*)::DOUBLE) * 1000.0)::BIGINT AS wq FROM documents GROUP BY source),
+tot AS (SELECT sum(wq)::BIGINT AS wsum, sum(n_docs)::BIGINT AS n_tot FROM per),
+rates AS (SELECT source, n_docs, least(1000000, (((n_tot * 6) // 10) * ((wq * 1000000) // wsum)) // n_docs)::BIGINT AS rate_ppm FROM per CROSS JOIN tot)
+SELECT d.source, count(*) AS n_docs, min(rate_ppm)::BIGINT AS rate_ppm,
+       sum(CASE WHEN ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < rate_ppm THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+GROUP BY d.source ORDER BY d.source""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
