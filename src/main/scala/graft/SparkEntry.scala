@@ -1841,6 +1841,51 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // The data card (q100): the per-source corpus-health report a
+    // training-data pipeline publishes — doc counts, exact-duplicate
+    // membership (corpus-wide, via the in-place content-hash window),
+    // token share in exact ppm, q70-quality pass counts, and language
+    // entropy in integer micro-nats (each -p·ln p term quantized the
+    // moment ln is computed). ONE corpus scan feeds everything through a
+    // narrow checkpoint (hash + counters, no text); the 20-row per-source
+    // table is checkpointed too so its three consumers don't re-run the
+    // content window.
+    "q100_data_card" -> ((s, dir) => {
+      import s.implicits._
+      val stopAny = graft.operators.TextAnalysis.Markers("en").map(_.asInstanceOf[Any])
+      val base = t(s, dir, "documents")
+        .select($"doc_id", $"source", $"lang", md5($"text").as("h"),
+          graft.operators.TextAnalysis.tokensCol($"text").as("tk"))
+        .select($"doc_id", $"source", $"lang", $"h",
+          size($"tk").cast("long").as("n_tok"),
+          aggregate($"tk", lit(0), (a, x) => a + length(x)).cast("long").as("sum_len"),
+          size(filter($"tk", x => x.isin(stopAny: _*))).cast("long").as("n_stop"))
+        .localCheckpoint(true)
+      val dup = base.withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy($"h")))
+      val per = dup.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"n_occ" >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum($"n_tok").as("n_toks"),
+          sum(when($"n_tok".between(20, 80) && $"n_stop" > 0 &&
+            $"sum_len".cast("double") / $"n_tok" >= 3.0 &&
+            $"sum_len".cast("double") / $"n_tok" <= 6.0, 1L).otherwise(0L)).as("n_quality"))
+        .localCheckpoint(true)
+      val ent = base.groupBy($"source", $"lang").agg(count(lit(1)).as("nl"))
+        .join(broadcast(per.select($"source", $"n_docs")), "source")
+        .select($"source",
+          floor(-($"nl".cast("double") / $"n_docs") *
+            log($"nl".cast("double") / $"n_docs") * 1000000.0)
+            .cast("long").as("term_u"))
+        .groupBy($"source").agg(sum($"term_u").as("entropy_u"))
+      val tot = per.agg(sum($"n_toks").as("tot_toks"))
+      per.join(ent, "source").crossJoin(broadcast(tot))
+        .select($"source", $"n_docs", $"n_dup_docs",
+          expr("(n_toks * 1000000L) div tot_toks").as("tok_share_ppm"),
+          $"n_quality", $"entropy_u")
+        .orderBy($"source")
+    }),
+
     // Unigram-LM document scoring (add-one smoothing): the KenLM-style
     // quality signal, reduced to its distributable core. Token log-probs
     // are floor-quantized to integer micro-nats AT THE SCAN, so the
@@ -2808,6 +2853,25 @@ SELECT d.source, count(*) AS n_docs, min(rate_ppm)::BIGINT AS rate_ppm,
        sum(CASE WHEN ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < rate_ppm THEN 1 ELSE 0 END)::BIGINT AS n_kept
 FROM documents d JOIN rates r ON d.source = r.source
 GROUP BY d.source ORDER BY d.source""",
+    "q100_data_card" ->
+      raw"""WITH base AS (
+  SELECT doc_id, source, lang, md5(text) AS h, len(tk)::BIGINT AS n_tok,
+         coalesce(list_sum(list_transform(tk, x -> len(x))), 0)::BIGINT AS sum_len,
+         len(list_filter(tk, x -> list_contains(['the','a','of','and','is','to','in','that','it','with'], x)))::BIGINT AS n_stop
+  FROM (SELECT *, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tk FROM documents)),
+occ AS (SELECT h, count(*) AS n_occ FROM base GROUP BY h),
+per AS (SELECT source, count(*) AS n_docs,
+  sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+  sum(n_tok)::BIGINT AS n_toks,
+  sum(CASE WHEN n_tok BETWEEN 20 AND 80 AND n_stop > 0 AND sum_len::DOUBLE / n_tok >= 3.0 AND sum_len::DOUBLE / n_tok <= 6.0 THEN 1 ELSE 0 END)::BIGINT AS n_quality
+  FROM base JOIN occ USING (h) GROUP BY source),
+ent AS (SELECT b.source, sum(floor(-(nl::DOUBLE / n_docs) * ln(nl::DOUBLE / n_docs) * 1000000.0)::BIGINT)::BIGINT AS entropy_u
+  FROM (SELECT source, lang, count(*) AS nl FROM base GROUP BY source, lang) b
+  JOIN (SELECT source, count(*) AS n_docs FROM base GROUP BY source) p ON b.source = p.source
+  GROUP BY b.source),
+tot AS (SELECT sum(n_toks)::BIGINT AS tot_toks FROM per)
+SELECT per.source, n_docs, n_dup_docs, ((n_toks * 1000000) // tot_toks)::BIGINT AS tok_share_ppm, n_quality, entropy_u
+FROM per JOIN ent ON per.source = ent.source CROSS JOIN tot ORDER BY per.source""",
     "q69_unigram_lm" ->
       raw"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
