@@ -1403,11 +1403,13 @@ object SparkEntry {
       import s.implicits._
       // the frequency table feeds the ranker AND the totals (and the
       // ranker reads it twice for its prefix offsets): checkpoint the
-      // VOCAB-sized result once so the corpus token aggregation runs once
+      // VOCAB-sized result once so the corpus token aggregation runs once.
+      // LAZY (eager=false): materializes at the first action, so merely
+      // CONSTRUCTING the query (plan-pin tests) stays job-free
       val freq = t(s, dir, "documents")
         .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val ranked = graft.operators.Batching.globalRunningSum(
         freq, Seq($"c".desc, $"w"), "c", numPartitions = 8,
         outPos = "rk", outCum = "cum")
@@ -1458,8 +1460,12 @@ object SparkEntry {
     // grams) that prunes the corpus gram stream BEFORE the equi-join — at
     // 100 TB the filter broadcasts to every executor and drops ~99% of
     // clean grams scan-side, so the join shuffle carries only candidates.
-    // Survivors are verified by the exact semi-join, so the OUTPUT is
-    // exact: false positives cost shuffle bytes, never correctness.
+    // Survivors are verified by a semi-join on xxhash64(gram): Bloom false
+    // positives cost shuffle bytes, never correctness, and the only
+    // residual is a 64-bit corpus-vs-eval gram hash collision (~2^-64 per
+    // candidate pair — the same residual SpanDedup's scaladoc documents);
+    // verify on gram TEXT instead if even that is unacceptable (cheap:
+    // only Bloom candidates reach the join).
     "q87_bloom_decontaminate" -> ((s, dir) => {
       import s.implicits._
       val toks = t(s, dir, "documents")
@@ -1478,9 +1484,12 @@ object SparkEntry {
       // the eval side is SMALL by definition — checkpoint its distinct
       // grams once so the bloom build, the cardinality count and the exact
       // verify join all read the materialized set instead of re-hashing
-      // the eval scan three times (the corpus branch still scans once)
+      // the eval scan three times (the corpus branch still scans once).
+      // LAZY: the ev.count() below materializes it; construction itself
+      // still runs jobs for the Bloom build (inherent — the filter is a
+      // driver-side value), which the q87 scaladoc-level comment owns
       val ev = all.filter($"doc_id" % 83 === 7).select($"gh").distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val corpus = all.filter($"doc_id" % 83 =!= 7)
       // size the filter from the eval set's true cardinality (one count of
       // the SMALL side — the eval set, not the corpus) so fpp holds at any SF
@@ -1726,14 +1735,19 @@ object SparkEntry {
     // equi-join + refine — no nested loop reaches execution. The physical
     // plan is forced inside the config window (plans are lazy; the gate
     // must be open when the logical plan optimizes, not when the driver
-    // runs the action).
+    // runs the action), then BOTH the rule and the gate are restored in
+    // the finally: the session-global gate would otherwise rewrite any
+    // unrelated join optimized while open. (The gate is still visible to
+    // concurrently-optimizing queries DURING the window — single-query
+    // sessions only; a shared session should install the rule via
+    // GraftExtensions and scope the conf per-query.)
     "q96_range_join_rewrite" -> ((s, dir) => {
       import s.implicits._
       val halfDayUs = 43200000000L
-      if (!s.experimental.extraOptimizations
-          .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
+      val prevRules = s.experimental.extraOptimizations
+      if (!prevRules.exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
         s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ new graft.plans.RangeJoinRewrite
+          prevRules :+ new graft.plans.RangeJoinRewrite
       s.conf.set("spark.graft.intervalJoin.bucketSize", halfDayUs.toString)
       try {
         val ev = t(s, dir, "events")
@@ -1750,7 +1764,10 @@ object SparkEntry {
           .orderBy($"w_user")
         out.queryExecution.executedPlan // force optimization under the gate
         out
-      } finally s.conf.unset("spark.graft.intervalJoin.bucketSize")
+      } finally {
+        s.conf.unset("spark.graft.intervalJoin.bucketSize")
+        s.experimental.extraOptimizations = prevRules
+      }
     }),
 
     // Cross-source duplication matrix — dedup ANALYTICS: which source
@@ -1860,7 +1877,7 @@ object SparkEntry {
           size($"tk").cast("long").as("n_tok"),
           aggregate($"tk", lit(0), (a, x) => a + length(x)).cast("long").as("sum_len"),
           size(filter($"tk", x => x.isin(stopAny: _*))).cast("long").as("n_stop"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy: construction stays job-free
       val dup = base.withColumn("n_occ",
         count(lit(1)).over(Window.partitionBy($"h")))
       val per = dup.groupBy($"source").agg(
@@ -1870,7 +1887,7 @@ object SparkEntry {
           sum(when($"n_tok".between(20, 80) && $"n_stop" > 0 &&
             $"sum_len".cast("double") / $"n_tok" >= 3.0 &&
             $"sum_len".cast("double") / $"n_tok" <= 6.0, 1L).otherwise(0L)).as("n_quality"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val ent = base.groupBy($"source", $"lang").agg(count(lit(1)).as("nl"))
         .join(broadcast(per.select($"source", $"n_docs")), "source")
         .select($"source",

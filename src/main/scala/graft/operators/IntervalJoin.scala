@@ -26,21 +26,31 @@ object IntervalJoin {
     * appears exactly once. Negative domains are safe: `div` truncates
     * toward zero rather than flooring, but it is monotone and applied
     * identically to both sides, so the bucket cover stays consistent
-    * (property-tested over zero-straddling corpora).
+    * (property-tested over zero-straddling corpora). Empty or inverted
+    * intervals (`hi <= lo`) produce no output AND no bucket rows: an
+    * unguarded `sequence(loBkt, hiBkt)` with start > stop would generate
+    * a DESCENDING cover — up to (lo-hi)/bucketSize spurious rows per bad
+    * interval, all discarded by the refine but paid for in the shuffle —
+    * so the cover is null (explode drops it) unless `hi > lo`.
     */
   def joinPointsToIntervals(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
+    // internal helper column: collision-proof, never visible in the output
+    val bkt = "__graft_bkt"
+    require(!points.columns.contains(bkt) && !intervals.columns.contains(bkt),
+      s"inputs must not already carry a `$bkt` column")
     // integer `div`, not `/`: Column./ is DOUBLE division and epoch-scale
     // longs past 2^53 would silently lose low bits
-    val iv = intervals.withColumn("bkt",
-      explode(sequence(expr(s"$loCol div $bucketSize"),
-        expr(s"($hiCol - 1) div $bucketSize"))))
-    points.withColumn("bkt", expr(s"$ptCol div $bucketSize"))
-      .join(iv, "bkt")
+    val iv = intervals.withColumn(bkt,
+      explode(when(col(hiCol) > col(loCol),
+        sequence(expr(s"$loCol div $bucketSize"),
+          expr(s"($hiCol - 1) div $bucketSize")))))
+    points.withColumn(bkt, expr(s"$ptCol div $bucketSize"))
+      .join(iv, bkt)
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
-      .drop("bkt")
+      .drop(bkt)
   }
 }

@@ -94,8 +94,14 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         IntegralDivide(lo, Literal(b)),
         IntegralDivide(Subtract(hi, Literal(1L)), Literal(b)),
         None).withTimeZone(conf.sessionLocalTimeZone)
+      // an inverted interval (hi <= lo) would make Sequence DESCEND —
+      // up to (lo-hi)/b spurious bucket rows per bad row; null the cover
+      // instead (Explode drops null) so such rows vanish, matching the
+      // original predicate which they could never satisfy
+      val guardedSeq = If(GreaterThan(hi, lo), seq,
+        Literal.create(null, seq.dataType))
       val bktAttr = AttributeReference("graft_iv_bkt", LongType, nullable = false)()
-      val ivPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,
+      val ivPlan = Generate(Explode(guardedSeq), unrequiredChildIndex = Nil,
         outer = false, qualifier = None,
         generatorOutput = Seq(bktAttr), child = ivSide)
       val eq = EqualTo(ptBkt.toAttribute, bktAttr)

@@ -170,6 +170,51 @@ class CmsIntervalSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("inverted intervals (hi <= lo) produce zero rows AND zero bucket rows in both forms") {
+    import spark.implicits._
+    val points = (0 until 50).map(i => (i.toLong, i.toLong * 10)).toDF("pid", "pt")
+    // one good interval + two bad ones: empty (hi == lo) and wildly
+    // inverted (hi far below lo — unguarded, this alone would explode
+    // into ~40 spurious descending bucket rows)
+    val intervals = Seq((1L, 100L, 200L), (2L, 300L, 300L), (3L, 4000L, 0L))
+      .toDF("iid", "lo", "hi")
+    val joined = IntervalJoin.joinPointsToIntervals(
+      points, "pt", intervals, "lo", "hi", 100L)
+    assert(joined.select(col("iid")).collect().map(_.getLong(0)).toSeq.distinct
+      == Seq(1L))
+    // the guard kills the bad covers BEFORE the shuffle: count the
+    // exploded interval-side rows the same way the operator builds them
+    val cover = intervals.withColumn("c",
+      explode(when(col("hi") > col("lo"),
+        sequence(expr("lo div 100"), expr("(hi - 1) div 100")))))
+    assert(cover.count() == 1L) // only interval 1's single bucket survives
+    // the optimizer-rule form inherits the guard: same three intervals
+    // through the rewritten theta-join give the same (non-exploding) rows
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ new graft.plans.RangeJoinRewrite
+    spark.conf.set("spark.graft.intervalJoin.bucketSize", "100")
+    try {
+      val theta = points.join(intervals,
+        col("pt") >= col("lo") && col("pt") < col("hi"))
+      assert(!theta.queryExecution.executedPlan.toString.contains("NestedLoop"))
+      assert(theta.select(col("iid")).collect().map(_.getLong(0)).toSeq.distinct
+        == Seq(1L))
+    } finally {
+      spark.conf.unset("spark.graft.intervalJoin.bucketSize")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("interval join refuses inputs that already carry the internal bucket column") {
+    import spark.implicits._
+    val points = Seq((0L, 5L)).toDF("pid", "pt").withColumn("__graft_bkt", lit(1))
+    val intervals = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.joinPointsToIntervals(points, "pt", intervals, "lo", "hi", 10L)
+    }
+    assert(e.getMessage.contains("__graft_bkt"))
+  }
+
   test("interval join boundary semantics are half-open and the plan has no nested loop") {
     import spark.implicits._
     val points = Seq((0L, 99L), (1L, 100L), (2L, 199L), (3L, 200L)).toDF("pid", "pt")
