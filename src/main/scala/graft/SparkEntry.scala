@@ -1966,6 +1966,213 @@ object SparkEntry {
       sqlDedupPipeline(s)
     }),
 
+    // Retrieval-quality evaluation — the metric layer every ANN deployment
+    // ships with: recall@10 and MRR-of-the-true-NN for the single-probe
+    // sign-LSH index (q31's bucketing) against brute-force ground truth.
+    // Both rankers are the library operators (one corpus scan each, queries
+    // broadcast); truth and candidates are k-row-per-query relations, so
+    // every join after them is output-sized. At 100 TB you run this on a
+    // SAMPLED query set — the eval cost is the two scans, never a cross
+    // product. Metrics are exact rationals until the final quantized
+    // division (n_hit/10, 1/rank).
+    "q101_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+      // truth and candidates are each read twice (hit count + NN-rank
+      // probe): stage the k·q-row results, not the scans (lazy — nothing
+      // runs at construction)
+      val truth = graft.operators.SimilaritySearch
+        .bruteForceTopK(emb, qs, k = 10).localCheckpoint(false)
+      val cand = graft.operators.SimilaritySearch
+        .lshTopK(emb, qs, k = 10, dim = 64, planes = 4).localCheckpoint(false)
+      val hits = truth.select($"query_id", $"neighbor_id")
+        .join(cand.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+      val nn1 = truth.filter($"rank" === 1).select($"query_id", $"neighbor_id")
+      val rr = nn1
+        .join(cand.select($"query_id", $"neighbor_id", $"rank"),
+          Seq("query_id", "neighbor_id"), "left")
+        .select($"query_id",
+          coalesce(lit(1.0) / $"rank".cast("double"), lit(0.0)).as("mrr"))
+      qs.select($"query_id")
+        .join(hits, Seq("query_id"), "left")
+        .join(rr, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          fq4(coalesce($"n_hit", lit(0L)).cast("double") / lit(10.0)).as("recall4"),
+          fq4(coalesce($"mrr", lit(0.0))).as("mrr4"))
+        .orderBy($"query_id")
+    }),
+
+    // HyperLogLog distinct-count per source — the FOURTH mergeable sketch
+    // (cardinality with FIXED m-register state; KMV q73 trades k·8 bytes
+    // for exactness below k). Registers ingest the raw token stream via a
+    // typed Aggregator (partial+final — each partition reduces to one
+    // 16-int array, the shuffle ships registers, never tokens), and the
+    // bucket/rank derivation is scan-side md5 so the oracle rebuilds the
+    // IDENTICAL registers with max() GROUP BY. Estimate math is integer
+    // (S = Σ 2^(48-M_j)) up to one literal product + division; n_exact
+    // rides along to show the accuracy.
+    "q102_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val p = 4
+      val hll = udaf(new graft.operators.HllAgg(p),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
+      t(s, dir, "documents")
+        .select($"source", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .select($"source", $"w",
+          graft.functions.HashFunctions.stableHash64(concat(lit("hll:"), $"w")).as("h"))
+        .withColumn("bkt", graft.operators.HllSketch.bucketCol($"h", p))
+        .withColumn("rnk", graft.operators.HllSketch.rankExpr("h", p))
+        .groupBy($"source")
+        .agg(countDistinct($"w").as("n_exact"),
+          hll($"bkt", $"rnk").as("regs"))
+        .select($"source", $"n_exact",
+          fq4(graft.operators.HllSketch.estimateExpr("regs", p)).as("est4"))
+        .orderBy($"source")
+    }),
+
+    // Top-k per group WITHOUT the window sort: a bounded-heap typed
+    // Aggregator (TopKAgg) reduces every map-side partition to ≤ k pairs
+    // per group BEFORE the exchange — the shuffle carries
+    // O(groups·k·partitions) state instead of every row, which at 100 TB
+    // is the difference between a kilobyte-scale exchange and shuffling
+    // the corpus through `row_number() OVER (PARTITION BY …)`. Plan-pinned
+    // (no Window, ObjectHashAggregate with partial merge) in SparkOpsSpec.
+    "q103_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val topk = udaf(new graft.operators.TopKAgg(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(topk($"n_chars", $"doc_id").as("top"))
+        .select($"source", posexplode($"top").as(Seq("i", "p")))
+        .select($"source", ($"i" + 1).cast("long").as("rk"),
+          $"p._2".as("doc_id"), $"p._1".as("n_chars"))
+        .orderBy($"source", $"rk")
+    }),
+
+    // Weighted sampling without replacement (Efraimidis & Spirakis, IPL
+    // 2006): each row draws key = -ln(u)/w from a HASH-derived uniform —
+    // fully deterministic, reproducible across engines and partitionings,
+    // the weighted sibling of q58's salted-hash split. u = (h mod 2^20 +
+    // 1)/2^20 is an exact dyadic rational; -ln(u) is floor-quantized to
+    // integer nano-units THE MOMENT it is computed (the suite's standard
+    // transcendental dodge), so the per-row key (eu·1000 div w) and the
+    // bottom-k selection are exact integer math. Scan-side keys + one
+    // TakeOrderedAndProject — no shuffle of the corpus; the trailing
+    // row_number window orders the 20 SELECTED rows only.
+    "q104_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val h = graft.functions.HashFunctions.stableHash64(
+        concat(lit("ws:"), $"doc_id".cast("string")))
+      val scored = t(s, dir, "documents")
+        .select($"doc_id", $"source", greatest($"n_chars", lit(1L)).as("w"))
+        .withColumn("eu",
+          floor(-log((pmod(h, lit(1048576L)) + lit(1L)).cast("double") / lit(1048576.0))
+            * lit(1000000000.0)).cast("long"))
+        .withColumn("skey", expr("(eu * 1000) div w"))
+      scored.orderBy($"skey", $"doc_id").limit(20)
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"skey", $"doc_id")).cast("long"))
+        .select($"rk", $"doc_id", $"source", $"w", $"skey")
+    }),
+
+    // Semantic dedup (SemDeDup, arXiv:2303.09540): cluster the embedding
+    // space (8 deterministic centroids, broadcast; assignment is the IVF
+    // map-side max_by — one scan), then mark within-cluster lower-id
+    // neighbors at cosine >= 0.3 as duplicates via a self-equi-join on the
+    // cell id. The quadratic check never leaves a cell: at 100 TB you
+    // raise k until cells are ~10³ rows and the n·s cost stays linear-ish.
+    // The lexical dedup family (q39/q75/q85) cannot see these pairs —
+    // paraphrases share no shingles.
+    "q105_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
+      graft.operators.SemanticDedup.report(emb, cents, tau = 0.3)
+    }),
+
+    // Z-order layout (Morton 1966; Delta/Iceberg OPTIMIZE ZORDER): the
+    // WRITE-side clustering op. Rows get a scan-side bit-interleaved key
+    // of (user bucket, hour bucket), one RANGE shuffle orders the curve
+    // (Batching.globalRowNumber — never a single-partition window), and
+    // equal-count file cuts produce the layout. The report is each file's
+    // min/max of BOTH dimensions — the column statistics a format would
+    // store, and the proof the curve clusters x and y simultaneously (a
+    // plain ORDER BY x would leave every file spanning all of y).
+    "q106_zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id",
+          pmod($"user_id", lit(65536L)).as("x"),
+          pmod(expr("(ts div 1000) div 3600000000"), lit(65536L)).as("y"))
+      graft.operators.ZOrder
+        .layout(ev, "x", "y", bits = 16, files = 32, tieBreak = "event_id")
+        .groupBy($"file_id")
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("x_lo"), max($"x").as("x_hi"),
+          min($"y").as("y_lo"), max($"y").as("y_hi"),
+          min($"zval").as("z_lo"), max($"zval").as("z_hi"))
+        .orderBy($"file_id")
+    }),
+
+    // Interpolated bigram LM scoring — q69's unigram signal upgraded one
+    // order: p = 0.7·p(cur|prev) + 0.3·p(cur), both estimated from the
+    // bigram stream. ONE corpus scan produces the (doc, prev, cur) stream
+    // (staged — the count tables AND the scoring pass read it); every
+    // derived table is vocab²-bounded and broadcasts back; token log-probs
+    // quantize to integer micro-nats at the scan so the per-doc sum is
+    // order-independent exact integer math (the suite's transcendental
+    // policy). At 100 TB the broadcasts become shuffle joins on the gram
+    // key — same plan shape, no new scans.
+    "q107_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val bi = t(s, dir, "documents")
+        .select($"doc_id", graft.operators.TextAnalysis.tokensCol($"text").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(2, size(w)), i -> struct(element_at(w, i - 1) AS p, element_at(w, i) AS c))")).as("b"))
+        .select($"doc_id", $"b.p".as("p"), $"b.c".as("c"))
+        .localCheckpoint(false) // one corpus scan; counts + scoring read this
+      val bic = bi.groupBy($"p", $"c").agg(count(lit(1)).as("cbi"))
+        .localCheckpoint(false) // vocab²-bounded; feeds three derived tables
+      val prevc = bic.groupBy($"p").agg(sum($"cbi").as("cp"))
+      val curc = bic.groupBy($"c").agg(sum($"cbi").as("cc"))
+      val tot = bic.agg(sum($"cbi").as("nbi"))
+      bi.join(broadcast(bic), Seq("p", "c"))
+        .join(broadcast(prevc), Seq("p"))
+        .join(broadcast(curc), Seq("c"))
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          floor(log(lit(0.7) * ($"cbi".cast("double") / $"cp".cast("double"))
+            + lit(0.3) * ($"cc".cast("double") / $"nbi".cast("double"))) * lit(1000000.0))
+            .cast("long").as("lpu"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bi"), sum($"lpu").as("sum_lp_u"))
+        .select($"doc_id", $"n_bi", $"sum_lp_u",
+          (floor($"sum_lp_u".cast("double") / $"n_bi" / 100.0) / 10000.0).as("avg_lp4"))
+        .orderBy($"doc_id")
+    }),
+
+    // PageRank over the near-dup pair graph — dedup analytics one level
+    // above q97's source matrix: rank centrality finds the TEMPLATE
+    // documents boilerplate radiates from (what you read before choosing
+    // a cluster's canonical survivor). Exact integer arithmetic (ppm
+    // ranks, div-damping) so any engine/partitioning reproduces it;
+    // each of the 3 iterations is one equi-join + one agg over the staged
+    // degree-annotated adjacency (PageRank.ranks).
+    "q108_dup_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      graft.operators.PageRank.ranks(pairs, "id_a", "id_b", iters = 3)
+        .select($"id".as("doc_id"), $"deg", $"rank_u")
+        .orderBy($"rank_u".desc, $"doc_id")
+        .limit(20)
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -2903,6 +3110,70 @@ GROUP BY doc_id ORDER BY doc_id""",
       """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs, quantile_cont(n_chars, 0.5) AS median_chars, quantile_cont(n_chars, 0.9) AS p90_chars, floor(avg(n_chars) * 10000.0)::BIGINT AS avg_chars_q, sum(CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)::BIGINT AS n_short FROM documents GROUP BY source ORDER BY source""",
     "q54_multimodal_frames" ->
       """SELECT doc_id, i AS frame_idx, md5(md5(text) || ':' || i::VARCHAR) AS frame_md5 FROM (SELECT doc_id, text, unnest(range(0, greatest(1, least(4, cast(ceil(octet_length(encode(text)) / 200.0) AS BIGINT))))) AS i FROM documents) ORDER BY doc_id, frame_idx""",
+    "q101_retrieval_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+truth AS (SELECT query_id, neighbor_id, rn FROM (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+b AS (SELECT vec_id, embedding, list_sum(list_transform(range(0,4), p -> CASE WHEN list_sum(list_transform(range(0,64), i -> embedding[i+1]::DOUBLE * ((('0x' || substr(md5('plane:' || p::VARCHAR || ':' || i::VARCHAR),1,15))::BIGINT % 2001) - 1000) / 1000.0)) > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT AS bucket FROM embeddings),
+cand AS (SELECT query_id, neighbor_id, rn FROM (SELECT qq.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY qq.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qq.qv) DESC, e.vec_id) AS rn FROM b e JOIN (SELECT q.query_id, q.qv, b.bucket FROM q JOIN b ON b.vec_id = q.query_id) qq ON e.bucket = qq.bucket WHERE e.vec_id <> qq.query_id) WHERE rn <= 10),
+hits AS (SELECT query_id, count(*) AS n_hit FROM truth t JOIN cand c USING (query_id, neighbor_id) GROUP BY query_id),
+rr AS (SELECT t.query_id, coalesce(1.0::DOUBLE / c.rn::DOUBLE, 0.0) AS mrr FROM (SELECT query_id, neighbor_id FROM truth WHERE rn = 1) t LEFT JOIN cand c USING (query_id, neighbor_id))
+SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+       floor(coalesce(n_hit, 0)::DOUBLE / 10.0 * 10000.0) / 10000.0 AS recall4,
+       floor(coalesce(mrr, 0.0) * 10000.0) / 10000.0 AS mrr4
+FROM q LEFT JOIN hits USING (query_id) LEFT JOIN rr USING (query_id) ORDER BY q.query_id""",
+    "q102_hll_distinct" ->
+      raw"""WITH tok AS (SELECT DISTINCT source, w FROM (SELECT source, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents)),
+hashed AS (SELECT source, ('0x' || substr(md5('hll:' || w), 1, 15))::BIGINT AS h FROM tok),
+br AS (SELECT source, h % 16 AS bkt, least(bit_count(((h >> 4) & -(h >> 4)) - 1), 47) + 1 AS rnk FROM hashed),
+grid AS (SELECT source, i AS bkt FROM (SELECT DISTINCT source FROM documents) CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
+regs AS (SELECT g.source, g.bkt, coalesce(max(rnk), 0) AS m FROM grid g LEFT JOIN br ON g.source = br.source AND g.bkt = br.bkt GROUP BY g.source, g.bkt),
+agg AS (SELECT source, sum(1::BIGINT << (48 - m))::BIGINT AS s, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros FROM regs GROUP BY source),
+ex AS (SELECT source, count(DISTINCT w) AS n_exact FROM tok GROUP BY source)
+SELECT source, n_exact, floor(est * 10000.0) / 10000.0 AS est4 FROM (
+  SELECT a.source, n_exact,
+    CASE WHEN (0.673::DOUBLE * 256.0 * 281474976710656.0 / s::DOUBLE) <= 40.0::DOUBLE AND zeros > 0
+         THEN 16.0::DOUBLE * ln(16.0::DOUBLE / zeros::DOUBLE)
+         ELSE (0.673::DOUBLE * 256.0 * 281474976710656.0 / s::DOUBLE) END AS est
+  FROM agg a JOIN ex USING (source)) ORDER BY source""",
+    "q103_topk_per_group" ->
+      """SELECT source, rk, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk FROM documents) WHERE rk <= 3 ORDER BY source, rk""",
+    "q104_weighted_sample" ->
+      """SELECT row_number() OVER (ORDER BY skey, doc_id) AS rk, doc_id, source, w, skey FROM (SELECT doc_id, source, w, (eu * 1000) // w AS skey FROM (SELECT doc_id, source, greatest(n_chars, 1) AS w, floor(-ln(((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1048576) + 1)::DOUBLE / 1048576.0) * 1000000000.0)::BIGINT AS eu FROM documents)) ORDER BY skey, doc_id LIMIT 20""",
+    "q105_semantic_dedup" ->
+      """WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+cells AS (SELECT vec_id, embedding, centroid_id FROM (SELECT e.vec_id, e.embedding, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+dups AS (SELECT centroid_id, count(*) AS n_dup FROM (SELECT DISTINCT b.centroid_id, b.vec_id FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3) GROUP BY centroid_id)
+SELECT s.centroid_id, n_vecs, coalesce(n_dup, 0)::BIGINT AS n_dup, (n_vecs - coalesce(n_dup, 0))::BIGINT AS n_kept
+FROM (SELECT centroid_id, count(*) AS n_vecs FROM cells GROUP BY centroid_id) s LEFT JOIN dups USING (centroid_id) ORDER BY centroid_id""",
+    "q106_zorder_layout" ->
+      """WITH ev AS (SELECT event_id, user_id % 65536 AS x, (epoch_us(ts) // 3600000000) % 65536 AS y FROM events),
+z AS (SELECT event_id, x, y, (list_sum(list_transform(range(0, 16), i -> CASE WHEN (x >> i) & 1 = 1 THEN (1::BIGINT << (2*i)) ELSE 0::BIGINT END)) + list_sum(list_transform(range(0, 16), i -> CASE WHEN (y >> i) & 1 = 1 THEN (1::BIGINT << (2*i+1)) ELSE 0::BIGINT END)))::BIGINT AS zval FROM ev),
+rk AS (SELECT *, row_number() OVER (ORDER BY zval, event_id) AS rn, count(*) OVER () AS nt FROM z)
+SELECT ((rn - 1) * 32) // nt AS file_id, count(*) AS n, min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi, min(zval) AS z_lo, max(zval) AS z_hi
+FROM rk GROUP BY file_id ORDER BY file_id""",
+    "q107_bigram_lm" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+bi AS (SELECT doc_id, w[i-1] AS p, w[i] AS c FROM (SELECT doc_id, unnest(range(2, len(w)+1)) AS i, w FROM tk WHERE len(w) >= 2)),
+bic AS (SELECT p, c, count(*) AS cbi FROM bi GROUP BY p, c),
+prevc AS (SELECT p, sum(cbi)::BIGINT AS cp FROM bic GROUP BY p),
+curc AS (SELECT c, sum(cbi)::BIGINT AS cc FROM bic GROUP BY c),
+tot AS (SELECT sum(cbi)::BIGINT AS nbi FROM bic)
+SELECT doc_id, count(*) AS n_bi, sum(lpu)::BIGINT AS sum_lp_u, floor(sum(lpu)::DOUBLE / count(*) / 100.0) / 10000.0 AS avg_lp4
+FROM (SELECT doc_id, floor(ln(0.7::DOUBLE * (cbi::DOUBLE / cp::DOUBLE) + 0.3::DOUBLE * (cc::DOUBLE / nbi::DOUBLE)) * 1000000.0)::BIGINT AS lpu
+      FROM bi JOIN bic USING (p, c) JOIN prevc USING (p) JOIN curc USING (c) CROSS JOIN tot)
+GROUP BY doc_id ORDER BY doc_id""",
+    "q108_dup_pagerank" ->
+      s"""WITH $LshVerifiedCtes, prs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.5),
+edges AS (SELECT src, dst FROM (SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs) WHERE src <> dst),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS id, deg, 1000000::BIGINT AS rank_u FROM deg),
+c1 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS m FROM edges e JOIN r0 r ON e.src = r.id GROUP BY e.dst),
+r1 AS (SELECT r.id, r.deg, (150000 + (85 * coalesce(m, 0)) // 100)::BIGINT AS rank_u FROM r0 r LEFT JOIN c1 ON r.id = c1.dst),
+c2 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS m FROM edges e JOIN r1 r ON e.src = r.id GROUP BY e.dst),
+r2 AS (SELECT r.id, r.deg, (150000 + (85 * coalesce(m, 0)) // 100)::BIGINT AS rank_u FROM r1 r LEFT JOIN c2 ON r.id = c2.dst),
+c3 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS m FROM edges e JOIN r2 r ON e.src = r.id GROUP BY e.dst),
+r3 AS (SELECT r.id, r.deg, (150000 + (85 * coalesce(m, 0)) // 100)::BIGINT AS rank_u FROM r2 r LEFT JOIN c3 ON r.id = c3.dst)
+SELECT id AS doc_id, deg, rank_u FROM r3 ORDER BY rank_u DESC, doc_id LIMIT 20""",
     "q51_app_log" ->
       """SELECT component, log_status, n_entries, n_runs FROM (
   SELECT 'pipeline1' AS component, 'Info' AS log_status, 2*count(DISTINCT source) AS n_entries, 1::BIGINT AS n_runs FROM documents

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank (Page et al., 1999) over an edge list, in EXACT integer
+  * arithmetic: ranks live in parts-per-million longs, the damping step is
+  * `(85 · Σ contrib) div 100`, and each neighbor contribution is
+  * `rank div degree` — integer division throughout, so the result is
+  * bit-identical on any engine, any partitioning, any aggregation order
+  * (the suite's standard dodge for cross-engine float drift, cf. q69's
+  * micro-nat log-probs).
+  *
+  * Scale shape is the q53 label-propagation loop's: the degree-annotated
+  * adjacency list is built once and staged (lazy localCheckpoint — reused
+  * every round, lineage paid once), each iteration is ONE equi-join
+  * (ranks ⋈ adjacency on src) + one aggregation (sum of contributions by
+  * dst) + a left join back to the node set for dangling-free re-seeding,
+  * and ranks are re-staged per round so round i's plan does not embed
+  * rounds 0..i-1. Iterations are a fixed small count (curvature of the
+  * graph, not its size); each costs one shuffle of (node, long) pairs.
+  *
+  * The motivating use here is dedup ANALYTICS: run it on the near-dup
+  * pair graph (q39's output as undirected edges) and the rank is a
+  * centrality score for "template" documents — the hubs boilerplate
+  * radiates from — which is exactly what you read before deciding what a
+  * cluster's canonical survivor should be.
+  */
+object PageRank {
+
+  /** Ranks after `iters` iterations over UNDIRECTED edges (pairs are
+    * symmetrized here; self-loops dropped). Returns (id, degree, rank_u)
+    * with rank_u in ppm: rank_u = 150000 + (850000-scaled neighbor mass).
+    * Nodes are the edge endpoints (isolated vertices carry rank 10^6·(1-d)
+    * + d·0 trivially and are not interesting on a pair graph).
+    *
+    * Join strategy: node-sized relations (ranks, contributions) are
+    * BROADCAST when the node count is at most `broadcastNodeLimit`, so an
+    * iteration touches the adjacency in place — no shuffle of the edge
+    * list, ever; checkpoint-backed tables otherwise report unknown stats
+    * and Catalyst falls back to shuffling the (edge-sized) join. Above the
+    * limit the joins degrade to shuffle-hash on src/dst — the
+    * billion-node path, where per-iteration exchanges of node-sized tables
+    * are the accepted cost (the map-side partial sum still bounds the
+    * contribution shuffle by nodes·partitions, never edges).
+    */
+  def ranks(pairs: DataFrame, aCol: String, bCol: String, iters: Int,
+      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    // stage the INPUT pairs first: the symmetrizing union reads them once
+    // per direction, and without the cut each branch re-runs the whole
+    // upstream pipeline (for the q108 use the LSH dedup pipeline — a
+    // corpus scan + signature pass per branch; 7.4 s → 2.6 s at sf0.1)
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(false)
+    // …then the edge list, which degree, adjacency and node set each read
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(false)
+    // node set with out-degree — one aggregation over the staged edges
+    val nodes = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val small = nodes.count() <= broadcastNodeLimit // nodes just materialized
+    def nodeSized(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // adjacency with the degree attached — built once, read every round
+    val adj = sym
+      .join(nodeSized(nodes.select(col("id").as("src"), col("deg"))), "src")
+      .localCheckpoint(false)
+    var rank = nodes.select(col("id"), lit(1000000L).as("rank_u"))
+    for (_ <- 0 until iters) {
+      val contrib = adj.join(nodeSized(rank), adj("src") === rank("id"))
+        .select(col("dst"), expr("rank_u div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+      rank = nodes
+        .join(nodeSized(contrib), nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          (lit(150000L) + expr("(85 * coalesce(mass, 0)) div 100")).as("rank_u"))
+        .localCheckpoint(false) // cut: round i must not re-plan rounds < i
+    }
+    nodes.join(nodeSized(rank), "id").select(col("id"), col("deg"), col("rank_u"))
+  }
+}

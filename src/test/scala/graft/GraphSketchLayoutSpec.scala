@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{HllAgg, HllSketch, PageRank, SemanticDedup, TopKAgg, ZOrder}
+
+/** Round-7 operators against independent plain-Scala references: the
+  * bounded top-k Aggregator vs a sort, HLL registers vs a relational
+  * rebuild (plus partition invariance — the mergeability contract), integer
+  * PageRank vs a sequential reference, Morton keys vs a bit-twiddling
+  * reference (plus the locality property that justifies the operator), and
+  * semantic dedup vs brute force. Plan pins: q103 must aggregate, not
+  * window-sort.
+  */
+class GraphSketchLayoutSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val enc2 =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]()
+
+  test("TopKAgg equals the sorted reference and is partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 500).map(i => (s"g${i % 7}", rnd.nextLong(50L), i.toLong))
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).sortBy(t => (-t._1, t._2)).take(3).toList).toMap
+    for (parts <- Seq(1, 4, 11)) {
+      val topk = udaf(new TopKAgg(3), enc2)
+      val got = rows.toDF("g", "key", "id").repartition(parts)
+        .groupBy($"g").agg(topk($"key", $"id").as("top"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(0), p.getLong(1))).toList)
+        .toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("q103 plans as a partial aggregate — no Window, no corpus sort before the exchange") {
+    val df = SparkEntry.queries("q103_topk_per_group")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    // partial+final placement: the aggregate appears on both sides of the
+    // exchange, so each map partition ships <= k pairs per group
+    assert("(?s)Aggregate.*Exchange.*Aggregate".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("HLL registers equal a relational rebuild; estimate is partition-invariant and sane") {
+    import spark.implicits._
+    val p = 4
+    val m = 1 << p
+    val rnd = new scala.util.Random(11L)
+    val keys = (0 until 3000).map(_ => s"k${rnd.nextInt(700)}")
+    val exact = keys.distinct.size
+    // reference registers from the same stable hash
+    val want = Array.fill(m)(0)
+    keys.distinct.foreach { k =>
+      val h = graft.functions.HashFunctions.stableHash64(s"hll:$k")
+      val bkt = (h % m).toInt
+      val v = h >> p
+      var r = 0
+      while (r < HllSketch.RankCap - 1 && ((v >> r) & 1L) == 0L) r += 1
+      val rank = r + 1
+      if (rank > want(bkt)) want(bkt) = rank
+    }
+    var est0: Option[Double] = None
+    for (parts <- Seq(1, 4, 9)) {
+      val hll = udaf(new HllAgg(p),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
+      val out = keys.toDF("w").repartition(parts)
+        .withColumn("h", graft.functions.HashFunctions.stableHash64(
+          concat(lit("hll:"), $"w")))
+        .withColumn("bkt", HllSketch.bucketCol($"h", p))
+        .withColumn("rnk", HllSketch.rankExpr("h", p))
+        .agg(hll($"bkt", $"rnk").as("regs"))
+        .select($"regs", HllSketch.estimateExpr("regs", p).as("est"))
+        .collect()(0)
+      assert(out.getSeq[Int](0).toArray.sameElements(want), s"parts=$parts")
+      val est = out.getDouble(1)
+      est0 = est0.orElse(Some(est))
+      assert(est == est0.get, s"estimate not partition-invariant at parts=$parts")
+      // m=16 gives ~26% standard error; 3x is a generous non-flaky bound
+      assert(math.abs(est - exact) / exact < 0.8, s"est=$est exact=$exact")
+    }
+  }
+
+  test("integer PageRank equals a sequential reference on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val pairs = (0 until 120).map(_ => (rnd.nextLong(40L), rnd.nextLong(40L)))
+      .filter(e => e._1 != e._2).distinct
+    // sequential reference with identical integer semantics
+    val sym = pairs.flatMap(e => Seq(e, e.swap)).distinct
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 0 until 3) {
+      val mass = sym.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / deg(s) }.sum).toMap
+      rank = rank.keys.map(n => n -> (150000L + 85L * mass.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = PageRank.ranks(pairs.toDF("id_a", "id_b"), "id_a", "id_b", iters = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == rank.keySet)
+    got.foreach { case (n, (d, r)) =>
+      assert(d == deg(n), s"degree of $n")
+      assert(r == rank(n), s"rank of $n")
+    }
+  }
+
+  test("Morton key equals the bit-twiddling reference; z-layout bounds BOTH dimensions") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val rnd = new scala.util.Random(17L)
+    val pts = (0 until 400).map(i => (i.toLong, rnd.nextLong(65536L), rnd.nextLong(65536L)))
+    val got = pts.toDF("id", "x", "y")
+      .withColumn("z", ZOrder.zKey($"x", $"y", 16))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    pts.foreach { case (id, x, y) => assert(got(id) == ref(x, y), s"id=$id") }
+
+    // locality: on a 64x64 grid cut into 16 files, the z-order layout must
+    // bound the y-extent of every file far below the full domain, while a
+    // plain ORDER BY x leaves files spanning (almost) all of y
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x * 64 + y, x, y))
+    val laid = ZOrder.layout(grid.toDF("id", "x", "y"), "x", "y",
+        bits = 6, files = 16, tieBreak = "id")
+      .groupBy($"file_id")
+      .agg((max($"x") - min($"x")).as("xr"), (max($"y") - min($"y")).as("yr"))
+      .collect()
+    assert(laid.length == 16)
+    laid.foreach { r =>
+      assert(r.getLong(1) <= 31, s"file ${r.get(0)}: x-extent ${r.getLong(1)}")
+      assert(r.getLong(2) <= 31, s"file ${r.get(0)}: y-extent ${r.getLong(2)}")
+    }
+  }
+
+  test("semantic dedup equals brute force within clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19L)
+    def vec(): Seq[Float] = {
+      // clustered directions so some pairs clear the threshold
+      val base = rnd.nextInt(4)
+      (0 until 8).map(i => (if (i % 4 == base) 1.0f else 0.0f) + rnd.nextFloat() * 0.3f)
+    }
+    val rows = (0 until 60).map(i => (i.toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = graft.operators.IvfIndex.centroids(df, k = 4, iters = 0)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val na = math.sqrt(a.map(p => p.toDouble * p.toDouble).sum)
+      val nb = math.sqrt(b.map(q => q.toDouble * q.toDouble).sum)
+      dot / (na * nb)
+    }
+    val centSeq = cents.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val cells = rows.map { case (id, v) =>
+      val best = centSeq.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+      (id, v, best)
+    }
+    val want = (for {
+      (ia, va, ca) <- cells; (ib, _, cb) <- cells
+      if ca == cb && ia < ib && cos(va, cells.find(_._1 == ib).get._2) >= 0.7
+    } yield (ca, ib)).toSet
+    val cellsDf = graft.operators.IvfIndex.assign(df, cents, "vec_id", "embedding")
+    val got = SemanticDedup.duplicateIds(cellsDf, tau = 0.7)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+}
