@@ -22,7 +22,9 @@ object Plans {
     "q71_tfidf_keywords", "q72_event_anomaly",
     "q85_span_dedup", "q87_bloom_decontaminate", "q90_edit_distance",
     "q91_countmin", "q92_interval_join", "q93_importance_weights",
-    "q94_scd2_versions", "q95_pipeline_e2e")
+    "q94_scd2_versions", "q95_pipeline_e2e", "q101_retrieval_eval",
+    "q103_topk_per_group", "q105_semantic_dedup", "q106_zorder_layout",
+    "q107_bigram_lm", "q108_dup_pagerank", "q110_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -172,7 +172,21 @@ object ScaleProbe {
         k = 5, minCount = 2)
     }
 
-    val qs = Seq(q39, q56, q56t, q57, q68s, q78s, q85s)
+    // q108's shape: integer PageRank over the 10× near-dup pair graph.
+    // Every doc gains C(copies,2) clone pairs, so EVERY doc is a node and
+    // the closed form is rows == n_docs exactly. Probes the iteration
+    // joins at ~2·copies²·P₁ symmetrized edges (the adjacency is staged
+    // once; each of the 3 rounds is one agg over it) — the densest graph
+    // the suite can manufacture.
+    val q108s = timed("q108_dup_pagerank_10x") {
+      graft.operators.PageRank.ranks(
+        graft.operators.Dedup.nearDupPairs(
+          scaled, "doc_id", "text",
+          numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5),
+        "id_a", "id_b", iters = 3)
+    }
+
+    val qs = Seq(q39, q56, q56t, q57, q68s, q78s, q85s, q108s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

@@ -31,6 +31,20 @@ object SparkEntry {
     */
   private val Bm25Terms = Seq("join", "vector", "window", "stream")
 
+  /** Fixed BPE merge list shared by q110 and its oracle. The list is
+    * PATTERN-COLLISION-FREE by construction so the oracle can express the
+    * greedy fold as a chain of non-overlapping string replaces over
+    * US-delimited symbols: no merge's `l` is a proper suffix, and no `r` a
+    * proper prefix, of any symbol coexisting when that merge applies (e.g.
+    * (c,o) would be illegal once (o,n) created "on": `c␟on` must stay
+    * [c, on], but the replace would eat `c␟o`). Training-produced lists
+    * don't carry this guarantee — the trained path is spec-verified
+    * against a plain-Scala reference instead (SpanBpeSpec).
+    */
+  private val BpeMerges = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "i" -> "n", "o" -> "n",
+    "an" -> "d", "r" -> "e")
+
   /** BM25 over the documents table for [[Bm25Terms]] — the library API is
     * [[graft.query.LexicalRetriever.bm25Scores]]; see its doc for the
     * scale shape and the cross-engine float policy.
@@ -2173,6 +2187,144 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Embedding-outlier pruning — the data-quality sibling of q105: flag
+    // vectors whose similarity to their OWN cluster centroid sits more
+    // than 2σ below the cluster mean (mislabeled/garbage embeddings drift
+    // toward cell boundaries). The z-test runs in EXACT integer math on
+    // scan-quantized scores: cos4 = floor(cos·10⁴), and z² > 4 below the
+    // mean is the cross-multiplied integer inequality
+    // (n·cos4 − S)² > 4·(n·S2 − S²) — no float mean, no engine-ordered
+    // variance, any partitioning reproduces it. One scan (assignment) +
+    // one cluster-sized agg broadcast back.
+    "q109_embedding_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
+      val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
+        .join(broadcast(cents), "centroid_id")
+        .select($"centroid_id", $"vec_id",
+          floor(graft.functions.VectorFunctions.cosineSim($"embedding", $"centroid")
+            * lit(10000.0)).cast("long").as("cos4"))
+        .localCheckpoint(false) // stats + flagging read the scored cells
+      val stats = cells.groupBy($"centroid_id")
+        .agg(count(lit(1)).as("n"), sum($"cos4").as("s1"),
+          sum($"cos4" * $"cos4").as("s2"))
+      cells.join(broadcast(stats), "centroid_id")
+        .groupBy($"centroid_id")
+        .agg(first($"n").as("n_vecs"),
+          sum(when($"n" * $"cos4" < $"s1" &&
+            ($"n" * $"cos4" - $"s1") * ($"n" * $"cos4" - $"s1")
+              > lit(4L) * ($"n" * $"s2" - $"s1" * $"s1"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy($"centroid_id")
+    }),
+
+    // BPE ENCODE — applying the tokenizer, the other half of q86's
+    // training surface: per-word greedy merge fold (BpeTokenizer.encodeCol,
+    // reference Sennrich semantics) with q110's fixed collision-free merge
+    // list (see BpeMerges; trained lists are spec-verified separately).
+    // Scale shape: each word TYPE is encoded once — the fold runs over the
+    // distinct-word vocabulary (sublinear in the corpus) and the token
+    // stream joins the encoded lengths back by word (broadcast at bench
+    // scale, shuffle join at web scale); the corpus itself is scanned
+    // once and never carries symbol arrays.
+    "q110_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val merges = BpeMerges.map { case (l, r) =>
+        graft.operators.BpeTokenizer.Merge(l, r, 0L) }
+      val tok = t(s, dir, "documents")
+        .select($"doc_id", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      val vocabEnc = tok.select($"w").distinct()
+        .select($"w", length($"w").as("nc"),
+          size(element_at(
+            graft.operators.BpeTokenizer.encodeCol(array($"w"), merges), 1)).as("ns"))
+      tok.join(broadcast(vocabEnc), "w")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"nc").as("n_chars"), sum($"ns").as("n_syms"))
+        .select($"doc_id", $"n_words", $"n_chars", $"n_syms",
+          fq4($"n_syms".cast("double") / $"n_chars".cast("double")).as("ratio4"))
+        .orderBy($"doc_id")
+    }),
+
+    // Matryoshka-truncation retrieval eval (Kusupati et al.,
+    // arXiv:2205.13147): how much recall@10 / NN-rank survives when the
+    // index stores only the FIRST 16 of 64 dimensions — the
+    // dimension-adaptive deployment question (4× less index to scan, same
+    // q101 metric layer). Truncated scoring is a scan-side slice; both
+    // rankers are one corpus scan with broadcast queries; every join after
+    // the k-row rankings is output-sized.
+    "q111_matryoshka_eval" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 10).select($"vec_id".as("query_id"), $"embedding")
+      val truth = graft.operators.SimilaritySearch
+        .bruteForceTopK(emb, qs, k = 10).localCheckpoint(false)
+      // candidate ranking sees ONLY the 16-dim prefix of both sides
+      val emb16 = emb.select($"vec_id", slice($"embedding", 1, 16).as("embedding"))
+      val qs16 = qs.select($"query_id", slice($"embedding", 1, 16).as("embedding"))
+      val cand = graft.operators.SimilaritySearch
+        .bruteForceTopK(emb16, qs16, k = 10, qidCol = "query_id")
+        .localCheckpoint(false)
+      val hits = truth.select($"query_id", $"neighbor_id")
+        .join(cand.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+      val nn1 = truth.filter($"rank" === 1).select($"query_id", $"neighbor_id")
+      val rr = nn1
+        .join(cand.select($"query_id", $"neighbor_id", $"rank"),
+          Seq("query_id", "neighbor_id"), "left")
+        .select($"query_id",
+          coalesce(lit(1.0) / $"rank".cast("double"), lit(0.0)).as("mrr"))
+      qs.select($"query_id")
+        .join(hits, Seq("query_id"), "left")
+        .join(rr, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"n_hit", lit(0L)).as("n_hit"),
+          fq4(coalesce($"n_hit", lit(0L)).cast("double") / lit(10.0)).as("recall4"),
+          fq4(coalesce($"mrr", lit(0.0))).as("mrr4"))
+        .orderBy($"query_id")
+    }),
+
+    // Mergeable corpus statistics — the 100 TB rollup contract proven at
+    // the query level: per-source stats are computed INDEPENDENTLY on two
+    // disjoint corpus halves (doc_id parity), then COMBINED purely from
+    // the partial states — counts add, HLL registers take the element-wise
+    // max (zip_with greatest) — and the merged estimate must equal the
+    // whole-corpus stats bit-for-bit (the oracle computes them directly,
+    // never seeing the halves). This is how a data card stays one cheap
+    // merge per ingest instead of a corpus re-scan: yesterday's sketch ⊕
+    // today's delta.
+    "q112_mergeable_stats" -> ((s, dir) => {
+      import s.implicits._
+      val p = 4
+      def half(pred: org.apache.spark.sql.Column) = {
+        val hll = udaf(new graft.operators.HllAgg(p),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
+        t(s, dir, "documents").filter(pred)
+          .select($"source",
+            explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+          .select($"source", $"w",
+            graft.functions.HashFunctions.stableHash64(concat(lit("hll:"), $"w")).as("h"))
+          .withColumn("bkt", graft.operators.HllSketch.bucketCol($"h", p))
+          .withColumn("rnk", graft.operators.HllSketch.rankExpr("h", p))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_tok"), hll($"bkt", $"rnk").as("regs"))
+      }
+      val a = half($"doc_id" % 2 === 0)
+      val b = half($"doc_id" % 2 === 1)
+      a.toDF("source", "n_tok_a", "regs_a")
+        .join(b.toDF("source", "n_tok_b", "regs_b"), Seq("source"), "full")
+        .select($"source",
+          (coalesce($"n_tok_a", lit(0L)) + coalesce($"n_tok_b", lit(0L))).as("n_tok"),
+          zip_with(
+            coalesce($"regs_a", array_repeat(lit(0), 1 << p)),
+            coalesce($"regs_b", array_repeat(lit(0), 1 << p)),
+            (x, y) => greatest(x, y)).as("regs"))
+        .select($"source", $"n_tok",
+          fq4(graft.operators.HllSketch.estimateExpr("regs", p)).as("est4"))
+        .orderBy($"source")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -3174,6 +3326,48 @@ r2 AS (SELECT r.id, r.deg, (150000 + (85 * coalesce(m, 0)) // 100)::BIGINT AS ra
 c3 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS m FROM edges e JOIN r2 r ON e.src = r.id GROUP BY e.dst),
 r3 AS (SELECT r.id, r.deg, (150000 + (85 * coalesce(m, 0)) // 100)::BIGINT AS rank_u FROM r2 r LEFT JOIN c3 ON r.id = c3.dst)
 SELECT id AS doc_id, deg, rank_u FROM r3 ORDER BY rank_u DESC, doc_id LIMIT 20""",
+    "q109_embedding_outliers" ->
+      """WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+cells AS (SELECT vec_id, centroid_id, floor(sc * 10000.0)::BIGINT AS cos4 FROM (SELECT e.vec_id, c.centroid_id, list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sc, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+stats AS (SELECT centroid_id, count(*)::BIGINT AS n, sum(cos4)::BIGINT AS s1, sum(cos4 * cos4)::BIGINT AS s2 FROM cells GROUP BY centroid_id)
+SELECT centroid_id, min(n)::BIGINT AS n_vecs,
+       sum(CASE WHEN n * cos4 < s1 AND (n * cos4 - s1) * (n * cos4 - s1) > 4 * (n * s2 - s1 * s1) THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM cells JOIN stats USING (centroid_id) GROUP BY centroid_id ORDER BY centroid_id""",
+    "q110_bpe_encode" -> {
+      val chain = BpeMerges.foldLeft(
+        "array_to_string(list_transform(range(1, length(w)+1), i -> w[i]), chr(31))") {
+        case (acc, (l, r)) => s"replace($acc, '$l'||chr(31)||'$r', '$l$r')"
+      }
+      raw"""WITH tk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+enc AS (SELECT w, length(w)::BIGINT AS nc, len(string_split($chain, chr(31)))::BIGINT AS ns FROM (SELECT DISTINCT w FROM tk))
+SELECT doc_id, count(*) AS n_words, sum(nc)::BIGINT AS n_chars, sum(ns)::BIGINT AS n_syms,
+       floor(sum(ns)::DOUBLE / sum(nc)::DOUBLE * 10000.0) / 10000.0 AS ratio4
+FROM tk JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id"""
+    },
+    "q111_matryoshka_eval" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, (embedding[1:16])::DOUBLE[] AS qv16 FROM embeddings WHERE vec_id < 10),
+truth AS (SELECT query_id, neighbor_id, rn FROM (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+cand AS (SELECT query_id, neighbor_id, rn FROM (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity((e.embedding[1:16])::DOUBLE[], q.qv16) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+hits AS (SELECT query_id, count(*) AS n_hit FROM truth t JOIN cand c USING (query_id, neighbor_id) GROUP BY query_id),
+rr AS (SELECT t.query_id, coalesce(1.0::DOUBLE / c.rn::DOUBLE, 0.0) AS mrr FROM (SELECT query_id, neighbor_id FROM truth WHERE rn = 1) t LEFT JOIN cand c USING (query_id, neighbor_id))
+SELECT q.query_id, coalesce(n_hit, 0)::BIGINT AS n_hit,
+       floor(coalesce(n_hit, 0)::DOUBLE / 10.0 * 10000.0) / 10000.0 AS recall4,
+       floor(coalesce(mrr, 0.0) * 10000.0) / 10000.0 AS mrr4
+FROM q LEFT JOIN hits USING (query_id) LEFT JOIN rr USING (query_id) ORDER BY q.query_id""",
+    "q112_mergeable_stats" ->
+      raw"""WITH tokall AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+cnt AS (SELECT source, count(*)::BIGINT AS n_tok FROM tokall GROUP BY source),
+hashed AS (SELECT source, ('0x' || substr(md5('hll:' || w), 1, 15))::BIGINT AS h FROM (SELECT DISTINCT source, w FROM tokall)),
+br AS (SELECT source, h % 16 AS bkt, least(bit_count(((h >> 4) & -(h >> 4)) - 1), 47) + 1 AS rnk FROM hashed),
+grid AS (SELECT source, i AS bkt FROM (SELECT DISTINCT source FROM documents) CROSS JOIN (SELECT unnest(range(0, 16)) AS i)),
+regs AS (SELECT g.source, g.bkt, coalesce(max(rnk), 0) AS m FROM grid g LEFT JOIN br ON g.source = br.source AND g.bkt = br.bkt GROUP BY g.source, g.bkt),
+agg AS (SELECT source, sum(1::BIGINT << (48 - m))::BIGINT AS s, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros FROM regs GROUP BY source)
+SELECT source, n_tok, floor(est * 10000.0) / 10000.0 AS est4 FROM (
+  SELECT a.source, n_tok,
+    CASE WHEN (0.673::DOUBLE * 256.0 * 281474976710656.0 / s::DOUBLE) <= 40.0::DOUBLE AND zeros > 0
+         THEN 16.0::DOUBLE * ln(16.0::DOUBLE / zeros::DOUBLE)
+         ELSE (0.673::DOUBLE * 256.0 * 281474976710656.0 / s::DOUBLE) END AS est
+  FROM agg a JOIN cnt USING (source)) ORDER BY source""",
     "q51_app_log" ->
       """SELECT component, log_status, n_entries, n_runs FROM (
   SELECT 'pipeline1' AS component, 'Info' AS log_status, 2*count(DISTINCT source) AS n_entries, 1::BIGINT AS n_runs FROM documents

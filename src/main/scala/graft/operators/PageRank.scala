@@ -34,6 +34,14 @@ object PageRank {
     * Nodes are the edge endpoints (isolated vertices carry rank 10^6·(1-d)
     * + d·0 trivially and are not interesting on a pair graph).
     *
+    * CONTRACT: `pairs` must hold each undirected pair ONCE (e.g. the
+    * `id_a < id_b` output of the dedup pipelines) — duplicates would
+    * inflate degrees. The operator deliberately does NOT re-distinct: on
+    * an ordered unique pair list the symmetrized union cannot contain
+    * duplicates, and a corpus-scale `distinct` would be the single
+    * largest memory consumer of the whole job (a 10× probe's 160M-edge
+    * hash aggregate OOMs where the dedup pipeline itself runs fine).
+    *
     * Join strategy: node-sized relations (ranks, contributions) are
     * BROADCAST when the node count is at most `broadcastNodeLimit`, so an
     * iteration touches the adjacency in place — no shuffle of the edge
@@ -53,9 +61,9 @@ object PageRank {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint(false)
     // …then the edge list, which degree, adjacency and node set each read
+    // (no distinct — see the contract above; self-loops still dropped)
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
       .localCheckpoint(false)
     // node set with out-degree — one aggregation over the staged edges
     val nodes = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))

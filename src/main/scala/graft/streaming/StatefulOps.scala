@@ -255,6 +255,38 @@ object StatefulOps {
       }
   }
 
+  final case class HllSnapshot(key: String, n_items: Long, registers: Seq[Int])
+
+  /** Streaming twin of the HyperLogLog distinct sketch (q102): per-key
+    * state IS the 2^p register array, updated by the SAME
+    * [[graft.operators.HllAgg]] reduce the batch aggregator runs — HLL
+    * registers are an idempotent commutative monoid (element-wise max), so
+    * after any micro-batch split, any arrival order, even REPLAYED rows,
+    * the running registers are bit-identical to the batch sketch of
+    * everything seen so far (a strictly stronger merge contract than CMS,
+    * whose counters double on replay). State is O(2^p) ints per key —
+    * bounded regardless of stream length.
+    *
+    * Inputs are (key, bucket, rank) triples — derive at the scan with
+    * [[graft.operators.HllSketch.bucketCol]]/`rankExpr`, exactly like the
+    * batch q102 path.
+    */
+  def runningDistinctRegisters(
+      bucketed: Dataset[(String, Int, Int)], p: Int): Dataset[HllSnapshot] = {
+    import bucketed.sparkSession.implicits._
+    val agg = new graft.operators.HllAgg(p)
+    bucketed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Int, Int)],
+         state: GroupState[(Long, Array[Int])]) =>
+          var (n, regs) = state.getOption.getOrElse((0L, agg.zero))
+          it.foreach { case (_, b, r) => n += 1; regs = agg.reduce(regs, (b, r)) }
+          state.update((n, regs))
+          HllSnapshot(key, n, regs.toSeq)
+      }
+  }
+
   /** One buffered event: (epoch ms, tie-break id, value). */
   final case class SessionizeState(nextSeq: Long, buffer: Seq[(Long, Long, Double)])
   final case class SessionSummary(

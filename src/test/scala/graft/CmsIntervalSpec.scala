@@ -129,6 +129,45 @@ class CmsIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming HLL registers equal the batch sketch after every random split — even with replayed rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val p = 4
+    val rnd = new scala.util.Random(99L)
+    val words = (0 until 300).map(i => s"h${i % 41}")
+    def rowOf(w: String): (String, Int, Int) = {
+      val h = graft.functions.HashFunctions.stableHash64(s"hll:$w")
+      val v = h >> p
+      val low = v & -v
+      val rank = math.min(java.lang.Long.bitCount(low - 1), 47) + 1
+      ("all", (h % (1 << p)).toInt, rank)
+    }
+    // batch reference registers
+    val batch = {
+      val agg = new graft.operators.HllAgg(p)
+      words.map(rowOf).foldLeft(agg.zero) { case (b, (_, bk, r)) => agg.reduce(b, (bk, r)) }.toSeq
+    }
+    (0 until 3).foreach { round =>
+      val cut = 1 + rnd.nextInt(words.length - 1)
+      // replay a slice of batch 1 inside batch 2: idempotent max must absorb it
+      val b1 = words.take(cut)
+      val b2 = (if (round == 2) b1.takeRight(math.min(10, b1.length)) else Nil) ++ words.drop(cut)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val snaps = graft.streaming.StatefulOps.runningDistinctRegisters(
+        input.toDF().toDF("w").as[String].map(rowOf), p)
+      val q = snaps.writeStream.format("memory").queryName("hll_run")
+        .outputMode("update").start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+        val last = spark.table("hll_run")
+          .orderBy(col("n_items").desc).limit(1).collect()(0)
+        assert(last.getLong(1) == (b1.length + b2.length).toLong)
+        assert(last.getSeq[Int](2).toSeq == batch, s"round=$round")
+      } finally q.stop()
+    }
+  }
+
   test("RangeJoinRewrite: a BETWEEN theta-join plans bucketed with identical results; gated off by default") {
     import spark.implicits._
     val points = (0 until 300).map(i => (i.toLong, (i * 37 % 5000).toLong)).toDF("pid", "pt")

@@ -100,8 +100,11 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
   test("integer PageRank equals a sequential reference on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(13L)
+    // the operator's contract: one row per UNDIRECTED pair (id_a < id_b)
     val pairs = (0 until 120).map(_ => (rnd.nextLong(40L), rnd.nextLong(40L)))
-      .filter(e => e._1 != e._2).distinct
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
     // sequential reference with identical integer semantics
     val sym = pairs.flatMap(e => Seq(e, e.swap)).distinct
     val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
