@@ -24,7 +24,9 @@ object Plans {
     "q91_countmin", "q92_interval_join", "q93_importance_weights",
     "q94_scd2_versions", "q95_pipeline_e2e", "q101_retrieval_eval",
     "q103_topk_per_group", "q105_semantic_dedup", "q106_zorder_layout",
-    "q107_bigram_lm", "q108_dup_pagerank", "q110_bpe_encode")
+    "q107_bigram_lm", "q108_dup_pagerank", "q110_bpe_encode",
+    "q113_phrase_search", "q114_padded_batches", "q115_containment",
+    "q117_funnel", "q118_dedup_survivors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

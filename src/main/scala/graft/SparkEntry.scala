@@ -2325,6 +2325,122 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Positional inverted index + phrase queries — exact phrase constraints
+    // dense retrieval cannot guarantee (InvertedIndex scaladoc has the
+    // 100 TB shape: postings written once bucketed by term; a k-term
+    // phrase reads only its own terms' postings and runs k−1 equi-joins on
+    // one shared (doc, pos) partitioning). The postings relation is staged
+    // once (lazy checkpoint — modelling the written index) and probed by
+    // both phrase chains.
+    "q113_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      val post = graft.query.InvertedIndex
+        .postings(t(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(false)
+      def hits(phrase: Seq[String]) =
+        graft.query.InvertedIndex.phraseMatches(post, phrase)
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_occ"), min($"pos").cast("long").as("first_pos"))
+          .select(lit(phrase.mkString(" ")).as("phrase"), $"doc_id", $"n_occ", $"first_pos")
+      hits(Seq("table", "scan")).union(hits(Seq("hash", "join")))
+        .orderBy($"phrase", $"n_occ".desc, $"doc_id")
+    }),
+
+    // Length-bucketed padded batches — the padding-efficiency layout step
+    // (PaddedBatching scaladoc): power-of-two cap ladder at the scan, ONE
+    // range shuffle for the whole layout (windowless global rank), batch
+    // identity by arithmetic. Report = per-batch fill efficiency, the
+    // number a training-infra dashboard actually watches.
+    "q114_padded_batches" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        size(graft.operators.TextAnalysis.tokensCol($"text")).cast("long").as("tc"))
+      graft.operators.PaddedBatching
+        .batches(docs, "doc_id", "tc", batchSize = 8, numPartitions = 32)
+        .groupBy($"cap".cast("long").as("cap"), $"batch_id")
+        .agg(count(lit(1)).as("n_seqs"), sum($"tc").as("n_tok"))
+        .select($"cap", $"batch_id", $"n_seqs", $"n_tok",
+          ($"n_seqs" * $"cap" - $"n_tok").as("n_pad"),
+          fq4($"n_tok".cast("double") / ($"n_seqs" * $"cap").cast("double")).as("eff4"))
+        .orderBy($"cap", $"batch_id")
+    }),
+
+    // n-gram CONTAINMENT over LSH candidates — Broder's asymmetric
+    // near-superset measure (quote/inclusion detection): C(A,B) ≈ 1 with
+    // low Jaccard means A is swallowed by B. Candidates come from the same
+    // banded (band, hash) equi-join as q39 — the exact verifier only ever
+    // runs on bucketed pairs, never all-pairs.
+    "q115_containment" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sigs = graft.operators.Dedup
+        .minhashSig(docs, "text", numHashes = 8, shingle = 4)
+        .select($"doc_id", $"minhash")
+      val cand = graft.operators.Dedup.lshCandidates(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+      cand.join(docs.select($"doc_id".as("id_a"), $"text".as("text_a")), Seq("id_a"))
+        .join(docs.select($"doc_id".as("id_b"), $"text".as("text_b")), Seq("id_b"))
+        .select($"id_a", $"id_b",
+          fq4(graft.operators.Dedup.containmentHof($"text_a", $"text_b", 5)).as("cont_ab4"),
+          fq4(graft.operators.Dedup.containmentHof($"text_b", $"text_a", 5)).as("cont_ba4"),
+          fq4(graft.operators.Dedup.jaccardHof($"text_a", $"text_b", 5)).as("jac4"))
+        .filter(greatest($"cont_ab4", $"cont_ba4") >= 0.8)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Sliding context windows (stride < win keeps cross-boundary context —
+    // the RoBERTa long-doc convention): pure scan-side expression, the
+    // explode only at the consumer. Window fingerprints are the dedup key
+    // for cross-document window dedup downstream.
+    "q116_sliding_windows" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", posexplode(graft.operators.TextAnalysis.slidingWindowsCol(
+          graft.operators.TextAnalysis.tokensCol($"text"), win = 24, stride = 16)))
+        .select($"doc_id", $"pos".cast("long").as("win_id"),
+          $"col.start".cast("long").as("start"),
+          $"col.n_tok".cast("long").as("n_tok"), $"col.fp".as("fp"))
+        .orderBy($"doc_id", $"win_id")
+    }),
+
+    // Sequential funnel (signup → view → purchase) with STRICT ordering —
+    // each stage's event must follow the previous stage's chosen event
+    // (Funnel scaladoc: k−1 equi-joins on one entity partitioning, each
+    // stage's filter pushed to the scan, no event-stream window). µs
+    // domain for cross-engine ts math (see q49/q65).
+    "q117_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_type", expr("ts div 1000").as("ts_us"))
+      graft.operators.Funnel
+        .firstCompletion(ev, "user_id", "event_type", "ts_us",
+          Seq("signup", "view", "purchase"))
+        .select($"user_id", $"ts_1", $"ts_2", $"ts_3",
+          when($"ts_3".isNotNull, 3L).when($"ts_2".isNotNull, 2L).otherwise(1L).as("stage"))
+        .orderBy($"user_id")
+    }),
+
+    // Dedup SURVIVOR selection — the policy step after cluster resolution:
+    // within each exact-dup cluster keep the longest version (ties →
+    // lowest id), the "keep the most complete copy" rule real pipelines
+    // apply. argmax rides a struct max inside the per-cluster aggregate —
+    // no window, map-side partial.
+    "q118_dedup_survivors" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        docs, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
+      graft.operators.Dedup.resolveClusters(pairs, docs.select($"doc_id"))
+        .join(docs.select($"doc_id", $"n_chars"), $"id" === $"doc_id")
+        .groupBy($"keeper_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct($"n_chars".as("nc"), (-$"doc_id").as("nid"))).as("best"))
+        .filter($"n_members" >= 2)
+        .select($"keeper_id".as("cluster_id"), $"n_members",
+          (-$"best.nid").as("survivor_id"), $"best.nc".as("survivor_chars"))
+        .orderBy($"cluster_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -3368,6 +3484,53 @@ SELECT source, n_tok, floor(est * 10000.0) / 10000.0 AS est4 FROM (
          THEN 16.0::DOUBLE * ln(16.0::DOUBLE / zeros::DOUBLE)
          ELSE (0.673::DOUBLE * 256.0 * 281474976710656.0 / s::DOUBLE) END AS est
   FROM agg a JOIN cnt USING (source)) ORDER BY source""",
+    "q113_phrase_search" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS toks FROM documents),
+occ AS (SELECT 'table scan' AS phrase, doc_id, list_filter(range(1, len(toks)+1), i -> toks[i] = 'table' AND toks[i+1] = 'scan') AS hits FROM tk
+        UNION ALL
+        SELECT 'hash join' AS phrase, doc_id, list_filter(range(1, len(toks)+1), i -> toks[i] = 'hash' AND toks[i+1] = 'join') AS hits FROM tk)
+SELECT phrase, doc_id, len(hits)::BIGINT AS n_occ, list_min(hits)::BIGINT AS first_pos
+FROM occ WHERE len(hits) > 0 ORDER BY phrase, n_occ DESC, doc_id""",
+    "q114_padded_batches" ->
+      raw"""WITH d AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != ''))::BIGINT AS tc FROM documents),
+c AS (SELECT doc_id, tc, (CASE WHEN tc <= 16 THEN 16 WHEN tc <= 32 THEN 32 WHEN tc <= 64 THEN 64 WHEN tc <= 128 THEN 128 WHEN tc <= 256 THEN 256 WHEN tc <= 512 THEN 512 ELSE 1024 END)::BIGINT AS cap FROM d),
+r AS (SELECT doc_id, tc, cap, row_number() OVER (PARTITION BY cap ORDER BY doc_id) AS rn FROM c)
+SELECT cap, ((rn - 1) // 8)::BIGINT AS batch_id, count(*)::BIGINT AS n_seqs, sum(tc)::BIGINT AS n_tok,
+       (count(*) * cap - sum(tc))::BIGINT AS n_pad,
+       floor(sum(tc)::DOUBLE / (count(*) * cap)::DOUBLE * 10000.0) / 10000.0 AS eff4
+FROM r GROUP BY cap, batch_id ORDER BY cap, batch_id""",
+    "q115_containment" ->
+      s"""WITH $LshVerifiedCtes,
+sh AS (SELECT doc_id, list_distinct(CASE WHEN length(text) < 5 THEN [text] ELSE list_transform(range(1, length(text)-3), i -> substr(text, i, 5)) END) AS g FROM documents),
+scored AS (SELECT id_a, id_b,
+  floor(len(list_intersect(a.g, b.g))::DOUBLE / len(a.g) * 10000.0) / 10000.0 AS cont_ab4,
+  floor(len(list_intersect(b.g, a.g))::DOUBLE / len(b.g) * 10000.0) / 10000.0 AS cont_ba4,
+  floor(len(list_intersect(a.g, b.g))::DOUBLE / len(list_distinct(a.g || b.g)) * 10000.0) / 10000.0 AS jac4
+FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b)
+SELECT id_a, id_b, cont_ab4, cont_ba4, jac4 FROM scored WHERE greatest(cont_ab4, cont_ba4) >= 0.8 ORDER BY id_a, id_b""",
+    "q116_sliding_windows" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS toks FROM documents),
+st AS (SELECT doc_id, toks, CASE WHEN len(toks) < 24 THEN [1] ELSE range(1, len(toks) - 22, 16) END AS starts FROM tk),
+w AS (SELECT doc_id, toks, unnest(starts) AS start FROM st)
+SELECT doc_id, ((start - 1) // 16)::BIGINT AS win_id, start::BIGINT AS start,
+       least(24, len(toks) - start + 1)::BIGINT AS n_tok,
+       ('0x' || substr(md5(array_to_string(toks[start : start + 23], ' ')), 1, 15))::BIGINT AS fp
+FROM w ORDER BY doc_id, win_id""",
+    "q117_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (SELECT user_id, min(ts_us) AS ts_1 FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT s1.user_id, ts_1, min(CASE WHEN e.ts_us > ts_1 THEN e.ts_us END) AS ts_2 FROM s1 LEFT JOIN ev e ON e.user_id = s1.user_id AND e.event_type = 'view' GROUP BY s1.user_id, ts_1),
+s3 AS (SELECT s2.user_id, ts_1, ts_2, min(CASE WHEN e.ts_us > ts_2 THEN e.ts_us END) AS ts_3 FROM s2 LEFT JOIN ev e ON e.user_id = s2.user_id AND e.event_type = 'purchase' GROUP BY s2.user_id, ts_1, ts_2)
+SELECT user_id, ts_1, ts_2, ts_3, (CASE WHEN ts_3 IS NOT NULL THEN 3 WHEN ts_2 IS NOT NULL THEN 2 ELSE 1 END)::BIGINT AS stage FROM s3 ORDER BY user_id""",
+    "q118_dedup_survivors" ->
+      s"""WITH RECURSIVE $LshVerifiedCtes,
+good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 1.0),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+j AS (SELECT cl.cluster_id, d.doc_id, d.n_chars FROM cl JOIN documents d USING (doc_id)),
+rk AS (SELECT cluster_id, doc_id, n_chars, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn, count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+SELECT cluster_id, n_members::BIGINT AS n_members, doc_id AS survivor_id, n_chars AS survivor_chars FROM rk WHERE rn = 1 AND n_members >= 2 ORDER BY cluster_id""",
     "q51_app_log" ->
       """SELECT component, log_status, n_entries, n_runs FROM (
   SELECT 'pipeline1' AS component, 'Info' AS log_status, 2*count(DISTINCT source) AS n_entries, 1::BIGINT AS n_runs FROM documents

@@ -209,6 +209,20 @@ object Dedup {
     size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
   }
 
+  /** Exact n-gram CONTAINMENT C(A,B) = |S_A ∩ S_B| / |S_A| — the
+    * asymmetric near-superset signal Jaccard misses: a short document
+    * quoted whole inside a long one scores containment ~1 while its
+    * Jaccard stays low (the union is dominated by the long side). This is
+    * the Broder containment measure quote/inclusion detectors run on
+    * LSH candidates; like [[jaccardHof]] it is a per-pair verifier — run
+    * it on candidate pairs, never all-pairs.
+    */
+  def containmentHof(textA: Column, textB: Column, n: Int): Column = {
+    val sa = array_distinct(shinglesCol(textA, n))
+    val sb = array_distinct(shinglesCol(textB, n))
+    size(array_intersect(sa, sb)).cast("double") / size(sa)
+  }
+
   /** 32-bit SimHash over whitespace tokens: bit k set iff the ±1 sum of bit
     * k across token hashes is positive. Hamming distance between simhashes
     * approximates token-set distance; bucket joins on it are the scale path.

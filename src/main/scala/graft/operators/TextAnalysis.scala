@@ -20,6 +20,28 @@ object TextAnalysis {
   def tokensCol(textCol: Column): Column =
     filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
 
+  /** Sliding context windows over a token array — the overlap chunker that
+    * turns documents into fixed-length training sequences (stride < win
+    * keeps cross-boundary context, the RoBERTa/long-doc convention). Emits
+    * array<struct<start, n_tok, fp>>: 1-based window start, window token
+    * count, and a 64-bit content fingerprint ([[HashFunctions.stableHash64]]
+    * of the space-joined window — dedup windows across documents on it).
+    * Full windows only, starts 1, 1+stride, …; a document shorter than
+    * `win` yields ONE window covering the whole document. Pure scan-side
+    * expression composition: a 100 TB corpus pays one read, no shuffle,
+    * and the explode happens at the caller only if it wants rows.
+    */
+  def slidingWindowsCol(tokens: Column, win: Int, stride: Int): Column = {
+    val n = size(tokens)
+    val starts = when(n < win, array(lit(1)))
+      .otherwise(sequence(lit(1), n - win + 1, lit(stride)))
+    transform(starts, s => struct(
+      s.as("start"),
+      least(lit(win), n - s + 1).as("n_tok"),
+      HashFunctions.stableHash64(
+        concat_ws(" ", slice(tokens, s, lit(win)))).as("fp")))
+  }
+
   /** Tiny deterministic stopword inventories for the n-gram/stopword
     * language heuristic. Scores are hit COUNTS of language-marker words.
     */
