@@ -26,7 +26,8 @@ object Plans {
     "q103_topk_per_group", "q105_semantic_dedup", "q106_zorder_layout",
     "q107_bigram_lm", "q108_dup_pagerank", "q110_bpe_encode",
     "q113_phrase_search", "q114_padded_batches", "q115_containment",
-    "q117_funnel", "q118_dedup_survivors")
+    "q117_funnel", "q118_dedup_survivors", "q119_token_shards",
+    "q121_point_in_time")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -186,7 +186,33 @@ object ScaleProbe {
         "id_a", "id_b", iters = 3)
     }
 
-    val qs = Seq(q39, q56, q56t, q57, q68s, q78s, q85s, q108s)
+    // q113's shape: positional postings over the 10× corpus + two phrase
+    // chains. The probe point is the pruning claim: postings are ~46M
+    // rows, but each phrase chain's joins only ever see the probed terms'
+    // postings (the term filter runs before the join), so phrase cost
+    // tracks term frequency, not corpus size.
+    val q113s = timed("q113_phrase_search_10x") {
+      val post = graft.query.InvertedIndex.postings(scaled, "doc_id", "text")
+        .localCheckpoint(false)
+      def hits(phrase: Seq[String]) =
+        graft.query.InvertedIndex.phraseMatches(post, phrase)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_occ"))
+      hits(Seq("table", "scan")).unionByName(hits(Seq("hash", "join")))
+    }
+
+    // q119's shape: the windowless token-budget sharding layout at 10× —
+    // one range exchange + per-partition offset fold over 50k docs.
+    val q119s = timed("q119_token_shards_10x") {
+      graft.operators.Sharding.tokenBudgetShards(
+          scaled.select(col("doc_id"),
+            size(graft.operators.TextAnalysis.tokensCol(col("text"))).cast("long").as("tc")),
+          col("doc_id"), "tc", tokenBudget = 20000L, numPartitions = 32)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tok"))
+    }
+
+    val qs = Seq(q39, q56, q56t, q57, q68s, q78s, q85s, q108s, q113s, q119s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

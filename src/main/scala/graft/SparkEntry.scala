@@ -2441,6 +2441,93 @@ object SparkEntry {
         .orderBy($"cluster_id")
     }),
 
+    // Token-budget output sharding — contiguous shards of ~equal token
+    // count, the layout a data-parallel training job reads (equal-token
+    // shards keep readers in step; equal-DOC shards skew on length).
+    // Windowless: one range shuffle + per-partition offset fold
+    // (Batching.globalRunningSum), shard identity by integer arithmetic.
+    "q119_token_shards" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        size(graft.operators.TextAnalysis.tokensCol($"text")).cast("long").as("tc"))
+      graft.operators.Sharding
+        .tokenBudgetShards(docs, $"doc_id", "tc", tokenBudget = 20000L, numPartitions = 32)
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"tc").as("n_tok"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"shard_id")
+    }),
+
+    // Rendezvous (highest-random-weight) sharding — stateless shard
+    // assignment that is MINIMALLY DISRUPTIVE under resharding: the query
+    // itself measures the property, assigning every doc under K=8 and
+    // K=9 and counting movers per shard (~1/9 of docs move; hash % K
+    // would move ~8/9). The 100 TB relevance is incremental ingest:
+    // capacity changes must not re-layout the corpus.
+    "q120_rendezvous_shards" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          graft.operators.Sharding.rendezvousCol($"doc_id", 8).as("shard_id"),
+          graft.operators.Sharding.rendezvousCol($"doc_id", 9).as("shard_grown"))
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(($"shard_id" =!= $"shard_grown").cast("long")).as("n_moved"))
+        .orderBy($"shard_id")
+    }),
+
+    // Point-in-time (feature-store) join: each view event reads the
+    // purchase-derived SCD2 version VALID AT its timestamp — the
+    // training-serving-skew correctness question. The engine path is the
+    // as-of join (union + one keyed window, q49's operator): for dims
+    // with open-ended current versions, as-of IS the point-in-time join,
+    // and it never materializes validity intervals (whose unbounded
+    // upper ends would defeat interval bucketing). Events before the
+    // first version read version 0 (no value).
+    "q121_point_in_time" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val ev = t(s, dir, "events")
+      val scd = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
+          floor($"value" * 1000000.0).cast("long").as("v_u"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select($"user_id", $"ts_us", struct($"version", $"v_u").as("ver"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"))
+      graft.operators.AsOfJoin.lastPriorValue(views, scd, "user_id", "ts_us", "ver")
+        .select($"event_id", $"user_id", $"ts_us",
+          coalesce($"asof_ver.version", lit(0L)).as("version"),
+          $"asof_ver.v_u".as("v_u"))
+        .orderBy($"event_id")
+    }),
+
+    // Embedding moment (Gram/covariance) matrix — the input to PCA
+    // whitening and decorrelation diagnostics over a corpus's embedding
+    // space. EXACT integer math end-to-end: components are quantized at
+    // the scan (floor(x·10⁴)), so Σvᵢvⱼ, Σvᵢ and the covariance numerator
+    // n·Sᵢⱼ − Sᵢ·Sⱼ are plain integer sums — any engine, any partitioning,
+    // bit-identical. Shape: the d² explode is inherent to a dense Gram
+    // computation, but the SHUFFLE carries only d(d+1)/2 = 2080 keys
+    // (map-side partial sums do the reduction); the 64×64 result is
+    // driver-sized, ready for an eigen-solve. A BLAS mapPartitions
+    // variant would cut the explode constant, not the plan shape.
+    "q122_gram_matrix" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id",
+          transform($"embedding", x => floor(x.cast("double") * 10000.0).cast("long")).as("e4"))
+        .select($"vec_id", $"e4", posexplode($"e4")).toDF("vec_id", "e4", "i", "vi")
+        .select($"vec_id", $"i", $"vi", posexplode($"e4")).toDF("vec_id", "i", "vi", "j", "vj")
+        .filter($"j" >= $"i")
+        .groupBy($"i".cast("long").as("i"), $"j".cast("long").as("j"))
+        .agg(count(lit(1)).as("n_vecs"), sum($"vi" * $"vj").as("s_ij"),
+          sum($"vi").as("s_i"), sum($"vj").as("s_j"))
+        .select($"i", $"j", $"n_vecs", $"s_ij", $"s_i", $"s_j",
+          ($"n_vecs" * $"s_ij" - $"s_i" * $"s_j").as("cov_num"))
+        .orderBy($"i", $"j")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -3531,6 +3618,32 @@ cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
 j AS (SELECT cl.cluster_id, d.doc_id, d.n_chars FROM cl JOIN documents d USING (doc_id)),
 rk AS (SELECT cluster_id, doc_id, n_chars, row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn, count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
 SELECT cluster_id, n_members::BIGINT AS n_members, doc_id AS survivor_id, n_chars AS survivor_chars FROM rk WHERE rn = 1 AND n_members >= 2 ORDER BY cluster_id""",
+    "q119_token_shards" ->
+      raw"""WITH d AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != ''))::BIGINT AS tc FROM documents),
+c AS (SELECT doc_id, tc, sum(tc) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+SELECT ((cum - tc) // 20000)::BIGINT AS shard_id, count(*)::BIGINT AS n_docs, sum(tc)::BIGINT AS n_tok, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY shard_id ORDER BY shard_id""",
+    "q120_rendezvous_shards" ->
+      """WITH a AS (SELECT doc_id,
+  (-(list_max(list_transform(range(0, 8), s -> {'h': ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT, 'neg_sid': -s}))).neg_sid)::BIGINT AS shard_id,
+  (-(list_max(list_transform(range(0, 9), s -> {'h': ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR), 1, 15))::BIGINT, 'neg_sid': -s}))).neg_sid)::BIGINT AS shard_grown
+FROM documents)
+SELECT shard_id, count(*)::BIGINT AS n_docs, sum(CASE WHEN shard_id <> shard_grown THEN 1 ELSE 0 END)::BIGINT AS n_moved
+FROM a GROUP BY shard_id ORDER BY shard_id""",
+    "q121_point_in_time" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS vf, floor(value * 1000000.0)::BIGINT AS v_u,
+                  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT AS version,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS vt
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view')
+SELECT v.event_id, v.user_id, v.ts_us, coalesce(p.version, 0)::BIGINT AS version, p.v_u AS v_u
+FROM v LEFT JOIN p ON p.user_id = v.user_id AND v.ts_us >= p.vf AND (p.vt IS NULL OR v.ts_us < p.vt)
+ORDER BY v.event_id""",
+    "q122_gram_matrix" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 10000.0)::BIGINT) AS e4 FROM embeddings),
+x AS (SELECT vec_id, i, e4[i+1] AS vi, j, e4[j+1] AS vj FROM e, (SELECT unnest(range(0,64)) AS i), (SELECT unnest(range(0,64)) AS j) WHERE j >= i)
+SELECT i::BIGINT AS i, j::BIGINT AS j, count(*)::BIGINT AS n_vecs, sum(vi*vj)::BIGINT AS s_ij, sum(vi)::BIGINT AS s_i, sum(vj)::BIGINT AS s_j, (count(*) * sum(vi*vj) - sum(vi)*sum(vj))::BIGINT AS cov_num
+FROM x GROUP BY i, j ORDER BY i, j""",
     "q51_app_log" ->
       """SELECT component, log_status, n_entries, n_runs FROM (
   SELECT 'pipeline1' AS component, 'Info' AS log_status, 2*count(DISTINCT source) AS n_entries, 1::BIGINT AS n_runs FROM documents

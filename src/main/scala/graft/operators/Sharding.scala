@@ -37,10 +37,11 @@ object Sharding {
       df: DataFrame, ord: Column, tcCol: String, tokenBudget: Long,
       numPartitions: Int): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
+    // integer `div`, not `/`: Column./ is DOUBLE division and a 100 TB
+    // corpus's cumulative token count exceeds 2^53
     Batching.globalRunningSum(df, Seq(ord), tcCol, numPartitions,
         outPos = "__pos", outCum = "__cum")
-      .withColumn("shard_id",
-        ((col("__cum") - col(tcCol)) / tokenBudget).cast("long"))
+      .withColumn("shard_id", expr(s"(__cum - $tcCol) div $tokenBudget"))
       .drop("__pos", "__cum")
   }
 

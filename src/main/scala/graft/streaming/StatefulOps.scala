@@ -287,6 +287,33 @@ object StatefulOps {
       }
   }
 
+  final case class TopKSnapshot(key: String, n_items: Long, top: Seq[(Long, Long)])
+
+  /** Streaming twin of the bounded-heap top-k (q103): per-group state IS
+    * [[graft.operators.TopKAgg]]'s sorted ≤ k-pair buffer, updated by the
+    * SAME reduce the batch aggregator runs. The buffer is a commutative
+    * monoid under the k-way merge, so after any micro-batch split and any
+    * arrival order the running snapshot equals the batch top-k of
+    * everything seen so far. State is O(k) per group — bounded regardless
+    * of stream length (the streaming form of "the shuffle never carries
+    * the corpus").
+    */
+  def runningTopK(
+      pairs: Dataset[(String, Long, Long)], k: Int): Dataset[TopKSnapshot] = {
+    import pairs.sparkSession.implicits._
+    val agg = new graft.operators.TopKAgg(k)
+    pairs
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, List[(Long, Long)])]) =>
+          var (n, buf) = state.getOption.getOrElse((0L, agg.zero))
+          it.foreach { case (_, v, id) => n += 1; buf = agg.reduce(buf, (v, id)) }
+          state.update((n, buf))
+          TopKSnapshot(key, n, buf)
+      }
+  }
+
   /** One buffered event: (epoch ms, tie-break id, value). */
   final case class SessionizeState(nextSeq: Long, buffer: Seq[(Long, Long, Double)])
   final case class SessionSummary(

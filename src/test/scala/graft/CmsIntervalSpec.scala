@@ -168,6 +168,38 @@ class CmsIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming top-k buffer equals the batch top-k after every random split and shuffle") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(42L)
+    val rows = (0 until 200).map(i => ("g" + (i % 3), rnd.nextLong(40L), i.toLong))
+    val agg = new graft.operators.TopKAgg(5)
+    def batchTop(key: String): List[(Long, Long)] =
+      rows.filter(_._1 == key).foldLeft(agg.zero) { case (b, (_, v, id)) =>
+        agg.reduce(b, (v, id)) }
+    (0 until 3).foreach { round =>
+      val shuffled = rnd.shuffle(rows)
+      val cut = 1 + rnd.nextInt(rows.length - 1)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long)]
+      val q = graft.streaming.StatefulOps.runningTopK(
+          input.toDF().as[(String, Long, Long)], k = 5)
+        .writeStream.format("memory").queryName(s"topk_run_$round")
+        .outputMode("update").start()
+      try {
+        input.addData(shuffled.take(cut): _*); q.processAllAvailable()
+        input.addData(shuffled.drop(cut): _*); q.processAllAvailable()
+        val last = spark.table(s"topk_run_$round")
+          .orderBy(col("n_items").desc).dropDuplicates("key").collect()
+        last.foreach { r =>
+          val key = r.getString(0)
+          val got = r.getSeq[org.apache.spark.sql.Row](2)
+            .map(t => (t.getLong(0), t.getLong(1))).toList
+          assert(got == batchTop(key), s"round=$round key=$key")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("RangeJoinRewrite: a BETWEEN theta-join plans bucketed with identical results; gated off by default") {
     import spark.implicits._
     val points = (0 until 300).map(i => (i.toLong, (i * 37 % 5000).toLong)).toDF("pid", "pt")

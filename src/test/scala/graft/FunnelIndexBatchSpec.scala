@@ -113,6 +113,51 @@ class FunnelIndexBatchSpec extends AnyFunSuite {
       (3L, Some(100L), None, None)))
   }
 
+  test("token-budget shards equal the sequential running-sum reference, windowless") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val rows = (0 until 400).map(i => (i.toLong, (rnd.nextInt(50) + 1).toLong))
+    val out = graft.operators.Sharding.tokenBudgetShards(
+      rows.toDF("doc_id", "tc"), col("doc_id"), "tc", tokenBudget = 500L, numPartitions = 5)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    var cum = 0L
+    val want = rows.map { case (id, tc) =>
+      val shard = cum / 500L; cum += tc; (id, shard)
+    }.toMap
+    assert(got == want)
+    // shards are contiguous doc ranges
+    val ranges = rows.map { case (id, _) => (want(id), id) }.groupBy(_._1)
+      .view.mapValues(v => (v.map(_._2).min, v.map(_._2).max)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, (_, hi)), (_, (lo, _))) => assert(lo == hi + 1)
+      case _ => ()
+    }
+  }
+
+  test("rendezvous sharding: balanced-ish, and growing K moves only ~1/(K+1) of keys, all TO the new shard") {
+    import spark.implicits._
+    val n = 2000
+    val df = (0 until n).map(_.toLong).toDF("id")
+      .select(col("id"),
+        graft.operators.Sharding.rendezvousCol(col("id"), 8).as("s8"),
+        graft.operators.Sharding.rendezvousCol(col("id"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // scan-side twin: same hash, same argmax
+    def ref(id: Long, k: Int): Long =
+      (0 until k).map(s => (graft.functions.HashFunctions.stableHash64(s"$id:$s"), -s))
+        .max match { case (_, negS) => -negS.toLong }
+    df.foreach { case (id, s8, s9) =>
+      assert(s8 == ref(id, 8) && s9 == ref(id, 9), s"id=$id")
+    }
+    // minimal disruption: every mover moved to the NEW shard (8), nobody
+    // reshuffled among the old ones
+    val movers = df.filter { case (_, s8, s9) => s8 != s9 }
+    assert(movers.forall(_._3 == 8L))
+    val frac = movers.length.toDouble / n
+    assert(frac > 0.05 && frac < 0.18, s"moved fraction $frac, expected ~1/9")
+  }
+
   test("containment is asymmetric: a quoted fragment scores ~1 against its host, Jaccard stays low") {
     import spark.implicits._
     val frag = "the quick brown fox jumps over the lazy dog again and again"
