@@ -2380,9 +2380,9 @@ object SparkEntry {
       cand.join(docs.select($"doc_id".as("id_a"), $"text".as("text_a")), Seq("id_a"))
         .join(docs.select($"doc_id".as("id_b"), $"text".as("text_b")), Seq("id_b"))
         .select($"id_a", $"id_b",
-          fq4(graft.operators.Dedup.containmentHof($"text_a", $"text_b", 5)).as("cont_ab4"),
-          fq4(graft.operators.Dedup.containmentHof($"text_b", $"text_a", 5)).as("cont_ba4"),
-          fq4(graft.operators.Dedup.jaccardHof($"text_a", $"text_b", 5)).as("jac4"))
+          fq4(graft.operators.Dedup.containment($"text_a", $"text_b", 5)).as("cont_ab4"),
+          fq4(graft.operators.Dedup.containment($"text_b", $"text_a", 5)).as("cont_ba4"),
+          fq4(graft.operators.Dedup.jaccard($"text_a", $"text_b", 5)).as("jac4"))
         .filter(greatest($"cont_ab4", $"cont_ba4") >= 0.8)
         .orderBy($"id_a", $"id_b")
     }),

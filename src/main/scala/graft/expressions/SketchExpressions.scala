@@ -298,6 +298,47 @@ case class ShingleJaccard(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "shingle_jaccard"
 }
 
+/** Broder CONTAINMENT C(left, right) = |S_left ∩ S_right| / |S_left| over
+  * the same distinct n-gram shingle sets as [[ShingleJaccard]] — the
+  * asymmetric near-superset measure (quote/inclusion detection). One
+  * compiled pass per pair; same shingle semantics (codepoint n-grams,
+  * whole-string fallback under length n) so the two measures are always
+  * computed over identical sets.
+  */
+case class ShingleContainment(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def shingleSet(s: String): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    val cps = s.codePoints().toArray
+    if (cps.length < n) out.add(s)
+    else {
+      var i = 0
+      while (i <= cps.length - n) { out.add(new String(cps, i, n)); i += 1 }
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = shingleSet(a.asInstanceOf[UTF8String].toString)
+    val sb = shingleSet(b.asInstanceOf[UTF8String].toString)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / sa.size
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleContainment =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "shingle_containment"
+}
+
 /** Language-ID + quality score in ONE compiled loop per row, returning
   * `struct<lang_pred: string, quality: double>` — value-identical to the
   * HOF formulation in `TextAnalysis.languageIdFromTokens` /

@@ -32,6 +32,8 @@ object SqlFunctions {
     "simhash32" -> (es => SimHash32(es(0))),
     "shingle_jaccard" -> (es => ShingleJaccard(es(0), es(1),
       intArg("shingle_jaccard", "n", es(2)))),
+    "shingle_containment" -> (es => ShingleContainment(es(0), es(1),
+      intArg("shingle_containment", "n", es(2)))),
     "sig_jaccard" -> (es => ArrayAgreeRatio(es(0), es(1))),
     "lang_quality" -> (es => LangQuality(es(0),
       graft.operators.TextAnalysis.Markers.toSeq.map { case (l, ws) => (l, ws) })),

@@ -214,8 +214,18 @@ object Dedup {
     * quoted whole inside a long one scores containment ~1 while its
     * Jaccard stays low (the union is dominated by the long side). This is
     * the Broder containment measure quote/inclusion detectors run on
-    * LSH candidates; like [[jaccardHof]] it is a per-pair verifier — run
-    * it on candidate pairs, never all-pairs.
+    * LSH candidates; like [[jaccard]] it is a per-pair verifier — run
+    * it on candidate pairs, never all-pairs. ONE compiled pass per pair
+    * (native [[ShingleContainment]]).
+    */
+  def containment(textA: Column, textB: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.toColumn(org.apache.spark.sql.graft.expressions.ShingleContainment(
+      Bridge.toExpr(textA), Bridge.toExpr(textB), n))
+  }
+
+  /** The HOF formulation of [[containment]] — the independent cross-check
+    * the native expression is spec-pinned against.
     */
   def containmentHof(textA: Column, textB: Column, n: Int): Column = {
     val sa = array_distinct(shinglesCol(textA, n))

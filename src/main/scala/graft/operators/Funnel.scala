@@ -30,6 +30,10 @@ object Funnel {
       events: DataFrame, entityCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "firstCompletion: empty step list")
+    // output/helper columns must not silently clobber caller columns
+    (Seq("__ts") ++ steps.indices.map(i => s"ts_${i + 1}")).foreach { c =>
+      require(!events.columns.contains(c), s"input already carries a `$c` column")
+    }
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(entityCol))
       .agg(min(col(tsCol)).as("ts_1"))

@@ -39,6 +39,11 @@ object PaddedBatching {
   def batches(
       df: DataFrame, idCol: String, tcCol: String, batchSize: Int,
       numPartitions: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    // output columns must not silently clobber caller columns
+    Seq("cap", "rank_in_bucket", "batch_id").foreach { c =>
+      require(!df.columns.contains(c), s"input already carries a `$c` column")
+    }
     val capped = df.withColumn("cap", bucketCap(col(tcCol)))
     // one range shuffle for the whole layout: global rank on (cap, id) …
     val ranked = Batching.globalRowNumber(

@@ -37,6 +37,8 @@ object Sharding {
       df: DataFrame, ord: Column, tcCol: String, tokenBudget: Long,
       numPartitions: Int): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
+    require(!df.columns.contains("shard_id"),
+      "input already carries a `shard_id` column")
     // integer `div`, not `/`: Column./ is DOUBLE division and a 100 TB
     // corpus's cumulative token count exceeds 2^53
     Batching.globalRunningSum(df, Seq(ord), tcCol, numPartitions,

@@ -314,6 +314,57 @@ object StatefulOps {
       }
   }
 
+  final case class FunnelSnapshot(key: Long, n_events: Long, ts: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.Funnel.firstCompletion]]: per
+    * entity the state buffers each funnel step's event timestamps (sorted),
+    * and every snapshot recomputes the strict first-completion chain from
+    * the buffers — so after any micro-batch split and ANY arrival order
+    * (late events included) the snapshot equals the batch funnel over
+    * everything seen so far. `ts(k) == -1` marks "stage k+1 not reached".
+    *
+    * Input rows are (entity, stepIndex, ts) — the caller maps event types
+    * to step indices and filters to the funnel's steps, so state size is
+    * O(entity's funnel-step events), the same buffered-reorder contract as
+    * [[sessionizeUpdate]] (an unbuffered funnel state machine CANNOT be
+    * correct under out-of-order arrival: a late-arriving earlier signup
+    * re-chains every later stage). `pruneCompleted` trades that guarantee
+    * for bounded life: once an entity's chain completes, its state is
+    * dropped and the completed snapshot is final — late improvements to a
+    * COMPLETED funnel are ignored, and later events for that entity
+    * accumulate into a FRESH funnel (consumers keep the first completed
+    * snapshot). The production default for monotone-enough streams; leave
+    * false for exact parity.
+    */
+  def runningFunnel(
+      events: Dataset[(Long, Int, Long)], numSteps: Int,
+      pruneCompleted: Boolean = false): Dataset[FunnelSnapshot] = {
+    import events.sparkSession.implicits._
+    require(numSteps > 0, "numSteps must be positive")
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Int, Long)],
+         state: GroupState[Seq[Seq[Long]]]) =>
+          var buf = state.getOption
+            .getOrElse(Seq.fill(numSteps)(Seq.empty[Long])).map(_.toVector).toVector
+          it.foreach { case (_, step, ts) =>
+            if (step >= 0 && step < numSteps)
+              buf = buf.updated(step, (buf(step) :+ ts).sorted)
+          }
+          // strict first-completion chain over the buffered timestamps
+          val out = Array.fill[Long](numSteps)(-1L)
+          var prev = Long.MinValue
+          var k = 0
+          while (k < numSteps &&
+              { val c = if (k == 0) buf(0).headOption else buf(k).find(_ > prev)
+                c.foreach { t => out(k) = t; prev = t }; c.isDefined })
+            k += 1
+          if (pruneCompleted && out(numSteps - 1) != -1L) state.remove()
+          else state.update(buf.map(_.toSeq))
+          FunnelSnapshot(key, buf.map(_.size.toLong).sum, out.toSeq)
+      }
+  }
+
   /** One buffered event: (epoch ms, tie-break id, value). */
   final case class SessionizeState(nextSeq: Long, buffer: Seq[(Long, Long, Double)])
   final case class SessionSummary(

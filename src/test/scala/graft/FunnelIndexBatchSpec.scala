@@ -158,6 +158,47 @@ class FunnelIndexBatchSpec extends AnyFunSuite {
     assert(frac > 0.05 && frac < 0.18, s"moved fraction $frac, expected ~1/9")
   }
 
+  test("streaming funnel equals the batch funnel after every random split and arrival order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(23L)
+    val steps = Seq("signup", "view", "purchase")
+    // random event soup over 6 entities, incl. entities missing steps
+    val events = (0 until 120).map { i =>
+      (rnd.nextLong(6L), steps(rnd.nextInt(3)), rnd.nextLong(1000L) + 1)
+    }
+    val batch = graft.operators.Funnel.firstCompletion(
+        events.toDF("user_id", "event_type", "ts_us"),
+        "user_id", "event_type", "ts_us", steps)
+      .collect().map { r =>
+        (r.getLong(0), (1 to 3).map(i =>
+          if (r.isNullAt(i)) -1L else r.getLong(i)).toSeq)
+      }.toMap
+    val indexed = events.map { case (u, tpe, ts) => (u, steps.indexOf(tpe), ts) }
+    (0 until 3).foreach { round =>
+      val shuffled = rnd.shuffle(indexed)
+      val cut = 1 + rnd.nextInt(indexed.length - 1)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, Long)]
+      val q = graft.streaming.StatefulOps.runningFunnel(
+          input.toDF().as[(Long, Int, Long)], numSteps = 3)
+        .writeStream.format("memory").queryName(s"funnel_run_$round")
+        .outputMode("update").start()
+      try {
+        input.addData(shuffled.take(cut): _*); q.processAllAvailable()
+        input.addData(shuffled.drop(cut): _*); q.processAllAvailable()
+        val last = spark.table(s"funnel_run_$round")
+          .orderBy(col("n_events").desc).dropDuplicates("key").collect()
+        last.foreach { r =>
+          val key = r.getLong(0)
+          val got = r.getSeq[Long](2).toSeq
+          // batch emits only entities that reached stage 1
+          batch.get(key).foreach(want => assert(got == want, s"round=$round key=$key"))
+          if (!batch.contains(key)) assert(got.head == -1L)
+        }
+      } finally q.stop()
+    }
+  }
+
   test("containment is asymmetric: a quoted fragment scores ~1 against its host, Jaccard stays low") {
     import spark.implicits._
     val frag = "the quick brown fox jumps over the lazy dog again and again"

@@ -347,6 +347,12 @@ class SparkOpsSpec extends AnyFunSuite {
         graft.operators.Dedup.jaccardHof($"ta", $"tb", 4).as("hof"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
     both.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
+    // same pin for the asymmetric containment twin (same shingle sets)
+    val cont = df.select(
+        graft.operators.Dedup.containment($"ta", $"tb", 4).as("native"),
+        graft.operators.Dedup.containmentHof($"ta", $"tb", 4).as("hof"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    cont.foreach { case (n, h) => assert(n == h, s"containment native $n != hof $h") }
   }
 
   test("resolveClusters: min-label propagation finds connected-component keepers") {
@@ -542,6 +548,7 @@ class SparkOpsSpec extends AnyFunSuite {
         |  minhash_sig(ta, 4, 3) AS mh,
         |  simhash32(ta) AS sh,
         |  shingle_jaccard(ta, tb, 3) AS jac,
+        |  shingle_containment(ta, tb, 3) AS cont,
         |  sig_jaccard(minhash_sig(ta, 4, 3), minhash_sig(tb, 4, 3)) AS sjac,
         |  lang_quality(ta).lang_pred AS lp,
         |  lang_quality(ta).quality AS lqual,
@@ -556,6 +563,7 @@ class SparkOpsSpec extends AnyFunSuite {
         Bridge.toColumn(MinHashSig(Bridge.toExpr($"ta"), 4, 3)).as("mh"),
         Bridge.toColumn(SimHash32(Bridge.toExpr($"ta"))).as("sh"),
         graft.operators.Dedup.jaccard($"ta", $"tb", 3).as("jac"),
+        graft.operators.Dedup.containment($"ta", $"tb", 3).as("cont"),
         graft.operators.Dedup.sigJaccard(
           Bridge.toColumn(MinHashSig(Bridge.toExpr($"ta"), 4, 3)),
           Bridge.toColumn(MinHashSig(Bridge.toExpr($"tb"), 4, 3))).as("sjac"),
