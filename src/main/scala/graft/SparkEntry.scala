@@ -2369,7 +2369,12 @@ object SparkEntry {
     // near-superset measure (quote/inclusion detection): C(A,B) ≈ 1 with
     // low Jaccard means A is swallowed by B. Candidates come from the same
     // banded (band, hash) equi-join as q39 — the exact verifier only ever
-    // runs on bucketed pairs, never all-pairs.
+    // runs on bucketed pairs, never all-pairs. Verifier shape: all three
+    // measures in ONE compiled pass per pair (ShinglePairScores — separate
+    // expressions rebuild the shingle sets per measure, 6 builds instead
+    // of 2), behind an explicit-N repartition: the candidate relation is
+    // bytes-tiny so AQE coalesces it onto a few cores, exactly the
+    // compute-bound-projection trap q90 documents (28.8 → ~2 s at sf0.1).
     "q115_containment" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
@@ -2377,12 +2382,20 @@ object SparkEntry {
         .minhashSig(docs, "text", numHashes = 8, shingle = 4)
         .select($"doc_id", $"minhash")
       val cand = graft.operators.Dedup.lshCandidates(sigs, "doc_id", bands = 4, rowsPerBand = 2)
-      cand.join(docs.select($"doc_id".as("id_a"), $"text".as("text_a")), Seq("id_a"))
+      // the scored relation is checkpointed BEFORE field extraction:
+      // project-collapse + filter pushdown would otherwise re-inline the
+      // scorer into every GetStructField AND the filter predicate — up to
+      // 5 evaluations per pair of the expensive expression
+      val scored = cand
+        .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a")), Seq("id_a"))
         .join(docs.select($"doc_id".as("id_b"), $"text".as("text_b")), Seq("id_b"))
+        .repartition(32, $"id_a", $"id_b")
         .select($"id_a", $"id_b",
-          fq4(graft.operators.Dedup.containment($"text_a", $"text_b", 5)).as("cont_ab4"),
-          fq4(graft.operators.Dedup.containment($"text_b", $"text_a", 5)).as("cont_ba4"),
-          fq4(graft.operators.Dedup.jaccard($"text_a", $"text_b", 5)).as("jac4"))
+          graft.operators.Dedup.pairScores($"text_a", $"text_b", 5).as("sc"))
+        .localCheckpoint(false)
+      scored.select($"id_a", $"id_b",
+          fq4($"sc.cont_ab").as("cont_ab4"), fq4($"sc.cont_ba").as("cont_ba4"),
+          fq4($"sc.jac").as("jac4"))
         .filter(greatest($"cont_ab4", $"cont_ba4") >= 0.8)
         .orderBy($"id_a", $"id_b")
     }),
@@ -2526,6 +2539,28 @@ object SparkEntry {
         .select($"i", $"j", $"n_vecs", $"s_ij", $"s_i", $"s_j",
           ($"n_vecs" * $"s_ij" - $"s_i" * $"s_j").as("cov_num"))
         .orderBy($"i", $"j")
+    }),
+
+    // Corpus integrity manifest — the checksum layer a 100 TB corpus
+    // ships with: per source, an order-independent content signature
+    // (XOR of per-doc hashes — associative + commutative, so partials
+    // from any partitioning/shard merge exactly; the id is hashed WITH
+    // the text so renumbered-but-identical content changes the
+    // signature). Verifying a replica or yesterday's snapshot is a
+    // manifest diff, never a corpus re-read. XOR's self-cancellation on
+    // duplicate rows is harmless here: (doc_id, text) is id-unique.
+    // One scan, one tiny agg.
+    "q123_corpus_manifest" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"source", $"doc_id", $"n_chars",
+          graft.functions.HashFunctions.stableHash64(
+            concat_ws(":", $"doc_id", $"text")).as("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("content_sig"),
+          sum($"n_chars").as("sum_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy($"source")
     }),
 
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
@@ -3644,6 +3679,11 @@ ORDER BY v.event_id""",
 x AS (SELECT vec_id, i, e4[i+1] AS vi, j, e4[j+1] AS vj FROM e, (SELECT unnest(range(0,64)) AS i), (SELECT unnest(range(0,64)) AS j) WHERE j >= i)
 SELECT i::BIGINT AS i, j::BIGINT AS j, count(*)::BIGINT AS n_vecs, sum(vi*vj)::BIGINT AS s_ij, sum(vi)::BIGINT AS s_i, sum(vj)::BIGINT AS s_j, (count(*) * sum(vi*vj) - sum(vi)*sum(vj))::BIGINT AS cov_num
 FROM x GROUP BY i, j ORDER BY i, j""",
+    "q123_corpus_manifest" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
+       sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY source ORDER BY source""",
     "q51_app_log" ->
       """SELECT component, log_status, n_entries, n_runs FROM (
   SELECT 'pipeline1' AS component, 'Info' AS log_status, 2*count(DISTINCT source) AS n_entries, 1::BIGINT AS n_runs FROM documents

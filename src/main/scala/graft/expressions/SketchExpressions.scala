@@ -339,6 +339,54 @@ case class ShingleContainment(left: Expression, right: Expression, n: Int)
   override def prettyName: String = "shingle_containment"
 }
 
+/** Both containments AND Jaccard of one pair in ONE pass:
+  * `struct<cont_ab, cont_ba, jac>`. Evaluating the three measures as
+  * separate expressions builds the two shingle sets three times each and
+  * walks the intersection three times; on a candidate-pair verifier
+  * (hundreds of thousands of pairs per corpus) that constant is the
+  * difference between a 2 s and a 29 s stage (q115 at sf0.1). Values are
+  * bit-identical to [[ShingleContainment]]/[[ShingleJaccard]] — same
+  * sets, same |∩|, same divisions (spec-pinned).
+  */
+case class ShinglePairScores(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cont_ab", DoubleType, nullable = false),
+    StructField("cont_ba", DoubleType, nullable = false),
+    StructField("jac", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  private def shingleSet(s: String): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    val cps = s.codePoints().toArray
+    if (cps.length < n) out.add(s)
+    else {
+      var i = 0
+      while (i <= cps.length - n) { out.add(new String(cps, i, n)); i += 1 }
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = shingleSet(a.asInstanceOf[UTF8String].toString)
+    val sb = shingleSet(b.asInstanceOf[UTF8String].toString)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    org.apache.spark.sql.catalyst.InternalRow(
+      inter.toDouble / sa.size, inter.toDouble / sb.size, inter.toDouble / union)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShinglePairScores =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "shingle_pair_scores"
+}
+
 /** Language-ID + quality score in ONE compiled loop per row, returning
   * `struct<lang_pred: string, quality: double>` — value-identical to the
   * HOF formulation in `TextAnalysis.languageIdFromTokens` /

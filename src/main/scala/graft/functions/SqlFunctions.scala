@@ -34,6 +34,8 @@ object SqlFunctions {
       intArg("shingle_jaccard", "n", es(2)))),
     "shingle_containment" -> (es => ShingleContainment(es(0), es(1),
       intArg("shingle_containment", "n", es(2)))),
+    "shingle_pair_scores" -> (es => ShinglePairScores(es(0), es(1),
+      intArg("shingle_pair_scores", "n", es(2)))),
     "sig_jaccard" -> (es => ArrayAgreeRatio(es(0), es(1))),
     "lang_quality" -> (es => LangQuality(es(0),
       graft.operators.TextAnalysis.Markers.toSeq.map { case (l, ws) => (l, ws) })),

@@ -224,6 +224,17 @@ object Dedup {
       Bridge.toExpr(textA), Bridge.toExpr(textB), n))
   }
 
+  /** Both containments and Jaccard of a pair in ONE compiled pass —
+    * `struct<cont_ab, cont_ba, jac>` (native [[ShinglePairScores]]). Use
+    * this on candidate-pair verifiers that need more than one measure:
+    * separate expressions rebuild the shingle sets per measure.
+    */
+  def pairScores(textA: Column, textB: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.toColumn(org.apache.spark.sql.graft.expressions.ShinglePairScores(
+      Bridge.toExpr(textA), Bridge.toExpr(textB), n))
+  }
+
   /** The HOF formulation of [[containment]] — the independent cross-check
     * the native expression is spec-pinned against.
     */

@@ -36,12 +36,28 @@ object IntervalJoin {
   def joinPointsToIntervals(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bucketSize: Long): DataFrame = {
+      bucketSize: Long): DataFrame =
+    joinPointsToIntervals(points, ptCol, intervals, loCol, hiCol, bucketSize, Nil)
+
+  /** As above, with additional equi-join `keyCols` (present on BOTH
+    * inputs): the per-key point-in-interval join — "this user's events
+    * against this user's validity windows". The keys simply join the
+    * bucket key, so the shuffle co-partitions on (keys, bucket) and a hot
+    * key's buckets still spread across partitions.
+    */
+  def joinPointsToIntervals(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketSize: Long, keyCols: Seq[String]): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
     // internal helper column: collision-proof, never visible in the output
     val bkt = "__graft_bkt"
     require(!points.columns.contains(bkt) && !intervals.columns.contains(bkt),
       s"inputs must not already carry a `$bkt` column")
+    keyCols.foreach { k =>
+      require(points.columns.contains(k) && intervals.columns.contains(k),
+        s"key column `$k` must exist on both inputs")
+    }
     // integer `div`, not `/`: Column./ is DOUBLE division and epoch-scale
     // longs past 2^53 would silently lose low bits
     val iv = intervals.withColumn(bkt,
@@ -49,7 +65,7 @@ object IntervalJoin {
         sequence(expr(s"$loCol div $bucketSize"),
           expr(s"($hiCol - 1) div $bucketSize")))))
     points.withColumn(bkt, expr(s"$ptCol div $bucketSize"))
-      .join(iv, bkt)
+      .join(iv, bkt +: keyCols)
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop(bkt)
   }

@@ -32,6 +32,7 @@ object TextAnalysis {
     * and the explode happens at the caller only if it wants rows.
     */
   def slidingWindowsCol(tokens: Column, win: Int, stride: Int): Column = {
+    require(win > 0 && stride > 0, "win and stride must be positive")
     val n = size(tokens)
     val starts = when(n < win, array(lit(1)))
       .otherwise(sequence(lit(1), n - win + 1, lit(stride)))

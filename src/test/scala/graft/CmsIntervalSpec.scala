@@ -200,6 +200,28 @@ class CmsIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed interval join equals the per-key nested-loop reference; keys ride the bucket shuffle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val points = (0 until 400).map(i =>
+      (i.toLong, rnd.nextLong(5L), rnd.nextLong(2000L) - 1000L)).toDF("pid", "k", "pt")
+    val ivs = (0 until 120).map { i =>
+      val lo = rnd.nextLong(2000L) - 1000L
+      (i.toLong, rnd.nextLong(5L), lo, lo + rnd.nextLong(300L))
+    }.toDF("iid", "k", "lo", "hi")
+    val got = graft.operators.IntervalJoin.joinPointsToIntervals(
+        points, "pt", ivs, "lo", "hi", bucketSize = 128L, keyCols = Seq("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ptRows = points.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ivRows = ivs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = (for {
+      (pid, pk, pt) <- ptRows
+      (iid, ik, lo, hi) <- ivRows
+      if pk == ik && pt >= lo && pt < hi
+    } yield (pid, iid)).toSet
+    assert(got == want)
+  }
+
   test("RangeJoinRewrite: a BETWEEN theta-join plans bucketed with identical results; gated off by default") {
     import spark.implicits._
     val points = (0 until 300).map(i => (i.toLong, (i * 37 % 5000).toLong)).toDF("pid", "pt")

@@ -37,6 +37,10 @@ class FunnelIndexBatchSpec extends AnyFunSuite {
     val p0 = post.filter(col("doc_id") === 2L).orderBy(col("pos"))
       .collect().map(r => (r.getInt(1), r.getString(2))).toSeq
     assert(p0 == Seq((1, "a"), (2, "b")))
+    // the chain is equi-joins on (doc, pos) — never a nested loop
+    val plan = graft.query.InvertedIndex.phraseMatches(post, Seq("a", "b", "a"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
   test("padded batches equal the sequential bucket-sort-chunk reference, with no Window") {

@@ -353,6 +353,18 @@ class SparkOpsSpec extends AnyFunSuite {
         graft.operators.Dedup.containmentHof($"ta", $"tb", 4).as("hof"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
     cont.foreach { case (n, h) => assert(n == h, s"containment native $n != hof $h") }
+    // the one-pass pair scorer is bit-identical to the three singles
+    val fused = df.select(
+        graft.operators.Dedup.pairScores($"ta", $"tb", 4).as("sc"),
+        graft.operators.Dedup.containment($"ta", $"tb", 4).as("c_ab"),
+        graft.operators.Dedup.containment($"tb", $"ta", 4).as("c_ba"),
+        graft.operators.Dedup.jaccard($"ta", $"tb", 4).as("j"))
+      .collect()
+    fused.foreach { r =>
+      val sc = r.getStruct(0)
+      assert(sc.getDouble(0) == r.getDouble(1) && sc.getDouble(1) == r.getDouble(2) &&
+        sc.getDouble(2) == r.getDouble(3), s"pairScores mismatch: $r")
+    }
   }
 
   test("resolveClusters: min-label propagation finds connected-component keepers") {
@@ -549,6 +561,7 @@ class SparkOpsSpec extends AnyFunSuite {
         |  simhash32(ta) AS sh,
         |  shingle_jaccard(ta, tb, 3) AS jac,
         |  shingle_containment(ta, tb, 3) AS cont,
+        |  shingle_pair_scores(ta, tb, 3) AS psc,
         |  sig_jaccard(minhash_sig(ta, 4, 3), minhash_sig(tb, 4, 3)) AS sjac,
         |  lang_quality(ta).lang_pred AS lp,
         |  lang_quality(ta).quality AS lqual,
@@ -564,6 +577,7 @@ class SparkOpsSpec extends AnyFunSuite {
         Bridge.toColumn(SimHash32(Bridge.toExpr($"ta"))).as("sh"),
         graft.operators.Dedup.jaccard($"ta", $"tb", 3).as("jac"),
         graft.operators.Dedup.containment($"ta", $"tb", 3).as("cont"),
+        graft.operators.Dedup.pairScores($"ta", $"tb", 3).as("psc"),
         graft.operators.Dedup.sigJaccard(
           Bridge.toColumn(MinHashSig(Bridge.toExpr($"ta"), 4, 3)),
           Bridge.toColumn(MinHashSig(Bridge.toExpr($"tb"), 4, 3))).as("sjac"),
