@@ -27,7 +27,7 @@ object Plans {
     "q107_bigram_lm", "q108_dup_pagerank", "q110_bpe_encode",
     "q113_phrase_search", "q114_padded_batches", "q115_containment",
     "q117_funnel", "q118_dedup_survivors", "q119_token_shards",
-    "q121_point_in_time")
+    "q121_point_in_time", "q124_keyed_interval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2541,6 +2541,33 @@ object SparkEntry {
         .orderBy($"i", $"j")
     }),
 
+    // The keyed interval join at query level — q121's point-in-time
+    // question restricted to CLOSED validity windows, run through the
+    // bucketed per-key interval join instead of the as-of operator: each
+    // view event equi-joins on (user, time-bucket) against the exploded
+    // closed purchase windows, exact range refine after. The contrast
+    // with q121 is deliberate: bounded windows bucket cleanly (this
+    // path), open-ended current versions do not (as-of path) — together
+    // they cover the dimension-join spectrum.
+    "q124_keyed_interval" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val ev = t(s, dir, "events")
+      val closed = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("vt", lead($"ts_us", 1).over(w))
+        .filter($"vt".isNotNull)
+        .select($"user_id", $"ts_us".as("vf"), $"vt", $"version")
+      val views = ev.filter($"event_type" === "view")
+        .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"))
+      graft.operators.IntervalJoin.joinPointsToIntervals(
+          views, "ts_us", closed, "vf", "vt",
+          bucketSize = 86400000000L, keyCols = Seq("user_id"))
+        .select($"event_id", $"user_id", $"ts_us", $"version")
+        .orderBy($"event_id")
+    }),
+
     // Corpus integrity manifest — the checksum layer a 100 TB corpus
     // ships with: per source, an order-independent content signature
     // (XOR of per-doc hashes — associative + commutative, so partials
@@ -3684,6 +3711,15 @@ FROM x GROUP BY i, j ORDER BY i, j""",
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
        sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY source ORDER BY source""",
+    "q124_keyed_interval" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS vf,
+                  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT AS version,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS vt
+           FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'view')
+SELECT v.event_id, v.user_id, v.ts_us, p.version
+FROM v JOIN p ON p.user_id = v.user_id AND p.vt IS NOT NULL AND v.ts_us >= p.vf AND v.ts_us < p.vt
+ORDER BY v.event_id""",
     "q51_app_log" ->
       """SELECT component, log_status, n_entries, n_runs FROM (
   SELECT 'pipeline1' AS component, 'Info' AS log_status, 2*count(DISTINCT source) AS n_entries, 1::BIGINT AS n_runs FROM documents
