@@ -2568,6 +2568,47 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // Gap-filled dense time series — hourly event counts with EVERY hour
+    // present (zero-filled): dashboards and anomaly detectors break on
+    // sparse series where absent != zero. The hour spine is generated
+    // from the corpus min/max (a 2-value broadcast) via sequence+explode
+    // — no calendar table, no driver loop — and the left join fills gaps.
+    // µs domain throughout (q49/q65 policy).
+    "q125_dense_timeseries" -> ((s, dir) => {
+      import s.implicits._
+      val hourUs = 3600000000L
+      val ev = t(s, dir, "events")
+        .select(expr(s"(ts div 1000) div $hourUs").as("hour_idx"),
+          $"event_type", $"event_id")
+      val counts = ev.filter($"event_type" === "error")
+        .groupBy($"hour_idx").agg(count(lit(1)).as("n_errors"))
+      val spine = ev.agg(min($"hour_idx").as("lo"), max($"hour_idx").as("hi"))
+        .select(explode(sequence($"lo", $"hi")).as("hour_idx"))
+      spine.join(counts, Seq("hour_idx"), "left")
+        .select($"hour_idx", coalesce($"n_errors", lit(0L)).as("n_errors"))
+        .orderBy($"hour_idx")
+    }),
+
+    // Cohort retention matrix — the product-analytics complement of the
+    // funnel: users grouped by first-activity day (cohort), each later
+    // active day bucketed into days-since-cohort; cell = distinct active
+    // users. Two aggregates + one broadcast-able join on the per-user
+    // cohort relation — no window over the event stream.
+    "q126_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val dayUs = 86400000000L
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr(s"(ts div 1000) div $dayUs").as("day_idx"))
+      val cohorts = ev.groupBy($"user_id").agg(min($"day_idx").as("cohort_day"))
+      ev.join(cohorts, Seq("user_id"))
+        .select($"user_id", $"cohort_day", ($"day_idx" - $"cohort_day").as("age_days"))
+        .distinct()
+        .groupBy($"cohort_day", $"age_days")
+        .agg(count(lit(1)).as("n_active"))
+        .filter($"age_days" <= 7)
+        .orderBy($"cohort_day", $"age_days")
+    }),
+
     // Corpus integrity manifest — the checksum layer a 100 TB corpus
     // ships with: per source, an order-independent content signature
     // (XOR of per-doc hashes — associative + commutative, so partials
@@ -3711,6 +3752,18 @@ FROM x GROUP BY i, j ORDER BY i, j""",
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
        sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY source ORDER BY source""",
+    "q125_dense_timeseries" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events),
+c AS (SELECT hour_idx, count(*)::BIGINT AS n_errors FROM ev WHERE event_type = 'error' GROUP BY hour_idx),
+spine AS (SELECT unnest(range((SELECT min(hour_idx) FROM ev), (SELECT max(hour_idx) FROM ev) + 1)) AS hour_idx)
+SELECT s.hour_idx, coalesce(c.n_errors, 0)::BIGINT AS n_errors
+FROM spine s LEFT JOIN c USING (hour_idx) ORDER BY s.hour_idx""",
+    "q126_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events),
+coh AS (SELECT user_id, min(day_idx) AS cohort_day FROM ev GROUP BY user_id),
+act AS (SELECT DISTINCT ev.user_id, cohort_day, day_idx - cohort_day AS age_days FROM ev JOIN coh USING (user_id))
+SELECT cohort_day, age_days, count(*)::BIGINT AS n_active
+FROM act WHERE age_days <= 7 GROUP BY cohort_day, age_days ORDER BY cohort_day, age_days""",
     "q124_keyed_interval" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS vf,
                   row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)::BIGINT AS version,
