@@ -2609,6 +2609,79 @@ object SparkEntry {
         .orderBy($"cohort_day", $"age_days")
     }),
 
+    // Log-histogram percentiles — the mergeable-quantile answer for
+    // latency-style metrics: values quantize to integer centi-units at
+    // the scan, bucket = binary length (power-of-two histogram, ≤ 2×
+    // relative error), and a percentile is the first bucket whose
+    // cumulative count crosses ceil(q·n) — ALL integer arithmetic, so
+    // any engine/partitioning reproduces it, and the histogram (unlike a
+    // sorted-sample percentile) merges across shards by adding counts.
+    // The corpus shuffle carries (type, bucket) partial counts only; the
+    // cumulative walk runs on the bucket-ladder-sized relation.
+    "q127_log_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val hist = t(s, dir, "events")
+        .select($"event_type",
+          length(bin(greatest(floor($"value" * 100.0).cast("long"), lit(0L)))).as("bucket"))
+        .groupBy($"event_type", $"bucket").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"event_type").orderBy($"bucket")
+      val cum = hist.withColumn("cum", sum($"c").over(w))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+      def pct(q: Int) = min(when($"cum" >= expr(s"(n * $q + 99) div 100"),
+        expr("shiftleft(cast(1 as bigint), bucket - 1)"))).as(s"p${q}_lb100")
+      cum.groupBy($"event_type")
+        .agg(first($"n").as("n_events"), pct(50), pct(90), pct(99))
+        .orderBy($"event_type")
+    }),
+
+    // Sketch algebra for overlap estimation — the join-size question a
+    // planner asks ("how many distinct tokens do these two sources
+    // share?") answered WITHOUT touching the data twice: per-source HLL
+    // registers (one corpus pass) combine by element-wise max into the
+    // union sketch, and inclusion–exclusion gives the intersection
+    // estimate — est(A) + est(B) − est(A∪B) — computed in floor-quantized
+    // integer 1e-4 units so the combination is exact cross-engine. The
+    // exact intersection rides along as the accuracy reference.
+    "q128_sketch_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val p = 6
+      val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val hll = udaf(new graft.operators.HllAgg(p),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
+      val tok = t(s, dir, "documents").filter($"source".isin(srcs: _*))
+        .select($"source",
+          explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      val regs = tok
+        .select($"source", $"w",
+          graft.functions.HashFunctions.stableHash64(concat(lit("hll:"), $"w")).as("h"))
+        .withColumn("bkt", graft.operators.HllSketch.bucketCol($"h", p))
+        .withColumn("rnk", graft.operators.HllSketch.rankExpr("h", p))
+        .groupBy($"source").agg(hll($"bkt", $"rnk").as("regs"))
+        .localCheckpoint(false) // source-count-sized; feeds both join sides
+      val vocab = tok.select($"source", $"w").distinct().localCheckpoint(false)
+      val exact = vocab.toDF("src_a", "w")
+        .join(vocab.toDF("src_b", "w"), Seq("w"))
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter_exact"))
+      def e4(c: Column) = floor(c * 10000.0).cast("long")
+      regs.toDF("src_a", "regs_a").crossJoin(regs.toDF("src_b", "regs_b"))
+        .filter($"src_a" < $"src_b")
+        .select($"src_a", $"src_b",
+          e4(graft.operators.HllSketch.estimateExpr("regs_a", p)).as("ea"),
+          e4(graft.operators.HllSketch.estimateExpr("regs_b", p)).as("eb"),
+          zip_with($"regs_a", $"regs_b", (x, y) => greatest(x, y)).as("regs_u"))
+        .select($"src_a", $"src_b", $"ea", $"eb",
+          e4(graft.operators.HllSketch.estimateExpr("regs_u", p)).as("eu"))
+        .select($"src_a", $"src_b",
+          ($"ea" / 10000.0).as("est_a4"), ($"eb" / 10000.0).as("est_b4"),
+          ($"eu" / 10000.0).as("est_u4"),
+          (greatest($"ea" + $"eb" - $"eu", lit(0L)) / 10000.0).as("est_i4"))
+        .join(exact, Seq("src_a", "src_b"), "left")
+        .select($"src_a", $"src_b", coalesce($"n_inter_exact", lit(0L)).as("n_inter_exact"),
+          $"est_a4", $"est_b4", $"est_u4", $"est_i4")
+        .orderBy($"src_a", $"src_b")
+    }),
+
     // Corpus integrity manifest — the checksum layer a 100 TB corpus
     // ships with: per source, an order-independent content signature
     // (XOR of per-doc hashes — associative + commutative, so partials
@@ -3752,6 +3825,35 @@ FROM x GROUP BY i, j ORDER BY i, j""",
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
        sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY source ORDER BY source""",
+    "q127_log_histogram" ->
+      """WITH h AS (SELECT event_type, length(bin(greatest(floor(value * 100.0)::BIGINT, 0))) AS bucket, count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+cum AS (SELECT event_type, bucket, c, sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum, sum(c) OVER (PARTITION BY event_type) AS n FROM h)
+SELECT event_type, min(n)::BIGINT AS n_events,
+       min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN (1::BIGINT << (bucket - 1)) END)::BIGINT AS p50_lb100,
+       min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN (1::BIGINT << (bucket - 1)) END)::BIGINT AS p90_lb100,
+       min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN (1::BIGINT << (bucket - 1)) END)::BIGINT AS p99_lb100
+FROM cum GROUP BY event_type ORDER BY event_type""",
+    "q128_sketch_overlap" ->
+      raw"""WITH tok AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents WHERE source IN ('src0','src1','src2','src3','src4')),
+hashed AS (SELECT source, ('0x' || substr(md5('hll:' || w), 1, 15))::BIGINT AS h FROM (SELECT DISTINCT source, w FROM tok)),
+br AS (SELECT source, h % 64 AS bkt, least(bit_count(((h >> 6) & -(h >> 6)) - 1), 47) + 1 AS rnk FROM hashed),
+grid AS (SELECT source, i AS bkt FROM (SELECT DISTINCT source FROM tok) CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+regs AS (SELECT g.source, g.bkt, coalesce(max(rnk), 0) AS m FROM grid g LEFT JOIN br ON g.source = br.source AND g.bkt = br.bkt GROUP BY g.source, g.bkt),
+est1 AS (SELECT source, sum(1::BIGINT << (48 - m))::BIGINT AS s, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros FROM regs GROUP BY source),
+esta AS (SELECT source, floor((CASE WHEN (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) <= 160.0::DOUBLE AND zeros > 0 THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros::DOUBLE) ELSE (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) END) * 10000.0)::BIGINT AS e4 FROM est1),
+upair AS (SELECT a.source AS src_a, b.source AS src_b, ra.bkt, greatest(ra.m, rb.m) AS m
+          FROM (SELECT DISTINCT source FROM tok) a JOIN (SELECT DISTINCT source FROM tok) b ON a.source < b.source
+          JOIN regs ra ON ra.source = a.source JOIN regs rb ON rb.source = b.source AND rb.bkt = ra.bkt),
+uest1 AS (SELECT src_a, src_b, sum(1::BIGINT << (48 - m))::BIGINT AS s, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros FROM upair GROUP BY src_a, src_b),
+uest AS (SELECT src_a, src_b, floor((CASE WHEN (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) <= 160.0::DOUBLE AND zeros > 0 THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros::DOUBLE) ELSE (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) END) * 10000.0)::BIGINT AS eu FROM uest1),
+vocab AS (SELECT DISTINCT source, w FROM tok),
+exact AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_inter_exact FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2)
+SELECT u.src_a, u.src_b, coalesce(x.n_inter_exact, 0)::BIGINT AS n_inter_exact,
+       ea.e4::DOUBLE / 10000.0 AS est_a4, eb.e4::DOUBLE / 10000.0 AS est_b4, u.eu::DOUBLE / 10000.0 AS est_u4,
+       greatest(ea.e4 + eb.e4 - u.eu, 0)::DOUBLE / 10000.0 AS est_i4
+FROM uest u JOIN esta ea ON ea.source = u.src_a JOIN esta eb ON eb.source = u.src_b
+LEFT JOIN exact x ON x.src_a = u.src_a AND x.src_b = u.src_b
+ORDER BY u.src_a, u.src_b""",
     "q125_dense_timeseries" ->
       """WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events),
 c AS (SELECT hour_idx, count(*)::BIGINT AS n_errors FROM ev WHERE event_type = 'error' GROUP BY hour_idx),
