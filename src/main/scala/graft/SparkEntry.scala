@@ -2682,6 +2682,60 @@ object SparkEntry {
         .orderBy($"src_a", $"src_b")
     }),
 
+    // Join-skew diagnostic — the report that decides salting/broadcast
+    // BEFORE a 100 TB join melts an executor: per key column, the top
+    // heavy-hitter keys (TopKAgg — map-side ≤ k pairs per partition, the
+    // shuffle never carries per-key rows) with each hitter's share of the
+    // total in exact 1e-4 integer units, flagged when a single key
+    // exceeds 1/32 of the relation (one task's fair share at 32-way
+    // parallelism — precisely when an unsalted shuffle join hotspots).
+    "q129_skew_report" -> ((s, dir) => {
+      import s.implicits._
+      val topk = udaf(new graft.operators.TopKAgg(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+      val ev = t(s, dir, "events")
+      val total = ev.count() // driver-side scalar: one count, reused as a literal
+      val counts = ev.groupBy($"user_id").agg(count(lit(1)).as("c"))
+      counts.agg(topk($"c", $"user_id").as("top"))
+        .select(posexplode($"top"))
+        .select(($"pos" + 1).cast("long").as("rank"),
+          $"col._2".as("user_id"), $"col._1".as("n_rows"),
+          expr(s"(col._1 * 10000) div $total").as("share4u"),
+          ($"col._1" * 32 > total).cast("int").as("hot_at_32"))
+        .orderBy($"rank")
+    }),
+
+    // Manifest mergeability — q123's claim proven at the query level
+    // (q112's rollup contract, applied to the integrity layer): manifests
+    // of two disjoint corpus halves combine purely by partial-state
+    // algebra — counts and char-sums ADD, XOR signatures XOR, id bounds
+    // min/max — and the merged manifest must equal the whole-corpus
+    // manifest bit-for-bit (the oracle computes it directly, never seeing
+    // the halves). This is what lets a replica check absorb a delta
+    // shipment without re-hashing the corpus.
+    "q130_manifest_merge" -> ((s, dir) => {
+      import s.implicits._
+      def half(pred: org.apache.spark.sql.Column) =
+        t(s, dir, "documents").filter(pred)
+          .select($"source", $"doc_id", $"n_chars",
+            graft.functions.HashFunctions.stableHash64(
+              concat_ws(":", $"doc_id", $"text")).as("h"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("sig"),
+            sum($"n_chars").as("sc"), min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      val a = half($"doc_id" % 2 === 0).toDF("source", "n_a", "sig_a", "sc_a", "lo_a", "hi_a")
+      val b = half($"doc_id" % 2 === 1).toDF("source", "n_b", "sig_b", "sc_b", "lo_b", "hi_b")
+      a.join(b, Seq("source"), "full")
+        .select($"source",
+          (coalesce($"n_a", lit(0L)) + coalesce($"n_b", lit(0L))).as("n_docs"),
+          // XOR identity is 0, so absent halves contribute nothing
+          (coalesce($"sig_a", lit(0L)).bitwiseXOR(coalesce($"sig_b", lit(0L)))).as("content_sig"),
+          (coalesce($"sc_a", lit(0L)) + coalesce($"sc_b", lit(0L))).as("sum_chars"),
+          least(coalesce($"lo_a", $"lo_b"), coalesce($"lo_b", $"lo_a")).as("min_id"),
+          greatest(coalesce($"hi_a", $"hi_b"), coalesce($"hi_b", $"hi_a")).as("max_id"))
+        .orderBy($"source")
+    }),
+
     // Corpus integrity manifest — the checksum layer a 100 TB corpus
     // ships with: per source, an order-independent content signature
     // (XOR of per-doc hashes — associative + commutative, so partials
@@ -3821,6 +3875,20 @@ x AS (SELECT vec_id, i, e4[i+1] AS vi, j, e4[j+1] AS vj FROM e, (SELECT unnest(r
 SELECT i::BIGINT AS i, j::BIGINT AS j, count(*)::BIGINT AS n_vecs, sum(vi*vj)::BIGINT AS s_ij, sum(vi)::BIGINT AS s_i, sum(vj)::BIGINT AS s_j, (count(*) * sum(vi*vj) - sum(vi)*sum(vj))::BIGINT AS cov_num
 FROM x GROUP BY i, j ORDER BY i, j""",
     "q123_corpus_manifest" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+       bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
+       sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY source ORDER BY source""",
+    "q129_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS c FROM events GROUP BY user_id),
+t AS (SELECT count(*)::BIGINT AS total FROM events),
+r AS (SELECT user_id, c, row_number() OVER (ORDER BY c DESC, user_id) AS rank FROM c)
+SELECT rank::BIGINT AS rank, user_id, c AS n_rows, (c * 10000) // total AS share4u,
+       (CASE WHEN c * 32 > total THEN 1 ELSE 0 END)::INT AS hot_at_32
+FROM r, t WHERE rank <= 5 ORDER BY rank""",
+    // q130 merges half-corpus manifests; the contract is equality with the
+    // DIRECT whole-corpus manifest — so the oracle is exactly q123's query
+    "q130_manifest_merge" ->
       """SELECT source, count(*)::BIGINT AS n_docs,
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
        sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
