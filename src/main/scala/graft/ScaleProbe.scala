@@ -72,39 +72,31 @@ object ScaleProbe {
         scaled, "doc_id", "text",
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
     }
+    // the SHIPPED pipeline: auto staging must pick parquet-CTAS here (the
+    // 10× corpus is far above spark.graft.sqlDedup.autoTableBytes) — the
+    // probe asserts the choice so a threshold regression can't silently
+    // put the degrading cache variant back on the 100 TB path
     val q56 = timed("q56_sql_dedup_10x") {
       scaled.createOrReplaceTempView("v_documents")
       SparkEntry.sqlDedupPipeline(spark)
     }
-    // the cache-staged run is over; drop its band relation so the next two
-    // probes measure their own memory footprint, not q56's leftover cache
+    val overAutoBar = scaled.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(spark.conf.get("spark.graft.sqlDedup.autoTableBytes", (4L << 20).toString).toLong)
+    require(spark.catalog.tableExists("sql_bands_stage") == overAutoBar,
+      s"auto staging picked ${if (overAutoBar) "cache" else "parquet-CTAS"} " +
+        s"on the ${if (overAutoBar) "over" else "under"}-threshold probe corpus")
     SparkEntry.releaseStaging(spark)
-    // the staging variant COVERAGE.md recommends for 100 TB SQL deployments:
-    // stage the band relation into a COLUMNAR parquet table (CTAS) instead
-    // of the in-memory cache, so the self-join probes compressed columnar
-    // scans; statements stay plain SQL (band SQL mirrors sqlDedupPipeline)
-    val q56t = timed("q56_sql_dedup_tablestage_10x") {
-      graft.functions.VectorFunctions.register(spark)
+    // the losing variant, kept for the measured contrast: force the
+    // in-memory cache staging the shipped query uses at interactive scale
+    val q56c = timed("q56_sql_dedup_cachestage_10x") {
+      spark.conf.set("spark.graft.sqlDedup.staging", "cache")
       scaled.createOrReplaceTempView("v_documents")
-      spark.sql("DROP TABLE IF EXISTS sql_bands_tbl")
-      spark.sql(
-        """CREATE TABLE sql_bands_tbl USING parquet AS
-          |SELECT doc_id, mh, b,
-          |       cast(conv(substring(md5(concat_ws(',',
-          |         transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
-          |FROM (SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents) sig
-          |LATERAL VIEW explode(sequence(0, 3)) t AS b""".stripMargin)
-      spark.sql(
-        """WITH ver AS (
-          |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-          |         round(sig_jaccard(a.mh, c.mh), 4) AS est_jac
-          |  FROM sql_bands_tbl a JOIN sql_bands_tbl c
-          |    ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
-          |)
-          |SELECT DISTINCT id_a, id_b, est_jac FROM ver
-          |WHERE est_jac >= 0.5
-          |ORDER BY id_a, id_b""".stripMargin)
+      SparkEntry.sqlDedupPipeline(spark)
     }
+    spark.conf.unset("spark.graft.sqlDedup.staging")
+    // drop the cache probe's band relation so the next probes measure
+    // their own memory footprint, not q56's leftover cache
+    SparkEntry.releaseStaging(spark)
 
     val q57 = timed("q57_dedup_midrange_10x") {
       // q57's shape on each copy's first 200 docs (2000 docs of windows)
@@ -212,7 +204,67 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tok"))
     }
 
-    val qs = Seq(q39, q56, q56t, q57, q68s, q78s, q85s, q108s, q113s, q119s)
+    // q115's shape: containment scoring over the 10× LSH candidates. The
+    // candidate set is signature-driven, and clone signatures equal their
+    // base's, so the output closure is EXACT: every 1× passing pair appears
+    // copies² times and every doc contributes C(copies,2) clone pairs
+    // (identical text ⇒ all scores 1.0 ⇒ passes the 0.8 gate). The 1×
+    // passing count is measured untimed and the closure REQUIRED below.
+    def containmentPass(docs: org.apache.spark.sql.DataFrame) = {
+      val sigs = graft.operators.Dedup
+        .minhashSig(docs, "text", numHashes = 8, shingle = 4)
+        .select($"doc_id", $"minhash")
+      val cand = graft.operators.Dedup.lshCandidates(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+      val scored = cand
+        .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a")), Seq("id_a"))
+        .join(docs.select($"doc_id".as("id_b"), $"text".as("text_b")), Seq("id_b"))
+        .repartition(32, $"id_a", $"id_b")
+        .select($"id_a", $"id_b",
+          graft.operators.Dedup.pairScores($"text_a", $"text_b", 5).as("sc"))
+        .localCheckpoint(false)
+      def fq4(c: org.apache.spark.sql.Column) = floor(c * 10000.0) / 10000.0
+      scored.select($"id_a", $"id_b",
+          fq4($"sc.cont_ab").as("cont_ab4"), fq4($"sc.cont_ba").as("cont_ba4"),
+          fq4($"sc.jac").as("jac4"))
+        .filter(greatest($"cont_ab4", $"cont_ba4") >= 0.8)
+    }
+    val p115 = containmentPass(base).count() // untimed 1× closure input
+    val q115s = timed("q115_containment_10x") { containmentPass(scaled) }
+    val want115 =
+      copies.toLong * copies * p115 + copies.toLong * (copies - 1) / 2 * (nDocs / copies)
+    require(q115s._3 == want115,
+      s"q115 10x closure: got ${q115s._3}, want $want115")
+
+    // q118's shape: exact-dup cluster resolution + survivor argmax at 10×.
+    // Clusters are minhash-signature equality classes, so the scaled corpus
+    // has EXACTLY one cluster per distinct base signature (each of size
+    // m·copies ≥ 2 — every base doc is clustered with its clones), and the
+    // (max n_chars, min id) survivor policy must always pick an offset-0
+    // copy: clones tie on length, the tiebreak takes the lowest id.
+    val g118 = graft.operators.Dedup.minhashSig(base, "text", 8, 4)
+      .select($"minhash").distinct().count() // untimed: distinct base sigs == clusters
+    val q118df = {
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        scaled, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
+      graft.operators.Dedup.resolveClusters(pairs, scaled.select($"doc_id"))
+        .join(scaled.select($"doc_id", length($"text").as("n_chars")), $"id" === $"doc_id")
+        .groupBy($"keeper_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct($"n_chars".as("nc"), (-$"doc_id").as("nid"))).as("best"))
+        .filter($"n_members" >= 2)
+        .select($"keeper_id".as("cluster_id"), $"n_members",
+          (-$"best.nid").as("survivor_id"), $"best.nc".as("survivor_chars"))
+    }
+    val q118s = timed("q118_dedup_survivors_10x") { q118df }
+    require(q118s._3 == g118, s"q118 10x clusters: got ${q118s._3}, want $g118")
+    // (max n_chars, min id) must always land on an offset-0 copy: clones
+    // tie on length and the tiebreak takes the lowest id (untimed re-read
+    // rides the pipeline's internal checkpoints, not a full recompute)
+    val strays = q118df.filter($"survivor_id" >= offset).count()
+    require(strays == 0L, s"q118 10x: $strays survivors outside copy 0")
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q108s, q113s, q115s, q118s, q119s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

@@ -2705,6 +2705,29 @@ object SparkEntry {
         .orderBy($"rank")
     }),
 
+    // q129's diagnostic WIRED to the remedy (the round-7 gap): the
+    // documents→source-dim join is the pathological shape AQE can't fix —
+    // 20 distinct sources means 20 reducers no matter how many cores — so
+    // autoSaltedJoin probes the key histogram (TopKAgg, k-row collect),
+    // flags every source over 1/32 of the corpus, and routes flagged rows
+    // through the salted two-branch join (small side replicates 8× for hot
+    // keys ONLY). Output is row-identical to the plain join — the oracle
+    // runs the plain SQL join and must hash-match.
+    "q132_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source", $"n_chars")
+      val dim = docs.groupBy($"source").agg(max($"n_chars").as("max_chars"))
+      val total = docs.count() // driver-side scalar: the 1/32 hot bar
+      graft.operators.Salting.autoSaltedJoin(
+          docs, dim, "source", saltSource = $"doc_id", saltFactor = 8,
+          hotKeyThreshold = total / 32)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(($"n_chars" * 10 >= $"max_chars" * 9).cast("long")).as("n_near_max"),
+          min($"max_chars").as("max_chars"))
+        .orderBy($"source")
+    }),
+
     // Manifest mergeability — q123's claim proven at the query level
     // (q112's rollup contract, applied to the integrity layer): manifests
     // of two disjoint corpus halves combine purely by partial-state
@@ -2758,6 +2781,20 @@ object SparkEntry {
         .orderBy($"source")
     }),
 
+    // Span-dedup APPLY (Lee et al. §4): q85 profiles duplicated spans; this
+    // REWRITES the corpus — every k-gram repeat after its corpus-wide first
+    // occurrence cuts its covered positions, runs merge, survivors
+    // reassemble into text_clean. Same single 8-byte-hash shuffle as the
+    // profile (count + corpus rank in one window pass); run-merge BEFORE
+    // position explosion keeps the covered stream O(dropped tokens).
+    "q131_span_dedup_apply" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.SpanDedup.applySpanDedup(
+        t(s, dir, "documents"), "doc_id",
+        graft.operators.TextAnalysis.tokensCol($"text"), k = 5, minCount = 2)
+        .orderBy($"doc_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -2782,34 +2819,74 @@ object SparkEntry {
     * so harnesses (Bench, Verify) call this after each query's write
     * instead; otherwise the band relation rides executor memory into every
     * subsequent query of the pass. */
-  def releaseStaging(s: SparkSession): Unit =
+  def releaseStaging(s: SparkSession): Unit = {
     s.sql("UNCACHE TABLE IF EXISTS v_sql_bands")
+    s.sql("DROP TABLE IF EXISTS sql_bands_stage")
+  }
+
+  /** The band-relation body shared by both staging variants: MinHash
+    * signature at the scan, 4 banded hashes per doc via md5/conv (the same
+    * stableHash64 formula the DataFrame path compiles). */
+  private val sqlBandsBody: String =
+    """SELECT doc_id, mh, b,
+      |       cast(conv(substring(md5(concat_ws(',',
+      |         transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
+      |FROM (SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents) sig
+      |LATERAL VIEW explode(sequence(0, 3)) t AS b""".stripMargin
 
   /** The q56 SQL-text dedup pipeline against an existing `v_documents` temp
     * view — factored out so [[ScaleProbe]] measures exactly the shipped
-    * statements. The band relation is staged through an eagerly-cached temp
-    * view (plain SQL a SQL-only user can type) so the corpus scan + MinHash
-    * pass runs ONCE; the self-join probes the cache from both sides. The
-    * staging view body deliberately uses an inline subquery, not a WITH-CTE:
-    * a CTE gets a fresh id each time the view is expanded, which defeats the
-    * cache manager's canonicalized-plan match and silently recomputes.
+    * statements. The band relation must be staged so the corpus scan +
+    * MinHash pass runs ONCE (Spark inlines WITH-CTEs into every consumer,
+    * so a single-statement form would compute signatures once per self-join
+    * side). Staging is ADAPTIVE, governed by `spark.graft.sqlDedup.staging`:
+    *
+    *  - `cache` — eagerly-cached temp view. Wins interactively at bench
+    *    scale (no disk round-trip), but ScaleProbe measured it LOSING at
+    *    10× (61-72 s vs 34-51 s): the in-memory row cache feeds both join
+    *    sides where the CTAS variant's self-join probes compressed
+    *    columnar parquet scans.
+    *  - `table` — parquet CTAS (`sql_bands_stage`). The 100 TB deployment
+    *    shape: the band relation lands columnar-compressed on storage the
+    *    executors scan independently, nothing pins executor memory across
+    *    the join. Still plain SQL a SQL-only user can type.
+    *  - `auto` (default) — CTAS once the source relation's estimated size
+    *    crosses `spark.graft.sqlDedup.autoTableBytes` (default 4 MiB —
+    *    between the bench corpus where cache measured faster and the 10×
+    *    probe corpus where CTAS did; any production corpus is far above).
+    *
+    * Both variants produce bit-identical output (same band SQL, same
+    * verify statement — only the staging relation differs), so the oracle
+    * is staging-blind. The cache-variant view body deliberately uses an
+    * inline subquery, not a WITH-CTE: a CTE gets a fresh id each time the
+    * view is expanded, which defeats the cache manager's
+    * canonicalized-plan match and silently recomputes.
     */
   def sqlDedupPipeline(s: SparkSession): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    s.sql("UNCACHE TABLE IF EXISTS v_sql_bands") // clean slate per run
+    releaseStaging(s) // clean slate per run
+    val useTable = s.conf.get("spark.graft.sqlDedup.staging", "auto") match {
+      case "table" => true
+      case "cache" => false
+      case _ => // auto: file-stats estimate of the scan feeding the bands
+        val threshold =
+          s.conf.get("spark.graft.sqlDedup.autoTableBytes", (4L << 20).toString).toLong
+        s.table("v_documents").queryExecution.optimizedPlan.stats.sizeInBytes > threshold
+    }
+    val stage =
+      if (useTable) {
+        s.sql(s"CREATE TABLE sql_bands_stage USING parquet AS\n$sqlBandsBody")
+        "sql_bands_stage"
+      } else {
+        s.sql(s"CREATE OR REPLACE TEMP VIEW v_sql_bands AS\n$sqlBandsBody")
+        s.sql("CACHE TABLE v_sql_bands") // eager: ONE corpus scan, ONE minhash pass
+        "v_sql_bands"
+      }
     s.sql(
-      """CREATE OR REPLACE TEMP VIEW v_sql_bands AS
-        |SELECT doc_id, mh, b,
-        |       cast(conv(substring(md5(concat_ws(',',
-        |         transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
-        |FROM (SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents) sig
-        |LATERAL VIEW explode(sequence(0, 3)) t AS b""".stripMargin)
-    s.sql("CACHE TABLE v_sql_bands") // eager: ONE corpus scan, ONE minhash pass
-    s.sql(
-      """WITH ver AS (
+      s"""WITH ver AS (
         |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
         |         round(sig_jaccard(a.mh, c.mh), 4) AS est_jac
-        |  FROM v_sql_bands a JOIN v_sql_bands c
+        |  FROM $stage a JOIN $stage c
         |    ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id
         |)
         |SELECT DISTINCT id_a, id_b, est_jac FROM ver
@@ -3893,6 +3970,49 @@ FROM r, t WHERE rank <= 5 ORDER BY rank""",
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
        sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY source ORDER BY source""",
+    // q132's salting must be output-invisible: the oracle is the PLAIN join
+    "q132_salted_join" ->
+      """WITH dim AS (SELECT source, max(n_chars) AS max_chars FROM documents GROUP BY source)
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN d.n_chars * 10 >= dm.max_chars * 9 THEN 1 ELSE 0 END)::BIGINT AS n_near_max,
+       min(dm.max_chars)::BIGINT AS max_chars
+FROM documents d JOIN dim dm USING (source)
+GROUP BY d.source ORDER BY d.source""",
+    // q131 rewrites with gram TEXT where Spark uses xxhash64 — same
+    // duplication + survivor decisions (2^-64 residual, as q85)
+    "q131_span_dedup_apply" ->
+      raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks WHERE len(w) >= 5)),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY g) AS n_occ
+  FROM grams),
+drops AS (SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn >= 2),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END AS new_run
+  FROM drops),
+runs AS (
+  SELECT doc_id, run_id, min(pos) AS s, max(pos) + 4 AS e
+  FROM (SELECT doc_id, pos, sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM marked)
+  GROUP BY doc_id, run_id),
+covered AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM runs),
+tok AS (SELECT doc_id, idx, w[idx] AS tk
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS idx FROM toks)),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tk
+  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.p
+  WHERE c.p IS NULL)
+SELECT d.doc_id, len(d.w)::BIGINT AS n_tok,
+       coalesce(count(k.idx), 0)::BIGINT AS n_kept,
+       (len(d.w) - coalesce(count(k.idx), 0))::BIGINT AS n_dropped,
+       coalesce(string_agg(k.tk, ' ' ORDER BY k.idx), '') AS text_clean
+FROM toks d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id, len(d.w) ORDER BY d.doc_id""",
     "q127_log_histogram" ->
       """WITH h AS (SELECT event_type, length(bin(greatest(floor(value * 100.0)::BIGINT, 0))) AS bucket, count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
 cum AS (SELECT event_type, bucket, c, sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum, sum(c) OVER (PARTITION BY event_type) AS n FROM h)

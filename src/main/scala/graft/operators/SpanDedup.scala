@@ -95,4 +95,70 @@ object SpanDedup {
         (floor(coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
           greatest(col("n_tok"), lit(1L)) * 10000.0) / 10000.0).as("dup_frac4"))
   }
+
+  /** The APPLY step [[spanProfile]] only reports: rewrite the corpus with
+    * duplicated spans REMOVED, keeping the corpus-wide FIRST occurrence of
+    * each repeated k-gram (Lee et al. §4's "keep one copy" semantics,
+    * first-by-(doc, pos) as the deterministic survivor order). Every later
+    * occurrence marks its k covered positions for deletion; marked
+    * positions merge into maximal runs per document and the surviving
+    * tokens reassemble into `text_clean` (whitespace-joined — the token
+    * stream, not the raw text, is the unit of this operator, exactly as in
+    * the paper's suffix-array cut). A first occurrence can still lose
+    * tokens when ANOTHER gram's repeat overlaps it — inherent to span-cut
+    * semantics and matched by the relational oracle.
+    *
+    * Scale shape: the duplication decision is the same single
+    * (doc, pos, 8-byte-hash) shuffle as [[spanProfile]] — one window pass
+    * over `gh` yields both the occurrence count and the corpus-wide rank,
+    * no join-back, no second gram scan. Dropped windows collapse to runs
+    * BEFORE position explosion, so the covered-position stream is
+    * O(dropped tokens) exactly (never n_windows × k); the rebuild is one
+    * anti-join plus one per-doc sort-aggregate, both partitioned by doc.
+    *
+    * Output: (docCol, n_tok, n_kept, n_dropped, text_clean) for EVERY
+    * input document — short docs (< k tokens) pass through whole, so
+    * `n_kept + n_dropped == n_tok` is a total invariant (spec-checked).
+    */
+  def applySpanDedup(
+      docs: DataFrame, docCol: String, tokens: Column,
+      k: Int = 5, minCount: Int = 2): DataFrame = {
+    val toks = docs.select(col(docCol), tokens.as("w"))
+    val grams = gramPositions(docs, docCol, tokens, k)
+    val byGram = Window.partitionBy(col("gh"))
+    val byGramOrd = byGram.orderBy(col(docCol), col("pos"))
+    // both window functions share the one gh-hash shuffle
+    val drops = grams
+      .withColumn("n_occ", count(lit(1)).over(byGram))
+      .withColumn("rn", row_number().over(byGramOrd))
+      .filter(col("n_occ") >= minCount && col("rn") >= 2)
+      .select(col(docCol), col("pos"))
+    val byDoc = Window.partitionBy(col(docCol)).orderBy(col("pos"))
+    // windows at gap <= k overlap-or-touch: same run (positions contiguous)
+    val runs = drops
+      .withColumn("new_run",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("run_id", sum(col("new_run")).over(byDoc))
+      .groupBy(col(docCol), col("run_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+    val covered = runs.select(col(docCol).as("__cov_doc"),
+      explode(sequence(col("s"), col("e"))).as("p"))
+    val toki = toks
+      .select(col(docCol), posexplode(col("w")))
+      .select(col(docCol), (col("pos") + 1).as("idx"), col("col").as("tk"))
+    val kept = toki.join(covered,
+      col(docCol) === col("__cov_doc") && col("idx") === col("p"), "left_anti")
+    val keptByDoc = kept.groupBy(col(docCol))
+      .agg(count(lit(1)).as("n_kept_raw"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tk")))),
+          s => s.getField("tk")), " ").as("clean_raw"))
+    toks.select(col(docCol), size(col("w")).cast("long").as("n_tok"))
+      .join(keptByDoc, Seq(docCol), "left")
+      .select(col(docCol), col("n_tok"),
+        coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
+        (col("n_tok") - coalesce(col("n_kept_raw"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_raw"), lit("")).as("text_clean"))
+  }
 }

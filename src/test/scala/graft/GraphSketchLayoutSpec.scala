@@ -123,6 +123,35 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("PageRank early-exit: a converged clique stops before the cap; capped runs stay bit-identical with the probe on") {
+    import spark.implicits._
+    // K5 clique: perfect symmetry reaches an exact integer fixed point in
+    // a round or two — the cap of 30 must NOT be run out
+    val clique = (for (a <- 0L until 5L; b <- a + 1 until 5L) yield (a, b))
+    val (cliqueRanks, cliqueIters) = PageRank.ranksIterated(
+      clique.toDF("id_a", "id_b"), "id_a", "id_b", iters = 30)
+    assert(cliqueIters < 30, s"clique ran all $cliqueIters iterations")
+    // at the fixed point every node holds the same rank
+    assert(cliqueRanks.select($"rank_u").distinct().count() == 1)
+    // star graph: center/leaf asymmetry with integer truncation — whether
+    // or not the probe fires before the cap, the output must equal a
+    // sequential FIXED-count loop (the pre-probe semantics) bit-for-bit
+    val star = (1L to 6L).map(l => (0L, l))
+    val sym = star.flatMap(e => Seq(e, e.swap))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var ref = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 0 until 4) {
+      val mass = sym.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ref(s) / deg(s) }.sum).toMap
+      ref = ref.keys.map(n => n -> (150000L + 85L * mass.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val (starRanks, starIters) = PageRank.ranksIterated(
+      star.toDF("id_a", "id_b"), "id_a", "id_b", iters = 4)
+    assert(starIters <= 4)
+    val got = starRanks.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == ref, s"iters=$starIters got=$got ref=$ref")
+  }
+
   test("Morton key equals the bit-twiddling reference; z-layout bounds BOTH dimensions") {
     import spark.implicits._
     def ref(x: Long, y: Long): Long =

@@ -113,6 +113,78 @@ class SpanBpeSpec extends AnyFunSuite {
     assert(got == Seq((0L, 0L, 0L), (1L, 1L, 5L), (2L, 1L, 5L)))
   }
 
+  test("applySpanDedup: keep-first rewrite matches the closed form, and a second pass is a no-op") {
+    import spark.implicits._
+    val boiler = "one two three four five"
+    val docs = Seq(
+      (0L, boiler + " u1 u2 u3 u4 u5"), // corpus-wide FIRST occurrence: kept whole
+      (1L, "v1 v2 v3 " + boiler + " v4 v5"), // repeat at pos 4: loses tokens 4..8
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"), // unique: untouched
+      (3L, boiler + " " + boiler), // repeats at pos 1 and 6 merge: whole doc dropped
+      (4L, "p1 p2 p3 p4 p5 p6 t1 t2"), // first occurrence of the shared 6-span
+      (5L, "h1 h2 p1 p2 p3 p4 p5 p6")).toDF("doc_id", "text") // loses 3..8
+    def run(d: org.apache.spark.sql.DataFrame) = SpanDedup.applySpanDedup(
+        d, "doc_id", TextAnalysis.tokensCol(col("text")), k = 5, minCount = 2)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    val got = run(docs)
+    val want = Seq(
+      (0L, 10L, 10L, 0L, "one two three four five u1 u2 u3 u4 u5"),
+      (1L, 10L, 5L, 5L, "v1 v2 v3 v4 v5"),
+      (2L, 8L, 8L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, 10L, 0L, 10L, ""),
+      (4L, 8L, 8L, 0L, "p1 p2 p3 p4 p5 p6 t1 t2"),
+      (5L, 8L, 2L, 6L, "h1 h2"))
+    assert(got == want)
+    // every duplicated span kept exactly its first copy, so re-applying to
+    // the cleaned corpus must drop nothing (fixpoint after one pass here —
+    // removal created no new cross-doc repeats in this corpus)
+    val again = run(got.map(r => (r._1, r._5)).toDF("doc_id", "text"))
+    assert(again.forall(r => r._4 == 0L), again)
+  }
+
+  test("applySpanDedup matches a plain-Scala keep-first reference on random corpora; survivors + dropped == original tokens") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337L)
+    (0 until 4).foreach { _ =>
+      val k = 2 + rnd.nextInt(3) // 2..4
+      val docs = (0 until 25).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(20))(s"w${rnd.nextInt(6)}").mkString(" "))
+      }
+      val got = SpanDedup.applySpanDedup(
+          docs.toDF("doc_id", "text"), "doc_id",
+          TextAnalysis.tokensCol(col("text")), k = k, minCount = 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toMap
+      // reference: global gram occurrence list ordered by (doc, pos); every
+      // occurrence after the first of a repeated gram covers [pos, pos+k-1]
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val occ = docs.flatMap { case (id, _) =>
+        val w = toks(id)
+        (0 to w.size - k).map(i => (w.slice(i, i + k).mkString(" "), id, i + 1))
+      }
+      val covered: Map[Long, Set[Int]] = occ.groupBy(_._1).values.flatMap { os =>
+        val sorted = os.sortBy(o => (o._2, o._3))
+        if (sorted.size >= 2) sorted.drop(1).flatMap { case (_, id, p) =>
+          (p until p + k).map(id -> _)
+        } else Nil
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      docs.foreach { case (id, _) =>
+        val w = toks(id)
+        val cov = covered.getOrElse(id, Set.empty)
+        val keptToks = w.indices.collect { case i if !cov.contains(i + 1) => w(i) }
+        val (nTok, nKept, nDropped, clean) = got(id)
+        assert(nTok == w.size.toLong)
+        assert(nKept + nDropped == nTok) // total invariant
+        assert(nKept == keptToks.size.toLong, s"doc $id k=$k: $w")
+        assert(clean == keptToks.mkString(" "), s"doc $id k=$k: $w")
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // BPE trainer vs an independent plain-Scala reference
   // ------------------------------------------------------------------

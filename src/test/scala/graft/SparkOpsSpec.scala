@@ -979,6 +979,7 @@ class SparkOpsSpec extends AnyFunSuite {
     val dedup = SparkEntry.queries("q56_sql_dedup")(spark, dir)
     assert(dedup.count() > 0) // identical docs per i%8 group -> pairs exist
     assert(spark.catalog.isCached("v_sql_bands"))
+    assert(!spark.catalog.tableExists("sql_bands_stage")) // auto on a tiny corpus -> cache
     val dedupPlan = dedup.queryExecution.executedPlan.toString
     // Spark 4 prints the cached-view scan as "Scan In-memory table <name>";
     // the InMemoryRelation child it shows is display-only (built once at
@@ -1008,6 +1009,79 @@ class SparkOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(vocabPlan.contains("TakeOrderedAndProject"), vocabPlan)
     assert("HashAggregate".r.findAllIn(vocabPlan).size >= 2, vocabPlan)
+  }
+
+  test("autoSaltedJoin: multiset parity with the plain join on a skewed corpus; only flagged keys replicate") {
+    import spark.implicits._
+    // key 7 holds ~10x every other key: the one key the 1/32 bar flags
+    val big = ((0 until 500).map(i => (7L, i.toLong)) ++
+        (0 until 10).flatMap(k => (0 until 5).map(i => (k.toLong, (1000 + k * 10 + i).toLong))))
+      .toDF("k", "id")
+    val small = (0 until 10).map(k => (k.toLong, s"dim$k")).toDF("k", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // diagnostic flags exactly key 7
+    val h7 = Seq(7L).toDF("k")
+      .select(org.apache.spark.sql.functions.xxhash64($"k")).head().getLong(0)
+    assert(graft.operators.Salting.hotKeyHashes(big, "k", hotKeyThreshold = 100) == Seq(h7))
+    val auto = graft.operators.Salting.autoSaltedJoin(
+      big, small, "k", saltSource = $"id", saltFactor = 4, hotKeyThreshold = 100)
+    assert(rows(auto) == rows(big.join(small, Seq("k"))))
+    // only the hot branch replicates: ONE explode in the whole plan, and a
+    // two-branch union — cold keys flow through the plain join (AQE echoes
+    // the pre-adaptive plan below "== Initial Plan ==": count the final only)
+    val plan = auto.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Generate explode".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("Union"), plan)
+    // nothing flagged -> the operator IS the plain join (no explode at all)
+    val noHot = graft.operators.Salting.autoSaltedJoin(
+      big, small, "k", saltSource = $"id", saltFactor = 4, hotKeyThreshold = 10000)
+    assert(rows(noHot) == rows(big.join(small, Seq("k"))))
+    assert(!noHot.queryExecution.executedPlan.toString.contains("Generate explode"))
+  }
+
+  test("q56 staging is adaptive: forced CTAS and lowered auto threshold both stage through the parquet table, bit-identical to the cache variant") {
+    import spark.implicits._
+    val dir = tmpDir("graft_q56stage")
+    (0 until 40).map(i =>
+        (i.toLong, s"the quick brown fox ${i % 8} jumps over the lazy dog ${i % 8} again and again"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // a previous JVM's CTAS may have left the managed-table directory that a
+    // fresh in-memory catalog can't DROP — clear the location defensively
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, "sql_bands_stage")
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    def run(): Seq[org.apache.spark.sql.Row] =
+      SparkEntry.queries("q56_sql_dedup")(spark, dir).collect().toSeq
+    try {
+      val viaCache = run() // auto on a tiny corpus -> cache staging
+      assert(spark.catalog.isCached("v_sql_bands"))
+      assert(!spark.catalog.tableExists("sql_bands_stage"))
+      assert(viaCache.nonEmpty)
+
+      spark.conf.set("spark.graft.sqlDedup.staging", "table")
+      val viaTable = run()
+      assert(spark.catalog.tableExists("sql_bands_stage"))
+      assert(!spark.catalog.isCached("v_sql_bands")) // cache path not taken
+      assert(viaTable == viaCache) // staging is invisible in the output
+
+      // auto must flip to CTAS once the source crosses the size threshold
+      spark.conf.set("spark.graft.sqlDedup.staging", "auto")
+      spark.conf.set("spark.graft.sqlDedup.autoTableBytes", "1")
+      val viaAuto = run()
+      assert(spark.catalog.tableExists("sql_bands_stage"))
+      assert(viaAuto == viaCache)
+    } finally {
+      spark.conf.unset("spark.graft.sqlDedup.staging")
+      spark.conf.unset("spark.graft.sqlDedup.autoTableBytes")
+      SparkEntry.releaseStaging(spark)
+    }
   }
 
   test("bucketed tables co-locate the join: no Exchange in the plan") {
@@ -1710,6 +1784,76 @@ class SparkOpsSpec extends AnyFunSuite {
         .toSet
       assert(got == want,
         s"stream-only=${(got -- want).toSeq.sorted.take(5)} batch-only=${(want -- got).toSeq.sorted.take(5)}")
+    } finally q.stop()
+  }
+
+  test("streaming SCD2 maintenance equals the batch q94 build for 100 random CDC streams, splits and replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sq = spark.sqlContext
+    // One long-lived query; disjoint user ids per case (NoTimeout state is
+    // per-key, so cases are independent). Arrival order is fully random —
+    // back-dated changes must RENUMBER later versions — and some rows are
+    // REDELIVERED in later batches to exercise the at-least-once dedupe.
+    val rnd = new scala.util.Random(77L)
+    val all = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Long)]
+    val q = graft.streaming.StatefulOps.runningScd2(
+        input.toDS())
+      .writeStream.format("memory").queryName("scd2_prop").outputMode("update").start()
+    try {
+      var eid = 0L
+      for (c <- 0 until 100) {
+        val evs = rnd.shuffle((for {
+          u <- 0 until 3
+          _ <- 0 until (1 + rnd.nextInt(6))
+        } yield {
+          eid += 1
+          ((c * 10 + u).toLong, rnd.nextInt(500).toLong + 1L, eid,
+            rnd.nextInt(1000).toLong)
+        }).toSeq)
+        val cuts = Seq.fill(rnd.nextInt(3))(rnd.nextInt(evs.size + 1)).sorted
+        val bounds = (0 +: cuts :+ evs.size).toVector
+        var delivered = Vector.empty[(Long, Long, Long, Long)]
+        bounds.zip(bounds.tail).foreach { case (a, b) =>
+          // replay up to 2 already-delivered rows alongside the fresh slice
+          val replay = if (delivered.nonEmpty)
+            Seq.fill(rnd.nextInt(3))(delivered(rnd.nextInt(delivered.size)))
+          else Seq.empty
+          val batch = rnd.shuffle(evs.slice(a, b) ++ replay)
+          delivered ++= evs.slice(a, b)
+          if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+        }
+        all ++= evs
+      }
+      // latest snapshot per key (n_events only grows), flattened to rows
+      val got = spark.table("scd2_prop")
+        .orderBy($"n_events".desc).dropDuplicates("user_id")
+        .select($"user_id", explode($"versions").as("v"))
+        .select($"user_id", $"v.version", $"v.v_u",
+          $"v.valid_from_us", $"v.valid_to_us", $"v.is_current")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getInt(5)))
+        .toSet
+      // the batch build is q94's exact window shape over everything sent
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val want = all.toSeq.toDF("user_id", "ts_us", "event_id", "v_u")
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("nxt", lead($"ts_us", 1).over(w))
+        .select($"user_id", $"version", $"v_u",
+          $"ts_us".as("valid_from_us"),
+          coalesce($"nxt", lit(Long.MaxValue)).as("valid_to_us"),
+          $"nxt".isNull.cast("int").as("is_current"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getInt(5)))
+        .toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).toSeq.sortBy(t => (t._1, t._2)).take(5)} " +
+          s"batch-only=${(want -- got).toSeq.sortBy(t => (t._1, t._2)).take(5)}")
     } finally q.stop()
   }
 }
