@@ -2561,9 +2561,13 @@ object SparkEntry {
         .select($"user_id", $"ts_us".as("vf"), $"vt", $"version")
       val views = ev.filter($"event_type" === "view")
         .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"))
+      // bucketSize 0 = AUTO: closed SCD2 windows have data-dependent
+      // lengths, exactly the case where a hand-picked constant drifts from
+      // the corpus — the sampled-median estimate costs one aggregate pass
+      // over the (small) interval side and the output is bucket-invariant
       graft.operators.IntervalJoin.joinPointsToIntervals(
           views, "ts_us", closed, "vf", "vt",
-          bucketSize = 86400000000L, keyCols = Seq("user_id"))
+          bucketSize = 0L, keyCols = Seq("user_id"))
         .select($"event_id", $"user_id", $"ts_us", $"version")
         .orderBy($"event_id")
     }),

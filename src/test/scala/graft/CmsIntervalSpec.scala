@@ -308,6 +308,31 @@ class CmsIntervalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("__graft_bkt"))
   }
 
+  test("auto bucket size: median of valid interval lengths; bucketSize=0 joins identically to any explicit choice") {
+    import spark.implicits._
+    // lengths 10, 20, 30, plus an inverted interval that must not vote
+    val intervals = Seq(
+      (1L, 100L, 110L), (2L, 200L, 220L), (3L, 300L, 330L), (4L, 50L, 40L))
+      .toDF("iid", "lo", "hi")
+    assert(IntervalJoin.estimateBucketSize(intervals, "lo", "hi") == 20L)
+    // no valid interval -> 1 (vacuous: the join is empty anyway)
+    assert(IntervalJoin.estimateBucketSize(
+      Seq((1L, 10L, 10L)).toDF("iid", "lo", "hi"), "lo", "hi") == 1L)
+    // parity on a random zero-straddling corpus: auto == explicit == naive
+    val rnd = new scala.util.Random(42L)
+    val pts = (0 until 300).map(i => (i.toLong, rnd.nextLong() % 500L)).toDF("pid", "pt")
+    val ivs = (0 until 60).map { i =>
+      val lo = rnd.nextLong() % 400L
+      (i.toLong, lo, lo + rnd.nextInt(80) - 10L) // some inverted/empty
+    }.toDF("iid", "lo", "hi")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val auto = rows(IntervalJoin.joinPointsToIntervals(pts, "pt", ivs, "lo", "hi", 0L))
+    assert(auto == rows(IntervalJoin.joinPointsToIntervals(pts, "pt", ivs, "lo", "hi", 7L)))
+    assert(auto == rows(pts.join(ivs, col("pt") >= col("lo") && col("pt") < col("hi"))))
+  }
+
   test("interval join boundary semantics are half-open and the plan has no nested loop") {
     import spark.implicits._
     val points = Seq((0L, 99L), (1L, 100L), (2L, 199L), (3L, 200L)).toDF("pid", "pt")
