@@ -2799,6 +2799,39 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // MMR-diversified retrieval: brute-force top-8 candidates per query,
+    // then greedy λ=0.7 re-rank trades relevance against redundancy —
+    // near-duplicate passages stop crowding the context window a plain
+    // top-k hands to the LLM. Scores integer-quantize at 1e4 (the q30
+    // precision) BEFORE the greedy loop so the pick sequence is exact
+    // integer arithmetic the unrolled-CTE oracle replays; all MMR
+    // relations are (queries × 8)-sized — the corpus is only touched by
+    // the candidate generator.
+    "q133_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val cand = graft.operators.SimilaritySearch.bruteForceTopK(emb, queries, 8)
+        .select($"query_id", $"neighbor_id",
+          floor($"score" * 10000.0).cast("long").as("rel_u"))
+        .localCheckpoint(false) // candidate set feeds pairs AND the loop
+      val vecs = emb.select($"vec_id", $"embedding")
+      val pairs = cand.select($"query_id", $"neighbor_id".as("id_a"))
+        .join(cand.select($"query_id", $"neighbor_id".as("id_b")), Seq("query_id"))
+        .filter($"id_a" =!= $"id_b")
+        .join(vecs.select($"vec_id".as("id_a"), $"embedding".as("va")), Seq("id_a"))
+        .join(vecs.select($"vec_id".as("id_b"), $"embedding".as("vb")), Seq("id_b"))
+        .select($"query_id", $"id_a", $"id_b",
+          floor(graft.functions.VectorFunctions.cosineSim($"va", $"vb") * 10000.0)
+            .cast("long").as("sim_u"))
+      graft.operators.MmrRerank.rerank(
+          cand, "query_id", "neighbor_id", "rel_u",
+          pairs, "id_a", "id_b", "sim_u",
+          k = 3, lambdaNum = 7L, lambdaDen = 10L)
+        .orderBy($"query_id", $"pick_rank")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -3974,6 +4007,40 @@ FROM r, t WHERE rank <= 5 ORDER BY rank""",
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
        sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY source ORDER BY source""",
+    // q133 replays the greedy integer argmax as three unrolled picks —
+    // recursion-free, so each step is plain window+join SQL
+    "q133_mmr_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0,1,2)),
+cand AS (SELECT query_id, neighbor_id, rel_u FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qv) * 10000.0)::BIGINT AS rel_u,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id) AS rn
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 8),
+pair AS (SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+         floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 10000.0)::BIGINT AS sim_u
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+p1 AS (SELECT query_id, neighbor_id, 7 * rel_u AS mmr_u FROM (
+  SELECT query_id, neighbor_id, rel_u, row_number() OVER (PARTITION BY query_id ORDER BY rel_u DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1),
+pen2 AS (SELECT c.query_id, c.neighbor_id, 7 * c.rel_u - 3 * max(p.sim_u) AS mmr_u
+  FROM cand c JOIN p1 s ON c.query_id = s.query_id AND c.neighbor_id <> s.neighbor_id
+  JOIN pair p ON p.query_id = c.query_id AND p.id_a = s.neighbor_id AND p.id_b = c.neighbor_id
+  GROUP BY c.query_id, c.neighbor_id, c.rel_u),
+p2 AS (SELECT query_id, neighbor_id, mmr_u FROM (
+  SELECT query_id, neighbor_id, mmr_u, row_number() OVER (PARTITION BY query_id ORDER BY mmr_u DESC, neighbor_id) AS rn FROM pen2) WHERE rn = 1),
+sel2 AS (SELECT query_id, neighbor_id FROM p1 UNION ALL SELECT query_id, neighbor_id FROM p2),
+pen3 AS (SELECT c.query_id, c.neighbor_id, 7 * c.rel_u - 3 * max(p.sim_u) AS mmr_u
+  FROM cand c JOIN sel2 s ON c.query_id = s.query_id
+  JOIN pair p ON p.query_id = c.query_id AND p.id_a = s.neighbor_id AND p.id_b = c.neighbor_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel2 x WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+  GROUP BY c.query_id, c.neighbor_id, c.rel_u),
+p3 AS (SELECT query_id, neighbor_id, mmr_u FROM (
+  SELECT query_id, neighbor_id, mmr_u, row_number() OVER (PARTITION BY query_id ORDER BY mmr_u DESC, neighbor_id) AS rn FROM pen3) WHERE rn = 1)
+SELECT query_id, 1::BIGINT AS pick_rank, neighbor_id, mmr_u::BIGINT AS mmr_u FROM p1
+UNION ALL SELECT query_id, 2::BIGINT, neighbor_id, mmr_u::BIGINT FROM p2
+UNION ALL SELECT query_id, 3::BIGINT, neighbor_id, mmr_u::BIGINT FROM p3
+ORDER BY query_id, pick_rank""",
     // q132's salting must be output-invisible: the oracle is the PLAIN join
     "q132_salted_join" ->
       """WITH dim AS (SELECT source, max(n_chars) AS max_chars FROM documents GROUP BY source)

@@ -1787,6 +1787,64 @@ class SparkOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("MMR rerank: redundancy loses to diversity, λ=1 degenerates to top-k, and the greedy choice matches a plain-Scala reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one query, three candidates: a(rel 100) and b(rel 99) are clones
+    // (sim 99), c(rel 60) is unrelated (sim 5 to both). Plain top-2 takes
+    // {a, b}; MMR at λ=0.7 takes {a, c}: b scores 7·99−3·99=396, c scores
+    // 7·60−3·5=405 — the redundant near-clone loses to the diverse doc.
+    val cand = Seq((1L, 10L, 100L), (1L, 11L, 99L), (1L, 12L, 60L))
+      .toDF("query_id", "neighbor_id", "rel_u")
+    val ids = Seq(10L, 11L, 12L)
+    def sim(a: Long, b: Long): Long =
+      if (Set(a, b) == Set(10L, 11L)) 99L else 5L
+    val pairs = (for (a <- ids; b <- ids if a != b) yield (1L, a, b, sim(a, b)))
+      .toDF("query_id", "id_a", "id_b", "sim_u")
+    val got = graft.operators.MmrRerank
+      .rerank(cand, "query_id", "neighbor_id", "rel_u",
+        pairs, "id_a", "id_b", "sim_u", k = 2, lambdaNum = 7L, lambdaDen = 10L)
+      .orderBy(col("pick_rank")).collect()
+      .map(r => r.getLong(2)).toSeq
+    assert(got == Seq(10L, 12L)) // diversity beats the clone
+    // λ=1: penalty term vanishes -> plain relevance order {a, b}
+    val pure = graft.operators.MmrRerank
+      .rerank(cand, "query_id", "neighbor_id", "rel_u",
+        pairs, "id_a", "id_b", "sim_u", k = 2, lambdaNum = 1L, lambdaDen = 1L)
+      .orderBy(col("pick_rank")).collect().map(r => r.getLong(2)).toSeq
+    assert(pure == Seq(10L, 11L))
+    // random corpora vs a plain-Scala greedy reference, multiple queries
+    val rnd = new scala.util.Random(7L)
+    val qids = Seq(1L, 2L, 3L)
+    val rc = for (q <- qids; i <- 0 until 6)
+      yield (q, i.toLong, rnd.nextInt(1000).toLong)
+    val rp = for (q <- qids; a <- 0L until 6L; b <- 0L until 6L if a != b)
+      yield {
+        val s = math.min(a, b) * 1000 + math.max(a, b) // symmetric by construction
+        (q, a, b, (graft.functions.HashFunctions.stableHash64(s"$q:$s") % 500L).abs)
+      }
+    val gotR = graft.operators.MmrRerank
+      .rerank(rc.toDF("query_id", "neighbor_id", "rel_u"),
+        "query_id", "neighbor_id", "rel_u",
+        rp.toDF("query_id", "id_a", "id_b", "sim_u"), "id_a", "id_b", "sim_u",
+        k = 4, lambdaNum = 7L, lambdaDen = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val simMap = rp.map(t => ((t._1, t._2, t._3), t._4)).toMap
+    val want = qids.flatMap { q =>
+      val rel = rc.collect { case (`q`, id, r) => id -> r }.toMap
+      var sel = Vector.empty[Long]
+      (1 to 4).map { rank =>
+        val best = rel.keys.filter(!sel.contains(_)).map { id =>
+          val pen = if (sel.isEmpty) 0L else sel.map(s => simMap((q, s, id))).max
+          (7L * rel(id) - 3L * pen, id)
+        }.toSeq.sortBy { case (m, id) => (-m, id) }.head._2
+        sel :+= best
+        (q, rank.toLong, best)
+      }
+    }.toSet
+    assert(gotR == want)
+  }
+
   test("streaming SCD2 maintenance equals the batch q94 build for 100 random CDC streams, splits and replays") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
