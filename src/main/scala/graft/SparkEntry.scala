@@ -2832,6 +2832,38 @@ object SparkEntry {
         .orderBy($"query_id", $"pick_rank")
     }),
 
+    // Zone-map skip estimate: q106 builds the z-order layout, this MEASURES
+    // the payoff — the same rectangle predicate A/B'd against the default
+    // linear-on-x layout, reporting what file-level min/max stats would
+    // prune (Delta/Iceberg data skipping, decided from the manifest alone).
+    // Predicate bounds are derived scalars (corpus min/max eighths) so the
+    // query is scale-free; rows_matched is layout-invariant by construction
+    // — the two rows differ only in skip effectiveness.
+    "q134_zonemap_skip" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id",
+          pmod($"user_id", lit(65536L)).as("x"),
+          pmod(expr("(ts div 1000) div 3600000000"), lit(65536L)).as("y"))
+      val b = ev.agg(min($"x").as("mnx"), max($"x").as("mxx"),
+          min($"y").as("mny"), max($"y").as("mxy"))
+        .select(($"mnx" + expr("(mxx - mnx) div 8")).as("xlo"),
+          ($"mnx" + expr("3 * (mxx - mnx) div 8")).as("xhi"),
+          ($"mny" + expr("(mxy - mny) div 8")).as("ylo"),
+          ($"mny" + expr("3 * (mxy - mny) div 8")).as("yhi"))
+      val lin = graft.operators.ZOrder.linearLayout(ev, "x", files = 32,
+        tieBreak = "event_id")
+      val zo = graft.operators.ZOrder.layout(ev, "x", "y", bits = 16,
+        files = 32, tieBreak = "event_id")
+      graft.operators.ZOrder.skipEstimate(lin, "x", "y", b)
+        .withColumn("layout", lit("linear"))
+        .unionByName(graft.operators.ZOrder.skipEstimate(zo, "x", "y", b)
+          .withColumn("layout", lit("zorder")))
+        .select($"layout", $"n_files", $"n_skipped", $"rows_scanned",
+          $"rows_matched")
+        .orderBy($"layout")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -4007,6 +4039,32 @@ FROM r, t WHERE rank <= 5 ORDER BY rank""",
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
        sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY source ORDER BY source""",
+    // q134 rebuilds both layouts with q106's morton formula and makes the
+    // same manifest-only skip decision per file
+    "q134_zonemap_skip" ->
+      """WITH ev AS (SELECT event_id, user_id % 65536 AS x, (epoch_us(ts) // 3600000000) % 65536 AS y FROM events),
+b AS (SELECT min(x) + (max(x) - min(x)) // 8 AS xlo, min(x) + 3 * (max(x) - min(x)) // 8 AS xhi,
+             min(y) + (max(y) - min(y)) // 8 AS ylo, min(y) + 3 * (max(y) - min(y)) // 8 AS yhi FROM ev),
+lin AS (SELECT x, y, ((rn - 1) * 32) // nt AS file_id FROM (SELECT *, row_number() OVER (ORDER BY x, event_id) AS rn, count(*) OVER () AS nt FROM ev)),
+z AS (SELECT event_id, x, y, (list_sum(list_transform(range(0, 16), i -> CASE WHEN (x >> i) & 1 = 1 THEN (1::BIGINT << (2*i)) ELSE 0::BIGINT END)) + list_sum(list_transform(range(0, 16), i -> CASE WHEN (y >> i) & 1 = 1 THEN (1::BIGINT << (2*i+1)) ELSE 0::BIGINT END)))::BIGINT AS zval FROM ev),
+zo AS (SELECT x, y, ((rn - 1) * 32) // nt AS file_id FROM (SELECT *, row_number() OVER (ORDER BY zval, event_id) AS rn, count(*) OVER () AS nt FROM z)),
+linf AS (SELECT file_id, count(*)::BIGINT AS n, min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi,
+         sum(CASE WHEN x BETWEEN b.xlo AND b.xhi AND y BETWEEN b.ylo AND b.yhi THEN 1 ELSE 0 END)::BIGINT AS n_match
+         FROM lin, b GROUP BY file_id),
+zof AS (SELECT file_id, count(*)::BIGINT AS n, min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi,
+        sum(CASE WHEN x BETWEEN b.xlo AND b.xhi AND y BETWEEN b.ylo AND b.yhi THEN 1 ELSE 0 END)::BIGINT AS n_match
+        FROM zo, b GROUP BY file_id),
+lsum AS (SELECT count(*)::BIGINT AS n_files,
+         sum(CASE WHEN x_hi < b.xlo OR x_lo > b.xhi OR y_hi < b.ylo OR y_lo > b.yhi THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+         sum(CASE WHEN x_hi < b.xlo OR x_lo > b.xhi OR y_hi < b.ylo OR y_lo > b.yhi THEN 0 ELSE n END)::BIGINT AS rows_scanned,
+         sum(n_match)::BIGINT AS rows_matched FROM linf, b),
+zsum AS (SELECT count(*)::BIGINT AS n_files,
+         sum(CASE WHEN x_hi < b.xlo OR x_lo > b.xhi OR y_hi < b.ylo OR y_lo > b.yhi THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+         sum(CASE WHEN x_hi < b.xlo OR x_lo > b.xhi OR y_hi < b.ylo OR y_lo > b.yhi THEN 0 ELSE n END)::BIGINT AS rows_scanned,
+         sum(n_match)::BIGINT AS rows_matched FROM zof, b)
+SELECT 'linear' AS layout, n_files, n_skipped, rows_scanned, rows_matched FROM lsum
+UNION ALL SELECT 'zorder', n_files, n_skipped, rows_scanned, rows_matched FROM zsum
+ORDER BY layout""",
     // q133 replays the greedy integer argmax as three unrolled picks —
     // recursion-free, so each step is plain window+join SQL
     "q133_mmr_rerank" ->

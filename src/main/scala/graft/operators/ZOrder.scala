@@ -43,13 +43,67 @@ object ZOrder {
     * [[SparkEntry]]'s q106 report aggregates.
     */
   def layout(df: DataFrame, xCol: String, yCol: String, bits: Int,
-      files: Int, tieBreak: String): DataFrame = {
-    val withZ = df.withColumn("zval", zKey(col(xCol), col(yCol), bits))
+      files: Int, tieBreak: String): DataFrame =
+    fileAssign(df.withColumn("zval", zKey(col(xCol), col(yCol), bits)),
+      struct(col("zval"), col(tieBreak)), files)
+
+  /** The comparison baseline a layout decision needs: the same equal-count
+    * file split under a plain linear `ORDER BY (orderCol, tieBreak)` — the
+    * default clustering every table starts with. Same range-shuffle rank,
+    * same `file_id` arithmetic, no z-value.
+    */
+  def linearLayout(df: DataFrame, orderCol: String, files: Int,
+      tieBreak: String): DataFrame =
+    fileAssign(df, struct(col(orderCol), col(tieBreak)), files)
+
+  private def fileAssign(df: DataFrame, orderKey: Column, files: Int): DataFrame = {
     val ranked = Batching.globalRowNumber(
-      withZ, struct(col("zval"), col(tieBreak)), numPartitions = 8, out = "__rk")
+      df, orderKey, numPartitions = 8, out = "__rk")
     val n = ranked.agg(max(col("__rk")).as("__n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("file_id", expr(s"((__rk - 1) * $files) div __n"))
       .drop("__rk", "__n")
+  }
+
+  /** Zone-map scan estimate — the READ-side payoff the layout operators
+    * exist for, measured instead of asserted: given a laid-out corpus
+    * (any DataFrame with `file_id`) and a conjunctive rectangle predicate
+    * `xlo <= x <= xhi AND ylo <= y <= yhi` (`bounds` is a 1-row frame with
+    * those four columns — typically derived scalars, attached via the
+    * suite's broadcast scalar-attach shape), compute what a format's
+    * file-level min/max statistics would prune: a file is SKIPPED iff its
+    * [min, max] envelope is disjoint from the predicate in either
+    * dimension — exactly the decision Delta/Iceberg data skipping makes
+    * from the manifest, no row data consulted.
+    *
+    * Returns ONE row: (n_files, n_skipped, rows_scanned, rows_matched).
+    * `rows_scanned` is the I/O actually paid (rows in surviving files);
+    * `rows_matched` the true predicate hits — layout-invariant, so two
+    * layouts' reports differ only in the skip columns, making the report
+    * an A/B harness for layout choices (q134 runs linear vs z-order).
+    * Cost: one groupBy(file_id) aggregate — file-count-sized output —
+    * plus a file-count-sized final fold. Nothing leaves the executors
+    * until the file-stat rollup, which IS the manifest at 100 TB.
+    */
+  def skipEstimate(laid: DataFrame, xCol: String, yCol: String,
+      bounds: DataFrame): DataFrame = {
+    val perFile = laid.crossJoin(broadcast(bounds))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col(xCol)).as("x_lo"), max(col(xCol)).as("x_hi"),
+        min(col(yCol)).as("y_lo"), max(col(yCol)).as("y_hi"),
+        sum(when(col(xCol).between(col("xlo"), col("xhi")) &&
+          col(yCol).between(col("ylo"), col("yhi")), 1L).otherwise(0L))
+          .as("n_match"),
+        first(col("xlo")).as("xlo"), first(col("xhi")).as("xhi"),
+        first(col("ylo")).as("ylo"), first(col("yhi")).as("yhi"))
+      .withColumn("skip",
+        col("x_hi") < col("xlo") || col("x_lo") > col("xhi") ||
+          col("y_hi") < col("ylo") || col("y_lo") > col("yhi"))
+    perFile.agg(
+      count(lit(1)).as("n_files"),
+      sum(when(col("skip"), 1L).otherwise(0L)).as("n_skipped"),
+      sum(when(!col("skip"), col("n")).otherwise(0L)).as("rows_scanned"),
+      sum(col("n_match")).as("rows_matched"))
   }
 }

@@ -152,6 +152,50 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
     assert(got == ref, s"iters=$starIters got=$got ref=$ref")
   }
 
+  test("zone-map skip estimate matches a brute-force reference; z-order prunes a y-only predicate linear layout cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 32x32 uniform grid, 16 files of 64 rows each
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L)
+      yield (x * 32 + y, x, y)).toDF("event_id", "x", "y")
+    val lin = ZOrder.linearLayout(grid, "x", files = 16, tieBreak = "event_id")
+    val zo = ZOrder.layout(grid, "x", "y", bits = 5, files = 16, tieBreak = "event_id")
+    def report(laid: org.apache.spark.sql.DataFrame, bounds: (Long, Long, Long, Long)) = {
+      val b = Seq(bounds).toDF("xlo", "xhi", "ylo", "yhi")
+      ZOrder.skipEstimate(laid, "x", "y", b).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    }
+    // brute-force reference over the collected layout
+    def ref(laid: org.apache.spark.sql.DataFrame, bounds: (Long, Long, Long, Long)) = {
+      val (xlo, xhi, ylo, yhi) = bounds
+      val rows = laid.select(col("file_id"), col("x"), col("y")).collect()
+        .map(r => (r.getLong(r.fieldIndex("file_id")), r.getLong(r.fieldIndex("x")),
+          r.getLong(r.fieldIndex("y"))))
+      val byFile = rows.groupBy(_._1)
+      val skipped = byFile.values.count(f =>
+        f.map(_._2).max < xlo || f.map(_._2).min > xhi ||
+          f.map(_._3).max < ylo || f.map(_._3).min > yhi)
+      val scanned = byFile.values.collect {
+        case f if !(f.map(_._2).max < xlo || f.map(_._2).min > xhi ||
+          f.map(_._3).max < ylo || f.map(_._3).min > yhi) => f.size.toLong
+      }.sum
+      val matched = rows.count(r =>
+        r._2 >= xlo && r._2 <= xhi && r._3 >= ylo && r._3 <= yhi).toLong
+      (byFile.size.toLong, skipped.toLong, scanned, matched)
+    }
+    val rect = (4L, 11L, 4L, 11L)
+    assert(report(lin, rect) == ref(lin, rect))
+    assert(report(zo, rect) == ref(zo, rect))
+    // y-only selectivity: the linear-on-x layout cannot skip a single file
+    // (every x-stripe spans all y); z-order files bound y too and drop half
+    val yOnly = (0L, 31L, 4L, 11L)
+    val (lf, ls, lscan, lm) = report(lin, yOnly)
+    val (zf, zs, zscan, zm) = report(zo, yOnly)
+    assert((lf, ls, lscan) == (16L, 0L, 1024L))
+    assert((zf, zs, zscan) == (16L, 8L, 512L))
+    assert(lm == zm && lm == 32 * 8L) // matches are layout-invariant
+  }
+
   test("Morton key equals the bit-twiddling reference; z-layout bounds BOTH dimensions") {
     import spark.implicits._
     def ref(x: Long, y: Long): Long =
