@@ -2864,6 +2864,21 @@ object SparkEntry {
         .orderBy($"layout")
     }),
 
+    // Range-partition planner closing its own loop (the q129→q132 move,
+    // applied to range layout): boundaries from a deterministic 20% hash
+    // sample of event times, then the balance report a range shuffle with
+    // those cuts would see. Boundary collect is (parts−1) driver values —
+    // the accepted k-row class; corpus assignment is a scan expression.
+    "q135_range_partition" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", expr("ts div 1000").as("v"))
+      val bnds = graft.operators.RangePlanner
+        .boundaries(ev, "v", "event_id", parts = 8, sampleMod = 5)
+        .collect().map(_.getAs[Long]("boundary")).toSeq
+      graft.operators.RangePlanner.balanceReport(ev, "v", bnds)
+        .orderBy($"bucket")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -4039,6 +4054,17 @@ FROM r, t WHERE rank <= 5 ORDER BY rank""",
        bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS content_sig,
        sum(n_chars)::BIGINT AS sum_chars, min(doc_id) AS min_id, max(doc_id) AS max_id
 FROM documents GROUP BY source ORDER BY source""",
+    // q135 replays the sampled-rank boundary derivation and counts
+    // boundaries <= v per row as the bucket id
+    "q135_range_partition" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS v FROM events),
+samp AS (SELECT v, event_id FROM ev WHERE ('0x' || substr(md5('rp:' || event_id::VARCHAR), 1, 15))::BIGINT % 5 = 0),
+rk AS (SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn, count(*) OVER () AS m FROM samp),
+bnd AS (SELECT r.v AS b FROM rk r JOIN (SELECT unnest(range(1, 8)) AS i) s ON r.rn = greatest((s.i * r.m) // 8, 1)),
+asg AS (SELECT e.v, (SELECT count(*) FROM bnd WHERE e.v >= bnd.b)::BIGINT AS bucket FROM ev e),
+tot AS (SELECT count(*)::BIGINT AS t FROM ev)
+SELECT bucket, count(*)::BIGINT AS n_rows, (count(*) * 10000 // t)::BIGINT AS share_bp, min(v) AS v_lo, max(v) AS v_hi
+FROM asg, tot GROUP BY bucket, t ORDER BY bucket""",
     // q134 rebuilds both layouts with q106's morton formula and makes the
     // same manifest-only skip decision per file
     "q134_zonemap_skip" ->

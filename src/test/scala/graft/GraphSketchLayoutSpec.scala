@@ -196,6 +196,36 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
     assert(lm == zm && lm == 32 * 8L) // matches are layout-invariant
   }
 
+  test("range planner: full-sample boundaries are exact rank cuts; sampled plan matches a plain-Scala reference and balances uniform data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = (0L until 1000L).map(i => (i, i)).toDF("k", "v")
+    // sampleMod=1: every row votes, cuts at ranks 250/500/750 -> 249/499/749
+    val full = graft.operators.RangePlanner
+      .boundaries(ev, "v", "k", parts = 4, sampleMod = 1)
+      .orderBy(col("boundary_idx")).collect().map(_.getLong(1)).toSeq
+    assert(full == Seq(249L, 499L, 749L))
+    val rep = graft.operators.RangePlanner.balanceReport(ev, "v", full)
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rep == Seq((0L, 249L, 2490L), (1L, 250L, 2500L),
+      (2L, 250L, 2500L), (3L, 251L, 2510L)))
+    // sampled: boundaries equal a plain-Scala replay of the hash sample
+    val sampled = graft.operators.RangePlanner
+      .boundaries(ev, "v", "k", parts = 4, sampleMod = 5)
+      .orderBy(col("boundary_idx")).collect().map(_.getLong(1)).toSeq
+    val sampVals = (0L until 1000L).filter(k =>
+      math.floorMod(graft.functions.HashFunctions.stableHash64(s"rp:$k"), 5L) == 0L)
+      .sorted
+    val m = sampVals.size
+    val want = (1 to 3).map(i => sampVals(math.max(1, i * m / 4) - 1))
+    assert(sampled == want)
+    // and still splits uniform data into roughly equal buckets
+    val shares = graft.operators.RangePlanner.balanceReport(ev, "v", sampled)
+      .collect().map(_.getAs[Long]("share_bp"))
+    assert(shares.length == 4 && shares.forall(s => s > 1500 && s < 3500), shares.toSeq)
+  }
+
   test("Morton key equals the bit-twiddling reference; z-layout bounds BOTH dimensions") {
     import spark.implicits._
     def ref(x: Long, y: Long): Long =
