@@ -2879,6 +2879,162 @@ object SparkEntry {
         .orderBy($"bucket")
     }),
 
+    // Gopher/RefinedWeb repetition rules (Rae et al. 2021 §A1.1): flag
+    // documents dominated by a repeated unigram/bigram or by duplicated
+    // 5-gram runs. All ratios are INTEGER micro-fractions ((k·10000) div n)
+    // so any engine/partitioning reproduces the flags bit-for-bit; the only
+    // shuffle is the per-doc gram hash-agg (map-side combined, gram text
+    // never leaves the scan stage at 100 TB — the profile is count-only).
+    "q136_repetition_rules" -> ((s, dir) => {
+      import s.implicits._
+      val qs = graft.operators.QualitySignals
+      val base = t(s, dir, "documents")
+        .select($"doc_id", graft.operators.TextAnalysis.tokensCol($"text").as("w"))
+        .select($"doc_id", size($"w").as("n_tok"), $"w")
+        .localCheckpoint(false) // one corpus scan feeds all three gram profiles
+      def topCnt(n: Int, out: String) = base
+        .select($"doc_id", explode(qs.ngramsStrict($"w", n)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as(out))
+      val dup5 = base
+        .select($"doc_id", explode(qs.ngramsStrict($"w", 5)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"c" > 1, $"c").otherwise(0L)).as("dup5_cnt"))
+      base.select($"doc_id", $"n_tok")
+        .join(topCnt(1, "top1_cnt"), Seq("doc_id"), "left")
+        .join(topCnt(2, "top2_cnt"), Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tok",
+          coalesce($"top1_cnt", lit(0L)).as("top1_cnt"),
+          coalesce($"top2_cnt", lit(0L)).as("top2_cnt"),
+          coalesce($"dup5_cnt", lit(0L)).as("dup5_cnt"))
+        .withColumn("top1_u", when($"n_tok" > 0,
+          expr("(top1_cnt * 10000) div n_tok")).otherwise(lit(0L)))
+        .withColumn("top2_u", when($"n_tok" >= 2,
+          expr("(top2_cnt * 2 * 10000) div n_tok")).otherwise(lit(0L)))
+        .withColumn("dup5_u", when($"n_tok" >= 5,
+          expr("(dup5_cnt * 10000) div (n_tok - 4)")).otherwise(lit(0L)))
+        .select($"doc_id", $"n_tok",
+          ($"top1_u" / lit(10000.0)).as("top1_frac4"),
+          ($"top2_u" / lit(10000.0)).as("top2_frac4"),
+          ($"dup5_u" / lit(10000.0)).as("dup5_frac4"),
+          when($"top1_u" > 800 || $"top2_u" > 1000 || $"dup5_u" > 3000, 1L)
+            .otherwise(0L).as("flagged"))
+        .orderBy($"doc_id")
+    }),
+
+    // PII scan + redaction (QualitySignals.piiCounts / redactPii) — the
+    // scrub pass a web corpus runs before anything else. The source tables
+    // are PII-free by construction, so the query plants deterministic
+    // synthetic PII derived from doc_id (example-domain email, 555 phone,
+    // RFC-1918 IP) and then proves the scan finds EXACTLY the planted
+    // counts and the redaction removes them (re-scan of redacted text is
+    // all-zero, asserted as a column). Everything is scan-side regex — one
+    // corpus pass, no shuffle, no UDF.
+    "q137_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val qs = graft.operators.QualitySignals
+      val aug = t(s, dir, "documents").select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 5 === 0,
+            concat(lit(" contact user"), $"doc_id".cast("string"),
+              lit("@corp.example now")))
+            .otherwise(lit("")),
+          when($"doc_id" % 7 === 0,
+            concat(lit(" call 415-555-"),
+              lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when($"doc_id" % 3 === 0,
+            concat(lit(" host 10.0."), ($"doc_id" % 256).cast("string"),
+              lit("."), (expr("doc_id div 256") % 256).cast("string")))
+            .otherwise(lit(""))).as("text"))
+      aug.select($"doc_id", length($"text").as("raw_len"),
+          qs.piiCounts($"text").as("pii"),
+          qs.redactPii($"text").as("red"))
+        .withColumn("residual", qs.piiCounts($"red"))
+        .select($"doc_id", $"raw_len",
+          $"pii.n_email".cast("long").as("n_email"),
+          $"pii.n_phone".cast("long").as("n_phone"),
+          $"pii.n_ip".cast("long").as("n_ip"),
+          length($"red").as("red_len"),
+          ($"pii.n_email" + $"pii.n_phone" + $"pii.n_ip" === 0).cast("long")
+            .as("clean"),
+          ($"residual.n_email" + $"residual.n_phone" + $"residual.n_ip")
+            .cast("long").as("residual_hits"))
+        .orderBy($"doc_id")
+    }),
+
+    // Curriculum tiers by ABSOLUTE perplexity band under the q107 bigram
+    // LM — the "easy first" ordering signal (Bengio et al. 2009) as a data
+    // pipeline op. Banding on fixed thresholds (not quantiles) keeps the
+    // tier a pure scan-side CASE over the per-doc score: no global sort,
+    // no single-reducer ntile window — the shape that survives 100 TB.
+    // The tier key is floor(sum_u / n) via ONE double division (integer
+    // `div` is out: Spark truncates toward zero, DuckDB floors — they
+    // disagree on negative log-probs).
+    "q138_curriculum_tiers" -> ((s, dir) => {
+      import s.implicits._
+      val bi = t(s, dir, "documents")
+        .select($"doc_id", graft.operators.TextAnalysis.tokensCol($"text").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(2, size(w)), i -> struct(element_at(w, i - 1) AS p, element_at(w, i) AS c))")).as("b"))
+        .select($"doc_id", $"b.p".as("p"), $"b.c".as("c"))
+        .localCheckpoint(false) // one corpus scan; counts + scoring read this
+      val bic = bi.groupBy($"p", $"c").agg(count(lit(1)).as("cbi"))
+        .localCheckpoint(false)
+      val prevc = bic.groupBy($"p").agg(sum($"cbi").as("cp"))
+      val curc = bic.groupBy($"c").agg(sum($"cbi").as("cc"))
+      val tot = bic.agg(sum($"cbi").as("nbi"))
+      bi.join(broadcast(bic), Seq("p", "c"))
+        .join(broadcast(prevc), Seq("p"))
+        .join(broadcast(curc), Seq("c"))
+        .crossJoin(broadcast(tot))
+        .select($"doc_id",
+          floor(log(lit(0.7) * ($"cbi".cast("double") / $"cp".cast("double"))
+            + lit(0.3) * ($"cc".cast("double") / $"nbi".cast("double"))) * lit(1000000.0))
+            .cast("long").as("lpu"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bi"), sum($"lpu").as("sum_lp_u"))
+        .withColumn("alu",
+          floor($"sum_lp_u".cast("double") / $"n_bi".cast("double")).cast("long"))
+        .select($"doc_id", $"n_bi",
+          (floor($"alu" / 100.0) / 10000.0).as("avg_lp4"),
+          when($"alu" >= -3380000L, 1L)
+            .when($"alu" >= -3395000L, 2L)
+            .when($"alu" >= -3420000L, 3L)
+            .otherwise(4L).as("tier"))
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic stratified train/val/test split — hash-ordered
+    // row_number WITHIN each (lang, source) stratum, 80/10/10 by the
+    // integer rule rn*10 <= n*8 / n*9 (exact, engine-independent; the
+    // same salt-prefixed md5 ordering any re-run or other engine
+    // reproduces). Per-stratum windows parallelize across strata; no
+    // global sort anywhere.
+    "q139_stratified_split" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"source")
+        .orderBy(md5(concat(lit("split:"), $"doc_id".cast("string"))), $"doc_id")
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"source")
+      t(s, dir, "documents")
+        .select($"lang", $"source", $"doc_id")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("split",
+          when($"rn" * 10 <= $"n" * 8, "train")
+            .when($"rn" * 10 <= $"n" * 9, "val")
+            .otherwise("test"))
+        .groupBy($"lang", $"source", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+        .orderBy($"lang", $"source", $"split")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -4225,6 +4381,72 @@ ORDER BY v.event_id""",
   SELECT 'pipeline1', 'Error', count(*), 1::BIGINT FROM (SELECT source, max(n_chars) AS mx FROM documents GROUP BY source) WHERE mx > 350
   UNION ALL
   SELECT 'pipeline2', 'Info', 1::BIGINT, 1::BIGINT
-) WHERE n_entries > 0 ORDER BY component, log_status"""
+) WHERE n_entries > 0 ORDER BY component, log_status""",
+    // q136: ratios are integer micro-fractions, so the flags are exact
+    "q136_repetition_rules" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+base AS (SELECT doc_id, len(w)::BIGINT AS n_tok, w FROM tk),
+t1 AS (SELECT doc_id, max(c)::BIGINT AS top1_cnt FROM (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(w) AS g FROM base) GROUP BY doc_id, g) GROUP BY doc_id),
+t2 AS (SELECT doc_id, max(c)::BIGINT AS top2_cnt FROM (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base WHERE len(w) >= 2)) GROUP BY doc_id, g) GROUP BY doc_id),
+t5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup5_cnt FROM (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g FROM (SELECT doc_id, w, unnest(range(1, len(w)-3)) AS i FROM base WHERE len(w) >= 5)) GROUP BY doc_id, g) GROUP BY doc_id),
+u AS (SELECT b.doc_id, b.n_tok,
+  CASE WHEN b.n_tok > 0 THEN (coalesce(top1_cnt, 0) * 10000) // b.n_tok ELSE 0 END AS top1_u,
+  CASE WHEN b.n_tok >= 2 THEN (coalesce(top2_cnt, 0) * 2 * 10000) // b.n_tok ELSE 0 END AS top2_u,
+  CASE WHEN b.n_tok >= 5 THEN (coalesce(dup5_cnt, 0) * 10000) // (b.n_tok - 4) ELSE 0 END AS dup5_u
+  FROM base b LEFT JOIN t1 USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t5 USING (doc_id))
+SELECT doc_id, n_tok, top1_u::DOUBLE / 10000.0 AS top1_frac4, top2_u::DOUBLE / 10000.0 AS top2_frac4,
+       dup5_u::DOUBLE / 10000.0 AS dup5_frac4,
+       (CASE WHEN top1_u > 800 OR top2_u > 1000 OR dup5_u > 3000 THEN 1 ELSE 0 END)::BIGINT AS flagged
+FROM u ORDER BY doc_id""",
+    // q137: the oracle plants the same synthetic PII and re-scans the
+    // redacted text — residual_hits must be zero everywhere
+    "q137_pii_redact" ->
+      raw"""WITH aug AS (SELECT doc_id, text ||
+  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id::VARCHAR || '@corp.example now' ELSE '' END ||
+  CASE WHEN doc_id % 7 = 0 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+  CASE WHEN doc_id % 3 = 0 THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id // 256) % 256)::VARCHAR ELSE '' END AS text
+  FROM documents),
+s AS (SELECT doc_id, length(text)::BIGINT AS raw_len,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phone,
+  len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS red
+  FROM aug)
+SELECT doc_id, raw_len, n_email, n_phone, n_ip, length(red)::BIGINT AS red_len,
+  (CASE WHEN n_email + n_phone + n_ip = 0 THEN 1 ELSE 0 END)::BIGINT AS clean,
+  (len(regexp_extract_all(red, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(red, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+   + len(regexp_extract_all(red, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')))::BIGINT AS residual_hits
+FROM s ORDER BY doc_id""",
+    // q138: q107's LM scoring + fixed-band CASE; the tier key is one
+    // double division + floor on both engines
+    "q138_curriculum_tiers" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+bi AS (SELECT doc_id, w[i-1] AS p, w[i] AS c FROM (SELECT doc_id, unnest(range(2, len(w)+1)) AS i, w FROM tk WHERE len(w) >= 2)),
+bic AS (SELECT p, c, count(*) AS cbi FROM bi GROUP BY p, c),
+prevc AS (SELECT p, sum(cbi)::BIGINT AS cp FROM bic GROUP BY p),
+curc AS (SELECT c, sum(cbi)::BIGINT AS cc FROM bic GROUP BY c),
+tot AS (SELECT sum(cbi)::BIGINT AS nbi FROM bic),
+d AS (SELECT doc_id, count(*) AS n_bi, sum(lpu)::BIGINT AS sum_lp_u
+FROM (SELECT doc_id, floor(ln(0.7::DOUBLE * (cbi::DOUBLE / cp::DOUBLE) + 0.3::DOUBLE * (cc::DOUBLE / nbi::DOUBLE)) * 1000000.0)::BIGINT AS lpu
+      FROM bi JOIN bic USING (p, c) JOIN prevc USING (p) JOIN curc USING (c) CROSS JOIN tot)
+GROUP BY doc_id),
+a AS (SELECT doc_id, n_bi, floor(sum_lp_u::DOUBLE / n_bi::DOUBLE)::BIGINT AS alu FROM d)
+SELECT doc_id, n_bi, floor(alu::DOUBLE / 100.0) / 10000.0 AS avg_lp4,
+       (CASE WHEN alu >= -3380000 THEN 1 WHEN alu >= -3395000 THEN 2 WHEN alu >= -3420000 THEN 3 ELSE 4 END)::BIGINT AS tier
+FROM a ORDER BY doc_id""",
+    // q139: same salt-prefixed md5 ordering and integer 80/10/10 rule
+    "q139_stratified_split" ->
+      """WITH r AS (SELECT lang, source, doc_id,
+  row_number() OVER (PARTITION BY lang, source ORDER BY md5('split:' || doc_id::VARCHAR), doc_id)::BIGINT AS rn,
+  count(*) OVER (PARTITION BY lang, source)::BIGINT AS n
+  FROM documents)
+SELECT lang, source,
+       CASE WHEN rn * 10 <= n * 8 THEN 'train' WHEN rn * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc_id, max(doc_id)::BIGINT AS max_doc_id
+FROM r GROUP BY 1, 2, 3 ORDER BY lang, source, split"""
   )
 }
