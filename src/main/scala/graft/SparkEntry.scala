@@ -3035,6 +3035,212 @@ object SparkEntry {
         .orderBy($"lang", $"source", $"split")
     }),
 
+    // Corpus snapshot diff — the nightly-ingest question "what changed
+    // since the last build?" answered content-addressed: two simulated
+    // snapshot views of the same table (v1 drops doc_id%10=0, v2 drops
+    // doc_id%13=5 and revises doc_id%7=0), full-outer join on doc_id,
+    // status from md5 content hashes. At 100 TB both sides carry only
+    // (id, source, hash, len) — never text — into one AQE-managed shuffle
+    // join; the delta statuses drive incremental re-embedding (q78's
+    // incremental index is the downstream consumer).
+    "q140_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter($"doc_id" % 10 =!= 0)
+        .select($"doc_id", $"source".as("src1"), md5($"text").as("h1"))
+      val v2 = docs.filter($"doc_id" % 13 =!= 5)
+        .select($"doc_id", $"source".as("src2"),
+          when($"doc_id" % 7 === 0, concat($"text", lit(" [rev2]")))
+            .otherwise($"text").as("t2"))
+        .select($"doc_id", $"src2", md5($"t2").as("h2"),
+          length($"t2").cast("long").as("len2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce($"src1", $"src2").as("source"),
+          when($"h1".isNull, "added")
+            .when($"h2".isNull, "removed")
+            .when($"h1" === $"h2", "unchanged")
+            .otherwise("changed").as("status"),
+          coalesce($"len2", lit(0L)).as("len2"))
+        .groupBy($"source", $"status")
+        .agg(count(lit(1)).as("n_docs"), sum($"len2").as("n_chars_v2"))
+        .orderBy($"source", $"status")
+    }),
+
+    // Training-mixture weights (DoReMi-lite / temperature sampling, Xie et
+    // al. 2023): per-source token shares reweighted at temperature τ=0.5
+    // (w_i ∝ share_i^0.5, the multilingual-sampling convention). sqrt is
+    // IEEE-exactly-rounded so quantizing each per-source sqrt to 1e-6 then
+    // doing ONLY integer arithmetic (integer sums, integer division) makes
+    // every weight engine- and partitioning-exact. One corpus scan for the
+    // token counts; everything after is source-count-sized.
+    "q141_mixture_weights" -> ((s, dir) => {
+      import s.implicits._
+      val per = t(s, dir, "documents")
+        .select($"source",
+          size(graft.operators.TextAnalysis.tokensCol($"text")).cast("long").as("nt"))
+        .groupBy($"source").agg(sum($"nt").as("n_tok"))
+        .localCheckpoint(false) // source-count-sized; three derived aggs
+      val tot = per.agg(sum($"n_tok").as("tot"))
+      val r = per.crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("(n_tok * 10000) div tot"))
+        .withColumn("share_u", expr("(n_tok * 1000000) div tot"))
+        .withColumn("r_u", floor(sqrt($"n_tok".cast("double") / $"tot".cast("double"))
+          * lit(1000000.0)).cast("long"))
+      val sumr = r.agg(sum($"r_u").as("sum_r"))
+      r.crossJoin(broadcast(sumr))
+        .withColumn("w4_u", expr("(r_u * 10000) div sum_r"))
+        .select($"source", $"n_tok", $"share_bp",
+          ($"w4_u" / lit(10000.0)).as("w4"),
+          (expr("(w4_u * 1000000) div share_u") / lit(10000.0)).as("epochs4"))
+        .orderBy($"source")
+    }),
+
+    // Per-source distribution drift: unigram KL(source ‖ corpus) — the
+    // monitoring metric that catches a crawler/source going off-topic
+    // between corpus builds. Every source term exists in the corpus (the
+    // corpus is the union), so no smoothing is needed. Per-term
+    // contributions are floor-quantized to integer micro-nats the moment
+    // the ln is computed (the suite's transcendental rule) so the
+    // per-source sum is partitioning-exact. One corpus scan → one gram
+    // hash-agg; the corpus-side tables derive from the SAME agg (no second
+    // scan); everything after is vocab-sized.
+    "q142_source_drift" -> ((s, dir) => {
+      import s.implicits._
+      val cs = t(s, dir, "documents")
+        .select($"source", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .groupBy($"source", $"w").agg(count(lit(1)).as("c_s"))
+        .localCheckpoint(false) // one corpus shuffle; c_g/n_s/n_g derive from it
+      val cg = cs.groupBy($"w").agg(sum($"c_s").as("c_g"))
+      val ns = cs.groupBy($"source").agg(sum($"c_s").as("n_s"))
+      val ng = cg.agg(sum($"c_g").as("n_g"))
+      cs.join(cg, Seq("w"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(ng))
+        .select($"source",
+          floor(($"c_s".cast("double") / $"n_s".cast("double"))
+            * log(($"c_s".cast("double") * $"n_g".cast("double"))
+              / ($"n_s".cast("double") * $"c_g".cast("double")))
+            * lit(1000000.0)).cast("long").as("contrib_u"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_terms"), sum($"contrib_u").as("kl_u"))
+        .select($"source", $"n_terms", $"kl_u",
+          (floor($"kl_u" / 100.0) / 10000.0).as("kl4"))
+        .orderBy($"source")
+    }),
+
+    // Document-level PMI pair mining (Church & Hanks 1990) over the
+    // frequent vocabulary — collocation discovery for tokenizer/phrase
+    // curation. The pair space is generated by a doc_id self-join of the
+    // df-pruned (doc, word) table: the prune bounds per-doc fan-out by the
+    // kept-vocab size, so the join output is docs × O(V_kept²) — the knob
+    // that keeps this finite at 100 TB (raise the df floor as the corpus
+    // grows). PMI quantized to micro-nats at computation.
+    "q144_pmi_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val dw = t(s, dir, "documents")
+        .select($"doc_id", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .distinct()
+        .localCheckpoint(false) // doc×vocab sized; feeds df + the pair join
+      val dfr = dw.groupBy($"w").agg(count(lit(1)).as("df"))
+      val kept = dfr.filter($"df" >= 50).localCheckpoint(false)
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val kdw = dw.join(broadcast(kept.select($"w")), Seq("w"))
+      kdw.select($"doc_id", $"w".as("wa"))
+        .join(kdw.select($"doc_id", $"w".as("wb")), Seq("doc_id"))
+        .filter($"wa" < $"wb")
+        .groupBy($"wa", $"wb").agg(count(lit(1)).as("c_ab"))
+        .join(broadcast(kept.select($"w".as("wa"), $"df".as("df_a"))), Seq("wa"))
+        .join(broadcast(kept.select($"w".as("wb"), $"df".as("df_b"))), Seq("wb"))
+        .crossJoin(broadcast(nd))
+        .select($"wa", $"wb", $"c_ab", $"df_a", $"df_b",
+          floor(log(($"c_ab".cast("double") * $"n_docs".cast("double"))
+            / ($"df_a".cast("double") * $"df_b".cast("double")))
+            * lit(1000000.0)).cast("long").as("pmi_u"))
+        .orderBy($"pmi_u".desc, $"wa", $"wb")
+        .limit(50)
+    }),
+
+    // Mutual-kNN clustering + label purity — the unsupervised structure
+    // check on an embedding table (does the geometry agree with the
+    // labels?). kNN is CELL-RESTRICTED: neighbors are searched inside the
+    // vector's own IVF cell (q109's deterministic cells), so the pair
+    // space is Σ|cell|² — bucketed, never corpus×corpus; at 100 TB the
+    // cell count grows with the corpus and each cell is one partition's
+    // work. Mutuality (a ∈ top3(b) ∧ b ∈ top3(a)) is a self-join of the
+    // k-sized top lists; components resolve by min-label propagation
+    // (Dedup.resolveClusters — one join per round).
+    "q143_knn_cluster_purity" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
+      val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
+        .localCheckpoint(false) // assignment scan feeds both pair-join sides
+      val a = cells.select($"centroid_id", $"vec_id".as("src"), $"embedding".as("va"))
+      val b = cells.select($"centroid_id", $"vec_id".as("dst"), $"embedding".as("vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src").orderBy($"cos4".desc, $"dst")
+      val top = a.join(b, Seq("centroid_id")).filter($"src" =!= $"dst")
+        .select($"src", $"dst",
+          floor(graft.functions.VectorFunctions.cosineSim($"va", $"vb")
+            * lit(10000.0)).cast("long").as("cos4"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"src", $"dst")
+        .localCheckpoint(false) // k-sized lists; mutuality joins it to itself
+      val mutual = top
+        .join(top.select($"dst".as("src"), $"src".as("dst")), Seq("src", "dst"))
+        .filter($"src" < $"dst")
+        .select($"src".as("id_a"), $"dst".as("id_b"))
+      val labels = graft.operators.Dedup.resolveClusters(mutual, emb.select($"vec_id"))
+      labels
+        .join(emb.select($"vec_id".as("id"), $"label".cast("long").as("label")), Seq("id"))
+        .groupBy($"keeper_id", $"label").agg(count(lit(1)).as("cnt"))
+        .groupBy($"keeper_id")
+        .agg(sum($"cnt").as("n_vecs"),
+          max(struct($"cnt".as("c"), (lit(0L) - $"label").as("nl"))).as("m"))
+        .select($"keeper_id".as("cluster_id"), $"n_vecs",
+          (lit(0L) - $"m.nl").as("top_label"), $"m.c".as("n_top"))
+        .withColumn("purity4", expr("(n_top * 10000) div n_vecs") / lit(10000.0))
+        .orderBy($"cluster_id")
+    }),
+
+    // Hard-negative mining for contrastive training (in-batch negatives
+    // are too easy; the mined set is same-similarity different-label).
+    // Queries broadcast against one corpus scan (q111's shape); pos = top
+    // same-label neighbor, neg = top different-label neighbor, margin =
+    // their quantized-similarity gap, n_harder = negatives at or above the
+    // positive (0 ⇒ the positive wins the retrieval). Every join after
+    // the scan is query-count-sized.
+    "q145_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"label".as("qlabel"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"qlabel", $"vec_id", $"label",
+          floor(graft.functions.VectorFunctions.cosineSim($"embedding", $"qv")
+            * lit(10000.0)).cast("long").as("cos4"))
+        .localCheckpoint(false) // one scored scan feeds pos/neg/n_harder
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cos4".desc, $"vec_id")
+      val pos = scored.filter($"label" === $"qlabel")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"query_id", $"vec_id".as("pos_id"), $"cos4".as("pos_u"))
+      val neg = scored.filter($"label" =!= $"qlabel")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"query_id", $"vec_id".as("neg_id"), $"cos4".as("neg_u"))
+      val harder = scored.filter($"label" =!= $"qlabel")
+        .join(broadcast(pos), Seq("query_id"))
+        .filter($"cos4" >= $"pos_u")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_harder"))
+      pos.join(neg, Seq("query_id"))
+        .join(harder, Seq("query_id"), "left")
+        .select($"query_id", $"pos_id", $"neg_id",
+          (($"pos_u" - $"neg_u") / lit(10000.0)).as("margin4"),
+          coalesce($"n_harder", lit(0L)).as("n_harder"))
+        .orderBy($"query_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -4447,6 +4653,87 @@ FROM a ORDER BY doc_id""",
 SELECT lang, source,
        CASE WHEN rn * 10 <= n * 8 THEN 'train' WHEN rn * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split,
        count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS min_doc_id, max(doc_id)::BIGINT AS max_doc_id
-FROM r GROUP BY 1, 2, 3 ORDER BY lang, source, split"""
+FROM r GROUP BY 1, 2, 3 ORDER BY lang, source, split""",
+    // q140: same simulated snapshots, status from md5 on both engines
+    "q140_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, source AS src1, md5(text) AS h1 FROM documents WHERE doc_id % 10 <> 0),
+v2 AS (SELECT doc_id, source AS src2, md5(t2) AS h2, length(t2)::BIGINT AS len2
+       FROM (SELECT doc_id, source, CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS t2
+             FROM documents WHERE doc_id % 13 <> 5)),
+j AS (SELECT coalesce(src1, src2) AS source,
+       CASE WHEN h1 IS NULL THEN 'added' WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status,
+       coalesce(len2, 0) AS len2
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+SELECT source, status, count(*)::BIGINT AS n_docs, sum(len2)::BIGINT AS n_chars_v2
+FROM j GROUP BY 1, 2 ORDER BY source, status""",
+    // q141: per-source sqrt quantized to 1e-6 then integer-only math
+    "q141_mixture_weights" ->
+      raw"""WITH tk AS (SELECT source, len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != ''))::BIGINT AS nt FROM documents),
+per AS (SELECT source, sum(nt)::BIGINT AS n_tok FROM tk GROUP BY source),
+tot AS (SELECT sum(n_tok)::BIGINT AS tot FROM per),
+r AS (SELECT source, n_tok, (n_tok * 10000) // tot AS share_bp, (n_tok * 1000000) // tot AS share_u,
+      floor(sqrt(n_tok::DOUBLE / tot::DOUBLE) * 1000000.0)::BIGINT AS r_u FROM per, tot),
+sr AS (SELECT sum(r_u)::BIGINT AS sum_r FROM r)
+SELECT source, n_tok, share_bp::BIGINT AS share_bp,
+       ((r_u * 10000) // sum_r)::DOUBLE / 10000.0 AS w4,
+       (((r_u * 10000) // sum_r * 1000000) // share_u)::DOUBLE / 10000.0 AS epochs4
+FROM r, sr ORDER BY source""",
+    // q142: per-term micro-nat quantization makes the KL sums exact
+    "q142_source_drift" ->
+      raw"""WITH tok AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+cs AS (SELECT source, w, count(*)::BIGINT AS c_s FROM tok GROUP BY source, w),
+cg AS (SELECT w, sum(c_s)::BIGINT AS c_g FROM cs GROUP BY w),
+ns AS (SELECT source, sum(c_s)::BIGINT AS n_s FROM cs GROUP BY source),
+ng AS (SELECT sum(c_g)::BIGINT AS n_g FROM cg),
+c AS (SELECT source,
+      floor((c_s::DOUBLE / n_s::DOUBLE) * ln((c_s::DOUBLE * n_g::DOUBLE) / (n_s::DOUBLE * c_g::DOUBLE)) * 1000000.0)::BIGINT AS contrib_u
+      FROM cs JOIN cg USING (w) JOIN ns USING (source) CROSS JOIN ng)
+SELECT source, count(*)::BIGINT AS n_terms, sum(contrib_u)::BIGINT AS kl_u,
+       floor(sum(contrib_u)::DOUBLE / 100.0) / 10000.0 AS kl4
+FROM c GROUP BY source ORDER BY source""",
+    // q144: identical df floor, pair join and micro-nat PMI
+    "q144_pmi_pairs" ->
+      raw"""WITH dw AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents)),
+dfr AS (SELECT w, count(*)::BIGINT AS df FROM dw GROUP BY w),
+kept AS (SELECT w, df FROM dfr WHERE df >= 50),
+kdw AS (SELECT doc_id, dw.w FROM dw JOIN kept USING (w)),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+p AS (SELECT a.w AS wa, b.w AS wb, count(*)::BIGINT AS c_ab
+      FROM kdw a JOIN kdw b ON a.doc_id = b.doc_id AND a.w < b.w GROUP BY 1, 2)
+SELECT wa, wb, c_ab, ka.df AS df_a, kb.df AS df_b,
+       floor(ln((c_ab::DOUBLE * n_docs::DOUBLE) / (ka.df::DOUBLE * kb.df::DOUBLE)) * 1000000.0)::BIGINT AS pmi_u
+FROM p JOIN kept ka ON p.wa = ka.w JOIN kept kb ON p.wb = kb.w CROSS JOIN nd
+ORDER BY pmi_u DESC, wa, wb LIMIT 50""",
+    // q143: q109's cells, quantized-cos ranking, recursive-CTE min-label
+    // closure for the components
+    "q143_knn_cluster_purity" ->
+      """WITH RECURSIVE cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+cells AS (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 10000.0)::BIGINT AS cos4
+       FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+       JOIN embeddings ea ON ea.vec_id = a.vec_id JOIN embeddings eb ON eb.vec_id = b.vec_id),
+top AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos4 DESC, dst) AS rn FROM sc) WHERE rn <= 3),
+mut AS (SELECT t1.src AS a, t1.dst AS b FROM top t1 JOIN top t2 ON t1.src = t2.dst AND t1.dst = t2.src WHERE t1.src < t1.dst),
+edges AS (SELECT a AS src, b AS dst FROM mut UNION ALL SELECT b, a FROM mut),
+r AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings UNION SELECT e.dst AS id, r.lbl FROM r JOIN edges e ON r.id = e.src),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM r GROUP BY id),
+cl AS (SELECT cluster_id, e.label::BIGINT AS label, count(*)::BIGINT AS cnt FROM cc JOIN embeddings e ON e.vec_id = cc.id GROUP BY 1, 2),
+tl AS (SELECT cluster_id, label AS top_label, cnt AS n_top FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY cnt DESC, label) AS rn FROM cl) WHERE rn = 1),
+sz AS (SELECT cluster_id, sum(cnt)::BIGINT AS n_vecs FROM cl GROUP BY 1)
+SELECT s.cluster_id, n_vecs, top_label, n_top, ((n_top * 10000) // n_vecs)::DOUBLE / 10000.0 AS purity4
+FROM sz s JOIN tl USING (cluster_id) ORDER BY s.cluster_id""",
+    // q145: same quantized ranking; inner join drops label-singleton
+    // queries on both sides
+    "q145_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel FROM embeddings WHERE vec_id < 16),
+sc AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label, floor(list_cosine_similarity(e.embedding::DOUBLE[], q.qv) * 10000.0)::BIGINT AS cos4
+       FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+pos AS (SELECT query_id, vec_id AS pos_id, cos4 AS pos_u FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, vec_id) AS rn FROM sc WHERE label = qlabel) WHERE rn = 1),
+neg AS (SELECT query_id, vec_id AS neg_id, cos4 AS neg_u FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, vec_id) AS rn FROM sc WHERE label <> qlabel) WHERE rn = 1),
+hard AS (SELECT s.query_id, count(*)::BIGINT AS n_harder FROM sc s JOIN pos p USING (query_id) WHERE s.label <> s.qlabel AND s.cos4 >= p.pos_u GROUP BY s.query_id)
+SELECT p.query_id, pos_id, neg_id, (pos_u - neg_u)::DOUBLE / 10000.0 AS margin4, coalesce(n_harder, 0)::BIGINT AS n_harder
+FROM pos p JOIN neg USING (query_id) LEFT JOIN hard USING (query_id) ORDER BY p.query_id"""
   )
 }
