@@ -264,7 +264,57 @@ object ScaleProbe {
     val strays = q118df.filter($"survivor_id" >= offset).count()
     require(strays == 0L, s"q118 10x: $strays survivors outside copy 0")
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q108s, q113s, q115s, q118s, q119s)
+    // q136's shape: per-doc repetition profile at 10×. The profile is a
+    // PER-DOC metric, so cloning the corpus must scale the flag count by
+    // exactly `copies` — any cross-doc leakage into the per-doc gram agg
+    // (a wrong grouping key, a hash collision across doc_ids) breaks the
+    // multiplier. Cost model: one gram hash-agg, linear in corpus tokens.
+    def repetitionFlags(docs: DataFrame): DataFrame = {
+      val qsig = graft.operators.QualitySignals
+      val b = docs
+        .select($"doc_id", graft.operators.TextAnalysis.tokensCol($"text").as("w"))
+        .select($"doc_id", size($"w").cast("long").as("n_tok"), $"w")
+        .localCheckpoint(false)
+      def topCnt(n: Int, out: String) = b
+        .select($"doc_id", explode(qsig.ngramsStrict($"w", n)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as(out))
+      b.select($"doc_id", $"n_tok")
+        .join(topCnt(1, "c1"), Seq("doc_id"), "left")
+        .join(topCnt(2, "c2"), Seq("doc_id"), "left")
+        .withColumn("top1_u", when($"n_tok" > 0,
+          expr("(coalesce(c1, 0) * 10000) div n_tok")).otherwise(lit(0L)))
+        .withColumn("top2_u", when($"n_tok" >= 2,
+          expr("(coalesce(c2, 0) * 2 * 10000) div n_tok")).otherwise(lit(0L)))
+        .filter($"top1_u" > 800 || $"top2_u" > 1000)
+    }
+    val f136 = repetitionFlags(base).count() // untimed 1× flag count
+    val q136s = timed("q136_repetition_10x") { repetitionFlags(scaled) }
+    require(q136s._3 == copies * f136,
+      s"q136 10x flags: got ${q136s._3}, want ${copies * f136}")
+
+    // q148's shape: corpus-df novelty at 10×. On an exact-clone corpus
+    // EVERY gram occurs in ≥ `copies` documents, so n_unique must be 0
+    // for every doc — novelty collapsing to zero is the closed-form proof
+    // the df aggregation really runs corpus-wide (a per-partition or
+    // per-copy df would leave 1× "unique" grams behind).
+    val q148df = {
+      val g = scaled
+        .select($"doc_id", explode(graft.operators.QualitySignals.ngramsStrict(
+          graft.operators.TextAnalysis.tokensCol($"text"), 5)).as("g"))
+        .select($"doc_id", xxhash64($"g").as("h")).distinct()
+        .localCheckpoint(false)
+      val df5 = g.groupBy($"h").agg(count(lit(1)).as("nd"))
+      g.join(df5, Seq("h"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"nd" === 1, 1L).otherwise(0L)).as("n_unique"))
+    }
+    val q148s = timed("q148_novelty_10x") { q148df }
+    val uniques = q148df.agg(sum($"n_unique")).head().getLong(0)
+    require(uniques == 0L, s"q148 10x: $uniques unique grams on a cloned corpus")
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q108s, q113s, q115s, q118s, q119s, q136s, q148s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

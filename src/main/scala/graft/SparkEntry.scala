@@ -3190,7 +3190,7 @@ object SparkEntry {
         .join(top.select($"dst".as("src"), $"src".as("dst")), Seq("src", "dst"))
         .filter($"src" < $"dst")
         .select($"src".as("id_a"), $"dst".as("id_b"))
-      val labels = graft.operators.Dedup.resolveClusters(mutual, emb.select($"vec_id"))
+      val labels = graft.operators.Dedup.resolveClustersSparse(mutual, emb.select($"vec_id"))
       labels
         .join(emb.select($"vec_id".as("id"), $"label".cast("long").as("label")), Seq("id"))
         .groupBy($"keeper_id", $"label").agg(count(lit(1)).as("cnt"))
@@ -3239,6 +3239,156 @@ object SparkEntry {
           (($"pos_u" - $"neg_u") / lit(10000.0)).as("margin4"),
           coalesce($"n_harder", lit(0L)).as("n_harder"))
         .orderBy($"query_id")
+    }),
+
+    // Zipf power-law fit of the corpus unigram distribution — the one-row
+    // data-card statistic that tells you whether a corpus looks like
+    // natural language (slope ≈ −1) or like templated boilerplate. Closed
+    // -form least squares on (ln rank, ln freq): both logs are quantized
+    // to integer micro-nats AT THE SCAN so every sum/product stays exact
+    // integer algebra; only the final three divisions run in doubles
+    // (identical op order on both engines). The rank window is
+    // VOCAB-sized — the corpus itself contributes one count shuffle.
+    "q146_zipf_fit" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"f".desc, $"w")
+      t(s, dir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(floor(log($"rk".cast("double")) * 1000000.0).cast("long").as("x"),
+          floor(log($"f".cast("double")) * 1000000.0).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+        .withColumn("denx", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("deny", $"n" * $"syy" - $"sy" * $"sy")
+        .withColumn("slope", $"num".cast("double") / $"denx".cast("double"))
+        .select($"n".as("n_terms"),
+          (floor($"slope" * 10000.0) / 10000.0).as("slope4"),
+          (floor((($"sy".cast("double") - $"slope" * $"sx".cast("double"))
+            / $"n".cast("double") / 1000000.0) * 10000.0) / 10000.0).as("icept4"),
+          (floor(($"num".cast("double") * $"num".cast("double"))
+            / ($"denx".cast("double") * $"deny".cast("double")) * 10000.0)
+            / 10000.0).as("r2_4"))
+    }),
+
+    // Per-document n-gram novelty — the inverse of the dup profile: what
+    // fraction of a doc's distinct 5-grams appear NOWHERE else in the
+    // corpus (high novelty = unique content worth keeping; near-zero =
+    // boilerplate assembled from shared runs). Spark shuffles 64-bit gram
+    // hashes, never text (q85's convention, 2^-64 collision residual —
+    // the oracle rebuilds the same decisions from gram text); one gram
+    // hash-agg + one join back, both on the hash key.
+    "q148_novelty_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val g = docs
+        .select($"doc_id", explode(graft.operators.QualitySignals.ngramsStrict(
+          graft.operators.TextAnalysis.tokensCol($"text"), 5)).as("g"))
+        .select($"doc_id", xxhash64($"g").as("h")).distinct()
+        .localCheckpoint(false) // distinct doc-gram set feeds df + per-doc agg
+      val df5 = g.groupBy($"h").agg(count(lit(1)).as("nd"))
+      val per = g.join(df5, Seq("h"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"nd" === 1, 1L).otherwise(0L)).as("n_unique"))
+      docs.select($"doc_id").join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_grams", lit(0L)).as("n_grams"),
+          coalesce($"n_unique", lit(0L)).as("n_unique"))
+        .withColumn("novelty4",
+          when($"n_grams" > 0, expr("(n_unique * 10000) div n_grams") / lit(10000.0))
+            .otherwise(lit(0.0)))
+        .orderBy($"doc_id")
+    }),
+
+    // Label-confusion pairs from embedding geometry: for each vector, its
+    // nearest DIFFERENT-label neighbor within its own IVF cell; counts per
+    // (label, neighbor label) say which classes blur together — the
+    // go-look-here report before training a classifier on the labels.
+    // Cell-restricted like q143 (Σ|cell|² pair space, no corpus×corpus).
+    "q149_label_confusion" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
+      val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
+        .join(emb.select($"vec_id", $"label".cast("long").as("label")), Seq("vec_id"))
+        .localCheckpoint(false) // assignment feeds both pair-join sides
+      val a = cells.select($"centroid_id", $"vec_id".as("src"),
+        $"label".as("label_a"), $"embedding".as("va"))
+      val b = cells.select($"centroid_id", $"vec_id".as("dst"),
+        $"label".as("label_b"), $"embedding".as("vb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src").orderBy($"cos4".desc, $"dst")
+      a.join(b, Seq("centroid_id"))
+        .filter($"src" =!= $"dst" && $"label_a" =!= $"label_b")
+        .select($"src", $"dst", $"label_a", $"label_b",
+          floor(graft.functions.VectorFunctions.cosineSim($"va", $"vb")
+            * lit(10000.0)).cast("long").as("cos4"))
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"label_a", $"label_b").agg(count(lit(1)).as("n_vecs"))
+        .orderBy($"label_a", $"label_b")
+    }),
+
+    // The WHOLE curation pipeline as one DAG — near-dup survivor filter
+    // (q39/q118 LSH clusters, keep min-id) → repetition-quality gate
+    // (q136's rule) → stratified 80/10/10 split (q139's rule, stratum
+    // sizes computed on the POST-filter population) → per-split token
+    // accounting. Proves the operators compose lazily: one submission,
+    // Catalyst sees the full lineage, nothing materializes between stages
+    // except the deliberate checkpoints inside the reused operators.
+    "q150_clean_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        docs, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
+      val keep = graft.operators.Dedup.resolveClustersSparse(pairs, docs.select($"doc_id"))
+        .filter($"id" === $"keeper_id").select($"id".as("doc_id"))
+      val base = docs.join(keep, Seq("doc_id"))
+        .select($"doc_id", $"lang", $"source",
+          graft.operators.TextAnalysis.tokensCol($"text").as("w"))
+        .select($"doc_id", $"lang", $"source", size($"w").cast("long").as("n_tok"), $"w")
+        .localCheckpoint(false) // survivors feed three gram profiles + split
+      val qs = graft.operators.QualitySignals
+      def topCnt(n: Int, out: String) = base
+        .select($"doc_id", explode(qs.ngramsStrict($"w", n)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as(out))
+      val dup5 = base
+        .select($"doc_id", explode(qs.ngramsStrict($"w", 5)).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum(when($"c" > 1, $"c").otherwise(0L)).as("dup5_cnt"))
+      val good = base.select($"doc_id", $"lang", $"source", $"n_tok")
+        .join(topCnt(1, "top1_cnt"), Seq("doc_id"), "left")
+        .join(topCnt(2, "top2_cnt"), Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .withColumn("top1_u", when($"n_tok" > 0,
+          expr("(coalesce(top1_cnt, 0) * 10000) div n_tok")).otherwise(lit(0L)))
+        .withColumn("top2_u", when($"n_tok" >= 2,
+          expr("(coalesce(top2_cnt, 0) * 2 * 10000) div n_tok")).otherwise(lit(0L)))
+        .withColumn("dup5_u", when($"n_tok" >= 5,
+          expr("(coalesce(dup5_cnt, 0) * 10000) div (n_tok - 4)")).otherwise(lit(0L)))
+        .filter(!($"top1_u" > 800 || $"top2_u" > 1000 || $"dup5_u" > 3000))
+        .select($"doc_id", $"lang", $"source", $"n_tok")
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"source")
+        .orderBy(md5(concat(lit("split:"), $"doc_id".cast("string"))), $"doc_id")
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"source")
+      good
+        .withColumn("rn", row_number().over(ws).cast("long"))
+        .withColumn("nn", count(lit(1)).over(wn))
+        .withColumn("split",
+          when($"rn" * 10 <= $"nn" * 8, "train")
+            .when($"rn" * 10 <= $"nn" * 9, "val")
+            .otherwise("test"))
+        .groupBy($"lang", $"source", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tok"))
+        .orderBy($"lang", $"source", $"split")
     }),
 
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
@@ -4734,6 +4884,64 @@ pos AS (SELECT query_id, vec_id AS pos_id, cos4 AS pos_u FROM (SELECT *, row_num
 neg AS (SELECT query_id, vec_id AS neg_id, cos4 AS neg_u FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos4 DESC, vec_id) AS rn FROM sc WHERE label <> qlabel) WHERE rn = 1),
 hard AS (SELECT s.query_id, count(*)::BIGINT AS n_harder FROM sc s JOIN pos p USING (query_id) WHERE s.label <> s.qlabel AND s.cos4 >= p.pos_u GROUP BY s.query_id)
 SELECT p.query_id, pos_id, neg_id, (pos_u - neg_u)::DOUBLE / 10000.0 AS margin4, coalesce(n_harder, 0)::BIGINT AS n_harder
-FROM pos p JOIN neg USING (query_id) LEFT JOIN hard USING (query_id) ORDER BY p.query_id"""
+FROM pos p JOIN neg USING (query_id) LEFT JOIN hard USING (query_id) ORDER BY p.query_id""",
+    // q146: integer micro-nat sums; only the final divisions are doubles
+    "q146_zipf_fit" ->
+      raw"""WITH f AS (SELECT w, count(*)::BIGINT AS f FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents) GROUP BY w),
+r AS (SELECT floor(ln(rk::DOUBLE) * 1000000.0)::BIGINT AS x, floor(ln(f::DOUBLE) * 1000000.0)::BIGINT AS y
+      FROM (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rk FROM f)),
+s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy FROM r),
+d AS (SELECT n, sx, sy, (n*sxy - sx*sy)::BIGINT AS num, (n*sxx - sx*sx)::BIGINT AS denx, (n*syy - sy*sy)::BIGINT AS deny FROM s),
+e AS (SELECT n, sx, sy, num, denx, deny, num::DOUBLE / denx::DOUBLE AS slope FROM d)
+SELECT n AS n_terms, floor(slope * 10000.0) / 10000.0 AS slope4,
+       floor(((sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE / 1000000.0) * 10000.0) / 10000.0 AS icept4,
+       floor((num::DOUBLE * num::DOUBLE) / (denx::DOUBLE * deny::DOUBLE) * 10000.0) / 10000.0 AS r2_4
+FROM e""",
+    // q148: gram TEXT replays Spark's xxhash64 decisions (2^-64 residual)
+    "q148_novelty_score" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+g AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g FROM (SELECT doc_id, w, unnest(range(1, len(w)-3)) AS i FROM tk WHERE len(w) >= 5))),
+df5 AS (SELECT g, count(*)::BIGINT AS nd FROM g GROUP BY g),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_grams, sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique FROM g JOIN df5 USING (g) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams, coalesce(n_unique, 0)::BIGINT AS n_unique,
+       CASE WHEN coalesce(n_grams, 0) > 0 THEN ((n_unique * 10000) // n_grams)::DOUBLE / 10000.0 ELSE 0.0 END AS novelty4
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""",
+    // q149: q143's cells + labels, nearest different-label neighbor
+    "q149_label_confusion" ->
+      """WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+cells AS (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+lab AS (SELECT c.vec_id, c.centroid_id, e.label::BIGINT AS label FROM cells c JOIN embeddings e USING (vec_id)),
+sc AS (SELECT a.vec_id AS src, a.label AS label_a, b.label AS label_b, b.vec_id AS dst,
+       floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 10000.0)::BIGINT AS cos4
+       FROM lab a JOIN lab b ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id AND a.label <> b.label
+       JOIN embeddings ea ON ea.vec_id = a.vec_id JOIN embeddings eb ON eb.vec_id = b.vec_id),
+nn AS (SELECT src, label_a, label_b FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY cos4 DESC, dst) AS rn FROM sc) WHERE rn = 1)
+SELECT label_a, label_b, count(*)::BIGINT AS n_vecs FROM nn GROUP BY 1, 2 ORDER BY label_a, label_b""",
+    // q150: the q118 cluster closure + q136 rule + q139 rule, composed
+    "q150_clean_pipeline" ->
+      raw"""WITH RECURSIVE $LshVerifiedCtes,
+good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 1.0),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+keep AS (SELECT doc_id FROM cl WHERE doc_id = cluster_id),
+tk2 AS (SELECT d.doc_id, d.lang, d.source, list_filter(regexp_split_to_array(lower(trim(d.text)), '\s+'), x -> x != '') AS w FROM documents d JOIN keep USING (doc_id)),
+base AS (SELECT doc_id, lang, source, len(w)::BIGINT AS n_tok, w FROM tk2),
+q1 AS (SELECT doc_id, max(c)::BIGINT AS top1_cnt FROM (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(w) AS g FROM base) GROUP BY doc_id, g) GROUP BY doc_id),
+q2 AS (SELECT doc_id, max(c)::BIGINT AS top2_cnt FROM (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base WHERE len(w) >= 2)) GROUP BY doc_id, g) GROUP BY doc_id),
+q5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup5_cnt FROM (SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g FROM (SELECT doc_id, w, unnest(range(1, len(w)-3)) AS i FROM base WHERE len(w) >= 5)) GROUP BY doc_id, g) GROUP BY doc_id),
+u AS (SELECT b.doc_id, b.lang, b.source, b.n_tok,
+  CASE WHEN b.n_tok > 0 THEN (coalesce(top1_cnt, 0) * 10000) // b.n_tok ELSE 0 END AS top1_u,
+  CASE WHEN b.n_tok >= 2 THEN (coalesce(top2_cnt, 0) * 2 * 10000) // b.n_tok ELSE 0 END AS top2_u,
+  CASE WHEN b.n_tok >= 5 THEN (coalesce(dup5_cnt, 0) * 10000) // (b.n_tok - 4) ELSE 0 END AS dup5_u
+  FROM base b LEFT JOIN q1 USING (doc_id) LEFT JOIN q2 USING (doc_id) LEFT JOIN q5 USING (doc_id)),
+good2 AS (SELECT doc_id, lang, source, n_tok FROM u WHERE NOT (top1_u > 800 OR top2_u > 1000 OR dup5_u > 3000)),
+rr AS (SELECT lang, source, n_tok, doc_id,
+  row_number() OVER (PARTITION BY lang, source ORDER BY md5('split:' || doc_id::VARCHAR), doc_id)::BIGINT AS rn,
+  count(*) OVER (PARTITION BY lang, source)::BIGINT AS nn FROM good2)
+SELECT lang, source,
+       CASE WHEN rn * 10 <= nn * 8 THEN 'train' WHEN rn * 10 <= nn * 9 THEN 'val' ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tok
+FROM rr GROUP BY 1, 2, 3 ORDER BY lang, source, split"""
   )
 }

@@ -378,6 +378,21 @@ class SparkOpsSpec extends AnyFunSuite {
       5L -> 5L, 7L -> 5L, 4L -> 4L, 6L -> 6L, 8L -> 8L))
   }
 
+  test("resolveClustersSparse: identical labels, singletons never propagated") {
+    import spark.implicits._
+    // same graph + a large singleton population the sparse path must NOT
+    // carry through propagation rounds (parity is the contract; the win is
+    // that rounds only touch the 6 endpoint ids, not all 50)
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 1L), (5L, 7L)).toDF("id_a", "id_b")
+    val ids = (1L to 50L).toDF("doc_id")
+    val dense = graft.operators.Dedup.resolveClusters(pairs, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sparse = graft.operators.Dedup.resolveClustersSparse(pairs, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sparse == dense)
+    assert(sparse(42L) == 42L && sparse.size == 50)
+  }
+
   test("mid-range near-dup chains (0.5 <= est_jac < 1) need >= 2 propagation rounds") {
     import spark.implicits._
     // sliding-token docs: adjacent docs share 30/40 tokens (est_jac lands in
