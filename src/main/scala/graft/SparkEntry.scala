@@ -3391,6 +3391,72 @@ object SparkEntry {
         .orderBy($"lang", $"source", $"split")
     }),
 
+    // Per-source quantile normalization of a quality signal — the cross-
+    // source calibration step before mixing corpora (a "good" score in a
+    // clean source ≠ the same number in a noisy one; percentiles within
+    // source are comparable). Score is integer mean-word-length micro;
+    // percent_rank is (rank−1)/(n−1) per SOURCE window (strata parallelize
+    // — no global window), quantized at 1e-4; the decile is pure integer
+    // arithmetic on (rank, n).
+    "q151_quality_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"score_u")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          graft.operators.TextAnalysis.tokensCol($"text").as("w"))
+        .select($"doc_id", $"source", size($"w").cast("long").as("n_tok"),
+          aggregate($"w", lit(0L), (acc, x) => acc + length(x)).as("sum_len"))
+        .filter($"n_tok" > 0)
+        .withColumn("score_u", expr("(sum_len * 10000) div n_tok"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select($"doc_id", $"source", ($"score_u" / lit(10000.0)).as("score4"),
+          when($"n" > 1, floor(($"rk" - 1).cast("double") / ($"n" - 1).cast("double")
+            * lit(10000.0)) / 10000.0).otherwise(lit(0.0)).as("pr4"),
+          when($"n" > 1, least(lit(9L), expr("((rk - 1) * 10) div (n - 1)")))
+            .otherwise(lit(0L)).as("decile"))
+        .orderBy($"doc_id")
+    }),
+
+    // Split-leakage audit for q139's stratified split: how many distinct
+    // 5-grams do train/val/test SHARE? (A packing or near-dup bug shows up
+    // here as a fat train∩test overlap before it shows up as inflated
+    // eval numbers.) Spark shuffles 64-bit gram hashes (q85's convention,
+    // 2^-64 residual; the oracle replays with gram text); overlap is one
+    // hash-keyed self-join of the per-split distinct-gram tables.
+    "q152_split_leakage" -> ((s, dir) => {
+      import s.implicits._
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"source")
+        .orderBy(md5(concat(lit("split:"), $"doc_id".cast("string"))), $"doc_id")
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"source")
+      val sg = t(s, dir, "documents")
+        .withColumn("rn", row_number().over(ws).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("split",
+          when($"rn" * 10 <= $"n" * 8, "train")
+            .when($"rn" * 10 <= $"n" * 9, "val")
+            .otherwise("test"))
+        .select($"split", explode(graft.operators.QualitySignals.ngramsStrict(
+          graft.operators.TextAnalysis.tokensCol($"text"), 5)).as("g"))
+        .select($"split", xxhash64($"g").as("h")).distinct()
+        .localCheckpoint(false) // per-split gram sets feed sizes + overlap
+      val sizes = sg.groupBy($"split").agg(count(lit(1)).as("n"))
+      sg.select($"split".as("split_a"), $"h")
+        .join(sg.select($"split".as("split_b"), $"h"), Seq("h"))
+        .filter($"split_a" < $"split_b")
+        .groupBy($"split_a", $"split_b").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select($"split".as("split_a"), $"n".as("n_a"))), Seq("split_a"))
+        .join(broadcast(sizes.select($"split".as("split_b"), $"n".as("n_b"))), Seq("split_b"))
+        .select($"split_a", $"split_b", $"n_a", $"n_b", $"n_shared",
+          (expr("(n_shared * 10000) div (n_a + n_b - n_shared)") / lit(10000.0))
+            .as("jac4"))
+        .orderBy($"split_a", $"split_b")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -4942,6 +5008,32 @@ rr AS (SELECT lang, source, n_tok, doc_id,
 SELECT lang, source,
        CASE WHEN rn * 10 <= nn * 8 THEN 'train' WHEN rn * 10 <= nn * 9 THEN 'val' ELSE 'test' END AS split,
        count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tok
-FROM rr GROUP BY 1, 2, 3 ORDER BY lang, source, split"""
+FROM rr GROUP BY 1, 2, 3 ORDER BY lang, source, split""",
+    // q151: integer score, SQL-standard rank/percent_rank arithmetic
+    "q151_quality_quantiles" ->
+      raw"""WITH tk AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+b AS (SELECT doc_id, source, len(w)::BIGINT AS n_tok, list_sum(list_transform(w, x -> len(x)))::BIGINT AS sum_len FROM tk WHERE len(w) > 0),
+r AS (SELECT doc_id, source, (sum_len * 10000) // n_tok AS score_u,
+      rank() OVER (PARTITION BY source ORDER BY (sum_len * 10000) // n_tok)::BIGINT AS rk,
+      count(*) OVER (PARTITION BY source)::BIGINT AS n FROM b)
+SELECT doc_id, source, score_u::DOUBLE / 10000.0 AS score4,
+       CASE WHEN n > 1 THEN floor((rk - 1)::DOUBLE / (n - 1)::DOUBLE * 10000.0) / 10000.0 ELSE 0.0 END AS pr4,
+       (CASE WHEN n > 1 THEN least(9, ((rk - 1) * 10) // (n - 1)) ELSE 0 END)::BIGINT AS decile
+FROM r ORDER BY doc_id""",
+    // q152: q139's split rule + gram-text overlap (replays the hash path)
+    "q152_split_leakage" ->
+      raw"""WITH r0 AS (SELECT doc_id, text,
+  row_number() OVER (PARTITION BY lang, source ORDER BY md5('split:' || doc_id::VARCHAR), doc_id)::BIGINT AS rn,
+  count(*) OVER (PARTITION BY lang, source)::BIGINT AS n FROM documents),
+sp AS (SELECT doc_id, text, CASE WHEN rn * 10 <= n * 8 THEN 'train' WHEN rn * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split FROM r0),
+tk AS (SELECT split, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM sp),
+g AS (SELECT DISTINCT split, g FROM (SELECT split, array_to_string(w[i:i+4], ' ') AS g FROM (SELECT split, w, unnest(range(1, len(w)-3)) AS i FROM tk WHERE len(w) >= 5))),
+sizes AS (SELECT split, count(*)::BIGINT AS n FROM g GROUP BY split),
+ov AS (SELECT a.split AS split_a, b.split AS split_b, count(*)::BIGINT AS n_shared
+       FROM g a JOIN g b ON a.g = b.g AND a.split < b.split GROUP BY 1, 2)
+SELECT split_a, split_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+       ((n_shared * 10000) // (sa.n + sb.n - n_shared))::DOUBLE / 10000.0 AS jac4
+FROM ov JOIN sizes sa ON ov.split_a = sa.split JOIN sizes sb ON ov.split_b = sb.split
+ORDER BY split_a, split_b"""
   )
 }
