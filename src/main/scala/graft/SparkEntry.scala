@@ -3175,11 +3175,18 @@ object SparkEntry {
       val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
       val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
         .localCheckpoint(false) // assignment scan feeds both pair-join sides
+      // Salt the pair join: centroid_id alone has only k distinct values,
+      // so the scoring stage would run k tasks no matter the cluster size.
+      // Splitting the probe side by hash(src) and replicating the build
+      // side per salt yields the SAME pair set over k×8 evenly-sized
+      // tasks (the build side is cell-local, so replication is cheap).
       val a = cells.select($"centroid_id", $"vec_id".as("src"), $"embedding".as("va"))
+        .withColumn("__slt", pmod(xxhash64($"src"), lit(8)))
       val b = cells.select($"centroid_id", $"vec_id".as("dst"), $"embedding".as("vb"))
+        .crossJoin(s.range(8).toDF("__slt"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"src").orderBy($"cos4".desc, $"dst")
-      val top = a.join(b, Seq("centroid_id")).filter($"src" =!= $"dst")
+      val top = a.join(b, Seq("centroid_id", "__slt")).filter($"src" =!= $"dst")
         .select($"src", $"dst",
           floor(graft.functions.VectorFunctions.cosineSim($"va", $"vb")
             * lit(10000.0)).cast("long").as("cos4"))
@@ -3433,6 +3440,11 @@ object SparkEntry {
         .orderBy(md5(concat(lit("split:"), $"doc_id".cast("string"))), $"doc_id")
       val wn = org.apache.spark.sql.expressions.Window
         .partitionBy($"lang", $"source")
+      // One hash-keyed aggregation carries BOTH the per-split set sizes and
+      // every pairwise overlap: collect_set over ≤3 split tags per gram
+      // replaces the distinct + hash self-join (three 1M-row shuffles → one
+      // shuffle of the raw gram stream); the ≤3-element set explodes into
+      // ordered pairs driver-free.
       val sg = t(s, dir, "documents")
         .withColumn("rn", row_number().over(ws).cast("long"))
         .withColumn("n", count(lit(1)).over(wn))
@@ -3442,11 +3454,13 @@ object SparkEntry {
             .otherwise("test"))
         .select($"split", explode(graft.operators.QualitySignals.ngramsStrict(
           graft.operators.TextAnalysis.tokensCol($"text"), 5)).as("g"))
-        .select($"split", xxhash64($"g").as("h")).distinct()
-        .localCheckpoint(false) // per-split gram sets feed sizes + overlap
-      val sizes = sg.groupBy($"split").agg(count(lit(1)).as("n"))
-      sg.select($"split".as("split_a"), $"h")
-        .join(sg.select($"split".as("split_b"), $"h"), Seq("h"))
+        .select($"split", xxhash64($"g").as("h"))
+        .groupBy($"h").agg(collect_set($"split").as("ss"))
+        .localCheckpoint(false) // per-gram split sets feed sizes + overlap
+      val sizes = sg.select(explode($"ss").as("split"))
+        .groupBy($"split").agg(count(lit(1)).as("n"))
+      sg.select(explode($"ss").as("split_a"), $"ss")
+        .select($"split_a", explode($"ss").as("split_b"))
         .filter($"split_a" < $"split_b")
         .groupBy($"split_a", $"split_b").agg(count(lit(1)).as("n_shared"))
         .join(broadcast(sizes.select($"split".as("split_a"), $"n".as("n_a"))), Seq("split_a"))
@@ -3455,6 +3469,145 @@ object SparkEntry {
           (expr("(n_shared * 10000) div (n_a + n_b - n_shared)") / lit(10000.0))
             .as("jac4"))
         .orderBy($"split_a", $"split_b")
+    }),
+
+    // Heaps-law vocabulary-growth fit — how fast the type inventory grows
+    // as the corpus streams in doc_id order (sizes tokenizer vocab and
+    // dedup state for an ingest; β≈0.5-0.8 is healthy natural text, β→1
+    // flags ID-heavy or synthetic content). The 20 order-respecting
+    // checkpoints come from pure doc_id arithmetic against the (min,max)
+    // scalar — NO global window touches the token stream; a type's first
+    // bucket is min(bkt) because the bucket map is monotone in doc_id.
+    // Cumulative sums run over the 20-row checkpoint table; the fit is
+    // q146's integer-sum regression on micro-nat logs.
+    "q153_heaps_fit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val mm = docs.agg(min($"doc_id").as("lo"), (max($"doc_id") + 1L).as("hi"))
+      val tok = docs.crossJoin(broadcast(mm))
+        .select(expr("((doc_id - lo) * 20) div (hi - lo)").as("bkt"),
+          explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      val perTok = tok.groupBy($"bkt").agg(count(lit(1)).as("n_tok"))
+      val perNew = tok.groupBy($"w").agg(min($"bkt").as("bkt"))
+        .groupBy($"bkt").agg(count(lit(1)).as("n_new"))
+      val wb = org.apache.spark.sql.expressions.Window.orderBy($"bkt")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      perTok.join(perNew, Seq("bkt"), "left")
+        .select($"bkt", $"n_tok", coalesce($"n_new", lit(0L)).as("n_new"))
+        .select(sum($"n_tok").over(wb).as("ct"), sum($"n_new").over(wb).as("cv"))
+        .select(floor(log($"ct".cast("double")) * 1000000.0).cast("long").as("x"),
+          floor(log($"cv".cast("double")) * 1000000.0).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+          sum($"y" * $"y").as("syy"))
+        .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+        .withColumn("denx", $"n" * $"sxx" - $"sx" * $"sx")
+        .withColumn("deny", $"n" * $"syy" - $"sy" * $"sy")
+        // deny = 0 ⇔ the vocabulary saturated before the second checkpoint
+        // (constant y): the horizontal line is then the exact fit — slope
+        // 0, r² defined as 1. Guarded on BOTH engines (ANSI errors on the
+        // 0 divisor instead of yielding NaN).
+        .withColumn("slope", when($"denx" > 0,
+          $"num".cast("double") / $"denx".cast("double")).otherwise(lit(0.0)))
+        .select($"n".as("n_points"),
+          (floor($"slope" * 10000.0) / 10000.0).as("beta4"),
+          (floor((($"sy".cast("double") - $"slope" * $"sx".cast("double"))
+            / $"n".cast("double") / 1000000.0) * 10000.0) / 10000.0).as("icept4"),
+          when($"denx" > 0 && $"deny" > 0,
+            floor(($"num".cast("double") * $"num".cast("double"))
+              / ($"denx".cast("double") * $"deny".cast("double")) * 10000.0)
+              / 10000.0).otherwise(lit(1.0)).as("r2_4"))
+    }),
+
+    // Winsorized robust stats per source — rank-exact p05/p95 clipping of
+    // the length signal before the mean: the robust alternative to
+    // DROPPING outlier docs (clip, don't discard — keeps token mass).
+    // Nearest-rank percentiles with a doc_id tie-break are exact and
+    // engine-agnostic (no interpolation); the rank window partitions by
+    // source so strata parallelize, the cut table is source-count-sized
+    // and broadcast back, and everything after the rank is integer
+    // arithmetic quantized at 1e-4.
+    "q154_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n_chars", $"doc_id")
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+      val r = t(s, dir, "documents")
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
+      val cuts = r.groupBy($"source")
+        .agg(max(when($"rn" === expr("(n * 5 + 99) div 100"), $"n_chars")).as("p05"),
+          max(when($"rn" === expr("(n * 95 + 99) div 100"), $"n_chars")).as("p95"))
+      r.join(broadcast(cuts), Seq("source"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), max($"p05").as("p05"), max($"p95").as("p95"),
+          expr("(sum(n_chars) * 10000) div count(1)").as("mr"),
+          expr("(sum(least(greatest(n_chars, p05), p95)) * 10000) div count(1)")
+            .as("mw"))
+        .select($"source", $"n_docs", $"p05", $"p95",
+          ($"mr" / lit(10000.0)).as("mean_raw4"),
+          ($"mw" / lit(10000.0)).as("mean_wins4"))
+        .orderBy($"source")
+    }),
+
+    // First-order Markov transition matrix over each user's event stream —
+    // the behavioral fingerprint (what follows what) behind bot detection
+    // (deterministic loops) and load simulation. Ordering is within-user
+    // only (lead over the user window — strata parallelize; no global
+    // sort); probabilities are integer arithmetic on pair/row counts; the
+    // per-state totals table is state-count-sized and broadcast. Timestamps
+    // compare in the µs domain (NANOS parquet, DuckDB truncates on read)
+    // with event_id breaking equal-ts ties on both engines.
+    "q155_event_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"tu", $"event_id")
+      val pairs = t(s, dir, "events")
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tu"),
+          $"event_type".as("cur"))
+        .withColumn("nxt", lead($"cur", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"cur", $"nxt").agg(count(lit(1)).as("n_pair"))
+      val tot = pairs.groupBy($"cur").agg(sum($"n_pair").as("n_cur"))
+      pairs.join(broadcast(tot), Seq("cur"))
+        .select($"cur", $"nxt", $"n_pair", $"n_cur",
+          (expr("(n_pair * 10000) div n_cur") / lit(10000.0)).as("p4"))
+        .orderBy($"cur", $"nxt")
+    }),
+
+    // Corpus-balance audit: entropies of the lang and source marginals,
+    // their joint, and the mutual information between the two fields —
+    // MI ≈ 0 means language mix is uniform across sources (safe to sample
+    // by either alone); high NMI means a source IS a language and mixture
+    // weights must be set jointly. Everything reduces on the (lang,
+    // source) cell table (tens of rows); each -p·ln p term floor-quantizes
+    // to integer micro-nats the moment it is computed, so the distributed
+    // sums and the MI subtraction are exact cross-engine.
+    "q156_lang_source_mi" -> ((s, dir) => {
+      import s.implicits._
+      def entU(cnt: Column, n: Column): Column =
+        floor(-(cnt.cast("double") / n.cast("double"))
+          * log(cnt.cast("double") / n.cast("double")) * lit(1000000.0)).cast("long")
+      val cells = t(s, dir, "documents")
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // cell table feeds all three entropy aggs
+      val nRow = broadcast(cells.agg(sum($"c").as("n")))
+      val hj = cells.crossJoin(nRow).agg(sum(entU($"c", $"n")).as("hj_u"))
+      val hl = cells.groupBy($"lang").agg(sum($"c").as("cl")).crossJoin(nRow)
+        .agg(sum(entU($"cl", $"n")).as("hl_u"))
+      val hs = cells.groupBy($"source").agg(sum($"c").as("cs")).crossJoin(nRow)
+        .agg(sum(entU($"cs", $"n")).as("hs_u"))
+      nRow.crossJoin(broadcast(hl)).crossJoin(broadcast(hs)).crossJoin(broadcast(hj))
+        .withColumn("mi_u", $"hl_u" + $"hs_u" - $"hj_u")
+        .select($"n".as("n_docs"),
+          ($"hl_u" / lit(1000000.0)).as("h_lang6"),
+          ($"hs_u" / lit(1000000.0)).as("h_source6"),
+          ($"hj_u" / lit(1000000.0)).as("h_joint6"),
+          ($"mi_u" / lit(1000000.0)).as("mi6"),
+          (when(least($"hl_u", $"hs_u") > 0,
+            expr("(mi_u * 10000) div least(hl_u, hs_u)"))
+            .otherwise(lit(0L)) / lit(10000.0)).as("nmi4"))
     }),
 
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
@@ -5034,6 +5187,50 @@ ov AS (SELECT a.split AS split_a, b.split AS split_b, count(*)::BIGINT AS n_shar
 SELECT split_a, split_b, sa.n AS n_a, sb.n AS n_b, n_shared,
        ((n_shared * 10000) // (sa.n + sb.n - n_shared))::DOUBLE / 10000.0 AS jac4
 FROM ov JOIN sizes sa ON ov.split_a = sa.split JOIN sizes sb ON ov.split_b = sb.split
-ORDER BY split_a, split_b"""
+ORDER BY split_a, split_b""",
+    // q153: same checkpoint arithmetic + q146's integer-sum regression
+    "q153_heaps_fit" ->
+      raw"""WITH mm AS (SELECT min(doc_id) AS lo, max(doc_id) + 1 AS hi FROM documents),
+tok AS (SELECT ((doc_id - lo) * 20) // (hi - lo) AS bkt, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents, mm),
+pt AS (SELECT bkt, count(*)::BIGINT AS n_tok FROM tok GROUP BY bkt),
+pn AS (SELECT bkt, count(*)::BIGINT AS n_new FROM (SELECT w, min(bkt) AS bkt FROM tok GROUP BY w) GROUP BY bkt),
+c AS (SELECT pt.bkt, sum(n_tok) OVER (ORDER BY pt.bkt)::BIGINT AS ct, sum(coalesce(n_new, 0)) OVER (ORDER BY pt.bkt)::BIGINT AS cv FROM pt LEFT JOIN pn ON pt.bkt = pn.bkt),
+r AS (SELECT floor(ln(ct::DOUBLE) * 1000000.0)::BIGINT AS x, floor(ln(cv::DOUBLE) * 1000000.0)::BIGINT AS y FROM c),
+s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy FROM r),
+d AS (SELECT n, sx, sy, (n*sxy - sx*sy)::BIGINT AS num, (n*sxx - sx*sx)::BIGINT AS denx, (n*syy - sy*sy)::BIGINT AS deny FROM s),
+e AS (SELECT n, sx, sy, num, denx, deny, CASE WHEN denx > 0 THEN num::DOUBLE / denx::DOUBLE ELSE 0.0::DOUBLE END AS slope FROM d)
+SELECT n AS n_points, floor(slope * 10000.0) / 10000.0 AS beta4,
+       floor(((sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE / 1000000.0) * 10000.0) / 10000.0 AS icept4,
+       CASE WHEN denx > 0 AND deny > 0 THEN floor((num::DOUBLE * num::DOUBLE) / (denx::DOUBLE * deny::DOUBLE) * 10000.0) / 10000.0 ELSE 1.0::DOUBLE END AS r2_4
+FROM e""",
+    // q154: nearest-rank percentiles with the same doc_id tie-break
+    "q154_winsorize" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT AS rn,
+  count(*) OVER (PARTITION BY source)::BIGINT AS n FROM documents),
+c AS (SELECT source, max(CASE WHEN rn = (n * 5 + 99) // 100 THEN n_chars END)::BIGINT AS p05,
+             max(CASE WHEN rn = (n * 95 + 99) // 100 THEN n_chars END)::BIGINT AS p95 FROM r GROUP BY source)
+SELECT r.source, count(*)::BIGINT AS n_docs, max(p05)::BIGINT AS p05, max(p95)::BIGINT AS p95,
+       ((sum(n_chars)::BIGINT * 10000) // count(*))::DOUBLE / 10000.0 AS mean_raw4,
+       ((sum(least(greatest(n_chars, p05), p95))::BIGINT * 10000) // count(*))::DOUBLE / 10000.0 AS mean_wins4
+FROM r JOIN c ON r.source = c.source GROUP BY r.source ORDER BY r.source""",
+    // q155: lead over the same (µs ts, event_id) order
+    "q155_event_transitions" ->
+      """WITH p AS (SELECT event_type AS cur, lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt FROM events),
+c AS (SELECT cur, nxt, count(*)::BIGINT AS n_pair FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT cur, sum(n_pair)::BIGINT AS n_cur FROM c GROUP BY 1)
+SELECT c.cur, c.nxt, n_pair, n_cur, ((n_pair * 10000) // n_cur)::DOUBLE / 10000.0 AS p4
+FROM c JOIN t USING (cur) ORDER BY cur, nxt""",
+    // q156: per-term micro-nat quantization keeps the entropy sums exact
+    "q156_lang_source_mi" ->
+      """WITH cells AS (SELECT lang, source, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+n AS (SELECT sum(c)::BIGINT AS n FROM cells),
+hj AS (SELECT sum(floor(-(c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE) * 1000000.0)::BIGINT)::BIGINT AS hj_u FROM cells, n),
+hl AS (SELECT sum(floor(-(cl::DOUBLE / n::DOUBLE) * ln(cl::DOUBLE / n::DOUBLE) * 1000000.0)::BIGINT)::BIGINT AS hl_u FROM (SELECT lang, sum(c)::BIGINT AS cl FROM cells GROUP BY lang), n),
+hs AS (SELECT sum(floor(-(cs::DOUBLE / n::DOUBLE) * ln(cs::DOUBLE / n::DOUBLE) * 1000000.0)::BIGINT)::BIGINT AS hs_u FROM (SELECT source, sum(c)::BIGINT AS cs FROM cells GROUP BY source), n)
+SELECT n AS n_docs, hl_u::DOUBLE / 1000000.0 AS h_lang6, hs_u::DOUBLE / 1000000.0 AS h_source6,
+       hj_u::DOUBLE / 1000000.0 AS h_joint6, (hl_u + hs_u - hj_u)::DOUBLE / 1000000.0 AS mi6,
+       (CASE WHEN least(hl_u, hs_u) > 0 THEN ((hl_u + hs_u - hj_u) * 10000) // least(hl_u, hs_u) ELSE 0 END)::DOUBLE / 10000.0 AS nmi4
+FROM n, hl, hs, hj""",
   )
 }

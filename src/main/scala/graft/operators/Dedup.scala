@@ -297,13 +297,15 @@ object Dedup {
     * `keeper_id` = the minimum id of its connected component in the
     * undirected pair graph (ids not in any pair keep themselves).
     *
-    * Iterative min-label propagation — the standard large-graph connected
-    * components: each round is ONE join shuffle (edges ⋈ labels) + a
-    * min-aggregate, labels are `localCheckpoint`ed per round so lineage
-    * stays O(1), and the loop stops when a round changes nothing
-    * (O(component diameter) rounds; near-dup clusters are shallow). At
-    * 100 TB this never materializes the graph on the driver — the only
-    * driver-side values are the per-round change counts.
+    * Iterative min-label propagation with pointer halving — the standard
+    * large-graph connected components: each round is one edge-min join
+    * (edges ⋈ labels + min-aggregate) followed by one label-of-label
+    * shortcut join against the previous round's materialized labels, so
+    * rounds are O(log component diameter) rather than O(diameter). Labels
+    * are `localCheckpoint`ed per round so lineage stays O(1), and the loop
+    * stops when a round changes nothing. At 100 TB this never materializes
+    * the graph on the driver — the only driver-side values are the
+    * per-round change counts.
     */
   def resolveClusters(pairs: DataFrame, allIds: DataFrame): DataFrame =
     resolveClustersCounted(pairs, allIds)._1
@@ -343,14 +345,26 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_min"))
-      // ONE join per round: the change flag rides through the checkpoint, so
-      // counting movers is a scan of materialized partitions — not a second
-      // labels-sized join shuffle (labels only ever decrease, so moved ⇔
-      // some neighbor label is strictly smaller)
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // Edge-min step, then a pointer-halving step: jump to the PREVIOUS
+      // round's label of the new label (the mapping side is the
+      // already-materialized checkpoint — no recompute). Distances to the
+      // component minimum shrink superlinearly, so rounds are O(log
+      // diameter) instead of O(diameter) — on a 100 TB dup graph a
+      // thousand-hop clone chain resolves in ~15 rounds, not ~1000. Labels
+      // only ever decrease and every label value is a member id, so the
+      // fixed point is still exactly the per-component minimum; the change
+      // flag rides through the checkpoint, so counting movers is a scan of
+      // materialized partitions, not another labels-sized shuffle.
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("__l1"))
+      val next = stepped
+        .join(labels.select(col("id").as("__l1"), col("label").as("__ll")),
+          Seq("__l1"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (coalesce(col("nbr_min"), col("label")) < col("label")).as("__moved"))
+          least(col("__l1"), coalesce(col("__ll"), col("__l1"))).as("label"),
+          (least(col("__l1"), coalesce(col("__ll"), col("__l1"))) < col("__old"))
+            .as("__moved"))
         .localCheckpoint()
       changed = next.filter(col("__moved")).count()
       if (changed > 0) rounds += 1
