@@ -3610,6 +3610,103 @@ object SparkEntry {
             .otherwise(lit(0L)) / lit(10000.0)).as("nmi4"))
     }),
 
+    // Triangle census of the near-dup pair graph — the structural honesty
+    // check on a candidate set: true duplicate clusters are cliques
+    // (transitivity → 1); open wedges are banding artifacts / chained
+    // borderline matches that cluster resolution would glue into one
+    // spurious group. Degree-ordered orientation bounds the wedge join's
+    // fan-out by O(√E) per node; counts are exact integers, the one float
+    // division is pre-quantized. See [[graft.operators.GraphMetrics]].
+    "q147_dup_triangles" -> ((s, dir) => {
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      graft.operators.GraphMetrics.triangleSummary(pairs, "id_a", "id_b")
+    }),
+
+    // EWMA smoothing of the hourly event series with EXACT integer
+    // arithmetic: weights are powers of two (α = 1/2 over a 24-hour
+    // horizon), so numerator and denominator are order-free BIGINT sums —
+    // no float pow, no engine-ordered accumulation, bit-identical on any
+    // partitioning. The q72 z-score flags deviation from a flat mean; the
+    // EWMA baseline discounts the past geometrically, the load-forecast
+    // shape. Missing hours contribute nothing (sparse EWMA; q125's dense
+    // spine is the zero-filled alternative). Scale: the fan-out join is
+    // 24× a TIME-BUCKET-sized table, never corpus-sized.
+    "q157_ewma_hourly" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .select(expr("ts div 3600000000000").as("hour_bucket"))
+        .groupBy($"hour_bucket").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // contributions + the target join read it
+      val contrib = hourly
+        .select($"hour_bucket", $"n", explode(expr("sequence(1, 24)")).as("k"))
+        .select(($"hour_bucket" + $"k").as("hour_bucket"),
+          expr("n * shiftleft(cast(1 as bigint), 24 - k)").as("wn"),
+          expr("shiftleft(cast(1 as bigint), 24 - k)").as("wt"))
+        .groupBy($"hour_bucket")
+        .agg(sum($"wn").as("num"), sum($"wt").as("den"),
+          count(lit(1)).as("n_prior"))
+      hourly.join(contrib, Seq("hour_bucket"), "left")
+        .select($"hour_bucket", $"n",
+          coalesce($"n_prior", lit(0L)).as("n_prior"),
+          when($"den" > 0, expr("(num * 10000) div den") / lit(10000.0))
+            .as("smooth4"),
+          when($"den" > 0,
+            when($"n" * $"den" > lit(2L) * $"num", lit(1L)).otherwise(lit(0L)))
+            .as("spike"))
+        .orderBy($"hour_bucket")
+    }),
+
+    // IVF nprobe sweep — the tuning report an ANN deployment reads before
+    // fixing its recall/cost point: recall@10 vs the brute-force truth at
+    // nprobe ∈ {1,2,4,8}. One corpus assignment scan + ONE candidate
+    // scoring join feed all four sweep points (cell_rank ≤ nprobe filters
+    // a shared scored relation — the sweep never rescans the corpus); the
+    // brute truth is one more scan with the 16 queries broadcast. Output
+    // is sweep-sized.
+    "q158_ivf_probe_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
+      val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
+      // every centroid ranked per query — the probe order, k-sized per query
+      val wq = Window.partitionBy($"query_id").orderBy($"csc".desc, $"centroid_id")
+      val qcells = queries.crossJoin(broadcast(cents))
+        .select($"query_id", $"qv", $"centroid_id",
+          VectorFunctions.cosineSim($"qv", $"centroid").as("csc"))
+        .withColumn("cell_rank", row_number().over(wq))
+        .select($"query_id", $"qv", $"centroid_id", $"cell_rank")
+      val cand = cells.join(broadcast(qcells), Seq("centroid_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"cell_rank", $"vec_id",
+          VectorFunctions.cosineSim($"embedding", $"qv").as("sc"))
+        .localCheckpoint(false) // one scored relation feeds all sweep points
+      val wb = Window.partitionBy($"query_id").orderBy($"sc".desc, $"vec_id")
+      val brute = emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          VectorFunctions.cosineSim($"embedding", $"qv").as("sc"))
+        .withColumn("rn", row_number().over(wb)).filter($"rn" <= 10)
+        .select($"query_id", $"vec_id")
+        .localCheckpoint(false) // k·queries-sized truth set
+      val sweep = Seq(1L, 2L, 4L, 8L).toDF("nprobe")
+      val wk = Window.partitionBy($"nprobe", $"query_id")
+        .orderBy($"sc".desc, $"vec_id")
+      val hits = cand.join(broadcast(sweep), $"cell_rank" <= $"nprobe")
+        .withColumn("rn", row_number().over(wk)).filter($"rn" <= 10)
+        .join(brute, Seq("query_id", "vec_id"))
+        .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+      val nq = queries.agg(count(lit(1)).as("n_q"))
+      sweep.join(hits, Seq("nprobe"), "left").crossJoin(broadcast(nq))
+        .select($"nprobe", coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (expr("(coalesce(n_hits, 0) * 10000) div (n_q * 10)") / lit(10000.0))
+            .as("recall4"))
+        .orderBy($"nprobe")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -5232,5 +5329,45 @@ SELECT n AS n_docs, hl_u::DOUBLE / 1000000.0 AS h_lang6, hs_u::DOUBLE / 1000000.
        hj_u::DOUBLE / 1000000.0 AS h_joint6, (hl_u + hs_u - hj_u)::DOUBLE / 1000000.0 AS mi6,
        (CASE WHEN least(hl_u, hs_u) > 0 THEN ((hl_u + hs_u - hj_u) * 10000) // least(hl_u, hs_u) ELSE 0 END)::DOUBLE / 10000.0 AS nmi4
 FROM n, hl, hs, hj""",
+    // q147: degree-ordered triangle census of the LSH-verified pair graph
+    "q147_dup_triangles" ->
+      s"""WITH $LshVerifiedCtes,
+prs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.5),
+deg AS (SELECT v, count(*)::BIGINT AS d FROM (SELECT id_a AS v FROM prs UNION ALL SELECT id_b FROM prs) GROUP BY v),
+o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND id_a < id_b) THEN id_a ELSE id_b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND id_a < id_b) THEN id_b ELSE id_a END AS w
+      FROM prs JOIN deg da ON prs.id_a = da.v JOIN deg db ON prs.id_b = db.v),
+wg AS (SELECT o1.w AS lo, o2.w AS hi FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w),
+tri AS (SELECT count(*)::BIGINT AS n_triangles FROM wg JOIN prs ON wg.lo = prs.id_a AND wg.hi = prs.id_b),
+ns AS (SELECT count(*)::BIGINT AS n_nodes, sum(d*(d-1)//2)::BIGINT AS n_wedges FROM deg),
+es AS (SELECT count(*)::BIGINT AS n_edges FROM prs)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+ (CASE WHEN n_wedges > 0 THEN (3*n_triangles*10000)//n_wedges ELSE 0 END)::DOUBLE / 10000.0 AS transitivity4
+FROM ns, es, tri""",
+    // q157: power-of-two EWMA weights — exact integer num/den sums
+    "q157_ewma_hourly" ->
+      """WITH hourly AS (SELECT epoch_us(ts)//3600000000 AS hour_bucket, count(*)::BIGINT AS n FROM events GROUP BY 1),
+contrib AS (SELECT hour_bucket + k AS thb, n * (1::BIGINT << (24-k)) AS wn, (1::BIGINT << (24-k))::BIGINT AS wt
+            FROM hourly, (SELECT unnest(range(1,25)) AS k) ks(k)),
+sm AS (SELECT thb, sum(wn)::BIGINT AS num, sum(wt)::BIGINT AS den, count(*)::BIGINT AS n_prior FROM contrib GROUP BY thb)
+SELECT h.hour_bucket, h.n, coalesce(n_prior, 0)::BIGINT AS n_prior,
+  CASE WHEN den > 0 THEN ((num*10000)//den)::DOUBLE/10000.0 END AS smooth4,
+  (CASE WHEN den > 0 THEN (CASE WHEN h.n*den > 2*num THEN 1 ELSE 0 END) END)::BIGINT AS spike
+FROM hourly h LEFT JOIN sm ON h.hour_bucket = sm.thb ORDER BY hour_bucket""",
+    // q158: one shared scored relation feeds every sweep point; brute
+    // top-10 is the truth set; ranking ties break by vec_id on both engines
+    "q158_ivf_probe_sweep" ->
+      """WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+corpcell AS (SELECT vec_id, embedding, centroid_id FROM (SELECT e.vec_id, e.embedding, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+qc AS (SELECT query_id, qv, centroid_id, rn AS cell_rank FROM (SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) q, cents c)),
+cand AS (SELECT qc.query_id, qc.cell_rank, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], qc.qv::DOUBLE[]) AS sc FROM corpcell e JOIN qc ON e.centroid_id = qc.centroid_id WHERE e.vec_id <> qc.query_id),
+brute AS (SELECT query_id, vec_id FROM (SELECT q.vec_id AS query_id, e.vec_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id) AS rn FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) q WHERE e.vec_id <> q.vec_id) WHERE rn <= 10),
+sw AS (SELECT unnest([1,2,4,8]) AS nprobe),
+topk AS (SELECT nprobe, query_id, vec_id FROM (SELECT sw.nprobe, c.query_id, c.vec_id, row_number() OVER (PARTITION BY sw.nprobe, c.query_id ORDER BY c.sc DESC, c.vec_id) AS rn FROM cand c JOIN sw ON c.cell_rank <= sw.nprobe) WHERE rn <= 10),
+h AS (SELECT nprobe, count(*)::BIGINT AS n_hits FROM topk JOIN brute USING (query_id, vec_id) GROUP BY nprobe),
+nq AS (SELECT count(*)::BIGINT AS n_q FROM embeddings WHERE vec_id < 16)
+SELECT sw.nprobe::BIGINT AS nprobe, coalesce(n_hits, 0)::BIGINT AS n_hits,
+  ((coalesce(n_hits, 0) * 10000) // (n_q * 10))::DOUBLE / 10000.0 AS recall4
+FROM sw LEFT JOIN h USING (nprobe), nq ORDER BY nprobe""",
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting and global clustering coefficient over an undirected
+  * pair graph, via the degree-ordered orientation (Schank & Wagner 2005;
+  * the shape every distributed triangle counter uses — cf. Suri &
+  * Vassilvitskii's MapReduce formulation, WWW 2011).
+  *
+  * Motivation in this suite: run it on the near-dup pair graph (q39's
+  * output). Transitivity is the structural honesty check on a dedup
+  * candidate set — true duplicate clusters are cliques (transitivity → 1),
+  * while banding artifacts and chained borderline matches show up as open
+  * wedges (a~b, b~c, a≁c). A low coefficient on a high-threshold pair set
+  * means the verify step is letting non-transitive "similarity" through,
+  * which is what you audit before trusting cluster resolution (q53/q118)
+  * to pick one survivor per group.
+  *
+  * Scale shape: every edge is oriented from its (degree, id)-smaller
+  * endpoint, which bounds out-degree by O(√E) on any graph — so the wedge
+  * self-join (the only superlinear step) generates Σ C(outdeg, 2) ≤ E·√E
+  * candidate wedges instead of the Σ C(deg, 2) a naive hub join would
+  * (a clone clique of m docs contributes m·C(m-1,2) wedges unoriented but
+  * only C(m,3) oriented — the hub's fan-out is split across the order).
+  * Each triangle is counted EXACTLY once: its (degree, id)-minimal vertex
+  * is the unique apex with out-edges to the other two. The closing-edge
+  * probe is a pair-key equi-join against the canonical edge list. All
+  * counts are exact integer aggregates; the one float division is the
+  * final transitivity, quantized to 1e-4 by integer division first.
+  *
+  * CONTRACT (same as [[PageRank.ranks]]): `pairs` holds each undirected
+  * pair once (the `id_a < id_b` dedup-pipeline output). The operator does
+  * not re-distinct — a corpus-scale distinct would dominate the job's
+  * memory for no semantic gain on a unique pair list. Self-loops are
+  * dropped.
+  */
+object GraphMetrics {
+
+  /** One-row summary: node/edge/wedge/triangle counts and the global
+    * clustering coefficient (transitivity = 3·triangles / wedges,
+    * floor-quantized to 1e-4; 0 when the graph has no wedge).
+    */
+  def triangleSummary(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonical (lo, hi) edge list — staged once; degree, orientation and
+    // the closing-edge probe all read this cut instead of re-running the
+    // upstream pipeline (for q147: the whole LSH dedup pass) per consumer
+    val edges = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .localCheckpoint(false)
+    val deg = edges.select(col("lo").as("v"))
+      .union(edges.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false) // node-sized; feeds orientation twice + wedge total
+    // orient each edge u→v with (deg, id) strictly increasing — the total
+    // order that makes the triangle's minimal vertex the unique apex
+    val fromLo = col("dlo") < col("dhi") ||
+      (col("dlo") === col("dhi") && col("lo") < col("hi"))
+    val oriented = edges
+      .join(deg.select(col("v").as("lo"), col("d").as("dlo")), "lo")
+      .join(deg.select(col("v").as("hi"), col("d").as("dhi")), "hi")
+      .select(when(fromLo, col("lo")).otherwise(col("hi")).as("u"),
+        when(fromLo, col("hi")).otherwise(col("lo")).as("w"))
+      .localCheckpoint(false) // the wedge self-join reads it twice
+    // wedges at the apex: pairs of out-neighbors, emitted in canonical
+    // order so the closing probe is a plain (lo, hi) equi-join
+    val wedges = oriented.select(col("u"), col("w").as("x"))
+      .join(oriented.select(col("u"), col("w").as("y")), "u")
+      .filter(col("x") < col("y")) // each unordered out-pair once, canonical
+      .select(col("x").as("lo"), col("y").as("hi"))
+    val tri = wedges.join(edges, Seq("lo", "hi"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    broadcast(nodeStats).crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (when(col("n_wedges") > 0,
+          expr("(3 * n_triangles * 10000) div n_wedges")).otherwise(lit(0L))
+          / lit(10000.0)).as("transitivity4"))
+  }
+}

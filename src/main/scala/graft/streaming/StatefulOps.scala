@@ -515,4 +515,58 @@ object StatefulOps {
           out.iterator
       }
   }
+
+  final case class TransitionPair(cur: String, nxt: String, n_pair: Long)
+  final case class TransitionSnapshot(
+      user_id: Long, n_events: Long, pairs: Seq[TransitionPair])
+
+  /** Streaming twin of q155's transition matrix: a stream of (user_id,
+    * ts_us, event_id, event_type) maintains each user's time-ordered event
+    * chain; the snapshot emits the user's adjacent-pair counts, and the
+    * global matrix is a plain aggregation over latest snapshots. State per
+    * key is the user's event set sorted by (ts_us, event_id) — the same
+    * footprint as [[runningScd2]] and for the same reason: a LATE event
+    * splices into the middle of the chain and rewrites the two transitions
+    * around it, so order-correctness under arbitrary arrival requires the
+    * chain (a last-event-only state would silently corrupt the matrix on
+    * any out-of-order delivery; bound the buffer with a watermark retention
+    * window when the stream guarantees bounded lateness). Merge-insert of
+    * sorted arrivals into the sorted state is O(B + A log A); redelivered
+    * (ts_us, event_id) rows drop on merge — the suite's at-least-once
+    * contract. Pair parity with the batch lead-window under 100 random
+    * splits/replays is spec-pinned.
+    */
+  def runningTransitions(
+      events: Dataset[(Long, Long, Long, String)]): Dataset[TransitionSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[Seq[(Long, Long, String)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty).toVector
+          val seen = prev.iterator.map(e => (e._1, e._2)).toSet
+          val incoming = it.map(r => (r._2, r._3, r._4)).toVector
+            .filter(e => !seen.contains((e._1, e._2)))
+            .distinctBy(e => (e._1, e._2)) // replay inside one batch
+            .sortBy(e => (e._1, e._2))
+          val buf = {
+            val out = Vector.newBuilder[(Long, Long, String)]
+            var (i, j) = (0, 0)
+            while (i < prev.length || j < incoming.length) {
+              val takeA = j >= incoming.length ||
+                (i < prev.length && (prev(i)._1 < incoming(j)._1 ||
+                  (prev(i)._1 == incoming(j)._1 && prev(i)._2 <= incoming(j)._2)))
+              if (takeA) { out += prev(i); i += 1 } else { out += incoming(j); j += 1 }
+            }
+            out.result()
+          }
+          state.update(buf)
+          val pairs = buf.iterator.zip(buf.iterator.drop(1))
+            .map { case (a, b) => (a._3, b._3) }.toVector
+            .groupBy(identity).toVector
+            .map { case ((c, n), g) => TransitionPair(c, n, g.size.toLong) }
+            .sortBy(p => (p.cur, p.nxt))
+          TransitionSnapshot(key, buf.length.toLong, pairs)
+      }
+  }
 }

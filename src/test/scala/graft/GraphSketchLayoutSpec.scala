@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{HllAgg, HllSketch, PageRank, SemanticDedup, TopKAgg, ZOrder}
+import graft.operators.{GraphMetrics, HllAgg, HllSketch, PageRank, SemanticDedup, TopKAgg, ZOrder}
 
 /** Round-7 operators against independent plain-Scala references: the
   * bounded top-k Aggregator vs a sort, HLL registers vs a relational
@@ -285,5 +285,43 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
     val got = SemanticDedup.duplicateIds(cellsDf, tau = 0.7)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(got == want)
+  }
+
+  test("triangle summary equals a brute-force reference on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29L)
+    val pairs = (0 until 200).map(_ => (rnd.nextLong(40L), rnd.nextLong(40L)))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    val edgeSet = pairs.toSet
+    val nodes = pairs.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val deg = pairs.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wantWedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val wantTris = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length
+      if edgeSet((nodes(i), nodes(j))) && edgeSet((nodes(j), nodes(k))) &&
+        edgeSet((nodes(i), nodes(k)))
+    } yield 1).size.toLong
+    val r = GraphMetrics.triangleSummary(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect()(0)
+    assert(r.getLong(0) == nodes.length.toLong, "n_nodes")
+    assert(r.getLong(1) == pairs.length.toLong, "n_edges")
+    assert(r.getLong(2) == wantWedges, "n_wedges")
+    assert(r.getLong(3) == wantTris, "n_triangles")
+    assert(r.getDouble(4) ==
+      (if (wantWedges > 0) (3 * wantTris * 10000 / wantWedges) / 10000.0 else 0.0))
+  }
+
+  test("triangle summary on a clique is closed-form: transitivity exactly 1") {
+    import spark.implicits._
+    // K6: 15 edges, 6·C(5,2)=60 wedges, C(6,3)=20 triangles — a true dedup
+    // cluster's shape, the transitivity=1 calibration point
+    val k6 = for (a <- 0L until 6L; b <- a + 1 until 6L) yield (a, b)
+    val r = GraphMetrics.triangleSummary(k6.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      == ((6L, 15L, 60L, 20L, 1.0)))
   }
 }

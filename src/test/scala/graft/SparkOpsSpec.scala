@@ -1929,4 +1929,60 @@ class SparkOpsSpec extends AnyFunSuite {
           s"batch-only=${(want -- got).toSeq.sortBy(t => (t._1, t._2)).take(5)}")
     } finally q.stop()
   }
+
+  test("streaming transition matrix equals the batch lead-window for 100 random streams, splits and replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sq = spark.sqlContext
+    // q155's twin: per-user event chains under fully random arrival order
+    // (late events splice mid-chain and must rewrite the surrounding
+    // transitions) with redelivered rows exercising at-least-once dedupe
+    val rnd = new scala.util.Random(91L)
+    val types = Vector("view", "click", "purchase", "error")
+    val all = scala.collection.mutable.Buffer.empty[(Long, Long, Long, String)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val q = graft.streaming.StatefulOps.runningTransitions(input.toDS())
+      .writeStream.format("memory").queryName("trans_prop").outputMode("update").start()
+    try {
+      var eid = 0L
+      for (c <- 0 until 100) {
+        val evs = rnd.shuffle((for {
+          u <- 0 until 3
+          _ <- 0 until (2 + rnd.nextInt(6))
+        } yield {
+          eid += 1
+          ((c * 10 + u).toLong, rnd.nextInt(500).toLong + 1L, eid,
+            types(rnd.nextInt(types.size)))
+        }).toSeq)
+        val cuts = Seq.fill(rnd.nextInt(3))(rnd.nextInt(evs.size + 1)).sorted
+        val bounds = (0 +: cuts :+ evs.size).toVector
+        var delivered = Vector.empty[(Long, Long, Long, String)]
+        bounds.zip(bounds.tail).foreach { case (a, b) =>
+          val replay = if (delivered.nonEmpty)
+            Seq.fill(rnd.nextInt(3))(delivered(rnd.nextInt(delivered.size)))
+          else Seq.empty
+          val batch = rnd.shuffle(evs.slice(a, b) ++ replay)
+          delivered ++= evs.slice(a, b)
+          if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+        }
+        all ++= evs
+      }
+      // latest snapshot per user, pairs summed into the global matrix
+      val got = spark.table("trans_prop")
+        .orderBy($"n_events".desc).dropDuplicates("user_id")
+        .select(explode($"pairs").as("p"))
+        .groupBy($"p.cur", $"p.nxt").agg(sum($"p.n_pair").as("n_pair"))
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      // q155's batch shape over everything sent
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val want = all.toSeq.toDF("user_id", "ts_us", "event_id", "cur")
+        .withColumn("nxt", lead($"cur", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"cur", $"nxt").agg(count(lit(1)).as("n_pair"))
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
 }
