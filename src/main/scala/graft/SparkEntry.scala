@@ -3610,17 +3610,22 @@ object SparkEntry {
             .otherwise(lit(0L)) / lit(10000.0)).as("nmi4"))
     }),
 
-    // Triangle census of the near-dup pair graph — the structural honesty
-    // check on a candidate set: true duplicate clusters are cliques
-    // (transitivity → 1); open wedges are banding artifacts / chained
-    // borderline matches that cluster resolution would glue into one
-    // spurious group. Degree-ordered orientation bounds the wedge join's
-    // fan-out by O(√E) per node; counts are exact integers, the one float
-    // division is pre-quantized. See [[graft.operators.GraphMetrics]].
+    // Triangle census of the STRONG near-dup pair graph — the structural
+    // honesty check on a candidate set: true duplicate clusters are
+    // cliques (transitivity → 1); open wedges are banding artifacts /
+    // chained borderline matches that cluster resolution would glue into
+    // one spurious group. Threshold 0.75 (est_jac ≥ 6/8) picks the graph
+    // worth auditing: triangle ENUMERATION is Θ(wedges) in any algorithm,
+    // and this templated corpus's 0.5-graph is a near-clique soup (90M
+    // oriented wedges at sf0.1, measured — vs 649k at 0.75) whose census
+    // answers nothing a cluster audit asks. Degree-ordered orientation
+    // bounds the wedge join's fan-out by O(√E) per node; counts are exact
+    // integers, the one float division is pre-quantized. See
+    // [[graft.operators.GraphMetrics]].
     "q147_dup_triangles" -> ((s, dir) => {
       val pairs = graft.operators.Dedup.nearDupPairs(
         t(s, dir, "documents"), "doc_id", "text",
-        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
       graft.operators.GraphMetrics.triangleSummary(pairs, "id_a", "id_b")
     }),
 
@@ -3706,6 +3711,15 @@ object SparkEntry {
             .as("recall4"))
         .orderBy($"nprobe")
     }),
+
+    // Exact corpus percentiles WITHOUT a global sort — two histogram-sized
+    // shuffles locate each nearest-rank order statistic (the audit/SLA
+    // numbers approx_percentile can't certify). See
+    // [[graft.operators.ExactQuantiles]] for the refinement scheme.
+    "q159_exact_quantiles" -> ((s, dir) =>
+      graft.operators.ExactQuantiles.quantiles(
+        t(s, dir, "documents"), "n_chars",
+        probs4 = Seq(2500L, 5000L, 7500L, 9000L, 9900L), coarseWidth = 64L)),
 
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
@@ -5332,7 +5346,7 @@ FROM n, hl, hs, hj""",
     // q147: degree-ordered triangle census of the LSH-verified pair graph
     "q147_dup_triangles" ->
       s"""WITH $LshVerifiedCtes,
-prs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.5),
+prs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.75),
 deg AS (SELECT v, count(*)::BIGINT AS d FROM (SELECT id_a AS v FROM prs UNION ALL SELECT id_b FROM prs) GROUP BY v),
 o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND id_a < id_b) THEN id_a ELSE id_b END AS u,
              CASE WHEN da.d < db.d OR (da.d = db.d AND id_a < id_b) THEN id_b ELSE id_a END AS w
@@ -5369,5 +5383,13 @@ nq AS (SELECT count(*)::BIGINT AS n_q FROM embeddings WHERE vec_id < 16)
 SELECT sw.nprobe::BIGINT AS nprobe, coalesce(n_hits, 0)::BIGINT AS n_hits,
   ((coalesce(n_hits, 0) * 10000) // (n_q * 10))::DOUBLE / 10000.0 AS recall4
 FROM sw LEFT JOIN h USING (nprobe), nq ORDER BY nprobe""",
+    // q159: nearest-rank order statistics — the oracle sorts, the engine
+    // must not (two histogram passes); ranks in exact integer arithmetic
+    "q159_exact_quantiles" ->
+      """WITH r AS (SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) AS rn, count(*) OVER () AS n FROM documents),
+p AS (SELECT unnest([2500,5000,7500,9000,9900]) AS p4),
+t AS (SELECT p4, (p4 * n + 9999) // 10000 AS rank FROM p, (SELECT max(n) AS n FROM r) nn)
+SELECT p4::DOUBLE / 10000.0 AS prob4, t.rank::BIGINT AS rank, r.v::BIGINT AS value
+FROM t JOIN r ON r.rn = t.rank ORDER BY prob4""",
   )
 }

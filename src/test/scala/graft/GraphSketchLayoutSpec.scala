@@ -314,6 +314,38 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
       (if (wantWedges > 0) (3 * wantTris * 10000 / wantWedges) / 10000.0 else 0.0))
   }
 
+  test("exact quantiles equal the sorted reference for random data across bucket widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43L)
+    val xs = Seq.fill(3000)(rnd.nextInt(5000).toLong - 1000L) // negatives too
+    val sorted = xs.sorted
+    val probs = Seq(1L, 2500L, 5000L, 7500L, 9999L, 10000L)
+    val want = probs.map { p4 =>
+      val rank = (p4 * xs.size + 9999) / 10000
+      (p4 / 10000.0, rank, sorted((rank - 1).toInt))
+    }.toSet
+    for (width <- Seq(1L, 7L, 64L, 100000L)) { // 1 = exact pass-1; huge = one bucket
+      val got = graft.operators.ExactQuantiles
+        .quantiles(xs.toDF("v"), "v", probs, coarseWidth = width)
+        .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"width=$width")
+    }
+  }
+
+  test("exact quantiles plan has no global sort of the corpus") {
+    import spark.implicits._
+    val df = graft.operators.ExactQuantiles
+      .quantiles((1L to 1000L).toDF("v"), "v", Seq(5000L), coarseWidth = 16L)
+    // windows sort HISTOGRAM relations; the corpus relation itself must
+    // reach its aggregates unsorted — no Sort node directly above the
+    // input scan feeding a non-window operator. Cheap proxy: the physical
+    // plan's only Sort nodes belong to window operators (and the final
+    // probs-sized orderBy), never a global Exchange rangepartitioning of
+    // the corpus-sized relation before an aggregate.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning(v"), plan)
+  }
+
   test("triangle summary on a clique is closed-form: transitivity exactly 1") {
     import spark.implicits._
     // K6: 15 edges, 6·C(5,2)=60 wedges, C(6,3)=20 triangles — a true dedup
