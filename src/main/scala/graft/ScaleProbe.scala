@@ -314,7 +314,40 @@ object ScaleProbe {
     val uniques = q148df.agg(sum($"n_unique")).head().getLong(0)
     require(uniques == 0L, s"q148 10x: $uniques unique grams on a cloned corpus")
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q108s, q113s, q115s, q118s, q119s, q136s, q148s)
+    // q147's shape: triangle census at 10×. The exact-clone corpus has a
+    // CLOSED FORM from the 1× summary: clones share every band (identical
+    // signatures) so each doc's c copies are a clique, and copies of a
+    // 1×-banded pair (a,b) inherit its est_jac across all c² combinations
+    // — the scaled graph is exactly the c-clique BLOW-UP of the 1× graph:
+    //   nodes' = c·N_docs                      (every doc gains clone edges)
+    //   edges' = N_docs·C(c,2) + E·c²
+    //   tris'  = N_docs·C(c,3) + E·2c·C(c,2) + T·c³
+    // (three triangle cases: all one family / two in a family × one in an
+    // adjacent family / three pairwise-adjacent families). A wedge join
+    // that lost or invented a single candidate breaks the equality.
+    val c = copies.toLong
+    val nb = nDocs / c
+    val tri1 = graft.operators.GraphMetrics.triangleSummary(
+      graft.operators.Dedup.nearDupPairs(base, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75),
+      "id_a", "id_b").head()
+    val (e1, t1) = (tri1.getLong(1), tri1.getLong(3))
+    val tri10 = graft.operators.GraphMetrics.triangleSummary(
+      graft.operators.Dedup.nearDupPairs(scaled, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75),
+      "id_a", "id_b")
+    val q147s = timed("q147_triangles_10x") { tri10 }
+    val r10 = tri10.head() // checkpoint-backed inputs; re-agg is the probe's cost
+    require(r10.getLong(0) == c * nb,
+      s"q147 10x nodes: got ${r10.getLong(0)}, want ${c * nb}")
+    require(r10.getLong(1) == nb * c * (c - 1) / 2 + e1 * c * c,
+      s"q147 10x edges: got ${r10.getLong(1)}, want ${nb * c * (c - 1) / 2 + e1 * c * c}")
+    require(r10.getLong(3) ==
+      nb * c * (c - 1) * (c - 2) / 6 + e1 * c * c * (c - 1) + t1 * c * c * c,
+      s"q147 10x triangles: got ${r10.getLong(3)}, want " +
+        s"${nb * c * (c - 1) * (c - 2) / 6 + e1 * c * c * (c - 1) + t1 * c * c * c}")
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

@@ -3721,6 +3721,62 @@ object SparkEntry {
         t(s, dir, "documents"), "n_chars",
         probs4 = Seq(2500L, 5000L, 7500L, 9000L, 9900L), coarseWidth = 64L)),
 
+    // Join-cardinality estimation from per-key statistics — the CBO
+    // question ("how big is this join?") answered from k-row sketches
+    // BEFORE paying the join: per side, a count histogram collapses to 5
+    // exact heavy hitters (TopKAgg — the q129 diagnostic) plus residual
+    // (n_rest, d_rest) scalars; the estimate is exact on HH∩HH, uniform
+    // (n div d) on the residual — System-R's containment assumption with
+    // the skew mass factored out, in integer arithmetic throughout. The
+    // query ALSO runs the exact join (this is the estimator's validation
+    // report; a deployment computes only the k-row statistics side).
+    "q160_join_estimate" -> ((s, dir) => {
+      import s.implicits._
+      val topk = udaf(new graft.operators.TopKAgg(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+      def stats(df: DataFrame, key: String): (DataFrame, DataFrame) = {
+        val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+          .localCheckpoint(false) // one count shuffle feeds HH + totals
+        val hh = counts.agg(topk($"c", $"k").as("top"))
+          .select(posexplode($"top"))
+          .select($"col._2".as("k"), $"col._1".as("c"))
+        (hh, counts.agg(sum($"c").as("n"), count(lit(1)).as("d")))
+      }
+      val ev = t(s, dir, "events")
+      val ord = t(s, dir, "orders")
+      val (ha, ta) = stats(ev, "user_id")
+      val (hb, tb) = stats(ord, "o_custkey")
+      val sa = ha.agg(coalesce(sum($"c"), lit(0L)).as("n_hh_a"),
+        count(lit(1)).as("d_hh_a"))
+      val sb = hb.agg(coalesce(sum($"c"), lit(0L)).as("n_hh_b"),
+        count(lit(1)).as("d_hh_b"))
+      val bth = ha.join(hb.select($"k", $"c".as("cb")), Seq("k"))
+        .agg(coalesce(sum($"c" * $"cb"), lit(0L)).as("est_hh"))
+      val aon = ha.join(hb.select($"k"), Seq("k"), "left_anti")
+        .agg(coalesce(sum($"c"), lit(0L)).as("ca_only"))
+      val bon = hb.join(ha.select($"k"), Seq("k"), "left_anti")
+        .agg(coalesce(sum($"c"), lit(0L)).as("cb_only"))
+      val exact = ev.join(ord, $"user_id" === $"o_custkey")
+        .agg(count(lit(1)).as("exact_rows"))
+      broadcast(ta.select($"n".as("n_a"), $"d".as("d_a")))
+        .crossJoin(broadcast(tb.select($"n".as("n_b"), $"d".as("d_b"))))
+        .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(bth)).crossJoin(broadcast(aon))
+        .crossJoin(broadcast(bon)).crossJoin(broadcast(exact))
+        .withColumn("nra", $"n_a" - $"n_hh_a")
+        .withColumn("dra", $"d_a" - $"d_hh_a")
+        .withColumn("nrb", $"n_b" - $"n_hh_b")
+        .withColumn("drb", $"d_b" - $"d_hh_b")
+        .withColumn("est_rows",
+          $"est_hh"
+            + $"ca_only" * expr("nrb div greatest(drb, 1)")
+            + $"cb_only" * expr("nra div greatest(dra, 1)")
+            + expr("(nra * nrb) div greatest(greatest(dra, drb), 1)"))
+        .select($"n_a", $"d_a", $"n_b", $"d_b", $"est_rows", $"exact_rows",
+          (expr("(abs(est_rows - exact_rows) * 10000) div exact_rows")
+            / lit(10000.0)).as("err4"))
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -5391,5 +5447,32 @@ p AS (SELECT unnest([2500,5000,7500,9000,9900]) AS p4),
 t AS (SELECT p4, (p4 * n + 9999) // 10000 AS rank FROM p, (SELECT max(n) AS n FROM r) nn)
 SELECT p4::DOUBLE / 10000.0 AS prob4, t.rank::BIGINT AS rank, r.v::BIGINT AS value
 FROM t JOIN r ON r.rn = t.rank ORDER BY prob4""",
+    // q160: HH lists replayed with the same (count DESC, key ASC) order as
+    // TopKAgg; estimate components in identical integer arithmetic
+    "q160_join_estimate" ->
+      """WITH ca AS (SELECT user_id AS k, count(*)::BIGINT AS c FROM events GROUP BY 1),
+cb AS (SELECT o_custkey AS k, count(*)::BIGINT AS c FROM orders GROUP BY 1),
+ha AS (SELECT k, c FROM (SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn FROM ca) WHERE rn <= 5),
+hb AS (SELECT k, c FROM (SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rn FROM cb) WHERE rn <= 5),
+ta AS (SELECT sum(c)::BIGINT AS n_a, count(*)::BIGINT AS d_a FROM ca),
+tb AS (SELECT sum(c)::BIGINT AS n_b, count(*)::BIGINT AS d_b FROM cb),
+sa AS (SELECT coalesce(sum(c),0)::BIGINT AS n_hh_a, count(*)::BIGINT AS d_hh_a FROM ha),
+sb AS (SELECT coalesce(sum(c),0)::BIGINT AS n_hh_b, count(*)::BIGINT AS d_hh_b FROM hb),
+rest AS (SELECT n_a, d_a, n_b, d_b,
+  n_a - n_hh_a AS nra, d_a - d_hh_a AS dra,
+  n_b - n_hh_b AS nrb, d_b - d_hh_b AS drb FROM ta, tb, sa, sb),
+bth AS (SELECT coalesce(sum(ha.c * hb.c),0)::BIGINT AS est_hh FROM ha JOIN hb USING (k)),
+aon AS (SELECT coalesce(sum(c),0)::BIGINT AS ca_only FROM ha WHERE k NOT IN (SELECT k FROM hb)),
+bon AS (SELECT coalesce(sum(c),0)::BIGINT AS cb_only FROM hb WHERE k NOT IN (SELECT k FROM ha)),
+ex AS (SELECT count(*)::BIGINT AS exact_rows FROM events JOIN orders ON user_id = o_custkey),
+est AS (SELECT n_a, d_a, n_b, d_b,
+  (est_hh
+   + ca_only * (nrb // greatest(drb, 1))
+   + cb_only * (nra // greatest(dra, 1))
+   + (nra * nrb) // greatest(greatest(dra, drb), 1))::BIGINT AS est_rows
+  FROM rest, bth, aon, bon)
+SELECT n_a, d_a, n_b, d_b, est_rows, exact_rows,
+  (abs(est_rows - exact_rows) * 10000 // exact_rows)::DOUBLE / 10000.0 AS err4
+FROM est, ex""",
   )
 }
