@@ -27,7 +27,10 @@ object Plans {
     "q107_bigram_lm", "q108_dup_pagerank", "q110_bpe_encode",
     "q113_phrase_search", "q114_padded_batches", "q115_containment",
     "q117_funnel", "q118_dedup_survivors", "q119_token_shards",
-    "q121_point_in_time", "q124_keyed_interval")
+    "q121_point_in_time", "q124_keyed_interval",
+    "q131_span_dedup_apply", "q132_salted_join", "q143_knn_cluster_purity",
+    "q147_dup_triangles", "q150_clean_pipeline", "q157_ewma_hourly",
+    "q158_ivf_probe_sweep", "q159_exact_quantiles", "q160_join_estimate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -3777,6 +3777,51 @@ object SparkEntry {
             / lit(10000.0)).as("err4"))
     }),
 
+    // Robust anomaly flags — median/MAD instead of mean/σ (q72's z-score
+    // breaks down exactly when it matters: a burst inflates the trailing
+    // mean AND the variance, masking itself; the median ignores up to 50%
+    // contamination). Per event type over its hourly counts: med =
+    // nearest-rank median, MAD = nearest-rank median of |n − med|, flag
+    // when |n − med| · 10 > 3 · 10 · MAD computed as exact integer
+    // cross-multiplication (the 1.4826 σ-consistency constant folds into
+    // the threshold: 3·MAD here ≈ 2σ under normality). Windows partition
+    // by TYPE — strata parallelize; the per-type relations are
+    // hour-count-sized.
+    "q161_robust_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = t(s, dir, "events")
+        .select($"event_type", expr("ts div 3600000000000").as("hour_bucket"))
+        .groupBy($"event_type", $"hour_bucket").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // feeds the median, the MAD and the flags
+      val wm = Window.partitionBy($"event_type").orderBy($"n", $"hour_bucket")
+      val wc = Window.partitionBy($"event_type")
+      val med = hourly
+        .withColumn("rn", row_number().over(wm).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter($"rn" === expr("(cnt + 1) div 2"))
+        .select($"event_type", $"n".as("med"))
+      val dev = hourly.join(broadcast(med), Seq("event_type"))
+        .withColumn("ad", abs($"n" - $"med"))
+      val wd = Window.partitionBy($"event_type").orderBy($"ad", $"hour_bucket")
+      val mad = dev
+        .withColumn("rn", row_number().over(wd).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter($"rn" === expr("(cnt + 1) div 2"))
+        .select($"event_type", $"ad".as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_hours"), max($"med").as("med"),
+          max($"mad").as("mad"),
+          sum(when($"ad" > lit(3L) * $"mad", 1L).otherwise(0L)).as("n_anomalies"),
+          // worst hour = argmax deviation, ties to the later hour — packed
+          // as one integer so the same max is exact on any engine
+          max(when($"ad" > lit(3L) * $"mad",
+            $"ad" * lit(10000000L) + $"hour_bucket")).as("w"))
+        .select($"event_type", $"n_hours", $"med", $"mad", $"n_anomalies",
+          when($"w".isNotNull, pmod($"w", lit(10000000L))).as("worst_hour"))
+        .orderBy($"event_type")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -5474,5 +5519,16 @@ est AS (SELECT n_a, d_a, n_b, d_b,
 SELECT n_a, d_a, n_b, d_b, est_rows, exact_rows,
   (abs(est_rows - exact_rows) * 10000 // exact_rows)::DOUBLE / 10000.0 AS err4
 FROM est, ex""",
+    // q161: nearest-rank (lower) median and MAD with (value, hour) tie
+    // order; worst hour integer-packed so the argmax is engine-exact
+    "q161_robust_anomaly" ->
+      """WITH hourly AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour_bucket, count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+med AS (SELECT event_type, n AS med FROM (SELECT event_type, n, row_number() OVER (PARTITION BY event_type ORDER BY n, hour_bucket) AS rn, count(*) OVER (PARTITION BY event_type) AS cnt FROM hourly) WHERE rn = (cnt + 1) // 2),
+dev AS (SELECT h.event_type, h.hour_bucket, h.n, m.med, abs(h.n - m.med)::BIGINT AS ad FROM hourly h JOIN med m USING (event_type)),
+mad AS (SELECT event_type, ad AS mad FROM (SELECT event_type, ad, row_number() OVER (PARTITION BY event_type ORDER BY ad, hour_bucket) AS rn, count(*) OVER (PARTITION BY event_type) AS cnt FROM dev) WHERE rn = (cnt + 1) // 2)
+SELECT d.event_type, count(*)::BIGINT AS n_hours, max(d.med)::BIGINT AS med, max(m.mad)::BIGINT AS mad,
+  sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+  (max(CASE WHEN d.ad > 3 * m.mad THEN d.ad * 10000000 + d.hour_bucket END) % 10000000)::BIGINT AS worst_hour
+FROM dev d JOIN mad m USING (event_type) GROUP BY d.event_type ORDER BY d.event_type""",
   )
 }
