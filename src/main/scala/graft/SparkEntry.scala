@@ -3822,6 +3822,64 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // Two-proportion A/B test — the experimentation primitive: users hash
+    // into cohorts (q58's stable split hash, so assignment is reproducible
+    // and joins nothing), conversion = share of purchase events, and the
+    // pooled two-proportion z-statistic decides significance. All counts
+    // are exact integers; the z formula runs in doubles with IDENTICAL
+    // operation order on both engines and floor-quantizes at 1e-4 (q72's
+    // transcendental policy); the 1.96 significance gate compares the
+    // QUANTIZED z so the decision is integer-exact. One scan, one
+    // cohort-sized aggregate.
+    "q162_ab_test" -> ((s, dir) => {
+      import s.implicits._
+      val cohort = pmod(graft.functions.HashFunctions
+        .stableHash64(concat(lit("ab:"), $"user_id".cast("string"))), lit(2L))
+      val g = t(s, dir, "events")
+        .select(cohort.as("cohort"),
+          ($"event_type" === "purchase").cast("long").as("is_conv"))
+        .groupBy($"cohort")
+        .agg(count(lit(1)).as("n"), sum($"is_conv").as("k"))
+      val a = g.filter($"cohort" === 0).select($"n".as("n0"), $"k".as("k0"))
+      val b = g.filter($"cohort" === 1).select($"n".as("n1"), $"k".as("k1"))
+      broadcast(a).crossJoin(broadcast(b))
+        .withColumn("p0_4", expr("(k0 * 10000) div n0"))
+        .withColumn("p1_4", expr("(k1 * 10000) div n1"))
+        .withColumn("z4", floor(
+          (($"k0".cast("double") / $"n0".cast("double"))
+            - ($"k1".cast("double") / $"n1".cast("double")))
+            / sqrt((($"k0" + $"k1").cast("double") / ($"n0" + $"n1").cast("double"))
+              * (lit(1.0) - ($"k0" + $"k1").cast("double") / ($"n0" + $"n1").cast("double"))
+              * (lit(1.0) / $"n0".cast("double") + lit(1.0) / $"n1".cast("double")))
+            * lit(10000.0)).cast("long"))
+        .select($"n0", $"k0", $"n1", $"k1", $"p0_4", $"p1_4", $"z4",
+          (abs($"z4") > 19600L).cast("int").as("significant"))
+    }),
+
+    // Funnel latency percentiles — median/p90/p99 time from a user's first
+    // 'view' to their first subsequent 'purchase', in EXACT order
+    // statistics: the per-user delta table reduces from one scan (two
+    // conditional min aggregates), and the percentiles come from
+    // [[graft.operators.ExactQuantiles]] — two histogram-sized shuffles
+    // with 1-hour coarse buckets, no global sort of the latency column.
+    // The number an SLA quotes ("p99 conversion lag") certified exactly.
+    "q163_conversion_lag" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr("ts div 1000").as("ts_us"), $"event_type")
+      val firstView = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts_us").as("t_view"))
+      // per-user relation joins on user_id — shuffle-hash at scale, NOT
+      // broadcast: the user dimension grows with the corpus
+      val deltas = ev.filter($"event_type" === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter($"ts_us" >= $"t_view")
+        .groupBy($"user_id").agg(min($"ts_us" - $"t_view").as("lag_us"))
+      graft.operators.ExactQuantiles.quantiles(
+        deltas, "lag_us", probs4 = Seq(5000L, 9000L, 9900L),
+        coarseWidth = 3600000000L)
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -5530,5 +5588,28 @@ SELECT d.event_type, count(*)::BIGINT AS n_hours, max(d.med)::BIGINT AS med, max
   sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
   (max(CASE WHEN d.ad > 3 * m.mad THEN d.ad * 10000000 + d.hour_bucket END) % 10000000)::BIGINT AS worst_hour
 FROM dev d JOIN mad m USING (event_type) GROUP BY d.event_type ORDER BY d.event_type""",
+    // q162: q58's stable md5 cohort hash; z in identical double op order,
+    // significance decided on the QUANTIZED statistic
+    "q162_ab_test" ->
+      """WITH e AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS cohort, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv FROM events),
+g AS (SELECT cohort, count(*)::BIGINT AS n, sum(is_conv)::BIGINT AS k FROM e GROUP BY cohort),
+a AS (SELECT n AS n0, k AS k0 FROM g WHERE cohort = 0),
+b AS (SELECT n AS n1, k AS k1 FROM g WHERE cohort = 1),
+z AS (SELECT n0, k0, n1, k1, (k0*10000)//n0 AS p0_4, (k1*10000)//n1 AS p1_4,
+  floor(((k0::DOUBLE / n0::DOUBLE) - (k1::DOUBLE / n1::DOUBLE))
+    / sqrt(((k0+k1)::DOUBLE / (n0+n1)::DOUBLE) * (1.0 - (k0+k1)::DOUBLE / (n0+n1)::DOUBLE) * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) * 10000.0)::BIGINT AS z4
+  FROM a, b)
+SELECT n0, k0, n1, k1, p0_4, p1_4, z4, (CASE WHEN abs(z4) > 19600 THEN 1 ELSE 0 END)::INT AS significant FROM z""",
+    // q163: per-user first-view→first-purchase lags, then q159's
+    // nearest-rank oracle shape over the lag column
+    "q163_conversion_lag" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+fv AS (SELECT user_id, min(ts_us) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+d AS (SELECT e.user_id, min(e.ts_us - f.t_view)::BIGINT AS lag_us FROM ev e JOIN fv f USING (user_id) WHERE e.event_type = 'purchase' AND e.ts_us >= f.t_view GROUP BY e.user_id),
+r AS (SELECT lag_us AS v, row_number() OVER (ORDER BY lag_us) AS rn, count(*) OVER () AS n FROM d),
+p AS (SELECT unnest([5000,9000,9900]) AS p4),
+t AS (SELECT p4, (p4 * n + 9999) // 10000 AS rank FROM p, (SELECT max(n) AS n FROM r) nn)
+SELECT p4::DOUBLE / 10000.0 AS prob4, t.rank::BIGINT AS rank, r.v::BIGINT AS value
+FROM t JOIN r ON r.rn = t.rank ORDER BY prob4""",
   )
 }
