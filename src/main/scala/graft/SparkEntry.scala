@@ -3880,6 +3880,32 @@ object SparkEntry {
         coarseWidth = 3600000000L)
     }),
 
+    // Dedup component-size distribution — the audit a deployment reads
+    // BEFORE committing cluster resolution: a healthy near-dup graph is
+    // mostly singletons and small cliques; a giant component (here a
+    // 102-doc cluster holding 20% of the corpus at sf0.01) is the
+    // signature of chained borderline matches about to collapse a fifth
+    // of the corpus into one survivor. Pairs → min-label components
+    // (q53's machinery on q147's strong graph) → size histogram; the
+    // distribution is component-count-sized, shares in exact 1e-4 units.
+    "q164_component_sizes" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
+      val labels = graft.operators.Dedup
+        .resolveClusters(pairs, docs.select($"doc_id"))
+      val sizes = labels.groupBy($"keeper_id").agg(count(lit(1)).as("sz"))
+      val tot = labels.agg(count(lit(1)).as("n"))
+      sizes.groupBy($"sz".as("size")).agg(count(lit(1)).as("n_components"))
+        .crossJoin(broadcast(tot))
+        .select($"size", $"n_components",
+          ($"size" * $"n_components").as("n_docs"),
+          (expr("(size * n_components * 10000) div n") / lit(10000.0))
+            .as("share4"))
+        .orderBy($"size")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -5611,5 +5637,18 @@ p AS (SELECT unnest([5000,9000,9900]) AS p4),
 t AS (SELECT p4, (p4 * n + 9999) // 10000 AS rank FROM p, (SELECT max(n) AS n FROM r) nn)
 SELECT p4::DOUBLE / 10000.0 AS prob4, t.rank::BIGINT AS rank, r.v::BIGINT AS value
 FROM t JOIN r ON r.rn = t.rank ORDER BY prob4""",
+    // q164: q53's recursive reach on the 0.75 strong graph, rolled into a
+    // component-size histogram with exact 1e-4 corpus shares
+    "q164_component_sizes" ->
+      s"""WITH RECURSIVE $LshVerifiedCtes,
+good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.75),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id),
+lab AS (SELECT id, min(r) AS keeper_id FROM reach GROUP BY id),
+sizes AS (SELECT keeper_id, count(*)::BIGINT AS sz FROM lab GROUP BY keeper_id),
+tot AS (SELECT count(*)::BIGINT AS n FROM lab)
+SELECT sz AS size, count(*)::BIGINT AS n_components, (sz * count(*))::BIGINT AS n_docs,
+  ((sz * count(*) * 10000) // n)::DOUBLE / 10000.0 AS share4
+FROM sizes, tot GROUP BY sz, n ORDER BY size""",
   )
 }
