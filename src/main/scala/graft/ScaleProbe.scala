@@ -164,6 +164,31 @@ object ScaleProbe {
         k = 5, minCount = 2)
     }
 
+    // q131's incremental shape: the span-gram index of the first copies−1
+    // copies is written UNTIMED (the once-at-ingest cost); the timed run
+    // hashes ONLY the newest copy's grams and probes the stored index —
+    // the nightly cost, O(delta grams + index probe), never a base
+    // re-scan. Closed form (copies >= 2): every delta gram already exists
+    // in the base (exact clones), so each delta doc with >= k tokens is
+    // FULLY covered (n_kept == 0) and the output has exactly one row per
+    // delta doc.
+    graft.operators.SpanDedup.spanIndex(
+        scaled.filter($"doc_id" < deltaLo), "doc_id",
+        graft.operators.TextAnalysis.tokensCol($"text"), k = 5)
+      .write.mode("overwrite").parquet("/tmp/graft_probe_warehouse/span_index")
+    val q131df = graft.operators.SpanDedup.applySpanDedupIncremental(
+      spark.read.parquet("/tmp/graft_probe_warehouse/span_index"),
+      scaled.filter($"doc_id" >= deltaLo), "doc_id",
+      graft.operators.TextAnalysis.tokensCol($"text"), k = 5, minCount = 2)
+    val q131s = timed("q131_span_incremental_10x") { q131df }
+    if (copies >= 2) {
+      require(q131s._3 == nDocs / copies,
+        s"q131 10x rows: got ${q131s._3}, want ${nDocs / copies}")
+      val strays131 = q131df.filter($"n_tok" >= 5 && $"n_kept" > 0).count()
+      require(strays131 == 0L,
+        s"q131 10x: $strays131 delta docs kept tokens despite full base coverage")
+    }
+
     // q108's shape: integer PageRank over the 10× near-dup pair graph.
     // Every doc gains C(copies,2) clone pairs, so EVERY doc is a node and
     // the closed form is rows == n_docs exactly. Probes the iteration
@@ -338,8 +363,12 @@ object ScaleProbe {
       "id_a", "id_b")
     val q147s = timed("q147_triangles_10x") { tri10 }
     val r10 = tri10.head() // checkpoint-backed inputs; re-agg is the probe's cost
-    require(r10.getLong(0) == c * nb,
-      s"q147 10x nodes: got ${r10.getLong(0)}, want ${c * nb}")
+    // nodes' = c·nb holds only for copies >= 2 (every doc gains clone
+    // edges); at copies = 1 isolated docs are absent from the pair graph,
+    // so the node closed form degrades where edges/triangles do not
+    if (c >= 2)
+      require(r10.getLong(0) == c * nb,
+        s"q147 10x nodes: got ${r10.getLong(0)}, want ${c * nb}")
     require(r10.getLong(1) == nb * c * (c - 1) / 2 + e1 * c * c,
       s"q147 10x edges: got ${r10.getLong(1)}, want ${nb * c * (c - 1) / 2 + e1 * c * c}")
     require(r10.getLong(3) ==
@@ -347,7 +376,52 @@ object ScaleProbe {
       s"q147 10x triangles: got ${r10.getLong(3)}, want " +
         s"${nb * c * (c - 1) * (c - 2) / 6 + e1 * c * c * (c - 1) + t1 * c * c * c}")
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s)
+    // q143's shape at 10×: embeddings cloned `copies` times with disjoint
+    // ids, run through the SHIPPED SparkEntry.knnClusterPurity (data-driven
+    // k = autoK: the 10× corpus gets ~10× the cells, so cell INTERIORS stay
+    // ~64 vectors and the within-cell pair space stays linear-in-n instead
+    // of the n² a fixed grid degrades to). Closed form (needs copies >= 4
+    // and no exact-dup base pairs — measured max base cos4 is 6008 < 10000
+    // at sf0.1): clone pairs carry cos4 = 10000, which outranks every
+    // cross-doc pair, so each c-clone family's top-3 lists stay in-family;
+    // mutual edges form exactly a 4-clique on the family's 4 lowest ids
+    // (members 5..c list {m0,m1,m2} but are listed by nobody) → each
+    // family resolves to 1 four-clique cluster + (c−4) singletons:
+    //   rows == (c − 3) · n_base, and every cluster is pure (one vector).
+    val embBase = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label")
+    val embScaled = (0 until copies).map { i =>
+      embBase.select(($"vec_id" + lit(i * offset)).as("vec_id"), $"embedding", $"label")
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val nVec = embScaled.count()
+    // bounded-cell-interior evidence, untimed: the pair space the salted
+    // within-cell join actually pays (Σ|cell|²) vs all-pairs n²
+    val cellStats = graft.operators.IvfIndex.assign(embScaled,
+        graft.operators.IvfIndex.centroids(embScaled, k = 0, iters = 0),
+        "vec_id", "embedding")
+      .groupBy($"centroid_id").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), max($"n").as("max_cell"),
+        sum($"n" * $"n").as("pair_space")).head()
+    val (nCells, maxCell, pairSpace) =
+      (cellStats.getLong(0), cellStats.getLong(1), cellStats.getLong(2))
+    require(nCells == graft.operators.IvfIndex.autoK(embScaled),
+      s"q143 10x: $nCells cells, want autoK = ${graft.operators.IvfIndex.autoK(embScaled)}")
+    require(pairSpace * 10 <= nVec * nVec,
+      s"q143 10x pair space $pairSpace not an order under all-pairs ${nVec * nVec}")
+    val q143df = SparkEntry.knnClusterPurity(embScaled)
+    val q143s = timed("q143_knn_purity_10x") { q143df }
+    if (c >= 4) {
+      require(q143s._3 == (c - 3) * (nVec / c),
+        s"q143 10x clusters: got ${q143s._3}, want ${(c - 3) * (nVec / c)}")
+      // every cluster holds copies of ONE vector → purity exactly 1.0
+      // (untimed re-read rides the pipeline's internal checkpoints)
+      val impure = q143df.filter($"purity4" < 1.0).count()
+      require(impure == 0L, s"q143 10x: $impure impure clone clusters")
+    }
+    System.err.println(
+      s"[probe] q143 cells=$nCells max_cell=$maxCell pair_space=$pairSpace n=$nVec")
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

@@ -2094,16 +2094,17 @@ object SparkEntry {
     }),
 
     // Semantic dedup (SemDeDup, arXiv:2303.09540): cluster the embedding
-    // space (8 deterministic centroids, broadcast; assignment is the IVF
+    // space (deterministic centroids, broadcast; assignment is the IVF
     // map-side max_by — one scan), then mark within-cluster lower-id
     // neighbors at cosine >= 0.3 as duplicates via a self-equi-join on the
-    // cell id. The quadratic check never leaves a cell: at 100 TB you
-    // raise k until cells are ~10³ rows and the n·s cost stays linear-ish.
+    // cell id. The quadratic check never leaves a cell, and k = 0 →
+    // IvfIndex.autoK keeps cell interiors ~64 rows as the corpus grows —
+    // the n·s cost stays linear without the caller raising k by hand.
     // The lexical dedup family (q39/q75/q85) cannot see these pairs —
     // paraphrases share no shingles.
     "q105_semantic_dedup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 0)
       graft.operators.SemanticDedup.report(emb, cents, tau = 0.3)
     }),
 
@@ -3164,50 +3165,17 @@ object SparkEntry {
     // check on an embedding table (does the geometry agree with the
     // labels?). kNN is CELL-RESTRICTED: neighbors are searched inside the
     // vector's own IVF cell (q109's deterministic cells), so the pair
-    // space is Σ|cell|² — bucketed, never corpus×corpus; at 100 TB the
-    // cell count grows with the corpus and each cell is one partition's
-    // work. Mutuality (a ∈ top3(b) ∧ b ∈ top3(a)) is a self-join of the
-    // k-sized top lists; components resolve by min-label propagation
-    // (Dedup.resolveClusters — one join per round).
+    // space is Σ|cell|² — bucketed, never corpus×corpus. The cell count is
+    // DATA-DRIVEN (k = 0 → IvfIndex.autoK: one count, k = max(8,
+    // ceil(n/64))), so cell INTERIORS stay ~64 vectors and within-cell
+    // scoring is O(n·64) — linear — at any corpus size; the oracle
+    // reproduces the same integer-ceil k. Mutuality (a ∈ top3(b) ∧
+    // b ∈ top3(a)) is a self-join of the k-sized top lists; components
+    // resolve by min-label propagation (Dedup.resolveClusters — one join
+    // per round).
     "q143_knn_cluster_purity" -> ((s, dir) => {
       import s.implicits._
-      val emb = t(s, dir, "embeddings")
-      val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
-      val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
-        .localCheckpoint(false) // assignment scan feeds both pair-join sides
-      // Salt the pair join: centroid_id alone has only k distinct values,
-      // so the scoring stage would run k tasks no matter the cluster size.
-      // Splitting the probe side by hash(src) and replicating the build
-      // side per salt yields the SAME pair set over k×8 evenly-sized
-      // tasks (the build side is cell-local, so replication is cheap).
-      val a = cells.select($"centroid_id", $"vec_id".as("src"), $"embedding".as("va"))
-        .withColumn("__slt", pmod(xxhash64($"src"), lit(8)))
-      val b = cells.select($"centroid_id", $"vec_id".as("dst"), $"embedding".as("vb"))
-        .crossJoin(s.range(8).toDF("__slt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"src").orderBy($"cos4".desc, $"dst")
-      val top = a.join(b, Seq("centroid_id", "__slt")).filter($"src" =!= $"dst")
-        .select($"src", $"dst",
-          floor(graft.functions.VectorFunctions.cosineSim($"va", $"vb")
-            * lit(10000.0)).cast("long").as("cos4"))
-        .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
-        .select($"src", $"dst")
-        .localCheckpoint(false) // k-sized lists; mutuality joins it to itself
-      val mutual = top
-        .join(top.select($"dst".as("src"), $"src".as("dst")), Seq("src", "dst"))
-        .filter($"src" < $"dst")
-        .select($"src".as("id_a"), $"dst".as("id_b"))
-      val labels = graft.operators.Dedup.resolveClustersSparse(mutual, emb.select($"vec_id"))
-      labels
-        .join(emb.select($"vec_id".as("id"), $"label".cast("long").as("label")), Seq("id"))
-        .groupBy($"keeper_id", $"label").agg(count(lit(1)).as("cnt"))
-        .groupBy($"keeper_id")
-        .agg(sum($"cnt").as("n_vecs"),
-          max(struct($"cnt".as("c"), (lit(0L) - $"label").as("nl"))).as("m"))
-        .select($"keeper_id".as("cluster_id"), $"n_vecs",
-          (lit(0L) - $"m.nl").as("top_label"), $"m.c".as("n_top"))
-        .withColumn("purity4", expr("(n_top * 10000) div n_vecs") / lit(10000.0))
-        .orderBy($"cluster_id")
+      knnClusterPurity(t(s, dir, "embeddings"))
     }),
 
     // Hard-negative mining for contrastive training (in-batch negatives
@@ -3675,7 +3643,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter($"vec_id" < 16)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-      val cents = graft.operators.IvfIndex.centroids(emb, k = 8, iters = 0)
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 0)
       val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
       // every centroid ranked per query — the probe order, k-sized per query
       val wq = Window.partitionBy($"query_id").orderBy($"csc".desc, $"centroid_id")
@@ -3845,15 +3813,23 @@ object SparkEntry {
       broadcast(a).crossJoin(broadcast(b))
         .withColumn("p0_4", expr("(k0 * 10000) div n0"))
         .withColumn("p1_4", expr("(k1 * 10000) div n1"))
-        .withColumn("z4", floor(
-          (($"k0".cast("double") / $"n0".cast("double"))
-            - ($"k1".cast("double") / $"n1".cast("double")))
-            / sqrt((($"k0" + $"k1").cast("double") / ($"n0" + $"n1").cast("double"))
-              * (lit(1.0) - ($"k0" + $"k1").cast("double") / ($"n0" + $"n1").cast("double"))
-              * (lit(1.0) / $"n0".cast("double") + lit(1.0) / $"n1".cast("double")))
-            * lit(10000.0)).cast("long"))
+        // degenerate pooled rates (no conversions anywhere, or nothing
+        // but conversions) put a 0 under the sqrt: Spark would yield
+        // NaN/Infinity → null while DuckDB's floor(NaN)::BIGINT errors —
+        // gate the z identically on both engines so the edge is DEFINED
+        // (null z, null significance) rather than engine-divergent
+        .withColumn("z4", when(
+          ($"k0" + $"k1") > lit(0L) && ($"k0" + $"k1") < ($"n0" + $"n1"),
+          floor(
+            (($"k0".cast("double") / $"n0".cast("double"))
+              - ($"k1".cast("double") / $"n1".cast("double")))
+              / sqrt((($"k0" + $"k1").cast("double") / ($"n0" + $"n1").cast("double"))
+                * (lit(1.0) - ($"k0" + $"k1").cast("double") / ($"n0" + $"n1").cast("double"))
+                * (lit(1.0) / $"n0".cast("double") + lit(1.0) / $"n1".cast("double")))
+              * lit(10000.0)).cast("long")))
         .select($"n0", $"k0", $"n1", $"k1", $"p0_4", $"p1_4", $"z4",
-          (abs($"z4") > 19600L).cast("int").as("significant"))
+          when($"z4".isNotNull, (abs($"z4") > 19600L).cast("int"))
+            .as("significant"))
     }),
 
     // Funnel latency percentiles — median/p90/p99 time from a user's first
@@ -3906,6 +3882,91 @@ object SparkEntry {
         .orderBy($"size")
     }),
 
+    // q164's audit wired to a REMEDY: Dedup.guardedClusters flags
+    // components above 10% of the corpus and leaves them UNCOLLAPSED
+    // (every member survives, keeper_id = id) instead of silently welding
+    // a fifth of the corpus into one survivor — transitive band-collision
+    // similarity is not similarity. Per-component report of the decision;
+    // at sf0.01 the 102-doc chain (20% share) exercises the flagged path
+    // while the small components keep collapsing. The guard costs one
+    // component-sized aggregate + a scalar-count broadcast — never a
+    // corpus-wide shuffle.
+    "q165_guarded_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
+      val guarded = graft.operators.Dedup.guardedClusters(
+        pairs, docs.select($"doc_id"), maxShare4 = 1000L)
+      val tot = docs.agg(count(lit(1)).as("n"))
+      guarded.groupBy($"component_id")
+        .agg(count(lit(1)).as("n_members"), max($"flagged").as("flagged"),
+          count_distinct($"keeper_id").as("n_survivors"))
+        .filter($"n_members" >= 2)
+        .crossJoin(broadcast(tot))
+        .select($"component_id", $"n_members",
+          (expr("(n_members * 10000) div n") / lit(10000.0)).as("share4"),
+          $"flagged", $"n_survivors")
+        .orderBy($"component_id")
+    }),
+
+    // Learned IVF centroids vs the seed grid — q158's sweep measured an
+    // UNLEARNED grid (iters = 0: centroids are the k lowest-id vectors);
+    // this query runs the same recall@10 sweep on BOTH grids after 2
+    // deterministic Lloyd steps (assign → positional mean, empty cells
+    // keep their centroid — all relational: the oracle replays the
+    // posexplode+avg iteration in SQL, float-cast at each step like
+    // meanVectors). Learned cells track the data distribution, so the
+    // same nprobe budget recovers more of the brute-force truth — the
+    // measured gap is the evidence the Lloyd machinery earns its cost.
+    // One corpus assignment + one candidate-scoring join per grid; k is
+    // data-driven (autoK) on both.
+    "q166_ivf_learned" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val cents0 = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 0)
+      val cents2 = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 2)
+      val wb = Window.partitionBy($"query_id").orderBy($"sc".desc, $"vec_id")
+      val brute = emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          VectorFunctions.cosineSim($"embedding", $"qv").as("sc"))
+        .withColumn("rn", row_number().over(wb)).filter($"rn" <= 10)
+        .select($"query_id", $"vec_id")
+        .localCheckpoint(false) // 10·queries-sized truth feeds both sweeps
+      def sweep(cents: DataFrame, grid: String): DataFrame = {
+        val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
+        val wq = Window.partitionBy($"query_id").orderBy($"csc".desc, $"centroid_id")
+        val qcells = queries.crossJoin(broadcast(cents))
+          .select($"query_id", $"qv", $"centroid_id",
+            VectorFunctions.cosineSim($"qv", $"centroid").as("csc"))
+          .withColumn("cell_rank", row_number().over(wq))
+          .select($"query_id", $"qv", $"centroid_id", $"cell_rank")
+        val cand = cells.join(broadcast(qcells), Seq("centroid_id"))
+          .filter($"vec_id" =!= $"query_id")
+          .select($"query_id", $"cell_rank", $"vec_id",
+            VectorFunctions.cosineSim($"embedding", $"qv").as("sc"))
+          .localCheckpoint(false) // one scored relation feeds all sweep points
+        val sweepDf = Seq(1L, 2L, 4L).toDF("nprobe")
+        val wk = Window.partitionBy($"nprobe", $"query_id")
+          .orderBy($"sc".desc, $"vec_id")
+        val hits = cand.join(broadcast(sweepDf), $"cell_rank" <= $"nprobe")
+          .withColumn("rn", row_number().over(wk)).filter($"rn" <= 10)
+          .join(brute, Seq("query_id", "vec_id"))
+          .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+        val nq = queries.agg(count(lit(1)).as("n_q"))
+        sweepDf.join(hits, Seq("nprobe"), "left").crossJoin(broadcast(nq))
+          .select(lit(grid).as("grid"), $"nprobe",
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            (expr("(coalesce(n_hits, 0) * 10000) div (n_q * 10)") / lit(10000.0))
+              .as("recall4"))
+      }
+      sweep(cents0, "seed").unionByName(sweep(cents2, "lloyd2"))
+        .orderBy($"grid", $"nprobe")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -3933,6 +3994,55 @@ object SparkEntry {
   def releaseStaging(s: SparkSession): Unit = {
     s.sql("UNCACHE TABLE IF EXISTS v_sql_bands")
     s.sql("DROP TABLE IF EXISTS sql_bands_stage")
+  }
+
+  /** q143's body against any embeddings relation — factored out so
+    * [[ScaleProbe]] measures exactly the shipped shape on a 10× corpus.
+    * Cell-restricted mutual-kNN + label purity: the cell count is
+    * data-driven (k = 0 → [[graft.operators.IvfIndex.autoK]], one count
+    * action), so cell interiors stay ~[[graft.operators.IvfIndex.DefaultTargetCellSize]]
+    * vectors and the within-cell pair space is O(n · cellSize) — linear in
+    * the corpus — at any scale.
+    */
+  def knnClusterPurity(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 0)
+    val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
+      .localCheckpoint(false) // assignment scan feeds both pair-join sides
+    // Salt the pair join: centroid_id alone has only k distinct values,
+    // so the scoring stage would run k tasks no matter the cluster size.
+    // Splitting the probe side by hash(src) and replicating the build
+    // side per salt yields the SAME pair set over k×8 evenly-sized
+    // tasks (the build side is cell-local, so replication is cheap).
+    val a = cells.select($"centroid_id", $"vec_id".as("src"), $"embedding".as("va"))
+      .withColumn("__slt", pmod(xxhash64($"src"), lit(8)))
+    val b = cells.select($"centroid_id", $"vec_id".as("dst"), $"embedding".as("vb"))
+      .crossJoin(s.range(8).toDF("__slt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"cos4".desc, $"dst")
+    val top = a.join(b, Seq("centroid_id", "__slt")).filter($"src" =!= $"dst")
+      .select($"src", $"dst",
+        floor(graft.functions.VectorFunctions.cosineSim($"va", $"vb")
+          * lit(10000.0)).cast("long").as("cos4"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"src", $"dst")
+      .localCheckpoint(false) // k-sized lists; mutuality joins it to itself
+    val mutual = top
+      .join(top.select($"dst".as("src"), $"src".as("dst")), Seq("src", "dst"))
+      .filter($"src" < $"dst")
+      .select($"src".as("id_a"), $"dst".as("id_b"))
+    val labels = graft.operators.Dedup.resolveClustersSparse(mutual, emb.select($"vec_id"))
+    labels
+      .join(emb.select($"vec_id".as("id"), $"label".cast("long").as("label")), Seq("id"))
+      .groupBy($"keeper_id", $"label").agg(count(lit(1)).as("cnt"))
+      .groupBy($"keeper_id")
+      .agg(sum($"cnt").as("n_vecs"),
+        max(struct($"cnt".as("c"), (lit(0L) - $"label").as("nl"))).as("m"))
+      .select($"keeper_id".as("cluster_id"), $"n_vecs",
+        (lit(0L) - $"m.nl").as("top_label"), $"m.c".as("n_top"))
+      .withColumn("purity4", expr("(n_top * 10000) div n_vecs") / lit(10000.0))
+      .orderBy($"cluster_id")
   }
 
   /** The band-relation body shared by both staging variants: MinHash
@@ -4913,7 +5023,8 @@ SELECT source, n_exact, floor(est * 10000.0) / 10000.0 AS est4 FROM (
     "q104_weighted_sample" ->
       """SELECT row_number() OVER (ORDER BY skey, doc_id) AS rk, doc_id, source, w, skey FROM (SELECT doc_id, source, w, (eu * 1000) // w AS skey FROM (SELECT doc_id, source, greatest(n_chars, 1) AS w, floor(-ln(((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1048576) + 1)::DOUBLE / 1048576.0) * 1000000000.0)::BIGINT AS eu FROM documents)) ORDER BY skey, doc_id LIMIT 20""",
     "q105_semantic_dedup" ->
-      """WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s, kk WHERE s.srn <= kk.k),
 cells AS (SELECT vec_id, embedding, centroid_id FROM (SELECT e.vec_id, e.embedding, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
 dups AS (SELECT centroid_id, count(*) AS n_dup FROM (SELECT DISTINCT b.centroid_id, b.vec_id FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3) GROUP BY centroid_id)
 SELECT s.centroid_id, n_vecs, coalesce(n_dup, 0)::BIGINT AS n_dup, (n_vecs - coalesce(n_dup, 0))::BIGINT AS n_kept
@@ -5373,7 +5484,8 @@ ORDER BY pmi_u DESC, wa, wb LIMIT 50""",
     // q143: q109's cells, quantized-cos ranking, recursive-CTE min-label
     // closure for the components
     "q143_knn_cluster_purity" ->
-      """WITH RECURSIVE cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      """WITH RECURSIVE kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s, kk WHERE s.srn <= kk.k),
 cells AS (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
 sc AS (SELECT a.vec_id AS src, b.vec_id AS dst,
        floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 10000.0)::BIGINT AS cos4
@@ -5556,7 +5668,8 @@ FROM hourly h LEFT JOIN sm ON h.hour_bucket = sm.thb ORDER BY hour_bucket""",
     // q158: one shared scored relation feeds every sweep point; brute
     // top-10 is the truth set; ranking ties break by vec_id on both engines
     "q158_ivf_probe_sweep" ->
-      """WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s, kk WHERE s.srn <= kk.k),
 corpcell AS (SELECT vec_id, embedding, centroid_id FROM (SELECT e.vec_id, e.embedding, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
 qc AS (SELECT query_id, qv, centroid_id, rn AS cell_rank FROM (SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16) q, cents c)),
 cand AS (SELECT qc.query_id, qc.cell_rank, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], qc.qv::DOUBLE[]) AS sc FROM corpcell e JOIN qc ON e.centroid_id = qc.centroid_id WHERE e.vec_id <> qc.query_id),
@@ -5622,10 +5735,11 @@ g AS (SELECT cohort, count(*)::BIGINT AS n, sum(is_conv)::BIGINT AS k FROM e GRO
 a AS (SELECT n AS n0, k AS k0 FROM g WHERE cohort = 0),
 b AS (SELECT n AS n1, k AS k1 FROM g WHERE cohort = 1),
 z AS (SELECT n0, k0, n1, k1, (k0*10000)//n0 AS p0_4, (k1*10000)//n1 AS p1_4,
+  CASE WHEN (k0+k1) > 0 AND (k0+k1) < (n0+n1) THEN
   floor(((k0::DOUBLE / n0::DOUBLE) - (k1::DOUBLE / n1::DOUBLE))
-    / sqrt(((k0+k1)::DOUBLE / (n0+n1)::DOUBLE) * (1.0 - (k0+k1)::DOUBLE / (n0+n1)::DOUBLE) * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) * 10000.0)::BIGINT AS z4
+    / sqrt(((k0+k1)::DOUBLE / (n0+n1)::DOUBLE) * (1.0 - (k0+k1)::DOUBLE / (n0+n1)::DOUBLE) * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) * 10000.0)::BIGINT END AS z4
   FROM a, b)
-SELECT n0, k0, n1, k1, p0_4, p1_4, z4, (CASE WHEN abs(z4) > 19600 THEN 1 ELSE 0 END)::INT AS significant FROM z""",
+SELECT n0, k0, n1, k1, p0_4, p1_4, z4, (CASE WHEN z4 IS NULL THEN NULL WHEN abs(z4) > 19600 THEN 1 ELSE 0 END)::INT AS significant FROM z""",
     // q163: per-user first-view→first-purchase lags, then q159's
     // nearest-rank oracle shape over the lag column
     "q163_conversion_lag" ->
@@ -5650,5 +5764,52 @@ tot AS (SELECT count(*)::BIGINT AS n FROM lab)
 SELECT sz AS size, count(*)::BIGINT AS n_components, (sz * count(*))::BIGINT AS n_docs,
   ((sz * count(*) * 10000) // n)::DOUBLE / 10000.0 AS share4
 FROM sizes, tot GROUP BY sz, n ORDER BY size""",
+    // q165: q164's components + the exact integer share gate; flagged
+    // components report every member surviving
+    "q165_guarded_dedup" ->
+      s"""WITH RECURSIVE $LshVerifiedCtes,
+good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.75),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id),
+lab AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+sizes AS (SELECT component_id, count(*)::BIGINT AS sz FROM lab GROUP BY component_id),
+tot AS (SELECT count(*)::BIGINT AS n FROM lab)
+SELECT component_id, sz AS n_members, ((sz * 10000) // n)::DOUBLE / 10000.0 AS share4,
+  (CASE WHEN sz * 10000 > 1000 * n THEN 1 ELSE 0 END)::INT AS flagged,
+  (CASE WHEN sz * 10000 > 1000 * n THEN sz ELSE 1 END)::BIGINT AS n_survivors
+FROM sizes, tot WHERE sz >= 2 ORDER BY component_id""",
+    // q166: the 2-step Lloyd iteration replayed relationally — assign =
+    // argmax CTE, positional mean = zipped-unnest avg FLOAT-cast per step
+    // (meanVectors' exact float policy), empty cells coalesce to their
+    // previous centroid; then q158's sweep on both grids
+    "q166_ivf_learned" ->
+      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s, kk WHERE s.srn <= kk.k),
+cell0 AS (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents0 c) WHERE rn = 1),
+m1 AS (SELECT centroid_id, pos, avg(comp) AS m FROM (SELECT c0.centroid_id, unnest(e.embedding::DOUBLE[]) AS comp, unnest(range(1, 1 + len(e.embedding))) AS pos FROM cell0 c0 JOIN embeddings e USING (vec_id)) GROUP BY centroid_id, pos),
+m1v AS (SELECT centroid_id, list(m::FLOAT ORDER BY pos) AS embedding FROM m1 GROUP BY centroid_id),
+cents1 AS (SELECT c.centroid_id, coalesce(v.embedding, c.embedding) AS embedding FROM cents0 c LEFT JOIN m1v v USING (centroid_id)),
+cell1 AS (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents1 c) WHERE rn = 1),
+m2 AS (SELECT centroid_id, pos, avg(comp) AS m FROM (SELECT c1.centroid_id, unnest(e.embedding::DOUBLE[]) AS comp, unnest(range(1, 1 + len(e.embedding))) AS pos FROM cell1 c1 JOIN embeddings e USING (vec_id)) GROUP BY centroid_id, pos),
+m2v AS (SELECT centroid_id, list(m::FLOAT ORDER BY pos) AS embedding FROM m2 GROUP BY centroid_id),
+cents2 AS (SELECT c.centroid_id, coalesce(v.embedding, c.embedding) AS embedding FROM cents1 c LEFT JOIN m2v v USING (centroid_id)),
+cell2 AS (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents2 c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+brute AS (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+sw AS (SELECT unnest([1,2,4]) AS nprobe),
+nq AS (SELECT count(*)::BIGINT AS n_q FROM embeddings WHERE vec_id < 16),
+qc0 AS (SELECT query_id, qv, centroid_id, rn AS cell_rank FROM (SELECT q.query_id, q.qv, c.centroid_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM q, cents0 c)),
+cand0 AS (SELECT qc.query_id, qc.cell_rank, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], qc.qv::DOUBLE[]) AS sc FROM embeddings e JOIN cell0 c0 ON e.vec_id = c0.vec_id JOIN qc0 qc ON c0.centroid_id = qc.centroid_id WHERE e.vec_id <> qc.query_id),
+top0 AS (SELECT nprobe, query_id, vec_id FROM (SELECT sw.nprobe, c.query_id, c.vec_id, row_number() OVER (PARTITION BY sw.nprobe, c.query_id ORDER BY c.sc DESC, c.vec_id) AS rn FROM cand0 c JOIN sw ON c.cell_rank <= sw.nprobe) WHERE rn <= 10),
+h0 AS (SELECT nprobe, count(*)::BIGINT AS n_hits FROM top0 JOIN brute USING (query_id, vec_id) GROUP BY nprobe),
+qc2 AS (SELECT query_id, qv, centroid_id, rn AS cell_rank FROM (SELECT q.query_id, q.qv, c.centroid_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM q, cents2 c)),
+cand2 AS (SELECT qc.query_id, qc.cell_rank, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], qc.qv::DOUBLE[]) AS sc FROM embeddings e JOIN cell2 c2 ON e.vec_id = c2.vec_id JOIN qc2 qc ON c2.centroid_id = qc.centroid_id WHERE e.vec_id <> qc.query_id),
+top2 AS (SELECT nprobe, query_id, vec_id FROM (SELECT sw.nprobe, c.query_id, c.vec_id, row_number() OVER (PARTITION BY sw.nprobe, c.query_id ORDER BY c.sc DESC, c.vec_id) AS rn FROM cand2 c JOIN sw ON c.cell_rank <= sw.nprobe) WHERE rn <= 10),
+h2 AS (SELECT nprobe, count(*)::BIGINT AS n_hits FROM top2 JOIN brute USING (query_id, vec_id) GROUP BY nprobe)
+SELECT * FROM (
+SELECT 'seed' AS grid, sw.nprobe::BIGINT AS nprobe, coalesce(h0.n_hits, 0)::BIGINT AS n_hits, ((coalesce(h0.n_hits, 0) * 10000) // (n_q * 10))::DOUBLE / 10000.0 AS recall4 FROM sw LEFT JOIN h0 USING (nprobe), nq
+UNION ALL
+SELECT 'lloyd2' AS grid, sw.nprobe::BIGINT AS nprobe, coalesce(h2.n_hits, 0)::BIGINT AS n_hits, ((coalesce(h2.n_hits, 0) * 10000) // (n_q * 10))::DOUBLE / 10000.0 AS recall4 FROM sw LEFT JOIN h2 USING (nprobe), nq
+) ORDER BY grid, nprobe""",
   )
 }

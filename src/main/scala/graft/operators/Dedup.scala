@@ -327,6 +327,38 @@ object Dedup {
       .select(col("id"), coalesce(col("keeper_id"), col("id")).as("keeper_id"))
   }
 
+  /** [[resolveClustersSparse]] with a giant-component guard: components
+    * holding more than `maxShare4`/10000 of the corpus are FLAGGED and not
+    * collapsed — every flagged member keeps itself as survivor
+    * (`keeper_id = id`) so a pre-commit audit can route the component to
+    * review instead of silently deduping a fifth of the corpus to one doc
+    * (the q164 evidence: at sf0.01 one 102-doc LSH chain already holds 20%
+    * — transitive similarity is NOT similarity, and a band-collision chain
+    * can weld unrelated docs into one cluster).
+    *
+    * Output: (id, component_id, keeper_id, flagged). The share test is
+    * exact integer arithmetic (`sz · 10000 > maxShare4 · n`) so an oracle
+    * reproduces the decision bit-for-bit. Cost over the plain resolve: one
+    * component-sized aggregate + one broadcast of the scalar corpus count —
+    * the guard never adds a corpus-wide shuffle.
+    */
+  def guardedClusters(pairs: DataFrame, allIds: DataFrame,
+      maxShare4: Long): DataFrame = {
+    val labels = resolveClustersSparse(pairs, allIds)
+      .select(col("id"), col("keeper_id").as("component_id"))
+    val sizes = labels.groupBy(col("component_id")).agg(count(lit(1)).as("__sz"))
+    val tot = allIds.select(col(allIds.columns.head).as("id")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    labels
+      .join(sizes, Seq("component_id"))
+      .crossJoin(broadcast(tot))
+      .select(col("id"), col("component_id"),
+        when(col("__sz") * lit(10000L) > lit(maxShare4) * col("__n"), col("id"))
+          .otherwise(col("component_id")).as("keeper_id"),
+        (col("__sz") * lit(10000L) > lit(maxShare4) * col("__n"))
+          .cast("int").as("flagged"))
+  }
+
   /** [[resolveClusters]] plus the number of propagation rounds that moved at
     * least one label — observable evidence that multi-hop components really
     * iterated (any chain A~B~C resolved through B needs ≥ 2 rounds for A's

@@ -19,6 +19,25 @@ import graft.functions.VectorFunctions
   */
 object IvfIndex {
 
+  /** Default cell-interior bound for [[autoK]]: cells hold ~64 vectors, so
+    * within-cell pair work is O(n · 64) — linear in the corpus — instead of
+    * the quadratic Σ|cell|² a FIXED k degenerates to as the corpus grows.
+    */
+  val DefaultTargetCellSize = 64L
+
+  /** Data-driven cell count: `k = max(kMin, ceil(n / targetCellSize))` from
+    * ONE count action (integer ceil — both engines reproduce it exactly).
+    * This is the IVF scale contract made executable: cell SIZE is the
+    * invariant, cell COUNT grows with the corpus. Callers passing `k = 0`
+    * to [[centroids]] get this automatically (the same treatment
+    * `IntervalJoin.estimateBucketSize` gives `bucketSize = 0`).
+    */
+  def autoK(corpus: DataFrame,
+      targetCellSize: Long = DefaultTargetCellSize, kMin: Int = 8): Int = {
+    val n = corpus.count()
+    math.max(kMin.toLong, (n + targetCellSize - 1L) / targetCellSize).toInt
+  }
+
   /** Element-wise mean of grouped vectors via posexplode + positional avg —
     * k × dim rows, negligible next to the corpus scan.
     */
@@ -60,10 +79,12 @@ object IvfIndex {
     * i times by iteration i and an optimizer blow-up at real scale.
     */
   def centroids(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetCellSize: Long = DefaultTargetCellSize): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val seeds = corpus.orderBy(col(idCol)).limit(k)
+    val kEff = if (k > 0) k else autoK(corpus, targetCellSize)
+    val seeds = corpus.orderBy(col(idCol)).limit(kEff)
       .select(col(vecCol)).as[Seq[Float]].collect()
     var cents = seeds.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("centroid_id", "centroid")

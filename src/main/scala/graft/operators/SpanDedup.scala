@@ -133,6 +133,14 @@ object SpanDedup {
       .withColumn("rn", row_number().over(byGramOrd))
       .filter(col("n_occ") >= minCount && col("rn") >= 2)
       .select(col(docCol), col("pos"))
+    rebuildFromDrops(toks, drops, docCol, k)
+  }
+
+  /** Runs → covered positions → anti-join rebuild, shared by the
+    * full-corpus and incremental apply paths.
+    */
+  private def rebuildFromDrops(
+      toks: DataFrame, drops: DataFrame, docCol: String, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(docCol)).orderBy(col("pos"))
     // windows at gap <= k overlap-or-touch: same run (positions contiguous)
     val runs = drops
@@ -160,5 +168,48 @@ object SpanDedup {
         coalesce(col("n_kept_raw"), lit(0L)).as("n_kept"),
         (col("n_tok") - coalesce(col("n_kept_raw"), lit(0L))).as("n_dropped"),
         coalesce(col("clean_raw"), lit("")).as("text_clean"))
+  }
+
+  /** The persisted gram index incremental span-dedup probes: one row per
+    * distinct k-gram hash with its corpus-wide occurrence count. Written
+    * once at ingest (parquet, bucketed by `gh` at scale so the nightly
+    * probe join co-locates); the nightly delta then pays its own gram
+    * stream plus one probe of this table — never a re-scan of the base
+    * corpus (q78's incremental shape, applied to spans).
+    */
+  def spanIndex(
+      docs: DataFrame, docCol: String, tokens: Column, k: Int = 5): DataFrame =
+    gramPositions(docs, docCol, tokens, k)
+      .groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
+
+  /** [[applySpanDedup]] for a DELTA batch against a stored [[spanIndex]] of
+    * the base corpus. A delta window drops iff the combined corpus has seen
+    * its gram before it: any base occurrence (base ids sort before delta
+    * ids — the append-only ingest order this operator assumes, exactly
+    * q78's), or an earlier delta occurrence, provided the combined count
+    * reaches `minCount`. PARITY-exact with running [[applySpanDedup]] on
+    * base ∪ delta and keeping the delta rows (spec-checked): the combined
+    * rank of a delta occurrence is `n_base + rn_delta`, so `rn >= 2` is
+    * precisely `n_base >= 1 ∨ rn_delta >= 2`.
+    *
+    * Cost: the delta's own (doc, pos, 8-byte-hash) stream through one gh
+    * shuffle + one equi-join probe of the index — O(delta grams + index
+    * probe), never O(base corpus tokens).
+    */
+  def applySpanDedupIncremental(
+      index: DataFrame, delta: DataFrame, docCol: String, tokens: Column,
+      k: Int = 5, minCount: Int = 2): DataFrame = {
+    val toks = delta.select(col(docCol), tokens.as("w"))
+    val grams = gramPositions(delta, docCol, tokens, k)
+    val byGram = Window.partitionBy(col("gh"))
+    val byGramOrd = byGram.orderBy(col(docCol), col("pos"))
+    val drops = grams
+      .withColumn("n_delta", count(lit(1)).over(byGram))
+      .withColumn("rn_delta", row_number().over(byGramOrd))
+      .join(index.select(col("gh"), col("n_occ").as("n_base")), Seq("gh"), "left")
+      .filter(coalesce(col("n_base"), lit(0L)) + col("n_delta") >= minCount &&
+        (coalesce(col("n_base"), lit(0L)) >= 1L || col("rn_delta") >= 2))
+      .select(col(docCol), col("pos"))
+    rebuildFromDrops(toks, drops, docCol, k)
   }
 }

@@ -82,9 +82,10 @@ object PdfIngest {
   }
 
   /** S3: binary-file corpus + pluggable page-text decoder. The default
-    * decoder is a clearly-marked STUB (no PDF codec in this container):
-    * bytes that decode as UTF-8 pass through, else empty — the dataflow
-    * (binaryFile source, per-file concat of page texts) is the real part.
+    * decoder is [[defaultPdfToText]]: real PDF bytes through the pure-JVM
+    * [[PdfTextExtractor]], everything else through the UTF-8 passthrough
+    * stub. A deployment wanting the exotic-encoding tail drops in PDFBox
+    * here without touching the dataflow.
     */
   def readBinaryDir(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
@@ -95,7 +96,19 @@ object PdfIngest {
     try new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     catch { case _: Throwable => "" }
 
-  def extractText(binaries: DataFrame, pdfToText: Array[Byte] => String = stubPdfToText): DataFrame = {
+  /** Default decoder: real `%PDF-` bytes go through the pure-JVM
+    * [[PdfTextExtractor]] (xref-less stream walk, FlateDecode via
+    * `java.util.zip.Inflater`, BT/ET + Tj/TJ text operators — the common
+    * subset of what the reference gets from PyPDF, `pipeline1.py:605-612`);
+    * anything else falls back to the UTF-8 passthrough stub, which remains
+    * the documented fallback for exotic encodings (CID fonts, encryption,
+    * predictor-coded Flate) that need a real font subsystem.
+    */
+  val defaultPdfToText: Array[Byte] => String = bytes =>
+    if (PdfTextExtractor.isPdf(bytes)) PdfTextExtractor.extract(bytes)
+    else stubPdfToText(bytes)
+
+  def extractText(binaries: DataFrame, pdfToText: Array[Byte] => String = defaultPdfToText): DataFrame = {
     val spark = binaries.sparkSession
     import spark.implicits._
     binaries.select(col("filename"), col("content"))

@@ -1,0 +1,306 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.Inflater
+
+/** Minimal pure-JVM PDF text extraction for the common PDF subset — the
+  * codec the reference gets from PyPDF's `extract_text`
+  * (`pipeline1.py:605-612`), rebuilt on nothing but `java.util.zip`:
+  *
+  *   1. locate `stream … endstream` payloads and their owning object
+  *      dictionaries (a byte scan, not a full xref walk — robust to the
+  *      incremental-update files a strict xref parse rejects);
+  *   2. FlateDecode payloads through [[java.util.zip.Inflater]] (zlib
+  *      header first, raw-deflate fallback);
+  *   3. tokenize content streams and walk `BT … ET` text blocks, emitting
+  *      `Tj` / `TJ` / `'` / `"` show-text operands (literal strings with
+  *      the full escape table, hex strings) with newline heuristics on
+  *      `T*` / `Td` / `TD` / `TD`-style leading.
+  *
+  * Deliberately out of scope (the documented fallback remains
+  * [[PdfIngest.stubPdfToText]]): CID/Type0 composite fonts with multi-byte
+  * encodings, encrypted documents, predictors on Flate, LZW/DCT filters,
+  * and object streams (`/ObjStm`) — the exotic-encoding tail that needs a
+  * real font subsystem, not a text pass.
+  */
+object PdfTextExtractor {
+
+  /** `%PDF-` magic within the first 1 KiB (the spec allows junk before it). */
+  def isPdf(bytes: Array[Byte]): Boolean = {
+    val limit = math.min(bytes.length - 4, 1024)
+    var i = 0
+    while (i < limit) {
+      if (bytes(i) == '%' && bytes(i + 1) == 'P' && bytes(i + 2) == 'D' &&
+        bytes(i + 3) == 'F' && bytes(i + 4) == '-') return true
+      i += 1
+    }
+    false
+  }
+
+  /** All pages' text, blocks newline-joined; "" when nothing decodable. */
+  def extract(bytes: Array[Byte]): String = {
+    if (!isPdf(bytes)) return ""
+    val out = new StringBuilder
+    for ((dict, payload) <- rawStreams(bytes)) {
+      val data =
+        if (dict.contains("/FlateDecode")) inflate(payload).getOrElse(Array.emptyByteArray)
+        else payload
+      if (containsTextBlock(data)) {
+        val text = contentText(data)
+        if (text.nonEmpty) {
+          if (out.nonEmpty && !out.endsWith("\n")) out.append('\n')
+          out.append(text)
+        }
+      }
+    }
+    out.result().trim
+  }
+
+  // ---- stage 1: stream payloads ------------------------------------------
+
+  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.getBytes("ISO-8859-1")
+    var i = math.max(from, 0)
+    val last = hay.length - n.length
+    while (i <= last) {
+      var j = 0
+      while (j < n.length && hay(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** (owning-dict text, payload bytes) for each `stream…endstream`. The
+    * dict is the byte span from the nearest preceding `obj` keyword — close
+    * enough to read `/Filter` without resolving indirect references.
+    */
+  private def rawStreams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val found = Seq.newBuilder[(String, Array[Byte])]
+    var pos = 0
+    var streamAt = indexOf(bytes, "stream", pos)
+    while (streamAt >= 0) {
+      // "endstream" also contains "stream" — require a non-letter before it
+      val standalone = streamAt == 0 || !Character.isLetter((bytes(streamAt - 1) & 0xff).toChar)
+      var payloadStart = streamAt + "stream".length
+      if (standalone && payloadStart < bytes.length) {
+        // EOL after the keyword: CRLF or LF per spec (tolerate a lone CR)
+        if (payloadStart < bytes.length && bytes(payloadStart) == '\r') payloadStart += 1
+        if (payloadStart < bytes.length && bytes(payloadStart) == '\n') payloadStart += 1
+        val end = indexOf(bytes, "endstream", payloadStart)
+        if (end > payloadStart) {
+          var payloadEnd = end
+          // strip the EOL that precedes `endstream`
+          if (payloadEnd > payloadStart && bytes(payloadEnd - 1) == '\n') payloadEnd -= 1
+          if (payloadEnd > payloadStart && bytes(payloadEnd - 1) == '\r') payloadEnd -= 1
+          val objAt = lastIndexOfObj(bytes, streamAt)
+          val dict = new String(bytes, objAt, streamAt - objAt, "ISO-8859-1")
+          found += ((dict, java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)))
+          pos = end + "endstream".length
+        } else pos = payloadStart
+      } else pos = payloadStart
+      streamAt = indexOf(bytes, "stream", pos)
+    }
+    found.result()
+  }
+
+  private def lastIndexOfObj(bytes: Array[Byte], before: Int): Int = {
+    var best = 0
+    var i = indexOf(bytes, "obj", 0)
+    while (i >= 0 && i < before) {
+      best = i
+      i = indexOf(bytes, "obj", i + 3)
+    }
+    best
+  }
+
+  // ---- stage 2: FlateDecode ----------------------------------------------
+
+  /** zlib-wrapped first (the PDF norm), then raw deflate — some writers
+    * omit the wrapper. None when both fail (corrupt or predictor-coded).
+    */
+  private[sources] def inflate(data: Array[Byte]): Option[Array[Byte]] =
+    inflateWith(data, nowrap = false).orElse(inflateWith(data, nowrap = true))
+
+  private def inflateWith(data: Array[Byte], nowrap: Boolean): Option[Array[Byte]] =
+    try {
+      val inf = new Inflater(nowrap)
+      inf.setInput(data)
+      val out = new ByteArrayOutputStream(math.max(64, data.length * 4))
+      val buf = new Array[Byte](8192)
+      var n = inf.inflate(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        n = if (inf.finished()) 0 else inf.inflate(buf)
+      }
+      inf.end()
+      if (out.size() > 0) Some(out.toByteArray) else None
+    } catch { case _: Throwable => None }
+
+  // ---- stage 3: content-stream text operators ----------------------------
+
+  private def containsTextBlock(data: Array[Byte]): Boolean =
+    data.nonEmpty && indexOf(data, "BT", 0) >= 0 && indexOf(data, "ET", 0) >= 0
+
+  private sealed trait Tok
+  private final case class Str(s: String) extends Tok
+  private final case class Num(v: Double) extends Tok
+  private final case class Op(name: String) extends Tok
+  private case object ArrStart extends Tok
+  private case object ArrEnd extends Tok
+
+  /** Walk the token stream; show-text operands append inside BT…ET only.
+    * Newlines: `'` and `"` are next-line-show by definition; `T*` moves a
+    * line; `Td`/`TD` emit one when the vertical displacement is non-zero
+    * (the one-line-per-positioning heuristic PyPDF's layout-less mode
+    * uses). Inside a `TJ` array a kern more negative than −180/1000 em is
+    * rendered as a word gap.
+    */
+  private[sources] def contentText(data: Array[Byte]): String = {
+    val out = new StringBuilder
+    var inBT = false
+    var pend = List.empty[Tok] // operand stack (reverse order)
+    var arr: List[Tok] = null  // non-null while inside [ … ]
+
+    def push(t: Tok): Unit = if (arr != null) arr = t :: arr else pend = t :: pend
+    def newline(): Unit = if (out.nonEmpty && !out.endsWith("\n")) out.append('\n')
+    def lastStr: String = pend.collectFirst { case Str(s) => s }.getOrElse("")
+
+    val toks = tokenize(data)
+    toks.foreach {
+      case ArrStart => arr = Nil
+      case ArrEnd if arr != null => // finished array becomes the pending TJ operand
+        val done = arr; arr = null; pend = ArrEnd :: (done ++ (ArrStart :: pend))
+      case ArrEnd => () // unbalanced ']' in a malformed stream: drop
+      case op: Op if op.name == "BT" => inBT = true; pend = Nil
+      case op: Op if op.name == "ET" => inBT = false; newline(); pend = Nil
+      case op: Op =>
+        if (inBT) op.name match {
+          case "Tj" => out.append(lastStr)
+          case "'" => newline(); out.append(lastStr)
+          case "\"" => newline(); out.append(lastStr)
+          case "T*" => newline()
+          case "Td" | "TD" =>
+            // operands pushed in reverse: head is ty
+            pend match {
+              case Num(ty) :: _ if ty != 0.0 => newline()
+              case _ => ()
+            }
+          case "TJ" =>
+            // pend holds ArrEnd :: elems-reversed ::: ArrStart :: rest
+            val elems = pend.dropWhile(_ == ArrEnd)
+              .takeWhile(_ != ArrStart).reverse
+            elems.foreach {
+              case Str(s) => out.append(s)
+              case Num(v) if v < -180.0 => out.append(' ')
+              case _ => ()
+            }
+          case _ => ()
+        }
+        pend = Nil
+      case t => push(t)
+    }
+    out.result()
+  }
+
+  private def tokenize(data: Array[Byte]): Iterator[Tok] = new Iterator[Tok] {
+    private var i = 0
+    private var nextTok: Tok = advance()
+    override def hasNext: Boolean = nextTok != null
+    override def next(): Tok = { val t = nextTok; nextTok = advance(); t }
+
+    private def cur: Char = (data(i) & 0xff).toChar
+    private def ws(c: Char) = c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+
+    @annotation.tailrec
+    private def advance(): Tok = {
+      while (i < data.length && ws(cur)) i += 1
+      if (i >= data.length) null
+      else cur match {
+        case '%' => // comment to EOL
+          while (i < data.length && cur != '\n' && cur != '\r') i += 1
+          advance()
+        case '(' => i += 1; Str(literalString())
+        case '<' if i + 1 < data.length && (data(i + 1) & 0xff).toChar == '<' =>
+          i += 2; advance() // dict open: ignore
+        case '>' if i + 1 < data.length && (data(i + 1) & 0xff).toChar == '>' =>
+          i += 2; advance() // dict close
+        case '<' => i += 1; Str(hexString())
+        case '[' => i += 1; ArrStart
+        case ']' => i += 1; ArrEnd
+        case '/' => // name object: ignore
+          i += 1
+          while (i < data.length && !ws(cur) && !"()<>[]{}/%".contains(cur)) i += 1
+          advance()
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val start = i
+          i += 1
+          while (i < data.length && (cur == '.' || (cur >= '0' && cur <= '9'))) i += 1
+          try Num(new String(data, start, i - start, "ISO-8859-1").toDouble)
+          catch { case _: NumberFormatException => advance() }
+        case _ => // operator: run of regular characters
+          val start = i
+          i += 1
+          while (i < data.length && !ws(cur) && !"()<>[]{}/%".contains(cur)) i += 1
+          Op(new String(data, start, i - start, "ISO-8859-1"))
+      }
+    }
+
+    /** `(…)` with balanced parens and the §7.3.4.2 escape table. */
+    private def literalString(): String = {
+      val sb = new StringBuilder
+      var depth = 1
+      while (i < data.length && depth > 0) {
+        val c = cur
+        i += 1
+        c match {
+          case '(' => depth += 1; sb.append('(')
+          case ')' => depth -= 1; if (depth > 0) sb.append(')')
+          case '\\' if i < data.length =>
+            val e = cur; i += 1
+            e match {
+              case 'n' => sb.append('\n')
+              case 'r' => sb.append('\r')
+              case 't' => sb.append('\t')
+              case 'b' => sb.append('\b')
+              case 'f' => sb.append('\f')
+              case '(' => sb.append('(')
+              case ')' => sb.append(')')
+              case '\\' => sb.append('\\')
+              case '\r' => if (i < data.length && cur == '\n') i += 1 // line continuation
+              case '\n' => () // line continuation
+              case d if d >= '0' && d <= '7' => // up to 3 octal digits
+                var v = d - '0'
+                var n = 1
+                while (n < 3 && i < data.length && cur >= '0' && cur <= '7') {
+                  v = v * 8 + (cur - '0'); i += 1; n += 1
+                }
+                sb.append((v & 0xff).toChar)
+              case other => sb.append(other) // spec: backslash is dropped
+            }
+          case other => sb.append(other)
+        }
+      }
+      sb.result()
+    }
+
+    /** `<hex>`; odd final digit padded with 0 per spec. */
+    private def hexString(): String = {
+      val sb = new StringBuilder
+      val digits = new StringBuilder
+      while (i < data.length && cur != '>') {
+        val c = cur
+        if (Character.digit(c, 16) >= 0) digits.append(c)
+        i += 1
+      }
+      if (i < data.length) i += 1 // consume '>'
+      if (digits.length % 2 == 1) digits.append('0')
+      var j = 0
+      while (j < digits.length) {
+        sb.append(Integer.parseInt(digits.substring(j, j + 2), 16).toChar)
+        j += 2
+      }
+      sb.result()
+    }
+  }
+}

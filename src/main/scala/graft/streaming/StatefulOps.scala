@@ -536,6 +536,65 @@ object StatefulOps {
     * contract. Pair parity with the batch lead-window under 100 random
     * splits/replays is spec-pinned.
     */
+  final case class PostingEntry(doc_id: Long, pos: Long)
+  final case class PostingsSnapshot(
+      term: String, n_docs: Long, n_occ: Long, postings: Seq[PostingEntry])
+
+  /** Streaming twin of [[graft.query.InvertedIndex.postings]] (q113's
+    * batch-only index family): documents arrive as (doc_id, text), the
+    * RELATIONAL posexplode of the engine tokenizer runs stateless before
+    * the keyed state (so batch and stream tokenize identically, by
+    * construction), and state per TERM is its sorted posting list.
+    * Each snapshot is the term's full postings — flattening the latest
+    * snapshot per term reproduces the batch index exactly (100-random-
+    * split/replay parity is spec-pinned, the suite's established
+    * contract). Redelivered documents drop on the (doc_id, pos) set-merge
+    * — at-least-once safe; there is no late-splice hazard because a
+    * document's postings never depend on other documents.
+    *
+    * At scale: state partitions by term like any keyed stream; hot terms
+    * hold the largest lists — bound them with the same df-style stopword
+    * gate a batch index would apply before this operator.
+    */
+  def runningPostings(
+      docs: Dataset[(Long, String)]): Dataset[PostingsSnapshot] = {
+    import docs.sparkSession.implicits._
+    val toks = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.posexplode(
+          graft.operators.TextAnalysis.tokensCol(col("text"))))
+      .select(col("col").as("term"), col("doc_id"),
+        (col("pos") + org.apache.spark.sql.functions.lit(1)).as("pos"))
+      .as[(String, Long, Long)]
+    toks.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (term: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty).toVector
+          val seen = prev.toSet
+          val incoming = it.map(r => (r._2, r._3)).toVector
+            .filter(!seen.contains(_))
+            .distinct // replay inside one batch
+            .sorted
+          // merge-insert of sorted arrivals: O(B + A log A), the suite's
+          // stateful-buffer idiom
+          val buf = {
+            val out = Vector.newBuilder[(Long, Long)]
+            var (i, j) = (0, 0)
+            while (i < prev.length || j < incoming.length) {
+              val takeA = j >= incoming.length ||
+                (i < prev.length && (prev(i)._1 < incoming(j)._1 ||
+                  (prev(i)._1 == incoming(j)._1 && prev(i)._2 <= incoming(j)._2)))
+              if (takeA) { out += prev(i); i += 1 } else { out += incoming(j); j += 1 }
+            }
+            out.result()
+          }
+          state.update(buf)
+          PostingsSnapshot(term, buf.iterator.map(_._1).toSet.size.toLong,
+            buf.length.toLong, buf.map(p => PostingEntry(p._1, p._2)))
+      }
+  }
+
   def runningTransitions(
       events: Dataset[(Long, Long, Long, String)]): Dataset[TransitionSnapshot] = {
     import events.sparkSession.implicits._

@@ -56,6 +56,64 @@ class IngestSpec extends AnyFunSuite {
       Seq(("formX", "line one\nline two")))
   }
 
+  /** Minimal single-page PDF around `content`, optionally FlateDecode'd —
+    * the golden fixture is BUILT by the test, so the extractor is checked
+    * against known text, not a checked-in binary.
+    */
+  private def buildPdf(content: Array[Byte], flate: Boolean): Array[Byte] = {
+    val payload =
+      if (flate) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(content); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end()
+        out.toByteArray
+      } else content
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${payload.length}" +
+      (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+    out.write(payload)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("S3 golden: pure-JVM extractor reads Tj text from an uncompressed PDF") {
+    val pdf = buildPdf("BT /F1 12 Tf 72 720 Td (Hello, Spark!) Tj ET".getBytes("ISO-8859-1"),
+      flate = false)
+    assert(graft.sources.PdfTextExtractor.isPdf(pdf))
+    assert(graft.sources.PdfTextExtractor.extract(pdf) == "Hello, Spark!")
+    // non-PDF bytes stay with the stub: extract refuses, default falls back
+    assert(!graft.sources.PdfTextExtractor.isPdf("plain text".getBytes))
+    assert(PdfIngest.defaultPdfToText("plain text".getBytes) == "plain text")
+  }
+
+  test("S3 golden: FlateDecode stream with TJ kerning, escapes, hex and T*") {
+    val content =
+      "BT\n72 720 Td\n[(Deep) -250 (kern)] TJ\nT*\n(esc \\(ok\\) \\101) Tj\n<4869> Tj\nET"
+    val pdf = buildPdf(content.getBytes("ISO-8859-1"), flate = true)
+    // −250/1000 em kern renders as a word gap; \101 is octal 'A'; <4869>
+    // is hex "Hi"; T* breaks the line
+    assert(graft.sources.PdfTextExtractor.extract(pdf) == "Deep kern\nesc (ok) AHi")
+  }
+
+  test("S3 e2e: binaryFile dir with a real PDF and a text file through the default decoder") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdfmix").toString
+    val pdf = buildPdf("BT (From a real pdf) Tj ET".getBytes("ISO-8859-1"), flate = true)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "form10k.pdf"), pdf)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "notes.pdf"), "plain notes".getBytes)
+    val texts = PdfIngest.extractText(PdfIngest.readBinaryDir(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(texts == Map("form10k" -> "From a real pdf", "notes" -> "plain notes"))
+  }
+
   test("S4 nougat unescape order and status matrix") {
     // raw body arrives JSON-quoted; \n\n before \n before backslash-unescape
     val raw = "\"para one\\n\\npara two\\nline\\\\alpha\""

@@ -227,6 +227,37 @@ class SpanBpeSpec extends AnyFunSuite {
     (merges.result(), vocab.map { case (w, (syms, _)) => w -> syms })
   }
 
+  test("applySpanDedupIncremental: parity with the full-corpus apply restricted to the delta") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    (0 until 3).foreach { _ =>
+      val k = 2 + rnd.nextInt(3) // 2..4
+      // 6-word vocabulary → heavy cross-batch gram overlap; delta ids sort
+      // after base ids (the operator's append-only ingest precondition)
+      val all = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(20))(s"w${rnd.nextInt(6)}").mkString(" "))
+      }
+      val (baseRows, deltaRows) = all.partition(_._1 < 20L)
+      def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toMap
+      val idx = SpanDedup.spanIndex(baseRows.toDF("doc_id", "text"), "doc_id",
+        TextAnalysis.tokensCol(col("text")), k = k)
+      val inc = shape(SpanDedup.applySpanDedupIncremental(
+        idx, deltaRows.toDF("doc_id", "text"), "doc_id",
+        TextAnalysis.tokensCol(col("text")), k = k, minCount = 2))
+      val full = shape(SpanDedup.applySpanDedup(
+          all.toDF("doc_id", "text"), "doc_id",
+          TextAnalysis.tokensCol(col("text")), k = k, minCount = 2)
+        .filter(col("doc_id") >= 20L))
+      assert(inc == full)
+      // the total invariant holds on the incremental path too
+      inc.values.foreach { case (nTok, nKept, nDropped, _) =>
+        assert(nKept + nDropped == nTok)
+      }
+    }
+  }
+
   test("BpeTokenizer.train matches the plain-Scala reference merge-for-merge") {
     import spark.implicits._
     val corpus = Seq.fill(4)("low lower lowest new newer wide wider widest") ++

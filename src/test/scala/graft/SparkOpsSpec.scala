@@ -937,6 +937,52 @@ class SparkOpsSpec extends AnyFunSuite {
       .flatMap((id: Long) => (0 until 3).map(q => (q.toLong, id)))))
   }
 
+  test("IVF autoK: k scales with the corpus at fixed cell size; centroids honors k=0") {
+    import spark.implicits._
+    val e = new DeterministicEmbedder(8)
+    def corpus(n: Int) = (0 until n).map(i => (i.toLong, e.embedOne(s"v$i").toSeq))
+      .toDF("vec_id", "embedding")
+    // under the kMin·target threshold the floor holds; above it, integer
+    // ceil — the SAME (n + t - 1) / t both engines compute in the oracles
+    assert(graft.operators.IvfIndex.autoK(corpus(10)) == 8)
+    assert(graft.operators.IvfIndex.autoK(corpus(512)) == 8)
+    assert(graft.operators.IvfIndex.autoK(corpus(513)) == 9)
+    assert(graft.operators.IvfIndex.autoK(corpus(100), targetCellSize = 10L) == 10)
+    // k = 0 → data-driven k; the sf0.01 embeddings shape (500 rows) must
+    // land exactly on the historical k = 8 so shipped oracles stay green
+    assert(graft.operators.IvfIndex.autoK(corpus(500)) == 8)
+    assert(graft.operators.IvfIndex.centroids(corpus(100), k = 0, iters = 0,
+      targetCellSize = 10L).count() == 10)
+    // and the sf0.1 shape (2000 rows) grows the grid: cell INTERIOR is the
+    // invariant, not cell count
+    assert(graft.operators.IvfIndex.autoK(corpus(2000)) == 32)
+  }
+
+  test("guardedClusters: engineered giant chain is flagged uncollapsed, small components still dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10-doc chain (62.5% of a 16-id corpus) + a 2-doc component + 4 singletons
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("id_a", "id_b")
+    val ids = ((0L to 9L) ++ Seq(100L, 101L) ++ (200L to 203L)).toDF("doc_id")
+    val g = graft.operators.Dedup.guardedClusters(pairs, ids, maxShare4 = 2000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    // chain: component resolved (min id 0) but NOT collapsed — every member
+    // keeps itself and carries the flag
+    (0L to 9L).foreach { id =>
+      assert(g(id) == ((0L, id, 1)), s"chain member $id: ${g(id)}")
+    }
+    // small component still collapses to its min id, unflagged
+    assert(g(100L) == ((100L, 100L, 0)) && g(101L) == ((100L, 100L, 0)))
+    (200L to 203L).foreach(id => assert(g(id) == ((id, id, 0))))
+    // guard off (threshold 100%): bit-identical to the plain sparse resolve
+    val off = graft.operators.Dedup.guardedClusters(pairs, ids, maxShare4 = 10000L)
+      .select($"id", $"keeper_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = graft.operators.Dedup.resolveClustersSparse(pairs, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(off == plain)
+  }
+
   test("plan pins: IVF assign is a map-side max_by (no Window); chunking shuffles a sort, not objects") {
     import spark.implicits._
     val e = new DeterministicEmbedder(8)
@@ -1054,6 +1100,51 @@ class SparkOpsSpec extends AnyFunSuite {
       big, small, "k", saltSource = $"id", saltFactor = 4, hotKeyThreshold = 10000)
     assert(rows(noHot) == rows(big.join(small, Seq("k"))))
     assert(!noHot.queryExecution.executedPlan.toString.contains("Generate explode"))
+  }
+
+  test("adviseJoin: broadcast/salted/shuffle each matched to its engineered corpus, parity everywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // skewed: key 7 holds ~10x every other key; small 10-row dim side
+    val skewed = ((0 until 500).map(i => (7L, i.toLong)) ++
+        (0 until 10).flatMap(k => (0 until 5).map(i => (k.toLong, (1000 + k * 10 + i).toLong))))
+      .toDF("k", "id")
+    val dim = (0 until 10).map(k => (k.toLong, s"dim$k")).toDF("k", "v")
+    // uniform: every key exactly 5 rows — nothing to flag
+    val uniform = (0 until 10).flatMap(k => (0 until 5).map(i => (k.toLong, (k * 10 + i).toLong)))
+      .toDF("k", "id")
+    val h7 = Seq(7L).toDF("k").select(xxhash64($"k")).head().getLong(0)
+
+    // small-side corpus → broadcast the 10-row side, skew irrelevant
+    val bAdv = graft.operators.Salting.adviseJoin(skewed, dim, "k",
+      broadcastRows = 100L, hotKeyThreshold = 100L)
+    assert(bAdv.strategy == "broadcast" && bAdv.broadcastSide == "right")
+    assert(bAdv.left.rows == 550L && bAdv.right.rows == 10L && bAdv.right.distinctKeys == 10L)
+    // skewed corpus, no broadcast budget → salted, exactly key 7 flagged
+    val sAdv = graft.operators.Salting.adviseJoin(skewed, dim, "k",
+      broadcastRows = 0L, hotKeyThreshold = 100L)
+    assert(sAdv.strategy == "salted" && sAdv.hotKeys == Seq(h7))
+    // uniform corpus, no broadcast budget → plain shuffle
+    val uAdv = graft.operators.Salting.adviseJoin(uniform, dim, "k",
+      broadcastRows = 0L, hotKeyThreshold = 100L)
+    assert(uAdv.strategy == "shuffle" && uAdv.hotKeys.isEmpty)
+
+    // autoSaltedJoin consumes the advice; every strategy is row-identical
+    val want = rows(skewed.join(dim, Seq("k")))
+    val viaBroadcast = graft.operators.Salting.autoSaltedJoin(
+      skewed, dim, "k", $"id", saltFactor = 4, hotKeyThreshold = 100L,
+      broadcastRows = 100L)
+    assert(rows(viaBroadcast) == want)
+    assert(viaBroadcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val viaSalted = graft.operators.Salting.autoSaltedJoin(
+      skewed, dim, "k", $"id", saltFactor = 4, hotKeyThreshold = 100L)
+    assert(rows(viaSalted) == want)
+    val viaShuffle = graft.operators.Salting.autoSaltedJoin(
+      uniform, dim, "k", $"id", saltFactor = 4, hotKeyThreshold = 100L)
+    assert(rows(viaShuffle) == rows(uniform.join(dim, Seq("k"))))
   }
 
   test("q56 staging is adaptive: forced CTAS and lowered auto threshold both stage through the parquet table, bit-identical to the cache variant") {
@@ -1901,9 +1992,12 @@ class SparkOpsSpec extends AnyFunSuite {
         }
         all ++= evs
       }
-      // latest snapshot per key (n_events only grows), flattened to rows
+      // latest snapshot per key (n_events only grows), flattened to rows —
+      // order-independent max_by: sort-then-dropDuplicates does NOT
+      // guarantee keeping the first row of the preceding sort
       val got = spark.table("scd2_prop")
-        .orderBy($"n_events".desc).dropDuplicates("user_id")
+        .groupBy($"user_id")
+        .agg(max_by($"versions", $"n_events").as("versions"))
         .select($"user_id", explode($"versions").as("v"))
         .select($"user_id", $"v.version", $"v.v_u",
           $"v.valid_from_us", $"v.valid_to_us", $"v.is_current")
@@ -1969,9 +2063,11 @@ class SparkOpsSpec extends AnyFunSuite {
         }
         all ++= evs
       }
-      // latest snapshot per user, pairs summed into the global matrix
+      // latest snapshot per user (order-independent max_by — see the SCD2
+      // twin above), pairs summed into the global matrix
       val got = spark.table("trans_prop")
-        .orderBy($"n_events".desc).dropDuplicates("user_id")
+        .groupBy($"user_id")
+        .agg(max_by($"pairs", $"n_events").as("pairs"))
         .select(explode($"pairs").as("p"))
         .groupBy($"p.cur", $"p.nxt").agg(sum($"p.n_pair").as("n_pair"))
         .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
