@@ -3967,6 +3967,57 @@ object SparkEntry {
         .orderBy($"grid", $"nprobe")
     }),
 
+    // Nightly incremental span-dedup as a shipped query: docs >= 400 are
+    // tonight's delta, the spanIndex of the base (< 400) stands in for
+    // the stored parquet gram index (ScaleProbe materializes the same
+    // relation). The oracle IS the parity property: the full-corpus
+    // keep-first apply (q131's recursive SQL) restricted to the delta —
+    // the driver gate certifies the combined-rank drop rule
+    // (n_base >= 1 ∨ rn_delta >= 2 under append-only id order) end to
+    // end. Timed cost at scale: the delta's gram stream + one probe of
+    // the index — never a base re-scan (10× probe row).
+    "q167_span_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idx = graft.operators.SpanDedup.spanIndex(
+        docs.filter($"doc_id" < 400), "doc_id",
+        graft.operators.TextAnalysis.tokensCol($"text"), k = 5)
+      graft.operators.SpanDedup.applySpanDedupIncremental(
+        idx, docs.filter($"doc_id" >= 400), "doc_id",
+        graft.operators.TextAnalysis.tokensCol($"text"), k = 5, minCount = 2)
+        .orderBy($"doc_id")
+    }),
+
+    // The join advisor over real tables — three scenarios through
+    // Salting.adviseJoin's decision ladder (broadcast budget → hot-key
+    // salt → plain shuffle), each reported with the k-row sketch scalars
+    // the decision read. `has_hot_*` is the EXISTS(count > threshold)
+    // predicate (exactly oracle-replicable: any key above the threshold
+    // is by definition inside the top-k probe). The advice costs two
+    // distinct-key-sized count shuffles per scenario; every strategy is a
+    // row-identical join, so a wrong guess costs time, never correctness.
+    "q168_join_advice" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id".as("k"))
+      val ord = t(s, dir, "orders").select($"o_custkey".as("k"))
+      val cust = t(s, dir, "customer").select($"c_nationkey".as("k"))
+      val nat = t(s, dir, "nation").select($"n_nationkey".as("k"))
+      def row(name: String, l: DataFrame, r: DataFrame,
+          bRows: Long, hThresh: Long) = {
+        val a = graft.operators.Salting.adviseJoin(l, r, "k", bRows, hThresh)
+        (name, a.left.rows, a.left.distinctKeys, a.right.rows,
+          a.right.distinctKeys, if (a.left.hot.nonEmpty) 1 else 0,
+          if (a.right.hot.nonEmpty) 1 else 0, a.strategy, a.broadcastSide)
+      }
+      Seq(
+        row("fact_fact", ev, ord, 1000L, 1000000000000L),
+        row("fact_dim", cust, nat, 1000L, 1000000000000L),
+        row("forced_salt", ev, ord, 0L, 0L))
+        .toDF("scenario", "n_left", "d_left", "n_right", "d_right",
+          "has_hot_left", "has_hot_right", "strategy", "broadcast_side")
+        .orderBy($"scenario")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -5811,5 +5862,70 @@ SELECT 'seed' AS grid, sw.nprobe::BIGINT AS nprobe, coalesce(h0.n_hits, 0)::BIGI
 UNION ALL
 SELECT 'lloyd2' AS grid, sw.nprobe::BIGINT AS nprobe, coalesce(h2.n_hits, 0)::BIGINT AS n_hits, ((coalesce(h2.n_hits, 0) * 10000) // (n_q * 10))::DOUBLE / 10000.0 AS recall4 FROM sw LEFT JOIN h2 USING (nprobe), nq
 ) ORDER BY grid, nprobe""",
+    // q167: the oracle IS the parity property — q131's full-corpus
+    // keep-first apply, restricted to the delta docs
+    "q167_span_incremental" ->
+      raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS w FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks WHERE len(w) >= 5)),
+occ AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY g) AS n_occ
+  FROM grams),
+drops AS (SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rn >= 2),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+               OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END AS new_run
+  FROM drops),
+runs AS (
+  SELECT doc_id, run_id, min(pos) AS s, max(pos) + 4 AS e
+  FROM (SELECT doc_id, pos, sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id FROM marked)
+  GROUP BY doc_id, run_id),
+covered AS (SELECT doc_id, unnest(range(s, e + 1)) AS p FROM runs),
+tok AS (SELECT doc_id, idx, w[idx] AS tk
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS idx FROM toks)),
+kept AS (
+  SELECT t.doc_id, t.idx, t.tk
+  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.p
+  WHERE c.p IS NULL)
+SELECT d.doc_id, len(d.w)::BIGINT AS n_tok,
+       coalesce(count(k.idx), 0)::BIGINT AS n_kept,
+       (len(d.w) - coalesce(count(k.idx), 0))::BIGINT AS n_dropped,
+       coalesce(string_agg(k.tk, ' ' ORDER BY k.idx), '') AS text_clean
+FROM toks d LEFT JOIN kept k USING (doc_id)
+WHERE d.doc_id >= 400
+GROUP BY d.doc_id, len(d.w) ORDER BY d.doc_id""",
+    // q168: the decision ladder in exact integer comparisons; has_hot is
+    // EXISTS(count > threshold) == max(count) > threshold
+    "q168_join_advice" ->
+      """WITH ca AS (SELECT user_id AS k, count(*)::BIGINT AS c FROM events GROUP BY 1),
+cb AS (SELECT o_custkey AS k, count(*)::BIGINT AS c FROM orders GROUP BY 1),
+cc AS (SELECT c_nationkey AS k, count(*)::BIGINT AS c FROM customer GROUP BY 1),
+cn AS (SELECT n_nationkey AS k, count(*)::BIGINT AS c FROM nation GROUP BY 1),
+sa AS (SELECT coalesce(sum(c), 0)::BIGINT AS n, count(*)::BIGINT AS d, coalesce(max(c), 0)::BIGINT AS mx FROM ca),
+sb AS (SELECT coalesce(sum(c), 0)::BIGINT AS n, count(*)::BIGINT AS d, coalesce(max(c), 0)::BIGINT AS mx FROM cb),
+sc2 AS (SELECT coalesce(sum(c), 0)::BIGINT AS n, count(*)::BIGINT AS d, coalesce(max(c), 0)::BIGINT AS mx FROM cc),
+sn AS (SELECT coalesce(sum(c), 0)::BIGINT AS n, count(*)::BIGINT AS d, coalesce(max(c), 0)::BIGINT AS mx FROM cn),
+r AS (
+ SELECT 'fact_fact' AS scenario, sa.n AS n_left, sa.d AS d_left, sb.n AS n_right, sb.d AS d_right,
+        CASE WHEN sa.mx > 1000000000000 THEN 1 ELSE 0 END AS has_hot_left,
+        CASE WHEN sb.mx > 1000000000000 THEN 1 ELSE 0 END AS has_hot_right,
+        1000 AS brows FROM sa, sb
+ UNION ALL
+ SELECT 'fact_dim', sc2.n, sc2.d, sn.n, sn.d,
+        CASE WHEN sc2.mx > 1000000000000 THEN 1 ELSE 0 END,
+        CASE WHEN sn.mx > 1000000000000 THEN 1 ELSE 0 END, 1000 FROM sc2, sn
+ UNION ALL
+ SELECT 'forced_salt', sa.n, sa.d, sb.n, sb.d,
+        CASE WHEN sa.mx > 0 THEN 1 ELSE 0 END,
+        CASE WHEN sb.mx > 0 THEN 1 ELSE 0 END, 0 FROM sa, sb)
+SELECT scenario, n_left, d_left, n_right, d_right, has_hot_left::INT AS has_hot_left, has_hot_right::INT AS has_hot_right,
+  CASE WHEN least(n_left, n_right) <= brows THEN 'broadcast'
+       WHEN has_hot_left = 1 OR has_hot_right = 1 THEN 'salted' ELSE 'shuffle' END AS strategy,
+  CASE WHEN least(n_left, n_right) <= brows THEN (CASE WHEN n_right <= n_left THEN 'right' ELSE 'left' END) ELSE '' END AS broadcast_side
+FROM r ORDER BY scenario""",
   )
 }

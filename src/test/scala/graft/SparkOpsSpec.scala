@@ -2081,4 +2081,51 @@ class SparkOpsSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming postings equal the batch inverted index for 100 random streams, splits and replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    // q113's twin: documents arrive in random batches with whole-document
+    // redeliveries; flattening the latest snapshot per term must rebuild
+    // the batch index exactly (postings have no cross-doc order hazard —
+    // the property here is at-least-once dedupe + cross-batch accumulation)
+    val rnd = new scala.util.Random(113L)
+    val vocab = Vector("table", "scan", "hash", "join", "sort", "index")
+    val all = scala.collection.mutable.Buffer.empty[(Long, String)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StatefulOps.runningPostings(input.toDS())
+      .writeStream.format("memory").queryName("postings_prop")
+      .outputMode("update").start()
+    try {
+      var did = 0L
+      for (_ <- 0 until 100) {
+        val docs = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          did += 1
+          (did, Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+        }
+        // replay up to 2 already-delivered documents alongside the fresh ones
+        val replay = if (all.nonEmpty)
+          Seq.fill(rnd.nextInt(3))(all(rnd.nextInt(all.size)))
+        else Seq.empty
+        val batch = rnd.shuffle(docs ++ replay)
+        all ++= docs
+        if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+      }
+      // latest snapshot per term (n_occ only grows; order-independent max_by)
+      val got = spark.table("postings_prop")
+        .groupBy($"term")
+        .agg(max_by($"postings", $"n_occ").as("postings"))
+        .select($"term", explode($"postings").as("p"))
+        .select($"p.doc_id", $"p.pos", $"term")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = graft.query.InvertedIndex
+        .postings(all.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+        .collect() // batch pos is posexplode's Int; the snapshot carries Long
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2))).toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).take(5)} batch-only=${(want -- got).take(5)}")
+    } finally q.stop()
+  }
 }
