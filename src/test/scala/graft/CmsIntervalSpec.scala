@@ -188,8 +188,13 @@ class CmsIntervalSpec extends AnyFunSuite {
       try {
         input.addData(shuffled.take(cut): _*); q.processAllAvailable()
         input.addData(shuffled.drop(cut): _*); q.processAllAvailable()
+        // order-independent latest-snapshot pick: sort-then-dropDuplicates
+        // does NOT guarantee keeping the first row of a preceding sort
         val last = spark.table(s"topk_run_$round")
-          .orderBy(col("n_items").desc).dropDuplicates("key").collect()
+          .groupBy(col("key"))
+          .agg(org.apache.spark.sql.functions
+            .max_by(struct(col("n_items"), col("top")), col("n_items")).as("s"))
+          .select(col("key"), col("s.n_items"), col("s.top")).collect()
         last.foreach { r =>
           val key = r.getString(0)
           val got = r.getSeq[org.apache.spark.sql.Row](2)

@@ -190,8 +190,13 @@ class FunnelIndexBatchSpec extends AnyFunSuite {
       try {
         input.addData(shuffled.take(cut): _*); q.processAllAvailable()
         input.addData(shuffled.drop(cut): _*); q.processAllAvailable()
+        // order-independent latest-snapshot pick: sort-then-dropDuplicates
+        // does NOT guarantee keeping the first row of a preceding sort
         val last = spark.table(s"funnel_run_$round")
-          .orderBy(col("n_events").desc).dropDuplicates("key").collect()
+          .groupBy(col("key"))
+          .agg(org.apache.spark.sql.functions
+            .max_by(struct(col("n_events"), col("ts")), col("n_events")).as("s"))
+          .select(col("key"), col("s.n_events"), col("s.ts")).collect()
         last.foreach { r =>
           val key = r.getLong(0)
           val got = r.getSeq[Long](2).toSeq
