@@ -4018,6 +4018,36 @@ object SparkEntry {
         .orderBy($"scenario")
     }),
 
+    // Distributed runtime-filter join: a mergeable Bloom Aggregator built
+    // on the FILTERED dim side (partial+final word-OR; the build shuffle
+    // carries numWords longs per partition, never keys), broadcast as one
+    // array row, prunes the fact side BEFORE the join's exchange — at
+    // 100 TB the join shuffle carries (matching + ~1-2% fp) lineitems
+    // instead of the full fact table, and the exact join that follows
+    // makes false positives a time cost, never a correctness one, so the
+    // oracle is the PLAIN join. The probe check is pure built-in
+    // shift/AND arithmetic (whole-stage codegen; no UDF on the fact
+    // scan). Unlike q87's df.stat.bloomFilter the filter is never
+    // driver-merged. Filter is auto-sized from one count of the dim side
+    // (~10 bits/key, power-of-two words).
+    "q169_bloom_prune" -> ((s, dir) => {
+      import s.implicits._
+      val ordF = t(s, dir, "orders")
+        .filter($"o_orderstatus" === "F" &&
+          $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      val pruned = graft.operators.BloomSketch.prune(
+        t(s, dir, "lineitem"),
+        graft.functions.HashFunctions.stableHash64($"l_orderkey"),
+        ordF, graft.functions.HashFunctions.stableHash64($"o_orderkey"))
+      pruned.join(ordF, pruned("l_orderkey") === ordF("o_orderkey"))
+        .groupBy($"o_orderpriority",
+          date_format($"o_orderdate", "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4)
+            .as("revenue"))
+        .orderBy($"o_orderpriority", $"month")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -5927,5 +5957,13 @@ SELECT scenario, n_left, d_left, n_right, d_right, has_hot_left::INT AS has_hot_
        WHEN has_hot_left = 1 OR has_hot_right = 1 THEN 'salted' ELSE 'shuffle' END AS strategy,
   CASE WHEN least(n_left, n_right) <= brows THEN (CASE WHEN n_right <= n_left THEN 'right' ELSE 'left' END) ELSE '' END AS broadcast_side
 FROM r ORDER BY scenario""",
+    // q169: the Bloom filter is correctness-transparent (fp cleared by the
+    // exact join, fn impossible) — the oracle is the plain filtered join
+    "q169_bloom_prune" ->
+      """SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY 1, 2 ORDER BY o_orderpriority, month""",
   )
 }
