@@ -4048,6 +4048,24 @@ object SparkEntry {
         .orderBy($"o_orderpriority", $"month")
     }),
 
+    // 2-core of the borderline near-dup graph (threshold 0.5 — the graph
+    // where chains live): iterative degree peel, 8 bounded rounds. Read
+    // NEXT TO q164's component sizes: a big component that vanishes under
+    // peeling was a fragile chain of borderline matches (raise the
+    // threshold), one that survives densely is a template farm
+    // (genuinely one document). Each round is a node-sized degree agg +
+    // two semi-joins, edge set shrinks monotonically; a no-op round
+    // changes nothing, so the oracle replays exactly 8 peels.
+    "q170_dup_kcore" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      graft.operators.GraphMetrics.kCore(pairs, "id_a", "id_b", k = 2, rounds = 8)
+        .select($"v".as("doc_id"), $"core_degree")
+        .orderBy($"doc_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -5965,5 +5983,22 @@ FROM r ORDER BY scenario""",
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
 GROUP BY 1, 2 ORDER BY o_orderpriority, month""",
+    // q170: exactly 8 unrolled peels — a converged peel is a no-op, so
+    // fixpoint-before-8 gives the same relation as the engine's 8 rounds
+    "q170_dup_kcore" -> {
+      // MATERIALIZED: each e_i is read 4× (degree union + two IN probes of
+      // the next peel) — default per-reference inlining would expand the
+      // whole LSH pipeline 4^8 times
+      val peels = (0 until 8).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT v, count(*)::BIGINT AS c FROM (SELECT lo AS v FROM e$i UNION ALL SELECT hi AS v FROM e$i) GROUP BY v),
+e${i + 1} AS MATERIALIZED (SELECT lo, hi FROM e$i WHERE lo IN (SELECT v FROM d$i WHERE c >= 2) AND hi IN (SELECT v FROM d$i WHERE c >= 2))"""
+      }.mkString(",\n")
+      s"""WITH $LshVerifiedCtes,
+good AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.5),
+e0 AS MATERIALIZED (SELECT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi FROM good WHERE id_a <> id_b),
+$peels
+SELECT v AS doc_id, count(*)::BIGINT AS core_degree
+FROM (SELECT lo AS v FROM e8 UNION ALL SELECT hi AS v FROM e8) GROUP BY v ORDER BY doc_id"""
+    },
   )
 }

@@ -81,4 +81,56 @@ object GraphMetrics {
           expr("(3 * n_triangles * 10000) div n_wedges")).otherwise(lit(0L))
           / lit(10000.0)).as("transitivity4"))
   }
+
+  /** k-core of an undirected pair graph by iterative degree peeling
+    * (Matula & Beck 1983; the bounded-round distributed form follows
+    * Montresor, De Pellegrini & Miorandi, "Distributed k-core
+    * decomposition", IEEE TPDS 2013): each round drops every node with
+    * degree < k and every edge touching one, until fixpoint or `rounds`
+    * rounds — a no-op round leaves the edge set unchanged, so running the
+    * full budget is result-identical to early exit once fixpoint is
+    * reached (the property that lets an oracle replay EXACTLY `rounds`
+    * peels). Returns the surviving nodes with their in-core degree.
+    *
+    * Why it's in the dedup suite: q164's component-size audit cannot tell
+    * a 100-doc CHAIN of borderline matches (collapses to nothing under
+    * peeling — every node has degree ≤ 2 and the ends unravel it) from a
+    * 100-doc template FARM (a dense clique — peeling removes nothing).
+    * The 2-core, read next to the component sizes, separates "long fragile
+    * chain the threshold should cut" from "dense boilerplate cluster that
+    * is genuinely one document" before cluster resolution commits.
+    *
+    * Scale shape: each round is one node-sized degree aggregation plus two
+    * semi-joins of the edge list against the surviving-node relation —
+    * never a corpus² product — and the edge list shrinks monotonically.
+    * `localCheckpoint` per round truncates the iteration's lineage
+    * (PageRank's staging move) so round r+1 replans from materialized
+    * edges instead of r stacked joins.
+    *
+    * CONTRACT (as [[triangleSummary]]): `pairs` holds each undirected pair
+    * once; self-loops are dropped; no re-distinct.
+    */
+  def kCore(
+      pairs: DataFrame, aCol: String, bCol: String,
+      k: Int = 2, rounds: Int = 8): DataFrame = {
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .localCheckpoint(false)
+    (0 until rounds).foreach { _ =>
+      val keep = edges.select(col("lo").as("v"))
+        .union(edges.select(col("hi").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k)
+        .localCheckpoint(false) // node-sized; read by both semi-joins
+      edges = edges
+        .join(keep.select(col("v").as("lo")), Seq("lo"), "left_semi")
+        .join(keep.select(col("v").as("hi")), Seq("hi"), "left_semi")
+        .select(col("lo"), col("hi"))
+        .localCheckpoint(false)
+    }
+    edges.select(col("lo").as("v")).union(edges.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_degree"))
+  }
 }

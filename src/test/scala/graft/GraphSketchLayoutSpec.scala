@@ -356,4 +356,34 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
       == ((6L, 15L, 60L, 20L, 1.0)))
   }
+
+  test("2-core peel: a chain unravels completely, a clique and a cycle survive intact") {
+    import spark.implicits._
+    // chain 0-1-…-9 (every node ends up degree < 2 as the ends peel),
+    // K5 on 100..104 (dense farm — untouched, degree 4), cycle 200..205
+    // (degree exactly 2 everywhere — untouched), plus a pendant 300-100
+    // hanging off the clique (peeled in round 1, clique keeps its core)
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val k5 = for (a <- 100L until 105L; b <- a + 1 until 105L) yield (a, b)
+    val cycle = (200L until 206L).map(i => (i, if (i == 205L) 200L else i + 1))
+    val edges = (chain ++ k5 ++ cycle :+ ((300L, 100L))).toDF("id_a", "id_b")
+    val got = GraphMetrics.kCore(edges, "id_a", "id_b", k = 2, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (100L until 105L).map(_ -> 4L).toMap ++
+      (200L until 206L).map(_ -> 2L).toMap
+    assert(got == want)
+  }
+
+  test("k-core at k=3 drops the cycle but keeps the clique; a no-op extra round changes nothing") {
+    import spark.implicits._
+    val k5 = for (a <- 0L until 5L; b <- a + 1 until 5L) yield (a, b)
+    val cycle = (10L until 16L).map(i => (i, if (i == 15L) 10L else i + 1))
+    val edges = (k5 ++ cycle).toDF("id_a", "id_b")
+    def run(rounds: Int) =
+      GraphMetrics.kCore(edges, "id_a", "id_b", k = 3, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(4)
+    assert(got == (0L until 5L).map(_ -> 4L).toMap)
+    assert(run(8) == got)
+  }
 }
