@@ -4066,6 +4066,62 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Declarative data-constraint report (the Deequ/Great-Expectations
+    // gate a 100 TB ingest runs BEFORE publishing a snapshot): six
+    // constraint metrics fused into ONE partial+final aggregation pass
+    // over the event scan — completeness, key uniqueness, value domain,
+    // range, enum membership, and an SLO share — plus one referential
+    // check as a lineitem→orders anti-join count. Fusing is the point at
+    // scale: a naive validator runs one job per constraint (6 scans of
+    // the fact table); here every metric is a conditional count riding
+    // the same scan, and the report explodes from the ONE-ROW aggregate.
+    // All metrics are integer-quantized fractions (exact on both
+    // engines); error_share deliberately FAILS on this corpus (20%
+    // errors vs a 1% SLO) so the unsatisfied path is exercised.
+    "q171_constraint_report" -> ((s, dir) => {
+      import s.implicits._
+      val allowed = Seq("view", "click", "purchase", "signup", "error")
+      val m = broadcast(t(s, dir, "events").agg(
+        count(lit(1)).as("n"),
+        count($"props").as("n_props"),
+        count_distinct($"event_id").as("n_eid"),
+        sum(($"value" >= 0).cast("long")).as("n_nonneg"),
+        sum($"event_type".isin(allowed: _*).cast("long")).as("n_domain"),
+        // engine-side ts is epoch NANOS (Tables.load); bounds are the UTC
+        // nano instants of 2024-01-01 / 2024-02-01 — the oracle compares
+        // the same instants as TIMESTAMP literals
+        sum(($"ts" >= lit(1704067200000000000L) &&
+          $"ts" < lit(1706745600000000000L)).cast("long")).as("n_window"),
+        sum(($"event_type" === "error").cast("long")).as("n_err")))
+      def fr(cnt: String) = (expr(s"($cnt * 10000) div n") / lit(10000.0))
+      def row(name: String, metric: Column, op: String, thresh: Double) = {
+        val sat = (if (op == ">=") metric >= lit(thresh) else metric <= lit(thresh))
+        struct(lit(name).as("check_name"), metric.as("metric4"),
+          lit(op).as("op"), lit(thresh).as("threshold4"),
+          sat.cast("int").as("satisfied"))
+      }
+      val evRows = m.select(explode(array(
+        row("complete_props", fr("n_props"), ">=", 0.999),
+        row("domain_event_type", fr("n_domain"), ">=", 0.999),
+        row("error_share_slo", fr("n_err"), "<=", 0.01),
+        row("nonneg_value", fr("n_nonneg"), ">=", 0.999),
+        row("ts_in_window", fr("n_window"), ">=", 0.999),
+        row("unique_event_id", fr("n_eid"), ">=", 0.9999))).as("c"))
+        .select($"c.*")
+      val li = t(s, dir, "lineitem")
+      val orphans = broadcast(
+        li.join(t(s, dir, "orders"), li("l_orderkey") === $"o_orderkey", "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+          .crossJoin(broadcast(li.agg(count(lit(1)).as("n")))))
+      val fkRow = orphans.select(
+        lit("fk_lineitem_orders").as("check_name"),
+        (expr("(n_orphan * 10000) div n") / lit(10000.0)).as("metric4"),
+        lit("<=").as("op"), lit(0.0).as("threshold4"),
+        (expr("(n_orphan * 10000) div n") / lit(10000.0) <= lit(0.0))
+          .cast("int").as("satisfied"))
+      evRows.unionByName(fkRow).orderBy($"check_name")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6000,5 +6056,26 @@ $peels
 SELECT v AS doc_id, count(*)::BIGINT AS core_degree
 FROM (SELECT lo AS v FROM e8 UNION ALL SELECT hi AS v FROM e8) GROUP BY v ORDER BY doc_id"""
     },
+    // q171: same fused conditional counts; metrics integer-quantized
+    "q171_constraint_report" ->
+      """WITH m AS (SELECT count(*)::BIGINT AS n, count(props)::BIGINT AS n_props,
+  count(DISTINCT event_id)::BIGINT AS n_eid,
+  sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonneg,
+  sum(CASE WHEN event_type IN ('view','click','purchase','signup','error') THEN 1 ELSE 0 END)::BIGINT AS n_domain,
+  sum(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END)::BIGINT AS n_window,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_err
+  FROM events),
+fk AS (SELECT (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)::BIGINT AS n_orphan, (SELECT count(*) FROM lineitem)::BIGINT AS n),
+r AS (
+  SELECT 'complete_props' AS check_name, ((n_props * 10000) // n)::DOUBLE / 10000.0 AS metric4, '>=' AS op, 0.999::DOUBLE AS threshold4 FROM m
+  UNION ALL SELECT 'domain_event_type', ((n_domain * 10000) // n)::DOUBLE / 10000.0, '>=', 0.999::DOUBLE FROM m
+  UNION ALL SELECT 'error_share_slo', ((n_err * 10000) // n)::DOUBLE / 10000.0, '<=', 0.01::DOUBLE FROM m
+  UNION ALL SELECT 'nonneg_value', ((n_nonneg * 10000) // n)::DOUBLE / 10000.0, '>=', 0.999::DOUBLE FROM m
+  UNION ALL SELECT 'ts_in_window', ((n_window * 10000) // n)::DOUBLE / 10000.0, '>=', 0.999::DOUBLE FROM m
+  UNION ALL SELECT 'unique_event_id', ((n_eid * 10000) // n)::DOUBLE / 10000.0, '>=', 0.9999::DOUBLE FROM m
+  UNION ALL SELECT 'fk_lineitem_orders', ((n_orphan * 10000) // n)::DOUBLE / 10000.0, '<=', 0.0::DOUBLE FROM fk)
+SELECT check_name, metric4, op, threshold4,
+  (CASE WHEN op = '>=' THEN metric4 >= threshold4 ELSE metric4 <= threshold4 END)::INT AS satisfied
+FROM r ORDER BY check_name""",
   )
 }
