@@ -4122,6 +4122,51 @@ object SparkEntry {
       evRows.unionByName(fkRow).orderBy($"check_name")
     }),
 
+    // Sketch-rollup table: per-(source, lang) HLL registers built ONCE
+    // from the token scan, then re-aggregated to per-source and global
+    // distinct-vocabulary estimates by element-wise register max — the
+    // raw key stream is never rescanned for the coarser grains. This is
+    // the storage pattern a 100 TB nightly job wants: persist the
+    // fine-grain register table (groups × 64 ints), answer every
+    // coarser distinct question from it exactly as the fine scan would
+    // have (registers are a max-monoid — rollup is lossless, not an
+    // approximation of the approximation). Exact distinct counts ride
+    // along from one checkpointed vocab relation as calibration.
+    "q172_sketch_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val p = 6
+      val hll = udaf(new graft.operators.HllAgg(p),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
+      val tok = t(s, dir, "documents")
+        .select($"source", $"lang",
+          explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      val base = tok
+        .select($"source", $"lang",
+          graft.functions.HashFunctions.stableHash64(concat(lit("hll:"), $"w")).as("h"))
+        .withColumn("bkt", graft.operators.HllSketch.bucketCol($"h", p))
+        .withColumn("rnk", graft.operators.HllSketch.rankExpr("h", p))
+        .groupBy($"source", $"lang").agg(hll($"bkt", $"rnk").as("regs"))
+        .localCheckpoint(false) // the register table — all rollups read this
+      val vocab = tok.distinct().localCheckpoint(false) // exact sidecar
+      def e4 = fq4(graft.operators.HllSketch.estimateExpr("regs", p)).as("est4")
+      val lvl0 = base
+        .join(vocab.groupBy($"source", $"lang").agg(count(lit(1)).as("n_exact")),
+          Seq("source", "lang"))
+        .select(lit("1_source_lang").as("level"), $"source", $"lang", $"n_exact", e4)
+      val lvl1 = graft.operators.HllSketch.rollupRegisters(base, Seq("source"), "regs")
+        .join(vocab.select($"source", $"w").distinct()
+          .groupBy($"source").agg(count(lit(1)).as("n_exact")), Seq("source"))
+        .select(lit("2_source").as("level"), $"source", lit("").as("lang"),
+          $"n_exact", e4)
+      val lvl2 = graft.operators.HllSketch.rollupRegisters(base, Seq.empty, "regs")
+        .crossJoin(broadcast(
+          vocab.select($"w").distinct().agg(count(lit(1)).as("n_exact"))))
+        .select(lit("3_global").as("level"), lit("").as("source"),
+          lit("").as("lang"), $"n_exact", e4)
+      lvl0.unionByName(lvl1).unionByName(lvl2)
+        .orderBy($"level", $"source", $"lang")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6077,5 +6122,27 @@ r AS (
 SELECT check_name, metric4, op, threshold4,
   (CASE WHEN op = '>=' THEN metric4 >= threshold4 ELSE metric4 <= threshold4 END)::INT AS satisfied
 FROM r ORDER BY check_name""",
+    // q172: registers rebuilt per (source, lang) on the 64-bucket grid,
+    // rolled up by plain GROUP-BY max — q128's estimator formula verbatim
+    "q172_sketch_rollup" ->
+      raw"""WITH tok AS (SELECT source, lang, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents),
+vocab AS MATERIALIZED (SELECT DISTINCT source, lang, w FROM tok),
+hashed AS (SELECT source, lang, ('0x' || substr(md5('hll:' || w), 1, 15))::BIGINT AS h FROM vocab),
+br AS (SELECT source, lang, h % 64 AS bkt, least(bit_count(((h >> 6) & -(h >> 6)) - 1), 47) + 1 AS rnk FROM hashed),
+grid AS (SELECT source, lang, i AS bkt FROM (SELECT DISTINCT source, lang FROM vocab) CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+regs AS MATERIALIZED (SELECT g.source, g.lang, g.bkt, coalesce(max(rnk), 0) AS m FROM grid g LEFT JOIN br ON g.source = br.source AND g.lang = br.lang AND g.bkt = br.bkt GROUP BY 1, 2, 3),
+s0 AS (SELECT source, lang, sum(1::BIGINT << (48 - m))::BIGINT AS s, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros FROM regs GROUP BY 1, 2),
+s1 AS (SELECT source, sum(1::BIGINT << (48 - m))::BIGINT AS s, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros FROM (SELECT source, bkt, max(m) AS m FROM regs GROUP BY 1, 2) GROUP BY 1),
+s2 AS (SELECT sum(1::BIGINT << (48 - m))::BIGINT AS s, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros FROM (SELECT bkt, max(m) AS m FROM regs GROUP BY 1)),
+ex0 AS (SELECT source, lang, count(*)::BIGINT AS n_exact FROM vocab GROUP BY 1, 2),
+ex1 AS (SELECT source, count(DISTINCT w)::BIGINT AS n_exact FROM vocab GROUP BY 1),
+ex2 AS (SELECT count(DISTINCT w)::BIGINT AS n_exact FROM vocab),
+r AS (
+  SELECT '1_source_lang' AS level, s0.source, s0.lang, ex0.n_exact, s0.s, s0.zeros FROM s0 JOIN ex0 ON s0.source = ex0.source AND s0.lang = ex0.lang
+  UNION ALL SELECT '2_source', s1.source, '', ex1.n_exact, s1.s, s1.zeros FROM s1 JOIN ex1 ON s1.source = ex1.source
+  UNION ALL SELECT '3_global', '', '', ex2.n_exact, s2.s, s2.zeros FROM s2, ex2)
+SELECT level, source, lang, n_exact,
+  floor((CASE WHEN (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) <= 160.0::DOUBLE AND zeros > 0 THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros::DOUBLE) ELSE (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) END) * 10000.0)::BIGINT::DOUBLE / 10000.0 AS est4
+FROM r ORDER BY level, source, lang""",
   )
 }

@@ -110,4 +110,29 @@ object HllSketch {
       s"then ${m.toDouble}D * ln(${m.toDouble}D / cast($zeros as double)) " +
       s"else $raw end")
   }
+
+  /** Re-aggregate FINISHED register arrays to a coarser grouping without
+    * touching the raw key stream — the sketch-rollup-table pattern: a
+    // nightly job stores per-(source, day) registers; "distinct last 30
+    // days per source" or "global distinct" is then element-wise max over
+    // 2^p-int arrays, never a rescan of 100 TB of keys. HLL registers are
+    // a max-monoid, so rollup(est) is EXACTLY the estimate the fine scan
+    // would have produced at the coarse grain (not an approximation of
+    // it). `keys` may be empty (global rollup). Shuffle cost: groups × m
+    // rows of ints, twice.
+    */
+  def rollupRegisters(
+      df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      regCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{posexplode => pex}
+    val exploded = df
+      .select(keys.map(col) :+ pex(col(regCol)): _*)
+      .toDF(keys ++ Seq("i", "m"): _*)
+      .groupBy((keys :+ "i").map(col): _*)
+      .agg(max(col("m")).as("m"))
+    exploded.groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("i"), col("m")))),
+        x => x.getField("m")).as(regCol))
+  }
 }

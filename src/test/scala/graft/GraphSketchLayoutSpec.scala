@@ -97,6 +97,32 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL register rollup is lossless: element-wise max of group registers equals the combined scan's registers") {
+    import spark.implicits._
+    val p = 4
+    val rnd = new scala.util.Random(23L)
+    val rows = (0 until 4000).map(i => (s"g${i % 5}", s"k${rnd.nextInt(900)}"))
+    val hll = udaf(new HllAgg(p),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
+    def hashed = rows.toDF("g", "w")
+      .withColumn("h", graft.functions.HashFunctions.stableHash64(
+        concat(lit("hll:"), $"w")))
+      .withColumn("bkt", HllSketch.bucketCol($"h", p))
+      .withColumn("rnk", HllSketch.rankExpr("h", p))
+    val perGroup = hashed.groupBy($"g").agg(hll($"bkt", $"rnk").as("regs"))
+    val rolled = HllSketch.rollupRegisters(perGroup, Seq.empty, "regs")
+      .collect()(0).getSeq[Int](0)
+    val whole = hashed.agg(hll($"bkt", $"rnk").as("regs"))
+      .collect()(0).getSeq[Int](0)
+    assert(rolled == whole)
+    // and a keyed rollup round-trips: rolling up the finest grain by its
+    // own keys is the identity
+    val idem = HllSketch.rollupRegisters(perGroup, Seq("g"), "regs")
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val fine = perGroup.collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(idem == fine)
+  }
+
   test("integer PageRank equals a sequential reference on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(13L)
