@@ -287,6 +287,47 @@ object StatefulOps {
       }
   }
 
+  final case class BloomWordSnapshot(word_idx: Int, word: Long)
+
+  /** Streaming twin of [[graft.operators.BloomAgg]] (q169's runtime
+    * filter): the Bloom filter IS the state, sharded one 64-bit word per
+    * key — each arriving key hash fans out to its `numHashes` (word,
+    * bit-mask) pairs ([[graft.operators.BloomAgg.reduce]]'s exact
+    * arithmetic) and each word's state ORs its masks. State is bounded by
+    * `numWords` longs TOTAL regardless of stream length, the OR is a
+    * commutative idempotent monoid, so after any micro-batch split, any
+    * arrival order, and any at-least-once redelivery the materialized
+    * word table equals the batch aggregator's filter — a nightly-refresh
+    * runtime filter maintained incrementally instead of rebuilt from a
+    * full dim rescan.
+    */
+  def runningBloomWords(
+      hashes: Dataset[Long], numWords: Int, numHashes: Int): Dataset[BloomWordSnapshot] = {
+    require(numWords > 0 && (numWords & (numWords - 1)) == 0,
+      s"numWords must be a power of two, got $numWords")
+    import hashes.sparkSession.implicits._
+    val bits = numWords.toLong * 64L
+    val mask = bits - 1L
+    val shift = java.lang.Long.numberOfTrailingZeros(bits)
+    hashes
+      .flatMap { h =>
+        val h1 = h & mask
+        val h2 = ((h >>> shift) & mask) | 1L
+        (0 until numHashes).map { i =>
+          val pos = (h1 + i * h2) & mask
+          ((pos >>> 6).toInt, 1L << (pos & 63L))
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (w: Int, it: Iterator[(Int, Long)], state: GroupState[Long]) =>
+          var word = state.getOption.getOrElse(0L)
+          it.foreach(word |= _._2)
+          state.update(word)
+          BloomWordSnapshot(w, word)
+      }
+  }
+
   final case class TopKSnapshot(key: String, n_items: Long, top: Seq[(Long, Long)])
 
   /** Streaming twin of the bounded-heap top-k (q103): per-group state IS

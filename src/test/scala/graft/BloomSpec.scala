@@ -108,4 +108,39 @@ class BloomSpec extends AnyFunSuite {
       .select($"fk", $"v", $"payload").collect().map(_.toSeq).toSet
     assert(got == want)
   }
+
+  test("streaming bloom words equal the batch filter after every random split, shuffle, and replay") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(7L)
+    val keys = hashes(800, "stream")
+    val w = 64
+    val agg = new BloomAgg(w, numHashes)
+    val batchWords = keys.foldLeft(agg.zero)(agg.reduce)
+    (0 until 3).foreach { round =>
+      val shuffled = rnd.shuffle(keys)
+      val cut = 1 + rnd.nextInt(shuffled.size - 1)
+      // replay a slice of batch 1 inside batch 2: OR idempotence absorbs it
+      val b1 = shuffled.take(cut)
+      val b2 = (if (round == 2) b1.takeRight(math.min(20, b1.size)) else Nil) ++
+        shuffled.drop(cut)
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = graft.streaming.StatefulOps
+        .runningBloomWords(input.toDS(), w, numHashes)
+        .writeStream.format("memory").queryName(s"bloom_run_$round")
+        .outputMode("update").start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+        // snapshots are OR-monotone per word — the order-independent
+        // reduction of the update stream is bit_or, not "latest row"
+        val got = spark.table(s"bloom_run_$round")
+          .groupBy($"word_idx").agg(expr("bit_or(word)").as("word"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        (0 until w).foreach { i =>
+          assert(got.getOrElse(i, 0L) == batchWords(i), s"round=$round word=$i")
+        }
+      } finally q.stop()
+    }
+  }
 }
