@@ -424,7 +424,46 @@ object ScaleProbe {
     System.err.println(
       s"[probe] q143 cells=$nCells max_cell=$maxCell pair_space=$pairSpace n=$nVec")
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s)
+    // q169's shape at 10× FACT rows: lineitem exact-copied (same keys —
+    // the dim side and therefore the filter are unchanged), so the pruned
+    // exact join's row count is exactly 10× the base join's, and the
+    // filter's false-positive work stays a bounded fraction of the probe
+    // scan. Closed forms: joined = c × base-joined (exact copies multiply
+    // every match); pruned ≤ (match-key rows + fp-rate × rest).
+    val liBase = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val liScaled = (0 until copies).map(_ => liBase).reduce(_ unionByName _)
+      .localCheckpoint(false)
+    val ordF169 = Tables.load(spark, sfDir, "orders")
+      .filter($"o_orderstatus" === "F" &&
+        $"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .localCheckpoint(false)
+    val q169df = {
+      val pruned = graft.operators.BloomSketch.prune(
+        liScaled, graft.functions.HashFunctions.stableHash64($"l_orderkey"),
+        ordF169, graft.functions.HashFunctions.stableHash64($"o_orderkey"))
+      pruned.join(ordF169, pruned("l_orderkey") === ordF169("o_orderkey"))
+        .select("l_orderkey")
+    }
+    val q169s = timed("q169_bloom_prune_10x") { q169df }
+    val baseJoined = liBase.join(ordF169,
+      liBase("l_orderkey") === ordF169("o_orderkey")).count()
+    require(q169s._3 == copies * baseJoined,
+      s"q169 10x joined rows: got ${q169s._3}, want ${copies * baseJoined}")
+    val prunedRows = graft.operators.BloomSketch.prune(
+      liScaled, graft.functions.HashFunctions.stableHash64($"l_orderkey"),
+      ordF169, graft.functions.HashFunctions.stableHash64($"o_orderkey")).count()
+    val liRows = liScaled.count()
+    // the filter must do real work at scale: everything it keeps beyond
+    // the true matches is false-positive spill, bounded at 5% of the
+    // non-matching stream (sized ~10 bits/key, 3 probes ≈ 1-2% expected)
+    require(prunedRows >= copies * baseJoined &&
+      prunedRows - copies * baseJoined <= (liRows - copies * baseJoined) / 20,
+      s"q169 10x pruning: kept $prunedRows of $liRows for ${copies * baseJoined} true")
+    System.err.println(
+      s"[probe] q169 kept=$prunedRows of=$liRows true=${copies * baseJoined}")
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

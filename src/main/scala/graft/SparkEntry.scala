@@ -4167,6 +4167,100 @@ object SparkEntry {
         .orderBy($"level", $"source", $"lang")
     }),
 
+    // Temporal embargo split — the backtest-hygiene complement of q83's
+    // entity-hash split: train strictly before T1, test strictly after
+    // T2, the embargo gap between them DROPPED so near-boundary
+    // correlations (a session straddling midnight) can't leak future
+    // signal into training. The audit quantifies the residual
+    // entity-level leakage an embargo cannot remove: users active on
+    // both sides, and the share of test events they produce. One scan
+    // classifies; the overlap is a distinct-user self-semi-join (user-
+    // dimension-sized shuffles — users grow with the corpus, so this is
+    // deliberately NOT broadcast).
+    "q173_embargo_split" -> ((s, dir) => {
+      import s.implicits._
+      // 2024-01-20 / 2024-01-22 UTC as epoch nanos (engine ts contract)
+      val t1 = lit(1705708800000000000L)
+      val t2 = lit(1705881600000000000L)
+      val ev = t(s, dir, "events")
+        .select($"user_id",
+          when($"ts" < t1, "train").when($"ts" >= t2, "test")
+            .otherwise("embargo").as("split"))
+        .localCheckpoint(false) // feeds split stats + both overlap sides
+      val trainUsers = ev.filter($"split" === "train")
+        .select($"user_id").distinct().localCheckpoint(false)
+      val overlap = broadcast(ev.filter($"split" === "test")
+        .select($"user_id").distinct()
+        .join(trainUsers, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap_users")))
+      val testEv = ev.filter($"split" === "test")
+      val leak = broadcast(testEv
+        .join(trainUsers, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("n_leak"))
+        .crossJoin(broadcast(testEv.agg(count(lit(1)).as("n_test")))))
+      ev.groupBy($"split")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct($"user_id").as("n_users"))
+        .crossJoin(overlap).crossJoin(leak)
+        .select($"split", $"n_events", $"n_users", $"n_overlap_users",
+          (expr("(n_leak * 10000) div n_test") / lit(10000.0))
+            .as("overlap_test_share4"))
+        .orderBy($"split")
+    }),
+
+    // Posting-list compression planner — the storage-engineering read on
+    // q113's inverted index: per term, the delta-gap stream's cost under
+    // byte-aligned varint vs whole-list bitpacking (bits = ⌈log2⌉ of the
+    // worst gap × df), and which encoding wins. Every quantity is exact
+    // integer arithmetic (length(bin(gap)) IS floor(log2)+1 on both
+    // engines). Shape: one (term, doc) distinct shuffle, then a
+    // WITHIN-TERM window — the order a real index build already has per
+    // shard — and a TakeOrderedAndProject top-20; gap text never moves,
+    // only (term, doc_id) pairs. The decision a 100 TB index build makes
+    // per posting block, modeled per term.
+    "q174_postings_size" -> ((s, dir) => {
+      import s.implicits._
+      val dl = graft.query.InvertedIndex
+        .postings(t(s, dir, "documents"), "doc_id", "text")
+        .select($"term", $"doc_id").distinct()
+      val w = Window.partitionBy($"term").orderBy($"doc_id")
+      val gaps = dl.withColumn("gap",
+        $"doc_id" - coalesce(lag($"doc_id", 1).over(w), lit(-1L)))
+      val st = gaps.groupBy($"term").agg(
+        count(lit(1)).as("df"), max($"gap").as("max_gap"),
+        sum(when($"gap" < 128L, 1L).when($"gap" < 16384L, 2L)
+          .when($"gap" < 2097152L, 3L).otherwise(4L)).as("varint_bytes"))
+      st.withColumn("bitpack_bytes",
+          expr("(df * length(bin(max_gap)) + 7) div 8"))
+        .withColumn("winner",
+          when($"bitpack_bytes" < $"varint_bytes", "bitpack").otherwise("varint"))
+        .orderBy($"df".desc, $"term").limit(20)
+    }),
+
+    // k-anonymity audit over quasi-identifiers — the data-governance gate
+    // before releasing a corpus slice: every (lang, source, length-bucket)
+    // combination is an equivalence class; classes with one member
+    // re-identify a document, small classes nearly so. One groupBy over
+    // the scan builds the class histogram, a 3-row rollup classifies it
+    // (unique / small / anonymous at k = 5) with exact corpus shares.
+    // Shuffles carry (quasi-id, count) rows only.
+    "q175_k_anonymity" -> ((s, dir) => {
+      import s.implicits._
+      val classes = t(s, dir, "documents")
+        .groupBy($"lang", $"source", expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("sz"))
+      val tot = broadcast(t(s, dir, "documents").agg(count(lit(1)).as("n")))
+      classes
+        .select(when($"sz" === 1, "1_unique").when($"sz" < 5, "2_small")
+          .otherwise("3_anonymous").as("risk_class"), $"sz")
+        .groupBy($"risk_class")
+        .agg(count(lit(1)).as("n_classes"), sum($"sz").as("n_docs"))
+        .crossJoin(tot)
+        .select($"risk_class", $"n_classes", $"n_docs",
+          (expr("(n_docs * 10000) div n") / lit(10000.0)).as("docs_share4"))
+        .orderBy($"risk_class")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6144,5 +6238,36 @@ r AS (
 SELECT level, source, lang, n_exact,
   floor((CASE WHEN (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) <= 160.0::DOUBLE AND zeros > 0 THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros::DOUBLE) ELSE (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) END) * 10000.0)::BIGINT::DOUBLE / 10000.0 AS est4
 FROM r ORDER BY level, source, lang""",
+    // q173: same instants as TIMESTAMP literals; leakage share integer-quantized
+    "q173_embargo_split" ->
+      """WITH ev AS (SELECT user_id, CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train' WHEN ts >= TIMESTAMP '2024-01-22' THEN 'test' ELSE 'embargo' END AS split FROM events),
+tu AS (SELECT DISTINCT user_id FROM ev WHERE split = 'train'),
+ov AS (SELECT count(*)::BIGINT AS n_overlap_users FROM (SELECT DISTINCT user_id FROM ev WHERE split = 'test') t WHERE t.user_id IN (SELECT user_id FROM tu)),
+lk AS (SELECT (SELECT count(*) FROM ev WHERE split = 'test' AND user_id IN (SELECT user_id FROM tu))::BIGINT AS n_leak, (SELECT count(*) FROM ev WHERE split = 'test')::BIGINT AS n_test)
+SELECT split, count(*)::BIGINT AS n_events, count(DISTINCT user_id)::BIGINT AS n_users,
+  (SELECT n_overlap_users FROM ov) AS n_overlap_users,
+  ((SELECT (n_leak * 10000) // n_test FROM lk))::DOUBLE / 10000.0 AS overlap_test_share4
+FROM ev GROUP BY split ORDER BY split""",
+    // q174: length(bin(gap)) is floor(log2)+1 on both engines; gaps ≥ 1
+    // because the first delta is against -1 and doc ids are distinct
+    "q174_postings_size" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS toks FROM documents),
+dl AS (SELECT DISTINCT term, doc_id FROM (SELECT doc_id, unnest(toks) AS term FROM tk)),
+g AS (SELECT term, doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), -1) AS gap FROM dl),
+st AS (SELECT term, count(*)::BIGINT AS df, max(gap)::BIGINT AS max_gap,
+  sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2 WHEN gap < 2097152 THEN 3 ELSE 4 END)::BIGINT AS varint_bytes
+  FROM g GROUP BY term)
+SELECT term, df, max_gap, varint_bytes,
+  ((df * length(bin(max_gap)) + 7) // 8)::BIGINT AS bitpack_bytes,
+  CASE WHEN ((df * length(bin(max_gap)) + 7) // 8) < varint_bytes THEN 'bitpack' ELSE 'varint' END AS winner
+FROM st ORDER BY df DESC, term LIMIT 20""",
+    // q175: class histogram + 3-row risk rollup, shares integer-quantized
+    "q175_k_anonymity" ->
+      """WITH cls AS (SELECT lang, source, n_chars // 100 AS len_bucket, count(*)::BIGINT AS sz FROM documents GROUP BY 1, 2, 3),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT CASE WHEN sz = 1 THEN '1_unique' WHEN sz < 5 THEN '2_small' ELSE '3_anonymous' END AS risk_class,
+  count(*)::BIGINT AS n_classes, sum(sz)::BIGINT AS n_docs,
+  ((sum(sz) * 10000) // n)::DOUBLE / 10000.0 AS docs_share4
+FROM cls, tot GROUP BY 1, n ORDER BY risk_class""",
   )
 }
