@@ -4261,6 +4261,80 @@ object SparkEntry {
         .orderBy($"risk_class")
     }),
 
+    // Incremental materialized-aggregate maintenance (warehouse IVM): the
+    // stored per-(event_type, day) rollup is REFRESHED by merging the old
+    // aggregate table with the delta batch's aggregate — count/sum by
+    // re-summation, distinct-users by the q172 register max — never by
+    // rescanning history. The oracle recomputes from the FULL event
+    // stream, so hash equality IS the maintenance-correctness proof:
+    // merge(agg(old), agg(delta)) ≡ agg(old ∪ delta), exactly (HLL
+    // registers are a max-monoid — the merged estimate is bit-identical
+    // to the full-scan estimate, not an approximation of it). At 100 TB
+    // the delta is a day and history is the other 10 years; this is the
+    // only refresh shape that works.
+    "q176_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      val p = 6
+      val hll = udaf(new graft.operators.HllAgg(p),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
+      val tcut = lit(1706140800000000000L) // 2024-01-25 UTC as epoch nanos
+      def aggOf(df: DataFrame): DataFrame = df
+        .select($"event_type", expr("ts div 86400000000000").as("day"),
+          expr("cast(floor(value * 1000000) as bigint)").as("vu"),
+          graft.functions.HashFunctions.stableHash64(
+            concat(lit("ivm:"), $"user_id".cast("string"))).as("h"))
+        .withColumn("bkt", graft.operators.HllSketch.bucketCol($"h", p))
+        .withColumn("rnk", graft.operators.HllSketch.rankExpr("h", p))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("n"), sum($"vu").as("sum_value_u"),
+          hll($"bkt", $"rnk").as("regs"))
+      val ev = t(s, dir, "events")
+      val merged = aggOf(ev.filter($"ts" < tcut))
+        .unionByName(aggOf(ev.filter($"ts" >= tcut)))
+        .localCheckpoint(false) // scalar re-sum + register max both read it
+      val scalars = merged.groupBy($"event_type", $"day")
+        .agg(sum($"n").as("n"), sum($"sum_value_u").as("sum_value_u"))
+      val regs = graft.operators.HllSketch.rollupRegisters(
+        merged.select($"event_type", $"day", $"regs"),
+        Seq("event_type", "day"), "regs")
+      scalars.join(regs, Seq("event_type", "day"))
+        .select($"event_type", $"day", $"n", $"sum_value_u",
+          fq4(graft.operators.HllSketch.estimateExpr("regs", p)).as("users_est4"))
+        .orderBy($"event_type", $"day")
+    }),
+
+    // Last-touch attribution — each purchase credited to the user's most
+    // recent preceding non-purchase event within a 7-day window, 'direct'
+    // otherwise: the q49 as-of machinery pointed at marketing analytics.
+    // Touches reduce to one deterministic row per (user, instant) first
+    // (max_by event_id — robust even if the generator ever emits
+    // same-instant events), then ONE user-keyed sort-merge as-of carries
+    // struct(ts, type) so the window cut and the channel read the same
+    // matched row. Revenue is exact micro-units; the rollup is
+    // channel-sized.
+    "q177_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts",
+          expr("cast(floor(value * 1000000) as bigint)").as("vu"))
+      val touches = ev.filter($"event_type" =!= "purchase")
+        .groupBy($"user_id", $"ts")
+        .agg(max_by($"event_type", $"event_id").as("et"))
+        .select($"user_id", $"ts", struct($"ts".as("t"), $"et").as("touch"))
+      val joined = graft.operators.AsOfJoin.lastPriorValue(
+        purchases, touches, "user_id", "ts", "touch")
+      joined
+        .select(
+          when($"asof_touch".isNull ||
+            ($"ts" - $"asof_touch.t") > lit(604800000000000L), "direct")
+            .otherwise($"asof_touch.et").as("channel"),
+          $"vu")
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_purchases"), sum($"vu").as("sum_value_u"))
+        .orderBy($"channel")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6269,5 +6343,29 @@ SELECT CASE WHEN sz = 1 THEN '1_unique' WHEN sz < 5 THEN '2_small' ELSE '3_anony
   count(*)::BIGINT AS n_classes, sum(sz)::BIGINT AS n_docs,
   ((sum(sz) * 10000) // n)::DOUBLE / 10000.0 AS docs_share4
 FROM cls, tot GROUP BY 1, n ORDER BY risk_class""",
+    // q176: the oracle recomputes from the FULL stream — equality proves
+    // the engine's merge-of-partials refresh exact (q128's estimator)
+    "q176_incremental_agg" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, cast(floor(value * 1000000) AS BIGINT) AS vu, ('0x' || substr(md5('ivm:' || user_id::VARCHAR), 1, 15))::BIGINT AS h FROM events),
+scal AS (SELECT event_type, day, count(*)::BIGINT AS n, sum(vu)::BIGINT AS sum_value_u FROM ev GROUP BY 1, 2),
+hashes AS (SELECT DISTINCT event_type, day, h FROM ev),
+br AS (SELECT event_type, day, h % 64 AS bkt, least(bit_count(((h >> 6) & -(h >> 6)) - 1), 47) + 1 AS rnk FROM hashes),
+grid AS (SELECT event_type, day, i AS bkt FROM (SELECT DISTINCT event_type, day FROM ev) CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+regs AS (SELECT g.event_type, g.day, g.bkt, coalesce(max(rnk), 0) AS m FROM grid g LEFT JOIN br ON g.event_type = br.event_type AND g.day = br.day AND g.bkt = br.bkt GROUP BY 1, 2, 3),
+s0 AS (SELECT event_type, day, sum(1::BIGINT << (48 - m))::BIGINT AS s, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros FROM regs GROUP BY 1, 2)
+SELECT scal.event_type, scal.day, n, sum_value_u,
+  floor((CASE WHEN (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) <= 160.0::DOUBLE AND zeros > 0 THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros::DOUBLE) ELSE (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) END) * 10000.0)::BIGINT::DOUBLE / 10000.0 AS users_est4
+FROM scal JOIN s0 ON scal.event_type = s0.event_type AND scal.day = s0.day
+ORDER BY scal.event_type, scal.day""",
+    // q177: DuckDB native ASOF after the same per-(user, instant) touch
+    // reduction; the 7-day cut as an INTERVAL on timestamps ≡ the
+    // engine's nano arithmetic
+    "q177_attribution" ->
+      """WITH p AS (SELECT user_id, ts, cast(floor(value * 1000000) AS BIGINT) AS vu FROM events WHERE event_type = 'purchase'),
+tch AS (SELECT user_id, ts, max_by(event_type, event_id) AS et FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2),
+j AS (SELECT p.ts AS pts, p.vu, c.ts AS t, c.et FROM p ASOF LEFT JOIN tch c ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT CASE WHEN t IS NULL OR pts - t > INTERVAL 7 DAY THEN 'direct' ELSE et END AS channel,
+  count(*)::BIGINT AS n_purchases, sum(vu)::BIGINT AS sum_value_u
+FROM j GROUP BY 1 ORDER BY channel""",
   )
 }
