@@ -463,7 +463,31 @@ object ScaleProbe {
     System.err.println(
       s"[probe] q169 kept=$prunedRows of=$liRows true=${copies * baseJoined}")
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s)
+    // q176's IVM refresh at 10× EVENTS (exact copies): every group's
+    // count and micro-sum scale by exactly c, while the distinct-user SET
+    // — and therefore the HLL registers and the 1e-4-quantized estimate —
+    // are bit-identical to the 1× run. Both closed forms checked row by
+    // row against the base refresh.
+    val evBase = Tables.load(spark, sfDir, "events")
+    val evScaled = (0 until copies).map(_ => evBase).reduce(_ unionByName _)
+      .localCheckpoint(false)
+    val q176base = SparkEntry.incrementalDailyAgg(evBase)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val q176df = SparkEntry.incrementalDailyAgg(evScaled)
+    val q176s = timed("q176_incremental_agg_10x") { q176df }
+    val q176got = q176df.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    require(q176got.keySet == q176base.keySet,
+      s"q176 10x group drift: ${q176got.size} vs ${q176base.size} groups")
+    q176base.foreach { case (k, (n, sv, est)) =>
+      val (n10, sv10, est10) = q176got(k)
+      require(n10 == copies * n && sv10 == copies * sv && est10 == est,
+        s"q176 10x closed form broke at $k: " +
+          s"($n10,$sv10,$est10) vs c*($n,$sv) est=$est")
+    }
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

@@ -4272,36 +4272,8 @@ object SparkEntry {
     // to the full-scan estimate, not an approximation of it). At 100 TB
     // the delta is a day and history is the other 10 years; this is the
     // only refresh shape that works.
-    "q176_incremental_agg" -> ((s, dir) => {
-      import s.implicits._
-      val p = 6
-      val hll = udaf(new graft.operators.HllAgg(p),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
-      val tcut = lit(1706140800000000000L) // 2024-01-25 UTC as epoch nanos
-      def aggOf(df: DataFrame): DataFrame = df
-        .select($"event_type", expr("ts div 86400000000000").as("day"),
-          expr("cast(floor(value * 1000000) as bigint)").as("vu"),
-          graft.functions.HashFunctions.stableHash64(
-            concat(lit("ivm:"), $"user_id".cast("string"))).as("h"))
-        .withColumn("bkt", graft.operators.HllSketch.bucketCol($"h", p))
-        .withColumn("rnk", graft.operators.HllSketch.rankExpr("h", p))
-        .groupBy($"event_type", $"day")
-        .agg(count(lit(1)).as("n"), sum($"vu").as("sum_value_u"),
-          hll($"bkt", $"rnk").as("regs"))
-      val ev = t(s, dir, "events")
-      val merged = aggOf(ev.filter($"ts" < tcut))
-        .unionByName(aggOf(ev.filter($"ts" >= tcut)))
-        .localCheckpoint(false) // scalar re-sum + register max both read it
-      val scalars = merged.groupBy($"event_type", $"day")
-        .agg(sum($"n").as("n"), sum($"sum_value_u").as("sum_value_u"))
-      val regs = graft.operators.HllSketch.rollupRegisters(
-        merged.select($"event_type", $"day", $"regs"),
-        Seq("event_type", "day"), "regs")
-      scalars.join(regs, Seq("event_type", "day"))
-        .select($"event_type", $"day", $"n", $"sum_value_u",
-          fq4(graft.operators.HllSketch.estimateExpr("regs", p)).as("users_est4"))
-        .orderBy($"event_type", $"day")
-    }),
+    "q176_incremental_agg" -> ((s, dir) =>
+      incrementalDailyAgg(t(s, dir, "events"))),
 
     // Last-touch attribution — each purchase credited to the user's most
     // recent preceding non-purchase event within a 7-day window, 'direct'
@@ -4372,6 +4344,45 @@ object SparkEntry {
     * vectors and the within-cell pair space is O(n · cellSize) — linear in
     * the corpus — at any scale.
     */
+  /** q176's body against any events relation — factored so [[ScaleProbe]]
+    * measures exactly the shipped IVM refresh on a 10× event stream
+    * (closed forms: counts and micro-sums scale by the copy factor while
+    * the registers — a function of the distinct-user SET — are unchanged).
+    * History is everything before `tcutNs` (default 2024-01-25 UTC), the
+    * delta everything after; the refresh merges the two aggregates and
+    * never rescans the union.
+    */
+  def incrementalDailyAgg(
+      ev: DataFrame, tcutNs: Long = 1706140800000000000L): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val p = 6
+    val hll = udaf(new graft.operators.HllAgg(p),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
+    def aggOf(df: DataFrame): DataFrame = df
+      .select($"event_type", expr("ts div 86400000000000").as("day"),
+        expr("cast(floor(value * 1000000) as bigint)").as("vu"),
+        graft.functions.HashFunctions.stableHash64(
+          concat(lit("ivm:"), $"user_id".cast("string"))).as("h"))
+      .withColumn("bkt", graft.operators.HllSketch.bucketCol($"h", p))
+      .withColumn("rnk", graft.operators.HllSketch.rankExpr("h", p))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), sum($"vu").as("sum_value_u"),
+        hll($"bkt", $"rnk").as("regs"))
+    val merged = aggOf(ev.filter($"ts" < lit(tcutNs)))
+      .unionByName(aggOf(ev.filter($"ts" >= lit(tcutNs))))
+      .localCheckpoint(false) // scalar re-sum + register max both read it
+    val scalars = merged.groupBy($"event_type", $"day")
+      .agg(sum($"n").as("n"), sum($"sum_value_u").as("sum_value_u"))
+    val regs = graft.operators.HllSketch.rollupRegisters(
+      merged.select($"event_type", $"day", $"regs"),
+      Seq("event_type", "day"), "regs")
+    scalars.join(regs, Seq("event_type", "day"))
+      .select($"event_type", $"day", $"n", $"sum_value_u",
+        fq4(graft.operators.HllSketch.estimateExpr("regs", p)).as("users_est4"))
+      .orderBy($"event_type", $"day")
+  }
+
   def knnClusterPurity(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._

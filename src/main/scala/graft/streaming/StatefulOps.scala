@@ -287,6 +287,34 @@ object StatefulOps {
       }
   }
 
+  final case class KmvSnapshot(key: String, n_items: Long, sketch: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.KmvSketchAgg]] (q73's distinct
+    * estimator): per-key state is the sorted ≤ k-minima buffer, updated
+    * by the SAME reduce the batch aggregator runs. The buffer is a
+    * commutative idempotent monoid under merge-and-trim (set semantics —
+    * a redelivered hash is dropped by the binary-search dedup), so after
+    * any micro-batch split, arrival order, and at-least-once replay the
+    * snapshot equals the batch sketch of everything seen — and therefore
+    * so does the DETERMINISTIC estimate read off it. State is O(k) longs
+    * per group regardless of stream length.
+    */
+  def runningKmv(
+      hashes: Dataset[(String, Long)], k: Int): Dataset[KmvSnapshot] = {
+    import hashes.sparkSession.implicits._
+    val agg = new graft.operators.KmvSketchAgg(k)
+    hashes
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Long])]) =>
+          var (n, buf) = state.getOption.getOrElse((0L, agg.zero))
+          it.foreach { case (_, h) => n += 1; buf = agg.reduce(buf, h) }
+          state.update((n, buf))
+          KmvSnapshot(key, n, buf.toSeq)
+      }
+  }
+
   final case class BloomWordSnapshot(word_idx: Int, word: Long)
 
   /** Streaming twin of [[graft.operators.BloomAgg]] (q169's runtime

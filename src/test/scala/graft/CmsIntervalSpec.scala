@@ -205,6 +205,46 @@ class CmsIntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming KMV sketch equals the batch sketch after every random split — replay absorbed by set semantics") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(59L)
+    val k = 12
+    val rows = (0 until 600).map { i =>
+      val key = "g" + (i % 3)
+      (key, graft.functions.HashFunctions.stableHash64(s"kmv:${rnd.nextInt(150)}"))
+    }
+    val agg = new graft.operators.KmvSketchAgg(k)
+    def batchOf(key: String): Seq[Long] =
+      rows.filter(_._1 == key).map(_._2).foldLeft(agg.zero)(agg.reduce).toSeq
+    (0 until 3).foreach { round =>
+      val shuffled = rnd.shuffle(rows)
+      val cut = 1 + rnd.nextInt(shuffled.size - 1)
+      val b1 = shuffled.take(cut)
+      // replay a slice of batch 1 inside batch 2 — KMV dedups on insert
+      val b2 = (if (round == 2) b1.takeRight(math.min(15, b1.size)) else Nil) ++
+        shuffled.drop(cut)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val q = graft.streaming.StatefulOps.runningKmv(input.toDS(), k)
+        .writeStream.format("memory").queryName(s"kmv_run_$round")
+        .outputMode("update").start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+        val last = spark.table(s"kmv_run_$round")
+          .groupBy(col("key"))
+          .agg(org.apache.spark.sql.functions
+            .max_by(struct(col("n_items"), col("sketch")), col("n_items")).as("s"))
+          .select(col("key"), col("s.sketch")).collect()
+        last.foreach { r =>
+          assert(r.getSeq[Long](1) == batchOf(r.getString(0)),
+            s"round=$round key=${r.getString(0)}")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("keyed interval join equals the per-key nested-loop reference; keys ride the bucket shuffle") {
     import spark.implicits._
     val rnd = new scala.util.Random(31L)
