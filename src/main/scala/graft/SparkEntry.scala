@@ -4307,6 +4307,80 @@ object SparkEntry {
         .orderBy($"channel")
     }),
 
+    // Product-quantization ANN (Jégou, Douze & Schmid, "Product
+    // quantization for nearest neighbor search", TPAMI 2011) — the
+    // memory-compression member of the ANN family (q30 brute / q31-q52
+    // LSH / q32-q158 IVF / q80 int8 / q111 matryoshka): 64-dim vectors
+    // become EIGHT 4-bit-ish codes (one per 8-dim subspace, 16-centroid
+    // codebook), and search scans codes with an asymmetric-distance LUT —
+    // the raw vectors are never touched after encoding. Everything is
+    // relational and deterministic: codebooks are the 16 lowest-id
+    // vectors' sub-blocks (q158's seed-grid convention; q166 shows the
+    // Lloyd upgrade path), encoding argmin-L2 is the argmax of
+    // (dot − ‖c‖²/2) — exactly equivalent for a fixed input, and
+    // expressible with the native codegen'd DotProduct — and ADC sums
+    // micro-quantized LUT entries as BIGINTs so the score is
+    // order-independent. Scale shape: the code table is n×8 small ints
+    // (the 100 TB point — ~8 bytes/vector resident vs 256), the LUT is
+    // queries×128 rows broadcast, and ADC is one broadcast join + a
+    // partial-agg sum keyed (query, vec). Output: recall@10 of the
+    // compressed scan vs the exact MIPS truth per query.
+    "q178_pq_ann" -> ((s, dir) => {
+      import s.implicits._
+      val m = 8; val sub = 8; val kcode = 16
+      val emb = t(s, dir, "embeddings")
+      val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
+      val seeds = emb.orderBy($"vec_id").limit(kcode)
+        .withColumn("code",
+          (row_number().over(Window.orderBy($"vec_id")) - 1).cast("long"))
+      val cb = seeds.crossJoin(subs)
+        .select($"s", $"code",
+          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("cent"))
+        .localCheckpoint(false) // m×kcode rows; feeds encode + LUT
+      val cbScore = cb.withColumn("half_norm2",
+        VectorFunctions.dotProduct($"cent", $"cent") / lit(2.0))
+      val codes = emb.crossJoin(subs)
+        .select($"vec_id", $"s",
+          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("sv"))
+        .join(broadcast(cbScore), Seq("s"))
+        .select($"vec_id", $"s", $"code",
+          (VectorFunctions.dotProduct($"sv", $"cent") - $"half_norm2").as("sc"))
+        .groupBy($"vec_id", $"s")
+        .agg(max_by($"code", struct($"sc", -$"code")).as("code"))
+        .localCheckpoint(false) // the compressed index — ADC reads ONLY this
+      val queries = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val lut = queries.crossJoin(subs)
+        .select($"query_id", $"s",
+          slice($"qv", ($"s" * sub + 1).cast("int"), lit(sub)).as("qs"))
+        .join(broadcast(cb), Seq("s"))
+        .select($"query_id", $"s", $"code",
+          floor(VectorFunctions.dotProduct($"qs", $"cent") * lit(1000000.0))
+            .cast("long").as("dot_u"))
+      val adc = codes.join(broadcast(lut), Seq("s", "code"))
+        .filter($"vec_id" =!= $"query_id")
+        .groupBy($"query_id", $"vec_id")
+        .agg(sum($"dot_u").as("adc_u"))
+      val wq = Window.partitionBy($"query_id").orderBy($"adc_u".desc, $"vec_id")
+      val pqTop = adc.withColumn("rn", row_number().over(wq)).filter($"rn" <= 10)
+        .select($"query_id", $"vec_id")
+      val wb = Window.partitionBy($"query_id").orderBy($"dot_u".desc, $"vec_id")
+      val brute = emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          floor(VectorFunctions.dotProduct($"embedding", $"qv") * lit(1000000.0))
+            .cast("long").as("dot_u"))
+        .withColumn("rn", row_number().over(wb)).filter($"rn" <= 10)
+        .select($"query_id", $"vec_id")
+      pqTop.join(brute, Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("nh"))
+        .join(queries.select($"query_id"), Seq("query_id"), "right")
+        .select($"query_id", coalesce($"nh", lit(0L)).as("n_hits"))
+        .withColumn("recall4",
+          expr("(n_hits * 10000) div 10") / lit(10000.0))
+        .orderBy($"query_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6378,5 +6452,25 @@ j AS (SELECT p.ts AS pts, p.vu, c.ts AS t, c.et FROM p ASOF LEFT JOIN tch c ON p
 SELECT CASE WHEN t IS NULL OR pts - t > INTERVAL 7 DAY THEN 'direct' ELSE et END AS channel,
   count(*)::BIGINT AS n_purchases, sum(vu)::BIGINT AS sum_value_u
 FROM j GROUP BY 1 ORDER BY channel""",
+    // q178: codebooks/encode/LUT/ADC replayed relationally — argmin-L2 as
+    // argmax(dot − ‖c‖²/2) with list_inner_product on DOUBLE casts, ADC
+    // as BIGINT micro-sums, both rankings id-tiebroken
+    "q178_pq_ann" ->
+      """WITH subs AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
+enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
+  SELECT e.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM embeddings e, cbs c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
+adc AS (SELECT l.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+pq AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM adc) WHERE rn <= 10),
+ex AS (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id ORDER BY floor(list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) * 1000000.0)::BIGINT DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+hits AS (SELECT query_id, count(*)::BIGINT AS n_hits FROM pq JOIN ex USING (query_id, vec_id) GROUP BY 1)
+SELECT q.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits, ((coalesce(h.n_hits, 0) * 10000) // 10)::DOUBLE / 10000.0 AS recall4
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id ORDER BY q.query_id""",
   )
 }
