@@ -4381,6 +4381,47 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // Rolling 7-day active users from the daily register table — the
+    // production face of q172's rollup: the raw event stream is scanned
+    // ONCE into per-day HLL registers; every rolling window is then an
+    // element-wise max over ≤ 7 register rows per target day (7 × days ×
+    // 64 ints — trivially small), and the estimate is bit-identical to
+    // scanning the window's raw events. At 100 TB the daily register
+    // table is what persists; "MAU as of any day" never rescans history.
+    // The exact sidecar (a (user, day)-distinct fan-out) rides along as
+    // calibration; a deployment drops it.
+    "q179_rolling_mau" -> ((s, dir) => {
+      import s.implicits._
+      val p = 6
+      val hll = udaf(new graft.operators.HllAgg(p),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Int)]())
+      val ev = t(s, dir, "events")
+        .select(expr("ts div 86400000000000").as("day"),
+          graft.functions.HashFunctions.stableHash64(
+            concat(lit("mau:"), $"user_id".cast("string"))).as("h"))
+      val daily = ev
+        .withColumn("bkt", graft.operators.HllSketch.bucketCol($"h", p))
+        .withColumn("rnk", graft.operators.HllSketch.rankExpr("h", p))
+        .groupBy($"day").agg(hll($"bkt", $"rnk").as("regs"))
+        .localCheckpoint(false) // the persisted register table
+      val days = daily.select($"day").localCheckpoint(false)
+      val fan = daily
+        .withColumn("target_day", explode(sequence($"day", $"day" + 6)))
+        .join(days.select($"day".as("target_day")), Seq("target_day"), "left_semi")
+      val rolled = graft.operators.HllSketch.rollupRegisters(
+        fan.select($"target_day", $"regs"), Seq("target_day"), "regs")
+      val exact = t(s, dir, "events")
+        .select(expr("ts div 86400000000000").as("day"), $"user_id").distinct()
+        .withColumn("target_day", explode(sequence($"day", $"day" + 6)))
+        .join(days.select($"day".as("target_day")), Seq("target_day"), "left_semi")
+        .groupBy($"target_day")
+        .agg(count_distinct($"user_id").as("mau_exact"))
+      rolled.join(exact, Seq("target_day"))
+        .select($"target_day".as("day"), $"mau_exact",
+          fq4(graft.operators.HllSketch.estimateExpr("regs", p)).as("mau_est4"))
+        .orderBy($"day")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6472,5 +6513,21 @@ ex AS (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, row_number() O
 hits AS (SELECT query_id, count(*)::BIGINT AS n_hits FROM pq JOIN ex USING (query_id, vec_id) GROUP BY 1)
 SELECT q.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits, ((coalesce(h.n_hits, 0) * 10000) // 10)::DOUBLE / 10000.0 AS recall4
 FROM q LEFT JOIN hits h ON q.query_id = h.query_id ORDER BY q.query_id""",
+    // q179: per-day registers on the 64-bucket grid, window merge as a
+    // BETWEEN join + max, q128's estimator; exact sidecar from the
+    // (user, day)-distinct fan-out
+    "q179_rolling_mau" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, ('0x' || substr(md5('mau:' || user_id::VARCHAR), 1, 15))::BIGINT AS h, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ev),
+hashes AS (SELECT DISTINCT day, h FROM ev),
+br AS (SELECT day, h % 64 AS bkt, least(bit_count(((h >> 6) & -(h >> 6)) - 1), 47) + 1 AS rnk FROM hashes),
+grid AS (SELECT day, i AS bkt FROM days CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+regs AS MATERIALIZED (SELECT g.day, g.bkt, coalesce(max(rnk), 0) AS m FROM grid g LEFT JOIN br ON g.day = br.day AND g.bkt = br.bkt GROUP BY 1, 2),
+rolled AS (SELECT d2.day AS target_day, r.bkt, max(r.m) AS m FROM regs r JOIN days d2 ON d2.day BETWEEN r.day AND r.day + 6 GROUP BY 1, 2),
+s0 AS (SELECT target_day, sum(1::BIGINT << (48 - m))::BIGINT AS s, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros FROM rolled GROUP BY 1),
+ex AS (SELECT d2.day AS target_day, count(DISTINCT u.user_id)::BIGINT AS mau_exact FROM (SELECT DISTINCT day, user_id FROM ev) u JOIN days d2 ON d2.day BETWEEN u.day AND u.day + 6 GROUP BY 1)
+SELECT s0.target_day AS day, ex.mau_exact,
+  floor((CASE WHEN (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) <= 160.0::DOUBLE AND zeros > 0 THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros::DOUBLE) ELSE (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) END) * 10000.0)::BIGINT::DOUBLE / 10000.0 AS mau_est4
+FROM s0 JOIN ex ON s0.target_day = ex.target_day ORDER BY day""",
   )
 }
