@@ -4422,6 +4422,41 @@ object SparkEntry {
         .orderBy($"day")
     }),
 
+    // Right-to-be-forgotten cascade audit — the governance complement of
+    // q175/q137: a deletion-request list (deterministically synthetic,
+    // q77's convention: every doc_id % 5 == 0) is propagated by anti-join
+    // through the primary table AND its derived relations (the inverted
+    // index's postings; the vector index, key-aligned by construction),
+    // and the audit proves completeness: per relation, rows
+    // before/deleted/after plus a residual-orphan probe that must read 0
+    // — the evidence a compliance review actually asks for. Shape: the
+    // delete list is checkpointed once; each relation pays one anti-join
+    // keyed on the doc key (at 100 TB: broadcast the request list — it is
+    // requests-sized, not corpus-sized) and aggregate-sized count probes.
+    "q180_delete_cascade" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val del = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id".as("__del")).localCheckpoint(false)
+      def audit(name: String, df: DataFrame, keyName: String): DataFrame = {
+        val kept = df.join(broadcast(del), col(keyName) === $"__del", "left_anti")
+          .localCheckpoint(false) // after-image feeds count + orphan probe
+        broadcast(df.agg(count(lit(1)).as("n_before")))
+          .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_after"))))
+          .crossJoin(broadcast(
+            kept.join(broadcast(del), col(keyName) === $"__del", "left_semi")
+              .agg(count(lit(1)).as("n_orphans_after"))))
+          .select(lit(name).as("relation"), $"n_before",
+            ($"n_before" - $"n_after").as("n_deleted"), $"n_after",
+            $"n_orphans_after")
+      }
+      audit("1_documents", docs, "doc_id")
+        .unionByName(audit("2_postings",
+          graft.query.InvertedIndex.postings(docs, "doc_id", "text"), "doc_id"))
+        .unionByName(audit("3_embeddings", t(s, dir, "embeddings"), "vec_id"))
+        .orderBy($"relation")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6529,5 +6564,27 @@ ex AS (SELECT d2.day AS target_day, count(DISTINCT u.user_id)::BIGINT AS mau_exa
 SELECT s0.target_day AS day, ex.mau_exact,
   floor((CASE WHEN (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) <= 160.0::DOUBLE AND zeros > 0 THEN 64.0::DOUBLE * ln(64.0::DOUBLE / zeros::DOUBLE) ELSE (0.709::DOUBLE * 4096.0 * 281474976710656.0 / s::DOUBLE) END) * 10000.0)::BIGINT::DOUBLE / 10000.0 AS mau_est4
 FROM s0 JOIN ex ON s0.target_day = ex.target_day ORDER BY day""",
+    // q180: the same anti-join cascade per relation; orphan probes are
+    // the kept∩deleted intersection and must be 0
+    "q180_delete_cascade" ->
+      raw"""WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+post AS (SELECT doc_id FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS term FROM documents)),
+r AS (
+  SELECT '1_documents' AS relation,
+    (SELECT count(*) FROM documents)::BIGINT AS n_before,
+    (SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM del))::BIGINT AS n_after,
+    (SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM del) AND doc_id IN (SELECT doc_id FROM del))::BIGINT AS n_orphans_after
+  UNION ALL
+  SELECT '2_postings',
+    (SELECT count(*) FROM post)::BIGINT,
+    (SELECT count(*) FROM post WHERE doc_id NOT IN (SELECT doc_id FROM del))::BIGINT,
+    (SELECT count(*) FROM post WHERE doc_id NOT IN (SELECT doc_id FROM del) AND doc_id IN (SELECT doc_id FROM del))::BIGINT
+  UNION ALL
+  SELECT '3_embeddings',
+    (SELECT count(*) FROM embeddings)::BIGINT,
+    (SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM del))::BIGINT,
+    (SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM del) AND vec_id IN (SELECT doc_id FROM del))::BIGINT)
+SELECT relation, n_before, (n_before - n_after)::BIGINT AS n_deleted, n_after, n_orphans_after
+FROM r ORDER BY relation""",
   )
 }
