@@ -28,6 +28,41 @@ object Sinks {
   def readWholeText(spark: SparkSession, path: String): DataFrame =
     spark.read.option("wholetext", true).text(path)
 
+  /** JSONL source with an explicit corrupt-record quarantine — the
+    * ingest contract a 100 TB web-scrape drop needs: PERMISSIVE parse
+    * against a REQUIRED schema, malformed lines captured in a corrupt
+    * column instead of killing the job (FAILFAST) or silently nulling
+    * (the default's trap: without materializing the corrupt column the
+    * bad line is indistinguishable from a legitimately-null row).
+    * Returns (clean, quarantine): clean rows carry the schema columns;
+    * the quarantine keeps the RAW line for replay after a parser fix —
+    * the two-stream shape of every production ingest. Schema must not
+    * already contain the corrupt column name.
+    */
+  def readJsonlQuarantine(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already has a '$corruptCol' column")
+    val withCorrupt = schema.add(corruptCol,
+      org.apache.spark.sql.types.StringType)
+    val raw = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      // Spark's lazy corrupt-column contract: referencing the corrupt
+      // column requires it to be materialized through a checkpoint-like
+      // boundary; cache-free localCheckpoint keeps this a one-pass read
+      .localCheckpoint(false)
+    val clean = raw.filter(col(corruptCol).isNull)
+      .select(schema.fieldNames.map(col): _*)
+    val quarantine = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (clean, quarantine)
+  }
+
   /** S9 JDBC append sink — ONE batched append per dataset, replacing the
     * reference's connection-per-row inserts (`pipeline2.py:325-331`,
     * SURVEY.md §4.2). Untestable offline (no database in the container);

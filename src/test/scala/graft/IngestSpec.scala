@@ -135,6 +135,30 @@ class IngestSpec extends AnyFunSuite {
     assert(back.getAs[scala.collection.Seq[Float]]("Embeddings").toSeq == Seq(0.5f, -0.25f))
   }
 
+  test("JSONL quarantine source: clean rows parse, malformed lines keep their raw text, nothing is silently nulled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha"}""",
+      """{"doc_id": 2, "text": "beta"}""",
+      """{"doc_id": 3 "text": "missing comma"}""", // malformed
+      """not json at all""",
+      """{"doc_id": 4, "text": null}""") // legitimately-null field, NOT corrupt
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val (clean, quarantine) = Sinks.readJsonlQuarantine(spark, dir, schema)
+    val got = clean.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("alpha"), 2L -> Some("beta"), 4L -> None))
+    val bad = quarantine.collect().map(_.getString(0)).toSet
+    assert(bad == Set(lines(2), lines(3)))
+  }
+
   test("S11 batched sink: fixed-size groups per partition") {
     import spark.implicits._
     val df = (1 to 1000).toDF("n").repartition(2)
