@@ -109,6 +109,23 @@ class BloomSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("plan pin: pruning adds NO keyed shuffle — probe rows meet the filter in their scan stage") {
+    import spark.implicits._
+    val dim = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "payload")
+    val fact = (0 until 2000).map(i => (i.toLong % 300, i.toLong)).toDF("fk", "v")
+    val pruned = BloomSketch.prune(
+      fact, HashFunctions.stableHash64(col("fk")),
+      dim, HashFunctions.stableHash64(col("k")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the membership check is present and codegen-friendly builtin math
+    assert(plan.contains("shiftrightunsigned"), plan)
+    // the probe side must NOT be hash-repartitioned to be filtered: the
+    // only exchange allowed is the build aggregate's single-partition
+    // final merge (the partial+final contract). A hashpartitioning
+    // exchange here would mean the "filter" costs what the join costs.
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("streaming bloom words equal the batch filter after every random split, shuffle, and replay") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
