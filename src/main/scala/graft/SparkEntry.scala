@@ -4457,6 +4457,95 @@ object SparkEntry {
         .orderBy($"relation")
     }),
 
+    // Two-stage PQ retrieval — q178's ADC scan used the way production
+    // systems actually use it (the re-ranking stage of Jégou et al. §V):
+    // the compressed scan produces a CHEAP top-50 shortlist per query,
+    // and only those ≤ 50 candidates are re-scored with the exact dot
+    // against raw vectors. The measured point: re-ranking recovers most
+    // of the recall the 32× compression lost (q178's mean 0.30 → the
+    // shortlist's ceiling), while the exact-distance work drops from
+    // n·queries to 50·queries — at 100 TB the raw vectors are touched
+    // for 50 rows per query instead of the corpus. Output per query:
+    // recall@10 of the raw ADC ranking vs recall@10 after re-ranking,
+    // plus the shortlist ceiling (how many of the true top-10 the
+    // shortlist contains at all — re-rank can never beat it).
+    "q181_pq_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val m = 8; val sub = 8; val kcode = 16; val shortlist = 50
+      val emb = t(s, dir, "embeddings")
+      val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
+      val seeds = emb.orderBy($"vec_id").limit(kcode)
+        .withColumn("code",
+          (row_number().over(Window.orderBy($"vec_id")) - 1).cast("long"))
+      val cb = seeds.crossJoin(subs)
+        .select($"s", $"code",
+          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("cent"))
+        .localCheckpoint(false)
+      val cbScore = cb.withColumn("half_norm2",
+        VectorFunctions.dotProduct($"cent", $"cent") / lit(2.0))
+      val codes = emb.crossJoin(subs)
+        .select($"vec_id", $"s",
+          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("sv"))
+        .join(broadcast(cbScore), Seq("s"))
+        .select($"vec_id", $"s", $"code",
+          (VectorFunctions.dotProduct($"sv", $"cent") - $"half_norm2").as("sc"))
+        .groupBy($"vec_id", $"s")
+        .agg(max_by($"code", struct($"sc", -$"code")).as("code"))
+      val queries = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val lut = queries.crossJoin(subs)
+        .select($"query_id", $"s",
+          slice($"qv", ($"s" * sub + 1).cast("int"), lit(sub)).as("qs"))
+        .join(broadcast(cb), Seq("s"))
+        .select($"query_id", $"s", $"code",
+          floor(VectorFunctions.dotProduct($"qs", $"cent") * lit(1000000.0))
+            .cast("long").as("dot_u"))
+      val wq = Window.partitionBy($"query_id").orderBy($"adc_u".desc, $"vec_id")
+      val short = codes.join(broadcast(lut), Seq("s", "code"))
+        .filter($"vec_id" =!= $"query_id")
+        .groupBy($"query_id", $"vec_id")
+        .agg(sum($"dot_u").as("adc_u"))
+        .withColumn("rn", row_number().over(wq)).filter($"rn" <= shortlist)
+        .select($"query_id", $"vec_id", $"rn")
+        .localCheckpoint(false) // shortlist feeds raw-ADC top-10 + rerank
+      // exact re-score of ONLY the shortlist: 50 raw-vector reads/query
+      val wr = Window.partitionBy($"query_id").orderBy($"ex_u".desc, $"vec_id")
+      val reranked = short
+        .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .select($"query_id", $"vec_id",
+          floor(VectorFunctions.dotProduct($"embedding", $"qv") * lit(1000000.0))
+            .cast("long").as("ex_u"))
+        .withColumn("rn2", row_number().over(wr)).filter($"rn2" <= 10)
+        .select($"query_id", $"vec_id")
+      val wb = Window.partitionBy($"query_id").orderBy($"dot_u".desc, $"vec_id")
+      val brute = emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          floor(VectorFunctions.dotProduct($"embedding", $"qv") * lit(1000000.0))
+            .cast("long").as("dot_u"))
+        .withColumn("rn", row_number().over(wb)).filter($"rn" <= 10)
+        .select($"query_id", $"vec_id")
+        .localCheckpoint(false) // truth feeds all three recall columns
+      def hits(cand: DataFrame, name: String) = cand
+        .join(brute, Seq("query_id", "vec_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as(name))
+      val adcTop = short.filter($"rn" <= 10).select($"query_id", $"vec_id")
+      queries.select($"query_id")
+        .join(hits(adcTop, "nh_pq"), Seq("query_id"), "left")
+        .join(hits(reranked, "nh_rr"), Seq("query_id"), "left")
+        .join(hits(short.select($"query_id", $"vec_id"), "nh_ceil"),
+          Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"nh_pq", lit(0L)).as("n_hits_pq"),
+          coalesce($"nh_rr", lit(0L)).as("n_hits_rerank"),
+          coalesce($"nh_ceil", lit(0L)).as("n_in_shortlist"))
+        .withColumn("recall_pq4", expr("(n_hits_pq * 10000) div 10") / lit(10000.0))
+        .withColumn("recall_rerank4",
+          expr("(n_hits_rerank * 10000) div 10") / lit(10000.0))
+        .orderBy($"query_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6586,5 +6675,32 @@ r AS (
     (SELECT count(*) FROM embeddings WHERE vec_id NOT IN (SELECT doc_id FROM del) AND vec_id IN (SELECT doc_id FROM del))::BIGINT)
 SELECT relation, n_before, (n_before - n_after)::BIGINT AS n_deleted, n_after, n_orphans_after
 FROM r ORDER BY relation""",
+    // q181: q178's CTEs + shortlist / exact-rerank / ceiling stages
+    "q181_pq_rerank" ->
+      """WITH subs AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
+enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
+  SELECT e.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM embeddings e, cbs c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
+adc AS (SELECT l.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+short AS MATERIALIZED (SELECT query_id, vec_id, rn FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM adc) WHERE rn <= 50),
+rr AS (SELECT query_id, vec_id FROM (SELECT s2.query_id, s2.vec_id, row_number() OVER (PARTITION BY s2.query_id ORDER BY floor(list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) * 1000000.0)::BIGINT DESC, s2.vec_id) AS rn2 FROM short s2 JOIN embeddings e ON e.vec_id = s2.vec_id JOIN q ON q.query_id = s2.query_id) WHERE rn2 <= 10),
+ex AS MATERIALIZED (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id ORDER BY floor(list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) * 1000000.0)::BIGINT DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+h1 AS (SELECT p.query_id, count(*)::BIGINT AS nh FROM (SELECT query_id, vec_id FROM short WHERE rn <= 10) p JOIN ex USING (query_id, vec_id) GROUP BY 1),
+h2 AS (SELECT rr.query_id, count(*)::BIGINT AS nh FROM rr JOIN ex USING (query_id, vec_id) GROUP BY 1),
+h3 AS (SELECT s2.query_id, count(*)::BIGINT AS nh FROM short s2 JOIN ex ON ex.query_id = s2.query_id AND ex.vec_id = s2.vec_id GROUP BY 1)
+SELECT q.query_id,
+  coalesce(h1.nh, 0)::BIGINT AS n_hits_pq,
+  coalesce(h2.nh, 0)::BIGINT AS n_hits_rerank,
+  coalesce(h3.nh, 0)::BIGINT AS n_in_shortlist,
+  ((coalesce(h1.nh, 0) * 10000) // 10)::DOUBLE / 10000.0 AS recall_pq4,
+  ((coalesce(h2.nh, 0) * 10000) // 10)::DOUBLE / 10000.0 AS recall_rerank4
+FROM q LEFT JOIN h1 ON q.query_id = h1.query_id LEFT JOIN h2 ON q.query_id = h2.query_id LEFT JOIN h3 ON q.query_id = h3.query_id
+ORDER BY q.query_id""",
   )
 }
