@@ -4546,6 +4546,25 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // Pareto frontier over (token count, type-token ratio) — the
+    // "longest AND most lexically diverse" docs no other doc beats on
+    // both axes, the curriculum build's skyline. Grid pruning
+    // (Skyline.frontier) keeps the dominance join frontier-band-sized;
+    // the pruning is pure cost, so the oracle is the plain NOT-EXISTS
+    // dominance query over all docs (the q169 convention).
+    "q182_pareto_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents")
+        .select($"doc_id",
+          graft.operators.TextAnalysis.tokensCol($"text").as("toks"))
+        .select($"doc_id", size($"toks").cast("long").as("n_tok"),
+          size(array_distinct($"toks")).cast("long").as("n_types"))
+        .filter($"n_tok" > 0)
+        .select($"doc_id", $"n_tok", expr("(n_types * 10000) div n_tok").as("ttr4"))
+      graft.operators.Skyline.frontier(base, "n_tok", "ttr4")
+        .orderBy($"doc_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6702,5 +6721,12 @@ SELECT q.query_id,
   ((coalesce(h2.nh, 0) * 10000) // 10)::DOUBLE / 10000.0 AS recall_rerank4
 FROM q LEFT JOIN h1 ON q.query_id = h1.query_id LEFT JOIN h2 ON q.query_id = h2.query_id LEFT JOIN h3 ON q.query_id = h3.query_id
 ORDER BY q.query_id""",
+    // q182: plain NOT-EXISTS dominance — the grid cut is cost, not semantics
+    "q182_pareto_frontier" ->
+      raw"""WITH d AS (SELECT doc_id, len(toks)::BIGINT AS n_tok, len(list_distinct(toks))::BIGINT AS n_types FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS toks FROM documents) WHERE len(toks) > 0),
+p AS MATERIALIZED (SELECT doc_id, n_tok, (n_types * 10000) // n_tok AS ttr4 FROM d)
+SELECT doc_id, n_tok, ttr4 FROM p a
+WHERE NOT EXISTS (SELECT 1 FROM p b WHERE b.n_tok >= a.n_tok AND b.ttr4 >= a.ttr4 AND (b.n_tok > a.n_tok OR b.ttr4 > a.ttr4))
+ORDER BY doc_id""",
   )
 }

@@ -400,6 +400,25 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("skyline frontier equals the brute-force dominance reference on random corpora, ties kept") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83L)
+    for (trial <- 0 until 3) {
+      val pts = (0 until 400).map(i =>
+        (i.toLong, rnd.nextLong(200L), rnd.nextLong(200L))) ++
+        // forced exact ties: neither dominates the other, both survive
+        Seq((1000L, 500L, 0L), (1001L, 500L, 0L))
+      def dominated(a: (Long, Long, Long)) = pts.exists(b =>
+        b._2 >= a._2 && b._3 >= a._3 && (b._2 > a._2 || b._3 > a._3))
+      val want = pts.filterNot(dominated).map(_._1).toSet
+      val got = graft.operators.Skyline
+        .frontier(pts.toDF("id", "x", "y"), "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want, s"trial=$trial")
+      assert(got.contains(1000L) && got.contains(1001L), "tie dropped")
+    }
+  }
+
   test("k-core at k=3 drops the cycle but keeps the clique; a no-op extra round changes nothing") {
     import spark.implicits._
     val k5 = for (a <- 0L until 5L; b <- a + 1 until 5L) yield (a, b)
