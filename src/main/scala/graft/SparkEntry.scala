@@ -4565,6 +4565,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Cell-balanced corpus subsample — diversity sampling in EMBEDDING
+    // space (the curation counterpart of q76's metadata strata): assign
+    // the corpus to data-driven IVF cells (autoK, the q105/q143 grid),
+    // then take a fixed quota per cell by bottom-k stable hash — the
+    // deterministic "equal coverage of every semantic region" draw that
+    // prevents a head-heavy corpus from drowning the tail topics. One
+    // map-side argmax assignment + one cell-keyed WindowGroupLimit; no
+    // global sort, membership a pure function of the data.
+    "q183_cell_balanced_sample" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 0)
+      val cells = graft.operators.IvfIndex.assign(emb, cents, "vec_id", "embedding")
+      val w = Window.partitionBy($"centroid_id").orderBy($"h", $"vec_id")
+      cells.select($"centroid_id", $"vec_id",
+          graft.functions.HashFunctions.stableHash64(
+            concat(lit("bal:"), $"vec_id".cast("string"))).as("h"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 4)
+        .select($"centroid_id", $"rk", $"vec_id")
+        .orderBy($"centroid_id", $"rk")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6728,5 +6751,15 @@ p AS MATERIALIZED (SELECT doc_id, n_tok, (n_types * 10000) // n_tok AS ttr4 FROM
 SELECT doc_id, n_tok, ttr4 FROM p a
 WHERE NOT EXISTS (SELECT 1 FROM p b WHERE b.n_tok >= a.n_tok AND b.ttr4 >= a.ttr4 AND (b.n_tok > a.n_tok OR b.ttr4 > a.ttr4))
 ORDER BY doc_id""",
+    // q183: q105's autoK/cells CTEs + per-cell bottom-k on the stable hash
+    "q183_cell_balanced_sample" ->
+      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s, kk WHERE s.srn <= kk.k),
+cells AS (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1)
+SELECT centroid_id, rk, vec_id FROM (
+  SELECT centroid_id, vec_id,
+    row_number() OVER (PARTITION BY centroid_id ORDER BY h, vec_id)::BIGINT AS rk
+  FROM (SELECT centroid_id, vec_id, ('0x' || substr(md5('bal:' || vec_id::VARCHAR), 1, 15))::BIGINT AS h FROM cells))
+WHERE rk <= 4 ORDER BY centroid_id, rk""",
   )
 }
