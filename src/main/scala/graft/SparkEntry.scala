@@ -4588,6 +4588,99 @@ object SparkEntry {
         .orderBy($"centroid_id", $"rk")
     }),
 
+    // IVFADC — the q32 IVF cell index COMPOSED with the q178 PQ codes
+    // (Jégou et al. §VI; the FAISS-default shape): the coarse quantizer
+    // prunes the corpus to the query's nprobe nearest cells, and only
+    // those candidates' 8-byte codes are ADC-scored — neither raw
+    // vectors nor the full code table are touched per query. The sweep
+    // measures the two-level trade: candidates examined (the cost) vs
+    // recall@10 against the exact MIPS truth, per nprobe ∈ {1,2,4,8}.
+    // Both levels are data-driven-k and deterministic; ADC sums are
+    // BIGINT micro-units (order-free).
+    "q184_ivfadc" -> ((s, dir) => {
+      import s.implicits._
+      val m = 8; val sub = 8; val kcode = 16
+      val emb = t(s, dir, "embeddings")
+      val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
+      val cents = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 0)
+      val cells = graft.operators.IvfIndex
+        .assign(emb, cents, "vec_id", "embedding")
+        .select($"vec_id", $"centroid_id")
+        .localCheckpoint(false) // coarse index; candidate filter reads it
+      val seeds = emb.orderBy($"vec_id").limit(kcode)
+        .withColumn("code",
+          (row_number().over(Window.orderBy($"vec_id")) - 1).cast("long"))
+      val cb = seeds.crossJoin(subs)
+        .select($"s", $"code",
+          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("cent"))
+        .localCheckpoint(false)
+      val cbScore = cb.withColumn("half_norm2",
+        VectorFunctions.dotProduct($"cent", $"cent") / lit(2.0))
+      val codes = emb.crossJoin(subs)
+        .select($"vec_id", $"s",
+          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("sv"))
+        .join(broadcast(cbScore), Seq("s"))
+        .select($"vec_id", $"s", $"code",
+          (VectorFunctions.dotProduct($"sv", $"cent") - $"half_norm2").as("sc"))
+        .groupBy($"vec_id", $"s")
+        .agg(max_by($"code", struct($"sc", -$"code")).as("code"))
+        .join(cells, Seq("vec_id")) // codes carry their cell — the index layout
+        .localCheckpoint(false)
+      val queries = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val wc = Window.partitionBy($"query_id").orderBy($"csc".desc, $"centroid_id")
+      val qcells = queries.crossJoin(broadcast(cents))
+        .select($"query_id", $"centroid_id",
+          VectorFunctions.cosineSim($"qv", $"centroid").as("csc"))
+        .withColumn("cell_rank", row_number().over(wc))
+        .select($"query_id", $"centroid_id", $"cell_rank")
+      val lut = queries.crossJoin(subs)
+        .select($"query_id", $"s",
+          slice($"qv", ($"s" * sub + 1).cast("int"), lit(sub)).as("qs"))
+        .join(broadcast(cb), Seq("s"))
+        .select($"query_id", $"s", $"code",
+          floor(VectorFunctions.dotProduct($"qs", $"cent") * lit(1000000.0))
+            .cast("long").as("dot_u"))
+      // one scored relation at the widest nprobe feeds every sweep point
+      val maxProbe = 8
+      val cand = codes
+        .join(broadcast(qcells.filter($"cell_rank" <= maxProbe)), Seq("centroid_id"))
+        .filter($"vec_id" =!= $"query_id")
+        .join(broadcast(lut), Seq("query_id", "s", "code"))
+        .groupBy($"query_id", $"vec_id", $"cell_rank")
+        .agg(sum($"dot_u").as("adc_u"))
+        .localCheckpoint(false)
+      val wb = Window.partitionBy($"query_id").orderBy($"dot_u".desc, $"vec_id")
+      val brute = emb.crossJoin(broadcast(queries))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          floor(VectorFunctions.dotProduct($"embedding", $"qv") * lit(1000000.0))
+            .cast("long").as("dot_u"))
+        .withColumn("rn", row_number().over(wb)).filter($"rn" <= 10)
+        .select($"query_id", $"vec_id")
+        .localCheckpoint(false)
+      val sweep = Seq(1L, 2L, 4L, 8L).toDF("nprobe")
+      val wk = Window.partitionBy($"nprobe", $"query_id")
+        .orderBy($"adc_u".desc, $"vec_id")
+      val scored = cand.join(broadcast(sweep), $"cell_rank" <= $"nprobe")
+        .localCheckpoint(false) // candidate counts + top-k both read it
+      val hits = scored
+        .withColumn("rn", row_number().over(wk)).filter($"rn" <= 10)
+        .join(brute, Seq("query_id", "vec_id"))
+        .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+      val candCounts = scored.groupBy($"nprobe")
+        .agg(count(lit(1)).as("n_candidates"))
+      val nq = broadcast(queries.agg(count(lit(1)).as("n_q")))
+      sweep.join(candCounts, Seq("nprobe"), "left")
+        .join(hits, Seq("nprobe"), "left").crossJoin(nq)
+        .select($"nprobe",
+          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (expr("(coalesce(n_hits, 0) * 10000) div (n_q * 10)") / lit(10000.0))
+            .as("recall4"))
+        .orderBy($"nprobe")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6761,5 +6854,37 @@ SELECT centroid_id, rk, vec_id FROM (
     row_number() OVER (PARTITION BY centroid_id ORDER BY h, vec_id)::BIGINT AS rk
   FROM (SELECT centroid_id, vec_id, ('0x' || substr(md5('bal:' || vec_id::VARCHAR), 1, 15))::BIGINT AS h FROM cells))
 WHERE rk <= 4 ORDER BY centroid_id, rk""",
+    // q184: q105's coarse cells + q178's codes/LUT composed; candidates
+    // restricted to the query's nprobe cells before ADC
+    "q184_ivfadc" ->
+      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s0, kk WHERE s0.srn <= kk.k),
+cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+subs AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
+enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
+  SELECT e.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM embeddings e, cbs c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+qc AS MATERIALIZED (SELECT query_id, centroid_id, cell_rank FROM (SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS cell_rank FROM q, cents c) WHERE cell_rank <= 8),
+lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
+cand AS MATERIALIZED (SELECT qc.query_id, e.vec_id, qc.cell_rank, sum(l.dot_u)::BIGINT AS adc_u
+  FROM enc e JOIN cells cl ON cl.vec_id = e.vec_id
+  JOIN qc ON qc.centroid_id = cl.centroid_id
+  JOIN lut l ON l.query_id = qc.query_id AND l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> qc.query_id GROUP BY 1, 2, 3),
+ex AS MATERIALIZED (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id ORDER BY floor(list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) * 1000000.0)::BIGINT DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+sw AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+scored AS MATERIALIZED (SELECT sw.nprobe, c.query_id, c.vec_id, c.adc_u FROM cand c JOIN sw ON c.cell_rank <= sw.nprobe),
+hits AS (SELECT nprobe, count(*)::BIGINT AS n_hits FROM (SELECT nprobe, query_id, vec_id FROM (SELECT nprobe, query_id, vec_id, row_number() OVER (PARTITION BY nprobe, query_id ORDER BY adc_u DESC, vec_id) AS rn FROM scored) WHERE rn <= 10) t JOIN ex USING (query_id, vec_id) GROUP BY 1),
+cc AS (SELECT nprobe, count(*)::BIGINT AS n_candidates FROM scored GROUP BY 1),
+nq AS (SELECT count(*)::BIGINT AS n_q FROM q)
+SELECT sw.nprobe, coalesce(cc.n_candidates, 0)::BIGINT AS n_candidates, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+  ((coalesce(h.n_hits, 0) * 10000) // (nq.n_q * 10))::DOUBLE / 10000.0 AS recall4
+FROM sw LEFT JOIN cc ON sw.nprobe = cc.nprobe LEFT JOIN hits h ON sw.nprobe = h.nprobe, nq
+ORDER BY sw.nprobe""",
   )
 }
