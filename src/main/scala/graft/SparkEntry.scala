@@ -4681,6 +4681,40 @@ object SparkEntry {
         .orderBy($"nprobe")
     }),
 
+    // Proximity (minimum-span) ranking — the IR scorer between q113's
+    // exact phrase match and q66's bag-of-words BM25: for docs containing
+    // BOTH query terms, the smallest distance between an occurrence of
+    // each. The minimum is always achieved by an ADJACENT opposite-term
+    // pair in the merged position order, so ONE doc-keyed window pass
+    // computes it exactly: two conditional `last(..., ignoreNulls)`
+    // running carries (nearest preceding position of each term), and
+    // each row's gap is its position minus the OTHER term's carry. No
+    // position×position self-join — the per-doc cost is the posting
+    // length, the order an index shard already has.
+    "q185_proximity_rank" -> ((s, dir) => {
+      import s.implicits._
+      val post = graft.query.InvertedIndex
+        .postings(t(s, dir, "documents"), "doc_id", "text")
+        .filter($"term".isin("hash", "join"))
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"term")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos", $"term")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val gaps = post
+        .withColumn("prev_a",
+          last(when($"term" === "hash", $"pos"), ignoreNulls = true).over(w))
+        .withColumn("prev_b",
+          last(when($"term" === "join", $"pos"), ignoreNulls = true).over(w))
+        .withColumn("gap",
+          when($"term" === "hash", $"pos" - $"prev_b")
+            .otherwise($"pos" - $"prev_a"))
+      gaps.groupBy($"doc_id")
+        .agg(min($"gap").as("min_span"),
+          sum(($"term" === "hash").cast("long")).as("n_a"),
+          sum(($"term" === "join").cast("long")).as("n_b"))
+        .filter($"min_span".isNotNull)
+        .orderBy($"min_span", $"doc_id").limit(20)
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6886,5 +6920,18 @@ SELECT sw.nprobe, coalesce(cc.n_candidates, 0)::BIGINT AS n_candidates, coalesce
   ((coalesce(h.n_hits, 0) * 10000) // (nq.n_q * 10))::DOUBLE / 10000.0 AS recall4
 FROM sw LEFT JOIN cc ON sw.nprobe = cc.nprobe LEFT JOIN hits h ON sw.nprobe = h.nprobe, nq
 ORDER BY sw.nprobe""",
+    // q185: same single-window formulation with IGNORE NULLS carries
+    "q185_proximity_rank" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS toks FROM documents),
+pos AS (SELECT doc_id, i::BIGINT AS pos, toks[i] AS term FROM (SELECT doc_id, unnest(range(1, len(toks)+1)) AS i, toks FROM tk) WHERE toks[i] IN ('hash', 'join')),
+g AS (SELECT doc_id, term, pos,
+  last_value(CASE WHEN term = 'hash' THEN pos END IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY pos, term ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_a,
+  last_value(CASE WHEN term = 'join' THEN pos END IGNORE NULLS) OVER (PARTITION BY doc_id ORDER BY pos, term ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_b
+  FROM pos)
+SELECT doc_id, min(CASE WHEN term = 'hash' THEN pos - prev_b ELSE pos - prev_a END)::BIGINT AS min_span,
+  sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+  sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END)::BIGINT AS n_b
+FROM g GROUP BY doc_id HAVING min_span IS NOT NULL
+ORDER BY min_span, doc_id LIMIT 20""",
   )
 }
