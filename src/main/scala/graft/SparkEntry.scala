@@ -4715,6 +4715,54 @@ object SparkEntry {
         .orderBy($"min_span", $"doc_id").limit(20)
     }),
 
+    // U-shaped multi-touch attribution — q177's single-touch model
+    // upgraded to the position-based industry standard: EVERY touch in
+    // the 7-day window before a purchase shares the credit (40% first /
+    // 40% last / 20% split across the middle; 100% single, 50/50 pair),
+    // in exact integer micro-units with the rounding remainder assigned
+    // to the last touch so credits sum to the purchase value EXACTLY.
+    // The purchase×touch pairing is the keyed bucketed interval join
+    // (q124's operator, auto bucket size) — never a per-user cross
+    // product; purchases with an empty window fall out as 'direct' via
+    // anti-join. The invariant a finance reconciliation checks —
+    // Σ credit == Σ purchase value — holds by construction.
+    "q186_multitouch" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"),
+          expr("cast(floor(value * 1000000) as bigint)").as("value_u"),
+          ($"ts" - lit(604800000000000L)).as("lo"), $"ts".as("hi"))
+        .localCheckpoint(false) // interval side + the direct anti-join
+      val touches = ev.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"ts".as("t_ts"), $"event_id".as("t_id"),
+          $"event_type".as("channel"))
+      val joined = graft.operators.IntervalJoin.joinPointsToIntervals(
+        touches, "t_ts", purchases, "lo", "hi", 0L, Seq("user_id"))
+      val wp = Window.partitionBy($"p_id").orderBy($"t_ts", $"t_id")
+      val base = joined
+        .withColumn("rn", row_number().over(wp))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"p_id")))
+        .withColumn("bp",
+          when($"n" === 1, lit(10000L)).when($"n" === 2, lit(5000L))
+            .when($"rn" === 1 || $"rn" === $"n", lit(4000L))
+            .otherwise(expr("2000 div (n - 2)")))
+        .withColumn("credit0", expr("(value_u * bp) div 10000"))
+      val credited = base
+        .withColumn("tot0", sum($"credit0").over(Window.partitionBy($"p_id")))
+        .withColumn("credit_u", $"credit0" +
+          when($"rn" === $"n", $"value_u" - $"tot0").otherwise(lit(0L)))
+        .localCheckpoint(false) // channel rollup + the direct anti-join
+      val attributed = credited.groupBy($"channel")
+        .agg(count(lit(1)).as("n_touchpoints"), sum($"credit_u").as("credit_u"))
+      val direct = purchases
+        .join(credited.select($"p_id").distinct(), Seq("p_id"), "left_anti")
+        .agg(count(lit(1)).as("n_touchpoints"),
+          coalesce(sum($"value_u"), lit(0L)).as("credit_u"))
+        .select(lit("direct").as("channel"), $"n_touchpoints", $"credit_u")
+      attributed.unionByName(direct).orderBy($"channel")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6933,5 +6981,18 @@ SELECT doc_id, min(CASE WHEN term = 'hash' THEN pos - prev_b ELSE pos - prev_a E
   sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END)::BIGINT AS n_b
 FROM g GROUP BY doc_id HAVING min_span IS NOT NULL
 ORDER BY min_span, doc_id LIMIT 20""",
+    // q186: plain BETWEEN join (the bucket cut is cost, not semantics),
+    // identical integer credit ladder + last-touch remainder
+    "q186_multitouch" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, cast(floor(value * 1000000) AS BIGINT) AS value_u, ts FROM events WHERE event_type = 'purchase'),
+tch AS (SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel FROM events WHERE event_type <> 'purchase'),
+j AS (SELECT p.p_id, p.value_u, t.channel, t.t_ts, t.t_id FROM p JOIN tch t ON t.user_id = p.user_id AND t.t_ts >= p.ts - INTERVAL 7 DAY AND t.t_ts < p.ts),
+r AS (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn, count(*) OVER (PARTITION BY p_id) AS n FROM j),
+b AS (SELECT *, CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000 WHEN rn = 1 OR rn = n THEN 4000 ELSE 2000 // (n - 2) END AS bp FROM r),
+c0 AS (SELECT *, (value_u * bp) // 10000 AS credit0 FROM b),
+c AS (SELECT *, credit0 + CASE WHEN rn = n THEN value_u - sum(credit0) OVER (PARTITION BY p_id) ELSE 0 END AS credit_u FROM c0),
+att AS (SELECT channel, count(*)::BIGINT AS n_touchpoints, sum(credit_u)::BIGINT AS credit_u FROM c GROUP BY 1),
+direct AS (SELECT 'direct' AS channel, count(*)::BIGINT AS n_touchpoints, coalesce(sum(value_u), 0)::BIGINT AS credit_u FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM j))
+SELECT channel, n_touchpoints, credit_u FROM (SELECT * FROM att UNION ALL SELECT * FROM direct) ORDER BY channel""",
   )
 }
