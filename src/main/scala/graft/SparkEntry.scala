@@ -4763,6 +4763,39 @@ object SparkEntry {
       attributed.unionByName(direct).orderBy($"channel")
     }),
 
+    // Medoid survivor selection — the principled upgrade of min-id
+    // survivors (q118): per near-dup component, keep the member with the
+    // greatest total similarity to its neighbors (graph strength = Σ of
+    // 1e-4-quantized edge weights, ties to the lower id) — the "most
+    // representative copy", not the accidentally-lowest id. Strength is
+    // one node-keyed aggregation over the EDGE list (never all-pairs —
+    // at 100 TB the pair graph is the sparse LSH output), the argmax is
+    // a component-keyed WindowGroupLimit. Read with q164/q165: sizes
+    // audit → guard → THEN choose survivors this way.
+    "q187_medoid_survivors" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
+        .localCheckpoint(false) // labels + strengths both read it
+      val lab = graft.operators.Dedup
+        .resolveClusters(pairs, docs.select($"doc_id"))
+      val strength = pairs
+        .select($"id_a".as("id"), expr("cast(floor(est_jac * 10000) as bigint)").as("w4"))
+        .unionByName(pairs
+          .select($"id_b".as("id"), expr("cast(floor(est_jac * 10000) as bigint)").as("w4")))
+        .groupBy($"id").agg(sum($"w4").as("strength4"), count(lit(1)).as("degree"))
+      val labeled = lab.join(strength, Seq("id")).localCheckpoint(false)
+      val wm = Window.partitionBy($"keeper_id").orderBy($"strength4".desc, $"id")
+      labeled.withColumn("rk", row_number().over(wm)).filter($"rk" === 1)
+        .join(labeled.groupBy($"keeper_id").agg(count(lit(1)).as("n_members")),
+          Seq("keeper_id"))
+        .filter($"n_members" >= 2)
+        .select($"keeper_id".as("component_id"), $"id".as("medoid_id"),
+          $"n_members", $"strength4", $"degree")
+        .orderBy($"component_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -6994,5 +7027,19 @@ c AS (SELECT *, credit0 + CASE WHEN rn = n THEN value_u - sum(credit0) OVER (PAR
 att AS (SELECT channel, count(*)::BIGINT AS n_touchpoints, sum(credit_u)::BIGINT AS credit_u FROM c GROUP BY 1),
 direct AS (SELECT 'direct' AS channel, count(*)::BIGINT AS n_touchpoints, coalesce(sum(value_u), 0)::BIGINT AS credit_u FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM j))
 SELECT channel, n_touchpoints, credit_u FROM (SELECT * FROM att UNION ALL SELECT * FROM direct) ORDER BY channel""",
+    // q187: q164's component CTEs + node strength from the edge list +
+    // per-component argmax
+    "q187_medoid_survivors" ->
+      s"""WITH RECURSIVE $LshVerifiedCtes,
+good AS (SELECT id_a, id_b, est_jac FROM verified WHERE est_jac >= 0.75),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id),
+lab AS (SELECT id, min(r) AS keeper_id FROM reach GROUP BY id),
+str AS (SELECT id, sum(w4)::BIGINT AS strength4, count(*)::BIGINT AS degree FROM (SELECT id_a AS id, floor(est_jac * 10000)::BIGINT AS w4 FROM good UNION ALL SELECT id_b AS id, floor(est_jac * 10000)::BIGINT AS w4 FROM good) GROUP BY id),
+l2 AS (SELECT lab.keeper_id, str.id, str.strength4, str.degree FROM lab JOIN str ON lab.id = str.id),
+sz AS (SELECT keeper_id, count(*)::BIGINT AS n_members FROM l2 GROUP BY 1),
+m AS (SELECT keeper_id, id, strength4, degree, row_number() OVER (PARTITION BY keeper_id ORDER BY strength4 DESC, id) AS rk FROM l2)
+SELECT m.keeper_id AS component_id, m.id AS medoid_id, sz.n_members, m.strength4, m.degree
+FROM m JOIN sz ON m.keeper_id = sz.keeper_id WHERE m.rk = 1 AND sz.n_members >= 2 ORDER BY component_id""",
   )
 }
