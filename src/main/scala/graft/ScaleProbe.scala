@@ -487,7 +487,63 @@ object ScaleProbe {
           s"($n10,$sv10,$est10) vs c*($n,$sv) est=$est")
     }
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s)
+    // q192's sweep-line at 10× USERS (exact event copies, disjoint user
+    // ids, same timestamps): the session set replicates c times with
+    // identical intervals, so every endpoint multiset — and therefore every
+    // peer-inclusive prefix sum — scales by exactly c. Closed form checked
+    // per bucket: peak, n_starts, n_ends all = c × base.
+    val evUsers = (0 until copies).map { i =>
+      evBase.withColumn("user_id", $"user_id" + lit(i * offset))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val q192base = SparkEntry.peakConcurrency(evBase)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val q192df = SparkEntry.peakConcurrency(evUsers)
+    val q192s = timed("q192_peak_concurrency_10x") { q192df }
+    val q192got = q192df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    require(q192got.keySet == q192base.keySet,
+      s"q192 10x bucket drift: ${q192got.size} vs ${q192base.size}")
+    q192base.foreach { case (b, (ns, ne, pk)) =>
+      val (ns10, ne10, pk10) = q192got(b)
+      require(ns10 == copies * ns && ne10 == copies * ne && pk10 == copies * pk,
+        s"q192 10x closed form broke at bucket $b: " +
+          s"($ns10,$ne10,$pk10) vs c*($ns,$ne,$pk)")
+    }
+
+    // q193's boilerplate strip at 10× docs (exact copies, fresh doc ids,
+    // sources unchanged): df and n_docs_src both scale by c, so the 1%
+    // frequency ratio — binding as long as every source holds ≥ 101 docs,
+    // which the guard asserts — selects the SAME template set, while
+    // affected docs / instances / tokens scale by exactly c.
+    val docsBase = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+    val minSrcDocs = docsBase.groupBy($"source").count()
+      .agg(min($"count")).head().getLong(0)
+    require(minSrcDocs >= 101,
+      s"q193 10x precondition: smallest source has $minSrcDocs docs (<101), " +
+        "the minDocs floor would bind at 1x but not 10x")
+    val docsScaled = (0 until copies).map { i =>
+      docsBase.select(($"doc_id" + lit(i * offset)).as("doc_id"), $"source", $"text")
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val q193base = SparkEntry.boilerplateStrip(docsBase)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val q193df = SparkEntry.boilerplateStrip(docsScaled)
+    val q193s = timed("q193_boilerplate_strip_10x") { q193df }
+    val q193got = q193df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    require(q193got.keySet == q193base.keySet,
+      s"q193 10x source drift: ${q193got.size} vs ${q193base.size}")
+    q193base.foreach { case (src, (np, nd, ni, nt)) =>
+      val (np10, nd10, ni10, nt10) = q193got(src)
+      require(np10 == np && nd10 == copies * nd &&
+        ni10 == copies * ni && nt10 == copies * nt,
+        s"q193 10x closed form broke at $src: " +
+          s"($np10,$nd10,$ni10,$nt10) vs (np, c*rest) of ($np,$nd,$ni,$nt)")
+    }
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

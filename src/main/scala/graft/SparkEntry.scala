@@ -4796,6 +4796,234 @@ object SparkEntry {
         .orderBy($"component_id")
     }),
 
+    // Small-file compaction planner — nightly lakehouse maintenance: the
+    // manifest (one file per document here — the worst-case tiny-file
+    // layout the reference's per-run CSV drops decay into) is packed into
+    // ~target-sized rewrite groups by a cumulative-sum window PER SOURCE
+    // partition, large files left untouched. The plan runs entirely on
+    // file-level METADATA (~10⁻⁶ of data bytes at 100 TB); no global sort —
+    // each partition group plans independently, exactly how a distributed
+    // compactor parallelizes.
+    "q188_compaction_plan" -> ((s, dir) => {
+      import s.implicits._
+      val manifest = t(s, dir, "documents")
+        .select($"source", $"doc_id".as("file_id"), $"n_chars".as("bytes"))
+      graft.operators.CompactionPlanner.planSummary(
+          manifest, "source", "file_id", "bytes",
+          targetBytes = 1500L, smallThreshold = 400L)
+        .orderBy($"source")
+    }),
+
+    // CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) — the
+    // experimentation upgrade over q162: each user's PRE-period activity is
+    // the control covariate, θ = cov(X,Y)/var(X) over all users, and each
+    // arm reports its raw and adjusted mean. Moments accumulate as EXACT
+    // integer sums (micro-unit BIGINTs; the Σxy/Σxx products in
+    // decimal(38,0) so 10⁹-microunit users cannot overflow — the oracle's
+    // HUGEINT twin is exact the same way), so the only doubles are the
+    // final scalar ratios, computed in one pinned operation order on both
+    // engines. Two scans of the per-user rollup (moments + arms) off one
+    // localCheckpoint; everything after the user-keyed aggregate is
+    // cohort-sized. θ's denominator is gated: a zero-variance covariate
+    // yields null θ and null adjusted means, identically on both engines.
+    "q189_cuped" -> ((s, dir) => {
+      import s.implicits._
+      val cut = 1705276800000000000L // 2024-01-15 00:00 UTC, epoch-ns
+      val users = t(s, dir, "events")
+        .select($"user_id", $"ts",
+          expr("cast(floor(value * 1000000) as bigint)").as("vu"))
+        .groupBy($"user_id")
+        .agg(sum(when($"ts" < lit(cut), $"vu").otherwise(0L)).as("xu"),
+          sum(when($"ts" >= lit(cut), $"vu").otherwise(0L)).as("yu"))
+        .localCheckpoint(false) // moments + arm rollup both read it
+      val mom = broadcast(users.agg(
+        count(lit(1)).as("n"), sum($"xu").as("sx"), sum($"yu").as("sy"),
+        sum($"xu".cast("decimal(19,0)") * $"yu".cast("decimal(19,0)")).as("sxy"),
+        sum($"xu".cast("decimal(19,0)") * $"xu".cast("decimal(19,0)")).as("sxx")))
+      val arms = users
+        .select(pmod(graft.functions.HashFunctions.stableHash64(
+          concat(lit("ab:"), $"user_id".cast("string"))), lit(2L)).as("cohort"),
+          $"xu", $"yu")
+        .groupBy($"cohort")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"xu").as("sx_a"), sum($"yu").as("sy_a"))
+      arms.crossJoin(mom)
+        .withColumn("denom",
+          $"n".cast("double") * $"sxx".cast("double")
+            - $"sx".cast("double") * $"sx".cast("double"))
+        .withColumn("theta", when($"denom" > 0.0,
+          ($"n".cast("double") * $"sxy".cast("double")
+            - $"sx".cast("double") * $"sy".cast("double")) / $"denom"))
+        .select($"cohort", $"n_users",
+          floor(($"sx_a".cast("double") / $"n_users".cast("double")) / 100.0)
+            .cast("long").as("mean_x4u"),
+          floor(($"sy_a".cast("double") / $"n_users".cast("double")) / 100.0)
+            .cast("long").as("mean_y4u"),
+          floor($"theta" * 1000000.0).cast("long").as("theta6"),
+          floor((($"sy_a".cast("double") / $"n_users".cast("double"))
+            - $"theta" * ($"sx_a".cast("double") / $"n_users".cast("double")
+              - $"sx".cast("double") / $"n".cast("double"))) / 100.0)
+            .cast("long").as("mean_yadj4u"))
+        .orderBy($"cohort")
+    }),
+
+    // l-diversity audit — q175's k-anonymity asks "is the equivalence
+    // class big enough?"; this asks the stronger privacy question: does
+    // each quasi-identifier class (lang, 20-char length bucket) span
+    // enough DISTINCT values of the sensitive attribute (source)? A class
+    // of 50 rows all from one source still re-identifies the source.
+    // Exact per-class distinct (classes are bounded by the quasi-id grid,
+    // not the corpus; swap in the q73 KMV sketch when the sensitive domain
+    // explodes), then a risk-level rollup.
+    "q190_l_diversity" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"lang", expr("n_chars div 20").as("len_bucket"))
+        .agg(countDistinct($"source").as("ndv"), count(lit(1)).as("sz"))
+        .select(when($"ndv" < 3, "1_risky").otherwise("2_diverse")
+          .as("risk_class"), $"ndv", $"sz")
+        .groupBy($"risk_class")
+        .agg(count(lit(1)).as("n_classes"), sum($"sz").as("n_docs"),
+          min($"ndv").as("min_ndv"), max($"ndv").as("max_ndv"))
+        .orderBy($"risk_class")
+    }),
+
+    // Semantic decontamination — q60/q87 catch EXACT eval-set leaks; this
+    // catches paraphrased ones: every training vector's max cosine against
+    // the held-out eval set (vec_id ≡ 0 mod 50 — the 2% eval slice), flag
+    // ≥ 0.30. The eval side BROADCASTS by construction — eval sets are
+    // thousands of rows while the train side is the 100 TB scan — so the
+    // probe is one pass over training embeddings with a map-side max, no
+    // shuffle of the corpus at all (the only exchange is the label-sized
+    // rollup). Doubles quantize at 1e-4 after the max (q30's policy).
+    "q191_semantic_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val eval = emb.filter(pmod($"vec_id", lit(50L)) === 0)
+        .select($"vec_id".as("eval_id"), $"embedding".as("ev"))
+      emb.filter(pmod($"vec_id", lit(50L)) =!= 0)
+        .join(broadcast(eval), lit(true))
+        .withColumn("sc",
+          graft.functions.VectorFunctions.cosineSim($"embedding", $"ev"))
+        .groupBy($"vec_id", $"label").agg(max($"sc").as("ms"))
+        .withColumn("ms4", floor($"ms" * 10000.0).cast("long"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_train"),
+          sum(($"ms4" >= 3000L).cast("long")).as("n_contaminated"),
+          max($"ms4").as("max_ms4"))
+        .orderBy($"label")
+    }),
+
+    // Peak session concurrency per day — the capacity-planning number
+    // (max simultaneous open sessions) via a DISTRIBUTED sweep-line:
+    // q65's sessions become ±1 endpoint deltas, per-day windows compute
+    // local prefix peaks in parallel, and a calendar-sized carry-in
+    // (one row per day — bounded by time, not data) stitches them into
+    // the exact global sweep. No total order anywhere; see
+    // [[graft.operators.SweepLine]].
+    "q192_peak_concurrency" -> ((s, dir) =>
+      peakConcurrency(t(s, dir, "events"))),
+
+    // Per-source boilerplate stripping — the RefinedWeb template pass
+    // q68's paragraph dedup does NOT cover: dedup keeps first occurrences,
+    // but a nav bar or license footer stamped on 1%+ of a source's docs
+    // must go from EVERY document, first included. Frequency is counted on
+    // 8-byte paragraph hashes (text never shuffles); within-doc repeats
+    // count once toward document frequency but every instance strips.
+    // See [[graft.operators.Boilerplate]].
+    "q193_boilerplate_strip" -> ((s, dir) =>
+      boilerplateStrip(t(s, dir, "documents"))),
+
+    // Fixed-size uniform sample PER GROUP — the eval-set builder ("exactly
+    // 5 docs per language") that q76's Bernoulli fractions and q104's
+    // global weighted draw cannot express. Uniformity comes from ranking
+    // on the salted content hash; the selection reuses the q103 TopKAgg
+    // Aggregator, so each map-side partition reduces to ≤ k pairs per
+    // group BEFORE the exchange — O(groups·k·partitions) shuffle state,
+    // never the corpus through a row_number window.
+    "q194_group_sample" -> ((s, dir) => {
+      import s.implicits._
+      val topk = udaf(new graft.operators.TopKAgg(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+      t(s, dir, "documents")
+        .select($"lang", $"doc_id",
+          graft.functions.HashFunctions.stableHash64(
+            concat(lit("samp:"), $"doc_id".cast("string"))).as("h"))
+        .groupBy($"lang")
+        .agg(topk($"h", $"doc_id").as("top"))
+        .select($"lang", posexplode($"top").as(Seq("i", "p")))
+        .select($"lang", ($"i" + 1).cast("long").as("rk"),
+          $"p._2".as("doc_id"), $"p._1".as("h"))
+        .orderBy($"lang", $"rk")
+    }),
+
+    // Rocchio pseudo-relevance feedback (Rocchio 1971; the PRF move every
+    // IR stack layers over its first-pass retriever): round-1 top-5 per
+    // query → positional mean of the neighbor vectors (q166's exact float
+    // policy: DOUBLE avg, FLOAT cast) → q' = 0.5·q + 0.5·mean → round-2
+    // retrieval with the expanded query, top-8 over the 5-doc feedback
+    // set (the PRF convention: the expanded list outsizes its seed).
+    // Both retrieval passes broadcast the query side (queries are
+    // thousands; the corpus is the 100 TB scan), and the feedback algebra
+    // runs on queries×dim rows — negligible. `is_new` marks neighbors PRF
+    // surfaced that round 1's top-5 missed: the query-drift audit a
+    // deployed PRF ships with.
+    "q195_rocchio_feedback" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id".isin(0, 1, 2))
+        .select($"vec_id".as("query_id"), $"embedding")
+      val r1 = graft.operators.SimilaritySearch.bruteForceTopK(emb, queries, 5)
+        .select($"query_id", $"neighbor_id").localCheckpoint(false)
+      val fb = r1
+        .join(emb.select($"vec_id".as("neighbor_id"), $"embedding"), Seq("neighbor_id"))
+        .select($"query_id", posexplode($"embedding").as(Seq("pos", "comp")))
+        .groupBy($"query_id", $"pos")
+        .agg(avg($"comp".cast("double")).as("m"))
+      val q2 = queries
+        .select($"query_id", posexplode($"embedding").as(Seq("pos", "qc")))
+        .join(fb, Seq("query_id", "pos"))
+        .groupBy($"query_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, " +
+          "cast(0.5D * cast(qc as double) + 0.5D * m as float) as c))), x -> x.c)")
+          .as("embedding"))
+      graft.operators.SimilaritySearch.bruteForceTopK(emb, q2, 8)
+        .select($"query_id", $"neighbor_id", fq4($"score").as("score4"),
+          $"rank".cast("long").as("rank"))
+        .join(r1.withColumn("seen", lit(0L)), Seq("query_id", "neighbor_id"), "left")
+        .select($"query_id", $"rank", $"neighbor_id", $"score4",
+          when($"seen".isNull, 1).otherwise(0).cast("int").as("is_new"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // CUSUM changepoint detection (Page 1954) over daily event volumes —
+    // the drift detector behind q142's distributional drift: per event
+    // type, the running sum of (n_day·D − N) — the mean-centered residual
+    // scaled by D so every term stays an exact integer — peaks at the day
+    // the level shifts. The argmax packs (|cusum|, earlier-day tiebreak)
+    // into one BIGINT so the same max is exact on any engine (q161's
+    // trick). Day counts are calendar-bounded: the per-type window runs
+    // over ~10³ rows at any corpus scale.
+    "q196_cusum_changepoint" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.groupBy($"event_type")
+        .agg(sum($"n").as("total"), count(lit(1)).as("n_days"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(tot), Seq("event_type"))
+        .withColumn("cusum", sum($"n" * $"n_days" - $"total").over(w))
+        .groupBy($"event_type")
+        .agg(max($"n_days").as("n_days"), max($"total").as("total"),
+          max(abs($"cusum") * lit(10000000L) + (lit(9999999L) - $"day")).as("wmax"))
+        .select($"event_type", $"n_days", $"total",
+          (lit(9999999L) - pmod($"wmax", lit(10000000L))).as("cp_day"),
+          ($"wmax" / lit(10000000L)).cast("long").as("cusum_abs"))
+        .orderBy($"event_type")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -4870,6 +5098,48 @@ object SparkEntry {
       .select($"event_type", $"day", $"n", $"sum_value_u",
         fq4(graft.operators.HllSketch.estimateExpr("regs", p)).as("users_est4"))
       .orderBy($"event_type", $"day")
+  }
+
+  /** q192's body against any events relation — factored so [[ScaleProbe]]
+    * measures exactly the shipped sweep-line on a 10× user population
+    * (closed form under exact copies with disjoint user ids: every
+    * endpoint multiset scales by the copy factor, so per-bucket peaks and
+    * start/end counts all scale by exactly c).
+    */
+  def peakConcurrency(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val sess = graft.operators.Sessionize.assignSessions(
+        ev.select($"user_id", $"ts", $"event_id"),
+        "user_id", "ts", "event_id", gap = 21600000000000L)
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"ts").as("st"), max($"ts").as("en"))
+    graft.operators.SweepLine.peakPerBucket(sess, "st", "en",
+        bucketWidth = 86400000000000L)
+      .orderBy($"bucket")
+  }
+
+  /** q193's body against any documents relation — factored so [[ScaleProbe]]
+    * runs exactly the shipped strip on a 10× corpus (closed form under
+    * exact copies with fresh doc ids: df and n_docs_src both scale by c so
+    * the template SET is invariant — requiring every source to hold ≥ 101
+    * docs so the 1% ratio, not the minDocs floor, is binding at both
+    * scales — while affected docs, instances, and tokens scale by c).
+    */
+  def boilerplateStrip(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pars = docs
+      .select($"doc_id", $"source",
+        graft.operators.TextAnalysis.tokensCol($"text").as("tk"))
+      .filter(size($"tk") > 0)
+      .select($"doc_id", $"source", explode(transform(
+        sequence(lit(0), ((size($"tk") + 2) / 3).cast("int") - 1),
+        i => array_join(slice($"tk", i * 3 + 1, lit(3)), " "))).as("p"))
+      .withColumn("n_tok", size(split($"p", " ")).cast("long"))
+    graft.operators.Boilerplate.stripSummary(pars, "doc_id", "source",
+        "p", "n_tok", minFrac = 0.01, minDocs = 2L)
+      .orderBy($"source")
   }
 
   def knnClusterPurity(emb: DataFrame): DataFrame = {
@@ -7041,5 +7311,119 @@ sz AS (SELECT keeper_id, count(*)::BIGINT AS n_members FROM l2 GROUP BY 1),
 m AS (SELECT keeper_id, id, strength4, degree, row_number() OVER (PARTITION BY keeper_id ORDER BY strength4 DESC, id) AS rk FROM l2)
 SELECT m.keeper_id AS component_id, m.id AS medoid_id, sz.n_members, m.strength4, m.degree
 FROM m JOIN sz ON m.keeper_id = sz.keeper_id WHERE m.rk = 1 AND sz.n_members >= 2 ORDER BY component_id""",
+    // q188: the same cumulative-sum bucketing, ROWS-framed window per
+    // source over the one-file-per-doc manifest
+    "q188_compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id AS file_id, n_chars AS bytes FROM documents),
+b AS (SELECT source, file_id, bytes, CASE WHEN bytes < 400 THEN 1 ELSE 0 END AS is_small,
+  sum(CASE WHEN bytes < 400 THEN bytes ELSE 0 END) OVER (PARTITION BY source ORDER BY bytes DESC, file_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum FROM f),
+a AS (SELECT source, file_id, bytes, is_small, CASE WHEN is_small = 1 THEN (csum - 1) // 1500 END AS bin FROM b)
+SELECT source, count(*)::BIGINT AS files_before, sum(is_small)::BIGINT AS n_small,
+  sum(CASE WHEN is_small = 1 THEN bytes ELSE 0 END)::BIGINT AS small_bytes,
+  count(DISTINCT bin)::BIGINT AS n_bins, sum(bytes)::BIGINT AS total_bytes,
+  (count(*) - sum(is_small) + count(DISTINCT bin))::BIGINT AS files_after
+FROM a GROUP BY source ORDER BY source""",
+    // q189: HUGEINT moment sums are the oracle's exact twin of the
+    // engine's decimal(38,0); the double ratio mirrors the engine's
+    // operation order token for token
+    "q189_cuped" ->
+      """WITH u AS (SELECT user_id,
+  sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN cast(floor(value * 1000000) AS BIGINT) ELSE 0 END) AS xu,
+  sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN cast(floor(value * 1000000) AS BIGINT) ELSE 0 END) AS yu
+  FROM events GROUP BY 1),
+mom AS (SELECT count(*)::BIGINT AS n, sum(xu) AS sx, sum(yu) AS sy,
+  sum(xu::HUGEINT * yu::HUGEINT) AS sxy, sum(xu::HUGEINT * xu::HUGEINT) AS sxx FROM u),
+arms AS (SELECT ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS cohort,
+  count(*)::BIGINT AS n_users, sum(xu) AS sx_a, sum(yu) AS sy_a FROM u GROUP BY 1),
+j AS (SELECT cohort, n_users, sx_a, sy_a, n, sx, sy, sxy, sxx,
+  n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS denom FROM arms, mom),
+th AS (SELECT *, CASE WHEN denom > 0.0 THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / denom END AS theta FROM j)
+SELECT cohort, n_users,
+  floor((sx_a::DOUBLE / n_users::DOUBLE) / 100.0)::BIGINT AS mean_x4u,
+  floor((sy_a::DOUBLE / n_users::DOUBLE) / 100.0)::BIGINT AS mean_y4u,
+  floor(theta * 1000000.0)::BIGINT AS theta6,
+  floor(((sy_a::DOUBLE / n_users::DOUBLE) - theta * (sx_a::DOUBLE / n_users::DOUBLE - sx::DOUBLE / n::DOUBLE)) / 100.0)::BIGINT AS mean_yadj4u
+FROM th ORDER BY cohort""",
+    // q190: exact distinct-source diversity per quasi-id class
+    "q190_l_diversity" ->
+      """WITH cls AS (SELECT lang, n_chars // 20 AS len_bucket, count(DISTINCT source)::BIGINT AS ndv, count(*)::BIGINT AS sz FROM documents GROUP BY 1, 2)
+SELECT CASE WHEN ndv < 3 THEN '1_risky' ELSE '2_diverse' END AS risk_class,
+  count(*)::BIGINT AS n_classes, sum(sz)::BIGINT AS n_docs,
+  min(ndv) AS min_ndv, max(ndv) AS max_ndv
+FROM cls GROUP BY 1 ORDER BY risk_class""",
+    // q191: brute-force max-cosine vs the mod-50 eval slice, quantized
+    // after the max (q30's double policy)
+    "q191_semantic_decontam" ->
+      """WITH ev AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0),
+tr AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
+m AS (SELECT tr.vec_id, tr.label, floor(max(list_cosine_similarity(tr.v, ev.v)) * 10000.0)::BIGINT AS ms4 FROM tr, ev GROUP BY 1, 2)
+SELECT label, count(*)::BIGINT AS n_train,
+  sum(CASE WHEN ms4 >= 3000 THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+  max(ms4) AS max_ms4
+FROM m GROUP BY 1 ORDER BY label""",
+    // q192: the GLOBAL sweep-line the engine decomposes — prefix sums are
+    // associative, so carry-in + local prefix ≡ this one total-order
+    // window; peer-inclusive RANGE frames on both engines make ties
+    // order-independent
+    "q192_peak_concurrency" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+l AS (SELECT user_id, tus, event_id,
+  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 21600000000 THEN 1 ELSE 0 END AS brk FROM ev),
+s AS (SELECT user_id, tus, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sid FROM l),
+sess AS (SELECT user_id, sid, min(tus) AS st, max(tus) AS en FROM s GROUP BY 1, 2),
+pts AS (SELECT st AS tus, 1 AS d FROM sess UNION ALL SELECT en AS tus, -1 AS d FROM sess),
+run AS (SELECT tus // 86400000000 AS bucket, d, sum(d) OVER (ORDER BY tus, d) AS pfx FROM pts)
+SELECT bucket, sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_starts,
+  sum(CASE WHEN d = -1 THEN 1 ELSE 0 END)::BIGINT AS n_ends,
+  max(pfx)::BIGINT AS peak
+FROM run GROUP BY 1 ORDER BY bucket""",
+    // q193: doc frequency on md5-derived paragraph hashes (the engine's
+    // stableHash64), within-doc repeats distinct-ed out of the frequency
+    // but fully counted in the strip
+    "q193_boilerplate_strip" ->
+      raw"""WITH toks AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tk FROM documents),
+segs AS (SELECT doc_id, source, array_to_string(tk[(i-1)*3+1 : i*3], ' ') AS p
+  FROM toks, (SELECT unnest(range(1, 1000)) AS i) WHERE len(tk) > 0 AND (i-1)*3 < len(tk)),
+seg2 AS (SELECT doc_id, source, p, len(string_split(p, ' '))::BIGINT AS n_tok, ('0x' || substr(md5(p), 1, 15))::BIGINT AS ph FROM segs),
+perdoc AS (SELECT DISTINCT source, doc_id, ph FROM seg2),
+sizes AS (SELECT source, count(DISTINCT doc_id) AS n_docs_src FROM perdoc GROUP BY 1),
+freq AS (SELECT source, ph, count(*)::BIGINT AS df_docs FROM perdoc GROUP BY 1, 2),
+tmpl AS (SELECT f.source, f.ph FROM freq f JOIN sizes s ON f.source = s.source WHERE f.df_docs >= 2 AND f.df_docs * 10000 >= s.n_docs_src * 100)
+SELECT s2.source, count(DISTINCT s2.ph)::BIGINT AS n_template_pars,
+  count(DISTINCT s2.doc_id)::BIGINT AS n_docs_affected,
+  count(*)::BIGINT AS n_instances_removed, sum(s2.n_tok)::BIGINT AS n_tokens_removed
+FROM seg2 s2 JOIN tmpl ON s2.source = tmpl.source AND s2.ph = tmpl.ph
+GROUP BY 1 ORDER BY s2.source""",
+    // q194: rank on the same salted md5 hash, top-5 per language
+    "q194_group_sample" ->
+      """WITH h AS (SELECT lang, doc_id, ('0x' || substr(md5('samp:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h FROM documents),
+r AS (SELECT lang, doc_id, h, row_number() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS rk FROM h)
+SELECT lang, rk::BIGINT AS rk, doc_id, h FROM r WHERE rk <= 5 ORDER BY lang, rk""",
+    // q195: both retrieval rounds + the positional-mean feedback vector
+    // replayed relationally; FLOAT cast per component (q166's policy)
+    "q195_rocchio_feedback" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+r1 AS (SELECT query_id, neighbor_id FROM (SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 5),
+fb AS (SELECT query_id, pos, avg(comp) AS m FROM (SELECT r1.query_id, unnest(e.embedding::DOUBLE[]) AS comp, unnest(range(0, len(e.embedding))) AS pos FROM r1 JOIN embeddings e ON e.vec_id = r1.neighbor_id) GROUP BY 1, 2),
+q2 AS (SELECT qq.query_id, list((0.5 * qc + 0.5 * m)::FLOAT ORDER BY qq.pos) AS qv FROM (SELECT q.query_id, unnest(q.embedding::DOUBLE[]) AS qc, unnest(range(0, len(q.embedding))) AS pos FROM q) qq JOIN fb ON qq.query_id = fb.query_id AND qq.pos = fb.pos GROUP BY qq.query_id),
+r2 AS (SELECT query_id, neighbor_id, sc, rn AS rank FROM (SELECT q2.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.embedding::DOUBLE[], q2.qv::DOUBLE[]) AS sc, row_number() OVER (PARTITION BY q2.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q2.qv::DOUBLE[]) DESC, e.vec_id) AS rn FROM embeddings e, q2 WHERE e.vec_id <> q2.query_id) WHERE rn <= 8)
+SELECT r2.query_id, r2.rank::BIGINT AS rank, r2.neighbor_id,
+  floor(r2.sc * 10000.0) / 10000.0 AS score4,
+  (CASE WHEN r1.neighbor_id IS NULL THEN 1 ELSE 0 END)::INT AS is_new
+FROM r2 LEFT JOIN r1 ON r2.query_id = r1.query_id AND r2.neighbor_id = r1.neighbor_id
+ORDER BY r2.query_id, r2.rank""",
+    // q196: integer CUSUM of (n·D − N), argmax packed with the
+    // earlier-day tiebreak exactly as the engine packs it
+    "q196_cusum_changepoint" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(n)::BIGINT AS total, count(*)::BIGINT AS n_days FROM daily GROUP BY 1),
+cs AS (SELECT d.event_type, d.day, t.n_days, t.total,
+  sum(d.n * t.n_days - t.total) OVER (PARTITION BY d.event_type ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily d JOIN tot t ON d.event_type = t.event_type)
+SELECT event_type, max(n_days) AS n_days, max(total) AS total,
+  (9999999 - (max(abs(cusum) * 10000000 + (9999999 - day)) % 10000000))::BIGINT AS cp_day,
+  (max(abs(cusum) * 10000000 + (9999999 - day)) // 10000000)::BIGINT AS cusum_abs
+FROM cs GROUP BY event_type ORDER BY event_type""",
   )
 }

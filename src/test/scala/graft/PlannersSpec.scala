@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Boilerplate, CompactionPlanner, SweepLine}
+
+/** Round-9 planners/analytics operators.
+  *
+  *  - SweepLine: the two-level (per-bucket window + carry-in) decomposition
+  *    must equal a single-total-order reference sweep on random intervals.
+  *  - CompactionPlanner: greedy cumulative-sum bins obey the one-file
+  *    guarantee (target − thresh < bin total < target + thresh for
+  *    non-final bins) and the summary arithmetic is self-consistent.
+  *  - Boilerplate: frequency counts a paragraph once per document, but the
+  *    strip removes every instance — first occurrences included (the exact
+  *    semantic [[graft.operators.ParagraphDedup]] does NOT have).
+  */
+class PlannersSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  // ---------------------------------------------------------------- sweep
+
+  test("SweepLine.peakPerBucket equals a global reference sweep on random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val width = 100L
+    val intervals = (0 until 400).map { i =>
+      val st = rnd.nextInt(2000).toLong
+      (i.toLong, st, st + rnd.nextInt(500).toLong)
+    }
+    val df = intervals.toDF("id", "st", "en").repartition(7)
+    val got = SweepLine.peakPerBucket(df, "st", "en", width)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    // reference: one global order, peer-inclusive prefix per (ts, delta)
+    val pts = intervals.flatMap { case (_, st, en) => Seq((st, 1L), (en, -1L)) }
+    val groups = pts.groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case ((ts, d), _) => (ts, d) }
+    var running = 0L
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    groups.foreach { case ((ts, d), n) =>
+      running += d * n
+      val b = ts / width
+      peaks(b) = math.max(peaks.getOrElse(b, Long.MinValue), running)
+    }
+    val starts = pts.filter(_._2 == 1L).groupBy(_._1 / width).view.mapValues(_.size.toLong).toMap
+    val ends = pts.filter(_._2 == -1L).groupBy(_._1 / width).view.mapValues(_.size.toLong).toMap
+
+    assert(got.keySet == peaks.keySet)
+    got.foreach { case (b, (ns, ne, pk)) =>
+      assert(pk == peaks(b), s"bucket $b peak")
+      assert(ns == starts.getOrElse(b, 0L), s"bucket $b starts")
+      assert(ne == ends.getOrElse(b, 0L), s"bucket $b ends")
+    }
+  }
+
+  test("SweepLine: end-before-start at the same instant never double-counts") {
+    import spark.implicits._
+    // [0,10] ends exactly when [10,20] starts: peak must stay 1
+    val df = Seq((1L, 0L, 10L), (2L, 10L, 20L)).toDF("id", "st", "en")
+    val peaks = SweepLine.peakPerBucket(df, "st", "en", 1000L).collect()
+    assert(peaks.length == 1 && peaks(0).getLong(3) == 1L)
+  }
+
+  // ----------------------------------------------------------- compaction
+
+  test("CompactionPlanner: bin totals within one file of target; summary self-consistent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val target = 1000L
+    val thresh = 300L
+    val manifest = (0 until 300).map { i =>
+      (s"g${i % 3}", i.toLong, (20 + rnd.nextInt(500)).toLong)
+    }.toDF("grp", "file_id", "bytes").repartition(5)
+
+    val bins = CompactionPlanner.assignBins(
+      manifest, "grp", "file_id", "bytes", target, thresh).collect()
+    // large files never bin; small files always do
+    bins.foreach { r =>
+      val small = r.getAs[Long]("bytes") < thresh
+      assert(small == !r.isNullAt(r.fieldIndex("bin")))
+    }
+    val byGroup = bins.filter(r => !r.isNullAt(r.fieldIndex("bin")))
+      .groupBy(_.getString(0)).view.mapValues { rows =>
+        rows.groupBy(_.getAs[Long]("bin")).view
+          .mapValues(_.map(_.getAs[Long]("bytes")).sum).toMap
+      }.toMap
+    byGroup.foreach { case (g, totals) =>
+      val maxBin = totals.keys.max
+      assert(totals.keySet == (0L to maxBin).toSet, s"$g bins contiguous")
+      totals.foreach { case (b, tot) =>
+        assert(tot < target + thresh, s"$g bin $b overfull")
+        if (b < maxBin) assert(tot > target - thresh, s"$g bin $b underfull")
+      }
+    }
+
+    val sums = CompactionPlanner.planSummary(
+      manifest, "grp", "file_id", "bytes", target, thresh).collect()
+    sums.foreach { r =>
+      assert(r.getAs[Long]("files_after") ==
+        r.getAs[Long]("files_before") - r.getAs[Long]("n_small") + r.getAs[Long]("n_bins"))
+      assert(r.getAs[Long]("small_bytes") ==
+        byGroup(r.getString(0)).values.sum)
+    }
+  }
+
+  // ---------------------------------------------------------- boilerplate
+
+  test("Boilerplate: df counts once per doc, strip removes every instance incl. the first") {
+    import spark.implicits._
+    val banner = "accept all cookies"
+    val rows =
+      // source A: banner in 10 of 12 docs; doc 0 carries it TWICE
+      (0 until 10).flatMap { d =>
+        val bannerRows =
+          if (d == 0) Seq((d.toLong, "A", banner, 3L), (d.toLong, "A", banner, 3L))
+          else Seq((d.toLong, "A", banner, 3L))
+        bannerRows :+ ((d.toLong, "A", s"unique content $d", 3L))
+      } ++ Seq((10L, "A", "plain doc ten", 3L), (11L, "A", "plain doc eleven", 3L)) ++
+      // source B: same banner text but only in 1 of 40 docs — below 5%
+      (0 until 40).map(d => (100L + d, "B", if (d == 0) banner else s"b content $d", 3L))
+    val pars = rows.toDF("doc", "src", "p", "n_tok").repartition(3)
+
+    val tmpl = Boilerplate.templateHashes(pars, "doc", "src", "p",
+      minFrac = 0.05, minDocs = 2L).collect()
+    assert(tmpl.length == 1 && tmpl(0).getString(0) == "A")
+    assert(tmpl(0).getAs[Long]("df_docs") == 10L) // once per doc, not 11
+
+    val sum = Boilerplate.stripSummary(pars, "doc", "src", "p", "n_tok",
+      minFrac = 0.05, minDocs = 2L).collect()
+    assert(sum.length == 1 && sum(0).getString(0) == "A")
+    assert(sum(0).getAs[Long]("n_template_pars") == 1L)
+    assert(sum(0).getAs[Long]("n_docs_affected") == 10L)
+    assert(sum(0).getAs[Long]("n_instances_removed") == 11L) // both copies in doc 0
+    assert(sum(0).getAs[Long]("n_tokens_removed") == 33L)
+  }
+}
