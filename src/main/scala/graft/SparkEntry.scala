@@ -5024,6 +5024,60 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // RM3 lexical query expansion (Lavrenko & Croft 2001; the BM25-side
+    // twin of q195's dense Rocchio): round-1 BM25 top-5 docs → top-3
+    // expansion terms by feedback tf (stopwords/base terms excluded, ties
+    // lexicographic) → round-2 BM25 over base ∪ expansion → top-10 with
+    // the is_new drift audit. Scores use bm25MicroScores — per-term
+    // contributions floor-quantized to BIGINT micro-units BEFORE the sum,
+    // because with data-derived terms the oracle must aggregate
+    // per-(doc, term) rows in scan order and a double sum would be
+    // order-dependent. The two driver collects are QUERY PROCESSING, not
+    // data movement: 5 feedback ids and 3 terms, invariant at any corpus
+    // size; both scoring passes stay scan-side with one broadcast stats
+    // row each (q66's shape).
+    "q197_rm3_expansion" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val baseTerms = Bm25Terms
+      val r1 = graft.query.LexicalRetriever.bm25MicroScores(
+        docs, "doc_id", "text", baseTerms).localCheckpoint(false)
+      val fbIds = r1.orderBy($"score_u".desc, $"doc_id").limit(5)
+        .select($"doc_id").as[Long].collect().toSeq
+      val stop = (baseTerms ++
+        graft.operators.TextAnalysis.Markers.values.flatten).distinct
+      val expTerms = docs.filter($"doc_id".isin(fbIds: _*))
+        .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .filter(!$"w".isin(stop.map(_.asInstanceOf[Any]): _*) && length($"w") >= 3)
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"w").limit(3)
+        .select($"w").as[String].collect().toSeq
+      val r2 = graft.query.LexicalRetriever.bm25MicroScores(
+        docs, "doc_id", "text", baseTerms ++ expTerms)
+      r2.orderBy($"score_u".desc, $"doc_id").limit(10)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy($"score_u".desc, $"doc_id")).cast("long"))
+        .join(r1.orderBy($"score_u".desc, $"doc_id").limit(10)
+          .select($"doc_id", lit(0L).as("seen")), Seq("doc_id"), "left")
+        .select($"rank", $"doc_id", $"score_u",
+          when($"seen".isNull, 1).otherwise(0).cast("int").as("is_new"))
+        .orderBy($"rank")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift test — each source's document-
+    // length distribution against the rest of the corpus, EXACT: the KS
+    // statistic is max |CDF₁ − CDF₂| over the jump points, cross-
+    // multiplied to integers (|c1·n2 − c2·n1|, never a float CDF), so D
+    // and the α=0.05 decision reproduce bit-for-bit. Complements q142's
+    // binned KL with the exact nonparametric test a data-quality gate
+    // wants. Scale shape: the grid is sources × distinct values — BOTH
+    // dims bounded (length takes bounded values; sources are an
+    // enumeration), so the per-source cumulative windows and the one
+    // global-value window run on grid-sized relations regardless of
+    // corpus size; the corpus contributes one (source, v) count shuffle.
+    "q198_ks_drift" -> ((s, dir) =>
+      ksDrift(t(s, dir, "documents"))),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -5139,6 +5193,42 @@ object SparkEntry {
       .withColumn("n_tok", size(split($"p", " ")).cast("long"))
     graft.operators.Boilerplate.stripSummary(pars, "doc_id", "source",
         "p", "n_tok", minFrac = 0.01, minDocs = 2L)
+      .orderBy($"source")
+  }
+
+  /** q198's body against any documents relation — factored so the spec
+    * can check the grid decomposition against a brute-force KS reference
+    * on engineered corpora. See the q198 entry for the scale argument.
+    */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cnt = docs
+      .select($"source", $"n_chars".as("v"))
+      .groupBy($"source", $"v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // sizes, value cums, and the grid read it
+    val ns = cnt.groupBy($"source").agg(sum($"c").as("n1"))
+    val tot = broadcast(cnt.agg(sum($"c").as("n")))
+    val gcum = cnt.groupBy($"v").agg(sum($"c").as("cv"))
+      .withColumn("call", sum($"cv").over(Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val grid = ns.crossJoin(cnt.select($"v").distinct())
+    grid.join(cnt, Seq("source", "v"), "left").na.fill(0L, Seq("c"))
+      .withColumn("c1", sum($"c").over(Window.partitionBy($"source")
+        .orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(gcum.select($"v", $"call"), Seq("v"))
+      .crossJoin(tot)
+      .withColumn("num",
+        abs($"c1" * ($"n" - $"n1") - ($"call" - $"c1") * $"n1"))
+      .groupBy($"source", $"n1", $"n")
+      .agg(max($"num").as("maxnum"))
+      .select($"source", $"n1".as("n_docs"),
+        expr("(maxnum * 10000) div (n1 * (n - n1))").as("d4"),
+        (expr("(maxnum * 10000) div (n1 * (n - n1))") >
+          floor(lit(1.358) * sqrt($"n".cast("double")
+            / ($"n1".cast("double") * ($"n" - $"n1").cast("double")))
+            * 10000.0).cast("long")).cast("int").as("flagged"))
       .orderBy($"source")
   }
 
@@ -7425,5 +7515,48 @@ SELECT event_type, max(n_days) AS n_days, max(total) AS total,
   (9999999 - (max(abs(cusum) * 10000000 + (9999999 - day)) % 10000000))::BIGINT AS cp_day,
   (max(abs(cusum) * 10000000 + (9999999 - day)) // 10000000)::BIGINT AS cusum_abs
 FROM cs GROUP BY event_type ORDER BY event_type""",
+    // q197: the full RM3 loop relationally — per-(doc, term) micro-unit
+    // contributions (exactly the engine's bm25MicroScores algebra), term
+    // selection and both rankings id/lex-tiebroken
+    "q197_rm3_expansion" ->
+      raw"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tk FROM documents),
+dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl, tk FROM toks),
+st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+bt AS (SELECT unnest(['join', 'vector', 'window', 'stream']) AS term),
+tf1 AS (SELECT d.doc_id, bt.term, len(list_filter(d.tk, x -> x = bt.term))::DOUBLE AS tf, d.dl FROM dl d, bt),
+df1 AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM tf1 GROUP BY 1),
+sc1 AS (SELECT t.doc_id,
+  sum(floor((floor(ln(((n_docs - df + 0.5) / (df + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000.0))::BIGINT AS score_u,
+  sum(tf) AS tfsum
+  FROM tf1 t JOIN df1 USING (term), st GROUP BY t.doc_id HAVING sum(tf) > 0),
+r1 AS (SELECT doc_id, score_u, row_number() OVER (ORDER BY score_u DESC, doc_id) AS rk FROM sc1),
+fb AS (SELECT doc_id FROM r1 WHERE rk <= 5),
+exp AS (SELECT w FROM (SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk FROM (SELECT unnest(tk) AS w FROM dl JOIN fb USING (doc_id)) ww(w)
+  WHERE len(w) >= 3 AND w NOT IN ('join', 'vector', 'window', 'stream', 'the', 'a', 'of', 'and', 'is', 'to', 'in', 'that', 'it', 'with', 'el', 'la', 'de', 'que', 'y', 'en', 'un', 'los', 'se', 'por', 'der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'auf', 'zu', 'le', 'les', 'est', 'une', 'dans')
+  GROUP BY w) WHERE rk <= 3),
+t2 AS (SELECT term FROM bt UNION ALL SELECT w FROM exp),
+tf2 AS (SELECT d.doc_id, t2.term, len(list_filter(d.tk, x -> x = t2.term))::DOUBLE AS tf, d.dl FROM dl d, t2),
+df2 AS (SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df FROM tf2 GROUP BY 1),
+sc2 AS (SELECT t.doc_id,
+  sum(floor((floor(ln(((n_docs - df + 0.5) / (df + 0.5)) + 1.0) * 10000.0) / 10000.0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1000000.0))::BIGINT AS score_u,
+  sum(tf) AS tfsum
+  FROM tf2 t JOIN df2 USING (term), st GROUP BY t.doc_id HAVING sum(tf) > 0),
+r2 AS (SELECT doc_id, score_u, row_number() OVER (ORDER BY score_u DESC, doc_id) AS rank FROM sc2)
+SELECT r2.rank::BIGINT AS rank, r2.doc_id, r2.score_u,
+  (CASE WHEN r1k.doc_id IS NULL THEN 1 ELSE 0 END)::INT AS is_new
+FROM r2 LEFT JOIN (SELECT doc_id FROM r1 WHERE rk <= 10) r1k ON r2.doc_id = r1k.doc_id
+WHERE r2.rank <= 10 ORDER BY r2.rank""",
+    // q198: the same cross-multiplied integer KS max over the jump grid
+    "q198_ks_drift" ->
+      """WITH cnt AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
+ns AS (SELECT source, sum(c)::BIGINT AS n1 FROM cnt GROUP BY 1),
+tot AS (SELECT sum(c)::BIGINT AS n FROM cnt),
+gc AS (SELECT v, sum(cv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS call FROM (SELECT v, sum(c)::BIGINT AS cv FROM cnt GROUP BY 1)),
+grid AS (SELECT ns.source, ns.n1, vals.v FROM ns, (SELECT DISTINCT v FROM cnt) vals),
+c1 AS (SELECT g.source, g.n1, g.v, sum(coalesce(cnt.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS c1 FROM grid g LEFT JOIN cnt ON cnt.source = g.source AND cnt.v = g.v),
+m AS (SELECT c1.source, c1.n1, n, max(abs(c1.c1 * (n - c1.n1) - (gc.call - c1.c1) * c1.n1))::BIGINT AS maxnum FROM c1 JOIN gc USING (v), tot GROUP BY 1, 2, 3)
+SELECT source, n1 AS n_docs, ((maxnum * 10000) // (n1 * (n - n1)))::BIGINT AS d4,
+  (CASE WHEN ((maxnum * 10000) // (n1 * (n - n1))) > floor(1.358 * sqrt(n::DOUBLE / (n1::DOUBLE * (n - n1)::DOUBLE)) * 10000.0)::BIGINT THEN 1 ELSE 0 END)::INT AS flagged
+FROM m ORDER BY source""",
   )
 }

@@ -49,6 +49,37 @@ object LexicalRetriever {
       .select(col(idCol), col("score"))
   }
 
+  /** BM25 with per-term contributions floor-quantized to integer
+    * MICRO-units (1e-6) before the sum — the dynamic-term variant: when
+    * the term list is data-derived (RM3 expansion, q197), the score must
+    * be an order-independent sum, because a relational oracle aggregates
+    * per-(doc, term) rows in whatever order the scan yields while
+    * [[bm25Scores]]' fixed `reduce` chain adds doubles in term order.
+    * Integer micro-contributions make both exact. Output:
+    * (`idCol`, score_u: BIGINT); no-term-matching docs are excluded.
+    */
+  def bm25MicroScores(
+      docs: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
+    val base = docs
+      .select(col(idCol), graft.operators.TextAnalysis.tokensCol(col(textCol)).as("tk"))
+      .select(col(idCol) +: size(col("tk")).cast("double").as("dl") +:
+        terms.map(tm => size(filter(col("tk"), x => x === tm)).cast("double").as(s"tf_$tm")): _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +:
+        terms.map(tm => sum((col(s"tf_$tm") > 0).cast("long")).cast("double").as(s"df_$tm")): _*)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score_u", terms.map { tm =>
+        val tf = col(s"tf_$tm")
+        val df = col(s"df_$tm")
+        val idf = floor(log(((col("n_docs") - df + 0.5) / (df + 0.5)) + 1.0) * 10000.0) / 10000.0
+        floor(idf * (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+          * 1000000.0).cast("long")
+      }.reduce(_ + _))
+      .filter(terms.map(tm => col(s"tf_$tm")).reduce(_ + _) > 0)
+      .select(col(idCol), col("score_u"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.): two (id, rank) lists full-
     * outer-joined, each contributing 1/(rank + `k`) and 0 where absent,
     * fused score floor-quantized at 1e-6. Rank the k-row TOP-N lists of

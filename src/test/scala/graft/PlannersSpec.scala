@@ -117,6 +117,43 @@ class PlannersSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------ ks
+
+  test("ksDrift grid decomposition equals a brute-force KS reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // three sources with deliberately different length distributions
+    val rows = (0 until 200).map { i =>
+      val src = s"s${i % 3}"
+      val v = src match {
+        case "s0" => 50L + rnd.nextInt(100)
+        case "s1" => 100L + rnd.nextInt(100) // shifted: should drift
+        case _    => 50L + rnd.nextInt(150)
+      }
+      (i.toLong, src, v)
+    }
+    val docs = rows.toDF("doc_id", "source", "n_chars").repartition(5)
+    val got = SparkEntry.ksDrift(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+
+    val n = rows.size.toLong
+    val bySrc = rows.groupBy(_._2)
+    got.keySet.foreach { src =>
+      val mine = bySrc(src).map(_._3)
+      val rest = rows.filterNot(_._2 == src).map(_._3)
+      val (n1, n2) = (mine.size.toLong, rest.size.toLong)
+      val vals = rows.map(_._3).distinct.sorted
+      val maxnum = vals.map { v =>
+        math.abs(mine.count(_ <= v) * n2 - rest.count(_ <= v) * n1)
+      }.max
+      val d4 = maxnum * 10000 / (n1 * n2)
+      val crit = math.floor(1.358 * math.sqrt(n.toDouble / (n1.toDouble * n2.toDouble)) * 10000.0).toLong
+      assert(got(src) == ((n1, d4, if (d4 > crit) 1 else 0)), s"source $src")
+    }
+    // the engineered shift must actually flag
+    assert(got("s1")._3 == 1, "shifted source should be flagged")
+  }
+
   // ---------------------------------------------------------- boilerplate
 
   test("Boilerplate: df counts once per doc, strip removes every instance incl. the first") {
