@@ -63,6 +63,19 @@ object Sinks {
     (clean, quarantine)
   }
 
+  /** Columnar interchange beyond parquet: ORC sink/source (Spark-native,
+    * zero extra dependencies). A 100 TB estate rarely lives in one
+    * format — Hive-era tables arrive as ORC — and both formats carry the
+    * same pushdown/pruning contract (min/max stripe stats ≈ row-group
+    * stats), so reads keep `PushedFilters` semantics. Round-trip
+    * (schema incl. nested arrays + values) is spec-checked.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S9 JDBC append sink — ONE batched append per dataset, replacing the
     * reference's connection-per-row inserts (`pipeline2.py:325-331`,
     * SURVEY.md §4.2). Untestable offline (no database in the container);

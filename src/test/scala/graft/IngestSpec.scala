@@ -135,6 +135,30 @@ class IngestSpec extends AnyFunSuite {
     assert(back.getAs[scala.collection.Seq[Float]]("Embeddings").toSeq == Seq(0.5f, -0.25f))
   }
 
+  test("ORC sink/source round-trips schema (incl. nested arrays) and values; filters push to the scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq(
+      (1L, "en", Seq(0.5f, -0.25f), 10L),
+      (2L, "de", Seq(1.0f, 2.0f), 20L),
+      (3L, "en", Seq(-1.0f, 0.0f), 30L))
+      .toDF("id", "lang", "vec", "n")
+    Sinks.writeOrc(df, s"$dir/t")
+    val back = Sinks.readOrc(spark, s"$dir/t")
+    // names + types round-trip; nullability widens on read (ORC files do
+    // not carry Spark's non-null flags), same as parquet
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    assert(back.orderBy($"id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(back.filter($"id" === 2L).head().getAs[scala.collection.Seq[Float]]("vec").toSeq
+      == Seq(1.0f, 2.0f))
+    // the pushdown contract holds for ORC exactly as for parquet
+    val plan = back.filter($"n" > 15L).select($"id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n), GreaterThan(n,15)]"), plan)
+  }
+
   test("JSONL quarantine source: clean rows parse, malformed lines keep their raw text, nothing is silently nulled") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     val lines = Seq(

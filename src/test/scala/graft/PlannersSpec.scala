@@ -67,6 +67,18 @@ class PlannersSpec extends AnyFunSuite {
     }
   }
 
+  test("SweepLine level-1 window partitions by bucket (parallel), not a single global sort") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i.toLong * 37 % 5000, i.toLong * 37 % 5000 + 100))
+      .toDF("id", "st", "en")
+    val plan = SweepLine.peakPerBucket(df, "st", "en", 1000L)
+      .queryExecution.executedPlan.toString
+    // the endpoint-stream window must hash-partition on the bucket key;
+    // only the bucket AGGREGATE (rows = #buckets) may single-partition
+    assert(plan.contains("Exchange hashpartitioning(bucket"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("SweepLine: end-before-start at the same instant never double-counts") {
     import spark.implicits._
     // [0,10] ends exactly when [10,20] starts: peak must stay 1
