@@ -5078,6 +5078,51 @@ object SparkEntry {
     "q198_ks_drift" -> ((s, dir) =>
       ksDrift(t(s, dir, "documents"))),
 
+    // Gini concentration of the token distribution per language — the
+    // single-number vocabulary-inequality audit next to q146's Zipf slope
+    // (a corpus whose Gini drifts up is collapsing onto template text).
+    // With ascending (count, word) ranks the numerator 2·Σ(i·cᵢ) −
+    // (V+1)·ΣC is an EXACT non-negative integer, so gini4 is pure integer
+    // division — no float CDF. The rank window sorts the per-lang VOCAB
+    // (Heaps-sublinear in the corpus), not the token stream; the corpus
+    // contributes one (lang, word) count shuffle.
+    "q199_token_gini" -> ((s, dir) => {
+      import s.implicits._
+      val cnt = t(s, dir, "documents")
+        .select($"lang",
+          explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+        .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+      cnt.withColumn("i", row_number()
+          .over(Window.partitionBy($"lang").orderBy($"c", $"w")).cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("vocab"), sum($"c").as("n_tok"),
+          sum($"i" * $"c").as("ic"))
+        .select($"lang", $"vocab", $"n_tok",
+          expr("((2 * ic - (vocab + 1) * n_tok) * 10000) div (vocab * n_tok)")
+            .as("gini4"))
+        .orderBy($"lang")
+    }),
+
+    // Degree assortativity (Newman 2002) of the strong near-dup graph —
+    // the last graph-science audit next to q147's triangles, q164's
+    // component sizes and q170's k-core: TEMPLATE corpora (hub docs
+    // duplicated everywhere) are disassortative, clone FARMS (uniform
+    // cliques) assortative, so r separates the two contamination shapes
+    // the size histogram alone cannot. Newman's r over directed stubs
+    // (each undirected edge both ways, so Σx = Σy and one moment triple
+    // suffices) from EXACT integer moments — degrees are ints; Σxy/Σxx in
+    // decimal(38,0) vs the oracle's HUGEINT (q189's policy) — with one
+    // double ratio in pinned operation order, floor-quantized at 1e-6.
+    // Graph build is the q147 LSH pass (bounded buckets, never corpus²);
+    // moments are one node-sized join + aggregate.
+    "q200_dup_assortativity" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
+      graft.operators.GraphMetrics.degreeAssortativity(pairs, "id_a", "id_b")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -7558,5 +7603,27 @@ m AS (SELECT c1.source, c1.n1, n, max(abs(c1.c1 * (n - c1.n1) - (gc.call - c1.c1
 SELECT source, n1 AS n_docs, ((maxnum * 10000) // (n1 * (n - n1)))::BIGINT AS d4,
   (CASE WHEN ((maxnum * 10000) // (n1 * (n - n1))) > floor(1.358 * sqrt(n::DOUBLE / (n1::DOUBLE * (n - n1)::DOUBLE)) * 10000.0)::BIGINT THEN 1 ELSE 0 END)::INT AS flagged
 FROM m ORDER BY source""",
+    // q199: ascending (count, word) vocab ranks; gini as one integer div
+    "q199_token_gini" ->
+      raw"""WITH cnt AS (SELECT lang, w, count(*)::BIGINT AS c FROM (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents) GROUP BY 1, 2),
+r AS (SELECT lang, c, row_number() OVER (PARTITION BY lang ORDER BY c, w) AS i FROM cnt)
+SELECT lang, count(*)::BIGINT AS vocab, sum(c)::BIGINT AS n_tok,
+  ((2 * sum(i * c) - (count(*) + 1) * sum(c)) * 10000 // (count(*) * sum(c)))::BIGINT AS gini4
+FROM r GROUP BY lang ORDER BY lang""",
+    // q200: Newman r from HUGEINT stub moments over the same verified
+    // 0.75 LSH graph, one pinned double ratio
+    "q200_dup_assortativity" ->
+      s"""WITH $LshVerifiedCtes,
+good AS (SELECT id_a AS lo, id_b AS hi FROM verified WHERE est_jac >= 0.75),
+deg AS (SELECT v, count(*)::BIGINT AS d FROM (SELECT lo AS v FROM good UNION ALL SELECT hi AS v FROM good) GROUP BY 1),
+st AS (SELECT count(*)::BIGINT AS n_edges, sum(dl.d + dh.d)::BIGINT AS sx,
+  sum(2::HUGEINT * dl.d::HUGEINT * dh.d::HUGEINT) AS sxy,
+  sum(dl.d::HUGEINT * dl.d::HUGEINT + dh.d::HUGEINT * dh.d::HUGEINT) AS sxx
+  FROM good JOIN deg dl ON good.lo = dl.v JOIN deg dh ON good.hi = dh.v),
+nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
+SELECT n_nodes, n_edges,
+  CASE WHEN (2 * n_edges)::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
+    THEN floor(((2 * n_edges)::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sx::DOUBLE) / ((2 * n_edges)::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * 1000000.0)::BIGINT END AS r6
+FROM nn, st""",
   )
 }

@@ -133,4 +133,63 @@ object GraphMetrics {
     edges.select(col("lo").as("v")).union(edges.select(col("hi").as("v")))
       .groupBy("v").agg(count(lit(1)).as("core_degree"))
   }
+
+  /** Degree assortativity (Newman, PRL 2002) of an undirected pair graph:
+    * Pearson correlation of endpoint degrees over directed STUBS (each
+    * edge contributes both orientations, so Σx = Σy, Σxx = Σyy and one
+    * exact-integer moment triple suffices):
+    *
+    *   r = (M·Σxy − Σx²) / (M·Σxx − Σx²),  M = 2·|E|
+    *
+    * Degrees are exact ints; Σxy/Σxx accumulate in decimal(38,0) (the
+    * q189 policy — a 10⁶-degree hub squared is past BIGINT at 100 TB edge
+    * counts; an oracle's HUGEINT sums are the exact twin), and the single
+    * double division runs in one pinned operation order, floor-quantized
+    * at 1e-6. Null r on a degree-regular graph (zero variance), defined
+    * identically on any engine.
+    *
+    * Output: one row (n_nodes, n_edges, r6). Scale shape: degrees are one
+    * node-sized aggregate; the moment pass is the edge list joined twice
+    * against the node-sized degree relation, then a scalar aggregate — no
+    * corpus² anything.
+    *
+    * CONTRACT (as [[triangleSummary]]): `pairs` holds each undirected pair
+    * once; self-loops are dropped; no re-distinct.
+    */
+  def degreeAssortativity(
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .localCheckpoint(false) // degrees + the moment pass both read it
+    val deg = edges.select(col("lo").as("v"))
+      .union(edges.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
+    val stats = edges
+      .join(deg.select(col("v").as("lo"), col("d").as("dlo")), "lo")
+      .join(deg.select(col("v").as("hi"), col("d").as("dhi")), "hi")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        // both stub orientations of every edge, folded: Σx = Σ(dlo + dhi)
+        sum(col("dlo") + col("dhi")).as("sx"),
+        sum(lit(2L).cast("decimal(19,0)")
+          * col("dlo").cast("decimal(19,0)") * col("dhi").cast("decimal(19,0)"))
+          .as("sxy"),
+        sum(col("dlo").cast("decimal(19,0)") * col("dlo").cast("decimal(19,0)")
+          + col("dhi").cast("decimal(19,0)") * col("dhi").cast("decimal(19,0)"))
+          .as("sxx"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    broadcast(nodes).crossJoin(broadcast(stats))
+      .withColumn("m", lit(2L) * col("n_edges"))
+      .withColumn("denom",
+        col("m").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      .select(col("n_nodes"), col("n_edges"),
+        when(col("denom") > 0.0, floor(
+          (col("m").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")) / col("denom")
+            * 1000000.0).cast("long")).as("r6"))
+  }
 }

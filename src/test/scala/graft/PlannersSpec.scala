@@ -129,6 +129,52 @@ class PlannersSpec extends AnyFunSuite {
     }
   }
 
+  // --------------------------------------------------------- assortativity
+
+  test("degreeAssortativity: brute-force parity, star negative, regular graph null") {
+    import spark.implicits._
+    import graft.operators.GraphMetrics
+
+    def runOn(edges: Seq[(Long, Long)]) =
+      GraphMetrics.degreeAssortativity(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect()(0)
+
+    // brute-force Newman r over directed stubs
+    def ref(edges: Seq[(Long, Long)]): Option[Long] = {
+      val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val stubs = edges.flatMap { case (a, b) =>
+        Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+      val m = stubs.size.toLong
+      val sx = stubs.map(_._1).sum
+      val sxy = stubs.map(s => BigInt(s._1) * s._2).sum
+      val sxx = stubs.map(s => BigInt(s._1) * s._1).sum
+      val denom = m.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      if (denom > 0.0)
+        Some(math.floor((m.toDouble * sxy.toDouble - sx.toDouble * sx.toDouble)
+          / denom * 1000000.0).toLong)
+      else None
+    }
+
+    val rnd = new scala.util.Random(99)
+    val random = (0 until 150).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val gotR = runOn(random)
+    assert(Option(gotR.get(2)).map(_.asInstanceOf[Long]) == ref(random))
+
+    // star: hub degree n, leaves degree 1 — strongly disassortative
+    val star = (1L to 20L).map(i => (0L, i))
+    val gotStar = runOn(star)
+    assert(gotStar.getLong(2) < 0, s"star r6 = ${gotStar.get(2)}")
+    assert(Option(gotStar.get(2)).map(_.asInstanceOf[Long]) == ref(star))
+
+    // 4-clique: degree-regular, zero variance -> null r
+    val clique = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(runOn(clique).isNullAt(2))
+  }
+
   // ------------------------------------------------------------------ ks
 
   test("ksDrift grid decomposition equals a brute-force KS reference") {
