@@ -5103,6 +5103,45 @@ object SparkEntry {
         .orderBy($"lang")
     }),
 
+    // Personalized PageRank (random walk with restart — Jeh & Widom 2003's
+    // "more like this" through graph structure): teleport mass lands only
+    // on the two seed docs, so rank_u measures near-dup-graph PROXIMITY to
+    // the seeds — the graph-walk complement of embedding ANN (a doc can be
+    // zero-cosine from the seed yet two dedup hops away). Same integer ppm
+    // arithmetic, staging, and node-broadcast strategy as q108; unreachable
+    // docs stay exactly 0 and are filtered, so the output is the seeds'
+    // graph neighborhood ranked by walk probability.
+    "q201_personalized_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      graft.operators.PageRank.personalizedRanks(
+          pairs, "id_a", "id_b", Seq(0L, 7L), iters = 3)
+        .filter($"rank_u" > 0)
+        .select($"id".as("doc_id"), $"deg", $"rank_u")
+        .orderBy($"rank_u".desc, $"doc_id").limit(20)
+    }),
+
+    // CUBE with grouping_id — the full OLAP grouping-sets surface next to
+    // q46's one-dim rollup: all four (status, priority) granularities in
+    // ONE Expand + partial/final aggregate pass (never four scans), with
+    // grouping_id disambiguating a real value from the aggregated-out
+    // NULL. The 2-dim cube is 4× Expand rows into a partial agg —
+    // map-side combine keeps the exchange grouped-rows-sized at 100 TB.
+    "q202_cube_revenue" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("rev"))
+        .select($"gid",
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n", $"rev")
+        .orderBy($"gid", $"status", $"priority")
+    }),
+
     // Degree assortativity (Newman 2002) of the strong near-dup graph —
     // the last graph-science audit next to q147's triangles, q164's
     // component sizes and q170's k-core: TEMPLATE corpora (hub docs
@@ -7625,5 +7664,26 @@ SELECT n_nodes, n_edges,
   CASE WHEN (2 * n_edges)::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
     THEN floor(((2 * n_edges)::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sx::DOUBLE) / ((2 * n_edges)::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * 1000000.0)::BIGINT END AS r6
 FROM nn, st""",
+    // q201: q108's unrolled 3-iteration integer walk with the teleport
+    // restricted to the seed indicator
+    "q201_personalized_pagerank" ->
+      s"""WITH $LshVerifiedCtes, prs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.5),
+edges AS (SELECT src, dst FROM (SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs) WHERE src <> dst),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT src AS id, deg, CASE WHEN src IN (0, 7) THEN 1 ELSE 0 END AS s, (CASE WHEN src IN (0, 7) THEN 1000000 ELSE 0 END)::BIGINT AS rank_u FROM deg),
+c1 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS m FROM edges e JOIN r0 r ON e.src = r.id GROUP BY e.dst),
+r1 AS (SELECT r.id, r.deg, r.s, (r.s * 150000 + (85 * coalesce(m, 0)) // 100)::BIGINT AS rank_u FROM r0 r LEFT JOIN c1 ON r.id = c1.dst),
+c2 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS m FROM edges e JOIN r1 r ON e.src = r.id GROUP BY e.dst),
+r2 AS (SELECT r.id, r.deg, r.s, (r.s * 150000 + (85 * coalesce(m, 0)) // 100)::BIGINT AS rank_u FROM r1 r LEFT JOIN c2 ON r.id = c2.dst),
+c3 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS m FROM edges e JOIN r2 r ON e.src = r.id GROUP BY e.dst),
+r3 AS (SELECT r.id, r.deg, r.s, (r.s * 150000 + (85 * coalesce(m, 0)) // 100)::BIGINT AS rank_u FROM r2 r LEFT JOIN c3 ON r.id = c3.dst)
+SELECT id AS doc_id, deg, rank_u FROM r3 WHERE rank_u > 0 ORDER BY rank_u DESC, doc_id LIMIT 20""",
+    // q202: native CUBE + packed GROUPING bitmask, same 'ALL' coalesce
+    "q202_cube_revenue" ->
+      """SELECT grouping(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+  coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+  count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS rev
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority""",
   )
 }

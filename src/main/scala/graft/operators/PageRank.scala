@@ -118,4 +118,47 @@ object PageRank {
     (nodes.join(nodeSized(rank), "id").select(col("id"), col("deg"), col("rank_u")),
       it)
   }
+
+  /** Personalized PageRank (random walk with restart to `seeds`): the
+    * teleport mass lands ONLY on seed nodes, so rank_u measures graph
+    * proximity to the seed set — "more documents like these" through the
+    * near-dup/link structure, the graph-walk complement of embedding ANN.
+    * Same integer ppm arithmetic as [[ranks]] (rank₀ = 10⁶·seed,
+    * update = 150000·seed + (85·mass) div 100), same staging, same
+    * node-broadcast-or-shuffle join strategy, same pair-uniqueness
+    * CONTRACT. Unreachable nodes stay at exactly 0 — callers filter
+    * `rank_u > 0` for the reachable neighborhood.
+    */
+  def personalizedRanks(
+      pairs: DataFrame, aCol: String, bCol: String, seeds: Seq[Long],
+      iters: Int, broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(false)
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(false)
+    val nodes = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      // the seed indicator is a literal IN — seed sets are query-sized
+      .withColumn("s", col("id").isin(seeds.map(_.asInstanceOf[Any]): _*)
+        .cast("long"))
+      .localCheckpoint(false)
+    val small = nodes.count() <= broadcastNodeLimit
+    def nodeSized(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val adj = sym
+      .join(nodeSized(nodes.select(col("id").as("src"), col("deg"))), "src")
+      .localCheckpoint(false)
+    var rank = nodes.select(col("id"), (col("s") * lit(1000000L)).as("rank_u"))
+    (0 until iters).foreach { _ =>
+      val contrib = adj.join(nodeSized(rank), adj("src") === rank("id"))
+        .select(col("dst"), expr("rank_u div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("mass"))
+      rank = nodes
+        .join(nodeSized(contrib), nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          (col("s") * lit(150000L) + expr("(85 * coalesce(mass, 0)) div 100"))
+            .as("rank_u"))
+        .localCheckpoint(false)
+    }
+    nodes.join(nodeSized(rank), "id").select(col("id"), col("deg"), col("rank_u"))
+  }
 }

@@ -129,6 +129,39 @@ class PlannersSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------------------ ppr
+
+  test("personalizedRanks equals a hand-unrolled reference; teleport stays on seeds") {
+    import spark.implicits._
+    // path graph 0-1-2-3-4 plus a far clique {10,11,12} unreachable from 0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    val got = graft.operators.PageRank.personalizedRanks(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b", Seq(0L), iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // reference: same integer arithmetic, adjacency unrolled by hand
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(v => v -> (if (v == 0L) 1000000L else 0L)).toMap
+    (0 until 3).foreach { _ =>
+      val mass = sym.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => rank(src) / deg(src) }.sum).toMap
+      rank = deg.keys.map { v =>
+        v -> ((if (v == 0L) 150000L else 0L) + 85L * mass.getOrElse(v, 0L) / 100L)
+      }.toMap
+    }
+    assert(got.keySet == deg.keySet)
+    got.foreach { case (v, (d, r)) =>
+      assert(d == deg(v) && r == rank(v), s"node $v: got ($d,$r) want (${deg(v)},${rank(v)})")
+    }
+    // the disconnected clique must carry exactly zero walk probability
+    Seq(10L, 11L, 12L).foreach(v => assert(got(v)._2 == 0L, s"clique node $v"))
+    // walk-distance property: 3 iterations reach exactly 3 hops — node 3
+    // carries mass, node 4 (four hops out) exactly none yet
+    assert(got(3L)._2 > 0L && got(4L)._2 == 0L)
+  }
+
   // --------------------------------------------------------- assortativity
 
   test("degreeAssortativity: brute-force parity, star negative, regular graph null") {
