@@ -664,6 +664,66 @@ object StatefulOps {
       }
   }
 
+  final case class ConcurrencySnapshot(
+      bucket: Long, n_starts: Long, n_ends: Long,
+      local_peak: Long, bucket_delta: Long)
+
+  /** Streaming twin of [[graft.operators.SweepLine.peakPerBucket]]'s
+    * LEVEL 1: per-bucket endpoint state (the ±1 multiset, deduped by
+    * (interval id, side) so at-least-once replay is absorbed) maintained
+    * under `mapGroupsWithState`, snapshotting the same peer-inclusive
+    * local prefix peak and bucket delta the batch window computes. The
+    * CALENDAR-sized level 2 (carry-in accumulation across buckets) stays
+    * a batch-side read over the snapshot table — exactly how the batch
+    * operator splits the work, and how a capacity dashboard reads the
+    * store: `peak(bucket) = Σ earlier bucket_delta + local_peak`.
+    * Input rows are endpoints: (bucket, ts, delta ±1, interval id).
+    */
+  def runningConcurrency(
+      endpoints: Dataset[(Long, Long, Long, Long)]): Dataset[ConcurrencySnapshot] = {
+    import endpoints.sparkSession.implicits._
+    endpoints.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty).toVector
+          val seen = prev.iterator.map(e => (e._3, e._2)).toSet // (id, delta)
+          val incoming = it.map(r => (r._2, r._3, r._4)).toVector
+            .filter(e => !seen.contains((e._3, e._2)))
+            .distinctBy(e => (e._3, e._2)) // replay inside one batch
+            .sortBy(e => (e._1, e._2))
+          val buf = {
+            val out = Vector.newBuilder[(Long, Long, Long)]
+            var (i, j) = (0, 0)
+            while (i < prev.length || j < incoming.length) {
+              val takeA = j >= incoming.length ||
+                (i < prev.length && (prev(i)._1 < incoming(j)._1 ||
+                  (prev(i)._1 == incoming(j)._1 && prev(i)._2 <= incoming(j)._2)))
+              if (takeA) { out += prev(i); i += 1 } else { out += incoming(j); j += 1 }
+            }
+            out.result()
+          }
+          state.update(buf)
+          // peer-inclusive prefix peak over (ts, delta) groups — the exact
+          // semantics of the batch RANGE-framed window
+          var run = 0L
+          var peak = Long.MinValue
+          var idx = 0
+          while (idx < buf.length) {
+            val (ts, d) = (buf(idx)._1, buf(idx)._2)
+            var groupSum = 0L
+            while (idx < buf.length && buf(idx)._1 == ts && buf(idx)._2 == d) {
+              groupSum += d; idx += 1
+            }
+            run += groupSum
+            if (run > peak) peak = run
+          }
+          ConcurrencySnapshot(bucket,
+            buf.count(_._2 == 1L).toLong, buf.count(_._2 == -1L).toLong,
+            peak, run)
+      }
+  }
+
   def runningTransitions(
       events: Dataset[(Long, Long, Long, String)]): Dataset[TransitionSnapshot] = {
     import events.sparkSession.implicits._

@@ -129,6 +129,64 @@ class PlannersSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- streaming sweep
+
+  test("streaming sweep-line snapshots + batch carry equal the batch peaks over 100 random streams with replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(192L)
+    val width = 100L
+    val all = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, Long)]
+    val q = graft.streaming.StatefulOps.runningConcurrency(input.toDS())
+      .writeStream.format("memory").queryName("conc_prop")
+      .outputMode("update").start()
+    try {
+      var id = 0L
+      for (_ <- 0 until 100) {
+        val ivs = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          id += 1
+          val st = rnd.nextInt(3000).toLong
+          (id, st, st + rnd.nextInt(400).toLong)
+        }
+        val replay = if (all.nonEmpty)
+          Seq.fill(rnd.nextInt(3))(all(rnd.nextInt(all.size)))
+        else Seq.empty
+        all ++= ivs
+        val eps = rnd.shuffle((ivs ++ replay).flatMap { case (i, st, en) =>
+          Seq((st / width, st, 1L, i), (en / width, en, -1L, i)) })
+        if (eps.nonEmpty) { input.addData(eps: _*); q.processAllAvailable() }
+      }
+      // latest snapshot per bucket (endpoint count only grows)
+      val snaps = spark.table("conc_prop")
+        .groupBy($"bucket")
+        .agg(max_by(struct($"n_starts", $"n_ends", $"local_peak", $"bucket_delta"),
+          $"n_starts" + $"n_ends").as("s"))
+        .select($"bucket", $"s.*")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // level 2 exactly as the batch operator: carry-in over the tiny
+      // bucket table, read batch-side off the snapshot store
+      var carry = 0L
+      val gotPeaks = snaps.keys.toSeq.sorted.map { b =>
+        val (ns, ne, lp, bd) = snaps(b)
+        val out = b -> (ns, ne, carry + lp)
+        carry += bd
+        out
+      }.toMap
+      val want = graft.operators.SweepLine
+        .peakPerBucket(all.toSeq.toDF("id", "st", "en"), "st", "en", width)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(gotPeaks == want,
+        s"stream-only=${(gotPeaks.toSet -- want.toSet).take(3)} " +
+          s"batch-only=${(want.toSet -- gotPeaks.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------ ppr
 
   test("personalizedRanks equals a hand-unrolled reference; teleport stays on seeds") {
