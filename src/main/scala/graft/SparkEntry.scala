@@ -5142,6 +5142,90 @@ object SparkEntry {
         .orderBy($"gid", $"status", $"priority")
     }),
 
+    // Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
+    // telemetry-fraud screen: organically-generated magnitudes follow
+    // log10(1+1/d); fabricated or clipped feeds don't). The first digit
+    // comes from EXACT integer math — cent-units, then leading digit via
+    // the decimal string length (both engines render integers
+    // identically) — and the Benford expectations are nine LITERAL
+    // 1e-6-quantized constants, so no transcendental runs anywhere.
+    // Per-digit χ² contributions floor-quantize to BIGINT micro-units
+    // before any sum (the bm25Micro policy), keeping every downstream
+    // aggregate order-free. One scan, a 9-row aggregate.
+    "q203_benford" -> ((s, dir) => {
+      import s.implicits._
+      // floor(log10(1+1/d) * 1e6) for d = 1..9 — precomputed literals
+      val benfordU = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+        66946L, 57991L, 51152L, 45757L)
+      val expCol = benfordU.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, (p, i)) => when($"digit" === (i + 1), lit(p)).otherwise(acc)
+      }
+      val digits = t(s, dir, "events")
+        .select(expr("cast(floor(value * 100) as bigint)").as("vc"))
+        .filter($"vc" > 0)
+        .select(expr("vc div cast(pow(10, length(cast(vc as string)) - 1) as bigint)")
+          .as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      val tot = broadcast(digits.agg(sum($"n_obs").as("n")))
+      digits.crossJoin(tot)
+        .withColumn("p_u", expCol)
+        .select($"digit", $"n_obs",
+          // expected count in micro-units: n · p (exact integer product)
+          ($"n" * $"p_u").as("exp_u"),
+          // χ² contribution (obs − n·p)²/(n·p), micro-quantized: all
+          // inputs exact, one pinned double expression per digit
+          floor(
+            (($"n_obs".cast("double") - $"n".cast("double") * ($"p_u".cast("double") / 1000000.0))
+              * ($"n_obs".cast("double") - $"n".cast("double") * ($"p_u".cast("double") / 1000000.0)))
+              / ($"n".cast("double") * ($"p_u".cast("double") / 1000000.0))
+              * 1000000.0).cast("long").as("chi2_u"))
+        .orderBy($"digit")
+    }),
+
+    // Pairwise Pearson correlation matrix of the q70 quality signals —
+    // the corpus-science companion to q156's (lang × source) MI: which
+    // quality dimensions are redundant (|r| high → one filter threshold
+    // implies the other) and which are independent evidence. Signals
+    // quantize to exact integer micro-units at the scan; every moment is
+    // an exact decimal(38,0) sum (q189's policy, HUGEINT oracle twin);
+    // one pinned double ratio per pair, floor-quantized at 1e-6. The
+    // matrix is signals² rows from ONE single-row moment aggregate — no
+    // per-pair scans.
+    "q204_signal_corr" -> ((s, dir) => {
+      import s.implicits._
+      val sigs = t(s, dir, "documents")
+        .select(graft.operators.TextAnalysis.tokensCol($"text").as("tk"))
+        .filter(size($"tk") > 0)
+        .select(
+          size($"tk").cast("long").as("s1"),
+          // mean token length, micro-units: (Σlen · 1e6) div n_tok
+          expr("(aggregate(tk, 0L, (a, x) -> a + length(x)) * 1000000) div size(tk)").as("s2"),
+          // distinct-token ratio, micro-units
+          expr("(size(array_distinct(tk)) * 1000000) div size(tk)").as("s3"))
+      def d(c: Column) = c.cast("decimal(19,0)")
+      val mom = sigs.agg(
+        count(lit(1)).as("n"),
+        sum($"s1").as("m1"), sum($"s2").as("m2"), sum($"s3").as("m3"),
+        sum(d($"s1") * d($"s1")).as("m11"), sum(d($"s2") * d($"s2")).as("m22"),
+        sum(d($"s3") * d($"s3")).as("m33"), sum(d($"s1") * d($"s2")).as("m12"),
+        sum(d($"s1") * d($"s3")).as("m13"), sum(d($"s2") * d($"s3")).as("m23"))
+      val pairs = Seq(
+        ("n_tok", "mean_len", "m1", "m2", "m11", "m22", "m12"),
+        ("n_tok", "ttr", "m1", "m3", "m11", "m33", "m13"),
+        ("mean_len", "ttr", "m2", "m3", "m22", "m33", "m23"))
+      pairs.map { case (na, nb, a, b, aa, bb, ab) =>
+        mom.select(lit(na).as("sig_a"), lit(nb).as("sig_b"),
+          floor(
+            ($"n".cast("double") * col(ab).cast("double")
+              - col(a).cast("double") * col(b).cast("double"))
+              / sqrt(($"n".cast("double") * col(aa).cast("double")
+                - col(a).cast("double") * col(a).cast("double"))
+                * ($"n".cast("double") * col(bb).cast("double")
+                  - col(b).cast("double") * col(b).cast("double")))
+              * 1000000.0).cast("long").as("r6"))
+      }.reduce(_ unionByName _).orderBy($"sig_a", $"sig_b")
+    }),
+
     // Degree assortativity (Newman 2002) of the strong near-dup graph —
     // the last graph-science audit next to q147's triangles, q164's
     // component sizes and q170's k-core: TEMPLATE corpora (hub docs
@@ -7685,5 +7769,32 @@ SELECT id AS doc_id, deg, rank_u FROM r3 WHERE rank_u > 0 ORDER BY rank_u DESC, 
   count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS rev
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, status, priority""",
+    // q203: leading digit from exact cent-integers via decimal string
+    // length; the nine Benford expectations are the same literal
+    // micro-constants; per-digit χ² in one pinned double expression
+    "q203_benford" ->
+      """WITH vc AS (SELECT cast(floor(value * 100) AS BIGINT) AS vc FROM events WHERE floor(value * 100) > 0),
+dg AS (SELECT vc // cast(pow(10, length(vc::VARCHAR) - 1) AS BIGINT) AS digit FROM vc),
+cnt AS (SELECT digit, count(*)::BIGINT AS n_obs FROM dg GROUP BY 1),
+tot AS (SELECT sum(n_obs)::BIGINT AS n FROM cnt),
+p AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757)) t(digit, p_u))
+SELECT c.digit, c.n_obs, (tot.n * p.p_u)::BIGINT AS exp_u,
+  floor(((c.n_obs::DOUBLE - tot.n::DOUBLE * (p.p_u::DOUBLE / 1000000.0)) * (c.n_obs::DOUBLE - tot.n::DOUBLE * (p.p_u::DOUBLE / 1000000.0))) / (tot.n::DOUBLE * (p.p_u::DOUBLE / 1000000.0)) * 1000000.0)::BIGINT AS chi2_u
+FROM cnt c JOIN p ON c.digit = p.digit, tot ORDER BY c.digit""",
+    // q204: HUGEINT moment sums (the decimal(38,0) twin), one pinned
+    // double ratio per signal pair
+    "q204_signal_corr" ->
+      raw"""WITH s AS (SELECT len(tk)::BIGINT AS s1,
+  (list_sum(list_transform(tk, x -> length(x))) * 1000000) // len(tk) AS s2,
+  (len(list_distinct(tk)) * 1000000) // len(tk) AS s3
+  FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS tk FROM documents) WHERE len(tk) > 0),
+m AS (SELECT count(*)::BIGINT AS n, sum(s1)::BIGINT AS m1, sum(s2)::BIGINT AS m2, sum(s3)::BIGINT AS m3,
+  sum(s1::HUGEINT * s1::HUGEINT) AS m11, sum(s2::HUGEINT * s2::HUGEINT) AS m22, sum(s3::HUGEINT * s3::HUGEINT) AS m33,
+  sum(s1::HUGEINT * s2::HUGEINT) AS m12, sum(s1::HUGEINT * s3::HUGEINT) AS m13, sum(s2::HUGEINT * s3::HUGEINT) AS m23 FROM s)
+SELECT * FROM (
+  SELECT 'n_tok' AS sig_a, 'mean_len' AS sig_b, floor((n::DOUBLE * m12::DOUBLE - m1::DOUBLE * m2::DOUBLE) / sqrt((n::DOUBLE * m11::DOUBLE - m1::DOUBLE * m1::DOUBLE) * (n::DOUBLE * m22::DOUBLE - m2::DOUBLE * m2::DOUBLE)) * 1000000.0)::BIGINT AS r6 FROM m
+  UNION ALL SELECT 'n_tok', 'ttr', floor((n::DOUBLE * m13::DOUBLE - m1::DOUBLE * m3::DOUBLE) / sqrt((n::DOUBLE * m11::DOUBLE - m1::DOUBLE * m1::DOUBLE) * (n::DOUBLE * m33::DOUBLE - m3::DOUBLE * m3::DOUBLE)) * 1000000.0)::BIGINT FROM m
+  UNION ALL SELECT 'mean_len', 'ttr', floor((n::DOUBLE * m23::DOUBLE - m2::DOUBLE * m3::DOUBLE) / sqrt((n::DOUBLE * m22::DOUBLE - m2::DOUBLE * m2::DOUBLE) * (n::DOUBLE * m33::DOUBLE - m3::DOUBLE * m3::DOUBLE)) * 1000000.0)::BIGINT FROM m)
+ORDER BY sig_a, sig_b""",
   )
 }
