@@ -5142,6 +5142,66 @@ object SparkEntry {
         .orderBy($"gid", $"status", $"priority")
     }),
 
+    // Association lift between event types co-occurring in a session
+    // (the market-basket read over q65's sessions): support counts are
+    // exact integers from one session-keyed self-join of the DISTINCT
+    // (session, type) stream — baskets are bounded by the type enumeration,
+    // so the join fan-out per session is ≤ |types|², never corpus² — and
+    // lift = (N·n_ab)/(n_a·n_b) quantizes as one integer division. The
+    // pair matrix a recommender or anomaly rule-miner starts from.
+    "q205_assoc_lift" -> ((s, dir) => {
+      import s.implicits._
+      val st = graft.operators.Sessionize.assignSessions(
+          t(s, dir, "events").select($"user_id", $"ts", $"event_id", $"event_type"),
+          "user_id", "ts", "event_id", gap = 21600000000000L)
+        .select($"user_id", $"session_seq", $"event_type").distinct()
+        .localCheckpoint(false) // singles, pairs, and N all read it
+      val n = broadcast(st.select($"user_id", $"session_seq").distinct()
+        .agg(count(lit(1)).as("n_sess")))
+      val singles = st.groupBy($"event_type").agg(count(lit(1)).as("n_t"))
+      val pairs = st.as("a")
+        .join(st.as("b"),
+          $"a.user_id" === $"b.user_id" && $"a.session_seq" === $"b.session_seq" &&
+            $"a.event_type" < $"b.event_type")
+        .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.select($"event_type".as("type_a"), $"n_t".as("n_a"))), "type_a")
+        .join(broadcast(singles.select($"event_type".as("type_b"), $"n_t".as("n_b"))), "type_b")
+        .crossJoin(n)
+        .select($"type_a", $"type_b", $"n_ab", $"n_a", $"n_b",
+          expr("(n_sess * n_ab * 1000000) div (n_a * n_b)").as("lift6"))
+        .orderBy($"type_a", $"type_b")
+    }),
+
+    // RFM segmentation (Hughes 1994 — the marketing-analytics primitive):
+    // recency/frequency/monetary per user, banded by FIXED thresholds
+    // (scan-side CASE — no ntile window over the user universe, the shape
+    // that survives a billion users), rolled up to segment counts.
+    // Recency is exact integer hours against the corpus max timestamp
+    // (one broadcast scalar); monetary is exact micro-units.
+    "q206_rfm" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val mx = broadcast(ev.agg(max($"ts").as("mx")))
+      ev.groupBy($"user_id")
+        .agg(max($"ts").as("last_ts"), count(lit(1)).as("freq"),
+          sum(expr("cast(floor(value * 1000000) as bigint)")).as("mon_u"))
+        .crossJoin(mx)
+        .select(
+          when(expr("(mx - last_ts) div 3600000000000") < 6, 3L)
+            .when(expr("(mx - last_ts) div 3600000000000") < 24, 2L)
+            .otherwise(1L).as("r"),
+          when($"freq" >= 70, 3L).when($"freq" >= 55, 2L).otherwise(1L).as("f"),
+          when($"mon_u" >= 4000000000L, 3L)
+            .when($"mon_u" >= 2500000000L, 2L).otherwise(1L).as("m"),
+          $"freq", $"mon_u")
+        .groupBy($"r", $"f", $"m")
+        .agg(count(lit(1)).as("n_users"), sum($"freq").as("n_events"),
+          sum($"mon_u").as("sum_mon_u"))
+        .orderBy($"r", $"f", $"m")
+    }),
+
     // Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
     // telemetry-fraud screen: organically-generated magnitudes follow
     // log10(1+1/d); fabricated or clipped feeds don't). The first digit
@@ -7769,6 +7829,35 @@ SELECT id AS doc_id, deg, rank_u FROM r3 WHERE rank_u > 0 ORDER BY rank_u DESC, 
   count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS rev
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, status, priority""",
+    // q205: q65's sessionization CTEs, then distinct (session, type)
+    // self-joined for pair supports; lift as one integer division
+    "q205_assoc_lift" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+l AS (SELECT user_id, tus, event_id, event_type,
+  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+        OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 21600000000 THEN 1 ELSE 0 END AS brk FROM ev),
+st AS (SELECT DISTINCT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS sid, event_type FROM l),
+n AS (SELECT count(*)::BIGINT AS n_sess FROM (SELECT DISTINCT user_id, sid FROM st)),
+singles AS (SELECT event_type, count(*)::BIGINT AS n_t FROM st GROUP BY 1),
+pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_ab
+  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid AND a.event_type < b.event_type GROUP BY 1, 2)
+SELECT type_a, type_b, n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
+  ((n.n_sess * n_ab * 1000000) // (sa.n_t * sb.n_t))::BIGINT AS lift6
+FROM pairs JOIN singles sa ON pairs.type_a = sa.event_type
+JOIN singles sb ON pairs.type_b = sb.event_type, n
+ORDER BY type_a, type_b""",
+    // q206: exact integer recency hours vs the corpus max, fixed-threshold
+    // bands, micro-unit monetary
+    "q206_rfm" ->
+      """WITH mx AS (SELECT epoch_us(max(ts)) AS mxus FROM events),
+u AS (SELECT user_id, epoch_us(max(ts)) AS lastus, count(*)::BIGINT AS freq,
+  sum(cast(floor(value * 1000000) AS BIGINT))::BIGINT AS mon_u FROM events GROUP BY 1),
+b AS (SELECT CASE WHEN (mxus - lastus) // 3600000000 < 6 THEN 3 WHEN (mxus - lastus) // 3600000000 < 24 THEN 2 ELSE 1 END::BIGINT AS r,
+  CASE WHEN freq >= 70 THEN 3 WHEN freq >= 55 THEN 2 ELSE 1 END::BIGINT AS f,
+  CASE WHEN mon_u >= 4000000000 THEN 3 WHEN mon_u >= 2500000000 THEN 2 ELSE 1 END::BIGINT AS m,
+  freq, mon_u FROM u, mx)
+SELECT r, f, m, count(*)::BIGINT AS n_users, sum(freq)::BIGINT AS n_events, sum(mon_u)::BIGINT AS sum_mon_u
+FROM b GROUP BY 1, 2, 3 ORDER BY r, f, m""",
     // q203: leading digit from exact cent-integers via decimal string
     // length; the nine Benford expectations are the same literal
     // micro-constants; per-digit χ² in one pinned double expression
