@@ -5142,6 +5142,67 @@ object SparkEntry {
         .orderBy($"gid", $"status", $"priority")
     }),
 
+    // Dedup pipeline EVALUATION — the scorecard a deployment reads before
+    // trusting q39's knobs: on a hash-sampled doc subset (1/8 of the
+    // corpus — all-pairs exact Jaccard is affordable there and ONLY
+    // there), the production LSH pipeline's predictions are scored
+    // against exact char-4-gram Jaccard at three thresholds.
+    // Precision/recall/F1 are exact integer ratios; the exact-Jaccard
+    // cut is cross-multiplied (ni·10⁴ ≥ t4·|A∪B| — no float division),
+    // and est_jac thresholds compare exactly (k/8 is binary-exact).
+    // The result is the real finding every 8-hash MinHash deployment
+    // rediscovers: at est ≥ 0.5 the estimator over-predicts near the
+    // cut (precision collapses) while banding bounds recall at loose
+    // cuts — signatures GENERATE candidates, exact verification decides
+    // (q115's division of labor), and this query measures exactly why.
+    "q207_dedup_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sub = docs.filter(pmod(graft.functions.HashFunctions.stableHash64(
+          concat(lit("de:"), $"doc_id".cast("string"))), lit(8L)) === 0)
+        .select($"doc_id", $"text").localCheckpoint(false)
+      val grams = sub.select($"doc_id",
+          explode(graft.operators.Dedup.shinglesCol($"text", 4)).as("g"))
+        .select($"doc_id",
+          pmod(graft.functions.HashFunctions.stableHash64($"g"),
+            lit(2147483647L)).as("gh"))
+        .distinct().localCheckpoint(false)
+      val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = grams.as("a").join(grams.as("b"),
+          $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        .agg(count(lit(1)).as("ni"))
+        .join(sizes.select($"doc_id".as("id_a"), $"sz".as("sza")), "id_a")
+        .join(sizes.select($"doc_id".as("id_b"), $"sz".as("szb")), "id_b")
+        .localCheckpoint(false) // three thresholds read it
+      val th = Seq(2500L, 5000L, 7500L).toDF("t4")
+      val truth = inter.crossJoin(broadcast(th))
+        .filter($"ni" * 10000L >= $"t4" * ($"sza" + $"szb" - $"ni"))
+        .select($"t4", $"id_a", $"id_b")
+      val predAll = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+          numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.0)
+        .join(sub.select($"doc_id".as("id_a")), "id_a")
+        .join(sub.select($"doc_id".as("id_b")), "id_b")
+        .localCheckpoint(false)
+      val pred = predAll.crossJoin(broadcast(th))
+        .filter($"est_jac" * 10000.0 >= $"t4".cast("double"))
+        .select($"t4", $"id_a", $"id_b")
+      val nt = truth.groupBy($"t4").agg(count(lit(1)).as("n_true"))
+      val np = pred.groupBy($"t4").agg(count(lit(1)).as("n_pred"))
+      val ntp = pred.join(truth, Seq("t4", "id_a", "id_b"))
+        .groupBy($"t4").agg(count(lit(1)).as("n_tp"))
+      th.join(nt, Seq("t4"), "left").join(np, Seq("t4"), "left")
+        .join(ntp, Seq("t4"), "left")
+        .na.fill(0L, Seq("n_true", "n_pred", "n_tp"))
+        .crossJoin(broadcast(sub.agg(count(lit(1)).as("n_docs"))))
+        .select($"t4", $"n_docs", $"n_true", $"n_pred", $"n_tp",
+          when($"n_pred" > 0, expr("(n_tp * 10000) div n_pred")).as("precision4"),
+          when($"n_true" > 0, expr("(n_tp * 10000) div n_true")).as("recall4"),
+          when($"n_pred" + $"n_true" > 0,
+            expr("(2 * n_tp * 10000) div (n_pred + n_true)")).as("f1_4"))
+        .orderBy($"t4")
+    }),
+
     // Association lift between event types co-occurring in a session
     // (the market-basket read over q65's sessions): support counts are
     // exact integers from one session-keyed self-join of the DISTINCT
@@ -7829,6 +7890,28 @@ SELECT id AS doc_id, deg, rank_u FROM r3 WHERE rank_u > 0 ORDER BY rank_u DESC, 
   count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS rev
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, status, priority""",
+    // q207: the full LSH pipeline (no threshold) joined to the sampled
+    // subset, scored against exact cross-multiplied gram Jaccard at the
+    // same three cuts
+    "q207_dedup_eval" ->
+      s"""WITH $LshVerifiedCtes,
+sub AS (SELECT doc_id, text FROM documents WHERE ('0x' || substr(md5('de:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 = 0),
+grams AS (SELECT DISTINCT doc_id, gh FROM (SELECT doc_id, unnest(list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gh FROM sub)),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM grams GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS ni FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+th AS (SELECT unnest([2500, 5000, 7500])::BIGINT AS t4),
+truth AS (SELECT t4, id_a, id_b FROM inter JOIN sz za ON inter.id_a = za.doc_id JOIN sz zb ON inter.id_b = zb.doc_id, th WHERE ni * 10000 >= t4 * (za.sz + zb.sz - ni)),
+pred AS (SELECT t4, v.id_a, v.id_b FROM verified v JOIN sub a ON v.id_a = a.doc_id JOIN sub b ON v.id_b = b.doc_id, th WHERE v.est_jac * 10000.0 >= t4),
+nt AS (SELECT t4, count(*)::BIGINT AS n_true FROM truth GROUP BY 1),
+np AS (SELECT t4, count(*)::BIGINT AS n_pred FROM pred GROUP BY 1),
+ntp AS (SELECT t4, count(*)::BIGINT AS n_tp FROM pred JOIN truth USING (t4, id_a, id_b) GROUP BY 1),
+nd AS (SELECT count(*)::BIGINT AS n_docs FROM sub)
+SELECT th.t4, nd.n_docs, coalesce(n_true, 0)::BIGINT AS n_true, coalesce(n_pred, 0)::BIGINT AS n_pred, coalesce(n_tp, 0)::BIGINT AS n_tp,
+  CASE WHEN coalesce(n_pred, 0) > 0 THEN (coalesce(n_tp, 0) * 10000) // n_pred END::BIGINT AS precision4,
+  CASE WHEN coalesce(n_true, 0) > 0 THEN (coalesce(n_tp, 0) * 10000) // n_true END::BIGINT AS recall4,
+  CASE WHEN coalesce(n_pred, 0) + coalesce(n_true, 0) > 0 THEN (2 * coalesce(n_tp, 0) * 10000) // (n_pred + n_true) END::BIGINT AS f1_4
+FROM th LEFT JOIN nt USING (t4) LEFT JOIN np USING (t4) LEFT JOIN ntp USING (t4), nd
+ORDER BY th.t4""",
     // q205: q65's sessionization CTEs, then distinct (session, type)
     // self-joined for pair supports; lift as one integer division
     "q205_assoc_lift" ->
