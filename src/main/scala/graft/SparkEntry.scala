@@ -5142,6 +5142,23 @@ object SparkEntry {
         .orderBy($"gid", $"status", $"priority")
     }),
 
+    // Per-language exact quantile table — q159's no-sort two-histogram
+    // refinement GENERALIZED to groups ([[graft.operators.ExactQuantiles
+    // .groupedQuantiles]]): every cumulative window now PARTITIONS BY the
+    // group, so even the bucket-table pass parallelizes and the global
+    // form's one documented single-partition window disappears — the
+    // strictly better shape for the per-stratum SLA read ("p99 doc length
+    // per language") over 100 TB. Exact nearest-rank integer arithmetic
+    // throughout; two scans + two histogram-sized shuffles regardless of
+    // corpus size.
+    "q208_group_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.ExactQuantiles.groupedQuantiles(
+          t(s, dir, "documents"), "lang", "n_chars",
+          probs4 = Seq(2500L, 5000L, 9000L, 9900L), coarseWidth = 64L)
+        .orderBy($"lang", $"prob4")
+    }),
+
     // Dedup pipeline EVALUATION — the scorecard a deployment reads before
     // trusting q39's knobs: on a hash-sampled doc subset (1/8 of the
     // corpus — all-pairs exact Jaccard is affordable there and ONLY
@@ -7890,6 +7907,14 @@ SELECT id AS doc_id, deg, rank_u FROM r3 WHERE rank_u > 0 ORDER BY rank_u DESC, 
   count(*)::BIGINT AS n, round(sum(o_totalprice), 2) AS rev
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, status, priority""",
+    // q208: per-lang nearest-rank — the oracle sorts per group, the
+    // engine must not
+    "q208_group_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars AS v, row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, count(*) OVER (PARTITION BY lang) AS n FROM documents),
+p AS (SELECT unnest([2500, 5000, 9000, 9900]) AS p4),
+t AS (SELECT lang, p4, (p4 * n + 9999) // 10000 AS rank FROM (SELECT DISTINCT lang, n FROM r), p)
+SELECT t.lang, p4::DOUBLE / 10000.0 AS prob4, t.rank::BIGINT AS rank, r.v::BIGINT AS value
+FROM t JOIN r ON r.lang = t.lang AND r.rn = t.rank ORDER BY t.lang, prob4""",
     // q207: the full LSH pipeline (no threshold) joined to the sampled
     // subset, scored against exact cross-multiplied gram Jaccard at the
     // same three cuts

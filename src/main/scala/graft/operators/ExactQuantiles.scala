@@ -73,4 +73,52 @@ object ExactQuantiles {
         col("rank"), col("v").as("value"))
       .orderBy(col("prob4"))
   }
+
+  /** Per-GROUP exact nearest-rank quantiles — the same two-histogram
+    * refinement keyed by (`groupCol`, bucket). Strictly better-shaped than
+    * the global form at scale: every cumulative window PARTITIONS BY the
+    * group, so even the bucket-table pass parallelizes across groups and
+    * the global form's one documented single-partition window disappears.
+    * Output: (`groupCol`, prob4, rank, value), one row per (group, prob).
+    */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      probs4: Seq[Long], coarseWidth: Long = 64L): DataFrame = {
+    require(coarseWidth > 0, "coarseWidth must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = col(groupCol)
+    val v = col(valueCol).cast("long")
+    val vals = df.select(g.as("g"), v.as("v"),
+        (v - pmod(v, lit(coarseWidth))).as("b"))
+      .localCheckpoint(false) // both passes read this projection
+    val wb = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val h1 = vals.groupBy(col("g"), col("b")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(wb), lit(0L)))
+      .localCheckpoint(false) // totals + the rank join both read it
+    val totals = h1.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+    val targets = probs4.toDF("p4").crossJoin(totals)
+      .withColumn("rank", expr("(p4 * n + 9999) div 10000"))
+      .join(h1, Seq("g"))
+      .filter(col("cum_before") < col("rank") &&
+        col("rank") <= col("cum_before") + col("cnt"))
+      .select(col("g"), col("p4"), col("n"), col("rank"), col("b"),
+        (col("rank") - col("cum_before")).as("res_rank"))
+      .localCheckpoint(false) // (groups × probs)-sized; drives pass 2
+    val wv = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val h2 = vals
+      .join(broadcast(targets.select(col("g"), col("b")).distinct()),
+        Seq("g", "b"), "left_semi")
+      .groupBy(col("g"), col("b"), col("v")).agg(count(lit(1)).as("vcnt"))
+      .withColumn("vcum_before", coalesce(sum(col("vcnt")).over(wv), lit(0L)))
+    targets
+      .join(h2, Seq("g", "b"))
+      .filter(col("vcum_before") < col("res_rank") &&
+        col("res_rank") <= col("vcum_before") + col("vcnt"))
+      .select(col("g").as(groupCol),
+        (col("p4").cast("double") / lit(10000.0)).as("prob4"),
+        col("rank"), col("v").as("value"))
+      .orderBy(col(groupCol), col("prob4"))
+  }
 }

@@ -266,6 +266,33 @@ class PlannersSpec extends AnyFunSuite {
     assert(runOn(clique).isNullAt(2))
   }
 
+  // ------------------------------------------------------ group quantiles
+
+  test("groupedQuantiles equals per-group sorted nearest-rank for any coarseWidth and partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(159)
+    val rows = (0 until 3000).map { i =>
+      val g = s"g${i % 4}"
+      (g, (rnd.nextInt(1000) + (i % 4) * 500).toLong)
+    }
+    val probs = Seq(2500L, 5000L, 9000L, 9900L)
+    val want = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      probs.map { p4 =>
+        val rank = (p4 * sorted.size + 9999) / 10000
+        (g, p4, rank, sorted((rank - 1).toInt))
+      }
+    }.toSet
+    for (width <- Seq(1L, 64L, 10000L); parts <- Seq(1, 7)) {
+      val got = graft.operators.ExactQuantiles.groupedQuantiles(
+          rows.toDF("lang", "v").repartition(parts), "lang", "v", probs, width)
+        .collect()
+        .map(r => (r.getString(0), math.round(r.getDouble(1) * 10000),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"width=$width parts=$parts")
+    }
+  }
+
   // ------------------------------------------------------------------ ks
 
   test("ksDrift grid decomposition equals a brute-force KS reference") {
