@@ -3926,8 +3926,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter($"vec_id" < 16)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-      val cents0 = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 0)
-      val cents2 = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 2)
+      // resolve the data-driven k ONCE: each centroids(k = 0) call would
+      // otherwise run its own corpus count action
+      val autoK = graft.operators.IvfIndex.autoK(emb)
+      val cents0 = graft.operators.IvfIndex.centroids(emb, k = autoK, iters = 0)
+      val cents2 = graft.operators.IvfIndex.centroids(emb, k = autoK, iters = 2)
       val wb = Window.partitionBy($"query_id").orderBy($"sc".desc, $"vec_id")
       val brute = emb.crossJoin(broadcast(queries))
         .filter($"vec_id" =!= $"query_id")
@@ -4113,12 +4116,14 @@ object SparkEntry {
         li.join(t(s, dir, "orders"), li("l_orderkey") === $"o_orderkey", "left_anti")
           .agg(count(lit(1)).as("n_orphan"))
           .crossJoin(broadcast(li.agg(count(lit(1)).as("n")))))
+      // zero-tolerance rule: the metric is the RAW orphan COUNT, never a
+      // quantized share — (5 orphans · 10⁴) div 10⁶ rows floors to 0.0 and
+      // would report a violated FK as satisfied
       val fkRow = orphans.select(
         lit("fk_lineitem_orders").as("check_name"),
-        (expr("(n_orphan * 10000) div n") / lit(10000.0)).as("metric4"),
+        $"n_orphan".cast("double").as("metric4"),
         lit("<=").as("op"), lit(0.0).as("threshold4"),
-        (expr("(n_orphan * 10000) div n") / lit(10000.0) <= lit(0.0))
-          .cast("int").as("satisfied"))
+        ($"n_orphan".cast("double") <= lit(0.0)).cast("int").as("satisfied"))
       evRows.unionByName(fkRow).orderBy($"check_name")
     }),
 
@@ -5413,14 +5418,6 @@ object SparkEntry {
     s.sql("DROP TABLE IF EXISTS sql_bands_stage")
   }
 
-  /** q143's body against any embeddings relation — factored out so
-    * [[ScaleProbe]] measures exactly the shipped shape on a 10× corpus.
-    * Cell-restricted mutual-kNN + label purity: the cell count is
-    * data-driven (k = 0 → [[graft.operators.IvfIndex.autoK]], one count
-    * action), so cell interiors stay ~[[graft.operators.IvfIndex.DefaultTargetCellSize]]
-    * vectors and the within-cell pair space is O(n · cellSize) — linear in
-    * the corpus — at any scale.
-    */
   /** q176's body against any events relation — factored so [[ScaleProbe]]
     * measures exactly the shipped IVM refresh on a 10× event stream
     * (closed forms: counts and micro-sums scale by the copy factor while
@@ -5538,6 +5535,14 @@ object SparkEntry {
       .orderBy($"source")
   }
 
+  /** q143's body against any embeddings relation — factored out so
+    * [[ScaleProbe]] measures exactly the shipped shape on a 10× corpus.
+    * Cell-restricted mutual-kNN + label purity: the cell count is
+    * data-driven (k = 0 → [[graft.operators.IvfIndex.autoK]], one count
+    * action), so cell interiors stay ~[[graft.operators.IvfIndex.DefaultTargetCellSize]]
+    * vectors and the within-cell pair space is O(n · cellSize) — linear in
+    * the corpus — at any scale.
+    */
   def knnClusterPurity(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
@@ -7452,7 +7457,7 @@ r AS (
   UNION ALL SELECT 'nonneg_value', ((n_nonneg * 10000) // n)::DOUBLE / 10000.0, '>=', 0.999::DOUBLE FROM m
   UNION ALL SELECT 'ts_in_window', ((n_window * 10000) // n)::DOUBLE / 10000.0, '>=', 0.999::DOUBLE FROM m
   UNION ALL SELECT 'unique_event_id', ((n_eid * 10000) // n)::DOUBLE / 10000.0, '>=', 0.9999::DOUBLE FROM m
-  UNION ALL SELECT 'fk_lineitem_orders', ((n_orphan * 10000) // n)::DOUBLE / 10000.0, '<=', 0.0::DOUBLE FROM fk)
+  UNION ALL SELECT 'fk_lineitem_orders', n_orphan::DOUBLE, '<=', 0.0::DOUBLE FROM fk)
 SELECT check_name, metric4, op, threshold4,
   (CASE WHEN op = '>=' THEN metric4 >= threshold4 ELSE metric4 <= threshold4 END)::INT AS satisfied
 FROM r ORDER BY check_name""",

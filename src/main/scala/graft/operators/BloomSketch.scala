@@ -111,8 +111,9 @@ object BloomSketch {
     * be in the set of `buildHash` values — the runtime-filter half of a
     * pruned join. `numWords` ≤ 0 auto-sizes from one count of the build
     * side (the data-driven-parameter contract: IntervalJoin bucket size,
-    * IvfIndex autoK). Returns (prunedProbe, numWords) so callers can
-    * assert sizing.
+    * IvfIndex autoK); pass an explicit `numWords` (e.g. from
+    * [[wordsFor]] over a count the caller already has) to skip that
+    * count action and make the sizing observable/assertable.
     */
   def prune(
       probe: DataFrame, probeHash: Column,

@@ -44,9 +44,11 @@ object CompactionPlanner {
       .withColumn("is_small", small.cast("int"))
       .withColumn("_csum",
         sum(when(small, col(bytesCol)).otherwise(lit(0L))).over(w))
+      // integral div, not floor(double /): a partition group whose small-
+      // file bytes exceed 2^53 would misbucket through a double (the
+      // SweepLine policy; the oracle's `//` is integer too)
       .withColumn("bin",
-        when(small, floor((col("_csum") - lit(1L)) / lit(targetBytes.toDouble)))
-          .cast("long"))
+        when(small, expr(s"(_csum - 1) div ${targetBytes}L")))
       .drop("_csum")
   }
 

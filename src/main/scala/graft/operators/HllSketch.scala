@@ -113,13 +113,13 @@ object HllSketch {
 
   /** Re-aggregate FINISHED register arrays to a coarser grouping without
     * touching the raw key stream — the sketch-rollup-table pattern: a
-    // nightly job stores per-(source, day) registers; "distinct last 30
-    // days per source" or "global distinct" is then element-wise max over
-    // 2^p-int arrays, never a rescan of 100 TB of keys. HLL registers are
-    // a max-monoid, so rollup(est) is EXACTLY the estimate the fine scan
-    // would have produced at the coarse grain (not an approximation of
-    // it). `keys` may be empty (global rollup). Shuffle cost: groups × m
-    // rows of ints, twice.
+    * nightly job stores per-(source, day) registers; "distinct last 30
+    * days per source" or "global distinct" is then element-wise max over
+    * 2^p-int arrays, never a rescan of 100 TB of keys. HLL registers are
+    * a max-monoid, so rollup(est) is EXACTLY the estimate the fine scan
+    * would have produced at the coarse grain (not an approximation of
+    * it). `keys` may be empty (global rollup). Shuffle cost: groups × m
+    * rows of ints, twice.
     */
   def rollupRegisters(
       df: org.apache.spark.sql.DataFrame, keys: Seq[String],

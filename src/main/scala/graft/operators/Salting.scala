@@ -148,7 +148,17 @@ object Salting {
       saltSource: Column, saltFactor: Int,
       hotKeyThreshold: Long, topK: Int = 32,
       broadcastRows: Long = 0L): DataFrame = {
-    val advice = adviseJoin(big, small, key, broadcastRows, hotKeyThreshold, topK)
+    // with broadcast disabled (the default), the broadcast branch is
+    // unreachable and the small side's stats would buy nothing but a
+    // second distinct-key shuffle + driver collect — probe ONLY the big
+    // side, the original shipped shape of this path (q137)
+    val advice =
+      if (broadcastRows <= 0L) {
+        val ls = sideStats(big, key, hotKeyThreshold, topK)
+        val unprobed = SideStats(-1L, -1L, Nil)
+        if (ls.hot.nonEmpty) JoinAdvice("salted", "", ls.hot, ls, unprobed)
+        else JoinAdvice("shuffle", "", Nil, ls, unprobed)
+      } else adviseJoin(big, small, key, broadcastRows, hotKeyThreshold, topK)
     advice.strategy match {
       case "broadcast" =>
         if (advice.broadcastSide == "right") big.join(broadcast(small), Seq(key))

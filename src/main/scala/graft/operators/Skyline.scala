@@ -37,14 +37,21 @@ object Skyline {
     require(!df.columns.exists(_.startsWith("__sky")),
       "input already carries internal __sky columns")
     val pts = df.localCheckpoint(false) // scan feeds widths, cells, candidates
+    // cell widths from the (min, max) RANGE, cells from min-shifted values:
+    // width = (mx − mn) div cells + 1 is ≥ 1 for ANY sign of the data, so
+    // the documented negate-a-column-to-minimize usage cannot produce a
+    // zero/negative width (x div 0 is NULL in Spark — an empty frontier —
+    // and a negative width reverses cell order, breaking the wholesale
+    // dominance prune)
     val widths = broadcast(pts.agg(
-      max(col(xCol)).as("__sky_mx"), max(col(yCol)).as("__sky_my")))
+      max(col(xCol)).as("__sky_mx"), max(col(yCol)).as("__sky_my"),
+      min(col(xCol)).as("__sky_nx"), min(col(yCol)).as("__sky_ny")))
     val cells = pts.crossJoin(widths)
       .withColumn("__sky_cx",
-        expr(s"$xCol div (__sky_mx div $gridCells + 1)"))
+        expr(s"($xCol - __sky_nx) div ((__sky_mx - __sky_nx) div $gridCells + 1)"))
       .withColumn("__sky_cy",
-        expr(s"$yCol div (__sky_my div $gridCells + 1)"))
-      .drop("__sky_mx", "__sky_my")
+        expr(s"($yCol - __sky_ny) div ((__sky_my - __sky_ny) div $gridCells + 1)"))
+      .drop("__sky_mx", "__sky_my", "__sky_nx", "__sky_ny")
     val cellSet = cells.groupBy(col("__sky_cx"), col("__sky_cy"))
       .agg(count(lit(1)).as("__sky_n"))
       .select(col("__sky_cx"), col("__sky_cy"))

@@ -60,23 +60,30 @@ object LexicalRetriever {
     */
   def bm25MicroScores(
       docs: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
+    // POSITIONAL tf/df column names, never the term text: data-derived
+    // terms can contain '.', backticks, or duplicates, any of which would
+    // make `col("tf_$term")` unresolvable or ambiguous (a '.' parses as a
+    // struct-field access). Duplicate terms are dropped — scoring a term
+    // twice would double-count its contribution.
+    val ts = terms.distinct
+    val idx = ts.indices
     val base = docs
       .select(col(idCol), graft.operators.TextAnalysis.tokensCol(col(textCol)).as("tk"))
       .select(col(idCol) +: size(col("tk")).cast("double").as("dl") +:
-        terms.map(tm => size(filter(col("tk"), x => x === tm)).cast("double").as(s"tf_$tm")): _*)
+        idx.map(i => size(filter(col("tk"), x => x === ts(i))).cast("double").as(s"tf_$i")): _*)
     val stats = base.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl") +:
-        terms.map(tm => sum((col(s"tf_$tm") > 0).cast("long")).cast("double").as(s"df_$tm")): _*)
+        idx.map(i => sum((col(s"tf_$i") > 0).cast("long")).cast("double").as(s"df_$i")): _*)
     base.crossJoin(broadcast(stats))
-      .withColumn("score_u", terms.map { tm =>
-        val tf = col(s"tf_$tm")
-        val df = col(s"df_$tm")
+      .withColumn("score_u", idx.map { i =>
+        val tf = col(s"tf_$i")
+        val df = col(s"df_$i")
         val idf = floor(log(((col("n_docs") - df + 0.5) / (df + 0.5)) + 1.0) * 10000.0) / 10000.0
         floor(idf * (tf * 2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
           * 1000000.0).cast("long")
       }.reduce(_ + _))
-      .filter(terms.map(tm => col(s"tf_$tm")).reduce(_ + _) > 0)
+      .filter(idx.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
       .select(col(idCol), col("score_u"))
   }
 

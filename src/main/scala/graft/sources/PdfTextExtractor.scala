@@ -78,6 +78,7 @@ object PdfTextExtractor {
   private def rawStreams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val found = Seq.newBuilder[(String, Array[Byte])]
     var pos = 0
+    var lastObj = 0 // carried forward: the obj scan never re-reads the file
     var streamAt = indexOf(bytes, "stream", pos)
     while (streamAt >= 0) {
       // "endstream" also contains "stream" — require a non-letter before it
@@ -93,8 +94,8 @@ object PdfTextExtractor {
           // strip the EOL that precedes `endstream`
           if (payloadEnd > payloadStart && bytes(payloadEnd - 1) == '\n') payloadEnd -= 1
           if (payloadEnd > payloadStart && bytes(payloadEnd - 1) == '\r') payloadEnd -= 1
-          val objAt = lastIndexOfObj(bytes, streamAt)
-          val dict = new String(bytes, objAt, streamAt - objAt, "ISO-8859-1")
+          lastObj = lastIndexOfObj(bytes, lastObj, streamAt)
+          val dict = new String(bytes, lastObj, streamAt - lastObj, "ISO-8859-1")
           found += ((dict, java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)))
           pos = end + "endstream".length
         } else pos = payloadStart
@@ -104,9 +105,14 @@ object PdfTextExtractor {
     found.result()
   }
 
-  private def lastIndexOfObj(bytes: Array[Byte], before: Int): Int = {
-    var best = 0
-    var i = indexOf(bytes, "obj", 0)
+  /** Last "obj" before `before`, scanning forward from `from` (the
+    * previous stream's answer): across a whole file the calls sum to ONE
+    * forward pass — re-scanning from byte 0 per stream made rawStreams
+    * O(fileSize × numStreams) on object-dense PDFs.
+    */
+  private def lastIndexOfObj(bytes: Array[Byte], from: Int, before: Int): Int = {
+    var best = from
+    var i = indexOf(bytes, "obj", from)
     while (i >= 0 && i < before) {
       best = i
       i = indexOf(bytes, "obj", i + 3)

@@ -266,6 +266,27 @@ class PlannersSpec extends AnyFunSuite {
     assert(runOn(clique).isNullAt(2))
   }
 
+  // ---------------------------------------------------------- skyline neg
+
+  test("Skyline.frontier handles negated (minimize) objectives — widths from the range, not the max") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(182)
+    // all-negative x (the scaladoc's negate-to-minimize usage): the old
+    // max-based width was <= 0 here — NULL cells (empty frontier) or a
+    // reversed cell order whose wholesale prune dropped true points
+    val rows = (0 until 200).map(i =>
+      (i.toLong, -(32L + rnd.nextInt(500)), rnd.nextInt(500).toLong))
+    val got = graft.operators.Skyline.frontier(
+        rows.toDF("id", "x", "y").repartition(5), "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    val want = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y) }
+    }.map(_._1).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty)
+  }
+
   // ------------------------------------------------------ group quantiles
 
   test("groupedQuantiles equals per-group sorted nearest-rank for any coarseWidth and partitioning") {
