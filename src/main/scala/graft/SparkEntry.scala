@@ -4895,18 +4895,23 @@ object SparkEntry {
 
     // Semantic decontamination — q60/q87 catch EXACT eval-set leaks; this
     // catches paraphrased ones: every training vector's max cosine against
-    // the held-out eval set (vec_id ≡ 0 mod 50 — the 2% eval slice), flag
-    // ≥ 0.30. The eval side BROADCASTS by construction — eval sets are
-    // thousands of rows while the train side is the 100 TB scan — so the
-    // probe is one pass over training embeddings with a map-side max, no
-    // shuffle of the corpus at all (the only exchange is the label-sized
-    // rollup). Doubles quantize at 1e-4 after the max (q30's policy).
+    // the held-out eval set (vec_id ≡ 0 mod 50 within the FIXED id range
+    // [0, 25000) — eval benchmarks are fixed-size suites, ≤ 500 vectors
+    // here no matter how large the corpus grows, the q195 isin pattern),
+    // flag ≥ 0.30. The id cap is what makes the forced broadcast sound:
+    // a pure mod-50 slice is 2% of the corpus and would outgrow any
+    // broadcast threshold, while the capped slice is constant-sized by
+    // construction — so the probe stays one pass over training embeddings
+    // with a map-side max, no shuffle of the corpus at all (the only
+    // exchange is the label-sized rollup). Doubles quantize at 1e-4 after
+    // the max (q30's policy).
     "q191_semantic_decontam" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val eval = emb.filter(pmod($"vec_id", lit(50L)) === 0)
+      val isEval = pmod($"vec_id", lit(50L)) === 0 && $"vec_id" < 25000L
+      val eval = emb.filter(isEval)
         .select($"vec_id".as("eval_id"), $"embedding".as("ev"))
-      emb.filter(pmod($"vec_id", lit(50L)) =!= 0)
+      emb.filter(!isEval)
         .join(broadcast(eval), lit(true))
         .withColumn("sc",
           graft.functions.VectorFunctions.cosineSim($"embedding", $"ev"))
@@ -5025,7 +5030,9 @@ object SparkEntry {
           max(abs($"cusum") * lit(10000000L) + (lit(9999999L) - $"day")).as("wmax"))
         .select($"event_type", $"n_days", $"total",
           (lit(9999999L) - pmod($"wmax", lit(10000000L))).as("cp_day"),
-          ($"wmax" / lit(10000000L)).cast("long").as("cusum_abs"))
+          // integral div (wmax is non-negative, so div == floor): the
+          // double-division path misrounds once wmax > 2^53
+          expr("wmax div 10000000").as("cusum_abs"))
         .orderBy($"event_type")
     }),
 
@@ -5088,23 +5095,35 @@ object SparkEntry {
     // (a corpus whose Gini drifts up is collapsing onto template text).
     // With ascending (count, word) ranks the numerator 2·Σ(i·cᵢ) −
     // (V+1)·ΣC is an EXACT non-negative integer, so gini4 is pure integer
-    // division — no float CDF. The rank window sorts the per-lang VOCAB
-    // (Heaps-sublinear in the corpus), not the token stream; the corpus
-    // contributes one (lang, word) count shuffle.
+    // division — no float CDF. Σ(i·cᵢ) is computed WITHOUT ranking the
+    // vocab: within a tie-run of equal counts c the sum Σ i·c is
+    // order-invariant, with the closed form c·(m·start + m(m−1)/2) over
+    // the run's size m and exclusive-prefix start — so the query groups
+    // to the count-of-counts table (~O(√tokens) rows, the ExactQuantiles
+    // convention), ranks only DISTINCT (lang, c) pairs, and every window
+    // input is histogram-sized. No per-lang vocab ever funnels through
+    // one task. Moment products accumulate in decimal(38,0) (HUGEINT on
+    // the oracle side) — at 100 TB Σ i·c ≈ V·N ~ 10²² overflows BIGINT.
     "q199_token_gini" -> ((s, dir) => {
       import s.implicits._
       val cnt = t(s, dir, "documents")
         .select($"lang",
           explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
         .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
-      cnt.withColumn("i", row_number()
-          .over(Window.partitionBy($"lang").orderBy($"c", $"w")).cast("long"))
+      val cc = cnt.groupBy($"lang", $"c").agg(count(lit(1)).as("m"))
+      val w = Window.partitionBy($"lang").orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cc.withColumn("start", coalesce(sum($"m").over(w), lit(0L)) + lit(1L))
+        .withColumn("run_ic", expr(
+          "cast(c as decimal(38,0)) * (cast(m as decimal(38,0)) * start" +
+            " + (cast(m as decimal(38,0)) * (m - 1)) div 2)"))
         .groupBy($"lang")
-        .agg(count(lit(1)).as("vocab"), sum($"c").as("n_tok"),
-          sum($"i" * $"c").as("ic"))
-        .select($"lang", $"vocab", $"n_tok",
-          expr("((2 * ic - (vocab + 1) * n_tok) * 10000) div (vocab * n_tok)")
-            .as("gini4"))
+        .agg(sum($"m").as("vocab"),
+          sum(expr("cast(c as decimal(38,0)) * m")).as("ntd"),
+          sum($"run_ic").as("ic"))
+        .select($"lang", $"vocab", $"ntd".cast("long").as("n_tok"),
+          expr("((2 * ic - (cast(vocab as decimal(38,0)) + 1) * ntd) * 10000)" +
+            " div (cast(vocab as decimal(38,0)) * ntd)").as("gini4"))
         .orderBy($"lang")
     }),
 
@@ -5253,7 +5272,10 @@ object SparkEntry {
         .join(broadcast(singles.select($"event_type".as("type_b"), $"n_t".as("n_b"))), "type_b")
         .crossJoin(n)
         .select($"type_a", $"type_b", $"n_ab", $"n_a", $"n_b",
-          expr("(n_sess * n_ab * 1000000) div (n_a * n_b)").as("lift6"))
+          // decimal(38,0) accumulation (q189/q200 policy): n_sess·n_ab
+          // silently wraps BIGINT past ~9.2e12·10^6 in non-ANSI mode
+          expr("(cast(n_sess as decimal(38,0)) * n_ab * 1000000)" +
+            " div (cast(n_a as decimal(38,0)) * n_b)").as("lift6"))
         .orderBy($"type_a", $"type_b")
     }),
 
@@ -7755,8 +7777,8 @@ FROM cls GROUP BY 1 ORDER BY risk_class""",
     // q191: brute-force max-cosine vs the mod-50 eval slice, quantized
     // after the max (q30's double policy)
     "q191_semantic_decontam" ->
-      """WITH ev AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0),
-tr AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 <> 0),
+      """WITH ev AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 25000),
+tr AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings WHERE NOT (vec_id % 50 = 0 AND vec_id < 25000)),
 m AS (SELECT tr.vec_id, tr.label, floor(max(list_cosine_similarity(tr.v, ev.v)) * 10000.0)::BIGINT AS ms4 FROM tr, ev GROUP BY 1, 2)
 SELECT label, count(*)::BIGINT AS n_train,
   sum(CASE WHEN ms4 >= 3000 THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
@@ -7955,7 +7977,7 @@ singles AS (SELECT event_type, count(*)::BIGINT AS n_t FROM st GROUP BY 1),
 pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_ab
   FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid AND a.event_type < b.event_type GROUP BY 1, 2)
 SELECT type_a, type_b, n_ab, sa.n_t AS n_a, sb.n_t AS n_b,
-  ((n.n_sess * n_ab * 1000000) // (sa.n_t * sb.n_t))::BIGINT AS lift6
+  ((n.n_sess::HUGEINT * n_ab * 1000000) // (sa.n_t::HUGEINT * sb.n_t))::BIGINT AS lift6
 FROM pairs JOIN singles sa ON pairs.type_a = sa.event_type
 JOIN singles sb ON pairs.type_b = sb.event_type, n
 ORDER BY type_a, type_b""",

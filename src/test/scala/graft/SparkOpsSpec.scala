@@ -2128,4 +2128,41 @@ class SparkOpsSpec extends AnyFunSuite {
         s"stream-only=${(got -- want).take(5)} batch-only=${(want -- got).take(5)}")
     } finally q.stop()
   }
+
+  test("q199 gini: count-of-counts closed form equals the vocab rank window; the one window ranks (lang, c) pairs, never the vocab") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft_q199")
+    // heavy tie structure: words repeat across docs so count runs are long
+    (0 until 60).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val words = (0 to i % 7).map(j => s"w${i % 11}_$j") ++ Seq("common", "common")
+      (i.toLong, lang, words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q199_token_gini")(spark, dir)
+    val plan = got.queryExecution.executedPlan.toString
+    // the pre-round-10 shape ranked the per-lang vocab through one task;
+    // the closed form must not reintroduce it
+    assert(!plan.contains("row_number"), plan)
+    assert(plan.contains("windowspecdefinition"), plan)
+    // the window's input is the count-of-counts aggregate: a (lang, c)
+    // grouping exists in the plan, so vocab rows never reach a window
+    assert("keys=\\[lang#\\d+, c#\\d+L?\\]".r.findFirstIn(plan).nonEmpty, plan)
+    // value parity with the original rank-window formula (Σ i·c over a
+    // tie-run is order-invariant, so the closed form is byte-identical)
+    val cnt = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"lang", explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang").orderBy($"c", $"w")
+    val want = cnt.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("vocab"), sum($"c").as("n_tok"), sum($"i" * $"c").as("ic"))
+      .select($"lang", $"vocab", $"n_tok",
+        expr("((2 * ic - (vocab + 1) * n_tok) * 10000) div (vocab * n_tok)").as("gini4"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val gotMap = got.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotMap == want)
+  }
 }
