@@ -90,7 +90,13 @@ object GraphMetrics {
     * rounds — a no-op round leaves the edge set unchanged, so running the
     * full budget is result-identical to early exit once fixpoint is
     * reached (the property that lets an oracle replay EXACTLY `rounds`
-    * peels). Returns the surviving nodes with their in-core degree.
+    * peels). The loop EXITS EARLY once a round leaves the edge count
+    * unchanged (edges only disappear with a dropped endpoint, so an
+    * unchanged count IS the fixpoint test — degree-0 nodes never appear
+    * in the edge list): `rounds` is a BOUND, not an always-paid cost,
+    * the same treatment PageRank got for its ppm-stable exit. The test
+    * costs one count per round over already-checkpointed partitions.
+    * Returns the surviving nodes with their in-core degree.
     *
     * Why it's in the dedup suite: q164's component-size audit cannot tell
     * a 100-doc CHAIN of borderline matches (collapses to nothing under
@@ -112,13 +118,26 @@ object GraphMetrics {
     */
   def kCore(
       pairs: DataFrame, aCol: String, bCol: String,
-      k: Int = 2, rounds: Int = 8): DataFrame = {
+      k: Int = 2, rounds: Int = 8): DataFrame =
+    kCoreWithPeels(pairs, aCol, bCol, k, rounds)._1
+
+  /** [[kCore]] plus the number of peel rounds actually executed — the
+    * early-exit evidence the spec pins (and an ops-level convergence
+    * metric: a core that stops converging within its budget is a graph
+    * whose chains outlast the peel bound).
+    */
+  def kCoreWithPeels(
+      pairs: DataFrame, aCol: String, bCol: String,
+      k: Int = 2, rounds: Int = 8): (DataFrame, Int) = {
     var edges = pairs
       .select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .localCheckpoint(false)
-    (0 until rounds).foreach { _ =>
+    var prev = edges.count()
+    var peels = 0
+    var fixed = prev == 0L // the empty graph is already its own k-core
+    while (peels < rounds && !fixed) {
       val keep = edges.select(col("lo").as("v"))
         .union(edges.select(col("hi").as("v")))
         .groupBy("v").agg(count(lit(1)).as("c"))
@@ -129,9 +148,13 @@ object GraphMetrics {
         .join(keep.select(col("v").as("hi")), Seq("hi"), "left_semi")
         .select(col("lo"), col("hi"))
         .localCheckpoint(false)
+      val cur = edges.count()
+      fixed = cur == prev
+      prev = cur
+      peels += 1
     }
-    edges.select(col("lo").as("v")).union(edges.select(col("hi").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("core_degree"))
+    (edges.select(col("lo").as("v")).union(edges.select(col("hi").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_degree")), peels)
   }
 
   /** Degree assortativity (Newman, PRL 2002) of an undirected pair graph:

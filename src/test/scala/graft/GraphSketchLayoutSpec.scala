@@ -431,4 +431,24 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
     assert(got == (0L until 5L).map(_ -> 4L).toMap)
     assert(run(8) == got)
   }
+
+  test("k-core early exit: fixpoint detected well before a large budget, result identical; empty graph costs zero peels") {
+    import spark.implicits._
+    // the 2-core fixture again: chain (unravels over ~5 rounds), K5 and a
+    // cycle (both stable), pendant (round 1)
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val k5 = for (a <- 100L until 105L; b <- a + 1 until 105L) yield (a, b)
+    val cycle = (200L until 206L).map(i => (i, if (i == 205L) 200L else i + 1))
+    val edges = (chain ++ k5 ++ cycle :+ ((300L, 100L))).toDF("id_a", "id_b")
+    val (coreDf, peels) = GraphMetrics.kCoreWithPeels(
+      edges, "id_a", "id_b", k = 2, rounds = 50)
+    assert(peels > 0 && peels < 10, s"peels=$peels — budget must be a bound, not a cost")
+    val got = coreDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (100L until 105L).map(_ -> 4L).toMap ++
+      (200L until 206L).map(_ -> 2L).toMap
+    assert(got == want)
+    val (e0, p0) = GraphMetrics.kCoreWithPeels(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b", k = 2, rounds = 8)
+    assert(p0 == 0 && e0.count() == 0L)
+  }
 }
