@@ -18,6 +18,41 @@ import org.apache.spark.sql.SparkSession
   * record itself.
   */
 object Bench {
+
+  /** Where to persist the record: a CONTENDED run must never clobber an
+    * uncontended record (round-9 lesson: a later contended driver re-run
+    * overwrote the committed 237.4 s uncontended record in the working
+    * tree) — if the existing file says contended:false and the new record
+    * is contended, divert to `<name>.contended.json`.
+    */
+  def recordTarget(out: java.nio.file.Path, newContended: Boolean): java.nio.file.Path = {
+    if (!newContended) return out
+    val existingUncontended =
+      try java.nio.file.Files.exists(out) &&
+        new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+          .contains("\"contended\":false")
+      catch { case _: Throwable => false }
+    if (existingUncontended)
+      out.resolveSibling(out.getFileName.toString.stripSuffix(".json") + ".contended.json")
+    else out
+  }
+
+  /** Compact summary for the driver's stdout tail: the driver keeps only
+    * the LAST ~2000 chars of stdout and json-parses what it finds there —
+    * the full per-query record outgrew that window as the suite grew
+    * (`parsed: null` in every round's bench record), so the bench prints
+    * this bounded line (headline numbers + the `topSlow` slowest queries +
+    * a pointer to the complete in-repo record) as its FINAL stdout line.
+    */
+  def compactRecord(results: Seq[(String, Double)], total: Double,
+      failures: Int, passes: Int, contended: Boolean, perPass: String,
+      loadStart: String, loadEnd: String, sfDir: String, fullPath: String,
+      topSlow: Int = 10): String = {
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(topSlow)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":$failures,"passes":$passes,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd","queries":$slow,"queries_full":"$fullPath","sf":"$sfDir"}"""
+  }
+
   private def loadavg(): String =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
@@ -94,15 +129,21 @@ object Bench {
     println(record)
     // the driver's captured stdout tail has truncated alphabetically-early
     // per-query times in past rounds — persist the COMPLETE record in-repo
-    // too (path overridable; writing must never fail the bench itself)
+    // too (path overridable; writing must never fail the bench itself).
+    // recordTarget diverts a contended run away from an uncontended record.
+    var fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full.json")
     try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full.json"))
+      val out = recordTarget(java.nio.file.Paths.get(fullPath), contended)
+      fullPath = out.toString
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (record + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] record write failed: ${e.getMessage}")
     }
     spark.stop()
+    // FINAL stdout line, after Spark's shutdown chatter: a bounded summary
+    // the driver's 2000-char stdout tail can actually parse
+    println(compactRecord(results, total, failures, effPasses, contended,
+      perPass, loadStart, loadEnd, sfDir, fullPath))
   }
 }

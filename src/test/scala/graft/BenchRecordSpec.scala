@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench record hygiene (round-9 lesson: a contended driver re-run
+  * clobbered the committed uncontended record, and the full per-query
+  * record line has never fit the driver's 2000-char stdout tail —
+  * `parsed: null` in every round's bench capture).
+  */
+class BenchRecordSpec extends AnyFunSuite {
+
+  test("recordTarget: a contended run diverts away from an uncontended record; every other combination writes in place") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench")
+    val out = dir.resolve("bench_full.json")
+    // no existing record: a contended run may take the slot
+    assert(Bench.recordTarget(out, newContended = true) == out)
+    java.nio.file.Files.write(out, "{\"contended\":false}\n".getBytes("UTF-8"))
+    // uncontended record on disk: a contended run must not clobber it
+    assert(Bench.recordTarget(out, newContended = true)
+      == dir.resolve("bench_full.contended.json"))
+    // an uncontended run always owns the slot
+    assert(Bench.recordTarget(out, newContended = false) == out)
+    java.nio.file.Files.write(out, "{\"contended\":true}\n".getBytes("UTF-8"))
+    // contended over contended: in place (strictly better evidence)
+    assert(Bench.recordTarget(out, newContended = true) == out)
+  }
+
+  test("compactRecord: bounded well under the driver's 2000-char tail, headline numbers plus only the slowest queries") {
+    val results = (1 to 300).map(i => (f"q$i%03d_some_longish_name", i / 100.0))
+    val line = Bench.compactRecord(results, 450.0, 0, 2, contended = false,
+      "[450.0,460.0]", "0.5,1.0,1.0", "3.0,2.0,1.0",
+      "/root/testdata/sf0.1", "bench/bench_full.json")
+    assert(line.length < 1500, s"len=${line.length}")
+    assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+    assert(line.contains("\"n_queries\":300"))
+    assert(line.contains("\"value\":450.0"))
+    assert(line.contains("q300_some_longish_name")) // slowest kept
+    assert(!line.contains("q001_some_longish_name")) // fast tail elided
+    assert(line.contains("\"queries_full\":\"bench/bench_full.json\""))
+    // a failed-query sentinel (-1) must never surface as a "slowest" entry
+    val withFail = results :+ ("q999_failed", -1.0)
+    assert(!Bench.compactRecord(withFail, 450.0, 1, 2, contended = false,
+      "[450.0]", "", "", "", "bench/bench_full.json").contains("q999_failed"))
+  }
+}
