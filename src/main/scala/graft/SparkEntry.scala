@@ -508,8 +508,10 @@ object SparkEntry {
         .select($"doc_id",
           $"media_meta.byte_length".as("byte_length"),
           $"media_meta.content_md5".as("content_md5"),
-          $"media_meta.fake_width".cast("long").as("fake_width"),
-          $"media_meta.fake_height".cast("long").as("fake_height"))
+          // text bytes are not an image: the ImageIO-first decoder falls
+          // back to the md5 stub, so these stay the oracle's pseudo-dims
+          $"media_meta.width".cast("long").as("fake_width"),
+          $"media_meta.height".cast("long").as("fake_height"))
         .orderBy($"doc_id")
     }),
 
@@ -5183,6 +5185,48 @@ object SparkEntry {
         .orderBy($"lang", $"prob4")
     }),
 
+    // Perceptual-hash image near-dup — the multimodal dedup leg over REAL
+    // codec work: a deterministic 8×8 grayscale PNG per doc (actual
+    // ImageIO.write bytes; same-group docs differ by ~2 perturbed pixels),
+    // REAL ImageIO decode back to the luma grid, aHash/dHash bands
+    // ([[graft.operators.Multimodal.perceptualHashes]]), band-bucket
+    // candidate join (the SimHash q75 shape — never all-pairs), exact
+    // hamming verify ≤ 12. PNG grayscale is lossless and the integer luma
+    // weights sum to 256, so the decoded grid equals the md5 closed form
+    // and the whole encode→decode→hash→join path is oracle-checkable with
+    // no codec on the oracle side. Scale: candidates are bounded by
+    // 16-bit band-bucket collisions; the image corpus shuffles only as
+    // eight small ints per image, never as pixels.
+    "q209_image_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+      val imgs = graft.operators.Multimodal
+        .synthImageCorpus(docs, "doc_id", groupDiv = 4L)
+      val hashed = graft.operators.Multimodal.perceptualHashes(imgs, "img")
+        .select($"doc_id", $"a0", $"a1", $"a2", $"a3",
+          $"d0", $"d1", $"d2", $"d3")
+        .localCheckpoint(false) // banding + both verify sides read it
+      val bands = hashed.select($"doc_id",
+        posexplode(array($"a0", $"a1", $"a2", $"a3")).as(Seq("b", "v")))
+      val cand = bands.as("x").join(bands.as("y"),
+          $"x.b" === $"y.b" && $"x.v" === $"y.v" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b")).distinct()
+      val ha = hashed.toDF("id_a", "xa0", "xa1", "xa2", "xa3",
+        "xd0", "xd1", "xd2", "xd3")
+      val hb = hashed.toDF("id_b", "ya0", "ya1", "ya2", "ya3",
+        "yd0", "yd1", "yd2", "yd3")
+      cand.join(ha, "id_a").join(hb, "id_b")
+        .select($"id_a", $"id_b",
+          expr("bit_count(xa0 ^ ya0) + bit_count(xa1 ^ ya1)" +
+            " + bit_count(xa2 ^ ya2) + bit_count(xa3 ^ ya3)")
+            .cast("long").as("ham_a"),
+          expr("bit_count(xd0 ^ yd0) + bit_count(xd1 ^ yd1)" +
+            " + bit_count(xd2 ^ yd2) + bit_count(xd3 ^ yd3)")
+            .cast("long").as("ham_d"))
+        .filter($"ham_a" <= 12)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // Dedup pipeline EVALUATION — the scorecard a deployment reads before
     // trusting q39's knobs: on a hash-sampled doc subset (1/8 of the
     // corpus — all-pairs exact Jaccard is affordable there and ONLY
@@ -7942,6 +7986,37 @@ p AS (SELECT unnest([2500, 5000, 9000, 9900]) AS p4),
 t AS (SELECT lang, p4, (p4 * n + 9999) // 10000 AS rank FROM (SELECT DISTINCT lang, n FROM r), p)
 SELECT t.lang, p4::DOUBLE / 10000.0 AS prob4, t.rank::BIGINT AS rank, r.v::BIGINT AS value
 FROM t JOIN r ON r.lang = t.lang AND r.rn = t.rank ORDER BY t.lang, prob4""",
+    // q209: the engine's pixels are a REAL PNG encode→ImageIO decode
+    // roundtrip of this md5 closed form (lossless grayscale; luma weights
+    // sum to 256), so the oracle replays pixels → aHash/dHash bands →
+    // band-bucket candidates → hamming arithmetically, no codec needed
+    "q209_image_phash_neardup" ->
+      """WITH ii AS (SELECT unnest(range(0, 64)) AS i),
+px AS (SELECT d.doc_id, ii.i,
+  CASE WHEN ('0x' || substr(md5('pert:' || d.doc_id::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT % 29 = 0
+    THEN 255 - ('0x' || substr(md5((d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT
+    ELSE ('0x' || substr(md5((d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT END AS px
+  FROM documents d, ii),
+s AS (SELECT doc_id, sum(px)::BIGINT AS tot FROM px GROUP BY 1),
+ab AS (SELECT px.doc_id, px.i // 16 AS b,
+  sum(CASE WHEN px.px * 64 > s.tot THEN 1::BIGINT << (px.i % 16) ELSE 0 END)::BIGINT AS v
+  FROM px JOIN s USING (doc_id) GROUP BY 1, 2),
+db AS (SELECT a.doc_id, (a.i // 8) // 2 AS b,
+  sum(CASE WHEN a.px > b2.px THEN 1::BIGINT << (((a.i // 8) % 2) * 7 + (a.i % 8)) ELSE 0 END)::BIGINT AS v
+  FROM px a JOIN px b2 ON a.doc_id = b2.doc_id AND b2.i = a.i + 1 AND a.i % 8 < 7 GROUP BY 1, 2),
+ha AS (SELECT doc_id, max(CASE WHEN b = 0 THEN v END) AS a0, max(CASE WHEN b = 1 THEN v END) AS a1,
+  max(CASE WHEN b = 2 THEN v END) AS a2, max(CASE WHEN b = 3 THEN v END) AS a3 FROM ab GROUP BY 1),
+hd AS (SELECT doc_id, max(CASE WHEN b = 0 THEN v END) AS d0, max(CASE WHEN b = 1 THEN v END) AS d1,
+  max(CASE WHEN b = 2 THEN v END) AS d2, max(CASE WHEN b = 3 THEN v END) AS d3 FROM db GROUP BY 1),
+cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM ab x JOIN ab y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id)
+SELECT c.id_a, c.id_b,
+  (bit_count(xor(pa.a0, qa.a0)) + bit_count(xor(pa.a1, qa.a1)) + bit_count(xor(pa.a2, qa.a2)) + bit_count(xor(pa.a3, qa.a3)))::BIGINT AS ham_a,
+  (bit_count(xor(pd.d0, qd.d0)) + bit_count(xor(pd.d1, qd.d1)) + bit_count(xor(pd.d2, qd.d2)) + bit_count(xor(pd.d3, qd.d3)))::BIGINT AS ham_d
+FROM cand c JOIN ha pa ON c.id_a = pa.doc_id JOIN ha qa ON c.id_b = qa.doc_id
+JOIN hd pd ON c.id_a = pd.doc_id JOIN hd qd ON c.id_b = qd.doc_id
+WHERE (bit_count(xor(pa.a0, qa.a0)) + bit_count(xor(pa.a1, qa.a1)) + bit_count(xor(pa.a2, qa.a2)) + bit_count(xor(pa.a3, qa.a3))) <= 12
+ORDER BY c.id_a, c.id_b""",
     // q207: the full LSH pipeline (no threshold) joined to the sampled
     // subset, scored against exact cross-multiplied gram Jaccard at the
     // same three cuts

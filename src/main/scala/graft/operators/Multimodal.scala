@@ -6,18 +6,25 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise in partitions (the Scala analog
-  * of `mapInPandas` batches). The DECODE step is a deterministic STUB — this
-  * container has no image/audio codecs — but the Spark-side plumbing
-  * (schema, partitioning, batch shape, metadata struct) is real and tested;
-  * swapping `StubDecoder` for a JNI/FFI codec changes nothing else.
+  * of `mapInPandas` batches).
+  *
+  * IMAGE decode is REAL: [[ImageIoDecoder]] goes through `javax.imageio`
+  * (PNG/JPEG/BMP/GIF via the JDK's `java.desktop` module — no external
+  * jars), falling back to the deterministic md5 [[StubDecoder]] only for
+  * bytes no installed reader accepts (the `defaultPdfToText` pattern: real
+  * codec first, documented stub as the fallback). Audio/video decode
+  * remains stubbed — the JDK ships no codecs for those — with the same
+  * injection seam.
   */
 object Multimodal {
 
+  // width/height are REAL raster dimensions when the bytes decode as an
+  // image, md5-derived pseudo-dimensions under the stub fallback
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("byte_length", LongType, nullable = false),
     StructField("content_md5", StringType, nullable = false),
-    StructField("fake_width", IntegerType, nullable = false),
-    StructField("fake_height", IntegerType, nullable = false)))
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
 
   /** STUB decode: deterministic pseudo-metadata from the bytes themselves
     * (md5-derived), standing in for real width/height/duration extraction.
@@ -31,8 +38,28 @@ object Multimodal {
     }
   }
 
+  /** Real image decode through `javax.imageio` (present in this JDK's
+    * `java.desktop`): width/height come from the actual decoded raster for
+    * any format an installed reader accepts; undecodable bytes fall back to
+    * [[StubDecoder]]'s md5-derived pseudo-metadata, so text-bytes fixtures
+    * (q36/q54) keep their oracle-reproducible values.
+    */
+  object ImageIoDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): (Long, String, Int, Int) =
+      decodeImage(bytes) match {
+        case Some(img) =>
+          (bytes.length.toLong, md5Hex(bytes), img.getWidth, img.getHeight)
+        case None => StubDecoder.decode(bytes)
+      }
+  }
+
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Throwable => None }
+
   /** Attach a `media_meta` struct by decoding `binaryCol` partition-batch-
-    * wise. Mirrors the Pandas-UDF batch shape: the decoder sees a batch of
+    * wise — ImageIO-first via [[ImageIoDecoder]], md5 stub as the fallback.
+    * Mirrors the Pandas-UDF batch shape: the decoder sees a batch of
     * byte arrays, never row-at-a-time driver calls.
     */
   def extractMeta(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
@@ -43,7 +70,7 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val (len, hex, w, h) = StubDecoder.decode(row.getAs[Array[Byte]](binIdx))
+          val (len, hex, w, h) = ImageIoDecoder.decode(row.getAs[Array[Byte]](binIdx))
           Row.fromSeq(row.toSeq :+ Row(len, hex, w, h))
         }
       }
@@ -118,6 +145,185 @@ object Multimodal {
             val fm = md5Hex(s"$contentMd5:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
             Row.fromSeq(row.toSeq ++ Seq(i, fm.getBytes(java.nio.charset.StandardCharsets.UTF_8), fm))
           }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Encode an n×n grayscale pixel array (row-major, values 0..255) as a
+    * REAL PNG via `ImageIO.write`. PNG grayscale is lossless, so a decode
+    * of these bytes recovers the exact pixels — the property that lets an
+    * arithmetic oracle check the full encode→decode→hash path.
+    */
+  def synthGrayPng(pixels: Array[Int], n: Int): Array[Byte] = {
+    require(pixels.length == n * n, s"need $n*$n pixels, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) { raster.setSample(x, y, 0, pixels(y * n + x)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode → integer luma grid: ImageIO-decode the bytes, then
+    * block-average down to `grid`×`grid` with pure integer arithmetic
+    * (sum div count per block; block edges at `k·dim div grid`).
+    *
+    * Single-band (grayscale) rasters are read as RAW SAMPLES — `getRGB`
+    * would route them through a CS_GRAY→sRGB colorspace conversion whose
+    * gamma curve silently remaps every value (128 → ~186), which is both
+    * wrong for hashing (it is not the stored pixel) and oracle-opaque.
+    * Multi-band images use integer Rec.601-style luma
+    * `(77·R + 150·G + 29·B) >> 8`. None when no installed reader accepts
+    * the bytes.
+    */
+  def decodeLumaGrid(bytes: Array[Byte], grid: Int): Option[(Int, Int, Array[Int])] =
+    decodeImage(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val gray = raster.getNumBands == 1
+      val out = new Array[Int](grid * grid)
+      var gy = 0
+      while (gy < grid) {
+        val y0 = gy * h / grid
+        val y1 = math.max(y0 + 1, (gy + 1) * h / grid)
+        var gx = 0
+        while (gx < grid) {
+          val x0 = gx * w / grid
+          val x1 = math.max(x0 + 1, (gx + 1) * w / grid)
+          var sum = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              sum += (if (gray) raster.getSample(x, y, 0) & 0xff
+              else {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                (77 * r + 150 * g + 29 * b) >> 8
+              })
+              x += 1
+            }
+            y += 1
+          }
+          val cnt = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0).toLong
+          out(gy * grid + gx) = (sum / math.max(1L, cnt)).toInt
+          gx += 1
+        }
+        gy += 1
+      }
+      (w, h, out)
+    }
+
+  /** aHash (mean-threshold) and dHash (row-adjacent gradient) bands over
+    * the 8×8 decoded luma grid — banded exactly like the SimHash near-dup
+    * pipeline so a band-bucket equi-join generates candidates instead of
+    * an all-pairs product:
+    *
+    *  - aHash bit i (i = row·8+col): `px_i · 64 > Σpx` (cross-multiplied —
+    *    no float mean), packed as four 16-bit bands a0..a3 (rows 2j,2j+1).
+    *  - dHash bit (row, col<7): `px[row,col] > px[row,col+1]`, four 14-bit
+    *    bands d0..d3 (rows 2j,2j+1).
+    *
+    * All bands are small non-negative BIGINTs — hamming distance is
+    * `Σ bit_count(xor(band))`, codegen-friendly on any engine. Bytes that
+    * do not decode get md5-derived pseudo-bands (`is_real = 0`) so the
+    * operator is total; q209 runs it on real PNGs only.
+    */
+  def perceptualHashes(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val grid = 8
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("is_real", IntegerType, nullable = false)) ++
+      (0 until 4).map(j => StructField(s"a$j", LongType, nullable = false)) ++
+      (0 until 4).map(j => StructField(s"d$j", LongType, nullable = false)))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          decodeLumaGrid(bytes, grid) match {
+            case Some((w, h, px)) =>
+              val total = px.map(_.toLong).sum
+              val abands = new Array[Long](4)
+              var i = 0
+              while (i < 64) {
+                if (px(i) * 64L > total) abands(i / 16) |= 1L << (i % 16)
+                i += 1
+              }
+              val dbands = new Array[Long](4)
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 7) {
+                  if (px(r * 8 + c) > px(r * 8 + c + 1))
+                    dbands(r / 2) |= 1L << ((r % 2) * 7 + c)
+                  c += 1
+                }
+                r += 1
+              }
+              Row.fromSeq(row.toSeq ++ Seq(w, h, 1) ++ abands ++ dbands)
+            case None =>
+              // stub fallback: md5-derived 16/14-bit pseudo-bands
+              val hex = md5Hex(bytes)
+              val (_, _, w, h) = StubDecoder.decode(bytes)
+              val bands = (0 until 8).map { j =>
+                val v = java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16)
+                if (j < 4) v & 0xffffL else v & 0x3fffL
+              }
+              Row.fromSeq(row.toSeq ++ Seq(w, h, 0) ++ bands)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic 8×8 grayscale PNG per id — REAL `ImageIO.write` bytes
+    * whose pixels are a closed-form md5 function an oracle can replay
+    * without any codec:
+    *
+    *   base(id div groupDiv, i) = int(md5("<group>:<i>")[0:2], 16)
+    *   px(id, i) = 255 − base  when int(md5("pert:<id>:<i>")[0:2], 16) ≡ 0
+    *               (mod 29), else base
+    *
+    * Ids in the same group share base pixels and differ only where the
+    * per-id perturbation fires (~64/29 ≈ 2.2 pixels) — the near-duplicate
+    * structure a perceptual-hash pipeline exists to catch.
+    */
+  def synthImageCorpus(df: DataFrame, idCol: String, groupDiv: Long,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("img", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          val g = id / groupDiv
+          val px = Array.tabulate(64) { i =>
+            val base = Integer.parseInt(
+              md5Hex(s"$g:$i".getBytes("UTF-8")).substring(0, 2), 16)
+            val pert = Integer.parseInt(
+              md5Hex(s"pert:$id:$i".getBytes("UTF-8")).substring(0, 2), 16)
+            if (pert % 29 == 0) 255 - base else base
+          }
+          Row.fromSeq(row.toSeq :+ synthGrayPng(px, 8))
         }
       }
     }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Golden tests for the REAL image path: `ImageIO.write` fixtures built
+  * in-test, decoded back through the ImageIO-first decoder, and hashed
+  * with hand-computed expectations. The md5 stub must survive only as the
+  * fallback for undecodable bytes.
+  */
+class MultimodalImageSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("ImageIoDecoder: real dimensions for a PNG, md5-stub fallback for text bytes") {
+    // non-square so width/height transposition would fail loudly
+    val img = new java.awt.image.BufferedImage(
+      12, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff8040)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val (len, md5, w, h) = Multimodal.ImageIoDecoder.decode(png)
+    assert((len, w, h) == ((png.length.toLong, 12, 5)))
+    assert(md5.length == 32)
+    val text = "not an image at all".getBytes("UTF-8")
+    assert(Multimodal.ImageIoDecoder.decode(text) == Multimodal.StubDecoder.decode(text))
+  }
+
+  test("decodeLumaGrid: grayscale PNG roundtrip recovers exact pixels; raw samples, not the CS_GRAY->sRGB gamma of getRGB") {
+    val px = Array.tabulate(64)(i => (i * 4 + 1) % 256) // includes mid-grays the gamma curve remaps
+    val bytes = Multimodal.synthGrayPng(px, 8)
+    val Some((w, h, got)) = Multimodal.decodeLumaGrid(bytes, 8)
+    assert((w, h) == ((8, 8)))
+    assert(got.toSeq == px.toSeq) // exact: lossless PNG + raw raster samples
+    assert(Multimodal.decodeLumaGrid("nope".getBytes("UTF-8"), 8).isEmpty)
+  }
+
+  test("decodeLumaGrid: 16x16 image block-averages to 8x8 with integer div") {
+    // 2x2 blocks of (v, v, v+2, v+4) -> mean (4v+6)/4 = v+1 (integer div)
+    val px16 = Array.tabulate(256) { i =>
+      val (y, x) = (i / 16, i % 16)
+      val v = ((y / 2) * 8 + (x / 2)) % 250
+      v + (y % 2) * 2 * (x % 2 + 1) // block holds v, v, v+2, v+4
+    }
+    val bytes = Multimodal.synthGrayPng(px16, 16)
+    val Some((w, h, got)) = Multimodal.decodeLumaGrid(bytes, 8)
+    assert((w, h) == ((16, 16)))
+    val want = Array.tabulate(64)(i => ((i / 8) * 8 + (i % 8)) % 250 + 1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("perceptualHashes: hand-computed aHash/dHash bands on a known image; stub bands flagged is_real=0") {
+    import spark.implicits._
+    // half dark (0), half bright (200): aHash = bright half exactly
+    val px = Array.tabulate(64)(i => if (i % 8 < 4) 0 else 200)
+    val bytes = Multimodal.synthGrayPng(px, 8)
+    val df = Seq((1L, bytes), (2L, "junk bytes".getBytes("UTF-8")))
+      .toDF("id", "img")
+    val rows = Multimodal.perceptualHashes(df, "img")
+      .select("id", "width", "height", "is_real", "a0", "a1", "a2", "a3", "d0", "d1", "d2", "d3")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val real = rows(1L)
+    assert((real.getInt(1), real.getInt(2), real.getInt(3)) == ((8, 8, 1)))
+    // per row: bits 4..7 set -> 0xf0; two rows per 16-bit band -> 0xf0f0
+    assert((4 to 7).map(real.getLong) == Seq(0xf0f0L, 0xf0f0L, 0xf0f0L, 0xf0f0L))
+    // dHash: within a row only col 3 -> 4 rises (0 < 200, bit NOT set;
+    // px[c] > px[c+1] false everywhere) -> all zero
+    assert((8 to 11).map(real.getLong) == Seq(0L, 0L, 0L, 0L))
+    val stub = rows(2L)
+    assert(stub.getInt(3) == 0)
+    assert((4 to 7).map(stub.getLong).forall(v => v >= 0L && v <= 0xffffL))
+    assert((8 to 11).map(stub.getLong).forall(v => v >= 0L && v <= 0x3fffL))
+  }
+
+  test("extractMeta: real raster dimensions for decodable media, md5 pseudo-dims otherwise") {
+    import spark.implicits._
+    val png = Multimodal.synthGrayPng(Array.fill(64)(7), 8)
+    val df = Seq((1L, png), (2L, "plain text".getBytes("UTF-8"))).toDF("id", "media")
+    val got = Multimodal.extractMeta(df, "media")
+      .select($"id", $"media_meta.width", $"media_meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((8, 8)))
+    val (_, _, sw, sh) = Multimodal.StubDecoder.decode("plain text".getBytes("UTF-8"))
+    assert(got(2L) == ((sw, sh)))
+  }
+}
