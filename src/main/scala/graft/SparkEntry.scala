@@ -5240,18 +5240,33 @@ object SparkEntry {
     // cut (precision collapses) while banding bounds recall at loose
     // cuts — signatures GENERATE candidates, exact verification decides
     // (q115's division of labor), and this query measures exactly why.
+    //
+    // HOT-GRAM CAP: the truth side's gram self-join fans out df² per
+    // gram, and a stopword-grade gram present in most sampled docs turns
+    // it into sample² — so grams with in-sample df > 64 are dropped from
+    // BOTH sides of the exact-truth computation (the standard eval-side
+    // frequent-gram cut) and the scorecard DISCLOSES the cut as
+    // n_grams_capped. The cap bounds fan-out at 64²·n_grams; the sample
+    // fraction must still shrink as the corpus grows (1/8 is a bench-
+    // scale setting — at 100 TB the same absolute sample comes from a
+    // much smaller fraction).
     "q207_dedup_eval" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
       val sub = docs.filter(pmod(graft.functions.HashFunctions.stableHash64(
           concat(lit("de:"), $"doc_id".cast("string"))), lit(8L)) === 0)
         .select($"doc_id", $"text").localCheckpoint(false)
-      val grams = sub.select($"doc_id",
+      val gramsAll = sub.select($"doc_id",
           explode(graft.operators.Dedup.shinglesCol($"text", 4)).as("g"))
         .select($"doc_id",
           pmod(graft.functions.HashFunctions.stableHash64($"g"),
             lit(2147483647L)).as("gh"))
         .distinct().localCheckpoint(false)
+      val hot = gramsAll.groupBy($"gh").agg(count(lit(1)).as("df"))
+        .filter($"df" > 64L).select($"gh").localCheckpoint(false)
+      val nCapped = broadcast(hot.agg(count(lit(1)).as("n_grams_capped")))
+      val grams = gramsAll.join(hot, Seq("gh"), "left_anti")
+        .localCheckpoint(false)
       val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       val inter = grams.as("a").join(grams.as("b"),
           $"a.gh" === $"b.gh" && $"a.doc_id" < $"b.doc_id")
@@ -5280,7 +5295,8 @@ object SparkEntry {
         .join(ntp, Seq("t4"), "left")
         .na.fill(0L, Seq("n_true", "n_pred", "n_tp"))
         .crossJoin(broadcast(sub.agg(count(lit(1)).as("n_docs"))))
-        .select($"t4", $"n_docs", $"n_true", $"n_pred", $"n_tp",
+        .crossJoin(nCapped)
+        .select($"t4", $"n_docs", $"n_grams_capped", $"n_true", $"n_pred", $"n_tp",
           when($"n_pred" > 0, expr("(n_tp * 10000) div n_pred")).as("precision4"),
           when($"n_true" > 0, expr("(n_tp * 10000) div n_true")).as("recall4"),
           when($"n_pred" + $"n_true" > 0,
@@ -8023,7 +8039,10 @@ ORDER BY c.id_a, c.id_b""",
     "q207_dedup_eval" ->
       s"""WITH $LshVerifiedCtes,
 sub AS (SELECT doc_id, text FROM documents WHERE ('0x' || substr(md5('de:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 = 0),
-grams AS (SELECT DISTINCT doc_id, gh FROM (SELECT doc_id, unnest(list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gh FROM sub)),
+grams_all AS (SELECT DISTINCT doc_id, gh FROM (SELECT doc_id, unnest(list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS gh FROM sub)),
+hot AS (SELECT gh FROM (SELECT gh, count(*)::BIGINT AS df FROM grams_all GROUP BY 1) WHERE df > 64),
+ncap AS (SELECT count(*)::BIGINT AS n_grams_capped FROM hot),
+grams AS (SELECT g.doc_id, g.gh FROM grams_all g ANTI JOIN hot ON g.gh = hot.gh),
 sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM grams GROUP BY 1),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS ni FROM grams a JOIN grams b ON a.gh = b.gh AND a.doc_id < b.doc_id GROUP BY 1, 2),
 th AS (SELECT unnest([2500, 5000, 7500])::BIGINT AS t4),
@@ -8033,11 +8052,11 @@ nt AS (SELECT t4, count(*)::BIGINT AS n_true FROM truth GROUP BY 1),
 np AS (SELECT t4, count(*)::BIGINT AS n_pred FROM pred GROUP BY 1),
 ntp AS (SELECT t4, count(*)::BIGINT AS n_tp FROM pred JOIN truth USING (t4, id_a, id_b) GROUP BY 1),
 nd AS (SELECT count(*)::BIGINT AS n_docs FROM sub)
-SELECT th.t4, nd.n_docs, coalesce(n_true, 0)::BIGINT AS n_true, coalesce(n_pred, 0)::BIGINT AS n_pred, coalesce(n_tp, 0)::BIGINT AS n_tp,
+SELECT th.t4, nd.n_docs, ncap.n_grams_capped, coalesce(n_true, 0)::BIGINT AS n_true, coalesce(n_pred, 0)::BIGINT AS n_pred, coalesce(n_tp, 0)::BIGINT AS n_tp,
   CASE WHEN coalesce(n_pred, 0) > 0 THEN (coalesce(n_tp, 0) * 10000) // n_pred END::BIGINT AS precision4,
   CASE WHEN coalesce(n_true, 0) > 0 THEN (coalesce(n_tp, 0) * 10000) // n_true END::BIGINT AS recall4,
   CASE WHEN coalesce(n_pred, 0) + coalesce(n_true, 0) > 0 THEN (2 * coalesce(n_tp, 0) * 10000) // (n_pred + n_true) END::BIGINT AS f1_4
-FROM th LEFT JOIN nt USING (t4) LEFT JOIN np USING (t4) LEFT JOIN ntp USING (t4), nd
+FROM th LEFT JOIN nt USING (t4) LEFT JOIN np USING (t4) LEFT JOIN ntp USING (t4), nd, ncap
 ORDER BY th.t4""",
     // q205: q65's sessionization CTEs, then distinct (session, type)
     // self-joined for pair supports; lift as one integer division

@@ -2129,6 +2129,64 @@ class SparkOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q207 hot-gram cap: df-squared fan-out bounded and disclosed; P/R/F1 unchanged when the cap only removes stopword-grade grams") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft_q207cap")
+    // 70 ids that land in q207's 1/8 hash sample (cap threshold is 64)
+    val ids = spark.range(0, 2000)
+      .withColumn("h", pmod(graft.functions.HashFunctions.stableHash64(
+        concat(lit("de:"), $"id".cast("string"))), lit(8L)))
+      .filter($"h" === 0).select($"id").as[Long].collect().take(70)
+    assert(ids.length == 70)
+    // every doc carries the same hot sentence (its grams hit df=70 > 64);
+    // docs come in identical pairs distinguished by a long unique section,
+    // so capped Jaccard is 1 for dup pairs and ~0 for everything else —
+    // the margin that makes the cap decision-neutral at every threshold
+    val hot = Array.fill(30)("zzzz").mkString(" ")
+    def md5x(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = ids.zipWithIndex.map { case (id, k) =>
+      val pair = k / 2
+      // md5-random unique tokens: cross-pair gram collisions are a few
+      // grams out of ~250, keeping non-dup Jaccard far below 0.25
+      (id, (0 until 30).map(j => md5x(s"$pair:$j").take(8)).mkString(" ") + " " + hot)
+    }
+    docs.toSeq.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q207_dedup_eval")(spark, dir)
+      .collect().map(r => (r.getLong(0), r)).toMap
+    // brute-force truth, capped and uncapped, over raw shingle sets
+    def shingles(t: String): Set[String] =
+      if (t.length < 4) Set(t)
+      else (0 to t.length - 4).map(i => t.substring(i, i + 4)).toSet
+    val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val dfCount = sets.values.toSeq.flatten.groupBy(identity).view.mapValues(_.size)
+    val hotGrams = dfCount.filter(_._2 > 64).keys.toSet
+    val cappedSets = sets.view.mapValues(_ -- hotGrams).toMap
+    def truthPairs(ss: Map[Long, Set[String]], t4: Long): Set[(Long, Long)] =
+      (for {
+        a <- ids; b <- ids if a < b
+        ni = (ss(a) & ss(b)).size
+        if ni * 10000L >= t4 * (ss(a).size + ss(b).size - ni)
+      } yield (a, b)).toSet
+    for (t4 <- Seq(2500L, 5000L, 7500L)) {
+      val capped = truthPairs(cappedSets, t4)
+      // the engineered margin: capping stopword-grade grams flips NO pair
+      assert(capped == truthPairs(sets, t4), s"t4=$t4 cap changed the truth set")
+      assert(out(t4).getLong(3) == capped.size.toLong, s"t4=$t4 n_true")
+      assert(capped.size == 35) // exactly the engineered dup pairs
+    }
+    // disclosed: the scorecard reports exactly the stopword-grade cut
+    assert(out(2500L).getLong(2) == hotGrams.size.toLong)
+    assert(hotGrams.nonEmpty)
+    // bounded: without the cap the truth self-join pairs EVERY doc with
+    // every other through the hot grams — C(70,2) candidate fan-out
+    val uncappedCandidates =
+      (for { a <- ids; b <- ids if a < b && (sets(a) & sets(b)).nonEmpty } yield 1).size
+    assert(uncappedCandidates == 70 * 69 / 2)
+  }
+
   test("q199 gini: count-of-counts closed form equals the vocab rank window; the one window ranks (lang, c) pairs, never the vocab") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
