@@ -5227,6 +5227,31 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Persisted ANN build/serve split — q184's IVFADC restructured the
+    // way production runs it (the build-once/query-many lifecycle of
+    // pipeline 2's index, `pipeline2.py:117-150`, applied to the
+    // COMPRESSED index): [[graft.index.AnnIndex.build]] scans the corpus
+    // ONCE into centroids + PQ codebook + cell-PARTITIONED codes parquet;
+    // [[graft.index.AnnIndex.query]] serves top-10 from the persisted
+    // relations alone — the codes scan is partition-pruned to the probed
+    // cells via a static isin over the partition column, and the raw
+    // embedding corpus is never read on the serve path (plan-pinned in
+    // AnnIndexSpec). Arithmetic is bit-identical to q184's inline index
+    // (same encode argmax, BIGINT LUT micro-units, tie order), which the
+    // oracle replays relationally at nprobe = 4.
+    "q210_ann_index_serve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_annidx").toString
+      graft.index.AnnIndex.build(emb, idxDir)
+      val queries = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.index.AnnIndex.query(s, idxDir, queries, k = 10, nprobe = 4,
+          excludeSelf = true)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Dedup pipeline EVALUATION — the scorecard a deployment reads before
     // trusting q39's knobs: on a hash-sampled doc subset (1/8 of the
     // corpus — all-pairs exact Jaccard is affordable there and ONLY
@@ -8033,6 +8058,32 @@ FROM cand c JOIN ha pa ON c.id_a = pa.doc_id JOIN ha qa ON c.id_b = qa.doc_id
 JOIN hd pd ON c.id_a = pd.doc_id JOIN hd qd ON c.id_b = qd.doc_id
 WHERE (bit_count(xor(pa.a0, qa.a0)) + bit_count(xor(pa.a1, qa.a1)) + bit_count(xor(pa.a2, qa.a2)) + bit_count(xor(pa.a3, qa.a3))) <= 12
 ORDER BY c.id_a, c.id_b""",
+    // q210: q184's build CTEs (coarse cells, PQ codebook, codes, LUT)
+    // with the serve read at nprobe = 4 returning the top-10 lists the
+    // persisted index produces
+    "q210_ann_index_serve" ->
+      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s0, kk WHERE s0.srn <= kk.k),
+cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+subs AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
+enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
+  SELECT e.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM embeddings e, cbs c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+qc AS MATERIALIZED (SELECT query_id, centroid_id FROM (SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS cell_rank FROM q, cents c) WHERE cell_rank <= 4),
+lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
+cand AS (SELECT qc.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u
+  FROM enc e JOIN cells cl ON cl.vec_id = e.vec_id
+  JOIN qc ON qc.centroid_id = cl.centroid_id
+  JOIN lut l ON l.query_id = qc.query_id AND l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> qc.query_id GROUP BY 1, 2)
+SELECT query_id, rn::BIGINT AS rank, vec_id, adc_u
+FROM (SELECT query_id, vec_id, adc_u, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM cand)
+WHERE rn <= 10 ORDER BY query_id, rank""",
     // q207: the full LSH pipeline (no threshold) joined to the sampled
     // subset, scored against exact cross-multiplied gram Jaccard at the
     // same three cuts

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.AnnIndex
+
+/** Build/serve split of the persisted IVFADC index: the serve path must
+  * read ONLY the persisted relations (partition-pruned codes + broadcast
+  * centroids/codebook), and its arithmetic must match a driver-side
+  * re-implementation of the q178/q184 encode/LUT/ADC algebra.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  // deterministic unit-ish vectors, dim 16 (m=8 sub-blocks of 2)
+  private def vec(i: Int): Seq[Float] =
+    (0 until 16).map(d => (math.sin(i * 31 + d * 7 + 1).toFloat))
+
+  test("serve path: codes scan is partition-pruned to the probed cells; the raw corpus is never read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annpin").toString
+    (0 until 120).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/raw_corpus.parquet")
+    val emb = spark.read.parquet(s"$dir/raw_corpus.parquet")
+    AnnIndex.build(emb, s"$dir/idx", m = 8, sub = 2, kcode = 16)
+    // literal query batch: the serve path gets vectors from the caller,
+    // not from any corpus relation
+    val queries = Seq((0L, vec(3)), (1L, vec(77))).toDF("query_id", "qv")
+    val res = AnnIndex.query(spark, s"$dir/idx", queries,
+      k = 5, nprobe = 2, m = 8, sub = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("codes.parquet"), plan)
+    assert(!plan.contains("raw_corpus.parquet"),
+      "serve path read the raw corpus:\n" + plan)
+    // the probed-cell list is a PARTITION filter on the codes scan, not a
+    // post-scan row filter
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).nonEmpty, plan)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..k per query with adc_u non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      assert(sorted.map(_.getLong(3)).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      })
+    }
+  }
+
+  test("nprobe = all cells: persisted-index ADC equals the driver-side PQ brute force bit-for-bit") {
+    import spark.implicits._
+    val n = 60
+    val m = 8
+    val sub = 2
+    val kcode = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft_annadc").toString
+    val vs = (0 until n).map(i => i.toLong -> vec(i).toArray)
+    vs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/emb.parquet")
+    val emb = spark.read.parquet(s"$dir/emb.parquet")
+    AnnIndex.build(emb, s"$dir/idx", m = m, sub = sub, kcode = kcode)
+    val qids = Seq(5L, 42L)
+    val queries = qids.map(q => (q, vs(q.toInt)._2.toSeq)).toDF("query_id", "qv")
+    val got = AnnIndex.query(spark, s"$dir/idx", queries,
+        k = 8, nprobe = 64, m = m, sub = sub, excludeSelf = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // driver-side replay of the exact q178 algebra
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      Array.tabulate(kcode)(c => vs(c)._2.slice(s * sub, s * sub + sub).map(_.toDouble))
+    }
+    def encode(v: Array[Float]): Array[Int] = Array.tabulate(m) { s =>
+      val sv = v.slice(s * sub, s * sub + sub).map(_.toDouble)
+      (0 until kcode).maxBy { c =>
+        val cent = cb(s)(c)
+        val sc = sv.zip(cent).map { case (a, b) => a * b }.sum -
+          cent.map(x => x * x).sum / 2.0
+        (sc, -c) // ties -> lowest code
+      }
+    }
+    val codes = vs.map { case (id, v) => id -> encode(v) }.toMap
+    for (qid <- qids) {
+      val qv = vs(qid.toInt)._2
+      val lut: Array[Array[Long]] = Array.tabulate(m) { s =>
+        val qs = qv.slice(s * sub, s * sub + sub).map(_.toDouble)
+        Array.tabulate(kcode)(c =>
+          math.floor(qs.zip(cb(s)(c)).map { case (a, b) => a * b }.sum * 1000000.0).toLong)
+      }
+      val scored = vs.filter(_._1 != qid).map { case (id, _) =>
+        id -> (0 until m).map(s => lut(s)(codes(id)(s))).sum
+      }
+      val want = scored.sortBy { case (id, u) => (-u, id) }.take(8)
+      want.zipWithIndex.foreach { case ((id, u), i) =>
+        assert(got((qid, i + 1L)) == ((id, u)),
+          s"q=$qid rank=${i + 1}: got ${got((qid, i + 1L))}, want ($id, $u)")
+      }
+    }
+  }
+}
