@@ -757,4 +757,67 @@ object StatefulOps {
           TransitionSnapshot(key, buf.length.toLong, pairs)
       }
   }
+
+  final case class QuantilePoint(prob4: Long, rank: Long, value: Long)
+  final case class GroupQuantilesSnapshot(
+      g: String, n: Long, quantiles: Seq[QuantilePoint])
+
+  /** Streaming twin of [[graft.operators.ExactQuantiles.groupedQuantiles]]:
+    * per-group state is the exact VALUE histogram as sorted (value, count)
+    * runs — mergeable by construction (a batch arrival is a counts-add) —
+    * plus the suite's standard replay-guard id set absorbing at-least-once
+    * delivery. State bound: the histogram is bounded by the value DOMAIN
+    * (the same premise that makes the batch operator's shuffles
+    * histogram-sized — doc-length-style bounded integer metrics), NOT by
+    * the row count; the id set is row-sized, and a deployment with an
+    * exactly-once upstream (transactional source / CDF) passes
+    * `dedupIds = false` to drop it, leaving purely histogram-sized state.
+    * Unbounded domains should pre-bucket the value (a coarseWidth div) at
+    * the corresponding precision cost.
+    *
+    * Every snapshot recomputes the nearest-rank table with the batch
+    * operator's integer convention (rank = (p4·n + 9999) div 10000; value
+    * = smallest v whose cumulative count reaches the rank), so after ANY
+    * batch split the latest snapshot equals the batch operator on the
+    * union of arrivals (the 100-random-split parity prop).
+    *
+    * Input rows: (group, row_id, value).
+    */
+  def runningGroupedQuantiles(
+      rows: Dataset[(String, Long, Long)], probs4: Seq[Long],
+      dedupIds: Boolean = true): Dataset[GroupQuantilesSnapshot] = {
+    import rows.sparkSession.implicits._
+    val p4s = probs4.toVector
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[(Seq[(Long, Long)], Seq[Long])]) =>
+          val (histSeq, seenSeq) = state.getOption.getOrElse((Seq.empty, Seq.empty))
+          val seen = seenSeq.toSet
+          val arrivals0 = it.map(r => (r._2, r._3)).toVector
+          val arrivals =
+            if (dedupIds)
+              arrivals0.distinctBy(_._1).filter(a => !seen.contains(a._1))
+            else arrivals0
+          var hist = histSeq.toMap
+          arrivals.foreach { case (_, v) =>
+            hist = hist.updated(v, hist.getOrElse(v, 0L) + 1L)
+          }
+          val seenNext =
+            if (dedupIds) seenSeq ++ arrivals.map(_._1) else seenSeq
+          state.update((hist.toSeq, seenNext))
+          val n = hist.valuesIterator.sum
+          val sorted = hist.toVector.sortBy(_._1)
+          val qs =
+            if (sorted.isEmpty) Vector.empty[QuantilePoint]
+            else p4s.map { p4 =>
+              val rank = (p4 * n + 9999L) / 10000L
+              var cum = 0L
+              val v = sorted.find { case (_, c) => cum += c; cum >= rank }
+                .map(_._1).getOrElse(sorted.last._1)
+              QuantilePoint(p4, rank, v)
+            }
+          GroupQuantilesSnapshot(g, n, qs)
+      }
+  }
 }

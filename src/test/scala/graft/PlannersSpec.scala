@@ -187,6 +187,54 @@ class PlannersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming grouped quantiles equal the batch two-histogram operator over 100 random streams with replays") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(207L)
+    val probs4 = Seq(2500L, 5000L, 9000L, 9900L)
+    val groups = Seq("en", "fr", "de")
+    val all = scala.collection.mutable.Buffer.empty[(String, Long, Long)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StatefulOps
+      .runningGroupedQuantiles(input.toDS(), probs4)
+      .writeStream.format("memory").queryName("gq_prop")
+      .outputMode("update").start()
+    try {
+      var id = 0L
+      for (_ <- 0 until 100) {
+        val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+          id += 1
+          (groups(rnd.nextInt(groups.size)), id, rnd.nextInt(500).toLong)
+        }
+        val replay = if (all.nonEmpty)
+          Seq.fill(rnd.nextInt(3))(all(rnd.nextInt(all.size)))
+        else Seq.empty
+        all ++= rows
+        val batch = rnd.shuffle(rows ++ replay)
+        if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+      }
+      // latest snapshot per group (n only grows)
+      val got = spark.table("gq_prop")
+        .groupBy($"g")
+        .agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct($"n", $"quantiles"), $"n").as("s"))
+        .select($"g", $"s.quantiles")
+        .as[(String, Seq[(Long, Long, Long)])]
+        .collect()
+        .flatMap { case (g, qs) => qs.map { case (p4, rank, v) => (g, p4, rank, v) } }
+        .toSet
+      val want = graft.operators.ExactQuantiles
+        .groupedQuantiles(all.toSeq.toDF("g", "id", "v"), "g", "v", probs4)
+        .collect()
+        .map(r => (r.getString(0), math.round(r.getDouble(1) * 10000.0),
+          r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).take(4)} batch-only=${(want -- got).take(4)}")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------ ppr
 
   test("personalizedRanks equals a hand-unrolled reference; teleport stays on seeds") {
