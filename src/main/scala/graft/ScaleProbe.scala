@@ -543,7 +543,154 @@ object ScaleProbe {
           s"($np10,$nd10,$ni10,$nt10) vs (np, c*rest) of ($np,$nd,$ni,$nt)")
     }
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s)
+    // ---- round-9 graph family at 10×: the scaled dup graph is the EXACT
+    // c-clique blow-up of the 1× graph (q147's verified premise), which
+    // gives every operator a closed form: blow-up degrees are
+    // (c−1) + c·deg, clone-edge weights are exactly 10⁴ micro-units
+    // (identical signatures → est_jac = 1), component shares are
+    // floor-invariant (both member count and corpus scale by c), and the
+    // graph is symmetric under copy permutation.
+    val pairsB = graft.operators.Dedup.nearDupPairs(base, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
+      .localCheckpoint(false)
+    val pairsS = graft.operators.Dedup.nearDupPairs(scaled, "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
+      .localCheckpoint(false)
+    val e1g = pairsB.count()
+    val edges10 = nb * c * (c - 1) / 2 + e1g * c * c
+    val nIsolated = base.select($"doc_id").join(
+      pairsB.select($"id_a".as("doc_id"))
+        .unionByName(pairsB.select($"id_b".as("doc_id"))).distinct(),
+      Seq("doc_id"), "left_anti").count()
+
+    // q170: every blow-up degree is ≥ 2 (c ≥ 3), so the 2-core keeps the
+    // WHOLE graph, every core_degree is the full blow-up degree — and the
+    // peel must detect the no-op fixpoint after exactly ONE round (the
+    // round-10 early exit, observed at 10× instead of argued)
+    val t170 = System.nanoTime()
+    val (core10, peels10) = graft.operators.GraphMetrics.kCoreWithPeels(
+      pairsS, "id_a", "id_b", k = 2, rounds = 8)
+    core10.write.mode("overwrite").format("noop").save()
+    val q170s = ("q170_kcore_10x", (System.nanoTime() - t170) / 1e9, core10.count())
+    if (c >= 3) {
+      require(peels10 == 1, s"q170 10x: $peels10 peels, want 1 (no-op fixpoint)")
+      require(q170s._3 == c * nb,
+        s"q170 10x nodes: got ${q170s._3}, want ${c * nb}")
+      val degSum = core10.agg(sum($"core_degree")).head().getLong(0)
+      require(degSum == 2 * edges10,
+        s"q170 10x degree sum: got $degSum, want ${2 * edges10}")
+    }
+
+    // q165: component SHARES are floor-invariant under cloning, so every
+    // base component keeps its share4 and flag; flagged components keep
+    // per-member survivors (×c), unflagged stay at one; isolated docs
+    // surface as new c-clique components — unflagged, one survivor
+    def guardedAgg(docs: DataFrame, pairs: DataFrame): DataFrame = {
+      val guarded = graft.operators.Dedup.guardedClusters(
+        pairs, docs.select($"doc_id"), maxShare4 = 1000L)
+      val tot = docs.agg(count(lit(1)).as("n"))
+      guarded.groupBy($"component_id")
+        .agg(count(lit(1)).as("n_members"), max($"flagged").as("flagged"),
+          count_distinct($"keeper_id").as("n_survivors"))
+        .filter($"n_members" >= 2)
+        .crossJoin(broadcast(tot))
+        .select($"component_id", $"n_members",
+          (expr("(n_members * 10000) div n") / lit(10000.0)).as("share4"),
+          $"flagged", $"n_survivors")
+    }
+    val q165base = guardedAgg(base, pairsB).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3), r.getLong(4))).toMap
+    val q165df = guardedAgg(scaled, pairsS)
+    val q165s = timed("q165_guarded_10x") { q165df }
+    val q165got = q165df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3), r.getLong(4))).toMap
+    require(q165got.size.toLong == q165base.size.toLong + nIsolated,
+      s"q165 10x components: got ${q165got.size}, " +
+        s"want ${q165base.size} + $nIsolated isolated")
+    q165base.foreach { case (cid, (m, sh, fl, sv)) =>
+      val (m10, sh10, fl10, sv10) = q165got(cid)
+      require(m10 == c * m && sh10 == sh && fl10 == fl &&
+        sv10 == (if (fl == 1) c * sv else 1L),
+        s"q165 10x closed form broke at $cid: ($m10,$sh10,$fl10,$sv10) " +
+          s"vs base ($m,$sh,$fl,$sv)")
+    }
+    (q165got.keySet -- q165base.keySet).foreach { cid =>
+      val (m10, _, fl10, sv10) = q165got(cid)
+      require(m10 == c && fl10 == 0 && sv10 == 1L,
+        s"q165 10x isolated family $cid: ($m10,$fl10,$sv10), want ($c,0,1)")
+    }
+
+    // q187: clone strengths are (c−1)·10⁴ + c·strength4 — strictly
+    // monotone, so every component keeps its base medoid ID (the copy-0
+    // clone wins the id tie-break); isolated families elect themselves
+    def medoids(docs: DataFrame, pairs: DataFrame): DataFrame = {
+      val lab = graft.operators.Dedup.resolveClusters(pairs, docs.select($"doc_id"))
+      val strength = pairs
+        .select($"id_a".as("id"), expr("cast(floor(est_jac * 10000) as bigint)").as("w4"))
+        .unionByName(pairs
+          .select($"id_b".as("id"), expr("cast(floor(est_jac * 10000) as bigint)").as("w4")))
+        .groupBy($"id").agg(sum($"w4").as("strength4"), count(lit(1)).as("degree"))
+      val labeled = lab.join(strength, Seq("id")).localCheckpoint(false)
+      val wm = org.apache.spark.sql.expressions.Window
+        .partitionBy($"keeper_id").orderBy($"strength4".desc, $"id")
+      labeled.withColumn("rk", org.apache.spark.sql.functions.row_number().over(wm))
+        .filter($"rk" === 1)
+        .join(labeled.groupBy($"keeper_id").agg(count(lit(1)).as("n_members")),
+          Seq("keeper_id"))
+        .filter($"n_members" >= 2)
+        .select($"keeper_id".as("component_id"), $"id".as("medoid_id"),
+          $"n_members", $"strength4", $"degree")
+    }
+    val q187base = medoids(base, pairsB).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val q187df = medoids(scaled, pairsS)
+    val q187s = timed("q187_medoid_10x") { q187df }
+    val q187got = q187df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    require(q187got.size.toLong == q187base.size.toLong + nIsolated,
+      s"q187 10x components: got ${q187got.size}, " +
+        s"want ${q187base.size} + $nIsolated isolated")
+    q187base.foreach { case (cid, (mid, m, s4, dg)) =>
+      val (mid10, m10, s410, dg10) = q187got(cid)
+      require(mid10 == mid && m10 == c * m &&
+        s410 == (c - 1) * 10000L + c * s4 && dg10 == (c - 1) + c * dg,
+        s"q187 10x closed form broke at $cid: ($mid10,$m10,$s410,$dg10) " +
+          s"vs base ($mid,$m,$s4,$dg)")
+    }
+    (q187got.keySet -- q187base.keySet).foreach { cid =>
+      val (mid10, m10, s410, dg10) = q187got(cid)
+      require(mid10 == cid && m10 == c &&
+        s410 == (c - 1) * 10000L && dg10 == c - 1,
+        s"q187 10x isolated family $cid: ($mid10,$m10,$s410,$dg10)")
+    }
+
+    // q201: with ALL copies of the base seeds, the blow-up is symmetric
+    // under copy permutation, so the integer walk must give every clone of
+    // a doc the IDENTICAL rank and surface families complete (c members)
+    // or not at all — a truncation or join bug breaks the symmetry loudly
+    val seeds10 = (0 until copies).flatMap(i =>
+      Seq(0L + i.toLong * offset, 7L + i.toLong * offset))
+    val q201df = graft.operators.PageRank.personalizedRanks(
+        pairsS, "id_a", "id_b", seeds10, iters = 3)
+      .filter($"rank_u" > 0)
+    val q201s = timed("q201_ppr_10x") { q201df }
+    val fams = q201df
+      .select(pmod($"id", lit(offset)).as("fid"), $"rank_u")
+      .groupBy($"fid")
+      .agg(count(lit(1)).as("nmem"), count_distinct($"rank_u").as("ndr"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(fams.nonEmpty && fams.contains(0L) && fams.contains(7L),
+      s"q201 10x: seed families missing from ${fams.keySet.take(5)}")
+    fams.foreach { case (fid, (nmem, ndr)) =>
+      require(nmem == c && ndr == 1L,
+        s"q201 10x symmetry broke at family $fid: $nmem members, $ndr distinct ranks")
+    }
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

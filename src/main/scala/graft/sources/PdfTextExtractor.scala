@@ -17,9 +17,14 @@ import java.util.zip.Inflater
   *      the full escape table, hex strings) with newline heuristics on
   *      `T*` / `Td` / `TD` / `TD`-style leading.
   *
+  * PNG predictors on Flate (`/Predictor` ≥ 10, per-row Sub/Up/Average/
+  * Paeth unfiltering over `/Columns`-sized rows) ARE handled — they are
+  * ~30 lines over the inflated bytes and appear in real-world content
+  * streams.
+  *
   * Deliberately out of scope (the documented fallback remains
   * [[PdfIngest.stubPdfToText]]): CID/Type0 composite fonts with multi-byte
-  * encodings, encrypted documents, predictors on Flate, LZW/DCT filters,
+  * encodings, encrypted documents, the TIFF predictor 2, LZW/DCT filters,
   * and object streams (`/ObjStm`) — the exotic-encoding tail that needs a
   * real font subsystem, not a text pass.
   */
@@ -43,7 +48,8 @@ object PdfTextExtractor {
     val out = new StringBuilder
     for ((dict, payload) <- rawStreams(bytes)) {
       val data =
-        if (dict.contains("/FlateDecode")) inflate(payload).getOrElse(Array.emptyByteArray)
+        if (dict.contains("/FlateDecode"))
+          inflate(payload).map(applyPredictor(dict, _)).getOrElse(Array.emptyByteArray)
         else payload
       if (containsTextBlock(data)) {
         val text = contentText(data)
@@ -142,6 +148,72 @@ object PdfTextExtractor {
       inf.end()
       if (out.size() > 0) Some(out.toByteArray) else None
     } catch { case _: Throwable => None }
+
+  // ---- stage 2b: PNG predictor unfiltering -------------------------------
+
+  private val ParamRe = """(/\w+)\s+(\d+)""".r
+
+  private def intParam(dict: String, name: String): Option[Int] =
+    ParamRe.findAllMatchIn(dict)
+      .collectFirst { case m if m.group(1) == name => m.group(2).toInt }
+
+  /** Undo PNG row filters (RFC 2083 §6) on inflated stream data when the
+    * owning dict declares `/Predictor` ≥ 10: each `/Columns`-sized row is
+    * prefixed by a filter-type byte (None/Sub/Up/Average/Paeth), decoded
+    * against the previous DECODED row — the standard pre-compression
+    * de-correlation real writers put on content and xref streams. The
+    * identity predictor (≤ 1) and any layout that does not divide into
+    * (rowBytes + 1)-sized rows pass through unchanged (never corrupt data
+    * on a malformed declaration — the extractor's fallback philosophy).
+    */
+  private[graft] def applyPredictor(dict: String, data: Array[Byte]): Array[Byte] = {
+    val pred = intParam(dict, "/Predictor").getOrElse(1)
+    if (pred < 10 || data.isEmpty) return data
+    val cols = intParam(dict, "/Columns").getOrElse(1)
+    val colors = intParam(dict, "/Colors").getOrElse(1)
+    val bpc = intParam(dict, "/BitsPerComponent").getOrElse(8)
+    val rowBytes = (cols * colors * bpc + 7) / 8
+    val bpp = math.max(1, colors * bpc / 8)
+    if (rowBytes <= 0 || data.length % (rowBytes + 1) != 0) return data
+    val nRows = data.length / (rowBytes + 1)
+    val out = new Array[Byte](nRows * rowBytes)
+    val prev = new Array[Int](rowBytes) // previous decoded row (zeros for row 0)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowBytes + 1)) & 0xff
+      val src = r * (rowBytes + 1) + 1
+      val dst = r * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = data(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val b = prev(i)
+        val c = if (i >= bpp) prev(i - bpp) else 0
+        val rec = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+          case _ => x // unknown filter byte: keep the raw byte
+        }
+        out(dst + i) = (rec & 0xff).toByte
+        i += 1
+      }
+      i = 0
+      while (i < rowBytes) { prev(i) = out(dst + i) & 0xff; i += 1 }
+      r += 1
+    }
+    out
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
 
   // ---- stage 3: content-stream text operators ----------------------------
 

@@ -205,4 +205,67 @@ class IngestSpec extends AnyFunSuite {
     val s = TextFunctions.randomAlnum(6)
     assert(s.length == 6 && s.forall(_.isLetterOrDigit))
   }
+
+  test("S3 golden: PNG-predictor Flate stream (Sub/Up/Paeth/None/Average rows) unfilters to the exact text") {
+    // forward-filter the content with cycling PNG row filters, deflate,
+    // declare /Predictor 15 /Columns in DecodeParms — the extractor must
+    // undo both layers and recover the text
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val rowBytes = 16
+    val raw0 = "BT\n72 720 Td\n(Predicted row text survives) Tj\nT*\n(second line) Tj\nET"
+      .getBytes("ISO-8859-1")
+    val pad = (rowBytes - raw0.length % rowBytes) % rowBytes
+    val raw = raw0 ++ Array.fill(pad)(' '.toByte) // trailing spaces are inert
+    val types = Array(1, 2, 4, 0, 3)
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (r <- 0 until raw.length / rowBytes) {
+      val ft = types(r % types.length)
+      filtered.write(ft)
+      for (i <- 0 until rowBytes) {
+        val x = raw(r * rowBytes + i) & 0xff
+        val a = if (i >= 1) raw(r * rowBytes + i - 1) & 0xff else 0
+        val b = if (r > 0) raw((r - 1) * rowBytes + i) & 0xff else 0
+        val c = if (r > 0 && i >= 1) raw((r - 1) * rowBytes + i - 1) & 0xff else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        filtered.write(f & 0xff)
+      }
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(filtered.toByteArray); d.finish()
+    val defl = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) defl.write(buf, 0, d.deflate(buf))
+    d.end()
+    val payload = defl.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${payload.length} /Filter /FlateDecode" +
+      s" /DecodeParms << /Predictor 15 /Columns $rowBytes >> >>\nstream\n")
+    out.write(payload)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    val pdf = out.toByteArray
+    assert(graft.sources.PdfTextExtractor.extract(pdf)
+      == "Predicted row text survives\nsecond line")
+    // identity predictor and malformed row layouts pass through unchanged
+    assert(graft.sources.PdfTextExtractor.applyPredictor(
+      "<< /Predictor 1 >>", raw).sameElements(raw))
+    assert(graft.sources.PdfTextExtractor.applyPredictor(
+      s"<< /Predictor 15 /Columns ${rowBytes + 1} >>", filtered.toByteArray)
+      .sameElements(filtered.toByteArray))
+  }
 }
