@@ -5252,6 +5252,31 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Incremental ANN index refresh — the nightly-delta story (q167's
+    // cost model applied to q210's persisted index): yesterday's corpus
+    // (vec_id % 4 ≠ 0) is built once; tonight's arrivals (% 4 = 0) are
+    // encoded against the STORED centroids + codebook — broadcast-sized
+    // reads, the base corpus never rescanned, no existing code file
+    // rewritten — and appended as new cell-partition files. The serve
+    // read then sees the union. Quantization drift (deltas far from the
+    // codebook's training corpus) is the documented rebuild trigger; the
+    // oracle replays base-derived codebook + full-corpus codes.
+    "q211_ann_delta_append" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(pmod($"vec_id", lit(4L)) =!= 0)
+      val delta = emb.filter(pmod($"vec_id", lit(4L)) === 0)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_anndelta").toString
+      graft.index.AnnIndex.build(base, idxDir)
+      graft.index.AnnIndex.appendDelta(s, idxDir, delta)
+      val queries = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      graft.index.AnnIndex.query(s, idxDir, queries, k = 10, nprobe = 4,
+          excludeSelf = true)
+        .orderBy($"query_id", $"rank")
+    }),
+
     // Dedup pipeline EVALUATION — the scorecard a deployment reads before
     // trusting q39's knobs: on a hash-sampled doc subset (1/8 of the
     // corpus — all-pairs exact Jaccard is affordable there and ONLY
@@ -8067,6 +8092,33 @@ cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embeddi
 cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
 subs AS (SELECT unnest(range(0, 8)) AS s),
 seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
+enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
+  SELECT e.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM embeddings e, cbs c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+qc AS MATERIALIZED (SELECT query_id, centroid_id FROM (SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS cell_rank FROM q, cents c) WHERE cell_rank <= 4),
+lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
+cand AS (SELECT qc.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u
+  FROM enc e JOIN cells cl ON cl.vec_id = e.vec_id
+  JOIN qc ON qc.centroid_id = cl.centroid_id
+  JOIN lut l ON l.query_id = qc.query_id AND l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> qc.query_id GROUP BY 1, 2)
+SELECT query_id, rn::BIGINT AS rank, vec_id, adc_u
+FROM (SELECT query_id, vec_id, adc_u, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM cand)
+WHERE rn <= 10 ORDER BY query_id, rank""",
+    // q211: q210's replay with the coarse/PQ codebooks derived from the
+    // BASE slice only (vec_id % 4 <> 0 — the index that existed before
+    // tonight's append) and codes over the full corpus
+    "q211_ann_delta_append" ->
+      """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM b),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM b) s0, kk WHERE s0.srn <= kk.k),
+cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+subs AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM b ORDER BY vec_id LIMIT 16)),
 cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (

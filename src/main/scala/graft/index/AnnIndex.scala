@@ -54,6 +54,21 @@ object AnnIndex {
         slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("cent"))
       .localCheckpoint(false) // m×kcode rows; persisted + read by encode
     cb.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    encodeCodes(emb, cb, m, sub)
+      .join(cells, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/codes.parquet")
+  }
+
+  /** PQ-encode `emb` against codebook `cb`: max-margin argmax per
+    * sub-block (dot − ‖c‖²/2, ties → lowest code), the q178 algebra.
+    * Returns (vec_id, s, code); the codebook side is broadcast.
+    */
+  private def encodeCodes(emb: DataFrame, cb: DataFrame,
+      m: Int, sub: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
     val cbScore = cb.withColumn("half_norm2",
       VectorFunctions.dotProduct($"cent", $"cent") / lit(2.0))
     emb.crossJoin(subs)
@@ -64,8 +79,27 @@ object AnnIndex {
         (VectorFunctions.dotProduct($"sv", $"cent") - $"half_norm2").as("sc"))
       .groupBy($"vec_id", $"s")
       .agg(max_by($"code", struct($"sc", -$"code")).as("code"))
+  }
+
+  /** Nightly delta append: encode ONLY the arriving vectors against the
+    * STORED centroids + codebook (both broadcast-sized reads) and append
+    * their cell-partitioned codes — the base corpus is never rescanned
+    * and existing code files are never rewritten, the same delta-only
+    * cost model as the incremental span-dedup index. Quantization drift
+    * is the operational counterpart: when the delta distribution departs
+    * from the codebook's training corpus, rebuild — this operator makes
+    * the refresh cheap enough to schedule nightly either way.
+    */
+  def appendDelta(spark: SparkSession, dir: String, delta: DataFrame,
+      m: Int = 8, sub: Int = 8): Unit = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    val cb = spark.read.parquet(s"$dir/codebook.parquet")
+    val cells = IvfIndex.assign(delta, cents, "vec_id", "embedding")
+      .select($"vec_id", $"centroid_id")
+    encodeCodes(delta, cb, m, sub)
       .join(cells, Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
+      .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
   }
 

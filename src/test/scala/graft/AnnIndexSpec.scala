@@ -59,6 +59,55 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendDelta: delta-only encode against the stored codebook; base code files untouched; on-disk codes match the driver-side replay") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val m = 8
+    val sub = 2
+    val kcode = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft_anndelta").toString
+    val baseVs = (0 until 80).map(i => i.toLong -> vec(i).toArray)
+    val deltaVs = (80 until 100).map(i => i.toLong -> vec(i).toArray)
+    baseVs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/base.parquet")
+    AnnIndex.build(spark.read.parquet(s"$dir/base.parquet"), s"$dir/idx",
+      m = m, sub = sub, kcode = kcode)
+    def codeFiles(): Set[java.nio.file.Path] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/idx/codes.parquet"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+    val before = codeFiles()
+    AnnIndex.appendDelta(spark,
+      s"$dir/idx", deltaVs.map { case (id, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding"), m = m, sub = sub)
+    // append-only: every pre-existing code file survives byte-identical slots
+    assert(before.subsetOf(codeFiles()), "append rewrote base code files")
+    val codes = spark.read.parquet(s"$dir/idx/codes.parquet")
+    assert(codes.count() == m.toLong * (baseVs.size + deltaVs.size))
+    // the on-disk delta codes must equal the q178 encode replay against
+    // the BASE-derived codebook (seeds = 16 lowest base ids)
+    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      Array.tabulate(kcode)(c => baseVs(c)._2.slice(s * sub, s * sub + sub).map(_.toDouble))
+    }
+    def encode(v: Array[Float]): Array[Long] = Array.tabulate(m) { s =>
+      val sv = v.slice(s * sub, s * sub + sub).map(_.toDouble)
+      (0 until kcode).maxBy { c =>
+        val cent = cb(s)(c)
+        (sv.zip(cent).map { case (a, b) => a * b }.sum -
+          cent.map(x => x * x).sum / 2.0, -c)
+      }.toLong
+    }
+    val got = codes.filter($"vec_id" >= 80)
+      .select($"vec_id", $"s", $"code").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == m * deltaVs.size)
+    deltaVs.foreach { case (id, v) =>
+      val want = encode(v)
+      (0 until m).foreach { s =>
+        assert(got((id, s.toLong)) == want(s), s"vec $id sub $s")
+      }
+    }
+  }
+
   test("nprobe = all cells: persisted-index ADC equals the driver-side PQ brute force bit-for-bit") {
     import spark.implicits._
     val n = 60
