@@ -5252,6 +5252,26 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Windowed audio features over REAL codec work — the audio twin of
+    // q209, closing the "no audio codecs" claim the same way: a
+    // deterministic 16-bit PCM WAV per doc (actual AudioSystem.write
+    // bytes), REAL javax.sound decode back to samples, then per-16-sample
+    // window integer features (energy Σs², in-window sign changes, peak
+    // |s|). WAV PCM is stored verbatim, so the decoded samples equal the
+    // md5 closed form and the oracle replays the whole
+    // encode→decode→feature path codec-free. Scale: features shuffle as
+    // four ints per window; audio bytes never leave their scan task.
+    "q212_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+      val wavs = graft.operators.Multimodal
+        .synthAudioCorpus(docs, "doc_id", nSamples = 64, sampleRate = 8000)
+      graft.operators.Multimodal.audioFeatures(wavs, "wav", windowSize = 16)
+        .select($"doc_id", $"sample_rate".cast("long").as("sample_rate"),
+          $"n_samples", $"win", $"energy", $"n_zc", $"peak")
+        .orderBy($"doc_id", $"win")
+    }),
+
     // Incremental ANN index refresh — the nightly-delta story (q167's
     // cost model applied to q210's persisted index): yesterday's corpus
     // (vec_id % 4 ≠ 0) is built once; tonight's arrivals (% 4 = 0) are
@@ -8109,6 +8129,17 @@ cand AS (SELECT qc.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u
 SELECT query_id, rn::BIGINT AS rank, vec_id, adc_u
 FROM (SELECT query_id, vec_id, adc_u, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM cand)
 WHERE rn <= 10 ORDER BY query_id, rank""",
+    // q212: samples replayed from the md5 closed form (WAV PCM roundtrip
+    // is verbatim), windowed integer features with BIGINT products
+    "q212_audio_features" ->
+      """WITH ii AS (SELECT unnest(range(0, 64)) AS i),
+sm AS (SELECT d.doc_id, ii.i, ('0x' || substr(md5('au:' || d.doc_id::VARCHAR || ':' || ii.i::VARCHAR), 1, 4))::INT - 32768 AS s FROM documents d, ii)
+SELECT doc_id, 8000::BIGINT AS sample_rate, 64::BIGINT AS n_samples, (i // 16)::BIGINT AS win,
+  sum(s::BIGINT * s)::BIGINT AS energy,
+  sum(CASE WHEN i % 16 > 0 AND prev::BIGINT * s < 0 THEN 1 ELSE 0 END)::BIGINT AS n_zc,
+  max(abs(s))::BIGINT AS peak
+FROM (SELECT doc_id, i, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM sm)
+GROUP BY doc_id, i // 16 ORDER BY doc_id, win""",
     // q211: q210's replay with the coarse/PQ codebooks derived from the
     // BASE slice only (vec_id % 4 <> 0 — the index that existed before
     // tonight's append) and codes over the full corpus

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * (PNG/JPEG/BMP/GIF via the JDK's `java.desktop` module — no external
   * jars), falling back to the deterministic md5 [[StubDecoder]] only for
   * bytes no installed reader accepts (the `defaultPdfToText` pattern: real
-  * codec first, documented stub as the fallback). Audio/video decode
-  * remains stubbed — the JDK ships no codecs for those — with the same
-  * injection seam.
+  * codec first, documented stub as the fallback). AUDIO decode is REAL for
+  * the JDK's container readers ([[decodeWav]]: WAV/AIFF/AU PCM through
+  * `javax.sound.sampled`). Only COMPRESSED audio (mp3/aac) and video
+  * remain stubbed — the JDK genuinely ships no codecs for those — behind
+  * the same injection seam.
   */
 object Multimodal {
 
@@ -324,6 +326,136 @@ object Multimodal {
             if (pert % 29 == 0) 255 - base else base
           }
           Row.fromSeq(row.toSeq :+ synthGrayPng(px, 8))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Encode 16-bit signed mono PCM samples as a REAL WAV container via
+    * `javax.sound.sampled.AudioSystem.write` (the JDK's `java.desktop`
+    * ships the WAVE/AIFF/AU file codecs — PCM is stored verbatim, so a
+    * decode recovers the exact samples, the audio analog of
+    * [[synthGrayPng]]).
+    */
+  def synthWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode through `javax.sound.sampled`: returns (sample
+    * rate, channels, 16-bit samples) for any container/encoding the JDK
+    * readers accept (WAV/AIFF/AU PCM). Multi-channel audio is returned
+    * interleaved as stored. None for undecodable bytes — same fallback
+    * philosophy as [[decodeImage]].
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val raw = in.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Short](n)
+        val be = fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          val lo = raw(2 * i) & 0xff
+          val hi = raw(2 * i + 1) & 0xff
+          out(i) = (if (be) (lo << 8) | hi else (hi << 8) | lo).toShort
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, out))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Windowed audio features over REAL-decoded samples — all integer
+    * arithmetic so an oracle replays them from the sample closed form:
+    * per `windowSize`-sample window, `energy` = Σ s² (BIGINT), `n_zc` =
+    * sign changes between consecutive in-window samples (zero never
+    * crosses), `peak` = max |s|. Adds (sample_rate, n_samples, win,
+    * energy, n_zc, peak) rows — one per (row, window); rows whose bytes
+    * do not decode emit nothing (total, not failing — the stream analog
+    * of the decode fallback).
+    */
+  def audioFeatures(df: DataFrame, binaryCol: String, windowSize: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("win", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false),
+      StructField("n_zc", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false)))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { row =>
+          decodeWav(row.getAs[Array[Byte]](binIdx)).toSeq.flatMap {
+            case (rate, _, samples) =>
+              samples.grouped(windowSize).zipWithIndex.map { case (w, wi) =>
+                var energy = 0L
+                var zc = 0L
+                var peak = 0L
+                var i = 0
+                while (i < w.length) {
+                  val s = w(i).toLong
+                  energy += s * s
+                  if (i > 0 && w(i - 1).toLong * s < 0L) zc += 1
+                  if (math.abs(s) > peak) peak = math.abs(s)
+                  i += 1
+                }
+                // Seq[Any]: a mixed Int/Long Seq otherwise harmonizes to
+                // Seq[Long] and the INT field rejects the widened value
+                Row.fromSeq(row.toSeq ++ Seq[Any](rate, samples.length.toLong,
+                  wi.toLong, energy, zc, peak))
+              }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic PCM WAV per id — REAL `AudioSystem.write` bytes whose
+    * samples follow an md5 closed form (the audio twin of
+    * [[synthImageCorpus]]): sample(id, i) = int(md5("au:<id>:<i>")[0:4],
+    * 16) − 32768. WAV PCM is verbatim, so decode recovers these exactly.
+    */
+  def synthAudioCorpus(df: DataFrame, idCol: String, nSamples: Int,
+      sampleRate: Int, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("wav", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          val samples = Array.tabulate(nSamples) { i =>
+            (Integer.parseInt(
+              md5Hex(s"au:$id:$i".getBytes("UTF-8")).substring(0, 4), 16)
+              - 32768).toShort
+          }
+          Row.fromSeq(row.toSeq :+ synthWav(samples, sampleRate))
         }
       }
     }

@@ -84,6 +84,32 @@ class MultimodalImageSpec extends AnyFunSuite {
     assert((8 to 11).map(stub.getLong).forall(v => v >= 0L && v <= 0x3fffL))
   }
 
+  test("synthWav/decodeWav: 16-bit PCM roundtrips bit-exactly through the real WAV codec") {
+    val samples = Array.tabulate(64)(i => (i * 997 - 30000).toShort)
+    val wav = Multimodal.synthWav(samples, 8000)
+    val Some((rate, ch, got)) = Multimodal.decodeWav(wav)
+    assert((rate, ch) == ((8000, 1)))
+    assert(got.toSeq == samples.toSeq)
+    assert(Multimodal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audioFeatures: hand-computed energy/zero-crossings/peak; undecodable rows emit nothing") {
+    import spark.implicits._
+    // window 0: alternating ±100 -> 3 crossings, energy 4*10000, peak 100
+    // window 1: ramp 1..4 (no crossing), energy 1+4+9+16, peak 4
+    val samples = Array[Short](100, -100, 100, -100, 1, 2, 3, 4)
+    val wav = Multimodal.synthWav(samples, 16000)
+    val df = Seq((1L, wav), (2L, "junk".getBytes("UTF-8"))).toDF("id", "wav")
+    val rows = Multimodal.audioFeatures(df, "wav", windowSize = 4)
+      .select("id", "sample_rate", "n_samples", "win", "energy", "n_zc", "peak")
+      .collect()
+    assert(rows.forall(_.getLong(0) == 1L)) // undecodable row 2 dropped
+    val byWin = rows.map(r => r.getLong(3) ->
+      (r.getInt(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(byWin(0L) == ((16000, 8L, 40000L, 3L, 100L)))
+    assert(byWin(1L) == ((16000, 8L, 30L, 0L, 4L)))
+  }
+
   test("extractMeta: real raster dimensions for decodable media, md5 pseudo-dims otherwise") {
     import spark.implicits._
     val png = Multimodal.synthGrayPng(Array.fill(64)(7), 8)
