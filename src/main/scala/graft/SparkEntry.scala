@@ -5199,32 +5199,39 @@ object SparkEntry {
     // eight small ints per image, never as pixels.
     "q209_image_phash_neardup" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select($"doc_id")
-      val imgs = graft.operators.Multimodal
-        .synthImageCorpus(docs, "doc_id", groupDiv = 4L)
-      val hashed = graft.operators.Multimodal.perceptualHashes(imgs, "img")
-        .select($"doc_id", $"a0", $"a1", $"a2", $"a3",
-          $"d0", $"d1", $"d2", $"d3")
-        .localCheckpoint(false) // banding + both verify sides read it
-      val bands = hashed.select($"doc_id",
-        posexplode(array($"a0", $"a1", $"a2", $"a3")).as(Seq("b", "v")))
-      val cand = bands.as("x").join(bands.as("y"),
-          $"x.b" === $"y.b" && $"x.v" === $"y.v" && $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b")).distinct()
-      val ha = hashed.toDF("id_a", "xa0", "xa1", "xa2", "xa3",
-        "xd0", "xd1", "xd2", "xd3")
-      val hb = hashed.toDF("id_b", "ya0", "ya1", "ya2", "ya3",
-        "yd0", "yd1", "yd2", "yd3")
-      cand.join(ha, "id_a").join(hb, "id_b")
-        .select($"id_a", $"id_b",
-          expr("bit_count(xa0 ^ ya0) + bit_count(xa1 ^ ya1)" +
-            " + bit_count(xa2 ^ ya2) + bit_count(xa3 ^ ya3)")
-            .cast("long").as("ham_a"),
-          expr("bit_count(xd0 ^ yd0) + bit_count(xd1 ^ yd1)" +
-            " + bit_count(xd2 ^ yd2) + bit_count(xd3 ^ yd3)")
-            .cast("long").as("ham_d"))
+      imagePhashPairs(t(s, dir, "documents").select($"doc_id"))
         .filter($"ham_a" <= 12)
         .orderBy($"id_a", $"id_b")
+    }),
+
+    // Image dedup CLUSTERS — q209's perceptual-hash pairs composed with
+    // the engine's own cluster resolution (q53's label propagation),
+    // closing the multimodal dedup loop: tight pairs (hamming ≤ 6) become
+    // components, each electing its lowest-id survivor, with the pair
+    // census (n_pairs, max_ham) a reviewer reads before deleting. The
+    // oracle replays the pixels arithmetically and resolves components
+    // with a recursive CTE. Scale: hashes shuffle as eight ints per
+    // image; label propagation runs on the pair-endpoint subgraph only
+    // (resolveClustersSparse — the singleton majority never iterates).
+    "q213_image_dedup_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+      val pairs = imagePhashPairs(docs)
+        .filter($"ham_a" <= 6)
+        .localCheckpoint(false) // labels + the pair census both read it
+      val lab = graft.operators.Dedup.resolveClustersSparse(
+        pairs.select($"id_a", $"id_b"), docs)
+      val sizes = lab.groupBy($"keeper_id")
+        .agg(count(lit(1)).as("n_members"))
+        .filter($"n_members" >= 2)
+      val pstat = pairs
+        .join(lab.select($"id".as("id_a"), $"keeper_id"), "id_a")
+        .groupBy($"keeper_id")
+        .agg(count(lit(1)).as("n_pairs"), max($"ham_a").as("max_ham"))
+      sizes.join(pstat, Seq("keeper_id"))
+        .select($"keeper_id".as("cluster_id"), $"n_members",
+          $"n_pairs", $"max_ham")
+        .orderBy($"cluster_id")
     }),
 
     // Persisted ANN build/serve split — q184's IVFADC restructured the
@@ -5615,6 +5622,40 @@ object SparkEntry {
     * endpoint multiset scales by the copy factor, so per-bucket peaks and
     * start/end counts all scale by exactly c).
     */
+  /** q209/q213's shared pipeline: synthesize the deterministic PNG corpus
+    * (REAL ImageIO encode), decode + perceptual-hash it
+    * ([[graft.operators.Multimodal.perceptualHashes]]), band-bucket
+    * candidates (the SimHash shape), and return exact hamming distances
+    * per candidate pair — callers apply their own threshold.
+    */
+  def imagePhashPairs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val imgs = graft.operators.Multimodal
+      .synthImageCorpus(docs, "doc_id", groupDiv = 4L)
+    val hashed = graft.operators.Multimodal.perceptualHashes(imgs, "img")
+      .select($"doc_id", $"a0", $"a1", $"a2", $"a3",
+        $"d0", $"d1", $"d2", $"d3")
+      .localCheckpoint(false) // banding + both verify sides read it
+    val bands = hashed.select($"doc_id",
+      posexplode(array($"a0", $"a1", $"a2", $"a3")).as(Seq("b", "v")))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.b" === $"y.b" && $"x.v" === $"y.v" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b")).distinct()
+    val ha = hashed.toDF("id_a", "xa0", "xa1", "xa2", "xa3",
+      "xd0", "xd1", "xd2", "xd3")
+    val hb = hashed.toDF("id_b", "ya0", "ya1", "ya2", "ya3",
+      "yd0", "yd1", "yd2", "yd3")
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .select($"id_a", $"id_b",
+        expr("bit_count(xa0 ^ ya0) + bit_count(xa1 ^ ya1)" +
+          " + bit_count(xa2 ^ ya2) + bit_count(xa3 ^ ya3)")
+          .cast("long").as("ham_a"),
+        expr("bit_count(xd0 ^ yd0) + bit_count(xd1 ^ yd1)" +
+          " + bit_count(xd2 ^ yd2) + bit_count(xd3 ^ yd3)")
+          .cast("long").as("ham_d"))
+  }
+
   def peakConcurrency(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
@@ -8129,6 +8170,36 @@ cand AS (SELECT qc.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u
 SELECT query_id, rn::BIGINT AS rank, vec_id, adc_u
 FROM (SELECT query_id, vec_id, adc_u, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM cand)
 WHERE rn <= 10 ORDER BY query_id, rank""",
+    // q213: q209's pixel/band/hamming replay, tight pairs (≤ 6), then the
+    // q53 recursive-CTE component resolution and per-cluster census
+    "q213_image_dedup_clusters" ->
+      """WITH RECURSIVE ii AS (SELECT unnest(range(0, 64)) AS i),
+px AS (SELECT d.doc_id, ii.i,
+  CASE WHEN ('0x' || substr(md5('pert:' || d.doc_id::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT % 29 = 0
+    THEN 255 - ('0x' || substr(md5((d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT
+    ELSE ('0x' || substr(md5((d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT END AS px
+  FROM documents d, ii),
+s AS (SELECT doc_id, sum(px)::BIGINT AS tot FROM px GROUP BY 1),
+ab AS (SELECT px.doc_id, px.i // 16 AS b,
+  sum(CASE WHEN px.px * 64 > s.tot THEN 1::BIGINT << (px.i % 16) ELSE 0 END)::BIGINT AS v
+  FROM px JOIN s USING (doc_id) GROUP BY 1, 2),
+ha AS (SELECT doc_id, max(CASE WHEN b = 0 THEN v END) AS a0, max(CASE WHEN b = 1 THEN v END) AS a1,
+  max(CASE WHEN b = 2 THEN v END) AS a2, max(CASE WHEN b = 3 THEN v END) AS a3 FROM ab GROUP BY 1),
+cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM ab x JOIN ab y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+prs AS (SELECT c.id_a, c.id_b,
+  (bit_count(xor(pa.a0, qa.a0)) + bit_count(xor(pa.a1, qa.a1)) + bit_count(xor(pa.a2, qa.a2)) + bit_count(xor(pa.a3, qa.a3)))::BIGINT AS ham_a
+  FROM cand c JOIN ha pa ON c.id_a = pa.doc_id JOIN ha qa ON c.id_b = qa.doc_id),
+good AS (SELECT id_a, id_b, ham_a FROM prs WHERE ham_a <= 6),
+edges AS (SELECT id_a AS src, id_b AS dst FROM good UNION ALL SELECT id_b AS src, id_a AS dst FROM good),
+reach AS (SELECT doc_id AS id, doc_id AS r FROM documents UNION SELECT e.dst AS id, reach.r AS r FROM reach JOIN edges e ON e.src = reach.id),
+lab AS (SELECT id, min(r) AS keeper_id FROM reach GROUP BY id),
+sizes AS (SELECT keeper_id, count(*)::BIGINT AS n_members FROM lab GROUP BY 1 HAVING count(*) >= 2),
+pstat AS (SELECT l.keeper_id, count(*)::BIGINT AS n_pairs, max(g.ham_a)::BIGINT AS max_ham
+  FROM good g JOIN lab l ON g.id_a = l.id GROUP BY 1)
+SELECT sizes.keeper_id AS cluster_id, sizes.n_members, pstat.n_pairs, pstat.max_ham
+FROM sizes JOIN pstat ON sizes.keeper_id = pstat.keeper_id
+ORDER BY cluster_id""",
     // q212: samples replayed from the md5 closed form (WAV PCM roundtrip
     // is verbatim), windowed integer features with BIGINT products
     "q212_audio_features" ->
