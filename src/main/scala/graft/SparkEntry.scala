@@ -5259,6 +5259,34 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // Cross-modal dedup agreement — the audit a multimodal corpus runs
+    // before trusting either signal alone: the TEXT near-dup pairs (q39's
+    // verified LSH at 0.75) and the IMAGE perceptual-hash pairs (q213's
+    // tight hamming ≤ 6) full-outer-joined into a 3-way census (both /
+    // text-only / image-only). By construction the synthetic image groups
+    // (doc_id div 4) are independent of text similarity, so the overlap
+    // measures exactly what a production audit would: how often the two
+    // modalities nominate the same pair. Both pipelines shuffle
+    // hash-sized rows only; the join is pair-keyed.
+    "q214_multimodal_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val tp = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+          numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
+        .select($"id_a", $"id_b", lit(1L).as("is_text"))
+      val ip = imagePhashPairs(docs.select($"doc_id"))
+        .filter($"ham_a" <= 6)
+        .select($"id_a", $"id_b", lit(1L).as("is_image"))
+      tp.join(ip, Seq("id_a", "id_b"), "full_outer")
+        .select(coalesce($"is_text", lit(0L)).as("t"),
+          coalesce($"is_image", lit(0L)).as("i"))
+        .groupBy($"t", $"i").agg(count(lit(1)).as("n_pairs"))
+        .select(when($"t" === 1 && $"i" === 1, "1_both")
+          .when($"t" === 1, "2_text_only")
+          .otherwise("3_image_only").as("agreement"), $"n_pairs")
+        .orderBy($"agreement")
+    }),
+
     // Windowed audio features over REAL codec work — the audio twin of
     // q209, closing the "no audio codecs" claim the same way: a
     // deterministic 16-bit PCM WAV per doc (actual AudioSystem.write
@@ -8170,6 +8198,34 @@ cand AS (SELECT qc.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u
 SELECT query_id, rn::BIGINT AS rank, vec_id, adc_u
 FROM (SELECT query_id, vec_id, adc_u, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM cand)
 WHERE rn <= 10 ORDER BY query_id, rank""",
+    // q214: verified-LSH text pairs × the image pixel/band/hamming replay
+    // (image CTEs prefixed i- to avoid colliding with the LSH names),
+    // full-outer 3-way census
+    "q214_multimodal_agreement" ->
+      s"""WITH $LshVerifiedCtes,
+tp AS (SELECT id_a, id_b, 1 AS t FROM verified WHERE est_jac >= 0.75),
+ii AS (SELECT unnest(range(0, 64)) AS i),
+ipx AS (SELECT d.doc_id, ii.i,
+  CASE WHEN ('0x' || substr(md5('pert:' || d.doc_id::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT % 29 = 0
+    THEN 255 - ('0x' || substr(md5((d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT
+    ELSE ('0x' || substr(md5((d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT END AS px
+  FROM documents d, ii),
+isum AS (SELECT doc_id, sum(px)::BIGINT AS tot FROM ipx GROUP BY 1),
+iab AS (SELECT ipx.doc_id, ipx.i // 16 AS b,
+  sum(CASE WHEN ipx.px * 64 > isum.tot THEN 1::BIGINT << (ipx.i % 16) ELSE 0 END)::BIGINT AS v
+  FROM ipx JOIN isum USING (doc_id) GROUP BY 1, 2),
+iha AS (SELECT doc_id, max(CASE WHEN b = 0 THEN v END) AS a0, max(CASE WHEN b = 1 THEN v END) AS a1,
+  max(CASE WHEN b = 2 THEN v END) AS a2, max(CASE WHEN b = 3 THEN v END) AS a3 FROM iab GROUP BY 1),
+icand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM iab x JOIN iab y ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+ip AS (SELECT id_a, id_b, 1 AS i FROM (SELECT c.id_a, c.id_b,
+  (bit_count(xor(pa.a0, qa.a0)) + bit_count(xor(pa.a1, qa.a1)) + bit_count(xor(pa.a2, qa.a2)) + bit_count(xor(pa.a3, qa.a3)))::BIGINT AS ham_a
+  FROM icand c JOIN iha pa ON c.id_a = pa.doc_id JOIN iha qa ON c.id_b = qa.doc_id) WHERE ham_a <= 6)
+SELECT CASE WHEN coalesce(t, 0) = 1 AND coalesce(i, 0) = 1 THEN '1_both'
+  WHEN coalesce(t, 0) = 1 THEN '2_text_only' ELSE '3_image_only' END AS agreement,
+  count(*)::BIGINT AS n_pairs
+FROM tp FULL OUTER JOIN ip USING (id_a, id_b)
+GROUP BY 1 ORDER BY agreement""",
     // q213: q209's pixel/band/hamming replay, tight pairs (≤ 6), then the
     // q53 recursive-CTE component resolution and per-cluster census
     "q213_image_dedup_clusters" ->
