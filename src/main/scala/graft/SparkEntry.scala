@@ -5298,7 +5298,10 @@ object SparkEntry {
     // four ints per window; audio bytes never leave their scan task.
     "q212_audio_features" -> ((s, dir) => {
       import s.implicits._
+      // spread the per-row WAV encode+decode before the mapPartitions
+      // (the q90 single-partition-codec lesson, as in imagePhashPairs)
       val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id")
       val wavs = graft.operators.Multimodal
         .synthAudioCorpus(docs, "doc_id", nSamples = 64, sampleRate = 8000)
       graft.operators.Multimodal.audioFeatures(wavs, "wav", windowSize = 16)
@@ -5659,8 +5662,12 @@ object SparkEntry {
   def imagePhashPairs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the q90 lesson: per-row codec work (PNG encode+decode) is
+    // compute-bound, and a small parquet arrives as ONE partition AQE
+    // never splits — spread it BEFORE the mapPartitions (explicit-N
+    // overload: plain repartition(col) is AQE-coalescible)
     val imgs = graft.operators.Multimodal
-      .synthImageCorpus(docs, "doc_id", groupDiv = 4L)
+      .synthImageCorpus(docs.repartition(32, $"doc_id"), "doc_id", groupDiv = 4L)
     val hashed = graft.operators.Multimodal.perceptualHashes(imgs, "img")
       .select($"doc_id", $"a0", $"a1", $"a2", $"a3",
         $"d0", $"d1", $"d2", $"d3")
