@@ -5579,6 +5579,168 @@ object SparkEntry {
       graft.operators.GraphMetrics.degreeAssortativity(pairs, "id_a", "id_b")
     }),
 
+    // EXACT set-similarity self-join with prefix filtering (AllPairs/
+    // PPJoin, Bayardo'07/Xiao'08) — the exact complement to q39's
+    // MinHash-LSH: every pair with true shingle-set Jaccard ≥ 0.5 and
+    // nothing else, no banding luck. Runs over the q57 window corpus
+    // (overlapping windows of one doc genuinely share shingles — the raw
+    // corpus has no true near-dups: max exact J = 0.29). The prefix-
+    // filter lemma makes the candidate equi-join lossless, so the oracle
+    // is the straight brute-force all-pairs — identical rows proves the
+    // filter dropped nothing. Scale: shuffles keyed by element and by id
+    // only; rarest-first canonical order keeps prefix fan-out on low-df
+    // elements (see [[graft.operators.SetSimJoin]]).
+    "q215_setsim_exact" -> ((s, dir) => {
+      import s.implicits._
+      val win = t(s, dir, "documents")
+        .filter($"doc_id" < 200)
+        .withColumn("stride", greatest(lit(1L), floor(length($"text") / lit(8.0))))
+        .withColumn("wlen", greatest(lit(4L), floor(length($"text") / lit(2.0))))
+        .select(($"doc_id" * 3).as("base"), $"text", $"stride", $"wlen",
+          explode(sequence(lit(0L), lit(2L))).as("w"))
+        .select(($"base" + $"w").as("win_id"),
+          $"text".substr(($"w" * $"stride" + 1).cast("int"), $"wlen".cast("int")).as("wtext"))
+      graft.operators.SetSimJoin
+        .selfJoin(win, "win_id", "wtext", shingleN = 5, tau4 = 5000L)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Blocked record linkage (entity resolution): a deterministic "dirty
+    // feed" — every customer name with one digit deleted at a key-derived
+    // position — is linked back to the clean table via rarest-2 q-gram
+    // blocking + Levenshtein verify ([[graft.operators.RecordLinkage]]).
+    // Both engines run the SAME classic DP levenshtein, so the verify is
+    // exact; blocking is the replayable-heuristic contract (like LSH
+    // banding). Measured here: rarest-2 blocking (≈14 candidates/record)
+    // elects the IDENTICAL best matches as brute-force all-pairs — and
+    // n_ties discloses the genuinely ambiguous deletions (a deleted
+    // significant digit is equidistant from two source names).
+    "q216_record_linkage" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val clean = cust.select($"c_custkey".as("rid"), $"c_name".as("name"))
+      val dirty = cust.select(($"c_custkey" + 10000000L).as("rid"),
+        concat(
+          $"c_name".substr(lit(1), (lit(9) + pmod($"c_custkey", lit(8))).cast("int")),
+          expr("substring(c_name, cast(11 + c_custkey % 8 as int))")).as("name"))
+      graft.operators.RecordLinkage
+        .linkage(clean, dirty, "rid", "name", "rid", "name",
+          q = 4, rarest = 2, maxDist = 2)
+        .select($"rid".as("dirty_id"), $"lid".as("match_key"),
+          $"dist", $"n_cands", $"n_ties")
+        .orderBy($"dirty_id")
+    }),
+
+    // Bigram-LM fluency scoring (stupid backoff, Brants'07) — the
+    // perplexity-style quality gate, integer-exact: the LM is counted on
+    // an 80% hash split and scores the HELD-OUT 20% (so backoff/OOV
+    // genuinely fire), with every conditional probability quantized to
+    // basis points via integral division the moment it is computed and
+    // summed as BIGINT (the bm25Micro policy — no transcendental, no
+    // order-dependent double sum anywhere). See
+    // [[graft.operators.NgramLm]] for the 100 TB shape: the model is two
+    // Heaps-sublinear count tables; scoring is linear joins keyed by
+    // bigram/unigram.
+    "q217_bigram_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val h = graft.functions.HashFunctions.stableHash64(
+        concat(lit("lm:"), $"doc_id".cast("string")))
+      val train = docs.filter(pmod(h, lit(5L)) =!= 0)
+      val evalDocs = docs.filter(pmod(h, lit(5L)) === 0)
+      graft.operators.NgramLm.bigramScore(train, evalDocs, "doc_id", "text")
+        .select($"id".as("doc_id"), $"n_pairs", $"n_hit", $"n_backoff",
+          $"n_oov", $"sum_bps", $"mean_bps")
+        .orderBy($"doc_id")
+    }),
+
+    // CDC MERGE apply ([[graft.operators.Cdc]]) — the upsert/delete log
+    // pattern next to SCD2 (q124) and IVM (q176): events become a change
+    // log (error = tombstone, else upsert; seq = (µs ts, event_id)), the
+    // pre-cutoff log collapses to a live base snapshot, the post-cutoff
+    // delta collapses per key, and the merge classifies every key's
+    // outcome (carry/insert/update/delete/noop_delete) before it lands.
+    // All latest-wins elections are window row_number under a total
+    // order; µs seq per the ts-precision policy. Scale: two key-sharded
+    // windows + one key join — history is never rescanned.
+    "q218_cdc_merge" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      def logOf(df: org.apache.spark.sql.DataFrame) = df.select(
+        $"user_id".as("key"), expr("ts div 1000").as("seq"),
+        $"event_id".as("tiebreak"),
+        when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"),
+        expr("cast(floor(value * 1000000) as bigint)").as("val"))
+      val cutUs = 1706140800000000L // the q176 cutoff, in µs
+      graft.operators.Cdc.mergeClassify(
+          logOf(ev.filter(expr("ts div 1000") < cutUs)),
+          logOf(ev.filter(expr("ts div 1000") >= cutUs)))
+        .select($"key".as("user_id"), $"action",
+          $"live_val".as("live_val_u"), $"n_base_ops", $"n_delta_ops")
+        .orderBy($"user_id")
+    }),
+
+    // Weighted πps sampling (sequential Poisson, Ohlsson 1998) — the
+    // size-weighted corpus subsample as a pure function of the data:
+    // u48/n_chars priorities (one IEEE double division — bit-identical
+    // on any IEEE engine), k = 10 winners per source. The rank filter
+    // sits directly on the row_number window so Spark plans
+    // WindowGroupLimit — map tasks forward ≤ k rows per source, the
+    // per-stratum hazard q199 removed never appears. See
+    // [[graft.operators.WeightedSample]].
+    "q219_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.WeightedSample
+        .perStratum(t(s, dir, "documents"), "source", "doc_id", "n_chars",
+          k = 10, salt = "wps")
+        .select($"stratum".as("source"), $"rank", $"id".as("doc_id"),
+          $"weight".as("n_chars"), $"pri4")
+        .orderBy($"source", $"rank")
+    }),
+
+    // Join-cardinality probe ([[graft.operators.Salting.estimateJoinSize]])
+    // — the q168 advisor's missing number: BEFORE paying a join, estimate
+    // its output as rate·Σ d·d′ over a deterministic 1-in-4 hash sample
+    // of KEYS (key sampling keeps each degree product exact; row sampling
+    // would bias quadratically). Degrees for all three probed pairs come
+    // from ONE grouped pass over events; actual vs estimate vs err4 in
+    // exact integers. At 100 TB the degree aggregate is the only
+    // row-sized shuffle and the probe reads the sampled slice.
+    "q220_join_size_probe" -> ((s, dir) => {
+      import s.implicits._
+      val deg = t(s, dir, "events").groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("d"))
+        .localCheckpoint(false) // six filtered views read it
+      Seq(("click", "view"), ("error", "signup"), ("purchase", "view"))
+        .map { case (a, b) =>
+          graft.operators.Salting.estimateJoinSize(
+              deg.filter($"event_type" === a).select($"user_id", $"d"),
+              deg.filter($"event_type" === b).select($"user_id", $"d"),
+              "user_id", rate = 4L)
+            .select(lit(a).as("side_a"), lit(b).as("side_b"),
+              $"n_keys_sampled", $"est_rows", $"actual_rows", $"err4")
+        }
+        .reduce(_ unionByName _)
+        .orderBy($"side_a", $"side_b")
+    }),
+
+    // Bounded-hop harmonic centrality (Boldi & Vigna 2014, truncated) on
+    // the strong near-dup graph — the node-local companion to PageRank
+    // (q108) / k-core (q170): how much near-duplicate mass sits within 3
+    // hops of each doc, with reciprocal distances in exact micro-units so
+    // the sum is order-free. Each hop is one frontier ⋈ edges join + one
+    // anti-join against known distances ([[graft.operators.GraphMetrics
+    // .harmonicCentrality]]) — edge-sized rounds, no all-pairs closure.
+    "q221_harmonic_centrality" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
+      graft.operators.GraphMetrics
+        .harmonicCentrality(pairs, "id_a", "id_b", hops = 3)
+        .orderBy($"id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -8382,5 +8544,93 @@ SELECT * FROM (
   UNION ALL SELECT 'n_tok', 'ttr', floor((n::DOUBLE * m13::DOUBLE - m1::DOUBLE * m3::DOUBLE) / sqrt((n::DOUBLE * m11::DOUBLE - m1::DOUBLE * m1::DOUBLE) * (n::DOUBLE * m33::DOUBLE - m3::DOUBLE * m3::DOUBLE)) * 1000000.0)::BIGINT FROM m
   UNION ALL SELECT 'mean_len', 'ttr', floor((n::DOUBLE * m23::DOUBLE - m2::DOUBLE * m3::DOUBLE) / sqrt((n::DOUBLE * m22::DOUBLE - m2::DOUBLE * m2::DOUBLE) * (n::DOUBLE * m33::DOUBLE - m3::DOUBLE * m3::DOUBLE)) * 1000000.0)::BIGINT FROM m)
 ORDER BY sig_a, sig_b""",
+
+    // q215: brute-force exact all-pairs — equality with the engine's
+    // prefix-filtered plan IS the exactness proof for the filter
+    "q215_setsim_exact" ->
+      """WITH win AS (SELECT doc_id*3 + w AS win_id, substr(text, 1 + w*greatest(1, cast(floor(length(text)/8.0) AS BIGINT)), greatest(4, cast(floor(length(text)/2.0) AS BIGINT))) AS wtext FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200), (SELECT unnest([0,1,2]) AS w)),
+s AS (SELECT win_id, list_distinct(CASE WHEN length(wtext) < 5 THEN [wtext] ELSE list_transform(range(1, length(wtext)-3), i -> substr(wtext, i, 5)) END) AS sh FROM win),
+p AS (SELECT a.win_id AS id_a, b.win_id AS id_b, len(list_intersect(a.sh, b.sh))::BIGINT AS inter, (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS uni FROM s a JOIN s b ON a.win_id < b.win_id)
+SELECT id_a, id_b, inter, uni, inter * 10000 // uni AS jac4 FROM p WHERE inter * 10000 >= 5000 * uni ORDER BY id_a, id_b""",
+
+    // q216: full algorithm replay — deterministic mangle, distinct q-grams
+    // with first positions, global df, rarest-2 nomination, candidate
+    // join, levenshtein verify, (dist, lid) election with tie census
+    "q216_record_linkage" ->
+      """WITH clean AS (SELECT c_custkey AS rid, c_name AS name FROM customer),
+dirty AS (SELECT c_custkey + 10000000 AS rid, substr(c_name, 1, (9 + (c_custkey % 8))::INTEGER) || substr(c_name, (11 + (c_custkey % 8))::INTEGER) AS name FROM customer),
+au AS (SELECT rid, name FROM clean UNION ALL SELECT rid, name FROM dirty),
+ag AS (SELECT rid, g, min(pos) AS pos FROM (SELECT rid, i AS pos, substr(name, i::INTEGER, 4) AS g FROM (SELECT rid, name, unnest(range(1, length(name) - 2)) AS i FROM au)) GROUP BY rid, g),
+gdf AS (SELECT g, count(*) AS df FROM ag GROUP BY g),
+rare AS (SELECT rid, g FROM (SELECT ag.rid, ag.g, row_number() OVER (PARTITION BY ag.rid ORDER BY gdf.df, ag.g, ag.pos) AS rn FROM ag JOIN gdf USING (g)) WHERE rn <= 2),
+cand AS (SELECT DISTINCT a.rid AS lid, b.rid AS rid FROM rare a JOIN rare b ON a.g = b.g AND a.rid < 10000000 AND b.rid >= 10000000),
+nc AS (SELECT rid, count(*) AS n_cands FROM cand GROUP BY rid),
+ver AS (SELECT c.lid, c.rid, levenshtein(cl.name, dr.name)::BIGINT AS dist FROM cand c JOIN clean cl ON cl.rid = c.lid JOIN dirty dr ON dr.rid = c.rid WHERE levenshtein(cl.name, dr.name) <= 2),
+mn AS (SELECT rid, min(dist) AS mind FROM ver GROUP BY rid),
+ties AS (SELECT ver.rid, count(*) AS n_ties FROM ver JOIN mn USING (rid) WHERE ver.dist = mn.mind GROUP BY ver.rid),
+best AS (SELECT rid, lid, dist, row_number() OVER (PARTITION BY rid ORDER BY dist, lid) AS rn FROM ver)
+SELECT b.rid AS dirty_id, b.lid AS match_key, b.dist, nc.n_cands, ties.n_ties FROM best b JOIN nc USING (rid) JOIN ties USING (rid) WHERE b.rn = 1 ORDER BY dirty_id""",
+
+    // q217: full LM replay — 80/20 md5 split, train counts, eval pair
+    // stream, stupid-backoff CASE in pure integral division
+    "q217_bigram_lm_score" ->
+      raw"""WITH d AS (SELECT doc_id, lower(text) AS t, ('0x' || substr(md5('lm:' || doc_id::VARCHAR), 1, 15))::BIGINT % 5 AS b FROM documents),
+tt AS (SELECT doc_id, b, regexp_extract_all(t, '\w+') AS tk FROM d),
+toks AS (SELECT doc_id, b, wi AS pos, tk[wi::INTEGER] AS w FROM (SELECT doc_id, b, tk, unnest(range(1, len(tk)+1)) AS wi FROM tt)),
+tp AS (SELECT doc_id, b, pos, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks),
+c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM toks WHERE b <> 0 GROUP BY w),
+ntot AS (SELECT count(*)::BIGINT AS n_tot FROM toks WHERE b <> 0),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM tp WHERE b <> 0 AND w2 IS NOT NULL GROUP BY w1, w2),
+ep AS (SELECT doc_id, w1, w2 FROM tp WHERE b = 0 AND w2 IS NOT NULL),
+sc AS (SELECT ep.doc_id,
+  CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+  CASE WHEN c2.c2 IS NULL AND u2.c1 IS NOT NULL THEN 1 ELSE 0 END AS backoff,
+  CASE WHEN c2.c2 IS NULL AND u2.c1 IS NULL THEN 1 ELSE 0 END AS oov,
+  CASE WHEN c2.c2 IS NOT NULL THEN (c2.c2 * 10000) // u1.c1
+       WHEN u2.c1 IS NOT NULL THEN (u2.c1 * 4000) // (SELECT n_tot FROM ntot)
+       ELSE 0 END AS bps
+  FROM ep LEFT JOIN c2 ON ep.w1 = c2.w1 AND ep.w2 = c2.w2
+  LEFT JOIN c1 u1 ON ep.w1 = u1.w LEFT JOIN c1 u2 ON ep.w2 = u2.w)
+SELECT doc_id, count(*)::BIGINT AS n_pairs, sum(hit)::BIGINT AS n_hit, sum(backoff)::BIGINT AS n_backoff, sum(oov)::BIGINT AS n_oov, sum(bps)::BIGINT AS sum_bps, (sum(bps)::BIGINT * 1) // count(*) AS mean_bps FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // q218: latest-wins via row_number under (µs seq, event_id) DESC on
+    // both sides of the cutoff, then the classified full-outer merge
+    "q218_cdc_merge" ->
+      """WITH log AS (SELECT user_id AS key, epoch_us(ts) AS seq, event_id AS tb, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, cast(floor(value * 1000000) AS BIGINT) AS val FROM events),
+bs AS (SELECT key, val AS base_val, n_ops AS n_base_ops FROM (SELECT key, op, val, row_number() OVER (PARTITION BY key ORDER BY seq DESC, tb DESC) AS rn, count(*) OVER (PARTITION BY key) AS n_ops FROM log WHERE seq < 1706140800000000) WHERE rn = 1 AND op = 'U'),
+ds AS (SELECT key, op AS d_op, val AS d_val, n_ops AS n_delta_ops FROM (SELECT key, op, val, row_number() OVER (PARTITION BY key ORDER BY seq DESC, tb DESC) AS rn, count(*) OVER (PARTITION BY key) AS n_ops FROM log WHERE seq >= 1706140800000000) WHERE rn = 1)
+SELECT coalesce(bs.key, ds.key) AS user_id,
+  CASE WHEN d_op IS NULL THEN 'carry' WHEN d_op = 'U' AND n_base_ops IS NULL THEN 'insert' WHEN d_op = 'U' THEN 'update' WHEN n_base_ops IS NOT NULL THEN 'delete' ELSE 'noop_delete' END AS action,
+  CASE WHEN d_op = 'U' THEN d_val WHEN d_op IS NULL THEN base_val ELSE NULL END AS live_val_u,
+  coalesce(n_base_ops, 0)::BIGINT AS n_base_ops, coalesce(n_delta_ops, 0)::BIGINT AS n_delta_ops
+FROM bs FULL JOIN ds ON bs.key = ds.key ORDER BY user_id""",
+
+    // q219: same u48 mod-2⁴⁸ hash, same single double division, same
+    // (priority, id) election — sample membership replays exactly
+    "q219_weighted_sample" ->
+      """WITH d AS (SELECT source, doc_id, n_chars, (('0x' || substr(md5('wps:' || doc_id::VARCHAR), 1, 15))::BIGINT % 281474976710656) AS u48 FROM documents),
+r AS (SELECT source, doc_id, n_chars, u48::DOUBLE / n_chars AS pri, row_number() OVER (PARTITION BY source ORDER BY u48::DOUBLE / n_chars, doc_id) AS rank FROM d)
+SELECT source, rank::BIGINT AS rank, doc_id, n_chars, floor(pri * 10000)::BIGINT AS pri4 FROM r WHERE rank <= 10 ORDER BY source, rank""",
+
+    // q220: same degree tables, same md5 1-in-4 key draw, exact integer
+    // scale-up and error
+    "q220_join_size_probe" ->
+      """WITH deg AS (SELECT user_id, event_type, count(*)::BIGINT AS d FROM events GROUP BY 1, 2),
+pr AS (SELECT 'click' AS side_a, 'view' AS side_b UNION ALL SELECT 'error', 'signup' UNION ALL SELECT 'purchase', 'view'),
+j AS (SELECT pr.side_a, pr.side_b, a.user_id, a.d * b.d AS dd, CASE WHEN ('0x' || substr(md5('jse:' || a.user_id::VARCHAR), 1, 15))::BIGINT % 4 = 0 THEN 1 ELSE 0 END AS insample
+  FROM pr JOIN deg a ON a.event_type = pr.side_a JOIN deg b ON b.event_type = pr.side_b AND b.user_id = a.user_id)
+SELECT side_a, side_b, sum(insample)::BIGINT AS n_keys_sampled, (sum(CASE WHEN insample = 1 THEN dd ELSE 0 END) * 4)::BIGINT AS est_rows, sum(dd)::BIGINT AS actual_rows, (abs(sum(CASE WHEN insample = 1 THEN dd ELSE 0 END) * 4 - sum(dd)) * 10000 // sum(dd))::BIGINT AS err4 FROM j GROUP BY side_a, side_b ORDER BY side_a, side_b""",
+
+    // q221: recursive bounded BFS with UNION-dedup termination, min
+    // distance per pair, micro-unit reciprocal sum
+    "q221_harmonic_centrality" ->
+      s"""WITH RECURSIVE $LshVerifiedCtes,
+prs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.75),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+reach AS (SELECT src AS u, dst AS v, 1 AS d FROM edges
+  UNION
+  SELECT r.u, e.dst AS v, r.d + 1 FROM reach r JOIN edges e ON e.src = r.v WHERE r.d < 3 AND e.dst <> r.u),
+md AS (SELECT u, v, min(d)::BIGINT AS d FROM reach GROUP BY u, v)
+SELECT u AS id, (count(*) FILTER (d = 1))::BIGINT AS n_1hop, (count(*) FILTER (d > 1))::BIGINT AS n_far, sum(1000000 // d)::BIGINT AS h_micro FROM md GROUP BY u ORDER BY id""",
   )
 }

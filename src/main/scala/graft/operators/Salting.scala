@@ -171,4 +171,36 @@ object Salting {
       case _ => big.join(small, Seq(key))
     }
   }
+
+  /** Sampled join-cardinality estimation — the planner probe BEFORE the
+    * join that [[adviseJoin]]'s broadcast/salt decision complements: the
+    * true equi-join size is Σ_k dL(k)·dR(k) over key degrees, and a
+    * deterministic `1/rate` hash-sample OF KEYS estimates it as
+    * `rate · Σ_{sampled k} dL(k)·dR(k)` (key-sampling keeps the degree
+    * PRODUCT exact per sampled key — row-sampling would bias d·d′
+    * quadratically). All integer: degrees are counts, the scale-up is an
+    * exact multiply, and the oracle replays the same md5 key draw.
+    *
+    * Input: the two sides' degree tables (key, d). Output one row:
+    * (n_keys_sampled, est_rows, actual_rows, err4) — `actual` is affordable
+    * here because degree tables are distinct-key-sized, never row-sized;
+    * at 100 TB both sides' degree aggregates are the only shuffles, and
+    * the estimate needs only the sampled slice of the degree join.
+    */
+  def estimateJoinSize(degL: DataFrame, degR: DataFrame, key: String,
+      rate: Long, salt: String = "jse"): DataFrame = {
+    val joined = degL.select(col(key), col("d").as("dl"))
+      .join(degR.select(col(key), col("d").as("dr")), Seq(key))
+      .select(col(key), (col("dl") * col("dr")).as("dd"),
+        (pmod(graft.functions.HashFunctions.stableHash64(
+          concat(lit(s"$salt:"), col(key).cast("string"))), lit(rate)) === 0)
+          .cast("long").as("insample"))
+    joined.agg(
+        sum(col("insample")).as("n_keys_sampled"),
+        (sum(when(col("insample") === 1, col("dd")).otherwise(lit(0L))) * rate)
+          .as("est_rows"),
+        sum(col("dd")).as("actual_rows"))
+      .select(col("n_keys_sampled"), col("est_rows"), col("actual_rows"),
+        expr("abs(est_rows - actual_rows) * 10000 div actual_rows").as("err4"))
+  }
 }

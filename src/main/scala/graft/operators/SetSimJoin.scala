@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join via prefix filtering — the AllPairs/PPJoin
+  * family (Bayardo et al., WWW'07; Xiao et al., WWW'08) expressed as three
+  * declarative Spark stages. Complements the engine's MinHash-LSH join
+  * ([[Dedup.nearDupPairs]], approximate, recall < 1): this operator returns
+  * EVERY pair with Jaccard ≥ τ and nothing else, with the candidate space
+  * bounded by the prefix-filter theorem instead of banding luck.
+  *
+  * Reference analog: the reference dedups only by exact pk lookups
+  * (`pipeline2.py` insert-if-absent); exact τ-joins are the north-star
+  * training-data-pipeline extension of that check.
+  *
+  * Algorithm (all exact integer arithmetic, τ carried as `tau4`/10⁴):
+  *  1. distinct element extraction (character `n`-gram shingle sets);
+  *  2. canonical rarest-first element order: sort each set by global
+  *     (document-frequency, element) — one vocabulary-sized aggregate +
+  *     one join, both keyed by element;
+  *  3. prefix explode: the first `|x| − ⌈τ·|x|⌉ + 1` elements of each set.
+  *     Prefix-filter lemma: two sets with `J ≥ τ` MUST share a prefix
+  *     element under any common total order (their overlap is ≥ ⌈τ·max⌉,
+  *     and (|x|−o+1)-prefixes of sets with overlap ≥ o intersect), so the
+  *     equi-join on prefix elements loses nothing — exactness is free;
+  *  4. length filter `min·10⁴ ≥ tau4·max` inside the join condition
+  *     (a necessary J ≥ τ condition — kills size-mismatched candidates
+  *     before the distinct);
+  *  5. exact verify: `array_intersect` on the two (distinct) element
+  *     arrays; keep `inter·10⁴ ≥ tau4·union`.
+  *
+  * Scale: the only corpus-sized shuffles are keyed by element (df count,
+  * prefix join) and by id (array attach) — never an all-pairs cross join.
+  * Rarest-first ordering makes prefix elements the LOW-df ones, so the
+  * prefix join's per-key fan-out is bounded by rare-element df², the knob
+  * the literature turns (suffix/positional filters would tighten further;
+  * the length filter already removes the bulk). At 100 TB the df table is
+  * vocabulary-sized (Heaps-sublinear) and everything else is linear in
+  * Σ|set| + output.
+  */
+object SetSimJoin {
+
+  /** Distinct-element sets in canonical rarest-first order:
+    * (id, toks array<string>, sz). `df` ties break on the element itself, so
+    * the order — and therefore the prefix — is deterministic.
+    */
+  def canonicalSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame = {
+    val el = docs
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(Dedup.shinglesCol(col(textCol), shingleN))).as("__g"))
+    val dfc = el.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    el.join(dfc, "__g")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
+      .select(col("__id").as("id"),
+        transform(col("__ord"), x => x.getField("__g")).as("toks"),
+        size(col("__ord")).cast("long").as("sz"))
+  }
+
+  /** All pairs (id_a < id_b) with exact Jaccard ≥ tau4/10⁴ over the distinct
+    * character-`shingleN`-gram sets of `textCol`. Output:
+    * (id_a, id_b, inter, uni, jac4) with `jac4 = inter·10⁴ div uni`.
+    */
+  def selfJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau4: Long): DataFrame = {
+    require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
+    // both the prefix explode and the verify join read the sets — stage once
+    val sets = canonicalSets(docs, idCol, textCol, shingleN).localCheckpoint(false)
+    // prefix length sz − ⌈tau4·sz/10⁴⌉ + 1, the ceil in pure integers
+    // (sz ≥ 1 so the numerator is positive and floor((x+9999)/10⁴) = ⌈x/10⁴⌉)
+    val prefix = sets
+      .select(col("id"), col("sz"),
+        explode(slice(col("toks"), lit(1),
+          (col("sz") - floor((col("sz") * tau4 + lit(9999L)) / lit(10000L)) + lit(1L))
+            .cast("int"))).as("g"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) * lit(10000L) >=
+            lit(tau4) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long").as("inter"),
+        col("sz_a"), col("sz_b"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("uni"))
+      .filter(col("inter") * lit(10000L) >= lit(tau4) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("inter * 10000 div uni").as("jac4"))
+  }
+}

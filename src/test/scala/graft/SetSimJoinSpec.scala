@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SetSimJoin
+
+/** Exactness and candidate-bound pins for the prefix-filtered set-similarity
+  * join: the prefix filter must be LOSSLESS (identical rows to brute-force
+  * all-pairs at every τ tried), and the prefix explode must emit strictly
+  * fewer rows than the full element stream (the filter actually filters).
+  */
+class SetSimJoinSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Deterministic word-salad corpus with planted near-dup families:
+    * doc 3k and 3k+1 share a long common slab (high J), 3k+2 is unrelated.
+    */
+  private def corpus(n: Int): Seq[(Long, String)] = {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november")
+    def words(seed: Int, k: Int): String =
+      (0 until k).map(i => vocab((seed * 31 + i * 17) % vocab.size)).mkString(" ")
+    (0 until n).map { i =>
+      val fam = i / 3
+      val text = (i % 3) match {
+        case 0 => words(fam, 40)
+        case 1 => words(fam, 40) + " " + words(fam + 1000, 6) // ~J 0.75 vs 3k
+        case 2 => words(fam + 5000, 40)
+      }
+      (i.toLong, text)
+    }
+  }
+
+  private def brute(docs: org.apache.spark.sql.DataFrame, tau4: Long) = {
+    val sets = SetSimJoin.canonicalSets(docs, "id", "text", shingleN = 5)
+    sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).cast("long").as("inter"),
+        (col("a.sz") + col("b.sz")).as("szsum"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("szsum") - col("inter")).as("uni"))
+      .filter(col("inter") * lit(10000L) >= lit(tau4) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("inter * 10000 div uni").as("jac4"))
+  }
+
+  test("prefix filter is lossless: identical rows to brute force at tau 0.5 / 0.7 / 0.9") {
+    import spark.implicits._
+    val docs = corpus(90).toDF("id", "text")
+    for (tau4 <- Seq(5000L, 7000L, 9000L)) {
+      val fast = SetSimJoin.selfJoin(docs, "id", "text", shingleN = 5, tau4 = tau4)
+        .orderBy($"id_a", $"id_b").collect().toSeq
+      val slow = brute(docs, tau4).orderBy($"id_a", $"id_b").collect().toSeq
+      assert(fast == slow, s"tau4=$tau4: prefix-filtered != brute force")
+      assert(fast.nonEmpty || tau4 > 9000L, s"tau4=$tau4 produced no pairs — corpus too easy")
+    }
+  }
+
+  test("planted families are found: every (3k, 3k+1) pair survives tau 0.5") {
+    import spark.implicits._
+    val docs = corpus(30).toDF("id", "text")
+    val got = SetSimJoin.selfJoin(docs, "id", "text", shingleN = 5, tau4 = 5000L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    for (fam <- 0 until 10)
+      assert(got.contains((fam * 3L, fam * 3L + 1)), s"family $fam pair missing")
+  }
+
+  test("the prefix explode emits fewer rows than the full element stream") {
+    import spark.implicits._
+    val docs = corpus(90).toDF("id", "text")
+    val sets = SetSimJoin.canonicalSets(docs, "id", "text", shingleN = 5)
+    val full = sets.agg(sum($"sz")).as[Long].head()
+    // replicate the operator's prefix arithmetic (tau 0.8 → ~20% prefixes)
+    val tau4 = 8000L
+    val pfx = sets.select(
+        (col("sz") - floor((col("sz") * tau4 + lit(9999L)) / lit(10000L)) + lit(1L))
+          .as("p"))
+      .agg(sum($"p")).as[Long].head()
+    assert(pfx * 3 < full, s"prefix stream $pfx not substantially below full $full")
+  }
+}

@@ -2223,4 +2223,30 @@ class SparkOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(gotMap == want)
   }
+  test("plan pins round 10: weighted sample elects via WindowGroupLimit; setsim and linkage never go cartesian") {
+    import spark.implicits._
+    val dir = tmpDir("graft_r10plan")
+    (0 until 60).map(i =>
+        (i.toLong, s"alpha bravo charlie delta echo $i pad${i % 7} pad${i % 5} tail end", s"s${i % 3}", 40L + i))
+      .toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (0 until 40).map(i => (i.toLong, f"Customer#$i%09d", i % 5, 0.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // q219: the rank <= k filter must fuse into the row_number window as
+    // WindowGroupLimit — map tasks forward at most k rows per stratum, so
+    // the per-stratum partition never materializes a full source
+    val p219 = SparkEntry.queries("q219_weighted_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p219.contains("WindowGroupLimit"), p219)
+    // q215/q216: candidate generation is equi-join on prefix elements /
+    // nominated grams — a CartesianProduct anywhere means the blocking
+    // collapsed to all-pairs
+    val p215 = SparkEntry.queries("q215_setsim_exact")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p215.contains("CartesianProduct"), p215)
+    val p216 = SparkEntry.queries("q216_record_linkage")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p216.contains("CartesianProduct"), p216)
+  }
 }
