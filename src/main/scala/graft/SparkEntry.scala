@@ -5632,12 +5632,15 @@ object SparkEntry {
     }),
 
     // Bigram-LM fluency scoring (stupid backoff, Brants'07) — the
-    // perplexity-style quality gate, integer-exact: the LM is counted on
-    // an 80% hash split and scores the HELD-OUT 20% (so backoff/OOV
-    // genuinely fire), with every conditional probability quantized to
-    // basis points via integral division the moment it is computed and
-    // summed as BIGINT (the bm25Micro policy — no transcendental, no
-    // order-dependent double sum anywhere). See
+    // held-out counterpart to q107's interpolated LM: q107 smooths by
+    // mixing bigram+unigram and scores the training corpus itself (no
+    // branch ever misses); this trains on an 80% hash split and scores
+    // the HELD-OUT 20%, so the hit/backoff/OOV branches — the decision
+    // structure a deployment actually filters on — genuinely fire and
+    // are counted per doc. Integer-exact throughout: every conditional
+    // probability quantizes to basis points via integral division the
+    // moment it is computed and sums as BIGINT; no transcendental at
+    // all (vs q107's quantized micro-nats). See
     // [[graft.operators.NgramLm]] for the 100 TB shape: the model is two
     // Heaps-sublinear count tables; scoring is linear joins keyed by
     // bigram/unigram.
@@ -5681,13 +5684,14 @@ object SparkEntry {
     }),
 
     // Weighted πps sampling (sequential Poisson, Ohlsson 1998) — the
-    // size-weighted corpus subsample as a pure function of the data:
-    // u48/n_chars priorities (one IEEE double division — bit-identical
-    // on any IEEE engine), k = 10 winners per source. The rank filter
-    // sits directly on the row_number window so Spark plans
-    // WindowGroupLimit — map tasks forward ≤ k rows per source, the
-    // per-stratum hazard q199 removed never appears. See
-    // [[graft.operators.WeightedSample]].
+    // PER-STRATUM sibling of q104's global A-ES draw, and a different
+    // estimator family: q104 ranks by -ln(u)/w (nano-quantized ln),
+    // this ranks by the raw u48/w priority — one IEEE double division,
+    // bit-identical on any IEEE engine, no transcendental at all — with
+    // k = 10 winners per source. The rank filter sits directly on the
+    // row_number window so Spark plans WindowGroupLimit — map tasks
+    // forward ≤ k rows per source, the per-stratum hazard q199 removed
+    // never appears. See [[graft.operators.WeightedSample]].
     "q219_weighted_sample" -> ((s, dir) => {
       import s.implicits._
       graft.operators.WeightedSample
@@ -5699,13 +5703,16 @@ object SparkEntry {
     }),
 
     // Join-cardinality probe ([[graft.operators.Salting.estimateJoinSize]])
-    // — the q168 advisor's missing number: BEFORE paying a join, estimate
-    // its output as rate·Σ d·d′ over a deterministic 1-in-4 hash sample
-    // of KEYS (key sampling keeps each degree product exact; row sampling
-    // would bias quadratically). Degrees for all three probed pairs come
-    // from ONE grouped pass over events; actual vs estimate vs err4 in
-    // exact integers. At 100 TB the degree aggregate is the only
-    // row-sized shuffle and the probe reads the sampled slice.
+    // — the SAMPLING estimator next to q160's sketch estimator: q160
+    // answers from k-row heavy-hitter sketches under the containment
+    // assumption; this draws a deterministic 1-in-4 hash sample of KEYS
+    // and scales rate·Σ d·d′ — no distributional assumption, error from
+    // sampling variance instead (key sampling keeps each degree product
+    // exact; row sampling would bias quadratically). Degrees for all
+    // three probed pairs come from ONE grouped pass over events; actual
+    // vs estimate vs err4 in exact integers. At 100 TB the degree
+    // aggregate is the only row-sized shuffle and the probe reads the
+    // sampled slice.
     "q220_join_size_probe" -> ((s, dir) => {
       import s.implicits._
       val deg = t(s, dir, "events").groupBy($"user_id", $"event_type")
@@ -5739,6 +5746,143 @@ object SparkEntry {
       graft.operators.GraphMetrics
         .harmonicCentrality(pairs, "id_a", "id_b", hops = 3)
         .orderBy($"id")
+    }),
+
+    // Repeated-span census ([[graft.operators.RepeatedSpans]]) — the
+    // memorization audit (Lee et al. 2022's concern, measured): for a
+    // ladder of lengths L ∈ {4, 8, 16, 32}, how many L-token windows
+    // occur ≥ 2× corpus-wide and how hot is the hottest. Rising repeat
+    // mass at large L = template/boilerplate contamination that per-doc
+    // dedup misses; this instrument picks SpanDedup's k. Window text is
+    // hashed at the scan; only (L, hash) longs shuffle.
+    "q222_repeated_spans" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.RepeatedSpans
+        .census(t(s, dir, "documents"), "doc_id", "text", Seq(4, 8, 16, 32))
+        .orderBy($"span_len")
+    }),
+
+    // Graded nDCG@10 for the multi-probe ANN index — the metric q101's
+    // recall/MRR scorecard lacks: POSITION-WEIGHTED credit with graded
+    // relevance (true-NN = 3, top-3 = 2, top-10 = 1 from brute-force
+    // ground truth). The log2 discounts are ten LITERAL micro-quantized
+    // constants (the q203 Benford treatment — no transcendental runs),
+    // gains are 2^g − 1, and the ideal DCG is the constant
+    // 7w₁+3w₂+3w₃+Σw₄₋₁₀ = 12805412 because every query's truth set
+    // carries the same grade multiset — so nDCG is one exact integral
+    // division. Eval cost: two corpus scans (truth + index), queries
+    // broadcast; at 100 TB this runs on a sampled query set (q101's
+    // contract).
+    "q223_ndcg_eval" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding")
+      val truth = graft.operators.SimilaritySearch
+        .bruteForceTopK(emb, queries, 10)
+        .select($"query_id", $"neighbor_id",
+          when($"rank" === 1, 3L).when($"rank" <= 3, 2L).otherwise(1L).as("grade"))
+      val got = graft.operators.SimilaritySearch
+        .lshTopKMultiProbe(emb, queries, 10, 64, 4)
+        .select($"query_id", $"neighbor_id", $"rank")
+      val wArr = lit(Array(1000000L, 630929L, 500000L, 430676L, 386852L,
+        356207L, 333333L, 315464L, 301029L, 289064L))
+      got.join(truth, Seq("query_id", "neighbor_id"), "left")
+        .select($"query_id", coalesce($"grade", lit(0L)).as("grade"),
+          element_at(wArr, $"rank".cast("int")).as("wt"))
+        .select($"query_id", ($"grade" > 0).cast("long").as("hit"),
+          (when($"grade" === 3, 7L).when($"grade" === 2, 3L)
+            .when($"grade" === 1, 1L).otherwise(0L) * $"wt").as("contrib"))
+        .groupBy($"query_id")
+        .agg(sum($"hit").as("n_hit"), sum($"contrib").as("dcg_u"))
+        .select($"query_id", $"n_hit", $"dcg_u",
+          expr("dcg_u * 1000000 div 12805412").as("ndcg_micro"))
+        .orderBy($"query_id")
+    }),
+
+    // Difference-in-differences — the experimentation family's quasi-
+    // experimental member next to q162 (A/B) and q189 (CUPED): hash-
+    // assigned "treatment" users vs control, purchase value µ-units
+    // before/after the Jan-25 cut, DiD = (ΔT − ΔC) of cell means — plus
+    // the PLACEBO check real DiD analyses run (the same estimator across
+    // a Jan-12 pseudo-cut entirely inside the pre-period must be ≈ 0,
+    // the parallel-trends evidence). ONE conditional-aggregation scan
+    // produces all six cells; means are integral division of exact
+    // µ-unit sums, so both engines agree bit-for-bit.
+    "q224_diff_in_diff" -> ((s, dir) => {
+      import s.implicits._
+      val cutMain = 1706140800000000L // 2024-01-25 in µs
+      val cutPlacebo = 1705017600000000L // 2024-01-12 in µs
+      val ev = t(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .select(expr("ts div 1000").as("tsu"), $"user_id",
+          expr("cast(floor(value * 1000000) as bigint)").as("vu"))
+        .withColumn("tr",
+          (pmod(graft.functions.HashFunctions.stableHash64(
+            concat(lit("did:"), $"user_id".cast("string"))), lit(2L)) === 0)
+            .cast("long"))
+        .withColumn("per",
+          when($"tsu" >= cutMain, lit("post"))
+            .when($"tsu" >= cutPlacebo, lit("mid")).otherwise(lit("early")))
+      def cell(tr: Int, per: String, of: Column) =
+        sum(when($"tr" === tr && $"per" === per, of).otherwise(lit(0L)))
+      ev.agg(
+          cell(1, "early", lit(1L)).as("n_t_early"),
+          cell(1, "mid", lit(1L)).as("n_t_mid"),
+          cell(1, "post", lit(1L)).as("n_t_post"),
+          cell(0, "early", lit(1L)).as("n_c_early"),
+          cell(0, "mid", lit(1L)).as("n_c_mid"),
+          cell(0, "post", lit(1L)).as("n_c_post"),
+          cell(1, "early", $"vu").as("s_t_early"),
+          cell(1, "mid", $"vu").as("s_t_mid"),
+          cell(1, "post", $"vu").as("s_t_post"),
+          cell(0, "early", $"vu").as("s_c_early"),
+          cell(0, "mid", $"vu").as("s_c_mid"),
+          cell(0, "post", $"vu").as("s_c_post"))
+        .select(
+          ($"n_t_early" + $"n_t_mid").as("n_t_pre"), $"n_t_post",
+          ($"n_c_early" + $"n_c_mid").as("n_c_pre"), $"n_c_post",
+          expr("(s_t_early + s_t_mid) div (n_t_early + n_t_mid)").as("m_t_pre"),
+          expr("s_t_post div n_t_post").as("m_t_post"),
+          expr("(s_c_early + s_c_mid) div (n_c_early + n_c_mid)").as("m_c_pre"),
+          expr("s_c_post div n_c_post").as("m_c_post"),
+          expr("(s_t_post div n_t_post - (s_t_early + s_t_mid) div (n_t_early + n_t_mid))" +
+            " - (s_c_post div n_c_post - (s_c_early + s_c_mid) div (n_c_early + n_c_mid))")
+            .as("did_u"),
+          expr("(s_t_mid div n_t_mid - s_t_early div n_t_early)" +
+            " - (s_c_mid div n_c_mid - s_c_early div n_c_early)")
+            .as("placebo_did_u"))
+    }),
+
+    // Perceptual-hash scale robustness — the multimodal invariance census
+    // a dedup deployment reads before trusting q209's bands across
+    // re-encodes: REAL decode → EXACT 2×2 integral average-pool (8×8 →
+    // 4×4, each cell Σ4 div 4) → 12-bit pooled dHash, compared against
+    // the full-resolution 56-bit dHash per perturbation group. Pooling
+    // averages out isolated pixel flips, so same-group images collapse
+    // to fewer distinct pooled hashes than full-res ones — measured per
+    // group, not asserted. Oracle replays the whole decode→pool→hash
+    // path from the md5 pixel closed form, codec-free. Scale: images
+    // shuffle as one long each after the scan-side decode.
+    "q225_phash_pooling" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id") // spread the codec work (q90 lesson)
+      val imgs = graft.operators.Multimodal
+        .synthImageCorpus(docs, "doc_id", groupDiv = 4)
+        .localCheckpoint(false) // two decode passes read the same bytes
+      val full = graft.operators.Multimodal.perceptualHashes(imgs, "img")
+        .select($"doc_id",
+          ($"d0" + shiftleft($"d1", 14) + shiftleft($"d2", 28)
+            + shiftleft($"d3", 42)).as("full_hash"))
+      val pooled = graft.operators.Multimodal.pooledDHash(imgs, "img")
+        .select($"doc_id", $"pool_hash")
+      full.join(pooled, "doc_id")
+        .groupBy(expr("doc_id div 4").as("group_id"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct($"full_hash").as("n_distinct_full"),
+          countDistinct($"pool_hash").as("n_distinct_pooled"))
+        .orderBy($"group_id")
     }),
 
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
@@ -8632,5 +8776,82 @@ reach AS (SELECT src AS u, dst AS v, 1 AS d FROM edges
   SELECT r.u, e.dst AS v, r.d + 1 FROM reach r JOIN edges e ON e.src = r.v WHERE r.d < 3 AND e.dst <> r.u),
 md AS (SELECT u, v, min(d)::BIGINT AS d FROM reach GROUP BY u, v)
 SELECT u AS id, (count(*) FILTER (d = 1))::BIGINT AS n_1hop, (count(*) FILTER (d > 1))::BIGINT AS n_far, sum(1000000 // d)::BIGINT AS h_micro FROM md GROUP BY u ORDER BY id""",
+
+    // q222: same window hashing (md5 of the space-joined token slice),
+    // same ladder, zero-filled lengths with no repeats
+    "q222_repeated_spans" ->
+      raw"""WITH tt AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM documents),
+ls AS (SELECT unnest([4, 8, 16, 32]) AS span_len),
+pos AS (SELECT ls.span_len, tt.tk, unnest(range(1, len(tt.tk) - ls.span_len + 2)) AS p FROM tt, ls WHERE len(tt.tk) >= ls.span_len),
+g AS (SELECT span_len, ('0x' || substr(md5(array_to_string(tk[p::INTEGER:(p + span_len - 1)::INTEGER], ' ')), 1, 15))::BIGINT AS h FROM pos),
+rep AS (SELECT span_len, h, count(*)::BIGINT AS n_occ FROM g GROUP BY span_len, h HAVING count(*) >= 2),
+perl AS (SELECT span_len, count(*)::BIGINT AS n_repeat_spans, sum(n_occ)::BIGINT AS n_repeat_positions, max(n_occ)::BIGINT AS max_occ FROM rep GROUP BY span_len),
+tops AS (SELECT rep.span_len, min(rep.h) AS top_h FROM rep JOIN perl ON rep.span_len = perl.span_len AND rep.n_occ = perl.max_occ GROUP BY rep.span_len)
+SELECT ls.span_len::BIGINT AS span_len, coalesce(n_repeat_spans, 0)::BIGINT AS n_repeat_spans, coalesce(n_repeat_positions, 0)::BIGINT AS n_repeat_positions, coalesce(max_occ, 0)::BIGINT AS max_occ, tops.top_h FROM ls LEFT JOIN perl USING (span_len) LEFT JOIN tops ON ls.span_len = tops.span_len ORDER BY span_len""",
+
+    // q223: q52's multiprobe SQL at k=10 scored against brute truth with
+    // the same literal discounts and constant ideal DCG
+    "q223_ndcg_eval" ->
+      s"""WITH bkt AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+qp AS (SELECT query_id, qv, xor(bucket, flip) AS bucket FROM (SELECT vec_id AS query_id, embedding AS qv, bucket FROM bkt WHERE vec_id < 8), (SELECT unnest([0,1,2,4,8]) AS flip)),
+got AS (SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, c.vec_id) AS rank
+  FROM bkt c JOIN qp q ON c.bucket = q.bucket WHERE c.vec_id <> q.query_id) WHERE rank <= 10),
+tq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+truth AS (SELECT query_id, neighbor_id, CASE WHEN rank = 1 THEN 3 WHEN rank <= 3 THEN 2 ELSE 1 END AS grade FROM (
+  SELECT t.query_id, e.vec_id AS neighbor_id, row_number() OVER (PARTITION BY t.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], t.qv::DOUBLE[]) DESC, e.vec_id) AS rank
+  FROM embeddings e, tq t WHERE e.vec_id <> t.query_id) WHERE rank <= 10),
+sc AS (SELECT g.query_id, coalesce(t.grade, 0) AS grade, ([1000000, 630929, 500000, 430676, 386852, 356207, 333333, 315464, 301029, 289064])[g.rank::INTEGER] AS wt FROM got g LEFT JOIN truth t ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id)
+SELECT query_id, sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hit, sum((CASE grade WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * wt)::BIGINT AS dcg_u, (sum((CASE grade WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * wt) * 1000000 // 12805412)::BIGINT AS ndcg_micro FROM sc GROUP BY query_id ORDER BY query_id""",
+
+    // q224: same md5 treatment draw, same µs cuts, same integral-division
+    // cell means — placebo runs the estimator inside the pre-period
+    "q224_diff_in_diff" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS tsu, cast(floor(value * 1000000) AS BIGINT) AS vu,
+  CASE WHEN ('0x' || substr(md5('did:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS tr,
+  CASE WHEN epoch_us(ts) >= 1706140800000000 THEN 'post' WHEN epoch_us(ts) >= 1705017600000000 THEN 'mid' ELSE 'early' END AS per
+  FROM events WHERE event_type = 'purchase'),
+c AS (SELECT
+  sum(CASE WHEN tr = 1 AND per = 'early' THEN 1 ELSE 0 END)::BIGINT AS n_t_early,
+  sum(CASE WHEN tr = 1 AND per = 'mid' THEN 1 ELSE 0 END)::BIGINT AS n_t_mid,
+  sum(CASE WHEN tr = 1 AND per = 'post' THEN 1 ELSE 0 END)::BIGINT AS n_t_post,
+  sum(CASE WHEN tr = 0 AND per = 'early' THEN 1 ELSE 0 END)::BIGINT AS n_c_early,
+  sum(CASE WHEN tr = 0 AND per = 'mid' THEN 1 ELSE 0 END)::BIGINT AS n_c_mid,
+  sum(CASE WHEN tr = 0 AND per = 'post' THEN 1 ELSE 0 END)::BIGINT AS n_c_post,
+  sum(CASE WHEN tr = 1 AND per = 'early' THEN vu ELSE 0 END)::BIGINT AS s_t_early,
+  sum(CASE WHEN tr = 1 AND per = 'mid' THEN vu ELSE 0 END)::BIGINT AS s_t_mid,
+  sum(CASE WHEN tr = 1 AND per = 'post' THEN vu ELSE 0 END)::BIGINT AS s_t_post,
+  sum(CASE WHEN tr = 0 AND per = 'early' THEN vu ELSE 0 END)::BIGINT AS s_c_early,
+  sum(CASE WHEN tr = 0 AND per = 'mid' THEN vu ELSE 0 END)::BIGINT AS s_c_mid,
+  sum(CASE WHEN tr = 0 AND per = 'post' THEN vu ELSE 0 END)::BIGINT AS s_c_post
+  FROM ev)
+SELECT (n_t_early + n_t_mid)::BIGINT AS n_t_pre, n_t_post, (n_c_early + n_c_mid)::BIGINT AS n_c_pre, n_c_post,
+  ((s_t_early + s_t_mid) // (n_t_early + n_t_mid))::BIGINT AS m_t_pre,
+  (s_t_post // n_t_post)::BIGINT AS m_t_post,
+  ((s_c_early + s_c_mid) // (n_c_early + n_c_mid))::BIGINT AS m_c_pre,
+  (s_c_post // n_c_post)::BIGINT AS m_c_post,
+  ((s_t_post // n_t_post - (s_t_early + s_t_mid) // (n_t_early + n_t_mid)) - (s_c_post // n_c_post - (s_c_early + s_c_mid) // (n_c_early + n_c_mid)))::BIGINT AS did_u,
+  ((s_t_mid // n_t_mid - s_t_early // n_t_early) - (s_c_mid // n_c_mid - s_c_early // n_c_early))::BIGINT AS placebo_did_u
+FROM c""",
+
+    // q225: md5 pixel closed form → full-res dHash pack and pooled 12-bit
+    // hash, both replayed arithmetically (PNG grayscale is lossless)
+    "q225_phash_pooling" ->
+      """WITH ii AS (SELECT unnest(range(0, 64)) AS i),
+px AS (SELECT d.doc_id, ii.i,
+  CASE WHEN ('0x' || substr(md5('pert:' || d.doc_id::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT % 29 = 0
+    THEN 255 - ('0x' || substr(md5((d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT
+    ELSE ('0x' || substr(md5((d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT END AS px
+  FROM documents d, ii),
+db AS (SELECT a.doc_id, (a.i // 8) // 2 AS b,
+  sum(CASE WHEN a.px > b2.px THEN 1::BIGINT << (((a.i // 8) % 2) * 7 + (a.i % 8)) ELSE 0 END)::BIGINT AS v
+  FROM px a JOIN px b2 ON a.doc_id = b2.doc_id AND b2.i = a.i + 1 AND a.i % 8 < 7 GROUP BY 1, 2),
+fh AS (SELECT doc_id, sum(v << (b * 14))::BIGINT AS full_hash FROM db GROUP BY 1),
+pool AS (SELECT doc_id, ((i // 8) // 2) * 4 + (i % 8) // 2 AS p, (sum(px) // 4)::BIGINT AS v FROM px GROUP BY 1, 2),
+ph AS (SELECT a.doc_id, coalesce(sum(CASE WHEN a.v > b.v THEN 1::BIGINT << ((a.p // 4) * 3 + a.p % 4) ELSE 0 END), 0)::BIGINT AS pool_hash
+  FROM pool a JOIN pool b ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.p % 4 < 3 GROUP BY 1)
+SELECT d.doc_id // 4 AS group_id, count(*)::BIGINT AS n_members, count(distinct fh.full_hash)::BIGINT AS n_distinct_full, count(distinct ph.pool_hash)::BIGINT AS n_distinct_pooled
+FROM documents d JOIN fh ON fh.doc_id = d.doc_id JOIN ph ON ph.doc_id = d.doc_id GROUP BY 1 ORDER BY group_id""",
   )
 }

@@ -294,6 +294,58 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** 12-bit dHash of the 2×2-average-pooled luma grid (8×8 → 4×4, each
+    * pooled cell the EXACT integral mean `Σ4px div 4`): the scale-robust
+    * variant of [[perceptualHashes]]' full-resolution dHash — pooling
+    * averages out isolated pixel perturbations, so near-duplicate images
+    * that differ by a couple of pixels collapse to the SAME pooled hash
+    * while full-res bits still flip. Adds (`pool_hash` long, `is_real`
+    * int); undecodable bytes fall back to a md5-derived 12-bit stub.
+    * Same batch shape and per-row decode cost as the full-res pass.
+    */
+  def pooledDHash(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("pool_hash", LongType, nullable = false),
+      StructField("is_real", IntegerType, nullable = false)))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          decodeLumaGrid(bytes, 8) match {
+            case Some((_, _, px)) =>
+              val pooled = Array.tabulate(16) { p =>
+                val (r, c) = (p / 4, p % 4)
+                (px(2 * r * 8 + 2 * c) + px(2 * r * 8 + 2 * c + 1) +
+                  px((2 * r + 1) * 8 + 2 * c) + px((2 * r + 1) * 8 + 2 * c + 1)) / 4
+              }
+              var hash = 0L
+              var r = 0
+              while (r < 4) {
+                var c = 0
+                while (c < 3) {
+                  if (pooled(r * 4 + c) > pooled(r * 4 + c + 1))
+                    hash |= 1L << (r * 3 + c)
+                  c += 1
+                }
+                r += 1
+              }
+              // Seq[Any]: a mixed Int/Long Seq harmonizes to Seq[Long] and
+              // breaks the Row encoder (the spec-pinned decode gotcha)
+              Row.fromSeq(row.toSeq ++ Seq[Any](hash, 1))
+            case None =>
+              val hex = md5Hex(bytes)
+              Row.fromSeq(row.toSeq ++ Seq[Any](
+                java.lang.Long.parseLong(hex.substring(0, 3), 16), 0))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic 8×8 grayscale PNG per id — REAL `ImageIO.write` bytes
     * whose pixels are a closed-form md5 function an oracle can replay
     * without any codec:

@@ -820,4 +820,44 @@ object StatefulOps {
           GroupQuantilesSnapshot(g, n, qs)
       }
   }
+  final case class CdcStateSnapshot(
+      key: Long, op: String, value: Long, n_ops: Long)
+
+  /** Streaming twin of [[graft.operators.Cdc.latestWins]]: per-key
+    * latest-wins state under `mapGroupsWithState` — the live materialized
+    * view of an upsert/delete stream. State per key is the winning
+    * (seq, tiebreak, op, val) plus the SET of applied (seq, tiebreak)
+    * ids, so at-least-once replay is absorbed exactly (the
+    * [[runningPostings]] precedent: parity with the batch operator's
+    * n_ops needs op identity, and the winner election alone is already
+    * idempotent — max is max). State grows with ops-per-key id pairs;
+    * a production deployment dedups upstream or ages the id set once the
+    * source guarantees exactly-once, at which point state is O(1).
+    * Snapshots mirror the batch output: (key, op, value, n_ops) with
+    * tombstones retained.
+    */
+  def runningCdcState(
+      ops: Dataset[(Long, Long, Long, String, Long)]): Dataset[CdcStateSnapshot] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[(Long, Long, String, Long, Seq[(Long, Long)])]) =>
+          val (pSeq, pTb, pOp, pVal, seenSeq) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue, "", 0L, Seq.empty))
+          val seen = seenSeq.toSet
+          val fresh = it.map(r => (r._2, r._3, r._4, r._5)).toVector
+            .distinctBy(e => (e._1, e._2))           // replay inside one batch
+            .filter(e => !seen.contains((e._1, e._2))) // replay across batches
+          var (bSeq, bTb, bOp, bVal) = (pSeq, pTb, pOp, pVal)
+          fresh.foreach { case (sq, tb, op, v) =>
+            if (sq > bSeq || (sq == bSeq && tb > bTb)) {
+              bSeq = sq; bTb = tb; bOp = op; bVal = v
+            }
+          }
+          val seenAll = (seenSeq ++ fresh.map(e => (e._1, e._2))).sorted
+          state.update((bSeq, bTb, bOp, bVal, seenAll))
+          CdcStateSnapshot(key, bOp, bVal, seenAll.length.toLong)
+      }
+  }
 }

@@ -60,4 +60,44 @@ class CdcSpec extends AnyFunSuite {
       (4L, "noop_delete", None, 0L, 1L),
       (5L, "insert", Some(550L), 0L, 1L)))
   }
+  test("streaming CDC state equals batch latestWins over 100 random streams with replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{max_by, struct}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(218L)
+    val all = scala.collection.mutable.Buffer.empty[(Long, Long, Long, String, Long)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String, Long)]
+    val q = graft.streaming.StatefulOps.runningCdcState(input.toDS())
+      .writeStream.format("memory").queryName("cdc_prop")
+      .outputMode("update").start()
+    try {
+      var opId = 0L
+      for (_ <- 0 until 100) {
+        val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+          opId += 1
+          // seq = opId/2 manufactures seq TIES so the tiebreak is exercised
+          (rnd.nextInt(8).toLong, opId / 2, opId,
+            if (rnd.nextInt(4) == 0) "D" else "U", rnd.nextInt(1000).toLong)
+        }
+        val replay = if (all.nonEmpty)
+          Seq.fill(rnd.nextInt(3))(all(rnd.nextInt(all.size)))
+        else Seq.empty
+        all ++= rows
+        val batch = rnd.shuffle(rows ++ replay)
+        if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+      }
+      // latest snapshot per key (n_ops only grows)
+      val got = spark.table("cdc_prop").groupBy($"key")
+        .agg(max_by(struct($"op", $"value", $"n_ops"), $"n_ops").as("s"))
+        .select($"key", $"s.*")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val want = Cdc.latestWins(
+          all.toSeq.toDF("key", "seq", "tiebreak", "op", "val"))
+        .select("key", "op", "val", "n_ops")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).take(4)} batch-only=${(want -- got).take(4)}")
+    } finally q.stop()
+  }
 }
