@@ -690,7 +690,56 @@ object ScaleProbe {
         s"q201 10x symmetry broke at family $fid: $nmem members, $ndr distinct ranks")
     }
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s)
+    // q215: EXACT prefix-filtered set-similarity join at τ=0.9 — the
+    // closure is total: 10× output must be EXACTLY c²·P(1×) + C(c,2)·n
+    // (the q39 pattern, but for an algorithm that PROVES completeness:
+    // losing or inventing one candidate breaks the equality), and every
+    // same-family pair must report inter == uni (J = 1 on exact copies).
+    val p215base = graft.operators.SetSimJoin
+      .selfJoin(base, "doc_id", "text", shingleN = 5, tau4 = 9000L).count()
+    val q215df = graft.operators.SetSimJoin
+      .selfJoin(scaled, "doc_id", "text", shingleN = 5, tau4 = 9000L)
+      .localCheckpoint(false) // closure count + clone-pair audit both read it
+    val q215s = timed("q215_setsim_10x") { q215df }
+    require(q215s._3 == c * c * p215base + (nDocs / c) * c * (c - 1) / 2,
+      s"q215 10x closure: got ${q215s._3}, " +
+        s"want ${c * c * p215base} + ${(nDocs / c) * c * (c - 1) / 2}")
+    val q215badClone = q215df
+      .filter(pmod($"id_a", lit(offset)) === pmod($"id_b", lit(offset)))
+      .filter($"inter" =!= $"uni").count()
+    require(q215badClone == 0,
+      s"q215 10x: $q215badClone clone pairs with J < 1 — exact verify broke")
+
+    // q221: bounded-hop harmonic centrality on the est=1.0 graph — the
+    // clone closed form: d(u_i, v_j) = d(u, v) for v ≠ u (cross-copy
+    // pairs exist at every base distance; clone cliques add no
+    // shortcuts), d(u_i, u_j) = 1, so per base node
+    // n_1hop′ = (c−1) + c·n_1hop, n_far′ = c·n_far,
+    // h_micro′ = (c−1)·10⁶ + c·h_micro, and every previously-isolated
+    // doc joins as a (c−1, 0, (c−1)·10⁶) clique member. Row count = c·n.
+    val hB = graft.operators.GraphMetrics
+      .harmonicCentrality(pairsB.filter($"est_jac" >= 1.0), "id_a", "id_b", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val q221df = graft.operators.GraphMetrics
+      .harmonicCentrality(pairsS.filter($"est_jac" >= 1.0), "id_a", "id_b", 3)
+      .localCheckpoint(false)
+    val q221s = timed("q221_harmonic_10x") { q221df }
+    val q221got = q221df.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    require(q221got.size.toLong == nDocs,
+      s"q221 10x: ${q221got.size} nodes, want $nDocs (every doc joins a clique)")
+    q221got.foreach { case (id, (n1, nf, hm)) =>
+      val (w1, wf, wh) = hB.get(id % offset) match {
+        case Some((b1, bf, bh)) =>
+          ((c - 1) + c * b1, c * bf, (c - 1) * 1000000L + c * bh)
+        case None => ((c - 1).toLong, 0L, (c - 1) * 1000000L)
+      }
+      require(n1 == w1 && nf == wf && hm == wh,
+        s"q221 10x closed form broke at $id: ($n1,$nf,$hm) want ($w1,$wf,$wh)")
+    }
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q221s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()
