@@ -5885,6 +5885,194 @@ object SparkEntry {
         .orderBy($"group_id")
     }),
 
+    // Incremental EXACT set-similarity join — q215's operator under the
+    // q78/q167 nightly-delta cost model: only pairs TOUCHING tonight's
+    // arrivals (delta×base, delta×delta) are computed, ordered by the
+    // STORED base df table alone. Exactness survives the stale order
+    // because the prefix lemma needs only a CONSISTENT total order on
+    // both sides — df drift costs prefix selectivity, never a pair
+    // ([[graft.operators.SetSimJoin.deltaJoin]]; the spec proves output
+    // equality with the full self-join restricted to touching pairs).
+    "q226_setsim_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val win = t(s, dir, "documents")
+        .filter($"doc_id" < 200)
+        .withColumn("stride", greatest(lit(1L), floor(length($"text") / lit(8.0))))
+        .withColumn("wlen", greatest(lit(4L), floor(length($"text") / lit(2.0))))
+        .select(($"doc_id" * 3).as("base"), $"text", $"stride", $"wlen",
+          explode(sequence(lit(0L), lit(2L))).as("w"))
+        .select(($"base" + $"w").as("win_id"),
+          $"text".substr(($"w" * $"stride" + 1).cast("int"), $"wlen".cast("int")).as("wtext"))
+        .localCheckpoint(false) // base and delta sides both read it
+      graft.operators.SetSimJoin
+        .deltaJoin(win.filter(pmod($"win_id", lit(4L)) =!= 0),
+          win.filter(pmod($"win_id", lit(4L)) === 0),
+          "win_id", "wtext", shingleN = 5, tau4 = 5000L)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Unicode-normalization-aware dedup — the text-cleaning stage byte-
+    // level dedup needs: precomposed "é" (U+00E9) and decomposed
+    // "e"+U+0301 are different byte strings that render identically, so
+    // md5 dedup misses them until both sides pass through NFC (the new
+    // native [[org.apache.spark.sql.graft.expressions.NfcNormalize]],
+    // byte-identical to DuckDB's nfc_normalize — both implement the
+    // Unicode standard). A derived corpus plants 150 pairs differing
+    // ONLY by normalization form among 150 genuinely-distinct pairs; the
+    // census shows raw dedup finds 0 groups, normalized finds exactly
+    // the planted 150. Scan-side expression; dedup shuffles hashes only.
+    "q227_unicode_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graft.Bridge
+      val d = t(s, dir, "documents").filter($"doc_id" < 300)
+      // explicit \u escapes, NOT raw source codepoints (an editor or
+      // formatter could silently NFC the file): va carries the
+      // PRECOMPOSED forms (U+00E9, U+00F1), vb the DECOMPOSED
+      // (e+U+0301, n+U+0303) — byte-distinct until NFC unifies them
+      val va = d.select(($"doc_id" * 2).as("id"),
+        when(pmod($"doc_id", lit(2L)) === 0,
+          concat($"text", lit(" caf\u00e9 jalape\u00f1o")))
+          .otherwise(concat($"text", lit(" alpha"))).as("txt"))
+      val vb = d.select(($"doc_id" * 2 + 1).as("id"),
+        when(pmod($"doc_id", lit(2L)) === 0,
+          concat($"text", lit(" cafe\u0301 jalapen\u0303o")))
+          .otherwise(concat($"text", lit(" beta"))).as("txt"))
+      val corpus2 = va.unionByName(vb).localCheckpoint(false)
+      val nfc = Bridge.toColumn(
+        org.apache.spark.sql.graft.expressions.NfcNormalize(Bridge.toExpr($"txt")))
+      def census(h: org.apache.spark.sql.Column, pfx: String) = corpus2
+        .groupBy(h.as("h")).agg(count(lit(1)).as("n")).filter($"n" >= 2)
+        .agg(count(lit(1)).as(s"${pfx}_groups"),
+          coalesce(sum($"n"), lit(0L)).as(s"${pfx}_members"))
+      corpus2
+        .agg(count(lit(1)).as("n_rows"),
+          sum((nfc =!= $"txt").cast("long")).as("n_changed"))
+        .crossJoin(census(md5($"txt"), "raw"))
+        .crossJoin(census(md5(nfc), "norm"))
+    }),
+
+    // Bootstrap confidence intervals — the uncertainty layer under every
+    // mean this suite reports, via the distributed-standard Poisson(1)
+    // bootstrap (each row's weight in resample b drawn independently —
+    // the multinomial approximation every large-scale bootstrap uses)
+    // made DETERMINISTIC: the weight comes from a salted md5 micro-
+    // uniform against four LITERAL Poisson-CDF thresholds (the q203
+    // constant treatment), so both engines replay every resample
+    // exactly. B = 32 resamples per event type; CI = ranks 2 and 31 of
+    // the ordered resample means (~94% coverage), means exact µ-unit
+    // integral division. Scale: one 32× row explode + a (type, draw)
+    // aggregate — the window orders 32 rows per type, never the corpus.
+    "q228_bootstrap_ci" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", $"event_id",
+          expr("cast(floor(value * 1000000) as bigint)").as("vu"))
+      val draws = ev.select($"event_type", $"event_id", $"vu",
+          explode(sequence(lit(0L), lit(31L))).as("b"))
+        .withColumn("u", pmod(graft.functions.HashFunctions.stableHash64(
+          concat(lit("boot:"), $"b".cast("string"), lit(":"),
+            $"event_id".cast("string"))), lit(1000000L)))
+        .withColumn("w",
+          when($"u" < 367879L, 0L).when($"u" < 735758L, 1L)
+            .when($"u" < 919698L, 2L).when($"u" < 981011L, 3L).otherwise(4L))
+      val means = draws.groupBy($"event_type", $"b")
+        .agg(expr("sum(w * vu) div sum(w)").as("m"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"m", $"b")))
+      val pt = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), expr("sum(vu) div count(1)").as("mean_u"))
+      pt.join(means.filter($"rk" === 2).select($"event_type", $"m".as("ci_lo_u")),
+          "event_type")
+        .join(means.filter($"rk" === 31).select($"event_type", $"m".as("ci_hi_u")),
+          "event_type")
+        .select($"event_type", $"n", $"mean_u", $"ci_lo_u", $"ci_hi_u")
+        .orderBy($"event_type")
+    }),
+
+    // Theil–Sen robust trend (median of pairwise slopes) vs OLS on daily
+    // event volume — the robust-statistics member next to q154
+    // (winsorize) and q161 (robust anomaly): one wild day barely moves
+    // the pairwise-slope median but drags the least-squares line, and
+    // this query reports both so the divergence IS the outlier signal.
+    // Pairwise slopes are a ONE pinned double expression floor-quantized
+    // at 1e-6 (Δy may be negative — floor, never div); the median is a
+    // row_number election over C(n_days, 2) ≈ 435 rows per type (the
+    // day-pair space is calendar², never event-sized); OLS moments
+    // accumulate in decimal(38,0) per the q189 policy.
+    "q229_theil_sen" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(false) // pair join + OLS moments both read it
+      val pairs = daily.as("a")
+        .join(daily.as("b"),
+          $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+        .select($"a.event_type".as("event_type"), $"a.day".as("d1"),
+          $"b.day".as("d2"),
+          floor(($"b.y" - $"a.y").cast("double") / ($"b.day" - $"a.day")
+            * 1000000.0).cast("long").as("slope6"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type")
+      val med = pairs
+        .withColumn("rk", row_number().over(
+          wT.orderBy($"slope6", $"d1", $"d2")))
+        .withColumn("np", count(lit(1)).over(wT))
+        .filter($"rk" === expr("(np + 1) div 2"))
+        .select($"event_type", $"np".as("n_pairs"), $"slope6".as("ts_slope6"))
+      val ols = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("nd"), sum($"day").as("sx"), sum($"y").as("sy"),
+          sum($"day".cast("decimal(19,0)") * $"y".cast("decimal(19,0)")).as("sxy"),
+          sum($"day".cast("decimal(19,0)") * $"day".cast("decimal(19,0)")).as("sxx"))
+        .select($"event_type", $"nd".as("n_days"),
+          floor((($"nd".cast("double") * $"sxy".cast("double")
+            - $"sx".cast("double") * $"sy".cast("double"))
+            / ($"nd".cast("double") * $"sxx".cast("double")
+              - $"sx".cast("double") * $"sx".cast("double")))
+            * 1000000.0).cast("long").as("ols_slope6"))
+      ols.join(med, "event_type")
+        .select($"event_type", $"n_days", $"n_pairs", $"ts_slope6", $"ols_slope6")
+        .orderBy($"event_type")
+    }),
+
+    // Quantile normalization across sources — the feature-engineering
+    // transform that makes per-source score distributions comparable
+    // (each source's value maps to the POOLED value at its relative
+    // rank), built the ExactQuantiles way: everything runs on COUNT
+    // HISTOGRAMS (distinct-value-sized, Heaps-sublinear), never on the
+    // row stream. Source-relative ranks are inclusive cumsums over the
+    // per-source histogram; the target rank is the exact integer
+    // ⌈r·n_pool/n_s⌉; the mapped value is the unique pooled-histogram
+    // row covering that rank (cum − cnt < tr ≤ cum — a histogram ×
+    // histogram band join, both sides tiny). The one global window
+    // orders the pooled HISTOGRAM (the q198 KS exception), never the
+    // corpus.
+    "q230_quantile_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val scores = t(s, dir, "documents").select($"source", $"n_chars".as("v"))
+      val hist = scores.groupBy($"source", $"v")
+        .agg(count(lit(1)).as("cnt")).localCheckpoint(false)
+      val sizes = hist.groupBy($"source").agg(sum($"cnt").as("ns"))
+      val srcCum = hist
+        .withColumn("r", sum($"cnt").over(
+          Window.partitionBy($"source").orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(sizes, "source")
+      val poolCum = scores.groupBy($"v".as("pv")).agg(count(lit(1)).as("pcnt"))
+        .withColumn("pcum", sum($"pcnt").over(
+          Window.orderBy($"pv")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nPool = broadcast(scores.agg(count(lit(1)).as("np")))
+      srcCum.crossJoin(nPool)
+        .withColumn("tr", expr("(r * np + ns - 1) div ns"))
+        .join(poolCum,
+          $"pcum" >= $"tr" && ($"pcum" - $"pcnt") < $"tr")
+        .select($"source", $"v", $"cnt", $"r".as("src_rank"),
+          $"pv".as("norm_v"))
+        .orderBy($"source", $"v")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -8853,5 +9041,64 @@ ph AS (SELECT a.doc_id, coalesce(sum(CASE WHEN a.v > b.v THEN 1::BIGINT << ((a.p
   FROM pool a JOIN pool b ON a.doc_id = b.doc_id AND b.p = a.p + 1 AND a.p % 4 < 3 GROUP BY 1)
 SELECT d.doc_id // 4 AS group_id, count(*)::BIGINT AS n_members, count(distinct fh.full_hash)::BIGINT AS n_distinct_full, count(distinct ph.pool_hash)::BIGINT AS n_distinct_pooled
 FROM documents d JOIN fh ON fh.doc_id = d.doc_id JOIN ph ON ph.doc_id = d.doc_id GROUP BY 1 ORDER BY group_id""",
+
+    // q226: brute force over pairs touching a delta window — the same
+    // exactness proof as q215, for the incremental form
+    "q226_setsim_incremental" ->
+      """WITH win AS (SELECT doc_id*3 + w AS win_id, substr(text, 1 + w*greatest(1, cast(floor(length(text)/8.0) AS BIGINT)), greatest(4, cast(floor(length(text)/2.0) AS BIGINT))) AS wtext FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200), (SELECT unnest([0,1,2]) AS w)),
+s AS (SELECT win_id, list_distinct(CASE WHEN length(wtext) < 5 THEN [wtext] ELSE list_transform(range(1, length(wtext)-3), i -> substr(wtext, i, 5)) END) AS sh FROM win),
+p AS (SELECT a.win_id AS id_a, b.win_id AS id_b, len(list_intersect(a.sh, b.sh))::BIGINT AS inter, (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS uni FROM s a JOIN s b ON a.win_id < b.win_id WHERE a.win_id % 4 = 0 OR b.win_id % 4 = 0)
+SELECT id_a, id_b, inter, uni, inter * 10000 // uni AS jac4 FROM p WHERE inter * 10000 >= 5000 * uni ORDER BY id_a, id_b""",
+
+    // q227: same planted variants via chr(), DuckDB's standard
+    // nfc_normalize as the cross-engine bridge
+    "q227_unicode_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+c2 AS (
+  SELECT doc_id*2 AS id, CASE WHEN doc_id % 2 = 0 THEN text || ' caf' || chr(233) || ' jalape' || chr(241) || 'o' ELSE text || ' alpha' END AS txt FROM d
+  UNION ALL
+  SELECT doc_id*2+1, CASE WHEN doc_id % 2 = 0 THEN text || ' cafe' || chr(769) || ' jalapen' || chr(771) || 'o' ELSE text || ' beta' END FROM d),
+raw AS (SELECT count(*)::BIGINT AS raw_groups, coalesce(sum(n), 0)::BIGINT AS raw_members FROM (SELECT md5(txt) AS h, count(*) AS n FROM c2 GROUP BY 1 HAVING count(*) >= 2)),
+nrm AS (SELECT count(*)::BIGINT AS norm_groups, coalesce(sum(n), 0)::BIGINT AS norm_members FROM (SELECT md5(nfc_normalize(txt)) AS h, count(*) AS n FROM c2 GROUP BY 1 HAVING count(*) >= 2)),
+ch AS (SELECT count(*)::BIGINT AS n_rows, sum(CASE WHEN nfc_normalize(txt) <> txt THEN 1 ELSE 0 END)::BIGINT AS n_changed FROM c2)
+SELECT ch.n_rows, ch.n_changed, raw.raw_groups, raw.raw_members, nrm.norm_groups, nrm.norm_members FROM ch, raw, nrm""",
+
+    // q228: same md5 micro-uniform, same literal Poisson-CDF thresholds,
+    // same rank-2/rank-31 CI election
+    "q228_bootstrap_ci" ->
+      """WITH ev AS (SELECT event_type, event_id, cast(floor(value * 1000000) AS BIGINT) AS vu FROM events),
+draws AS (SELECT event_type, event_id, vu, b,
+  ('0x' || substr(md5('boot:' || b::VARCHAR || ':' || event_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS u
+  FROM ev, (SELECT unnest(range(0, 32)) AS b)),
+wts AS (SELECT event_type, b, vu, CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3 ELSE 4 END AS w FROM draws),
+means AS (SELECT event_type, b, (sum(w * vu) // sum(w))::BIGINT AS m FROM wts GROUP BY event_type, b),
+rk AS (SELECT event_type, m, row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rk FROM means),
+pt AS (SELECT event_type, count(*)::BIGINT AS n, (sum(vu) // count(*))::BIGINT AS mean_u FROM ev GROUP BY event_type)
+SELECT pt.event_type, pt.n, pt.mean_u, lo.m AS ci_lo_u, hi.m AS ci_hi_u
+FROM pt JOIN (SELECT event_type, m FROM rk WHERE rk = 2) lo USING (event_type)
+JOIN (SELECT event_type, m FROM rk WHERE rk = 31) hi USING (event_type) ORDER BY event_type""",
+
+    // q229: same pinned slope expression (divide then scale), same median
+    // election, HUGEINT OLS moments
+    "q229_theil_sen" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+pairs AS (SELECT a.event_type, a.day AS d1, b.day AS d2, floor((b.y - a.y)::DOUBLE / (b.day - a.day) * 1000000.0)::BIGINT AS slope6 FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day),
+med AS (SELECT event_type, np::BIGINT AS n_pairs, slope6 AS ts_slope6 FROM (SELECT event_type, slope6, d1, d2, row_number() OVER (PARTITION BY event_type ORDER BY slope6, d1, d2) AS rk, count(*) OVER (PARTITION BY event_type) AS np FROM pairs) WHERE rk = (np + 1) // 2),
+ols AS (SELECT event_type, count(*)::BIGINT AS n_days, floor((count(*)::DOUBLE * sum(day::HUGEINT * y::HUGEINT)::DOUBLE - sum(day)::DOUBLE * sum(y)::DOUBLE) / (count(*)::DOUBLE * sum(day::HUGEINT * day::HUGEINT)::DOUBLE - sum(day)::DOUBLE * sum(day)::DOUBLE) * 1000000.0)::BIGINT AS ols_slope6 FROM daily GROUP BY event_type)
+SELECT ols.event_type, ols.n_days, med.n_pairs, med.ts_slope6, ols.ols_slope6 FROM ols JOIN med USING (event_type) ORDER BY event_type""",
+
+    // q230: same histogram cumsum ranks, same exact ceil target rank,
+    // same covering-row band join on the pooled histogram
+    "q230_quantile_normalize" ->
+      """WITH sc AS (SELECT source, n_chars AS v FROM documents),
+hist AS (SELECT source, v, count(*)::BIGINT AS cnt FROM sc GROUP BY 1, 2),
+sizes AS (SELECT source, sum(cnt)::BIGINT AS ns FROM hist GROUP BY 1),
+srccum AS (SELECT hist.source, hist.v, hist.cnt, sum(hist.cnt) OVER (PARTITION BY hist.source ORDER BY hist.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS r, sizes.ns FROM hist JOIN sizes USING (source)),
+poolcum AS (SELECT v AS pv, pcnt, sum(pcnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pcum FROM (SELECT v, count(*)::BIGINT AS pcnt FROM sc GROUP BY 1)),
+np AS (SELECT count(*)::BIGINT AS np FROM sc)
+SELECT s.source, s.v, s.cnt, s.r AS src_rank, p.pv AS norm_v
+FROM srccum s, np, poolcum p
+WHERE p.pcum >= (s.r * np.np + s.ns - 1) // s.ns AND p.pcum - p.pcnt < (s.r * np.np + s.ns - 1) // s.ns
+ORDER BY s.source, s.v""",
   )
 }

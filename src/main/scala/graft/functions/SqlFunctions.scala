@@ -43,5 +43,6 @@ object SqlFunctions {
     "char_shingles" -> (es => CharShingles(es(0),
       intArg("char_shingles", "n", es(1)))),
     "word_ngrams" -> (es => WordNGrams(es(0),
-      intArg("word_ngrams", "n", es(1)))))
+      intArg("word_ngrams", "n", es(1)))),
+    "nfc_normalize" -> (es => NfcNormalize(es(0))))
 }

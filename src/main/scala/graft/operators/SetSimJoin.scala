@@ -41,47 +41,52 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** Per-doc distinct elements: (__id, __g). */
+  private def elements(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
+      explode(array_distinct(Dedup.shinglesCol(col(textCol), shingleN))).as("__g"))
+
+  /** Order the element stream into canonical arrays under a GIVEN
+    * (element → df) table: unseen elements take df 0 (they sort first —
+    * maximally rare, which is also the cheapest place for them). ANY
+    * consistent total order preserves the prefix-filter lemma — the df
+    * source only affects cost, never correctness — which is what makes
+    * the incremental form exact under a stale stored order.
+    */
+  private def canonicalUnder(el: DataFrame, dfc: DataFrame): DataFrame =
+    el.join(dfc, Seq("__g"), "left")
+      .select(col("__id"), col("__g"), coalesce(col("__df"), lit(0L)).as("__df"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
+      .select(col("__id").as("id"),
+        transform(col("__ord"), x => x.getField("__g")).as("toks"),
+        size(col("__ord")).cast("long").as("sz"))
+
   /** Distinct-element sets in canonical rarest-first order:
     * (id, toks array<string>, sz). `df` ties break on the element itself, so
     * the order — and therefore the prefix — is deterministic.
     */
   def canonicalSets(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame = {
-    val el = docs
-      .select(col(idCol).as("__id"),
-        explode(array_distinct(Dedup.shinglesCol(col(textCol), shingleN))).as("__g"))
-    val dfc = el.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    el.join(dfc, "__g")
-      .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__ord"))
-      .select(col("__id").as("id"),
-        transform(col("__ord"), x => x.getField("__g")).as("toks"),
-        size(col("__ord")).cast("long").as("sz"))
+    val el = elements(docs, idCol, textCol, shingleN)
+    canonicalUnder(el, el.groupBy(col("__g")).agg(count(lit(1)).as("__df")))
   }
 
-  /** All pairs (id_a < id_b) with exact Jaccard ≥ tau4/10⁴ over the distinct
-    * character-`shingleN`-gram sets of `textCol`. Output:
-    * (id_a, id_b, inter, uni, jac4) with `jac4 = inter·10⁴ div uni`.
+  /** Prefix explode of canonical sets: (id, sz, g) over the first
+    * sz − ⌈tau4·sz/10⁴⌉ + 1 elements — the ceil in pure integers (sz ≥ 1
+    * so the numerator is positive and floor((x+9999)/10⁴) = ⌈x/10⁴⌉).
     */
-  def selfJoin(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, tau4: Long): DataFrame = {
-    require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
-    // both the prefix explode and the verify join read the sets — stage once
-    val sets = canonicalSets(docs, idCol, textCol, shingleN).localCheckpoint(false)
-    // prefix length sz − ⌈tau4·sz/10⁴⌉ + 1, the ceil in pure integers
-    // (sz ≥ 1 so the numerator is positive and floor((x+9999)/10⁴) = ⌈x/10⁴⌉)
-    val prefix = sets
-      .select(col("id"), col("sz"),
-        explode(slice(col("toks"), lit(1),
-          (col("sz") - floor((col("sz") * tau4 + lit(9999L)) / lit(10000L)) + lit(1L))
-            .cast("int"))).as("g"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          least(col("a.sz"), col("b.sz")) * lit(10000L) >=
-            lit(tau4) * greatest(col("a.sz"), col("b.sz")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+  private def prefixOf(sets: DataFrame, tau4: Long): DataFrame =
+    sets.select(col("id"), col("sz"),
+      explode(slice(col("toks"), lit(1),
+        (col("sz") - floor((col("sz") * tau4 + lit(9999L)) / lit(10000L)) + lit(1L))
+          .cast("int"))).as("g"))
+
+  /** Exact verify of candidate (id_a, id_b) pairs against the staged sets:
+    * array_intersect on distinct arrays, cross-multiplied threshold.
+    */
+  private def verifyPairs(cand: DataFrame, sets: DataFrame, tau4: Long): DataFrame =
     cand
       .join(sets.select(col("id").as("id_a"), col("toks").as("toks_a"),
         col("sz").as("sz_a")), "id_a")
@@ -95,5 +100,61 @@ object SetSimJoin {
       .filter(col("inter") * lit(10000L) >= lit(tau4) * col("uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
         expr("inter * 10000 div uni").as("jac4"))
+
+  /** All pairs (id_a < id_b) with exact Jaccard ≥ tau4/10⁴ over the distinct
+    * character-`shingleN`-gram sets of `textCol`. Output:
+    * (id_a, id_b, inter, uni, jac4) with `jac4 = inter·10⁴ div uni`.
+    */
+  def selfJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau4: Long): DataFrame = {
+    require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
+    // both the prefix explode and the verify join read the sets — stage once
+    val sets = canonicalSets(docs, idCol, textCol, shingleN).localCheckpoint(false)
+    val prefix = prefixOf(sets, tau4)
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) * lit(10000L) >=
+            lit(tau4) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyPairs(cand, sets, tau4)
+  }
+
+  /** Incremental exact join — the nightly-delta form (the q78/q167 cost
+    * model applied to the EXACT operator): every τ-pair TOUCHING a delta
+    * doc (delta×base and delta×delta; base×base pairs are yesterday's
+    * result). The element order comes from the BASE's df table alone —
+    * the stored index order — and stays exact under drift because the
+    * prefix lemma needs only a CONSISTENT total order on both sides
+    * ([[canonicalUnder]]): stale df costs prefix selectivity, never a
+    * pair. Ids must be disjoint across the two inputs; output pairs are
+    * normalized (id_a < id_b). The nightly cost is the delta's element
+    * stream + a probe of the base prefix index — the base corpus text is
+    * never re-shingled per night in a deployment that persists
+    * [[canonicalSets]] and the prefix index (this builder recomputes them
+    * for the self-contained query form).
+    */
+  def deltaJoin(baseDocs: DataFrame, deltaDocs: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, tau4: Long): DataFrame = {
+    require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
+    val baseEl = elements(baseDocs, idCol, textCol, shingleN)
+    val dfc = baseEl.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val baseSets = canonicalUnder(baseEl, dfc).localCheckpoint(false)
+    val deltaSets = canonicalUnder(
+      elements(deltaDocs, idCol, textCol, shingleN), dfc).localCheckpoint(false)
+    val allSets = baseSets.unionByName(deltaSets).localCheckpoint(false)
+    val pb = prefixOf(baseSets, tau4)
+    val pd = prefixOf(deltaSets, tau4)
+    val sizeOk = least(col("a.sz"), col("b.sz")) * lit(10000L) >=
+      lit(tau4) * greatest(col("a.sz"), col("b.sz"))
+    val dd = pd.as("a").join(pd.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") && sizeOk)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val db = pd.as("a").join(pb.as("b"),
+        col("a.g") === col("b.g") && sizeOk)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    verifyPairs(dd.unionByName(db).distinct(), allSets, tau4)
   }
 }

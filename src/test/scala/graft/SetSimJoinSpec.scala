@@ -90,4 +90,19 @@ class SetSimJoinSpec extends AnyFunSuite {
       .agg(sum($"p")).as[Long].head()
     assert(pfx * 3 < full, s"prefix stream $pfx not substantially below full $full")
   }
+  test("deltaJoin equals selfJoin restricted to touching pairs — exact under the stale base-only order") {
+    import spark.implicits._
+    val docs = corpus(90).toDF("id", "text")
+    val base = docs.filter($"id" % 4 =!= 0)
+    val delta = docs.filter($"id" % 4 === 0)
+    for (tau4 <- Seq(5000L, 8000L)) {
+      val want = SetSimJoin.selfJoin(docs, "id", "text", shingleN = 5, tau4 = tau4)
+        .filter($"id_a" % 4 === 0 || $"id_b" % 4 === 0)
+        .orderBy($"id_a", $"id_b").collect().toSeq
+      val got = SetSimJoin.deltaJoin(base, delta, "id", "text", shingleN = 5, tau4 = tau4)
+        .orderBy($"id_a", $"id_b").collect().toSeq
+      assert(got == want, s"tau4=$tau4: incremental != full-restricted")
+      assert(got.nonEmpty, s"tau4=$tau4: no touching pairs — corpus too easy")
+    }
+  }
 }

@@ -566,7 +566,8 @@ class SparkOpsSpec extends AnyFunSuite {
       (0L, "", ""),
       (1L, "the quick brown fox jumps over the lazy dog", "the quick brown cat"),
       (2L, "el perro y la casa de los padres en un lugar", "alpha beta gamma"),
-      (3L, "ab", "abcd"))
+      (3L, "ab", "abcd"),
+      (4L, "cafe\u0301 jalapen\u0303o", "caf\u00e9 jalape\u00f1o"))
       .toDF("id", "ta", "tb")
     df.createOrReplaceTempView("v_sketch")
     // every name in SqlFunctions.builders, through the SQL parser
@@ -583,6 +584,7 @@ class SparkOpsSpec extends AnyFunSuite {
         |  word_fingerprint(ta) AS fp,
         |  char_shingles(ta, 3) AS cs,
         |  word_ngrams(ta, 3) AS ng,
+        |  nfc_normalize(ta) AS nfc,
         |  cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
         |FROM v_sketch ORDER BY id""".stripMargin)
@@ -604,6 +606,7 @@ class SparkOpsSpec extends AnyFunSuite {
         // also pins native == independent higher-order-function path
         graft.operators.TextAnalysis.wordNGramsFromTokens(
           graft.operators.TextAnalysis.tokensCol($"ta"), 3).as("ng"),
+        Bridge.toColumn(NfcNormalize(Bridge.toExpr($"ta"))).as("nfc"),
         graft.functions.VectorFunctions
           .cosineSim(org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f)),
             org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f))).as("cos"),
