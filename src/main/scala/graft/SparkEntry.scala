@@ -6073,6 +6073,41 @@ object SparkEntry {
         .orderBy($"source", $"v")
     }),
 
+    // Audio near-dup — the q209 pipeline for SOUND, closing the
+    // multimodal dedup matrix (text LSH / image phash / audio sign
+    // bands): REAL WAV decode of a grouped corpus (same-group clips
+    // share base samples, ~2 perturbed via the exact −s−1 involution),
+    // four 16-bit SIGN bands as bucket keys (a few flipped samples
+    // leave some band intact — the SimHash/dHash banding shape), exact
+    // differing-sample count as the verify. PCM is verbatim, so the
+    // oracle replays decode→bands→verify from the md5 closed form,
+    // codec-free. Scale: candidate generation shuffles four longs per
+    // clip; sample arrays move only for candidate pairs.
+    "q231_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id") // spread the codec work (q90 lesson)
+      val wavs = graft.operators.Multimodal.synthAudioGroups(
+        docs, "doc_id", groupDiv = 4, nSamples = 64, sampleRate = 8000)
+      val feats = graft.operators.Multimodal.audioSignBands(wavs, "wav")
+        .localCheckpoint(false) // band explode + verify both read it
+      val ex = feats.select($"doc_id",
+        posexplode(array($"ab0", $"ab1", $"ab2", $"ab3")).as(Seq("band", "bh")))
+      val cand = ex.as("a").join(ex.as("b"),
+          $"a.band" === $"b.band" && $"a.bh" === $"b.bh" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
+      val smp = feats.select($"doc_id", $"samples")
+      cand
+        .join(smp.select($"doc_id".as("id_a"), $"samples".as("sa")), "id_a")
+        .join(smp.select($"doc_id".as("id_b"), $"samples".as("sb")), "id_b")
+        .select($"id_a", $"id_b",
+          expr("size(filter(zip_with(sa, sb, (x, y) -> x != y), p -> p))")
+            .cast("long").as("n_diff"))
+        .filter($"n_diff" <= 6)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -9100,5 +9135,19 @@ SELECT s.source, s.v, s.cnt, s.r AS src_rank, p.pv AS norm_v
 FROM srccum s, np, poolcum p
 WHERE p.pcum >= (s.r * np.np + s.ns - 1) // s.ns AND p.pcum - p.pcnt < (s.r * np.np + s.ns - 1) // s.ns
 ORDER BY s.source, s.v""",
+
+    // q231: md5 sample closed form → sign bands → bucket join → exact
+    // differing-sample count, all replayed arithmetically
+    "q231_audio_neardup" ->
+      """WITH ii AS (SELECT unnest(range(0, 64)) AS i),
+smp AS (SELECT d.doc_id, ii.i,
+  CASE WHEN ('0x' || substr(md5('aupert:' || d.doc_id::VARCHAR || ':' || ii.i::VARCHAR), 1, 2))::INT % 29 = 0
+    THEN -(('0x' || substr(md5('aug:' || (d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 4))::INT - 32768) - 1
+    ELSE ('0x' || substr(md5('aug:' || (d.doc_id // 4)::VARCHAR || ':' || ii.i::VARCHAR), 1, 4))::INT - 32768 END AS s
+  FROM documents d, ii),
+bands AS (SELECT doc_id, i // 16 AS band, sum(CASE WHEN s >= 0 THEN 1::BIGINT << (i % 16) ELSE 0 END)::BIGINT AS bh FROM smp GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+nd AS (SELECT c.id_a, c.id_b, (count(*) FILTER (sa.s <> sb.s))::BIGINT AS n_diff FROM cand c JOIN smp sa ON sa.doc_id = c.id_a JOIN smp sb ON sb.doc_id = c.id_b AND sb.i = sa.i GROUP BY 1, 2)
+SELECT id_a, id_b, n_diff FROM nd WHERE n_diff <= 6 ORDER BY id_a, id_b""",
   )
 }

@@ -514,6 +514,88 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Grouped audio corpus — the near-duplicate twin of
+    * [[synthImageCorpus]] for sound: ids in the same group (id div
+    * groupDiv) share base samples, and a per-id md5 draw perturbs ~1/29
+    * of them via the exact involution `s ↦ −s−1` (closed on the int16
+    * range: 32767 ↦ −32768). REAL WAV bytes; PCM is verbatim, so the
+    * oracle replays every sample arithmetically:
+    *   base(g, i) = int(md5("aug:<g>:<i>")[0:4], 16) − 32768
+    *   s(id, i)   = −base − 1  when int(md5("aupert:<id>:<i>")[0:2], 16) ≡ 0 (mod 29)
+    */
+  def synthAudioGroups(df: DataFrame, idCol: String, groupDiv: Long,
+      nSamples: Int, sampleRate: Int, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("wav", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          val g = id / groupDiv
+          val samples = Array.tabulate(nSamples) { i =>
+            val base = (Integer.parseInt(
+              md5Hex(s"aug:$g:$i".getBytes("UTF-8")).substring(0, 4), 16) - 32768)
+            val pert = Integer.parseInt(
+              md5Hex(s"aupert:$id:$i".getBytes("UTF-8")).substring(0, 2), 16)
+            (if (pert % 29 == 0) -base - 1 else base).toShort
+          }
+          Row.fromSeq(row.toSeq :+ synthWav(samples, sampleRate))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL decode → per-doc sample array + four 16-bit SIGN bands (bit i
+    * of band b set iff sample 16b+i ≥ 0) — the audio banding that plays
+    * the role dHash bands play for images: a few perturbed samples flip
+    * a few sign bits, so near-duplicate clips still agree on some band
+    * and surface as bucket-join candidates. Adds (`samples` array<int>,
+    * `ab0..ab3` long, `is_real` int). Only the four band longs need to
+    * shuffle for candidate generation; the sample array stays behind for
+    * the verify join (one shuffle per candidate side, the image-pixel
+    * discipline).
+    */
+  def audioSignBands(df: DataFrame, binaryCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++
+      Seq(StructField("samples", ArrayType(IntegerType, containsNull = false),
+        nullable = false)) ++
+      (0 until 4).map(b => StructField(s"ab$b", LongType, nullable = false)) :+
+      StructField("is_real", IntegerType, nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          decodeWav(bytes) match {
+            case Some((_, _, smp)) =>
+              val bands = new Array[Long](4)
+              var i = 0
+              while (i < smp.length && i < 64) {
+                if (smp(i) >= 0) bands(i / 16) |= 1L << (i % 16)
+                i += 1
+              }
+              Row.fromSeq(row.toSeq ++ Seq[Any](smp.map(_.toInt).toSeq) ++
+                bands.map(x => x: Any) ++ Seq[Any](1))
+            case None =>
+              val hex = md5Hex(bytes)
+              val bands = (0 until 4).map(b =>
+                java.lang.Long.parseLong(hex.substring(b * 4, b * 4 + 4), 16))
+              Row.fromSeq(row.toSeq ++ Seq[Any](Seq.empty[Int]) ++
+                bands.map(x => x: Any) ++ Seq[Any](0))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Feature extraction: media bytes → embedding vector through the
     * pluggable [[graft.embed.Embedder]] (stub embeds the content md5; a
     * real deployment swaps in a vision/audio encoder behind the same

@@ -79,4 +79,33 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(pooled(1L) == pooled(2L),
       s"pooled hash must absorb it: ${pooled(1L)} vs ${pooled(2L)}")
   }
+  test("audio sign bands: grouped synth decodes to the md5 closed form; involution stays in int16") {
+    import spark.implicits._
+    val df = Seq(8L, 9L).map(Tuple1(_)).toDF("doc_id")
+    val wavs = Multimodal.synthAudioGroups(df, "doc_id", groupDiv = 4,
+      nSamples = 64, sampleRate = 8000)
+    val got = Multimodal.audioSignBands(wavs, "wav")
+      .select("doc_id", "samples", "is_real")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getInt(2))).toMap
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    for (id <- Seq(8L, 9L)) {
+      val (smp, real) = got(id)
+      assert(real == 1 && smp.length == 64)
+      val want = (0 until 64).map { i =>
+        val base = Integer.parseInt(md5hex(s"aug:${id / 4}:$i").substring(0, 4), 16) - 32768
+        val pert = Integer.parseInt(md5hex(s"aupert:$id:$i").substring(0, 2), 16)
+        if (pert % 29 == 0) -base - 1 else base
+      }
+      assert(smp == want, s"id $id decode mismatch")
+    }
+    // same group: ids 8 and 9 share base samples — few diffs, all from perts
+    val (s8, _) = got(8L); val (s9, _) = got(9L)
+    val nd = s8.zip(s9).count { case (a, b) => a != b }
+    assert(nd > 0 && nd <= 10, s"unexpected same-group diff count $nd")
+    // the involution is closed on int16 at both extremes
+    assert((-32767 - 1) == -32768 && -(-32768) - 1 == 32767)
+  }
 }
