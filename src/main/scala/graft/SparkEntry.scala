@@ -6108,6 +6108,97 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // Partition retention (TTL/VACUUM) plan — the lakehouse janitor next
+    // to the compaction planner (q188) and delete cascade (q180): a
+    // per-(day, slot) file manifest derived from events, a 7-day
+    // retention horizon against the corpus max day, and a per-day plan
+    // row (keep/expire, files, rows, reclaimable µ-bytes). Planning runs
+    // ENTIRELY on the manifest (calendar × slots rows) — the day-grain
+    // aggregate is the only event-sized pass, the same discipline as
+    // q188 (plan on metadata, never rescan data to decide).
+    "q232_retention_plan" -> ((s, dir) => {
+      import s.implicits._
+      val files = t(s, dir, "events")
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"),
+          expr("((ts div 1000) div 3600000000) % 6").as("slot"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("cast(floor(value * 1000000) as bigint)")).as("bytes_u"))
+        .localCheckpoint(false) // horizon scalar + plan both read it
+      val horizon = broadcast(files.agg(max($"day").as("mx")))
+      files.crossJoin(horizon)
+        .select($"day", $"n_rows", $"bytes_u",
+          when($"day" <= $"mx" - 7, lit("expire")).otherwise(lit("keep"))
+            .as("status"))
+        .groupBy($"day", $"status")
+        .agg(count(lit(1)).as("n_files"), sum($"n_rows").as("n_rows"),
+          sum(when($"status" === "expire", $"bytes_u").otherwise(lit(0L)))
+            .as("reclaim_u"))
+        .orderBy($"day")
+    }),
+
+    // Dictionary-encoding advisor — the storage-layout probe next to
+    // z-order (q106) and zone maps (q134): per candidate column, the
+    // exact byte arithmetic of dictionary encoding (distinct values ×
+    // avg length + rows × index width, width by dictionary size) vs raw,
+    // in integers. Each column costs one grouped pass producing a
+    // vocabulary-sized aggregate; the advisor output is four rows.
+    "q233_dict_advisor" -> ((s, dir) => {
+      import s.implicits._
+      def advise(df: org.apache.spark.sql.DataFrame, table: String,
+          colName: String) = {
+        val v = df.select(col(colName).cast("string").as("v"))
+        val d = v.groupBy($"v").agg(count(lit(1)).as("n"))
+        d.agg(sum($"n").as("n_rows"), count(lit(1)).as("n_distinct"),
+            sum(length($"v") * $"n").as("raw_bytes"),
+            sum(length($"v")).as("dict_store"))
+          .select(lit(table).as("tbl"), lit(colName).as("col_name"),
+            $"n_rows", $"n_distinct",
+            $"raw_bytes",
+            ($"dict_store" + $"n_rows" *
+              when($"n_distinct" <= 256, 1L)
+                .when($"n_distinct" <= 65536, 2L).otherwise(4L))
+              .as("dict_bytes"))
+          .select($"tbl", $"col_name", $"n_rows", $"n_distinct",
+            $"raw_bytes", $"dict_bytes",
+            expr("(raw_bytes - dict_bytes) * 10000 div raw_bytes").as("save4"))
+      }
+      advise(t(s, dir, "documents"), "documents", "lang")
+        .unionByName(advise(t(s, dir, "documents"), "documents", "source"))
+        .unionByName(advise(t(s, dir, "events"), "events", "event_type"))
+        .unionByName(advise(t(s, dir, "customer"), "customer", "c_mktsegment"))
+        .orderBy($"tbl", $"col_name")
+    }),
+
+    // Watermark-lag census — the batch diagnostic that SIZES the
+    // streaming twins' watermark slack: per user (the keyed-state
+    // grain), how often does an event arrive (event_id order) with a
+    // timestamp BEHIND the user's prior maximum, and by how much. The
+    // inversion window is keyed by user — billions of users shard
+    // cleanly; no global arrival window exists at any scale. Output per
+    // event type: count, late share (bps), max and mean lateness in µs.
+    "q234_watermark_lag" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type", $"user_id", $"event_id",
+          expr("ts div 1000").as("tsu"))
+      val lag = ev.withColumn("prior_mx",
+          max($"tsu").over(Window.partitionBy($"user_id").orderBy($"event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select($"event_type",
+          when($"prior_mx" > $"tsu", $"prior_mx" - $"tsu")
+            .otherwise(lit(0L)).as("late_us"))
+      lag.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(($"late_us" > 0).cast("long")).as("n_late"),
+          max($"late_us").as("max_late_us"),
+          sum($"late_us").as("sum_late_us"))
+        .select($"event_type", $"n_events", $"n_late",
+          expr("n_late * 10000 div n_events").as("late_bps"),
+          $"max_late_us",
+          expr("sum_late_us div n_events").as("mean_late_us"))
+        .orderBy($"event_type")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -9149,5 +9240,31 @@ bands AS (SELECT doc_id, i // 16 AS band, sum(CASE WHEN s >= 0 THEN 1::BIGINT <<
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
 nd AS (SELECT c.id_a, c.id_b, (count(*) FILTER (sa.s <> sb.s))::BIGINT AS n_diff FROM cand c JOIN smp sa ON sa.doc_id = c.id_a JOIN smp sb ON sb.doc_id = c.id_b AND sb.i = sa.i GROUP BY 1, 2)
 SELECT id_a, id_b, n_diff FROM nd WHERE n_diff <= 6 ORDER BY id_a, id_b""",
+
+    // q232: same manifest grain, same 7-day horizon arithmetic
+    "q232_retention_plan" ->
+      """WITH files AS (SELECT epoch_us(ts) // 86400000000 AS day, (epoch_us(ts) // 3600000000) % 6 AS slot, count(*)::BIGINT AS n_rows, sum(cast(floor(value * 1000000) AS BIGINT))::BIGINT AS bytes_u FROM events GROUP BY 1, 2),
+h AS (SELECT max(day) AS mx FROM files)
+SELECT day, CASE WHEN day <= h.mx - 7 THEN 'expire' ELSE 'keep' END AS status, count(*)::BIGINT AS n_files, sum(n_rows)::BIGINT AS n_rows, sum(CASE WHEN day <= h.mx - 7 THEN bytes_u ELSE 0 END)::BIGINT AS reclaim_u
+FROM files, h GROUP BY day, status ORDER BY day""",
+
+    // q233: same byte arithmetic, same width ladder
+    "q233_dict_advisor" ->
+      """WITH a AS (SELECT 'documents' AS tbl, 'lang' AS col_name, lang::VARCHAR AS v, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2, 3
+ UNION ALL SELECT 'documents', 'source', source::VARCHAR, count(*) FROM documents GROUP BY 1, 2, 3
+ UNION ALL SELECT 'events', 'event_type', event_type::VARCHAR, count(*) FROM events GROUP BY 1, 2, 3
+ UNION ALL SELECT 'customer', 'c_mktsegment', c_mktsegment::VARCHAR, count(*) FROM customer GROUP BY 1, 2, 3),
+agg AS (SELECT tbl, col_name, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_distinct, sum(length(v) * n)::BIGINT AS raw_bytes, sum(length(v))::BIGINT AS dict_store FROM a GROUP BY 1, 2)
+SELECT tbl, col_name, n_rows, n_distinct, raw_bytes,
+ (dict_store + n_rows * CASE WHEN n_distinct <= 256 THEN 1 WHEN n_distinct <= 65536 THEN 2 ELSE 4 END)::BIGINT AS dict_bytes,
+ ((raw_bytes - (dict_store + n_rows * CASE WHEN n_distinct <= 256 THEN 1 WHEN n_distinct <= 65536 THEN 2 ELSE 4 END)) * 10000 // raw_bytes)::BIGINT AS save4
+FROM agg ORDER BY tbl, col_name""",
+
+    // q234: same keyed inversion window (first row's NULL prior max
+    // compares false on both engines)
+    "q234_watermark_lag" ->
+      """WITH ev AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS tsu FROM events),
+lg AS (SELECT event_type, CASE WHEN pm > tsu THEN pm - tsu ELSE 0 END AS late_us FROM (SELECT event_type, tsu, max(tsu) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM ev))
+SELECT event_type, count(*)::BIGINT AS n_events, sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late, (sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS late_bps, max(late_us)::BIGINT AS max_late_us, (sum(late_us) // count(*))::BIGINT AS mean_late_us FROM lg GROUP BY event_type ORDER BY event_type""",
   )
 }
