@@ -739,7 +739,99 @@ object ScaleProbe {
         s"q221 10x closed form broke at $id: ($n1,$nf,$hm) want ($w1,$wf,$wh)")
     }
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q221s)
+    // ---- EvalMetrics closed forms (q234/q235/q237/q238/q240) ----
+    // Exact ratio-statistic invariance under c-fold cloning: every one of
+    // these metrics divides a numerator by a denominator that both scale
+    // exactly ×c (or ×c²), and floor(a·c/(b·c)) = floor(a/b) EXACTLY — so
+    // the statistic must be bit-identical at 10×, while raw counts must
+    // scale exactly ×c. Any drift = a non-histogram code path snuck in.
+    val emDocsBase = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    val emDocsScaled = (0 until copies).map { i =>
+      emDocsBase.select(($"doc_id" + lit(i * offset)).as("doc_id"),
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionByName _)
+    val aucB = graft.operators.EvalMetrics
+      .histAuc(emDocsBase, "lang", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val q235df = graft.operators.EvalMetrics
+      .histAuc(emDocsScaled, "lang", "n_chars").localCheckpoint(false)
+    val q235s = timed("q235_auc_10x") { q235df }
+    q235df.collect().foreach { r =>
+      val (bp, bn, ba) = aucB(r.getString(0))
+      require(r.getLong(1) == c * bp && r.getLong(2) == c * bn &&
+        r.getLong(3) == ba,
+        s"q235 10x closed form broke at ${r.getString(0)}: " +
+          s"(${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}) " +
+          s"want (${c * bp},${c * bn},$ba)")
+    }
+
+    val tcB = graft.operators.EvalMetrics
+      .tCloseness(emDocsBase.selectExpr("lang", "source", "n_chars div 200 as b"),
+        "lang", "source", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val q238df = graft.operators.EvalMetrics
+      .tCloseness(emDocsScaled.selectExpr("lang", "source", "n_chars div 200 as b"),
+        "lang", "source", "b").localCheckpoint(false)
+    val q238s = timed("q238_tclose_10x") { q238df }
+    q238df.collect().foreach { r =>
+      val (bg, bt, bc) = tcB((r.getString(0), r.getString(1)))
+      require(r.getLong(2) == c * bg && r.getLong(3) == bt &&
+        r.getString(4) == bc,
+        s"q238 10x closed form broke at (${r.getString(0)},${r.getString(1)}): " +
+          s"(${r.getLong(2)},${r.getLong(3)},${r.getString(4)}) " +
+          s"want (${c * bg},$bt,$bc)")
+    }
+
+    // events cloned by USER-ID OFFSET (event ids, timestamps, types,
+    // values verbatim): per-user lag structure, daily volumes and score
+    // draws are copy-identical, so q240's output rows must be IDENTICAL
+    // to base, q237's bins carry n ×c with invariant means/ECE, and
+    // q234's counts scale ×c with invariant bps/mean/max.
+    val emEvBase = Tables.load(spark, sfDir, "events")
+    val emEvScaled = (0 until copies).map { i =>
+      emEvBase.withColumn("user_id", $"user_id" + lit(i * offset))
+    }.reduce(_ unionByName _)
+    val btB = graft.operators.EvalMetrics.seasonalBacktest(emEvBase)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val q240df = graft.operators.EvalMetrics.seasonalBacktest(emEvScaled)
+      .localCheckpoint(false)
+    val q240s = timed("q240_backtest_10x") { q240df }
+    q240df.collect().foreach { r =>
+      require(btB(r.getString(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))),
+        s"q240 10x invariance broke at ${r.getString(0)}")
+    }
+    val calB = graft.operators.EvalMetrics.calibration(emEvBase)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val q237df = graft.operators.EvalMetrics.calibration(emEvScaled)
+      .localCheckpoint(false)
+    val q237s = timed("q237_calib_10x") { q237df }
+    q237df.collect().foreach { r =>
+      val (bn, bm, bp, be) = calB(r.getLong(0))
+      require(r.getLong(1) == c * bn && r.getLong(2) == bm &&
+        r.getLong(3) == bp && r.getLong(4) == be,
+        s"q237 10x closed form broke at bin ${r.getLong(0)}")
+    }
+    val wlB = graft.operators.EvalMetrics.watermarkLag(emEvBase)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val q234df = graft.operators.EvalMetrics.watermarkLag(emEvScaled)
+      .localCheckpoint(false)
+    val q234s = timed("q234_wmlag_10x") { q234df }
+    q234df.collect().foreach { r =>
+      val (bn, bl, bb, bx, bm) = wlB(r.getString(0))
+      require(r.getLong(1) == c * bn && r.getLong(2) == c * bl &&
+        r.getLong(3) == bb && r.getLong(4) == bx && r.getLong(5) == bm,
+        s"q234 10x closed form broke at ${r.getString(0)}")
+    }
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q221s, q235s, q238s, q240s, q237s, q234s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

@@ -6178,25 +6178,235 @@ object SparkEntry {
     // event type: count, late share (bps), max and mean lateness in µs.
     "q234_watermark_lag" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-        .select($"event_type", $"user_id", $"event_id",
-          expr("ts div 1000").as("tsu"))
-      val lag = ev.withColumn("prior_mx",
-          max($"tsu").over(Window.partitionBy($"user_id").orderBy($"event_id")
-            .rowsBetween(Window.unboundedPreceding, -1)))
-        .select($"event_type",
-          when($"prior_mx" > $"tsu", $"prior_mx" - $"tsu")
-            .otherwise(lit(0L)).as("late_us"))
-      lag.groupBy($"event_type")
-        .agg(count(lit(1)).as("n_events"),
-          sum(($"late_us" > 0).cast("long")).as("n_late"),
-          max($"late_us").as("max_late_us"),
-          sum($"late_us").as("sum_late_us"))
-        .select($"event_type", $"n_events", $"n_late",
-          expr("n_late * 10000 div n_events").as("late_bps"),
-          $"max_late_us",
-          expr("sum_late_us div n_events").as("mean_late_us"))
+      graft.operators.EvalMetrics.watermarkLag(t(s, dir, "events"))
         .orderBy($"event_type")
+    }),
+
+    // Exact AUC (Mann–Whitney with midrank ties) of n_chars as a one-vs-rest
+    // lang discriminator — the threshold-free ranking metric next to the
+    // calibration audit (q237) and nDCG (q223), computed the ExactQuantiles
+    // way: entirely on COUNT HISTOGRAMS. AUC = Σ_v pos(v)·(2·cumneg(<v) +
+    // neg(v)) / (2·n_pos·n_neg) — the midrank identity — so one histogram
+    // groupBy, a 5-lang × distinct-value grid, and a histogram-sized window
+    // give the EXACT statistic; no per-row rank ever materializes. The
+    // numerator is Θ(N²) so it accumulates in decimal(38,0) (q189 policy).
+    "q235_auc_rank" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.EvalMetrics
+        .histAuc(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy($"lang")
+    }),
+
+    // Two-feature OLS (daily volume ~ day trend + weekday) solved by
+    // Cramer's rule over the 3×3 normal equations — multivariate regression
+    // as ONE aggregation pass: nine decimal(38,0) moments per event type,
+    // determinants in pinned-order doubles, coefficients floor-quantized at
+    // 1e-6 (the q229 convention). Day is rebased to the corpus minimum
+    // (broadcast scalar) so the moments stay well-conditioned. No row ever
+    // leaves its scan partition except as a 9-number partial aggregate —
+    // the shape a 100 TB regression must have.
+    "q236_ols2_cramer" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val d0 = broadcast(daily.agg(min($"day").as("d0")))
+      val feat = daily.crossJoin(d0)
+        .select($"event_type", ($"day" - $"d0").as("x1"),
+          pmod($"day", lit(7L)).as("x2"), $"y")
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+      val m = feat.groupBy($"event_type").agg(
+        count(lit(1)).as("n"), dsum($"x1").as("s1"), dsum($"x2").as("s2"),
+        dsum($"y").as("sy"), dsum($"x1" * $"x1").as("s11"),
+        dsum($"x1" * $"x2").as("s12"), dsum($"x2" * $"x2").as("s22"),
+        dsum($"x1" * $"y").as("s1y"), dsum($"x2" * $"y").as("s2y"))
+      // pinned-order double arithmetic, mirrored character-for-character
+      // in the oracle: det, then each Cramer numerator
+      m.selectExpr("event_type", "cast(n as bigint) as n_days",
+          """cast(floor((
+               cast(sy as double) * (cast(s11 as double) * cast(s22 as double) - cast(s12 as double) * cast(s12 as double))
+             - cast(s1 as double) * (cast(s1y as double) * cast(s22 as double) - cast(s12 as double) * cast(s2y as double))
+             + cast(s2 as double) * (cast(s1y as double) * cast(s12 as double) - cast(s11 as double) * cast(s2y as double))
+           ) / (
+               cast(n as double) * (cast(s11 as double) * cast(s22 as double) - cast(s12 as double) * cast(s12 as double))
+             - cast(s1 as double) * (cast(s1 as double) * cast(s22 as double) - cast(s12 as double) * cast(s2 as double))
+             + cast(s2 as double) * (cast(s1 as double) * cast(s12 as double) - cast(s11 as double) * cast(s2 as double))
+           ) * 1000000.0) as bigint) as b0_6""",
+          """cast(floor((
+               cast(n as double) * (cast(s1y as double) * cast(s22 as double) - cast(s12 as double) * cast(s2y as double))
+             - cast(sy as double) * (cast(s1 as double) * cast(s22 as double) - cast(s12 as double) * cast(s2 as double))
+             + cast(s2 as double) * (cast(s1 as double) * cast(s2y as double) - cast(s1y as double) * cast(s2 as double))
+           ) / (
+               cast(n as double) * (cast(s11 as double) * cast(s22 as double) - cast(s12 as double) * cast(s12 as double))
+             - cast(s1 as double) * (cast(s1 as double) * cast(s22 as double) - cast(s12 as double) * cast(s2 as double))
+             + cast(s2 as double) * (cast(s1 as double) * cast(s12 as double) - cast(s11 as double) * cast(s2 as double))
+           ) * 1000000.0) as bigint) as b1_6""",
+          """cast(floor((
+               cast(n as double) * (cast(s11 as double) * cast(s2y as double) - cast(s1y as double) * cast(s12 as double))
+             - cast(s1 as double) * (cast(s1 as double) * cast(s2y as double) - cast(s1y as double) * cast(s2 as double))
+             + cast(sy as double) * (cast(s1 as double) * cast(s12 as double) - cast(s11 as double) * cast(s2 as double))
+           ) / (
+               cast(n as double) * (cast(s11 as double) * cast(s22 as double) - cast(s12 as double) * cast(s12 as double))
+             - cast(s1 as double) * (cast(s1 as double) * cast(s22 as double) - cast(s12 as double) * cast(s2 as double))
+             + cast(s2 as double) * (cast(s1 as double) * cast(s12 as double) - cast(s11 as double) * cast(s2 as double))
+           ) * 1000000.0) as bigint) as b2_6""")
+        .orderBy($"event_type")
+    }),
+
+    // Model-calibration audit (reliability diagram + ECE) — the eval-side
+    // complement to nDCG (q223) and the bootstrap CI (q228): a synthetic
+    // score from the md5 micro-uniform (deliberately informative but
+    // miscalibrated: the positive class is shifted, not separated), cut
+    // into ten fixed-width bins; each bin reports exact integer mean score
+    // and positive rate, and the expected calibration error weights the
+    // per-bin gap by bin mass. Everything past the scan is a 10-row
+    // aggregate; the ECE scalar is a broadcast attach.
+    "q237_calibration" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.EvalMetrics.calibration(t(s, dir, "events"))
+        .orderBy($"bin")
+    }),
+
+    // t-closeness audit — the distribution-level privacy gate l-diversity
+    // (q190) cannot express: a (lang, source) equivalence class may hold 5
+    // distinct length buckets yet still leak if its length DISTRIBUTION
+    // diverges from the corpus. For an ordered sensitive attribute the
+    // earth-mover distance is the L1 of cumulative gaps, computed here as
+    // EXACT integers: Σ_i |cumP_i·N − cumQ_i·n_g| over the bucket grid,
+    // normalized by n_g·N·(m−1). Grid = classes × buckets (both
+    // histogram-sized); no per-row work after the one grouped scan.
+    "q238_t_closeness" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.EvalMetrics.tCloseness(
+          t(s, dir, "documents")
+            .select($"lang", $"source", expr("n_chars div 200").as("b")),
+          "lang", "source", "b")
+        .orderBy($"lang", $"source")
+    }),
+
+    // Link prediction on the near-dup graph — the graph-science member
+    // that PREDICTS edges instead of analyzing them (Liben-Nowell &
+    // Kleinberg 2003): for every non-adjacent 2-hop pair, common-neighbor
+    // count, exact Jaccard over neighborhoods, and Adamic–Adar with the
+    // micro-nat log convention (each 1/ln(deg) term is an integral
+    // division by the floor-quantized log). All work is edge-sized
+    // equi-joins on the verified-pair graph; the wedge join's fan-out is
+    // Σ deg², the same bound every triangle/assortativity query already
+    // carries.
+    "q239_dup_linkpred" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2,
+        threshold = 0.75)
+      val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+        .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+        .localCheckpoint(false) // wedge join reads it three ways
+      val deg = edges.groupBy($"src".as("id")).agg(count(lit(1)).as("deg"))
+      val wedges = edges.as("e1").join(edges.as("e2"),
+          $"e1.dst" === $"e2.src" && $"e1.src" < $"e2.dst")
+        .select($"e1.src".as("u"), $"e2.dst".as("v"), $"e1.dst".as("w"))
+      val cand = wedges
+        .join(edges.select($"src".as("u"), $"dst".as("v")), Seq("u", "v"),
+          "left_anti")
+        .join(deg.select($"id".as("w"), $"deg".as("degw")), "w")
+        .groupBy($"u", $"v")
+        .agg(count(lit(1)).as("cn"),
+          sum(when($"degw" >= 2L,
+            expr("1000000000000 div cast(floor(ln(cast(degw as double)) * 1000000.0) as bigint)"))
+            .otherwise(lit(0L))).as("aa6"))
+      cand
+        .join(deg.select($"id".as("u"), $"deg".as("du")), "u")
+        .join(deg.select($"id".as("v"), $"deg".as("dv")), "v")
+        .select($"u", $"v", $"cn",
+          expr("cn * 10000 div (du + dv - cn)").as("jac4"), $"aa6")
+        .filter($"cn" >= 2L)
+        .orderBy($"u", $"v")
+    }),
+
+    // Seasonal-naive backtest — the forecasting baseline audit a volume
+    // pipeline runs before believing any model: per event type, last-week
+    // (lag-7) vs yesterday (lag-1) forecasts of daily volume, scored by
+    // MAPE in exact basis points. Lags are DAY-KEYED JOINS, not row-offset
+    // windows, so calendar gaps can never misalign a forecast. Everything
+    // runs on the calendar × type grid.
+    "q240_seasonal_backtest" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.EvalMetrics.seasonalBacktest(t(s, dir, "events"))
+        .orderBy($"event_type")
+    }),
+
+    // Population-stability drift (PSI) of the event-type mix between the
+    // first and second half of the observation window — the monitoring
+    // twin of the KS drift audit (q198), on shares instead of value
+    // distributions. Shares are exact parts-per-million; each PSI term is
+    // (p_new − p_old)·ln(p_new/p_old) with the ln floor-quantized to
+    // micro-nats THE MOMENT it is computed (the q69 rule), so the sum is
+    // exact integer arithmetic. One grouped pass; the split day is a
+    // broadcast scalar off the same aggregate.
+    "q241_drift_psi" -> ((s, dir) => {
+      import s.implicits._
+      val days = t(s, dir, "events")
+        .select($"event_type", expr("(ts div 1000) div 86400000000").as("day"))
+      val d0 = broadcast(days.agg(min($"day").as("d0")))
+      val halves = days.crossJoin(d0)
+        .select($"event_type",
+          when($"day" < $"d0" + 15L, lit("old")).otherwise(lit("new"))
+            .as("half"))
+        .groupBy($"event_type", $"half").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val tot = broadcast(halves.groupBy($"half").agg(sum($"n").as("tn"))
+        .groupBy().pivot("half", Seq("old", "new")).agg(first($"tn"))
+        .select($"old".as("n_old_tot"), $"new".as("n_new_tot")))
+      val wide = halves.groupBy($"event_type")
+        .pivot("half", Seq("old", "new")).agg(first($"n"))
+        .select($"event_type", coalesce($"old", lit(0L)).as("n_old"),
+          coalesce($"new", lit(0L)).as("n_new"))
+        .crossJoin(tot)
+        .select($"event_type", $"n_old", $"n_new",
+          expr("n_old * 1000000 div n_old_tot").as("p_old6"),
+          expr("n_new * 1000000 div n_new_tot").as("p_new6"))
+      wide.select($"event_type", $"n_old", $"n_new", $"p_old6", $"p_new6",
+          expr("""(p_new6 - p_old6) *
+            cast(floor(ln(cast(p_new6 as double) / cast(p_old6 as double)) * 1000000.0) as bigint)
+            div 1000000""").as("term6"))
+        .orderBy($"event_type")
+    }),
+
+    // EWMA control chart over daily volume — the anomaly instrument next
+    // to CUSUM (q196) and the robust z-score (q161): an 8-term
+    // exponentially-weighted average (α = 1/4) with weights generated by
+    // the EXACT integer recurrence w₀ = 250000, wₖ₊₁ = wₖ·3 div 4, so both
+    // engines carry identical literals and no float power ever runs. Each
+    // day CONTRIBUTES to its 8 future anchors (one 8× explode of the
+    // calendar grid); anchors missing any of their 8 terms are dropped by
+    // exact count, so calendar gaps can never silently shorten the
+    // window. Deviation is exact bps of the EWMA.
+    "q242_ewma_control" -> ((s, dir) => {
+      import s.implicits._
+      val wts = Array(250000L, 187500L, 140625L, 105468L, 79101L, 59325L,
+        44493L, 33369L) // w0 = 250000; w = w*3 div 4; sum = 899881
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y")).localCheckpoint(false)
+      val contrib = daily
+        .select($"event_type", $"day", $"y",
+          posexplode(lit(wts)).as(Seq("k", "w")))
+        .select($"event_type".as("c_type"), ($"day" + $"k").as("aday"),
+          ($"w" * $"y").as("c"))
+        .groupBy($"c_type", $"aday")
+        .agg(count(lit(1)).as("nterms"), sum($"c").as("ewma_u"))
+        .filter($"nterms" === 8L)
+      daily.join(contrib,
+          $"day" === $"aday" && $"event_type" === $"c_type")
+        .select($"event_type", $"day", $"y",
+          expr("ewma_u div 899881").as("ewma"),
+          expr("abs(y * 899881 - ewma_u) * 10000 div ewma_u").as("dev_bps"))
+        .select($"event_type", $"day", $"y", $"ewma", $"dev_bps",
+          ($"dev_bps" > 2500L).cast("long").as("alarm"))
+        .orderBy($"event_type", $"day")
     }),
 
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
@@ -9259,6 +9469,106 @@ SELECT tbl, col_name, n_rows, n_distinct, raw_bytes,
  (dict_store + n_rows * CASE WHEN n_distinct <= 256 THEN 1 WHEN n_distinct <= 65536 THEN 2 ELSE 4 END)::BIGINT AS dict_bytes,
  ((raw_bytes - (dict_store + n_rows * CASE WHEN n_distinct <= 256 THEN 1 WHEN n_distinct <= 65536 THEN 2 ELSE 4 END)) * 10000 // raw_bytes)::BIGINT AS save4
 FROM agg ORDER BY tbl, col_name""",
+
+    // q235: same histogram grid, same midrank identity, HUGEINT numerator
+    "q235_auc_rank" ->
+      """WITH h AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS cnt FROM documents GROUP BY 1, 2),
+tv AS (SELECT v, sum(cnt)::BIGINT AS tot FROM h GROUP BY 1),
+tg AS (SELECT DISTINCT lang AS tgt FROM h),
+grid AS (SELECT tg.tgt, tv.v, coalesce(p.cnt, 0)::BIGINT AS pos, (tv.tot - coalesce(p.cnt, 0))::BIGINT AS neg
+  FROM tv CROSS JOIN tg LEFT JOIN h p ON p.lang = tg.tgt AND p.v = tv.v),
+cum AS (SELECT tgt, v, pos, neg, coalesce(sum(neg) OVER (PARTITION BY tgt ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb FROM grid),
+ag AS (SELECT tgt AS lang, sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg, sum((pos * (2 * cb + neg))::HUGEINT) AS num2 FROM cum GROUP BY 1)
+SELECT lang, n_pos, n_neg, (num2 * 10000 // (2 * n_pos * n_neg))::BIGINT AS auc4 FROM ag ORDER BY lang""",
+
+    // q236: same HUGEINT moments, same pinned-order Cramer doubles
+    "q236_ols2_cramer" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+d0 AS (SELECT min(day) AS d0 FROM daily),
+feat AS (SELECT event_type, day - d0.d0 AS x1, day % 7 AS x2, y FROM daily, d0),
+m AS (SELECT event_type, count(*)::BIGINT AS n, sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2, sum(y::HUGEINT) AS sy, sum((x1 * x1)::HUGEINT) AS s11, sum((x1 * x2)::HUGEINT) AS s12, sum((x2 * x2)::HUGEINT) AS s22, sum((x1 * y)::HUGEINT) AS s1y, sum((x2 * y)::HUGEINT) AS s2y FROM feat GROUP BY 1)
+SELECT event_type, n AS n_days,
+floor((sy::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1y::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2y::DOUBLE) + s2::DOUBLE * (s1y::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2y::DOUBLE)) / (n::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) * 1000000.0)::BIGINT AS b0_6,
+floor((n::DOUBLE * (s1y::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2y::DOUBLE) - sy::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s2::DOUBLE)) / (n::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) * 1000000.0)::BIGINT AS b1_6,
+floor((n::DOUBLE * (s11::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s2::DOUBLE) + sy::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) / (n::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) * 1000000.0)::BIGINT AS b2_6
+FROM m ORDER BY event_type""",
+
+    // q237: same md5 micro-uniform, same shifted score, same bin grid and
+    // mass-weighted ECE
+    "q237_calibration" ->
+      """WITH sc AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+  ('0x' || substr(md5('cal:' || event_id::VARCHAR), 1, 15))::BIGINT % 10000 AS u FROM events),
+s2 AS (SELECT y, u * 6 // 10 + y * 3000 + (1 - y) * 500 AS score4 FROM sc),
+bins AS (SELECT score4 // 1000 AS bin, count(*)::BIGINT AS n, (sum(score4) // count(*))::BIGINT AS mean_score4, (sum(y) * 10000 // count(*))::BIGINT AS pos4 FROM s2 GROUP BY 1),
+ece AS (SELECT (sum(n * abs(mean_score4 - pos4)) // sum(n))::BIGINT AS ece4 FROM bins)
+SELECT bin, n, mean_score4, pos4, ece.ece4 FROM bins, ece ORDER BY bin""",
+
+    // q238: same class/bucket grid, same exact integer EMD
+    "q238_t_closeness" ->
+      """WITH rws AS (SELECT lang, source, n_chars // 200 AS b FROM documents),
+cls AS (SELECT lang, source, b, count(*)::BIGINT AS cnt FROM rws GROUP BY 1, 2, 3),
+gl AS (SELECT b, gcnt, sum(gcnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS gcum FROM (SELECT b, sum(cnt)::BIGINT AS gcnt FROM cls GROUP BY 1)),
+mm AS (SELECT count(*)::BIGINT AS m, sum(gcnt)::BIGINT AS big_n FROM gl),
+grp AS (SELECT lang, source, sum(cnt)::BIGINT AS ng FROM cls GROUP BY 1, 2),
+grid AS (SELECT grp.lang, grp.source, grp.ng, gl.b, gl.gcum, coalesce(cls.cnt, 0)::BIGINT AS cnt
+  FROM gl CROSS JOIN grp LEFT JOIN cls ON cls.lang = grp.lang AND cls.source = grp.source AND cls.b = gl.b),
+pc AS (SELECT lang, source, ng, b, gcum, sum(cnt) OVER (PARTITION BY lang, source ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pcum FROM grid),
+emd AS (SELECT lang, source, ng, sum(abs(pcum * mm.big_n - gcum * ng))::BIGINT AS emd_i, mm.m AS m, mm.big_n AS big_n FROM pc, mm GROUP BY lang, source, ng, mm.m, mm.big_n)
+SELECT lang, source, ng AS n_g, (emd_i * 10000 // (ng * big_n * (m - 1)))::BIGINT AS t4,
+CASE WHEN emd_i * 10000 // (ng * big_n * (m - 1)) > 2000 THEN 'exposed' ELSE 'ok' END AS closeness
+FROM emd ORDER BY lang, source""",
+
+    // q239: same verified-pair graph, same wedge/anti-join candidates,
+    // same micro-nat Adamic–Adar
+    "q239_dup_linkpred" ->
+      s"""WITH $LshVerifiedCtes,
+prs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.75),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+deg AS (SELECT src AS id, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+wedge AS (SELECT e1.src AS u, e2.dst AS v, e1.dst AS w FROM edges e1 JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst),
+lp AS (SELECT wd.u, wd.v, count(*)::BIGINT AS cn,
+  sum(CASE WHEN dw.deg >= 2 THEN 1000000000000 // floor(ln(dw.deg::DOUBLE) * 1000000.0)::BIGINT ELSE 0 END)::BIGINT AS aa6
+  FROM wedge wd JOIN deg dw ON dw.id = wd.w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = wd.u AND e.dst = wd.v)
+  GROUP BY 1, 2)
+SELECT c.u, c.v, c.cn, (c.cn * 10000 // (da.deg + db.deg - c.cn))::BIGINT AS jac4, c.aa6
+FROM lp c JOIN deg da ON da.id = c.u JOIN deg db ON db.id = c.v
+WHERE c.cn >= 2 ORDER BY c.u, c.v""",
+
+    // q240: same day-keyed forecast joins, same exact bps APE terms
+    "q240_seasonal_backtest" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+j AS (SELECT d.event_type, abs(d.y - f7.y) * 10000 // d.y AS ape7, abs(d.y - f1.y) * 10000 // d.y AS ape1
+  FROM daily d JOIN daily f7 ON f7.event_type = d.event_type AND f7.day = d.day - 7
+  JOIN daily f1 ON f1.event_type = d.event_type AND f1.day = d.day - 1)
+SELECT event_type, count(*)::BIGINT AS n_eval, (sum(ape7) // count(*))::BIGINT AS mape7_bps, (sum(ape1) // count(*))::BIGINT AS mape1_bps,
+CASE WHEN sum(ape7) // count(*) < sum(ape1) // count(*) THEN 'seasonal' ELSE 'naive' END AS winner
+FROM j GROUP BY event_type ORDER BY event_type""",
+
+    // q241: same half split off the same broadcast scalar, same ppm
+    // shares, same micro-nat ln quantization (both engines truncate
+    // integral division toward zero — verified)
+    "q241_drift_psi" ->
+      """WITH dz AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+d0 AS (SELECT min(day) AS d0 FROM dz),
+h AS (SELECT event_type, CASE WHEN day < d0.d0 + 15 THEN 'old' ELSE 'new' END AS half, count(*)::BIGINT AS n FROM dz, d0 GROUP BY 1, 2),
+wide AS (SELECT event_type, coalesce(sum(CASE WHEN half = 'old' THEN n END), 0)::BIGINT AS n_old, coalesce(sum(CASE WHEN half = 'new' THEN n END), 0)::BIGINT AS n_new FROM h GROUP BY 1),
+tot AS (SELECT sum(n_old)::BIGINT AS n_old_tot, sum(n_new)::BIGINT AS n_new_tot FROM wide),
+sh AS (SELECT event_type, n_old, n_new, n_old * 1000000 // tot.n_old_tot AS p_old6, n_new * 1000000 // tot.n_new_tot AS p_new6 FROM wide, tot)
+SELECT event_type, n_old, n_new, p_old6, p_new6,
+((p_new6 - p_old6) * floor(ln(p_new6::DOUBLE / p_old6::DOUBLE) * 1000000.0)::BIGINT // 1000000)::BIGINT AS term6
+FROM sh ORDER BY event_type""",
+
+    // q242: same integer weight recurrence literals, same
+    // contribute-to-anchor grid, same exact-count gap guard
+    "q242_ewma_control" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+w(k, w) AS (SELECT * FROM (VALUES (0, 250000), (1, 187500), (2, 140625), (3, 105468), (4, 79101), (5, 59325), (6, 44493), (7, 33369)) v(k, w)),
+contrib AS (SELECT event_type, day + k AS aday, count(*)::BIGINT AS nterms, sum(w * y)::BIGINT AS ewma_u FROM daily, w GROUP BY 1, 2),
+ok AS (SELECT * FROM contrib WHERE nterms = 8)
+SELECT d.event_type, d.day, d.y, (ok.ewma_u // 899881)::BIGINT AS ewma, (abs(d.y * 899881 - ok.ewma_u) * 10000 // ok.ewma_u)::BIGINT AS dev_bps,
+(CASE WHEN abs(d.y * 899881 - ok.ewma_u) * 10000 // ok.ewma_u > 2500 THEN 1 ELSE 0 END)::BIGINT AS alarm
+FROM daily d JOIN ok ON ok.event_type = d.event_type AND ok.aday = d.day ORDER BY d.event_type, d.day""",
 
     // q234: same keyed inversion window (first row's NULL prior max
     // compares false on both engines)

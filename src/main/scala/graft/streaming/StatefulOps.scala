@@ -820,6 +820,70 @@ object StatefulOps {
           GroupQuantilesSnapshot(g, n, qs)
       }
   }
+  final case class TypeLag(
+      event_type: String, n_events: Long, n_late: Long,
+      sum_late_us: Long, max_late_us: Long)
+  final case class WatermarkLagSnapshot(
+      user_id: Long, n_events: Long, types: Seq[TypeLag])
+
+  /** Streaming twin of [[graft.operators.EvalMetrics.watermarkLag]]: the
+    * per-user lateness census maintained live. Batch semantics define an
+    * event's lateness against the max timestamp of all SMALLER-EVENT-ID
+    * events of that user — so an out-of-order arrival with a low event id
+    * retroactively changes the lateness of higher-id events already seen.
+    * The state is therefore the user's (event_id, tsu, type) buffer
+    * (merge-inserted sorted by event id, deduped by id so at-least-once
+    * replay is absorbed — the [[runningPostings]] idiom), and each
+    * snapshot re-derives the per-type lateness aggregates with one
+    * running-max pass. The EVENT-TYPE level (summing user snapshots into
+    * the q234 report) stays a batch-side read over the snapshot store,
+    * exactly how [[runningConcurrency]] splits its two levels. State is
+    * the user's event history; a production deployment ages ids below the
+    * ingest low-watermark out of the buffer once no smaller id can
+    * arrive, at which point state is O(open window).
+    */
+  def runningWatermarkLag(
+      events: Dataset[(Long, Long, Long, String)]): Dataset[WatermarkLagSnapshot] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[Seq[(Long, Long, String)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty).toVector
+          val seen = prev.iterator.map(_._1).toSet
+          val incoming = it.map(r => (r._2, r._3, r._4)).toVector
+            .distinctBy(_._1)             // replay inside one batch
+            .filter(e => !seen.contains(e._1)) // replay across batches
+            .sortBy(_._1)
+          val buf = {
+            val out = Vector.newBuilder[(Long, Long, String)]
+            var (i, j) = (0, 0)
+            while (i < prev.length || j < incoming.length) {
+              val takeA = j >= incoming.length ||
+                (i < prev.length && prev(i)._1 <= incoming(j)._1)
+              if (takeA) { out += prev(i); i += 1 }
+              else { out += incoming(j); j += 1 }
+            }
+            out.result()
+          }
+          state.update(buf)
+          var mx = Long.MinValue
+          val agg = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Long, Long, Long, Long)]
+          buf.foreach { case (_, tsu, tp) =>
+            val late = if (mx > tsu) mx - tsu else 0L
+            val (n, nl, sl, ml) = agg.getOrElse(tp, (0L, 0L, 0L, 0L))
+            agg(tp) = (n + 1, nl + (if (late > 0) 1L else 0L),
+              sl + late, math.max(ml, late))
+            if (tsu > mx) mx = tsu
+          }
+          WatermarkLagSnapshot(user, buf.length.toLong,
+            agg.iterator.map { case (tp, (n, nl, sl, ml)) =>
+              TypeLag(tp, n, nl, sl, ml)
+            }.toSeq)
+      }
+  }
+
   final case class CdcStateSnapshot(
       key: Long, op: String, value: Long, n_ops: Long)
 

@@ -235,6 +235,65 @@ class PlannersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming watermark-lag snapshots + batch type rollup equal the batch census over 100 random streams with replays and id inversions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(234L)
+    val types = Seq("click", "view", "purchase")
+    // (user_id, event_id, tsu, type)
+    val all = scala.collection.mutable.Buffer.empty[(Long, Long, Long, String)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val q = graft.streaming.StatefulOps.runningWatermarkLag(input.toDS())
+      .writeStream.format("memory").queryName("wml_prop")
+      .outputMode("update").start()
+    try {
+      var id = 0L
+      for (_ <- 0 until 100) {
+        val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+          id += 1
+          // timestamps wander so prior-max inversions are common; ARRIVAL
+          // order is shuffled so low event ids can land after high ones
+          (1L + rnd.nextInt(5), id, 3600000000L + rnd.nextInt(5000).toLong,
+            types(rnd.nextInt(types.size)))
+        }
+        val replay = if (all.nonEmpty)
+          Seq.fill(rnd.nextInt(3))(all(rnd.nextInt(all.size)))
+        else Seq.empty
+        all ++= rows
+        val batch = rnd.shuffle(rows ++ replay)
+        if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+      }
+      // latest snapshot per user (n_events only grows), then the
+      // batch-side event-type rollup a dashboard runs over the store
+      val got = spark.table("wml_prop")
+        .groupBy($"user_id")
+        .agg(max_by($"types", $"n_events").as("types"))
+        .select(explode($"types").as("t"))
+        .select($"t.*")
+        .groupBy($"event_type")
+        .agg(sum($"n_events").as("n_events"), sum($"n_late").as("n_late"),
+          max($"max_late_us").as("max_late_us"),
+          sum($"sum_late_us").as("sum_late_us"))
+        .select($"event_type", $"n_events", $"n_late",
+          expr("n_late * 10000 div n_events").as("late_bps"),
+          $"max_late_us", expr("sum_late_us div n_events").as("mean_late_us"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val want = graft.operators.EvalMetrics.watermarkLag(
+          all.toSeq.toDF("user_id", "event_id", "tsu", "event_type")
+            .select($"event_type", $"user_id", $"event_id",
+              ($"tsu" * 1000L).as("ts")))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------ ppr
 
   test("personalizedRanks equals a hand-unrolled reference; teleport stays on seeds") {
