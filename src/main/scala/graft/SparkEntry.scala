@@ -6204,7 +6204,12 @@ object SparkEntry {
     // 1e-6 (the q229 convention). Day is rebased to the corpus minimum
     // (broadcast scalar) so the moments stay well-conditioned. No row ever
     // leaves its scan partition except as a 9-number partial aggregate —
-    // the shape a 100 TB regression must have.
+    // the shape a 100 TB regression must have. SINGULARITY GUARD: a type
+    // observed on < 3 days, or with collinear features (all activity on
+    // one weekday), has determinant 0 — 0/0 would be NaN/±Infinity, which
+    // Spark (non-ANSI) silently casts to 0 / Long extremes while the
+    // oracle's ::BIGINT errors. Both engines compute the determinant ONCE
+    // and emit NULL coefficients when it is exactly 0.
     "q236_ols2_cramer" -> ((s, dir) => {
       import s.implicits._
       val daily = t(s, dir, "events")
@@ -6222,35 +6227,33 @@ object SparkEntry {
         dsum($"x1" * $"x2").as("s12"), dsum($"x2" * $"x2").as("s22"),
         dsum($"x1" * $"y").as("s1y"), dsum($"x2" * $"y").as("s2y"))
       // pinned-order double arithmetic, mirrored character-for-character
-      // in the oracle: det, then each Cramer numerator
+      // in the oracle: the determinant ONCE, then each Cramer numerator;
+      // det = 0 → NULL coefficients (singular normal equations)
       m.selectExpr("event_type", "cast(n as bigint) as n_days",
-          """cast(floor((
+          """(
+               cast(n as double) * (cast(s11 as double) * cast(s22 as double) - cast(s12 as double) * cast(s12 as double))
+             - cast(s1 as double) * (cast(s1 as double) * cast(s22 as double) - cast(s12 as double) * cast(s2 as double))
+             + cast(s2 as double) * (cast(s1 as double) * cast(s12 as double) - cast(s11 as double) * cast(s2 as double))
+           ) as det""",
+          """(
                cast(sy as double) * (cast(s11 as double) * cast(s22 as double) - cast(s12 as double) * cast(s12 as double))
              - cast(s1 as double) * (cast(s1y as double) * cast(s22 as double) - cast(s12 as double) * cast(s2y as double))
              + cast(s2 as double) * (cast(s1y as double) * cast(s12 as double) - cast(s11 as double) * cast(s2y as double))
-           ) / (
-               cast(n as double) * (cast(s11 as double) * cast(s22 as double) - cast(s12 as double) * cast(s12 as double))
-             - cast(s1 as double) * (cast(s1 as double) * cast(s22 as double) - cast(s12 as double) * cast(s2 as double))
-             + cast(s2 as double) * (cast(s1 as double) * cast(s12 as double) - cast(s11 as double) * cast(s2 as double))
-           ) * 1000000.0) as bigint) as b0_6""",
-          """cast(floor((
+           ) as num0""",
+          """(
                cast(n as double) * (cast(s1y as double) * cast(s22 as double) - cast(s12 as double) * cast(s2y as double))
              - cast(sy as double) * (cast(s1 as double) * cast(s22 as double) - cast(s12 as double) * cast(s2 as double))
              + cast(s2 as double) * (cast(s1 as double) * cast(s2y as double) - cast(s1y as double) * cast(s2 as double))
-           ) / (
-               cast(n as double) * (cast(s11 as double) * cast(s22 as double) - cast(s12 as double) * cast(s12 as double))
-             - cast(s1 as double) * (cast(s1 as double) * cast(s22 as double) - cast(s12 as double) * cast(s2 as double))
-             + cast(s2 as double) * (cast(s1 as double) * cast(s12 as double) - cast(s11 as double) * cast(s2 as double))
-           ) * 1000000.0) as bigint) as b1_6""",
-          """cast(floor((
+           ) as num1""",
+          """(
                cast(n as double) * (cast(s11 as double) * cast(s2y as double) - cast(s1y as double) * cast(s12 as double))
              - cast(s1 as double) * (cast(s1 as double) * cast(s2y as double) - cast(s1y as double) * cast(s2 as double))
              + cast(sy as double) * (cast(s1 as double) * cast(s12 as double) - cast(s11 as double) * cast(s2 as double))
-           ) / (
-               cast(n as double) * (cast(s11 as double) * cast(s22 as double) - cast(s12 as double) * cast(s12 as double))
-             - cast(s1 as double) * (cast(s1 as double) * cast(s22 as double) - cast(s12 as double) * cast(s2 as double))
-             + cast(s2 as double) * (cast(s1 as double) * cast(s12 as double) - cast(s11 as double) * cast(s2 as double))
-           ) * 1000000.0) as bigint) as b2_6""")
+           ) as num2""")
+        .selectExpr("event_type", "n_days",
+          "case when det = 0.0D then cast(null as bigint) else cast(floor(num0 / det * 1000000.0) as bigint) end as b0_6",
+          "case when det = 0.0D then cast(null as bigint) else cast(floor(num1 / det * 1000000.0) as bigint) end as b1_6",
+          "case when det = 0.0D then cast(null as bigint) else cast(floor(num2 / det * 1000000.0) as bigint) end as b2_6")
         .orderBy($"event_type")
     }),
 
@@ -6344,7 +6347,13 @@ object SparkEntry {
     // (p_new − p_old)·ln(p_new/p_old) with the ln floor-quantized to
     // micro-nats THE MOMENT it is computed (the q69 rule), so the sum is
     // exact integer arithmetic. One grouped pass; the split day is a
-    // broadcast scalar off the same aggregate.
+    // broadcast scalar off the same aggregate. ZERO-SHARE GUARD: an event
+    // type absent from one half (or below 1 ppm) would make a share 0 and
+    // the ln ±Infinity — Spark (non-ANSI) would cast that to a silently
+    // wrong Long extreme while the oracle's ::BIGINT cast errors. Both
+    // engines therefore clamp each share to max(p6, 1) INSIDE the term
+    // (the standard PSI epsilon substitution); the reported p_old6/p_new6
+    // columns keep the true unclamped shares.
     "q241_drift_psi" -> ((s, dir) => {
       import s.implicits._
       val days = t(s, dir, "events")
@@ -6368,8 +6377,8 @@ object SparkEntry {
           expr("n_old * 1000000 div n_old_tot").as("p_old6"),
           expr("n_new * 1000000 div n_new_tot").as("p_new6"))
       wide.select($"event_type", $"n_old", $"n_new", $"p_old6", $"p_new6",
-          expr("""(p_new6 - p_old6) *
-            cast(floor(ln(cast(p_new6 as double) / cast(p_old6 as double)) * 1000000.0) as bigint)
+          expr("""(greatest(p_new6, 1L) - greatest(p_old6, 1L)) *
+            cast(floor(ln(cast(greatest(p_new6, 1L) as double) / cast(greatest(p_old6, 1L) as double)) * 1000000.0) as bigint)
             div 1000000""").as("term6"))
         .orderBy($"event_type")
     }),
@@ -9478,20 +9487,27 @@ tg AS (SELECT DISTINCT lang AS tgt FROM h),
 grid AS (SELECT tg.tgt, tv.v, coalesce(p.cnt, 0)::BIGINT AS pos, (tv.tot - coalesce(p.cnt, 0))::BIGINT AS neg
   FROM tv CROSS JOIN tg LEFT JOIN h p ON p.lang = tg.tgt AND p.v = tv.v),
 cum AS (SELECT tgt, v, pos, neg, coalesce(sum(neg) OVER (PARTITION BY tgt ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb FROM grid),
-ag AS (SELECT tgt AS lang, sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg, sum((pos * (2 * cb + neg))::HUGEINT) AS num2 FROM cum GROUP BY 1)
+ag AS (SELECT tgt AS lang, sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg, sum(pos::HUGEINT * (2 * cb + neg)) AS num2 FROM cum GROUP BY 1)
 SELECT lang, n_pos, n_neg, (num2 * 10000 // (2 * n_pos * n_neg))::BIGINT AS auc4 FROM ag ORDER BY lang""",
 
-    // q236: same HUGEINT moments, same pinned-order Cramer doubles
+    // q236: same HUGEINT moments, same pinned-order Cramer doubles, same
+    // det-computed-once CASE guard (det = 0 → NULL coefficients)
     "q236_ols2_cramer" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
 d0 AS (SELECT min(day) AS d0 FROM daily),
 feat AS (SELECT event_type, day - d0.d0 AS x1, day % 7 AS x2, y FROM daily, d0),
-m AS (SELECT event_type, count(*)::BIGINT AS n, sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2, sum(y::HUGEINT) AS sy, sum((x1 * x1)::HUGEINT) AS s11, sum((x1 * x2)::HUGEINT) AS s12, sum((x2 * x2)::HUGEINT) AS s22, sum((x1 * y)::HUGEINT) AS s1y, sum((x2 * y)::HUGEINT) AS s2y FROM feat GROUP BY 1)
+m AS (SELECT event_type, count(*)::BIGINT AS n, sum(x1::HUGEINT) AS s1, sum(x2::HUGEINT) AS s2, sum(y::HUGEINT) AS sy, sum((x1 * x1)::HUGEINT) AS s11, sum((x1 * x2)::HUGEINT) AS s12, sum((x2 * x2)::HUGEINT) AS s22, sum((x1 * y)::HUGEINT) AS s1y, sum((x2 * y)::HUGEINT) AS s2y FROM feat GROUP BY 1),
+dn AS (SELECT event_type, n,
+(n::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) AS det,
+(sy::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1y::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2y::DOUBLE) + s2::DOUBLE * (s1y::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2y::DOUBLE)) AS num0,
+(n::DOUBLE * (s1y::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2y::DOUBLE) - sy::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s2::DOUBLE)) AS num1,
+(n::DOUBLE * (s11::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s2::DOUBLE) + sy::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) AS num2
+FROM m)
 SELECT event_type, n AS n_days,
-floor((sy::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1y::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2y::DOUBLE) + s2::DOUBLE * (s1y::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2y::DOUBLE)) / (n::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) * 1000000.0)::BIGINT AS b0_6,
-floor((n::DOUBLE * (s1y::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2y::DOUBLE) - sy::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s2::DOUBLE)) / (n::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) * 1000000.0)::BIGINT AS b1_6,
-floor((n::DOUBLE * (s11::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s2y::DOUBLE - s1y::DOUBLE * s2::DOUBLE) + sy::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) / (n::DOUBLE * (s11::DOUBLE * s22::DOUBLE - s12::DOUBLE * s12::DOUBLE) - s1::DOUBLE * (s1::DOUBLE * s22::DOUBLE - s12::DOUBLE * s2::DOUBLE) + s2::DOUBLE * (s1::DOUBLE * s12::DOUBLE - s11::DOUBLE * s2::DOUBLE)) * 1000000.0)::BIGINT AS b2_6
-FROM m ORDER BY event_type""",
+CASE WHEN det = 0.0 THEN NULL ELSE floor(num0 / det * 1000000.0)::BIGINT END AS b0_6,
+CASE WHEN det = 0.0 THEN NULL ELSE floor(num1 / det * 1000000.0)::BIGINT END AS b1_6,
+CASE WHEN det = 0.0 THEN NULL ELSE floor(num2 / det * 1000000.0)::BIGINT END AS b2_6
+FROM dn ORDER BY event_type""",
 
     // q237: same md5 micro-uniform, same shifted score, same bin grid and
     // mass-weighted ECE
@@ -9513,9 +9529,9 @@ grp AS (SELECT lang, source, sum(cnt)::BIGINT AS ng FROM cls GROUP BY 1, 2),
 grid AS (SELECT grp.lang, grp.source, grp.ng, gl.b, gl.gcum, coalesce(cls.cnt, 0)::BIGINT AS cnt
   FROM gl CROSS JOIN grp LEFT JOIN cls ON cls.lang = grp.lang AND cls.source = grp.source AND cls.b = gl.b),
 pc AS (SELECT lang, source, ng, b, gcum, sum(cnt) OVER (PARTITION BY lang, source ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pcum FROM grid),
-emd AS (SELECT lang, source, ng, sum(abs(pcum * mm.big_n - gcum * ng))::BIGINT AS emd_i, mm.m AS m, mm.big_n AS big_n FROM pc, mm GROUP BY lang, source, ng, mm.m, mm.big_n)
-SELECT lang, source, ng AS n_g, (emd_i * 10000 // (ng * big_n * (m - 1)))::BIGINT AS t4,
-CASE WHEN emd_i * 10000 // (ng * big_n * (m - 1)) > 2000 THEN 'exposed' ELSE 'ok' END AS closeness
+emd AS (SELECT lang, source, ng, sum(abs(pcum::HUGEINT * mm.big_n - gcum::HUGEINT * ng)) AS emd_i, mm.m AS m, mm.big_n AS big_n FROM pc, mm GROUP BY lang, source, ng, mm.m, mm.big_n)
+SELECT lang, source, ng AS n_g, (emd_i * 10000 // (ng::HUGEINT * big_n * (m - 1)))::BIGINT AS t4,
+CASE WHEN emd_i * 10000 // (ng::HUGEINT * big_n * (m - 1)) > 2000 THEN 'exposed' ELSE 'ok' END AS closeness
 FROM emd ORDER BY lang, source""",
 
     // q239: same verified-pair graph, same wedge/anti-join candidates,
@@ -9547,7 +9563,8 @@ FROM j GROUP BY event_type ORDER BY event_type""",
 
     // q241: same half split off the same broadcast scalar, same ppm
     // shares, same micro-nat ln quantization (both engines truncate
-    // integral division toward zero — verified)
+    // integral division toward zero — verified), same greatest(p6, 1)
+    // epsilon clamp inside the term so a zero share can never reach ln
     "q241_drift_psi" ->
       """WITH dz AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
 d0 AS (SELECT min(day) AS d0 FROM dz),
@@ -9556,7 +9573,7 @@ wide AS (SELECT event_type, coalesce(sum(CASE WHEN half = 'old' THEN n END), 0):
 tot AS (SELECT sum(n_old)::BIGINT AS n_old_tot, sum(n_new)::BIGINT AS n_new_tot FROM wide),
 sh AS (SELECT event_type, n_old, n_new, n_old * 1000000 // tot.n_old_tot AS p_old6, n_new * 1000000 // tot.n_new_tot AS p_new6 FROM wide, tot)
 SELECT event_type, n_old, n_new, p_old6, p_new6,
-((p_new6 - p_old6) * floor(ln(p_new6::DOUBLE / p_old6::DOUBLE) * 1000000.0)::BIGINT // 1000000)::BIGINT AS term6
+((greatest(p_new6, 1) - greatest(p_old6, 1)) * floor(ln(greatest(p_new6, 1)::DOUBLE / greatest(p_old6, 1)::DOUBLE) * 1000000.0)::BIGINT // 1000000)::BIGINT AS term6
 FROM sh ORDER BY event_type""",
 
     // q242: same integer weight recurrence literals, same

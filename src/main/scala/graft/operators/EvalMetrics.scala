@@ -50,7 +50,11 @@ object EvalMetrics {
       .withColumn("cb", coalesce(sum($"neg").over(w), lit(0L)))
       .groupBy($"tgt")
       .agg(sum($"pos").as("n_pos"), sum($"neg").as("n_neg"),
-        sum(($"pos" * (lit(2L) * $"cb" + $"neg")).cast("decimal(38,0)"))
+        // pos is widened BEFORE the multiply so the Θ(N²) per-term product
+        // itself is decimal — a 64-bit product would wrap silently past
+        // ~2·10⁹ rows per value cell (the q189 policy, applied to the
+        // term, not just the sum)
+        sum($"pos".cast("decimal(38,0)") * (lit(2L) * $"cb" + $"neg"))
           .as("num2"))
       .select($"tgt".as(groupCol), $"n_pos", $"n_neg",
         expr("cast(num2 * 10000 div (2 * n_pos * n_neg) as bigint)")
@@ -85,9 +89,14 @@ object EvalMetrics {
     grid.withColumn("pcum", sum($"cnt").over(wg))
       .crossJoin(m)
       .groupBy(col(q1), col(q2), $"ng", $"m", $"big_n")
-      .agg(sum(abs($"pcum" * $"big_n" - $"gcum" * $"ng")).as("emd_i"))
+      // the cumulative-gap products and the t4 denominator are Θ(N²) —
+      // widen to decimal(38,0) before multiplying (the histAuc policy;
+      // 64-bit would wrap silently around ~3·10⁹ rows)
+      .agg(sum(abs($"pcum".cast("decimal(38,0)") * $"big_n"
+        - $"gcum".cast("decimal(38,0)") * $"ng")).as("emd_i"))
       .select(col(q1), col(q2), $"ng".as("n_g"),
-        expr("emd_i * 10000 div (n_g * big_n * (m - 1))").as("t4"))
+        expr("cast(emd_i * 10000 div (cast(n_g as decimal(38,0)) * big_n * (m - 1)) as bigint)")
+          .as("t4"))
       .select(col(q1), col(q2), $"n_g", $"t4",
         when($"t4" > 2000L, lit("exposed")).otherwise(lit("ok"))
           .as("closeness"))
