@@ -3224,15 +3224,19 @@ object SparkEntry {
     // -form least squares on (ln rank, ln freq): both logs are quantized
     // to integer micro-nats AT THE SCAN so every sum/product stays exact
     // integer algebra; only the final three divisions run in doubles
-    // (identical op order on both engines). The rank window is
-    // VOCAB-sized — the corpus itself contributes one count shuffle.
+    // (identical op order on both engines). The vocab-sized rank runs
+    // through [[graft.operators.Batching.globalRowNumber]] — one range
+    // exchange + parallel local sorts, byte-identical to row_number()
+    // under the same total (f desc, w) order, instead of an unpartitioned
+    // Window funneling the vocabulary through one task (the q199 hazard
+    // class; plan-pinned in SparkOpsSpec).
     "q146_zipf_fit" -> ((s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window.orderBy($"f".desc, $"w")
-      t(s, dir, "documents")
+      val counts = t(s, dir, "documents")
         .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
         .groupBy($"w").agg(count(lit(1)).as("f"))
-        .withColumn("rk", row_number().over(w).cast("long"))
+      graft.operators.Batching
+        .globalRowNumber(counts, Seq($"f".desc, $"w"), 32, "rk")
         .select(floor(log($"rk".cast("double")) * 1000000.0).cast("long").as("x"),
           floor(log($"f".cast("double")) * 1000000.0).cast("long").as("y"))
         .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),

@@ -29,14 +29,24 @@ object Batching {
     * range partitioner, like row_number's arbitrary tie order).
     */
   def globalRowNumber(
-      df: DataFrame, ord: Column, numPartitions: Int, out: String = "rn"): DataFrame = {
+      df: DataFrame, ord: Column, numPartitions: Int, out: String = "rn"): DataFrame =
+    globalRowNumber(df, Seq(ord), numPartitions, out)
+
+  /** Multi-key form: rank under the lexicographic (ord₁, ord₂, …) order —
+    * sort-direction expressions (`$"f".desc`) are honored by both the range
+    * partitioner and the local sort, so a total order with a tiebreak key
+    * (the deterministic-rank requirement) costs the same one range
+    * exchange.
+    */
+  def globalRowNumber(
+      df: DataFrame, ord: Seq[Column], numPartitions: Int, out: String): DataFrame = {
     // localCheckpoint pins ONE partitioning for both jobs below: the counts
     // action and the final join would otherwise each re-execute the range
     // exchange, whose sampled boundaries are not guaranteed identical across
     // plans — offsets computed against one layout must not be applied to
     // another.
-    val parted = df.repartitionByRange(numPartitions, ord)
-      .sortWithinPartitions(ord)
+    val parted = df.repartitionByRange(numPartitions, ord: _*)
+      .sortWithinPartitions(ord: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrn", monotonically_increasing_id().bitwiseAND(lit(LocalMask)) + 1)
       .localCheckpoint()

@@ -2252,4 +2252,48 @@ class SparkOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p216.contains("CartesianProduct"), p216)
   }
+  test("q146 zipf: globalRowNumber rank is byte-identical to the vocab window; no unpartitioned Window survives in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graft_q146")
+    // heavy tie structure across a real vocabulary so the (f desc, w)
+    // tiebreak order actually decides ranks
+    (0 until 80).map { i =>
+      val words = (0 to i % 9).map(j => s"w${i % 13}_$j") ++ Seq("common", "the", "the")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q146_zipf_fit")(spark, dir)
+    // the pre-round-11 shape ranked the vocabulary through ONE task
+    // (Window.orderBy with no partition — the q199 hazard class); the
+    // globalRowNumber form must plan no Window and no row_number at all
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), plan)
+    assert(!plan.contains("windowspecdefinition"), plan)
+    // value parity with the original single-task rank-window formula
+    val counts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.operators.TextAnalysis.tokensCol($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"f".desc, $"w")
+    val want = counts.withColumn("rk", row_number().over(w).cast("long"))
+      .select(floor(log($"rk".cast("double")) * 1000000.0).cast("long").as("x"),
+        floor(log($"f".cast("double")) * 1000000.0).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("denx", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("deny", $"n" * $"syy" - $"sy" * $"sy")
+      .withColumn("slope", $"num".cast("double") / $"denx".cast("double"))
+      .select($"n".as("n_terms"),
+        (floor($"slope" * 10000.0) / 10000.0).as("slope4"),
+        (floor((($"sy".cast("double") - $"slope" * $"sx".cast("double"))
+          / $"n".cast("double") / 1000000.0) * 10000.0) / 10000.0).as("icept4"),
+        (floor(($"num".cast("double") * $"num".cast("double"))
+          / ($"denx".cast("double") * $"deny".cast("double")) * 10000.0)
+          / 10000.0).as("r2_4"))
+      .collect().head
+    val g = got.collect().head
+    assert(g == want, s"got $g want $want")
+  }
 }
