@@ -34,8 +34,11 @@ import org.apache.spark.sql.functions._
   * prefix join) and by id (array attach) — never an all-pairs cross join.
   * Rarest-first ordering makes prefix elements the LOW-df ones, so the
   * prefix join's per-key fan-out is bounded by rare-element df², the knob
-  * the literature turns (suffix/positional filters would tighten further;
-  * the length filter already removes the bulk). At 100 TB the df table is
+  * the literature turns. PPJoin's positional filter runs INSIDE the join
+  * condition (see [[positionalOk]]) so position-hopeless candidates die
+  * before the distinct pays their shuffle (suffix filtering would tighten
+  * further; the length filter already removes the bulk). At 100 TB the df
+  * table is
   * vocabulary-sized (Heaps-sublinear) and everything else is linear in
   * Σ|set| + output.
   */
@@ -73,15 +76,34 @@ object SetSimJoin {
     canonicalUnder(el, el.groupBy(col("__g")).agg(count(lit(1)).as("__df")))
   }
 
-  /** Prefix explode of canonical sets: (id, sz, g) over the first
+  /** Prefix explode of canonical sets: (id, sz, pos, g) over the first
     * sz − ⌈tau4·sz/10⁴⌉ + 1 elements — the ceil in pure integers (sz ≥ 1
     * so the numerator is positive and floor((x+9999)/10⁴) = ⌈x/10⁴⌉).
+    * `pos` is the element's 1-based position in the canonical order — the
+    * input to PPJoin's positional filter.
     */
   private def prefixOf(sets: DataFrame, tau4: Long): DataFrame =
     sets.select(col("id"), col("sz"),
-      explode(slice(col("toks"), lit(1),
+      posexplode(slice(col("toks"), lit(1),
         (col("sz") - floor((col("sz") * tau4 + lit(9999L)) / lit(10000L)) + lit(1L))
-          .cast("int"))).as("g"))
+          .cast("int"))).as(Seq("__p0", "g")))
+      .select(col("id"), col("sz"), (col("__p0") + 1).cast("long").as("pos"),
+        col("g"))
+
+  /** PPJoin's positional filter (Xiao et al., WWW'08 §3.2), as a join-side
+    * predicate over one matching prefix element at positions (pos_a,
+    * pos_b): the overlap is at most `min(sz_a − pos_a, sz_b − pos_b) + 1`
+    * (the matched element plus whatever follows it on the SHORTER
+    * remaining suffix), while J ≥ τ forces overlap ≥ ⌈τ·max⌉ (inter ≥
+    * τ·union ≥ τ·max). Cross-multiplied to exact integers. LOSSLESS: a
+    * true pair's FIRST common element in the canonical order has all
+    * overlap elements at-or-after it on both sides, so that candidate row
+    * always passes — the filter only prunes rows that could never carry
+    * the required overlap, before the distinct pays for them.
+    */
+  private def positionalOk(tau4: Long) =
+    (least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + lit(1L)) *
+      lit(10000L) >= lit(tau4) * greatest(col("a.sz"), col("b.sz"))
 
   /** Exact verify of candidate (id_a, id_b) pairs against the staged sets:
     * array_intersect on distinct arrays, cross-multiplied threshold.
@@ -110,16 +132,30 @@ object SetSimJoin {
     require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
     // both the prefix explode and the verify join read the sets — stage once
     val sets = canonicalSets(docs, idCol, textCol, shingleN).localCheckpoint(false)
-    val prefix = prefixOf(sets, tau4)
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          least(col("a.sz"), col("b.sz")) * lit(10000L) >=
-            lit(tau4) * greatest(col("a.sz"), col("b.sz")))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    verifyPairs(cand, sets, tau4)
+    verifyPairs(candidatePairs(sets, tau4, positional = true), sets, tau4)
   }
+
+  /** Pre-distinct candidate rows from the prefix join (one row per
+    * matching prefix element) — length filter always on, PPJoin
+    * positional filter togglable. Exposed so the spec can measure the
+    * positional filter's strict reduction of the rows the distinct must
+    * shuffle; the production path always passes `positional = true`.
+    */
+  def candidateRows(sets: DataFrame, tau4: Long,
+      positional: Boolean): DataFrame = {
+    val prefix = prefixOf(sets, tau4)
+    val lengthOk = least(col("a.sz"), col("b.sz")) * lit(10000L) >=
+      lit(tau4) * greatest(col("a.sz"), col("b.sz"))
+    val cond = col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+      (if (positional) lengthOk && positionalOk(tau4) else lengthOk)
+    prefix.as("a").join(prefix.as("b"), cond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Distinct candidate (id_a < id_b) pairs fed to the exact verify. */
+  def candidatePairs(sets: DataFrame, tau4: Long,
+      positional: Boolean): DataFrame =
+    candidateRows(sets, tau4, positional).distinct()
 
   /** Incremental exact join — the nightly-delta form (the q78/q167 cost
     * model applied to the EXACT operator): every τ-pair TOUCHING a delta
@@ -149,10 +185,11 @@ object SetSimJoin {
     val sizeOk = least(col("a.sz"), col("b.sz")) * lit(10000L) >=
       lit(tau4) * greatest(col("a.sz"), col("b.sz"))
     val dd = pd.as("a").join(pd.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id") && sizeOk)
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          sizeOk && positionalOk(tau4))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val db = pd.as("a").join(pb.as("b"),
-        col("a.g") === col("b.g") && sizeOk)
+        col("a.g") === col("b.g") && sizeOk && positionalOk(tau4))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
     verifyPairs(dd.unionByName(db).distinct(), allSets, tau4)

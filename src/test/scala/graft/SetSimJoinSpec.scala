@@ -90,6 +90,47 @@ class SetSimJoinSpec extends AnyFunSuite {
       .agg(sum($"p")).as[Long].head()
     assert(pfx * 3 < full, s"prefix stream $pfx not substantially below full $full")
   }
+  test("PPJoin positional filter prunes candidates strictly below the prefix-only count, losslessly") {
+    import spark.implicits._
+    val tau4 = 5000L
+    // The pruning regime needs LENGTH DIVERSITY: for an equal-size pair,
+    // pos <= prefixLen forces min(sz-pos)+1 >= ceil(tau*sz) = ceil(tau*max),
+    // so the bound can never fail — only a smaller set matching late in
+    // its prefix against a bigger set gets pruned. Constructed rarest-
+    // first sets per family f: a SMALL set (10 df-1 uniques, then 10 df-2
+    // shared s_f_*) and a BIG set (5 df-1 uniques, the 10 shared, then 25
+    // df-20 hot elements common to all big sets). At tau 0.5 the small
+    // prefix (11 elems) reaches s_f_1 only at pos 11; the big prefix (21)
+    // holds it at pos 6 -> bound min(20-11, 40-6)+1 = 10 < ceil(0.5*40)
+    // = 20: the small-big family pair is POSITION-pruned (its true J is
+    // 10/50, so pruning is correct), while big-big pairs matching on hot
+    // elements are equal-size and survive to verify (J 25/55 -> dropped
+    // there). 20 pruned pairs out of 210.
+    val hot = (1 to 25).map(i => s"H$i")
+    val sets = (0 until 20).flatMap { f =>
+      Seq(
+        (2L * f, (1 to 10).map(i => s"a${f}_$i") ++ (1 to 10).map(i => s"s${f}_$i")),
+        (2L * f + 1, (1 to 5).map(i => s"c${f}_$i") ++ (1 to 10).map(i => s"s${f}_$i") ++ hot))
+    }.toDF("id", "toks")
+      .select($"id", $"toks", size($"toks").cast("long").as("sz"))
+      .localCheckpoint(false)
+    val pairsPrefix = SetSimJoin.candidatePairs(sets, tau4, positional = false).count()
+    val pairsPos = SetSimJoin.candidatePairs(sets, tau4, positional = true).count()
+    assert(pairsPrefix == 210L, s"fixture drifted: $pairsPrefix prefix-only pairs")
+    assert(pairsPos == 190L, s"positional filter should prune the 20 family pairs: $pairsPos")
+    val rowsPrefix = SetSimJoin.candidateRows(sets, tau4, positional = false).count()
+    val rowsPos = SetSimJoin.candidateRows(sets, tau4, positional = true).count()
+    assert(rowsPos < rowsPrefix,
+      s"candidate rows not reduced: $rowsPos vs $rowsPrefix")
+    // losslessness stays intact on the realistic text corpus (the filter
+    // only ever removes pairs the exact verify would reject)
+    val docs = corpus(90).toDF("id", "text")
+    val viaPos = SetSimJoin.selfJoin(docs, "id", "text", shingleN = 5, tau4 = tau4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val viaAll = brute(docs, tau4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(viaPos == viaAll)
+  }
   test("deltaJoin equals selfJoin restricted to touching pairs — exact under the stale base-only order") {
     import spark.implicits._
     val docs = corpus(90).toDF("id", "text")
