@@ -717,14 +717,23 @@ object ScaleProbe {
     // n_1hop′ = (c−1) + c·n_1hop, n_far′ = c·n_far,
     // h_micro′ = (c−1)·10⁶ + c·h_micro, and every previously-isolated
     // doc joins as a (c−1, 0, (c−1)·10⁶) clique member. Row count = c·n.
+    // Round 11 runs the GUARDED form (the q221 query shape): component
+    // shares are floor-invariant under cloning, clone cliques stay far
+    // below the 10% cap, so every row must come back flagged = 0 with
+    // the same closed-form centrality.
     val hB = graft.operators.GraphMetrics
       .harmonicCentrality(pairsB.filter($"est_jac" >= 1.0), "id_a", "id_b", 3)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     val q221df = graft.operators.GraphMetrics
-      .harmonicCentrality(pairsS.filter($"est_jac" >= 1.0), "id_a", "id_b", 3)
+      .harmonicCentralityGuarded(pairsS.filter($"est_jac" >= 1.0),
+        "id_a", "id_b", 3, maxShare4 = 1000L,
+        totalIds = scaled.select($"doc_id"))
       .localCheckpoint(false)
     val q221s = timed("q221_harmonic_10x") { q221df }
+    val q221flagged = q221df.filter($"flagged" === 1).count()
+    require(q221flagged == 0L,
+      s"q221 10x: $q221flagged flagged nodes — clone cliques crossed the cap")
     val q221got = q221df.collect().map(r => r.getLong(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     require(q221got.size.toLong == nDocs,

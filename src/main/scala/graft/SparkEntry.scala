@@ -5741,14 +5741,20 @@ object SparkEntry {
     // hops of each doc, with reciprocal distances in exact micro-units so
     // the sum is order-free. Each hop is one frontier ⋈ edges join + one
     // anti-join against known distances ([[graft.operators.GraphMetrics
-    // .harmonicCentrality]]) — edge-sized rounds, no all-pairs closure.
+    // .harmonicCentralityGuarded]]) — edge-sized rounds, no all-pairs
+    // closure. GIANT-COMPONENT GUARD (round 11): components over 10% of
+    // the corpus (the q165 share gate) are flagged and never traversed —
+    // a welded LSH chain would otherwise blow each BFS hop quadratic;
+    // flagged members report NULL centrality + flagged = 1 for review.
     "q221_harmonic_centrality" -> ((s, dir) => {
       import s.implicits._
+      val docs = t(s, dir, "documents")
       val pairs = graft.operators.Dedup.nearDupPairs(
-        t(s, dir, "documents"), "doc_id", "text",
+        docs, "doc_id", "text",
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
       graft.operators.GraphMetrics
-        .harmonicCentrality(pairs, "id_a", "id_b", hops = 3)
+        .harmonicCentralityGuarded(pairs, "id_a", "id_b", hops = 3,
+          maxShare4 = 1000L, totalIds = docs.select($"doc_id"))
         .orderBy($"id")
     }),
 
@@ -9302,17 +9308,27 @@ j AS (SELECT pr.side_a, pr.side_b, a.user_id, a.d * b.d AS dd, CASE WHEN ('0x' |
   FROM pr JOIN deg a ON a.event_type = pr.side_a JOIN deg b ON b.event_type = pr.side_b AND b.user_id = a.user_id)
 SELECT side_a, side_b, sum(insample)::BIGINT AS n_keys_sampled, (sum(CASE WHEN insample = 1 THEN dd ELSE 0 END) * 4)::BIGINT AS est_rows, sum(dd)::BIGINT AS actual_rows, (abs(sum(CASE WHEN insample = 1 THEN dd ELSE 0 END) * 4 - sum(dd)) * 10000 // sum(dd))::BIGINT AS err4 FROM j GROUP BY side_a, side_b ORDER BY side_a, side_b""",
 
-    // q221: recursive bounded BFS with UNION-dedup termination, min
-    // distance per pair, micro-unit reciprocal sum
+    // q221: the q165 component/share CTEs gate which edges the recursive
+    // bounded BFS may traverse; flagged members surface with NULL
+    // centrality, everything else replays the UNION-dedup BFS + min
+    // distance + micro-unit reciprocal sum
     "q221_harmonic_centrality" ->
       s"""WITH RECURSIVE $LshVerifiedCtes,
 prs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.75),
 edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
-reach AS (SELECT src AS u, dst AS v, 1 AS d FROM edges
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+creach AS (SELECT id, id AS r FROM nodes UNION SELECT e.dst AS id, creach.r AS r FROM creach JOIN edges e ON e.src = creach.id),
+lab AS (SELECT id, min(r) AS cid FROM creach GROUP BY id),
+sizes AS (SELECT cid, count(*)::BIGINT AS sz FROM lab GROUP BY cid),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+flg AS (SELECT lab.id, (CASE WHEN sz * 10000 > 1000 * n THEN 1 ELSE 0 END)::INT AS flagged FROM lab JOIN sizes ON sizes.cid = lab.cid, tot),
+okedges AS (SELECT e.src, e.dst FROM edges e JOIN flg ON flg.id = e.src AND flg.flagged = 0),
+reach AS (SELECT src AS u, dst AS v, 1 AS d FROM okedges
   UNION
-  SELECT r.u, e.dst AS v, r.d + 1 FROM reach r JOIN edges e ON e.src = r.v WHERE r.d < 3 AND e.dst <> r.u),
-md AS (SELECT u, v, min(d)::BIGINT AS d FROM reach GROUP BY u, v)
-SELECT u AS id, (count(*) FILTER (d = 1))::BIGINT AS n_1hop, (count(*) FILTER (d > 1))::BIGINT AS n_far, sum(1000000 // d)::BIGINT AS h_micro FROM md GROUP BY u ORDER BY id""",
+  SELECT r.u, e.dst AS v, r.d + 1 FROM reach r JOIN okedges e ON e.src = r.v WHERE r.d < 3 AND e.dst <> r.u),
+md AS (SELECT u, v, min(d)::BIGINT AS d FROM reach GROUP BY u, v),
+hc AS (SELECT u AS id, (count(*) FILTER (d = 1))::BIGINT AS n_1hop, (count(*) FILTER (d > 1))::BIGINT AS n_far, sum(1000000 // d)::BIGINT AS h_micro FROM md GROUP BY u)
+SELECT flg.id, hc.n_1hop, hc.n_far, hc.h_micro, flg.flagged FROM flg LEFT JOIN hc ON hc.id = flg.id ORDER BY flg.id""",
 
     // q222: same window hashing (md5 of the space-joined token slice),
     // same ladder, zero-filled lengths with no repeats

@@ -261,4 +261,41 @@ object GraphMetrics {
         sum(expr("1000000 div d")).as("h_micro"))
       .select(col("u").as("id"), col("n_1hop"), col("n_far"), col("h_micro"))
   }
+
+  /** [[harmonicCentrality]] behind the q165 giant-component share gate:
+    * connected components holding more than `maxShare4`/10⁴ of the corpus
+    * (`totalIds`, exact integer test `sz · 10⁴ > maxShare4 · n`) are
+    * FLAGGED and NEVER TRAVERSED — their members report (id, NULL, NULL,
+    * NULL, flagged = 1) and route to review, everything else runs the
+    * bounded BFS unchanged with flagged = 0. This is the density-caveat
+    * REMEDY the plain operator documents: each BFS hop multiplies the
+    * frontier by the neighbor fan-out, so a welded LSH mega-component (a
+    * fifth of a 100 TB corpus in one chain — the q164 evidence) would
+    * produce a quadratic `dist` relation; the guard costs one
+    * component-size aggregate (components from the repo's own
+    * pointer-halving resolve — O(log diameter) rounds) + a broadcast
+    * scalar, and edges are component-closed so a single endpoint
+    * semi-join drops every flagged edge.
+    */
+  def harmonicCentralityGuarded(pairs: DataFrame, aCol: String, bCol: String,
+      hops: Int, maxShare4: Long, totalIds: DataFrame): DataFrame = {
+    val endpoints = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id"))).distinct()
+    val labels = Dedup.resolveClusters(
+        pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b")), endpoints)
+      .select(col("id"), col("keeper_id").as("__cid"))
+    val sizes = labels.groupBy(col("__cid")).agg(count(lit(1)).as("__sz"))
+    val tot = broadcast(totalIds.select(col(totalIds.columns.head).as("id"))
+      .distinct().agg(count(lit(1)).as("__n")))
+    val flags = labels.join(sizes, Seq("__cid")).crossJoin(tot)
+      .select(col("id"),
+        (col("__sz") * lit(10000L) > lit(maxShare4) * col("__n"))
+          .cast("int").as("flagged"))
+      .localCheckpoint(false) // read by the edge gate and the final join
+    val ok = flags.filter(col("flagged") === 0).select(col("id").as(aCol))
+    val keptPairs = pairs.join(ok, Seq(aCol), "left_semi")
+    flags.join(harmonicCentrality(keptPairs, aCol, bCol, hops), Seq("id"), "left")
+      .select(col("id"), col("n_1hop"), col("n_far"), col("h_micro"),
+        col("flagged"))
+  }
 }

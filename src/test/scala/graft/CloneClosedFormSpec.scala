@@ -80,4 +80,66 @@ class CloneClosedFormSpec extends AnyFunSuite {
       assert((n1, nf, hm) == want, s"node $id: got ($n1,$nf,$hm) want $want")
     }
   }
+
+  test("harmonic guard: a giant clique is flagged and never traversed; small components match the unguarded run; clones below the cap keep the closed form") {
+    import spark.implicits._
+    // engineered graph over a 100-id corpus: K40 (quadratic closure bait,
+    // 40% share >> the 10% cap) + a 3-node path + a 2-node edge
+    val clique = for { a <- 0 until 40; b <- (a + 1) until 40 }
+      yield (a.toLong, b.toLong)
+    val small = Seq((40L, 41L), (41L, 42L), (43L, 44L))
+    val pairs = (clique ++ small).toDF("id_a", "id_b")
+    val total = (0 until 100).map(_.toLong).toDF("doc_id")
+    val g = graft.operators.GraphMetrics
+      .harmonicCentralityGuarded(pairs, "id_a", "id_b", hops = 3,
+        maxShare4 = 1000L, totalIds = total)
+      .collect()
+    val (flagged, ok) = g.partition(_.getInt(4) == 1)
+    assert(flagged.map(_.getLong(0)).sorted.toSeq == (0L until 40L), "K40 not flagged")
+    assert(flagged.forall(r => r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)),
+      "flagged members must carry NULL centrality — they were traversed")
+    // the survivors equal the unguarded run on the small subgraph alone
+    val plain = graft.operators.GraphMetrics
+      .harmonicCentrality(small.toDF("id_a", "id_b"), "id_a", "id_b", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(ok.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap == plain)
+    // reachability-mass evidence for the guard's point: the guarded dist
+    // relation carries Σ(n_1hop + n_far) = 8 pair-distances (edge-sized),
+    // while the unguarded closure on the same graph materializes the
+    // clique's quadratic 40·39 mass on top of it
+    val okMass = ok.map(r => r.getLong(1) + r.getLong(2)).sum
+    val ungMass = graft.operators.GraphMetrics
+      .harmonicCentrality(pairs, "id_a", "id_b", 3)
+      .agg(sum($"n_1hop" + $"n_far")).as[Long].head()
+    assert(okMass == 8L, s"guarded mass $okMass")
+    assert(ungMass == okMass + 40L * 39L,
+      s"unguarded closure should carry the quadratic clique mass: $ungMass")
+    // clone path: dup-family cliques of size c stay far below the cap, so
+    // the guarded q221 form preserves the clone algebra with flagged = 0.
+    // The cliques are constructed explicitly (the 12-word salad corpus
+    // above LSH-welds into ONE giant component — itself the scenario the
+    // guard exists for, covered by the first half of this test): 15
+    // families × 3 members × 3 clones = 9-doc components, 6.7% of the
+    // 135-doc corpus, comfortably below the 10% cap.
+    val famIds = (0 until 15).map { fam =>
+      for { m <- 0 until 3; cp <- 0 until c } yield fam * 3 + m + cp * offset
+    }
+    val pairsS = famIds.flatMap { ids =>
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    }.toDF("id_a", "id_b")
+    val allIds = famIds.flatten.toDF("doc_id")
+    val gc = graft.operators.GraphMetrics
+      .harmonicCentralityGuarded(pairsS, "id_a", "id_b", hops = 3,
+        maxShare4 = 1000L, totalIds = allIds)
+      .collect()
+    assert(gc.forall(_.getInt(4) == 0), "clone cliques crossed the cap")
+    val plainS = graft.operators.GraphMetrics
+      .harmonicCentrality(pairsS, "id_a", "id_b", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gc.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap == plainS)
+  }
 }
