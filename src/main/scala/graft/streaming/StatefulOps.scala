@@ -837,25 +837,45 @@ object StatefulOps {
     * snapshot re-derives the per-type lateness aggregates with one
     * running-max pass. The EVENT-TYPE level (summing user snapshots into
     * the q234 report) stays a batch-side read over the snapshot store,
-    * exactly how [[runningConcurrency]] splits its two levels. State is
-    * the user's event history; a production deployment ages ids below the
-    * ingest low-watermark out of the buffer once no smaller id can
-    * arrive, at which point state is O(open window).
+    * exactly how [[runningConcurrency]] splits its two levels.
+    *
+    * STATE BOUND (round 11): `evictBelow` maps the user's current maximum
+    * seen event id to an ID LOW-WATERMARK — every buffered event with id
+    * ≤ that floor is folded into a compact per-type running aggregate
+    * (count / late count / late sum / late max, plus the running
+    * timestamp max the next fold resumes from) and leaves the buffer.
+    * The fold is EXACT because the lateness census is a prefix-
+    * decomposable linear scan in id order: aggregates over the folded
+    * prefix plus one pass over the open suffix equal the full-buffer
+    * pass to the bit. The CONTRACT is the caller's watermark guarantee —
+    * no FRESH event with id ≤ the floor arrives later (the same promise
+    * an ingest low-watermark makes); replays of already-folded ids are
+    * absorbed exactly (dropped — they were counted when folded), and
+    * state is O(open window + distinct types) instead of O(history).
+    * The default (`_ => Long.MinValue`) never evicts — the original
+    * full-buffer behavior, byte-identical snapshots.
     */
   def runningWatermarkLag(
-      events: Dataset[(Long, Long, Long, String)]): Dataset[WatermarkLagSnapshot] = {
+      events: Dataset[(Long, Long, Long, String)],
+      evictBelow: Long => Long = _ => Long.MinValue): Dataset[WatermarkLagSnapshot] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (user: Long, it: Iterator[(Long, Long, Long, String)],
-         state: GroupState[Seq[(Long, Long, String)]]) =>
-          val prev = state.getOption.getOrElse(Seq.empty).toVector
+         state: GroupState[(Seq[(Long, Long, String)], Long, Long,
+           Seq[(String, Long, Long, Long, Long)])]) =>
+          val (prevSeq, evMax0, evUpTo0, foldedSeq) = state.getOption
+            .getOrElse((Seq.empty[(Long, Long, String)], Long.MinValue,
+              Long.MinValue, Seq.empty[(String, Long, Long, Long, Long)]))
+          val prev = prevSeq.toVector
           val seen = prev.iterator.map(_._1).toSet
           val incoming = it.map(r => (r._2, r._3, r._4)).toVector
             .distinctBy(_._1)             // replay inside one batch
-            .filter(e => !seen.contains(e._1)) // replay across batches
+            // replay across batches: ids still buffered dedup on `seen`;
+            // ids at or below the eviction floor were counted when folded
+            .filter(e => e._1 > evUpTo0 && !seen.contains(e._1))
             .sortBy(_._1)
-          val buf = {
+          val merged = {
             val out = Vector.newBuilder[(Long, Long, String)]
             var (i, j) = (0, 0)
             while (i < prev.length || j < incoming.length) {
@@ -866,18 +886,40 @@ object StatefulOps {
             }
             out.result()
           }
-          state.update(buf)
-          var mx = Long.MinValue
+          // fold the closed prefix (id ≤ floor) into the compact aggregate
+          val floor = if (merged.nonEmpty) evictBelow(merged.last._1) else evUpTo0
+          val (closed, open) = merged.span(_._1 <= floor)
+          var evMax = evMax0
+          val folded = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Long, Long, Long, Long)]
+          foldedSeq.foreach { case (tp, n, nl, sl, ml) =>
+            folded(tp) = (n, nl, sl, ml)
+          }
+          closed.foreach { case (_, tsu, tp) =>
+            val late = if (evMax > tsu) evMax - tsu else 0L
+            val (n, nl, sl, ml) = folded.getOrElse(tp, (0L, 0L, 0L, 0L))
+            folded(tp) = (n + 1, nl + (if (late > 0) 1L else 0L),
+              sl + late, math.max(ml, late))
+            if (tsu > evMax) evMax = tsu
+          }
+          state.update((open, evMax, math.max(evUpTo0, floor),
+            folded.iterator.map { case (tp, (n, nl, sl, ml)) =>
+              (tp, n, nl, sl, ml)
+            }.toSeq))
+          // snapshot = folded prefix + one pass over the open window
+          var mx = evMax
           val agg = scala.collection.mutable.LinkedHashMap
             .empty[String, (Long, Long, Long, Long)]
-          buf.foreach { case (_, tsu, tp) =>
+          folded.foreach { case (tp, v) => agg(tp) = v }
+          open.foreach { case (_, tsu, tp) =>
             val late = if (mx > tsu) mx - tsu else 0L
             val (n, nl, sl, ml) = agg.getOrElse(tp, (0L, 0L, 0L, 0L))
             agg(tp) = (n + 1, nl + (if (late > 0) 1L else 0L),
               sl + late, math.max(ml, late))
             if (tsu > mx) mx = tsu
           }
-          WatermarkLagSnapshot(user, buf.length.toLong,
+          WatermarkLagSnapshot(user,
+            folded.valuesIterator.map(_._1).sum + open.length.toLong,
             agg.iterator.map { case (tp, (n, nl, sl, ml)) =>
               TypeLag(tp, n, nl, sl, ml)
             }.toSeq)

@@ -294,6 +294,66 @@ class PlannersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark-lag eviction: folding ids below the low-watermark keeps snapshots bit-equal to the batch census under replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(4321L)
+    val types = Seq("click", "view", "purchase")
+    val all = scala.collection.mutable.Buffer.empty[(Long, Long, Long, String)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    // aggressive eviction: only the last 8 ids stay buffered — ids are
+    // globally increasing across batches (the watermark contract), so a
+    // fresh arrival can never land under the floor; REPLAYS of folded ids
+    // can and must be absorbed by the evictedUpTo guard
+    val q = graft.streaming.StatefulOps
+      .runningWatermarkLag(input.toDS(), evictBelow = mx => mx - 8)
+      .writeStream.format("memory").queryName("wml_evict")
+      .outputMode("update").start()
+    try {
+      var id = 0L
+      for (_ <- 0 until 100) {
+        val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+          id += 1
+          (1L + rnd.nextInt(4), id, 3600000000L + rnd.nextInt(5000).toLong,
+            types(rnd.nextInt(types.size)))
+        }
+        // replay anything ever sent — including long-folded ids
+        val replay = if (all.nonEmpty)
+          Seq.fill(rnd.nextInt(3))(all(rnd.nextInt(all.size)))
+        else Seq.empty
+        all ++= rows
+        val batch = rnd.shuffle(rows ++ replay)
+        if (batch.nonEmpty) { input.addData(batch: _*); q.processAllAvailable() }
+      }
+      val got = spark.table("wml_evict")
+        .groupBy($"user_id")
+        .agg(max_by($"types", $"n_events").as("types"))
+        .select(explode($"types").as("t"))
+        .select($"t.*")
+        .groupBy($"event_type")
+        .agg(sum($"n_events").as("n_events"), sum($"n_late").as("n_late"),
+          max($"max_late_us").as("max_late_us"),
+          sum($"sum_late_us").as("sum_late_us"))
+        .select($"event_type", $"n_events", $"n_late",
+          expr("n_late * 10000 div n_events").as("late_bps"),
+          $"max_late_us", expr("sum_late_us div n_events").as("mean_late_us"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val want = graft.operators.EvalMetrics.watermarkLag(
+          all.toSeq.toDF("user_id", "event_id", "tsu", "event_type")
+            .select($"event_type", $"user_id", $"event_id",
+              ($"tsu" * 1000L).as("ts")))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------------ ppr
 
   test("personalizedRanks equals a hand-unrolled reference; teleport stays on seeds") {
