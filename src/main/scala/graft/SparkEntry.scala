@@ -6428,6 +6428,32 @@ object SparkEntry {
         .orderBy($"event_type", $"day")
     }),
 
+    // MPEG (mp3) frame-header metadata — REAL pure-JVM header parsing
+    // ([[graft.operators.Multimodal.MpegFrameParser]]: sync-walk, version/
+    // layer/bitrate/samplerate tables, padding, channel mode) closing the
+    // mp3-metadata gap the decode stub used to blanket: duration/bitrate/
+    // samplerate/channels need only public header tables, no codec — full
+    // payload decode stays honestly stubbed. Fixture frames are
+    // constructible without an encoder (CBR headers + zero payloads of
+    // the exact computed frame length), closed-form in doc_id, so the
+    // oracle replays every field without parsing a byte. Bytes never
+    // leave their scan task; only the 7-field meta shuffles.
+    "q243_mpeg_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id") // spread the per-row framing (q90 lesson)
+      val mp3s = graft.operators.Multimodal.synthMpegCorpus(docs, "doc_id")
+      graft.operators.Multimodal.mpegMeta(mp3s, "mp3")
+        .select($"doc_id", $"mpeg_meta.is_mpeg".cast("int").as("is_mpeg"),
+          $"mpeg_meta.n_frames".cast("long").as("n_frames"),
+          $"mpeg_meta.sample_rate".cast("long").as("sample_rate"),
+          $"mpeg_meta.channels".cast("long").as("channels"),
+          $"mpeg_meta.avg_bitrate_kbps".cast("long").as("kbps"),
+          $"mpeg_meta.duration_us",
+          $"mpeg_meta.n_junk_bytes".cast("long").as("n_junk_bytes"))
+        .orderBy($"doc_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -9606,6 +9632,19 @@ ok AS (SELECT * FROM contrib WHERE nterms = 8)
 SELECT d.event_type, d.day, d.y, (ok.ewma_u // 899881)::BIGINT AS ewma, (abs(d.y * 899881 - ok.ewma_u) * 10000 // ok.ewma_u)::BIGINT AS dev_bps,
 (CASE WHEN abs(d.y * 899881 - ok.ewma_u) * 10000 // ok.ewma_u > 2500 THEN 1 ELSE 0 END)::BIGINT AS alarm
 FROM daily d JOIN ok ON ok.event_type = d.event_type AND ok.aday = d.day ORDER BY d.event_type, d.day""",
+
+    // q243: the synth corpus is closed-form in doc_id (CBR MPEG-1 Layer
+    // III: 16 + id%5 frames, bitrate table at 1 + id%14, rate table at
+    // id%3, mono on even ids), so the oracle replays the parser's output
+    // arithmetically — duration = frames·1152·10⁶ // rate, zero junk
+    "q243_mpeg_metadata" ->
+      """SELECT doc_id, 1::INT AS is_mpeg, (16 + doc_id % 5)::BIGINT AS n_frames,
+([44100, 48000, 32000])[(doc_id % 3)::INT + 1]::BIGINT AS sample_rate,
+(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)::BIGINT AS channels,
+([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])[(doc_id % 14)::INT + 1]::BIGINT AS kbps,
+((16 + doc_id % 5) * 1152 * 1000000 // ([44100, 48000, 32000])[(doc_id % 3)::INT + 1])::BIGINT AS duration_us,
+0::BIGINT AS n_junk_bytes
+FROM documents ORDER BY doc_id""",
 
     // q234: same keyed inversion window (first row's NULL prior max
     // compares false on both engines)

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * bytes no installed reader accepts (the `defaultPdfToText` pattern: real
   * codec first, documented stub as the fallback). AUDIO decode is REAL for
   * the JDK's container readers ([[decodeWav]]: WAV/AIFF/AU PCM through
-  * `javax.sound.sampled`). Only COMPRESSED audio (mp3/aac) and video
-  * remain stubbed — the JDK genuinely ships no codecs for those — behind
-  * the same injection seam.
+  * `javax.sound.sampled`). For COMPRESSED audio, mp3 METADATA is real —
+  * [[MpegFrameParser]] walks MPEG frame headers (pure JVM, no codec) for
+  * duration/bitrate/samplerate/channels — while full mp3/aac decode and
+  * video remain stubbed behind the same injection seam: the JDK
+  * genuinely ships no codecs for those.
   */
 object Multimodal {
 
@@ -619,5 +621,167 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ---------------------------------------------------------------- mpeg
+
+  /** Parsed MPEG-audio (mp3) stream metadata — headers only, no codec.
+    * `isMpeg = false` means no valid Layer III frame was found and every
+    * numeric field is 0 (the honest non-MPEG fallback the decode stub
+    * used to cover). `nJunkBytes` counts bytes skipped while resyncing
+    * (leading tags, truncated tails, corruption).
+    */
+  final case class MpegMeta(isMpeg: Boolean, nFrames: Int, sampleRate: Int,
+    channels: Int, avgBitrateKbps: Int, durationUs: Long, nJunkBytes: Int)
+
+  /** Pure-JVM MPEG audio FRAME-HEADER walker (ISO/IEC 11172-3 §2.4.1.3 /
+    * 13818-3): sync on the 11-bit 0xFFE marker, decode version / layer /
+    * bitrate-index / samplerate-index / padding / channel-mode from the
+    * 4-byte header, advance by the computed frame length, resync through
+    * junk byte-by-byte. Layer III only (the "mp3" case); the PAYLOAD is
+    * never decoded — full audio decode stays honestly stubbed (the JDK
+    * ships no mp3 codec), but duration / bitrate / samplerate / channel
+    * metadata need only the public header tables below. Duration
+    * accumulates exact sample counts (1152 samples per MPEG-1 frame, 576
+    * for MPEG-2/2.5) and divides by the stream sample rate once, in
+    * integer µs.
+    */
+  object MpegFrameParser extends Serializable {
+    // bitrate tables (kbps), index 0 = free / 15 = bad → rejected
+    private val V1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    private val V2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    private val RateV1 = Array(44100, 48000, 32000, 0)
+    private val RateV2 = Array(22050, 24000, 16000, 0)
+    private val RateV25 = Array(11025, 12000, 8000, 0)
+
+    def parse(bytes: Array[Byte]): MpegMeta = {
+      var i = 0
+      var junk = 0
+      var nFrames = 0
+      var rate = 0
+      var channels = 0
+      var kbpsSum = 0L
+      var samples = 0L
+      while (i + 4 <= bytes.length) {
+        val b1 = bytes(i) & 0xFF
+        val b2 = bytes(i + 1) & 0xFF
+        val b3 = bytes(i + 2) & 0xFF
+        val b4 = bytes(i + 3) & 0xFF
+        val version = (b2 >> 3) & 3   // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+        val layer = (b2 >> 1) & 3     // 1 = Layer III
+        val brIdx = (b3 >> 4) & 15
+        val srIdx = (b3 >> 2) & 3
+        val padding = (b3 >> 1) & 1
+        val chanMode = (b4 >> 6) & 3  // 3 = mono
+        val sync = b1 == 0xFF && (b2 & 0xE0) == 0xE0
+        if (sync && version != 1 && layer == 1 && brIdx >= 1 && brIdx <= 14 &&
+            srIdx != 3) {
+          val kbps = (if (version == 3) V1L3 else V2L3)(brIdx)
+          val sr = (version match {
+            case 3 => RateV1
+            case 2 => RateV2
+            case _ => RateV25
+          })(srIdx)
+          val spf = if (version == 3) 1152 else 576
+          val frameLen = spf / 8 * (kbps * 1000) / sr + padding
+          // first frame pins the stream's rate/channels; a header
+          // disagreeing with them is treated as a false sync (resync)
+          val ch = if (chanMode == 3) 1 else 2
+          if (nFrames == 0 || (sr == rate && ch == channels)) {
+            if (nFrames == 0) { rate = sr; channels = ch }
+            nFrames += 1
+            kbpsSum += kbps
+            samples += spf
+            i += math.max(frameLen, 4)
+          } else { junk += 1; i += 1 }
+        } else { junk += 1; i += 1 }
+      }
+      if (i < bytes.length) junk += bytes.length - i // tail too short for a header
+      if (nFrames == 0) MpegMeta(isMpeg = false, 0, 0, 0, 0, 0L, bytes.length)
+      else MpegMeta(isMpeg = true, nFrames, rate, channels,
+        (kbpsSum / nFrames).toInt, samples * 1000000L / rate, junk)
+    }
+  }
+
+  val mpegMetaSchema: StructType = StructType(Seq(
+    StructField("is_mpeg", BooleanType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("avg_bitrate_kbps", IntegerType, nullable = false),
+    StructField("duration_us", LongType, nullable = false),
+    StructField("n_junk_bytes", IntegerType, nullable = false)))
+
+  /** Attach an `mpeg_meta` struct by header-walking `binaryCol` partition-
+    * batch-wise ([[MpegFrameParser]]); non-MPEG bytes surface as
+    * `is_mpeg = false` with zeroed fields — the honest fallback that
+    * replaces the old blanket decode stub for mp3 metadata.
+    */
+  def mpegMeta(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("mpeg_meta", mpegMetaSchema, nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val m = MpegFrameParser.parse(row.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(row.toSeq :+ Row(m.isMpeg, m.nFrames, m.sampleRate,
+            m.channels, m.avgBitrateKbps, m.durationUs, m.nJunkBytes))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic CBR MPEG-1 Layer III framed fixture per id — headers
+    * are constructible without an encoder: each doc gets `16 + id mod 5`
+    * frames at bitrate index `1 + id mod 14` (32…320 kbps), sample rate
+    * index `id mod 3` (44100/48000/32000) and mono for even ids, with
+    * zeroed payloads of the exact computed frame length. Closed-form in
+    * the id, so a DuckDB oracle replays every metadata field without
+    * parsing a byte.
+    */
+  def synthMpegCorpus(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("mp3", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          Row.fromSeq(row.toSeq :+ synthMp3(
+            nFrames = (16 + id % 5).toInt,
+            brIdx = (1 + id % 14).toInt,
+            srIdx = (id % 3).toInt,
+            mono = id % 2 == 0))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Build CBR MPEG-1 Layer III frame bytes (header + zero payload). */
+  def synthMp3(nFrames: Int, brIdx: Int, srIdx: Int, mono: Boolean,
+      padEvery: Int = 0): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+    val rate = Array(44100, 48000, 32000)(srIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nFrames).foreach { f =>
+      val padding = if (padEvery > 0 && f % padEvery == 0) 1 else 0
+      val len = 144 * (kbps * 1000) / rate + padding
+      val frame = new Array[Byte](len)
+      frame(0) = 0xFF.toByte
+      frame(1) = 0xFB.toByte // MPEG1 (11), Layer III (01), no CRC (1)
+      frame(2) = ((brIdx << 4) | (srIdx << 2) | (padding << 1)).toByte
+      frame(3) = (if (mono) 0xC0 else 0x00).toByte
+      out.write(frame)
+    }
+    out.toByteArray
   }
 }

@@ -121,4 +121,46 @@ class MultimodalImageSpec extends AnyFunSuite {
     val (_, _, sw, sh) = Multimodal.StubDecoder.decode("plain text".getBytes("UTF-8"))
     assert(got(2L) == ((sw, sh)))
   }
+
+  test("MpegFrameParser: hand-computed frame walk — CBR, padded frames, junk-prefix resync, non-MPEG fallback") {
+    // 20 frames, 128 kbps (brIdx 9), 44100 Hz (srIdx 0), mono:
+    // frameLen = 144*128000/44100 = 417; duration = 20*1152*1e6/44100
+    val clean = Multimodal.synthMp3(nFrames = 20, brIdx = 9, srIdx = 0, mono = true)
+    assert(clean.length == 20 * 417)
+    val m = Multimodal.MpegFrameParser.parse(clean)
+    assert(m == Multimodal.MpegMeta(isMpeg = true, 20, 44100, 1, 128,
+      20L * 1152L * 1000000L / 44100L, 0))
+    // padding bit every 4th frame lengthens THOSE frames by one byte —
+    // a walker ignoring padding desyncs after the first padded frame
+    val padded = Multimodal.synthMp3(nFrames = 12, brIdx = 1, srIdx = 1,
+      mono = false, padEvery = 4)
+    // 32 kbps @ 48000: frameLen = 96 (+1 on frames 0,4,8)
+    assert(padded.length == 12 * 96 + 3)
+    val mp = Multimodal.MpegFrameParser.parse(padded)
+    assert(mp == Multimodal.MpegMeta(isMpeg = true, 12, 48000, 2, 32,
+      12L * 1152L * 1000000L / 48000L, 0))
+    // junk prefix (ID3-tag stand-in: ASCII never carries the 0xFFE sync)
+    // must resync to the full frame count and be disclosed as junk bytes
+    val tagged = "TAG-JUNK-PREFIX".getBytes("UTF-8") ++ clean
+    val mt = Multimodal.MpegFrameParser.parse(tagged)
+    assert(mt.isMpeg && mt.nFrames == 20 && mt.nJunkBytes == 15)
+    // non-MPEG bytes: honest fallback, zeroed fields, all bytes junk
+    val text = "definitely not audio".getBytes("UTF-8")
+    assert(Multimodal.MpegFrameParser.parse(text) ==
+      Multimodal.MpegMeta(isMpeg = false, 0, 0, 0, 0, 0L, text.length))
+  }
+
+  test("mpegMeta: batch-wise struct attach — parsed fields for framed bytes, is_mpeg=false fallback otherwise") {
+    import spark.implicits._
+    val mp3 = Multimodal.synthMp3(nFrames = 18, brIdx = 14, srIdx = 2, mono = false)
+    val df = Seq((1L, mp3), (2L, "payload-free".getBytes("UTF-8"))).toDF("id", "media")
+    val got = Multimodal.mpegMeta(df, "media")
+      .select($"id", $"mpeg_meta.is_mpeg", $"mpeg_meta.n_frames",
+        $"mpeg_meta.sample_rate", $"mpeg_meta.avg_bitrate_kbps",
+        $"mpeg_meta.duration_us")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((true, 18, 32000, 320, 18L * 1152L * 1000000L / 32000L)))
+    assert(got(2L) == ((false, 0, 0, 0, 0L)))
+  }
 }
