@@ -6454,6 +6454,40 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ANN-SERVED retrieval scorecard — the disclosure the index-served ask
+    // path ([[graft.query.Retriever.askViaIndex]], q210's serve plumbing)
+    // ships with: per query, the persisted-index top-10 joined against the
+    // brute-force exact top-10 on the SAME queries, with the agreement
+    // count and recall in exact basis points. Production reads this before
+    // routing the ask path through the index: recall < 10000 bps is the
+    // price of the partition-pruned serve (the q101 recall convention,
+    // applied to the PERSISTED index). The serve side never scans the
+    // embedding corpus (plan-pinned in AnnIndexSpec); the exact side is
+    // the eval-only truth scan.
+    "q244_ann_recall_serve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_annrecall").toString
+      graft.index.AnnIndex.build(emb, idxDir)
+      val queries = emb.filter($"vec_id" < 16)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val served = graft.index.AnnIndex
+        .query(s, idxDir, queries, k = 10, nprobe = 4, excludeSelf = true)
+        .select($"query_id", $"vec_id")
+      val truth = graft.operators.SimilaritySearch
+        .bruteForceTopK(emb,
+          queries.select($"query_id", $"qv".as("embedding")), 10)
+        .select($"query_id", $"neighbor_id".as("vec_id"), lit(1L).as("hit"))
+      served.join(truth, Seq("query_id", "vec_id"), "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_served"),
+          sum(coalesce($"hit", lit(0L))).as("n_agree"))
+        .select($"query_id", $"n_served", $"n_agree",
+          expr("n_agree * 10000 div 10").as("recall_bps"))
+        .orderBy($"query_id")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -9632,6 +9666,36 @@ ok AS (SELECT * FROM contrib WHERE nterms = 8)
 SELECT d.event_type, d.day, d.y, (ok.ewma_u // 899881)::BIGINT AS ewma, (abs(d.y * 899881 - ok.ewma_u) * 10000 // ok.ewma_u)::BIGINT AS dev_bps,
 (CASE WHEN abs(d.y * 899881 - ok.ewma_u) * 10000 // ok.ewma_u > 2500 THEN 1 ELSE 0 END)::BIGINT AS alarm
 FROM daily d JOIN ok ON ok.event_type = d.event_type AND ok.aday = d.day ORDER BY d.event_type, d.day""",
+
+    // q244: q210's full index-replay CTEs (coarse cells, PQ codebook,
+    // codes, LUT, nprobe-4 serve) scored against the q223-style brute
+    // cosine truth on the same 16 queries, rolled into agreement counts
+    "q244_ann_recall_serve" ->
+      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s0, kk WHERE s0.srn <= kk.k),
+cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
+subs AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
+enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
+  SELECT e.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM embeddings e, cbs c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+qc AS MATERIALIZED (SELECT query_id, centroid_id FROM (SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS cell_rank FROM q, cents c) WHERE cell_rank <= 4),
+lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
+cand AS (SELECT qc.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u
+  FROM enc e JOIN cells cl ON cl.vec_id = e.vec_id
+  JOIN qc ON qc.centroid_id = cl.centroid_id
+  JOIN lut l ON l.query_id = qc.query_id AND l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> qc.query_id GROUP BY 1, 2),
+served AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, adc_u, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM cand) WHERE rn <= 10),
+truth AS (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id) AS rank FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rank <= 10)
+SELECT s.query_id, count(*)::BIGINT AS n_served, sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 10)::BIGINT AS recall_bps
+FROM served s LEFT JOIN truth t ON t.query_id = s.query_id AND t.vec_id = s.vec_id
+GROUP BY s.query_id ORDER BY s.query_id""",
 
     // q243: the synth corpus is closed-form in doc_id (CBR MPEG-1 Layer
     // III: 16 + id%5 frames, bitrate table at 1 + id%14, rate table at

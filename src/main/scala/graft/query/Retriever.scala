@@ -58,4 +58,36 @@ object Retriever {
     val hits = topK(index, qv, formTitles, k)
     (hits, assembleContext(hits, question))
   }
+
+  /** Index-SERVED ask: the production flavor of [[ask]] — retrieval runs
+    * against the persisted [[graft.index.AnnIndex]] (centroids + codebook
+    * + cell-partitioned PQ codes; the codes scan is partition-pruned to
+    * the probed cells and the raw embedding corpus is NEVER read on the
+    * serve path), and hit ids join back to `index` only to fetch context
+    * text by key. Exactness is traded for serve cost — q244 measures the
+    * recall gap against the brute-force path on the same queries. Returns
+    * (hits in rank order, assembled prompt).
+    */
+  def askViaIndex(
+      index: DataFrame,
+      idxDir: String,
+      question: String,
+      embedder: Embedder,
+      k: Int = 2,
+      nprobe: Int = 4,
+      m: Int = 8,
+      sub: Int = 8,
+      idCol: String = "vector_id",
+      textCol: String = "text"): (DataFrame, String) = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qv = embedder.embed(Seq(question)).head
+    val queries = Seq((0L, qv)).toDF("query_id", "qv")
+    val hits = graft.index.AnnIndex
+      .query(spark, idxDir, queries, k, nprobe, m, sub)
+      .join(index.select(col(idCol).cast("long").as("vec_id"), col(textCol)),
+        Seq("vec_id"))
+      .orderBy(col("rank"))
+    (hits, assembleContext(hits, question, textCol))
+  }
 }

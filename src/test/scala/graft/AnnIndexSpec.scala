@@ -59,6 +59,44 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("askViaIndex: retrieval runs off the persisted index; the context join prunes the corpus scan to (id, text); prompt assembles in rank order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annask").toString
+    val embedder = new graft.embed.DeterministicEmbedder(16)
+    // corpus whose vectors come from the SAME embedder so the question
+    // "doc 7" retrieves doc 7's own vector as the top hit
+    (0 until 60).map(i => (i.toLong, embedder.embedOne(s"doc $i").toSeq, s"text of doc $i"))
+      .toDF("vector_id", "content_vector", "text")
+      .write.mode("overwrite").parquet(s"$dir/corpus.parquet")
+    val index = spark.read.parquet(s"$dir/corpus.parquet")
+    AnnIndex.build(index.select($"vector_id".as("vec_id"),
+      $"content_vector".as("embedding")), s"$dir/idx", m = 8, sub = 2, kcode = 16)
+    val (hits, prompt) = graft.query.Retriever.askViaIndex(
+      index, s"$dir/idx", "doc 7", embedder, k = 3, nprobe = 3, m = 8, sub = 2)
+    val plan = hits.queryExecution.executedPlan.toString
+    // the serve side reads persisted codes; the corpus scan exists ONLY
+    // for the text fetch — its embedding column must be pruned away
+    assert(plan.contains("codes.parquet"), plan)
+    assert(!plan.contains("content_vector"),
+      "context join read the embedding column:\n" + plan)
+    // join on vec_id fronts the key: (vec_id, query_id, rank, adc_u, text)
+    val rows = hits.orderBy($"rank").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    // the ask plumbing must return EXACTLY what a direct index query for
+    // the same question vector returns, in the same rank order (ADC is a
+    // quantized inner product, so "doc 7 ranks first" is not guaranteed —
+    // q244 measures that recall gap; this pin is about the routing)
+    val direct = AnnIndex.query(spark, s"$dir/idx",
+        Seq((0L, embedder.embedOne("doc 7").toSeq)).toDF("query_id", "qv"),
+        k = 3, nprobe = 3, m = 8, sub = 2)
+      .orderBy($"rank").collect().map(_.getLong(2)).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == direct)
+    assert(rows.map(r => s"text of doc ${r.getLong(0)}").toSeq ==
+      rows.map(_.getString(4)).toSeq)
+    assert(prompt.startsWith(rows.map(_.getString(4)).mkString("\n")))
+    assert(prompt.endsWith("\n\n Question: doc 7"))
+  }
+
   test("appendDelta: delta-only encode against the stored codebook; base code files untouched; on-disk codes match the driver-side replay") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
