@@ -53,6 +53,18 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":$failures,"passes":$passes,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd","queries":$slow,"queries_full":"$fullPath","sf":"$sfDir"}"""
   }
 
+  /** Persist the compact summary at a tiny stable path too: the driver
+    * json-parses the stdout tail, but sbt's `[success]` line follows the
+    * summary there — any tail-parse failure recovers from this file.
+    */
+  def writeSummary(record: String,
+      path: String = "bench/bench_summary.json"): java.nio.file.Path = {
+    val out = java.nio.file.Paths.get(path)
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (record + "\n").getBytes("UTF-8"))
+    out
+  }
+
   private def loadavg(): String =
     try {
       val src = scala.io.Source.fromFile("/proc/loadavg")
@@ -142,8 +154,14 @@ object Bench {
     }
     spark.stop()
     // FINAL stdout line, after Spark's shutdown chatter: a bounded summary
-    // the driver's 2000-char stdout tail can actually parse
-    println(compactRecord(results, total, failures, effPasses, contended,
-      perPass, loadStart, loadEnd, sfDir, fullPath))
+    // the driver's 2000-char stdout tail can actually parse — ALSO written
+    // to a stable in-repo path so a tail-parse failure is recoverable
+    val compact = compactRecord(results, total, failures, effPasses, contended,
+      perPass, loadStart, loadEnd, sfDir, fullPath)
+    try writeSummary(compact)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] summary write failed: ${e.getMessage}")
+    }
+    println(compact)
   }
 }

@@ -42,4 +42,19 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(!Bench.compactRecord(withFail, 450.0, 1, 2, contended = false,
       "[450.0]", "", "", "", "bench/bench_full.json").contains("q999_failed"))
   }
+
+  test("writeSummary: the compact record lands at a stable path, creating parents, newline-terminated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchsum")
+    val record = Bench.compactRecord(Seq(("q01_x", 1.5)), 1.5, 0, 2,
+      contended = false, "[1.5,1.6]", "0.1", "0.2", "/sf", "bench/full.json")
+    val out = Bench.writeSummary(record,
+      dir.resolve("nested/bench_summary.json").toString)
+    val content = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    assert(content == record + "\n")
+    assert(content.startsWith("{\"metric\":\"total\""))
+    // overwrite, not append: a second run leaves exactly one record
+    Bench.writeSummary(record, out.toString)
+    assert(new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+      == record + "\n")
+  }
 }
