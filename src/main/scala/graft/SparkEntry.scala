@@ -6488,6 +6488,203 @@ object SparkEntry {
         .orderBy($"query_id")
     }),
 
+    // Kaplan–Meier survival curve (Kaplan & Meier 1958) for time-to-first-
+    // purchase — the time-to-event family's first member, next to the
+    // conversion-lag census (q163): per user, duration = days from first
+    // event to first purchase (observed) or to the corpus horizon
+    // (right-censored); the survival curve is the KM product-limit over
+    // the DURATION GRID. Everything after the one per-user aggregate is
+    // histogram-sized: at-risk counts are a reverse running sum over the
+    // grid, each factor ln(1 − d/n) is floor-quantized to micro-nats the
+    // moment it is computed (the q69 rule — the running SUM of integer
+    // micro-nats replaces the floating product), and the survival point
+    // s4 re-exponentiates the integer log-sum with one identically-
+    // ordered double op per row. A grid point where everyone at risk
+    // converts (d = n) sends survival exactly to 0 from there on — the
+    // dead flag propagates by prefix-max, no ln(0) ever runs.
+    "q245_kaplan_meier" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_type",
+          expr("(ts div 1000) div 86400000000").as("day"))
+      val horizon = broadcast(ev.agg(max($"day").as("hday")))
+      val peru = ev.groupBy($"user_id")
+        .agg(min($"day").as("t0"),
+          min(when($"event_type" === "purchase", $"day")).as("tp"))
+        .crossJoin(horizon)
+        .select(
+          when($"tp".isNotNull, $"tp" - $"t0")
+            .otherwise($"hday" - $"t0").as("t"),
+          $"tp".isNotNull.cast("long").as("obs"))
+      val hist = peru.groupBy($"t")
+        .agg(sum($"obs").as("d"), sum(lit(1L) - $"obs").as("c"))
+      val wAt = org.apache.spark.sql.expressions.Window.orderBy($"t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy($"t")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      hist
+        .withColumn("n_risk", sum($"d" + $"c").over(wAt))
+        .withColumn("term_u",
+          when($"d" > 0 && $"d" < $"n_risk",
+            floor(log(($"n_risk" - $"d").cast("double") / $"n_risk".cast("double"))
+              * 1000000.0).cast("long")).otherwise(lit(0L)))
+        .withColumn("dead", ($"d" === $"n_risk").cast("long"))
+        .withColumn("cum_u", sum($"term_u").over(wCum))
+        .withColumn("any_dead", max($"dead").over(wCum))
+        .select($"t".as("t_days"), $"n_risk", $"d".as("n_events"),
+          $"c".as("n_censored"),
+          when($"any_dead" === 1, lit(0.0))
+            .otherwise(floor(exp($"cum_u".cast("double") / lit(1000000.0))
+              * 10000.0) / 10000.0).as("s4"))
+        .orderBy($"t_days")
+    }),
+
+    // Pearson χ² independence test of event type × weekday — the
+    // contingency-table member of the stats wing (the categorical
+    // counterpart of the KS drift audit q198): one grouped scan builds
+    // the type×weekday cell counts; margins and the grand total derive
+    // from the cell relation; each cell's (n·N − n_t·n_w)²/(n_t·n_w·N)
+    // contribution is EXACT — the square is decimal(38,0)/HUGEINT (the
+    // q189 widening policy: cell·N is corpus², its square is corpus⁴)
+    // and quantized to 1e-4 by integer division, so the χ² statistic is
+    // the exact sum of per-cell floors on both engines. The statistic
+    // row carries dof = (T−1)(W−1) and the 0.001-level critical value
+    // for the 5×7 grid as literals — the decision is part of the output.
+    "q246_chi2_independence" -> ((s, dir) => {
+      import s.implicits._
+      val cells = t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("((ts div 1000) div 86400000000) % 7").as("weekday"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // margins + total + cells all read it
+      val mt = cells.groupBy($"event_type").agg(sum($"n").as("n_t"))
+      val mw = cells.groupBy($"weekday").agg(sum($"n").as("n_w"))
+      val tot = broadcast(cells.agg(sum($"n").as("big_n")))
+      val scored = cells
+        .join(broadcast(mt), Seq("event_type"))
+        .join(broadcast(mw), Seq("weekday"))
+        .crossJoin(tot)
+        .select($"event_type", $"weekday", $"n",
+          expr("n_t * n_w * 1000 div big_n").as("exp_milli"),
+          expr("""cast((cast(n as decimal(38,0)) * big_n - cast(n_t as decimal(38,0)) * n_w)
+            * (cast(n as decimal(38,0)) * big_n - cast(n_t as decimal(38,0)) * n_w)
+            * 10000 div (cast(n_t as decimal(38,0)) * n_w * big_n) as bigint)""")
+            .as("cell4"))
+        .localCheckpoint(false) // cell rows + the statistic both read it
+      val stat = broadcast(scored.agg(sum($"cell4").as("chi2_4")))
+      scored.crossJoin(stat)
+        .select($"event_type", $"weekday", $"n", $"exp_milli", $"cell4",
+          $"chi2_4", lit(24L).as("dof"),
+          // χ²(24) upper 0.001 critical value, 1e-4-quantized literal
+          ($"chi2_4" > 512792L).cast("long").as("reject_indep"))
+        .orderBy($"event_type", $"weekday")
+    }),
+
+    // Fano-factor burstiness of daily event volume — the dispersion
+    // instrument next to the EWMA control chart (q242) and CUSUM (q196):
+    // a Poisson-like arrival process has variance ≈ mean (Fano ≈ 1);
+    // Fano ≫ 1 is burst/campaign traffic, Fano ≪ 1 is rate-limited or
+    // templated load. Exact integers end-to-end: with N days, S = Σy,
+    // Q = Σy², the sample-variance-over-mean ratio is
+    // (N·Q − S²)·10⁴ div (S·(N−1)) — Q and the products widen to
+    // decimal(38,0) (q189 policy: y² at 100 TB daily volumes passes
+    // BIGINT), single-day types disclose NULL instead of a 0/0.
+    "q247_fano_burstiness" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type",
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"), sum($"y").as("sy"),
+          sum(($"y" * $"y").cast("decimal(38,0)")).as("sq"))
+        .select($"event_type", $"n_days",
+          expr("sy * 1000 div n_days").as("mean_milli"),
+          expr("""case when n_days < 2 then cast(null as bigint)
+            else cast((cast(n_days as decimal(38,0)) * sq - cast(sy as decimal(38,0)) * sy) * 10000
+              div (cast(sy as decimal(38,0)) * (n_days - 1)) as bigint) end""")
+            .as("fano4"))
+        .select($"event_type", $"n_days", $"mean_milli", $"fano4",
+          when($"fano4".isNull, lit("undefined"))
+            .when($"fano4" > 15000L, lit("overdispersed"))
+            .when($"fano4" < 6667L, lit("underdispersed"))
+            .otherwise(lit("poisson_like")).as("regime"))
+        .orderBy($"event_type")
+    }),
+
+    // Session path census — the sequence-mining extension of q155's
+    // bigram transitions to 3-step PATHS: per user, consecutive event-
+    // type trigrams in (tu, event_id) order (one keyed window, two
+    // leads), rolled into the global path frequency table with each
+    // path's share in exact bps. The path vocabulary is at most T³ = 125
+    // rows, so everything after the one keyed-window scan is constant-
+    // sized; at 100 TB the window shuffles by user exactly like q155 and
+    // the census stays tiny.
+    "q248_session_paths" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"tu", $"event_id")
+      val tri = t(s, dir, "events")
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tu"),
+          $"event_type".as("e1"))
+        .withColumn("e2", lead($"e1", 1).over(w))
+        .withColumn("e3", lead($"e1", 2).over(w))
+        .filter($"e3".isNotNull)
+        .groupBy($"e1", $"e2", $"e3").agg(count(lit(1)).as("n_paths"))
+        .localCheckpoint(false) // census + total share both read it
+      val tot = broadcast(tri.agg(sum($"n_paths").as("n_tot")))
+      tri.crossJoin(tot)
+        .select(concat_ws(">", $"e1", $"e2", $"e3").as("path"), $"n_paths",
+          expr("n_paths * 10000 div n_tot").as("share_bps"))
+        .orderBy($"path")
+    }),
+
+    // Stationary distribution of the user-journey Markov chain — the
+    // steady-state answer q155's one-step matrix only implies: row-
+    // stochastic transition probabilities in exact ppm (c_ij·10⁶ div c_i),
+    // then 16 power-iteration steps π·P carried ENTIRELY in integer ppm
+    // (each step: Σ_i π_i·p_ij div 10⁶ — T-row × T²-cell joins, all
+    // broadcast-sized for a 5-type vocabulary). Both engines run the
+    // IDENTICAL literal iteration count from the identical uniform start,
+    // so every intermediate vector is bit-equal; the output discloses the
+    // L1 residual of the last step in ppm as the convergence evidence.
+    "q249_markov_stationary" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"tu", $"event_id")
+      val pairs = t(s, dir, "events")
+        .select($"user_id", $"event_id", expr("ts div 1000").as("tu"),
+          $"event_type".as("cur"))
+        .withColumn("nxt", lead($"cur", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .groupBy($"cur", $"nxt").agg(count(lit(1)).as("c"))
+      val rows = pairs.groupBy($"cur").agg(sum($"c").as("c_cur"))
+      val p = pairs.join(broadcast(rows), Seq("cur"))
+        .select($"cur", $"nxt", expr("c * 1000000 div c_cur").as("p6"))
+        .localCheckpoint(false) // re-joined every iteration
+      val states = p.select($"cur".as("st")).distinct()
+        .localCheckpoint(false)
+      val nStates = broadcast(states.agg(count(lit(1)).as("t")))
+      var pi = states.crossJoin(nStates)
+        .select($"st", expr("1000000 div t").as("pi6"))
+        .localCheckpoint(false)
+      var prev = pi
+      for (_ <- 1 to 16) {
+        prev = pi
+        pi = pi.join(p, pi("st") === p("cur"))
+          .groupBy($"nxt")
+          .agg(sum(expr("pi6 * p6 div 1000000")).as("npi6"))
+          .select($"nxt".as("st"), $"npi6".as("pi6"))
+          .localCheckpoint(false)
+      }
+      pi.join(prev.select($"st", $"pi6".as("prev6")), Seq("st"))
+        .select($"st".as("event_type"), $"pi6",
+          abs($"pi6" - $"prev6").as("resid6"))
+        .orderBy($"event_type")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -9696,6 +9893,82 @@ SELECT s.query_id, count(*)::BIGINT AS n_served, sum(CASE WHEN t.vec_id IS NOT N
 (sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 10)::BIGINT AS recall_bps
 FROM served s LEFT JOIN truth t ON t.query_id = s.query_id AND t.vec_id = s.vec_id
 GROUP BY s.query_id ORDER BY s.query_id""",
+
+    // q245: same per-user duration split off the same horizon scalar,
+    // same micro-nat KM log-sum with the identically-ordered re-exp
+    "q245_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+hz AS (SELECT max(day) AS hday FROM ev),
+peru AS (SELECT CASE WHEN tp IS NOT NULL THEN tp - t0 ELSE hz.hday - t0 END AS t,
+  CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS obs
+  FROM (SELECT user_id, min(day) AS t0, min(CASE WHEN event_type = 'purchase' THEN day END) AS tp FROM ev GROUP BY 1), hz),
+hist AS (SELECT t, sum(obs)::BIGINT AS d, sum(1 - obs)::BIGINT AS c FROM peru GROUP BY 1),
+grid AS (SELECT t, d, c, sum(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk FROM hist),
+tm AS (SELECT t, d, c, n_risk,
+  CASE WHEN d > 0 AND d < n_risk THEN floor(ln((n_risk - d)::DOUBLE / n_risk::DOUBLE) * 1000000.0)::BIGINT ELSE 0 END AS term_u,
+  CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead FROM grid),
+cm AS (SELECT t, d, c, n_risk,
+  sum(term_u) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_u,
+  max(dead) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS any_dead FROM tm)
+SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+CASE WHEN any_dead = 1 THEN 0.0 ELSE floor(exp(cum_u::DOUBLE / 1000000.0) * 10000.0) / 10000.0 END AS s4
+FROM cm ORDER BY t_days""",
+
+    // q246: same cell/margin grid, same HUGEINT-squared per-cell floors,
+    // same literal dof + critical value
+    "q246_chi2_independence" ->
+      """WITH cells AS (SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS weekday, count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+mt AS (SELECT event_type, sum(n)::BIGINT AS n_t FROM cells GROUP BY 1),
+mw AS (SELECT weekday, sum(n)::BIGINT AS n_w FROM cells GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS big_n FROM cells),
+sc AS (SELECT c.event_type, c.weekday, c.n, (n_t * n_w * 1000 // big_n)::BIGINT AS exp_milli,
+  ((c.n::HUGEINT * big_n - n_t::HUGEINT * n_w) * (c.n::HUGEINT * big_n - n_t::HUGEINT * n_w) * 10000 // (n_t::HUGEINT * n_w * big_n))::BIGINT AS cell4
+  FROM cells c JOIN mt USING (event_type) JOIN mw USING (weekday), tot),
+st AS (SELECT sum(cell4)::BIGINT AS chi2_4 FROM sc)
+SELECT event_type, weekday, n, exp_milli, cell4, st.chi2_4, 24::BIGINT AS dof,
+(CASE WHEN st.chi2_4 > 512792 THEN 1 ELSE 0 END)::BIGINT AS reject_indep
+FROM sc, st ORDER BY event_type, weekday""",
+
+    // q247: same daily grid, same HUGEINT variance algebra, same
+    // single-day NULL guard and regime cuts
+    "q247_fano_burstiness" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, count(*)::BIGINT AS n_days, sum(y)::BIGINT AS sy, sum((y * y)::HUGEINT) AS sq FROM daily GROUP BY 1),
+f AS (SELECT event_type, n_days, (sy * 1000 // n_days)::BIGINT AS mean_milli,
+  CASE WHEN n_days < 2 THEN NULL ELSE ((n_days::HUGEINT * sq - sy::HUGEINT * sy) * 10000 // (sy::HUGEINT * (n_days - 1)))::BIGINT END AS fano4
+  FROM m)
+SELECT event_type, n_days, mean_milli, fano4,
+CASE WHEN fano4 IS NULL THEN 'undefined' WHEN fano4 > 15000 THEN 'overdispersed' WHEN fano4 < 6667 THEN 'underdispersed' ELSE 'poisson_like' END AS regime
+FROM f ORDER BY event_type""",
+
+    // q248: same keyed-window trigrams, same bps shares
+    "q248_session_paths" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tu, event_type AS e1 FROM events),
+tri AS (SELECT e1, lead(e1, 1) OVER w AS e2, lead(e1, 2) OVER w AS e3 FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+cen AS (SELECT e1, e2, e3, count(*)::BIGINT AS n_paths FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+tot AS (SELECT sum(n_paths)::BIGINT AS n_tot FROM cen)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, n_paths, (n_paths * 10000 // n_tot)::BIGINT AS share_bps
+FROM cen, tot ORDER BY path""",
+
+    // q249: same ppm transition matrix, the SAME 16 literal power-
+    // iteration steps unrolled as chained CTEs (identical uniform start,
+    // identical per-term integer division), same L1 residual
+    "q249_markov_stationary" -> {
+      val steps = (1 to 16).map { k =>
+        s"pi$k AS (SELECT p.nxt AS st, sum(x.pi6 * p.p6 // 1000000)::BIGINT AS pi6 FROM pi${k - 1} x JOIN p ON p.cur = x.st GROUP BY p.nxt)"
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tu, event_type AS cur FROM events),
+sq AS (SELECT cur, lead(cur, 1) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS nxt FROM ev),
+pairs AS (SELECT cur, nxt, count(*)::BIGINT AS c FROM sq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+rws AS (SELECT cur, sum(c)::BIGINT AS c_cur FROM pairs GROUP BY 1),
+p AS (SELECT pairs.cur, pairs.nxt, (c * 1000000 // c_cur)::BIGINT AS p6 FROM pairs JOIN rws USING (cur)),
+states AS (SELECT DISTINCT cur AS st FROM p),
+nn AS (SELECT count(*)::BIGINT AS t FROM states),
+pi0 AS (SELECT st, (1000000 // t)::BIGINT AS pi6 FROM states, nn),
+$steps
+SELECT f.st AS event_type, f.pi6, abs(f.pi6 - pr.pi6)::BIGINT AS resid6
+FROM pi16 f JOIN pi15 pr ON pr.st = f.st ORDER BY event_type"""
+    },
 
     // q243: the synth corpus is closed-form in doc_id (CBR MPEG-1 Layer
     // III: 16 + id%5 frames, bitrate table at 1 + id%14, rate table at
