@@ -6685,6 +6685,187 @@ object SparkEntry {
         .orderBy($"event_type")
     }),
 
+    // Dedup threshold-sweep tuning curve — the knob-selection evidence a
+    // deployment reads before committing q39's threshold: ONE candidate
+    // generation + verification pass (est_jac is k/8, binary-exact), then
+    // every τ on the /8-aligned grid filters the SAME pair relation —
+    // pairs and docs-touched per τ, never a re-run of LSH per knob. The
+    // grid literals are exact binary fractions on both engines.
+    "q250_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.nearDupPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2,
+          threshold = 0.5)
+        .localCheckpoint(false) // five τ cuts read one verified relation
+      val taus = broadcast(Seq(0.5, 0.625, 0.75, 0.875, 1.0).toDF("tau"))
+      val cut = pairs.crossJoin(taus).filter($"est_jac" >= $"tau")
+        .localCheckpoint(false) // pair counts + endpoint distinct
+      val np = cut.groupBy($"tau").agg(count(lit(1)).as("n_pairs"))
+      val nd = cut
+        .select($"tau", explode(array($"id_a", $"id_b")).as("id"))
+        .groupBy($"tau").agg(countDistinct($"id").as("n_docs"))
+      np.join(nd, Seq("tau"))
+        .select(($"tau" * 10000.0).cast("long").as("tau4"),
+          $"n_pairs", $"n_docs")
+        .orderBy($"tau4")
+    }),
+
+    // b-bit minhash audit (Li & König, CACM 2011) — how much similarity
+    // signal survives keeping ONE bit per hash: for every LSH candidate
+    // pair, the full 8-hash agreement (est = k/8) sits next to the 1-bit
+    // estimator 2·(agree₁/8) − 1, bucketed by the full agreement count.
+    // The point a deployment reads: at 8 hashes the 1-bit estimator is
+    // unusably noisy for mid similarities (spread disclosed as min/max
+    // bps) yet 64× smaller — the storage/precision trade quantified.
+    // Signatures shuffle once; everything else is 9-row buckets.
+    "q251_bbit_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sigs = graft.operators.Dedup
+        .minhashSig(docs, "text", numHashes = 8, shingle = 4)
+        .select($"doc_id", $"minhash")
+        .localCheckpoint(false) // joined to both pair sides
+      val cand = graft.operators.Dedup.nearDupPairs(
+          docs, "doc_id", "text",
+          numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2,
+          threshold = 0.0)
+        .select($"id_a", $"id_b")
+      cand
+        .join(sigs.select($"doc_id".as("id_a"), $"minhash".as("mha")), "id_a")
+        .join(sigs.select($"doc_id".as("id_b"), $"minhash".as("mhb")), "id_b")
+        .select(
+          expr("cast(size(filter(zip_with(mha, mhb, (x, y) -> x = y), b -> b)) as bigint)")
+            .as("agree8"),
+          expr("cast(size(filter(zip_with(mha, mhb, (x, y) -> x % 2 = y % 2), b -> b)) as bigint)")
+            .as("agree1"))
+        .select($"agree8", ((lit(2L) * $"agree1" - 8L) * 1250L).as("est1_bps"))
+        .groupBy($"agree8")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(est1_bps) div count(1)").as("avg_est1_bps"),
+          min($"est1_bps").as("min_est1_bps"),
+          max($"est1_bps").as("max_est1_bps"))
+        .orderBy($"agree8")
+    }),
+
+    // Incremental join-view maintenance — the Δ-join identity q176's
+    // incremental AGGREGATE lacks a join for: the per-nation revenue view
+    // (q02's shape) maintained as base ⊕ delta, where tonight's orders
+    // delta (o_orderkey ≡ 0 mod 10) joins ONLY its own rows against the
+    // dimensions (delta ⋈ customer ⋈ nation — never a base rescan) and
+    // merges into the stored base view by key. Output = the full view
+    // plus the per-nation delta-row disclosure, bit-equal to a full
+    // recompute because count/sum are Abelian — the property that makes
+    // the nightly cost |Δ|, not |base|, at 100 TB.
+    "q252_incremental_join_view" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      def view(orders: org.apache.spark.sql.DataFrame) = orders
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("tp"))
+      val orders = t(s, dir, "orders")
+      val baseView = view(orders.filter(pmod($"o_orderkey", lit(10L)) =!= 0))
+      val deltaView = view(orders.filter(pmod($"o_orderkey", lit(10L)) === 0))
+        .select($"n_name", $"n".as("dn"), $"tp".as("dtp"))
+      baseView.join(deltaView, Seq("n_name"), "full_outer")
+        .select($"n_name",
+          (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"),
+          round(coalesce($"tp", lit(0.0)) + coalesce($"dtp", lit(0.0)), 2)
+            .as("total_price"),
+          coalesce($"dn", lit(0L)).as("n_from_delta"))
+        .orderBy($"n_name")
+    }),
+
+    // MP4/ISO-BMFF container metadata — REAL pure-JVM box walk
+    // ([[graft.operators.ContainerMeta.Mp4BoxParser]]: size+fourcc tree,
+    // mvhd timescale/duration, per-trak tkhd 16.16 dims + hdlr kind +
+    // stsd codec fourcc), shrinking the VIDEO half of the decode stub the
+    // same way q243 shrank mp3: duration/tracks/dimensions/codec need
+    // only the public 14496-12 layout, no codec — sample decode stays
+    // honestly stubbed. The fixture tree is constructible without a muxer
+    // and closed-form in doc_id, so the oracle replays every field
+    // arithmetically. Bytes never leave their scan task.
+    "q253_mp4_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id") // spread the per-row box build/walk
+      val mp4s = graft.operators.ContainerMeta.synthMp4Corpus(docs, "doc_id")
+      graft.operators.ContainerMeta.mp4Meta(mp4s, "mp4")
+        .select($"doc_id", $"mp4_meta.is_mp4".cast("int").as("is_mp4"),
+          $"mp4_meta.brand", $"mp4_meta.duration_ms",
+          $"mp4_meta.n_tracks".cast("long").as("n_tracks"),
+          $"mp4_meta.n_video".cast("long").as("n_video"),
+          $"mp4_meta.n_audio".cast("long").as("n_audio"),
+          $"mp4_meta.width".cast("long").as("width"),
+          $"mp4_meta.height".cast("long").as("height"),
+          $"mp4_meta.video_codec")
+        .orderBy($"doc_id")
+    }),
+
+    // AAC ADTS frame-header metadata — the aac sibling of q243's mp3 walk
+    // ([[graft.operators.ContainerMeta.AdtsParser]]: 0xFFF sync, public
+    // 13-entry rate table, 13-bit frame length, 1024 samples/frame).
+    // Same closed-form fixture contract; same honest payload stub.
+    "q254_adts_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id")
+      val aacs = graft.operators.ContainerMeta.synthAdtsCorpus(docs, "doc_id")
+      graft.operators.ContainerMeta.adtsMeta(aacs, "aac")
+        .select($"doc_id", $"adts_meta.is_adts".cast("int").as("is_adts"),
+          $"adts_meta.n_frames".cast("long").as("n_frames"),
+          $"adts_meta.sample_rate".cast("long").as("sample_rate"),
+          $"adts_meta.channels".cast("long").as("channels"),
+          $"adts_meta.profile".cast("long").as("profile"),
+          $"adts_meta.duration_us",
+          $"adts_meta.n_junk_bytes".cast("long").as("n_junk_bytes"))
+        .orderBy($"doc_id")
+    }),
+
+    // BPE tokenizer TRAINING, oracle-checked end-to-end — upgrades the
+    // iterative trainer from spec-verified (q86 oracles only round 0's
+    // pair table) to hash-checked: 6 full merge rounds, each an argmax
+    // over the vocabulary pair table then a greedy leftmost fold. The one
+    // corpus-sized pass is the word count; every round after runs on the
+    // Heaps-sublinear vocab, so a 100 TB corpus pays one scan + one
+    // shuffle and the loop never re-reads it. The oracle replays all six
+    // rounds as hand-chained CTEs (SQL cannot loop) with each symbol
+    // wrapped chr(2)‖sym‖chr(3), making greedy leftmost merge a single
+    // non-overlapping string replace — bit-identical semantics.
+    "q255_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val wf = graft.operators.BpeTokenizer.wordFrequencies(
+        t(s, dir, "documents"), graft.operators.TextAnalysis.tokensCol($"text"))
+      val merges = graft.operators.BpeTokenizer.train(wf, 6)
+      merges.zipWithIndex
+        .map { case (m, i) => ((i + 1).toLong, m.l, m.r, m.cnt) }
+        .toDF("rank", "l", "r", "cnt")
+        .orderBy($"rank")
+    }),
+
+    // Tokenizer fertility after those 6 merges — the evidence a pipeline
+    // reads to size its vocab budget: tokens-per-word-type histogram with
+    // type and occurrence mass. Encoding runs over the VOCAB (encodeCol's
+    // per-word fold; merge list ships in the plan), never the corpus.
+    "q256_bpe_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val wf = graft.operators.BpeTokenizer.wordFrequencies(
+          t(s, dir, "documents"), graft.operators.TextAnalysis.tokensCol($"text"))
+        .localCheckpoint(false) // train's 6 argmax rounds + the encode read it
+      val merges = graft.operators.BpeTokenizer.train(wf, 6)
+      wf.select(
+          size(element_at(
+            graft.operators.BpeTokenizer.encodeCol(array($"w"), merges), 1))
+            .cast("long").as("n_syms"),
+          $"c")
+        .groupBy($"n_syms")
+        .agg(count(lit(1)).as("n_types"), sum($"c").as("n_occurrences"))
+        .orderBy($"n_syms")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -7200,6 +7381,31 @@ FROM allrows"""
     s"""sig AS (SELECT doc_id, list_transform(range(0,8), j -> list_min(list_transform(shash, h -> (h * ((1000003*(j+1)) % 2147483647) + (12345 + 7919*j)) % 2147483647))) AS mh FROM (SELECT doc_id, list_transform(CASE WHEN length(text) < 4 THEN [text] ELSE list_transform(range(1, length(text)-2), i -> substr(text, i, 4)) END, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS shash FROM $src)), bands AS (SELECT doc_id, b, ('0x' || substr(md5(mh[2*b+1]::VARCHAR || ',' || mh[2*b+2]::VARCHAR), 1, 15))::BIGINT AS h FROM sig, (SELECT unnest(range(0,4)) AS b)), cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b FROM bands a JOIN bands c ON a.b = c.b AND a.h = c.h AND a.doc_id < c.doc_id), verified AS (SELECT id_a, id_b, round(len(list_filter(range(0,8), i -> sa.mh[i+1] = sb.mh[i+1]))::DOUBLE / 8.0, 4) AS est_jac FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)"""
 
   private val LshVerifiedCtes: String = lshVerifiedCtes("documents")
+
+  /** Six chained BPE merge rounds over the documents word table — the
+    * DuckDB replay of [[graft.operators.BpeTokenizer.train]] for
+    * q255/q256. Each symbol travels wrapped as chr(2)‖sym‖chr(3), so
+    * applying merge (l, r) is ONE left-to-right non-overlapping string
+    * replace of ⟨l⟩⟨r⟩ → ⟨lr⟩ — exactly greedy leftmost reference BPE
+    * (the ⟩⟨ between wrapped symbols is consumed with the match, so
+    * `a a a` + (a,a) → `aa a`, and a pair can never match inside a
+    * longer symbol). Rounds are hand-chained because SQL cannot loop;
+    * 6 rounds is the query contract. Ties break (cnt DESC, l, r) on
+    * both engines (binary collation both sides; sf corpus is ASCII).
+    */
+  private val BpeTrainCtes: String = {
+    val head = Seq(
+      raw"""wf AS (SELECT w, count(*)::BIGINT AS c FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '')) AS w FROM documents) GROUP BY w)""",
+      raw"""s0 AS (SELECT regexp_replace(w, '(.)', chr(2) || '\1' || chr(3), 'g') AS s, c FROM wf)""")
+    val rounds = (1 to 6).flatMap { i =>
+      Seq(
+        s"""y$i AS (SELECT string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2)) AS syms, c FROM s${i - 1})""",
+        s"""p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(c)::BIGINT AS cnt FROM (SELECT syms, c, unnest(range(1, len(syms))) AS i FROM y$i WHERE len(syms) >= 2) GROUP BY 1, 2)""",
+        s"""b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)""",
+        s"""s$i AS (SELECT replace(s, chr(2) || b.l || chr(3) || chr(2) || b.r || chr(3), chr(2) || b.l || b.r || chr(3)) AS s, c FROM s${i - 1}, b$i b)""")
+    }
+    (head ++ rounds).mkString(",\n")
+  }
 
   /** Sign-LSH bucket id of `vec` (4 planes × 64 dims) — q31's formula. */
   private def bucketSql(vec: String): String =
@@ -9969,6 +10175,81 @@ $steps
 SELECT f.st AS event_type, f.pi6, abs(f.pi6 - pr.pi6)::BIGINT AS resid6
 FROM pi16 f JOIN pi15 pr ON pr.st = f.st ORDER BY event_type"""
     },
+
+    // q250: one verified-pair relation, five exact-binary τ literals
+    "q250_threshold_sweep" ->
+      s"""WITH $LshVerifiedCtes,
+pr AS (SELECT id_a, id_b, est_jac FROM verified WHERE est_jac >= 0.5),
+taus AS (SELECT * FROM (VALUES (0.5), (0.625), (0.75), (0.875), (1.0)) v(tau)),
+cut AS (SELECT taus.tau, pr.id_a, pr.id_b FROM pr, taus WHERE pr.est_jac >= taus.tau),
+np AS (SELECT tau, count(*)::BIGINT AS n_pairs FROM cut GROUP BY 1),
+nd AS (SELECT tau, count(DISTINCT id)::BIGINT AS n_docs FROM (SELECT tau, id_a AS id FROM cut UNION ALL SELECT tau, id_b FROM cut) GROUP BY 1)
+SELECT (np.tau * 10000)::BIGINT AS tau4, n_pairs, n_docs FROM np JOIN nd ON np.tau = nd.tau ORDER BY tau4""",
+
+    // q251: same sig/cand CTEs; agreement of full hashes vs their low
+    // bits, same 1250-per-step bps algebra
+    "q251_bbit_minhash" ->
+      s"""WITH $LshVerifiedCtes,
+pb AS (SELECT len(list_filter(range(0,8), i -> sa.mh[i+1] = sb.mh[i+1]))::BIGINT AS agree8,
+  len(list_filter(range(0,8), i -> (sa.mh[i+1] % 2) = (sb.mh[i+1] % 2)))::BIGINT AS agree1
+  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
+SELECT agree8, count(*)::BIGINT AS n_pairs,
+(sum((2 * agree1 - 8) * 1250) // count(*))::BIGINT AS avg_est1_bps,
+min((2 * agree1 - 8) * 1250)::BIGINT AS min_est1_bps,
+max((2 * agree1 - 8) * 1250)::BIGINT AS max_est1_bps
+FROM pb GROUP BY agree8 ORDER BY agree8""",
+
+    // q252: the oracle is the FULL view recompute — equality IS the
+    // maintenance-correctness test (count/sum are Abelian)
+    "q252_incremental_join_view" ->
+      """SELECT n_name, count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS total_price,
+sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_from_delta
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name""",
+
+    // q253: the synth box tree is closed-form in doc_id (timescale 600,
+    // duration 600·(10+id%7) → (10+id%7)·1000 ms, video 320+16·(id%8) ×
+    // 240+16·(id%5), avc1 on even ids else vp09, mp4a audio iff id%3=0)
+    "q253_mp4_metadata" ->
+      """SELECT doc_id, 1::INT AS is_mp4, 'isom' AS brand,
+((10 + doc_id % 7) * 1000)::BIGINT AS duration_ms,
+(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_tracks,
+1::BIGINT AS n_video,
+(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_audio,
+(320 + 16 * (doc_id % 8))::BIGINT AS width,
+(240 + 16 * (doc_id % 5))::BIGINT AS height,
+CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'vp09' END AS video_codec
+FROM documents ORDER BY doc_id""",
+
+    // q254: closed-form ADTS fixture (20+id%6 frames, rate table at
+    // id%9, 1+id%2 channels, profile id%3; duration = frames·1024·10⁶ //
+    // rate, zero junk)
+    "q254_adts_metadata" ->
+      """SELECT doc_id, 1::INT AS is_adts, (20 + doc_id % 6)::BIGINT AS n_frames,
+([96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050, 16000])[(doc_id % 9)::INT + 1]::BIGINT AS sample_rate,
+(1 + doc_id % 2)::BIGINT AS channels, (doc_id % 3)::BIGINT AS profile,
+((20 + doc_id % 6) * 1024 * 1000000 // ([96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050, 16000])[(doc_id % 9)::INT + 1])::BIGINT AS duration_us,
+0::BIGINT AS n_junk_bytes
+FROM documents ORDER BY doc_id""",
+
+    // q255: all six merge rounds replayed as chained CTEs; each b_i is
+    // that round's argmax pair, exactly the trainer's collect
+    "q255_bpe_train" ->
+      s"""WITH $BpeTrainCtes
+SELECT * FROM (SELECT 1::BIGINT AS rank, l, r, cnt FROM b1
+UNION ALL SELECT 2::BIGINT, l, r, cnt FROM b2
+UNION ALL SELECT 3::BIGINT, l, r, cnt FROM b3
+UNION ALL SELECT 4::BIGINT, l, r, cnt FROM b4
+UNION ALL SELECT 5::BIGINT, l, r, cnt FROM b5
+UNION ALL SELECT 6::BIGINT, l, r, cnt FROM b6) ORDER BY rank""",
+
+    // q256: the post-round-6 symbolization s6 IS the encoded vocab;
+    // fertility = its per-type symbol count histogram
+    "q256_bpe_fertility" ->
+      s"""WITH $BpeTrainCtes
+SELECT len(string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2)))::BIGINT AS n_syms,
+count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_occurrences
+FROM s6 GROUP BY 1 ORDER BY n_syms""",
 
     // q243: the synth corpus is closed-form in doc_id (CBR MPEG-1 Layer
     // III: 16 + id%5 frames, bitrate table at 1 + id%14, rate table at

@@ -1,0 +1,370 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Container-level media metadata WITHOUT codecs — the mp4/aac analog of
+  * [[Multimodal.MpegFrameParser]] (q243): the JDK ships no mp4/aac/video
+  * decoders, but container structure is public bit-layout, so duration /
+  * track counts / dimensions / codec fourcc need only a header walk.
+  * Payload decode stays honestly stubbed behind [[Multimodal]]'s seam.
+  *
+  * Reference analog: the reference ingests PDFs only
+  * (`pipeline1.py:605-612`); multimodal container plumbing is this
+  * engine's extension per SURVEY §2 (multimodal columns as opaque binary
+  * + typed metadata).
+  *
+  * Scale shape: bytes never leave their scan task — only the fixed-width
+  * meta struct shuffles; per-row parse work is spread by an explicit
+  * pre-parse repartition at the call site (the q90 lesson).
+  */
+object ContainerMeta {
+
+  // ---------------------------------------------------------------------
+  // MP4 / ISO-BMFF (ISO/IEC 14496-12): size+fourcc box walk.
+  // ---------------------------------------------------------------------
+
+  final case class Mp4Meta(isMp4: Boolean, brand: String, timescale: Int,
+      durationMs: Long, nTracks: Int, nVideo: Int, nAudio: Int,
+      width: Int, height: Int, videoCodec: String)
+
+  /** Pure-JVM ISO-BMFF box walker. Boxes are `[u32 size][fourcc]` with
+    * `size == 1` → u64 largesize and `size == 0` → to-end-of-enclosure;
+    * containers (`moov trak mdia minf stbl`) recurse. Reads `ftyp` (major
+    * brand), `mvhd` v0/v1 (timescale, duration), per-`trak` `tkhd` v0/v1
+    * (16.16 fixed width/height), `hdlr` (vide/soun handler) and the first
+    * `stsd` entry fourcc (codec). No sample data is touched.
+    */
+  object Mp4BoxParser extends Serializable {
+    private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    private def u64(b: Array[Byte], i: Int): Long =
+      (u32(b, i) << 32) | u32(b, i + 4)
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    // mutable walk state — one parser instance per row, driver-free
+    private final class St {
+      var brand = ""
+      var timescale = 0
+      var duration = 0L
+      var nTracks = 0
+      var nVideo = 0
+      var nAudio = 0
+      var width = 0
+      var height = 0
+      var codec = ""
+      // per-trak staging: tkhd dims seen before hdlr tells us the kind
+      var tw = 0
+      var th = 0
+      var thandler = ""
+      var tcodec = ""
+    }
+
+    def parse(bytes: Array[Byte]): Mp4Meta = {
+      val st = new St
+      if (bytes.length < 8) return Mp4Meta(isMp4 = false, "", 0, 0L, 0, 0, 0, 0, 0, "")
+      walk(bytes, 0, bytes.length, st)
+      if (st.brand.isEmpty || st.timescale == 0)
+        Mp4Meta(isMp4 = false, "", 0, 0L, 0, 0, 0, 0, 0, "")
+      else Mp4Meta(isMp4 = true, st.brand, st.timescale,
+        st.duration * 1000L / st.timescale, st.nTracks, st.nVideo,
+        st.nAudio, st.width, st.height, st.codec)
+    }
+
+    private def walk(b: Array[Byte], from: Int, to: Int, st: St): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        var size = u32(b, i)
+        val typ = fourcc(b, i + 4)
+        var body = i + 8
+        if (size == 1L && i + 16 <= to) { size = u64(b, i + 8); body = i + 16 }
+        else if (size == 0L) size = (to - i).toLong
+        if (size < 8L || i + size > to) return // malformed → stop this level
+        val end = (i + size).toInt
+        typ match {
+          case t if Containers(t) =>
+            if (t == "trak") { st.tw = 0; st.th = 0; st.thandler = ""; st.tcodec = "" }
+            walk(b, body, end, st)
+            if (t == "trak") {
+              st.nTracks += 1
+              if (st.thandler == "vide") {
+                st.nVideo += 1
+                if (st.width == 0) { st.width = st.tw; st.height = st.th; st.codec = st.tcodec }
+              } else if (st.thandler == "soun") st.nAudio += 1
+            }
+          case "ftyp" if body + 4 <= end =>
+            st.brand = fourcc(b, body)
+          case "mvhd" if body + 4 <= end =>
+            val v = b(body) & 0xFF
+            if (v == 1 && body + 28 + 4 <= end) {
+              st.timescale = u32(b, body + 20).toInt
+              st.duration = u64(b, body + 24)
+            } else if (v == 0 && body + 20 <= end) {
+              st.timescale = u32(b, body + 12).toInt
+              st.duration = u32(b, body + 16)
+            }
+          case "tkhd" =>
+            val v = b(body) & 0xFF
+            // v0: 4 (ver/flags) + 20 (times/id/rsvd/dur) + 52 (layer..matrix)
+            // v1: 4 + 32 (64-bit times, 64-bit dur) + 52
+            val off = if (v == 1) body + 88 else body + 76 // 16.16 fixed w/h
+            if (off + 8 <= end) {
+              st.tw = (u32(b, off) >> 16).toInt
+              st.th = (u32(b, off + 4) >> 16).toInt
+            }
+          case "hdlr" if body + 12 <= end =>
+            st.thandler = fourcc(b, body + 8)
+          case "stsd" if body + 16 <= end =>
+            st.tcodec = fourcc(b, body + 12) // first entry's fourcc
+          case _ => ()
+        }
+        i = end
+      }
+    }
+  }
+
+  val mp4MetaSchema: StructType = StructType(Seq(
+    StructField("is_mp4", BooleanType, nullable = false),
+    StructField("brand", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("n_video", IntegerType, nullable = false),
+    StructField("n_audio", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("video_codec", StringType, nullable = false)))
+
+  /** Attach an `mp4_meta` struct by box-walking `binaryCol` partition-
+    * batch-wise; non-BMFF bytes surface as `is_mp4 = false` with zeroed
+    * fields (the honest fallback, like [[Multimodal.mpegMeta]]).
+    */
+  def mp4Meta(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("mp4_meta", mp4MetaSchema, nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val m = Mp4BoxParser.parse(row.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(row.toSeq :+ Row(m.isMp4, m.brand, m.timescale,
+            m.durationMs, m.nTracks, m.nVideo, m.nAudio, m.width,
+            m.height, m.videoCodec))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic minimal ISO-BMFF fixture per id — constructible without
+    * a muxer: `ftyp(isom)` + `moov(mvhd + video trak [+ audio trak])`.
+    * Closed-form in the id (oracle replays without parsing a byte):
+    * timescale 600, duration 600·(10 + id mod 7) units → (10 + id mod 7)
+    * seconds; video 320+16·(id mod 8) × 240+16·(id mod 5), codec avc1 on
+    * even ids else vp09; an mp4a audio trak iff id mod 3 = 0.
+    */
+  def synthMp4Corpus(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("mp4", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          Row.fromSeq(row.toSeq :+ synthMp4(
+            durationSec = (10 + id % 7).toInt,
+            width = (320 + 16 * (id % 8)).toInt,
+            height = (240 + 16 * (id % 5)).toInt,
+            videoCodec = if (id % 2 == 0) "avc1" else "vp09",
+            withAudio = id % 3 == 0))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Build minimal ISO-BMFF bytes: ftyp + moov(mvhd + trak(s)). */
+  def synthMp4(durationSec: Int, width: Int, height: Int,
+      videoCodec: String, withAudio: Boolean): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ cc(typ) ++ body
+
+    val timescale = 600L
+    val dur = timescale * durationSec
+    val ftyp = box("ftyp", cc("isom") ++ be32(0L) ++ cc("isom"))
+    val mvhd = box("mvhd",
+      Array.fill[Byte](4)(0) ++ be32(0L) ++ be32(0L) ++ // v0, ctime, mtime
+        be32(timescale) ++ be32(dur) ++ be32(0x00010000L) ++ // rate 1.0
+        Array.fill[Byte](2 + 10 + 36 + 24)(0) ++ be32(3L)) // next track
+    def trak(handler: String, codec: String, w: Int, h: Int): Array[Byte] = {
+      val tkhd = box("tkhd",
+        Array.fill[Byte](4)(0) ++ be32(0L) ++ be32(0L) ++ be32(1L) ++ // id
+          be32(0L) ++ be32(dur) ++ Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+          be32(w.toLong << 16) ++ be32(h.toLong << 16))
+      val mdhd = box("mdhd",
+        Array.fill[Byte](4)(0) ++ be32(0L) ++ be32(0L) ++
+          be32(timescale) ++ be32(dur) ++ Array.fill[Byte](4)(0))
+      val hdlr = box("hdlr",
+        Array.fill[Byte](4)(0) ++ be32(0L) ++ cc(handler) ++
+          Array.fill[Byte](12)(0) :+ 0.toByte) // empty name
+      val entry = be32(16L) ++ cc(codec) ++ Array.fill[Byte](8)(0)
+      val stsd = box("stsd", Array.fill[Byte](4)(0) ++ be32(1L) ++ entry)
+      val stbl = box("stbl", stsd)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    val traks = trak("vide", videoCodec, width, height) ++
+      (if (withAudio) trak("soun", "mp4a", 0, 0) else Array.emptyByteArray)
+    ftyp ++ box("moov", mvhd ++ traks)
+  }
+
+  // ---------------------------------------------------------------------
+  // AAC ADTS (ISO/IEC 13818-7 / 14496-3): 0xFFF-sync frame walk.
+  // ---------------------------------------------------------------------
+
+  final case class AdtsMeta(isAdts: Boolean, nFrames: Int, sampleRate: Int,
+      channels: Int, profile: Int, durationUs: Long, nJunkBytes: Int)
+
+  /** ADTS header walk (pure JVM, no codec): 12-bit 0xFFF sync, layer must
+    * be 0, sampling-frequency index against the public 13-entry table,
+    * 13-bit frame length spanning bytes 3–5, 1024·(blocks+1) samples per
+    * frame. First frame pins rate/channels; a disagreeing header is a
+    * false sync (resync byte-by-byte) — the [[Multimodal.MpegFrameParser]]
+    * contract applied to AAC.
+    */
+  object AdtsParser extends Serializable {
+    private[operators] val Rates = Array(96000, 88200, 64000, 48000, 44100,
+      32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+    def parse(bytes: Array[Byte]): AdtsMeta = {
+      var i = 0
+      var junk = 0
+      var nFrames = 0
+      var rate = 0
+      var channels = 0
+      var profile = -1
+      var samples = 0L
+      while (i + 7 <= bytes.length) {
+        val b0 = bytes(i) & 0xFF
+        val b1 = bytes(i + 1) & 0xFF
+        val b2 = bytes(i + 2) & 0xFF
+        val b3 = bytes(i + 3) & 0xFF
+        val b4 = bytes(i + 4) & 0xFF
+        val b5 = bytes(i + 5) & 0xFF
+        val b6 = bytes(i + 6) & 0xFF
+        val sync = b0 == 0xFF && (b1 & 0xF6) == 0xF0 // sync + layer 00
+        val sfi = (b2 >> 2) & 0xF
+        val prof = (b2 >> 6) & 3
+        val chan = ((b2 & 1) << 2) | (b3 >> 6)
+        val frameLen = ((b3 & 3) << 11) | (b4 << 3) | (b5 >> 5)
+        val nBlocks = (b6 & 3) + 1
+        if (sync && sfi < Rates.length && chan >= 1 && frameLen >= 7 &&
+            i + frameLen <= bytes.length) {
+          val sr = Rates(sfi)
+          if (nFrames == 0 || (sr == rate && chan == channels)) {
+            if (nFrames == 0) { rate = sr; channels = chan; profile = prof }
+            nFrames += 1
+            samples += 1024L * nBlocks
+            i += frameLen
+          } else { junk += 1; i += 1 }
+        } else { junk += 1; i += 1 }
+      }
+      if (i < bytes.length) junk += bytes.length - i
+      if (nFrames == 0) AdtsMeta(isAdts = false, 0, 0, 0, 0, 0L, bytes.length)
+      else AdtsMeta(isAdts = true, nFrames, rate, channels, profile,
+        samples * 1000000L / rate, junk)
+    }
+  }
+
+  val adtsMetaSchema: StructType = StructType(Seq(
+    StructField("is_adts", BooleanType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("profile", IntegerType, nullable = false),
+    StructField("duration_us", LongType, nullable = false),
+    StructField("n_junk_bytes", IntegerType, nullable = false)))
+
+  /** Attach an `adts_meta` struct by frame-walking `binaryCol` partition-
+    * batch-wise; non-ADTS bytes surface as `is_adts = false`.
+    */
+  def adtsMeta(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("adts_meta", adtsMetaSchema, nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val m = AdtsParser.parse(row.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(row.toSeq :+ Row(m.isAdts, m.nFrames, m.sampleRate,
+            m.channels, m.profile, m.durationUs, m.nJunkBytes))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic ADTS fixture per id — headers + zero payloads of the
+    * exact declared frame length. Closed-form in the id: 20 + id mod 6
+    * frames, sampling index id mod 9 (96000…16000 Hz), 1 + id mod 2
+    * channels, profile id mod 3, frame length 17 + id mod 50 bytes.
+    */
+  def synthAdtsCorpus(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("aac", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          Row.fromSeq(row.toSeq :+ synthAdts(
+            nFrames = (20 + id % 6).toInt,
+            sfi = (id % 9).toInt,
+            channels = (1 + id % 2).toInt,
+            profile = (id % 3).toInt,
+            frameLen = (17 + id % 50).toInt))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Build ADTS frame bytes (7-byte headers + zero payload). */
+  def synthAdts(nFrames: Int, sfi: Int, channels: Int, profile: Int,
+      frameLen: Int): Array[Byte] = {
+    require(sfi >= 0 && sfi < 13 && channels >= 1 && channels <= 7 &&
+      profile >= 0 && profile <= 3 && frameLen >= 7 && frameLen < 8192)
+    val out = new Array[Byte](nFrames * frameLen)
+    (0 until nFrames).foreach { f =>
+      val o = f * frameLen
+      out(o) = 0xFF.toByte
+      out(o + 1) = 0xF1.toByte // MPEG-4, layer 00, no CRC
+      out(o + 2) = ((profile << 6) | (sfi << 2) | (channels >> 2)).toByte
+      out(o + 3) = (((channels & 3) << 6) | (frameLen >> 11)).toByte
+      out(o + 4) = ((frameLen >> 3) & 0xFF).toByte
+      out(o + 5) = (((frameLen & 7) << 5) | 0x1F).toByte // fullness hi
+      out(o + 6) = 0xFC.toByte // fullness lo, 1 raw block (field 0)
+    }
+    out
+  }
+}

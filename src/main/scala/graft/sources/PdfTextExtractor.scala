@@ -10,8 +10,10 @@ import java.util.zip.Inflater
   *   1. locate `stream … endstream` payloads and their owning object
   *      dictionaries (a byte scan, not a full xref walk — robust to the
   *      incremental-update files a strict xref parse rejects);
-  *   2. FlateDecode payloads through [[java.util.zip.Inflater]] (zlib
-  *      header first, raw-deflate fallback);
+  *   2. run the declared `/Filter` chain — ASCIIHexDecode, ASCII85Decode,
+  *      RunLengthDecode, and FlateDecode through
+  *      [[java.util.zip.Inflater]] (zlib header first, raw-deflate
+  *      fallback) — in order;
   *   3. tokenize content streams and walk `BT … ET` text blocks, emitting
   *      `Tj` / `TJ` / `'` / `"` show-text operands (literal strings with
   *      the full escape table, hex strings) with newline heuristics on
@@ -24,9 +26,10 @@ import java.util.zip.Inflater
   *
   * Deliberately out of scope (the documented fallback remains
   * [[PdfIngest.stubPdfToText]]): CID/Type0 composite fonts with multi-byte
-  * encodings, encrypted documents, the TIFF predictor 2, LZW/DCT filters,
-  * and object streams (`/ObjStm`) — the exotic-encoding tail that needs a
-  * real font subsystem, not a text pass.
+  * encodings, encrypted documents, the TIFF predictor 2, LZW/DCT/JPX
+  * filters, and object streams (`/ObjStm`) — the exotic-encoding tail that
+  * needs a real font subsystem, not a text pass. A chain containing one of
+  * those yields empty bytes, never garbage text.
   */
 object PdfTextExtractor {
 
@@ -47,10 +50,7 @@ object PdfTextExtractor {
     if (!isPdf(bytes)) return ""
     val out = new StringBuilder
     for ((dict, payload) <- rawStreams(bytes)) {
-      val data =
-        if (dict.contains("/FlateDecode"))
-          inflate(payload).map(applyPredictor(dict, _)).getOrElse(Array.emptyByteArray)
-        else payload
+      val data = decodePayload(dict, payload)
       if (containsTextBlock(data)) {
         val text = contentText(data)
         if (text.nonEmpty) {
@@ -126,7 +126,121 @@ object PdfTextExtractor {
     best
   }
 
-  // ---- stage 2: FlateDecode ----------------------------------------------
+  // ---- stage 2: filter chain ----------------------------------------------
+
+  private val FilterRe = """/Filter\s*(\[[^\]]*\]|/\w+)""".r
+  private val NameRe = """/(\w+)""".r
+
+  /** Filter names in application order from the dict's `/Filter` entry —
+    * a single name or an array per §7.4; empty when none is declared.
+    */
+  private[graft] def filterChain(dict: String): Seq[String] =
+    FilterRe.findFirstMatchIn(dict) match {
+      case Some(m) => NameRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      case None => Nil
+    }
+
+  /** Run the declared filter chain over the raw payload. Supported (all
+    * pure-JVM): ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and
+    * FlateDecode with PNG predictors. An unsupported filter anywhere in
+    * the chain (LZW/DCT/JPX/Crypt — the documented out-of-scope tail)
+    * yields empty bytes rather than garbage text.
+    */
+  private[graft] def decodePayload(dict: String, payload: Array[Byte]): Array[Byte] = {
+    var data = payload
+    for (f <- filterChain(dict) if data.nonEmpty) f match {
+      case "FlateDecode" | "Fl" =>
+        data = inflate(data).map(applyPredictor(dict, _)).getOrElse(Array.emptyByteArray)
+      case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
+      case "ASCII85Decode" | "A85" => data = ascii85Decode(data)
+      case "RunLengthDecode" | "RL" => data = runLengthDecode(data)
+      case _ => data = Array.emptyByteArray
+    }
+    data
+  }
+
+  /** §7.4.2: hex digits to bytes, whitespace skipped, `>` terminates, an
+    * odd final digit is padded with 0.
+    */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd digit: low nibble is 0
+    out.toByteArray
+  }
+
+  /** §7.4.3: base-85 groups of 5 chars `!`..`u` → 4 bytes; `z` is a
+    * 4-zero-byte shorthand; `~>` terminates; a partial final group of n
+    * chars (padded with `u`) yields n−1 bytes.
+    */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Unit = {
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < chars) grp(j) else 84); j += 1 }
+      var k = 0
+      while (k < chars - 1) { out.write(((v >> (24 - 8 * k)) & 0xff).toInt); k += 1 }
+    }
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+      i += 1
+    }
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
+  /** §7.4.5: length byte L — 0..127 copies the next L+1 bytes, 129..255
+    * repeats the next byte 257−L times, 128 is EOD.
+    */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val n = math.min(l + 1, data.length - i)
+        out.write(data, i, n)
+        i += n
+      } else if (i < data.length) {
+        val b = data(i)
+        i += 1
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  // ---- stage 2a: FlateDecode ----------------------------------------------
 
   /** zlib-wrapped first (the PDF norm), then raw deflate — some writers
     * omit the wrapper. None when both fail (corrupt or predictor-coded).

