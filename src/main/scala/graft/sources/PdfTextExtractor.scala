@@ -11,7 +11,8 @@ import java.util.zip.Inflater
   *      dictionaries (a byte scan, not a full xref walk — robust to the
   *      incremental-update files a strict xref parse rejects);
   *   2. run the declared `/Filter` chain — ASCIIHexDecode, ASCII85Decode,
-  *      RunLengthDecode, and FlateDecode through
+  *      RunLengthDecode, LZWDecode (§7.4.4 variable-width 9→12-bit codes
+  *      with `/EarlyChange`), and FlateDecode through
   *      [[java.util.zip.Inflater]] (zlib header first, raw-deflate
   *      fallback) — in order;
   *   3. tokenize content streams and walk `BT … ET` text blocks, emitting
@@ -19,17 +20,19 @@ import java.util.zip.Inflater
   *      the full escape table, hex strings) with newline heuristics on
   *      `T*` / `Td` / `TD` / `TD`-style leading.
   *
-  * PNG predictors on Flate (`/Predictor` ≥ 10, per-row Sub/Up/Average/
-  * Paeth unfiltering over `/Columns`-sized rows) ARE handled — they are
-  * ~30 lines over the inflated bytes and appear in real-world content
-  * streams.
+  * Predictors on Flate/LZW ARE handled: PNG (`/Predictor` ≥ 10, per-row
+  * Sub/Up/Average/Paeth unfiltering over `/Columns`-sized rows) and TIFF
+  * horizontal differencing (`/Predictor 2`, 8-bit components) — each is
+  * ~30 lines over the decoded bytes and appears in real-world content
+  * streams (TIFF 2 classically next to LZW).
   *
   * Deliberately out of scope (the documented fallback remains
   * [[PdfIngest.stubPdfToText]]): CID/Type0 composite fonts with multi-byte
-  * encodings, encrypted documents, the TIFF predictor 2, LZW/DCT/JPX
-  * filters, and object streams (`/ObjStm`) — the exotic-encoding tail that
-  * needs a real font subsystem, not a text pass. A chain containing one of
-  * those yields empty bytes, never garbage text.
+  * encodings, encrypted documents, DCT/JPX image filters, and object
+  * streams (`/ObjStm` — the spec forbids streams inside one, so they carry
+  * cross-reference structure, never page content; this byte-scan never
+  * needs them). A chain containing an unsupported filter yields empty
+  * bytes, never garbage text.
   */
 object PdfTextExtractor {
 
@@ -141,16 +144,19 @@ object PdfTextExtractor {
     }
 
   /** Run the declared filter chain over the raw payload. Supported (all
-    * pure-JVM): ASCIIHexDecode, ASCII85Decode, RunLengthDecode, and
-    * FlateDecode with PNG predictors. An unsupported filter anywhere in
-    * the chain (LZW/DCT/JPX/Crypt — the documented out-of-scope tail)
-    * yields empty bytes rather than garbage text.
+    * pure-JVM): ASCIIHexDecode, ASCII85Decode, RunLengthDecode, LZWDecode,
+    * and FlateDecode — the compressed pair both honoring PNG and TIFF-2
+    * predictors. An unsupported filter anywhere in the chain
+    * (DCT/JPX/Crypt — the documented out-of-scope tail) yields empty
+    * bytes rather than garbage text.
     */
   private[graft] def decodePayload(dict: String, payload: Array[Byte]): Array[Byte] = {
     var data = payload
     for (f <- filterChain(dict) if data.nonEmpty) f match {
       case "FlateDecode" | "Fl" =>
         data = inflate(data).map(applyPredictor(dict, _)).getOrElse(Array.emptyByteArray)
+      case "LZWDecode" | "LZW" =>
+        data = applyPredictor(dict, lzwDecode(data, intParam(dict, "/EarlyChange").getOrElse(1)))
       case "ASCIIHexDecode" | "AHx" => data = asciiHexDecode(data)
       case "ASCII85Decode" | "A85" => data = ascii85Decode(data)
       case "RunLengthDecode" | "RL" => data = runLengthDecode(data)
@@ -240,6 +246,67 @@ object PdfTextExtractor {
     out.toByteArray
   }
 
+  /** §7.4.4 LZWDecode: MSB-first variable-width codes starting at 9 bits,
+    * 256 = clear-table, 257 = EOD, new entries from 258; the width grows
+    * at 511/1023/2047 entries (one code EARLY when `/EarlyChange` is 1,
+    * the PDF default — TIFF's off-by-one that writers inherited). Handles
+    * the KwKwK case (a code equal to the next unassigned entry is
+    * prev + prev.head). Malformed input decodes up to the damage and
+    * returns what it has — the extractor's fallback philosophy.
+    */
+  private[graft] def lzwDecode(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 3)
+    // table entries 258+ as (prefixCode, appendedByte); literals implicit
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var nextCode = 258
+    var width = 9
+    var prev = -1
+    var bitBuf = 0L
+    var bitCnt = 0
+    var i = 0
+    val seq = new Array[Byte](4096) // expansion scratch, max chain length
+
+    def expand(code: Int): Int = { // fills seq tail-first, returns start index
+      var c = code
+      var p = seq.length
+      while (c >= 258) {
+        p -= 1; seq(p) = append(c); c = prefix(c)
+      }
+      p -= 1; seq(p) = c.toByte
+      p
+    }
+
+    var done = false
+    while (!done && (i < data.length || bitCnt >= width)) {
+      while (bitCnt < width && i < data.length) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xffL); bitCnt += 8; i += 1
+      }
+      if (bitCnt < width) done = true
+      else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { nextCode = 258; width = 9; prev = -1 }
+        else if (code == 257) done = true
+        else if (code < 256 || (code < nextCode && code >= 258) || (code == nextCode && prev >= 0)) {
+          val isKwK = code == nextCode
+          val start = expand(if (isKwK) prev else code)
+          val len = seq.length - start
+          if (prev >= 0 && nextCode < 4096) {
+            prefix(nextCode) = prev
+            append(nextCode) = seq(start)
+            nextCode += 1
+          }
+          out.write(seq, start, len)
+          if (isKwK) out.write(seq(start))
+          prev = if (isKwK) nextCode - 1 else code
+          if (nextCode + earlyChange >= (1 << width) && width < 12) width += 1
+        } else done = true // orphan code: stop at the damage
+      }
+    }
+    out.toByteArray
+  }
+
   // ---- stage 2a: FlateDecode ----------------------------------------------
 
   /** zlib-wrapped first (the PDF norm), then raw deflate — some writers
@@ -282,6 +349,7 @@ object PdfTextExtractor {
     */
   private[graft] def applyPredictor(dict: String, data: Array[Byte]): Array[Byte] = {
     val pred = intParam(dict, "/Predictor").getOrElse(1)
+    if (pred == 2) return applyTiffPredictor(dict, data)
     if (pred < 10 || data.isEmpty) return data
     val cols = intParam(dict, "/Columns").getOrElse(1)
     val colors = intParam(dict, "/Colors").getOrElse(1)
@@ -317,6 +385,33 @@ object PdfTextExtractor {
       i = 0
       while (i < rowBytes) { prev(i) = out(dst + i) & 0xff; i += 1 }
       r += 1
+    }
+    out
+  }
+
+  /** TIFF predictor 2 (horizontal differencing, §7.4.4.4): each 8-bit
+    * component is stored as a delta against the component one pixel left;
+    * decoding is a running sum per row. Rows have NO filter-type byte
+    * (unlike PNG). Sub-byte components (`/BitsPerComponent` < 8) and
+    * layouts that do not divide into rows pass through unchanged.
+    */
+  private[graft] def applyTiffPredictor(dict: String, data: Array[Byte]): Array[Byte] = {
+    val cols = intParam(dict, "/Columns").getOrElse(1)
+    val colors = intParam(dict, "/Colors").getOrElse(1)
+    val bpc = intParam(dict, "/BitsPerComponent").getOrElse(8)
+    if (bpc != 8) return data
+    val rowBytes = cols * colors
+    val bpp = colors
+    if (rowBytes <= 0 || data.length % rowBytes != 0) return data
+    val out = java.util.Arrays.copyOf(data, data.length)
+    var r = 0
+    while (r < data.length) {
+      var i = bpp
+      while (i < rowBytes) {
+        out(r + i) = ((out(r + i) + out(r + i - bpp)) & 0xff).toByte
+        i += 1
+      }
+      r += rowBytes
     }
     out
   }

@@ -337,6 +337,80 @@ class IngestSpec extends AnyFunSuite {
       == Seq("ASCII85Decode", "FlateDecode"))
     // unsupported filter in the chain → no text, never garbage
     assert(extract(pdfWith("/DCTDecode", content)) == "")
-    assert(extract(pdfWith("[ /FlateDecode /LZWDecode ]", defl.toByteArray)) == "")
+    assert(extract(pdfWith("[ /FlateDecode /DCTDecode ]", defl.toByteArray)) == "")
+  }
+
+  test("S3 golden: LZWDecode — spec example, KwKwK, width growth, TIFF predictor 2") {
+    import graft.sources.PdfTextExtractor._
+    // MSB-first bit packer at explicit widths
+    def pack(codes: Seq[(Int, Int)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var buf = 0L
+      var cnt = 0
+      for ((code, w) <- codes) {
+        buf = (buf << w) | code; cnt += w
+        while (cnt >= 8) { out.write(((buf >> (cnt - 8)) & 0xff).toInt); cnt -= 8 }
+      }
+      if (cnt > 0) out.write(((buf << (8 - cnt)) & 0xff).toInt) // zero-pad tail
+      out.toByteArray
+    }
+    // ISO 32000-1 §7.4.4.2 worked example: codes 256 45 258 258 65 259 66 257
+    // decode to bytes 45×5, 65, 45×3, 66
+    val specExample = pack(Seq(256, 45, 258, 258, 65, 259, 66, 257).map((_, 9)))
+    assert(lzwDecode(specExample, 1).sameElements(
+      Array[Byte](45, 45, 45, 45, 45, 65, 45, 45, 45, 66)))
+    // KwKwK: reading code 258 while nextCode == 258 (AAAAA)
+    val kwk = pack(Seq(256, 65, 258, 258, 257).map((_, 9)))
+    assert(new String(lzwDecode(kwk, 1), "ISO-8859-1") == "AAAAA")
+    // width-growth round-trip: a mirroring encoder (earlyChange = 1) over
+    // pseudo-random bytes pushes the table past 511 and 1023 entries
+    def lzwEncode(data: Array[Byte]): Array[Byte] = {
+      val table = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+      var nextCode = 258
+      var width = 9
+      val codes = Seq.newBuilder[(Int, Int)]
+      codes += ((256, width))
+      var w = Vector.empty[Byte]
+      def codeOf(s: Seq[Byte]): Int = if (s.length == 1) s.head & 0xff else table(s)
+      for (c <- data) {
+        val wc = w :+ c
+        if (wc.length == 1 || table.contains(wc)) w = wc
+        else {
+          codes += ((codeOf(w), width))
+          if (nextCode < 4096) {
+            table(wc) = nextCode; nextCode += 1
+            if (nextCode >= (1 << width) && width < 12) width += 1
+          }
+          w = Vector(c)
+        }
+      }
+      if (w.nonEmpty) codes += ((codeOf(w), width))
+      codes += ((257, width))
+      pack(codes.result())
+    }
+    val rnd = new scala.util.Random(42)
+    val big = Array.fill[Byte](2000)((rnd.nextInt(8) + 'a').toByte)
+    assert(lzwDecode(lzwEncode(big), 1).sameElements(big))
+    // TIFF predictor 2: delta-encoded row sums back to the original
+    val dict2 = "<< /Predictor 2 /Columns 4 >>"
+    assert(applyTiffPredictor(dict2, Array[Byte](10, 5, -3, 2, 1, 1, 1, 1))
+      .sameElements(Array[Byte](10, 15, 12, 14, 1, 2, 3, 4)))
+    // e2e: LZW + TIFF-2 content stream through extract
+    val text = "BT (Lzw predicted text) Tj ET".getBytes("ISO-8859-1")
+    val delta = text.zipWithIndex.map { case (b, i) =>
+      if (i == 0) b else ((b - text(i - 1)) & 0xff).toByte
+    }
+    val pdf = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      val payload = lzwEncode(delta)
+      w("%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n")
+      w(s"4 0 obj\n<< /Length ${payload.length} /Filter /LZWDecode " +
+        s"/DecodeParms << /Predictor 2 /Columns ${text.length} >> >>\nstream\n")
+      out.write(payload)
+      w("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n")
+      out.toByteArray
+    }
+    assert(extract(pdf) == "Lzw predicted text")
   }
 }
