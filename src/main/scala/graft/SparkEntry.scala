@@ -6866,6 +6866,41 @@ object SparkEntry {
         .orderBy($"n_syms")
     }),
 
+    // Deterministic label-propagation communities on the dup graph —
+    // components (q164) answer "what is connected", this answers "what is
+    // DENSELY connected": 3 synchronous most-frequent-neighbor-label
+    // rounds (ties to the smallest label, making the randomized classic
+    // replayable), read as a community-size census. A thin bridge between
+    // two template farms keeps them one q164 component but two labels
+    // here — the distinction cluster resolution needs before collapsing.
+    // Per round: one edge-sized join + a node-keyed argmax window (never
+    // a global sort); rounds are lineage-truncated like kCore's peels.
+    "q257_label_communities" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.Dedup.nearDupPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2,
+        threshold = 0.75)
+      graft.operators.GraphMetrics.labelPropagation(pairs, "id_a", "id_b", 3)
+        .groupBy($"label").agg(count(lit(1)).as("sz"))
+        .groupBy($"sz").agg(count(lit(1)).as("n_communities"),
+          sum($"sz").as("n_nodes"))
+        .select($"sz".as("community_size"), $"n_communities", $"n_nodes")
+        .orderBy($"community_size")
+    }),
+
+    // Mann–Kendall trend test per event type — the non-parametric sibling
+    // of Theil–Sen (q229): exact integer S over day pairs, exact integer
+    // tie-corrected 18·Var(S), continuity-corrected z floor-quantized to
+    // bps (sqrt is IEEE exactly-rounded in both engines). The O(n²) runs
+    // on the CALENDAR grid (≤365 rows/type/year at any corpus size); the
+    // only corpus-sized pass is the daily groupBy.
+    "q258_mann_kendall" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.EvalMetrics.mannKendall(t(s, dir, "events"))
+        .orderBy($"event_type")
+    }),
+
     // SQL front door: temp views + spark.sql with the REGISTERED cosine_sim
     // Catalyst function — the full declarative surface, same plan as the
     // DataFrame form (filter pushdown + TakeOrderedAndProject).
@@ -10250,6 +10285,43 @@ UNION ALL SELECT 6::BIGINT, l, r, cnt FROM b6) ORDER BY rank""",
 SELECT len(string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2)))::BIGINT AS n_syms,
 count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_occurrences
 FROM s6 GROUP BY 1 ORDER BY n_syms""",
+
+    // q257: same 3 hand-chained vote rounds (each node's own label
+    // UNION ALL'd in as the self-vote), same (count desc, label) argmax
+    // via QUALIFY — SQL cannot loop, so the round count is the query
+    // contract (as q255's merge rounds)
+    "q257_label_communities" ->
+      s"""WITH $LshVerifiedCtes,
+prs AS (SELECT id_a, id_b FROM verified WHERE est_jac >= 0.75),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+c1 AS (SELECT id, label, count(*)::BIGINT AS c FROM (SELECT e.dst AS id, l.label FROM edges e JOIN l0 l ON l.id = e.src UNION ALL SELECT id, label FROM l0) GROUP BY 1, 2),
+l1 AS (SELECT id, label FROM c1 QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label) = 1),
+c2 AS (SELECT id, label, count(*)::BIGINT AS c FROM (SELECT e.dst AS id, l.label FROM edges e JOIN l1 l ON l.id = e.src UNION ALL SELECT id, label FROM l1) GROUP BY 1, 2),
+l2 AS (SELECT id, label FROM c2 QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label) = 1),
+c3 AS (SELECT id, label, count(*)::BIGINT AS c FROM (SELECT e.dst AS id, l.label FROM edges e JOIN l2 l ON l.id = e.src UNION ALL SELECT id, label FROM l2) GROUP BY 1, 2),
+l3 AS (SELECT id, label FROM c3 QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label) = 1),
+szs AS (SELECT label, count(*)::BIGINT AS sz FROM l3 GROUP BY 1)
+SELECT sz AS community_size, count(*)::BIGINT AS n_communities, sum(sz)::BIGINT AS n_nodes
+FROM szs GROUP BY 1 ORDER BY community_size""",
+
+    // q258: same day-pair sign sum, same integer var18, same
+    // continuity-corrected bps quantization (sqrt exactly rounded both
+    // engines); n_days cast to BIGINT before the cubic so DuckDB's
+    // HUGEINT sum never leaks into the arithmetic
+    "q258_mann_kendall" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+sagg AS (SELECT a.event_type, sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s
+  FROM daily a JOIN daily b ON b.event_type = a.event_type AND a.day < b.day GROUP BY 1),
+ties AS (SELECT event_type, y, count(*)::BIGINT AS t FROM daily GROUP BY 1, 2),
+v AS (SELECT event_type, sum(t)::BIGINT AS n_days, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_corr FROM ties GROUP BY 1),
+v2 AS (SELECT event_type, n_days, (n_days * (n_days - 1) * (2 * n_days + 5) - tie_corr)::BIGINT AS var18 FROM v),
+z AS (SELECT s.event_type, v2.n_days, s.s, v2.var18,
+  CASE WHEN v2.var18 > 0 THEN floor(((s.s - CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1 ELSE 0 END) * 10000)::DOUBLE / sqrt(v2.var18::DOUBLE / 18.0))::BIGINT ELSE 0 END AS z_bps
+  FROM sagg s JOIN v2 ON v2.event_type = s.event_type)
+SELECT event_type, n_days, s, var18, z_bps,
+CASE WHEN z_bps > 19600 THEN 'up' WHEN z_bps < -19600 THEN 'down' ELSE 'none' END AS trend
+FROM z ORDER BY event_type""",
 
     // q243: the synth corpus is closed-form in doc_id (CBR MPEG-1 Layer
     // III: 16 + id%5 frames, bitrate table at 1 + id%14, rate table at

@@ -189,4 +189,47 @@ object EvalMetrics {
         $"max_late_us",
         expr("sum_late_us div n_events").as("mean_late_us"))
   }
+
+  /** Mann–Kendall trend test per event type over DAILY volumes — the
+    * non-parametric sibling of the Theil–Sen slope (q229): S = Σ_{i<j}
+    * sign(y_j − y_i) over day pairs, with the exact tie-corrected
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5) kept as an
+    * INTEGER. The continuity-corrected z = (S − sign(S)) / √(var18/18)
+    * is the one float, floor-quantized to basis points the moment it is
+    * computed (the q69 rule; sqrt is IEEE exactly-rounded in both
+    * engines). |z| > 1.96 calls the trend at the usual 5% level.
+    *
+    * Scale shape: the corpus-sized pass is the daily groupBy; the pair
+    * "join" runs on the calendar grid (≤ 365 rows/type/year at ANY
+    * corpus size), so the O(n²) is over days, never events.
+    */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val daily = events
+      .groupBy($"event_type", expr("(ts div 1000) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y")).localCheckpoint(false)
+    val sAgg = daily.as("a").join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+      .groupBy($"a.event_type".as("event_type"))
+      .agg(sum(signum($"b.y" - $"a.y").cast("long")).as("s"))
+    val varAgg = daily
+      .groupBy($"event_type", $"y").agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t").as("n_days"),
+        sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_corr"))
+      .select($"event_type", $"n_days",
+        (expr("n_days * (n_days - 1) * (2 * n_days + 5)") - $"tie_corr")
+          .as("var18"))
+    sAgg.join(varAgg, Seq("event_type"))
+      .select($"event_type", $"n_days", $"s", $"var18",
+        when($"var18" > 0L,
+          expr("""cast(floor(cast((s - cast(sign(cast(s as double)) as bigint)) * 10000 as double)
+            / sqrt(cast(var18 as double) / 18.0D)) as bigint)"""))
+          .otherwise(lit(0L)).as("z_bps"))
+      .select($"event_type", $"n_days", $"s", $"var18", $"z_bps",
+        when($"z_bps" > 19600L, lit("up"))
+          .when($"z_bps" < -19600L, lit("down"))
+          .otherwise(lit("none")).as("trend"))
+  }
 }

@@ -298,4 +298,55 @@ object GraphMetrics {
       .select(col("id"), col("n_1hop"), col("n_far"), col("h_micro"),
         col("flagged"))
   }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) over
+    * an undirected pair graph, made DETERMINISTIC: every node starts
+    * labeled with its own id, and each of exactly `rounds` rounds
+    * re-labels every node with the most frequent label among its
+    * neighbors PLUS ITSELF (the self-vote damps the oscillation plain
+    * synchronous LP exhibits on bipartite structures — a star flips
+    * hub/leaf labels forever without it), ties broken by the SMALLEST
+    * label (the randomized original breaks them randomly; the
+    * (count desc, label asc) order makes the fixed-round result
+    * replayable by an oracle). Nodes outside the edge set are singleton
+    * communities by definition and are not emitted.
+    *
+    * Why it's in the dedup suite: components (q164) answer "what is
+    * connected", communities answer "what is DENSELY connected" — a
+    * thin bridge between two template farms keeps them one component but
+    * two labels, the distinction cluster resolution needs before
+    * collapsing.
+    *
+    * Scale shape: per round, one edge-sized equi-join (labels are
+    * node-sized) and one (node, label)-keyed count; the argmax window is
+    * PARTITIONED BY node — never a global sort. `localCheckpoint` per
+    * round truncates the iteration lineage (the kCore staging move).
+    * Returns (id, label) after `rounds` rounds.
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint(false) // every round joins it
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(false)
+    val byVote = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+        .union(labels) // the self-vote
+        .groupBy(col("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byVote))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
 }

@@ -451,4 +451,68 @@ class GraphSketchLayoutSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b", k = 2, rounds = 8)
     assert(p0 == 0 && e0.count() == 0L)
   }
+
+  test("label propagation: two cliques over a thin bridge stay two communities; ties break to the smallest label") {
+    import spark.implicits._
+    // two K6 cliques {0..5} and {10..15} joined by one bridge 5–10: one
+    // connected component, but communities must NOT merge across the
+    // bridge (each bridge endpoint has 5 in-clique votes vs 1 across)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(0L to 5L) ++ clique(10L to 15L) :+ ((5L, 10L)))
+      .toDF("id_a", "id_b")
+    val got = GraphMetrics.labelPropagation(edges, "id_a", "id_b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == ((0L to 5L) ++ (10L to 15L)).toSet)
+    val communities = got.groupBy(_._2).view.mapValues(_.keySet.toSet).toMap
+    assert(communities.values.toSet ==
+      Set((0L to 5L).toSet, (10L to 15L).toSet),
+      s"communities=$communities — bridge must not merge the cliques")
+    // determinism: smallest-label tie-break → clique labels are their minima
+    assert(communities.keySet == Set(0L, 10L))
+    // a lone star: the hub and leaves all vote to the hub's label by round 2
+    val star = (1L to 4L).map(l => (100L, 100L + l)).toDF("id_a", "id_b")
+    val starGot = GraphMetrics.labelPropagation(star, "id_a", "id_b", rounds = 3)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(starGot.sameElements(Array(100L)))
+  }
+
+  test("Mann-Kendall: integer S and var18 equal a sequential reference; monotone series trend up") {
+    import spark.implicits._
+    // deterministic per-type daily counts via synthetic events: type 'up'
+    // strictly increasing (S = C(n,2), no ties), type 'flat' constant
+    // (var18 = 0 → z = 0), type 'mix' with ties
+    val dayUs = 86400000000L
+    def eventsFor(tpe: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i => (tpe, (d * dayUs + 3600000000L + i) * 1000L))
+      }
+    val rows = eventsFor("up", Seq(1, 2, 3, 4, 5, 6)) ++
+      eventsFor("flat", Seq(3, 3, 3, 3)) ++
+      eventsFor("mix", Seq(2, 5, 2, 7, 5))
+    val events = rows.toDF("event_type", "ts")
+    val got = graft.operators.EvalMetrics.mannKendall(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+      .toMap
+    def ref(xs: Seq[Int]): (Long, Long) = {
+      val n = xs.length.toLong
+      val s = (for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield math.signum(xs(j) - xs(i)).toLong).sum
+      val ties = xs.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      (s, n * (n - 1) * (2 * n + 5) - ties)
+    }
+    val (sUp, vUp) = ref(Seq(1, 2, 3, 4, 5, 6))
+    assert(got("up")._2 == sUp && got("up")._3 == vUp)
+    assert(got("up")._2 == 15L) // C(6,2) all-positive pairs
+    assert(got("flat")._3 == 0L && got("flat")._4 == 0L &&
+      got("flat")._5 == "none")
+    val (sMix, vMix) = ref(Seq(2, 5, 2, 7, 5))
+    assert(got("mix")._2 == sMix && got("mix")._3 == vMix)
+    // z for 'up': (15-1)*10000 / sqrt(var18/18), floored
+    val zUp = math.floor(14.0 * 10000.0 / math.sqrt(vUp / 18.0)).toLong
+    assert(got("up")._4 == zUp && got("up")._5 ==
+      (if (zUp > 19600L) "up" else "none"))
+  }
 }
