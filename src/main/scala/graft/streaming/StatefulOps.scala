@@ -966,4 +966,33 @@ object StatefulOps {
           CdcStateSnapshot(key, bOp, bVal, seenAll.length.toLong)
       }
   }
+
+  final case class JoinViewSnapshot(n_name: String, n_orders: Long,
+      total_cents: Long)
+
+  /** Streaming twin of q252's incremental join view: the per-dimension
+    * (count, sum) revenue view maintained from a stream of fact rows
+    * (fk, amount_cents), the dimension shipped as a broadcast-sized map —
+    * Structured Streaming's stream-static join collapsed to its essence.
+    * Because count/sum are Abelian, the state after any prefix of ANY
+    * interleaving equals the batch view of the rows seen so far — the
+    * q252 identity, now incremental per micro-batch. Facts with no
+    * dimension row land in the "unknown" group (disclosed, never
+    * dropped). Amounts are integer cents so parity with a batch groupBy
+    * is exact. State per key: two longs — bounded by the dimension's
+    * cardinality, never the stream's.
+    */
+  def runningJoinView(facts: Dataset[(Long, Long)],
+      dim: Map[Long, String]): Dataset[JoinViewSnapshot] = {
+    import facts.sparkSession.implicits._
+    facts.groupByKey(r => dim.getOrElse(r._1, "unknown"))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (n, tot) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { r => n += 1; tot += r._2 }
+          state.update((n, tot))
+          JoinViewSnapshot(key, n, tot)
+      }
+  }
 }

@@ -100,4 +100,37 @@ class CdcSpec extends AnyFunSuite {
         s"stream-only=${(got -- want).take(4)} batch-only=${(want -- got).take(4)}")
     } finally q.stop()
   }
+
+  test("streaming join view equals the batch join view over 100 random splits (q252's identity, incremental)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{max_by, struct}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(252L)
+    val dim = (0L until 12L).map(k => k -> s"nation_${k % 5}").toMap
+    val all = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = graft.streaming.StatefulOps.runningJoinView(input.toDS(), dim)
+      .writeStream.format("memory").queryName("jv_prop")
+      .outputMode("update").start()
+    try {
+      for (_ <- 0 until 100) {
+        val rows = (0 until rnd.nextInt(5)).map { _ =>
+          // fk 13 has no dim row → must land in "unknown", never drop
+          (rnd.nextInt(14).toLong, (rnd.nextInt(9999) + 1).toLong)
+        }
+        all ++= rows
+        if (rows.nonEmpty) { input.addData(rows: _*); q.processAllAvailable() }
+      }
+      val got = spark.table("jv_prop").groupBy($"n_name")
+        .agg(max_by(struct($"n_orders", $"total_cents"), $"n_orders").as("s"))
+        .select($"n_name", $"s.*")
+        .as[(String, Long, Long)].collect().toSet
+      val want = all.toSeq
+        .groupBy(r => dim.getOrElse(r._1, "unknown"))
+        .map { case (k, rs) => (k, rs.size.toLong, rs.map(_._2).sum) }.toSet
+      assert(got == want, s"got=$got want=$want")
+      assert(got.exists(_._1 == "unknown"), "fk 13 must surface as unknown")
+    } finally q.stop()
+  }
 }
