@@ -5880,14 +5880,13 @@ object SparkEntry {
         .repartition(32, $"doc_id") // spread the codec work (q90 lesson)
       val imgs = graft.operators.Multimodal
         .synthImageCorpus(docs, "doc_id", groupDiv = 4)
-        .localCheckpoint(false) // two decode passes read the same bytes
-      val full = graft.operators.Multimodal.perceptualHashes(imgs, "img")
+      // ONE decode pass: perceptualHashes carries the pooled dHash along
+      // with the full-res bands (formerly two decodes + a join)
+      graft.operators.Multimodal.perceptualHashes(imgs, "img")
         .select($"doc_id",
           ($"d0" + shiftleft($"d1", 14) + shiftleft($"d2", 28)
-            + shiftleft($"d3", 42)).as("full_hash"))
-      val pooled = graft.operators.Multimodal.pooledDHash(imgs, "img")
-        .select($"doc_id", $"pool_hash")
-      full.join(pooled, "doc_id")
+            + shiftleft($"d3", 42)).as("full_hash"),
+          $"pool_hash")
         .groupBy(expr("doc_id div 4").as("group_id"))
         .agg(count(lit(1)).as("n_members"),
           countDistinct($"full_hash").as("n_distinct_full"),

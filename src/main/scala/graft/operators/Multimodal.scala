@@ -253,7 +253,8 @@ object Multimodal {
       StructField("height", IntegerType, nullable = false),
       StructField("is_real", IntegerType, nullable = false)) ++
       (0 until 4).map(j => StructField(s"a$j", LongType, nullable = false)) ++
-      (0 until 4).map(j => StructField(s"d$j", LongType, nullable = false)))
+      (0 until 4).map(j => StructField(s"d$j", LongType, nullable = false)) :+
+      StructField("pool_hash", LongType, nullable = false))
     val binIdx = inSchema.fieldIndex(binaryCol)
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -279,7 +280,10 @@ object Multimodal {
                 }
                 r += 1
               }
-              Row.fromSeq(row.toSeq ++ Seq(w, h, 1) ++ abands ++ dbands)
+              // the 12-bit pooled dHash rides along for free — same px
+              // grid, no second decode pass (q225 reads it)
+              Row.fromSeq(row.toSeq ++ Seq(w, h, 1) ++ abands ++ dbands
+                :+ pooledDHashOf(px))
             case None =>
               // stub fallback: md5-derived 16/14-bit pseudo-bands
               val hex = md5Hex(bytes)
@@ -288,12 +292,38 @@ object Multimodal {
                 val v = java.lang.Long.parseLong(hex.substring(j * 4, j * 4 + 4), 16)
                 if (j < 4) v & 0xffffL else v & 0x3fffL
               }
-              Row.fromSeq(row.toSeq ++ Seq(w, h, 0) ++ bands)
+              Row.fromSeq(row.toSeq ++ Seq(w, h, 0) ++ bands
+                :+ java.lang.Long.parseLong(hex.substring(0, 3), 16))
           }
         }
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** 12-bit dHash of the 2×2-average-pooled 8×8 luma grid (each pooled
+    * cell the EXACT integral mean `Σ4px div 4`) — shared by
+    * [[perceptualHashes]] (rides along with the full-res bands) and
+    * [[pooledDHash]] (standalone pass).
+    */
+  private def pooledDHashOf(px: Array[Int]): Long = {
+    val pooled = Array.tabulate(16) { p =>
+      val (r, c) = (p / 4, p % 4)
+      (px(2 * r * 8 + 2 * c) + px(2 * r * 8 + 2 * c + 1) +
+        px((2 * r + 1) * 8 + 2 * c) + px((2 * r + 1) * 8 + 2 * c + 1)) / 4
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 4) {
+      var c = 0
+      while (c < 3) {
+        if (pooled(r * 4 + c) > pooled(r * 4 + c + 1))
+          hash |= 1L << (r * 3 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
   }
 
   /** 12-bit dHash of the 2×2-average-pooled luma grid (8×8 → 4×4, each
@@ -318,25 +348,9 @@ object Multimodal {
           val bytes = row.getAs[Array[Byte]](binIdx)
           decodeLumaGrid(bytes, 8) match {
             case Some((_, _, px)) =>
-              val pooled = Array.tabulate(16) { p =>
-                val (r, c) = (p / 4, p % 4)
-                (px(2 * r * 8 + 2 * c) + px(2 * r * 8 + 2 * c + 1) +
-                  px((2 * r + 1) * 8 + 2 * c) + px((2 * r + 1) * 8 + 2 * c + 1)) / 4
-              }
-              var hash = 0L
-              var r = 0
-              while (r < 4) {
-                var c = 0
-                while (c < 3) {
-                  if (pooled(r * 4 + c) > pooled(r * 4 + c + 1))
-                    hash |= 1L << (r * 3 + c)
-                  c += 1
-                }
-                r += 1
-              }
               // Seq[Any]: a mixed Int/Long Seq harmonizes to Seq[Long] and
               // breaks the Row encoder (the spec-pinned decode gotcha)
-              Row.fromSeq(row.toSeq ++ Seq[Any](hash, 1))
+              Row.fromSeq(row.toSeq ++ Seq[Any](pooledDHashOf(px), 1))
             case None =>
               val hex = md5Hex(bytes)
               Row.fromSeq(row.toSeq ++ Seq[Any](
