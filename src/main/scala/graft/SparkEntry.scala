@@ -6865,6 +6865,26 @@ object SparkEntry {
         .orderBy($"n_syms")
     }),
 
+    // FLAC STREAMINFO metadata — the lossless-audio sibling of q254's
+    // ADTS walk ([[graft.operators.ContainerMeta.FlacParser]]: fLaC
+    // magic, metadata-block walk, 20/3/5/36-bit STREAMINFO unpack).
+    // Duration needs only total_samples/rate — no frame is decoded, same
+    // honest payload stub. Closed-form fixture contract as q253/q254.
+    "q259_flac_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id")
+      val flacs = graft.operators.ContainerMeta.synthFlacCorpus(docs, "doc_id")
+      graft.operators.ContainerMeta.flacMeta(flacs, "flac")
+        .select($"doc_id", $"flac_meta.is_flac".cast("int").as("is_flac"),
+          $"flac_meta.sample_rate".cast("long").as("sample_rate"),
+          $"flac_meta.channels".cast("long").as("channels"),
+          $"flac_meta.bits_per_sample".cast("long").as("bits_per_sample"),
+          $"flac_meta.total_samples", $"flac_meta.duration_us",
+          $"flac_meta.n_blocks".cast("long").as("n_blocks"))
+        .orderBy($"doc_id")
+    }),
+
     // Deterministic label-propagation communities on the dup graph —
     // components (q164) answer "what is connected", this answers "what is
     // DENSELY connected": 3 synchronous most-frequent-neighbor-label
@@ -10284,6 +10304,19 @@ UNION ALL SELECT 6::BIGINT, l, r, cnt FROM b6) ORDER BY rank""",
 SELECT len(string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2)))::BIGINT AS n_syms,
 count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_occurrences
 FROM s6 GROUP BY 1 ORDER BY n_syms""",
+
+    // q259: closed-form FLAC fixture (rate table at id%9, 1+id%8
+    // channels, 16/24 bits, total samples rate·(5+id%11) → duration
+    // exactly (5+id%11) s, STREAMINFO + PADDING = 2 blocks)
+    "q259_flac_metadata" ->
+      """SELECT doc_id, 1::INT AS is_flac,
+([8000, 16000, 22050, 24000, 32000, 44100, 48000, 88200, 96000])[(doc_id % 9)::INT + 1]::BIGINT AS sample_rate,
+(1 + doc_id % 8)::BIGINT AS channels,
+(16 + 8 * (doc_id % 2))::BIGINT AS bits_per_sample,
+(([8000, 16000, 22050, 24000, 32000, 44100, 48000, 88200, 96000])[(doc_id % 9)::INT + 1] * (5 + doc_id % 11))::BIGINT AS total_samples,
+((5 + doc_id % 11) * 1000000)::BIGINT AS duration_us,
+2::BIGINT AS n_blocks
+FROM documents ORDER BY doc_id""",
 
     // q257: same 3 hand-chained vote rounds (each node's own label
     // UNION ALL'd in as the self-vote), same (count desc, label) argmax

@@ -349,6 +349,145 @@ object ContainerMeta {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ---------------------------------------------------------------------
+  // FLAC (xiph.org format spec): fLaC magic + metadata-block walk.
+  // ---------------------------------------------------------------------
+
+  final case class FlacMeta(isFlac: Boolean, sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long, durationUs: Long, nBlocks: Int)
+
+  /** FLAC metadata walk (pure JVM, no codec): `fLaC` magic, then
+    * metadata blocks `[1-byte last|type][u24 length]`; STREAMINFO
+    * (type 0, first block per spec) packs sample rate (20 bits),
+    * channels−1 (3), bits-per-sample−1 (5) and total samples (36) into
+    * its bytes 10–17. Audio frames stay untouched — duration needs only
+    * total samples / rate. Anything without the magic or a well-formed
+    * STREAMINFO reports `is_flac = false`.
+    */
+  object FlacParser extends Serializable {
+    def parse(bytes: Array[Byte]): FlacMeta = {
+      val bad = FlacMeta(isFlac = false, 0, 0, 0, 0L, 0L, 0)
+      if (bytes.length < 8 || bytes(0) != 'f' || bytes(1) != 'L' ||
+        bytes(2) != 'a' || bytes(3) != 'C') return bad
+      var i = 4
+      var nBlocks = 0
+      var meta: FlacMeta = bad
+      var last = false
+      while (!last && i + 4 <= bytes.length) {
+        val hdr = bytes(i) & 0xFF
+        last = (hdr & 0x80) != 0
+        val typ = hdr & 0x7F
+        val len = ((bytes(i + 1) & 0xFF) << 16) | ((bytes(i + 2) & 0xFF) << 8) |
+          (bytes(i + 3) & 0xFF)
+        val body = i + 4
+        if (body + len > bytes.length) return meta
+        nBlocks += 1
+        if (typ == 0 && len >= 34 && !meta.isFlac) {
+          def u(o: Int) = bytes(body + o) & 0xFF
+          val rate = (u(10) << 12) | (u(11) << 4) | (u(12) >> 4)
+          val chan = ((u(12) >> 1) & 0x7) + 1
+          val bps = (((u(12) & 1) << 4) | (u(13) >> 4)) + 1
+          val total = ((u(13) & 0xFL) << 32) | (u(14).toLong << 24) |
+            (u(15).toLong << 16) | (u(16).toLong << 8) | u(17).toLong
+          if (rate > 0)
+            meta = FlacMeta(isFlac = true, rate, chan, bps, total,
+              total * 1000000L / rate, nBlocks)
+        }
+        i = body + len
+      }
+      if (meta.isFlac) meta.copy(nBlocks = nBlocks) else meta
+    }
+  }
+
+  val flacMetaSchema: StructType = StructType(Seq(
+    StructField("is_flac", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("total_samples", LongType, nullable = false),
+    StructField("duration_us", LongType, nullable = false),
+    StructField("n_blocks", IntegerType, nullable = false)))
+
+  /** Attach a `flac_meta` struct by block-walking `binaryCol`. */
+  def flacMeta(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("flac_meta", flacMetaSchema, nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val m = FlacParser.parse(row.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(row.toSeq :+ Row(m.isFlac, m.sampleRate, m.channels,
+            m.bitsPerSample, m.totalSamples, m.durationUs, m.nBlocks))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic FLAC fixture per id (STREAMINFO + a PADDING block).
+    * Closed-form in the id: rate table idx id mod 9 (8000…96000 Hz),
+    * channels 1 + id mod 8, bits 16 + 8·(id mod 2), total samples
+    * rate·(5 + id mod 11) — so duration is exactly (5 + id mod 11) s.
+    */
+  def synthFlacCorpus(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("flac", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          val rate = FlacRates((id % 9).toInt)
+          Row.fromSeq(row.toSeq :+ synthFlac(
+            sampleRate = rate,
+            channels = (1 + id % 8).toInt,
+            bitsPerSample = (16 + 8 * (id % 2)).toInt,
+            totalSamples = rate.toLong * (5 + id % 11)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private[operators] val FlacRates =
+    Array(8000, 16000, 22050, 24000, 32000, 44100, 48000, 88200, 96000)
+
+  /** Build FLAC header bytes: magic + STREAMINFO + final PADDING block. */
+  def synthFlac(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20) &&
+      channels >= 1 && channels <= 8 &&
+      bitsPerSample >= 4 && bitsPerSample <= 32 &&
+      totalSamples >= 0 && totalSamples < (1L << 36))
+    val si = new Array[Byte](34)
+    // min/max blocksize 4096, min/max framesize 0 (unknown)
+    si(0) = 0x10; si(1) = 0; si(2) = 0x10; si(3) = 0
+    si(10) = ((sampleRate >> 12) & 0xFF).toByte
+    si(11) = ((sampleRate >> 4) & 0xFF).toByte
+    si(12) = (((sampleRate & 0xF) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    si(13) = ((((bitsPerSample - 1) & 0xF) << 4) |
+      ((totalSamples >> 32) & 0xF)).toInt.toByte
+    si(14) = ((totalSamples >> 24) & 0xFF).toByte
+    si(15) = ((totalSamples >> 16) & 0xFF).toByte
+    si(16) = ((totalSamples >> 8) & 0xFF).toByte
+    si(17) = (totalSamples & 0xFF).toByte
+    // bytes 18-33: md5 of the (absent) audio stream — zeros
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(0); out.write(0); out.write(0); out.write(34) // STREAMINFO hdr
+    out.write(si)
+    out.write(0x81); out.write(0); out.write(0); out.write(4) // last PADDING
+    out.write(new Array[Byte](4))
+    out.toByteArray
+  }
+
   /** Build ADTS frame bytes (7-byte headers + zero payload). */
   def synthAdts(nFrames: Int, sfi: Int, channels: Int, profile: Int,
       frameLen: Int): Array[Byte] = {

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.ContainerMeta
-import graft.operators.ContainerMeta.{AdtsParser, Mp4BoxParser}
+import graft.operators.ContainerMeta.{AdtsParser, FlacParser, Mp4BoxParser}
 
 /** Golden tests for the codec-free container walks (mp4 box tree, AAC
   * ADTS frames): synth fixtures parse back to their construction
@@ -96,5 +96,25 @@ class ContainerMetaSpec extends AnyFunSuite {
     // first stream pins 96000 Hz; the 48000 Hz headers are resync'd as junk
     assert(m.sampleRate == 96000 && m.nFrames == 5)
     assert(m.nJunkBytes == b.length)
+  }
+
+  test("FlacParser: synth roundtrip incl. 36-bit sample counts; truncated and non-FLAC fallbacks") {
+    val clean = ContainerMeta.synthFlac(sampleRate = 44100, channels = 2,
+      bitsPerSample = 16, totalSamples = 44100L * 7)
+    val m = FlacParser.parse(clean)
+    assert(m.isFlac)
+    assert(m.sampleRate == 44100 && m.channels == 2 && m.bitsPerSample == 16)
+    assert(m.totalSamples == 44100L * 7 && m.durationUs == 7000000L)
+    assert(m.nBlocks == 2) // STREAMINFO + PADDING
+    // field-boundary extremes: 8 channels, 24 bits, a >2^32 sample count
+    val big = ContainerMeta.synthFlac(96000, 8, 24, (1L << 35) + 12345L)
+    val mb = FlacParser.parse(big)
+    assert(mb.channels == 8 && mb.bitsPerSample == 24 &&
+      mb.totalSamples == (1L << 35) + 12345L)
+    // truncated STREAMINFO body: never a crash, is_flac = false
+    assert(!FlacParser.parse(clean.take(20)).isFlac)
+    assert(!FlacParser.parse("not a flac stream at all".getBytes).isFlac)
+    // magic alone with no parsable STREAMINFO
+    assert(!FlacParser.parse("fLaC".getBytes).isFlac)
   }
 }
