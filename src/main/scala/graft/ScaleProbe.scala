@@ -840,7 +840,56 @@ object ScaleProbe {
         s"q234 10x closed form broke at ${r.getString(0)}")
     }
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q221s, q235s, q238s, q240s, q237s, q234s)
+    // q250: the threshold-sweep grid under cloning — every grid τ ≤ 1.0
+    // admits the est_jac = 1 clone pairs, so per τ the pair count must be
+    // EXACTLY c²·P(τ) + C(c,2)·n and the docs-touched count EXACTLY c·n
+    // (every doc gains c−1 clone partners). Validates the one-relation/
+    // many-τ slicing algebra on top of q39's candidate closure.
+    def thresholdSweep(docs: DataFrame) = {
+      val prs = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
+          numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2,
+          threshold = 0.5)
+        .localCheckpoint(false)
+      val taus = broadcast(Seq(0.5, 0.625, 0.75, 0.875, 1.0).toDF("tau"))
+      val cut = prs.crossJoin(taus).filter($"est_jac" >= $"tau")
+        .localCheckpoint(false)
+      cut.groupBy($"tau").agg(count(lit(1)).as("n_pairs"))
+        .join(cut.select($"tau", explode(array($"id_a", $"id_b")).as("id"))
+          .groupBy($"tau").agg(count_distinct($"id").as("n_docs")),
+          Seq("tau"))
+    }
+    val tsBase = thresholdSweep(base).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val nBase = nDocs / copies
+    val q250df = thresholdSweep(scaled).localCheckpoint(false)
+    val q250s = timed("q250_sweep_10x") { q250df }
+    q250df.collect().foreach { r =>
+      val wantPairs = c * c * tsBase(r.getDouble(0)) + c * (c - 1) / 2 * nBase
+      require(r.getLong(1) == wantPairs && r.getLong(2) == c * nBase,
+        s"q250 10x closed form broke at tau=${r.getDouble(0)}: " +
+          s"(${r.getLong(1)},${r.getLong(2)}) want ($wantPairs,${c * nBase})")
+    }
+
+    // q258: Mann–Kendall is EXACTLY clone-invariant — user-id-offset
+    // cloning multiplies every daily count by c, which preserves every
+    // pairwise sign AND every tie (y_i·c = y_j·c iff y_i = y_j), so
+    // n_days, S, var18, z and the trend call must all be IDENTICAL to
+    // base. A drifting z would expose a float leak in the pipeline.
+    val mkB = graft.operators.EvalMetrics.mannKendall(emEvBase)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    val q258df = graft.operators.EvalMetrics.mannKendall(emEvScaled)
+      .localCheckpoint(false)
+    val q258s = timed("q258_mk_10x") { q258df }
+    q258df.collect().foreach { r =>
+      require(mkB(r.getString(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))),
+        s"q258 10x invariance broke at ${r.getString(0)}")
+    }
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q221s, q235s, q238s, q240s, q237s, q234s, q250s, q258s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()
