@@ -313,6 +313,41 @@ private[graft] object MultimodalQueries {
           $"flac_meta.n_blocks".cast("long").as("n_blocks"))
         .orderBy($"doc_id")
     }),
+
+    // Gzip round-trip audit — REAL java.util.zip compression both ways
+    // (web dumps arrive as gzip members; the pipeline's first operator is
+    // "get the text back out, verifiably"). Oracle-checked columns are
+    // functions of the RECOVERED text (codepoint count + md5 — one
+    // corrupted byte anywhere in compress→store→decompress flips the
+    // hash); compressed sizes are implementation-specific and
+    // spec-asserted instead. GZIPInputStream checks the trailer CRC32,
+    // so corruption can never yield silent garbage.
+    "q260_gzip_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .repartition(32, $"doc_id") // spread the codec work (q90 lesson)
+      val gz = graft.sources.CompressedText.gzipCorpus(docs, "text")
+        .select($"doc_id", $"gz")
+      graft.sources.CompressedText.gunzipAudit(gz, "gz")
+        .select($"doc_id", $"is_gzip", $"rt_n_chars", $"rt_md5")
+        .orderBy($"doc_id")
+    }),
+
+    // Zip-archive entry walk — multi-document containers (a real-world
+    // delivery unit) exploded one row per entry through REAL
+    // ZipInputStream inflate: each doc becomes a 1 + id%3 entry archive
+    // of contiguous CODEPOINT slices, so the oracle replays every
+    // entry's name, length and md5 with substr arithmetic alone.
+    "q261_zip_entries" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .repartition(32, $"doc_id")
+      val zips = graft.sources.CompressedText.zipCorpus(docs, "doc_id", "text")
+        .select($"doc_id", $"zip")
+      graft.sources.CompressedText.zipEntriesAudit(zips, "zip")
+        .select($"doc_id", $"entry_name", $"entry_n_chars", $"entry_md5")
+        .orderBy($"doc_id", $"entry_name")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -515,5 +550,24 @@ FROM documents ORDER BY doc_id""",
 ((16 + doc_id % 5) * 1152 * 1000000 // ([44100, 48000, 32000])[(doc_id % 3)::INT + 1])::BIGINT AS duration_us,
 0::BIGINT AS n_junk_bytes
 FROM documents ORDER BY doc_id""",
+
+    // q260: the recovered text IS the text — codepoint length + md5
+    // replay directly; any corruption on the engine side hash-fails
+    "q260_gzip_roundtrip" ->
+      """SELECT doc_id, 1::INT AS is_gzip, length(text)::BIGINT AS rt_n_chars, md5(text) AS rt_md5
+FROM documents ORDER BY doc_id""",
+
+    // q261: replay the codepoint slice grid (n = 1 + id%3 entries, step
+    // = greatest(1, len // n), last entry takes the remainder) with
+    // substr — names, lengths and md5s all arithmetic
+    "q261_zip_entries" ->
+      """WITH p AS (SELECT doc_id, text, (1 + doc_id % 3)::BIGINT AS n, greatest(1, length(text) // (1 + doc_id % 3))::BIGINT AS step FROM documents),
+ks AS (SELECT doc_id, text, n, step, unnest(range(0, n)) AS k FROM p),
+sl AS (SELECT doc_id, 'part_' || k::VARCHAR AS entry_name,
+  least(k * step, length(text)) AS f,
+  CASE WHEN k = n - 1 THEN length(text) ELSE least(k * step + step, length(text)) END AS u,
+  text FROM ks)
+SELECT doc_id, entry_name, (u - f)::BIGINT AS entry_n_chars, md5(substr(text, (f + 1)::INT, (u - f)::INT)) AS entry_md5
+FROM sl ORDER BY doc_id, entry_name""",
   )
 }
