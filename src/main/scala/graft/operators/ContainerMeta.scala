@@ -350,6 +350,213 @@ object ContainerMeta {
   }
 
   // ---------------------------------------------------------------------
+  // EBML / Matroska / WebM (RFC 8794 + matroska.org): vint element walk.
+  // ---------------------------------------------------------------------
+
+  final case class EbmlMeta(isEbml: Boolean, docType: String,
+      durationMs: Long, nTracks: Int, nVideo: Int, nAudio: Int,
+      width: Int, height: Int, videoCodec: String)
+
+  /** EBML element walk (pure JVM, no codec): elements are
+    * `[vint id][vint size][payload]` (RFC 8794 §4); ids keep their
+    * length-marker bit, sizes strip it. Reads the EBML header's DocType,
+    * Segment→Info's TimestampScale (default 10⁶ ns) and float Duration,
+    * and Segment→Tracks' TrackEntry kind/codec/dimensions. Cluster
+    * payloads (the coded media) are never touched — the same honest
+    * boundary as [[Mp4BoxParser]]. Unknown-size elements and truncated
+    * vints stop the walk with whatever was parsed.
+    */
+  object EbmlParser extends Serializable {
+    // (id value, id byte length) or null at end/malformed
+    private def readVint(b: Array[Byte], pos: Int, clearMarker: Boolean): (Long, Int) = {
+      if (pos >= b.length) return null
+      val first = b(pos) & 0xFF
+      if (first == 0) return null
+      val len = Integer.numberOfLeadingZeros(first) - 24 + 1 // 1..8
+      if (pos + len > b.length) return null
+      var v = (if (clearMarker) first ^ (1 << (8 - len)) else first).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (b(pos + i) & 0xFF); i += 1 }
+      (v, len)
+    }
+
+    private def uint(b: Array[Byte], from: Int, len: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 8) | (b(from + i) & 0xFF); i += 1 }
+      v
+    }
+
+    private def fl(b: Array[Byte], from: Int, len: Int): Double = len match {
+      case 4 => java.lang.Float.intBitsToFloat(uint(b, from, 4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uint(b, from, 8))
+      case _ => 0.0
+    }
+
+    private final class St {
+      var docType = ""
+      var scale = 1000000L // TimestampScale default: 1 ms in ns
+      var duration = 0.0
+      var nTracks = 0; var nVideo = 0; var nAudio = 0
+      var width = 0; var height = 0
+      var codec = ""
+      // per-TrackEntry staging
+      var tType = 0; var tCodec = ""; var tW = 0; var tH = 0
+    }
+
+    private val Containers: Set[Long] = Set(
+      0x1A45DFA3L, // EBML header
+      0x18538067L, // Segment
+      0x1549A966L, // Info
+      0x1654AE6BL, // Tracks
+      0xAEL,       // TrackEntry
+      0xE0L)       // Video
+
+    def parse(bytes: Array[Byte]): EbmlMeta = {
+      val bad = EbmlMeta(isEbml = false, "", 0L, 0, 0, 0, 0, 0, "")
+      val head = readVint(bytes, 0, clearMarker = false)
+      if (head == null || head._1 != 0x1A45DFA3L) return bad
+      val st = new St
+      walk(bytes, 0, bytes.length, st)
+      if (st.docType.isEmpty) bad
+      else EbmlMeta(isEbml = true, st.docType,
+        math.round(st.duration * (st.scale.toDouble / 1e6)),
+        st.nTracks, st.nVideo, st.nAudio, st.width, st.height, st.codec)
+    }
+
+    private def walk(b: Array[Byte], from: Int, until: Int, st: St): Unit = {
+      var pos = from
+      while (pos < until) {
+        val idr = readVint(b, pos, clearMarker = false)
+        if (idr == null) return
+        val (id, idLen) = idr
+        val szr = readVint(b, pos + idLen, clearMarker = true)
+        if (szr == null) return
+        val (sz, szLen) = szr
+        val body = pos + idLen + szLen
+        if (sz < 0 || body + sz > until) return
+        val szi = sz.toInt
+        if (Containers.contains(id)) {
+          if (id == 0xAEL) { st.tType = 0; st.tCodec = ""; st.tW = 0; st.tH = 0 }
+          walk(b, body, body + szi, st)
+          if (id == 0xAEL) {
+            st.nTracks += 1
+            if (st.tType == 1) {
+              st.nVideo += 1
+              if (st.width == 0) { st.width = st.tW; st.height = st.tH }
+              if (st.codec.isEmpty) st.codec = st.tCodec
+            } else if (st.tType == 2) st.nAudio += 1
+          }
+        } else id match {
+          case 0x4282L => st.docType = new String(b, body, szi,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 0x2AD7B1L => st.scale = uint(b, body, szi)
+          case 0x4489L => st.duration = fl(b, body, szi)
+          case 0x83L => st.tType = uint(b, body, szi).toInt
+          case 0x86L => st.tCodec = new String(b, body, szi,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          case 0xB0L => st.tW = uint(b, body, szi).toInt
+          case 0xBAL => st.tH = uint(b, body, szi).toInt
+          case _ => ()
+        }
+        pos = body + szi
+      }
+    }
+  }
+
+  val ebmlMetaSchema: StructType = StructType(Seq(
+    StructField("is_ebml", BooleanType, nullable = false),
+    StructField("doc_type", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false),
+    StructField("n_video", IntegerType, nullable = false),
+    StructField("n_audio", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("video_codec", StringType, nullable = false)))
+
+  /** Attach an `ebml_meta` struct by element-walking `binaryCol`. */
+  def ebmlMeta(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("ebml_meta", ebmlMetaSchema, nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val m = EbmlParser.parse(row.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(row.toSeq :+ Row(m.isEbml, m.docType, m.durationMs,
+            m.nTracks, m.nVideo, m.nAudio, m.width, m.height, m.videoCodec))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic WebM-shaped EBML fixture per id. Closed-form:
+    * duration (8 + id mod 9) s at the default 10⁶ timestamp scale
+    * (stored as a WHOLE-ms double — exactly representable, so the ms
+    * output is exact), video 640+16·(id mod 6) × 360+8·(id mod 4),
+    * codec V_VP9 on even ids else V_AV1, an A_OPUS audio track iff
+    * id mod 2 = 0.
+    */
+  def synthEbmlCorpus(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("webm", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          Row.fromSeq(row.toSeq :+ synthEbml(
+            durationMs = (8 + id % 9) * 1000.0,
+            width = (640 + 16 * (id % 6)).toInt,
+            height = (360 + 8 * (id % 4)).toInt,
+            videoCodec = if (id % 2 == 0) "V_VP9" else "V_AV1",
+            withAudio = id % 2 == 0))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Build minimal WebM-shaped EBML bytes: header(DocType webm) +
+    * Segment(Info(TimestampScale, float Duration) + Tracks(entries)).
+    */
+  def synthEbml(durationMs: Double, width: Int, height: Int,
+      videoCodec: String, withAudio: Boolean): Array[Byte] = {
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (1 to n).map(i => ((id >> (8 * (n - i))) & 0xFF).toByte).toArray
+    }
+    def size(v: Int): Array[Byte] =
+      if (v < 0x7F) Array((0x80 | v).toByte)
+      else Array((0x40 | (v >> 8)).toByte, (v & 0xFF).toByte)
+    def el(id: Long, body: Array[Byte]): Array[Byte] =
+      idBytes(id) ++ size(body.length) ++ body
+    def un(v: Long, n: Int): Array[Byte] =
+      (1 to n).map(i => ((v >> (8 * (n - i))) & 0xFF).toByte).toArray
+    val header = el(0x1A45DFA3L,
+      el(0x4282L, "webm".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    val info = el(0x1549A966L,
+      el(0x2AD7B1L, un(1000000L, 3)) ++
+        el(0x4489L, un(java.lang.Double.doubleToLongBits(durationMs), 8)))
+    def track(tpe: Int, codec: String, vid: Array[Byte]): Array[Byte] =
+      el(0xAEL, el(0x83L, un(tpe, 1)) ++
+        el(0x86L, codec.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ++ vid)
+    val video = track(1, videoCodec,
+      el(0xE0L, el(0xB0L, un(width, 2)) ++ el(0xBAL, un(height, 2))))
+    val audio = if (withAudio) track(2, "A_OPUS", Array.emptyByteArray)
+      else Array.emptyByteArray
+    val tracks = el(0x1654AE6BL, video ++ audio)
+    header ++ el(0x18538067L, info ++ tracks)
+  }
+
+  // ---------------------------------------------------------------------
   // FLAC (xiph.org format spec): fLaC magic + metadata-block walk.
   // ---------------------------------------------------------------------
 

@@ -314,6 +314,30 @@ private[graft] object MultimodalQueries {
         .orderBy($"doc_id")
     }),
 
+    // WebM/Matroska EBML metadata — the video-container sibling of
+    // q253's ISO-BMFF walk ([[graft.operators.ContainerMeta.EbmlParser]]:
+    // RFC 8794 vint elements, DocType, Info timestamp-scale + float
+    // duration, per-TrackEntry kind/codec/dims). Cluster payloads (the
+    // coded media) are never touched — same honest stub boundary; the
+    // fixture duration is a whole-ms double so the ms output is exact.
+    "q262_webm_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id")
+      val webms = graft.operators.ContainerMeta.synthEbmlCorpus(docs, "doc_id")
+      graft.operators.ContainerMeta.ebmlMeta(webms, "webm")
+        .select($"doc_id", $"ebml_meta.is_ebml".cast("int").as("is_ebml"),
+          $"ebml_meta.doc_type",
+          $"ebml_meta.duration_ms",
+          $"ebml_meta.n_tracks".cast("long").as("n_tracks"),
+          $"ebml_meta.n_video".cast("long").as("n_video"),
+          $"ebml_meta.n_audio".cast("long").as("n_audio"),
+          $"ebml_meta.width".cast("long").as("width"),
+          $"ebml_meta.height".cast("long").as("height"),
+          $"ebml_meta.video_codec")
+        .orderBy($"doc_id")
+    }),
+
     // Gzip round-trip audit — REAL java.util.zip compression both ways
     // (web dumps arrive as gzip members; the pipeline's first operator is
     // "get the text back out, verifiably"). Oracle-checked columns are
@@ -549,6 +573,19 @@ FROM documents ORDER BY doc_id""",
 ([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320])[(doc_id % 14)::INT + 1]::BIGINT AS kbps,
 ((16 + doc_id % 5) * 1152 * 1000000 // ([44100, 48000, 32000])[(doc_id % 3)::INT + 1])::BIGINT AS duration_us,
 0::BIGINT AS n_junk_bytes
+FROM documents ORDER BY doc_id""",
+
+    // q262: closed-form EBML fixture (duration (8+id%9) s, 640+16·(id%6)
+    // × 360+8·(id%4), V_VP9 even / V_AV1 odd, A_OPUS audio iff id even)
+    "q262_webm_metadata" ->
+      """SELECT doc_id, 1::INT AS is_ebml, 'webm' AS doc_type,
+((8 + doc_id % 9) * 1000)::BIGINT AS duration_ms,
+(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_tracks,
+1::BIGINT AS n_video,
+(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_audio,
+(640 + 16 * (doc_id % 6))::BIGINT AS width,
+(360 + 8 * (doc_id % 4))::BIGINT AS height,
+CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1' END AS video_codec
 FROM documents ORDER BY doc_id""",
 
     // q260: the recovered text IS the text — codepoint length + md5

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.ContainerMeta
-import graft.operators.ContainerMeta.{AdtsParser, FlacParser, Mp4BoxParser}
+import graft.operators.ContainerMeta.{AdtsParser, EbmlParser, FlacParser, Mp4BoxParser}
 
 /** Golden tests for the codec-free container walks (mp4 box tree, AAC
   * ADTS frames): synth fixtures parse back to their construction
@@ -96,6 +96,41 @@ class ContainerMetaSpec extends AnyFunSuite {
     // first stream pins 96000 Hz; the 48000 Hz headers are resync'd as junk
     assert(m.sampleRate == 96000 && m.nFrames == 5)
     assert(m.nJunkBytes == b.length)
+  }
+
+  test("EbmlParser: synth roundtrip, non-default timestamp scale, 4-byte float duration, truncation fallbacks") {
+    val m = EbmlParser.parse(ContainerMeta.synthEbml(
+      durationMs = 12000.0, width = 1280, height = 720,
+      videoCodec = "V_VP9", withAudio = true))
+    assert(m.isEbml && m.docType == "webm")
+    assert(m.durationMs == 12000L && m.width == 1280 && m.height == 720)
+    assert(m.nTracks == 2 && m.nVideo == 1 && m.nAudio == 1)
+    assert(m.videoCodec == "V_VP9")
+    val noAudio = EbmlParser.parse(ContainerMeta.synthEbml(
+      5000.0, 640, 360, "V_AV1", withAudio = false))
+    assert(noAudio.nTracks == 1 && noAudio.nAudio == 0 &&
+      noAudio.videoCodec == "V_AV1")
+    // hand-built: TimestampScale 2e6 ns doubles the ms per duration unit,
+    // and a 4-byte float duration must read through intBitsToFloat
+    def el(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+      id ++ Array((0x80 | body.length).toByte) ++ body
+    val hdr = el(Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte),
+      el(Array(0x42.toByte, 0x82.toByte), "matroska".getBytes))
+    val f4 = java.lang.Float.floatToIntBits(1500.0f)
+    val info = el(Array(0x15.toByte, 0x49.toByte, 0xA9.toByte, 0x66.toByte),
+      el(Array(0x2A.toByte, 0xD7.toByte, 0xB1.toByte),
+        Array(0x1E.toByte, 0x84.toByte, 0x80.toByte)) ++ // 2,000,000
+        el(Array(0x44.toByte, 0x89.toByte),
+          Array((f4 >> 24).toByte, (f4 >> 16).toByte, (f4 >> 8).toByte, f4.toByte)))
+    val seg = el(Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte), info)
+    val hm = EbmlParser.parse(hdr ++ seg)
+    assert(hm.isEbml && hm.docType == "matroska")
+    assert(hm.durationMs == 3000L) // 1500 units x 2 ms/unit
+    // truncation mid-element and non-EBML bytes: never a crash
+    val whole = ContainerMeta.synthEbml(9000.0, 640, 360, "V_VP9", withAudio = false)
+    assert(EbmlParser.parse(whole.take(whole.length / 2)).isEbml) // header survives
+    assert(!EbmlParser.parse("plain text".getBytes).isEbml)
+    assert(!EbmlParser.parse(Array[Byte](0x1A, 0x45)).isEbml)
   }
 
   test("FlacParser: synth roundtrip incl. 36-bit sample counts; truncated and non-FLAC fallbacks") {
