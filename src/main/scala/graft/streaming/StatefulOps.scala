@@ -967,6 +967,43 @@ object StatefulOps {
       }
   }
 
+  final case class WeightedSampleSnapshot(stratum: String, n_seen: Long,
+      winners: Seq[(Long, Long, Long)]) // (rank, id, weight)
+
+  /** Streaming twin of q219's sequential-Poisson weighted sample
+    * ([[graft.operators.WeightedSample]]): priorities are the SAME
+    * deterministic u48(salt:id)/weight doubles the batch ranker uses —
+    * no RNG state — so the per-stratum top-k survivors of any prefix of
+    * ANY interleaving equal the batch election over the rows seen so far
+    * (a bounded-state property unique to priority sampling: the sample
+    * is a pure min-k of a row-intrinsic value). State per stratum is the
+    * k-row winner list — O(k), never the stream. Replays of an id are
+    * idempotent by construction (same priority, min-k is a set op).
+    */
+  def runningWeightedSample(rows: Dataset[(String, Long, Long)], k: Int,
+      salt: String = "wps"): Dataset[WeightedSampleSnapshot] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Seq[(Double, Long, Long)])]) =>
+          var (n, buf) = state.getOption.getOrElse((0L, Seq.empty))
+          it.foreach { case (_, id, w) =>
+            n += 1
+            val pri = (graft.functions.HashFunctions
+              .stableHash64(s"$salt:$id") % 281474976710656L).toDouble / w
+            if (!buf.exists(_._2 == id)) // replay-idempotent
+              buf = ((pri, id, w) +: buf)
+                .sortBy(e => (e._1, e._2)).take(k)
+          }
+          state.update((n, buf))
+          WeightedSampleSnapshot(key, n,
+            buf.zipWithIndex.map { case ((_, id, w), i) =>
+              ((i + 1).toLong, id, w)
+            })
+      }
+  }
+
   final case class JoinViewSnapshot(n_name: String, n_orders: Long,
       total_cents: Long)
 

@@ -390,4 +390,44 @@ class CmsIntervalSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("streaming weighted sample equals the batch q219 election after random splits, with replays absorbed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(219L)
+    val rows = (0 until 240).map(i =>
+      ("s" + (i % 3), i.toLong, (rnd.nextInt(900) + 100).toLong))
+    (0 until 3).foreach { round =>
+      val shuffled = rnd.shuffle(rows)
+      val cut = 1 + rnd.nextInt(rows.length - 1)
+      val replays = Seq.fill(5)(shuffled(rnd.nextInt(cut))) // redeliveries
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long)]
+      val q = graft.streaming.StatefulOps.runningWeightedSample(
+          input.toDF().as[(String, Long, Long)], k = 7)
+        .writeStream.format("memory").queryName(s"wsamp_run_$round")
+        .outputMode("update").start()
+      try {
+        input.addData(shuffled.take(cut): _*); q.processAllAvailable()
+        input.addData((shuffled.drop(cut) ++ replays): _*); q.processAllAvailable()
+        val last = spark.table(s"wsamp_run_$round")
+          .groupBy(col("stratum"))
+          .agg(org.apache.spark.sql.functions
+            .max_by(struct(col("n_seen"), col("winners")), col("n_seen")).as("s"))
+          .select(col("stratum"), col("s.winners")).collect()
+          .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(t => (t.getLong(0), t.getLong(1), t.getLong(2))).toList)
+          .toMap
+        val want = graft.operators.WeightedSample.perStratum(
+            rows.toDF("source", "doc_id", "n_chars"),
+            "source", "doc_id", "n_chars", k = 7)
+          .select(col("stratum"), col("rank"), col("id"), col("weight"))
+          .collect()
+          .groupBy(_.getString(0)).view
+          .mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+            .sortBy(_._1).toList).toMap
+        assert(last == want, s"round=$round")
+      } finally q.stop()
+    }
+  }
 }
