@@ -1506,6 +1506,63 @@ private[graft] object StatsQueries {
       graft.operators.EvalMetrics.mannKendall(t(s, dir, "events"))
         .orderBy($"event_type")
     }),
+
+    // Benjamini–Hochberg FDR over the per-type A/B family — the
+    // multiple-testing correction q162's single test needs once a sweep
+    // runs one test PER EVENT TYPE (m simultaneous hypotheses): for each
+    // type, a two-proportion z for "cohort A emits this type at a
+    // different rate than cohort B", two-sided p from the Zelen–Severo
+    // Φ polynomial (A&S 26.2.17, |err| < 7.5e-8 — pure arithmetic + one
+    // exp, every constant the SAME literal on both engines, explicit
+    // t·t·t powers so no pow()), p floor-quantized to 1e-6 THE MOMENT it
+    // is computed (the q69 transcendental rule — exp is the only
+    // non-exactly-rounded op in the chain). BH step-up in exact
+    // integers: reject ranks ≤ max{i : p6·m ≤ i·50000} (α = 0.05).
+    // Scale: one grouped pass over events; everything after runs on m
+    // rows (the window is m-sized, never corpus-sized).
+    "q263_bh_fdr" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_type",
+          pmod(graft.functions.HashFunctions.stableHash64(
+            concat(lit("ab:"), $"user_id".cast("string"))), lit(2L))
+            .as("cohort"))
+      val perType = ev.groupBy($"event_type")
+        .agg(sum(when($"cohort" === 0L, 1L).otherwise(0L)).as("k0"),
+          sum(when($"cohort" === 1L, 1L).otherwise(0L)).as("k1"))
+        .localCheckpoint(false) // totals + the per-type pass read it
+      val tot = broadcast(perType.agg(sum($"k0").as("n0"), sum($"k1").as("n1")))
+      val withP = perType.crossJoin(tot)
+        .withColumn("z", expr(
+          """(cast(k0 as double) / cast(n0 as double) - cast(k1 as double) / cast(n1 as double))
+             / sqrt((cast(k0 + k1 as double) / cast(n0 + n1 as double))
+               * (1.0D - cast(k0 + k1 as double) / cast(n0 + n1 as double))
+               * (1.0D / cast(n0 as double) + 1.0D / cast(n1 as double)))"""))
+        .withColumn("az", abs($"z"))
+        .withColumn("t", expr("1.0D / (1.0D + 0.2316419D * az)"))
+        .withColumn("p6", expr(
+          """cast(floor(2.0D * (exp(-az * az / 2.0D) * 0.3989422804014327D
+             * (0.319381530D * t - 0.356563782D * t * t + 1.781477937D * t * t * t
+                - 1.821255978D * t * t * t * t + 1.330274429D * t * t * t * t * t))
+             * 1000000.0D) as bigint)"""))
+        .localCheckpoint(false) // m rows; rank + m-count read it
+      val m = broadcast(withP.agg(count(lit(1)).as("m")))
+      val ranked = withP.crossJoin(m)
+        .withColumn("bh_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"p6", $"event_type")) // m-row window, never corpus
+          .cast("long"))
+        .localCheckpoint(false) // the step-up max + the output read it
+      val cut = broadcast(ranked
+        .filter($"p6" * $"m" <= $"bh_rank" * lit(50000L))
+        .agg(coalesce(max($"bh_rank"), lit(0L)).as("max_rej")))
+      ranked.crossJoin(cut)
+        .select($"event_type", $"k0", $"k1",
+          expr("cast(floor(z * 1000000.0D) as bigint)").as("z6"),
+          $"p6", $"bh_rank",
+          ($"bh_rank" <= $"max_rej").cast("int").as("rejected"))
+        .orderBy($"bh_rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2150,5 +2207,27 @@ z AS (SELECT s.event_type, v2.n_days, s.s, v2.var18,
 SELECT event_type, n_days, s, var18, z_bps,
 CASE WHEN z_bps > 19600 THEN 'up' WHEN z_bps < -19600 THEN 'down' ELSE 'none' END AS trend
 FROM z ORDER BY event_type""",
+
+    // q263: same per-type counts off the same cohort hash, same literal
+    // Φ polynomial constants with explicit t·t·t powers, p quantized at
+    // 1e-6 immediately (exp is the one non-exactly-rounded op), BH
+    // step-up in exact integers (p6·m ≤ rank·50000 at α = 0.05)
+    "q263_bh_fdr" ->
+      """WITH e AS (SELECT event_type, ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 15))::BIGINT % 2 AS cohort FROM events),
+pt AS (SELECT event_type, sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)::BIGINT AS k0, sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)::BIGINT AS k1 FROM e GROUP BY 1),
+tot AS (SELECT sum(k0)::BIGINT AS n0, sum(k1)::BIGINT AS n1 FROM pt),
+zt AS (SELECT event_type, k0, k1,
+  (k0::DOUBLE / n0::DOUBLE - k1::DOUBLE / n1::DOUBLE)
+  / sqrt(((k0 + k1)::DOUBLE / (n0 + n1)::DOUBLE) * (1.0 - (k0 + k1)::DOUBLE / (n0 + n1)::DOUBLE) * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS z
+  FROM pt, tot),
+pq AS (SELECT event_type, k0, k1, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zt),
+p6t AS (SELECT event_type, k0, k1, z,
+  floor(2.0 * (exp(-abs(z) * abs(z) / 2.0) * 0.3989422804014327 * (0.319381530 * t - 0.356563782 * t * t + 1.781477937 * t * t * t - 1.821255978 * t * t * t * t + 1.330274429 * t * t * t * t * t)) * 1000000.0)::BIGINT AS p6
+  FROM pq),
+mm AS (SELECT count(*)::BIGINT AS m FROM p6t),
+rk AS (SELECT event_type, k0, k1, z, p6, row_number() OVER (ORDER BY p6, event_type)::BIGINT AS bh_rank FROM p6t),
+mr AS (SELECT coalesce(max(bh_rank), 0)::BIGINT AS max_rej FROM rk, mm WHERE p6 * mm.m <= bh_rank * 50000)
+SELECT event_type, k0, k1, floor(z * 1000000.0)::BIGINT AS z6, p6, bh_rank, (CASE WHEN bh_rank <= mr.max_rej THEN 1 ELSE 0 END)::INT AS rejected
+FROM rk, mr ORDER BY bh_rank""",
   )
 }

@@ -97,4 +97,35 @@ class EvalMetricsSpec extends AnyFunSuite {
       .collect().map(_.getLong(3)).toSet
     assert(t0 == Set(0L))
   }
+
+  test("q263 BH: the Zelen-Severo polynomial hits known normal quantiles; rejections are rank-downward-closed") {
+    // the shared polynomial, replicated here as a reference
+    def p2sided(z: Double): Double = {
+      val az = math.abs(z)
+      val t = 1.0 / (1.0 + 0.2316419 * az)
+      2.0 * (math.exp(-az * az / 2.0) * 0.3989422804014327 *
+        (0.319381530 * t - 0.356563782 * t * t + 1.781477937 * t * t * t
+          - 1.821255978 * t * t * t * t + 1.330274429 * t * t * t * t * t))
+    }
+    // two-sided p at the canonical quantiles, within the A&S error bound
+    assert(math.abs(p2sided(1.959964) - 0.05) < 2e-7)
+    assert(math.abs(p2sided(2.575829) - 0.01) < 2e-7)
+    assert(math.abs(p2sided(0.0) - 1.0) < 2e-7)
+    // the shipped query on the sf0.001 corpus: p6 in range, ranks are a
+    // permutation of 1..m, and the BH rejection set is downward-closed
+    val rows = SparkEntry.queries("q263_bh_fdr")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(5), r.getLong(4), r.getInt(6))) // (rank, p6, rej)
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to rows.length.toLong))
+    assert(rows.forall { case (_, p6, _) => p6 >= 0L && p6 <= 1000000L })
+    val rej = rows.map(_._3)
+    assert(!rej.sliding(2).exists(w => w.length == 2 && w(0) == 0 && w(1) == 1),
+      s"rejections not downward-closed: ${rej.mkString(",")}")
+    // BH identity: rejected exactly the ranks <= max{i : p6*m <= i*50000}
+    val m = rows.length.toLong
+    val maxRej = rows.filter { case (i, p6, _) => p6 * m <= i * 50000L }
+      .map(_._1).maxOption.getOrElse(0L)
+    rows.foreach { case (i, _, r) => assert((i <= maxRej) == (r == 1)) }
+  }
 }
