@@ -1563,6 +1563,49 @@ private[graft] object StatsQueries {
           ($"bh_rank" <= $"max_rej").cast("int").as("rejected"))
         .orderBy($"bh_rank")
     }),
+
+    // Split-conformal prediction intervals for the seasonal forecast —
+    // the distribution-free guarantee a volume monitor wants on top of
+    // q240's point forecast: calibration days (first 3 weeks) yield the
+    // 90% conformal radius as an EXACT integer order statistic of
+    // |y − lag7| (rank ⌈(n_cal+1)·0.9⌉ per Vovk's split-conformal rule,
+    // computed as an integer ceiling), and the eval days report achieved
+    // coverage in bps. No transcendentals, no floats — residuals are
+    // integer counts, the quantile is a rank pick, coverage is integer
+    // division. Scale: one corpus-sized daily groupBy; everything after
+    // runs on the calendar grid, the rank window keyed per type.
+    "q264_conformal_forecast" -> ((s, dir) => {
+      import s.implicits._
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("y")).localCheckpoint(false)
+      val d0 = broadcast(daily.agg(min($"day").as("d0")))
+      val joined = daily.join(
+          daily.select($"event_type", ($"day" + 7L).as("day"), $"y".as("f7")),
+          Seq("event_type", "day"))
+        .crossJoin(d0)
+        .select($"event_type", $"day", abs($"y" - $"f7").as("resid"),
+          ($"day" < $"d0" + 21L).cast("int").as("is_cal"))
+        .localCheckpoint(false) // calibration rank + eval coverage read it
+      val cal = joined.filter($"is_cal" === 1)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"event_type").orderBy($"resid", $"day"))
+          .cast("long"))
+      val nCal = cal.groupBy($"event_type").agg(count(lit(1)).as("n_cal"))
+      val radius = cal.join(nCal, "event_type")
+        // ceil((n+1)*0.9) = (9*(n+1) + 9) div 10 in exact integers
+        .filter($"rk" === expr("(9 * (n_cal + 1) + 9) div 10"))
+        .select($"event_type", $"n_cal", $"resid".as("radius"))
+      joined.filter($"is_cal" === 0)
+        .join(radius, "event_type")
+        .groupBy($"event_type", $"n_cal", $"radius")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(($"resid" <= $"radius").cast("long")).as("covered"))
+        .select($"event_type", $"n_cal", $"n_eval", $"radius", $"covered",
+          expr("covered * 10000 div n_eval").as("coverage_bps"))
+        .orderBy($"event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2229,5 +2272,21 @@ rk AS (SELECT event_type, k0, k1, z, p6, row_number() OVER (ORDER BY p6, event_t
 mr AS (SELECT coalesce(max(bh_rank), 0)::BIGINT AS max_rej FROM rk, mm WHERE p6 * mm.m <= bh_rank * 50000)
 SELECT event_type, k0, k1, floor(z * 1000000.0)::BIGINT AS z6, p6, bh_rank, (CASE WHEN bh_rank <= mr.max_rej THEN 1 ELSE 0 END)::INT AS rejected
 FROM rk, mr ORDER BY bh_rank""",
+
+    // q264: same day-keyed lag-7 join, same integer ceiling rank
+    // (9·(n+1)+9) // 10, same bps coverage — a type with too few
+    // calibration days (rank > n_cal) drops on both sides
+    "q264_conformal_forecast" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+d0 AS (SELECT min(day) AS d0 FROM daily),
+j AS (SELECT d.event_type, d.day, abs(d.y - f7.y)::BIGINT AS resid, (CASE WHEN d.day < d0.d0 + 21 THEN 1 ELSE 0 END) AS is_cal
+  FROM daily d JOIN daily f7 ON f7.event_type = d.event_type AND f7.day = d.day - 7, d0),
+cal AS (SELECT event_type, day, resid, row_number() OVER (PARTITION BY event_type ORDER BY resid, day)::BIGINT AS rk FROM j WHERE is_cal = 1),
+nc AS (SELECT event_type, count(*)::BIGINT AS n_cal FROM cal GROUP BY 1),
+rad AS (SELECT cal.event_type, nc.n_cal, cal.resid AS radius FROM cal JOIN nc ON nc.event_type = cal.event_type WHERE cal.rk = (9 * (nc.n_cal + 1) + 9) // 10),
+ev AS (SELECT j.event_type, rad.n_cal, rad.radius, count(*)::BIGINT AS n_eval, sum(CASE WHEN j.resid <= rad.radius THEN 1 ELSE 0 END)::BIGINT AS covered
+  FROM j JOIN rad ON rad.event_type = j.event_type WHERE j.is_cal = 0 GROUP BY 1, 2, 3)
+SELECT event_type, n_cal, n_eval, radius, covered, (covered * 10000 // n_eval)::BIGINT AS coverage_bps
+FROM ev ORDER BY event_type""",
   )
 }
