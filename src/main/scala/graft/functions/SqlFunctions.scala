@@ -44,5 +44,6 @@ object SqlFunctions {
       intArg("char_shingles", "n", es(1)))),
     "word_ngrams" -> (es => WordNGrams(es(0),
       intArg("word_ngrams", "n", es(1)))),
-    "nfc_normalize" -> (es => NfcNormalize(es(0))))
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
+    "char_entropy" -> (es => CharEntropyMicroNats(es(0))))
 }

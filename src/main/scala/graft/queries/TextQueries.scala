@@ -1012,6 +1012,29 @@ private[graft] object TextQueries {
         .agg(count(lit(1)).as("n_types"), sum($"c").as("n_occurrences"))
         .orderBy($"n_syms")
     }),
+
+    // Character-entropy quality census — the compressibility signal
+    // (C4-style gzip-ratio filtering's exactly-replayable cousin):
+    // per-doc Shannon entropy over the codepoint histogram in integer
+    // micro-nats via the native [[CharEntropyMicroNats]] expression (ONE
+    // compiled scan-side loop, zero shuffle — the declarative explode
+    // form shuffles a row per CHARACTER), rolled up per source with the
+    // low-entropy (< 2 nats ≈ template/spam) count disclosed. The one
+    // transcendental per distinct char is floor-quantized the moment it
+    // is computed (q69 rule), so the oracle's explode-and-groupBy replay
+    // sums to identical integers.
+    "q265_char_entropy" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"source",
+          graft.operators.TextAnalysis.charEntropyCol($"text").as("e6"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(e6) div count(1)").as("avg_e6"),
+          min($"e6").as("min_e6"), max($"e6").as("max_e6"),
+          sum(($"e6" < 2000000L).cast("long")).as("n_low_entropy"))
+        .orderBy($"source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1385,5 +1408,19 @@ UNION ALL SELECT 6::BIGINT, l, r, cnt FROM b6) ORDER BY rank""",
 SELECT len(string_split(substr(s, 2, length(s) - 2), chr(3) || chr(2)))::BIGINT AS n_syms,
 count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_occurrences
 FROM s6 GROUP BY 1 ORDER BY n_syms""",
+
+    // q265: explode-per-codepoint replay of the native histogram loop —
+    // same floor(ln·1e6) per-term quantization, same integer division;
+    // empty-text docs re-joined at e6 = 0 (range(1,1) drops them)
+    "q265_char_entropy" ->
+      """WITH ex AS (SELECT doc_id, source, text, length(text) AS n, unnest(range(1, length(text) + 1)) AS i FROM documents),
+cc AS (SELECT doc_id, source, n, substr(text, i::INT, 1) AS c FROM ex),
+hist AS (SELECT doc_id, source, n, c, count(*)::BIGINT AS cnt FROM cc GROUP BY 1, 2, 3, 4),
+ent AS (SELECT doc_id, source, (sum(cnt * floor(ln(n::DOUBLE / cnt::DOUBLE) * 1000000.0)::BIGINT) // n)::BIGINT AS e6 FROM hist GROUP BY doc_id, source, n),
+ent2 AS (SELECT d.doc_id, d.source, coalesce(e.e6, 0)::BIGINT AS e6 FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id)
+SELECT source, count(*)::BIGINT AS n_docs, (sum(e6) // count(*))::BIGINT AS avg_e6,
+min(e6)::BIGINT AS min_e6, max(e6)::BIGINT AS max_e6,
+sum(CASE WHEN e6 < 2000000 THEN 1 ELSE 0 END)::BIGINT AS n_low_entropy
+FROM ent2 GROUP BY source ORDER BY source""",
   )
 }

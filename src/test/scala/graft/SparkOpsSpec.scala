@@ -585,6 +585,7 @@ class SparkOpsSpec extends AnyFunSuite {
         |  char_shingles(ta, 3) AS cs,
         |  word_ngrams(ta, 3) AS ng,
         |  nfc_normalize(ta) AS nfc,
+        |  char_entropy(ta) AS ce,
         |  cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
         |FROM v_sketch ORDER BY id""".stripMargin)
@@ -607,6 +608,7 @@ class SparkOpsSpec extends AnyFunSuite {
         graft.operators.TextAnalysis.wordNGramsFromTokens(
           graft.operators.TextAnalysis.tokensCol($"ta"), 3).as("ng"),
         Bridge.toColumn(NfcNormalize(Bridge.toExpr($"ta"))).as("nfc"),
+        graft.operators.TextAnalysis.charEntropyCol($"ta").as("ce"),
         graft.functions.VectorFunctions
           .cosineSim(org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f)),
             org.apache.spark.sql.functions.array(lit(1.0f), lit(0.0f))).as("cos"),
@@ -622,6 +624,32 @@ class SparkOpsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("must be a literal integer")
       || Option(err.getCause).exists(_.getMessage.contains("must be a literal integer")))
+  }
+
+  test("char_entropy: known values, plain-Scala reference on random text, astral codepoints counted once") {
+    import spark.implicits._
+    def ref(s: String): Long = {
+      val cps = s.codePoints().toArray
+      val n = cps.length.toLong
+      if (n == 0L) 0L
+      else cps.groupBy(identity).values
+        .map(g => g.length.toLong *
+          math.floor(math.log(n.toDouble / g.length) * 1000000.0).toLong)
+        .sum / n
+    }
+    val rnd = new scala.util.Random(265L)
+    val cases = Seq("", "aaaa", "ab", "abab", "ab😀😀", // astral pair = ONE codepoint each
+      "the quick brown fox jumps over the lazy dog") ++
+      (0 until 20).map { _ =>
+        // whole-codepoint alphabet: charAt would emit lone surrogates
+        val alpha = Seq("a", "b", "c", "d", "e", "f", "g", "h", " ", "😀", "é")
+        (0 until rnd.nextInt(200)).map(_ => alpha(rnd.nextInt(alpha.size))).mkString
+      }
+    val got = cases.toDF("t")
+      .select(graft.operators.TextAnalysis.charEntropyCol($"t").as("e6"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(ref), "native loop != plain-Scala reference")
+    assert(ref("aaaa") == 0L && ref("ab") == 693147L && ref("abab") == 693147L)
   }
 
   test("GraftExtensions + registry expose cosine_sim/dot_product to SQL") {
