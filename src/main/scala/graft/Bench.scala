@@ -56,10 +56,13 @@ object Bench {
   /** Persist the compact summary at a tiny stable path too: the driver
     * json-parses the stdout tail, but sbt's `[success]` line follows the
     * summary there — any tail-parse failure recovers from this file.
+    * Routed through [[recordTarget]] like the full record (round-11
+    * lesson: a contended driver re-run silently replaced the committed
+    * uncontended summary while the full record stayed protected).
     */
-  def writeSummary(record: String,
+  def writeSummary(record: String, contended: Boolean,
       path: String = "bench/bench_summary.json"): java.nio.file.Path = {
-    val out = java.nio.file.Paths.get(path)
+    val out = recordTarget(java.nio.file.Paths.get(path), contended)
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (record + "\n").getBytes("UTF-8"))
     out
@@ -158,7 +161,7 @@ object Bench {
     // to a stable in-repo path so a tail-parse failure is recoverable
     val compact = compactRecord(results, total, failures, effPasses, contended,
       perPass, loadStart, loadEnd, sfDir, fullPath)
-    try writeSummary(compact)
+    try writeSummary(compact, contended)
     catch { case e: Throwable =>
       System.err.println(s"[bench] summary write failed: ${e.getMessage}")
     }

@@ -72,6 +72,42 @@ object Batching {
       .drop("__pid", "__lrn")
   }
 
+  /** Scale-safe per-group row numbering — the stratified-split shape
+    * (`pipeline2.py:85-102` analog at stratum granularity). `row_number()
+    * OVER (PARTITION BY stratum ORDER BY ord)` parallelizes across strata
+    * but funnels EACH stratum's rows into one task's sort — and real
+    * corpora are stratum-skewed (one giant web/en stratum = one task at
+    * 100 TB). This produces the identical per-group numbering with no
+    * window at all:
+    *
+    *  1. [[globalRowNumber]] under the lexicographic (group, ord) order —
+    *     one range exchange, every stage parallel; a group's rows occupy a
+    *     CONTIGUOUS global-rank span because the group cols lead the sort
+    *     key;
+    *  2. a tiny per-group aggregate (min global rank = span start, count =
+    *     group size) — numGroups rows, map-side partial — broadcast back;
+    *  3. per-group rank = global rank − span start + 1.
+    *
+    * Identical to the window whenever `ord` is total within each group
+    * (the deterministic-split requirement already guarantees a unique-key
+    * tiebreak); ties follow the range partitioner, like row_number's
+    * arbitrary tie order. `outCount` additionally emits the group size —
+    * replacing the companion `count() OVER (PARTITION BY stratum)` window
+    * for free (the agg already carries it).
+    */
+  def groupedRowNumber(
+      df: DataFrame, groupCols: Seq[String], ord: Seq[Column], numPartitions: Int,
+      out: String = "rn", outCount: Option[String] = None): DataFrame = {
+    val keys = groupCols.map(col) ++ ord
+    val ranked = globalRowNumber(df, keys, numPartitions, "__grn")
+    val spans = ranked.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__grn")).as("__gstart"), count(lit(1)).as("__gn"))
+    val joined = ranked.join(broadcast(spans), groupCols)
+      .withColumn(out, (col("__grn") - col("__gstart") + 1L).cast("long"))
+    outCount.fold(joined)(n => joined.withColumn(n, col("__gn")))
+      .drop("__grn", "__gstart", "__gn")
+  }
+
   /** Scale-safe global running sum (and 1-based position) of `valueCol` in
     * `ord` order — the cumulative-distribution shape (vocabulary coverage,
     * token-budget curricula) without `sum() OVER (ORDER BY …)`'s

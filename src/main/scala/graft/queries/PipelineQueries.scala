@@ -880,19 +880,17 @@ private[graft] object PipelineQueries {
     // row_number WITHIN each (lang, source) stratum, 80/10/10 by the
     // integer rule rn*10 <= n*8 / n*9 (exact, engine-independent; the
     // same salt-prefixed md5 ordering any re-run or other engine
-    // reproduces). Per-stratum windows parallelize across strata; no
-    // global sort anywhere.
+    // reproduces). The rank is Batching.groupedRowNumber — range-partition
+    // by (stratum, hash), broadcast span starts — so ONE giant stratum
+    // (web/en at 100 TB) still sorts across every task, not in one; the
+    // group-size window rides the same tiny aggregate.
     "q139_stratified_split" -> ((s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang", $"source")
-        .orderBy(md5(concat(lit("split:"), $"doc_id".cast("string"))), $"doc_id")
-      val wn = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang", $"source")
-      t(s, dir, "documents")
-        .select($"lang", $"source", $"doc_id")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      graft.operators.Batching.groupedRowNumber(
+        t(s, dir, "documents")
+          .select($"lang", $"source", $"doc_id")
+          .withColumn("__h", md5(concat(lit("split:"), $"doc_id".cast("string")))),
+        Seq("lang", "source"), Seq($"__h", $"doc_id"), 32, "rn", Some("n"))
         .withColumn("split",
           when($"rn" * 10 <= $"n" * 8, "train")
             .when($"rn" * 10 <= $"n" * 9, "val")
@@ -978,14 +976,12 @@ private[graft] object PipelineQueries {
           expr("(coalesce(dup5_cnt, 0) * 10000) div (n_tok - 4)")).otherwise(lit(0L)))
         .filter(!($"top1_u" > 800 || $"top2_u" > 1000 || $"dup5_u" > 3000))
         .select($"doc_id", $"lang", $"source", $"n_tok")
-      val ws = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang", $"source")
-        .orderBy(md5(concat(lit("split:"), $"doc_id".cast("string"))), $"doc_id")
-      val wn = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang", $"source")
-      good
-        .withColumn("rn", row_number().over(ws).cast("long"))
-        .withColumn("nn", count(lit(1)).over(wn))
+      // windowless stratum rank (groupedRowNumber): the filtered corpus
+      // still has the one-giant-stratum skew, so the rank must not funnel
+      // a stratum into one task
+      graft.operators.Batching.groupedRowNumber(
+        good.withColumn("__h", md5(concat(lit("split:"), $"doc_id".cast("string")))),
+        Seq("lang", "source"), Seq($"__h", $"doc_id"), 32, "rn", Some("nn"))
         .withColumn("split",
           when($"rn" * 10 <= $"nn" * 8, "train")
             .when($"rn" * 10 <= $"nn" * 9, "val")
@@ -1004,23 +1000,28 @@ private[graft] object PipelineQueries {
     // hash-keyed self-join of the per-split distinct-gram tables.
     "q152_split_leakage" -> ((s, dir) => {
       import s.implicits._
-      val ws = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang", $"source")
-        .orderBy(md5(concat(lit("split:"), $"doc_id".cast("string"))), $"doc_id")
-      val wn = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang", $"source")
+      // The split assignment ranks a SLIM (lang, source, doc_id) projection
+      // through Batching.groupedRowNumber (windowless — one giant stratum
+      // sorts across every task) and joins the tag back by doc_id, so the
+      // range exchange and its checkpoint never carry text.
+      val splits = graft.operators.Batching.groupedRowNumber(
+        t(s, dir, "documents")
+          .select($"lang", $"source", $"doc_id")
+          .withColumn("__h", md5(concat(lit("split:"), $"doc_id".cast("string")))),
+        Seq("lang", "source"), Seq($"__h", $"doc_id"), 32, "rn", Some("n"))
+        .withColumn("split",
+          when($"rn" * 10 <= $"n" * 8, "train")
+            .when($"rn" * 10 <= $"n" * 9, "val")
+            .otherwise("test"))
+        .select($"doc_id", $"split")
       // One hash-keyed aggregation carries BOTH the per-split set sizes and
       // every pairwise overlap: collect_set over ≤3 split tags per gram
       // replaces the distinct + hash self-join (three 1M-row shuffles → one
       // shuffle of the raw gram stream); the ≤3-element set explodes into
       // ordered pairs driver-free.
       val sg = t(s, dir, "documents")
-        .withColumn("rn", row_number().over(ws).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
-        .withColumn("split",
-          when($"rn" * 10 <= $"n" * 8, "train")
-            .when($"rn" * 10 <= $"n" * 9, "val")
-            .otherwise("test"))
+        .select($"doc_id", $"text")
+        .join(splits, Seq("doc_id"))
         .select($"split", explode(graft.operators.QualitySignals.ngramsStrict(
           graft.operators.TextAnalysis.tokensCol($"text"), 5)).as("g"))
         .select($"split", xxhash64($"g").as("h"))

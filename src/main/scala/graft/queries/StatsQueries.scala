@@ -422,19 +422,16 @@ private[graft] object StatsQueries {
     // the length signal before the mean: the robust alternative to
     // DROPPING outlier docs (clip, don't discard — keeps token mass).
     // Nearest-rank percentiles with a doc_id tie-break are exact and
-    // engine-agnostic (no interpolation); the rank window partitions by
-    // source so strata parallelize, the cut table is source-count-sized
-    // and broadcast back, and everything after the rank is integer
-    // arithmetic quantized at 1e-4.
+    // engine-agnostic (no interpolation); the rank is
+    // Batching.groupedRowNumber — range-partitioned by (source, n_chars),
+    // so one dominant source still sorts across every task — the cut
+    // table is source-count-sized and broadcast back, and everything
+    // after the rank is integer arithmetic quantized at 1e-4.
     "q154_winsorize" -> ((s, dir) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"n_chars", $"doc_id")
-      val wn = org.apache.spark.sql.expressions.Window.partitionBy($"source")
-      val r = t(s, dir, "documents")
-        .select($"source", $"doc_id", $"n_chars")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      val r = graft.operators.Batching.groupedRowNumber(
+        t(s, dir, "documents").select($"source", $"doc_id", $"n_chars"),
+        Seq("source"), Seq($"n_chars", $"doc_id"), 32, "rn", Some("n"))
       val cuts = r.groupBy($"source")
         .agg(max(when($"rn" === expr("(n * 5 + 99) div 100"), $"n_chars")).as("p05"),
           max(when($"rn" === expr("(n * 95 + 99) div 100"), $"n_chars")).as("p95"))
@@ -1083,37 +1080,21 @@ private[graft] object StatsQueries {
     // Quantile normalization across sources — the feature-engineering
     // transform that makes per-source score distributions comparable
     // (each source's value maps to the POOLED value at its relative
-    // rank), built the ExactQuantiles way: everything runs on COUNT
-    // HISTOGRAMS (distinct-value-sized, Heaps-sublinear), never on the
-    // row stream. Source-relative ranks are inclusive cumsums over the
-    // per-source histogram; the target rank is the exact integer
-    // ⌈r·n_pool/n_s⌉; the mapped value is the unique pooled-histogram
-    // row covering that rank (cum − cnt < tr ≤ cum — a histogram ×
-    // histogram band join, both sides tiny). The one global window
-    // orders the pooled HISTOGRAM (the q198 KS exception), never the
-    // corpus.
+    // rank). Round 12: the algorithm moved to operators/QuantileNorm
+    // (ExactQuantiles shape — everything on count histograms, the one
+    // global window over the pooled HISTOGRAM, never the corpus) and
+    // grew the verdict-mandated cardinality gate: a continuous score
+    // column whose distinct count exceeds the bound quantizes onto the
+    // q127 log-histogram ladder first, so the histogram window can never
+    // silently become a corpus-sized single-task sort. n_chars is
+    // integer-bucketed, so this query takes the exact branch (the
+    // constant `exact` disclosure column is dropped to keep the r11
+    // oracle byte-identical).
     "q230_quantile_normalize" -> ((s, dir) => {
       import s.implicits._
-      val scores = t(s, dir, "documents").select($"source", $"n_chars".as("v"))
-      val hist = scores.groupBy($"source", $"v")
-        .agg(count(lit(1)).as("cnt")).localCheckpoint(false)
-      val sizes = hist.groupBy($"source").agg(sum($"cnt").as("ns"))
-      val srcCum = hist
-        .withColumn("r", sum($"cnt").over(
-          Window.partitionBy($"source").orderBy($"v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(sizes, "source")
-      val poolCum = scores.groupBy($"v".as("pv")).agg(count(lit(1)).as("pcnt"))
-        .withColumn("pcum", sum($"pcnt").over(
-          Window.orderBy($"pv")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val nPool = broadcast(scores.agg(count(lit(1)).as("np")))
-      srcCum.crossJoin(nPool)
-        .withColumn("tr", expr("(r * np + ns - 1) div ns"))
-        .join(poolCum,
-          $"pcum" >= $"tr" && ($"pcum" - $"pcnt") < $"tr")
-        .select($"source", $"v", $"cnt", $"r".as("src_rank"),
-          $"pv".as("norm_v"))
+      graft.operators.QuantileNorm
+        .normalize(t(s, dir, "documents"), "source", "n_chars")
+        .drop("exact")
         .orderBy($"source", $"v")
     }),
 

@@ -47,14 +47,31 @@ class BenchRecordSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_benchsum")
     val record = Bench.compactRecord(Seq(("q01_x", 1.5)), 1.5, 0, 2,
       contended = false, "[1.5,1.6]", "0.1", "0.2", "/sf", "bench/full.json")
-    val out = Bench.writeSummary(record,
+    val out = Bench.writeSummary(record, contended = false,
       dir.resolve("nested/bench_summary.json").toString)
     val content = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
     assert(content == record + "\n")
     assert(content.startsWith("{\"metric\":\"total\""))
     // overwrite, not append: a second run leaves exactly one record
-    Bench.writeSummary(record, out.toString)
+    Bench.writeSummary(record, contended = false, out.toString)
     assert(new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
       == record + "\n")
+  }
+
+  test("writeSummary: a contended run diverts away from an uncontended summary (round-11 clobber)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchsum2")
+    val path = dir.resolve("bench_summary.json").toString
+    val good = Bench.compactRecord(Seq(("q01_x", 1.5)), 297.4, 0, 2,
+      contended = false, "[297.4,299.0]", "0.1", "0.2", "/sf", "bench/full.json")
+    val bad = Bench.compactRecord(Seq(("q01_x", 1.9)), 283.6, 0, 3,
+      contended = true, "[389.7,412.5,299.1]", "9.9", "8.8", "/sf", "bench/full.json")
+    Bench.writeSummary(good, contended = false, path)
+    val diverted = Bench.writeSummary(bad, contended = true, path)
+    assert(diverted == dir.resolve("bench_summary.contended.json"))
+    // the uncontended summary is untouched; the contended one lives beside it
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8") == good + "\n")
+    assert(new String(java.nio.file.Files.readAllBytes(diverted), "UTF-8")
+      == bad + "\n")
   }
 }

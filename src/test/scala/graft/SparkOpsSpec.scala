@@ -2324,4 +2324,93 @@ class SparkOpsSpec extends AnyFunSuite {
     val g = got.collect().head
     assert(g == want, s"got $g want $want")
   }
+
+  test("groupedRowNumber equals the per-group window row_number + count, with no Window in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed groups (one giant stratum) + tie-heavy sort key so the
+    // doc_id tiebreak decides order, like the split family's md5 ordering
+    val rows = scala.util.Random.shuffle(
+      (1 to 900).map(i => ("en", "web", i.toLong, (i % 7).toLong)) ++
+        (1 to 40).map(i => ("de", "web", 1000L + i, (i % 3).toLong)) ++
+        (1 to 3).map(i => ("fr", "pdf", 2000L + i, 0L)))
+    val df = rows.toDF("lang", "source", "doc_id", "v")
+    val got = graft.operators.Batching.groupedRowNumber(
+      df, Seq("lang", "source"), Seq($"v", $"doc_id"), 7, "rn", Some("n"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val gotMap = got.select("doc_id", "rn", "n").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"source").orderBy($"v", $"doc_id")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy($"lang", $"source")
+    val wantMap = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select("doc_id", "rn", "n").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(gotMap == wantMap)
+  }
+
+  test("QuantileNorm: exact branch equals the per-row window reference; coarse branch engages past maxDistinct and runs on the bounded ladder") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // integer-bucketed values, well under the gate → exact branch
+    val rows = (0 until 500).map(i => (s"src${i % 3}", (i * 7 % 40).toLong))
+    val df = rows.toDF("source", "n_chars")
+    val got = graft.operators.QuantileNorm.normalize(df, "source", "n_chars", maxDistinct = 100)
+    assert(got.select("exact").distinct().collect().map(_.getBoolean(0)).toSeq == Seq(true))
+    // per-row reference: rank each row within its source, map to the pooled
+    // value at ceil(r*np/ns) — then collapse to the histogram grain
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"v", $"rid")
+    val base = df.select($"source", $"n_chars".as("v"))
+      .withColumn("rid", monotonically_increasing_id())
+    val np = base.count()
+    val perSrc = base.withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("ns", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+    val pooled = base.select($"v").orderBy($"v").collect().map(_.getLong(0))
+    val wantRows = perSrc.collect().map { r =>
+      val tr = (r.getAs[Long]("r") * np + r.getAs[Long]("ns") - 1) / r.getAs[Long]("ns")
+      (r.getString(0), r.getAs[Long]("v"), pooled(tr.toInt - 1))
+    }
+    // window reference maps EVERY row; the histogram output keeps the max
+    // rank per (source, v) — compare at that grain
+    val want = wantRows.groupBy(t => (t._1, t._2)).map { case ((s0, v), g) =>
+      (s0, v, g.length.toLong, g.map(_._3).max)
+    }.toSet
+    val gotSet = got.select($"source", $"v", $"cnt", $"norm_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotSet == want)
+
+    // continuous values, gate at 50 → coarse branch on the q127 ladder
+    val cont = (0 until 400).map(i => (s"src${i % 2}", i * 0.037 + 0.01))
+      .toDF("source", "score")
+    val coarse = graft.operators.QuantileNorm.normalize(cont, "source", "score", maxDistinct = 50)
+    assert(coarse.select("exact").distinct().collect().map(_.getBoolean(0)).toSeq == Seq(false))
+    val vs = coarse.select("v").distinct().collect().map(_.getLong(0)).toSet
+    // every carried value is a power-of-two bucket lower bound, few of them
+    assert(vs.size <= 16 && vs.forall(v => v > 0 && (v & (v - 1)) == 0), vs.toString)
+    // counts are conserved through the coarsening
+    assert(coarse.agg(sum("cnt")).collect().head.getLong(0) == 400L)
+  }
+
+  test("split family (q139/q150/q152/q154): no per-stratum row_number window over corpus rows survives in any final plan") {
+    import spark.implicits._
+    val dir = tmpDir("graft_splitfam")
+    (0 until 200).map { i =>
+      val lang = if (i % 11 == 0) "de" else "en"
+      val src = if (i % 17 == 0) "pdf" else "web"
+      val text = (0 to i % 9).map(j => s"tok${(i + j) % 23} w$j common the").mkString(" ")
+      (i.toLong, text, lang, src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (q <- Seq("q139_stratified_split", "q150_clean_pipeline",
+        "q152_split_leakage", "q154_winsorize")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("row_number"), s"$q plans a row_number window:\n$plan")
+      assert(!plan.contains("windowspecdefinition"), s"$q plans a window:\n$plan")
+    }
+  }
 }
