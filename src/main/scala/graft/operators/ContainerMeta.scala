@@ -695,6 +695,457 @@ object ContainerMeta {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------------------
+  // ID3v2 (id3.org: id3v2.3.0 / id3v2.4.0): tag + text-frame walk.
+  // ---------------------------------------------------------------------
+
+  final case class Id3Meta(isId3: Boolean, version: Int, tagSize: Int,
+      nFrames: Int, title: String, artist: String, album: String,
+      year: String, track: String, audioOffset: Int)
+
+  /** ID3v2 tag walk (pure JVM) — the bytes in FRONT of q243's mp3 frames,
+    * completing the mp3 container picture: header `ID3 vmaj vrev flags
+    * size(syncsafe-28)`, then frames `[4-char id][size][2-byte flags]`
+    * where the size is plain big-endian in v2.3 and syncsafe in v2.4 (the
+    * classic interop trap, handled per version byte). Text frames (`T…`)
+    * carry an encoding byte (0 = ISO-8859-1, 1 = UTF-16+BOM, 2 = UTF-16BE,
+    * 3 = UTF-8) and NUL-padded text. Reads TIT2/TPE1/TALB/TRCK and
+    * TYER (v2.3) / TDRC (v2.4); `audio_offset` = first byte after the tag
+    * (where [[Multimodal.MpegFrameParser]] takes over). Padding (a zero
+    * id byte) ends the frame walk; v2.2 (3-byte ids) and encrypted/
+    * unsynchronised tags report `is_id3 = false` — the honest fallback.
+    */
+  object Id3Parser extends Serializable {
+    private def syncsafe(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0x7F) << 21) | ((b(i + 1) & 0x7F) << 14) |
+        ((b(i + 2) & 0x7F) << 7) | (b(i + 3) & 0x7F)
+    private def u32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+        ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+
+    private def text(b: Array[Byte], from: Int, len: Int): String = {
+      if (len <= 1) return ""
+      val enc = b(from) & 0xFF
+      val cs = enc match {
+        case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+        case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-led
+        case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+        case 3 => java.nio.charset.StandardCharsets.UTF_8
+        case _ => return ""
+      }
+      var end = from + len
+      // strip trailing NUL padding (1 byte latin/utf8, 2 bytes utf16)
+      val nulw = if (enc == 1 || enc == 2) 2 else 1
+      while (end - nulw >= from + 1 &&
+        (0 until nulw).forall(k => b(end - 1 - k) == 0)) end -= nulw
+      new String(b, from + 1, end - (from + 1), cs)
+    }
+
+    def parse(bytes: Array[Byte]): Id3Meta = {
+      val bad = Id3Meta(isId3 = false, 0, 0, 0, "", "", "", "", "", 0)
+      if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+        bytes(2) != '3') return bad
+      val vmaj = bytes(3) & 0xFF
+      val flags = bytes(5) & 0xFF
+      // v2.2 layout and unsynchronisation are out of scope — disclose
+      if ((vmaj != 3 && vmaj != 4) || (flags & 0x80) != 0) return bad
+      val tagSize = syncsafe(bytes, 6)
+      val tagEnd = math.min(10 + tagSize, bytes.length)
+      var pos = 10
+      // extended header: v2.3 size excludes its own 4 bytes; v2.4
+      // syncsafe size includes them
+      if ((flags & 0x40) != 0 && pos + 4 <= tagEnd)
+        pos += (if (vmaj == 3) 4 + u32(bytes, pos) else syncsafe(bytes, pos))
+      var nFrames = 0
+      var title = ""; var artist = ""; var album = ""
+      var year = ""; var track = ""
+      while (pos + 10 <= tagEnd && bytes(pos) != 0) {
+        val id = new String(bytes, pos, 4,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val fsize = if (vmaj == 4) syncsafe(bytes, pos + 4) else u32(bytes, pos + 4)
+        val body = pos + 10
+        if (fsize < 0 || body + fsize > tagEnd) return bad
+        nFrames += 1
+        if (id.startsWith("T")) {
+          val t = text(bytes, body, fsize)
+          id match {
+            case "TIT2" => title = t
+            case "TPE1" => artist = t
+            case "TALB" => album = t
+            case "TYER" | "TDRC" => year = t
+            case "TRCK" => track = t
+            case _ => ()
+          }
+        }
+        pos = body + fsize
+      }
+      val footer = if ((flags & 0x10) != 0) 10 else 0
+      Id3Meta(isId3 = true, vmaj, tagSize, nFrames, title, artist, album,
+        year, track, 10 + tagSize + footer)
+    }
+  }
+
+  val id3MetaSchema: StructType = StructType(Seq(
+    StructField("is_id3", BooleanType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("tag_size", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("artist", StringType, nullable = false),
+    StructField("album", StringType, nullable = false),
+    StructField("year", StringType, nullable = false),
+    StructField("track", StringType, nullable = false),
+    StructField("audio_offset", IntegerType, nullable = false)))
+
+  /** Attach an `id3_meta` struct by tag-walking `binaryCol`. */
+  def id3Meta(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("id3_meta", id3MetaSchema, nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val m = Id3Parser.parse(row.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(row.toSeq :+ Row(m.isId3, m.version, m.tagSize,
+            m.nFrames, m.title, m.artist, m.album, m.year, m.track,
+            m.audioOffset))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic ID3v2-tagged-mp3 fixture per id: an ID3v2.3 (even id)
+    * or ID3v2.4 (odd id — syncsafe frame sizes) tag, then real MPEG
+    * frames from [[Multimodal.synthMpeg]]'s layout via the caller.
+    * Closed-form: title `t<id>`, artist `artist<id mod 13>`, album
+    * `album<id mod 7>`, year 1990 + id mod 35, track 1 + id mod 12,
+    * 5 text frames, 16 + id mod 49 bytes of padding.
+    */
+  def synthId3Corpus(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("id3", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          Row.fromSeq(row.toSeq :+ synthId3(
+            vmaj = if (id % 2 == 0) 3 else 4,
+            title = s"t$id",
+            artist = s"artist${id % 13}",
+            album = s"album${id % 7}",
+            year = (1990 + id % 35).toString,
+            track = (1 + id % 12).toString,
+            padding = (16 + id % 49).toInt))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Build ID3v2.3/2.4 tag bytes: 5 ISO-8859-1 text frames + padding. */
+  def synthId3(vmaj: Int, title: String, artist: String, album: String,
+      year: String, track: String, padding: Int): Array[Byte] = {
+    require(vmaj == 3 || vmaj == 4)
+    def cc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    def be32(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def ss28(v: Int): Array[Byte] =
+      Array(((v >> 21) & 0x7F).toByte, ((v >> 14) & 0x7F).toByte,
+        ((v >> 7) & 0x7F).toByte, (v & 0x7F).toByte)
+    def frame(id: String, body: String): Array[Byte] = {
+      val b = 0.toByte +: cc(body) // encoding 0 = ISO-8859-1
+      cc(id) ++ (if (vmaj == 4) ss28(b.length) else be32(b.length)) ++
+        Array[Byte](0, 0) ++ b
+    }
+    val yearId = if (vmaj == 4) "TDRC" else "TYER"
+    val frames = frame("TIT2", title) ++ frame("TPE1", artist) ++
+      frame("TALB", album) ++ frame(yearId, year) ++ frame("TRCK", track) ++
+      new Array[Byte](padding)
+    cc("ID3") ++ Array[Byte](vmaj.toByte, 0, 0) ++ ss28(frames.length) ++ frames
+  }
+
+  // ---------------------------------------------------------------------
+  // Ogg (RFC 3533) + Vorbis I headers (xiph.org): CRC-checked page walk.
+  // ---------------------------------------------------------------------
+
+  final case class OggMeta(isOgg: Boolean, nPages: Int, channels: Int,
+      sampleRate: Int, durationUs: Long, title: String, artist: String,
+      vendor: String, nComments: Int)
+
+  /** Ogg page + Vorbis header walk (pure JVM, no codec): pages are
+    * `OggS ver htype granule(8 LE) serial(4 LE) seq(4 LE) crc(4 LE)
+    * nsegs lacing… payload` (RFC 3533 §6); every page's CRC32 (poly
+    * 0x04C11DB7, init 0, unreflected, no final xor — the Ogg variant) is
+    * VERIFIED, a failing page resyncs byte-wise like
+    * [[Multimodal.MpegFrameParser]]. Packets reassemble across lacing
+    * boundaries (255 = continue) and pages (continued-packet flag); the
+    * Vorbis identification packet (`vorbis`, channels u8 @11, rate
+    * u32 LE @12) and comment packet (`vorbis`, vendor + KEY=value
+    * list, keys case-insensitive per spec) feed the meta; duration is
+    * the final granule position (PCM sample count for Vorbis) over the
+    * rate. Audio packets are never decoded — the honest stub boundary.
+    */
+  object OggParser extends Serializable {
+    private[operators] lazy val CrcTable: Array[Int] = {
+      val t = new Array[Int](256)
+      var i = 0
+      while (i < 256) {
+        var r = i << 24
+        var k = 0
+        while (k < 8) {
+          r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04C11DB7 else r << 1
+          k += 1
+        }
+        t(i) = r
+        i += 1
+      }
+      t
+    }
+
+    private[operators] def crc(b: Array[Byte], from: Int, len: Int): Int = {
+      var r = 0
+      var i = from
+      val end = from + len
+      while (i < end) {
+        r = (r << 8) ^ CrcTable(((r >>> 24) ^ (b(i) & 0xFF)) & 0xFF)
+        i += 1
+      }
+      r
+    }
+
+    private def leU32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+        ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+    private def leU64(b: Array[Byte], i: Int): Long =
+      leU32(b, i) | (leU32(b, i + 4) << 32)
+
+    def parse(bytes: Array[Byte]): OggMeta = {
+      val bad = OggMeta(isOgg = false, 0, 0, 0, 0L, "", "", "", 0)
+      var pos = 0
+      var nPages = 0
+      var lastGranule = -1L
+      var channels = 0
+      var rate = 0
+      var title = ""; var artist = ""; var vendor = ""
+      var nComments = -1
+      val packet = new java.io.ByteArrayOutputStream()
+      var headersDone = false
+
+      def finishPacket(): Unit = {
+        val p = packet.toByteArray
+        packet.reset()
+        if (headersDone || p.length < 7) return
+        val tag = new String(p, 1, math.min(6, p.length - 1),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (tag != "vorbis") return
+        (p(0) & 0xFF) match {
+          case 1 if p.length >= 16 && leU32(p, 7) == 0L =>
+            channels = p(11) & 0xFF
+            rate = leU32(p, 12).toInt
+          case 3 =>
+            var i = 7
+            if (i + 4 <= p.length) {
+              val vl = leU32(p, i).toInt; i += 4
+              if (vl >= 0 && i + vl <= p.length) {
+                vendor = new String(p, i, vl,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                i += vl
+                if (i + 4 <= p.length) {
+                  val n = leU32(p, i).toInt; i += 4
+                  nComments = n
+                  var k = 0
+                  while (k < n && i + 4 <= p.length) {
+                    val cl = leU32(p, i).toInt; i += 4
+                    if (cl < 0 || i + cl > p.length) { k = n }
+                    else {
+                      val c = new String(p, i, cl,
+                        java.nio.charset.StandardCharsets.UTF_8)
+                      i += cl
+                      val eq = c.indexOf('=')
+                      if (eq > 0) {
+                        val key = c.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
+                        val v = c.substring(eq + 1)
+                        if (key == "TITLE") title = v
+                        else if (key == "ARTIST") artist = v
+                      }
+                      k += 1
+                    }
+                  }
+                }
+              }
+            }
+            headersDone = true // comment header is the last one we read
+          case _ => ()
+        }
+      }
+
+      while (pos + 27 <= bytes.length) {
+        if (bytes(pos) == 'O' && bytes(pos + 1) == 'g' &&
+          bytes(pos + 2) == 'g' && bytes(pos + 3) == 'S' &&
+          bytes(pos + 4) == 0) {
+          val nSegs = bytes(pos + 26) & 0xFF
+          val hdrLen = 27 + nSegs
+          if (pos + hdrLen > bytes.length) { pos += 1 }
+          else {
+            var payload = 0
+            var s = 0
+            while (s < nSegs) { payload += bytes(pos + 27 + s) & 0xFF; s += 1 }
+            if (pos + hdrLen + payload > bytes.length) { pos += 1 }
+            else {
+              // CRC check with the crc field zeroed (RFC 3533 §6)
+              val want = leU32(bytes, pos + 22).toInt
+              val save = Array(bytes(pos + 22), bytes(pos + 23),
+                bytes(pos + 24), bytes(pos + 25))
+              bytes(pos + 22) = 0; bytes(pos + 23) = 0
+              bytes(pos + 24) = 0; bytes(pos + 25) = 0
+              val got = crc(bytes, pos, hdrLen + payload)
+              bytes(pos + 22) = save(0); bytes(pos + 23) = save(1)
+              bytes(pos + 24) = save(2); bytes(pos + 25) = save(3)
+              if (got != want) { pos += 1 }
+              else {
+                nPages += 1
+                val htype = bytes(pos + 5) & 0xFF
+                val granule = leU64(bytes, pos + 6)
+                if (granule != -1L) lastGranule = math.max(lastGranule, granule)
+                // a fresh (non-continued) page starts a fresh packet
+                if ((htype & 1) == 0) packet.reset()
+                var off = pos + hdrLen
+                s = 0
+                while (s < nSegs) {
+                  val lace = bytes(pos + 27 + s) & 0xFF
+                  packet.write(bytes, off, lace)
+                  off += lace
+                  if (lace < 255) finishPacket()
+                  s += 1
+                }
+                pos = pos + hdrLen + payload
+              }
+            }
+          }
+        } else pos += 1
+      }
+      if (nPages == 0) bad
+      else OggMeta(isOgg = true, nPages, channels, rate,
+        if (rate > 0 && lastGranule > 0) lastGranule * 1000000L / rate else 0L,
+        title, artist, vendor, math.max(nComments, 0))
+    }
+  }
+
+  val oggMetaSchema: StructType = StructType(Seq(
+    StructField("is_ogg", BooleanType, nullable = false),
+    StructField("n_pages", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("duration_us", LongType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("artist", StringType, nullable = false),
+    StructField("vendor", StringType, nullable = false),
+    StructField("n_comments", IntegerType, nullable = false)))
+
+  /** Attach an `ogg_meta` struct by CRC-checked page-walking `binaryCol`. */
+  def oggMeta(df: DataFrame, binaryCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("ogg_meta", oggMetaSchema, nullable = false))
+    val binIdx = inSchema.fieldIndex(binaryCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val m = OggParser.parse(row.getAs[Array[Byte]](binIdx))
+          Row.fromSeq(row.toSeq :+ Row(m.isOgg, m.nPages, m.channels,
+            m.sampleRate, m.durationUs, m.title, m.artist, m.vendor,
+            m.nComments))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic Ogg-Vorbis-header fixture per id: three CRC-correct
+    * pages (BOS identification / comments / EOS "audio"). Closed-form:
+    * channels 1 + id mod 2, rate table idx id mod 9 ([[FlacRates]]),
+    * final granule rate·(3 + id mod 7) → duration exactly (3 + id mod 7)
+    * s, TITLE `t<id>`, ARTIST `artist<id mod 13>`, one extra
+    * GENRE comment iff id mod 5 = 0, vendor `graft`.
+    */
+  def synthOggCorpus(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("ogg", BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          val rate = FlacRates((id % 9).toInt)
+          Row.fromSeq(row.toSeq :+ synthOgg(
+            channels = (1 + id % 2).toInt,
+            sampleRate = rate,
+            totalSamples = rate.toLong * (3 + id % 7),
+            title = s"t$id",
+            artist = s"artist${id % 13}",
+            extraGenre = id % 5 == 0))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Build Ogg-Vorbis header bytes: 3 pages with real RFC 3533 CRCs. */
+  def synthOgg(channels: Int, sampleRate: Int, totalSamples: Long,
+      title: String, artist: String, extraGenre: Boolean): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le64(v: Long): Array[Byte] = le32(v) ++ le32(v >> 32)
+    def utf8(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    def page(htype: Int, granule: Long, seq: Int, packetBody: Array[Byte]): Array[Byte] = {
+      val lacing = {
+        val full = packetBody.length / 255
+        val rem = packetBody.length % 255
+        Array.fill(full)(255.toByte) :+ rem.toByte // rem 0 ends the packet too
+      }
+      val hdr = utf8("OggS") ++ Array[Byte](0, htype.toByte) ++
+        le64(granule) ++ le32(0x67726166L) /* serial 'graf' */ ++
+        le32(seq.toLong) ++ le32(0L) /* crc slot */ ++
+        Array(lacing.length.toByte) ++ lacing
+      val all = hdr ++ packetBody
+      val c = OggParser.crc(all, 0, all.length)
+      all(22) = (c & 0xFF).toByte
+      all(23) = ((c >> 8) & 0xFF).toByte
+      all(24) = ((c >> 16) & 0xFF).toByte
+      all(25) = ((c >> 24) & 0xFF).toByte
+      all
+    }
+
+    val idPkt = Array[Byte](1) ++ utf8("vorbis") ++ le32(0L) ++
+      Array(channels.toByte) ++ le32(sampleRate.toLong) ++
+      le32(0L) ++ le32(0L) ++ le32(0L) ++ Array[Byte](0xB8.toByte, 1)
+    val comments =
+      Seq(s"TITLE=$title", s"ARTIST=$artist") ++
+        (if (extraGenre) Seq("GENRE=synthetic") else Nil)
+    val cmtPkt = Array[Byte](3) ++ utf8("vorbis") ++
+      le32(5L) ++ utf8("graft") ++ le32(comments.length.toLong) ++
+      comments.toArray.flatMap(c => le32(utf8(c).length.toLong) ++ utf8(c)) ++
+      Array[Byte](1) // framing bit
+    val audioPkt = new Array[Byte](64) // never decoded
+    page(2, 0L, 0, idPkt) ++ page(0, 0L, 1, cmtPkt) ++
+      page(4, totalSamples, 2, audioPkt)
+  }
+
   /** Build ADTS frame bytes (7-byte headers + zero payload). */
   def synthAdts(nFrames: Int, sfi: Int, channels: Int, profile: Int,
       frameLen: Int): Array[Byte] = {

@@ -372,6 +372,58 @@ private[graft] object MultimodalQueries {
         .select($"doc_id", $"entry_name", $"entry_n_chars", $"entry_md5")
         .orderBy($"doc_id", $"entry_name")
     }),
+
+
+    // ID3v2 tag metadata — the bytes in FRONT of q243's mp3 frames,
+    // closing the mp3 container matrix
+    // ([[graft.operators.ContainerMeta.Id3Parser]]: syncsafe header,
+    // v2.3 plain vs v2.4 syncsafe frame sizes — the classic interop
+    // trap, both exercised since even ids build v2.3 and odd ids v2.4 —
+    // TIT2/TPE1/TALB/TYER-TDRC/TRCK text frames, padding walk).
+    // `audio_offset` is where [[Multimodal.MpegFrameParser]] would take
+    // over. Every field incl. the tag size is closed-form in doc_id
+    // (the size needs only VARCHAR-length arithmetic), so the oracle
+    // replays the parse without touching a byte.
+    "q266_id3_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id") // spread the per-row tag build/walk
+      val tags = graft.operators.ContainerMeta.synthId3Corpus(docs, "doc_id")
+      graft.operators.ContainerMeta.id3Meta(tags, "id3")
+        .select($"doc_id", $"id3_meta.is_id3".cast("int").as("is_id3"),
+          $"id3_meta.version".cast("long").as("version"),
+          $"id3_meta.tag_size".cast("long").as("tag_size"),
+          $"id3_meta.n_frames".cast("long").as("n_frames"),
+          $"id3_meta.title", $"id3_meta.artist", $"id3_meta.album",
+          $"id3_meta.year", $"id3_meta.track",
+          $"id3_meta.audio_offset".cast("long").as("audio_offset"))
+        .orderBy($"doc_id")
+    }),
+
+
+    // Ogg/Vorbis container metadata — CRC-VERIFIED page walk
+    // ([[graft.operators.ContainerMeta.OggParser]]: RFC 3533 pages with
+    // the Ogg CRC32 variant checked per page, lacing-aware packet
+    // reassembly, Vorbis identification + comment headers, duration
+    // from the final granule position). Audio packets are never decoded
+    // — the honest stub boundary, same as q253/q262. The three-page
+    // fixture is closed-form in doc_id; the granule is rate·seconds so
+    // the µs duration is exact integer arithmetic on both engines.
+    "q267_ogg_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id") // spread the per-row CRC work
+      val oggs = graft.operators.ContainerMeta.synthOggCorpus(docs, "doc_id")
+      graft.operators.ContainerMeta.oggMeta(oggs, "ogg")
+        .select($"doc_id", $"ogg_meta.is_ogg".cast("int").as("is_ogg"),
+          $"ogg_meta.n_pages".cast("long").as("n_pages"),
+          $"ogg_meta.channels".cast("long").as("channels"),
+          $"ogg_meta.sample_rate".cast("long").as("sample_rate"),
+          $"ogg_meta.duration_us",
+          $"ogg_meta.title", $"ogg_meta.artist", $"ogg_meta.vendor",
+          $"ogg_meta.n_comments".cast("long").as("n_comments"))
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -606,5 +658,43 @@ sl AS (SELECT doc_id, 'part_' || k::VARCHAR AS entry_name,
   text FROM ks)
 SELECT doc_id, entry_name, (u - f)::BIGINT AS entry_n_chars, md5(substr(text, (f + 1)::INT, (u - f)::INT)) AS entry_md5
 FROM sl ORDER BY doc_id, entry_name""",
+
+    // q266: closed-form ID3v2 fixture — v2.3 on even ids else v2.4, 5
+    // ISO-8859-1 text frames (10-byte header + encoding byte + text) +
+    // 16+id%49 padding; tag_size is pure VARCHAR-length arithmetic and
+    // audio_offset = 10 + tag_size
+    "q266_id3_metadata" ->
+      """WITH p AS (SELECT doc_id,
+  (55 + 1 + length(doc_id::VARCHAR)
+      + 6 + length((doc_id % 13)::VARCHAR)
+      + 5 + length((doc_id % 7)::VARCHAR)
+      + 4
+      + length((1 + doc_id % 12)::VARCHAR)
+      + 16 + doc_id % 49)::BIGINT AS tag_size
+  FROM documents)
+SELECT doc_id, 1::INT AS is_id3,
+(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END)::BIGINT AS version,
+tag_size, 5::BIGINT AS n_frames,
+'t' || doc_id::VARCHAR AS title,
+'artist' || (doc_id % 13)::VARCHAR AS artist,
+'album' || (doc_id % 7)::VARCHAR AS album,
+(1990 + doc_id % 35)::VARCHAR AS year,
+(1 + doc_id % 12)::VARCHAR AS track,
+(10 + tag_size)::BIGINT AS audio_offset
+FROM p ORDER BY doc_id""",
+
+    // q267: closed-form three-page Ogg/Vorbis fixture — channels
+    // 1+id%2, rate table at id%9, granule rate·(3+id%7) so duration_us
+    // = (3+id%7)·10⁶ exactly, TITLE/ARTIST comments + GENRE iff id%5=0
+    "q267_ogg_metadata" ->
+      """SELECT doc_id, 1::INT AS is_ogg, 3::BIGINT AS n_pages,
+(1 + doc_id % 2)::BIGINT AS channels,
+([8000, 16000, 22050, 24000, 32000, 44100, 48000, 88200, 96000])[(doc_id % 9)::INT + 1]::BIGINT AS sample_rate,
+((3 + doc_id % 7) * 1000000)::BIGINT AS duration_us,
+'t' || doc_id::VARCHAR AS title,
+'artist' || (doc_id % 13)::VARCHAR AS artist,
+'graft' AS vendor,
+(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END)::BIGINT AS n_comments
+FROM documents ORDER BY doc_id""",
   )
 }

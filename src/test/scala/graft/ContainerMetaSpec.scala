@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.ContainerMeta
-import graft.operators.ContainerMeta.{AdtsParser, EbmlParser, FlacParser, Mp4BoxParser}
+import graft.operators.ContainerMeta.{AdtsParser, EbmlParser, FlacParser, Id3Parser, Mp4BoxParser, OggParser}
 
 /** Golden tests for the codec-free container walks (mp4 box tree, AAC
   * ADTS frames): synth fixtures parse back to their construction
@@ -151,5 +151,95 @@ class ContainerMetaSpec extends AnyFunSuite {
     assert(!FlacParser.parse("not a flac stream at all".getBytes).isFlac)
     // magic alone with no parsable STREAMINFO
     assert(!FlacParser.parse("fLaC".getBytes).isFlac)
+  }
+
+  test("Id3Parser: v2.3 and v2.4 synth roundtrips — size encodings differ, fields agree") {
+    for (vmaj <- Seq(3, 4)) {
+      val b = ContainerMeta.synthId3(vmaj, title = "My Song",
+        artist = "An Artist", album = "The Album", year = "2003",
+        track = "7", padding = 40)
+      val m = Id3Parser.parse(b)
+      assert(m.isId3 && m.version == vmaj, m.toString)
+      assert(m.nFrames == 5)
+      assert(m.title == "My Song" && m.artist == "An Artist" &&
+        m.album == "The Album" && m.year == "2003" && m.track == "7")
+      assert(m.audioOffset == b.length) // tag is the whole fixture
+      assert(m.tagSize == b.length - 10)
+    }
+    // the size encodings genuinely differ: a frame body >127 bytes makes
+    // v2.3 (plain u32) and v2.4 (syncsafe) tags different lengths
+    val long3 = ContainerMeta.synthId3(3, "t" * 200, "a", "b", "1999", "1", 0)
+    val long4 = ContainerMeta.synthId3(4, "t" * 200, "a", "b", "1999", "1", 0)
+    assert(Id3Parser.parse(long3).title == "t" * 200)
+    assert(Id3Parser.parse(long4).title == "t" * 200)
+  }
+
+  test("Id3Parser: UTF-16/UTF-8 text, the mp3-after-the-tag composition, and fallbacks") {
+    def cc(s: String) = s.getBytes("ISO-8859-1")
+    def ss28(v: Int) = Array(((v >> 21) & 0x7F).toByte, ((v >> 14) & 0x7F).toByte,
+      ((v >> 7) & 0x7F).toByte, (v & 0x7F).toByte)
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    // hand-built v2.3 tag with a UTF-16(BOM) TIT2 and a UTF-8-in-v2.4 TIT2
+    val u16 = "naïve…".getBytes("UTF-16") // BOM-led
+    val f16 = cc("TIT2") ++ be32(u16.length + 1) ++ Array[Byte](0, 0) ++
+      (1.toByte +: u16)
+    val tag16 = cc("ID3") ++ Array[Byte](3, 0, 0) ++ ss28(f16.length) ++ f16
+    assert(Id3Parser.parse(tag16).title == "naïve…")
+    val u8 = "naïve…".getBytes("UTF-8")
+    val f8 = cc("TIT2") ++ ss28(u8.length + 1) ++ Array[Byte](0, 0) ++
+      (3.toByte +: u8)
+    val tag8 = cc("ID3") ++ Array[Byte](4, 0, 0) ++ ss28(f8.length) ++ f8
+    assert(Id3Parser.parse(tag8).title == "naïve…")
+    // audio_offset hands over exactly where MpegFrameParser's frames begin
+    val tag = ContainerMeta.synthId3(3, "t", "a", "b", "2001", "2", 16)
+    val mp3 = graft.operators.Multimodal.synthMp3(nFrames = 4, brIdx = 9,
+      srIdx = 0, mono = false)
+    val m = Id3Parser.parse(tag ++ mp3)
+    assert(m.audioOffset == tag.length)
+    val audio = (tag ++ mp3).drop(m.audioOffset)
+    assert(graft.operators.Multimodal.MpegFrameParser.parse(audio).nFrames == 4)
+    // fallbacks: v2.2, unsynchronised flag, truncated frame, non-tag bytes
+    assert(!Id3Parser.parse(cc("ID3") ++ Array[Byte](2, 0, 0) ++ ss28(0)).isId3)
+    assert(!Id3Parser.parse(cc("ID3") ++ Array[Byte](3, 0, 0x80.toByte) ++ ss28(0)).isId3)
+    val trunc = cc("ID3") ++ Array[Byte](3, 0, 0) ++ ss28(20) ++
+      cc("TIT2") ++ be32(999) ++ Array[Byte](0, 0)
+    assert(!Id3Parser.parse(trunc).isId3)
+    assert(!Id3Parser.parse("no tag here".getBytes).isId3)
+  }
+
+  test("OggParser: synth roundtrip — CRC-checked pages, vorbis id + comments, granule duration") {
+    val b = ContainerMeta.synthOgg(channels = 2, sampleRate = 44100,
+      totalSamples = 44100L * 5, title = "Track T", artist = "Someone",
+      extraGenre = true)
+    val m = OggParser.parse(b)
+    assert(m.isOgg, m.toString)
+    assert(m.nPages == 3)
+    assert(m.channels == 2 && m.sampleRate == 44100)
+    assert(m.durationUs == 5000000L)
+    assert(m.title == "Track T" && m.artist == "Someone")
+    assert(m.vendor == "graft" && m.nComments == 3)
+    val noGenre = OggParser.parse(ContainerMeta.synthOgg(1, 8000, 8000L,
+      "x", "y", extraGenre = false))
+    assert(noGenre.nComments == 2 && noGenre.channels == 1)
+  }
+
+  test("OggParser: a corrupted page fails its CRC and is resynced past; packets spanning lacing boundaries reassemble") {
+    val good = ContainerMeta.synthOgg(2, 48000, 48000L * 3, "t", "a", extraGenre = false)
+    // flip one payload byte of the LAST page (the audio page): its CRC
+    // fails, the page is skipped, duration falls back to 0 (no granule)
+    val bad = good.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x5A).toByte
+    val m = OggParser.parse(bad)
+    assert(m.isOgg && m.nPages == 2, m.toString)
+    assert(m.title == "t") // headers intact
+    assert(m.durationUs == 0L) // EOS granule lost with its page
+    // a >255-byte comment packet spans lacing segments (255-chunks)
+    val longTitle = "L" * 400
+    val spanned = OggParser.parse(ContainerMeta.synthOgg(2, 48000,
+      48000L, longTitle, "a", extraGenre = false))
+    assert(spanned.title == longTitle)
+    // non-ogg bytes and a bare magic: never a crash
+    assert(!OggParser.parse("OggS but not really a page".getBytes).isOgg)
+    assert(!OggParser.parse(Array.emptyByteArray).isOgg)
   }
 }
