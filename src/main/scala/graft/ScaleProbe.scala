@@ -424,6 +424,29 @@ object ScaleProbe {
     System.err.println(
       s"[probe] q143 cells=$nCells max_cell=$maxCell pair_space=$pairSpace n=$nVec")
 
+    // ---- round-12 PQ codebook training at 10× vectors: the exact-integer
+    // Lloyd means ([[graft.operators.PqCodebook]]) make the trained
+    // codebook INVARIANT under exact corpus cloning — seeds are the 16
+    // lowest ids (= copy-0 originals), every clone assigns like its
+    // original, and cluster means are (c·Σ)/(c·n) ≡ Σ/n in correctly-
+    // rounded double division over exact integer operands. Closed form:
+    // the 10× codebook equals the 1× codebook BIT-FOR-BIT (128 rows,
+    // float-exact), and the per-iteration corpus-side work is one
+    // sub-vector scan (timed next to the 1× baseline).
+    val cbBase = graft.operators.PqCodebook.train(embBase, 8, 8, 16, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
+    val q178df = graft.operators.PqCodebook.train(embScaled, 8, 8, 16, iters = 2)
+    val q178s = timed("q178_pq_train_10x") { q178df }
+    require(q178s._3 == 8L * 16L, s"q178 10x codebook rows: got ${q178s._3}, want 128")
+    val cb10 = q178df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
+    require(cb10.keySet == cbBase.keySet, "q178 10x codebook key drift")
+    cbBase.foreach { case (k, v) =>
+      require(cb10(k) == v,
+        s"q178 10x clone invariance broke at (s,code)=$k: ${cb10(k)} vs $v")
+    }
+
     // q169's shape at 10× FACT rows: lineitem exact-copied (same keys —
     // the dim side and therefore the filter are unchanged), so the pruned
     // exact join's row count is exactly 10× the base join's, and the
@@ -889,7 +912,7 @@ object ScaleProbe {
         s"q258 10x invariance broke at ${r.getString(0)}")
     }
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q221s, q235s, q238s, q240s, q237s, q234s, q250s, q258s)
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q178s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q221s, q235s, q238s, q240s, q237s, q234s, q250s, q258s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

@@ -663,50 +663,38 @@ private[graft] object AnnQueries {
     // LSH / q32-q158 IVF / q80 int8 / q111 matryoshka): 64-dim vectors
     // become EIGHT 4-bit-ish codes (one per 8-dim subspace, 16-centroid
     // codebook), and search scans codes with an asymmetric-distance LUT —
-    // the raw vectors are never touched after encoding. Everything is
-    // relational and deterministic: codebooks are the 16 lowest-id
-    // vectors' sub-blocks (q158's seed-grid convention; q166 shows the
-    // Lloyd upgrade path), encoding argmin-L2 is the argmax of
-    // (dot − ‖c‖²/2) — exactly equivalent for a fixed input, and
+    // the raw vectors are never touched after encoding. Round 12: the
+    // codebook is LLOYD-TRAINED per subspace (2 deterministic iterations
+    // from the 16-lowest-id seed, [[graft.operators.PqCodebook.train]] —
+    // exact-integer micro-sum means, so both engines and any partitioning
+    // reproduce every code bit-exactly; the oracle replays the full
+    // train→encode→LUT→ADC chain in SQL), lifting mean recall@10 from
+    // the raw seed grid's 0.30 to 0.3625 at sf0.01 (2 iterations is the
+    // measured knee: 0→0.300, 1→0.331, 2→0.3625, 3+ plateaus — Lloyd
+    // minimizes reconstruction error, not recall, so more steps don't
+    // monotonically help at 16 probe queries; q181's exact re-rank
+    // recovers the rest, 0.69 over the same codes). Encoding argmin-L2
+    // is the argmax
+    // of (dot − ‖c‖²/2) — exactly equivalent for a fixed input, and
     // expressible with the native codegen'd DotProduct — and ADC sums
     // micro-quantized LUT entries as BIGINTs so the score is
     // order-independent. Scale shape: the code table is n×8 small ints
     // (the 100 TB point — ~8 bytes/vector resident vs 256), the LUT is
-    // queries×128 rows broadcast, and ADC is one broadcast join + a
-    // partial-agg sum keyed (query, vec). Output: recall@10 of the
+    // queries×128 rows broadcast, ADC is one broadcast join + a
+    // partial-agg sum keyed (query, vec), and each train iteration's
+    // corpus-side work is ONE sub-vector scan (ScaleProbe pins the
+    // clone-invariance closed form). Output: recall@10 of the
     // compressed scan vs the exact MIPS truth per query.
     "q178_pq_ann" -> ((s, dir) => {
       import s.implicits._
       val m = 8; val sub = 8; val kcode = 16
       val emb = t(s, dir, "embeddings")
-      val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
-      val seeds = emb.orderBy($"vec_id").limit(kcode)
-        .withColumn("code",
-          (row_number().over(Window.orderBy($"vec_id")) - 1).cast("long"))
-      val cb = seeds.crossJoin(subs)
-        .select($"s", $"code",
-          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("cent"))
-        .localCheckpoint(false) // m×kcode rows; feeds encode + LUT
-      val cbScore = cb.withColumn("half_norm2",
-        VectorFunctions.dotProduct($"cent", $"cent") / lit(2.0))
-      val codes = emb.crossJoin(subs)
-        .select($"vec_id", $"s",
-          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("sv"))
-        .join(broadcast(cbScore), Seq("s"))
-        .select($"vec_id", $"s", $"code",
-          (VectorFunctions.dotProduct($"sv", $"cent") - $"half_norm2").as("sc"))
-        .groupBy($"vec_id", $"s")
-        .agg(max_by($"code", struct($"sc", -$"code")).as("code"))
+      val cb = graft.operators.PqCodebook.train(emb, m, sub, kcode, iters = 2)
+      val codes = graft.operators.PqCodebook.encode(emb, cb, m, sub)
         .localCheckpoint(false) // the compressed index — ADC reads ONLY this
       val queries = emb.filter($"vec_id" < 16)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-      val lut = queries.crossJoin(subs)
-        .select($"query_id", $"s",
-          slice($"qv", ($"s" * sub + 1).cast("int"), lit(sub)).as("qs"))
-        .join(broadcast(cb), Seq("s"))
-        .select($"query_id", $"s", $"code",
-          floor(VectorFunctions.dotProduct($"qs", $"cent") * lit(1000000.0))
-            .cast("long").as("dot_u"))
+      val lut = graft.operators.PqCodebook.lut(queries, cb, m, sub)
       val adc = codes.join(broadcast(lut), Seq("s", "code"))
         .filter($"vec_id" =!= $"query_id")
         .groupBy($"query_id", $"vec_id")
@@ -737,7 +725,8 @@ private[graft] object AnnQueries {
     // the compressed scan produces a CHEAP top-50 shortlist per query,
     // and only those ≤ 50 candidates are re-scored with the exact dot
     // against raw vectors. The measured point: re-ranking recovers most
-    // of the recall the 32× compression lost (q178's mean 0.30 → the
+    // of the recall the 32× compression lost (q178's trained-code mean
+    // 0.3625 → 0.69 after re-rank at sf0.01 → the
     // shortlist's ceiling), while the exact-distance work drops from
     // n·queries to 50·queries — at 100 TB the raw vectors are touched
     // for 50 rows per query instead of the corpus. Output per query:
@@ -748,33 +737,12 @@ private[graft] object AnnQueries {
       import s.implicits._
       val m = 8; val sub = 8; val kcode = 16; val shortlist = 50
       val emb = t(s, dir, "embeddings")
-      val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
-      val seeds = emb.orderBy($"vec_id").limit(kcode)
-        .withColumn("code",
-          (row_number().over(Window.orderBy($"vec_id")) - 1).cast("long"))
-      val cb = seeds.crossJoin(subs)
-        .select($"s", $"code",
-          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("cent"))
-        .localCheckpoint(false)
-      val cbScore = cb.withColumn("half_norm2",
-        VectorFunctions.dotProduct($"cent", $"cent") / lit(2.0))
-      val codes = emb.crossJoin(subs)
-        .select($"vec_id", $"s",
-          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("sv"))
-        .join(broadcast(cbScore), Seq("s"))
-        .select($"vec_id", $"s", $"code",
-          (VectorFunctions.dotProduct($"sv", $"cent") - $"half_norm2").as("sc"))
-        .groupBy($"vec_id", $"s")
-        .agg(max_by($"code", struct($"sc", -$"code")).as("code"))
+      // round 12: Lloyd-trained codebook (q178's train, shared machinery)
+      val cb = graft.operators.PqCodebook.train(emb, m, sub, kcode, iters = 2)
+      val codes = graft.operators.PqCodebook.encode(emb, cb, m, sub)
       val queries = emb.filter($"vec_id" < 16)
         .select($"vec_id".as("query_id"), $"embedding".as("qv"))
-      val lut = queries.crossJoin(subs)
-        .select($"query_id", $"s",
-          slice($"qv", ($"s" * sub + 1).cast("int"), lit(sub)).as("qs"))
-        .join(broadcast(cb), Seq("s"))
-        .select($"query_id", $"s", $"code",
-          floor(VectorFunctions.dotProduct($"qs", $"cent") * lit(1000000.0))
-            .cast("long").as("dot_u"))
+      val lut = graft.operators.PqCodebook.lut(queries, cb, m, sub)
       val wq = Window.partitionBy($"query_id").orderBy($"adc_u".desc, $"vec_id")
       val short = codes.join(broadcast(lut), Seq("s", "code"))
         .filter($"vec_id" =!= $"query_id")
@@ -835,29 +803,14 @@ private[graft] object AnnQueries {
       import s.implicits._
       val m = 8; val sub = 8; val kcode = 16
       val emb = t(s, dir, "embeddings")
-      val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
       val cents = graft.operators.IvfIndex.centroids(emb, k = 0, iters = 0)
       val cells = graft.operators.IvfIndex
         .assign(emb, cents, "vec_id", "embedding")
         .select($"vec_id", $"centroid_id")
         .localCheckpoint(false) // coarse index; candidate filter reads it
-      val seeds = emb.orderBy($"vec_id").limit(kcode)
-        .withColumn("code",
-          (row_number().over(Window.orderBy($"vec_id")) - 1).cast("long"))
-      val cb = seeds.crossJoin(subs)
-        .select($"s", $"code",
-          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("cent"))
-        .localCheckpoint(false)
-      val cbScore = cb.withColumn("half_norm2",
-        VectorFunctions.dotProduct($"cent", $"cent") / lit(2.0))
-      val codes = emb.crossJoin(subs)
-        .select($"vec_id", $"s",
-          slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("sv"))
-        .join(broadcast(cbScore), Seq("s"))
-        .select($"vec_id", $"s", $"code",
-          (VectorFunctions.dotProduct($"sv", $"cent") - $"half_norm2").as("sc"))
-        .groupBy($"vec_id", $"s")
-        .agg(max_by($"code", struct($"sc", -$"code")).as("code"))
+      // round 12: Lloyd-trained codebook (q178's train, shared machinery)
+      val cb = graft.operators.PqCodebook.train(emb, m, sub, kcode, iters = 2)
+      val codes = graft.operators.PqCodebook.encode(emb, cb, m, sub)
         .join(cells, Seq("vec_id")) // codes carry their cell — the index layout
         .localCheckpoint(false)
       val queries = emb.filter($"vec_id" < 16)
@@ -868,13 +821,7 @@ private[graft] object AnnQueries {
           VectorFunctions.cosineSim($"qv", $"centroid").as("csc"))
         .withColumn("cell_rank", row_number().over(wc))
         .select($"query_id", $"centroid_id", $"cell_rank")
-      val lut = queries.crossJoin(subs)
-        .select($"query_id", $"s",
-          slice($"qv", ($"s" * sub + 1).cast("int"), lit(sub)).as("qs"))
-        .join(broadcast(cb), Seq("s"))
-        .select($"query_id", $"s", $"code",
-          floor(VectorFunctions.dotProduct($"qs", $"cent") * lit(1000000.0))
-            .cast("long").as("dot_u"))
+      val lut = graft.operators.PqCodebook.lut(queries, cb, m, sub)
       // one scored relation at the widest nprobe feeds every sweep point
       val maxProbe = 8
       val cand = codes
@@ -1174,6 +1121,25 @@ private[graft] object AnnQueries {
           |LIMIT 8""".stripMargin)
     }),
   )
+
+  /** Shared oracle CTE chain replaying [[graft.operators.PqCodebook.train]]
+    * (2 Lloyd iterations, exact-integer micro-sum means) for q178/q181/q184:
+    * ends in the trained `cb (s, code, cent)` plus the reusable sub-vector
+    * stream `sv (vec_id, s, sv)`.
+    */
+  private val pqTrainCtes: String =
+    """subs AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb0 AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+sv AS MATERIALIZED (SELECT e.vec_id, subs.s, e.embedding[subs.s*8+1 : subs.s*8+8] AS sv FROM embeddings e, subs),
+a1 AS (SELECT s, code, sv FROM (SELECT v.vec_id, v.s, v.sv, c.code, row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY (list_inner_product(v.sv::DOUBLE[], c.cent::DOUBLE[]) - list_inner_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) / 2.0) DESC, c.code) AS rn FROM sv v JOIN cb0 c ON v.s = c.s) WHERE rn = 1),
+m1 AS (SELECT s, code, pos, (sum(cu)::DOUBLE / count(*)::DOUBLE / 1000000.0)::FLOAT AS m FROM (SELECT s, code, pos, floor(comp * 1000000.0)::BIGINT AS cu FROM (SELECT s, code, unnest(sv::DOUBLE[]) AS comp, unnest(range(1, 1 + len(sv))) AS pos FROM a1)) GROUP BY s, code, pos),
+m1v AS (SELECT s, code, list(m ORDER BY pos) AS cent FROM m1 GROUP BY s, code),
+cb1 AS MATERIALIZED (SELECT c.s, c.code, coalesce(v.cent, c.cent) AS cent FROM cb0 c LEFT JOIN m1v v ON c.s = v.s AND c.code = v.code),
+a2 AS (SELECT s, code, sv FROM (SELECT v.vec_id, v.s, v.sv, c.code, row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY (list_inner_product(v.sv::DOUBLE[], c.cent::DOUBLE[]) - list_inner_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) / 2.0) DESC, c.code) AS rn FROM sv v JOIN cb1 c ON v.s = c.s) WHERE rn = 1),
+m2 AS (SELECT s, code, pos, (sum(cu)::DOUBLE / count(*)::DOUBLE / 1000000.0)::FLOAT AS m FROM (SELECT s, code, pos, floor(comp * 1000000.0)::BIGINT AS cu FROM (SELECT s, code, unnest(sv::DOUBLE[]) AS comp, unnest(range(1, 1 + len(sv))) AS pos FROM a2)) GROUP BY s, code, pos),
+m2v AS (SELECT s, code, list(m ORDER BY pos) AS cent FROM m2 GROUP BY s, code),
+cb AS MATERIALIZED (SELECT c.s, c.code, coalesce(v.cent, c.cent) AS cent FROM cb1 c LEFT JOIN m2v v ON c.s = v.s AND c.code = v.code)"""
 
   val oracleSql: Map[String, String] = Map(
     "q20_cosine_topk" ->
@@ -1504,18 +1470,17 @@ UNION ALL
 SELECT 'lloyd2' AS grid, sw.nprobe::BIGINT AS nprobe, coalesce(h2.n_hits, 0)::BIGINT AS n_hits, ((coalesce(h2.n_hits, 0) * 10000) // (n_q * 10))::DOUBLE / 10000.0 AS recall4 FROM sw LEFT JOIN h2 USING (nprobe), nq
 ) ORDER BY grid, nprobe""",
 
-    // q178: codebooks/encode/LUT/ADC replayed relationally — argmin-L2 as
+    // q178: train (2 Lloyd iterations, exact-integer micro-sum means) /
+    // encode / LUT / ADC replayed relationally — argmin-L2 as
     // argmax(dot − ‖c‖²/2) with list_inner_product on DOUBLE casts, ADC
     // as BIGINT micro-sums, both rankings id-tiebroken
     "q178_pq_ann" ->
-      """WITH subs AS (SELECT unnest(range(0, 8)) AS s),
-seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+      ("""WITH """ + pqTrainCtes + """,
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
-  SELECT e.vec_id, c.s, c.code,
-    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
-  FROM embeddings e, cbs c) WHERE rn = 1),
+  SELECT v.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY (list_inner_product(v.sv::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM sv v JOIN cbs c ON v.s = c.s) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
 lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
 adc AS (SELECT l.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
@@ -1523,18 +1488,17 @@ pq AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, row_number() OVER 
 ex AS (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id ORDER BY floor(list_inner_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) * 1000000.0)::BIGINT DESC, e.vec_id) AS rn FROM embeddings e, q WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
 hits AS (SELECT query_id, count(*)::BIGINT AS n_hits FROM pq JOIN ex USING (query_id, vec_id) GROUP BY 1)
 SELECT q.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits, ((coalesce(h.n_hits, 0) * 10000) // 10)::DOUBLE / 10000.0 AS recall4
-FROM q LEFT JOIN hits h ON q.query_id = h.query_id ORDER BY q.query_id""",
+FROM q LEFT JOIN hits h ON q.query_id = h.query_id ORDER BY q.query_id"""),
 
-    // q181: q178's CTEs + shortlist / exact-rerank / ceiling stages
+    // q181: q178's CTEs (incl. the Lloyd train) + shortlist /
+    // exact-rerank / ceiling stages
     "q181_pq_rerank" ->
-      """WITH subs AS (SELECT unnest(range(0, 8)) AS s),
-seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+      ("""WITH """ + pqTrainCtes + """,
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
-  SELECT e.vec_id, c.s, c.code,
-    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
-  FROM embeddings e, cbs c) WHERE rn = 1),
+  SELECT v.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY (list_inner_product(v.sv::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM sv v JOIN cbs c ON v.s = c.s) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
 lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
 adc AS (SELECT l.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u FROM enc e JOIN lut l ON e.s = l.s AND e.code = l.code WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
@@ -1551,22 +1515,20 @@ SELECT q.query_id,
   ((coalesce(h1.nh, 0) * 10000) // 10)::DOUBLE / 10000.0 AS recall_pq4,
   ((coalesce(h2.nh, 0) * 10000) // 10)::DOUBLE / 10000.0 AS recall_rerank4
 FROM q LEFT JOIN h1 ON q.query_id = h1.query_id LEFT JOIN h2 ON q.query_id = h2.query_id LEFT JOIN h3 ON q.query_id = h3.query_id
-ORDER BY q.query_id""",
+ORDER BY q.query_id"""),
 
-    // q184: q105's coarse cells + q178's codes/LUT composed; candidates
-    // restricted to the query's nprobe cells before ADC
+    // q184: q105's coarse cells + q178's trained codes/LUT composed;
+    // candidates restricted to the query's nprobe cells before ADC
     "q184_ivfadc" ->
-      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+      ("""WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
 cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s0, kk WHERE s0.srn <= kk.k),
 cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
-subs AS (SELECT unnest(range(0, 8)) AS s),
-seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+""" + pqTrainCtes + """,
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
-  SELECT e.vec_id, c.s, c.code,
-    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
-  FROM embeddings e, cbs c) WHERE rn = 1),
+  SELECT v.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY (list_inner_product(v.sv::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM sv v JOIN cbs c ON v.s = c.s) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
 qc AS MATERIALIZED (SELECT query_id, centroid_id, cell_rank FROM (SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS cell_rank FROM q, cents c) WHERE cell_rank <= 8),
 lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
@@ -1584,7 +1546,7 @@ nq AS (SELECT count(*)::BIGINT AS n_q FROM q)
 SELECT sw.nprobe, coalesce(cc.n_candidates, 0)::BIGINT AS n_candidates, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
   ((coalesce(h.n_hits, 0) * 10000) // (nq.n_q * 10))::DOUBLE / 10000.0 AS recall4
 FROM sw LEFT JOIN cc ON sw.nprobe = cc.nprobe LEFT JOIN hits h ON sw.nprobe = h.nprobe, nq
-ORDER BY sw.nprobe""",
+ORDER BY sw.nprobe"""),
 
     // q185: same single-window formulation with IGNORE NULLS carries
     "q185_proximity_rank" ->

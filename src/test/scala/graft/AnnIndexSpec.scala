@@ -195,4 +195,42 @@ class AnnIndexSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PqCodebook.train: iters=0 is the seed grid; training cuts quantization error; exact clone invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = (0 until 200).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .localCheckpoint(false)
+    val m = 8; val sub = 2; val kcode = 16
+    def cbMap(cb: org.apache.spark.sql.DataFrame) = cb.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
+    // shape + seed equivalence at iters = 0
+    val cb0 = cbMap(graft.operators.PqCodebook.train(emb, m, sub, kcode, 0))
+    assert(cb0.size == m * kcode && cb0.values.forall(_.length == sub))
+    for (s <- 0 until m; c <- 0 until kcode)
+      assert(cb0((s.toLong, c.toLong)) == vec(c).slice(s * sub, s * sub + sub),
+        s"seed mismatch at ($s,$c)")
+    // Lloyd training reduces total quantization error (sum of L2² to the
+    // assigned centroid), computed the same way for both codebooks
+    def qerr(cb: org.apache.spark.sql.DataFrame): Double =
+      graft.operators.PqCodebook.subVectors(emb, m, sub)
+        .join(broadcast(cb), Seq("s"))
+        .select($"vec_id", $"s",
+          graft.functions.VectorFunctions.dotProduct(
+            expr("zip_with(sv, cent, (a, b) -> a - b)"),
+            expr("zip_with(sv, cent, (a, b) -> a - b)")).as("d2"))
+        .groupBy($"vec_id", $"s").agg(min($"d2").as("best"))
+        .agg(sum($"best")).collect().head.getDouble(0)
+    val cb2df = graft.operators.PqCodebook.train(emb, m, sub, kcode, 2)
+    val e0 = qerr(graft.operators.PqCodebook.train(emb, m, sub, kcode, 0))
+    val e2 = qerr(cb2df)
+    assert(e2 < e0 * 0.9, s"training did not reduce quantization error: $e2 vs $e0")
+    // exact clone invariance (the ScaleProbe closed form at test scale):
+    // 3 exact copies with offset ids train to the BIT-identical codebook
+    val cloned = (0 until 3).map(k =>
+      emb.select(($"vec_id" + lit(k * 1000L)).as("vec_id"), $"embedding"))
+      .reduce(_ unionByName _)
+    val cbC = cbMap(graft.operators.PqCodebook.train(cloned, m, sub, kcode, 2))
+    assert(cbC == cbMap(cb2df))
+  }
 }
