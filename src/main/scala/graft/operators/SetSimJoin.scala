@@ -35,20 +35,29 @@ import org.apache.spark.sql.functions._
   * Rarest-first ordering makes prefix elements the LOW-df ones, so the
   * prefix join's per-key fan-out is bounded by rare-element df², the knob
   * the literature turns. PPJoin's positional filter runs INSIDE the join
-  * condition (see [[positionalOk]]) so position-hopeless candidates die
-  * before the distinct pays their shuffle (suffix filtering would tighten
-  * further; the length filter already removes the bulk). At 100 TB the df
-  * table is
+  * condition so position-hopeless candidates die before the distinct pays
+  * their shuffle; round 12 adds the PPJoin+ -generation pruning pair —
+  * probe/index prefix asymmetry and the exact-α positional threshold (see
+  * [[alphaPosOk]]/[[shortOk]], incl. why the paper's per-row suffix probe
+  * is the wrong lever in a shuffle-based plan). At 100 TB the df table is
   * vocabulary-sized (Heaps-sublinear) and everything else is linear in
   * Σ|set| + output.
   */
 object SetSimJoin {
 
-  /** Per-doc distinct elements: (__id, __g). */
+  /** Per-doc distinct elements: (__id, __g) with __g the 64-bit xxhash of
+    * the shingle — the q148/q85 convention (shuffle 8-byte gram hashes,
+    * never text; exact modulo the ~2⁻⁶⁴ collision tail, which would have
+    * to land INSIDE one candidate pair's union to perturb a count). The
+    * hash domain halves the element-stream and verify-array shuffle
+    * widths and makes the canonical sort and the prefix equi-join compare
+    * longs instead of strings.
+    */
   private def elements(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
     docs.select(col(idCol).as("__id"),
-      explode(array_distinct(Dedup.shinglesCol(col(textCol), shingleN))).as("__g"))
+      explode(array_distinct(transform(
+        Dedup.shinglesCol(col(textCol), shingleN), g => xxhash64(g)))).as("__g"))
 
   /** Order the element stream into canonical arrays under a GIVEN
     * (element → df) table: unseen elements take df 0 (they sort first —
@@ -67,7 +76,7 @@ object SetSimJoin {
         size(col("__ord")).cast("long").as("sz"))
 
   /** Distinct-element sets in canonical rarest-first order:
-    * (id, toks array<string>, sz). `df` ties break on the element itself, so
+    * (id, toks array<long>, sz). `df` ties break on the element itself, so
     * the order — and therefore the prefix — is deterministic.
     */
   def canonicalSets(docs: DataFrame, idCol: String, textCol: String,
@@ -105,6 +114,50 @@ object SetSimJoin {
     (least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + lit(1L)) *
       lit(10000L) >= lit(tau4) * greatest(col("a.sz"), col("b.sz"))
 
+  /** The PPJoin+ slice for a shuffle-based engine — two lossless filters
+    * justified by SIZE-ORDERING each pair (a = the (sz, id)-smaller set):
+    *
+    *  1. PROBE/INDEX PREFIX ASYMMETRY ([[shortOk]]; the AllPairs/PPJoin
+    *     indexing-prefix optimization, Bayardo'07 §3.1 / Xiao'08 §2.2):
+    *     a true pair's overlap obeys o ≥ α(a,b) = ⌈τ·(sz_a+sz_b)/(1+τ)⌉ ≥
+    *     ⌈2τ/(1+τ)·sz_a⌉ (since sz_b ≥ sz_a), so its FIRST common element
+    *     sits within the first sz_a − ⌈2τ/(1+τ)·sz_a⌉ + 1 elements of the
+    *     smaller side — a strictly SHORTER prefix than the ⌈τ·sz⌉-based
+    *     one (≈ sz/3 vs sz/2 at τ = 0.5). Candidate rows must match in
+    *     short(a) × standard(b); everything matching only deeper in a's
+    *     prefix dies before the shuffle.
+    *  2. EXACT-α POSITIONAL FILTER ([[alphaPosOk]]): positionalOk's
+    *     requirement τ·max is the loose union ≥ max bound; J ≥ τ actually
+    *     forces o ≥ α(a,b), which is strictly larger whenever sz_a ≠ sz_b.
+    *     The first-common-element row of a true pair still passes (its
+    *     positional bound ≥ o ≥ α), so tightening the threshold is free.
+    *
+    * A per-row SUFFIX PROBE (the paper's §4 binary-search filter) was
+    * evaluated and rejected for this execution model: it needs mid-array
+    * access per candidate, which in a relational plan means shipping a
+    * probe structure with every prefix row — and the cheap variant (one
+    * median pivot per set, a two-sided partition bound) is provably
+    * dominated by the length filter: for surviving candidates the bound
+    * is ≥ min(sz) − 1 ≥ α − 1 at every size ratio the length filter
+    * admits, so it never fires. The two filters above deliver the
+    * intended candidate reduction with data already on the row.
+    */
+  private def alphaPosOk(tau4: Long) =
+    (least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + lit(1L)) *
+      lit(10000L + tau4) >= lit(tau4) * (col("a.sz") + col("b.sz"))
+
+  /** a's row sits in the SHORT (probing) prefix: pos ≤ sz − ⌈2τ/(1+τ)·sz⌉
+    * + 1, exact in integers (⌈p/q⌉ = (p + q − 1) div q).
+    */
+  private def shortOk(tau4: Long) =
+    col("a.pos") <= col("a.sz") -
+      expr(s"(a.sz * ${2L * tau4} + ${10000L + tau4 - 1L}) div ${10000L + tau4}") +
+      lit(1L)
+
+  /** Size-then-id pair orientation: a is the smaller set of the pair. */
+  private def sizeLt =
+    struct(col("a.sz"), col("a.id")) < struct(col("b.sz"), col("b.id"))
+
   /** Exact verify of candidate (id_a, id_b) pairs against the staged sets:
     * array_intersect on distinct arrays, cross-multiplied threshold.
     */
@@ -132,7 +185,9 @@ object SetSimJoin {
     require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
     // both the prefix explode and the verify join read the sets — stage once
     val sets = canonicalSets(docs, idCol, textCol, shingleN).localCheckpoint(false)
-    verifyPairs(candidatePairs(sets, tau4, positional = true), sets, tau4)
+    verifyPairs(
+      candidatePairs(sets, tau4, positional = true, asymmetric = true),
+      sets, tau4)
   }
 
   /** Pre-distinct candidate rows from the prefix join (one row per
@@ -142,20 +197,27 @@ object SetSimJoin {
     * shuffle; the production path always passes `positional = true`.
     */
   def candidateRows(sets: DataFrame, tau4: Long,
-      positional: Boolean): DataFrame = {
+      positional: Boolean, asymmetric: Boolean = false): DataFrame = {
     val prefix = prefixOf(sets, tau4)
     val lengthOk = least(col("a.sz"), col("b.sz")) * lit(10000L) >=
       lit(tau4) * greatest(col("a.sz"), col("b.sz"))
-    val cond = col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-      (if (positional) lengthOk && positionalOk(tau4) else lengthOk)
+    val cond =
+      if (asymmetric)
+        // production path: size-ordered pairs, smaller side restricted to
+        // its short probing prefix, exact-α positional threshold
+        col("a.g") === col("b.g") && sizeLt && shortOk(tau4) &&
+          lengthOk && alphaPosOk(tau4)
+      else col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        (if (positional) lengthOk && positionalOk(tau4) else lengthOk)
     prefix.as("a").join(prefix.as("b"), cond)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
   }
 
   /** Distinct candidate (id_a < id_b) pairs fed to the exact verify. */
   def candidatePairs(sets: DataFrame, tau4: Long,
-      positional: Boolean): DataFrame =
-    candidateRows(sets, tau4, positional).distinct()
+      positional: Boolean, asymmetric: Boolean = false): DataFrame =
+    candidateRows(sets, tau4, positional, asymmetric).distinct()
 
   /** Incremental exact join — the nightly-delta form (the q78/q167 cost
     * model applied to the EXACT operator): every τ-pair TOUCHING a delta
@@ -184,12 +246,24 @@ object SetSimJoin {
     val pd = prefixOf(deltaSets, tau4)
     val sizeOk = least(col("a.sz"), col("b.sz")) * lit(10000L) >=
       lit(tau4) * greatest(col("a.sz"), col("b.sz"))
+    // size-ordered orientation with the short probing prefix on the
+    // smaller side (same lossless argument as the self-join): dd pairs
+    // delta rows among themselves; db must catch BOTH orientations, so
+    // the short-prefix restriction applies to whichever side is smaller
     val dd = pd.as("a").join(pd.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          sizeOk && positionalOk(tau4))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        col("a.g") === col("b.g") && sizeLt && shortOk(tau4) &&
+          sizeOk && alphaPosOk(tau4))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val shortOkB =
+      col("b.pos") <= col("b.sz") -
+        expr(s"(b.sz * ${2L * tau4} + ${10000L + tau4 - 1L}) div ${10000L + tau4}") +
+        lit(1L)
     val db = pd.as("a").join(pb.as("b"),
-        col("a.g") === col("b.g") && sizeOk && positionalOk(tau4))
+        col("a.g") === col("b.g") && sizeOk && alphaPosOk(tau4) &&
+          (sizeLt && shortOk(tau4) ||
+            struct(col("b.sz"), col("b.id")) < struct(col("a.sz"), col("a.id")) &&
+              shortOkB))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
     verifyPairs(dd.unionByName(db).distinct(), allSets, tau4)

@@ -131,6 +131,50 @@ class SetSimJoinSpec extends AnyFunSuite {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(viaPos == viaAll)
   }
+  test("asymmetric probe/index prefixes + exact-α positional: candidate rows AND pairs strictly below the positional-only counts at τ=0.5, losslessly") {
+    import spark.implicits._
+    val docs = corpus(90).toDF("id", "text")
+    val sets = SetSimJoin.canonicalSets(docs, "id", "text", shingleN = 5)
+      .localCheckpoint(false)
+    val tau4 = 5000L
+    val rowsPos = SetSimJoin.candidateRows(sets, tau4, positional = true).count()
+    val rowsAsym = SetSimJoin.candidateRows(sets, tau4,
+      positional = true, asymmetric = true).count()
+    assert(rowsAsym < rowsPos,
+      s"short probing prefix did not reduce candidate rows: $rowsAsym vs $rowsPos")
+    // pair reduction needs df/length structure (on the word-salad corpus
+    // every pair already shares a short-prefix element): reuse the
+    // positional test's rarest-first fixture — big-big pairs (true J =
+    // 25/55 = 0.45) match only on hot elements at canonical positions
+    // 16-21, inside the standard 21-prefix but beyond the SHORT probing
+    // prefix 40 − ⌈2τ/(1+τ)·40⌉ + 1 = 14, so all C(20,2) = 190 of them
+    // die before the verify ever sees them
+    val hot = (1 to 25).map(i => s"H$i")
+    val psets = (0 until 20).flatMap { f =>
+      Seq(
+        (2L * f, (1 to 10).map(i => s"a${f}_$i") ++ (1 to 10).map(i => s"s${f}_$i")),
+        (2L * f + 1, (1 to 5).map(i => s"c${f}_$i") ++ (1 to 10).map(i => s"s${f}_$i") ++ hot))
+    }.toDF("id", "toks")
+      .select($"id", $"toks", size($"toks").cast("long").as("sz"))
+      .localCheckpoint(false)
+    val pairsPos = SetSimJoin.candidatePairs(psets, tau4, positional = true).count()
+    val pairsAsym = SetSimJoin.candidatePairs(psets, tau4,
+      positional = true, asymmetric = true).count()
+    assert(pairsPos == 190L, s"fixture drifted: $pairsPos positional pairs")
+    assert(pairsAsym == 0L,
+      s"short probing prefix should kill all 190 hot-element pairs: $pairsAsym")
+    // losslessness of the production (asymmetric) path is pinned by the
+    // brute-force equality test above (selfJoin uses it); re-assert the
+    // pair SET here at the candidate level: every verified pair remains
+    val truePairs = brute(docs, tau4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val candAsym = SetSimJoin.candidatePairs(sets, tau4,
+      positional = true, asymmetric = true)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(truePairs.subsetOf(candAsym),
+      s"asymmetric filter dropped true pairs: ${truePairs -- candAsym}")
+  }
+
   test("deltaJoin equals selfJoin restricted to touching pairs — exact under the stale base-only order") {
     import spark.implicits._
     val docs = corpus(90).toDF("id", "text")
