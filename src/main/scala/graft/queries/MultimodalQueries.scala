@@ -424,6 +424,29 @@ private[graft] object MultimodalQueries {
           $"ogg_meta.n_comments".cast("long").as("n_comments"))
         .orderBy($"doc_id")
     }),
+
+
+    // Identity-H PDF round-trip — the round-12 CID slice of the PDF tail
+    // exercised end-to-end on the REAL corpus text: every document is
+    // embedded in a FlateDecode Identity-H PDF (2-byte CIDs through a
+    // /ToUnicode CMap built per doc,
+    // [[graft.sources.PdfTextExtractor.synthIdentityHPdf]]) and pulled
+    // back out through the extractor's font-resolution → CMap-parse →
+    // CID-decode path. Oracle-checked columns are functions of the
+    // RECOVERED text (codepoint count + md5 — the q260 gzip contract),
+    // so one wrong CID mapping anywhere flips the hash. Sentinel
+    // wrapping keeps whitespace-edged docs exact under the extractor's
+    // outer trim. Bytes never leave their scan task.
+    "q268_pdf_cid_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .repartition(32, $"doc_id") // spread the per-row build/extract
+      val pdfs = graft.sources.PdfIngest.synthCidPdfCorpus(docs, "text")
+        .select($"doc_id", $"pdf")
+      graft.sources.PdfIngest.cidPdfAudit(pdfs, "pdf")
+        .select($"doc_id", $"is_pdf", $"rt_n_chars", $"rt_md5")
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -696,5 +719,11 @@ FROM p ORDER BY doc_id""",
 'graft' AS vendor,
 (CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END)::BIGINT AS n_comments
 FROM documents ORDER BY doc_id""",
+
+    // q268: the recovered text IS the text — codepoint length + md5
+    // replayed straight off the documents table (q260's contract)
+    "q268_pdf_cid_roundtrip" ->
+      """SELECT doc_id, 1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
+md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
   )
 }

@@ -98,11 +98,13 @@ object PdfIngest {
 
   /** Default decoder: real `%PDF-` bytes go through the pure-JVM
     * [[PdfTextExtractor]] (xref-less stream walk, FlateDecode via
-    * `java.util.zip.Inflater`, BT/ET + Tj/TJ text operators — the common
-    * subset of what the reference gets from PyPDF, `pipeline1.py:605-612`);
-    * anything else falls back to the UTF-8 passthrough stub, which remains
-    * the documented fallback for exotic encodings (CID fonts, encryption,
-    * predictor-coded Flate) that need a real font subsystem.
+    * `java.util.zip.Inflater`, BT/ET + Tj/TJ text operators, and — since
+    * round 12 — Identity-H CID fonts through their /ToUnicode CMaps: the
+    * common subset of what the reference gets from PyPDF,
+    * `pipeline1.py:605-612`); anything else falls back to the UTF-8
+    * passthrough stub, which remains the documented fallback for the
+    * residual tail (CID fonts WITHOUT a ToUnicode CMap, predefined
+    * non-Identity CMaps, encryption) that needs a real font subsystem.
     */
   val defaultPdfToText: Array[Byte] => String = bytes =>
     if (PdfTextExtractor.isPdf(bytes)) PdfTextExtractor.extract(bytes)
@@ -140,4 +142,69 @@ object PdfIngest {
     case 502 => Some("Check if Nougat API server is running")
     case other => Some(s"Unexpected Nougat API status $other")
   }
+
+  // ---- Identity-H round-trip fixtures (q268) ------------------------------
+
+  /** Attach a `pdf` binary column: each row's `textCol` embedded in a REAL
+    * FlateDecode Identity-H PDF ([[PdfTextExtractor.synthIdentityHPdf]]),
+    * sentinel-wrapped in `X…X` so the extractor's outer trim can never
+    * touch the payload (documents may begin/end with whitespace). Bytes
+    * are built in the scan task — the q253/q260 fixture contract.
+    */
+  def synthCidPdfCorpus(df: DataFrame, textCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields :+
+      org.apache.spark.sql.types.StructField("pdf",
+        org.apache.spark.sql.types.BinaryType, nullable = false))
+    val txtIdx = inSchema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+
+            PdfTextExtractor.synthIdentityHPdf("X" + row.getString(txtIdx) + "X"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Extract each `binCol` PDF through the REAL CID path and audit the
+    * round-trip: `is_pdf` = the sentinels survived (so the middle is the
+    * exact payload), `rt_n_chars` = codepoint count, `rt_md5` = md5 of the
+    * recovered text — one corrupted byte anywhere in build→store→extract
+    * flips the hash (the q260 contract for the CID slice).
+    */
+  def cidPdfAudit(df: DataFrame, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("is_pdf",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("rt_n_chars",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rt_md5",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val got = PdfTextExtractor.extract(row.getAs[Array[Byte]](binIdx))
+          if (got.length >= 2 && got.head == 'X' && got.last == 'X') {
+            val rt = got.substring(1, got.length - 1)
+            org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq[Any](1,
+              rt.codePointCount(0, rt.length).toLong, md5Hex(rt)))
+          } else org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq[Any](0, 0L, ""))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
 }

@@ -26,13 +26,28 @@ import java.util.zip.Inflater
   * ~30 lines over the decoded bytes and appears in real-world content
   * streams (TIFF 2 classically next to LZW).
   *
-  * Deliberately out of scope (the documented fallback remains
-  * [[PdfIngest.stubPdfToText]]): CID/Type0 composite fonts with multi-byte
-  * encodings, encrypted documents, DCT/JPX image filters, and object
-  * streams (`/ObjStm` — the spec forbids streams inside one, so they carry
-  * cross-reference structure, never page content; this byte-scan never
-  * needs them). A chain containing an unsupported filter yields empty
-  * bytes, never garbage text.
+  * Round 12 closes the Identity-H slice of the CID/Type0 tail — the
+  * single most common "my PDF extracts as garbage" case in real corpora
+  * (PyPDF handles it inside `page.extract_text`, `pipeline1.py:605-612`):
+  * `/Type0` fonts with `/Encoding /Identity-H` and a `/ToUnicode` CMap
+  * stream now decode 2-byte CIDs through the CMap's
+  * `bfchar`/`bfrange` mappings (both range forms, UTF-16BE multi-unit
+  * targets incl. surrogate pairs). The content walk tracks the current
+  * font through `Tf`, so mixed simple/CID pages decode each show-text
+  * operand under the right font. Font resources are resolved by object
+  * number from the same byte scan (no xref): `/Font << /F1 N 0 R >>`
+  * spans name the font dicts, each font dict names its ToUnicode stream.
+  *
+  * Still out of scope (the documented fallback remains
+  * [[PdfIngest.stubPdfToText]]): CID fonts WITHOUT a ToUnicode CMap
+  * (decoding those needs the embedded font program's glyph→char tables),
+  * non-Identity CID encodings (predefined CMaps ship with font
+  * subsystems, not the spec), encrypted documents, DCT/JPX image
+  * filters, and object streams (`/ObjStm` — the spec forbids streams
+  * inside one, so they carry cross-reference structure, never page
+  * content; this byte-scan never needs them). A chain containing an
+  * unsupported filter yields empty bytes, never garbage text; an
+  * unmapped CID contributes nothing, never a wrong glyph.
   */
 object PdfTextExtractor {
 
@@ -51,11 +66,13 @@ object PdfTextExtractor {
   /** All pages' text, blocks newline-joined; "" when nothing decodable. */
   def extract(bytes: Array[Byte]): String = {
     if (!isPdf(bytes)) return ""
+    val streams = rawStreams(bytes)
+    val fonts = fontCmaps(bytes, streams)
     val out = new StringBuilder
-    for ((dict, payload) <- rawStreams(bytes)) {
+    for ((_, dict, payload) <- streams) {
       val data = decodePayload(dict, payload)
       if (containsTextBlock(data)) {
-        val text = contentText(data)
+        val text = contentText(data, fonts)
         if (text.nonEmpty) {
           if (out.nonEmpty && !out.endsWith("\n")) out.append('\n')
           out.append(text)
@@ -80,12 +97,15 @@ object PdfTextExtractor {
     -1
   }
 
-  /** (owning-dict text, payload bytes) for each `stream…endstream`. The
-    * dict is the byte span from the nearest preceding `obj` keyword — close
-    * enough to read `/Filter` without resolving indirect references.
+  /** (owning object number, owning-dict text, payload bytes) for each
+    * `stream…endstream`. The dict is the byte span from the nearest
+    * preceding `obj` keyword — close enough to read `/Filter` without
+    * resolving indirect references; the object number is parsed backwards
+    * from that keyword (−1 when malformed — filter decoding never needs
+    * it, only the ToUnicode lookup does).
     */
-  private def rawStreams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
-    val found = Seq.newBuilder[(String, Array[Byte])]
+  private def rawStreams(bytes: Array[Byte]): Seq[(Int, String, Array[Byte])] = {
+    val found = Seq.newBuilder[(Int, String, Array[Byte])]
     var pos = 0
     var lastObj = 0 // carried forward: the obj scan never re-reads the file
     var streamAt = indexOf(bytes, "stream", pos)
@@ -105,13 +125,36 @@ object PdfTextExtractor {
           if (payloadEnd > payloadStart && bytes(payloadEnd - 1) == '\r') payloadEnd -= 1
           lastObj = lastIndexOfObj(bytes, lastObj, streamAt)
           val dict = new String(bytes, lastObj, streamAt - lastObj, "ISO-8859-1")
-          found += ((dict, java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)))
+          found += ((objNumBefore(bytes, lastObj), dict,
+            java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)))
           pos = end + "endstream".length
         } else pos = payloadStart
       } else pos = payloadStart
       streamAt = indexOf(bytes, "stream", pos)
     }
     found.result()
+  }
+
+  /** Object number of `N G obj` whose `obj` keyword starts at `objAt`:
+    * walk back over the generation number and whitespace, then read the
+    * digits of N. −1 when the shape doesn't match.
+    */
+  private def objNumBefore(bytes: Array[Byte], objAt: Int): Int = {
+    var i = objAt - 1
+    def skipWs(): Unit =
+      while (i >= 0 && (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\r' ||
+        bytes(i) == '\t')) i -= 1
+    def skipDigits(): Int = {
+      val hi = i
+      while (i >= 0 && bytes(i) >= '0' && bytes(i) <= '9') i -= 1
+      hi - i
+    }
+    skipWs()
+    if (skipDigits() == 0) return -1 // generation
+    skipWs()
+    val nd = skipDigits()
+    if (nd == 0 || nd > 9) return -1
+    new String(bytes, i + 1, nd, "ISO-8859-1").toInt
   }
 
   /** Last "obj" before `before`, scanning forward from `from` (the
@@ -424,6 +467,212 @@ object PdfTextExtractor {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
+  // ---- stage 2c: Identity-H / ToUnicode CMaps ------------------------------
+
+  private val ObjSpanRe =
+    """(?s)(\d+)\s+\d+\s+obj((?:(?!endobj).)*?)endobj""".r
+  private val Type0Re = """/Subtype\s*/Type0""".r
+  private val ToUnicodeRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+  private val IdentityHRe = """/Encoding\s*/Identity-H""".r
+  private val FontResRe = """(?s)/Font\s*<<(.*?)>>""".r
+  private val FontRefRe = """/(\w+)\s+(\d+)\s+\d+\s+R""".r
+  private val HexTokRe = """<([0-9A-Fa-f]+)>|\[|\]""".r
+  private val BfCharRe = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val BfRangeRe = """(?s)beginbfrange(.*?)endbfrange""".r
+
+  /** Resource-name → CID-to-text map for every `/Type0` + `/Identity-H`
+    * font with a `/ToUnicode` stream, resolved over the same byte scan
+    * (no xref): font dicts are plain objects, `/Font << /F1 N 0 R >>`
+    * resource spans bind names to them (merged document-wide — a name
+    * bound to different fonts on different pages keeps the first, the
+    * byte-scan trade-off), and the CMap stream is found by object number.
+    */
+  private[graft] def fontCmaps(bytes: Array[Byte],
+      streams: Seq[(Int, String, Array[Byte])]): Map[String, Map[Int, String]] = {
+    // cheap bail: no Type0 machinery in the file
+    if (indexOf(bytes, "Identity-H", 0) < 0) return Map.empty
+    val text = new String(bytes, "ISO-8859-1")
+    // font object number → ToUnicode stream object number
+    val toUni = ObjSpanRe.findAllMatchIn(text).flatMap { m =>
+      val body = m.group(2)
+      if (Type0Re.findFirstIn(body).isEmpty ||
+        IdentityHRe.findFirstIn(body).isEmpty) None
+      else ToUnicodeRe.findFirstMatchIn(body)
+        .map(t => m.group(1).toInt -> t.group(1).toInt)
+    }.toMap
+    if (toUni.isEmpty) return Map.empty
+    // resource name → font object number (first binding wins)
+    val names = FontResRe.findAllMatchIn(text).flatMap(m =>
+      FontRefRe.findAllMatchIn(m.group(1)).map(r => r.group(1) -> r.group(2).toInt))
+      .toSeq.distinct
+    val cmapOf = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
+    names.flatMap { case (name, fontObj) =>
+      toUni.get(fontObj).flatMap { tuObj =>
+        val cm = cmapOf.getOrElseUpdate(tuObj,
+          streams.collectFirst { case (n, dict, payload) if n == tuObj =>
+            parseCMap(decodePayload(dict, payload))
+          }.getOrElse(Map.empty))
+        if (cm.nonEmpty) Some(name -> cm) else None
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+  }
+
+  /** `bfchar`/`bfrange` sections of a ToUnicode CMap → CID → text.
+    * Sources are hex strings (2-byte for Identity-H); targets are
+    * UTF-16BE hex, any length (multi-unit targets incl. surrogate pairs
+    * decode through the JVM's UTF-16 handling). Both bfrange forms:
+    * `<lo> <hi> <dstStart>` (the LAST code unit increments, §9.10.3) and
+    * `<lo> <hi> [<d0> <d1> …]` (explicit per-code targets).
+    */
+  private[graft] def parseCMap(data: Array[Byte]): Map[Int, String] = {
+    if (data.isEmpty) return Map.empty
+    val text = new String(data, "ISO-8859-1")
+    val out = Map.newBuilder[Int, String]
+    def hexStr(h: String): String = {
+      // UTF-16BE units assembled by hand: a charset decoder would replace
+      // the LONE surrogate halves that astral targets arrive as (one
+      // bfchar entry per unit) with U+FFFD; appended as raw chars the JVM
+      // re-joins the pair
+      val even = if (h.length % 2 == 1) h + "0" else h
+      val sb = new StringBuilder(even.length / 4 + 1)
+      var i = 0
+      while (i + 4 <= even.length) {
+        sb.append(Integer.parseInt(even.substring(i, i + 4), 16).toChar)
+        i += 4
+      }
+      if (i < even.length) // dangling single byte: keep as its code unit
+        sb.append(Integer.parseInt(even.substring(i), 16).toChar)
+      sb.result()
+    }
+    def bumpLast(s: String, by: Int): String =
+      if (s.isEmpty) s
+      else s.substring(0, s.length - 1) + ((s.last + by) & 0xFFFF).toChar
+    for (m <- BfCharRe.findAllMatchIn(text)) {
+      val toks = HexTokRe.findAllMatchIn(m.group(1)).flatMap(h => Option(h.group(1))).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => out += Integer.parseInt(src, 16) -> hexStr(dst)
+        case _ => ()
+      }
+    }
+    for (m <- BfRangeRe.findAllMatchIn(text)) {
+      // token walk: <lo> <hi> then either <dst> or [ <d0> <d1> … ]
+      val toks = HexTokRe.findAllMatchIn(m.group(1))
+        .map(h => Option(h.group(1)).getOrElse(h.matched)).toSeq
+      var i = 0
+      while (i + 1 < toks.length) {
+        (toks.lift(i), toks.lift(i + 1), toks.lift(i + 2)) match {
+          case (Some(lo), Some(hi), Some("["))
+              if lo != "[" && lo != "]" && hi != "[" && hi != "]" =>
+            val l = Integer.parseInt(lo, 16)
+            var j = i + 3
+            var code = l
+            while (j < toks.length && toks(j) != "]") {
+              out += code -> hexStr(toks(j))
+              code += 1
+              j += 1
+            }
+            i = j + 1
+          case (Some(lo), Some(hi), Some(dst))
+              if lo != "[" && lo != "]" && hi != "[" && hi != "]" &&
+                dst != "[" && dst != "]" =>
+            val l = Integer.parseInt(lo, 16)
+            val h = Integer.parseInt(hi, 16)
+            val d0 = hexStr(dst)
+            var code = l
+            while (code <= h && code - l <= 0xFFFF) {
+              out += code -> bumpLast(d0, code - l)
+              code += 1
+            }
+            i += 3
+          case _ => i += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Decode a show-text operand under an Identity-H CMap: chars carry raw
+    * bytes (the tokenizer is byte-preserving), consumed as big-endian
+    * 2-byte CIDs; unmapped CIDs contribute nothing (never a wrong glyph);
+    * a trailing odd byte is ignored.
+    */
+  private def decodeCids(s: String, cmap: Map[Int, String]): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i + 1 < s.length) {
+      val code = ((s.charAt(i) & 0xFF) << 8) | (s.charAt(i + 1) & 0xFF)
+      cmap.get(code).foreach(sb.append)
+      i += 2
+    }
+    sb.result()
+  }
+
+  /** Deterministic Identity-H fixture PDF: `text`'s UTF-16 code units map
+    * to CIDs 1..k in order of first appearance, the content stream shows
+    * one hex CID string through `/F1` (`Tf`-selected), and the `/ToUnicode`
+    * CMap carries the reverse mapping as `beginbfchar` groups of ≤ 100
+    * (§9.10.3). Both streams are REAL FlateDecode, so the fixture
+    * exercises filter chain → font resolution → CMap parse → CID decode
+    * end-to-end. Extraction round-trips `text` exactly (surrogate pairs
+    * ride as two mapped units that the JVM re-joins).
+    */
+  def synthIdentityHPdf(text: String): Array[Byte] = {
+    val units = text.toCharArray
+    val cidOf = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+    units.foreach(c => cidOf.getOrElseUpdate(c, cidOf.size + 1))
+    val hexCids = units.map(c => f"${cidOf(c)}%04X").mkString
+    val content = s"BT /F1 12 Tf <$hexCids> Tj ET"
+    val entries = cidOf.toSeq.map { case (c, cid) => f"<$cid%04X> <${c.toInt}%04X>" }
+    val groups = entries.grouped(100)
+      .map(g => s"${g.length} beginbfchar\n${g.mkString("\n")}\nendbfchar")
+      .mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Graft-Identity-ToUnicode def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+$groups
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new ByteArrayOutputStream()
+    out.write(cc("%PDF-1.4\n"))
+    out.write(cc("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"))
+    out.write(cc("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"))
+    out.write(cc("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"))
+    out.write(cc("4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftSynth " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >> endobj\n"))
+    val contentZ = deflate(content)
+    out.write(cc(s"5 0 obj << /Length ${contentZ.length} /Filter /FlateDecode >>\nstream\n"))
+    out.write(contentZ)
+    out.write(cc("\nendstream\nendobj\n"))
+    out.write(cc("6 0 obj << /Type /Font /Subtype /CIDFontType2 " +
+      "/BaseFont /GraftSynth /CIDToGIDMap /Identity >> endobj\n"))
+    val cmapZ = deflate(cmap)
+    out.write(cc(s"7 0 obj << /Length ${cmapZ.length} /Filter /FlateDecode >>\nstream\n"))
+    out.write(cmapZ)
+    out.write(cc("\nendstream\nendobj\n"))
+    out.write(cc("%%EOF\n"))
+    out.toByteArray
+  }
+
   // ---- stage 3: content-stream text operators ----------------------------
 
   private def containsTextBlock(data: Array[Byte]): Boolean =
@@ -432,6 +681,7 @@ object PdfTextExtractor {
   private sealed trait Tok
   private final case class Str(s: String) extends Tok
   private final case class Num(v: Double) extends Tok
+  private final case class Name(n: String) extends Tok
   private final case class Op(name: String) extends Tok
   private case object ArrStart extends Tok
   private case object ArrEnd extends Tok
@@ -441,17 +691,22 @@ object PdfTextExtractor {
     * line; `Td`/`TD` emit one when the vertical displacement is non-zero
     * (the one-line-per-positioning heuristic PyPDF's layout-less mode
     * uses). Inside a `TJ` array a kern more negative than −180/1000 em is
-    * rendered as a word gap.
+    * rendered as a word gap. `Tf` tracks the current font: while an
+    * Identity-H font with a ToUnicode CMap is selected, show-text strings
+    * decode as 2-byte CIDs through it.
     */
-  private[sources] def contentText(data: Array[Byte]): String = {
+  private[sources] def contentText(data: Array[Byte],
+      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
     val out = new StringBuilder
     var inBT = false
     var pend = List.empty[Tok] // operand stack (reverse order)
     var arr: List[Tok] = null  // non-null while inside [ … ]
+    var cmap: Map[Int, String] = null // non-null while a CID font is selected
 
     def push(t: Tok): Unit = if (arr != null) arr = t :: arr else pend = t :: pend
     def newline(): Unit = if (out.nonEmpty && !out.endsWith("\n")) out.append('\n')
-    def lastStr: String = pend.collectFirst { case Str(s) => s }.getOrElse("")
+    def show(s: String): String = if (cmap != null) decodeCids(s, cmap) else s
+    def lastStr: String = pend.collectFirst { case Str(s) => show(s) }.getOrElse("")
 
     val toks = tokenize(data)
     toks.foreach {
@@ -462,6 +717,12 @@ object PdfTextExtractor {
       case op: Op if op.name == "BT" => inBT = true; pend = Nil
       case op: Op if op.name == "ET" => inBT = false; newline(); pend = Nil
       case op: Op =>
+        op.name match {
+          case "Tf" => // /Fname size Tf — selects the font, inside BT or out
+            cmap = pend.collectFirst { case Name(n) => n }
+              .flatMap(fonts.get).orNull
+          case _ => ()
+        }
         if (inBT) op.name match {
           case "Tj" => out.append(lastStr)
           case "'" => newline(); out.append(lastStr)
@@ -478,7 +739,7 @@ object PdfTextExtractor {
             val elems = pend.dropWhile(_ == ArrEnd)
               .takeWhile(_ != ArrStart).reverse
             elems.foreach {
-              case Str(s) => out.append(s)
+              case Str(s) => out.append(show(s))
               case Num(v) if v < -180.0 => out.append(' ')
               case _ => ()
             }
@@ -515,10 +776,11 @@ object PdfTextExtractor {
         case '<' => i += 1; Str(hexString())
         case '[' => i += 1; ArrStart
         case ']' => i += 1; ArrEnd
-        case '/' => // name object: ignore
+        case '/' => // name object: kept for Tf font selection
           i += 1
+          val start = i
           while (i < data.length && !ws(cur) && !"()<>[]{}/%".contains(cur)) i += 1
-          advance()
+          Name(new String(data, start, i - start, "ISO-8859-1"))
         case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
           val start = i
           i += 1

@@ -413,4 +413,65 @@ class IngestSpec extends AnyFunSuite {
     }
     assert(extract(pdf) == "Lzw predicted text")
   }
+
+  test("S3 golden: Identity-H synth fixture round-trips exactly — flate chain, font resolution, CMap parse, CID decode") {
+    import graft.sources.PdfTextExtractor._
+    // >100 distinct units forces multiple beginbfchar groups; unicode +
+    // a surrogate pair (🚀) + newlines ride the CID path
+    val text = ("Identity-H naïve Grüße — 数据 🚀\n" +
+      (0 until 120).map(i => ('!' + i % 90).toChar).mkString) * 2
+    val pdf = synthIdentityHPdf(text)
+    assert(isPdf(pdf))
+    assert(extract(pdf) == text.trim)
+    // the default decoder takes the real-extractor branch for it
+    assert(PdfIngest.defaultPdfToText(pdf) == text.trim)
+  }
+
+  test("S3 golden: hand-built CMap forms — bfrange increment, bfrange array, multi-unit targets, unmapped CIDs") {
+    import graft.sources.PdfTextExtractor._
+    val cmap =
+      """begincmap
+2 beginbfchar
+<0001> <0041>
+<0002> <00E9>
+endbfchar
+2 beginbfrange
+<0010> <0013> <0061>
+<0020> <0021> [<0058> <00660066>]
+endbfrange
+endcmap""".getBytes("ISO-8859-1")
+    val m = parseCMap(cmap)
+    assert(m(1) == "A" && m(2) == "é")
+    // range form: last unit increments
+    assert(m(0x10) == "a" && m(0x11) == "b" && m(0x12) == "c" && m(0x13) == "d")
+    // array form incl. a two-unit (ligature-style) target
+    assert(m(0x20) == "X" && m(0x21) == "ff")
+    assert(!m.contains(0x14) && !m.contains(0x22))
+    // mixed simple/CID page: Tf switches decoding per show operand. The
+    // CID font decodes <00010002> as "Aé"; switching back to a simple
+    // font returns to byte semantics; unmapped <0099> contributes nothing
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val content = "BT /F1 12 Tf <000100020099> Tj /F2 12 Tf (plain) Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("3 0 obj << /Type /Page /Resources << /Font << /F1 4 0 R /F2 8 0 R >> >> /Contents 5 0 R >> endobj\n")
+    w("4 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 7 0 R >> endobj\n")
+    w("8 0 obj << /Type /Font /Subtype /TrueType >> endobj\n")
+    val cz = deflate(content)
+    w(s"5 0 obj << /Length ${cz.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(cz)
+    w("\nendstream\nendobj\n")
+    w(s"7 0 obj << /Length ${cmap.length} >>\nstream\n")
+    out.write(cmap)
+    w("\nendstream\nendobj\n%%EOF\n")
+    assert(extract(out.toByteArray) == "Aéplain")
+  }
 }
