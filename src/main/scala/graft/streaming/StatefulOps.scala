@@ -1032,4 +1032,88 @@ object StatefulOps {
           JoinViewSnapshot(key, n, tot)
       }
   }
+
+  final case class SetSimPair(id_a: Long, id_b: Long, inter: Long, uni: Long,
+      jac4: Long)
+  /** Per-prefix-element inverted-index state: (id, sz, pos of this element
+    * in the doc's canonical order, full sorted element set — kept for the
+    * exact verify at emit time, the in-memory AllPairs layout).
+    */
+  final case class PrefixBucketState(members: Seq[(Long, Long, Long, Seq[Long])])
+
+  /** Streaming twin #17 — [[graft.operators.SetSimJoin.deltaJoin]]'s
+    * nightly-delta semantics taken to per-arrival granularity: every
+    * arriving document emits its EXACT Jaccard-≥-τ pairs against every
+    * document seen so far (and earlier rows of its own batch), so the
+    * cumulative emitted pair SET over any arrival order equals
+    * `selfJoin` over the union. Same machinery as the batch operator —
+    * distinct hashed shingles, a consistent canonical order (plain
+    * hash-ascending here: the prefix lemma needs only CONSISTENCY, and a
+    * stream has no stable df table — the deltaJoin exactness argument),
+    * prefix-restricted probing, length + exact-α positional filters, and
+    * the exact sorted-merge verify. State is the classic prefix inverted
+    * index keyed by element (each bucket holds its members with their
+    * full sets), so an element's bucket is visited only by docs carrying
+    * it in their prefix. A pair sharing several prefix elements may emit
+    * more than once (the [[streamingNearDupPairs]] multi-band contract —
+    * consumers read the pair SET); state grows with the indexed corpus
+    * like every KeepAll twin — a production stream bounds it with the
+    * [[EventWindow]] policy's watermark eviction.
+    */
+  def streamingSetSimPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau4: Long): Dataset[SetSimPair] = {
+    require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val sets = docs.select(col(idCol).cast("long").as("id"),
+      sort_array(array_distinct(transform(
+        graft.operators.Dedup.shinglesCol(col(textCol), shingleN),
+        g => xxhash64(g)))).as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+    val prefix = sets.select(col("id"), col("sz"), col("toks"),
+      posexplode(slice(col("toks"), lit(1),
+        (col("sz") - floor((col("sz") * tau4 + lit(9999L)) / lit(10000L)) + lit(1L))
+          .cast("int"))).as(Seq("p0", "g")))
+      .select(col("g"), col("id"), col("sz"),
+        (col("p0") + 1).cast("long").as("pos"), col("toks"))
+      .as[(Long, Long, Long, Long, Seq[Long])]
+    prefix.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, Long, Seq[Long])],
+         state: GroupState[PrefixBucketState]) =>
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[SetSimPair]
+          rows.foreach { case (_, id, sz, pos, toks) =>
+            members.foreach { case (mid, msz, mpos, mtoks) =>
+              if (mid != id &&
+                math.min(sz, msz) * 10000L >= tau4 * math.max(sz, msz) &&
+                (math.min(sz - pos, msz - mpos) + 1L) * (10000L + tau4) >=
+                  tau4 * (sz + msz)) {
+                val inter = intersectSortedCount(toks, mtoks)
+                val uni = sz + msz - inter
+                if (inter * 10000L >= tau4 * uni)
+                  out += SetSimPair(math.min(id, mid), math.max(id, mid),
+                    inter, uni, inter * 10000L / uni)
+              }
+            }
+            members = members :+ ((id, sz, pos, toks))
+          }
+          state.update(PrefixBucketState(members))
+          out.result().iterator
+      }
+  }
+
+  /** Exact intersection size of two ascending-sorted sequences. */
+  private def intersectSortedCount(a: Seq[Long], b: Seq[Long]): Long = {
+    val ai = a.iterator.buffered
+    val bi = b.iterator.buffered
+    var n = 0L
+    while (ai.hasNext && bi.hasNext) {
+      val c = java.lang.Long.compare(ai.head, bi.head)
+      if (c == 0) { n += 1; ai.next(); bi.next() }
+      else if (c < 0) ai.next()
+      else bi.next()
+    }
+    n
+  }
 }

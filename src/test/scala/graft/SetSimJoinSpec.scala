@@ -175,6 +175,39 @@ class SetSimJoinSpec extends AnyFunSuite {
       s"asymmetric filter dropped true pairs: ${truePairs -- candAsym}")
   }
 
+  test("streaming twin #17: cumulative setsim pairs equal the batch selfJoin over 100 random splits, any arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(215L)
+    val docs = rnd.shuffle(corpus(60)) // arrival order fully random
+    val tau4 = 5000L
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StatefulOps.streamingSetSimPairs(
+      input.toDF().toDF("id", "text"), "id", "text", shingleN = 5, tau4 = tau4)
+      .writeStream.format("memory").queryName("ss_prop")
+      .outputMode("append").start()
+    try {
+      var i = 0
+      var batches = 0
+      while (i < docs.length) {
+        val n = math.min(1 + rnd.nextInt(3), docs.length - i)
+        input.addData(docs.slice(i, i + n): _*)
+        q.processAllAvailable()
+        i += n
+        batches += 1
+      }
+      assert(batches >= 20, s"want many random batches, got $batches")
+      val got = spark.table("ss_prop")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = SetSimJoin
+        .selfJoin(docs.toDF("id", "text"), "id", "text", shingleN = 5, tau4 = tau4)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(want.nonEmpty, "corpus too easy — no true pairs")
+      assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    } finally q.stop()
+  }
+
   test("deltaJoin equals selfJoin restricted to touching pairs — exact under the stale base-only order") {
     import spark.implicits._
     val docs = corpus(90).toDF("id", "text")
