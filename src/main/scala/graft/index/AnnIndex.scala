@@ -15,7 +15,8 @@ import graft.operators.IvfIndex
   * [[build]] pays the corpus scans ONCE and persists three relations:
   *
   *   - `centroids.parquet` — k coarse centroids (k-row broadcast side)
-  *   - `codebook.parquet`  — m×kcode PQ sub-centroids (q178 seeding)
+  *   - `codebook.parquet`  — m×kcode PQ sub-centroids (Lloyd-trained per
+  *     subspace since round 12, q178's `PqCodebook.train`)
   *   - `codes.parquet`     — per-vector 8-byte PQ codes as (vec_id, s,
   *     code), PARTITIONED BY the coarse cell (`centroid_id`) — the IVF
   *     "inverted list" layout expressed as parquet partition directories
@@ -35,24 +36,20 @@ import graft.operators.IvfIndex
 object AnnIndex {
 
   /** Scan the corpus once; persist centroids + codebook + cell-partitioned
-    * codes under `dir`.
+    * codes under `dir`. The PQ codebook is Lloyd-trained
+    * ([[graft.operators.PqCodebook.train]], round 12 — exact-integer
+    * micro-sum means, `trainIters = 2` is the measured recall knee;
+    * `trainIters = 0` reproduces the pre-round-12 raw seed grid).
     */
   def build(emb: DataFrame, dir: String,
-      m: Int = 8, sub: Int = 8, kcode: Int = 16): Unit = {
+      m: Int = 8, sub: Int = 8, kcode: Int = 16, trainIters: Int = 2): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = IvfIndex.centroids(emb, k = 0, iters = 0)
     cents.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     val cells = IvfIndex.assign(emb, cents, "vec_id", "embedding")
       .select($"vec_id", $"centroid_id")
-    val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
-    val seeds = emb.orderBy($"vec_id").limit(kcode)
-      .withColumn("code",
-        (row_number().over(Window.orderBy($"vec_id")) - 1).cast("long"))
-    val cb = seeds.crossJoin(subs)
-      .select($"s", $"code",
-        slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("cent"))
-      .localCheckpoint(false) // m×kcode rows; persisted + read by encode
+    val cb = graft.operators.PqCodebook.train(emb, m, sub, kcode, trainIters)
     cb.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
     encodeCodes(emb, cb, m, sub)
       .join(cells, Seq("vec_id"))
@@ -61,25 +58,13 @@ object AnnIndex {
   }
 
   /** PQ-encode `emb` against codebook `cb`: max-margin argmax per
-    * sub-block (dot − ‖c‖²/2, ties → lowest code), the q178 algebra.
+    * sub-block (dot − ‖c‖²/2, ties → lowest code), the q178 algebra
+    * (delegates to [[graft.operators.PqCodebook.encode]]).
     * Returns (vec_id, s, code); the codebook side is broadcast.
     */
   private def encodeCodes(emb: DataFrame, cb: DataFrame,
-      m: Int, sub: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
-    val cbScore = cb.withColumn("half_norm2",
-      VectorFunctions.dotProduct($"cent", $"cent") / lit(2.0))
-    emb.crossJoin(subs)
-      .select($"vec_id", $"s",
-        slice($"embedding", ($"s" * sub + 1).cast("int"), lit(sub)).as("sv"))
-      .join(broadcast(cbScore), Seq("s"))
-      .select($"vec_id", $"s", $"code",
-        (VectorFunctions.dotProduct($"sv", $"cent") - $"half_norm2").as("sc"))
-      .groupBy($"vec_id", $"s")
-      .agg(max_by($"code", struct($"sc", -$"code")).as("code"))
-  }
+      m: Int, sub: Int): DataFrame =
+    graft.operators.PqCodebook.encode(emb, cb, m, sub)
 
   /** Nightly delta append: encode ONLY the arriving vectors against the
     * STORED centroids + codebook (both broadcast-sized reads) and append

@@ -1123,15 +1123,18 @@ private[graft] object AnnQueries {
   )
 
   /** Shared oracle CTE chain replaying [[graft.operators.PqCodebook.train]]
-    * (2 Lloyd iterations, exact-integer micro-sum means) for q178/q181/q184:
-    * ends in the trained `cb (s, code, cent)` plus the reusable sub-vector
-    * stream `sv (vec_id, s, sv)`.
+    * (2 Lloyd iterations, exact-integer micro-sum means) over training
+    * corpus `src` — `embeddings` for q178/q181/q184/q210/q244, the base
+    * slice `b` for q211's stored-index semantics. Ends in the trained
+    * `cb (s, code, cent)` plus the TRAINING sub-vector stream
+    * `sv (vec_id, s, sv)` (reusable as the encode stream only when the
+    * encode corpus equals `src`).
     */
-  private val pqTrainCtes: String =
-    """subs AS (SELECT unnest(range(0, 8)) AS s),
-seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+  private def pqTrainCtes(src: String): String =
+    s"""subs AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT 16)),
 cb0 AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
-sv AS MATERIALIZED (SELECT e.vec_id, subs.s, e.embedding[subs.s*8+1 : subs.s*8+8] AS sv FROM embeddings e, subs),
+sv AS MATERIALIZED (SELECT e.vec_id, subs.s, e.embedding[subs.s*8+1 : subs.s*8+8] AS sv FROM $src e, subs),
 a1 AS (SELECT s, code, sv FROM (SELECT v.vec_id, v.s, v.sv, c.code, row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY (list_inner_product(v.sv::DOUBLE[], c.cent::DOUBLE[]) - list_inner_product(c.cent::DOUBLE[], c.cent::DOUBLE[]) / 2.0) DESC, c.code) AS rn FROM sv v JOIN cb0 c ON v.s = c.s) WHERE rn = 1),
 m1 AS (SELECT s, code, pos, (sum(cu)::DOUBLE / count(*)::DOUBLE / 1000000.0)::FLOAT AS m FROM (SELECT s, code, pos, floor(comp * 1000000.0)::BIGINT AS cu FROM (SELECT s, code, unnest(sv::DOUBLE[]) AS comp, unnest(range(1, 1 + len(sv))) AS pos FROM a1)) GROUP BY s, code, pos),
 m1v AS (SELECT s, code, list(m ORDER BY pos) AS cent FROM m1 GROUP BY s, code),
@@ -1475,7 +1478,7 @@ SELECT 'lloyd2' AS grid, sw.nprobe::BIGINT AS nprobe, coalesce(h2.n_hits, 0)::BI
     // argmax(dot − ‖c‖²/2) with list_inner_product on DOUBLE casts, ADC
     // as BIGINT micro-sums, both rankings id-tiebroken
     "q178_pq_ann" ->
-      ("""WITH """ + pqTrainCtes + """,
+      ("""WITH """ + pqTrainCtes("embeddings") + """,
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
   SELECT v.vec_id, c.s, c.code,
@@ -1493,7 +1496,7 @@ FROM q LEFT JOIN hits h ON q.query_id = h.query_id ORDER BY q.query_id"""),
     // q181: q178's CTEs (incl. the Lloyd train) + shortlist /
     // exact-rerank / ceiling stages
     "q181_pq_rerank" ->
-      ("""WITH """ + pqTrainCtes + """,
+      ("""WITH """ + pqTrainCtes("embeddings") + """,
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
   SELECT v.vec_id, c.s, c.code,
@@ -1523,7 +1526,7 @@ ORDER BY q.query_id"""),
       ("""WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
 cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s0, kk WHERE s0.srn <= kk.k),
 cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
-""" + pqTrainCtes + """,
+""" + pqTrainCtes("embeddings") + """,
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
   SELECT v.vec_id, c.s, c.code,
@@ -1612,17 +1615,15 @@ WHERE r2.rank <= 10 ORDER BY r2.rank""",
     // with the serve read at nprobe = 4 returning the top-10 lists the
     // persisted index produces
     "q210_ann_index_serve" ->
-      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+      ("""WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
 cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s0, kk WHERE s0.srn <= kk.k),
 cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
-subs AS (SELECT unnest(range(0, 8)) AS s),
-seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+""" + pqTrainCtes("embeddings") + """,
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
-  SELECT e.vec_id, c.s, c.code,
-    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
-  FROM embeddings e, cbs c) WHERE rn = 1),
+  SELECT v.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY (list_inner_product(v.sv::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM sv v JOIN cbs c ON v.s = c.s) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
 qc AS MATERIALIZED (SELECT query_id, centroid_id FROM (SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS cell_rank FROM q, cents c) WHERE cell_rank <= 4),
 lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
@@ -1633,19 +1634,18 @@ cand AS (SELECT qc.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u
   WHERE e.vec_id <> qc.query_id GROUP BY 1, 2)
 SELECT query_id, rn::BIGINT AS rank, vec_id, adc_u
 FROM (SELECT query_id, vec_id, adc_u, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM cand)
-WHERE rn <= 10 ORDER BY query_id, rank""",
+WHERE rn <= 10 ORDER BY query_id, rank"""),
 
-    // q211: q210's replay with the coarse/PQ codebooks derived from the
-    // BASE slice only (vec_id % 4 <> 0 — the index that existed before
-    // tonight's append) and codes over the full corpus
+    // q211: q210's replay with the coarse/PQ codebooks derived (and the
+    // PQ Lloyd TRAINING run) over the BASE slice only (vec_id % 4 <> 0 —
+    // the index that existed before tonight's append) and codes over the
+    // full corpus
     "q211_ann_delta_append" ->
-      """WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+      ("""WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
 kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM b),
 cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM b) s0, kk WHERE s0.srn <= kk.k),
 cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
-subs AS (SELECT unnest(range(0, 8)) AS s),
-seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM b ORDER BY vec_id LIMIT 16)),
-cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+""" + pqTrainCtes("b") + """,
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
   SELECT e.vec_id, c.s, c.code,
@@ -1661,7 +1661,7 @@ cand AS (SELECT qc.query_id, e.vec_id, sum(l.dot_u)::BIGINT AS adc_u
   WHERE e.vec_id <> qc.query_id GROUP BY 1, 2)
 SELECT query_id, rn::BIGINT AS rank, vec_id, adc_u
 FROM (SELECT query_id, vec_id, adc_u, row_number() OVER (PARTITION BY query_id ORDER BY adc_u DESC, vec_id) AS rn FROM cand)
-WHERE rn <= 10 ORDER BY query_id, rank""",
+WHERE rn <= 10 ORDER BY query_id, rank"""),
 
 
     // q223: q52's multiprobe SQL at k=10 scored against brute truth with
@@ -1685,17 +1685,15 @@ SELECT query_id, sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hit, su
     // codes, LUT, nprobe-4 serve) scored against the q223-style brute
     // cosine truth on the same 16 queries, rolled into agreement counts
     "q244_ann_recall_serve" ->
-      """WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
+      ("""WITH kk AS (SELECT greatest(8, (count(*) + 63) // 64) AS k FROM embeddings),
 cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding FROM (SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS srn FROM embeddings) s0, kk WHERE s0.srn <= kk.k),
 cells AS MATERIALIZED (SELECT vec_id, centroid_id FROM (SELECT e.vec_id, c.centroid_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS rn FROM embeddings e, cents c) WHERE rn = 1),
-subs AS (SELECT unnest(range(0, 8)) AS s),
-seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-cb AS MATERIALIZED (SELECT s, code, embedding[s*8+1 : s*8+8] AS cent FROM seeds, subs),
+""" + pqTrainCtes("embeddings") + """,
 cbs AS (SELECT s, code, cent, list_inner_product(cent::DOUBLE[], cent::DOUBLE[]) / 2.0 AS half_norm2 FROM cb),
 enc AS MATERIALIZED (SELECT vec_id, s, code FROM (
-  SELECT e.vec_id, c.s, c.code,
-    row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY (list_inner_product((e.embedding[c.s*8+1 : c.s*8+8])::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
-  FROM embeddings e, cbs c) WHERE rn = 1),
+  SELECT v.vec_id, c.s, c.code,
+    row_number() OVER (PARTITION BY v.vec_id, c.s ORDER BY (list_inner_product(v.sv::DOUBLE[], c.cent::DOUBLE[]) - c.half_norm2) DESC, c.code) AS rn
+  FROM sv v JOIN cbs c ON v.s = c.s) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
 qc AS MATERIALIZED (SELECT query_id, centroid_id FROM (SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.centroid_id) AS cell_rank FROM q, cents c) WHERE cell_rank <= 4),
 lut AS MATERIALIZED (SELECT query_id, s, code, floor(list_inner_product((qv[s*8+1 : s*8+8])::DOUBLE[], cent::DOUBLE[]) * 1000000.0)::BIGINT AS dot_u FROM q, cb),
@@ -1709,6 +1707,6 @@ truth AS (SELECT query_id, vec_id FROM (SELECT q.query_id, e.vec_id, row_number(
 SELECT s.query_id, count(*)::BIGINT AS n_served, sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_agree,
 (sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 10)::BIGINT AS recall_bps
 FROM served s LEFT JOIN truth t ON t.query_id = s.query_id AND t.vec_id = s.vec_id
-GROUP BY s.query_id ORDER BY s.query_id""",
+GROUP BY s.query_id ORDER BY s.query_id"""),
   )
 }

@@ -27,6 +27,39 @@ class AnnIndexSpec extends AnyFunSuite {
   private def vec(i: Int): Seq[Float] =
     (0 until 16).map(d => (math.sin(i * 31 + d * 7 + 1).toFloat))
 
+  /** Driver-side replica of PqCodebook.train (round 12): per-subspace
+    * Lloyd from the kcode-lowest-id seeds, assignment by argmax
+    * (dot − ‖c‖²/2) with lowest-code ties, cluster means as exact BIGINT
+    * micro-sums divided once in double — the independent reimplementation
+    * both replay tests score the persisted index against.
+    */
+  private def lloydCb(vs: Seq[(Long, Array[Float])], m: Int, sub: Int,
+      kcode: Int, iters: Int): Array[Array[Array[Float]]] = {
+    val seeds = vs.sortBy(_._1).take(kcode)
+    var cb: Array[Array[Array[Float]]] = Array.tabulate(m)(s =>
+      Array.tabulate(kcode)(c => seeds(c)._2.slice(s * sub, s * sub + sub)))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(m, kcode, sub)(0L)
+      val counts = Array.fill(m, kcode)(0L)
+      for ((_, v) <- vs; s <- 0 until m) {
+        val sv = v.slice(s * sub, s * sub + sub)
+        val best = (0 until kcode).maxBy { c =>
+          val cent = cb(s)(c)
+          val dot = sv.zip(cent).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          (dot - cent.map(x => x.toDouble * x.toDouble).sum / 2.0, -c)
+        }
+        counts(s)(best) += 1
+        for (p <- 0 until sub)
+          sums(s)(best)(p) += math.floor(sv(p).toDouble * 1000000.0).toLong
+      }
+      cb = Array.tabulate(m)(s => Array.tabulate(kcode)(c =>
+        if (counts(s)(c) == 0) cb(s)(c)
+        else Array.tabulate(sub)(p =>
+          (sums(s)(c)(p).toDouble / counts(s)(c).toDouble / 1000000.0).toFloat)))
+    }
+    cb
+  }
+
   test("serve path: codes scan is partition-pruned to the probed cells; the raw corpus is never read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_annpin").toString
@@ -122,10 +155,9 @@ class AnnIndexSpec extends AnyFunSuite {
     val codes = spark.read.parquet(s"$dir/idx/codes.parquet")
     assert(codes.count() == m.toLong * (baseVs.size + deltaVs.size))
     // the on-disk delta codes must equal the q178 encode replay against
-    // the BASE-derived codebook (seeds = 16 lowest base ids)
-    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      Array.tabulate(kcode)(c => baseVs(c)._2.slice(s * sub, s * sub + sub).map(_.toDouble))
-    }
+    // the BASE-TRAINED codebook (Lloyd from the 16 lowest base ids)
+    val cbF = lloydCb(baseVs, m, sub, kcode, iters = 2)
+    val cb: Array[Array[Array[Double]]] = cbF.map(_.map(_.map(_.toDouble)))
     def encode(v: Array[Float]): Array[Long] = Array.tabulate(m) { s =>
       val sv = v.slice(s * sub, s * sub + sub).map(_.toDouble)
       (0 until kcode).maxBy { c =>
@@ -164,10 +196,9 @@ class AnnIndexSpec extends AnyFunSuite {
         k = 8, nprobe = 64, m = m, sub = sub, excludeSelf = true)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
-    // driver-side replay of the exact q178 algebra
-    val cb: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      Array.tabulate(kcode)(c => vs(c)._2.slice(s * sub, s * sub + sub).map(_.toDouble))
-    }
+    // driver-side replay of the exact q178 algebra (trained codebook)
+    val cbF = lloydCb(vs, m, sub, kcode, iters = 2)
+    val cb: Array[Array[Array[Double]]] = cbF.map(_.map(_.map(_.toDouble)))
     def encode(v: Array[Float]): Array[Int] = Array.tabulate(m) { s =>
       val sv = v.slice(s * sub, s * sub + sub).map(_.toDouble)
       (0 until kcode).maxBy { c =>
