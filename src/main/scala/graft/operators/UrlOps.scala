@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL curation — the stage every web-crawl training pipeline runs before
+  * any text ever loads (the reference ingests a hand-typed URL list,
+  * `pipeline1.py:922`; a 100 TB crawl ingests billions and must dedupe /
+  * cap them BY URL first, when each row is still ~100 bytes):
+  *
+  *   - [[canonicalizeUrl]]: scheme+host lowercased, default ports (80/443)
+  *     stripped, fragments dropped, duplicate path slashes collapsed and
+  *     the trailing slash trimmed (root keeps its `/`), tracking query
+  *     params (`utm_*`, `fbclid`, `gclid`) removed and the survivors
+  *     SORTED — the standard canonical form under which syndicated copies
+  *     of one page collide. Entirely `org.apache.spark.sql.functions`
+  *     (regexp + higher-order array ops — whole-stage codegen, no UDF),
+  *     and every step has a DuckDB twin, so the q269 oracle re-derives
+  *     the canonical form independently.
+  *   - [[registrableDomain]]: the per-site cap key — last two host labels,
+  *     or three when the TLD is a two-letter country code behind a common
+  *     second-level suffix (`co`/`com`/`org`/`net`/`ac`/`gov`/`edu` — the
+  *     public-suffix rule that matters at corpus scale; the full PSL is a
+  *     data file a deployment drops in the same expression).
+  *
+  * Scope (disclosed): no `%xx`-unescaping and no `/./`‖`/../` resolution —
+  * both need iterative rewriting that belongs in a dedicated Expression
+  * if a corpus actually exhibits them; crawlers emit resolved paths.
+  *
+  * Per-domain caps (q270) then ride [[Batching.groupedRowNumber]]: rank
+  * docs inside each registrable domain by salted md5 and keep the first
+  * `cap` — one range exchange even when one domain owns half the crawl
+  * (the q139 stratum-skew argument applied to domains, which are the
+  * heaviest-skewed key in any real crawl).
+  */
+object UrlOps {
+
+  private val TrackingParam = "^(utm_[^=]*|fbclid|gclid)="
+
+  /** Canonical form of an absolute http(s) URL (see object doc). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(afterScheme, "^([^/?]*)", 1)
+    val tail = substring(afterScheme, length(hostPort) + 1, lit(1000000))
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val defPort = when(scheme === "http", "80")
+      .when(scheme === "https", "443").otherwise("")
+    val portPart = when(port === "" || port === defPort, "")
+      .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(tail, "^([^?]*)", 1)
+    val rawQuery = when(instr(tail, "?") > 0,
+      regexp_replace(tail, "^[^?]*\\?", "")).otherwise(lit(""))
+    // collapse duplicate slashes, trim the trailing slash (root keeps it)
+    val path = regexp_replace(
+      when(rawPath === "", "/").otherwise(regexp_replace(rawPath, "/{2,}", "/")),
+      "(.)/$", "$1")
+    val params = filter(split(rawQuery, "&"),
+      p => !(p.rlike(TrackingParam) || p === ""))
+    val query = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, portPart, path,
+      when(query === "", "").otherwise(concat(lit("?"), query)))
+  }
+
+  /** Registrable domain of a lowercase host (see object doc). */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val tld = element_at(labels, -1)
+    val sld = element_at(labels, -2)
+    val multiLabelSuffix = tld.rlike("^[a-z]{2}$") &&
+      sld.isin("co", "com", "org", "net", "ac", "gov", "edu")
+    when(n <= 2, host)
+      .when(multiLabelSuffix && n >= 3,
+        concat_ws(".", element_at(labels, -3), sld, tld))
+      .otherwise(concat_ws(".", sld, tld))
+  }
+}

@@ -1596,6 +1596,72 @@ private[graft] object PipelineQueries {
           coalesce($"dn", lit(0L)).as("n_from_delta"))
         .orderBy($"n_name")
     }),
+
+
+    // URL canonicalization census — the first operator of any web-crawl
+    // curation pipeline ([[graft.operators.UrlOps]]): scheme/host case,
+    // default ports, fragments, duplicate/trailing slashes, tracking
+    // params and query-param order all collapse to ONE canonical form,
+    // plus the registrable domain (public-suffix 2-vs-3-label rule) that
+    // keys every per-site policy. The messy fixture URL is closed-form
+    // in doc_id (mixed case, :80/:443/:8080 ports, //-paths, utm params
+    // out of order, fragments) and the ORACLE REBUILDS THE SAME MESS in
+    // SQL then canonicalizes it independently with DuckDB's own
+    // split/filter/sort — a genuine cross-engine check of the transform,
+    // not a replay of the expected output. All scan-side Column
+    // expressions: no UDF, no shuffle before the final order.
+    "q269_url_canonicalize" -> ((s, dir) => {
+      import s.implicits._
+      val tlds = array(lit("com"), lit("org"), lit("co.uk"), lit("net"))
+      val url = concat(
+        when(pmod($"doc_id", lit(2)) === 0, "HTTP").otherwise("https"), lit("://"),
+        lit("Sub"), pmod($"doc_id", lit(3)), lit(".Site"), pmod($"doc_id", lit(37)),
+        lit("."), element_at(tlds, (pmod($"doc_id", lit(4)) + 1).cast("int")),
+        when(pmod($"doc_id", lit(3)) === 0,
+          when(pmod($"doc_id", lit(2)) === 0, ":80").otherwise(":443"))
+          .when(pmod($"doc_id", lit(3)) === 1, ":8080").otherwise(""),
+        lit("/a//b"), pmod($"doc_id", lit(5)), lit("/"),
+        when(pmod($"doc_id", lit(5)) === 0, "")
+          .when(pmod($"doc_id", lit(2)) === 0, "?utm_source=feed&z=9&a=1")
+          .otherwise("?b=2&utm_campaign=x&a=1"),
+        when(pmod($"doc_id", lit(4)) === 0, concat(lit("#sec"), pmod($"doc_id", lit(7))))
+          .otherwise(""))
+      val canon = graft.operators.UrlOps.canonicalizeUrl(url)
+      t(s, dir, "documents").select($"doc_id")
+        .withColumn("canon_url", canon)
+        .withColumn("domain", graft.operators.UrlOps.registrableDomain(
+          regexp_extract($"canon_url", "^[a-z]+://([^:/?]*)", 1)))
+        .select($"doc_id", $"canon_url", $"domain")
+        .orderBy($"doc_id")
+    }),
+
+
+    // Per-domain document caps — the curation policy itself: at most
+    // `cap` docs survive per registrable domain, elected by salted md5
+    // (deterministic, engine-independent — the q139 split convention).
+    // The rank is [[graft.operators.Batching.groupedRowNumber]] because
+    // domains are the MOST skewed key a crawl has (one domain can own a
+    // double-digit share of a 100 TB crawl): one range exchange on
+    // (domain, hash), never a single-task per-domain sort. Output is the
+    // domain-level census (kept/dropped), domain-count-sized.
+    "q270_domain_caps" -> ((s, dir) => {
+      import s.implicits._
+      val cap = 7L
+      val tlds = array(lit("com"), lit("org"), lit("co.uk"), lit("net"))
+      val withDomain = t(s, dir, "documents").select($"doc_id")
+        .withColumn("domain", concat(
+          lit("site"), pmod($"doc_id", lit(37)), lit("."),
+          element_at(tlds, (pmod($"doc_id", lit(4)) + 1).cast("int"))))
+      graft.operators.Batching.groupedRowNumber(
+        withDomain.withColumn("__h",
+          md5(concat(lit("cap:"), $"doc_id".cast("string")))),
+        Seq("domain"), Seq($"__h", $"doc_id"), 32, "rn", Some("n"))
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(($"rn" <= cap).cast("long")).as("n_kept"),
+          sum(when($"rn" > cap, 1L).otherwise(0L)).as("n_dropped"))
+        .orderBy($"domain")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2222,5 +2288,64 @@ GROUP BY n_name ORDER BY n_name""",
       """WITH ev AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS tsu FROM events),
 lg AS (SELECT event_type, CASE WHEN pm > tsu THEN pm - tsu ELSE 0 END AS late_us FROM (SELECT event_type, tsu, max(tsu) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM ev))
 SELECT event_type, count(*)::BIGINT AS n_events, sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late, (sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 10000 // count(*))::BIGINT AS late_bps, max(late_us)::BIGINT AS max_late_us, (sum(late_us) // count(*))::BIGINT AS mean_late_us FROM lg GROUP BY event_type ORDER BY event_type""",
+
+    // q269: the oracle rebuilds the SAME messy fixture URL and
+    // canonicalizes it INDEPENDENTLY with DuckDB's own regex/split/
+    // filter/sort — a cross-engine check of the transform (note 'g' on
+    // the slash-collapse: DuckDB replaces once by default, Spark always
+    // globally; and \1 vs $1 backreference dialects)
+    "q269_url_canonicalize" ->
+      """WITH u AS (SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+  'Sub' || (doc_id % 3)::VARCHAR || '.Site' || (doc_id % 37)::VARCHAR || '.' ||
+  (['com','org','co.uk','net'])[(doc_id % 4)::INT + 1] ||
+  (CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+        WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END) ||
+  '/a//b' || (doc_id % 5)::VARCHAR || '/' ||
+  (CASE WHEN doc_id % 5 = 0 THEN ''
+        WHEN doc_id % 2 = 0 THEN '?utm_source=feed&z=9&a=1'
+        ELSE '?b=2&utm_campaign=x&a=1' END) ||
+  (CASE WHEN doc_id % 4 = 0 THEN '#sec' || (doc_id % 7)::VARCHAR ELSE '' END) AS url
+FROM documents),
+p AS (SELECT doc_id,
+  lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+FROM u),
+hp AS (SELECT doc_id, scheme,
+  coalesce(regexp_extract(rest, '^([^/?]*)', 1), '') AS hostport,
+  substr(rest, length(coalesce(regexp_extract(rest, '^([^/?]*)', 1), '')) + 1) AS tail
+FROM p),
+parts AS (SELECT doc_id, scheme,
+  lower(coalesce(regexp_extract(hostport, '^([^:]*)', 1), '')) AS host,
+  coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+  coalesce(regexp_extract(tail, '^([^?]*)', 1), '') AS rawpath,
+  CASE WHEN instr(tail, '?') > 0 THEN regexp_replace(tail, '^[^?]*\?', '') ELSE '' END AS rawq
+FROM hp),
+canon AS (SELECT doc_id, scheme, host,
+  CASE WHEN port = '' OR port = (CASE WHEN scheme = 'http' THEN '80' WHEN scheme = 'https' THEN '443' ELSE '' END) THEN '' ELSE ':' || port END AS portpart,
+  regexp_replace(CASE WHEN rawpath = '' THEN '/' ELSE regexp_replace(rawpath, '/{2,}', '/', 'g') END, '(.)/$', '\1') AS path,
+  coalesce(array_to_string(list_sort(list_filter(string_split(rawq, '&'), x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=') AND x <> '')), '&'), '') AS q,
+  string_split(host, '.') AS labels
+FROM parts)
+SELECT doc_id,
+  scheme || '://' || host || portpart || path || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url,
+  CASE WHEN len(labels) <= 2 THEN host
+       WHEN len(labels) >= 3 AND regexp_matches(labels[len(labels)], '^[a-z]{2}$')
+            AND labels[len(labels) - 1] IN ('co', 'com', 'org', 'net', 'ac', 'gov', 'edu')
+         THEN labels[len(labels) - 2] || '.' || labels[len(labels) - 1] || '.' || labels[len(labels)]
+       ELSE labels[len(labels) - 1] || '.' || labels[len(labels)] END AS domain
+FROM canon ORDER BY doc_id""",
+
+    // q270: per-domain cap replayed as the per-domain salted-md5 window
+    // (the groupedRowNumber output is byte-identical to the window form)
+    "q270_domain_caps" ->
+      """WITH d AS (SELECT doc_id,
+  'site' || (doc_id % 37)::VARCHAR || '.' || (['com','org','co.uk','net'])[(doc_id % 4)::INT + 1] AS domain
+FROM documents),
+r AS (SELECT domain, row_number() OVER (PARTITION BY domain ORDER BY md5('cap:' || doc_id::VARCHAR), doc_id) AS rn FROM d)
+SELECT domain, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN rn <= 7 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  sum(CASE WHEN rn > 7 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM r GROUP BY domain ORDER BY domain""",
   )
 }

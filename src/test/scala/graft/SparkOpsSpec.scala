@@ -2396,6 +2396,41 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(coarse.agg(sum("cnt")).collect().head.getLong(0) == 400L)
   }
 
+  test("UrlOps: canonicalization edge cases and registrable domains") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq(
+      // case, default port, dup slashes, trailing slash, tracking params,
+      // param order, fragment — all collapse
+      ("HTTP://WWW.Example.COM:80/a//b///c/?utm_source=x&b=2&a=1#frag",
+        "http://www.example.com/a/b/c?a=1&b=2"),
+      // non-default port survives; root path keeps its slash
+      ("https://example.com:8443/", "https://example.com:8443/"),
+      // empty path canonicalizes to root
+      ("https://example.com", "https://example.com/"),
+      // empty query drops its '?'; fbclid/gclid are tracking params
+      ("http://h.io/p?", "http://h.io/p"),
+      ("https://h.io/p?fbclid=abc&x=1&gclid=2", "https://h.io/p?x=1"),
+      // 'utm' in a VALUE is not a tracking param
+      ("https://h.io/p?q=utm_test", "https://h.io/p?q=utm_test"),
+      // :443 on http is NOT the default — kept
+      ("http://h.io:443/p", "http://h.io:443/p"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.operators.UrlOps.canonicalizeUrl($"url")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    val domains = Seq(
+      ("sub.site.example.com", "example.com"),
+      ("a.co.uk", "a.co.uk"),
+      ("deep.x.y.ac.jp", "y.ac.jp"),
+      ("example.org", "example.org"),
+      ("localhost", "localhost"),
+      // 2-letter tld with a NON-suffix second level: plain last-2
+      ("www.site.de", "site.de"))
+    val gd = domains.map(_._1).toDF("h")
+      .select(graft.operators.UrlOps.registrableDomain($"h")).as[String].collect()
+    gd.zip(domains.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("split family (q139/q150/q152/q154): no per-stratum row_number window over corpus rows survives in any final plan") {
     import spark.implicits._
     val dir = tmpDir("graft_splitfam")
