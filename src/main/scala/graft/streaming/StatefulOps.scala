@@ -1040,6 +1040,9 @@ object StatefulOps {
     * exact verify at emit time, the in-memory AllPairs layout).
     */
   final case class PrefixBucketState(members: Seq[(Long, Long, Long, Seq[Long])])
+  /** [[PrefixBucketState]] with event-time epoch ms per member. */
+  final case class TimedPrefixBucketState(
+      members: Seq[(Long, Long, Long, Seq[Long], Long)])
 
   /** Streaming twin #17 — [[graft.operators.SetSimJoin.deltaJoin]]'s
     * nightly-delta semantics taken to per-arrival granularity: every
@@ -1056,28 +1059,69 @@ object StatefulOps {
     * full sets), so an element's bucket is visited only by docs carrying
     * it in their prefix. A pair sharing several prefix elements may emit
     * more than once (the [[streamingNearDupPairs]] multi-band contract —
-    * consumers read the pair SET); state grows with the indexed corpus
-    * like every KeepAll twin — a production stream bounds it with the
-    * [[EventWindow]] policy's watermark eviction.
+    * consumers read the pair SET). Retention is the [[Retention]] policy:
+    * `KeepAll` (whole-stream parity, state grows with the indexed corpus)
+    * or [[EventWindow]] (pairs only within the event-time window; members
+    * prune once the WATERMARK passes `ts + windowMs` — the exact moment no
+    * admissible arrival can still pair with them, the
+    * [[streamingNearDupPairs]] eviction argument verbatim — and idle
+    * buckets drop wholesale by event-time timeout, so state is O(docs per
+    * window + slack) per bucket).
     */
   def streamingSetSimPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, tau4: Long): Dataset[SetSimPair] = {
+      shingleN: Int, tau4: Long,
+      retention: Retention = KeepAll): Dataset[SetSimPair] = {
     require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
-    import docs.sparkSession.implicits._
+    retention match {
+      case KeepAll => keepAllSetSim(docs, idCol, textCol, shingleN, tau4)
+      case w: EventWindow => windowedSetSim(docs, idCol, textCol, shingleN, tau4, w)
+    }
+  }
+
+  /** Match filters shared by both retention paths: id inequality, length,
+    * exact-α positional; returns the verified pair when J ≥ τ.
+    */
+  private def setSimMatch(id: Long, sz: Long, pos: Long, toks: Seq[Long],
+      mid: Long, msz: Long, mpos: Long, mtoks: Seq[Long],
+      tau4: Long): Option[SetSimPair] = {
+    if (mid == id ||
+      math.min(sz, msz) * 10000L < tau4 * math.max(sz, msz) ||
+      (math.min(sz - pos, msz - mpos) + 1L) * (10000L + tau4) <
+        tau4 * (sz + msz)) return None
+    val inter = intersectSortedCount(toks, mtoks)
+    val uni = sz + msz - inter
+    if (inter * 10000L >= tau4 * uni)
+      Some(SetSimPair(math.min(id, mid), math.max(id, mid),
+        inter, uni, inter * 10000L / uni))
+    else None
+  }
+
+  /** Canonical sorted-hash sets + prefix explode (the batch operator's
+    * shapes under the df-free hash-ascending order), carrying `extra`
+    * columns (the event-time column for the windowed path).
+    */
+  private def setSimPrefix(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau4: Long, extra: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val sets = docs.select(col(idCol).cast("long").as("id"),
+    val sets = docs.select(Seq(col(idCol).cast("long").as("id"),
       sort_array(array_distinct(transform(
         graft.operators.Dedup.shinglesCol(col(textCol), shingleN),
-        g => xxhash64(g)))).as("toks"))
+        g => xxhash64(g)))).as("toks")) ++ extra.map(col): _*)
       .withColumn("sz", size(col("toks")).cast("long"))
-    val prefix = sets.select(col("id"), col("sz"), col("toks"),
+    sets.select(Seq(col("id"), col("sz"), col("toks")) ++ extra.map(col) :+
       posexplode(slice(col("toks"), lit(1),
         (col("sz") - floor((col("sz") * tau4 + lit(9999L)) / lit(10000L)) + lit(1L))
-          .cast("int"))).as(Seq("p0", "g")))
-      .select(col("g"), col("id"), col("sz"),
-        (col("p0") + 1).cast("long").as("pos"), col("toks"))
+          .cast("int"))).as(Seq("p0", "g")): _*)
+      .select(Seq(col("g"), col("id"), col("sz"),
+        (col("p0") + 1).cast("long").as("pos"), col("toks")) ++ extra.map(col): _*)
+  }
+
+  private def keepAllSetSim(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau4: Long): Dataset[SetSimPair] = {
+    import docs.sparkSession.implicits._
+    setSimPrefix(docs, idCol, textCol, shingleN, tau4, Nil)
       .as[(Long, Long, Long, Long, Seq[Long])]
-    prefix.groupByKey(_._1)
+      .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Long, rows: Iterator[(Long, Long, Long, Long, Seq[Long])],
          state: GroupState[PrefixBucketState]) =>
@@ -1085,21 +1129,50 @@ object StatefulOps {
           val out = Seq.newBuilder[SetSimPair]
           rows.foreach { case (_, id, sz, pos, toks) =>
             members.foreach { case (mid, msz, mpos, mtoks) =>
-              if (mid != id &&
-                math.min(sz, msz) * 10000L >= tau4 * math.max(sz, msz) &&
-                (math.min(sz - pos, msz - mpos) + 1L) * (10000L + tau4) >=
-                  tau4 * (sz + msz)) {
-                val inter = intersectSortedCount(toks, mtoks)
-                val uni = sz + msz - inter
-                if (inter * 10000L >= tau4 * uni)
-                  out += SetSimPair(math.min(id, mid), math.max(id, mid),
-                    inter, uni, inter * 10000L / uni)
-              }
+              setSimMatch(id, sz, pos, toks, mid, msz, mpos, mtoks, tau4)
+                .foreach(out += _)
             }
             members = members :+ ((id, sz, pos, toks))
           }
           state.update(PrefixBucketState(members))
           out.result().iterator
+      }
+  }
+
+  private def windowedSetSim(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau4: Long, w: EventWindow): Dataset[SetSimPair] = {
+    import docs.sparkSession.implicits._
+    setSimPrefix(docs.withWatermark(w.tsCol, w.watermarkDelay),
+      idCol, textCol, shingleN, tau4, Seq(w.tsCol))
+      .as[(Long, Long, Long, Long, Seq[Long], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, Long, Seq[Long], java.sql.Timestamp)],
+         state: GroupState[TimedPrefixBucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+            val out = Seq.newBuilder[SetSimPair]
+            rows.foreach { case (_, id, sz, pos, toks, ts) =>
+              val t = ts.getTime
+              members.foreach { case (mid, msz, mpos, mtoks, mts) =>
+                if (math.abs(t - mts) <= w.windowMs)
+                  setSimMatch(id, sz, pos, toks, mid, msz, mpos, mtoks, tau4)
+                    .foreach(out += _)
+              }
+              members = members :+ ((id, sz, pos, toks, t))
+            }
+            // prune on the WATERMARK, not the bucket max (the
+            // streamingNearDupPairs out-of-order entitlement argument): a
+            // member at ts can still pair until the watermark passes
+            // ts + windowMs; the current arrival always survives
+            members = members.filter(_._5 >= state.getCurrentWatermarkMs() - w.windowMs)
+            val newest = members.iterator.map(_._5).max
+            state.update(TimedPrefixBucketState(members))
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, newest + w.windowMs + 1))
+            out.result().iterator
+          }
       }
   }
 

@@ -208,6 +208,59 @@ class SetSimJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twin #17 EventWindow: pairs equal window-restricted batch under shuffled arrival; state shrinks by event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(226L)
+    // random event times in a 15 s spread; slack (60 s) exceeds the spread
+    // so shuffled arrival stays in-slack and every entitled pair must land
+    val base = corpus(45)
+    val docs = rnd.shuffle(base.map { case (id, text) =>
+      (id, text, new java.sql.Timestamp(3600000L + rnd.nextInt(15000)))
+    })
+    val windowMs = 4000L
+    val tau4 = 5000L
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StatefulOps.streamingSetSimPairs(
+      input.toDF().toDF("id", "text", "ts"), "id", "text", shingleN = 5,
+      tau4 = tau4, retention = graft.streaming.StatefulOps.EventWindow(
+        "ts", windowMs, watermarkDelay = "60 seconds"))
+      .writeStream.format("memory").queryName("ss_win")
+      .outputMode("append").start()
+    try {
+      var i = 0
+      while (i < docs.length) {
+        val n = math.min(1 + rnd.nextInt(4), docs.length - i)
+        input.addData(docs.slice(i, i + n): _*)
+        q.processAllAvailable()
+        i += n
+      }
+      val got = spark.table("ss_win")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val tsById = docs.map(d => d._1 -> d._3.getTime).toMap
+      val want = SetSimJoin
+        .selfJoin(base.toDF("id", "text"), "id", "text", shingleN = 5, tau4 = tau4)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+        .filter(p => math.abs(tsById(p._1) - tsById(p._2)) <= windowMs)
+      assert(want.nonEmpty, "window never bites — fixture drifted")
+      assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+      val before = q.lastProgress.stateOperators(0).numRowsTotal
+      // two far-future TINY docs (a handful of shingles each, so they add
+      // only a few buckets) advance the watermark; every old bucket times
+      // out wholesale, so state DROPS despite the additions
+      input.addData((9001L, "zxq wvu",
+        new java.sql.Timestamp(3600000L + 400000L)))
+      q.processAllAvailable()
+      input.addData((9002L, "pqy rst",
+        new java.sql.Timestamp(3600000L + 500000L)))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after < before,
+        s"state did not shrink: $after vs $before — event-time timeout dead")
+    } finally q.stop()
+  }
+
   test("deltaJoin equals selfJoin restricted to touching pairs — exact under the stale base-only order") {
     import spark.implicits._
     val docs = corpus(90).toDF("id", "text")
