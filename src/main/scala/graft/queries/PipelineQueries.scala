@@ -1662,6 +1662,42 @@ private[graft] object PipelineQueries {
           sum(when($"rn" > cap, 1L).otherwise(0L)).as("n_dropped"))
         .orderBy($"domain")
     }),
+
+
+    // HTML → visible-text extraction ([[graft.operators.HtmlOps]]) — the
+    // crawl ingestion step before every text operator: each document's
+    // text is ESCAPED into a synthetic page (script/style/noscript
+    // elements, comments, a title, block structure, the dominant
+    // entities) and the visible text + title are pulled back out through
+    // the scan-side regex chain. The ORACLE REBUILDS THE SAME PAGE in
+    // SQL and extracts INDEPENDENTLY with DuckDB's RE2 (which forced the
+    // hidden-element pattern to be a per-tag alternation — RE2 has no
+    // backreferences — and every DuckDB replace to carry 'g'), then both
+    // engines' md5s must agree — one divergent regex semantic anywhere
+    // flips the hash. All whole-stage-codegen Column ops; markup never
+    // leaves its scan task.
+    "q271_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      def esc(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(regexp_replace(c,
+          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2 && true;</script>"),
+        lit("<title> Doc "), $"doc_id", lit(" &amp; more </title>"),
+        lit("<style>p { color: red }</style></head><body><!-- id "),
+        $"doc_id", lit(" --><h1>Doc "), $"doc_id", lit("</h1><div id=\"c\">"),
+        esc($"text"),
+        lit("</div><p>footer &nbsp;&lt;tag&gt; &#39;q&#39; &amp;co</p>" +
+          "<noscript>js off</noscript></body></html>"))
+      t(s, dir, "documents").select($"doc_id", html.as("html"))
+        .select($"doc_id",
+          graft.operators.HtmlOps.htmlTitle($"html").as("title"),
+          graft.operators.HtmlOps.visibleText($"html").as("vis"))
+        .select($"doc_id", $"title",
+          length($"vis").cast("long").as("vis_n_chars"),
+          md5($"vis").as("vis_md5"))
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2347,5 +2383,37 @@ SELECT domain, count(*)::BIGINT AS n_docs,
   sum(CASE WHEN rn <= 7 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
   sum(CASE WHEN rn > 7 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
 FROM r GROUP BY domain ORDER BY domain""",
+
+    // q271: rebuild the same escaped page and extract independently with
+    // RE2 — named-replace() for fixed entities (DuckDB replace is global),
+    // 'g' on every regexp_replace, (?m) inline for the line trims
+    "q271_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+  '<html><head><script type="text/javascript">var x = 1 < 2 && true;</script>'
+  || '<title> Doc ' || doc_id::VARCHAR || ' &amp; more </title>'
+  || '<style>p { color: red }</style></head><body><!-- id ' || doc_id::VARCHAR
+  || ' --><h1>Doc ' || doc_id::VARCHAR || '</h1><div id="c">'
+  || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+  || '</div><p>footer &nbsp;&lt;tag&gt; &#39;q&#39; &amp;co</p><noscript>js off</noscript></body></html>' AS html
+FROM documents),
+st AS (SELECT doc_id, html,
+  regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<noscript\b[^>]*>.*?</noscript\s*>|<!--.*?-->', '', 'g') AS nohidden
+FROM h),
+tx AS (SELECT doc_id, html,
+  regexp_replace(regexp_replace(nohidden, '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\s*>|<br\s*/?>', chr(10), 'g'), '(?s)<[^>]*>', '', 'g') AS notags
+FROM st),
+de AS (SELECT doc_id, html,
+  replace(regexp_replace(replace(replace(replace(replace(notags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;|&apos;', '''', 'g'), '&amp;', '&') AS decoded
+FROM tx),
+vis AS (SELECT doc_id, html,
+  trim(regexp_replace(regexp_replace(regexp_replace(decoded, '[ \t\x0B\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'), '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS v
+FROM de),
+ti AS (SELECT doc_id, v,
+  replace(regexp_replace(replace(replace(replace(replace(
+    trim(regexp_replace(coalesce(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), ''), '\s+', ' ', 'g')),
+    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;|&apos;', '''', 'g'), '&amp;', '&') AS title
+FROM vis)
+SELECT doc_id, title, length(v)::BIGINT AS vis_n_chars, md5(v) AS vis_md5
+FROM ti ORDER BY doc_id""",
   )
 }

@@ -2431,6 +2431,31 @@ class SparkOpsSpec extends AnyFunSuite {
     gd.zip(domains.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
+  test("HtmlOps: hidden elements, block newlines, entity single-pass, title fallback") {
+    import spark.implicits._
+    val cases = Seq(
+      // script/style/noscript content and comments are never visible;
+      // block closers become line breaks; inline tags vanish silently
+      ("<HTML><ScRiPt>alert('x < y')</sCrIpT><p>one <b>bold</b></p><div>two</div></HTML>",
+        "one bold\ntwo"),
+      // single-pass entities: &amp;lt; is the LITERAL '&lt;', not '<'
+      ("<p>a &amp;lt; b &lt; c &nbsp; d &#39;e&apos;</p>", "a &lt; b < c d 'e'"),
+      // <br> variants break lines; blank runs collapse; edges trim
+      ("<div>  x<br>y<BR/>z  </div>\n\n", "x\ny\nz"),
+      // unknown numeric refs pass through (disclosed scope)
+      ("<p>deg &#176; stays</p>", "deg &#176; stays"))
+    val got = cases.map(_._1).toDF("h")
+      .select(graft.operators.HtmlOps.visibleText($"h")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"[$g] != [$w]") }
+    val titles = Seq(
+      ("<head><title>  A &amp; B  </title></head>", "A & B"),
+      ("<head><TITLE lang=\"en\">x</TITLE></head>", "x"),
+      ("<head>no title here</head>", ""))
+    val gt = titles.map(_._1).toDF("h")
+      .select(graft.operators.HtmlOps.htmlTitle($"h")).as[String].collect()
+    gt.zip(titles.map(_._2)).foreach { case (g, w) => assert(g == w, s"[$g] != [$w]") }
+  }
+
   test("split family (q139/q150/q152/q154): no per-stratum row_number window over corpus rows survives in any final plan") {
     import spark.implicits._
     val dir = tmpDir("graft_splitfam")
