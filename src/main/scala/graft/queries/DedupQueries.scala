@@ -628,6 +628,33 @@ private[graft] object DedupQueries {
     }),
 
 
+    // Winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken SIGMOD'03,
+    // the MOSS algorithm — [[graft.operators.Winnowing]]): per-window
+    // minimum gram hashes with the GUARANTEE that any ≥ w+k−1-char shared
+    // substring fingerprints identically in both documents at any offsets
+    // — the local-overlap detector MinHash can miss and span-dedup only
+    // catches position-aligned. Runs over the q215 window corpus
+    // (overlapping windows of one doc genuinely share local stretches);
+    // pair generation is fingerprint-bucketed behind the df ≤ 64
+    // boilerplate guard, never all-pairs. The oracle replays gram
+    // hashing, window minima, the df cap and the bucket join in SQL.
+    "q272_winnowing_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val win = t(s, dir, "documents")
+        .filter($"doc_id" < 200)
+        .withColumn("stride", greatest(lit(1L), floor(length($"text") / lit(8.0))))
+        .withColumn("wlen", greatest(lit(4L), floor(length($"text") / lit(2.0))))
+        .select(($"doc_id" * 3).as("base"), $"text", $"stride", $"wlen",
+          explode(sequence(lit(0L), lit(2L))).as("w"))
+        .select(($"base" + $"w").as("win_id"),
+          $"text".substr(($"w" * $"stride" + 1).cast("int"), $"wlen".cast("int")).as("wtext"))
+      val fps = graft.operators.Winnowing
+        .fingerprints(win, "win_id", "wtext", k = 5, w = 4)
+      graft.operators.Winnowing.overlapPairs(fps, minShared = 8, maxDf = 64)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+
     // Blocked record linkage (entity resolution): a deterministic "dirty
     // feed" — every customer name with one digit deleted at a key-derived
     // position — is linked back to the clean table via rarest-2 q-gram
@@ -1112,6 +1139,20 @@ ORDER BY th.t4""",
 s AS (SELECT win_id, list_distinct(CASE WHEN length(wtext) < 5 THEN [wtext] ELSE list_transform(range(1, length(wtext)-3), i -> substr(wtext, i, 5)) END) AS sh FROM win),
 p AS (SELECT a.win_id AS id_a, b.win_id AS id_b, len(list_intersect(a.sh, b.sh))::BIGINT AS inter, (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS uni FROM s a JOIN s b ON a.win_id < b.win_id)
 SELECT id_a, id_b, inter, uni, inter * 10000 // uni AS jac4 FROM p WHERE inter * 10000 >= 5000 * uni ORDER BY id_a, id_b""",
+
+    // q272: gram hashes, per-window minima (ROWS frames over per-doc
+    // positions), the short-doc maximal-window exception, the df <= 64
+    // cap and the fingerprint-bucket pair join, all replayed in SQL
+    "q272_winnowing_overlap" ->
+      """WITH win AS (SELECT doc_id*3 + w AS win_id, substr(text, 1 + w*greatest(1, cast(floor(length(text)/8.0) AS BIGINT)), greatest(4, cast(floor(length(text)/2.0) AS BIGINT))) AS wtext FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200), (SELECT unnest([0,1,2]) AS w)),
+g0 AS (SELECT win_id, i, CASE WHEN length(wtext) < 5 THEN wtext ELSE substr(wtext, i::INT, 5) END AS g FROM (SELECT win_id, wtext, unnest(range(1, greatest(2, length(wtext)-3))) AS i FROM win)),
+h0 AS (SELECT win_id, i, ('0x' || substr(md5('win:' || g), 1, 15))::BIGINT AS h, count(*) OVER (PARTITION BY win_id) AS n FROM g0),
+fpw AS (SELECT win_id, i, n, min(h) OVER (PARTITION BY win_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS f FROM h0),
+fp AS (SELECT DISTINCT win_id, f AS fp FROM fpw WHERE i >= least(4, n)),
+dfc AS (SELECT fp, count(*)::BIGINT AS df FROM fp GROUP BY fp),
+rare AS (SELECT f.win_id, f.fp FROM fp f JOIN dfc USING (fp) WHERE df <= 64),
+pr AS (SELECT a.win_id AS id_a, b.win_id AS id_b, count(*)::BIGINT AS n_shared FROM rare a JOIN rare b ON a.fp = b.fp AND a.win_id < b.win_id GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 8 ORDER BY id_a, id_b""",
 
 
     // q216: full algorithm replay — deterministic mangle, distinct q-grams

@@ -2431,6 +2431,42 @@ class SparkOpsSpec extends AnyFunSuite {
     gd.zip(domains.map(_._2)).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
+  test("Winnowing: the detection guarantee, density bound, short docs, and the df cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val k = 5; val w = 4
+    // two docs sharing a 60-char stretch at DIFFERENT offsets, otherwise
+    // character-disjoint — the guarantee: a shared substring of length
+    // >= w + k - 1 = 8 fingerprints identically in both
+    val shared = "the quick brown fox jumps over the lazy dog once again ok"
+    val a = "AAAAAAAAAAAAAAAAAAAA " + shared + " BBBBBBBBBBBB"
+    val b = "cccccccc " + shared + " dddddddddddddddddddddddddd"
+    val docs = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val fps = graft.operators.Winnowing.fingerprints(docs, "id", "text", k, w)
+      .localCheckpoint(false)
+    val byId = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (i, xs) => i -> xs.map(_._2).toSet }
+    assert(byId(1L).intersect(byId(2L)).nonEmpty,
+      "shared 60-char stretch produced no common fingerprint")
+    // density: distinct fingerprints are a small fraction of the gram
+    // stream (the ~2/(w+1) bound, with slack for distinct-collapse)
+    val nGrams = a.length - k + 1
+    assert(byId(1L).size <= nGrams * 2 / (w + 1) + 2,
+      s"density ${byId(1L).size} of $nGrams grams exceeds the winnowing bound")
+    // a doc shorter than k yields exactly its single short-gram fingerprint
+    val tiny = graft.operators.Winnowing.fingerprints(
+      Seq((9L, "abc")).toDF("id", "text"), "id", "text", k, w).collect()
+    assert(tiny.length == 1 && tiny.head.getLong(0) == 9L)
+    // df cap: a fingerprint present in MANY docs never builds pairs
+    val many = (0 until 12).map(i => (100L + i, "zz " + shared + s" unique$i tail"))
+      .toDF("id", "text")
+    val mfps = graft.operators.Winnowing.fingerprints(many, "id", "text", k, w)
+    val capped = graft.operators.Winnowing.overlapPairs(mfps, minShared = 1, maxDf = 4)
+    val uncapped = graft.operators.Winnowing.overlapPairs(mfps, minShared = 1, maxDf = 1000)
+    assert(capped.count() < uncapped.count(),
+      "df cap did not prune hot-fingerprint pairs")
+  }
+
   test("HtmlOps: hidden elements, block newlines, entity single-pass, title fallback") {
     import spark.implicits._
     val cases = Seq(
