@@ -94,6 +94,13 @@ object Batching {
     * arbitrary tie order. `outCount` additionally emits the group size —
     * replacing the companion `count() OVER (PARTITION BY stratum)` window
     * for free (the agg already carries it).
+    *
+    * The spans relation is group-count-sized, which is usually tiny (split
+    * strata) but can be millions of rows when the group key is
+    * high-cardinality (registrable domains at crawl scale) — so the join is
+    * NOT broadcast-hinted; AQE observes the actual aggregate size at runtime
+    * and broadcasts exactly when it fits, falling back to a shuffled join
+    * when it doesn't.
     */
   def groupedRowNumber(
       df: DataFrame, groupCols: Seq[String], ord: Seq[Column], numPartitions: Int,
@@ -102,7 +109,7 @@ object Batching {
     val ranked = globalRowNumber(df, keys, numPartitions, "__grn")
     val spans = ranked.groupBy(groupCols.map(col): _*)
       .agg(min(col("__grn")).as("__gstart"), count(lit(1)).as("__gn"))
-    val joined = ranked.join(broadcast(spans), groupCols)
+    val joined = ranked.join(spans, groupCols)
       .withColumn(out, (col("__grn") - col("__gstart") + 1L).cast("long"))
     outCount.fold(joined)(n => joined.withColumn(n, col("__gn")))
       .drop("__grn", "__gstart", "__gn")

@@ -921,6 +921,25 @@ object ContainerMeta {
       r
     }
 
+    /** Page CRC per RFC 3533 §6: the 4 CRC-field bytes are fed as zeros
+      * WITHOUT mutating the caller's buffer — the input may be a shared
+      * Spark-row byte array parsed concurrently, and in-place zero/restore
+      * is neither thread- nor exception-safe. `zeroFrom` is the absolute
+      * offset of the CRC field (page start + 22).
+      */
+    private[operators] def crcZeroed(
+        b: Array[Byte], from: Int, len: Int, zeroFrom: Int): Int = {
+      var r = 0
+      var i = from
+      val end = from + len
+      while (i < end) {
+        val v = if (i >= zeroFrom && i < zeroFrom + 4) 0 else b(i) & 0xFF
+        r = (r << 8) ^ CrcTable(((r >>> 24) ^ v) & 0xFF)
+        i += 1
+      }
+      r
+    }
+
     private def leU32(b: Array[Byte], i: Int): Long =
       (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
         ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
@@ -1000,15 +1019,10 @@ object ContainerMeta {
             while (s < nSegs) { payload += bytes(pos + 27 + s) & 0xFF; s += 1 }
             if (pos + hdrLen + payload > bytes.length) { pos += 1 }
             else {
-              // CRC check with the crc field zeroed (RFC 3533 §6)
+              // CRC check with the crc field zeroed (RFC 3533 §6) —
+              // computed without touching the caller's buffer
               val want = leU32(bytes, pos + 22).toInt
-              val save = Array(bytes(pos + 22), bytes(pos + 23),
-                bytes(pos + 24), bytes(pos + 25))
-              bytes(pos + 22) = 0; bytes(pos + 23) = 0
-              bytes(pos + 24) = 0; bytes(pos + 25) = 0
-              val got = crc(bytes, pos, hdrLen + payload)
-              bytes(pos + 22) = save(0); bytes(pos + 23) = save(1)
-              bytes(pos + 24) = save(2); bytes(pos + 25) = save(3)
+              val got = crcZeroed(bytes, pos, hdrLen + payload, pos + 22)
               if (got != want) { pos += 1 }
               else {
                 nPages += 1

@@ -47,12 +47,16 @@ object QuantileNorm {
     else {
       // q127 ladder: centi-unit binary length ⇒ power-of-two buckets,
       // re-aggregated FROM the histogram (no second corpus scan); the
-      // bucket's lower bound stands in for v from here on
+      // bucket's lower bound stands in for v from here on. Centi-unit 0
+      // (v < 0.01) gets its OWN bucket with lower bound 0 — bin(0) has
+      // length 1 like bin(1), and folding sub-0.01 values into the
+      // [0.01,0.02) bucket would misreport their lower bound as 1.
       hist0
-        .withColumn("bkt",
-          length(bin(greatest(floor(col("v") * 100.0).cast("long"), lit(0L)))))
+        .withColumn("cu", greatest(floor(col("v") * 100.0).cast("long"), lit(0L)))
+        .withColumn("bkt", length(bin(col("cu"))))
         .groupBy(col("source"),
-          expr("shiftleft(cast(1 as bigint), bkt - 1)").as("v"))
+          expr("if(cu = 0, cast(0 as bigint), shiftleft(cast(1 as bigint), bkt - 1))")
+            .as("v"))
         .agg(sum(col("cnt")).as("cnt"))
         .localCheckpoint(false)
     }

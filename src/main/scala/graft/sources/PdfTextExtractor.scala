@@ -469,8 +469,6 @@ object PdfTextExtractor {
 
   // ---- stage 2c: Identity-H / ToUnicode CMaps ------------------------------
 
-  private val ObjSpanRe =
-    """(?s)(\d+)\s+\d+\s+obj((?:(?!endobj).)*?)endobj""".r
   private val Type0Re = """/Subtype\s*/Type0""".r
   private val ToUnicodeRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
   private val IdentityHRe = """/Encoding\s*/Identity-H""".r
@@ -479,6 +477,43 @@ object PdfTextExtractor {
   private val HexTokRe = """<([0-9A-Fa-f]+)>|\[|\]""".r
   private val BfCharRe = """(?s)beginbfchar(.*?)endbfchar""".r
   private val BfRangeRe = """(?s)beginbfrange(.*?)endbfrange""".r
+
+  /** `N G obj … endobj` span walk by plain `indexOf` — linear in the
+    * document. (The previous whole-document regex with a per-character
+    * negative-lookahead lazy loop backtracked quadratically on large
+    * Identity-H PDFs with long streams — an executor-task stall, not a
+    * correctness bug.) Each hit is validated as a real object header by
+    * scanning the `N G ` prefix backwards; `obj` inside `endobj` fails
+    * the preceding-whitespace check and is skipped.
+    */
+  private[graft] def objSpans(text: String): List[(Int, String)] = {
+    val out = List.newBuilder[(Int, String)]
+    var pos = 0
+    while ({ pos = text.indexOf("obj", pos); pos >= 0 }) {
+      val afterOk = pos + 3 >= text.length ||
+        !Character.isLetterOrDigit(text.charAt(pos + 3))
+      var num = -1
+      if (afterOk && pos > 0 && Character.isWhitespace(text.charAt(pos - 1))) {
+        var i = pos - 1
+        while (i >= 0 && Character.isWhitespace(text.charAt(i))) i -= 1
+        val genEnd = i
+        while (i >= 0 && Character.isDigit(text.charAt(i))) i -= 1
+        if (i < genEnd && i >= 0 && Character.isWhitespace(text.charAt(i))) {
+          while (i >= 0 && Character.isWhitespace(text.charAt(i))) i -= 1
+          val numEnd = i
+          while (i >= 0 && Character.isDigit(text.charAt(i))) i -= 1
+          if (i < numEnd && numEnd - i <= 9)
+            num = text.substring(i + 1, numEnd + 1).toInt
+        }
+      }
+      if (num >= 0) {
+        val end = text.indexOf("endobj", pos + 3)
+        if (end < 0) { out += ((num, text.substring(pos + 3))); pos = text.length }
+        else { out += ((num, text.substring(pos + 3, end))); pos = end + 6 }
+      } else pos += 3
+    }
+    out.result()
+  }
 
   /** Resource-name → CID-to-text map for every `/Type0` + `/Identity-H`
     * font with a `/ToUnicode` stream, resolved over the same byte scan
@@ -492,13 +527,13 @@ object PdfTextExtractor {
     // cheap bail: no Type0 machinery in the file
     if (indexOf(bytes, "Identity-H", 0) < 0) return Map.empty
     val text = new String(bytes, "ISO-8859-1")
-    // font object number → ToUnicode stream object number
-    val toUni = ObjSpanRe.findAllMatchIn(text).flatMap { m =>
-      val body = m.group(2)
+    // font object number → ToUnicode stream object number; the three
+    // regexes run only over each bounded obj body, never the whole file
+    val toUni = objSpans(text).flatMap { case (num, body) =>
       if (Type0Re.findFirstIn(body).isEmpty ||
         IdentityHRe.findFirstIn(body).isEmpty) None
       else ToUnicodeRe.findFirstMatchIn(body)
-        .map(t => m.group(1).toInt -> t.group(1).toInt)
+        .map(t => num -> t.group(1).toInt)
     }.toMap
     if (toUni.isEmpty) return Map.empty
     // resource name → font object number (first binding wins)

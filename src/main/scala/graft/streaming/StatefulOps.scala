@@ -1167,10 +1167,18 @@ object StatefulOps {
             // member at ts can still pair until the watermark passes
             // ts + windowMs; the current arrival always survives
             members = members.filter(_._5 >= state.getCurrentWatermarkMs() - w.windowMs)
-            val newest = members.iterator.map(_._5).max
-            state.update(TimedPrefixBucketState(members))
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs() + 1, newest + w.windowMs + 1))
+            if (members.isEmpty) {
+              // every arrival this batch was itself sub-watermark (whether
+              // late rows reach the function is Spark-version-dependent) —
+              // nothing can pair again, so drop the state instead of
+              // calling .max on an empty collection
+              state.remove()
+            } else {
+              val newest = members.iterator.map(_._5).max
+              state.update(TimedPrefixBucketState(members))
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, newest + w.windowMs + 1))
+            }
             out.result().iterator
           }
       }
