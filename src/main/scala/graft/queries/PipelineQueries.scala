@@ -1698,6 +1698,43 @@ private[graft] object PipelineQueries {
           md5($"vis").as("vis_md5"))
         .orderBy($"doc_id")
     }),
+
+
+    // WARC ingestion — the crawl chain closed AT THE BYTES
+    // ([[graft.sources.WarcReader]]): the documents table is synthesized
+    // into canonical `.warc.gz` blobs (one gzip member per record:
+    // warcinfo, then request+response pairs, real GZIPOutputStream
+    // bytes), and the reader walks them back — member-wise inflate with
+    // per-member CRC32/ISIZE verification, WARC/1.0 header-field walk,
+    // Content-Length block extraction, HTTP status-line/header split —
+    // then feeds EXACTLY the operators a real crawl feeds: q269's
+    // canonicalizer on WARC-Target-URI and q271's visible-text
+    // extraction on the text/html payloads. The oracle re-derives every
+    // output closed-form from documents (gzip is not replayable in SQL;
+    // one corrupted byte anywhere in build→compress→inflate→record-walk
+    // →HTTP-split→extract flips a hash). Archive bytes never leave their
+    // scan task — only record columns shuffle.
+    "q273_warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = graft.sources.WarcReader.buildFixture(t(s, dir, "documents"))
+      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      val isHtml = $"content_type".startsWith("text/html")
+      recs.filter($"warc_type" === "response")
+        .withColumn("canon_url",
+          graft.operators.UrlOps.canonicalizeUrl($"target_uri"))
+        .withColumn("body", decode($"payload", "UTF-8"))
+        .withColumn("vis", when(isHtml,
+          graft.operators.HtmlOps.visibleText($"body")).otherwise(""))
+        .select($"canon_url",
+          $"http_status".cast("long").as("http_status"),
+          $"content_type",
+          length($"payload").cast("long").as("payload_n_bytes"),
+          when(isHtml, graft.operators.HtmlOps.htmlTitle($"body"))
+            .otherwise("").as("title"),
+          length($"vis").cast("long").as("vis_n_chars"),
+          when(isHtml, md5($"vis")).otherwise("").as("vis_md5"))
+        .orderBy($"canon_url")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2415,5 +2452,34 @@ ti AS (SELECT doc_id, v,
 FROM vis)
 SELECT doc_id, title, length(v)::BIGINT AS vis_n_chars, md5(v) AS vis_md5
 FROM ti ORDER BY doc_id""",
+
+    // q273: gzip/WARC bytes are not replayable in SQL, so the oracle
+    // re-derives every emitted column closed-form from documents — the
+    // canonical URL directly (q269 cross-checks the canonicalizer), the
+    // page rebuilt and its visible text re-extracted with DuckDB's RE2
+    // (the q271 chain on this page's shape)
+    "q273_warc_ingest" ->
+      """WITH d AS (SELECT doc_id, text,
+  'https://site' || (doc_id % 37)::VARCHAR || '.' || (['com','org','co.uk','net'])[(doc_id % 4)::INT + 1] || '/p/' || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR AS canon_url,
+  CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS st,
+  '<html><head><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p></body></html>' AS html
+FROM documents),
+tx AS (SELECT doc_id, canon_url, st, html,
+  regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<noscript\b[^>]*>.*?</noscript\s*>|<!--.*?-->', '', 'g'), '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\s*>|<br\s*/?>', chr(10), 'g'), '(?s)<[^>]*>', '', 'g') AS notags
+FROM d),
+de AS (SELECT doc_id, canon_url, st, html,
+  replace(regexp_replace(replace(replace(replace(replace(notags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;|&apos;', '''', 'g'), '&amp;', '&') AS decoded
+FROM tx),
+vis AS (SELECT doc_id, canon_url, st, html,
+  trim(regexp_replace(regexp_replace(regexp_replace(decoded, '[ \t\x0B\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'), '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS v
+FROM de)
+SELECT canon_url,
+  st::BIGINT AS http_status,
+  CASE WHEN st = 200 THEN 'text/html; charset=UTF-8' ELSE 'text/plain' END AS content_type,
+  CASE WHEN st = 200 THEN octet_length(encode(html)) ELSE 10 END::BIGINT AS payload_n_bytes,
+  CASE WHEN st = 200 THEN 'Doc ' || doc_id::VARCHAR ELSE '' END AS title,
+  CASE WHEN st = 200 THEN length(v) ELSE 0 END::BIGINT AS vis_n_chars,
+  CASE WHEN st = 200 THEN md5(v) ELSE '' END AS vis_md5
+FROM vis ORDER BY canon_url""",
   )
 }

@@ -117,6 +117,66 @@ object CompressedText {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"${b & 0xff}%02x").mkString
 
+  /** Split a CONCATENATED-member gzip stream (RFC 1952 §2.2 — "a gzip
+    * file consists of a series of members") into one decompressed byte
+    * array per member, each member's trailer CRC32 and ISIZE verified.
+    * This is the decode shape `.warc.gz` crawls standardize on (one gzip
+    * member per WARC record, so a reader can split work at member
+    * boundaries without inflating the whole file): `GZIPInputStream`
+    * transparently concatenates members and loses the boundaries, so
+    * this walks headers by hand and inflates each member with a raw
+    * `Inflater(nowrap)`, using `getRemaining` to find where the next
+    * member starts. Any malformed member (bad magic, CRC, or truncated
+    * trailer) ends the walk — members already decoded are returned, the
+    * tail is dropped (never silent garbage).
+    */
+  def gzipMembers(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    var ok = true
+    while (ok && pos + 18 <= bytes.length &&
+      (bytes(pos) & 0xFF) == 0x1f && (bytes(pos + 1) & 0xFF) == 0x8b &&
+      (bytes(pos + 2) & 0xFF) == 8) {
+      val flg = bytes(pos + 3) & 0xFF
+      var ds = pos + 10 // fixed header: magic, CM, FLG, MTIME(4), XFL, OS
+      try {
+        if ((flg & 4) != 0) { // FEXTRA: XLEN little-endian + payload
+          val xlen = (bytes(ds) & 0xFF) | ((bytes(ds + 1) & 0xFF) << 8)
+          ds += 2 + xlen
+        }
+        if ((flg & 8) != 0) { while (bytes(ds) != 0) ds += 1; ds += 1 } // FNAME
+        if ((flg & 16) != 0) { while (bytes(ds) != 0) ds += 1; ds += 1 } // FCOMMENT
+        if ((flg & 2) != 0) ds += 2 // FHCRC
+        val inf = new java.util.zip.Inflater(true)
+        inf.setInput(bytes, ds, bytes.length - ds)
+        val bo = new ByteArrayOutputStream(8192)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n > 0) bo.write(buf, 0, n)
+          else if (inf.needsInput() || inf.needsDictionary())
+            throw new java.util.zip.DataFormatException("truncated member")
+        }
+        val deflateEnd = ds + (bytes.length - ds - inf.getRemaining)
+        inf.end()
+        if (deflateEnd + 8 > bytes.length)
+          throw new java.util.zip.DataFormatException("truncated trailer")
+        val member = bo.toByteArray
+        val crc = new java.util.zip.CRC32
+        crc.update(member)
+        def le32(i: Int): Long =
+          (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+            ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+        if (le32(deflateEnd) != crc.getValue ||
+          le32(deflateEnd + 4) != (member.length & 0xFFFFFFFFL))
+          throw new java.util.zip.DataFormatException("CRC/ISIZE mismatch")
+        out += member
+        pos = deflateEnd + 8
+      } catch { case _: Exception => ok = false }
+    }
+    out.result()
+  }
+
   // ---------------------------------------------------------------------
   // zip containers (APPNOTE.TXT): multi-entry archives
   // ---------------------------------------------------------------------

@@ -1,0 +1,288 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC/1.x source — the format a real 100 TB crawl actually arrives in
+  * (Common Crawl, Internet Archive: ISO 28500). The reference ingests a
+  * hand-typed URL list (`pipeline1.py:922`); a crawl-scale pipeline's
+  * FIRST operator is "walk the WARC, give me (url, status, content-type,
+  * payload)" — everything downstream ([[graft.operators.UrlOps]]
+  * canonicalization, [[graft.operators.HtmlOps]] extraction, quality,
+  * dedup) consumes what this emits.
+  *
+  * Format notes (ISO 28500 §4-6, the `warc.paths` convention):
+  *   - a `.warc.gz` is a SERIES of gzip members, canonically one member
+  *     per record, so readers can split work at member boundaries —
+  *     [[CompressedText.gzipMembers]] does the member-wise inflate with
+  *     per-member CRC32/ISIZE verification;
+  *   - each record: `WARC/1.x␍␊`, named header fields (`WARC-Type`,
+  *     `WARC-Target-URI`, `Content-Type`, mandatory `Content-Length`), a
+  *     blank line, then exactly `Content-Length` block bytes, then
+  *     `␍␊␍␊`;
+  *   - a `response` record's block with `Content-Type:
+  *     application/http` is itself an HTTP/1.1 message: status line +
+  *     headers + `␍␊␍␊` + payload. The HTTP `Content-Type` header (not
+  *     the WARC one) is the payload's media type.
+  *
+  * Scale shape: the unit of parallelism is the WARC blob (a row of a
+  * binary column — in production `spark.read.format("binaryFile")` over
+  * a `.warc.gz` directory lands each file in one scan task); records
+  * explode INSIDE the scan task via `mapPartitions`, so raw archive
+  * bytes never shuffle — only the emitted record columns do, and the
+  * payload column is dropped by column pruning whenever the query
+  * derives scan-side features (the q271 contract). Malformed members or
+  * records are skipped, never fatal — a crawl at this size always
+  * contains some.
+  */
+object WarcReader {
+
+  /** One parsed WARC record. `httpStatus`/`httpContentType` are filled
+    * only for `application/http` blocks; `payload` is the HTTP body for
+    * those, the raw block otherwise.
+    */
+  final case class WarcRecord(
+      warcType: String, targetUri: String, warcContentType: String,
+      httpStatus: Int, httpContentType: String, payload: Array[Byte])
+
+  /** Walk every record of a `.warc.gz` (or uncompressed `.warc`) blob.
+    * Uncompressed input (no gzip magic) is treated as one member; a
+    * member may hold several records (non-canonical but legal).
+    */
+  def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val members =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1f &&
+        (bytes(1) & 0xFF) == 0x8b) CompressedText.gzipMembers(bytes)
+      else Seq(bytes)
+    members.flatMap(memberRecords)
+  }
+
+  private def memberRecords(m: Array[Byte]): Seq[WarcRecord] = {
+    val out = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    var ok = true
+    while (ok && pos < m.length) {
+      // skip inter-record CRLFs
+      while (pos < m.length && (m(pos) == '\r' || m(pos) == '\n')) pos += 1
+      if (pos >= m.length) ok = false
+      else parseOne(m, pos) match {
+        case Some((rec, next)) => out += rec; pos = next
+        case None => ok = false // malformed tail: keep what parsed
+      }
+    }
+    out.result()
+  }
+
+  /** One record at `pos`: version line, header fields to the blank line,
+    * `Content-Length` block bytes. Returns the record and the offset
+    * just past its block.
+    */
+  private def parseOne(m: Array[Byte], pos: Int): Option[(WarcRecord, Int)] = {
+    val headEnd = indexOfDoubleCrlf(m, pos)
+    if (headEnd < 0) return None
+    val head = new String(m, pos, headEnd - pos, ISO_8859_1)
+    val lines = head.split("\r\n")
+    if (lines.isEmpty || !lines(0).startsWith("WARC/")) return None
+    var warcType = ""
+    var uri = ""
+    var ct = ""
+    var len = -1L
+    var i = 1
+    while (i < lines.length) {
+      val line = lines(i)
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val k = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val v = line.substring(c + 1).trim
+        k match {
+          case "warc-type" => warcType = v
+          case "warc-target-uri" => uri = v
+          case "content-type" => ct = v
+          case "content-length" =>
+            len = try v.toLong catch { case _: NumberFormatException => -1L }
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    val blockStart = headEnd + 4
+    if (len < 0 || blockStart + len > m.length) return None
+    val block = java.util.Arrays.copyOfRange(m, blockStart, blockStart + len.toInt)
+    val rec =
+      if (ct.startsWith("application/http")) {
+        val (status, httpCt, body) = splitHttp(block)
+        WarcRecord(warcType, uri, ct, status, httpCt, body)
+      } else WarcRecord(warcType, uri, ct, 0, "", block)
+    Some((rec, blockStart + len.toInt))
+  }
+
+  /** HTTP/1.1 message block → (status, Content-Type header, body).
+    * Requests (no status line) report status 0.
+    */
+  private def splitHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
+    val headEnd = indexOfDoubleCrlf(block, 0)
+    if (headEnd < 0) return (0, "", block)
+    val head = new String(block, 0, headEnd, ISO_8859_1)
+    val lines = head.split("\r\n")
+    val status =
+      if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+        val parts = lines(0).split(" ")
+        if (parts.length >= 2)
+          try parts(1).toInt catch { case _: NumberFormatException => 0 }
+        else 0
+      } else 0
+    val ct = lines.drop(1).collectFirst {
+      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
+        l.substring(l.indexOf(':') + 1).trim
+    }.getOrElse("")
+    (status, ct, java.util.Arrays.copyOfRange(block, headEnd + 4, block.length))
+  }
+
+  private def indexOfDoubleCrlf(b: Array[Byte], from: Int): Int = {
+    var i = from
+    val end = b.length - 3
+    while (i <= end) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Explode a binary WARC column into one row per record, keeping the
+    * input columns. Output record columns: `warc_type`, `target_uri`,
+    * `warc_content_type`, `http_status`, `content_type`, `payload`.
+    */
+  def records(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("warc_type", StringType, nullable = false),
+      StructField("target_uri", StringType, nullable = false),
+      StructField("warc_content_type", StringType, nullable = false),
+      StructField("http_status", IntegerType, nullable = false),
+      StructField("content_type", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        parse(row.getAs[Array[Byte]](binIdx)).map { r =>
+          Row.fromSeq(row.toSeq ++ Seq[Any](r.warcType, r.targetUri,
+            r.warcContentType, r.httpStatus, r.httpContentType, r.payload))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ---------------------------------------------------------------------
+  // fixture builder (test-scale by design: a real corpus ARRIVES as
+  // .warc.gz files; this synthesizes them deterministically from the
+  // documents table so the oracle can re-derive every output closed-form)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic messy URL per doc — exercises the [[graft.operators
+    * .UrlOps]] canonicalizer steps (host case, `//` path, tracking
+    * param) with a closed-form canonical target the SQL oracle writes
+    * directly: `https://site{id%37}.{tld}/p/{id}?id={id}`.
+    */
+  private[graft] def fixtureUrl(docId: Long): String = {
+    val tld = Array("com", "org", "co.uk", "net").apply((docId % 4).toInt)
+    s"https://Site${docId % 37}.$tld/p//$docId?utm_source=w&id=$docId"
+  }
+
+  /** docs with `doc_id % 17 == 0` 404; everything else 200 text/html. */
+  private[graft] def fixtureStatus(docId: Long): Int =
+    if (docId % 17 == 0) 404 else 200
+
+  /** The q271 page shape reduced to one title/h1/p skeleton; `text` is
+    * entity-escaped exactly as the q271 oracle escapes it in SQL.
+    */
+  private[graft] def fixtureHtml(docId: Long, text: String): String = {
+    val esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    s"<html><head><title>Doc $docId</title></head><body>" +
+      s"<h1>Doc $docId</h1><p>$esc</p></body></html>"
+  }
+
+  private def gz(record: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(record.length / 2 + 32)
+    val g = new GZIPOutputStream(bos)
+    g.write(record)
+    g.close()
+    bos.toByteArray
+  }
+
+  private def warcRecord(tpe: String, uri: String, ct: String,
+      block: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(256)
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(tpe).append("\r\n")
+    if (uri.nonEmpty) sb.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    sb.append("WARC-Record-ID: <urn:graft:").append(tpe).append(':')
+      .append(uri).append(">\r\n")
+    sb.append("Content-Type: ").append(ct).append("\r\n")
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(ISO_8859_1)
+    val out = new ByteArrayOutputStream(head.length + block.length + 4)
+    out.write(head)
+    out.write(block)
+    out.write("\r\n\r\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  private def httpResponse(status: Int, ct: String, body: Array[Byte]): Array[Byte] = {
+    val reason = if (status == 200) "OK" else "Not Found"
+    val head = (s"HTTP/1.1 $status $reason\r\nContent-Type: $ct\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1)
+    val out = new ByteArrayOutputStream(head.length + body.length)
+    out.write(head)
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Build `(shard, warc)` blobs from the documents table: each shard
+    * (`doc_id % nShards`) becomes one `.warc.gz` byte array — a leading
+    * `warcinfo` member, then per doc (ascending `doc_id`) a `request` +
+    * `response` member pair, each record its own gzip member (the
+    * canonical Common-Crawl layout). The per-shard group is assembled
+    * in one task (fixture-only concession; real WARCs arrive pre-built).
+    */
+  def buildFixture(docs: DataFrame, nShards: Int = 24): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val outSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("warc", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].rdd
+      .map { case (id, text) => (id % nShards, (id, text)) }
+      .groupByKey(math.min(nShards, 32))
+      .map { case (shard, docsIt) =>
+        val bos = new ByteArrayOutputStream(1 << 16)
+        bos.write(gz(warcRecord("warcinfo", "", "application/warc-fields",
+          "software: graft-warc-fixture/1.0\r\n".getBytes(ISO_8859_1))))
+        docsIt.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          val url = fixtureUrl(id)
+          val host = url.substring(8, url.indexOf('/', 8))
+          val path = url.substring(url.indexOf('/', 8))
+          bos.write(gz(warcRecord("request", url,
+            "application/http; msgtype=request",
+            s"GET $path HTTP/1.1\r\nHost: $host\r\n\r\n".getBytes(ISO_8859_1))))
+          val status = fixtureStatus(id)
+          val (ct, body) =
+            if (status == 200)
+              ("text/html; charset=UTF-8", fixtureHtml(id, text).getBytes(UTF_8))
+            else ("text/plain", "not found\n".getBytes(UTF_8))
+          bos.write(gz(warcRecord("response", url,
+            "application/http; msgtype=response", httpResponse(status, ct, body))))
+        }
+        Row(shard, bos.toByteArray)
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

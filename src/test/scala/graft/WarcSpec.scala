@@ -1,0 +1,121 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.util.zip.GZIPOutputStream
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CompressedText, WarcReader}
+
+/** Golden tests for the WARC/1.x source: member-wise gzip splitting with
+  * per-member CRC verification, the record walk (header fields,
+  * Content-Length block, HTTP split), malformed-input tolerance, and the
+  * fixture builder's full census.
+  */
+class WarcSpec extends AnyFunSuite {
+
+  private lazy val spark: org.apache.spark.sql.SparkSession = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(b); g.close(); bos.toByteArray
+  }
+
+  private def record(tpe: String, uri: String, ct: String, block: String): Array[Byte] = {
+    val blockBytes = block.getBytes(UTF_8)
+    (s"WARC/1.0\r\nWARC-Type: $tpe\r\n" +
+      (if (uri.nonEmpty) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"Content-Type: $ct\r\nContent-Length: ${blockBytes.length}\r\n\r\n")
+      .getBytes(ISO_8859_1) ++ blockBytes ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  test("gzipMembers: concatenated members split at boundaries, each CRC-verified; corruption drops the tail only") {
+    val a = "first member payload".getBytes(UTF_8)
+    val b = "second, rather longer member payload with repetition repetition".getBytes(UTF_8)
+    val c = "third".getBytes(UTF_8)
+    val cat = gz(a) ++ gz(b) ++ gz(c)
+    val members = CompressedText.gzipMembers(cat)
+    assert(members.map(new String(_, UTF_8)) ==
+      Seq(a, b, c).map(new String(_, UTF_8)))
+    // corrupt a byte inside member 2's deflate data: member 1 survives,
+    // 2 fails its CRC, 3 (past the unrecoverable boundary) is dropped
+    val bad = cat.clone()
+    bad(gz(a).length + 15) = (bad(gz(a).length + 15) ^ 0x5A).toByte
+    val got = CompressedText.gzipMembers(bad)
+    assert(got.length <= 2 && got.headOption.map(new String(_, UTF_8)).contains(new String(a, UTF_8)))
+    assert(CompressedText.gzipMembers("not gzip at all".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("record walk: warcinfo/request/response parsed with HTTP split; multi-record member and uncompressed input both work") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n<html>x</html>"
+    val recs =
+      record("warcinfo", "", "application/warc-fields", "software: t\r\n") ++
+        record("request", "https://ex.com/p", "application/http; msgtype=request",
+          "GET /p HTTP/1.1\r\nHost: ex.com\r\n\r\n") ++
+        record("response", "https://ex.com/p", "application/http; msgtype=response", http)
+    // one member holding all three records (legal, non-canonical), plain
+    for (bytes <- Seq(gz(recs), recs)) {
+      val parsed = WarcReader.parse(bytes)
+      assert(parsed.map(_.warcType) == Seq("warcinfo", "request", "response"))
+      val info = parsed(0)
+      assert(info.httpStatus == 0 && new String(info.payload, UTF_8) == "software: t\r\n")
+      val req = parsed(1)
+      assert(req.httpStatus == 0 && req.targetUri == "https://ex.com/p")
+      assert(new String(req.payload, UTF_8).isEmpty) // body after \r\n\r\n
+      val resp = parsed(2)
+      assert(resp.httpStatus == 200)
+      assert(resp.httpContentType == "text/html; charset=UTF-8")
+      assert(new String(resp.payload, UTF_8) == "<html>x</html>")
+    }
+    // member-per-record (canonical .warc.gz layout)
+    val canonical = gz(record("warcinfo", "", "application/warc-fields", "s\r\n")) ++
+      gz(record("response", "https://ex.com/q",
+        "application/http; msgtype=response", http))
+    assert(WarcReader.parse(canonical).map(_.warcType) == Seq("warcinfo", "response"))
+  }
+
+  test("malformed records: bad version line, missing Content-Length, or truncated block end the member walk without a crash") {
+    assert(WarcReader.parse(gz("HTTP/1.1 200 OK\r\n\r\nnope".getBytes(UTF_8))).isEmpty)
+    assert(WarcReader.parse(gz("WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes(UTF_8))).isEmpty)
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nshort".getBytes(UTF_8)
+    assert(WarcReader.parse(gz(truncated)).isEmpty)
+    // a good record FOLLOWED by garbage keeps the good record
+    val mixed = record("metadata", "", "text/plain", "ok") ++ "garbage tail".getBytes(UTF_8)
+    val got = WarcReader.parse(gz(mixed))
+    assert(got.map(_.warcType) == Seq("metadata"))
+    assert(new String(got.head.payload, UTF_8) == "ok")
+  }
+
+  test("fixture census end-to-end through the Dataset reader: 1 warcinfo per shard, request+response per doc, statuses and URIs closed-form") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L).map(i => (i, s"text $i & <b>bold</b>")).toDF("doc_id", "text")
+    val warcs = WarcReader.buildFixture(docs, nShards = 4)
+    assert(warcs.count() == 4)
+    val recs = WarcReader.records(warcs, "warc").cache()
+    val byType = recs.groupBy($"warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("warcinfo" -> 4L, "request" -> 40L, "response" -> 40L))
+    val resp = recs.filter($"warc_type" === "response")
+      .select($"target_uri", $"http_status", $"content_type").collect()
+    assert(resp.length == 40)
+    resp.foreach { r =>
+      val id = r.getString(0).split("id=").last.toLong
+      val expectStatus = if (id % 17 == 0) 404 else 200
+      assert(r.getInt(1) == expectStatus, s"doc $id")
+      assert(r.getString(2).startsWith(if (id % 17 == 0) "text/plain" else "text/html"))
+    }
+    recs.unpersist()
+  }
+}
