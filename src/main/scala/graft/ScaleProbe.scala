@@ -733,6 +733,55 @@ object ScaleProbe {
     require(q215badClone == 0,
       s"q215 10x: $q215badClone clone pairs with J < 1 — exact verify broke")
 
+    // q272: winnowing fingerprint-bucketed overlap pairs — the q215
+    // closure shape with the df-cap SCALED by c: clones carry IDENTICAL
+    // fingerprint sets (winnowing is position-independent and text-
+    // identical per clone), every fingerprint's document frequency
+    // scales exactly ×c, so running 10× under maxDf·c preserves the 1×
+    // exclusion set bit-for-bit and the output must be EXACTLY
+    // c²·P(1×) + C(c,2)·D(1×), where D counts docs whose RARE
+    // fingerprint count clears minShared (each doc meets its own clones
+    // through its full rare set). A lost bucket, a df miscount, or a
+    // cap applied before/after the wrong join breaks the equality.
+    // Bounded to a 1k-doc slice: fingerprint density is ~2/(w+1) per
+    // char, so the full 600k-doc product would probe the disk, not the
+    // algorithm (disclosed cap, the q272-window-corpus precedent).
+    // k = 7 (vs the query's 5): the synthetic corpus shares phrases so
+    // heavily that 5-gram minima all clear df 16 at 1k docs — 7-grams
+    // keep a real rare tail (D = 374 docs, P = 4 base pairs at sf0.1),
+    // so the closure is exercised on NON-ZERO output, not 0 == 0.
+    val winBase = base.filter($"doc_id" < 1000)
+    val winScaled = scaled.filter(pmod($"doc_id", lit(offset)) < 1000)
+    val fpsWB = graft.operators.Winnowing
+      .fingerprints(winBase, "doc_id", "text", k = 7, w = 4)
+      .localCheckpoint(false) // pair count + rare-census both read it
+    val p272base = graft.operators.Winnowing
+      .overlapPairs(fpsWB, minShared = 8L, maxDf = 16L).count()
+    val d272base = fpsWB
+      .join(fpsWB.groupBy($"fp").agg(count(lit(1)).as("__df"))
+        .filter($"__df" <= 16L), Seq("fp"))
+      .groupBy($"id").agg(count(lit(1)).as("nf"))
+      .filter($"nf" >= 8L).count()
+    val q272df = graft.operators.Winnowing
+      .overlapPairs(
+        graft.operators.Winnowing.fingerprints(
+          winScaled, "doc_id", "text", k = 7, w = 4),
+        minShared = 8L, maxDf = 16L * c)
+      .localCheckpoint(false)
+    val q272s = timed("q272_winnowing_10x") { q272df }
+    require(q272s._3 == c * c * p272base + d272base * c * (c - 1) / 2,
+      s"q272 10x closure: got ${q272s._3}, " +
+        s"want ${c * c * p272base} + ${d272base * c * (c - 1) / 2}")
+    val q272badClone = q272df
+      .filter(pmod($"id_a", lit(offset)) === pmod($"id_b", lit(offset)))
+      .join(fpsWB.join(fpsWB.groupBy($"fp").agg(count(lit(1)).as("__df"))
+          .filter($"__df" <= 16L), Seq("fp"))
+        .groupBy($"id").agg(count(lit(1)).as("nf")),
+        pmod($"id_a", lit(offset)) === $"id")
+      .filter($"n_shared" =!= $"nf").count()
+    require(q272badClone == 0,
+      s"q272 10x: $q272badClone clone pairs sharing less than the full rare set")
+
     // q221: bounded-hop harmonic centrality on the est=1.0 graph — the
     // clone closed form: d(u_i, v_j) = d(u, v) for v ≠ u (cross-copy
     // pairs exist at every base distance; clone cliques add no
@@ -912,7 +961,7 @@ object ScaleProbe {
         s"q258 10x invariance broke at ${r.getString(0)}")
     }
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q178s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q221s, q235s, q238s, q240s, q237s, q234s, q250s, q258s)
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q178s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q272s, q221s, q235s, q238s, q240s, q237s, q234s, q250s, q258s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

@@ -45,5 +45,10 @@ object SqlFunctions {
     "word_ngrams" -> (es => WordNGrams(es(0),
       intArg("word_ngrams", "n", es(1)))),
     "nfc_normalize" -> (es => NfcNormalize(es(0))),
-    "char_entropy" -> (es => CharEntropyMicroNats(es(0))))
+    "char_entropy" -> (es => CharEntropyMicroNats(es(0))),
+    "decode_numrefs" -> (es => DecodeNumericRefs(es(0))),
+    "percent_normalize" -> (es => PercentNormalize(es(0))),
+    "remove_dot_segments" -> (es => RemoveDotSegments(es(0))),
+    "sniff_charset" -> (es => SniffHtmlCharset(es(0), es(1))),
+    "charset_decode" -> (es => CharsetDecode(es(0), es(1))))
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.graft.expressions.{CharsetDecode, DecodeNumericRefs, SniffHtmlCharset}
 
 /** HTML → text extraction — the step between [[UrlOps]]'s crawl curation
   * and every text operator in this engine: a web corpus arrives as markup,
@@ -26,12 +28,19 @@ import org.apache.spark.sql.functions._
   *      non-recursive contract);
   *   5. collapse runs of spaces/tabs, trim each line, collapse blank runs.
   *
-  * Scope (disclosed): no JS rendering, no CSS visibility, and numeric
-  * character references beyond `&#39;` pass through unchanged — Spark's
-  * `char()` is mod-256 where DuckDB's `chr()` is full-codepoint, so a
-  * general numeric decode belongs in a native Expression if a corpus
-  * needs it. Every step here has an exact DuckDB twin, so the q271
-  * oracle re-derives the text independently from the same markup.
+  * Scope: no JS rendering, no CSS visibility. Numeric character
+  * references decode FULL-codepoint through the native
+  * [[org.apache.spark.sql.graft.expressions.DecodeNumericRefs]]
+  * Expression in [[visibleTextDecoded]] (round 13; [[visibleText]] keeps
+  * the round-12 named-entities-only contract so the q271 oracle stays
+  * byte-identical) — positioned between the apostrophe step and the
+  * amp-LAST step, so `&amp;#60;` still yields the literal `&#60;` (the
+  * single-pass, non-recursive contract extended). Non-UTF-8 payloads
+  * decode ahead of extraction via [[charsetDecode]]/[[sniffCharset]]
+  * (HTTP charset param → meta prescan → BOM → strict-UTF-8-else-
+  * windows-1252, the WHATWG order). Every step here has an exact DuckDB
+  * twin, so the q271/q274 oracles re-derive the text independently from
+  * the same markup.
   */
 object HtmlOps {
 
@@ -46,7 +55,14 @@ object HtmlOps {
     * backreference — RE2 (DuckDB's engine) has no backreferences, and the
     * oracle must run the semantically identical pattern.
     */
-  def visibleText(html: Column): Column = {
+  def visibleText(html: Column): Column = visibleTextImpl(html, numRefs = false)
+
+  /** [[visibleText]] with the general numeric-character-reference decode
+    * in the entity pass (full-codepoint, invalid refs verbatim).
+    */
+  def visibleTextDecoded(html: Column): Column = visibleTextImpl(html, numRefs = true)
+
+  private def visibleTextImpl(html: Column, numRefs: Boolean): Column = {
     val noHidden = regexp_replace(html,
       "(?is)<script\\b[^>]*>.*?</script\\s*>|<style\\b[^>]*>.*?</style\\s*>" +
         "|<noscript\\b[^>]*>.*?</noscript\\s*>|<!--.*?-->", "")
@@ -54,20 +70,89 @@ object HtmlOps {
       "(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\\s*>|<br\\s*/?>",
       "\n")
     val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
-    val decoded = decodeEntities(noTags)
+    val decoded = decodeEntities(noTags, numRefs)
     // collapse intra-line whitespace, trim line edges, collapse blank runs
     val squashed = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
     val trimmed = regexp_replace(squashed, "(?m)^ +| +$", "")
     trim(regexp_replace(trimmed, "\\n{2,}", "\n"), " \n")
   }
 
-  /** Named-entity decode (see object doc for order and scope). */
-  private[operators] def decodeEntities(c: Column): Column = {
+  /** Named-entity decode (see object doc for order and scope); with
+    * `numRefs`, the general numeric decode runs BETWEEN the apostrophe
+    * step and the amp-last step — a ref whose `&` came from `&amp;` is
+    * never decoded (non-recursive).
+    */
+  private[operators] def decodeEntities(c: Column, numRefs: Boolean = false): Column = {
     val nbsp = regexp_replace(c, "&nbsp;", " ")
     val lt = regexp_replace(nbsp, "&lt;", "<")
     val gt = regexp_replace(lt, "&gt;", ">")
     val quot = regexp_replace(gt, "&quot;", "\"")
     val apos = regexp_replace(quot, "&#39;|&apos;", "'")
-    regexp_replace(apos, "&amp;", "&")
+    val refs = if (numRefs) decodeNumericRefs(apos) else apos
+    regexp_replace(refs, "&amp;", "&")
+  }
+
+  /** Full-codepoint `&#NNN;`/`&#xHH;` decode (native Expression). */
+  def decodeNumericRefs(c: Column): Column =
+    Bridge.toColumn(DecodeNumericRefs(Bridge.toExpr(c)))
+
+  /** Charset label the sniff chain resolves for (payload bytes, HTTP
+    * content-type) — see the object doc for the WHATWG order.
+    */
+  def sniffCharset(bin: Column, httpCt: Column): Column =
+    Bridge.toColumn(SniffHtmlCharset(Bridge.toExpr(bin), Bridge.toExpr(httpCt)))
+
+  /** Payload bytes → text through the same sniff chain. */
+  def charsetDecode(bin: Column, httpCt: Column): Column =
+    Bridge.toColumn(CharsetDecode(Bridge.toExpr(bin), Bridge.toExpr(httpCt)))
+
+  // ---------------------------------------------------------------------
+  // q274 fixture: per-doc pages ENCODED in three charsets (real bytes —
+  // windows-1252 via meta prescan, iso-8859-1 via HTTP header, unlabeled
+  // UTF-8 via the strict-decode fallback), each carrying numeric refs
+  // incl. an astral, an invalid surrogate ref (stays verbatim) and the
+  // &amp;#60; non-recursion probe. The oracle rebuilds the DECODED page
+  // string closed-form and re-extracts with DuckDB's RE2 + chr().
+  // ---------------------------------------------------------------------
+
+  private def escHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** (http content-type, page bytes) for doc `id` — mode `id % 3`. Text
+    * is ASCII-sanitized for the two single-byte charsets (both sides of
+    * the oracle strip `[^ -~]`), full for UTF-8.
+    */
+  private[graft] def charsetFixturePage(id: Long, text: String): (String, Array[Byte]) = {
+    val head = s"<title>Doc $id</title></head><body><h1>Doc $id</h1>"
+    val ascii = escHtml(text.replaceAll("[^ -~]", ""))
+    (id % 3) match {
+      case 0 =>
+        val page = "<html><head><meta charset=\"windows-1252\">" + head +
+          "<p>“quoted” — dash</p><p>" + ascii +
+          " &#xA9; tail</p></body></html>"
+        ("text/html", page.getBytes(java.nio.charset.Charset.forName("windows-1252")))
+      case 1 =>
+        val page = "<html><head>" + head +
+          "<p>café ® mark</p><p>" + ascii +
+          " &#169; &#8212; tail</p></body></html>"
+        ("text/html; charset=ISO-8859-1",
+          page.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      case _ =>
+        val page = "<html><head>" + head +
+          "<p>café — 😀</p><p>" + escHtml(text) +
+          s" &#${65 + id % 26}; &#x1F600; &#xD800; &amp;#60; tail</p></body></html>"
+        ("text/html", page.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** (doc_id, http_ct, body) fixture frame over the documents table. */
+  def charsetFixture(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (ct, bytes) = charsetFixturePage(id, text)
+        (id, ct, bytes)
+      }.toDF("doc_id", "http_ct", "body")
   }
 }

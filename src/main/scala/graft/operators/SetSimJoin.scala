@@ -241,8 +241,18 @@ object SetSimJoin {
     val baseSets = canonicalUnder(baseEl, dfc).localCheckpoint(false)
     val deltaSets = canonicalUnder(
       elements(deltaDocs, idCol, textCol, shingleN), dfc).localCheckpoint(false)
+    deltaCore(baseSets, prefixOf(baseSets, tau4), deltaSets, tau4)
+  }
+
+  /** The delta-join core over STAGED base relations: delta×delta plus
+    * delta×base candidate pairs under the asymmetric PPJoin+ filters,
+    * exact-verified against the union of both set tables. `pb` may come
+    * from [[prefixOf]] (recompute form) or from a PERSISTED prefix table
+    * ([[buildIndex]]) — the conditions only read (id, sz, pos, g).
+    */
+  private def deltaCore(baseSets: DataFrame, pb: DataFrame,
+      deltaSets: DataFrame, tau4: Long): DataFrame = {
     val allSets = baseSets.unionByName(deltaSets).localCheckpoint(false)
-    val pb = prefixOf(baseSets, tau4)
     val pd = prefixOf(deltaSets, tau4)
     val sizeOk = least(col("a.sz"), col("b.sz")) * lit(10000L) >=
       lit(tau4) * greatest(col("a.sz"), col("b.sz"))
@@ -267,5 +277,53 @@ object SetSimJoin {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
     verifyPairs(dd.unionByName(db).distinct(), allSets, tau4)
+  }
+
+  // ---------------------------------------------------------------------
+  // persisted prefix index — the deployment form the deltaJoin scaladoc
+  // promised: canonicalSets + prefix explode + df table MATERIALIZED once
+  // (the q210/q211 AnnIndex pattern), so the nightly delta never
+  // re-shingles or re-sorts the base corpus.
+  // ---------------------------------------------------------------------
+
+  /** Build and persist the base-side index for `tau4`:
+    * `sets.parquet` (id, toks, sz), `prefix.parquet` (id, sz, pos, g —
+    * the join side, keyed by element hash), `df.parquet` (__g, __df —
+    * the stored canonical order every future delta sorts under). The
+    * prefix is τ-specific; a LOWER τ needs a rebuild (longer prefixes),
+    * a higher τ could filter the stored one by `pos` — disclosed, the
+    * standard prefix-index trade-off.
+    */
+  def buildIndex(docs: DataFrame, dir: String, idCol: String, textCol: String,
+      shingleN: Int, tau4: Long): Unit = {
+    require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
+    val el = elements(docs, idCol, textCol, shingleN)
+    val dfc = el.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    dfc.write.mode("overwrite").parquet(s"$dir/df.parquet")
+    val spark = docs.sparkSession
+    val dfcStored = spark.read.parquet(s"$dir/df.parquet")
+    val sets = canonicalUnder(el, dfcStored)
+    sets.write.mode("overwrite").parquet(s"$dir/sets.parquet")
+    val setsStored = spark.read.parquet(s"$dir/sets.parquet")
+    prefixOf(setsStored, tau4).write.mode("overwrite")
+      .parquet(s"$dir/prefix.parquet")
+  }
+
+  /** [[deltaJoin]] served FROM the persisted index: tonight's cost is the
+    * delta's element stream (shingle → hash → sort under the STORED df
+    * order) plus a probe of the stored prefix table and a verify read of
+    * the stored sets — the base text is never touched. Same pairs as the
+    * recompute form (the stored order IS the base-df order).
+    */
+  def deltaJoinStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau4: Long): DataFrame = {
+    require(tau4 > 0 && tau4 <= 10000, s"tau4 must be in (0, 10000], got $tau4")
+    val dfc = spark.read.parquet(s"$dir/df.parquet")
+    val baseSets = spark.read.parquet(s"$dir/sets.parquet")
+    val pb = spark.read.parquet(s"$dir/prefix.parquet")
+    val deltaSets = canonicalUnder(
+      elements(deltaDocs, idCol, textCol, shingleN), dfc).localCheckpoint(false)
+    deltaCore(baseSets, pb, deltaSets, tau4)
   }
 }

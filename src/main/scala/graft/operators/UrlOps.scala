@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.graft.expressions.{PercentNormalize, RegistrableDomainPsl, RemoveDotSegments}
 
 /** URL curation — the stage every web-crawl training pipeline runs before
   * any text ever loads (the reference ingests a hand-typed URL list,
@@ -23,9 +25,14 @@ import org.apache.spark.sql.functions._
   *     public-suffix rule that matters at corpus scale; the full PSL is a
   *     data file a deployment drops in the same expression).
   *
-  * Scope (disclosed): no `%xx`-unescaping and no `/./`‖`/../` resolution —
-  * both need iterative rewriting that belongs in a dedicated Expression
-  * if a corpus actually exhibits them; crawlers emit resolved paths.
+  * Round 13 closes the round-12 scope gaps: [[canonicalizeUrlFull]] adds
+  * RFC 3986 §6.2.2.2 percent-normalization (decode unreserved escapes,
+  * uppercase the rest) and §5.2.4 dot-segment resolution — both
+  * iterative, so native Expressions ([[org.apache.spark.sql.graft
+  * .expressions.PercentNormalize]] / `RemoveDotSegments`) — and
+  * [[registrableDomainPsl]] takes an explicit public-suffix list (the
+  * real PSL is a data file a deployment loads into it; longest-suffix
+  * hash lookups, empty list ≡ the heuristic).
   *
   * Per-domain caps (q270) then ride [[Batching.groupedRowNumber]]: rank
   * docs inside each registrable domain by salted md5 and keep the first
@@ -63,6 +70,54 @@ object UrlOps {
     concat(scheme, lit("://"), host, portPart, path,
       when(query === "", "").otherwise(concat(lit("?"), query)))
   }
+
+  /** [[canonicalizeUrl]] plus the round-13 steps: percent-normalize the
+    * path and query (decode-unreserved happens BEFORE dot-segment
+    * resolution, so an escaped `%2E%2E` segment resolves like a literal
+    * `..` — the WHATWG path-parse order), resolve `/./`‖`/../`, then the
+    * same trailing-slash trim. Query params percent-normalize as one
+    * string before splitting — `&`/`=` are reserved octets the decode
+    * never produces, so param boundaries cannot shift.
+    */
+  def canonicalizeUrlFull(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(afterScheme, "^([^/?]*)", 1)
+    val tail = substring(afterScheme, length(hostPort) + 1, lit(1000000))
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val defPort = when(scheme === "http", "80")
+      .when(scheme === "https", "443").otherwise("")
+    val portPart = when(port === "" || port === defPort, "")
+      .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(tail, "^([^?]*)", 1)
+    val rawQuery = when(instr(tail, "?") > 0,
+      regexp_replace(tail, "^[^?]*\\?", "")).otherwise(lit(""))
+    val collapsed =
+      when(rawPath === "", "/").otherwise(regexp_replace(rawPath, "/{2,}", "/"))
+    val resolved = removeDotSegments(percentNormalize(collapsed))
+    val path = regexp_replace(resolved, "(.)/$", "$1")
+    val params = filter(split(percentNormalize(rawQuery), "&"),
+      p => !(p.rlike(TrackingParam) || p === ""))
+    val query = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, portPart, path,
+      when(query === "", "").otherwise(concat(lit("?"), query)))
+  }
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization (native Expression). */
+  def percentNormalize(c: Column): Column =
+    Bridge.toColumn(PercentNormalize(Bridge.toExpr(c)))
+
+  /** RFC 3986 §5.2.4 remove_dot_segments (native Expression). */
+  def removeDotSegments(path: Column): Column =
+    Bridge.toColumn(RemoveDotSegments(Bridge.toExpr(path)))
+
+  /** Registrable domain under an explicit public-suffix list (longest
+    * listed suffix wins; empty list reproduces [[registrableDomain]]).
+    */
+  def registrableDomainPsl(host: Column, suffixes: Set[String]): Column =
+    Bridge.toColumn(RegistrableDomainPsl(Bridge.toExpr(host), suffixes))
 
   /** Registrable domain of a lowercase host (see object doc). */
   def registrableDomain(host: Column): Column = {

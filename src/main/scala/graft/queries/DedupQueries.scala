@@ -724,6 +724,38 @@ private[graft] object DedupQueries {
     }),
 
 
+    // q226 served FROM STORAGE — the deployment form its scaladoc
+    // promised ([[graft.operators.SetSimJoin.buildIndex]] /
+    // `deltaJoinStored`, the q210/q211 AnnIndex pattern): the base
+    // corpus's canonical sets, prefix explode and df order are
+    // MATERIALIZED as parquet once; tonight's delta shingles only
+    // itself, sorts under the STORED df order, probes the stored prefix
+    // table and verifies against the stored sets — the base text is
+    // never re-read. Pairs are identical to q226's recompute form (the
+    // stored order IS the base-df order), so the oracle is the same
+    // brute-force proof.
+    "q277_setsim_stored_index" -> ((s, dir) => {
+      import s.implicits._
+      val win = t(s, dir, "documents")
+        .filter($"doc_id" < 200)
+        .withColumn("stride", greatest(lit(1L), floor(length($"text") / lit(8.0))))
+        .withColumn("wlen", greatest(lit(4L), floor(length($"text") / lit(2.0))))
+        .select(($"doc_id" * 3).as("base"), $"text", $"stride", $"wlen",
+          explode(sequence(lit(0L), lit(2L))).as("w"))
+        .select(($"base" + $"w").as("win_id"),
+          $"text".substr(($"w" * $"stride" + 1).cast("int"), $"wlen".cast("int")).as("wtext"))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_setsimidx").toString
+      graft.operators.SetSimJoin.buildIndex(
+        win.filter(pmod($"win_id", lit(4L)) =!= 0), idxDir,
+        "win_id", "wtext", shingleN = 5, tau4 = 5000L)
+      graft.operators.SetSimJoin.deltaJoinStored(s, idxDir,
+          win.filter(pmod($"win_id", lit(4L)) === 0),
+          "win_id", "wtext", shingleN = 5, tau4 = 5000L)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+
     // Unicode-normalization-aware dedup — the text-cleaning stage byte-
     // level dedup needs: precomposed "é" (U+00E9) and decomposed
     // "e"+U+0301 are different byte strings that render identically, so
@@ -1190,6 +1222,14 @@ SELECT ls.span_len::BIGINT AS span_len, coalesce(n_repeat_spans, 0)::BIGINT AS n
     // q226: brute force over pairs touching a delta window — the same
     // exactness proof as q215, for the incremental form
     "q226_setsim_incremental" ->
+      """WITH win AS (SELECT doc_id*3 + w AS win_id, substr(text, 1 + w*greatest(1, cast(floor(length(text)/8.0) AS BIGINT)), greatest(4, cast(floor(length(text)/2.0) AS BIGINT))) AS wtext FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200), (SELECT unnest([0,1,2]) AS w)),
+s AS (SELECT win_id, list_distinct(CASE WHEN length(wtext) < 5 THEN [wtext] ELSE list_transform(range(1, length(wtext)-3), i -> substr(wtext, i, 5)) END) AS sh FROM win),
+p AS (SELECT a.win_id AS id_a, b.win_id AS id_b, len(list_intersect(a.sh, b.sh))::BIGINT AS inter, (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS uni FROM s a JOIN s b ON a.win_id < b.win_id WHERE a.win_id % 4 = 0 OR b.win_id % 4 = 0)
+SELECT id_a, id_b, inter, uni, inter * 10000 // uni AS jac4 FROM p WHERE inter * 10000 >= 5000 * uni ORDER BY id_a, id_b""",
+
+    // q277: same pairs as q226 by construction (stored order = base-df
+    // order), so the same brute-force proof
+    "q277_setsim_stored_index" ->
       """WITH win AS (SELECT doc_id*3 + w AS win_id, substr(text, 1 + w*greatest(1, cast(floor(length(text)/8.0) AS BIGINT)), greatest(4, cast(floor(length(text)/2.0) AS BIGINT))) AS wtext FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200), (SELECT unnest([0,1,2]) AS w)),
 s AS (SELECT win_id, list_distinct(CASE WHEN length(wtext) < 5 THEN [wtext] ELSE list_transform(range(1, length(wtext)-3), i -> substr(wtext, i, 5)) END) AS sh FROM win),
 p AS (SELECT a.win_id AS id_a, b.win_id AS id_b, len(list_intersect(a.sh, b.sh))::BIGINT AS inter, (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS uni FROM s a JOIN s b ON a.win_id < b.win_id WHERE a.win_id % 4 = 0 OR b.win_id % 4 = 0)

@@ -447,6 +447,35 @@ private[graft] object MultimodalQueries {
         .select($"doc_id", $"is_pdf", $"rt_n_chars", $"rt_md5")
         .orderBy($"doc_id")
     }),
+
+
+    // Encrypted-PDF round-trip — the round-13 decryption slice
+    // ([[graft.sources.PdfCrypt]]): every document rides q268's
+    // Identity-H CID path, but the PDF is additionally ENCRYPTED under
+    // the standard security handler with an EMPTY user password (the
+    // owner-restricted shape that dominates real "encrypted" corpora),
+    // cipher generation cycling by doc_id — RC4-40 (V1/R2), RC4-128
+    // (V2/R3), AES-128-CBC (V4/R4 /AESV2). Extraction must authenticate
+    // the empty password against /U (Algorithm 4/5), derive per-object
+    // keys (Algorithm 1), decrypt both streams, then run the full
+    // filter→font→CMap→CID chain — any wrong byte in key derivation or
+    // cipher plumbing yields is_pdf=0 or a flipped md5. The oracle is
+    // q268's: the recovered text IS the text.
+    "q276_pdf_decrypt_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .repartition(32, $"doc_id") // spread the per-row build/decrypt
+      val pdfs = graft.sources.PdfIngest
+        .synthEncryptedPdfCorpus(docs, "doc_id", "text")
+        .select($"doc_id", $"pdf")
+      graft.sources.PdfIngest.cidPdfAudit(pdfs, "pdf")
+        .select($"doc_id",
+          when(pmod($"doc_id", lit(3)) === 0, "rc4-40")
+            .when(pmod($"doc_id", lit(3)) === 1, "rc4-128")
+            .otherwise("aes-128").as("cipher"),
+          $"is_pdf", $"rt_n_chars", $"rt_md5")
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -724,6 +753,14 @@ FROM documents ORDER BY doc_id""",
     // replayed straight off the documents table (q260's contract)
     "q268_pdf_cid_roundtrip" ->
       """SELECT doc_id, 1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
+md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
+
+    // q276: decryption must be LOSSLESS, so the oracle is q268's plus
+    // the closed-form cipher census
+    "q276_pdf_decrypt_roundtrip" ->
+      """SELECT doc_id,
+CASE WHEN doc_id % 3 = 0 THEN 'rc4-40' WHEN doc_id % 3 = 1 THEN 'rc4-128' ELSE 'aes-128' END AS cipher,
+1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
 md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
   )
 }

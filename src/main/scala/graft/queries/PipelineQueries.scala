@@ -978,14 +978,20 @@ private[graft] object PipelineQueries {
         .select($"doc_id", $"lang", $"source", $"n_tok")
       // windowless stratum rank (groupedRowNumber): the filtered corpus
       // still has the one-giant-stratum skew, so the rank must not funnel
-      // a stratum into one task
-      graft.operators.Batching.groupedRowNumber(
-        good.withColumn("__h", md5(concat(lit("split:"), $"doc_id".cast("string")))),
+      // a stratum into one task. The rank runs over a SLIM (lang, source,
+      // doc_id) projection — the q152 pattern — so the range exchange and
+      // the checkpoint inside globalRowNumber never carry payload
+      // columns; the split tag joins back by doc_id.
+      val splits = graft.operators.Batching.groupedRowNumber(
+        good.select($"lang", $"source", $"doc_id")
+          .withColumn("__h", md5(concat(lit("split:"), $"doc_id".cast("string")))),
         Seq("lang", "source"), Seq($"__h", $"doc_id"), 32, "rn", Some("nn"))
         .withColumn("split",
           when($"rn" * 10 <= $"nn" * 8, "train")
             .when($"rn" * 10 <= $"nn" * 9, "val")
             .otherwise("test"))
+        .select($"doc_id", $"split")
+      good.join(splits, Seq("doc_id"))
         .groupBy($"lang", $"source", $"split")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tok"))
         .orderBy($"lang", $"source", $"split")
@@ -1735,6 +1741,159 @@ private[graft] object PipelineQueries {
           when(isHtml, md5($"vis")).otherwise("").as("vis_md5"))
         .orderBy($"canon_url")
     }),
+
+
+    // Charset sniff + numeric character references — the round-12
+    // disclosed scope gaps of q271 closed ([[graft.operators.HtmlOps]]):
+    // each doc's page is ENCODED to real bytes in one of three charsets
+    // (windows-1252 declared only by a <meta> prescan tag, iso-8859-1
+    // declared only by the HTTP header, unlabeled UTF-8 resolved by the
+    // strict-decode fallback — the WHATWG resolution order), carrying
+    // charset-specific characters (curly quotes, em-dash, café, an
+    // astral emoji) plus numeric refs: decimal, hex, an astral
+    // &#x1F600;, an INVALID surrogate ref (stays verbatim) and the
+    // &amp;#60; probe (non-recursive decode must yield the literal
+    // &#60;). The native sniff/decode/numref Expressions recover the
+    // text; the oracle rebuilds the decoded page closed-form with
+    // DuckDB's full-codepoint chr() and re-extracts independently — a
+    // wrong sniff, a mod-256 decode, or a recursive entity pass all
+    // flip the hash.
+    "q274_charset_numrefs" -> ((s, dir) => {
+      import s.implicits._
+      val fx = graft.operators.HtmlOps.charsetFixture(t(s, dir, "documents"))
+      fx.withColumn("charset",
+          graft.operators.HtmlOps.sniffCharset($"body", $"http_ct"))
+        .withColumn("page",
+          graft.operators.HtmlOps.charsetDecode($"body", $"http_ct"))
+        .withColumn("vis", graft.operators.HtmlOps.visibleTextDecoded($"page"))
+        .select($"doc_id", $"charset",
+          graft.operators.HtmlOps.htmlTitle($"page").as("title"),
+          length($"vis").cast("long").as("vis_n_chars"),
+          md5($"vis").as("vis_md5"))
+        .orderBy($"doc_id")
+    }),
+
+
+    // RFC 3986 canonicalization, the full form — q269's disclosed gaps
+    // closed ([[graft.operators.UrlOps.canonicalizeUrlFull]]): percent-
+    // normalization (§6.2.2.2 — unreserved escapes %41/%61/%7e DECODE,
+    // the reserved %2f stays but uppercases, so an escaped slash never
+    // becomes a path separator), dot-segment resolution (§5.2.4 — the
+    // stateful pop algorithm regexes can't express, as a native
+    // Expression), and the registrable domain under a PLUGGABLE
+    // public-suffix list (github.io listed → pg*.github.io is the
+    // registrable unit, while ex*.co.uk still resolves through the
+    // built-in ccTLD rule). The oracle rebuilds the same messy URL and
+    // replays every step in DuckDB (generic splits/filters/sorts; the
+    // fixture's escapes and dot segments as their exact SQL replaces).
+    "q275_url_rfc3986" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("https://"),
+        when(pmod($"doc_id", lit(2)) === 0,
+          concat(lit("Ex"), pmod($"doc_id", lit(5)), lit(".CO.uk")))
+          .otherwise(concat(lit("Pg"), pmod($"doc_id", lit(5)), lit(".GitHub.IO"))),
+        lit("/%41lpha//b"), pmod($"doc_id", lit(7)), lit("/../c%61t/./p%7eg/"),
+        $"doc_id",
+        lit("?id=%31"), $"doc_id", lit("&utm_source=x&t=%7e%2fv"))
+      t(s, dir, "documents").select($"doc_id")
+        .withColumn("canon_url", graft.operators.UrlOps.canonicalizeUrlFull(url))
+        .withColumn("domain", graft.operators.UrlOps.registrableDomainPsl(
+          regexp_extract($"canon_url", "^[a-z]+://([^:/?]*)", 1),
+          Set("github.io")))
+        .select($"doc_id", $"canon_url", $"domain")
+        .orderBy($"doc_id")
+    }),
+
+
+    // robots.txt politeness (RFC 9309 — [[graft.operators.RobotsTxt]]):
+    // the gate between URL curation and any fetch. Parse AND evaluation
+    // are fully relational (line explode, one per-file grouping window,
+    // prefix join, longest-match with allow-tiebreak), so the oracle
+    // replays the ENTIRE protocol in DuckDB — group runs, the
+    // specific-agent-group-suppresses-`*` rule (the classic interop
+    // bug: /private is blocked for generic crawlers but our agent's
+    // group has no /private rule, so it is ALLOWED on domains that name
+    // us), longest path winning (/private/ok beats /private), and the
+    // equal-length allow-wins tie (/dup). Per-domain robots are
+    // closed-form in the domain index; URLs cycle five path shapes.
+    "q278_robots_txt" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").select($"doc_id")
+        .withColumn("m", pmod($"doc_id", lit(37)))
+        .withColumn("domain", concat(lit("site"), $"m", lit(".com")))
+        .withColumn("path",
+          when(pmod($"doc_id", lit(5)) === 0, concat(lit("/p/"), $"doc_id"))
+            .when(pmod($"doc_id", lit(5)) === 1, concat(lit("/private/a"), $"doc_id"))
+            .when(pmod($"doc_id", lit(5)) === 2, concat(lit("/private/ok/"), $"doc_id"))
+            .when(pmod($"doc_id", lit(5)) === 3, lit("/tmp/x"))
+            .otherwise(lit("/dup/z")))
+      val robots = urls.select($"domain", $"m").distinct()
+        .withColumn("txt", concat(
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+            "Disallow: /tmp\nDisallow: /dup\nAllow: /dup\n"),
+          when(pmod($"m", lit(3)) === 0,
+            lit("\nUser-agent: graftbot\nDisallow: /p/9\nAllow: /p\n"))
+            .otherwise(lit(""))))
+      val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+      graft.operators.RobotsTxt.allowed(urls, rules, "domain", "path", "graftbot")
+        .select($"doc_id", $"domain", $"path", $"allowed", $"rule_len")
+        .orderBy($"doc_id")
+    }),
+
+
+    // WARC → WET conversion — the derived format a crawl pipeline
+    // PUBLISHES (Common Crawl's `.wet.gz`), closing the write side of
+    // the round-13 source ([[graft.sources.WarcReader.buildWet]]): the
+    // q273 fixture's response records flow through the q271 extractor,
+    // the visible text is re-packaged as `conversion` records (gzip
+    // member per record, warcinfo-led), and the blobs are RE-READ with
+    // the same record walk — write→compress→inflate→walk must be the
+    // identity on the text, and the oracle re-derives it from documents
+    // through the DuckDB extraction chain. 404s drop (WET carries only
+    // successfully-converted pages).
+    "q279_wet_conversion" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = graft.sources.WarcReader.buildFixture(t(s, dir, "documents"))
+      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      val pages = recs
+        .filter($"warc_type" === "response" && $"http_status" === 200)
+        .select($"shard", $"target_uri",
+          graft.operators.HtmlOps.visibleText(decode($"payload", "UTF-8")).as("vis"))
+      val wet = graft.sources.WarcReader.buildWet(pages, "shard", "target_uri", "vis")
+      graft.sources.WarcReader.records(wet, "wet")
+        .filter($"warc_type" === "conversion")
+        .select(
+          graft.operators.UrlOps.canonicalizeUrl($"target_uri").as("canon_url"),
+          length($"payload").cast("long").as("text_n_bytes"),
+          md5(decode($"payload", "UTF-8")).as("text_md5"))
+        .orderBy($"canon_url")
+    }),
+
+
+    // Payload-digest dedup — the crawl's CONTENT-level collapse (the
+    // WARC-Payload-Digest / revisit-record mechanism): the same body
+    // behind several URLs (mirrors, syndication — every doc_id % 11 = 0
+    // page is republished under a mirror host) must merge by sha-256 of
+    // the payload, which URL-level dedup (q269) can never see. One
+    // digest-keyed aggregate; min-URL election is the deterministic
+    // canonical pick. Identical documents collapse too — the digest is
+    // the identity, not the doc_id.
+    "q280_payload_digest_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val page = concat(lit("<html><body><p>"), $"text", lit("</p></body></html>"))
+      val primary = docs.select(
+        concat(lit("https://site"), pmod($"doc_id", lit(37)),
+          lit(".com/p/"), $"doc_id").as("url"), page.as("body"))
+      val mirrors = docs.filter(pmod($"doc_id", lit(11)) === 0)
+        .select(concat(lit("https://mirror"), pmod($"doc_id", lit(7)),
+          lit(".net/m/"), $"doc_id").as("url"), page.as("body"))
+      primary.unionByName(mirrors)
+        .select($"url", sha2($"body", 256).as("digest"))
+        .groupBy($"digest")
+        .agg(count(lit(1)).as("n_urls"), min($"url").as("canonical_url"))
+        .orderBy($"digest")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2481,5 +2640,146 @@ SELECT canon_url,
   CASE WHEN st = 200 THEN length(v) ELSE 0 END::BIGINT AS vis_n_chars,
   CASE WHEN st = 200 THEN md5(v) ELSE '' END AS vis_md5
 FROM vis ORDER BY canon_url""",
+
+    // q274: the oracle rebuilds the DECODED page string closed-form per
+    // mode (DuckDB chr() is full-codepoint — the reason the Spark side
+    // needs a native Expression) and re-extracts with RE2; the numeric
+    // refs are fixture-chosen so their decode replays as exact replaces
+    // between the apostrophe step and the amp-LAST step, with &#xD800;
+    // deliberately NOT replaced (invalid ref stays verbatim) — matching
+    // the generic decoder's validity rule
+    "q274_charset_numrefs" ->
+      """WITH d AS (SELECT doc_id, doc_id % 3 AS m,
+  replace(replace(replace(regexp_replace(text, '[^ -~]', '', 'g'), '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS ea,
+  replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS ef
+FROM documents),
+h AS (SELECT doc_id, m,
+  CASE m
+    WHEN 0 THEN '<html><head><meta charset="windows-1252"><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || chr(8220) || 'quoted' || chr(8221) || ' ' || chr(8212) || ' dash</p><p>' || ea || ' &#xA9; tail</p></body></html>'
+    WHEN 1 THEN '<html><head><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>caf' || chr(233) || ' ' || chr(174) || ' mark</p><p>' || ea || ' &#169; &#8212; tail</p></body></html>'
+    ELSE '<html><head><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>caf' || chr(233) || ' ' || chr(8212) || ' ' || chr(128512) || '</p><p>' || ef || ' &#' || (65 + doc_id % 26)::VARCHAR || '; &#x1F600; &#xD800; &amp;#60; tail</p></body></html>'
+  END AS html
+FROM d),
+tx AS (SELECT doc_id, m,
+  regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<noscript\b[^>]*>.*?</noscript\s*>|<!--.*?-->', '', 'g'), '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\s*>|<br\s*/?>', chr(10), 'g'), '(?s)<[^>]*>', '', 'g') AS notags
+FROM h),
+ap AS (SELECT doc_id, m,
+  regexp_replace(replace(replace(replace(replace(notags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;|&apos;', '''', 'g') AS a
+FROM tx),
+nr AS (SELECT doc_id, m,
+  replace(replace(replace(replace(replace(a,
+    '&#xA9;', chr(169)),
+    '&#169;', chr(169)),
+    '&#8212;', chr(8212)),
+    '&#x1F600;', chr(128512)),
+    '&#' || (65 + doc_id % 26)::VARCHAR || ';', chr((65 + doc_id % 26)::INT)) AS nrd
+FROM ap),
+de AS (SELECT doc_id, m, replace(nrd, '&amp;', '&') AS decoded FROM nr),
+vis AS (SELECT doc_id, m,
+  trim(regexp_replace(regexp_replace(regexp_replace(decoded, '[ \t\x0B\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'), '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS v
+FROM de)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'windows-1252' WHEN 1 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+  'Doc ' || doc_id::VARCHAR AS title,
+  length(v)::BIGINT AS vis_n_chars,
+  md5(v) AS vis_md5
+FROM vis ORDER BY doc_id""",
+
+    // q275: the same messy URL rebuilt, every canonicalization step
+    // replayed in DuckDB — generic slash-collapse/query-split/filter/
+    // sort, the fixture's percent escapes and dot segments as their
+    // exact replaces (the decode-unreserved and pop semantics are
+    // pinned by HtmlCharsetSpec/UrlOpsSpec unit goldens)
+    "q275_url_rfc3986" ->
+      """WITH u AS (SELECT doc_id,
+  lower(CASE WHEN doc_id % 2 = 0 THEN 'Ex' || (doc_id % 5)::VARCHAR || '.CO.uk' ELSE 'Pg' || (doc_id % 5)::VARCHAR || '.GitHub.IO' END) AS host,
+  '/%41lpha//b' || (doc_id % 7)::VARCHAR || '/../c%61t/./p%7eg/' || doc_id::VARCHAR AS rawpath,
+  'id=%31' || doc_id::VARCHAR || '&utm_source=x&t=%7e%2fv' AS rawq
+FROM documents),
+n AS (SELECT doc_id, host,
+  replace(replace(replace(replace(replace(regexp_replace(rawpath, '/{2,}', '/', 'g'),
+    '%41', 'A'), '%61', 'a'), '%7e', '~'),
+    '/b' || (doc_id % 7)::VARCHAR || '/..', ''), '/./', '/') AS path,
+  replace(replace(replace(rawq, '%31', '1'), '%7e', '~'), '%2f', '%2F') AS q1
+FROM u),
+p AS (SELECT doc_id, host, path,
+  coalesce(array_to_string(list_sort(list_filter(string_split(q1, '&'), x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)=') AND x <> '')), '&'), '') AS q,
+  string_split(host, '.') AS labels
+FROM n)
+SELECT doc_id,
+  'https://' || host || path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url,
+  CASE WHEN host LIKE '%.github.io' THEN labels[len(labels) - 2] || '.github.io'
+       ELSE labels[len(labels) - 2] || '.' || labels[len(labels) - 1] || '.' || labels[len(labels)] END AS domain
+FROM p ORDER BY doc_id""",
+
+    // q278: the ENTIRE protocol replayed — same line explode, same
+    // grouping window (non-UA→UA transitions), same agent-group
+    // selection, same longest-match-allow-tiebreak election
+    "q278_robots_txt" ->
+      """WITH d AS (SELECT doc_id, doc_id % 37 AS m,
+  'site' || (doc_id % 37)::VARCHAR || '.com' AS domain,
+  CASE (doc_id % 5)
+    WHEN 0 THEN '/p/' || doc_id::VARCHAR
+    WHEN 1 THEN '/private/a' || doc_id::VARCHAR
+    WHEN 2 THEN '/private/ok/' || doc_id::VARCHAR
+    WHEN 3 THEN '/tmp/x'
+    ELSE '/dup/z' END AS path
+FROM documents),
+rob AS (SELECT DISTINCT domain,
+  'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) || 'Disallow: /dup' || chr(10) || 'Allow: /dup' || chr(10) ||
+  CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) ELSE '' END AS txt
+FROM d),
+lines AS (SELECT domain, unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln, unnest(string_split(txt, chr(10))) AS line FROM rob),
+fl AS (SELECT domain, ln, line, lower(trim(line)) AS lline FROM lines),
+fl2 AS (SELECT *, starts_with(lline, 'user-agent:') AS is_ua,
+  (starts_with(lline, 'allow:') OR starts_with(lline, 'disallow:')) AS is_rule FROM fl),
+fl3 AS (SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY domain ORDER BY ln), false) AS prev_ua FROM fl2),
+g AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER (PARTITION BY domain ORDER BY ln ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl3),
+ag AS (SELECT domain, grp, trim(regexp_replace(lline, '^user-agent:\s*', '')) AS agent FROM g WHERE is_ua),
+ru AS (SELECT domain, grp,
+  CASE WHEN starts_with(lline, 'allow:') THEN 1 ELSE 0 END AS allow,
+  trim(regexp_replace(line, '(?i)^\s*(allow|disallow):\s*', '')) AS rpath
+  FROM g WHERE is_rule),
+rr AS (SELECT ru.domain, ag.agent, ru.allow, ru.rpath FROM ru JOIN ag USING (domain, grp) WHERE ru.rpath <> ''),
+spec AS (SELECT DISTINCT domain FROM rr WHERE agent = 'graftbot'),
+eff AS (SELECT rr.domain, rr.allow, rr.rpath FROM rr LEFT JOIN spec ON rr.domain = spec.domain
+  WHERE CASE WHEN spec.domain IS NOT NULL THEN rr.agent = 'graftbot' ELSE rr.agent = '*' END),
+mt AS (SELECT d.doc_id, e.allow, length(e.rpath) AS l
+  FROM d JOIN eff e ON d.domain = e.domain AND starts_with(d.path, e.rpath)),
+win AS (SELECT doc_id, allow, l, row_number() OVER (PARTITION BY doc_id ORDER BY l DESC, allow DESC) AS rn FROM mt)
+SELECT d.doc_id, d.domain, d.path,
+  coalesce(w.allow, 1)::INT AS allowed, coalesce(w.l, 0)::BIGINT AS rule_len
+FROM d LEFT JOIN (SELECT doc_id, allow, l FROM win WHERE rn = 1) w USING (doc_id)
+ORDER BY d.doc_id""",
+
+    // q279: q273's page rebuilt and re-extracted for the 200-status
+    // docs — the WET text must be the identity of that extraction
+    "q279_wet_conversion" ->
+      """WITH d AS (SELECT doc_id, text,
+  'https://site' || (doc_id % 37)::VARCHAR || '.' || (['com','org','co.uk','net'])[(doc_id % 4)::INT + 1] || '/p/' || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR AS canon_url,
+  '<html><head><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p></body></html>' AS html
+FROM documents WHERE doc_id % 17 <> 0),
+tx AS (SELECT doc_id, canon_url,
+  regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<noscript\b[^>]*>.*?</noscript\s*>|<!--.*?-->', '', 'g'), '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\s*>|<br\s*/?>', chr(10), 'g'), '(?s)<[^>]*>', '', 'g') AS notags
+FROM d),
+de AS (SELECT doc_id, canon_url,
+  replace(regexp_replace(replace(replace(replace(replace(notags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;|&apos;', '''', 'g'), '&amp;', '&') AS decoded
+FROM tx),
+vis AS (SELECT doc_id, canon_url,
+  trim(regexp_replace(regexp_replace(regexp_replace(decoded, '[ \t\x0B\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'), '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS v
+FROM de)
+SELECT canon_url, octet_length(encode(v))::BIGINT AS text_n_bytes, md5(v) AS text_md5
+FROM vis ORDER BY canon_url""",
+
+    // q280: same page string, DuckDB's own sha256, same min-URL election
+    "q280_payload_digest_dedup" ->
+      """WITH p AS (
+  SELECT 'https://site' || (doc_id % 37)::VARCHAR || '.com/p/' || doc_id::VARCHAR AS url,
+         '<html><body><p>' || text || '</p></body></html>' AS body FROM documents
+  UNION ALL
+  SELECT 'https://mirror' || (doc_id % 7)::VARCHAR || '.net/m/' || doc_id::VARCHAR,
+         '<html><body><p>' || text || '</p></body></html>' FROM documents WHERE doc_id % 11 = 0)
+SELECT sha256(body) AS digest, count(*)::BIGINT AS n_urls, min(url) AS canonical_url
+FROM p GROUP BY digest ORDER BY digest""",
   )
 }

@@ -1,0 +1,287 @@
+package graft.sources
+
+import java.security.MessageDigest
+
+/** PDF standard security handler, the EMPTY-USER-PASSWORD slice — the
+  * single most common "encrypted" PDF in a real corpus: owner-restricted
+  * files (no-copy/no-print flags) that every viewer opens transparently
+  * because the user password is empty. PyPDF does this inside
+  * `PdfReader` (the reference inherits it at `pipeline1.py:605-612`);
+  * round 12 stubbed all encrypted PDFs — this demotes the stub to
+  * user-password-protected files only.
+  *
+  * Implements ISO 32000-1 §7.6.3 on pure JCE/`java.security`:
+  *   - Algorithm 2 file-key derivation (MD5 of pad ‖ /O ‖ /P-LE32 ‖
+  *     ID[0], the R≥3 50-round squeeze, /Length-sized keys);
+  *   - Algorithm 4/5 `/U` verification — the gate that PROVES the empty
+  *     user password opens the file (mismatch → None, the stub path);
+  *   - Algorithm 1 per-object keys (MD5 of key ‖ objnum-LE24 ‖ gen-LE16,
+  *     plus the `sAlT` suffix for AESV2), RC4 (/V 1–2, 40–128 bit;
+  *     hand-rolled — it is 15 lines of the spec) and AES-128-CBC
+  *     (/V 4 `/CFM /AESV2`: 16-byte IV prefix, PKCS#5 unpad) via JCE.
+  *
+  * Out of scope (still the documented stub): non-empty user passwords,
+  * /V 5 AES-256 (R5/R6 — SHA-2 based, a different algorithm family),
+  * crypt filters other than /Identity and /StdCF, and per-string
+  * decryption (this engine only reads STREAMS — content + ToUnicode —
+  * which is the whole text-extraction surface).
+  *
+  * The Encrypt dictionary is located by the same no-xref byte scan as
+  * everything else: `/Encrypt N G R` + `/ID [<…><…>]` from the trailer
+  * bytes, the dict body from the object span walk.
+  */
+object PdfCrypt {
+
+  /** §7.6.3.3 padding string. */
+  private val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 as specified (KSA + PRGA); key ≤ 16 bytes here. */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    i = 0; j = 0
+    var k = 0
+    while (k < data.length) {
+      i = (i + 1) & 0xFF
+      j = (j + s(i)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xFF)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def aesCbc(mode: Int, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  private def padPw(pw: Array[Byte]): Array[Byte] =
+    if (pw.length >= 32) pw.take(32) else pw ++ Pad.take(32 - pw.length)
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Algorithm 2: file encryption key for a (padded) user password. */
+  private def fileKey(userPw: Array[Byte], o: Array[Byte], p: Int,
+      id0: Array[Byte], r: Int, nBytes: Int): Array[Byte] = {
+    var h = md5(padPw(userPw), o.take(32), le32(p), id0)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { h = md5(h.take(nBytes)); i += 1 }
+    }
+    h.take(nBytes)
+  }
+
+  /** Algorithm 3: the /O entry from owner+user passwords (builder side). */
+  private[sources] def computeO(ownerPw: Array[Byte], userPw: Array[Byte],
+      r: Int, nBytes: Int): Array[Byte] = {
+    var h = md5(padPw(ownerPw))
+    if (r >= 3) { var i = 0; while (i < 50) { h = md5(h); i += 1 } }
+    val rk = h.take(nBytes)
+    var o = rc4(rk, padPw(userPw))
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) { o = rc4(rk.map(b => (b ^ i).toByte), o); i += 1 }
+    }
+    o
+  }
+
+  /** Algorithm 4 (R2) / 5 (R≥3): the /U entry for a file key. */
+  private[sources] def computeU(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(key, Pad)
+    else {
+      var u = rc4(key, md5(Pad, id0))
+      var i = 1
+      while (i <= 19) { u = rc4(key.map(b => (b ^ i).toByte), u); i += 1 }
+      u ++ new Array[Byte](16)
+    }
+
+  /** Algorithm 1: per-object key. */
+  private def objKey(key: Array[Byte], num: Int, gen: Int, aes: Boolean): Array[Byte] = {
+    val tail = Array((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+      ((num >> 16) & 0xFF).toByte, (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
+    val salt = if (aes) Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte)
+      else Array.emptyByteArray
+    md5(key, tail, salt).take(math.min(key.length + 5, 16))
+  }
+
+  /** A verified empty-user-password decryptor for one document. */
+  final case class Decryptor(key: Array[Byte], aes: Boolean) {
+    def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val k = objKey(key, num, gen, aes)
+      if (!aes) rc4(k, data)
+      else if (data.length < 32 || data.length % 16 != 0) Array.emptyByteArray
+      else try {
+        val plain = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, k,
+          data.take(16), data.drop(16))
+        val padN = plain.last & 0xFF
+        if (padN >= 1 && padN <= 16 && padN <= plain.length)
+          plain.dropRight(padN)
+        else Array.emptyByteArray
+      } catch { case _: java.security.GeneralSecurityException => Array.emptyByteArray }
+    }
+
+    /** Builder-side inverse (fixtures): encrypt with a deterministic IV. */
+    private[sources] def encryptStream(num: Int, gen: Int, data: Array[Byte],
+        iv: Array[Byte]): Array[Byte] = {
+      val k = objKey(key, num, gen, aes)
+      if (!aes) rc4(k, data)
+      else {
+        val padN = 16 - (data.length % 16)
+        val padded = data ++ Array.fill(padN)(padN.toByte)
+        iv ++ aesCbc(javax.crypto.Cipher.ENCRYPT_MODE, k, iv, padded)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // document-side parse
+  // ---------------------------------------------------------------------
+
+  private val EncryptRefRe = """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r
+  private val IdRe = """/ID\s*\[\s*<([0-9A-Fa-f]*)>\s*<[0-9A-Fa-f]*>\s*\]""".r
+  private val IntRe = Map(
+    "V" -> """/V\s+(\d+)""".r, "R" -> """/R\s+(\d+)""".r,
+    "Length" -> """/Length\s+(\d+)""".r, "P" -> """/P\s+(-?\d+)""".r)
+  private val HexStrRe = """<([0-9A-Fa-f]+)>""".r
+  private val LitStrRe = """(?s)\((.*?[^\\])\)""".r
+
+  private def hexBytes(h: String): Array[Byte] = {
+    val even = if (h.length % 2 == 1) h + "0" else h
+    Array.tabulate(even.length / 2)(i =>
+      Integer.parseInt(even.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  /** /O and /U values: hex string or literal string (escape table §7.3.4.2). */
+  private def pdfString(dict: String, keyName: String): Option[Array[Byte]] = {
+    val at = dict.indexOf(keyName)
+    if (at < 0) return None
+    val rest = dict.substring(at + keyName.length)
+    val hex = HexStrRe.findPrefixMatchOf(rest.dropWhile(_.isWhitespace))
+    hex.map(m => hexBytes(m.group(1))).orElse {
+      val trimmed = rest.dropWhile(_.isWhitespace)
+      if (!trimmed.startsWith("(")) None
+      else LitStrRe.findPrefixMatchOf(trimmed).map { m =>
+        val s = m.group(1)
+        val out = new java.io.ByteArrayOutputStream(s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) {
+            s.charAt(i + 1) match {
+              case 'n' => out.write('\n'); i += 2
+              case 'r' => out.write('\r'); i += 2
+              case 't' => out.write('\t'); i += 2
+              case 'b' => out.write('\b'); i += 2
+              case 'f' => out.write('\f'); i += 2
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var k = 0; i += 1
+                while (k < 3 && i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                  v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+                }
+                out.write(v & 0xFF)
+              case other => out.write(other); i += 2
+            }
+          } else { out.write(c); i += 1 }
+        }
+        out.toByteArray
+      }
+    }
+  }
+
+  /** Parse + VERIFY: Some(decryptor) iff the document declares a
+    * standard-handler /V 1/2/4 encryption this module supports AND the
+    * empty user password authenticates against /U. Anything else —
+    * unencrypted, unsupported /V, /O//U/ID missing, or a real user
+    * password — is None (caller falls back: unencrypted path or stub).
+    */
+  def decryptorFor(bytes: Array[Byte]): Option[Decryptor] = {
+    // cheap bail on the 99% case
+    if (PdfTextExtractor.indexOf(bytes, "/Encrypt", 0) < 0) return None
+    val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    for {
+      encRef <- EncryptRefRe.findFirstMatchIn(text)
+      encNum = encRef.group(1).toInt
+      dict <- PdfTextExtractor.objSpans(text).collectFirst {
+        case (n, body) if n == encNum && body.contains("/Standard") => body }
+      idm <- IdRe.findFirstMatchIn(text)
+      id0 = hexBytes(idm.group(1))
+      v <- IntRe("V").findFirstMatchIn(dict).map(_.group(1).toInt)
+      if v == 1 || v == 2 || v == 4
+      r <- IntRe("R").findFirstMatchIn(dict).map(_.group(1).toInt)
+      if r >= 2 && r <= 4
+      p <- IntRe("P").findFirstMatchIn(dict).map(_.group(1).toInt)
+      o <- pdfString(dict, "/O")
+      u <- pdfString(dict, "/U")
+      aes = v == 4 && dict.contains("/AESV2")
+      if v != 4 || aes || dict.contains("/Identity")
+      nBytes = if (r == 2) 5
+        else IntRe("Length").findFirstMatchIn(dict).map(_.group(1).toInt / 8).getOrElse(5)
+      key = fileKey(Array.emptyByteArray, o, p, id0, r, nBytes)
+      uWant = computeU(key, id0, r)
+      if (if (r == 2) java.util.Arrays.equals(uWant, u.take(32))
+          else java.util.Arrays.equals(uWant.take(16), u.take(16)))
+    } yield Decryptor(key, aes)
+  }
+
+  // ---------------------------------------------------------------------
+  // fixture-side: deterministic encrypt parameters per (r, text)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic builder inputs: ID[0] from the text, P = -3904 (the
+    * usual print/copy-restricted mask), owner password fixed, IV from
+    * the object number + text (fixtures must be replayable, so no RNG).
+    */
+  private[sources] def fixtureParams(text: String): (Array[Byte], Int) =
+    (md5(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), -3904)
+
+  private[sources] def fixtureIv(num: Int, id0: Array[Byte]): Array[Byte] =
+    md5(Array(num.toByte), id0)
+
+  /** Encrypt-dict body + verified Decryptor for mode 0/1/2 =
+    * RC4-40 (V1/R2) / RC4-128 (V2/R3) / AES-128 (V4/R4 AESV2).
+    */
+  private[sources] def fixtureEncrypt(mode: Int, text: String): (String, Decryptor, Array[Byte]) = {
+    val (id0, p) = fixtureParams(text)
+    val (v, r, bits) = mode match {
+      case 0 => (1, 2, 40)
+      case 1 => (2, 3, 128)
+      case _ => (4, 4, 128)
+    }
+    val nBytes = bits / 8
+    val owner = "graft-owner".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val o = computeO(owner, Array.emptyByteArray, r, nBytes)
+    val key = fileKey(Array.emptyByteArray, o, p, id0, r, nBytes)
+    val u = computeU(key, id0, r)
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02X").mkString
+    val cf = if (v == 4)
+      " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+    else ""
+    val lenEntry = if (v >= 2) s" /Length $bits" else ""
+    val dict = s"<< /Filter /Standard /V $v /R $r$lenEntry$cf " +
+      s"/O <${hx(o)}> /U <${hx(u)}> /P $p >>"
+    (dict, Decryptor(key, aes = v == 4), id0)
+  }
+}

@@ -170,6 +170,34 @@ object PdfIngest {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** As [[synthCidPdfCorpus]], additionally ENCRYPTING each PDF under the
+    * standard security handler with an empty user password — cipher
+    * generation cycles by `idCol % 3` (RC4-40 V1/R2, RC4-128 V2/R3,
+    * AES-128 V4/R4) so one query exercises all three supported handler
+    * generations against [[PdfCrypt]]'s verify-then-decrypt path.
+    */
+  def synthEncryptedPdfCorpus(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields :+
+      org.apache.spark.sql.types.StructField("pdf",
+        org.apache.spark.sql.types.BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val txtIdx = inSchema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val mode = (row.getLong(idIdx) % 3).toInt
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+
+            PdfTextExtractor.synthIdentityHPdf(
+              "X" + row.getString(txtIdx) + "X", mode))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Extract each `binCol` PDF through the REAL CID path and audit the
     * round-trip: `is_pdf` = the sentinels survived (so the middle is the
     * exact payload), `rt_n_chars` = codepoint count, `rt_md5` = md5 of the

@@ -63,13 +63,24 @@ object PdfTextExtractor {
     false
   }
 
-  /** All pages' text, blocks newline-joined; "" when nothing decodable. */
+  /** All pages' text, blocks newline-joined; "" when nothing decodable.
+    * Encrypted documents whose EMPTY user password verifies against /U
+    * ([[PdfCrypt.decryptorFor]] — the owner-restricted files that
+    * dominate real "encrypted" corpora) decrypt per-object ahead of the
+    * filter chain; anything else keeps the stub contract (encrypted
+    * streams fail their inflate and contribute nothing, never garbage).
+    */
   def extract(bytes: Array[Byte]): String = {
     if (!isPdf(bytes)) return ""
-    val streams = rawStreams(bytes)
+    val raw = rawStreams(bytes)
+    val streams = PdfCrypt.decryptorFor(bytes) match {
+      case Some(dec) => raw.map { case (n, g, dict, p) =>
+        (n, g, dict, if (n >= 0) dec.decryptStream(n, math.max(g, 0), p) else p) }
+      case None => raw
+    }
     val fonts = fontCmaps(bytes, streams)
     val out = new StringBuilder
-    for ((_, dict, payload) <- streams) {
+    for ((_, _, dict, payload) <- streams) {
       val data = decodePayload(dict, payload)
       if (containsTextBlock(data)) {
         val text = contentText(data, fonts)
@@ -84,7 +95,7 @@ object PdfTextExtractor {
 
   // ---- stage 1: stream payloads ------------------------------------------
 
-  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
+  private[sources] def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
     val n = needle.getBytes("ISO-8859-1")
     var i = math.max(from, 0)
     val last = hay.length - n.length
@@ -97,15 +108,15 @@ object PdfTextExtractor {
     -1
   }
 
-  /** (owning object number, owning-dict text, payload bytes) for each
-    * `stream…endstream`. The dict is the byte span from the nearest
-    * preceding `obj` keyword — close enough to read `/Filter` without
-    * resolving indirect references; the object number is parsed backwards
-    * from that keyword (−1 when malformed — filter decoding never needs
-    * it, only the ToUnicode lookup does).
+  /** (owning object number, generation, owning-dict text, payload bytes)
+    * for each `stream…endstream`. The dict is the byte span from the
+    * nearest preceding `obj` keyword — close enough to read `/Filter`
+    * without resolving indirect references; number and generation are
+    * parsed backwards from that keyword (−1 when malformed — filter
+    * decoding never needs them, only ToUnicode lookup and decryption do).
     */
-  private def rawStreams(bytes: Array[Byte]): Seq[(Int, String, Array[Byte])] = {
-    val found = Seq.newBuilder[(Int, String, Array[Byte])]
+  private def rawStreams(bytes: Array[Byte]): Seq[(Int, Int, String, Array[Byte])] = {
+    val found = Seq.newBuilder[(Int, Int, String, Array[Byte])]
     var pos = 0
     var lastObj = 0 // carried forward: the obj scan never re-reads the file
     var streamAt = indexOf(bytes, "stream", pos)
@@ -117,29 +128,63 @@ object PdfTextExtractor {
         // EOL after the keyword: CRLF or LF per spec (tolerate a lone CR)
         if (payloadStart < bytes.length && bytes(payloadStart) == '\r') payloadStart += 1
         if (payloadStart < bytes.length && bytes(payloadStart) == '\n') payloadStart += 1
-        val end = indexOf(bytes, "endstream", payloadStart)
-        if (end > payloadStart) {
-          var payloadEnd = end
-          // strip the EOL that precedes `endstream`
-          if (payloadEnd > payloadStart && bytes(payloadEnd - 1) == '\n') payloadEnd -= 1
-          if (payloadEnd > payloadStart && bytes(payloadEnd - 1) == '\r') payloadEnd -= 1
-          lastObj = lastIndexOfObj(bytes, lastObj, streamAt)
-          val dict = new String(bytes, lastObj, streamAt - lastObj, "ISO-8859-1")
-          found += ((objNumBefore(bytes, lastObj), dict,
-            java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)))
-          pos = end + "endstream".length
-        } else pos = payloadStart
+        lastObj = lastIndexOfObj(bytes, lastObj, streamAt)
+        val dict = new String(bytes, lastObj, streamAt - lastObj, "ISO-8859-1")
+        // a DIRECT /Length bounds the payload exactly — the only correct
+        // answer for binary payloads (encrypted streams are pseudorandom
+        // bytes that may END in CR/LF or even contain "endstream"; the
+        // keyword scan would truncate them). Verified against the
+        // following endstream keyword; indirect `/Length N G R` and
+        // lying lengths fall back to the scan.
+        val exact = directLength(dict).flatMap { n =>
+          val pe = payloadStart.toLong + n
+          if (pe <= bytes.length) {
+            var q = pe.toInt
+            if (q < bytes.length && bytes(q) == '\r') q += 1
+            if (q < bytes.length && bytes(q) == '\n') q += 1
+            if (indexOf(bytes, "endstream", q) == q) Some((pe.toInt, q))
+            else None
+          } else None
+        }
+        val bounds = exact.orElse {
+          val end = indexOf(bytes, "endstream", payloadStart)
+          if (end > payloadStart) {
+            var payloadEnd = end
+            // strip the EOL that precedes `endstream`
+            if (payloadEnd > payloadStart && bytes(payloadEnd - 1) == '\n') payloadEnd -= 1
+            if (payloadEnd > payloadStart && bytes(payloadEnd - 1) == '\r') payloadEnd -= 1
+            Some((payloadEnd, end))
+          } else None
+        }
+        bounds match {
+          case Some((payloadEnd, kwAt)) =>
+            val (num, gen) = objNumBefore(bytes, lastObj)
+            found += ((num, gen, dict,
+              java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd)))
+            pos = kwAt + "endstream".length
+          case None => pos = payloadStart
+        }
       } else pos = payloadStart
       streamAt = indexOf(bytes, "stream", pos)
     }
     found.result()
   }
 
-  /** Object number of `N G obj` whose `obj` keyword starts at `objAt`:
-    * walk back over the generation number and whitespace, then read the
-    * digits of N. −1 when the shape doesn't match.
+  private val DirectLenRe = """/Length\s+(\d{1,9})(\s+\d+\s+R)?""".r
+
+  /** The dict's `/Length` when it is a DIRECT integer (an indirect
+    * `N G R` reference needs the xref this scan deliberately avoids).
     */
-  private def objNumBefore(bytes: Array[Byte], objAt: Int): Int = {
+  private def directLength(dict: String): Option[Int] =
+    DirectLenRe.findFirstMatchIn(dict).collect {
+      case m if m.group(2) == null => m.group(1).toInt
+    }
+
+  /** (object number, generation) of `N G obj` whose `obj` keyword starts
+    * at `objAt`: walk back over the generation number and whitespace,
+    * then read the digits of N. (−1, −1) when the shape doesn't match.
+    */
+  private def objNumBefore(bytes: Array[Byte], objAt: Int): (Int, Int) = {
     var i = objAt - 1
     def skipWs(): Unit =
       while (i >= 0 && (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\r' ||
@@ -150,11 +195,13 @@ object PdfTextExtractor {
       hi - i
     }
     skipWs()
-    if (skipDigits() == 0) return -1 // generation
+    val gd = skipDigits()
+    if (gd == 0 || gd > 9) return (-1, -1)
+    val gen = new String(bytes, i + 1, gd, "ISO-8859-1").toInt
     skipWs()
     val nd = skipDigits()
-    if (nd == 0 || nd > 9) return -1
-    new String(bytes, i + 1, nd, "ISO-8859-1").toInt
+    if (nd == 0 || nd > 9) return (-1, -1)
+    (new String(bytes, i + 1, nd, "ISO-8859-1").toInt, gen)
   }
 
   /** Last "obj" before `before`, scanning forward from `from` (the
@@ -523,7 +570,7 @@ object PdfTextExtractor {
     * byte-scan trade-off), and the CMap stream is found by object number.
     */
   private[graft] def fontCmaps(bytes: Array[Byte],
-      streams: Seq[(Int, String, Array[Byte])]): Map[String, Map[Int, String]] = {
+      streams: Seq[(Int, Int, String, Array[Byte])]): Map[String, Map[Int, String]] = {
     // cheap bail: no Type0 machinery in the file
     if (indexOf(bytes, "Identity-H", 0) < 0) return Map.empty
     val text = new String(bytes, "ISO-8859-1")
@@ -544,7 +591,7 @@ object PdfTextExtractor {
     names.flatMap { case (name, fontObj) =>
       toUni.get(fontObj).flatMap { tuObj =>
         val cm = cmapOf.getOrElseUpdate(tuObj,
-          streams.collectFirst { case (n, dict, payload) if n == tuObj =>
+          streams.collectFirst { case (n, _, dict, payload) if n == tuObj =>
             parseCMap(decodePayload(dict, payload))
           }.getOrElse(Map.empty))
         if (cm.nonEmpty) Some(name -> cm) else None
@@ -651,7 +698,18 @@ object PdfTextExtractor {
     * end-to-end. Extraction round-trips `text` exactly (surrogate pairs
     * ride as two mapped units that the JVM re-joins).
     */
-  def synthIdentityHPdf(text: String): Array[Byte] = {
+  def synthIdentityHPdf(text: String): Array[Byte] =
+    synthIdentityHPdf(text, encryptMode = -1)
+
+  /** As [[synthIdentityHPdf]], with `encryptMode` 0/1/2 additionally
+    * encrypting both streams under the standard security handler
+    * (RC4-40 V1/R2 / RC4-128 V2/R3 / AES-128 V4/R4 AESV2 — EMPTY user
+    * password, owner-restricted): per-object keys over the deflated
+    * payloads, /Encrypt dict + /ID in a trailer. Deterministic
+    * throughout (ID from the text, IV from object number + ID), so the
+    * fixture replays byte-identically.
+    */
+  def synthIdentityHPdf(text: String, encryptMode: Int): Array[Byte] = {
     val units = text.toCharArray
     val cidOf = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
     units.foreach(c => cidOf.getOrElseUpdate(c, cidOf.size + 1))
@@ -686,6 +744,13 @@ end"""
       out.toByteArray
     }
     def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val enc = if (encryptMode >= 0)
+      Some(PdfCrypt.fixtureEncrypt(encryptMode, text)) else None
+    def sealStream(num: Int, plain: Array[Byte]): Array[Byte] = enc match {
+      case Some((_, dec, id0)) =>
+        dec.encryptStream(num, 0, plain, PdfCrypt.fixtureIv(num, id0))
+      case None => plain
+    }
     val out = new ByteArrayOutputStream()
     out.write(cc("%PDF-1.4\n"))
     out.write(cc("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"))
@@ -694,16 +759,21 @@ end"""
       "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"))
     out.write(cc("4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftSynth " +
       "/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >> endobj\n"))
-    val contentZ = deflate(content)
+    val contentZ = sealStream(5, deflate(content))
     out.write(cc(s"5 0 obj << /Length ${contentZ.length} /Filter /FlateDecode >>\nstream\n"))
     out.write(contentZ)
     out.write(cc("\nendstream\nendobj\n"))
     out.write(cc("6 0 obj << /Type /Font /Subtype /CIDFontType2 " +
       "/BaseFont /GraftSynth /CIDToGIDMap /Identity >> endobj\n"))
-    val cmapZ = deflate(cmap)
+    val cmapZ = sealStream(7, deflate(cmap))
     out.write(cc(s"7 0 obj << /Length ${cmapZ.length} /Filter /FlateDecode >>\nstream\n"))
     out.write(cmapZ)
     out.write(cc("\nendstream\nendobj\n"))
+    enc.foreach { case (dict, _, id0) =>
+      val hx = id0.map(b => f"${b & 0xFF}%02X").mkString
+      out.write(cc(s"8 0 obj $dict endobj\n"))
+      out.write(cc(s"trailer << /Root 1 0 R /Encrypt 8 0 R /ID [<$hx> <$hx>] >>\n"))
+    }
     out.write(cc("%%EOF\n"))
     out.toByteArray
   }

@@ -245,6 +245,40 @@ object WarcReader {
     out.toByteArray
   }
 
+  /** WET conversion sink — the derived format crawl pipelines PUBLISH
+    * (Common Crawl's `.warc.wet.gz`): one `conversion` record per page
+    * carrying the EXTRACTED text as a `text/plain` block, preceded by a
+    * `warcinfo` member, each record its own gzip member. Input columns:
+    * `shardCol` (output blob key), `uriCol`, `textCol`. Text is grouped
+    * per shard and sorted by URI for determinism; blobs re-read with
+    * [[records]]/[[parse]] — the write side of the format proven by the
+    * read side (q279 round-trips build→compress→inflate→walk→compare).
+    */
+  def buildWet(pages: DataFrame, shardCol: String, uriCol: String,
+      textCol: String): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val outSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("wet", BinaryType, nullable = false)))
+    val rdd = pages.select(col(shardCol).cast("long"), col(uriCol), col(textCol))
+      .as[(Long, String, String)].rdd
+      .map { case (shard, uri, text) => (shard, (uri, text)) }
+      .groupByKey(32)
+      .map { case (shard, rows) =>
+        val bos = new ByteArrayOutputStream(1 << 16)
+        bos.write(gz(warcRecord("warcinfo", "", "application/warc-fields",
+          ("software: graft-wet-writer/1.0\r\n" +
+            "format: WARC File Format 1.0\r\n").getBytes(ISO_8859_1))))
+        rows.toSeq.sortBy(_._1).foreach { case (uri, text) =>
+          bos.write(gz(warcRecord("conversion", uri, "text/plain",
+            text.getBytes(UTF_8))))
+        }
+        Row(shard, bos.toByteArray)
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Build `(shard, warc)` blobs from the documents table: each shard
     * (`doc_id % nShards`) becomes one `.warc.gz` byte array — a leading
     * `warcinfo` member, then per doc (ascending `doc_id`) a `request` +

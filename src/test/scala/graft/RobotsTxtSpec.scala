@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** RFC 9309 goldens for [[graft.operators.RobotsTxt]]: group runs,
+  * specific-agent suppression of `*`, longest-match, allow-tiebreak,
+  * the no-rule default, and multi-UA group sharing.
+  */
+class RobotsTxtSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("parse + evaluate: RFC semantics end-to-end") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      ("a.com",
+        "User-agent: *\nDisallow: /x\nAllow: /x/ok\nDisallow: /t\nAllow: /t\n" +
+          "\nUser-agent: graftbot\nUser-agent: otherbot\nDisallow: /g\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n"),
+      ("c.com", "# comments only\n")).toDF("domain", "txt")
+    val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+    // multi-UA run shares its rules across both agents
+    assert(rules.filter($"domain" === "a.com" && $"rpath" === "/g")
+      .select($"agent").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("graftbot", "otherbot"))
+    val urls = Seq(
+      ("a.com", "/x/deep"), // '*' blocked… but a.com names graftbot → allowed
+      ("a.com", "/g/sub"),  // graftbot group: blocked
+      ("a.com", "/t"),      // would be the tie case under '*', but suppressed
+      ("b.com", "/any"),    // '*' Disallow: / → blocked
+      ("c.com", "/free"))   // no rules at all → allowed
+      .toDF("domain", "path")
+    val got = graft.operators.RobotsTxt
+      .allowed(urls, rules, "domain", "path", "graftbot")
+      .select($"domain", $"path", $"allowed", $"rule_len")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    assert(got(("a.com", "/x/deep")) == (1, 0L)) // * group suppressed entirely
+    assert(got(("a.com", "/g/sub")) == (0, 2L))
+    assert(got(("a.com", "/t")) == (1, 0L))
+    assert(got(("b.com", "/any")) == (0, 1L))
+    assert(got(("c.com", "/free")) == (1, 0L))
+    // generic agent on a.com: longest match and the allow-tie
+    val gen = graft.operators.RobotsTxt
+      .allowed(Seq(("a.com", "/x/ok/1"), ("a.com", "/x/other"), ("a.com", "/t/z"))
+        .toDF("domain", "path"), rules, "domain", "path", "nobody")
+      .select($"path", $"allowed", $"rule_len")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(gen("/x/ok/1") == (1, 5L)) // /x/ok beats /x
+    assert(gen("/x/other") == (0, 2L))
+    assert(gen("/t/z") == (1, 2L)) // equal length: allow wins
+  }
+}

@@ -276,4 +276,30 @@ class SetSimJoinSpec extends AnyFunSuite {
       assert(got.nonEmpty, s"tau4=$tau4: no touching pairs — corpus too easy")
     }
   }
+
+  test("deltaJoinStored serves the identical pairs from the persisted index, without re-reading base text") {
+    import spark.implicits._
+    val docs = corpus(90).toDF("id", "text")
+    val base = docs.filter($"id" % 4 =!= 0)
+    val delta = docs.filter($"id" % 4 === 0)
+    val tau4 = 5000L
+    val dir = java.nio.file.Files.createTempDirectory("setsim_idx_spec").toString
+    SetSimJoin.buildIndex(base, dir, "id", "text", shingleN = 5, tau4 = tau4)
+    // the three index tables exist and are non-empty
+    for (t <- Seq("sets", "prefix", "df"))
+      assert(spark.read.parquet(s"$dir/$t.parquet").count() > 0, t)
+    val want = SetSimJoin.deltaJoin(base, delta, "id", "text", shingleN = 5, tau4 = tau4)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    val got = SetSimJoin.deltaJoinStored(spark, dir, delta,
+        "id", "text", shingleN = 5, tau4 = tau4)
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(got == want && got.nonEmpty, "stored-index serve diverged from recompute")
+    // the served plan reads the stored parquet, not the base DataFrame:
+    // its physical plan must scan the index directory
+    val plan = SetSimJoin.deltaJoinStored(spark, dir, delta,
+      "id", "text", shingleN = 5, tau4 = tau4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("prefix.parquet") || plan.contains("sets.parquet"),
+      "stored path not reading the persisted index")
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.graft.expressions.{PercentNormalize, RegistrableDomainPsl, RemoveDotSegments}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unit goldens for the RFC 3986 expressions behind q275: §6.2.2
+  * percent-normalization, §5.2.4 remove_dot_segments (the RFC's own
+  * examples verbatim), and the PSL-pluggable registrable domain.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+
+  private def ev(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+    e.eval(null).asInstanceOf[UTF8String].toString
+  private def lit(s: String) = Literal(UTF8String.fromString(s), StringType)
+
+  test("PercentNormalize: unreserved escapes decode, reserved escapes uppercase, malformed % verbatim") {
+    def pn(s: String) = ev(PercentNormalize(lit(s)))
+    assert(pn("%41%61%30%2D%2e%5F%7e") == "Aa0-._~") // all unreserved classes
+    assert(pn("%2f%3F%26%3d%23") == "%2F%3F%26%3D%23") // reserved: keep, uppercase
+    assert(pn("%C3%A9") == "%C3%A9") // non-ASCII octets stay encoded
+    assert(pn("100%3x%") == "100%3x%") // not-two-hex-digits: verbatim
+    assert(pn("plain") == "plain")
+    assert(pn("a%2Eb") == "a.b") // %2E decodes — feeds dot-segment removal
+  }
+
+  test("RemoveDotSegments: RFC 3986 §5.2.4 examples and pop edge cases") {
+    def rd(s: String) = ev(RemoveDotSegments(lit(s)))
+    assert(rd("/a/b/c/./../../g") == "/a/g") // §5.2.4 example 1
+    assert(rd("mid/content=5/../6") == "mid/6") // §5.2.4 example 2
+    assert(rd("/a/b/../../../c") == "/c") // pops past root stay rooted
+    assert(rd("/./x/.") == "/x/")
+    assert(rd("/..") == "/")
+    assert(rd("..") == "")
+    assert(rd("/a/./b/") == "/a/b/")
+    assert(rd("/no/dots/here") == "/no/dots/here")
+  }
+
+  test("RegistrableDomainPsl: longest listed suffix wins; empty list reproduces the ccTLD heuristic") {
+    val psl = Set("github.io", "compute.example.net")
+    def rdp(h: String, s: Set[String]) = ev(RegistrableDomainPsl(lit(h), s))
+    assert(rdp("a.b.github.io", psl) == "b.github.io")
+    assert(rdp("x.y.compute.example.net", psl) == "y.compute.example.net")
+    // no listed suffix → heuristic: ccTLD behind a common SLD takes 3 labels
+    assert(rdp("www.ex.co.uk", psl) == "ex.co.uk")
+    assert(rdp("deep.sub.example.com", psl) == "example.com")
+    assert(rdp("example.com", Set.empty) == "example.com")
+    assert(rdp("host", Set.empty) == "host")
+  }
+}

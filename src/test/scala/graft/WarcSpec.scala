@@ -118,4 +118,29 @@ class WarcSpec extends AnyFunSuite {
     }
     recs.unpersist()
   }
+
+  test("WET writer: conversion records round-trip text exactly through the same member walk") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      (0L, "https://ex.com/a", "plain text body"),
+      (0L, "https://ex.com/b", "accents é and emoji 😀\nsecond line"),
+      (1L, "https://ex.org/c", "")).toDF("shard", "uri", "txt")
+    val wet = WarcReader.buildWet(pages, "shard", "uri", "txt")
+    assert(wet.count() == 2)
+    val back = WarcReader.records(wet, "wet")
+    val byType = back.groupBy($"warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("warcinfo" -> 2L, "conversion" -> 3L))
+    val got = back.filter($"warc_type" === "conversion")
+      .select($"target_uri", $"payload").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), UTF_8)).toMap
+    assert(got == Map(
+      "https://ex.com/a" -> "plain text body",
+      "https://ex.com/b" -> "accents é and emoji 😀\nsecond line",
+      "https://ex.org/c" -> ""))
+    // conversion records carry the WET content type
+    assert(back.filter($"warc_type" === "conversion")
+      .filter($"warc_content_type" =!= "text/plain").count() == 0)
+  }
 }
