@@ -476,6 +476,29 @@ private[graft] object MultimodalQueries {
           $"is_pdf", $"rt_n_chars", $"rt_md5")
         .orderBy($"doc_id")
     }),
+
+
+    // PDF embedded-image census — the DCT stub demoted
+    // ([[graft.sources.PdfImages]]): each doc gets a fixture PDF
+    // embedding one REAL baseline JPEG (deterministic RGB pattern
+    // through ImageIO's encoder — the JDK ships the codec, so DCTDecode
+    // needs no stub) and one raw FlateDecode gray image; the extractor
+    // walks the image XObjects off the same no-xref byte scan the text
+    // path uses (exact /Length bounds — JPEG payloads legally contain
+    // `endstream` bytes), JPEG-decodes the DCT payload and verifies the
+    // raw payload by sample arithmetic. All output geometry is
+    // closed-form in doc_id; the ok flags flip on any codec or
+    // stream-bounds break. JPX (JPEG 2000) remains the one disclosed
+    // filter stub — no JDK codec exists.
+    "q281_pdf_images" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id")
+        .repartition(32, $"doc_id") // spread the per-row encode/decode
+      graft.sources.PdfImages.imageCensus(docs, "doc_id")
+        .select($"doc_id", $"n_images", $"dct_ok", $"dct_w", $"dct_h",
+          $"dct_ch", $"raw_ok", $"raw_w", $"raw_h")
+        .orderBy($"doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -762,5 +785,14 @@ md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
 CASE WHEN doc_id % 3 = 0 THEN 'rc4-40' WHEN doc_id % 3 = 1 THEN 'rc4-128' ELSE 'aes-128' END AS cipher,
 1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
 md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
+
+    // q281: geometry closed-form; the ok flags are the codec evidence
+    // (JPEG bytes are encoder-specific, so only decode SUCCESS + decoded
+    // geometry is engine-independent — the q260 gzip-size precedent)
+    "q281_pdf_images" ->
+      """SELECT doc_id, 2::BIGINT AS n_images,
+1::INT AS dct_ok, (16 + doc_id % 16)::BIGINT AS dct_w, (8 + doc_id % 8)::BIGINT AS dct_h, 3::BIGINT AS dct_ch,
+1::INT AS raw_ok, (4 + doc_id % 4)::BIGINT AS raw_w, (3 + doc_id % 3)::BIGINT AS raw_h
+FROM documents ORDER BY doc_id""",
   )
 }

@@ -38,16 +38,26 @@ import java.util.zip.Inflater
   * number from the same byte scan (no xref): `/Font << /F1 N 0 R >>`
   * spans name the font dicts, each font dict names its ToUnicode stream.
   *
+  * Round 13 demotes two more stubs: ENCRYPTED documents whose empty
+  * user password authenticates decrypt through [[PdfCrypt]] (RC4-40/128
+  * and AES-128 — the owner-restricted shape that dominates real
+  * "encrypted" corpora), and `/DCTDecode` image XObjects decode as real
+  * JPEGs through [[PdfImages]] (the JDK ships the codec). Stream
+  * payload bounds now honor a DIRECT `/Length` exactly (binary payloads
+  * — ciphertext, JPEG — legally end in CR/LF or contain `endstream`;
+  * the keyword scan is only the fallback).
+  *
   * Still out of scope (the documented fallback remains
   * [[PdfIngest.stubPdfToText]]): CID fonts WITHOUT a ToUnicode CMap
   * (decoding those needs the embedded font program's glyph→char tables),
   * non-Identity CID encodings (predefined CMaps ship with font
-  * subsystems, not the spec), encrypted documents, DCT/JPX image
-  * filters, and object streams (`/ObjStm` — the spec forbids streams
-  * inside one, so they carry cross-reference structure, never page
-  * content; this byte-scan never needs them). A chain containing an
-  * unsupported filter yields empty bytes, never garbage text; an
-  * unmapped CID contributes nothing, never a wrong glyph.
+  * subsystems, not the spec), user-password-protected and AES-256 (/V 5)
+  * encryption, the JPX image filter (no JDK codec), and object streams
+  * (`/ObjStm` — the spec forbids streams inside one, so they carry
+  * cross-reference structure, never page content; this byte-scan never
+  * needs them). A chain containing an unsupported filter yields empty
+  * bytes, never garbage text; an unmapped CID contributes nothing,
+  * never a wrong glyph.
   */
 object PdfTextExtractor {
 
@@ -115,7 +125,7 @@ object PdfTextExtractor {
     * parsed backwards from that keyword (−1 when malformed — filter
     * decoding never needs them, only ToUnicode lookup and decryption do).
     */
-  private def rawStreams(bytes: Array[Byte]): Seq[(Int, Int, String, Array[Byte])] = {
+  private[sources] def rawStreams(bytes: Array[Byte]): Seq[(Int, Int, String, Array[Byte])] = {
     val found = Seq.newBuilder[(Int, Int, String, Array[Byte])]
     var pos = 0
     var lastObj = 0 // carried forward: the obj scan never re-reads the file
@@ -424,7 +434,7 @@ object PdfTextExtractor {
 
   private val ParamRe = """(/\w+)\s+(\d+)""".r
 
-  private def intParam(dict: String, name: String): Option[Int] =
+  private[sources] def intParam(dict: String, name: String): Option[Int] =
     ParamRe.findAllMatchIn(dict)
       .collectFirst { case m if m.group(1) == name => m.group(2).toInt }
 

@@ -223,6 +223,35 @@ object StatefulOps {
       }
   }
 
+  final case class DigestState(digest: String, n_urls: Long, canonical_url: String)
+
+  /** Streaming twin #18 — q280's payload-digest dedup at arrival
+    * granularity (the WARC revisit-record ledger a crawler keeps): per
+    * digest, state is (arrival count, min URL), both commutative-monoid
+    * folds, so after ANY micro-batch split the latest snapshot per
+    * digest equals the batch `groupBy(digest).agg(count, min(url))` of
+    * everything seen so far. State is O(1) per DISTINCT digest —
+    * content-identity dedup is exactly the operator whose state cannot
+    * shrink below the distinct-payload census; a recrawl-window
+    * retention (evict digests not seen for N days) would ride
+    * EventTimeTimeout like twin #17's window.
+    */
+  def runningDigestDedup(rows: Dataset[(String, String)]): Dataset[DigestState] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (digest: String, it: Iterator[(String, String)],
+         state: GroupState[(Long, String)]) =>
+          var (n, canon) = state.getOption.getOrElse((0L, null: String))
+          it.foreach { case (_, url) =>
+            n += 1
+            if (canon == null || url < canon) canon = url
+          }
+          state.update((n, canon))
+          DigestState(digest, n, canon)
+      }
+  }
+
   final case class CmsSnapshot(key: String, n_items: Long, sketch: Seq[Long])
 
   /** Streaming twin of the Count-Min frequency sketch (q91): per-key state

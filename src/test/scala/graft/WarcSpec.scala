@@ -143,4 +143,37 @@ class WarcSpec extends AnyFunSuite {
     assert(back.filter($"warc_type" === "conversion")
       .filter($"warc_content_type" =!= "text/plain").count() == 0)
   }
+
+  test("streaming twin #18: digest-dedup snapshots equal the batch aggregate after every random micro-batch split") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rnd = new scala.util.Random(7L)
+    // 60 arrivals over 20 distinct bodies: mirrors share digests
+    val arrivals = (0 until 60).map { i =>
+      (s"digest${i % 20}", s"https://m${(i * 7) % 13}.com/u$i")
+    }
+    val batch = arrivals.groupBy(_._1).map { case (d, rs) =>
+      d -> (rs.size.toLong, rs.map(_._2).min) }
+    (0 until 3).foreach { round =>
+      val cut = 1 + rnd.nextInt(arrivals.length - 1)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String)]
+      val snaps = graft.streaming.StatefulOps.runningDigestDedup(input.toDS())
+      val q = snaps.writeStream.format("memory").queryName(s"dig_run$round")
+        .outputMode("update").start()
+      try {
+        input.addData(arrivals.take(cut): _*); q.processAllAvailable()
+        input.addData(arrivals.drop(cut): _*); q.processAllAvailable()
+        // latest snapshot per digest = max n_urls row (counts only grow)
+        val got = s.table(s"dig_run$round")
+          .groupByKey(_.getString(0))
+          .mapGroups { (d, it) =>
+            val last = it.maxBy(_.getLong(1))
+            (d, last.getLong(1), last.getString(2))
+          }.collect().map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == batch, s"split at $cut diverged")
+      } finally q.stop()
+    }
+  }
 }
