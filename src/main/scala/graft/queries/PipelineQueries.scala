@@ -1661,7 +1661,10 @@ private[graft] object PipelineQueries {
       graft.operators.Batching.groupedRowNumber(
         withDomain.withColumn("__h",
           md5(concat(lit("cap:"), $"doc_id".cast("string")))),
-        Seq("domain"), Seq($"__h", $"doc_id"), 32, "rn", Some("n"))
+        Seq("domain"), Seq($"__h", $"doc_id"), 32, "rn", Some("n"),
+        // domains are a crawl-cardinality key (millions at 100 TB):
+        // the spans join must stay shuffled, never a forced broadcast
+        broadcastSpans = false)
         .groupBy($"domain")
         .agg(count(lit(1)).as("n_docs"),
           sum(($"rn" <= cap).cast("long")).as("n_kept"),
