@@ -1897,6 +1897,62 @@ private[graft] object PipelineQueries {
         .agg(count(lit(1)).as("n_urls"), min($"url").as("canonical_url"))
         .orderBy($"digest")
     }),
+
+
+    // Sitemap discovery ([[graft.operators.Sitemap]], sitemaps.org):
+    // the frontier-DISCOVERY operator next to q278's politeness gate.
+    // Every domain publishes a sitemap; big domains (m % 5 = 0) publish
+    // a <sitemapindex> over two child urlsets — the protocol's one
+    // indirection level. Parse is fully relational (regexp block
+    // explode + per-block extracts; XML entity decode through the q271
+    // chain — `&amp;` is REQUIRED in any sitemap URL with a query
+    // string, the interop detail this pins), and the `via_index` flag
+    // comes from joining [[Sitemap.childLocs]] back onto the entries,
+    // so both layers are oracle-replayed end-to-end. The fixture
+    // urlsets are deterministic ordered aggregations of the documents
+    // table, so DuckDB rebuilds the same XML byte-for-byte.
+    "q282_sitemap_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"doc_id")
+        .withColumn("m", pmod($"doc_id", lit(37)))
+        .withColumn("k", pmod($"doc_id", lit(2)))
+        .withColumn("e", concat(
+          lit("<url><loc>https://site"), $"m", lit(".com/p/"), $"doc_id",
+          lit("?a=1&amp;b=2</loc><lastmod>2025-"),
+          lpad((pmod($"doc_id", lit(12)) + 1).cast("string"), 2, "0"),
+          lit("-"),
+          lpad((pmod($"doc_id", lit(28)) + 1).cast("string"), 2, "0"),
+          lit("</lastmod><priority>0."), pmod($"doc_id", lit(10)),
+          lit("</priority></url>")))
+      def inner = array_join(transform(
+        sort_array(collect_list(struct($"doc_id", $"e"))),
+        x => x.getField("e")), "")
+      val nonIndex = d.filter(pmod($"m", lit(5)) =!= 0).groupBy($"m")
+        .agg(inner.as("i"))
+        .select(concat(lit("https://site"), $"m", lit(".com/sitemap.xml")).as("url"),
+          concat(lit("<urlset>"), $"i", lit("</urlset>")).as("xml"))
+      val children = d.filter(pmod($"m", lit(5)) === 0).groupBy($"m", $"k")
+        .agg(inner.as("i"))
+        .select(concat(lit("https://site"), $"m", lit(".com/sitemap-"), $"k",
+          lit(".xml")).as("url"),
+          concat(lit("<urlset>"), $"i", lit("</urlset>")).as("xml"))
+      val index = d.filter(pmod($"m", lit(5)) === 0).select($"m").distinct()
+        .select(concat(lit("https://site"), $"m", lit(".com/sitemap.xml")).as("url"),
+          concat(lit("<sitemapindex><sitemap><loc>https://site"), $"m",
+            lit(".com/sitemap-0.xml</loc></sitemap><sitemap><loc>https://site"),
+            $"m", lit(".com/sitemap-1.xml</loc></sitemap></sitemapindex>"))
+            .as("xml"))
+      val sitemaps = nonIndex.unionByName(children).unionByName(index)
+        .localCheckpoint(false) // entries and index edges both read it
+      val entries = graft.operators.Sitemap.urlEntries(sitemaps, "url", "xml")
+      val viaIdx = graft.operators.Sitemap.childLocs(sitemaps, "url", "xml")
+        .select($"child_url".as("sitemap_url")).distinct()
+        .withColumn("__via", lit(1))
+      entries.join(viaIdx, Seq("sitemap_url"), "left")
+        .select($"loc", $"lastmod", $"priority", $"sitemap_url",
+          coalesce($"__via", lit(0)).as("via_index"))
+        .orderBy($"loc")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2784,5 +2840,30 @@ FROM vis ORDER BY canon_url""",
          '<html><body><p>' || text || '</p></body></html>' FROM documents WHERE doc_id % 11 = 0)
 SELECT sha256(body) AS digest, count(*)::BIGINT AS n_urls, min(url) AS canonical_url
 FROM p GROUP BY digest ORDER BY digest""",
+
+    // q282: the same ordered-aggregation XML rebuilt byte-for-byte, both
+    // parse layers replayed with DuckDB's regexp_extract_all + the q271
+    // entity chain, index membership by the same child-loc join
+    "q282_sitemap_discovery" ->
+      """WITH d AS (SELECT doc_id, doc_id % 37 AS m, doc_id % 2 AS k,
+  '<url><loc>https://site' || (doc_id % 37)::VARCHAR || '.com/p/' || doc_id::VARCHAR || '?a=1&amp;b=2</loc><lastmod>2025-' || lpad((1 + doc_id % 12)::VARCHAR, 2, '0') || '-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') || '</lastmod><priority>0.' || (doc_id % 10)::VARCHAR || '</priority></url>' AS e
+FROM documents),
+ni AS (SELECT 'https://site' || m::VARCHAR || '.com/sitemap.xml' AS url, '<urlset>' || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml FROM d WHERE m % 5 <> 0 GROUP BY m),
+ch AS (SELECT 'https://site' || m::VARCHAR || '.com/sitemap-' || k::VARCHAR || '.xml' AS url, '<urlset>' || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml FROM d WHERE m % 5 = 0 GROUP BY m, k),
+ix AS (SELECT DISTINCT 'https://site' || m::VARCHAR || '.com/sitemap.xml' AS url,
+  '<sitemapindex><sitemap><loc>https://site' || m::VARCHAR || '.com/sitemap-0.xml</loc></sitemap><sitemap><loc>https://site' || m::VARCHAR || '.com/sitemap-1.xml</loc></sitemap></sitemapindex>' AS xml FROM d WHERE m % 5 = 0),
+sm AS (SELECT * FROM ni UNION ALL SELECT * FROM ch UNION ALL SELECT * FROM ix),
+blocks AS (SELECT url AS sitemap_url, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS b FROM sm WHERE contains(xml, '<urlset')),
+ent AS (SELECT sitemap_url,
+  replace(regexp_replace(replace(replace(replace(replace(trim(coalesce(regexp_extract(b, '(?s)<loc>(.*?)</loc>', 1), '')), '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;|&apos;', '''', 'g'), '&amp;', '&') AS loc,
+  trim(coalesce(regexp_extract(b, '(?s)<lastmod>(.*?)</lastmod>', 1), '')) AS lastmod,
+  trim(coalesce(regexp_extract(b, '(?s)<priority>(.*?)</priority>', 1), '')) AS priority
+FROM blocks),
+cl AS (SELECT DISTINCT trim(coalesce(regexp_extract(sb, '(?s)<loc>(.*?)</loc>', 1), '')) AS sitemap_url
+  FROM (SELECT unnest(regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)) AS sb FROM sm WHERE contains(xml, '<sitemapindex')))
+SELECT e.loc, e.lastmod, e.priority, e.sitemap_url,
+  CASE WHEN cl.sitemap_url IS NOT NULL THEN 1 ELSE 0 END::INT AS via_index
+FROM ent e LEFT JOIN cl ON e.sitemap_url = cl.sitemap_url
+WHERE e.loc <> '' ORDER BY e.loc""",
   )
 }
