@@ -84,6 +84,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.AnnQueries.queries ++
     graft.queries.CoreQueries.queries ++
+    graft.queries.CrawlQueries.queries ++
     graft.queries.DedupQueries.queries ++
     graft.queries.EventQueries.queries ++
     graft.queries.GraphQueries.queries ++
@@ -633,6 +634,7 @@ qv AS (SELECT list_transform(r, x -> (x / n)::FLOAT::DOUBLE) AS v FROM (SELECT r
   def oracleSql: Map[String, String] =
     graft.queries.AnnQueries.oracleSql ++
     graft.queries.CoreQueries.oracleSql ++
+    graft.queries.CrawlQueries.oracleSql ++
     graft.queries.DedupQueries.oracleSql ++
     graft.queries.EventQueries.oracleSql ++
     graft.queries.GraphQueries.oracleSql ++

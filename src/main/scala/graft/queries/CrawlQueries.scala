@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry._
+
+/** Crawl link analysis and scheduling — the WAT side of the round-12/13
+  * crawl wing: outlink extraction + RFC 3986 resolution, the host-level
+  * web graph, capture indexes, and fetch scheduling. The reference never
+  * links (hand-typed URL list, `pipeline1.py:922`); a real crawl derives
+  * its next 100 TB from exactly these operators.
+  *
+  * Extracted like every family; [[graft.SparkEntry]] concatenates the maps.
+  */
+private[graft] object CrawlQueries {
+
+  /** Shared link fixture: per doc, a base URL on the doc's site and a page
+    * whose anchors cover every §5.2.2 reference shape — absolute (messy
+    * case + dup slashes), scheme-relative, path-absolute with an
+    * `&amp;`-escaped multi-param query, relative with an unreserved
+    * percent escape, parent-relative (`../`), query-only carrying a
+    * tracking param, fragment-only, and a non-hierarchical `mailto:` that
+    * resolution passes through and the http(s) filter drops. The oracle
+    * rebuilds the SAME page closed-form and replays extraction AND
+    * resolution with the identical RE2 patterns and CASE chain.
+    */
+  private def linkFixture(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), pmod(col("doc_id"), lit(37)).as("m"))
+    d.withColumn("base", concat(lit("https://site"), col("m"),
+        lit(".com/a/b/page"), col("doc_id"), lit(".html")))
+      .withColumn("html", concat(
+        lit("<html><body><a href=\"https://Other"), pmod(col("doc_id"), lit(5)),
+        lit(".ORG/x//y/\">read <b>doc</b> "), col("doc_id"),
+        lit("</a><a href=\"//cdn"), pmod(col("doc_id"), lit(3)),
+        lit(".net/lib.js\">cdn</a><a href=\"/root/"), col("doc_id"),
+        lit("?b=2&amp;a=1\">rooted</a><a href=\"sub/p%7E"), col("doc_id"),
+        lit(".html\">tilde rel</a><a href=\"../up"), col("doc_id"),
+        lit("\">parent</a><a href=\"?v=2&amp;utm_source=z\">query only</a>" +
+          "<a href=\"#sec\">frag</a><a href=\"mailto:u"), col("doc_id"),
+        lit("@example.com\">mail</a></body></html>")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Outlink extraction + RFC 3986 resolution ([[graft.operators
+    // .LinkOps]]) — the WAT step: `<a href>` values (attribute entities
+    // decoded, `&amp;` LAST) and their anchor texts come out of the markup
+    // as one scan-side regexp pass, each ref resolves against the page's
+    // own URL through the §5.2.2 CASE chain (absolute / `//authority` /
+    // path-absolute / empty / query-only / relative-merge), non-http(s)
+    // schemes drop AFTER resolution (mailto: resolves to itself per the
+    // RFC), and the result canonicalizes through q275's full RFC 3986
+    // form — merge-introduced `../` pops in §5.2.4, the fixture's `%7E`
+    // decodes as unreserved, tracking params vanish, queries sort. The
+    // oracle replays every step generically in DuckDB from the same
+    // rebuilt page.
+    "q283_link_extraction" -> ((s, dir) => {
+      import s.implicits._
+      val fx = linkFixture(t(s, dir, "documents"))
+      val pairs = zip_with(
+        graft.operators.LinkOps.extractHrefs($"html"),
+        graft.operators.LinkOps.extractAnchorTexts($"html"),
+        (h, a) => struct(h.as("href"), a.as("anchor")))
+      fx.select($"doc_id", $"base", posexplode(pairs))
+        .select($"doc_id", ($"pos" + 1).cast("long").as("link_no"),
+          graft.operators.LinkOps.resolveReference($"base", $"col.href")
+            .as("resolved"),
+          $"col.anchor".as("anchor"))
+        .filter($"resolved".rlike("^https?://"))
+        .select($"doc_id", $"link_no",
+          graft.operators.UrlOps.canonicalizeUrlFull($"resolved").as("url"),
+          $"anchor")
+        .orderBy($"doc_id", $"link_no")
+    }),
+
+
+    // Host-level web graph + centrality — what a crawler RANKS with: the
+    // q283 links collapse to (src_host, dst_host) edges (self-edges out —
+    // intra-site links are navigation, not endorsement), directed
+    // in/out-degrees and link multiplicities aggregate per host, and the
+    // host centrality comes from [[graft.operators.PageRank.ranks]] over
+    // the distinct undirected pair list (ppm integer arithmetic, 3
+    // iterations — the q108 operator on the crawl's host graph instead of
+    // the dedup pair graph). Host graphs are tiny relative to the corpus
+    // (nodes = sites, not pages), so the rank joins ride the broadcast
+    // path; the edge aggregation is the only corpus-sized shuffle. The
+    // oracle replays the link chain, the degree aggregation, and all
+    // three rank rounds.
+    "q284_host_graph" -> ((s, dir) => {
+      import s.implicits._
+      val fx = linkFixture(t(s, dir, "documents"))
+      val links = fx
+        .select($"m", $"base",
+          explode(graft.operators.LinkOps.extractHrefs($"html")).as("href"))
+        .withColumn("resolved",
+          graft.operators.LinkOps.resolveReference($"base", $"href"))
+        .filter($"resolved".rlike("^https?://"))
+        .select(concat(lit("site"), $"m", lit(".com")).as("src_host"),
+          lower(regexp_extract($"resolved", "^[a-z]+://([^:/?]*)", 1))
+            .as("dst_host"))
+      val edges = links
+        .filter($"src_host" =!= $"dst_host")
+        .groupBy($"src_host", $"dst_host")
+        .agg(count(lit(1)).as("n_links"))
+        .localCheckpoint(false) // degree aggs + pair list all read it
+      val pairs = edges.select(
+        least($"src_host", $"dst_host").as("a"),
+        greatest($"src_host", $"dst_host").as("b")).distinct()
+      val ranks = graft.operators.PageRank.ranks(pairs, "a", "b", iters = 3)
+      val outd = edges.groupBy($"src_host")
+        .agg(count(lit(1)).as("out_deg"), sum($"n_links").as("n_out_links"))
+        .withColumnRenamed("src_host", "host")
+      val ind = edges.groupBy($"dst_host")
+        .agg(count(lit(1)).as("in_deg"), sum($"n_links").as("n_in_links"))
+        .withColumnRenamed("dst_host", "host")
+      ranks.select($"id".as("host"), $"deg", $"rank_u")
+        .join(broadcast(outd), Seq("host"), "left")
+        .join(broadcast(ind), Seq("host"), "left")
+        .select($"host",
+          coalesce($"out_deg", lit(0L)).as("out_deg"),
+          coalesce($"in_deg", lit(0L)).as("in_deg"),
+          coalesce($"n_out_links", lit(0L)).as("n_out_links"),
+          coalesce($"n_in_links", lit(0L)).as("n_in_links"),
+          $"deg", $"rank_u")
+        .orderBy($"host")
+    }),
+
+
+    // CDX-J capture index + latest-capture selection ([[graft.operators
+    // .CdxOps]]) — the archive's lookup layer: every page gets 1-3
+    // primary captures (timestamps closed-form in doc_id and capture
+    // number, lexicographically chronological), every doc_id % 4 = 0 page
+    // ALSO recaptured under its `www.` alias — the alias the SURT key
+    // collapses and URL-string dedup cannot. Lines build by
+    // concatenation, round-trip through the regexp + typed-JSON parse,
+    // and reduce to one `max_by(…, ts)` row per urlkey (captures,
+    // distinct content versions via the digest, latest
+    // ts/status/digest/length). The oracle replays the build, the PARSE
+    // (its own regexp split + JSON ->> extraction), and the arg_max
+    // election.
+    "q285_cdx_latest_capture" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"text", $"n_chars",
+          pmod($"doc_id", lit(37)).as("m"))
+      val prim = docs
+        .withColumn("j", explode(sequence(lit(0), pmod($"doc_id", lit(3)).cast("int"))))
+        .withColumn("host", concat(lit("site"), $"m", lit(".com")))
+      val alias = docs.filter(pmod($"doc_id", lit(4)) === 0)
+        .withColumn("j", lit(9))
+        .withColumn("host", concat(lit("www.site"), $"m", lit(".com")))
+      val lines = prim.unionByName(alias)
+        .withColumn("canon", graft.operators.UrlOps.canonicalizeUrl(
+          concat(lit("https://"), $"host", lit("/p/"), $"doc_id")))
+        .withColumn("ts14", concat(lit("2025"),
+          lpad((pmod($"doc_id" + $"j", lit(12)) + 1).cast("string"), 2, "0"),
+          lpad((pmod($"doc_id" * 7 + $"j" * 3, lit(28)) + 1).cast("string"), 2, "0"),
+          lpad(pmod($"j" * 5, lit(24)).cast("string"), 2, "0"), lit("0000")))
+        .withColumn("digest", substring(
+          md5(concat($"text", lit("|"), expr("(j+1) div 2").cast("string"))), 1, 16))
+        .withColumn("status", when($"j" === 2, 301).otherwise(200).cast("int"))
+        .withColumn("length", ($"n_chars" + $"j").cast("long"))
+        .select(graft.operators.CdxOps.cdxjLine(
+          graft.operators.CdxOps.surtKey($"canon"), $"ts14", $"canon",
+          lit("text/html"), $"status", $"digest", $"length").as("line"))
+      lines.select(graft.operators.CdxOps.parseCdxj($"line").as("p"))
+        .select($"p.urlkey".as("urlkey"), $"p.ts".as("ts"),
+          $"p.meta.status".as("status"), $"p.meta.digest".as("digest"),
+          $"p.meta.length".as("length"))
+        .groupBy($"urlkey")
+        .agg(count(lit(1)).as("n_captures"),
+          countDistinct($"digest").as("n_versions"),
+          max($"ts").as("latest_ts"),
+          max_by($"status", $"ts").as("latest_status"),
+          max_by($"digest", $"ts").as("latest_digest"),
+          max_by($"length", $"ts").as("latest_length"))
+        .orderBy($"urlkey")
+    }),
+
+
+    // MIME sniff vs declared Content-Type ([[graft.operators.MimeSniff]],
+    // WHATWG §6 magic table + §7.1 tag scan + §4 binary-byte fallback):
+    // ten payload classes with REAL magic bytes (PDF, PNG, JPEG, GIF89a,
+    // zip, gzip, whitespace-prefixed `<!doctype html`, RIFF/WAVE, plain
+    // text, and a NUL-led binary), three of them deliberately served
+    // under lying Content-Type headers (gif as png, gzip as html, binary
+    // as text — the three commonest corpus lies). The census groups by
+    // (sniffed, declared): the routing diagnostic a 100 TB pipeline runs
+    // before ANY payload decode. Bytes never leave their scan task; only
+    // the census shuffles. The oracle derives both types closed-form from
+    // the class index and replays the census (the bytes themselves are
+    // Spark-built; the sniff is pinned against the expected class — a
+    // wrong magic row or a binary-check hole flips the group).
+    "q286_mime_sniff" -> ((s, dir) => {
+      import s.implicits._
+      val k = pmod($"doc_id", lit(10))
+      val txt = encode(regexp_replace($"text", "[^ -~]", ""), "UTF-8")
+      val payload = when(k === 0, concat(unhex(lit("255044462D312E34")), txt))
+        .when(k === 1, concat(unhex(lit("89504E470D0A1A0A")), txt))
+        .when(k === 2, concat(unhex(lit("FFD8FFE0")), txt))
+        .when(k === 3, concat(encode(lit("GIF89a"), "UTF-8"), txt))
+        .when(k === 4, concat(unhex(lit("504B0304")), txt))
+        .when(k === 5, concat(unhex(lit("1F8B08")), txt))
+        .when(k === 6, concat(encode(lit("  <!doctype html><p>"), "UTF-8"), txt))
+        .when(k === 7, concat(encode(lit("RIFF"), "UTF-8"), unhex(lit("24000000")),
+          encode(lit("WAVE"), "UTF-8"), txt))
+        .when(k === 8, concat(encode(lit("plain: "), "UTF-8"), txt))
+        .otherwise(concat(unhex(lit("00FF00FF")), txt))
+      val declared = when(k === 0, "application/pdf")
+        .when(k === 1, "image/png")
+        .when(k === 2, "image/jpeg")
+        .when(k === 3, "image/png") // lie: gif served as png
+        .when(k === 4, "application/zip")
+        .when(k === 5, "text/html") // lie: gzip served as html
+        .when(k === 6, "text/html")
+        .when(k === 7, "audio/wav")
+        .when(k === 8, "text/plain")
+        .otherwise("text/plain") // lie: binary served as text
+      t(s, dir, "documents")
+        .select($"doc_id",
+          graft.operators.MimeSniff.sniffMime(payload).as("sniffed_mime"),
+          declared.as("declared_mime"))
+        .groupBy($"sniffed_mime", $"declared_mime")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"))
+        .withColumn("is_match", ($"sniffed_mime" === $"declared_mime").cast("int"))
+        .orderBy($"sniffed_mime", $"declared_mime")
+    }),
+  )
+
+  private val HrefPat =
+    """(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>"""
+
+  /** The fixture page, DuckDB side — byte-identical to [[linkFixture]]. */
+  private val FixtureCtes =
+    """d AS (SELECT doc_id, doc_id % 37 AS m,
+  'https://site' || (doc_id % 37)::VARCHAR || '.com/a/b/page' || doc_id::VARCHAR || '.html' AS base,
+  '<html><body><a href="https://Other' || (doc_id % 5)::VARCHAR || '.ORG/x//y/">read <b>doc</b> ' || doc_id::VARCHAR
+  || '</a><a href="//cdn' || (doc_id % 3)::VARCHAR || '.net/lib.js">cdn</a><a href="/root/' || doc_id::VARCHAR
+  || '?b=2&amp;a=1">rooted</a><a href="sub/p%7E' || doc_id::VARCHAR
+  || '.html">tilde rel</a><a href="../up' || doc_id::VARCHAR
+  || '">parent</a><a href="?v=2&amp;utm_source=z">query only</a><a href="#sec">frag</a><a href="mailto:u' || doc_id::VARCHAR
+  || '@example.com">mail</a></body></html>' AS html
+FROM documents)"""
+
+  /** Extraction + §5.2.2 resolution + http(s) filter, DuckDB side (the
+    * generic replay of LinkOps; canonicalization is per-query).
+    */
+  private val ResolvedCtes = FixtureCtes + s""",
+x AS (SELECT doc_id, m, base,
+  unnest(generate_series(1, len(regexp_extract_all(html, '$HrefPat', 1)))) AS link_no,
+  unnest(regexp_extract_all(html, '$HrefPat', 1)) AS href0,
+  unnest(regexp_extract_all(html, '$HrefPat', 2)) AS txt0
+FROM d),
+dec AS (SELECT doc_id, m, base, link_no,
+  replace(replace(replace(replace(replace(href0, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS href,
+  trim(regexp_replace(replace(replace(replace(replace(replace(regexp_replace(txt0, '(?s)<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS anchor
+FROM x),
+res AS (SELECT doc_id, m, link_no, anchor,
+  CASE WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN r
+       WHEN starts_with(r, '//') THEN 'https:' || r
+       WHEN starts_with(r, '/') THEN 'https://site' || m::VARCHAR || '.com' || r
+       WHEN r = '' THEN base
+       WHEN starts_with(r, '?') THEN base || r
+       ELSE 'https://site' || m::VARCHAR || '.com/a/b/' || r END AS resolved
+FROM (SELECT *, regexp_replace(href, '#.*$$', '') AS r FROM dec)),
+ok AS (SELECT * FROM res WHERE regexp_matches(resolved, '^https?://')),
+canon AS (SELECT doc_id, m, link_no, anchor,
+  lower(regexp_extract(resolved, '^[a-z]+://([^:/?]*)', 1)) AS host,
+  regexp_replace(replace(replace(regexp_replace(
+      CASE WHEN p0 = '' THEN '/' ELSE p0 END,
+      '/{2,}', '/', 'g'), '%7E', '~'), '/a/b/../', '/a/'), '(.)/$$', '\\1') AS path,
+  coalesce(array_to_string(list_sort(list_filter(string_split(
+      regexp_replace(resolved, '^[^?]*\\??', ''), '&'),
+    y -> NOT regexp_matches(y, '^(utm_[^=]*|fbclid|gclid)=') AND y <> '')), '&'), '') AS q
+FROM (SELECT *, regexp_extract(resolved, '^[A-Za-z]+://[^/?]*([^?]*)', 1) AS p0 FROM ok)),
+links AS (SELECT doc_id, m, link_no, anchor,
+  'https://' || host || path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url,
+  host
+FROM canon)"""
+
+  val oracleSql: Map[String, String] = Map(
+
+    // q283: the whole chain replayed — same RE2 href/anchor pattern, same
+    // entity order (amp LAST), same resolution CASE, same canonical steps
+    // (the fixture's %7E and merge-made /a/b/.. as their exact SQL twins)
+    "q283_link_extraction" ->
+      s"""WITH $ResolvedCtes
+SELECT doc_id, link_no::BIGINT AS link_no, url, anchor
+FROM links ORDER BY doc_id, link_no""",
+
+    // q284: same chain to (src_host, dst_host), then the degree aggs and
+    // the three integer ppm rank rounds exactly as q108's oracle
+    "q284_host_graph" ->
+      s"""WITH $ResolvedCtes,
+le AS (SELECT 'site' || m::VARCHAR || '.com' AS src_host, host AS dst_host FROM links),
+edges AS (SELECT src_host, dst_host, count(*)::BIGINT AS n_links FROM le WHERE src_host <> dst_host GROUP BY src_host, dst_host),
+prs AS (SELECT DISTINCT least(src_host, dst_host) AS a, greatest(src_host, dst_host) AS b FROM edges),
+sym AS (SELECT a AS src, b AS dst FROM prs UNION ALL SELECT b, a FROM prs),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+r0 AS (SELECT src AS id, deg, 1000000::BIGINT AS rank_u FROM deg),
+c1 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS mass FROM sym e JOIN r0 r ON e.src = r.id GROUP BY e.dst),
+r1 AS (SELECT r.id, r.deg, (150000 + (85 * coalesce(mass, 0)) // 100)::BIGINT AS rank_u FROM r0 r LEFT JOIN c1 ON r.id = c1.dst),
+c2 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS mass FROM sym e JOIN r1 r ON e.src = r.id GROUP BY e.dst),
+r2 AS (SELECT r.id, r.deg, (150000 + (85 * coalesce(mass, 0)) // 100)::BIGINT AS rank_u FROM r1 r LEFT JOIN c2 ON r.id = c2.dst),
+c3 AS (SELECT e.dst, sum(r.rank_u // r.deg)::BIGINT AS mass FROM sym e JOIN r2 r ON e.src = r.id GROUP BY e.dst),
+r3 AS (SELECT r.id, r.deg, (150000 + (85 * coalesce(mass, 0)) // 100)::BIGINT AS rank_u FROM r2 r LEFT JOIN c3 ON r.id = c3.dst),
+outd AS (SELECT src_host AS host, count(*)::BIGINT AS out_deg, sum(n_links)::BIGINT AS n_out_links FROM edges GROUP BY src_host),
+ind AS (SELECT dst_host AS host, count(*)::BIGINT AS in_deg, sum(n_links)::BIGINT AS n_in_links FROM edges GROUP BY dst_host)
+SELECT r3.id AS host,
+  coalesce(out_deg, 0)::BIGINT AS out_deg, coalesce(in_deg, 0)::BIGINT AS in_deg,
+  coalesce(n_out_links, 0)::BIGINT AS n_out_links, coalesce(n_in_links, 0)::BIGINT AS n_in_links,
+  r3.deg, r3.rank_u
+FROM r3 LEFT JOIN outd ON r3.id = outd.host LEFT JOIN ind ON r3.id = ind.host
+ORDER BY host""",
+
+    // q285: build, PARSE (own regexp split + JSON ->> extraction), and
+    // arg_max election all replayed; the SURT key re-derived generically
+    // (www strip + label reverse)
+    "q285_cdx_latest_capture" ->
+      raw"""WITH docs AS (SELECT doc_id, text, n_chars, doc_id % 37 AS m FROM documents),
+prim AS (SELECT doc_id, text, n_chars, m, unnest(generate_series(0, (doc_id % 3)::INT)) AS j, 'site' || (doc_id % 37)::VARCHAR || '.com' AS host FROM docs),
+al AS (SELECT doc_id, text, n_chars, m, 9 AS j, 'www.site' || (doc_id % 37)::VARCHAR || '.com' AS host FROM docs WHERE doc_id % 4 = 0),
+caps AS (SELECT * FROM prim UNION ALL SELECT * FROM al),
+b AS (SELECT doc_id, j, host,
+  'https://' || host || '/p/' || doc_id::VARCHAR AS canon,
+  '2025' || lpad((((doc_id + j) % 12) + 1)::VARCHAR, 2, '0') || lpad((((doc_id * 7 + j * 3) % 28) + 1)::VARCHAR, 2, '0') || lpad(((j * 5) % 24)::VARCHAR, 2, '0') || '0000' AS ts14,
+  substr(md5(text || '|' || ((j + 1) // 2)::VARCHAR), 1, 16) AS digest,
+  CASE WHEN j = 2 THEN 301 ELSE 200 END AS status,
+  (n_chars + j)::BIGINT AS len
+FROM caps),
+srt AS (SELECT *,
+  array_to_string(list_reverse(string_split(CASE WHEN starts_with(host, 'www.') THEN substr(host, 5) ELSE host END, '.')), ',') || ')/p/' || doc_id::VARCHAR AS urlkey
+FROM b),
+ln AS (SELECT urlkey || ' ' || ts14 || ' {"url":"' || canon || '","mime":"text/html","status":' || status::VARCHAR || ',"digest":"' || digest || '","length":' || len::VARCHAR || '}' AS line FROM srt),
+p AS (SELECT regexp_extract(line, '^(\S+) ', 1) AS urlkey,
+  regexp_extract(line, '^\S+ ([0-9]{14}) ', 1) AS ts,
+  regexp_replace(line, '^\S+ [0-9]{14} ', '') AS js
+FROM ln),
+f AS (SELECT urlkey, ts, (js ->> 'status')::INT AS status, js ->> 'digest' AS digest, (js ->> 'length')::BIGINT AS length FROM p)
+SELECT urlkey, count(*)::BIGINT AS n_captures, count(DISTINCT digest)::BIGINT AS n_versions,
+  max(ts) AS latest_ts, arg_max(status, ts) AS latest_status, arg_max(digest, ts) AS latest_digest, arg_max(length, ts) AS latest_length
+FROM f GROUP BY urlkey ORDER BY urlkey""",
+
+    // q286: sniffed + declared types closed-form from the class index
+    // (the bytes are Spark-built; a wrong magic row, tag scan, or
+    // binary-check hole lands the doc in a different census group)
+    "q286_mime_sniff" ->
+      raw"""WITH c AS (SELECT doc_id,
+  CASE (doc_id % 10) WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'image/png' WHEN 2 THEN 'image/jpeg'
+    WHEN 3 THEN 'image/gif' WHEN 4 THEN 'application/zip' WHEN 5 THEN 'application/gzip'
+    WHEN 6 THEN 'text/html' WHEN 7 THEN 'audio/wav' WHEN 8 THEN 'text/plain'
+    ELSE 'application/octet-stream' END AS sniffed_mime,
+  CASE (doc_id % 10) WHEN 0 THEN 'application/pdf' WHEN 1 THEN 'image/png' WHEN 2 THEN 'image/jpeg'
+    WHEN 3 THEN 'image/png' WHEN 4 THEN 'application/zip' WHEN 5 THEN 'text/html'
+    WHEN 6 THEN 'text/html' WHEN 7 THEN 'audio/wav' WHEN 8 THEN 'text/plain'
+    ELSE 'text/plain' END AS declared_mime
+FROM documents)
+SELECT sniffed_mime, declared_mime, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc,
+  CASE WHEN sniffed_mime = declared_mime THEN 1 ELSE 0 END AS is_match
+FROM c GROUP BY sniffed_mime, declared_mime ORDER BY sniffed_mime, declared_mime""",
+  )
+}
