@@ -226,6 +226,113 @@ private[graft] object CrawlQueries {
         .withColumn("is_match", ($"sniffed_mime" === $"declared_mime").cast("int"))
         .orderBy($"sniffed_mime", $"declared_mime")
     }),
+
+
+    // Mojibake repair ([[org.apache.spark.sql.graft.expressions
+    // .MojibakeRepair]], the ftfy inverse): UTF-8-decoded-as-cp1252
+    // damage — single ("cafÃ©", "â€”"-style em dashes, "Ã¼") AND double
+    // ("ÃƒÂ©") — unwinds by re-encoding to windows-1252 and strictly
+    // re-decoding as UTF-8, iterated to fixpoint; pure ASCII and GENUINE
+    // Latin text ("café naïve", whose cp1252 bytes are invalid UTF-8)
+    // pass through untouched — the round-trip guard that makes the
+    // repair safe to run corpus-wide. Scan-side native Expression
+    // (SQL-registered as `mojibake_repair`); the oracle states the
+    // expected repaired text closed-form per damage class — one
+    // over-eager or missed repair flips the md5.
+    "q287_mojibake_repair" -> ((s, dir) => {
+      import s.implicits._
+      val k = pmod($"doc_id", lit(5))
+      val input = concat(regexp_replace($"text", "[^ -~]", ""),
+        when(k === 1, " cafÃ© â€” ok")
+          .when(k === 2, " Ã¼ber â€™qâ€™")
+          .when(k === 3, " cafÃƒÂ©")
+          .when(k === 4, " café naïve")
+          .otherwise(""))
+      val fixed = org.apache.spark.sql.graft.Bridge.toColumn(
+        org.apache.spark.sql.graft.expressions.MojibakeRepair(
+          org.apache.spark.sql.graft.Bridge.toExpr(input)))
+      t(s, dir, "documents")
+        .select($"doc_id", fixed.as("fixed"), (fixed =!= input).cast("int").as("changed"))
+        .select($"doc_id", $"changed",
+          length($"fixed").cast("long").as("n_chars_out"),
+          md5($"fixed").as("fixed_md5"))
+        .orderBy($"doc_id")
+    }),
+
+
+    // Hashed linear quality classifier — fastText-architecture INFERENCE
+    // (Joulin'16: bag of unigram+bigram features → hashing trick →
+    // linear score), the shape of every production quality/language
+    // filter at corpus scale (CCNet, RefinedWeb). Features hash through
+    // md5 into 4096 buckets whose weights are a closed-form integer
+    // function of the bucket (a deployment swaps in trained weights —
+    // same plan), and the WHOLE scorer is one scan-side
+    // `aggregate(features, 0, acc + w(bucket(x)))` higher-order
+    // expression: no explode, no weights join, ZERO shuffle — the 100 TB
+    // form of "apply a linear model to every document". The oracle
+    // replays tokenization, bigram construction, bucketing, weights, and
+    // the integer sum.
+    "q288_hashed_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val tk = graft.operators.TextAnalysis.tokensCol($"text")
+      val bigrams = zip_with(slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => concat(a, lit("_"), b))
+      val feats = concat(tk, bigrams)
+      val score = aggregate(feats, lit(0L), (acc, x) => {
+        val b = conv(substring(md5(x), 1, 8), 16, 10).cast("long") % 4096
+        acc + ((b * 2654435761L) % 2003 - 1001)
+      })
+      t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(feats).cast("long").as("n_feat"),
+          score.as("score_u"))
+        .withColumn("keep", ($"score_u" > 0).cast("int"))
+        .orderBy($"doc_id")
+    }),
+
+
+    // Politeness-aware frontier scheduling — the crawl's LAST step before
+    // fetch: candidate URLs gate through q278's robots evaluation
+    // ([[graft.operators.RobotsTxt]], RFC 9309 longest-match), then each
+    // registrable domain's survivors rank by (priority DESC, doc_id)
+    // into FETCH WAVES — wave w holds each domain's w-th URL, so any
+    // per-wave executor pool hits every host at most once per wave (the
+    // standard one-connection-per-host politeness budget). The rank
+    // rides [[graft.operators.Batching.groupedRowNumber]] (range
+    // exchange + span join, NO per-domain window sort) because domains
+    // are the heaviest-skew key a crawl has. The oracle replays robots
+    // AND the wave assignment (a window is fine at oracle scale).
+    "q289_frontier_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").select($"doc_id")
+        .withColumn("m", pmod($"doc_id", lit(37)))
+        .withColumn("domain", concat(lit("site"), $"m", lit(".com")))
+        .withColumn("path",
+          when(pmod($"doc_id", lit(5)) === 0, concat(lit("/p/"), $"doc_id"))
+            .when(pmod($"doc_id", lit(5)) === 1, concat(lit("/private/a"), $"doc_id"))
+            .when(pmod($"doc_id", lit(5)) === 2, concat(lit("/private/ok/"), $"doc_id"))
+            .when(pmod($"doc_id", lit(5)) === 3, lit("/tmp/x"))
+            .otherwise(lit("/dup/z")))
+        .withColumn("priority", pmod($"doc_id" * 37 + 11, lit(100)).cast("long"))
+      val robots = urls.select($"domain", $"m").distinct()
+        .withColumn("txt", concat(
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+            "Disallow: /tmp\nDisallow: /dup\nAllow: /dup\n"),
+          when(pmod($"m", lit(3)) === 0,
+            lit("\nUser-agent: graftbot\nDisallow: /p/9\nAllow: /p\n"))
+            .otherwise(lit(""))))
+      val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+      val ok = graft.operators.RobotsTxt
+        .allowed(urls, rules, "domain", "path", "graftbot")
+        .filter($"allowed" === 1)
+        .select($"doc_id", $"domain", $"path", $"priority")
+      graft.operators.Batching.groupedRowNumber(
+          ok, Seq("domain"), Seq(col("priority").desc, col("doc_id")),
+          numPartitions = 32, out = "wave")
+        .select($"doc_id", $"domain", $"priority", $"wave")
+        .orderBy($"doc_id")
+    }),
   )
 
   private val HrefPat =
@@ -359,5 +466,72 @@ FROM documents)
 SELECT sniffed_mime, declared_mime, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc,
   CASE WHEN sniffed_mime = declared_mime THEN 1 ELSE 0 END AS is_match
 FROM c GROUP BY sniffed_mime, declared_mime ORDER BY sniffed_mime, declared_mime""",
+
+    // q287: the repaired text stated closed-form per damage class — the
+    // oracle asserts WHAT the inverse must produce (single, double,
+    // untouched-genuine, untouched-ASCII), not how
+    "q287_mojibake_repair" ->
+      """WITH c AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') ||
+  CASE (doc_id % 5) WHEN 1 THEN ' café — ok' WHEN 2 THEN ' über ’q’' WHEN 3 THEN ' café' WHEN 4 THEN ' café naïve' ELSE '' END AS fixed,
+  CASE WHEN (doc_id % 5) IN (1, 2, 3) THEN 1 ELSE 0 END AS changed
+FROM documents)
+SELECT doc_id, changed, length(fixed)::BIGINT AS n_chars_out, md5(fixed) AS fixed_md5
+FROM c ORDER BY doc_id""",
+
+    // q288: tokenization, bigram construction, md5 bucketing, the weight
+    // function, and the integer sum all replayed inside list lambdas
+    "q288_hashed_classifier" ->
+      raw"""WITH tk AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS t FROM documents),
+f AS (SELECT doc_id, source,
+  list_concat(t, list_transform(generate_series(1, len(t) - 1), i -> t[i] || '_' || t[i + 1])) AS feats
+FROM tk)
+SELECT doc_id, source, len(feats)::BIGINT AS n_feat,
+  coalesce(list_sum(list_transform(feats, x ->
+    ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) * 2654435761) % 2003 - 1001)), 0)::BIGINT AS score_u,
+  CASE WHEN coalesce(list_sum(list_transform(feats, x ->
+    ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) * 2654435761) % 2003 - 1001)), 0) > 0 THEN 1 ELSE 0 END AS keep
+FROM f ORDER BY doc_id""",
+
+    // q289: q278's full robots replay, then the wave assignment as a
+    // plain window (fine at oracle scale; the engine ranks windowless)
+    "q289_frontier_schedule" ->
+      raw"""WITH d AS (SELECT doc_id, doc_id % 37 AS m,
+  'site' || (doc_id % 37)::VARCHAR || '.com' AS domain,
+  CASE (doc_id % 5)
+    WHEN 0 THEN '/p/' || doc_id::VARCHAR
+    WHEN 1 THEN '/private/a' || doc_id::VARCHAR
+    WHEN 2 THEN '/private/ok/' || doc_id::VARCHAR
+    WHEN 3 THEN '/tmp/x'
+    ELSE '/dup/z' END AS path,
+  ((doc_id * 37 + 11) % 100)::BIGINT AS priority
+FROM documents),
+rob AS (SELECT DISTINCT domain,
+  'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) || 'Disallow: /dup' || chr(10) || 'Allow: /dup' || chr(10) ||
+  CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) ELSE '' END AS txt
+FROM d),
+lines AS (SELECT domain, unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln, unnest(string_split(txt, chr(10))) AS line FROM rob),
+fl AS (SELECT domain, ln, line, lower(trim(line)) AS lline FROM lines),
+fl2 AS (SELECT *, starts_with(lline, 'user-agent:') AS is_ua,
+  (starts_with(lline, 'allow:') OR starts_with(lline, 'disallow:')) AS is_rule FROM fl),
+fl3 AS (SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY domain ORDER BY ln), false) AS prev_ua FROM fl2),
+g AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER (PARTITION BY domain ORDER BY ln ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl3),
+ag AS (SELECT domain, grp, trim(regexp_replace(lline, '^user-agent:\s*', '')) AS agent FROM g WHERE is_ua),
+ru AS (SELECT domain, grp,
+  CASE WHEN starts_with(lline, 'allow:') THEN 1 ELSE 0 END AS allow,
+  trim(regexp_replace(line, '(?i)^\s*(allow|disallow):\s*', '')) AS rpath
+  FROM g WHERE is_rule),
+rr AS (SELECT ru.domain, ag.agent, ru.allow, ru.rpath FROM ru JOIN ag USING (domain, grp) WHERE ru.rpath <> ''),
+spec AS (SELECT DISTINCT domain FROM rr WHERE agent = 'graftbot'),
+eff AS (SELECT rr.domain, rr.allow, rr.rpath FROM rr LEFT JOIN spec ON rr.domain = spec.domain
+  WHERE CASE WHEN spec.domain IS NOT NULL THEN rr.agent = 'graftbot' ELSE rr.agent = '*' END),
+mt AS (SELECT d.doc_id, e.allow, length(e.rpath) AS l
+  FROM d JOIN eff e ON d.domain = e.domain AND starts_with(d.path, e.rpath)),
+win AS (SELECT doc_id, allow, l, row_number() OVER (PARTITION BY doc_id ORDER BY l DESC, allow DESC) AS rn FROM mt),
+ok AS (SELECT d.doc_id, d.domain, d.priority
+  FROM d LEFT JOIN (SELECT doc_id, allow FROM win WHERE rn = 1) w USING (doc_id)
+  WHERE coalesce(w.allow, 1) = 1)
+SELECT doc_id, domain, priority,
+  row_number() OVER (PARTITION BY domain ORDER BY priority DESC, doc_id)::BIGINT AS wave
+FROM ok ORDER BY doc_id""",
   )
 }

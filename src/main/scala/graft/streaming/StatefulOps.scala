@@ -252,6 +252,44 @@ object StatefulOps {
       }
   }
 
+  final case class CaptureState(urlkey: String, n_captures: Long,
+    n_versions: Long, latest_ts: String, latest_status: Int,
+    latest_digest: String)
+
+  /** Streaming twin #19 — q285's latest-capture election at arrival
+    * granularity (the live CDX a crawler maintains while WARCs are still
+    * being written): per urlkey, state is (capture count, distinct-digest
+    * set, argmax-by-timestamp capture). The argmax is a commutative
+    * idempotent monoid — timestamp14 strings compare lexicographically-
+    * chronologically, ties break by (status, digest) so even tie splits
+    * are deterministic — the digest set is idempotent union, the count a
+    * monoid fold; so after ANY micro-batch split the latest snapshot per
+    * urlkey equals q285's batch `groupBy(urlkey).agg(count, n_distinct,
+    * max_by(…, ts))` over everything seen so far. State is O(versions)
+    * per urlkey (the digest set — the same floor content-identity dedup
+    * has; count and argmax are O(1)).
+    */
+  def runningLatestCapture(
+      rows: Dataset[(String, String, Int, String)]): Dataset[CaptureState] = {
+    import rows.sparkSession.implicits._
+    val ord = Ordering.Tuple3[String, Int, String]
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, String, Int, String)],
+         state: GroupState[(Long, Set[String], (String, Int, String))]) =>
+          var (n, digs, best) = state.getOption.getOrElse(
+            (0L, Set.empty[String], (null: String, 0, null: String)))
+          it.foreach { case (_, ts, st, dg) =>
+            n += 1
+            digs += dg
+            val cand = (ts, st, dg)
+            if (best._1 == null || ord.compare(cand, best) > 0) best = cand
+          }
+          state.update((n, digs, best))
+          CaptureState(key, n, digs.size.toLong, best._1, best._2, best._3)
+      }
+  }
+
   final case class CmsSnapshot(key: String, n_items: Long, sketch: Seq[Long])
 
   /** Streaming twin of the Count-Min frequency sketch (q91): per-key state

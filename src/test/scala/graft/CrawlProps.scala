@@ -101,4 +101,25 @@ object CrawlProps extends Properties("CrawlOps") {
       val theirs = new java.net.URI("http", "host", p, null).normalize().getPath
       mine == theirs
     }
+
+  private val anyText: Gen[String] = for {
+    n <- Gen.chooseNum(0, 60)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('\u00e9', '\u00fc', '\u2014', '\u2019', '\u20ac', '\u0192'),
+      1 -> Gen.const(' ')))
+  } yield cs.mkString
+
+  property("MojibakeRepair inverts cp1252 mis-decoding on repair-fixpoint texts") =
+    forAll(anyText) { s =>
+      import org.apache.spark.sql.graft.expressions.MojibakeRepair
+      def repair(x: String) = ev(MojibakeRepair(lit(x)))
+      // the inverse is only claimable when s itself carries no mojibake
+      // (otherwise repair legitimately unwinds one level further)
+      repair(s) != s || {
+        val damaged = new String(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8), "windows-1252")
+        repair(damaged) == s
+      }
+    }
 }
