@@ -961,7 +961,37 @@ object ScaleProbe {
         s"q258 10x invariance broke at ${r.getString(0)}")
     }
 
-    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q178s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q272s, q221s, q235s, q238s, q240s, q237s, q234s, q250s, q258s)
+    // q284: the host-level web graph is a QUOTIENT of the corpus — its
+    // edge set is bounded by host combinatorics (site×other + site×cdn
+    // fixture combinations), not document count. Clone ids SHIFT each
+    // copy's per-doc host assignment (offset % 37 ≠ 0 permutes the
+    // combination residues), but the combination space is already
+    // saturated at 1×, so 10× docs must reproduce EXACTLY the 1× edge
+    // set — and every page emits exactly 2 cross-host links, so the
+    // total link mass must be exactly c × the 1× mass even though
+    // per-edge multiplicities permute. This is the property that makes
+    // host-graph analytics safe at any corpus scale: the relation the
+    // rank joins touch never grows.
+    val e284b = graft.queries.CrawlQueries.hostEdges(base)
+      .localCheckpoint(false) // set-equality join + mass sum both read it
+    val q284df = graft.queries.CrawlQueries.hostEdges(scaled)
+      .localCheckpoint(false)
+    val q284s = timed("q284_hostgraph_10x") { q284df }
+    require(q284s._3 == e284b.count(),
+      s"q284 10x: edge-set size ${q284s._3} != 1x ${e284b.count()}")
+    val q284setMism = q284df
+      .select($"src_host", $"dst_host").withColumn("__l", lit(1))
+      .join(e284b.select($"src_host", $"dst_host").withColumn("__r", lit(1)),
+        Seq("src_host", "dst_host"), "full")
+      .filter($"__l".isNull || $"__r".isNull).count()
+    require(q284setMism == 0,
+      s"q284 10x: $q284setMism edges outside the saturated 1x edge set")
+    def mass(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum($"n_links")).head.getLong(0)
+    require(mass(q284df) == c * mass(e284b),
+      s"q284 10x: link mass ${mass(q284df)} != c x ${mass(e284b)}")
+
+    val qs = Seq(q39, q56, q56c, q57, q68s, q78s, q85s, q131s, q108s, q113s, q115s, q118s, q119s, q136s, q148s, q147s, q143s, q178s, q169s, q176s, q192s, q193s, q170s, q165s, q187s, q201s, q215s, q272s, q221s, q235s, q238s, q240s, q237s, q234s, q250s, q258s, q284s)
       .map { case (n, s, r) => s""""$n":{"sec":$s,"rows":$r}""" }.mkString(",")
     println(s"""{"probe":"dedup_10x","copies":$copies,"n_docs":$nDocs,"sf":"$sfDir","queries":{$qs}}""")
     spark.stop()

@@ -41,6 +41,28 @@ private[graft] object CrawlQueries {
         lit("@example.com\">mail</a></body></html>")))
   }
 
+  /** Host-level link edges of [[linkFixture]] pages: (src_host, dst_host,
+    * n_links), self-edges dropped. Shared by q284 and the ScaleProbe
+    * closure — the host graph is a QUOTIENT of the corpus (its edge set
+    * is bounded by host combinatorics, not document count), which the
+    * probe pins by requiring the 10× edge set to equal the 1× set while
+    * every multiplicity scales exactly ×c.
+    */
+  private[graft] def hostEdges(docs: DataFrame): DataFrame = {
+    val fx = linkFixture(docs)
+    fx.select(col("m"), col("base"),
+        explode(graft.operators.LinkOps.extractHrefs(col("html"))).as("href"))
+      .withColumn("resolved",
+        graft.operators.LinkOps.resolveReference(col("base"), col("href")))
+      .filter(col("resolved").rlike("^https?://"))
+      .select(concat(lit("site"), col("m"), lit(".com")).as("src_host"),
+        lower(regexp_extract(col("resolved"), "^[a-z]+://([^:/?]*)", 1))
+          .as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Outlink extraction + RFC 3986 resolution ([[graft.operators
@@ -89,20 +111,7 @@ private[graft] object CrawlQueries {
     // three rank rounds.
     "q284_host_graph" -> ((s, dir) => {
       import s.implicits._
-      val fx = linkFixture(t(s, dir, "documents"))
-      val links = fx
-        .select($"m", $"base",
-          explode(graft.operators.LinkOps.extractHrefs($"html")).as("href"))
-        .withColumn("resolved",
-          graft.operators.LinkOps.resolveReference($"base", $"href"))
-        .filter($"resolved".rlike("^https?://"))
-        .select(concat(lit("site"), $"m", lit(".com")).as("src_host"),
-          lower(regexp_extract($"resolved", "^[a-z]+://([^:/?]*)", 1))
-            .as("dst_host"))
-      val edges = links
-        .filter($"src_host" =!= $"dst_host")
-        .groupBy($"src_host", $"dst_host")
-        .agg(count(lit(1)).as("n_links"))
+      val edges = hostEdges(t(s, dir, "documents"))
         .localCheckpoint(false) // degree aggs + pair list all read it
       val pairs = edges.select(
         least($"src_host", $"dst_host").as("a"),
@@ -333,6 +342,99 @@ private[graft] object CrawlQueries {
         .select($"doc_id", $"domain", $"priority", $"wave")
         .orderBy($"doc_id")
     }),
+
+
+    // Anchor-text aggregation per link target — the retrieval signal web
+    // search has used since DEC AltaVista: what OTHER pages call a URL
+    // describes it better than its own content (and is the only text a
+    // never-fetched frontier URL has). The q283 chain's (target url,
+    // anchor) pairs aggregate per target: reference count, distinct
+    // referring domains (the "independent sources" weight), and the
+    // modal anchor elected by a `max(struct(count, anchor))` argmax —
+    // one (url, anchor)-keyed aggregate then one url-keyed aggregate,
+    // both hash shuffles of id-sized rows (anchors, never pages). The
+    // oracle replays the link chain and both aggregations.
+    "q290_anchor_aggregation" -> ((s, dir) => {
+      import s.implicits._
+      val fx = linkFixture(t(s, dir, "documents"))
+      val pairs = zip_with(
+        graft.operators.LinkOps.extractHrefs($"html"),
+        graft.operators.LinkOps.extractAnchorTexts($"html"),
+        (h, a) => struct(h.as("href"), a.as("anchor")))
+      val links = fx.select($"m", $"base", explode(pairs).as("p"))
+        .withColumn("resolved",
+          graft.operators.LinkOps.resolveReference($"base", $"p.href"))
+        .filter($"resolved".rlike("^https?://"))
+        .select(
+          graft.operators.UrlOps.canonicalizeUrlFull($"resolved").as("url"),
+          concat(lit("site"), $"m", lit(".com")).as("src_domain"),
+          $"p.anchor".as("anchor"))
+      val perAnchor = links.groupBy($"url", $"anchor")
+        .agg(count(lit(1)).as("n"))
+      perAnchor.groupBy($"url")
+        .agg(sum($"n").cast("long").as("n_refs"),
+          max(struct($"n", $"anchor")).as("top"),
+          countDistinct($"anchor").as("n_anchors"))
+        .join(
+          links.groupBy($"url")
+            .agg(countDistinct($"src_domain").as("n_src_domains")),
+          Seq("url"))
+        .select($"url", $"n_refs", $"n_src_domains", $"n_anchors",
+          $"top.anchor".as("top_anchor"), $"top.n".as("top_anchor_n"))
+        .orderBy($"url")
+    }),
+
+
+    // Recrawl planning from the capture index — the freshness estimator
+    // of Cho & Garcia-Molina (VLDB'00): a page's change rate is estimated
+    // from its OWN capture history (distinct content versions over
+    // observation count, here in exact ppm), and refetch priority follows
+    // the estimate instead of a uniform revisit period — the policy that
+    // stops a 100 TB crawler re-fetching the static 90% of the web daily.
+    // Runs entirely on q285's index rows (~1/1000th the corpus, the whole
+    // point of planning from the CDX): per urlkey, change_ppm =
+    // (versions-1)/(captures-1), error-latches (non-200 latest capture)
+    // jump the queue, and the registrable domain re-derives FROM the SURT
+    // key by reversing it. The oracle replays estimator, election, and
+    // key reversal.
+    "q291_recrawl_planner" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"text", $"n_chars",
+          pmod($"doc_id", lit(37)).as("m"))
+      val prim = docs
+        .withColumn("j", explode(sequence(lit(0), pmod($"doc_id", lit(3)).cast("int"))))
+        .withColumn("host", concat(lit("site"), $"m", lit(".com")))
+      val alias = docs.filter(pmod($"doc_id", lit(4)) === 0)
+        .withColumn("j", lit(9))
+        .withColumn("host", concat(lit("www.site"), $"m", lit(".com")))
+      val caps = prim.unionByName(alias)
+        .withColumn("urlkey", graft.operators.CdxOps.surtKey(
+          graft.operators.UrlOps.canonicalizeUrl(
+            concat(lit("https://"), $"host", lit("/p/"), $"doc_id"))))
+        .withColumn("ts14", concat(lit("2025"),
+          lpad((pmod($"doc_id" + $"j", lit(12)) + 1).cast("string"), 2, "0"),
+          lpad((pmod($"doc_id" * 7 + $"j" * 3, lit(28)) + 1).cast("string"), 2, "0"),
+          lpad(pmod($"j" * 5, lit(24)).cast("string"), 2, "0"), lit("0000")))
+        .withColumn("digest", substring(
+          md5(concat($"text", lit("|"), expr("(j+1) div 2").cast("string"))), 1, 16))
+        .withColumn("status", when($"j" === 2, 301).otherwise(200).cast("int"))
+      val idx = caps.groupBy($"urlkey")
+        .agg(count(lit(1)).as("n_captures"),
+          countDistinct($"digest").as("n_versions"),
+          max_by($"status", $"ts14").as("latest_status"))
+      idx
+        .withColumn("change_ppm",
+          expr("((n_versions - 1) * 1000000) div greatest(n_captures - 1, 1)"))
+        .withColumn("priority_u",
+          $"change_ppm" + when($"latest_status" =!= 200, 500000L).otherwise(0L))
+        .withColumn("domain", array_join(reverse(split(
+          regexp_extract($"urlkey", "^([^)]*)\\)", 1), ",")), "."))
+        .withColumn("refetch", ($"priority_u" >= 300000L).cast("int"))
+        .select($"urlkey", $"domain", $"n_captures", $"n_versions",
+          $"latest_status", $"change_ppm", $"priority_u", $"refetch")
+        .orderBy($"urlkey")
+    }),
   )
 
   private val HrefPat =
@@ -533,5 +635,45 @@ ok AS (SELECT d.doc_id, d.domain, d.priority
 SELECT doc_id, domain, priority,
   row_number() OVER (PARTITION BY domain ORDER BY priority DESC, doc_id)::BIGINT AS wave
 FROM ok ORDER BY doc_id""",
+
+    // q290: the same link chain, then both aggregations; the struct-max
+    // anchor election replayed as rn=1 over (n DESC, anchor DESC)
+    "q290_anchor_aggregation" ->
+      s"""WITH $ResolvedCtes,
+la AS (SELECT url, 'site' || m::VARCHAR || '.com' AS src_domain, anchor FROM links),
+pa AS (SELECT url, anchor, count(*)::BIGINT AS n FROM la GROUP BY url, anchor),
+top AS (SELECT url, anchor, n, row_number() OVER (PARTITION BY url ORDER BY n DESC, anchor DESC) AS rn FROM pa),
+agg AS (SELECT url, sum(n)::BIGINT AS n_refs, count(*)::BIGINT AS n_anchors FROM pa GROUP BY url),
+sd AS (SELECT url, count(DISTINCT src_domain)::BIGINT AS n_src_domains FROM la GROUP BY url)
+SELECT a.url, n_refs, n_src_domains, n_anchors, t.anchor AS top_anchor, t.n AS top_anchor_n
+FROM agg a JOIN sd USING (url) JOIN (SELECT url, anchor, n FROM top WHERE rn = 1) t USING (url)
+ORDER BY url""",
+
+    // q291: q285's capture rebuild, then the change-rate estimator, the
+    // error latch, the priority election, and the SURT-key reversal
+    "q291_recrawl_planner" ->
+      raw"""WITH docs AS (SELECT doc_id, text, n_chars, doc_id % 37 AS m FROM documents),
+prim AS (SELECT doc_id, text, m, unnest(generate_series(0, (doc_id % 3)::INT)) AS j, 'site' || (doc_id % 37)::VARCHAR || '.com' AS host FROM docs),
+al AS (SELECT doc_id, text, m, 9 AS j, 'www.site' || (doc_id % 37)::VARCHAR || '.com' AS host FROM docs WHERE doc_id % 4 = 0),
+caps AS (SELECT * FROM prim UNION ALL SELECT * FROM al),
+b AS (SELECT doc_id, j,
+  array_to_string(list_reverse(string_split(CASE WHEN starts_with(host, 'www.') THEN substr(host, 5) ELSE host END, '.')), ',') || ')/p/' || doc_id::VARCHAR AS urlkey,
+  '2025' || lpad((((doc_id + j) % 12) + 1)::VARCHAR, 2, '0') || lpad((((doc_id * 7 + j * 3) % 28) + 1)::VARCHAR, 2, '0') || lpad(((j * 5) % 24)::VARCHAR, 2, '0') || '0000' AS ts14,
+  substr(md5(text || '|' || ((j + 1) // 2)::VARCHAR), 1, 16) AS digest,
+  CASE WHEN j = 2 THEN 301 ELSE 200 END AS status
+FROM caps),
+idx AS (SELECT urlkey, count(*)::BIGINT AS n_captures, count(DISTINCT digest)::BIGINT AS n_versions,
+  arg_max(status, ts14) AS latest_status
+FROM b GROUP BY urlkey),
+pl AS (SELECT *,
+  ((n_versions - 1) * 1000000) // greatest(n_captures - 1, 1) AS change_ppm
+FROM idx)
+SELECT urlkey,
+  array_to_string(list_reverse(string_split(regexp_extract(urlkey, '^([^)]*)\)', 1), ',')), '.') AS domain,
+  n_captures, n_versions, latest_status,
+  change_ppm::BIGINT AS change_ppm,
+  (change_ppm + CASE WHEN latest_status <> 200 THEN 500000 ELSE 0 END)::BIGINT AS priority_u,
+  CASE WHEN change_ppm + CASE WHEN latest_status <> 200 THEN 500000 ELSE 0 END >= 300000 THEN 1 ELSE 0 END AS refetch
+FROM pl ORDER BY urlkey""",
   )
 }
