@@ -46,6 +46,7 @@ object SqlFunctions {
       intArg("word_ngrams", "n", es(1)))),
     "nfc_normalize" -> (es => NfcNormalize(es(0))),
     "mojibake_repair" -> (es => MojibakeRepair(es(0))),
+    "http_dechunk" -> (es => HttpDechunk(es(0))),
     "char_entropy" -> (es => CharEntropyMicroNats(es(0))),
     "decode_numrefs" -> (es => DecodeNumericRefs(es(0))),
     "percent_normalize" -> (es => PercentNormalize(es(0))),

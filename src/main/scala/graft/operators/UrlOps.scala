@@ -119,6 +119,25 @@ object UrlOps {
   def registrableDomainPsl(host: Column, suffixes: Set[String]): Column =
     Bridge.toColumn(RegistrableDomainPsl(Bridge.toExpr(host), suffixes))
 
+  /** URL spam class under a token lexicon — the UT1-blocklist-style URL
+    * filter every large-scale curation pipeline runs FIRST (RefinedWeb /
+    * FineWeb stage 1): it fires before any fetch, on ~100-byte rows, and
+    * removes the adult/gambling/pharma tail at near-zero cost. Returns
+    * the first matching lexicon token, or "clean"; matching is
+    * boundary-aware (the token must start and end at a URL delimiter
+    * `/ . - _ ? = &` or a string edge in the lowercased URL), so
+    * `class` never fires on `classic`. The lexicon ships as a data file
+    * in deployment — the argument here, like the PSL.
+    */
+  def urlSpamClass(url: Column, lexicon: Seq[String]): Column = {
+    val lo = lower(url)
+    val d = "[/.\\-_?=&]"
+    lexicon.foldRight(lit("clean"): Column) { (tok, acc) =>
+      when(lo.rlike("(^|" + d + ")" + java.util.regex.Pattern.quote(tok) +
+        "(" + d + "|$)"), tok).otherwise(acc)
+    }
+  }
+
   /** Registrable domain of a lowercase host (see object doc). */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")

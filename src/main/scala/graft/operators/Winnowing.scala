@@ -34,12 +34,22 @@ object Winnowing {
     * k + w − 1 chars yield their single short-text gram's hash (the
     * [[Dedup.shinglesCol]] short-text contract carried through one
     * trivially-full window).
+    *
+    * The per-document window is bounded by document LENGTH, which is fine
+    * for any sane corpus but lets one pathological "document" (a
+    * concatenated dump that slipped past the length screens) funnel its
+    * whole gram stream into a single task — so the stream is explicitly
+    * truncated at `maxGramsPerDoc` (default 2²² grams ≈ 4 MB of text,
+    * far above every real document; the quality wing screens length
+    * upstream). Fingerprints past the cap are dropped for that document
+    * only; detection within the first 4 MB is unaffected.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int): DataFrame = {
+      k: Int, w: Int, maxGramsPerDoc: Long = 1L << 22): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
     val grams = docs.select(col(idCol).as("id"),
       posexplode(Dedup.shinglesCol(col(textCol), k)).as(Seq("pos", "g")))
+      .filter(col("pos") < maxGramsPerDoc)
       .select(col("id"), col("pos"),
         HashFunctions.stableHash64(concat(lit("win:"), col("g"))).as("h"))
     val ws = Window.partitionBy(col("id")).orderBy(col("pos"))

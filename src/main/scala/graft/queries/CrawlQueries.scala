@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.SparkEntry._
@@ -26,7 +26,12 @@ private[graft] object CrawlQueries {
     * resolution with the identical RE2 patterns and CASE chain.
     */
   private def linkFixture(docs: DataFrame): DataFrame = {
+    // the two-group regexp pass + per-href resolution downstream is
+    // compute-bound: a small parquet arrives as ONE partition and AQE
+    // never splits a compute-heavy stage, so spread it explicitly
+    // (the q90 levenshtein lesson)
     val d = docs.select(col("doc_id"), pmod(col("doc_id"), lit(37)).as("m"))
+      .repartition(32, col("doc_id"))
     d.withColumn("base", concat(lit("https://site"), col("m"),
         lit(".com/a/b/page"), col("doc_id"), lit(".html")))
       .withColumn("html", concat(
@@ -150,7 +155,7 @@ private[graft] object CrawlQueries {
     // election.
     "q285_cdx_latest_capture" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").repartition(32, $"doc_id")
         .select($"doc_id", $"text", $"n_chars",
           pmod($"doc_id", lit(37)).as("m"))
       val prim = docs
@@ -292,7 +297,8 @@ private[graft] object CrawlQueries {
         val b = conv(substring(md5(x), 1, 8), 16, 10).cast("long") % 4096
         acc + ((b * 2654435761L) % 2003 - 1001)
       })
-      t(s, dir, "documents")
+      // per-feature md5 is compute-bound: spread the 1-partition scan
+      t(s, dir, "documents").repartition(32, $"doc_id")
         .select($"doc_id", $"source",
           size(feats).cast("long").as("n_feat"),
           score.as("score_u"))
@@ -369,14 +375,20 @@ private[graft] object CrawlQueries {
           graft.operators.UrlOps.canonicalizeUrlFull($"resolved").as("url"),
           concat(lit("site"), $"m", lit(".com")).as("src_domain"),
           $"p.anchor".as("anchor"))
-      val perAnchor = links.groupBy($"url", $"anchor")
+      // ONE corpus pass: the (url, anchor, src_domain) rollup is tiny and
+      // both downstream aggregates read it — checkpoint so the regexp
+      // chain never re-runs per branch
+      val rollup = links.groupBy($"url", $"anchor", $"src_domain")
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false)
+      val perAnchor = rollup.groupBy($"url", $"anchor")
+        .agg(sum($"n").cast("long").as("n"))
       perAnchor.groupBy($"url")
         .agg(sum($"n").cast("long").as("n_refs"),
           max(struct($"n", $"anchor")).as("top"),
           countDistinct($"anchor").as("n_anchors"))
         .join(
-          links.groupBy($"url")
+          rollup.groupBy($"url")
             .agg(countDistinct($"src_domain").as("n_src_domains")),
           Seq("url"))
         .select($"url", $"n_refs", $"n_src_domains", $"n_anchors",
@@ -399,7 +411,7 @@ private[graft] object CrawlQueries {
     // key reversal.
     "q291_recrawl_planner" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").repartition(32, $"doc_id")
         .select($"doc_id", $"text", $"n_chars",
           pmod($"doc_id", lit(37)).as("m"))
       val prim = docs
@@ -434,6 +446,157 @@ private[graft] object CrawlQueries {
         .select($"urlkey", $"domain", $"n_captures", $"n_versions",
           $"latest_status", $"change_ppm", $"priority_u", $"refetch")
         .orderBy($"urlkey")
+    }),
+
+
+    // Dedup-aware archive writing — WARC `revisit` records (WARC/1.1
+    // §6.7.2, identical-payload-digest profile), the WRITE side of
+    // q280's content-identity collapse and the largest storage saving a
+    // real archive makes: the canonical copy of each payload (elected
+    // relationally, min-URL per sha-256) stores a full response record;
+    // every mirror/duplicate stores a headers-only revisit record whose
+    // WARC-Payload-Digest points at the canonical. The blobs are RE-READ
+    // by the same record walk ([[graft.sources.WarcReader.records]], now
+    // surfacing `payload_digest`), and every revisit must resolve to a
+    // stored response by one digest equi-join. The oracle replays the
+    // election and the census closed-form (gzip framing is not
+    // replayable in SQL; byte counts and digests pin the walk).
+    "q292_warc_revisit_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val page = concat(lit("<html><body><p>"), $"text", lit("</p></body></html>"))
+      val primary = docs.select($"doc_id",
+        concat(lit("https://site"), pmod($"doc_id", lit(37)),
+          lit(".com/p/"), $"doc_id").as("url"), page.as("body"))
+      val mirrors = docs.filter(pmod($"doc_id", lit(11)) === 0)
+        .select($"doc_id", concat(lit("https://mirror"), pmod($"doc_id", lit(7)),
+          lit(".net/m/"), $"doc_id").as("url"), page.as("body"))
+      val pages = primary.unionByName(mirrors)
+        .withColumn("digest", sha2($"body", 256))
+        .withColumn("shard", pmod($"doc_id", lit(8)))
+      val canon = pages.groupBy($"digest").agg(min($"url").as("curl"))
+      val flagged = pages.join(canon, Seq("digest"))
+        .withColumn("canonical", ($"url" === $"curl").cast("int"))
+      val warcs = graft.sources.WarcReader.buildWithRevisits(
+        flagged, "shard", "url", "body", "canonical")
+      val recs = graft.sources.WarcReader.records(warcs, "warc")
+        .filter($"warc_type" =!= "warcinfo")
+        .localCheckpoint(false) // census + resolution join both read it
+      val responses = recs.filter($"warc_type" === "response")
+        .select($"payload_digest".as("rd")).distinct()
+      recs.groupBy($"warc_type")
+        .agg(count(lit(1)).as("n_records"),
+          sum(length($"payload")).cast("long").as("payload_bytes"))
+        .join(
+          recs.filter($"warc_type" === "revisit")
+            .join(responses, $"payload_digest" === $"rd")
+            .groupBy($"warc_type").agg(count(lit(1)).as("n_digest_resolved")),
+          Seq("warc_type"), "left")
+        .select($"warc_type", $"n_records", $"payload_bytes",
+          coalesce($"n_digest_resolved", lit(0L)).as("n_digest_resolved"))
+        .orderBy($"warc_type")
+    }),
+
+
+    // HTTP/1.1 chunked transfer-coding decode ([[org.apache.spark.sql
+    // .graft.expressions.HttpDechunk]], RFC 9112 §7.1) — the framing a
+    // large share of archived payloads still wear INSIDE their WARC
+    // response block; without this step, text extraction sees hex size
+    // lines spliced into the markup. Each doc's body is chunk-framed
+    // closed-form (10/20/rest split, hex sizes, a chunk-extension class,
+    // a trailer-field class, and a TRUNCATED class with no terminator
+    // that must return NULL, not a partial body); the oracle states the
+    // expected decode per class — body md5 equality proves the decoder
+    // reassembles the exact original bytes.
+    "q293_http_dechunk" -> ((s, dir) => {
+      import s.implicits._
+      val k = pmod($"doc_id", lit(7))
+      val txt = concat(lit("chunked-body: "), regexp_replace($"text", "[^ -~]", ""))
+      val p1 = substring(txt, 1, 10)
+      val p2 = substring(txt, 11, 20)
+      val p3 = substring(txt, 31, 1000000)
+      def hx(c: Column) = lower(conv(length(c).cast("string"), 10, 16))
+      val crlf = lit("\r\n")
+      val ext = when(k === 1, lit(";x=1")).otherwise(lit(""))
+      val chunk3 = when(length(p3) > 0, concat(hx(p3), crlf, p3, crlf))
+        .otherwise(lit(""))
+      val trailer = when(k === 2, concat(lit("x-meta: 1"), crlf)).otherwise(lit(""))
+      val framed = when(k === 0,
+        concat(hx(p1), ext, crlf, p1, crlf)) // truncated: no terminator
+        .otherwise(concat(hx(p1), ext, crlf, p1, crlf, hx(p2), crlf, p2, crlf,
+          chunk3, lit("0"), crlf, trailer, crlf))
+      val dec = org.apache.spark.sql.graft.Bridge.toColumn(
+        org.apache.spark.sql.graft.expressions.HttpDechunk(
+          org.apache.spark.sql.graft.Bridge.toExpr(encode(framed, "UTF-8"))))
+      t(s, dir, "documents").select($"doc_id",
+          when(dec.isNull, 0).otherwise(1).as("decode_ok"),
+          coalesce(length(dec), lit(0)).cast("long").as("n_bytes"),
+          coalesce(md5(dec), lit("")).as("body_md5"))
+        .orderBy($"doc_id")
+    }),
+
+
+    // URL spam filtering under a token lexicon ([[graft.operators.UrlOps
+    // .urlSpamClass]]) — the UT1-blocklist gate RefinedWeb/FineWeb run
+    // FIRST, before any fetch, on ~100-byte rows: boundary-aware token
+    // matching over the lowercased URL (a `/casino/` segment fires, the
+    // token inside `maxxx123` does NOT — the false-positive class naive
+    // substring filters are notorious for). Census per fired class; the
+    // oracle replays the SAME boundary-regex CASE chain generically.
+    "q294_url_spam_filter" -> ((s, dir) => {
+      import s.implicits._
+      val k = pmod($"doc_id", lit(6))
+      val m = pmod($"doc_id", lit(37))
+      val url = when(k === 0, concat(lit("https://site"), m, lit(".com/article/"), $"doc_id"))
+        .when(k === 1, concat(lit("https://site"), m, lit(".com/casino/win"), $"doc_id"))
+        .when(k === 2, concat(lit("https://site"), m, lit(".com/shop/viagra-"), $"doc_id"))
+        .when(k === 3, concat(lit("https://site"), m, lit(".com/xxx/"), $"doc_id"))
+        .when(k === 4, concat(lit("https://site"), m, lit(".com/blog/maxxx"), $"doc_id"))
+        .otherwise(concat(lit("https://poker.site"), m, lit(".com/t/"), $"doc_id"))
+      t(s, dir, "documents")
+        .select($"doc_id", graft.operators.UrlOps.urlSpamClass(url,
+          Seq("casino", "viagra", "xxx", "poker")).as("spam_class"))
+        .groupBy($"spam_class")
+        .agg(count(lit(1)).as("n_urls"), min($"doc_id").as("first_doc"))
+        .withColumn("is_spam", ($"spam_class" =!= "clean").cast("int"))
+        .orderBy($"spam_class")
+    }),
+
+
+    // Domain-level quality prior — the smoothing layer production
+    // curation puts OVER per-document classifiers (DCLM/FineWeb domain
+    // priors): a document from a domain whose other documents score well
+    // is rescued even when its own score is marginal. The q288 scorer's
+    // keep decisions aggregate per registrable domain with Laplace
+    // smoothing — prior_ppm = (keeps + 1)·10⁶ div (n + 2), exact integer
+    // math — and join back per doc as a BROADCAST (the domain table is
+    // corpus-quotient-sized, like q284's host graph). The oracle replays
+    // scorer, smoothing, and the rescue rule.
+    "q295_domain_prior" -> ((s, dir) => {
+      import s.implicits._
+      val tk = graft.operators.TextAnalysis.tokensCol($"text")
+      val bigrams = zip_with(slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => concat(a, lit("_"), b))
+      val feats = concat(tk, bigrams)
+      val score = aggregate(feats, lit(0L), (acc, x) => {
+        val b = conv(substring(md5(x), 1, 8), 16, 10).cast("long") % 4096
+        acc + ((b * 2654435761L) % 2003 - 1001)
+      })
+      val scored = t(s, dir, "documents").repartition(32, $"doc_id")
+        .select($"doc_id",
+          concat(lit("site"), pmod($"doc_id", lit(37)), lit(".com")).as("domain"),
+          (score > 0).cast("int").as("keep"))
+        .localCheckpoint(false) // the prior agg and the join-back both read it
+      val prior = scored.groupBy($"domain")
+        .agg(count(lit(1)).as("n_docs"), sum($"keep").as("n_keep"))
+        .withColumn("prior_ppm",
+          expr("((n_keep + 1) * 1000000) div (n_docs + 2)"))
+      scored.join(broadcast(prior), Seq("domain"))
+        .withColumn("final_keep",
+          ($"keep" === 1 || $"prior_ppm" >= 700000L).cast("int"))
+        .select($"doc_id", $"domain", $"keep", $"prior_ppm", $"final_keep")
+        .orderBy($"doc_id")
     }),
   )
 
@@ -675,5 +838,73 @@ SELECT urlkey,
   (change_ppm + CASE WHEN latest_status <> 200 THEN 500000 ELSE 0 END)::BIGINT AS priority_u,
   CASE WHEN change_ppm + CASE WHEN latest_status <> 200 THEN 500000 ELSE 0 END >= 300000 THEN 1 ELSE 0 END AS refetch
 FROM pl ORDER BY urlkey""",
+
+    // q292: the election and census replayed closed-form — one canonical
+    // response per distinct sha-256, everything else a zero-payload
+    // revisit that must resolve by digest
+    "q292_warc_revisit_dedup" ->
+      """WITH p AS (
+  SELECT doc_id, 'https://site' || (doc_id % 37)::VARCHAR || '.com/p/' || doc_id::VARCHAR AS url,
+         '<html><body><p>' || text || '</p></body></html>' AS body FROM documents
+  UNION ALL
+  SELECT doc_id, 'https://mirror' || (doc_id % 7)::VARCHAR || '.net/m/' || doc_id::VARCHAR AS url,
+         '<html><body><p>' || text || '</p></body></html>' AS body FROM documents WHERE doc_id % 11 = 0),
+d AS (SELECT doc_id, url, body, sha256(body) AS dg FROM p),
+c AS (SELECT dg, min(url) AS curl FROM d GROUP BY dg),
+f AS (SELECT d.doc_id, d.url, d.body, CASE WHEN d.url = c.curl THEN 1 ELSE 0 END AS canon FROM d JOIN c ON d.dg = c.dg),
+resp AS (SELECT count(*)::BIGINT AS n, coalesce(sum(octet_length(encode(body))), 0)::BIGINT AS bytes FROM f WHERE canon = 1),
+rev AS (SELECT count(*)::BIGINT AS n FROM f WHERE canon = 0)
+SELECT warc_type, n_records, payload_bytes, n_digest_resolved FROM (
+  SELECT 'response' AS warc_type, (SELECT n FROM resp) AS n_records, (SELECT bytes FROM resp) AS payload_bytes, 0::BIGINT AS n_digest_resolved
+  UNION ALL
+  SELECT 'revisit', (SELECT n FROM rev), 0::BIGINT, (SELECT n FROM rev)
+) ORDER BY warc_type""",
+
+    // q293: the expected decode stated per framing class — a partial
+    // decode of the truncated class or one spliced size line flips the md5
+    "q293_http_dechunk" ->
+      """WITH c AS (SELECT doc_id, 'chunked-body: ' || regexp_replace(text, '[^ -~]', '', 'g') AS txt FROM documents)
+SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS decode_ok,
+  (CASE WHEN doc_id % 7 = 0 THEN 0 ELSE length(txt) END)::BIGINT AS n_bytes,
+  CASE WHEN doc_id % 7 = 0 THEN '' ELSE md5(txt) END AS body_md5
+FROM c ORDER BY doc_id""",
+
+    // q294: the SAME boundary-regex CASE chain replayed generically —
+    // lexicon order is the tie-break, maxxx must stay clean
+    "q294_url_spam_filter" ->
+      raw"""WITH u AS (SELECT doc_id,
+  CASE (doc_id % 6)
+    WHEN 0 THEN 'https://site' || (doc_id % 37)::VARCHAR || '.com/article/' || doc_id::VARCHAR
+    WHEN 1 THEN 'https://site' || (doc_id % 37)::VARCHAR || '.com/casino/win' || doc_id::VARCHAR
+    WHEN 2 THEN 'https://site' || (doc_id % 37)::VARCHAR || '.com/shop/viagra-' || doc_id::VARCHAR
+    WHEN 3 THEN 'https://site' || (doc_id % 37)::VARCHAR || '.com/xxx/' || doc_id::VARCHAR
+    WHEN 4 THEN 'https://site' || (doc_id % 37)::VARCHAR || '.com/blog/maxxx' || doc_id::VARCHAR
+    ELSE 'https://poker.site' || (doc_id % 37)::VARCHAR || '.com/t/' || doc_id::VARCHAR END AS url
+FROM documents),
+cl AS (SELECT doc_id,
+  CASE WHEN regexp_matches(lower(url), '(^|[/.\-_?=&])casino([/.\-_?=&]|$$)') THEN 'casino'
+       WHEN regexp_matches(lower(url), '(^|[/.\-_?=&])viagra([/.\-_?=&]|$$)') THEN 'viagra'
+       WHEN regexp_matches(lower(url), '(^|[/.\-_?=&])xxx([/.\-_?=&]|$$)') THEN 'xxx'
+       WHEN regexp_matches(lower(url), '(^|[/.\-_?=&])poker([/.\-_?=&]|$$)') THEN 'poker'
+       ELSE 'clean' END AS spam_class
+FROM u)
+SELECT spam_class, count(*)::BIGINT AS n_urls, min(doc_id) AS first_doc,
+  CASE WHEN spam_class <> 'clean' THEN 1 ELSE 0 END AS is_spam
+FROM cl GROUP BY spam_class ORDER BY spam_class""",
+
+    // q295: q288's scorer replayed, then the Laplace prior and the
+    // rescue rule in exact integer math
+    "q295_domain_prior" ->
+      raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS t FROM documents),
+f AS (SELECT doc_id, list_concat(t, list_transform(generate_series(1, len(t) - 1), i -> t[i] || '_' || t[i + 1])) AS feats FROM tk),
+sc AS (SELECT doc_id, 'site' || (doc_id % 37)::VARCHAR || '.com' AS domain,
+  CASE WHEN coalesce(list_sum(list_transform(feats, x ->
+    ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) * 2654435761) % 2003 - 1001)), 0) > 0 THEN 1 ELSE 0 END AS keep
+FROM f),
+pr AS (SELECT domain, ((sum(keep)::BIGINT + 1) * 1000000) // (count(*)::BIGINT + 2) AS prior_ppm FROM sc GROUP BY domain)
+SELECT doc_id, sc.domain, keep, prior_ppm::BIGINT AS prior_ppm,
+  CASE WHEN keep = 1 OR prior_ppm >= 700000 THEN 1 ELSE 0 END AS final_keep
+FROM sc JOIN pr ON sc.domain = pr.domain ORDER BY doc_id""",
   )
 }

@@ -48,7 +48,8 @@ object WarcReader {
     */
   final case class WarcRecord(
       warcType: String, targetUri: String, warcContentType: String,
-      httpStatus: Int, httpContentType: String, payload: Array[Byte])
+      httpStatus: Int, httpContentType: String, payload: Array[Byte],
+      payloadDigest: String = "")
 
   /** Walk every record of a `.warc.gz` (or uncompressed `.warc`) blob.
     * Uncompressed input (no gzip magic) is treated as one member; a
@@ -91,6 +92,7 @@ object WarcReader {
     var warcType = ""
     var uri = ""
     var ct = ""
+    var digest = ""
     var len = -1L
     var i = 1
     while (i < lines.length) {
@@ -102,6 +104,7 @@ object WarcReader {
         k match {
           case "warc-type" => warcType = v
           case "warc-target-uri" => uri = v
+          case "warc-payload-digest" => digest = v
           case "content-type" => ct = v
           case "content-length" =>
             len = try v.toLong catch { case _: NumberFormatException => -1L }
@@ -116,8 +119,8 @@ object WarcReader {
     val rec =
       if (ct.startsWith("application/http")) {
         val (status, httpCt, body) = splitHttp(block)
-        WarcRecord(warcType, uri, ct, status, httpCt, body)
-      } else WarcRecord(warcType, uri, ct, 0, "", block)
+        WarcRecord(warcType, uri, ct, status, httpCt, body, digest)
+      } else WarcRecord(warcType, uri, ct, 0, "", block, digest)
     Some((rec, blockStart + len.toInt))
   }
 
@@ -167,13 +170,15 @@ object WarcReader {
       StructField("warc_content_type", StringType, nullable = false),
       StructField("http_status", IntegerType, nullable = false),
       StructField("content_type", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
+      StructField("payload", BinaryType, nullable = false),
+      StructField("payload_digest", StringType, nullable = false)))
     val binIdx = inSchema.fieldIndex(binCol)
     val rdd = df.rdd.mapPartitions { it =>
       it.flatMap { row =>
         parse(row.getAs[Array[Byte]](binIdx)).map { r =>
           Row.fromSeq(row.toSeq ++ Seq[Any](r.warcType, r.targetUri,
-            r.warcContentType, r.httpStatus, r.httpContentType, r.payload))
+            r.warcContentType, r.httpStatus, r.httpContentType, r.payload,
+            r.payloadDigest))
         }
       }
     }
@@ -277,6 +282,79 @@ object WarcReader {
         Row(shard, bos.toByteArray)
       }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Dedup-aware archive writer — the WARC `revisit` mechanism (WARC/1.1
+    * §6.7.2, profile identical-payload-digest): when a payload's sha-256
+    * was already elected a canonical copy, the writer stores a `revisit`
+    * record carrying only the HTTP headers and the `WARC-Payload-Digest`
+    * pointer instead of re-storing the body — at crawl scale this is the
+    * single largest storage saving an archive makes (mirrors, unchanged
+    * recrawls). The ELECTION is the caller's relational job (q280's
+    * min-URL-per-digest); `canonicalCol` = 1 marks the row whose body is
+    * stored. Blobs re-read with [[records]] — response records carry
+    * their digest, revisit records carry the same digest with an EMPTY
+    * payload, so resolution is one digest equi-join.
+    */
+  def buildWithRevisits(pages: DataFrame, shardCol: String, uriCol: String,
+      bodyCol: String, canonicalCol: String): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val outSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("warc", BinaryType, nullable = false)))
+    val rdd = pages.select(col(shardCol).cast("long"), col(uriCol),
+        col(bodyCol), col(canonicalCol).cast("int"))
+      .as[(Long, String, String, Int)].rdd
+      .map { case (shard, uri, body, canon) => (shard, (uri, body, canon)) }
+      .groupByKey(32)
+      .map { case (shard, rows) =>
+        val bos = new ByteArrayOutputStream(1 << 16)
+        bos.write(gz(warcRecord("warcinfo", "", "application/warc-fields",
+          "software: graft-revisit-writer/1.0\r\n".getBytes(ISO_8859_1))))
+        rows.toSeq.sortBy(_._1).foreach { case (uri, body, canon) =>
+          val bodyBytes = body.getBytes(UTF_8)
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val hex = md.digest(bodyBytes).map("%02x".format(_)).mkString
+          val digestHeader = s"WARC-Payload-Digest: sha-256:$hex\r\n"
+          if (canon == 1) {
+            bos.write(gz(warcRecordWithHeaders("response", uri,
+              "application/http; msgtype=response", digestHeader,
+              httpResponse(200, "text/html; charset=UTF-8", bodyBytes))))
+          } else {
+            // headers-only block: status line + Content-Type, no body
+            val headOnly = ("HTTP/1.1 200 OK\r\n" +
+              "Content-Type: text/html; charset=UTF-8\r\n\r\n")
+              .getBytes(ISO_8859_1)
+            bos.write(gz(warcRecordWithHeaders("revisit", uri,
+              "application/http; msgtype=response",
+              digestHeader + "WARC-Profile: " +
+                "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest\r\n",
+              headOnly)))
+          }
+        }
+        Row(shard, bos.toByteArray)
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def warcRecordWithHeaders(tpe: String, uri: String, ct: String,
+      extraHeaders: String, block: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(256)
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(tpe).append("\r\n")
+    if (uri.nonEmpty) sb.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    sb.append("WARC-Record-ID: <urn:graft:").append(tpe).append(':')
+      .append(uri).append(">\r\n")
+    sb.append(extraHeaders)
+    sb.append("Content-Type: ").append(ct).append("\r\n")
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(ISO_8859_1)
+    val out = new ByteArrayOutputStream(head.length + block.length + 4)
+    out.write(head)
+    out.write(block)
+    out.write("\r\n\r\n".getBytes(ISO_8859_1))
+    out.toByteArray
   }
 
   /** Build `(shard, warc)` blobs from the documents table: each shard
