@@ -32,8 +32,22 @@ case class HttpDechunk(child: Expression)
   override def dataType: DataType = BinaryType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
+  override def nullSafeEval(input: Any): Any =
+    HttpDechunk.dechunk(input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): HttpDechunk =
+    copy(child = newChild)
+
+  override def prettyName: String = "http_dechunk"
+}
+
+object HttpDechunk {
+
+  /** The walker itself — shared with [[graft.sources.WarcReader]]'s HTTP
+    * split, which dechunks `Transfer-Encoding: chunked` blocks inline.
+    * Returns null on any framing violation.
+    */
+  def dechunk(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(b.length)
     var i = 0
     def crlf(): Boolean = {
@@ -69,9 +83,4 @@ case class HttpDechunk(child: Expression)
     }
     null // unreachable
   }
-
-  override protected def withNewChildInternal(newChild: Expression): HttpDechunk =
-    copy(child = newChild)
-
-  override def prettyName: String = "http_dechunk"
 }

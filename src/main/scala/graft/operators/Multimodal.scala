@@ -57,8 +57,13 @@ object Multimodal {
       }
   }
 
+  // memory-backed reader — ImageIO.read(InputStream) defaults to a
+  // disk-cached ImageInputStream (a tmp file per image; dominates
+  // parallel decode walks). The inputs here are small byte arrays.
   private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    try Option(javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))))
     catch { case _: Throwable => None }
 
   /** Attach a `media_meta` struct by decoding `binaryCol` partition-batch-
@@ -172,7 +177,10 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // memory-backed writer (the OutputStream overload spools to a tmp FILE)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close()
     bos.toByteArray
   }
 

@@ -598,6 +598,91 @@ private[graft] object CrawlQueries {
         .select($"doc_id", $"domain", $"keep", $"prior_ppm", $"final_keep")
         .orderBy($"doc_id")
     }),
+
+
+    // Chunked WARC ingest, end-to-end — q273's chain over an archive
+    // whose 200-responses are CHUNK-FRAMED (Transfer-Encoding: chunked,
+    // hex sizes, a chunk extension, a trailer field): WARC stores the
+    // message as sent, so the record walk's HTTP split now dechunks
+    // inline ([[org.apache.spark.sql.graft.expressions.HttpDechunk]]
+    // shared walker, raw-body fallback on broken framing) and must hand
+    // the extractor EXACTLY the bytes the Content-Length fixture would
+    // — the oracle is q273's, byte-for-byte: one spliced size line,
+    // swallowed trailer, or off-by-one chunk boundary flips every
+    // md5 downstream.
+    "q296_warc_chunked_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = graft.sources.WarcReader.buildChunkedFixture(t(s, dir, "documents"))
+      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      val isHtml = $"content_type".startsWith("text/html")
+      recs.filter($"warc_type" === "response")
+        .withColumn("canon_url",
+          graft.operators.UrlOps.canonicalizeUrl($"target_uri"))
+        .withColumn("body", decode($"payload", "UTF-8"))
+        .withColumn("vis", when(isHtml,
+          graft.operators.HtmlOps.visibleText($"body")).otherwise(""))
+        .select($"canon_url",
+          $"http_status".cast("long").as("http_status"),
+          $"content_type",
+          length($"payload").cast("long").as("payload_n_bytes"),
+          when(isHtml, graft.operators.HtmlOps.htmlTitle($"body"))
+            .otherwise("").as("title"),
+          length($"vis").cast("long").as("vis_n_chars"),
+          when(isHtml, md5($"vis")).otherwise("").as("vis_md5"))
+        .orderBy($"canon_url")
+    }),
+
+
+    // Crawl-trap detection — the frontier defense every real crawler
+    // needs (calendar pages, session-id echoes, faceted-search
+    // explosions: infinite URL spaces serving near-identical content).
+    // Per registrable domain, three exact integer signals: distinct
+    // URLs per distinct CONTENT digest (×1000 — the trap's defining
+    // ratio: URL space grows, content doesn't), mean query-param count
+    // (milli-units), and mean path depth (milli-units); a domain flags
+    // when url_per_content ≥ 3000 AND params ≥ 2000 mu. The fixture
+    // plants traps on doc_id%37 ∈ {5, 11}: five session-id/page-param
+    // variants per doc, all serving the SAME body. One domain-keyed
+    // aggregate over URL-sized rows; content identity rides the digest,
+    // never the text. The oracle replays signals and threshold.
+    "q297_trap_detection" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"text", pmod($"doc_id", lit(37)).as("m"))
+      val isTrap = $"m" === 5 || $"m" === 11
+      val normal = docs.select($"m", $"doc_id",
+        concat(lit("https://site"), $"m", lit(".com/p/"), $"doc_id").as("url"),
+        $"text")
+      val trap = docs.filter(isTrap)
+        .withColumn("v", explode(sequence(lit(1), lit(5))))
+        .select($"m", $"doc_id",
+          concat(lit("https://site"), $"m", lit(".com/cal/"), $"doc_id",
+            lit("/view?session="), $"v" * 7919 + $"doc_id",
+            lit("&page="), $"v", lit("&cal=1")).as("url"),
+          $"text")
+      val urls = normal.unionByName(trap)
+        .select($"m", concat(lit("site"), $"m", lit(".com")).as("domain"),
+          $"url", sha2($"text", 256).as("digest"),
+          when($"url".contains("?"),
+            size(split(regexp_extract($"url", "\\?(.*)$", 1), "&")))
+            .otherwise(0).as("n_params"),
+          (size(split(regexp_extract($"url", "^https://[^/]*(/.*)$", 1), "/")) - 1)
+            .as("depth"))
+      urls.groupBy($"domain")
+        .agg(countDistinct($"url").as("n_urls"),
+          countDistinct($"digest").as("n_contents"),
+          sum($"n_params").as("sp"), sum($"depth").as("sd"),
+          count(lit(1)).as("n"))
+        .withColumn("url_per_content_k",
+          expr("(n_urls * 1000) div n_contents"))
+        .withColumn("params_mu", expr("(sp * 1000) div n"))
+        .withColumn("depth_mu", expr("(sd * 1000) div n"))
+        .withColumn("is_trap",
+          ($"url_per_content_k" >= 3000L && $"params_mu" >= 2000L).cast("int"))
+        .select($"domain", $"n_urls", $"n_contents", $"url_per_content_k",
+          $"params_mu", $"depth_mu", $"is_trap")
+        .orderBy($"domain")
+    }),
   )
 
   private val HrefPat =
@@ -906,5 +991,50 @@ pr AS (SELECT domain, ((sum(keep)::BIGINT + 1) * 1000000) // (count(*)::BIGINT +
 SELECT doc_id, sc.domain, keep, prior_ppm::BIGINT AS prior_ppm,
   CASE WHEN keep = 1 OR prior_ppm >= 700000 THEN 1 ELSE 0 END AS final_keep
 FROM sc JOIN pr ON sc.domain = pr.domain ORDER BY doc_id""",
+
+    // q296: q273's oracle verbatim — the dechunked entity bytes must be
+    // indistinguishable from the Content-Length framing's
+    "q296_warc_chunked_ingest" ->
+      """WITH d AS (SELECT doc_id, text,
+  'https://site' || (doc_id % 37)::VARCHAR || '.' || (['com','org','co.uk','net'])[(doc_id % 4)::INT + 1] || '/p/' || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR AS canon_url,
+  CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS st,
+  '<html><head><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p></body></html>' AS html
+FROM documents),
+tx AS (SELECT doc_id, canon_url, st, html,
+  regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<noscript\b[^>]*>.*?</noscript\s*>|<!--.*?-->', '', 'g'), '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\s*>|<br\s*/?>', chr(10), 'g'), '(?s)<[^>]*>', '', 'g') AS notags
+FROM d),
+de AS (SELECT doc_id, canon_url, st, html,
+  replace(regexp_replace(replace(replace(replace(replace(notags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;|&apos;', '''', 'g'), '&amp;', '&') AS decoded
+FROM tx),
+vis AS (SELECT doc_id, canon_url, st, html,
+  trim(regexp_replace(regexp_replace(regexp_replace(decoded, '[ \t\x0B\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'), '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS v
+FROM de)
+SELECT canon_url,
+  st::BIGINT AS http_status,
+  CASE WHEN st = 200 THEN 'text/html; charset=UTF-8' ELSE 'text/plain' END AS content_type,
+  CASE WHEN st = 200 THEN octet_length(encode(html)) ELSE 10 END::BIGINT AS payload_n_bytes,
+  CASE WHEN st = 200 THEN 'Doc ' || doc_id::VARCHAR ELSE '' END AS title,
+  CASE WHEN st = 200 THEN length(v) ELSE 0 END::BIGINT AS vis_n_chars,
+  CASE WHEN st = 200 THEN md5(v) ELSE '' END AS vis_md5
+FROM vis ORDER BY canon_url""",
+
+    // q297: fixture, signals, and threshold replayed in exact integers
+    "q297_trap_detection" ->
+      raw"""WITH docs AS (SELECT doc_id, text, doc_id % 37 AS m FROM documents),
+nrm AS (SELECT m, doc_id, 'https://site' || m::VARCHAR || '.com/p/' || doc_id::VARCHAR AS url, text FROM docs),
+trp AS (SELECT m, doc_id,
+  'https://site' || m::VARCHAR || '.com/cal/' || doc_id::VARCHAR || '/view?session=' || (v * 7919 + doc_id)::VARCHAR || '&page=' || v::VARCHAR || '&cal=1' AS url, text
+FROM docs, generate_series(1, 5) AS t(v) WHERE m IN (5, 11)),
+u AS (SELECT m, 'site' || m::VARCHAR || '.com' AS domain, url, sha256(text) AS digest,
+  CASE WHEN contains(url, '?') THEN len(string_split(regexp_extract(url, '\?(.*)$$', 1), '&')) ELSE 0 END AS n_params,
+  len(string_split(regexp_extract(url, '^https://[^/]*(/.*)$$', 1), '/')) - 1 AS depth
+FROM (SELECT * FROM nrm UNION ALL SELECT * FROM trp))
+SELECT domain, count(DISTINCT url)::BIGINT AS n_urls, count(DISTINCT digest)::BIGINT AS n_contents,
+  ((count(DISTINCT url) * 1000) // count(DISTINCT digest))::BIGINT AS url_per_content_k,
+  ((sum(n_params)::BIGINT * 1000) // count(*))::BIGINT AS params_mu,
+  ((sum(depth)::BIGINT * 1000) // count(*))::BIGINT AS depth_mu,
+  CASE WHEN (count(DISTINCT url) * 1000) // count(DISTINCT digest) >= 3000
+        AND (sum(n_params)::BIGINT * 1000) // count(*) >= 2000 THEN 1 ELSE 0 END AS is_trap
+FROM u GROUP BY domain ORDER BY domain""",
   )
 }

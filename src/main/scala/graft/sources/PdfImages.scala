@@ -53,8 +53,15 @@ object PdfImages {
         val ch = channelsOf(dict)
         val filters = PdfTextExtractor.filterChain(dict)
         if (filters.contains("DCTDecode") || filters.contains("DCT")) {
+          // memory-backed reader: ImageIO.read(InputStream) defaults to a
+          // DISK-cached ImageInputStream — one tmp file + file I/O per
+          // image, which across 32 decode threads dominates the walk
+          // (measured ~10× on the q281 census); the payloads are small
+          // in-memory byte arrays, so cache in memory
           val img =
-            try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
+            try Option(javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new ByteArrayInputStream(payload))))
             catch { case _: Exception => None }
           img match {
             case Some(i) =>
@@ -104,7 +111,10 @@ object PdfImages {
     val jw = 16 + (id % 16).toInt
     val jh = 8 + (id % 8).toInt
     val jbos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(patternImage(id, jw, jh), "jpeg", jbos)
+    // memory-backed writer (the OutputStream overload spools to a tmp FILE)
+    val jios = new javax.imageio.stream.MemoryCacheImageOutputStream(jbos)
+    javax.imageio.ImageIO.write(patternImage(id, jw, jh), "jpeg", jios)
+    jios.close()
     val jpeg = jbos.toByteArray
     val rw = 4 + (id % 4).toInt
     val rh = 3 + (id % 3).toInt

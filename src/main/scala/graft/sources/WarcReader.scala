@@ -143,7 +143,23 @@ object WarcReader {
       case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
         l.substring(l.indexOf(':') + 1).trim
     }.getOrElse("")
-    (status, ct, java.util.Arrays.copyOfRange(block, headEnd + 4, block.length))
+    val body = java.util.Arrays.copyOfRange(block, headEnd + 4, block.length)
+    // WARC stores the message AS SENT, so chunked transfer coding is
+    // still framed inside the block — decode it here (RFC 9112 §7.1,
+    // the shared HttpDechunk walker) so every payload consumer sees
+    // entity bytes; broken framing falls back to the raw body (a real
+    // corpus always contains some — same skip-not-crash stance as the
+    // record walk itself)
+    val chunked = lines.drop(1).exists { l =>
+      val lo = l.toLowerCase(java.util.Locale.ROOT)
+      lo.startsWith("transfer-encoding:") && lo.contains("chunked")
+    }
+    val entity =
+      if (chunked)
+        Option(org.apache.spark.sql.graft.expressions.HttpDechunk.dechunk(body))
+          .getOrElse(body)
+      else body
+    (status, ct, entity)
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte], from: Int): Int = {
@@ -355,6 +371,66 @@ object WarcReader {
     out.write(block)
     out.write("\r\n\r\n".getBytes(ISO_8859_1))
     out.toByteArray
+  }
+
+  /** Chunk-framed variant of [[httpResponse]]: the body split into
+    * ≤100-byte chunks with hex sizes, a chunk-extension on the first
+    * chunk, `Transfer-Encoding: chunked` instead of Content-Length —
+    * the message shape a real origin streams and a WARC block stores.
+    */
+  private def httpChunkedResponse(ct: String, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(body.length + 128)
+    out.write((s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n").getBytes(ISO_8859_1))
+    var i = 0
+    var first = true
+    while (i < body.length) {
+      val n = math.min(100, body.length - i)
+      val ext = if (first) ";graft=1" else ""
+      out.write((Integer.toHexString(n) + ext + "\r\n").getBytes(ISO_8859_1))
+      out.write(body, i, n)
+      out.write("\r\n".getBytes(ISO_8859_1))
+      i += n
+      first = false
+    }
+    out.write("0\r\nx-graft-trailer: 1\r\n\r\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** [[buildFixture]]'s layout with every 200-response CHUNK-FRAMED —
+    * the q296 integration fixture: walk + split + dechunk must hand the
+    * extractor exactly the bytes [[buildFixture]] would.
+    */
+  def buildChunkedFixture(docs: DataFrame, nShards: Int = 24): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val outSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("warc", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].rdd
+      .map { case (id, text) => (id % nShards, (id, text)) }
+      .groupByKey(math.min(nShards, 32))
+      .map { case (shard, docsIt) =>
+        val bos = new ByteArrayOutputStream(1 << 16)
+        bos.write(gz(warcRecord("warcinfo", "", "application/warc-fields",
+          "software: graft-warc-fixture/1.0\r\n".getBytes(ISO_8859_1))))
+        docsIt.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          val url = fixtureUrl(id)
+          val status = fixtureStatus(id)
+          val (ct, body) =
+            if (status == 200)
+              ("text/html; charset=UTF-8", fixtureHtml(id, text).getBytes(UTF_8))
+            else ("text/plain", "not found\n".getBytes(UTF_8))
+          val http =
+            if (status == 200) httpChunkedResponse(ct, body)
+            else httpResponse(status, ct, body)
+          bos.write(gz(warcRecord("response", url,
+            "application/http; msgtype=response", http)))
+        }
+        Row(shard, bos.toByteArray)
+      }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Build `(shard, warc)` blobs from the documents table: each shard
