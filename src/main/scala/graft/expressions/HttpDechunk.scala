@@ -55,13 +55,19 @@ object HttpDechunk {
       else false
     }
     while (true) {
-      // chunk-size: 1*HEXDIG
+      // chunk-size: 1*HEXDIG. RFC 9112 allows any number of leading
+      // zeros ("0000000000000005" is a legal 5), so only SIGNIFICANT
+      // digits count toward the overflow guard; nz tracks that at least
+      // one digit (even a zero) was present at all.
       var size = 0L
       var nd = 0
+      var nz = 0
       while (i < b.length && Character.digit(b(i).toChar, 16) >= 0 && nd <= 15) {
-        size = size * 16 + Character.digit(b(i).toChar, 16); i += 1; nd += 1
+        val d = Character.digit(b(i).toChar, 16)
+        if (size != 0L || d != 0) nd += 1
+        size = size * 16 + d; i += 1; nz += 1
       }
-      if (nd == 0 || nd > 15) return null
+      if (nz == 0 || nd > 15) return null
       // optional chunk extension: everything up to CR
       if (i < b.length && b(i) == ';') {
         while (i < b.length && b(i) != '\r') i += 1

@@ -128,14 +128,40 @@ object UrlOps {
     * `/ . - _ ? = &` or a string edge in the lowercased URL), so
     * `class` never fires on `classic`. The lexicon ships as a data file
     * in deployment — the argument here, like the PSL.
+    *
+    * Shape bound: one `when(rlike)` per token means an O(N)-deep Catalyst
+    * expression with N regex passes per row — fine for the tens-of-tokens
+    * category lexicons it is built for, wrong for a full UT1 blocklist
+    * (tens of thousands). Past ~64 tokens use [[urlSpamClassLarge]]: one
+    * alternation regex, one pass, at the cost of the tie-break changing
+    * from lexicon order to leftmost-in-URL.
     */
   def urlSpamClass(url: Column, lexicon: Seq[String]): Column = {
+    require(lexicon.size <= 64,
+      s"urlSpamClass chains one regex per token (${lexicon.size} given); " +
+        "use urlSpamClassLarge for big lexicons")
     val lo = lower(url)
     val d = "[/.\\-_?=&]"
     lexicon.foldRight(lit("clean"): Column) { (tok, acc) =>
       when(lo.rlike("(^|" + d + ")" + java.util.regex.Pattern.quote(tok) +
         "(" + d + "|$)"), tok).otherwise(acc)
     }
+  }
+
+  /** [[urlSpamClass]] for large lexicons (UT1 scale): ALL tokens compile
+    * into ONE alternation regex evaluated in a single `regexp_extract`
+    * pass, so plan depth and per-row cost are O(1) in lexicon size.
+    * Same boundary contract; the tie-break differs — the LEFTMOST
+    * matching token in the URL wins (regex semantics), not the first in
+    * lexicon order, which is the right answer anyway when the lexicon is
+    * an unordered blocklist.
+    */
+  def urlSpamClassLarge(url: Column, lexicon: Seq[String]): Column = {
+    require(lexicon.nonEmpty, "empty lexicon")
+    val d = "[/.\\-_?=&]"
+    val alt = lexicon.map(java.util.regex.Pattern.quote).mkString("|")
+    val hit = regexp_extract(lower(url), "(?:^|" + d + ")(" + alt + ")(?:" + d + "|$)", 1)
+    when(hit === "", "clean").otherwise(hit)
   }
 
   /** Registrable domain of a lowercase host (see object doc). */

@@ -683,6 +683,41 @@ private[graft] object CrawlQueries {
           $"params_mu", $"depth_mu", $"is_trap")
         .orderBy($"domain")
     }),
+
+
+    // Content-encoded WARC ingest, end-to-end — q296 one coding layer
+    // deeper: WARC stores the HTTP message AS SENT, and a large share of
+    // real archived responses are `Content-Encoding: gzip/deflate`, so
+    // the record walk's HTTP split now inflates the entity inline
+    // (RFC 9110 §8.4 — [[graft.sources.CompressedText.gunzipBytes]] /
+    // `inflateBytes`, wire order dechunk-then-inflate for the stacked
+    // class) and must hand the extractor EXACTLY the bytes the identity
+    // fixture would. doc_id % 3 cycles gzip+chunked / gzip / zlib-deflate;
+    // the new `content_encoding` census column is closed-form; the rest
+    // of the oracle is q273's byte-for-byte — one swallowed gzip header
+    // or off-by-one inflate flips every md5 downstream.
+    "q298_warc_content_encoding" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = graft.sources.WarcReader
+        .buildContentEncodedFixture(t(s, dir, "documents"))
+      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      val isHtml = $"content_type".startsWith("text/html")
+      recs.filter($"warc_type" === "response")
+        .withColumn("canon_url",
+          graft.operators.UrlOps.canonicalizeUrl($"target_uri"))
+        .withColumn("body", decode($"payload", "UTF-8"))
+        .withColumn("vis", when(isHtml,
+          graft.operators.HtmlOps.visibleText($"body")).otherwise(""))
+        .select($"canon_url",
+          $"http_status".cast("long").as("http_status"),
+          $"content_type", $"content_encoding",
+          length($"payload").cast("long").as("payload_n_bytes"),
+          when(isHtml, graft.operators.HtmlOps.htmlTitle($"body"))
+            .otherwise("").as("title"),
+          length($"vis").cast("long").as("vis_n_chars"),
+          when(isHtml, md5($"vis")).otherwise("").as("vis_md5"))
+        .orderBy($"canon_url")
+    }),
   )
 
   private val HrefPat =
@@ -1036,5 +1071,35 @@ SELECT domain, count(DISTINCT url)::BIGINT AS n_urls, count(DISTINCT digest)::BI
   CASE WHEN (count(DISTINCT url) * 1000) // count(DISTINCT digest) >= 3000
         AND (sum(n_params)::BIGINT * 1000) // count(*) >= 2000 THEN 1 ELSE 0 END AS is_trap
 FROM u GROUP BY domain ORDER BY domain""",
+
+    // q298: q296's oracle (itself q273's, byte-for-byte through the
+    // decode chain) plus the closed-form content_encoding census —
+    // gzip bytes are not replayable in SQL, so equality of the DECODED
+    // entity's length/md5 with the identity fixture's is the proof
+    "q298_warc_content_encoding" ->
+      """WITH d AS (SELECT doc_id, text,
+  'https://site' || (doc_id % 37)::VARCHAR || '.' || (['com','org','co.uk','net'])[(doc_id % 4)::INT + 1] || '/p/' || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR AS canon_url,
+  CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS st,
+  CASE WHEN doc_id % 17 = 0 THEN '' WHEN doc_id % 3 = 2 THEN 'deflate' ELSE 'gzip' END AS cenc,
+  '<html><head><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p></body></html>' AS html
+FROM documents),
+tx AS (SELECT doc_id, canon_url, st, cenc, html,
+  regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<noscript\b[^>]*>.*?</noscript\s*>|<!--.*?-->', '', 'g'), '(?i)</(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|section|article)\s*>|<br\s*/?>', chr(10), 'g'), '(?s)<[^>]*>', '', 'g') AS notags
+FROM d),
+de AS (SELECT doc_id, canon_url, st, cenc, html,
+  replace(regexp_replace(replace(replace(replace(replace(notags, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;|&apos;', '''', 'g'), '&amp;', '&') AS decoded
+FROM tx),
+vis AS (SELECT doc_id, canon_url, st, cenc, html,
+  trim(regexp_replace(regexp_replace(regexp_replace(decoded, '[ \t\x0B\f\r]+', ' ', 'g'), '(?m)^ +| +$', '', 'g'), '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS v
+FROM de)
+SELECT canon_url,
+  st::BIGINT AS http_status,
+  CASE WHEN st = 200 THEN 'text/html; charset=UTF-8' ELSE 'text/plain' END AS content_type,
+  cenc AS content_encoding,
+  CASE WHEN st = 200 THEN octet_length(encode(html)) ELSE 10 END::BIGINT AS payload_n_bytes,
+  CASE WHEN st = 200 THEN 'Doc ' || doc_id::VARCHAR ELSE '' END AS title,
+  CASE WHEN st = 200 THEN length(v) ELSE 0 END::BIGINT AS vis_n_chars,
+  CASE WHEN st = 200 THEN md5(v) ELSE '' END AS vis_md5
+FROM vis ORDER BY canon_url""",
   )
 }

@@ -55,6 +55,44 @@ object CompressedText {
       Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => None }
 
+  /** Decompress one gzip stream to BYTES — the HTTP `Content-Encoding:
+    * gzip` entity shape ([[WarcReader]]'s inline decode); None on any
+    * framing/CRC violation (GZIPInputStream verifies the trailer CRC32,
+    * so corruption can never yield silent garbage).
+    */
+  def gunzipBytes(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      val out = new ByteArrayOutputStream(bytes.length * 3)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+
+  /** Inflate an HTTP `Content-Encoding: deflate` entity. RFC 9110 §8.4.1.2
+    * defines `deflate` as ZLIB-wrapped (RFC 1950), but raw-deflate senders
+    * are a notorious interop reality every browser accommodates — try the
+    * zlib framing first, fall back to nowrap. None on corruption or
+    * truncation (the stream must end exactly where the data does).
+    */
+  def inflateBytes(bytes: Array[Byte]): Option[Array[Byte]] = {
+    def tryInflate(nowrap: Boolean): Option[Array[Byte]] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(bytes)
+        val out = new ByteArrayOutputStream(bytes.length * 3)
+        val buf = new Array[Byte](8192)
+        var n = inf.inflate(buf)
+        while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
+        if (inf.finished()) Some(out.toByteArray) else None
+      } catch { case _: java.util.zip.DataFormatException => None }
+      finally inf.end()
+    }
+    tryInflate(false).orElse(tryInflate(true))
+  }
+
   /** Attach a real-gzip column compressing `textCol` (partition-local,
     * REAL `GZIPOutputStream` bytes).
     */

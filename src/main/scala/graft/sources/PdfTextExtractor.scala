@@ -53,9 +53,11 @@ import java.util.zip.Inflater
   * non-Identity CID encodings (predefined CMaps ship with font
   * subsystems, not the spec), user-password-protected and AES-256 (/V 5)
   * encryption, the JPX image filter (no JDK codec), and object streams
-  * (`/ObjStm` — the spec forbids streams inside one, so they carry
-  * cross-reference structure, never page content; this byte-scan never
-  * needs them). A chain containing an unsupported filter yields empty
+  * (`/ObjStm` — the spec forbids STREAMS inside one, so content/CMap
+  * stream bytes never live there, though page and font DICTIONARIES can;
+  * this byte-scan resolves fonts by name pattern, not by walking those
+  * dictionaries, so it never needs to open an ObjStm — an xref-walking
+  * extension would). A chain containing an unsupported filter yields empty
   * bytes, never garbage text; an unmapped CID contributes nothing,
   * never a wrong glyph.
   */

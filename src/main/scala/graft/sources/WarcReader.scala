@@ -33,23 +33,29 @@ import org.apache.spark.sql.types._
   * Scale shape: the unit of parallelism is the WARC blob (a row of a
   * binary column — in production `spark.read.format("binaryFile")` over
   * a `.warc.gz` directory lands each file in one scan task); records
-  * explode INSIDE the scan task via `mapPartitions`, so raw archive
-  * bytes never shuffle — only the emitted record columns do, and the
-  * payload column is dropped by column pruning whenever the query
-  * derives scan-side features (the q271 contract). Malformed members or
-  * records are skipped, never fatal — a crawl at this size always
-  * contains some.
+  * explode INSIDE the scan task via a typed `Dataset.flatMap`, so raw
+  * archive bytes never shuffle — only the emitted record columns do,
+  * and when a query never reads `payload` the optimizer prunes it out
+  * of the flatMap's serializer (`ObjectSerializerPruning`), so body
+  * bytes never enter an output row at all (see [[records]]). Malformed
+  * members or records are skipped, never fatal — a crawl at this size
+  * always contains some.
   */
 object WarcReader {
 
   /** One parsed WARC record. `httpStatus`/`httpContentType` are filled
     * only for `application/http` blocks; `payload` is the HTTP body for
-    * those, the raw block otherwise.
+    * those (transfer coding removed, content coding decoded — see
+    * [[splitHttp]]), the raw block otherwise. `contentEncoding` is the
+    * declared `Content-Encoding` token (lowercased, "" when absent),
+    * suffixed with `;undecoded` when the coded stream was broken and the
+    * raw bytes were passed through — the coalesce-and-flag contract, so
+    * a corpus pass can census broken streams with one `endsWith` filter.
     */
   final case class WarcRecord(
       warcType: String, targetUri: String, warcContentType: String,
       httpStatus: Int, httpContentType: String, payload: Array[Byte],
-      payloadDigest: String = "")
+      payloadDigest: String = "", contentEncoding: String = "")
 
   /** Walk every record of a `.warc.gz` (or uncompressed `.warc`) blob.
     * Uncompressed input (no gzip magic) is treated as one member; a
@@ -118,18 +124,32 @@ object WarcReader {
     val block = java.util.Arrays.copyOfRange(m, blockStart, blockStart + len.toInt)
     val rec =
       if (ct.startsWith("application/http")) {
-        val (status, httpCt, body) = splitHttp(block)
-        WarcRecord(warcType, uri, ct, status, httpCt, body, digest)
+        val (status, httpCt, body, cenc) = splitHttp(block)
+        WarcRecord(warcType, uri, ct, status, httpCt, body, digest, cenc)
       } else WarcRecord(warcType, uri, ct, 0, "", block, digest)
     Some((rec, blockStart + len.toInt))
   }
 
-  /** HTTP/1.1 message block → (status, Content-Type header, body).
-    * Requests (no status line) report status 0.
+  /** HTTP/1.1 message block → (status, Content-Type header, body,
+    * content-encoding census value). Requests (no status line) report
+    * status 0.
+    *
+    * WARC stores the message AS SENT, so both coding layers are still on
+    * the block and are removed here, in wire order, so every payload
+    * consumer sees entity bytes:
+    *   1. `Transfer-Encoding: chunked` (RFC 9112 §7.1, the shared
+    *      [[org.apache.spark.sql.graft.expressions.HttpDechunk]] walker);
+    *   2. `Content-Encoding: gzip`/`x-gzip`/`deflate` (RFC 9110 §8.4 —
+    *      [[CompressedText.gunzipBytes]]/[[CompressedText.inflateBytes]];
+    *      the single most common real-WARC payload shape after identity).
+    * Broken framing at either layer falls back to the raw bytes, never a
+    * crash (a real corpus always contains some) — a broken content
+    * coding is FLAGGED in the returned census value (`;undecoded`
+    * suffix) so the fallback is never silent.
     */
-  private def splitHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
+  private def splitHttp(block: Array[Byte]): (Int, String, Array[Byte], String) = {
     val headEnd = indexOfDoubleCrlf(block, 0)
-    if (headEnd < 0) return (0, "", block)
+    if (headEnd < 0) return (0, "", block, "")
     val head = new String(block, 0, headEnd, ISO_8859_1)
     val lines = head.split("\r\n")
     val status =
@@ -139,27 +159,39 @@ object WarcReader {
           try parts(1).toInt catch { case _: NumberFormatException => 0 }
         else 0
       } else 0
-    val ct = lines.drop(1).collectFirst {
-      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith("content-type:") =>
+    def header(name: String): Option[String] = lines.drop(1).collectFirst {
+      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":") =>
         l.substring(l.indexOf(':') + 1).trim
-    }.getOrElse("")
-    val body = java.util.Arrays.copyOfRange(block, headEnd + 4, block.length)
-    // WARC stores the message AS SENT, so chunked transfer coding is
-    // still framed inside the block — decode it here (RFC 9112 §7.1,
-    // the shared HttpDechunk walker) so every payload consumer sees
-    // entity bytes; broken framing falls back to the raw body (a real
-    // corpus always contains some — same skip-not-crash stance as the
-    // record walk itself)
-    val chunked = lines.drop(1).exists { l =>
-      val lo = l.toLowerCase(java.util.Locale.ROOT)
-      lo.startsWith("transfer-encoding:") && lo.contains("chunked")
     }
-    val entity =
+    val ct = header("content-type").getOrElse("")
+    val body = java.util.Arrays.copyOfRange(block, headEnd + 4, block.length)
+    // RFC 9112 §6.1: chunked must be the FINAL listed transfer coding, so
+    // match the last comma-separated token exactly — "gzip, chunked" is
+    // chunked, "chunked-ext" or "chunked, gzip" is not
+    val chunked = header("transfer-encoding")
+      .exists(_.toLowerCase(java.util.Locale.ROOT).split(',').last.trim == "chunked")
+    val dechunked =
       if (chunked)
         Option(org.apache.spark.sql.graft.expressions.HttpDechunk.dechunk(body))
           .getOrElse(body)
       else body
-    (status, ct, entity)
+    val coding = header("content-encoding")
+      .map(_.toLowerCase(java.util.Locale.ROOT).trim).getOrElse("")
+    val (entity, cenc) = coding match {
+      case "" | "identity" => (dechunked, coding)
+      case "gzip" | "x-gzip" =>
+        CompressedText.gunzipBytes(dechunked) match {
+          case Some(b) => (b, coding)
+          case None => (dechunked, coding + ";undecoded")
+        }
+      case "deflate" =>
+        CompressedText.inflateBytes(dechunked) match {
+          case Some(b) => (b, coding)
+          case None => (dechunked, coding + ";undecoded")
+        }
+      case other => (dechunked, other + ";undecoded") // br, zstd, multi-coding
+    }
+    (status, ct, entity, cenc)
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte], from: Int): Int = {
@@ -175,10 +207,19 @@ object WarcReader {
 
   /** Explode a binary WARC column into one row per record, keeping the
     * input columns. Output record columns: `warc_type`, `target_uri`,
-    * `warc_content_type`, `http_status`, `content_type`, `payload`.
+    * `warc_content_type`, `http_status`, `content_type`, `payload`,
+    * `payload_digest`, `content_encoding`.
+    *
+    * Implemented as a TYPED `Dataset.flatMap` (not an RDD round-trip), so
+    * the optimizer's `ObjectSerializerPruning` drops unused output fields
+    * from the serializer: when a query never reads `payload`, the body
+    * bytes exist only transiently inside the scan task's record objects
+    * and are never serialized into output rows, shuffled, or spilled
+    * (WarcSpec pins this on the optimized plan). The archive blob itself
+    * is still fully parsed — pruning the WALK needs a DataSourceV2 table,
+    * which nothing downstream has required yet.
     */
   def records(df: DataFrame, binCol: String): DataFrame = {
-    val spark = df.sparkSession
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
       StructField("warc_type", StringType, nullable = false),
@@ -187,18 +228,16 @@ object WarcReader {
       StructField("http_status", IntegerType, nullable = false),
       StructField("content_type", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = false),
-      StructField("payload_digest", StringType, nullable = false)))
+      StructField("payload_digest", StringType, nullable = false),
+      StructField("content_encoding", StringType, nullable = false)))
     val binIdx = inSchema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.flatMap { row =>
-        parse(row.getAs[Array[Byte]](binIdx)).map { r =>
-          Row.fromSeq(row.toSeq ++ Seq[Any](r.warcType, r.targetUri,
-            r.warcContentType, r.httpStatus, r.httpContentType, r.payload,
-            r.payloadDigest))
-        }
+    df.flatMap { row =>
+      parse(row.getAs[Array[Byte]](binIdx)).map { r =>
+        Row.fromSeq(row.toSeq ++ Seq[Any](r.warcType, r.targetUri,
+          r.warcContentType, r.httpStatus, r.httpContentType, r.payload,
+          r.payloadDigest, r.contentEncoding))
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(org.apache.spark.sql.Encoders.row(outSchema)).toDF()
   }
 
   // ---------------------------------------------------------------------
@@ -425,6 +464,90 @@ object WarcReader {
           val http =
             if (status == 200) httpChunkedResponse(ct, body)
             else httpResponse(status, ct, body)
+          bos.write(gz(warcRecord("response", url,
+            "application/http; msgtype=response", http)))
+        }
+        Row(shard, bos.toByteArray)
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** A `Content-Encoding`-coded variant of [[httpResponse]]: the body is
+    * gzip- or deflate(zlib)-compressed and, when `alsoChunked`, the CODED
+    * bytes are additionally chunk-framed (wire order: entity → content
+    * coding → transfer coding — the decode side must unwind in reverse).
+    */
+  private def httpEncodedResponse(ct: String, body: Array[Byte],
+      coding: String, alsoChunked: Boolean): Array[Byte] = {
+    val coded = coding match {
+      case "gzip" => gz(body)
+      case "deflate" =>
+        val d = new java.util.zip.Deflater() // zlib framing (RFC 9110 §8.4.1.2)
+        d.setInput(body); d.finish()
+        val bos = new ByteArrayOutputStream(body.length / 2 + 32)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        d.end()
+        bos.toByteArray
+      case other => throw new IllegalArgumentException(other)
+    }
+    val out = new ByteArrayOutputStream(coded.length + 160)
+    if (alsoChunked) {
+      out.write((s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Encoding: $coding\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n").getBytes(ISO_8859_1))
+      var i = 0
+      while (i < coded.length) {
+        val n = math.min(100, coded.length - i)
+        out.write((Integer.toHexString(n) + "\r\n").getBytes(ISO_8859_1))
+        out.write(coded, i, n)
+        out.write("\r\n".getBytes(ISO_8859_1))
+        i += n
+      }
+      out.write("0\r\n\r\n".getBytes(ISO_8859_1))
+    } else {
+      out.write((s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Encoding: $coding\r\n" +
+        s"Content-Length: ${coded.length}\r\n\r\n").getBytes(ISO_8859_1))
+      out.write(coded)
+    }
+    out.toByteArray
+  }
+
+  /** [[buildFixture]]'s layout with every 200-response CONTENT-ENCODED —
+    * the q298 integration fixture: `doc_id % 3` cycles gzip-then-chunked
+    * (both coding layers stacked in wire order), plain gzip, and
+    * zlib-deflate; 404s stay identity. The walk + split + dechunk +
+    * inflate chain must hand the extractor exactly the bytes
+    * [[buildFixture]] would — the q296 byte-for-byte contract, one layer
+    * deeper.
+    */
+  def buildContentEncodedFixture(docs: DataFrame, nShards: Int = 24): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val outSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("warc", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].rdd
+      .map { case (id, text) => (id % nShards, (id, text)) }
+      .groupByKey(math.min(nShards, 32))
+      .map { case (shard, docsIt) =>
+        val bos = new ByteArrayOutputStream(1 << 16)
+        bos.write(gz(warcRecord("warcinfo", "", "application/warc-fields",
+          "software: graft-warc-fixture/1.0\r\n".getBytes(ISO_8859_1))))
+        docsIt.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          val url = fixtureUrl(id)
+          val status = fixtureStatus(id)
+          val (ct, body) =
+            if (status == 200)
+              ("text/html; charset=UTF-8", fixtureHtml(id, text).getBytes(UTF_8))
+            else ("text/plain", "not found\n".getBytes(UTF_8))
+          val http =
+            if (status != 200) httpResponse(status, ct, body)
+            else if (id % 3 == 0) httpEncodedResponse(ct, body, "gzip", alsoChunked = true)
+            else if (id % 3 == 1) httpEncodedResponse(ct, body, "gzip", alsoChunked = false)
+            else httpEncodedResponse(ct, body, "deflate", alsoChunked = false)
           bos.write(gz(warcRecord("response", url,
             "application/http; msgtype=response", http)))
         }

@@ -176,4 +176,79 @@ class WarcSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("transfer-coding token: chunked only when FINAL listed coding; content-coding decodes inline with flagged fallback") {
+    def respond(headers: String, body: Array[Byte]): WarcReader.WarcRecord = {
+      val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$headers\r\n"
+        .getBytes(ISO_8859_1) ++ body
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://e.com/\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\nContent-Length: ${http.length}\r\n\r\n")
+        .getBytes(ISO_8859_1) ++ http ++ "\r\n\r\n".getBytes(ISO_8859_1)
+      WarcReader.parse(rec).head
+    }
+    val chunked = "5\r\nhello\r\n0\r\n\r\n".getBytes(ISO_8859_1)
+    // chunked as the final coding → dechunked
+    assert(new String(respond("Transfer-Encoding: chunked\r\n", chunked).payload, UTF_8) == "hello")
+    assert(new String(respond("Transfer-Encoding: gzip, chunked\r\n", chunked).payload, UTF_8) == "hello")
+    // merely CONTAINING the substring must not trigger a dechunk (RFC 9112 §6.1)
+    assert(new String(respond("Transfer-Encoding: chunked-like-ext\r\n", chunked).payload, ISO_8859_1)
+      == new String(chunked, ISO_8859_1))
+    assert(new String(respond("Transfer-Encoding: chunked, gzip\r\n", chunked).payload, ISO_8859_1)
+      == new String(chunked, ISO_8859_1))
+    // Content-Encoding: gzip / deflate decode inline, census value carries the coding
+    val body = "entity body bytes — content-coded".getBytes(UTF_8)
+    val g = respond("Content-Encoding: gzip\r\n", gz(body))
+    assert(new String(g.payload, UTF_8) == new String(body, UTF_8) && g.contentEncoding == "gzip")
+    val dfl = { val d = new java.util.zip.Deflater(); d.setInput(body); d.finish()
+      val bos = new ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf)); d.end(); bos.toByteArray }
+    val df1 = respond("Content-Encoding: deflate\r\n", dfl)
+    assert(new String(df1.payload, UTF_8) == new String(body, UTF_8) && df1.contentEncoding == "deflate")
+    // raw (nowrap) deflate interop fallback
+    val raw = { val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(body); d.finish()
+      val bos = new ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf)); d.end(); bos.toByteArray }
+    assert(new String(respond("Content-Encoding: deflate\r\n", raw).payload, UTF_8) == new String(body, UTF_8))
+    // stacked codings unwind in reverse wire order: entity → gzip → chunked
+    val gzBytes = gz(body)
+    val framed = { val bos = new ByteArrayOutputStream()
+      var i = 0
+      while (i < gzBytes.length) { val n = math.min(7, gzBytes.length - i)
+        bos.write((Integer.toHexString(n) + "\r\n").getBytes(ISO_8859_1))
+        bos.write(gzBytes, i, n); bos.write("\r\n".getBytes(ISO_8859_1)); i += n }
+      bos.write("0\r\n\r\n".getBytes(ISO_8859_1)); bos.toByteArray }
+    val st = respond("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n", framed)
+    assert(new String(st.payload, UTF_8) == new String(body, UTF_8) && st.contentEncoding == "gzip")
+    // broken gzip stream → raw bytes kept, FLAGGED (never a silent fallback)
+    val broken = gz(body).clone(); broken(12) = (broken(12) ^ 0x5a).toByte
+    val b = respond("Content-Encoding: gzip\r\n", broken)
+    assert(b.contentEncoding == "gzip;undecoded" && b.payload.sameElements(broken))
+    // unsupported coding (br) → flagged pass-through
+    assert(respond("Content-Encoding: br\r\n", body).contentEncoding == "br;undecoded")
+    // identity / absent → empty census value, untouched body
+    assert(respond("", body).contentEncoding == "" )
+  }
+
+  test("records is a typed flatMap: unused payload prunes out of the serializer (never enters an output row)") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 6L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    val warcs = WarcReader.buildFixture(docs, nShards = 2)
+    val slim = WarcReader.records(warcs, "warc").select("target_uri", "http_status")
+    val optimized = slim.queryExecution.optimizedPlan
+    val serialized = optimized.collect {
+      case so: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject =>
+        so.serializer.map(_.name)
+    }.flatten
+    assert(serialized.nonEmpty, "expected a SerializeFromObject in the plan")
+    assert(!serialized.contains("payload"),
+      s"payload survived serializer pruning: $serialized")
+    assert(serialized.contains("target_uri"))
+    // and the full projection still round-trips the body
+    val full = WarcReader.records(warcs, "warc")
+      .filter($"warc_type" === "response" && $"http_status" === 200)
+      .select($"payload").limit(1).collect()
+    assert(new String(full.head.getAs[Array[Byte]](0), UTF_8).startsWith("<html>"))
+  }
 }
