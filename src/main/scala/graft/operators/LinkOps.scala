@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *     LAST — the same single-pass, non-recursive contract as
   *     [[HtmlOps.decodeEntities]]; `&amp;` is REQUIRED in any conformant
   *     href with a multi-param query string, so skipping this step breaks
-  *     every such link). Scope (disclosed): double-quoted href values —
-  *     the overwhelmingly dominant form; single-quoted/unquoted attributes
-  *     are a pattern alternation away but kept out so the oracle pattern
-  *     stays one RE2 literal.
+  *     every such link). All three HTML attribute-value forms match —
+  *     double-quoted, single-quoted, and unquoted (value runs to the
+  *     first whitespace or `>`, the WHATWG unquoted-value rule) — as ONE
+  *     alternation group, quotes stripped in a follow-up expression, so
+  *     the oracle pattern stays one RE2 literal. Real HTML is messy;
+  *     every missed attribute form was a missing edge in the host graph.
   *   - [[resolveReference]]: RFC 3986 §5.2.2's transform-references
   *     algorithm for hierarchical http(s) bases — absolute refs pass
   *     through, `//authority` takes the base scheme, `/path` replaces the
@@ -42,7 +44,8 @@ import org.apache.spark.sql.functions._
   */
 object LinkOps {
 
-  private val HrefPattern = "(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a\\s*>"
+  private val HrefPattern =
+    "(?is)<a\\s[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>(.*?)</a\\s*>"
 
   /** Attribute-value entity decode — same order contract as
     * [[HtmlOps.decodeEntities]] (amp LAST, non-recursive).
@@ -55,10 +58,19 @@ object LinkOps {
     regexp_replace(apos, "&amp;", "&")
   }
 
+  /** Strip one matching pair of surrounding quotes off a captured
+    * attribute value (the alternation group keeps them so the pattern
+    * stays a single RE2 literal the oracle replays); unquoted values
+    * pass through verbatim.
+    */
+  private def stripQuotes(c: Column): Column =
+    regexp_replace(regexp_replace(c, "^\"((?s).*)\"$", "$1"),
+      "^'((?s).*)'$", "$1")
+
   /** href values of `<a>` elements in document order, entity-decoded. */
   def extractHrefs(html: Column): Column =
     transform(regexp_extract_all(html, lit(HrefPattern), lit(1)),
-      h => decodeAttr(h))
+      h => decodeAttr(stripQuotes(h)))
 
   /** Anchor texts of the SAME matches, position-aligned with
     * [[extractHrefs]] (one pattern, two groups — zip them with

@@ -20,10 +20,13 @@ private[graft] object CrawlQueries {
     * case + dup slashes), scheme-relative, path-absolute with an
     * `&amp;`-escaped multi-param query, relative with an unreserved
     * percent escape, parent-relative (`../`), query-only carrying a
-    * tracking param, fragment-only, and a non-hierarchical `mailto:` that
-    * resolution passes through and the http(s) filter drops. The oracle
-    * rebuilds the SAME page closed-form and replays extraction AND
-    * resolution with the identical RE2 patterns and CASE chain.
+    * tracking param, a SINGLE-QUOTED path-absolute and an UNQUOTED
+    * relative href (the round-14 attribute forms — both same-host so the
+    * q284/ScaleProbe host-graph quotient is untouched), fragment-only,
+    * and a non-hierarchical `mailto:` that resolution passes through and
+    * the http(s) filter drops. The oracle rebuilds the SAME page
+    * closed-form and replays extraction AND resolution with the
+    * identical RE2 patterns and CASE chain.
     */
   private def linkFixture(docs: DataFrame): DataFrame = {
     // the two-group regexp pass + per-href resolution downstream is
@@ -42,7 +45,10 @@ private[graft] object CrawlQueries {
         lit("?b=2&amp;a=1\">rooted</a><a href=\"sub/p%7E"), col("doc_id"),
         lit(".html\">tilde rel</a><a href=\"../up"), col("doc_id"),
         lit("\">parent</a><a href=\"?v=2&amp;utm_source=z\">query only</a>" +
-          "<a href=\"#sec\">frag</a><a href=\"mailto:u"), col("doc_id"),
+          "<a href='/q/"), col("doc_id"),
+        lit("?s=2&amp;t=3'>squote</a><a href=nav/"), pmod(col("doc_id"), lit(5)),
+        lit(".html>unq nav</a><a href=\"#sec\">frag</a><a href=\"mailto:u"),
+        col("doc_id"),
         lit("@example.com\">mail</a></body></html>")))
   }
 
@@ -720,8 +726,13 @@ private[graft] object CrawlQueries {
     }),
   )
 
+  /** The LinkOps pattern, SQL-quoted for embedding in a '…' literal
+    * (single quotes doubled): one alternation group over double-quoted /
+    * single-quoted / unquoted attribute values, quotes kept by the group
+    * and stripped by the `dec` CTE — the exact Spark-side contract.
+    */
   private val HrefPat =
-    """(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>"""
+    """(?is)<a\s[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)[^>]*>(.*?)</a\s*>"""
 
   /** The fixture page, DuckDB side — byte-identical to [[linkFixture]]. */
   private val FixtureCtes =
@@ -731,7 +742,9 @@ private[graft] object CrawlQueries {
   || '</a><a href="//cdn' || (doc_id % 3)::VARCHAR || '.net/lib.js">cdn</a><a href="/root/' || doc_id::VARCHAR
   || '?b=2&amp;a=1">rooted</a><a href="sub/p%7E' || doc_id::VARCHAR
   || '.html">tilde rel</a><a href="../up' || doc_id::VARCHAR
-  || '">parent</a><a href="?v=2&amp;utm_source=z">query only</a><a href="#sec">frag</a><a href="mailto:u' || doc_id::VARCHAR
+  || '">parent</a><a href="?v=2&amp;utm_source=z">query only</a><a href=''/q/' || doc_id::VARCHAR
+  || '?s=2&amp;t=3''>squote</a><a href=nav/' || (doc_id % 5)::VARCHAR
+  || '.html>unq nav</a><a href="#sec">frag</a><a href="mailto:u' || doc_id::VARCHAR
   || '@example.com">mail</a></body></html>' AS html
 FROM documents)"""
 
@@ -745,7 +758,9 @@ x AS (SELECT doc_id, m, base,
   unnest(regexp_extract_all(html, '$HrefPat', 2)) AS txt0
 FROM d),
 dec AS (SELECT doc_id, m, base, link_no,
-  replace(replace(replace(replace(replace(href0, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS href,
+  replace(replace(replace(replace(replace(
+    regexp_replace(regexp_replace(href0, '^"((?s).*)"$$', '\\1'), '^''((?s).*)''$$', '\\1'),
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS href,
   trim(regexp_replace(replace(replace(replace(replace(replace(regexp_replace(txt0, '(?s)<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS anchor
 FROM x),
 res AS (SELECT doc_id, m, link_no, anchor,

@@ -45,16 +45,27 @@ class LinkOpsSpec extends AnyFunSuite {
       .select(LinkOps.resolveReference(col("b"), col("r"))).head.getString(0)
   }
 
-  test("extractHrefs: document order, entity decode amp-LAST, double-quote scope") {
+  test("extractHrefs: document order, entity decode amp-LAST, all three attribute-value forms") {
     val html =
       """<html><body>
         |<a href="/a?x=1&amp;y=2">first</a>
         |<A HREF="/B">upper</A>
         |<a class="c" href="/c" rel="nofollow">attrs</a>
-        |<a href='/single'>single-quoted: out of scope</a>
+        |<a href='/single?a=1&amp;b=2'>single-quoted</a>
+        |<a href=/unquoted/p.html rel=nofollow>unquoted</a>
+        |<a href = '/spaced' >spaced equals</a>
         |<a href="/amp?q=&amp;lt;">amp-last: yields literal &lt;</a>
         |</body></html>""".stripMargin
-    assert(hrefs(html) == Seq("/a?x=1&y=2", "/B", "/c", "/amp?q=&lt;"))
+    assert(hrefs(html) == Seq("/a?x=1&y=2", "/B", "/c", "/single?a=1&b=2",
+      "/unquoted/p.html", "/spaced", "/amp?q=&lt;"))
+  }
+
+  test("extractHrefs: quote-form edge cases — embedded other-quote chars, anchors align") {
+    // a double-quoted value may carry single quotes and vice versa; the
+    // strip removes only ONE matching surrounding pair
+    val html = """<a href="/it's/fine">dq</a><a href='/say/"hi"'>sq</a><a href=bare>u</a>"""
+    assert(hrefs(html) == Seq("/it's/fine", "/say/\"hi\"", "bare"))
+    assert(anchors(html) == Seq("dq", "sq", "u"))
   }
 
   test("extractAnchorTexts: position-aligned, inner tags stripped, whitespace squashed") {
