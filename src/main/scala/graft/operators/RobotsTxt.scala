@@ -22,14 +22,28 @@ import org.apache.spark.sql.functions._
   *   - [[allowed]]: RFC matching — the group for OUR agent is the
   *     agent-specific one when the file has it, else `*` (an ignored
   *     `*` group in the presence of a specific group is the classic
-  *     interop bug this pins); among matching prefix rules the LONGEST
-  *     path wins, allow beating disallow on a length tie; no matching
-  *     rule → allowed.
+  *     interop bug this pins); among matching rules the MOST-SPECIFIC
+  *     wins (most octets in the raw rule path, §2.2.2 — for pure prefix
+  *     rules this is exactly longest-prefix), allow beating disallow on
+  *     a tie; no matching rule → allowed.
+  *   - §2.2.3 special characters (round 14): `*` in a rule path matches
+  *     any character sequence, a TRAILING `$` anchors the end of the
+  *     path. A rule carrying either compiles to one anchored-prefix
+  *     regex (`^` + metachar-escaped body with `*`→`.*`, plus `$` when
+  *     anchored) evaluated per candidate row; plain prefix rules — the
+  *     overwhelming majority of real robots lines — keep the cheap
+  *     `startsWith` branch. Both branches and the regex BUILD itself are
+  *     relational, so the DuckDB oracle replays the compilation and the
+  *     match generically.
+  *   - [[sitemapRows]]: `Sitemap:` directive extraction — RFC 9309 §2.3
+  *     records it as independent of any group (a `Sitemap:` line inside
+  *     an agent block still applies file-wide), which is exactly how the
+  *     line filter behaves here. The URLs feed q282's discovery parse.
   *
-  * Scope (disclosed): prefix rules only — no `*` wildcards or `$`
-  * anchors inside paths (RFC 9309 §2.2.3 optional forms), no
-  * `Crawl-delay`/`Sitemap` extraction, empty-path rules dropped (the
-  * original REP "Disallow:" = allow-all is the no-match default here).
+  * Scope (disclosed): no `Crawl-delay` (non-standard, fetcher-side);
+  * empty-path rules dropped (the original REP "Disallow:" = allow-all is
+  * the no-match default here); mid-pattern `$` is literal (only the
+  * trailing position is special, matching the major implementations).
   */
 object RobotsTxt {
 
@@ -61,9 +75,38 @@ object RobotsTxt {
       .select(col("domain"), col("agent"), col("allow"), col("rpath"))
   }
 
+  /** Sitemap URLs declared in (domainCol, txtCol) robots files — one row
+    * per `Sitemap:` line, group-INDEPENDENT per RFC 9309 §2.3 (a line
+    * inside an agent block still applies file-wide, so this is a plain
+    * line filter, no group join).
+    */
+  def sitemapRows(robots: DataFrame, domainCol: String, txtCol: String): DataFrame =
+    robots.select(col(domainCol).as("domain"),
+        explode(split(col(txtCol), "\n")).as("line"))
+      .filter(lower(trim(col("line"))).startsWith("sitemap:"))
+      .select(col("domain"),
+        trim(regexp_replace(col("line"), "(?i)^\\s*sitemap:\\s*", ""))
+          .as("sitemap_url"))
+
+  /** RFC 9309 §2.2.3 rule-path compilation: a path carrying `*` or a
+    * trailing `$` becomes one anchored-prefix regex — metachars escaped,
+    * `*` → `.*`, trailing `$` → end anchor. Exposed for the spec; the
+    * oracle rebuilds the same regex in SQL.
+    */
+  private[graft] def rulePattern(rpath: Column): Column = {
+    val anchored = rpath.endsWith("$")
+    val body = when(anchored, rpath.substr(lit(1), length(rpath) - 1))
+      .otherwise(rpath)
+    concat(lit("^"),
+      regexp_replace(regexp_replace(body,
+        "([.\\\\+?\\[\\](){}^$|])", "\\\\$1"), "\\*", ".*"),
+      when(anchored, "$").otherwise(""))
+  }
+
   /** Verdict per URL row: `urls` must expose `domainCol` and `pathCol`;
-    * output appends `allowed` (0/1) and `rule_len` (length of the
-    * winning rule's path, 0 when no rule matched). `agent` is OUR
+    * output appends `allowed` (0/1) and `rule_len` (octet length of the
+    * winning rule's RAW path — the §2.2.2 specificity measure, wildcards
+    * and anchor included; 0 when no rule matched). `agent` is OUR
     * crawler's token, lowercase.
     */
   def allowed(urls: DataFrame, rules: DataFrame, domainCol: String,
@@ -75,10 +118,16 @@ object RobotsTxt {
       .filter(when(coalesce(col("__spec"), lit(false)),
         col("agent") === agent).otherwise(col("agent") === "*"))
       .select(col("domain"), col("allow"), col("rpath"))
+      // §2.2.3: compile wildcard/anchored rules once, rule-side (rules
+      // are file-bounded; the per-row work on the URL side is the match)
+      .withColumn("__ispat",
+        col("rpath").contains("*") || col("rpath").endsWith("$"))
+      .withColumn("__rx", rulePattern(col("rpath")))
     val u = urls.select(col(domainCol).as("__d"), col(pathCol).as("__p"))
       .distinct()
     val verdict = u.join(effective, col("__d") === col("domain") &&
-        col("__p").startsWith(col("rpath")))
+        when(col("__ispat"), regexp_like(col("__p"), col("__rx")))
+          .otherwise(col("__p").startsWith(col("rpath"))))
       .groupBy(col("__d"), col("__p"))
       .agg(max(struct(length(col("rpath")).as("l"), col("allow").as("a")))
         .as("__win"))

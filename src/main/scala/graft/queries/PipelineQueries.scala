@@ -1811,35 +1811,53 @@ private[graft] object PipelineQueries {
     // robots.txt politeness (RFC 9309 — [[graft.operators.RobotsTxt]]):
     // the gate between URL curation and any fetch. Parse AND evaluation
     // are fully relational (line explode, one per-file grouping window,
-    // prefix join, longest-match with allow-tiebreak), so the oracle
-    // replays the ENTIRE protocol in DuckDB — group runs, the
-    // specific-agent-group-suppresses-`*` rule (the classic interop
+    // prefix-or-pattern join, most-specific-match with allow-tiebreak),
+    // so the oracle replays the ENTIRE protocol in DuckDB — group runs,
+    // the specific-agent-group-suppresses-`*` rule (the classic interop
     // bug: /private is blocked for generic crawlers but our agent's
     // group has no /private rule, so it is ALLOWED on domains that name
-    // us), longest path winning (/private/ok beats /private), and the
-    // equal-length allow-wins tie (/dup). Per-domain robots are
-    // closed-form in the domain index; URLs cycle five path shapes.
+    // us), most octets winning (/private/ok beats /private), the
+    // equal-length allow-wins tie (/dup), and — round 14 — the §2.2.3
+    // special forms: `/*.pdf$` (wildcard + end anchor) blocks the pdf
+    // path class, `Allow: /cal/*/view` (11 octets) rescues calendar
+    // views from `Disallow: /cal/` (5), and the regex COMPILATION
+    // itself (escape, `*`→`.*`, `$`→anchor) is replayed in SQL. The
+    // `Sitemap:` directives — one per domain plus one INSIDE the
+    // graftbot block, which §2.3 makes file-wide anyway — surface as a
+    // per-domain count, the discovery handoff to q282's parser. URLs
+    // cycle eight path shapes.
     "q278_robots_txt" -> ((s, dir) => {
       import s.implicits._
+      val k = pmod($"doc_id", lit(8))
       val urls = t(s, dir, "documents").select($"doc_id")
         .withColumn("m", pmod($"doc_id", lit(37)))
         .withColumn("domain", concat(lit("site"), $"m", lit(".com")))
         .withColumn("path",
-          when(pmod($"doc_id", lit(5)) === 0, concat(lit("/p/"), $"doc_id"))
-            .when(pmod($"doc_id", lit(5)) === 1, concat(lit("/private/a"), $"doc_id"))
-            .when(pmod($"doc_id", lit(5)) === 2, concat(lit("/private/ok/"), $"doc_id"))
-            .when(pmod($"doc_id", lit(5)) === 3, lit("/tmp/x"))
-            .otherwise(lit("/dup/z")))
+          when(k === 0, concat(lit("/p/"), $"doc_id"))
+            .when(k === 1, concat(lit("/private/a"), $"doc_id"))
+            .when(k === 2, concat(lit("/private/ok/"), $"doc_id"))
+            .when(k === 3, lit("/tmp/x"))
+            .when(k === 4, lit("/dup/z"))
+            .when(k === 5, concat(lit("/files/doc"), $"doc_id", lit(".pdf")))
+            .when(k === 6, concat(lit("/cal/"), $"doc_id", lit("/view")))
+            .otherwise(concat(lit("/cal/"), $"doc_id", lit("/edit"))))
       val robots = urls.select($"domain", $"m").distinct()
         .withColumn("txt", concat(
           lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
-            "Disallow: /tmp\nDisallow: /dup\nAllow: /dup\n"),
+            "Disallow: /tmp\nDisallow: /dup\nAllow: /dup\n" +
+            "Disallow: /*.pdf$\nAllow: /cal/*/view\nDisallow: /cal/\n" +
+            "Sitemap: https://site"), $"m", lit(".com/sitemap.xml\n"),
           when(pmod($"m", lit(3)) === 0,
-            lit("\nUser-agent: graftbot\nDisallow: /p/9\nAllow: /p\n"))
+            concat(lit("\nUser-agent: graftbot\nDisallow: /p/9\nAllow: /p\n" +
+              "Sitemap: https://site"), $"m", lit(".com/sitemap-extra.xml\n")))
             .otherwise(lit(""))))
       val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+      val sm = graft.operators.RobotsTxt.sitemapRows(robots, "domain", "txt")
+        .groupBy($"domain").agg(count(lit(1)).as("n_sitemaps"))
       graft.operators.RobotsTxt.allowed(urls, rules, "domain", "path", "graftbot")
-        .select($"doc_id", $"domain", $"path", $"allowed", $"rule_len")
+        .join(broadcast(sm), Seq("domain"))
+        .select($"doc_id", $"domain", $"path", $"allowed", $"rule_len",
+          $"n_sitemaps")
         .orderBy($"doc_id")
     }),
 
@@ -2773,20 +2791,27 @@ FROM p ORDER BY doc_id""",
 
     // q278: the ENTIRE protocol replayed — same line explode, same
     // grouping window (non-UA→UA transitions), same agent-group
-    // selection, same longest-match-allow-tiebreak election
+    // selection, the §2.2.3 regex COMPILATION (escape, `*`→`.*`,
+    // trailing-`$`→anchor) rebuilt in SQL, most-octets-allow-tiebreak
+    // election, and the group-independent Sitemap line count
     "q278_robots_txt" ->
       """WITH d AS (SELECT doc_id, doc_id % 37 AS m,
   'site' || (doc_id % 37)::VARCHAR || '.com' AS domain,
-  CASE (doc_id % 5)
+  CASE (doc_id % 8)
     WHEN 0 THEN '/p/' || doc_id::VARCHAR
     WHEN 1 THEN '/private/a' || doc_id::VARCHAR
     WHEN 2 THEN '/private/ok/' || doc_id::VARCHAR
     WHEN 3 THEN '/tmp/x'
-    ELSE '/dup/z' END AS path
+    WHEN 4 THEN '/dup/z'
+    WHEN 5 THEN '/files/doc' || doc_id::VARCHAR || '.pdf'
+    WHEN 6 THEN '/cal/' || doc_id::VARCHAR || '/view'
+    ELSE '/cal/' || doc_id::VARCHAR || '/edit' END AS path
 FROM documents),
 rob AS (SELECT DISTINCT domain,
-  'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) || 'Disallow: /dup' || chr(10) || 'Allow: /dup' || chr(10) ||
-  CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) ELSE '' END AS txt
+  'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) || 'Disallow: /dup' || chr(10) || 'Allow: /dup' || chr(10)
+  || 'Disallow: /*.pdf$' || chr(10) || 'Allow: /cal/*/view' || chr(10) || 'Disallow: /cal/' || chr(10)
+  || 'Sitemap: https://site' || m::VARCHAR || '.com/sitemap.xml' || chr(10) ||
+  CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) || 'Sitemap: https://site' || m::VARCHAR || '.com/sitemap-extra.xml' || chr(10) ELSE '' END AS txt
 FROM d),
 lines AS (SELECT domain, unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln, unnest(string_split(txt, chr(10))) AS line FROM rob),
 fl AS (SELECT domain, ln, line, lower(trim(line)) AS lline FROM lines),
@@ -2803,12 +2828,23 @@ rr AS (SELECT ru.domain, ag.agent, ru.allow, ru.rpath FROM ru JOIN ag USING (dom
 spec AS (SELECT DISTINCT domain FROM rr WHERE agent = 'graftbot'),
 eff AS (SELECT rr.domain, rr.allow, rr.rpath FROM rr LEFT JOIN spec ON rr.domain = spec.domain
   WHERE CASE WHEN spec.domain IS NOT NULL THEN rr.agent = 'graftbot' ELSE rr.agent = '*' END),
-mt AS (SELECT d.doc_id, e.allow, length(e.rpath) AS l
-  FROM d JOIN eff e ON d.domain = e.domain AND starts_with(d.path, e.rpath)),
-win AS (SELECT doc_id, allow, l, row_number() OVER (PARTITION BY doc_id ORDER BY l DESC, allow DESC) AS rn FROM mt)
+eff2 AS (SELECT domain, allow, rpath, length(rpath) AS l,
+  (contains(rpath, '*') OR rpath LIKE '%$') AS is_pat,
+  '^' || replace(regexp_replace(
+      CASE WHEN rpath LIKE '%$' THEN substr(rpath, 1, length(rpath) - 1) ELSE rpath END,
+      '([.\\+?\[\](){}^$|])', '\\\1', 'g'), '*', '.*')
+    || CASE WHEN rpath LIKE '%$' THEN '$' ELSE '' END AS rx
+FROM eff),
+mt AS (SELECT d.doc_id, e.allow, e.l
+  FROM d JOIN eff2 e ON d.domain = e.domain
+   AND CASE WHEN e.is_pat THEN regexp_matches(d.path, e.rx) ELSE starts_with(d.path, e.rpath) END),
+win AS (SELECT doc_id, allow, l, row_number() OVER (PARTITION BY doc_id ORDER BY l DESC, allow DESC) AS rn FROM mt),
+smc AS (SELECT domain, count(*)::BIGINT AS n_sitemaps FROM fl WHERE starts_with(lline, 'sitemap:') GROUP BY domain)
 SELECT d.doc_id, d.domain, d.path,
-  coalesce(w.allow, 1)::INT AS allowed, coalesce(w.l, 0)::BIGINT AS rule_len
+  coalesce(w.allow, 1)::INT AS allowed, coalesce(w.l, 0)::BIGINT AS rule_len,
+  smc.n_sitemaps
 FROM d LEFT JOIN (SELECT doc_id, allow, l FROM win WHERE rn = 1) w USING (doc_id)
+JOIN smc ON d.domain = smc.domain
 ORDER BY d.doc_id""",
 
     // q279: q273's page rebuilt and re-extracted for the 200-status

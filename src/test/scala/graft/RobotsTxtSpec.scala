@@ -61,4 +61,52 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(gen("/x/other") == (0, 2L))
     assert(gen("/t/z") == (1, 2L)) // equal length: allow wins
   }
+
+  test("§2.2.3 wildcards and end anchor: *, trailing $, specificity by raw octets, regex metachars literal") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      ("w.com",
+        "User-agent: *\nDisallow: /*.pdf$\nAllow: /cal/*/view\nDisallow: /cal/\n" +
+          "Disallow: /a*b\nDisallow: /lit.x\n")).toDF("domain", "txt")
+    val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+    val urls = Seq(
+      "/files/doc1.pdf",   // blocked by /*.pdf$ (anchor hits)
+      "/files/doc1.pdfx",  // anchor misses → allowed
+      "/x.pdf",            // blocked (wildcard matches the empty middle too? no — '/' then anything then '.pdf': 'x' counts)
+      "/cal/7/view",       // Allow /cal/*/view (11) beats Disallow /cal/ (5)
+      "/cal/7/view/sub",   // prefix semantics: the allow pattern still matches
+      "/cal/7/edit",       // only /cal/ matches → blocked
+      "/a-anything-b/tail",// /a*b wildcard mid-pattern
+      "/litYx",            // '.' must be LITERAL after escaping → no match → allowed
+      "/lit.x")            // exact literal → blocked
+      .map(("w.com", _)).toDF("domain", "path")
+    val got = graft.operators.RobotsTxt
+      .allowed(urls, rules, "domain", "path", "graftbot")
+      .select($"path", $"allowed", $"rule_len")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got("/files/doc1.pdf") == (0, 7L)) // raw octets incl * and $
+    assert(got("/files/doc1.pdfx") == (1, 0L))
+    assert(got("/x.pdf") == (0, 7L))
+    assert(got("/cal/7/view") == (1, 11L))
+    assert(got("/cal/7/view/sub") == (1, 11L))
+    assert(got("/cal/7/edit") == (0, 5L))
+    assert(got("/a-anything-b/tail") == (0, 4L))
+    assert(got("/litYx") == (1, 0L))
+    assert(got("/lit.x") == (0, 6L))
+  }
+
+  test("Sitemap: directive is group-independent and extraction preserves the URL verbatim") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      ("a.com", "Sitemap: https://a.com/s.xml\nUser-agent: *\nDisallow: /x\n" +
+        "User-agent: bot\nAllow: /\nSitemap: https://a.com/inside-group.xml\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n")).toDF("domain", "txt")
+    val got = graft.operators.RobotsTxt.sitemapRows(robots, "domain", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq(
+      ("a.com", "https://a.com/inside-group.xml"),
+      ("a.com", "https://a.com/s.xml")))
+  }
 }
