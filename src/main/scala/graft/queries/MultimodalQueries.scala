@@ -455,12 +455,14 @@ private[graft] object MultimodalQueries {
     // the standard security handler with an EMPTY user password (the
     // owner-restricted shape that dominates real "encrypted" corpora),
     // cipher generation cycling by doc_id — RC4-40 (V1/R2), RC4-128
-    // (V2/R3), AES-128-CBC (V4/R4 /AESV2). Extraction must authenticate
-    // the empty password against /U (Algorithm 4/5), derive per-object
-    // keys (Algorithm 1), decrypt both streams, then run the full
-    // filter→font→CMap→CID chain — any wrong byte in key derivation or
-    // cipher plumbing yields is_pdf=0 or a flipped md5. The oracle is
-    // q268's: the recovered text IS the text.
+    // (V2/R3), AES-128-CBC (V4/R4 /AESV2), and — round 14 — AES-256
+    // (V5/R6 /AESV3, ISO 32000-2: Algorithm 2.B iterated SHA-2 hash,
+    // /U validate → /UE file-key unwrap → /Perms `adb` sanity, file-key
+    // stream decryption). Extraction must authenticate the empty
+    // password, derive the right key generation, decrypt both streams,
+    // then run the full filter→font→CMap→CID chain — any wrong byte in
+    // key derivation or cipher plumbing yields is_pdf=0 or a flipped
+    // md5. The oracle is q268's: the recovered text IS the text.
     "q276_pdf_decrypt_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
@@ -470,9 +472,10 @@ private[graft] object MultimodalQueries {
         .select($"doc_id", $"pdf")
       graft.sources.PdfIngest.cidPdfAudit(pdfs, "pdf")
         .select($"doc_id",
-          when(pmod($"doc_id", lit(3)) === 0, "rc4-40")
-            .when(pmod($"doc_id", lit(3)) === 1, "rc4-128")
-            .otherwise("aes-128").as("cipher"),
+          when(pmod($"doc_id", lit(4)) === 0, "rc4-40")
+            .when(pmod($"doc_id", lit(4)) === 1, "rc4-128")
+            .when(pmod($"doc_id", lit(4)) === 2, "aes-128")
+            .otherwise("aes-256").as("cipher"),
           $"is_pdf", $"rt_n_chars", $"rt_md5")
         .orderBy($"doc_id")
     }),
@@ -782,7 +785,7 @@ md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
     // the closed-form cipher census
     "q276_pdf_decrypt_roundtrip" ->
       """SELECT doc_id,
-CASE WHEN doc_id % 3 = 0 THEN 'rc4-40' WHEN doc_id % 3 = 1 THEN 'rc4-128' ELSE 'aes-128' END AS cipher,
+CASE WHEN doc_id % 4 = 0 THEN 'rc4-40' WHEN doc_id % 4 = 1 THEN 'rc4-128' WHEN doc_id % 4 = 2 THEN 'aes-128' ELSE 'aes-256' END AS cipher,
 1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
 md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
 

@@ -20,8 +20,24 @@ import java.security.MessageDigest
   *     hand-rolled — it is 15 lines of the spec) and AES-128-CBC
   *     (/V 4 `/CFM /AESV2`: 16-byte IV prefix, PKCS#5 unpad) via JCE.
   *
+  * Round 14 adds the MODERN generation — ISO 32000-2 §7.6.4 /V 5
+  * (`/CFM /AESV3`, increasingly the default for new documents):
+  *   - Algorithm 2.B iterated SHA-2 hash for R6 (SHA-256 seed, then
+  *     64+ rounds of 64×(pw ‖ K ‖ udata) through AES-128-CBC keyed by
+  *     the running hash, digest family chosen by E's first-16-byte sum
+  *     mod 3, terminating when the last byte of E ≤ round − 32); R5's
+  *     plain SHA-256 also accepted;
+  *   - Algorithm 2.A validation/derivation: /U = hash(32) ‖ vsalt(8) ‖
+  *     ksalt(8); the empty password authenticates iff
+  *     hash(pw, vsalt) = U[0..32]; the FILE key is AES-256-CBC-decrypt
+  *     of /UE under the intermediate key hash(pw, ksalt), zero IV;
+  *   - Algorithm 13 /Perms sanity: AES-256-ECB-decrypt must read `adb`
+  *     at bytes 9–11 (checked when present — a corrupted Perms fails
+  *     closed);
+  *   - /V 5 streams use the FILE key directly (no per-object keys in
+  *     this generation), AES-256-CBC with IV prefix and PKCS#5 unpad.
+  *
   * Out of scope (still the documented stub): non-empty user passwords,
-  * /V 5 AES-256 (R5/R6 — SHA-2 based, a different algorithm family),
   * crypt filters other than /Identity and /StdCF, and per-string
   * decryption (this engine only reads STREAMS — content + ToUnicode —
   * which is the whole text-extraction surface).
@@ -118,6 +134,52 @@ object PdfCrypt {
       u ++ new Array[Byte](16)
     }
 
+  // ---------------------------------------------------------------------
+  // /V 5 (ISO 32000-2 §7.6.4): SHA-2 hashes, AES-256, no per-object keys
+  // ---------------------------------------------------------------------
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Algorithm 2.B (R6) / plain SHA-256 (R5): the password hash. `udata`
+    * is empty for /U computations, the full 48-byte /U for /O ones.
+    */
+  private[graft] def hash2B(pw: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte], r: Int): Array[Byte] = {
+    var k = sha("SHA-256", pw, salt, udata)
+    if (r == 5) return k
+    var i = 0
+    var e: Array[Byte] = null
+    while (i < 64 || (e(e.length - 1) & 0xFF) > i - 32) {
+      val block = pw ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(block, 0, k1, j * block.length, block.length)
+        j += 1
+      }
+      e = aesCbc(javax.crypto.Cipher.ENCRYPT_MODE, k.take(16),
+        java.util.Arrays.copyOfRange(k, 16, 32), k1)
+      val mod = e.take(16).map(_ & 0xFF).sum % 3
+      k = sha(mod match {
+        case 0 => "SHA-256"
+        case 1 => "SHA-384"
+        case _ => "SHA-512"
+      }, e)
+      i += 1
+    }
+    k.take(32)
+  }
+
+  private def aesEcb(mode: Int, key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"))
+    c.doFinal(data)
+  }
+
   /** Algorithm 1: per-object key. */
   private def objKey(key: Array[Byte], num: Int, gen: Int, aes: Boolean): Array[Byte] = {
     val tail = Array((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
@@ -127,10 +189,14 @@ object PdfCrypt {
     md5(key, tail, salt).take(math.min(key.length + 5, 16))
   }
 
-  /** A verified empty-user-password decryptor for one document. */
-  final case class Decryptor(key: Array[Byte], aes: Boolean) {
+  /** A verified empty-user-password decryptor for one document. `v5`
+    * marks the ISO 32000-2 generation: streams decrypt under the FILE
+    * key directly (Algorithm 1 per-object keys exist only in /V ≤ 4).
+    */
+  final case class Decryptor(key: Array[Byte], aes: Boolean,
+      v5: Boolean = false) {
     def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val k = objKey(key, num, gen, aes)
+      val k = if (v5) key else objKey(key, num, gen, aes)
       if (!aes) rc4(k, data)
       else if (data.length < 32 || data.length % 16 != 0) Array.emptyByteArray
       else try {
@@ -146,7 +212,7 @@ object PdfCrypt {
     /** Builder-side inverse (fixtures): encrypt with a deterministic IV. */
     private[sources] def encryptStream(num: Int, gen: Int, data: Array[Byte],
         iv: Array[Byte]): Array[Byte] = {
-      val k = objKey(key, num, gen, aes)
+      val k = if (v5) key else objKey(key, num, gen, aes)
       if (!aes) rc4(k, data)
       else {
         val padN = 16 - (data.length % 16)
@@ -174,9 +240,17 @@ object PdfCrypt {
       Integer.parseInt(even.substring(2 * i, 2 * i + 2), 16).toByte)
   }
 
-  /** /O and /U values: hex string or literal string (escape table §7.3.4.2). */
+  /** /O and /U values: hex string or literal string (escape table §7.3.4.2).
+    * Key lookup is TOKEN-BOUNDED: `/U` must not match the `/UE` or `/URI`
+    * prefix (the V5 dicts carry both /U and /UE), so the char after the
+    * name must end the PDF name token.
+    */
   private def pdfString(dict: String, keyName: String): Option[Array[Byte]] = {
-    val at = dict.indexOf(keyName)
+    var at = dict.indexOf(keyName)
+    while (at >= 0 && at + keyName.length < dict.length && {
+      val c = dict.charAt(at + keyName.length)
+      c.isLetterOrDigit || c == '#' // still inside a longer name token
+    }) at = dict.indexOf(keyName, at + 1)
     if (at < 0) return None
     val rest = dict.substring(at + keyName.length)
     val hex = HexStrRe.findPrefixMatchOf(rest.dropWhile(_.isWhitespace))
@@ -212,7 +286,7 @@ object PdfCrypt {
   }
 
   /** Parse + VERIFY: Some(decryptor) iff the document declares a
-    * standard-handler /V 1/2/4 encryption this module supports AND the
+    * standard-handler /V 1/2/4/5 encryption this module supports AND the
     * empty user password authenticates against /U. Anything else —
     * unencrypted, unsupported /V, /O//U/ID missing, or a real user
     * password — is None (caller falls back: unencrypted path or stub).
@@ -221,29 +295,63 @@ object PdfCrypt {
     // cheap bail on the 99% case
     if (PdfTextExtractor.indexOf(bytes, "/Encrypt", 0) < 0) return None
     val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    for {
+    val parsed = for {
       encRef <- EncryptRefRe.findFirstMatchIn(text)
       encNum = encRef.group(1).toInt
       dict <- PdfTextExtractor.objSpans(text).collectFirst {
         case (n, body) if n == encNum && body.contains("/Standard") => body }
-      idm <- IdRe.findFirstMatchIn(text)
-      id0 = hexBytes(idm.group(1))
       v <- IntRe("V").findFirstMatchIn(dict).map(_.group(1).toInt)
-      if v == 1 || v == 2 || v == 4
       r <- IntRe("R").findFirstMatchIn(dict).map(_.group(1).toInt)
-      if r >= 2 && r <= 4
-      p <- IntRe("P").findFirstMatchIn(dict).map(_.group(1).toInt)
-      o <- pdfString(dict, "/O")
+    } yield (dict, v, r)
+    parsed.flatMap {
+      case (dict, v, r) if v == 5 && (r == 5 || r == 6) =>
+        decryptorV5(dict, r)
+      case (dict, v, r) if (v == 1 || v == 2 || v == 4) && r >= 2 && r <= 4 =>
+        for {
+          idm <- IdRe.findFirstMatchIn(text)
+          id0 = hexBytes(idm.group(1))
+          p <- IntRe("P").findFirstMatchIn(dict).map(_.group(1).toInt)
+          o <- pdfString(dict, "/O")
+          u <- pdfString(dict, "/U")
+          aes = v == 4 && dict.contains("/AESV2")
+          if v != 4 || aes || dict.contains("/Identity")
+          nBytes = if (r == 2) 5
+            else IntRe("Length").findFirstMatchIn(dict).map(_.group(1).toInt / 8).getOrElse(5)
+          key = fileKey(Array.emptyByteArray, o, p, id0, r, nBytes)
+          uWant = computeU(key, id0, r)
+          if (if (r == 2) java.util.Arrays.equals(uWant, u.take(32))
+              else java.util.Arrays.equals(uWant.take(16), u.take(16)))
+        } yield Decryptor(key, aes)
+      case _ => None
+    }
+  }
+
+  /** ISO 32000-2 Algorithm 2.A for the empty user password: validate the
+    * R5/R6 hash against /U[0..32], unwrap the file key from /UE under the
+    * key-salt intermediate, and (when /Perms is present) require
+    * Algorithm 13's `adb` sanity bytes — fail closed on any mismatch.
+    */
+  private def decryptorV5(dict: String, r: Int): Option[Decryptor] = {
+    val empty = Array.emptyByteArray
+    for {
       u <- pdfString(dict, "/U")
-      aes = v == 4 && dict.contains("/AESV2")
-      if v != 4 || aes || dict.contains("/Identity")
-      nBytes = if (r == 2) 5
-        else IntRe("Length").findFirstMatchIn(dict).map(_.group(1).toInt / 8).getOrElse(5)
-      key = fileKey(Array.emptyByteArray, o, p, id0, r, nBytes)
-      uWant = computeU(key, id0, r)
-      if (if (r == 2) java.util.Arrays.equals(uWant, u.take(32))
-          else java.util.Arrays.equals(uWant.take(16), u.take(16)))
-    } yield Decryptor(key, aes)
+      if u.length >= 48
+      ue <- pdfString(dict, "/UE")
+      if ue.length == 32
+      if dict.contains("/AESV3") || dict.contains("/Identity")
+      vsalt = java.util.Arrays.copyOfRange(u, 32, 40)
+      ksalt = java.util.Arrays.copyOfRange(u, 40, 48)
+      if java.util.Arrays.equals(hash2B(empty, vsalt, empty, r), u.take(32))
+      ikey = hash2B(empty, ksalt, empty, r)
+      fileKey = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, ikey,
+        new Array[Byte](16), ue)
+      if pdfString(dict, "/Perms").forall { pm =>
+        pm.length == 16 && {
+          val plain = aesEcb(javax.crypto.Cipher.DECRYPT_MODE, fileKey, pm)
+          plain(9) == 'a' && plain(10) == 'd' && plain(11) == 'b'
+        }
+      }
+    } yield Decryptor(fileKey, aes = true, v5 = true)
   }
 
   // ---------------------------------------------------------------------
@@ -260,10 +368,12 @@ object PdfCrypt {
   private[sources] def fixtureIv(num: Int, id0: Array[Byte]): Array[Byte] =
     md5(Array(num.toByte), id0)
 
-  /** Encrypt-dict body + verified Decryptor for mode 0/1/2 =
-    * RC4-40 (V1/R2) / RC4-128 (V2/R3) / AES-128 (V4/R4 AESV2).
+  /** Encrypt-dict body + verified Decryptor for mode 0/1/2/3 =
+    * RC4-40 (V1/R2) / RC4-128 (V2/R3) / AES-128 (V4/R4 AESV2) /
+    * AES-256 (V5/R6 AESV3).
     */
   private[sources] def fixtureEncrypt(mode: Int, text: String): (String, Decryptor, Array[Byte]) = {
+    if (mode == 3) return fixtureEncryptV5(text)
     val (id0, p) = fixtureParams(text)
     val (v, r, bits) = mode match {
       case 0 => (1, 2, 40)
@@ -283,5 +393,46 @@ object PdfCrypt {
     val dict = s"<< /Filter /Standard /V $v /R $r$lenEntry$cf " +
       s"/O <${hx(o)}> /U <${hx(u)}> /P $p >>"
     (dict, Decryptor(key, aes = v == 4), id0)
+  }
+
+  /** V5/R6 fixture: deterministic 32-byte file key and salts (SHA-256 of
+    * the text — fixtures must replay byte-identically, so no RNG), the
+    * full /U‖/UE‖/O‖/OE‖/Perms set built by the SPEC's own algorithms
+    * (2.A forward direction, 8/9/10 of ISO 32000-2), so the parse side's
+    * verify-then-unwrap chain is exercised against an independent
+    * construction, not a copy of itself.
+    */
+  private[sources] def fixtureEncryptV5(text: String): (String, Decryptor, Array[Byte]) = {
+    val empty = Array.emptyByteArray
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val fileKey = sha("SHA-256", "graft-filekey:".getBytes, tb)
+    val saltSeed = sha("SHA-256", "graft-salts:".getBytes, tb)
+    val vsalt = saltSeed.take(8)
+    val ksalt = java.util.Arrays.copyOfRange(saltSeed, 8, 16)
+    val ovsalt = java.util.Arrays.copyOfRange(saltSeed, 16, 24)
+    val oksalt = java.util.Arrays.copyOfRange(saltSeed, 24, 32)
+    val p = -3904
+    // /U (Algorithm 8): hash(pw, vsalt) ‖ vsalt ‖ ksalt; /UE wraps the
+    // file key under the ksalt intermediate, zero IV
+    val u = hash2B(empty, vsalt, empty, 6) ++ vsalt ++ ksalt
+    val ue = aesCbc(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(empty, ksalt, empty, 6), new Array[Byte](16), fileKey)
+    // /O (Algorithm 9): owner hashes bind the full 48-byte /U
+    val owner = "graft-owner".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val o = hash2B(owner, ovsalt, u, 6) ++ ovsalt ++ oksalt
+    val oe = aesCbc(javax.crypto.Cipher.ENCRYPT_MODE,
+      hash2B(owner, oksalt, u, 6), new Array[Byte](16), fileKey)
+    // /Perms (Algorithm 10): P-LE32 ‖ FFFFFFFF ‖ 'T' ‖ "adb" ‖ 4 filler
+    val permsPlain = le32(p) ++ Array[Byte](-1, -1, -1, -1) ++
+      "Tadbgrft".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val perms = aesEcb(javax.crypto.Cipher.ENCRYPT_MODE, fileKey, permsPlain)
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02X").mkString
+    val dict = "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+      "/StmF /StdCF /StrF /StdCF " +
+      s"/O <${hx(o)}> /OE <${hx(oe)}> /U <${hx(u)}> /UE <${hx(ue)}> " +
+      s"/P $p /Perms <${hx(perms)}> >>"
+    // id0 still feeds the trailer /ID and the deterministic stream IVs
+    (dict, Decryptor(fileKey, aes = true, v5 = true), md5(tb))
   }
 }

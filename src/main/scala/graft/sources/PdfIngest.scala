@@ -172,9 +172,10 @@ object PdfIngest {
 
   /** As [[synthCidPdfCorpus]], additionally ENCRYPTING each PDF under the
     * standard security handler with an empty user password — cipher
-    * generation cycles by `idCol % 3` (RC4-40 V1/R2, RC4-128 V2/R3,
-    * AES-128 V4/R4) so one query exercises all three supported handler
-    * generations against [[PdfCrypt]]'s verify-then-decrypt path.
+    * generation cycles by `idCol % 4` (RC4-40 V1/R2, RC4-128 V2/R3,
+    * AES-128 V4/R4, AES-256 V5/R6) so one query exercises all four
+    * supported handler generations against [[PdfCrypt]]'s
+    * verify-then-decrypt path.
     */
   def synthEncryptedPdfCorpus(df: DataFrame, idCol: String, textCol: String,
       batchSize: Int = 64): DataFrame = {
@@ -188,7 +189,7 @@ object PdfIngest {
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val mode = (row.getLong(idIdx) % 3).toInt
+          val mode = (row.getLong(idIdx) % 4).toInt
           org.apache.spark.sql.Row.fromSeq(row.toSeq :+
             PdfTextExtractor.synthIdentityHPdf(
               "X" + row.getString(txtIdx) + "X", mode))

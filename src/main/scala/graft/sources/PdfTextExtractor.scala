@@ -39,8 +39,9 @@ import java.util.zip.Inflater
   * spans name the font dicts, each font dict names its ToUnicode stream.
   *
   * Round 13 demotes two more stubs: ENCRYPTED documents whose empty
-  * user password authenticates decrypt through [[PdfCrypt]] (RC4-40/128
-  * and AES-128 — the owner-restricted shape that dominates real
+  * user password authenticates decrypt through [[PdfCrypt]] (RC4-40/128,
+  * AES-128, and since round 14 the modern AES-256 /V 5 R6 generation —
+  * the owner-restricted shape that dominates real
   * "encrypted" corpora), and `/DCTDecode` image XObjects decode as real
   * JPEGs through [[PdfImages]] (the JDK ships the codec). Stream
   * payload bounds now honor a DIRECT `/Length` exactly (binary payloads
@@ -51,8 +52,9 @@ import java.util.zip.Inflater
   * [[PdfIngest.stubPdfToText]]): CID fonts WITHOUT a ToUnicode CMap
   * (decoding those needs the embedded font program's glyph→char tables),
   * non-Identity CID encodings (predefined CMaps ship with font
-  * subsystems, not the spec), user-password-protected and AES-256 (/V 5)
-  * encryption, the JPX image filter (no JDK codec), and object streams
+  * subsystems, not the spec), user-password-protected documents
+  * (any /V — a real password is a secret this engine cannot guess),
+  * the JPX image filter (no JDK codec), and object streams
   * (`/ObjStm` — the spec forbids STREAMS inside one, so content/CMap
   * stream bytes never live there, though page and font DICTIONARIES can;
   * this byte-scan resolves fonts by name pattern, not by walking those
@@ -713,11 +715,12 @@ object PdfTextExtractor {
   def synthIdentityHPdf(text: String): Array[Byte] =
     synthIdentityHPdf(text, encryptMode = -1)
 
-  /** As [[synthIdentityHPdf]], with `encryptMode` 0/1/2 additionally
+  /** As [[synthIdentityHPdf]], with `encryptMode` 0/1/2/3 additionally
     * encrypting both streams under the standard security handler
-    * (RC4-40 V1/R2 / RC4-128 V2/R3 / AES-128 V4/R4 AESV2 — EMPTY user
-    * password, owner-restricted): per-object keys over the deflated
-    * payloads, /Encrypt dict + /ID in a trailer. Deterministic
+    * (RC4-40 V1/R2 / RC4-128 V2/R3 / AES-128 V4/R4 AESV2 / AES-256
+    * V5/R6 AESV3 — EMPTY user password, owner-restricted): per-object
+    * keys over the deflated payloads for /V ≤ 4, the file key directly
+    * for /V 5, /Encrypt dict + /ID in a trailer. Deterministic
     * throughout (ID from the text, IV from object number + ID), so the
     * fixture replays byte-identically.
     */
