@@ -119,6 +119,28 @@ object UrlOps {
   def registrableDomainPsl(host: Column, suffixes: Set[String]): Column =
     Bridge.toColumn(RegistrableDomainPsl(Bridge.toExpr(host), suffixes))
 
+  /** The VENDORED public-suffix snapshot (round 14): a curated subset of
+    * the PSL (publicsuffix.org, MPL-2.0) shipped as a resource data
+    * file — multi-label suffixes (`co.jp`, `com.au`, `co.uk`, …) plus
+    * the high-traffic private-section hosts (`github.io`,
+    * `blogspot.com`). Every domain-keyed query (q270 caps, q295 priors,
+    * q297 traps) routes through [[registrableDomainPsl]] with THIS set,
+    * so `a.site.co.jp` and `b.site.co.jp` key to `site.co.jp` instead of
+    * the heuristic's `co.jp` (which would have merged every Japanese
+    * commercial host into one cap bucket). A deployment swaps the file
+    * for the full current list; lines are exact label suffixes (the
+    * full PSL's `*.`/`!` rule syntax is a disclosed non-goal of the
+    * snapshot). Loaded once per JVM; executors resolve it from the
+    * application jar like any classpath resource.
+    */
+  lazy val pslSnapshot: Set[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")
+    require(in != null, "public_suffix_snapshot.dat missing from classpath")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toSet
+    finally in.close()
+  }
+
   /** URL spam class under a token lexicon — the UT1-blocklist-style URL
     * filter every large-scale curation pipeline runs FIRST (RefinedWeb /
     * FineWeb stage 1): it fires before any fetch, on ~100-byte rows, and

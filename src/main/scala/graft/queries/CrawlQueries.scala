@@ -589,9 +589,19 @@ private[graft] object CrawlQueries {
         val b = conv(substring(md5(x), 1, 8), 16, 10).cast("long") % 4096
         acc + ((b * 2654435761L) % 2003 - 1001)
       })
+      // round 14: the prior key is the PSL registrable domain of a real
+      // subdomained host — multi-label suffixes included, so the
+      // heuristic's co.jp collapse can never pool unrelated sites' keeps
+      val tlds = array(lit("com"), lit("co.jp"), lit("com.au"), lit("co.uk"))
+      val prefixes = array(lit(""), lit("www."), lit("blog."))
+      val host = concat(
+        element_at(prefixes, (pmod($"doc_id", lit(3)) + 1).cast("int")),
+        lit("site"), pmod($"doc_id", lit(37)), lit("."),
+        element_at(tlds, (pmod(pmod($"doc_id", lit(37)), lit(4)) + 1).cast("int")))
       val scored = t(s, dir, "documents").repartition(32, $"doc_id")
         .select($"doc_id",
-          concat(lit("site"), pmod($"doc_id", lit(37)), lit(".com")).as("domain"),
+          graft.operators.UrlOps.registrableDomainPsl(
+            host, graft.operators.UrlOps.pslSnapshot).as("domain"),
           (score > 0).cast("int").as("keep"))
         .localCheckpoint(false) // the prior agg and the join-back both read it
       val prior = scored.groupBy($"domain")
@@ -656,18 +666,31 @@ private[graft] object CrawlQueries {
       val docs = t(s, dir, "documents")
         .select($"doc_id", $"text", pmod($"doc_id", lit(37)).as("m"))
       val isTrap = $"m" === 5 || $"m" === 11
+      // round 14: trap keys are PSL registrable domains of subdomained
+      // hosts (multi-label suffixes included) — a trap hiding behind
+      // rotating `www.`/`m.` subdomains on a co.jp site must still
+      // aggregate onto ONE domain row
+      val tlds = array(lit("com"), lit("co.jp"), lit("com.au"), lit("co.uk"))
+      val prefixes = array(lit(""), lit("www."), lit("m."))
+      val hostOf = concat(
+        element_at(prefixes, (pmod($"doc_id", lit(3)) + 1).cast("int")),
+        lit("site"), $"m", lit("."),
+        element_at(tlds, (pmod($"m", lit(4)) + 1).cast("int")))
       val normal = docs.select($"m", $"doc_id",
-        concat(lit("https://site"), $"m", lit(".com/p/"), $"doc_id").as("url"),
+        concat(lit("https://"), hostOf, lit("/p/"), $"doc_id").as("url"),
         $"text")
       val trap = docs.filter(isTrap)
         .withColumn("v", explode(sequence(lit(1), lit(5))))
         .select($"m", $"doc_id",
-          concat(lit("https://site"), $"m", lit(".com/cal/"), $"doc_id",
+          concat(lit("https://"), hostOf, lit("/cal/"), $"doc_id",
             lit("/view?session="), $"v" * 7919 + $"doc_id",
             lit("&page="), $"v", lit("&cal=1")).as("url"),
           $"text")
       val urls = normal.unionByName(trap)
-        .select($"m", concat(lit("site"), $"m", lit(".com")).as("domain"),
+        .select($"m",
+          graft.operators.UrlOps.registrableDomainPsl(
+            regexp_extract($"url", "^https://([^/]*)", 1),
+            graft.operators.UrlOps.pslSnapshot).as("domain"),
           $"url", sha2($"text", 256).as("digest"),
           when($"url".contains("?"),
             size(split(regexp_extract($"url", "\\?(.*)$", 1), "&")))
@@ -1033,7 +1056,7 @@ FROM cl GROUP BY spam_class ORDER BY spam_class""",
     "q295_domain_prior" ->
       raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS t FROM documents),
 f AS (SELECT doc_id, list_concat(t, list_transform(generate_series(1, len(t) - 1), i -> t[i] || '_' || t[i + 1])) AS feats FROM tk),
-sc AS (SELECT doc_id, 'site' || (doc_id % 37)::VARCHAR || '.com' AS domain,
+sc AS (SELECT doc_id, 'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk'])[((doc_id % 37) % 4)::INT + 1] AS domain,
   CASE WHEN coalesce(list_sum(list_transform(feats, x ->
     ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) * 2654435761) % 2003 - 1001)), 0) > 0 THEN 1 ELSE 0 END AS keep
 FROM f),
@@ -1068,14 +1091,18 @@ SELECT canon_url,
   CASE WHEN st = 200 THEN md5(v) ELSE '' END AS vis_md5
 FROM vis ORDER BY canon_url""",
 
-    // q297: fixture, signals, and threshold replayed in exact integers
+    // q297: fixture, signals, and threshold replayed in exact integers;
+    // the registrable domain is stated closed-form — the engine must
+    // strip the rotating subdomains through the PSL snapshot
     "q297_trap_detection" ->
-      raw"""WITH docs AS (SELECT doc_id, text, doc_id % 37 AS m FROM documents),
-nrm AS (SELECT m, doc_id, 'https://site' || m::VARCHAR || '.com/p/' || doc_id::VARCHAR AS url, text FROM docs),
+      raw"""WITH docs AS (SELECT doc_id, text, doc_id % 37 AS m,
+  (['','www.','m.'])[(doc_id % 3)::INT + 1] || 'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk'])[((doc_id % 37) % 4)::INT + 1] AS host
+FROM documents),
+nrm AS (SELECT m, doc_id, 'https://' || host || '/p/' || doc_id::VARCHAR AS url, text FROM docs),
 trp AS (SELECT m, doc_id,
-  'https://site' || m::VARCHAR || '.com/cal/' || doc_id::VARCHAR || '/view?session=' || (v * 7919 + doc_id)::VARCHAR || '&page=' || v::VARCHAR || '&cal=1' AS url, text
+  'https://' || host || '/cal/' || doc_id::VARCHAR || '/view?session=' || (v * 7919 + doc_id)::VARCHAR || '&page=' || v::VARCHAR || '&cal=1' AS url, text
 FROM docs, generate_series(1, 5) AS t(v) WHERE m IN (5, 11)),
-u AS (SELECT m, 'site' || m::VARCHAR || '.com' AS domain, url, sha256(text) AS digest,
+u AS (SELECT m, 'site' || m::VARCHAR || '.' || (['com','co.jp','com.au','co.uk'])[(m % 4)::INT + 1] AS domain, url, sha256(text) AS digest,
   CASE WHEN contains(url, '?') THEN len(string_split(regexp_extract(url, '\?(.*)$$', 1), '&')) ELSE 0 END AS n_params,
   len(string_split(regexp_extract(url, '^https://[^/]*(/.*)$$', 1), '/')) - 1 AS depth
 FROM (SELECT * FROM nrm UNION ALL SELECT * FROM trp))

@@ -1653,11 +1653,22 @@ private[graft] object PipelineQueries {
     "q270_domain_caps" -> ((s, dir) => {
       import s.implicits._
       val cap = 7L
-      val tlds = array(lit("com"), lit("org"), lit("co.uk"), lit("net"))
+      // round 14: the cap key derives from a real HOST through the
+      // vendored PSL snapshot — subdomains cycle per doc, suffixes
+      // include the multi-label forms (`co.jp`, `com.au`) the 2-vs-3
+      // label heuristic mis-keys (it would merge every *.co.jp host
+      // into one bucket); the oracle states the registrable domain
+      // closed-form while the engine must STRIP the subdomain and
+      // resolve the suffix from the data file
+      val tlds = array(lit("com"), lit("co.jp"), lit("com.au"), lit("co.uk"))
+      val prefixes = array(lit(""), lit("www."), lit("a.b."))
+      val host = concat(
+        element_at(prefixes, (pmod($"doc_id", lit(3)) + 1).cast("int")),
+        lit("site"), pmod($"doc_id", lit(37)), lit("."),
+        element_at(tlds, (pmod($"doc_id", lit(4)) + 1).cast("int")))
       val withDomain = t(s, dir, "documents").select($"doc_id")
-        .withColumn("domain", concat(
-          lit("site"), pmod($"doc_id", lit(37)), lit("."),
-          element_at(tlds, (pmod($"doc_id", lit(4)) + 1).cast("int"))))
+        .withColumn("domain", graft.operators.UrlOps.registrableDomainPsl(
+          host, graft.operators.UrlOps.pslSnapshot))
       graft.operators.Batching.groupedRowNumber(
         withDomain.withColumn("__h",
           md5(concat(lit("cap:"), $"doc_id".cast("string")))),
@@ -2646,10 +2657,12 @@ SELECT doc_id,
 FROM canon ORDER BY doc_id""",
 
     // q270: per-domain cap replayed as the per-domain salted-md5 window
-    // (the groupedRowNumber output is byte-identical to the window form)
+    // (the groupedRowNumber output is byte-identical to the window form);
+    // the registrable domain is STATED closed-form — the engine derives
+    // it from the subdomained host through the vendored PSL snapshot
     "q270_domain_caps" ->
       """WITH d AS (SELECT doc_id,
-  'site' || (doc_id % 37)::VARCHAR || '.' || (['com','org','co.uk','net'])[(doc_id % 4)::INT + 1] AS domain
+  'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk'])[(doc_id % 4)::INT + 1] AS domain
 FROM documents),
 r AS (SELECT domain, row_number() OVER (PARTITION BY domain ORDER BY md5('cap:' || doc_id::VARCHAR), doc_id) AS rn FROM d)
 SELECT domain, count(*)::BIGINT AS n_docs,

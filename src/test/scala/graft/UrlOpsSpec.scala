@@ -49,4 +49,21 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(rdp("example.com", Set.empty) == "example.com")
     assert(rdp("host", Set.empty) == "host")
   }
+
+  test("vendored PSL snapshot: loads, carries the multi-label staples, resolves subdomained hosts") {
+    val psl = graft.operators.UrlOps.pslSnapshot
+    assert(psl.size > 300, s"snapshot suspiciously small: ${psl.size}")
+    // the staples the round-14 queries key on
+    for (s <- Seq("co.jp", "com.au", "co.uk", "co.kr", "com.br", "github.io"))
+      assert(psl.contains(s), s"missing $s")
+    assert(!psl.exists(_.startsWith("//")), "comment line leaked into the set")
+    def rdp(h: String) = ev(RegistrableDomainPsl(lit(h), psl))
+    assert(rdp("www.site5.co.jp") == "site5.co.jp")
+    assert(rdp("a.b.site9.com.au") == "site9.com.au")
+    assert(rdp("blog.site1.com") == "site1.com") // plain TLD via heuristic
+    assert(rdp("user.github.io") == "user.github.io") // private section
+    assert(rdp("deep.user.github.io") == "user.github.io")
+    // the heuristic alone would mis-key this one to ne.jp
+    assert(rdp("x.shop.ne.jp") == "shop.ne.jp")
+  }
 }
