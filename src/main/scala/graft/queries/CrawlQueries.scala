@@ -747,6 +747,120 @@ private[graft] object CrawlQueries {
           when(isHtml, md5($"vis")).otherwise("").as("vis_md5"))
         .orderBy($"canon_url")
     }),
+
+
+    // Fused frontier construction — the crawl wing COMPOSED as one plan
+    // (the q95 fused-pipeline argument applied to the frontier): robots
+    // gate (q278 semantics), URL spam gate (q294), crawl-trap scores
+    // (q297), domain quality prior (q295/q288 scorer), and politeness
+    // waves (q289) over ONE URL scan that is never re-read. Robots rules
+    // collapse to a per-domain rule ARRAY (quotient-sized → broadcast)
+    // and the longest-match election runs SCAN-SIDE as an `aggregate`
+    // higher-order fold — no per-URL join or regroup; trap signals and
+    // the Laplace prior share ONE domain rollup (the first corpus-sized
+    // shuffle, broadcast back); survivors rank into fetch waves through
+    // the windowless skew-safe grouped rank (range exchange + span
+    // join, `broadcastSpans = false` because domains are
+    // crawl-cardinality — the q270 shape and its measured trade). The
+    // oracle chains the per-stage oracles: scorer, signals, robots
+    // window election, gates, and the wave window.
+    "q299_frontier_fused" -> ((s, dir) => {
+      import s.implicits._
+      val k = pmod($"doc_id", lit(6))
+      val base = t(s, dir, "documents").repartition(32, $"doc_id")
+        .select($"doc_id", $"text", pmod($"doc_id", lit(37)).as("m"))
+        .withColumn("domain", concat(lit("site"), $"m", lit(".com")))
+        .withColumn("priority", pmod($"doc_id" * 37 + 11, lit(100)).cast("long"))
+        .withColumn("path",
+          when(k === 0, concat(lit("/article/"), $"doc_id"))
+            .when(k === 1, concat(lit("/casino/win"), $"doc_id"))
+            .when(k === 2, concat(lit("/private/a"), $"doc_id"))
+            .when(k === 3, concat(lit("/private/ok/"), $"doc_id"))
+            .when(k === 4, concat(lit("/p/"), $"doc_id"))
+            .otherwise(lit("/tmp/x")))
+      val isTrapDom = $"m" === 5 || $"m" === 11
+      val burl = base.withColumn("url", concat(lit("https://"), $"domain", $"path"))
+        .withColumn("is_base", lit(1))
+      val trp = base.filter(isTrapDom)
+        .withColumn("v", explode(sequence(lit(1), lit(5))))
+        .withColumn("path", concat(lit("/cal/"), $"doc_id", lit("/view")))
+        .withColumn("url", concat(lit("https://"), $"domain", $"path",
+          lit("?session="), $"v" * 7919 + $"doc_id",
+          lit("&page="), $"v", lit("&cal=1")))
+        .withColumn("is_base", lit(0))
+        .drop("v")
+      // ONE scan computes every per-URL signal: q288 keep score, q294
+      // spam class, q297 param count + content digest
+      val tk = graft.operators.TextAnalysis.tokensCol($"text")
+      val bigrams = zip_with(slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+        slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (a, b) => concat(a, lit("_"), b))
+      val feats = concat(tk, bigrams)
+      val score = aggregate(feats, lit(0L), (acc, x) => {
+        val b = conv(substring(md5(x), 1, 8), 16, 10).cast("long") % 4096
+        acc + ((b * 2654435761L) % 2003 - 1001)
+      })
+      val uu = burl.unionByName(trp)
+        .withColumn("keep", (score > 0).cast("int"))
+        .withColumn("spam_class", graft.operators.UrlOps.urlSpamClass($"url",
+          Seq("casino", "viagra", "xxx", "poker")))
+        .withColumn("n_params", when($"url".contains("?"),
+          size(split(regexp_extract($"url", "\\?(.*)$", 1), "&")))
+          .otherwise(0))
+        .withColumn("digest", sha2($"text", 256))
+        .drop("text")
+        .localCheckpoint(false) // domain rollup + gated output both read it
+      // shuffle 1: trap signals and the prior share one domain rollup,
+      // broadcast back (domains are a corpus quotient)
+      val dom = uu.groupBy($"domain")
+        .agg(expr("((sum(keep * is_base) + 1) * 1000000) div (sum(is_base) + 2)")
+            .as("prior_ppm"),
+          expr("(count(distinct url) * 1000) div count(distinct digest)").as("upc"),
+          expr("(sum(n_params) * 1000) div count(1)").as("pmu"))
+        .withColumn("is_trap",
+          ($"upc" >= 3000L && $"pmu" >= 2000L).cast("int"))
+        .select($"domain", $"prior_ppm", $"is_trap")
+      // robots: q289's fixture rules, collapsed to a broadcast rule array;
+      // the longest-match-allow-tiebreak election is a scan-side fold
+      val robots = base.select($"domain", $"m").distinct()
+        .withColumn("txt", concat(
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+            "Disallow: /tmp\nDisallow: /dup\nAllow: /dup\n"),
+          when(pmod($"m", lit(3)) === 0,
+            lit("\nUser-agent: graftbot\nDisallow: /p/9\nAllow: /p\n"))
+            .otherwise(lit(""))))
+      val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+      val hasSpec = rules.filter($"agent" === "graftbot")
+        .select($"domain").distinct().withColumn("__s", lit(true))
+      val rulesArr = rules.join(hasSpec, Seq("domain"), "left")
+        .filter(when(coalesce($"__s", lit(false)), $"agent" === "graftbot")
+          .otherwise($"agent" === "*"))
+        .groupBy($"domain")
+        .agg(collect_list(struct($"allow", $"rpath")).as("rs"))
+      val win = aggregate($"rs",
+        struct(lit(-1).as("l"), lit(1).as("a")),
+        (acc, r) => when($"path".startsWith(r.getField("rpath")) &&
+            (length(r.getField("rpath")) > acc.getField("l") ||
+              (length(r.getField("rpath")) === acc.getField("l") &&
+                r.getField("allow") > acc.getField("a"))),
+          struct(length(r.getField("rpath")).as("l"),
+            r.getField("allow").as("a"))).otherwise(acc))
+      val gated = uu
+        .join(broadcast(dom), Seq("domain"))
+        .join(broadcast(rulesArr), Seq("domain"), "left")
+        .withColumn("allowed", coalesce(win.getField("a"), lit(1)))
+        .filter($"is_base" === 1 && $"allowed" === 1 &&
+          $"spam_class" === "clean" && $"is_trap" === 0 &&
+          ($"keep" === 1 || $"prior_ppm" >= 700000L))
+        .select($"doc_id", $"url", $"domain", $"priority",
+          $"prior_ppm".cast("long").as("prior_ppm"))
+      // shuffle 2: politeness waves via the windowless grouped rank
+      graft.operators.Batching.groupedRowNumber(
+          gated, Seq("domain"), Seq(col("priority").desc, col("doc_id")),
+          numPartitions = 32, out = "wave", broadcastSpans = false)
+        .select($"doc_id", $"url", $"domain", $"priority", $"prior_ppm", $"wave")
+        .orderBy($"doc_id")
+    }),
   )
 
   /** The LinkOps pattern, SQL-quoted for embedding in a '…' literal
@@ -1143,5 +1257,78 @@ SELECT canon_url,
   CASE WHEN st = 200 THEN length(v) ELSE 0 END::BIGINT AS vis_n_chars,
   CASE WHEN st = 200 THEN md5(v) ELSE '' END AS vis_md5
 FROM vis ORDER BY canon_url""",
+
+    // q299: every stage oracle chained — q288's scorer, q297's signals,
+    // q289's robots window election, q294's boundary spam CASE, the
+    // Laplace prior, the gates, and the wave window
+    "q299_frontier_fused" ->
+      raw"""WITH base AS (SELECT doc_id, text, doc_id % 37 AS m,
+  'site' || (doc_id % 37)::VARCHAR || '.com' AS domain,
+  ((doc_id * 37 + 11) % 100)::BIGINT AS priority,
+  CASE (doc_id % 6)
+    WHEN 0 THEN '/article/' || doc_id::VARCHAR
+    WHEN 1 THEN '/casino/win' || doc_id::VARCHAR
+    WHEN 2 THEN '/private/a' || doc_id::VARCHAR
+    WHEN 3 THEN '/private/ok/' || doc_id::VARCHAR
+    WHEN 4 THEN '/p/' || doc_id::VARCHAR
+    ELSE '/tmp/x' END AS path
+FROM documents),
+burl AS (SELECT doc_id, text, m, domain, priority, path,
+  'https://' || domain || path AS url, 1 AS is_base FROM base),
+trp AS (SELECT doc_id, text, m, domain, priority,
+  '/cal/' || doc_id::VARCHAR || '/view' AS path,
+  'https://' || domain || '/cal/' || doc_id::VARCHAR || '/view?session=' || (v * 7919 + doc_id)::VARCHAR || '&page=' || v::VARCHAR || '&cal=1' AS url,
+  0 AS is_base
+FROM base, generate_series(1, 5) AS t(v) WHERE m IN (5, 11)),
+allu AS (SELECT * FROM burl UNION ALL SELECT * FROM trp),
+tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS t FROM documents),
+f AS (SELECT doc_id, list_concat(t, list_transform(generate_series(1, len(t) - 1), i -> t[i] || '_' || t[i + 1])) AS feats FROM tk),
+kp AS (SELECT doc_id, CASE WHEN coalesce(list_sum(list_transform(feats, x ->
+    ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) * 2654435761) % 2003 - 1001)), 0) > 0 THEN 1 ELSE 0 END AS keep FROM f),
+uu AS (SELECT a.doc_id, a.m, a.domain, a.priority, a.path, a.url, a.is_base, kp.keep,
+  CASE WHEN contains(a.url, '?') THEN len(string_split(regexp_extract(a.url, '\?(.*)$$', 1), '&')) ELSE 0 END AS n_params,
+  sha256(a.text) AS digest,
+  CASE WHEN regexp_matches(lower(a.url), '(^|[/.\-_?=&])casino([/.\-_?=&]|$$)') THEN 'casino'
+       WHEN regexp_matches(lower(a.url), '(^|[/.\-_?=&])viagra([/.\-_?=&]|$$)') THEN 'viagra'
+       WHEN regexp_matches(lower(a.url), '(^|[/.\-_?=&])xxx([/.\-_?=&]|$$)') THEN 'xxx'
+       WHEN regexp_matches(lower(a.url), '(^|[/.\-_?=&])poker([/.\-_?=&]|$$)') THEN 'poker'
+       ELSE 'clean' END AS spam_class
+FROM allu a JOIN kp ON a.doc_id = kp.doc_id),
+dom AS (SELECT domain,
+  ((sum(keep * is_base) + 1) * 1000000) // (sum(is_base) + 2) AS prior_ppm,
+  (count(DISTINCT url) * 1000) // count(DISTINCT digest) AS upc,
+  (sum(n_params)::BIGINT * 1000) // count(*) AS pmu
+FROM uu GROUP BY domain),
+dm AS (SELECT domain, prior_ppm, CASE WHEN upc >= 3000 AND pmu >= 2000 THEN 1 ELSE 0 END AS is_trap FROM dom),
+rob AS (SELECT DISTINCT domain, m,
+  'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) || 'Disallow: /dup' || chr(10) || 'Allow: /dup' || chr(10) ||
+  CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) ELSE '' END AS txt
+FROM base),
+lines AS (SELECT domain, unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln, unnest(string_split(txt, chr(10))) AS line FROM rob),
+fl AS (SELECT domain, ln, line, lower(trim(line)) AS lline FROM lines),
+fl2 AS (SELECT *, starts_with(lline, 'user-agent:') AS is_ua,
+  (starts_with(lline, 'allow:') OR starts_with(lline, 'disallow:')) AS is_rule FROM fl),
+fl3 AS (SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY domain ORDER BY ln), false) AS prev_ua FROM fl2),
+g AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER (PARTITION BY domain ORDER BY ln ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl3),
+ag AS (SELECT domain, grp, trim(regexp_replace(lline, '^user-agent:\s*', '')) AS agent FROM g WHERE is_ua),
+ru AS (SELECT domain, grp,
+  CASE WHEN starts_with(lline, 'allow:') THEN 1 ELSE 0 END AS allow,
+  trim(regexp_replace(line, '(?i)^\s*(allow|disallow):\s*', '')) AS rpath
+  FROM g WHERE is_rule),
+rr AS (SELECT ru.domain, ag.agent, ru.allow, ru.rpath FROM ru JOIN ag USING (domain, grp) WHERE ru.rpath <> ''),
+spec AS (SELECT DISTINCT domain FROM rr WHERE agent = 'graftbot'),
+eff AS (SELECT rr.domain, rr.allow, rr.rpath FROM rr LEFT JOIN spec ON rr.domain = spec.domain
+  WHERE CASE WHEN spec.domain IS NOT NULL THEN rr.agent = 'graftbot' ELSE rr.agent = '*' END),
+mt AS (SELECT u.url, e.allow, length(e.rpath) AS l
+  FROM uu u JOIN eff e ON u.domain = e.domain AND starts_with(u.path, e.rpath)),
+win AS (SELECT url, allow, l, row_number() OVER (PARTITION BY url ORDER BY l DESC, allow DESC) AS rn FROM mt),
+gated AS (SELECT uu.doc_id, uu.url, uu.domain, uu.priority, dm.prior_ppm
+  FROM uu JOIN dm ON uu.domain = dm.domain
+  LEFT JOIN (SELECT url, allow FROM win WHERE rn = 1) w ON uu.url = w.url
+  WHERE uu.is_base = 1 AND coalesce(w.allow, 1) = 1 AND uu.spam_class = 'clean'
+    AND dm.is_trap = 0 AND (uu.keep = 1 OR dm.prior_ppm >= 700000))
+SELECT doc_id, url, domain, priority, prior_ppm::BIGINT AS prior_ppm,
+  row_number() OVER (PARTITION BY domain ORDER BY priority DESC, doc_id)::BIGINT AS wave
+FROM gated ORDER BY doc_id""",
   )
 }
