@@ -10,14 +10,29 @@ import org.apache.spark.sql.SparkSession
   * A warm-up action absorbs one-time session/codegen init so per-query
   * numbers measure the queries, not JVM startup.
   *
-  * Contention-evidence (round-2 lesson: a co-scheduled correctness sweep
-  * inflated the driver's record 5-17x on untouched queries): the suite runs
-  * PASSES (default 2) full passes and reports the per-query MIN — a machine
-  * losing its CPUs mid-run cannot slow both passes of every query — plus
-  * /proc/loadavg snapshots at start/end so external load is visible in the
-  * record itself.
+  * RECORD PROTOCOL (fixed in round 14 — the round-13 verdict showed
+  * "last and best of N attempts" can no longer support regression
+  * calls): the suite runs PASSES (default 3) full passes in one JVM and
+  * reports the per-query MEDIAN over successful passes (upper median
+  * for even counts — the conservative pick, never the fastest
+  * observation). ALL attempts stay in the committed record
+  * (`queries_per_pass`), so a reader can recompute any statistic and
+  * cherry-picking is structurally impossible: re-running cannot improve
+  * the committed number unless the MIDDLE run improves. Contention
+  * evidence stays: /proc/loadavg snapshots at start/end, per-pass
+  * totals, the contended flag (+1 pass when the machine starts busy),
+  * and the contended-run divert that protects an uncontended record.
   */
 object Bench {
+
+  /** Upper median of the successful times: for odd n the middle, for
+    * even n the HIGHER middle — a deliberately conservative tie-break so
+    * a 2-pass record can never report its faster pass.
+    */
+  def median(times: Seq[Double]): Double = {
+    val s = times.sorted
+    s(s.length / 2)
+  }
 
   /** Where to persist the record: a CONTENDED run must never clobber an
     * uncontended record (round-9 lesson: a later contended driver re-run
@@ -78,7 +93,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -123,10 +138,11 @@ object Bench {
     val contended = load1 > 1.5
     val effPasses = if (contended) passes + 1 else passes
     val allPasses = (1 to effPasses).map(_ => onePass())
-    // per-query min over successful passes; -1 only if EVERY pass failed
+    // per-query MEDIAN over successful passes (protocol above); -1 only
+    // if EVERY pass failed
     val results = ordered.map(_._1).zipWithIndex.map { case (name, i) =>
       val times = allPasses.map(_(i)._2).filter(_ >= 0)
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> (if (times.nonEmpty) median(times) else -1.0)
     }
     val loadEnd = loadavg()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -140,7 +156,12 @@ object Bench {
     val perPass = allPasses
       .map(p => p.collect { case (_, v) if v >= 0 => v }.sum)
       .mkString("[", ",", "]")
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"passes":$effPasses,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd","queries":$qs,"sf":"$sfDir"}"""
+    // EVERY attempt goes into the committed record — the anti-cherry-pick
+    // half of the protocol (readers can recompute min/median/max per query)
+    val perPassQueries = allPasses.map(p =>
+      p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failures":$failures,"passes":$effPasses,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd","queries":$qs,"queries_per_pass":$perPassQueries,"sf":"$sfDir"}"""
     println(record)
     // the driver's captured stdout tail has truncated alphabetically-early
     // per-query times in past rounds — persist the COMPLETE record in-repo

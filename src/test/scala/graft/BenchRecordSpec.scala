@@ -74,4 +74,13 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(new String(java.nio.file.Files.readAllBytes(diverted), "UTF-8")
       == bad + "\n")
   }
+
+  test("median: upper median — the round-14 protocol stat can never pick the fastest pass") {
+    assert(Bench.median(Seq(3.0)) == 3.0)
+    assert(Bench.median(Seq(5.0, 1.0)) == 5.0) // even count → HIGHER middle
+    assert(Bench.median(Seq(9.0, 1.0, 4.0)) == 4.0)
+    assert(Bench.median(Seq(2.0, 2.0, 8.0, 1.0)) == 2.0)
+    // a single outlier pass cannot drag the committed number (3 passes)
+    assert(Bench.median(Seq(1.0, 1.1, 40.0)) == 1.1)
+  }
 }
