@@ -40,39 +40,77 @@ import org.apache.spark.sql.functions._
   *     an agent block still applies file-wide), which is exactly how the
   *     line filter behaves here. The URLs feed q282's discovery parse.
   *
-  * Scope (disclosed): no `Crawl-delay` (non-standard, fetcher-side);
-  * empty-path rules dropped (the original REP "Disallow:" = allow-all is
-  * the no-match default here); mid-pattern `$` is literal (only the
-  * trailing position is special, matching the major implementations).
+  *   - [[crawlDelayRows]]: `Crawl-delay:` extraction — NOT in RFC 9309
+  *     but honored by most major crawlers; unlike `Sitemap:` it is
+  *     GROUP-SCOPED (a delay inside the graftbot block applies to
+  *     graftbot only), so it rides the same group join as the rules.
+  *     Values parse to exact milliseconds (crawlers publish halves like
+  *     `0.5`); unparsable values drop.
+  *
+  * Scope (disclosed): empty-path rules dropped (the original REP
+  * "Disallow:" = allow-all is the no-match default here); mid-pattern
+  * `$` is literal (only the trailing position is special, matching the
+  * major implementations).
   */
 object RobotsTxt {
+
+  /** Lines exploded and assigned to their RFC group: (domain, ln, line,
+    * lline, is_ua, grp) — grp counts non-UA→UA transitions through one
+    * per-FILE window (robots files are spec-bounded ≤ 500 KiB, the
+    * per-document window class).
+    */
+  private def groupedLines(robots: DataFrame, domainCol: String,
+      txtCol: String): DataFrame = {
+    val lines = robots.select(col(domainCol).as("domain"),
+      posexplode(split(col(txtCol), "\n")).as(Seq("ln", "line")))
+      .withColumn("lline", lower(trim(col("line"))))
+      .withColumn("is_ua", col("lline").startsWith("user-agent:"))
+    val w = Window.partitionBy(col("domain")).orderBy(col("ln"))
+    lines.withColumn("grp",
+      sum(when(col("is_ua") &&
+        !coalesce(lag(col("is_ua"), 1).over(w), lit(false)), 1L).otherwise(0L))
+        .over(w))
+  }
+
+  /** Agent tokens per group (lowercase) — the `User-agent:` run that
+    * opened each group, shared by rules and crawl-delays.
+    */
+  private def agentRows(grouped: DataFrame): DataFrame =
+    grouped.filter(col("is_ua"))
+      .select(col("domain"), col("grp"),
+        trim(regexp_replace(col("lline"), "^user-agent:\\s*", "")).as("agent"))
 
   /** Exploded rule rows from (domainCol, txtCol) robots files:
     * (domain, agent, allow ∈ {0,1}, rpath). Agent tokens lowercase.
     */
   def ruleRows(robots: DataFrame, domainCol: String, txtCol: String): DataFrame = {
-    val lines = robots.select(col(domainCol).as("domain"),
-      posexplode(split(col(txtCol), "\n")).as(Seq("ln", "line")))
-      .withColumn("lline", lower(trim(col("line"))))
-      .withColumn("is_ua", col("lline").startsWith("user-agent:"))
-      .withColumn("is_rule",
-        col("lline").startsWith("allow:") || col("lline").startsWith("disallow:"))
-    val w = Window.partitionBy(col("domain")).orderBy(col("ln"))
-    val grouped = lines.withColumn("grp",
-      sum(when(col("is_ua") &&
-        !coalesce(lag(col("is_ua"), 1).over(w), lit(false)), 1L).otherwise(0L))
-        .over(w))
-    val agents = grouped.filter(col("is_ua"))
-      .select(col("domain"), col("grp"),
-        trim(regexp_replace(col("lline"), "^user-agent:\\s*", "")).as("agent"))
-    val rules = grouped.filter(col("is_rule"))
+    val grouped = groupedLines(robots, domainCol, txtCol)
+    val rules = grouped.filter(
+      col("lline").startsWith("allow:") || col("lline").startsWith("disallow:"))
       .select(col("domain"), col("grp"),
         when(col("lline").startsWith("allow:"), 1).otherwise(0).as("allow"),
         trim(regexp_replace(col("line"), "(?i)^\\s*(allow|disallow):\\s*", ""))
           .as("rpath"))
       .filter(col("rpath") =!= "")
-    rules.join(agents, Seq("domain", "grp"))
+    rules.join(agentRows(grouped), Seq("domain", "grp"))
       .select(col("domain"), col("agent"), col("allow"), col("rpath"))
+  }
+
+  /** Group-scoped `Crawl-delay:` rows: (domain, agent, delay_ms) — the
+    * value in EXACT milliseconds (`cast(double) * 1000 → long`; halves
+    * like `0.5` are the published norm and stay exact); unparsable
+    * values drop (never a crash, the skip-not-corrupt stance).
+    */
+  def crawlDelayRows(robots: DataFrame, domainCol: String,
+      txtCol: String): DataFrame = {
+    val grouped = groupedLines(robots, domainCol, txtCol)
+    val delays = grouped.filter(col("lline").startsWith("crawl-delay:"))
+      .select(col("domain"), col("grp"),
+        (trim(regexp_replace(col("lline"), "^crawl-delay:\\s*", ""))
+          .try_cast("double") * 1000).try_cast("long").as("delay_ms"))
+      .filter(col("delay_ms").isNotNull && col("delay_ms") >= 0)
+    delays.join(agentRows(grouped), Seq("domain", "grp"))
+      .select(col("domain"), col("agent"), col("delay_ms"))
   }
 
   /** Sitemap URLs declared in (domainCol, txtCol) robots files — one row

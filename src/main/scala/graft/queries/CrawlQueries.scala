@@ -861,6 +861,75 @@ private[graft] object CrawlQueries {
         .select($"doc_id", $"url", $"domain", $"priority", $"prior_ppm", $"wave")
         .orderBy($"doc_id")
     }),
+
+
+    // Crawl-delay-paced frontier — the fetch-TIMING half of politeness
+    // (q289 assigns waves; this prices them): `Crawl-delay:` is not in
+    // RFC 9309 but most major crawlers honor it, and unlike `Sitemap:`
+    // it is GROUP-SCOPED, so extraction rides the same agent-group join
+    // as the rules ([[graft.operators.RobotsTxt.crawlDelayRows]]) and
+    // the same specific-group-suppresses-`*` selection — the fixture
+    // pins exactly that: domains naming graftbot publish a generic 2 s
+    // delay AND a graftbot 0.5 s delay, and the generic value must be
+    // IGNORED there. Each URL's earliest polite fetch offset is
+    // (wave − 1) × delay_ms in exact integer milliseconds (halves like
+    // 0.5 s are the published norm — parsed ×1000 exact); domains with
+    // no delay in their effective group default to 1000 ms. The oracle
+    // replays parse, group election, delay selection, robots gate,
+    // waves, and the pacing arithmetic.
+    "q300_frontier_pacing" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").select($"doc_id")
+        .withColumn("m", pmod($"doc_id", lit(37)))
+        .withColumn("domain", concat(lit("site"), $"m", lit(".com")))
+        .withColumn("path",
+          when(pmod($"doc_id", lit(5)) === 0, concat(lit("/p/"), $"doc_id"))
+            .when(pmod($"doc_id", lit(5)) === 1, concat(lit("/private/a"), $"doc_id"))
+            .when(pmod($"doc_id", lit(5)) === 2, concat(lit("/private/ok/"), $"doc_id"))
+            .when(pmod($"doc_id", lit(5)) === 3, lit("/tmp/x"))
+            .otherwise(lit("/dup/z")))
+        .withColumn("priority", pmod($"doc_id" * 37 + 11, lit(100)).cast("long"))
+      val robots = urls.select($"domain", $"m").distinct()
+        .withColumn("txt", concat(
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+            "Disallow: /tmp\nDisallow: /dup\nAllow: /dup\n"),
+          when(pmod($"m", lit(4)) =!= 3,
+            concat(lit("Crawl-delay: "), lit(2) + pmod($"m", lit(4)), lit("\n")))
+            .otherwise(lit("")), // m%4==3: no generic delay → default
+          when(pmod($"m", lit(3)) === 0,
+            concat(lit("\nUser-agent: graftbot\nDisallow: /p/9\nAllow: /p\n"),
+              // the m%2==1 graftbot domains get NO delay in their group:
+              // the generic 2-4 s must be IGNORED there (our group wins
+              // wholesale) and the default applies — the interop case
+              when(pmod($"m", lit(2)) === 0, lit("Crawl-delay: 0.5\n"))
+                .otherwise(lit(""))))
+            .otherwise(lit(""))))
+      val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+      val delays = graft.operators.RobotsTxt.crawlDelayRows(robots, "domain", "txt")
+      // effective delay: the group our agent actually READS — presence
+      // decided by the RULES (a graftbot group without a delay line
+      // means default, never the generic group's value), defaulting to
+      // 1000 ms — a quotient-sized relation, broadcast onto the frontier
+      val hasSpec = rules.filter($"agent" === "graftbot")
+        .select($"domain").distinct().withColumn("__s", lit(true))
+      val effDelay = delays.join(hasSpec, Seq("domain"), "left")
+        .filter(when(coalesce($"__s", lit(false)), $"agent" === "graftbot")
+          .otherwise($"agent" === "*"))
+        .groupBy($"domain").agg(min($"delay_ms").as("delay_ms"))
+      val ok = graft.operators.RobotsTxt
+        .allowed(urls, rules, "domain", "path", "graftbot")
+        .filter($"allowed" === 1)
+        .select($"doc_id", $"domain", $"priority")
+      graft.operators.Batching.groupedRowNumber(
+          ok, Seq("domain"), Seq(col("priority").desc, col("doc_id")),
+          numPartitions = 32, out = "wave", broadcastSpans = false)
+        .join(broadcast(effDelay), Seq("domain"), "left")
+        .withColumn("delay_ms", coalesce($"delay_ms", lit(1000L)))
+        .withColumn("fetch_offset_ms", ($"wave" - 1) * $"delay_ms")
+        .select($"doc_id", $"domain", $"priority", $"wave", $"delay_ms",
+          $"fetch_offset_ms")
+        .orderBy($"doc_id")
+    }),
   )
 
   /** The LinkOps pattern, SQL-quoted for embedding in a '…' literal
@@ -1330,5 +1399,62 @@ gated AS (SELECT uu.doc_id, uu.url, uu.domain, uu.priority, dm.prior_ppm
 SELECT doc_id, url, domain, priority, prior_ppm::BIGINT AS prior_ppm,
   row_number() OVER (PARTITION BY domain ORDER BY priority DESC, doc_id)::BIGINT AS wave
 FROM gated ORDER BY doc_id""",
+
+    // q300: q289's robots replay + the group-scoped crawl-delay parse,
+    // the rules-presence group election, the 1000 ms default, and the
+    // exact-millisecond pacing arithmetic
+    "q300_frontier_pacing" ->
+      raw"""WITH d AS (SELECT doc_id, doc_id % 37 AS m,
+  'site' || (doc_id % 37)::VARCHAR || '.com' AS domain,
+  CASE (doc_id % 5)
+    WHEN 0 THEN '/p/' || doc_id::VARCHAR
+    WHEN 1 THEN '/private/a' || doc_id::VARCHAR
+    WHEN 2 THEN '/private/ok/' || doc_id::VARCHAR
+    WHEN 3 THEN '/tmp/x'
+    ELSE '/dup/z' END AS path,
+  ((doc_id * 37 + 11) % 100)::BIGINT AS priority
+FROM documents),
+rob AS (SELECT DISTINCT domain, m,
+  'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) || 'Disallow: /dup' || chr(10) || 'Allow: /dup' || chr(10) ||
+  CASE WHEN m % 4 <> 3 THEN 'Crawl-delay: ' || (2 + m % 4)::VARCHAR || chr(10) ELSE '' END ||
+  CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) ||
+    CASE WHEN m % 2 = 0 THEN 'Crawl-delay: 0.5' || chr(10) ELSE '' END
+  ELSE '' END AS txt
+FROM d),
+lines AS (SELECT domain, unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln, unnest(string_split(txt, chr(10))) AS line FROM rob),
+fl AS (SELECT domain, ln, line, lower(trim(line)) AS lline FROM lines),
+fl2 AS (SELECT *, starts_with(lline, 'user-agent:') AS is_ua,
+  (starts_with(lline, 'allow:') OR starts_with(lline, 'disallow:')) AS is_rule FROM fl),
+fl3 AS (SELECT *, coalesce(lag(is_ua) OVER (PARTITION BY domain ORDER BY ln), false) AS prev_ua FROM fl2),
+g AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END) OVER (PARTITION BY domain ORDER BY ln ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM fl3),
+ag AS (SELECT domain, grp, trim(regexp_replace(lline, '^user-agent:\s*', '')) AS agent FROM g WHERE is_ua),
+ru AS (SELECT domain, grp,
+  CASE WHEN starts_with(lline, 'allow:') THEN 1 ELSE 0 END AS allow,
+  trim(regexp_replace(line, '(?i)^\s*(allow|disallow):\s*', '')) AS rpath
+  FROM g WHERE is_rule),
+rr AS (SELECT ru.domain, ag.agent, ru.allow, ru.rpath FROM ru JOIN ag USING (domain, grp) WHERE ru.rpath <> ''),
+spec AS (SELECT DISTINCT domain FROM rr WHERE agent = 'graftbot'),
+eff AS (SELECT rr.domain, rr.allow, rr.rpath FROM rr LEFT JOIN spec ON rr.domain = spec.domain
+  WHERE CASE WHEN spec.domain IS NOT NULL THEN rr.agent = 'graftbot' ELSE rr.agent = '*' END),
+cd AS (SELECT g.domain, ag.agent,
+  (trim(regexp_replace(g.lline, '^crawl-delay:\s*', ''))::DOUBLE * 1000)::BIGINT AS delay_ms
+FROM g JOIN ag USING (domain, grp) WHERE starts_with(g.lline, 'crawl-delay:')),
+effd AS (SELECT cd.domain, min(cd.delay_ms) AS delay_ms FROM cd LEFT JOIN spec ON cd.domain = spec.domain
+  WHERE CASE WHEN spec.domain IS NOT NULL THEN cd.agent = 'graftbot' ELSE cd.agent = '*' END
+  GROUP BY cd.domain),
+mt AS (SELECT d.doc_id, e.allow, length(e.rpath) AS l
+  FROM d JOIN eff e ON d.domain = e.domain AND starts_with(d.path, e.rpath)),
+win AS (SELECT doc_id, allow, l, row_number() OVER (PARTITION BY doc_id ORDER BY l DESC, allow DESC) AS rn FROM mt),
+ok AS (SELECT d.doc_id, d.domain, d.priority
+  FROM d LEFT JOIN (SELECT doc_id, allow FROM win WHERE rn = 1) w USING (doc_id)
+  WHERE coalesce(w.allow, 1) = 1),
+wv AS (SELECT doc_id, domain, priority,
+  row_number() OVER (PARTITION BY domain ORDER BY priority DESC, doc_id)::BIGINT AS wave
+FROM ok)
+SELECT wv.doc_id, wv.domain, wv.priority, wv.wave,
+  coalesce(effd.delay_ms, 1000)::BIGINT AS delay_ms,
+  ((wv.wave - 1) * coalesce(effd.delay_ms, 1000))::BIGINT AS fetch_offset_ms
+FROM wv LEFT JOIN effd ON wv.domain = effd.domain
+ORDER BY wv.doc_id""",
   )
 }

@@ -96,6 +96,21 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(got("/lit.x") == (0, 6L))
   }
 
+  test("crawlDelayRows: group-scoped, exact milliseconds, unparsable values drop") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n" +
+        "User-agent: graftbot\nCrawl-delay: 0.5\nAllow: /\n"),
+      ("b.com", "User-agent: *\nCrawl-delay: nonsense\nDisallow: /\n"),
+      ("c.com", "User-agent: *\nDisallow: /\n")).toDF("domain", "txt")
+    val got = graft.operators.RobotsTxt.crawlDelayRows(robots, "domain", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    // b.com's unparsable value drops; c.com has none; a.com has one per group
+    assert(got == Seq(("a.com", "*", 2000L), ("a.com", "graftbot", 500L)))
+  }
+
   test("Sitemap: directive is group-independent and extraction preserves the URL verbatim") {
     val s = spark
     import s.implicits._
