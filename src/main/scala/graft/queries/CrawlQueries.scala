@@ -930,6 +930,40 @@ private[graft] object CrawlQueries {
           $"fetch_offset_ms")
         .orderBy($"doc_id")
     }),
+
+
+    // Redirect-chain resolution ([[graft.operators.RedirectChains]]) —
+    // a URL's identity is where its chain LANDS: archived 3xx records'
+    // Location headers (now surfaced by the WARC walk as
+    // `http_location` — REAL bytes through build→gzip→walk→HTTP-split)
+    // form the edge relation, and every capture URL resolves through
+    // bounded equi self-joins with cycle detection. The fixture layers
+    // one-hop 301s, a two-hop 302→301 chain, and a 302 LOOP over the
+    // 200 pages; the oracle rebuilds the same edges closed-form and
+    // REPLAYS the hop joins, the chain-containment loop flag, the
+    // truncation probe, and the final-status join generically. Edge
+    // relation is the 3xx subset — id-sized rows, never payloads.
+    "q301_redirect_chains" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = graft.sources.WarcReader
+        .buildRedirectFixture(t(s, dir, "documents"))
+      val recs = graft.sources.WarcReader.records(warcs, "warc")
+        .filter($"warc_type" === "response")
+        .select($"target_uri", $"http_status", $"http_location")
+        .localCheckpoint(false) // starts + edges + final-status all read it
+      val edges = recs
+        .filter($"http_status" >= 300 && $"http_status" < 400 &&
+          $"http_location" =!= "")
+        .select($"target_uri".as("src"), $"http_location".as("dst"))
+      val starts = recs.select($"target_uri".as("url"))
+      graft.operators.RedirectChains
+        .resolve(starts, edges, "url", "src", "dst", maxHops = 3)
+        .join(recs.select($"target_uri".as("final_url"),
+          $"http_status".as("fstat")), Seq("final_url"), "left")
+        .select($"url".as("start_url"), $"final_url", $"n_hops",
+          $"chain_status", coalesce($"fstat", lit(0)).cast("long").as("final_status"))
+        .orderBy($"start_url")
+    }),
   )
 
   /** The LinkOps pattern, SQL-quoted for embedding in a '…' literal
@@ -1456,5 +1490,45 @@ SELECT wv.doc_id, wv.domain, wv.priority, wv.wave,
   ((wv.wave - 1) * coalesce(effd.delay_ms, 1000))::BIGINT AS fetch_offset_ms
 FROM wv LEFT JOIN effd ON wv.domain = effd.domain
 ORDER BY wv.doc_id""",
+
+    // q301: the redirect graph rebuilt closed-form, then the RESOLUTION
+    // REPLAYED — three hop joins with the pre-step chain-containment
+    // loop flag, the truncation probe, and the final-status join
+    "q301_redirect_chains" ->
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS k, 'https://site' || (doc_id % 37)::VARCHAR || '.com' AS h FROM documents),
+resp AS (
+  SELECT h || '/p/' || doc_id::VARCHAR AS url, 200 AS status, '' AS loc FROM d
+  UNION ALL SELECT h || '/a/' || doc_id::VARCHAR, 301, h || '/p/' || doc_id::VARCHAR FROM d WHERE k = 1
+  UNION ALL SELECT h || '/b/' || doc_id::VARCHAR, 302, h || '/a2/' || doc_id::VARCHAR FROM d WHERE k = 2
+  UNION ALL SELECT h || '/a2/' || doc_id::VARCHAR, 301, h || '/p/' || doc_id::VARCHAR FROM d WHERE k = 2
+  UNION ALL SELECT h || '/x/' || doc_id::VARCHAR, 302, h || '/y/' || doc_id::VARCHAR FROM d WHERE k = 3
+  UNION ALL SELECT h || '/y/' || doc_id::VARCHAR, 302, h || '/x/' || doc_id::VARCHAR FROM d WHERE k = 3),
+e AS (SELECT url AS src, loc AS dst FROM resp WHERE status >= 300 AND status < 400 AND loc <> ''),
+s0 AS (SELECT url AS start_url, url AS cur, 0 AS n, [url] AS chain, false AS lp FROM resp),
+s1 AS (SELECT start_url,
+  CASE WHEN e.dst IS NOT NULL AND NOT lp THEN e.dst ELSE cur END AS cur,
+  CASE WHEN e.dst IS NOT NULL AND NOT lp THEN n + 1 ELSE n END AS n,
+  CASE WHEN e.dst IS NOT NULL AND NOT lp THEN list_append(chain, e.dst) ELSE chain END AS chain,
+  lp OR (e.dst IS NOT NULL AND NOT lp AND list_contains(chain, e.dst)) AS lp
+FROM s0 LEFT JOIN e ON s0.cur = e.src),
+s2 AS (SELECT start_url,
+  CASE WHEN e.dst IS NOT NULL AND NOT lp THEN e.dst ELSE cur END AS cur,
+  CASE WHEN e.dst IS NOT NULL AND NOT lp THEN n + 1 ELSE n END AS n,
+  CASE WHEN e.dst IS NOT NULL AND NOT lp THEN list_append(chain, e.dst) ELSE chain END AS chain,
+  lp OR (e.dst IS NOT NULL AND NOT lp AND list_contains(chain, e.dst)) AS lp
+FROM s1 LEFT JOIN e ON s1.cur = e.src),
+s3 AS (SELECT start_url,
+  CASE WHEN e.dst IS NOT NULL AND NOT lp THEN e.dst ELSE cur END AS cur,
+  CASE WHEN e.dst IS NOT NULL AND NOT lp THEN n + 1 ELSE n END AS n,
+  CASE WHEN e.dst IS NOT NULL AND NOT lp THEN list_append(chain, e.dst) ELSE chain END AS chain,
+  lp OR (e.dst IS NOT NULL AND NOT lp AND list_contains(chain, e.dst)) AS lp
+FROM s2 LEFT JOIN e ON s2.cur = e.src),
+fin AS (SELECT start_url, s3.cur AS final_url, n::BIGINT AS n_hops,
+  CASE WHEN lp THEN 'loop' WHEN e.dst IS NOT NULL THEN 'truncated' ELSE 'resolved' END AS chain_status
+FROM s3 LEFT JOIN e ON s3.cur = e.src)
+SELECT f.start_url, f.final_url, f.n_hops, f.chain_status,
+  coalesce(r.status, 0)::BIGINT AS final_status
+FROM fin f LEFT JOIN resp r ON f.final_url = r.url
+ORDER BY f.start_url""",
   )
 }

@@ -55,7 +55,8 @@ object WarcReader {
   final case class WarcRecord(
       warcType: String, targetUri: String, warcContentType: String,
       httpStatus: Int, httpContentType: String, payload: Array[Byte],
-      payloadDigest: String = "", contentEncoding: String = "")
+      payloadDigest: String = "", contentEncoding: String = "",
+      httpLocation: String = "")
 
   /** Walk every record of a `.warc.gz` (or uncompressed `.warc`) blob.
     * Uncompressed input (no gzip magic) is treated as one member; a
@@ -124,8 +125,8 @@ object WarcReader {
     val block = java.util.Arrays.copyOfRange(m, blockStart, blockStart + len.toInt)
     val rec =
       if (ct.startsWith("application/http")) {
-        val (status, httpCt, body, cenc) = splitHttp(block)
-        WarcRecord(warcType, uri, ct, status, httpCt, body, digest, cenc)
+        val (status, httpCt, body, cenc, loc) = splitHttp(block)
+        WarcRecord(warcType, uri, ct, status, httpCt, body, digest, cenc, loc)
       } else WarcRecord(warcType, uri, ct, 0, "", block, digest)
     Some((rec, blockStart + len.toInt))
   }
@@ -147,9 +148,9 @@ object WarcReader {
     * coding is FLAGGED in the returned census value (`;undecoded`
     * suffix) so the fallback is never silent.
     */
-  private def splitHttp(block: Array[Byte]): (Int, String, Array[Byte], String) = {
+  private def splitHttp(block: Array[Byte]): (Int, String, Array[Byte], String, String) = {
     val headEnd = indexOfDoubleCrlf(block, 0)
-    if (headEnd < 0) return (0, "", block, "")
+    if (headEnd < 0) return (0, "", block, "", "")
     val head = new String(block, 0, headEnd, ISO_8859_1)
     val lines = head.split("\r\n")
     val status =
@@ -164,6 +165,9 @@ object WarcReader {
         l.substring(l.indexOf(':') + 1).trim
     }
     val ct = header("content-type").getOrElse("")
+    // 3xx redirect target, verbatim (RFC 9110 §10.2.2 — resolution of a
+    // relative Location against the capture URL is LinkOps' §5.2.2 job)
+    val loc = header("location").getOrElse("")
     val body = java.util.Arrays.copyOfRange(block, headEnd + 4, block.length)
     // RFC 9112 §6.1: chunked must be the FINAL listed transfer coding, so
     // match the last comma-separated token exactly — "gzip, chunked" is
@@ -191,7 +195,7 @@ object WarcReader {
         }
       case other => (dechunked, other + ";undecoded") // br, zstd, multi-coding
     }
-    (status, ct, entity, cenc)
+    (status, ct, entity, cenc, loc)
   }
 
   private def indexOfDoubleCrlf(b: Array[Byte], from: Int): Int = {
@@ -208,7 +212,7 @@ object WarcReader {
   /** Explode a binary WARC column into one row per record, keeping the
     * input columns. Output record columns: `warc_type`, `target_uri`,
     * `warc_content_type`, `http_status`, `content_type`, `payload`,
-    * `payload_digest`, `content_encoding`.
+    * `payload_digest`, `content_encoding`, `http_location`.
     *
     * Implemented as a TYPED `Dataset.flatMap` (not an RDD round-trip), so
     * the optimizer's `ObjectSerializerPruning` drops unused output fields
@@ -229,13 +233,14 @@ object WarcReader {
       StructField("content_type", StringType, nullable = false),
       StructField("payload", BinaryType, nullable = false),
       StructField("payload_digest", StringType, nullable = false),
-      StructField("content_encoding", StringType, nullable = false)))
+      StructField("content_encoding", StringType, nullable = false),
+      StructField("http_location", StringType, nullable = false)))
     val binIdx = inSchema.fieldIndex(binCol)
     df.flatMap { row =>
       parse(row.getAs[Array[Byte]](binIdx)).map { r =>
         Row.fromSeq(row.toSeq ++ Seq[Any](r.warcType, r.targetUri,
           r.warcContentType, r.httpStatus, r.httpContentType, r.payload,
-          r.payloadDigest, r.contentEncoding))
+          r.payloadDigest, r.contentEncoding, r.httpLocation))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema)).toDF()
   }
@@ -550,6 +555,57 @@ object WarcReader {
             else httpEncodedResponse(ct, body, "deflate", alsoChunked = false)
           bos.write(gz(warcRecord("response", url,
             "application/http; msgtype=response", http)))
+        }
+        Row(shard, bos.toByteArray)
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def httpRedirect(status: Int, location: String): Array[Byte] = {
+    val reason = if (status == 301) "Moved Permanently" else "Found"
+    (s"HTTP/1.1 $status $reason\r\nLocation: $location\r\n" +
+      "Content-Length: 0\r\n\r\n").getBytes(ISO_8859_1)
+  }
+
+  /** Redirect-graph fixture: every doc serves its 200 page at `/p/{id}`,
+    * and `doc_id % 4` layers archived 3xx records on top — 1: one 301
+    * hop (`/a`→`/p`); 2: a two-hop chain (302 `/b`→`/a2`, 301
+    * `/a2`→`/p`); 3: a 302 LOOP (`/x`↔`/y`). The Location headers are
+    * real HTTP bytes the walk must extract — the q301 edge relation
+    * comes out of `records`, never out of a side channel.
+    */
+  def buildRedirectFixture(docs: DataFrame, nShards: Int = 24): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val outSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("warc", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].rdd
+      .map { case (id, text) => (id % nShards, (id, text)) }
+      .groupByKey(math.min(nShards, 32))
+      .map { case (shard, docsIt) =>
+        val bos = new ByteArrayOutputStream(1 << 16)
+        bos.write(gz(warcRecord("warcinfo", "", "application/warc-fields",
+          "software: graft-warc-fixture/1.0\r\n".getBytes(ISO_8859_1))))
+        docsIt.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          val host = s"https://site${id % 37}.com"
+          def resp(path: String, http: Array[Byte]): Unit =
+            bos.write(gz(warcRecord("response", host + path,
+              "application/http; msgtype=response", http)))
+          resp(s"/p/$id", httpResponse(200, "text/html; charset=UTF-8",
+            fixtureHtml(id, text).getBytes(UTF_8)))
+          (id % 4) match {
+            case 1 =>
+              resp(s"/a/$id", httpRedirect(301, s"$host/p/$id"))
+            case 2 =>
+              resp(s"/b/$id", httpRedirect(302, s"$host/a2/$id"))
+              resp(s"/a2/$id", httpRedirect(301, s"$host/p/$id"))
+            case 3 =>
+              resp(s"/x/$id", httpRedirect(302, s"$host/y/$id"))
+              resp(s"/y/$id", httpRedirect(302, s"$host/x/$id"))
+            case _ => ()
+          }
         }
         Row(shard, bos.toByteArray)
       }
