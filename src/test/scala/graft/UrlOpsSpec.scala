@@ -66,4 +66,37 @@ class UrlOpsSpec extends AnyFunSuite {
     // the heuristic alone would mis-key this one to ne.jp
     assert(rdp("x.shop.ne.jp") == "shop.ne.jp")
   }
+
+  test("urlSpamClassLarge: one alternation pass, boundary contract matches the fold variant") {
+    import org.apache.spark.sql.functions.{col, lit => flit}
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "2").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val lex = Seq("casino", "viagra", "xxx", "poker")
+    def run(u: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String =
+      Seq(u).toDF("u").select(c(col("u"))).head.getString(0)
+    def large(u: String) = run(u, graft.operators.UrlOps.urlSpamClassLarge(_, lex))
+    def fold(u: String) = run(u, graft.operators.UrlOps.urlSpamClass(_, lex))
+    val cases = Seq(
+      "https://site.com/article/1", // clean
+      "https://site.com/casino/win", // path segment fires
+      "https://site.com/shop/viagra-2", // dash boundary fires
+      "https://site.com/blog/maxxx", // token inside a word must NOT fire
+      "https://poker.site.com/t/3", // host label fires
+      "https://site.com/?q=xxx") // query value fires
+    for (u <- cases) assert(large(u) == fold(u), u)
+    assert(large("https://site.com/blog/maxxx") == "clean")
+    // tie-break DIFFERS by design: leftmost-in-URL vs lexicon order
+    assert(large("https://xxx.site.com/casino/") == "xxx") // leftmost
+    assert(fold("https://xxx.site.com/casino/") == "casino") // lexicon order
+    // the fold variant refuses UT1-scale lexicons; the large one takes them
+    intercept[IllegalArgumentException] {
+      graft.operators.UrlOps.urlSpamClass(flit("x"), (1 to 65).map("t" + _))
+    }
+    val big = (1 to 500).map("tok" + _) :+ "casino"
+    assert(run("https://a.com/casino/x",
+      graft.operators.UrlOps.urlSpamClassLarge(_, big)) == "casino")
+  }
 }
