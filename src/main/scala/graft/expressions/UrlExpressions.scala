@@ -106,14 +106,29 @@ case class RemoveDotSegments(child: Expression)
 }
 
 /** Registrable domain with a PLUGGABLE public-suffix list — the
-  * [[graft.operators.UrlOps.registrableDomain]] heuristic extended by an
-  * explicit suffix set (a deployment loads the real PSL from its data
-  * file into `suffixes`): the LONGEST listed suffix matching the host
-  * wins (checked from most labels down — `a.b.github.io` under a list
-  * holding `github.io` yields `b.github.io`), O(#labels) hash lookups
-  * per row, never a per-row scan of the list. Hosts matching no listed
-  * suffix fall back to the built-in 2-vs-3-label ccTLD rule, so an
-  * EMPTY list reproduces the q269 column expression exactly.
+  * [[graft.operators.UrlOps.registrableDomain]] heuristic extended by the
+  * FULL publicsuffix.org algorithm (a deployment loads the real PSL from
+  * its data file into `suffixes`):
+  *
+  *   - plain rules: the LONGEST listed suffix matching the host wins
+  *     (checked from most labels down — `a.b.github.io` under a list
+  *     holding `github.io` yields `b.github.io`);
+  *   - `*.foo` WILDCARD rules (round 15): `*` matches exactly ONE label,
+  *     so under `*.ck` every `<label>.ck` is itself a public suffix and
+  *     `www.foo.ck` keys to `www.foo.ck`, never pooling unrelated `.ck`
+  *     sites;
+  *   - `!foo.bar` EXCEPTION rules beat every other match (the PSL's
+  *     step-2 precedence): under `*.ck` + `!www.ck`, `a.www.ck` keys to
+  *     `www.ck` — the exception rule's own span IS the registrable
+  *     domain;
+  *   - a host that IS a public suffix (`foo.ck`, `x.kawasaki.jp`)
+  *     returns itself — the total-function sentinel where the PSL says
+  *     "no registrable domain".
+  *
+  * O(#labels) hash lookups per row across three pre-split sets, never a
+  * per-row scan of the list. Hosts matching no listed rule fall back to
+  * the built-in 2-vs-3-label ccTLD rule, so an EMPTY list reproduces the
+  * q269 column expression exactly.
   */
 case class RegistrableDomainPsl(child: Expression, suffixes: Set[String])
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
@@ -124,15 +139,35 @@ case class RegistrableDomainPsl(child: Expression, suffixes: Set[String])
 
   private val commonSld = Set("co", "com", "org", "net", "ac", "gov", "edu")
 
+  // rule-syntax split, once per expression instance (the per-row work is
+  // hash lookups only)
+  private val exactSuffixes =
+    suffixes.filterNot(s => s.startsWith("*.") || s.startsWith("!"))
+  private val wildcardBases =
+    suffixes.collect { case s if s.startsWith("*.") => s.substring(2) }
+  private val exceptionRules =
+    suffixes.collect { case s if s.startsWith("!") => s.substring(1) }
+
   override def nullSafeEval(input: Any): Any = {
     val host = input.asInstanceOf[UTF8String].toString
     val labels = host.split('.')
     val n = labels.length
-    // longest listed suffix with at least one label in front of it
-    var k = n - 1
+    def suffix(k: Int): String = labels.takeRight(k).mkString(".")
+    // 1. exception rules beat everything; the matching rule's own span
+    //    is the registrable domain (PSL: "modify the rule by removing
+    //    the leftmost label" → public suffix, +1 label = the rule again)
+    var k = math.min(n, if (exceptionRules.isEmpty) 0 else n)
     while (k >= 1) {
-      if (suffixes.contains(labels.takeRight(k).mkString("."))) {
-        return UTF8String.fromString(labels.takeRight(k + 1).mkString("."))
+      if (exceptionRules.contains(suffix(k)))
+        return UTF8String.fromString(suffix(k))
+      k -= 1
+    }
+    // 2. longest exact-or-wildcard rule; `*` consumes exactly one label
+    k = n
+    while (k >= 1) {
+      if (exactSuffixes.contains(suffix(k)) ||
+        (k >= 2 && wildcardBases.contains(suffix(k - 1)))) {
+        return UTF8String.fromString(if (k == n) host else suffix(k + 1))
       }
       k -= 1
     }

@@ -50,6 +50,45 @@ object HtmlOps {
       regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1),
       "\\s+", " ")))
 
+  // `<meta http-equiv=refresh>`: the content attribute value, both
+  // attribute orders (http-equiv-first is the overwhelming real form;
+  // content-first is legal and appears in generated markup), the three
+  // attribute-value quoting forms
+  private val MetaRefreshHEFirst =
+    "(?is)<meta\\s[^>]*?http-equiv\\s*=\\s*[\"']?refresh[\"']?[^>]*?" +
+      "content\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
+  private val MetaRefreshContentFirst =
+    "(?is)<meta\\s[^>]*?content\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)" +
+      "[^>]*?http-equiv\\s*=\\s*[\"']?refresh[\"']?"
+
+  /** Redirect target of a `<meta http-equiv=refresh content="N;
+    * url=TARGET">` element — the second-most-common real redirect form
+    * after HTTP `Location`, and invisible to a Location-only edge
+    * relation. Returns the RAW target ("" when the page has none or the
+    * content is a bare delay with no `url=`): entity-decoded, the
+    * optional inner quotes around the target stripped (WHATWG allows
+    * `url='…'` inside a double-quoted content), but NOT resolved —
+    * resolution against the page URL is [[LinkOps.resolveReference]]'s
+    * job, exactly like an href. One scan-side regexp pass per attribute
+    * order, oracle-replayable.
+    */
+  def metaRefreshUrl(html: Column): Column = {
+    val a = regexp_extract(html, MetaRefreshHEFirst, 1)
+    val raw = when(a =!= "", a)
+      .otherwise(regexp_extract(html, MetaRefreshContentFirst, 1))
+    // strip the attribute quotes, decode entities (amp LAST, the
+    // attribute contract), then pull the url= part of "N; url=..."
+    val unq = when(raw.startsWith("\""), regexp_replace(raw, "^\"((?s).*)\"$", "$1"))
+      .otherwise(regexp_replace(raw, "^'((?s).*)'$", "$1"))
+    val dec = decodeEntities(unq)
+    val target = regexp_extract(dec,
+      "(?is)^\\s*[0-9]+(?:\\.[0-9]*)?\\s*[;,]\\s*url\\s*=\\s*(.*)$", 1)
+    // inner quotes around the target value, then surrounding whitespace
+    trim(when(target.startsWith("\""), regexp_extract(target, "^\"([^\"]*)", 1))
+      .when(target.startsWith("'"), regexp_extract(target, "^'([^']*)", 1))
+      .otherwise(target))
+  }
+
   /** Visible text, newline-separated blocks (see object doc). The hidden-
     * element pattern is an explicit per-tag alternation, NOT a
     * backreference — RE2 (DuckDB's engine) has no backreferences, and the

@@ -61,11 +61,41 @@ object LinkOps {
   /** Strip one matching pair of surrounding quotes off a captured
     * attribute value (the alternation group keeps them so the pattern
     * stays a single RE2 literal the oracle replays); unquoted values
-    * pass through verbatim.
+    * pass through verbatim. The two strips are MUTUALLY EXCLUSIVE —
+    * chained, a double-quoted value that itself begins and ends with a
+    * single quote (`href="'x'"`) would be stripped twice, yielding `x`
+    * instead of `'x'`.
     */
   private def stripQuotes(c: Column): Column =
-    regexp_replace(regexp_replace(c, "^\"((?s).*)\"$", "$1"),
-      "^'((?s).*)'$", "$1")
+    when(c.startsWith("\""), regexp_replace(c, "^\"((?s).*)\"$", "$1"))
+      .otherwise(regexp_replace(c, "^'((?s).*)'$", "$1"))
+
+  private val BaseHrefPattern =
+    "(?is)<base\\s[^>]*?href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"
+
+  /** href of the FIRST `<base>` element that carries one — WHATWG HTML
+    * §4.2.3: "there must be no more than one base element per document"
+    * and only the first href is honored — entity-decoded, quotes
+    * stripped; empty string when the page declares none. Same three
+    * attribute-value forms and the same single-RE2-literal contract as
+    * [[extractHrefs]], so the oracle replays the extraction.
+    */
+  def extractBaseHref(html: Column): Column =
+    decodeAttr(stripQuotes(regexp_extract(html, BaseHrefPattern, 1)))
+
+  /** The page's EFFECTIVE base URL (WHATWG "fallback base URL" order):
+    * the first `<base href>` resolved against the page's own URL —
+    * `<base>` values may themselves be relative — or the page URL when
+    * none is declared. Every link on a base-carrying page must resolve
+    * against THIS, not the page URL: templated/proxy-served sites use
+    * `<base>` routinely, and ignoring it mis-resolves every relative
+    * link they serve (wrong host-graph edges, wrong frontier URLs,
+    * wrong anchor targets).
+    */
+  def effectiveBase(pageUrl: Column, html: Column): Column = {
+    val b = extractBaseHref(html)
+    when(b === "", pageUrl).otherwise(resolveReference(pageUrl, b))
+  }
 
   /** href values of `<a>` elements in document order, entity-decoded. */
   def extractHrefs(html: Column): Column =

@@ -80,6 +80,20 @@ object RobotsTxt {
       .select(col("domain"), col("grp"),
         trim(regexp_replace(col("lline"), "^user-agent:\\s*", "")).as("agent"))
 
+  /** Which agent tokens each FILE declares a group for: (domain, agent),
+    * derived from the `User-agent:` runs themselves — NOT from rule rows.
+    * The distinction matters for group-PRESENCE decisions ([[allowed]]'s
+    * specific-suppresses-`*` election, [[crawlDelayRows]] selection): a
+    * group whose only member line is `Crawl-delay:` (or one with no
+    * lines at all) still EXISTS per RFC 9309 §2.2.1, and a crawler it
+    * names must use it — ignoring every `*` rule — even though it
+    * contributes zero rule rows.
+    */
+  def agentGroupRows(robots: DataFrame, domainCol: String,
+      txtCol: String): DataFrame =
+    agentRows(groupedLines(robots, domainCol, txtCol))
+      .select(col("domain"), col("agent")).distinct()
+
   /** Exploded rule rows from (domainCol, txtCol) robots files:
     * (domain, agent, allow ∈ {0,1}, rpath). Agent tokens lowercase.
     */
@@ -142,14 +156,24 @@ object RobotsTxt {
   }
 
   /** Verdict per URL row: `urls` must expose `domainCol` and `pathCol`;
-    * output appends `allowed` (0/1) and `rule_len` (octet length of the
-    * winning rule's RAW path — the §2.2.2 specificity measure, wildcards
-    * and anchor included; 0 when no rule matched). `agent` is OUR
-    * crawler's token, lowercase.
+    * output appends `allowed` (0/1) and `rule_len` (OCTET length of the
+    * winning rule's RAW path — §2.2.2 measures specificity in octets,
+    * not characters, which diverges exactly for non-ASCII rule paths;
+    * wildcards and anchor included; 0 when no rule matched). `agent` is
+    * OUR crawler's token, lowercase.
+    *
+    * `groups` — when given, the (domain, agent) output of
+    * [[agentGroupRows]] — decides group PRESENCE for the
+    * specific-suppresses-`*` election from the UA runs themselves, so a
+    * rule-less group for our agent correctly suppresses the `*` rules
+    * (→ everything allowed). Without it, presence falls back to the
+    * rule rows (callers that only materialized [[ruleRows]]; identical
+    * whenever every group carries at least one rule).
     */
   def allowed(urls: DataFrame, rules: DataFrame, domainCol: String,
-      pathCol: String, agent: String): DataFrame = {
-    val hasSpecific = rules.filter(col("agent") === agent)
+      pathCol: String, agent: String,
+      groups: Option[DataFrame] = None): DataFrame = {
+    val hasSpecific = groups.getOrElse(rules).filter(col("agent") === agent)
       .select(col("domain")).distinct()
       .withColumn("__spec", lit(true))
     val effective = rules.join(hasSpecific, Seq("domain"), "left")
@@ -167,7 +191,7 @@ object RobotsTxt {
         when(col("__ispat"), regexp_like(col("__p"), col("__rx")))
           .otherwise(col("__p").startsWith(col("rpath"))))
       .groupBy(col("__d"), col("__p"))
-      .agg(max(struct(length(col("rpath")).as("l"), col("allow").as("a")))
+      .agg(max(struct(octet_length(col("rpath")).as("l"), col("allow").as("a")))
         .as("__win"))
       .select(col("__d"), col("__p"),
         col("__win.a").as("__allow"), col("__win.l").cast("long").as("__len"))

@@ -128,10 +128,12 @@ object UrlOps {
     * so `a.site.co.jp` and `b.site.co.jp` key to `site.co.jp` instead of
     * the heuristic's `co.jp` (which would have merged every Japanese
     * commercial host into one cap bucket). A deployment swaps the file
-    * for the full current list; lines are exact label suffixes (the
-    * full PSL's `*.`/`!` rule syntax is a disclosed non-goal of the
-    * snapshot). Loaded once per JVM; executors resolve it from the
-    * application jar like any classpath resource.
+    * for the full current list; since round 15 the FULL PSL rule syntax
+    * applies — plain suffixes, `*.` wildcards (one label: `www.foo.ck`
+    * keys to itself under `*.ck`), and `!` exceptions (`a.www.ck` keys
+    * to `www.ck` under `!www.ck`) — and the snapshot ships the
+    * wildcard/exception TLD blocks. Loaded once per JVM; executors
+    * resolve it from the application jar like any classpath resource.
     */
   lazy val pslSnapshot: Set[String] = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.dat")

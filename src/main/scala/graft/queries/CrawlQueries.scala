@@ -24,9 +24,19 @@ private[graft] object CrawlQueries {
     * relative href (the round-14 attribute forms — both same-host so the
     * q284/ScaleProbe host-graph quotient is untouched), fragment-only,
     * and a non-hierarchical `mailto:` that resolution passes through and
-    * the http(s) filter drops. The oracle rebuilds the SAME page
-    * closed-form and replays extraction AND resolution with the
-    * identical RE2 patterns and CASE chain.
+    * the http(s) filter drops.
+    *
+    * Round 15 layers `<base href>` (WHATWG fallback-base order, the
+    * round-14 verdict's top coverage gap): doc_id%6==1 pages declare an
+    * ABSOLUTE base on another host — `basehost{m%3}.org` (keyed off `m`
+    * so the q284/ScaleProbe host-graph stays a corpus quotient) — plus a
+    * SECOND `<base>` that must be ignored (first-wins); doc_id%6==4
+    * pages declare a RELATIVE base (`/alt/dir/`), which itself resolves
+    * against the page URL first. Every relative reference on those
+    * pages must resolve against the effective base, not the page URL.
+    * The oracle rebuilds the SAME page closed-form and replays base
+    * extraction, base resolution, href extraction, and reference
+    * resolution with the identical RE2 patterns and CASE chains.
     */
   private def linkFixture(docs: DataFrame): DataFrame = {
     // the two-group regexp pass + per-href resolution downstream is
@@ -35,10 +45,17 @@ private[graft] object CrawlQueries {
     // (the q90 levenshtein lesson)
     val d = docs.select(col("doc_id"), pmod(col("doc_id"), lit(37)).as("m"))
       .repartition(32, col("doc_id"))
+    val k6 = pmod(col("doc_id"), lit(6))
     d.withColumn("base", concat(lit("https://site"), col("m"),
         lit(".com/a/b/page"), col("doc_id"), lit(".html")))
       .withColumn("html", concat(
-        lit("<html><body><a href=\"https://Other"), pmod(col("doc_id"), lit(5)),
+        lit("<html>"),
+        when(k6 === 1, concat(
+          lit("<head><base href=\"https://basehost"), pmod(col("m"), lit(3)),
+          lit(".org/bb/\"><base href=\"https://ignored.example/zz/\"></head>")))
+          .when(k6 === 4, lit("<head><base href=\"/alt/dir/\"></head>"))
+          .otherwise(lit("")),
+        lit("<body><a href=\"https://Other"), pmod(col("doc_id"), lit(5)),
         lit(".ORG/x//y/\">read <b>doc</b> "), col("doc_id"),
         lit("</a><a href=\"//cdn"), pmod(col("doc_id"), lit(3)),
         lit(".net/lib.js\">cdn</a><a href=\"/root/"), col("doc_id"),
@@ -61,10 +78,11 @@ private[graft] object CrawlQueries {
     */
   private[graft] def hostEdges(docs: DataFrame): DataFrame = {
     val fx = linkFixture(docs)
-    fx.select(col("m"), col("base"),
+    fx.select(col("m"),
+        graft.operators.LinkOps.effectiveBase(col("base"), col("html")).as("eb"),
         explode(graft.operators.LinkOps.extractHrefs(col("html"))).as("href"))
       .withColumn("resolved",
-        graft.operators.LinkOps.resolveReference(col("base"), col("href")))
+        graft.operators.LinkOps.resolveReference(col("eb"), col("href")))
       .filter(col("resolved").rlike("^https?://"))
       .select(concat(lit("site"), col("m"), lit(".com")).as("src_host"),
         lower(regexp_extract(col("resolved"), "^[a-z]+://([^:/?]*)", 1))
@@ -95,9 +113,11 @@ private[graft] object CrawlQueries {
         graft.operators.LinkOps.extractHrefs($"html"),
         graft.operators.LinkOps.extractAnchorTexts($"html"),
         (h, a) => struct(h.as("href"), a.as("anchor")))
-      fx.select($"doc_id", $"base", posexplode(pairs))
+      fx.select($"doc_id",
+          graft.operators.LinkOps.effectiveBase($"base", $"html").as("eb"),
+          posexplode(pairs))
         .select($"doc_id", ($"pos" + 1).cast("long").as("link_no"),
-          graft.operators.LinkOps.resolveReference($"base", $"col.href")
+          graft.operators.LinkOps.resolveReference($"eb", $"col.href")
             .as("resolved"),
           $"col.anchor".as("anchor"))
         .filter($"resolved".rlike("^https?://"))
@@ -345,7 +365,9 @@ private[graft] object CrawlQueries {
             .otherwise(lit(""))))
       val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
       val ok = graft.operators.RobotsTxt
-        .allowed(urls, rules, "domain", "path", "graftbot")
+        .allowed(urls, rules, "domain", "path", "graftbot",
+          groups = Some(graft.operators.RobotsTxt
+            .agentGroupRows(robots, "domain", "txt")))
         .filter($"allowed" === 1)
         .select($"doc_id", $"domain", $"path", $"priority")
       graft.operators.Batching.groupedRowNumber(
@@ -373,9 +395,11 @@ private[graft] object CrawlQueries {
         graft.operators.LinkOps.extractHrefs($"html"),
         graft.operators.LinkOps.extractAnchorTexts($"html"),
         (h, a) => struct(h.as("href"), a.as("anchor")))
-      val links = fx.select($"m", $"base", explode(pairs).as("p"))
+      val links = fx.select($"m",
+          graft.operators.LinkOps.effectiveBase($"base", $"html").as("eb"),
+          explode(pairs).as("p"))
         .withColumn("resolved",
-          graft.operators.LinkOps.resolveReference($"base", $"p.href"))
+          graft.operators.LinkOps.resolveReference($"eb", $"p.href"))
         .filter($"resolved".rlike("^https?://"))
         .select(
           graft.operators.UrlOps.canonicalizeUrlFull($"resolved").as("url"),
@@ -591,13 +615,17 @@ private[graft] object CrawlQueries {
       })
       // round 14: the prior key is the PSL registrable domain of a real
       // subdomained host — multi-label suffixes included, so the
-      // heuristic's co.jp collapse can never pool unrelated sites' keeps
-      val tlds = array(lit("com"), lit("co.jp"), lit("com.au"), lit("co.uk"))
+      // heuristic's co.jp collapse can never pool unrelated sites' keeps.
+      // Round 15: the m%5==4 sites sit under the `*.ck` WILDCARD, where
+      // every subdomain is an independent registrable domain — their
+      // priors must accumulate per-subdomain, never pooled per site
+      val tlds = array(lit("com"), lit("co.jp"), lit("com.au"), lit("co.uk"),
+        lit("ck"))
       val prefixes = array(lit(""), lit("www."), lit("blog."))
       val host = concat(
         element_at(prefixes, (pmod($"doc_id", lit(3)) + 1).cast("int")),
         lit("site"), pmod($"doc_id", lit(37)), lit("."),
-        element_at(tlds, (pmod(pmod($"doc_id", lit(37)), lit(4)) + 1).cast("int")))
+        element_at(tlds, (pmod(pmod($"doc_id", lit(37)), lit(5)) + 1).cast("int")))
       val scored = t(s, dir, "documents").repartition(32, $"doc_id")
         .select($"doc_id",
           graft.operators.UrlOps.registrableDomainPsl(
@@ -628,8 +656,10 @@ private[graft] object CrawlQueries {
     // md5 downstream.
     "q296_warc_chunked_ingest" -> ((s, dir) => {
       import s.implicits._
+      // round 15: through the DSv2 `warc` table (file write + pruned scan)
       val warcs = graft.sources.WarcReader.buildChunkedFixture(t(s, dir, "documents"))
-      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      val recs = graft.sources.WarcReader.viaTable(s, warcs, "warc",
+        "q296-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val isHtml = $"content_type".startsWith("text/html")
       recs.filter($"warc_type" === "response")
         .withColumn("canon_url",
@@ -669,13 +699,18 @@ private[graft] object CrawlQueries {
       // round 14: trap keys are PSL registrable domains of subdomained
       // hosts (multi-label suffixes included) — a trap hiding behind
       // rotating `www.`/`m.` subdomains on a co.jp site must still
-      // aggregate onto ONE domain row
-      val tlds = array(lit("com"), lit("co.jp"), lit("com.au"), lit("co.uk"))
+      // aggregate onto ONE domain row. Round 15: the m%5==4 sites sit
+      // under the `*.ck` WILDCARD — each subdomain is its own
+      // registrable domain, so their signals aggregate per-subdomain
+      // (the correct behavior: unrelated `.ck` sites must never share a
+      // trap verdict)
+      val tlds = array(lit("com"), lit("co.jp"), lit("com.au"), lit("co.uk"),
+        lit("ck"))
       val prefixes = array(lit(""), lit("www."), lit("m."))
       val hostOf = concat(
         element_at(prefixes, (pmod($"doc_id", lit(3)) + 1).cast("int")),
         lit("site"), $"m", lit("."),
-        element_at(tlds, (pmod($"m", lit(4)) + 1).cast("int")))
+        element_at(tlds, (pmod($"m", lit(5)) + 1).cast("int")))
       val normal = docs.select($"m", $"doc_id",
         concat(lit("https://"), hostOf, lit("/p/"), $"doc_id").as("url"),
         $"text")
@@ -727,9 +762,11 @@ private[graft] object CrawlQueries {
     // or off-by-one inflate flips every md5 downstream.
     "q298_warc_content_encoding" -> ((s, dir) => {
       import s.implicits._
+      // round 15: through the DSv2 `warc` table (file write + pruned scan)
       val warcs = graft.sources.WarcReader
         .buildContentEncodedFixture(t(s, dir, "documents"))
-      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      val recs = graft.sources.WarcReader.viaTable(s, warcs, "warc",
+        "q298-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val isHtml = $"content_type".startsWith("text/html")
       recs.filter($"warc_type" === "response")
         .withColumn("canon_url",
@@ -755,15 +792,21 @@ private[graft] object CrawlQueries {
     // (q297), domain quality prior (q295/q288 scorer), and politeness
     // waves (q289) over ONE URL scan that is never re-read. Robots rules
     // collapse to a per-domain rule ARRAY (quotient-sized → broadcast)
-    // and the longest-match election runs SCAN-SIDE as an `aggregate`
-    // higher-order fold — no per-URL join or regroup; trap signals and
-    // the Laplace prior share ONE domain rollup (the first corpus-sized
-    // shuffle, broadcast back); survivors rank into fetch waves through
-    // the windowless skew-safe grouped rank (range exchange + span
-    // join, `broadcastSpans = false` because domains are
-    // crawl-cardinality — the q270 shape and its measured trade). The
-    // oracle chains the per-stage oracles: scorer, signals, robots
-    // window election, gates, and the wave window.
+    // — each rule carrying its PRE-COMPILED §2.2.3 pattern (rule-side
+    // `rulePattern`, so the per-row regex work exists only for the
+    // rules that need it) — and the most-octets election runs SCAN-SIDE
+    // as an `aggregate` higher-order fold whose match branches
+    // `regexp_like` for wildcard/anchored rules and `startsWith` for
+    // plain prefixes, the full q278 semantics (round 15; the fold was
+    // prefix-only before). Group presence comes from the UA runs
+    // (agentGroupRows). Trap signals and the Laplace prior share ONE
+    // domain rollup (the first corpus-sized shuffle, broadcast back);
+    // survivors rank into fetch waves through the windowless skew-safe
+    // grouped rank (range exchange + span join, `broadcastSpans =
+    // false` because domains are crawl-cardinality — the q270 shape and
+    // its measured trade). The oracle chains the per-stage oracles:
+    // scorer, signals, robots compile+election, gates, and the wave
+    // window.
     "q299_frontier_fused" -> ((s, dir) => {
       import s.implicits._
       val k = pmod($"doc_id", lit(6))
@@ -825,25 +868,37 @@ private[graft] object CrawlQueries {
       val robots = base.select($"domain", $"m").distinct()
         .withColumn("txt", concat(
           lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
-            "Disallow: /tmp\nDisallow: /dup\nAllow: /dup\n"),
+            "Disallow: /tmp\nDisallow: /dup\nAllow: /dup\n" +
+            "Disallow: /article/*7$\nAllow: /tmp/x$\n"),
           when(pmod($"m", lit(3)) === 0,
-            lit("\nUser-agent: graftbot\nDisallow: /p/9\nAllow: /p\n"))
+            lit("\nUser-agent: graftbot\nDisallow: /p/9\nAllow: /p\n" +
+              "Disallow: /article/*9$\n"))
             .otherwise(lit(""))))
       val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
-      val hasSpec = rules.filter($"agent" === "graftbot")
+      val hasSpec = graft.operators.RobotsTxt
+        .agentGroupRows(robots, "domain", "txt")
+        .filter($"agent" === "graftbot")
         .select($"domain").distinct().withColumn("__s", lit(true))
       val rulesArr = rules.join(hasSpec, Seq("domain"), "left")
         .filter(when(coalesce($"__s", lit(false)), $"agent" === "graftbot")
           .otherwise($"agent" === "*"))
+        // §2.2.3 compile happens RULE-side (quotient-sized), so the
+        // broadcast array ships ready-to-match patterns; the scan-side
+        // fold only evaluates them
+        .withColumn("ispat",
+          $"rpath".contains("*") || $"rpath".endsWith("$"))
+        .withColumn("rx", graft.operators.RobotsTxt.rulePattern($"rpath"))
         .groupBy($"domain")
-        .agg(collect_list(struct($"allow", $"rpath")).as("rs"))
+        .agg(collect_list(struct($"allow", $"rpath", $"ispat", $"rx")).as("rs"))
       val win = aggregate($"rs",
         struct(lit(-1).as("l"), lit(1).as("a")),
-        (acc, r) => when($"path".startsWith(r.getField("rpath")) &&
-            (length(r.getField("rpath")) > acc.getField("l") ||
-              (length(r.getField("rpath")) === acc.getField("l") &&
+        (acc, r) => when(
+          when(r.getField("ispat"), regexp_like($"path", r.getField("rx")))
+            .otherwise($"path".startsWith(r.getField("rpath"))) &&
+            (octet_length(r.getField("rpath")) > acc.getField("l") ||
+              (octet_length(r.getField("rpath")) === acc.getField("l") &&
                 r.getField("allow") > acc.getField("a"))),
-          struct(length(r.getField("rpath")).as("l"),
+          struct(octet_length(r.getField("rpath")).as("l"),
             r.getField("allow").as("a"))).otherwise(acc))
       val gated = uu
         .join(broadcast(dom), Seq("domain"))
@@ -871,7 +926,13 @@ private[graft] object CrawlQueries {
     // the same specific-group-suppresses-`*` selection — the fixture
     // pins exactly that: domains naming graftbot publish a generic 2 s
     // delay AND a graftbot 0.5 s delay, and the generic value must be
-    // IGNORED there. Each URL's earliest polite fetch offset is
+    // IGNORED there. Group PRESENCE comes from the UA runs themselves
+    // ([[graft.operators.RobotsTxt.agentGroupRows]]), NOT from rule
+    // rows — the m%3==1 domains pin the case that distinction exists
+    // for: their graftbot group contains ONLY a `Crawl-delay: 3` line
+    // (zero rules), yet it is still OUR group, so the generic rules AND
+    // the generic delay are both ignored wholesale (everything allowed,
+    // 3000 ms). Each URL's earliest polite fetch offset is
     // (wave − 1) × delay_ms in exact integer milliseconds (halves like
     // 0.5 s are the published norm — parsed ×1000 exact); domains with
     // no delay in their effective group default to 1000 ms. The oracle
@@ -903,21 +964,29 @@ private[graft] object CrawlQueries {
               // wholesale) and the default applies — the interop case
               when(pmod($"m", lit(2)) === 0, lit("Crawl-delay: 0.5\n"))
                 .otherwise(lit(""))))
+            // m%3==1: a graftbot group with ONLY a delay line — zero
+            // rules, but the group EXISTS, so `*` is ignored wholesale
+            .when(pmod($"m", lit(3)) === 1,
+              lit("\nUser-agent: graftbot\nCrawl-delay: 3\n"))
             .otherwise(lit(""))))
       val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
       val delays = graft.operators.RobotsTxt.crawlDelayRows(robots, "domain", "txt")
+      val groups = graft.operators.RobotsTxt.agentGroupRows(robots, "domain", "txt")
       // effective delay: the group our agent actually READS — presence
-      // decided by the RULES (a graftbot group without a delay line
-      // means default, never the generic group's value), defaulting to
-      // 1000 ms — a quotient-sized relation, broadcast onto the frontier
-      val hasSpec = rules.filter($"agent" === "graftbot")
+      // decided by the UA RUNS (a graftbot group whose only line is a
+      // delay still suppresses the generic group; one with rules but no
+      // delay line means default, never the generic value), defaulting
+      // to 1000 ms — a quotient-sized relation, broadcast onto the
+      // frontier
+      val hasSpec = groups.filter($"agent" === "graftbot")
         .select($"domain").distinct().withColumn("__s", lit(true))
       val effDelay = delays.join(hasSpec, Seq("domain"), "left")
         .filter(when(coalesce($"__s", lit(false)), $"agent" === "graftbot")
           .otherwise($"agent" === "*"))
         .groupBy($"domain").agg(min($"delay_ms").as("delay_ms"))
       val ok = graft.operators.RobotsTxt
-        .allowed(urls, rules, "domain", "path", "graftbot")
+        .allowed(urls, rules, "domain", "path", "graftbot",
+          groups = Some(groups))
         .filter($"allowed" === 1)
         .select($"doc_id", $"domain", $"priority")
       graft.operators.Batching.groupedRowNumber(
@@ -934,35 +1003,84 @@ private[graft] object CrawlQueries {
 
     // Redirect-chain resolution ([[graft.operators.RedirectChains]]) —
     // a URL's identity is where its chain LANDS: archived 3xx records'
-    // Location headers (now surfaced by the WARC walk as
-    // `http_location` — REAL bytes through build→gzip→walk→HTTP-split)
-    // form the edge relation, and every capture URL resolves through
-    // bounded equi self-joins with cycle detection. The fixture layers
-    // one-hop 301s, a two-hop 302→301 chain, and a 302 LOOP over the
-    // 200 pages; the oracle rebuilds the same edges closed-form and
-    // REPLAYS the hop joins, the chain-containment loop flag, the
-    // truncation probe, and the final-status join generically. Edge
-    // relation is the 3xx subset — id-sized rows, never payloads.
+    // Location headers (REAL bytes through build→gzip→walk→HTTP-split)
+    // AND — round 15 — `<meta http-equiv=refresh>` redirects extracted
+    // from 200-HTML payloads ([[graft.operators.HtmlOps.metaRefreshUrl]]
+    // scan-side, relative targets resolved like hrefs) form ONE edge
+    // relation tagged by `kind` (http/meta), and every capture URL
+    // resolves through bounded equi self-joins with cycle detection.
+    // The fixture layers one-hop 301s, a two-hop 302→301 chain, a 302
+    // LOOP, a one-hop meta redirect, and a MIXED meta→http chain over
+    // the 200 pages; the oracle rebuilds both edge kinds closed-form
+    // and REPLAYS the hop joins, the chain-containment loop flag, the
+    // truncation probe, the first-hop kind, and the final-status join
+    // generically. Meta extraction happens in the same scan-side
+    // projection as the record walk, so payloads never outlive their
+    // task; the edge relation stays the redirecting subset — id-sized
+    // rows.
     "q301_redirect_chains" -> ((s, dir) => {
       import s.implicits._
       val warcs = graft.sources.WarcReader
         .buildRedirectFixture(t(s, dir, "documents"))
       val recs = graft.sources.WarcReader.records(warcs, "warc")
         .filter($"warc_type" === "response")
-        .select($"target_uri", $"http_status", $"http_location")
+        .select($"target_uri", $"http_status", $"http_location",
+          when($"http_status" === 200 && $"content_type".startsWith("text/html"),
+            graft.operators.HtmlOps.metaRefreshUrl(decode($"payload", "UTF-8")))
+            .otherwise("").as("meta_target"))
         .localCheckpoint(false) // starts + edges + final-status all read it
-      val edges = recs
+      val httpEdges = recs
         .filter($"http_status" >= 300 && $"http_status" < 400 &&
           $"http_location" =!= "")
-        .select($"target_uri".as("src"), $"http_location".as("dst"))
+        .select($"target_uri".as("src"), $"http_location".as("dst"),
+          lit("http").as("kind"))
+      val metaEdges = recs.filter($"meta_target" =!= "")
+        .select($"target_uri".as("src"),
+          graft.operators.LinkOps
+            .resolveReference($"target_uri", $"meta_target").as("dst"),
+          lit("meta").as("kind"))
+      val edges = httpEdges.unionByName(metaEdges)
       val starts = recs.select($"target_uri".as("url"))
+      val firstKind = edges.select($"src", $"kind")
       graft.operators.RedirectChains
         .resolve(starts, edges, "url", "src", "dst", maxHops = 3)
         .join(recs.select($"target_uri".as("final_url"),
           $"http_status".as("fstat")), Seq("final_url"), "left")
+        .join(firstKind, col("url") === col("src"), "left")
         .select($"url".as("start_url"), $"final_url", $"n_hops",
-          $"chain_status", coalesce($"fstat", lit(0)).cast("long").as("final_status"))
+          $"chain_status", coalesce($"fstat", lit(0)).cast("long").as("final_status"),
+          coalesce($"kind", lit("")).as("first_kind"))
         .orderBy($"start_url")
+    }),
+
+
+    // Content-Encoding census — the standing quantification of the
+    // undecoded-coding share (the round-14 verdict's brotli/zstd gap):
+    // per coding value, how many archived responses carry it and how
+    // many payload bytes stay OPAQUE to every downstream consumer
+    // (HtmlOps, charset sniff, MIME census all see raw coded bytes on
+    // `;undecoded` rows). The fixture cycles identity / well-formed
+    // gzip / x-gzip / deflate / brotli / zstd / CORRUPT-gzip, so the
+    // census proves both directions: decodable codings decode (their
+    // payload bytes equal the page bytes) and undecodable ones are
+    // flagged, never silently passed off as text. One scan, one
+    // coding-keyed aggregate — at 100 TB this is the cheapest query in
+    // the wing (the payload bytes never shuffle; only per-coding
+    // counters do).
+    "q302_encoding_census" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = graft.sources.WarcReader
+        .buildEncodingCensusFixture(t(s, dir, "documents"))
+      graft.sources.WarcReader.records(warcs, "warc")
+        .filter($"warc_type" === "response")
+        .groupBy($"content_encoding")
+        .agg(count(lit(1)).as("n_responses"),
+          sum(length($"payload")).cast("long").as("n_payload_bytes"))
+        .withColumn("undecoded",
+          $"content_encoding".endsWith(";undecoded").cast("int"))
+        .select($"content_encoding", $"n_responses", $"n_payload_bytes",
+          $"undecoded")
+        .orderBy($"content_encoding")
     }),
   )
 
@@ -978,7 +1096,9 @@ private[graft] object CrawlQueries {
   private val FixtureCtes =
     """d AS (SELECT doc_id, doc_id % 37 AS m,
   'https://site' || (doc_id % 37)::VARCHAR || '.com/a/b/page' || doc_id::VARCHAR || '.html' AS base,
-  '<html><body><a href="https://Other' || (doc_id % 5)::VARCHAR || '.ORG/x//y/">read <b>doc</b> ' || doc_id::VARCHAR
+  '<html>' || CASE WHEN doc_id % 6 = 1 THEN '<head><base href="https://basehost' || (doc_id % 37 % 3)::VARCHAR || '.org/bb/"><base href="https://ignored.example/zz/"></head>'
+    WHEN doc_id % 6 = 4 THEN '<head><base href="/alt/dir/"></head>' ELSE '' END
+  || '<body><a href="https://Other' || (doc_id % 5)::VARCHAR || '.ORG/x//y/">read <b>doc</b> ' || doc_id::VARCHAR
   || '</a><a href="//cdn' || (doc_id % 3)::VARCHAR || '.net/lib.js">cdn</a><a href="/root/' || doc_id::VARCHAR
   || '?b=2&amp;a=1">rooted</a><a href="sub/p%7E' || doc_id::VARCHAR
   || '.html">tilde rel</a><a href="../up' || doc_id::VARCHAR
@@ -988,35 +1108,61 @@ private[graft] object CrawlQueries {
   || '@example.com">mail</a></body></html>' AS html
 FROM documents)"""
 
-  /** Extraction + §5.2.2 resolution + http(s) filter, DuckDB side (the
-    * generic replay of LinkOps; canonicalization is per-query).
+  /** The base-href pattern, SQL-quoted like [[HrefPat]]. */
+  private val BaseHrefPat =
+    """(?is)<base\s[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s>]+)"""
+
+  /** Extraction + WHATWG base election + §5.2.2 resolution + http(s)
+    * filter, DuckDB side (the generic replay of LinkOps: the FIRST
+    * `<base href>` resolves against the page URL, then every reference
+    * resolves against the resulting effective base — scheme/root/path/
+    * dir all derived from it generically; canonicalization is
+    * per-query).
     */
   private val ResolvedCtes = FixtureCtes + s""",
-x AS (SELECT doc_id, m, base,
+bs AS (SELECT *, regexp_extract(html, '$BaseHrefPat', 1) AS bh0 FROM d),
+bd AS (SELECT *, replace(replace(replace(replace(replace(
+    CASE WHEN starts_with(bh0, '"') THEN regexp_replace(bh0, '^"((?s).*)"$$', '\\1')
+         ELSE regexp_replace(bh0, '^''((?s).*)''$$', '\\1') END,
+    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS bh FROM bs),
+be AS (SELECT doc_id, m, base, html,
+  CASE WHEN b = '' THEN base
+       WHEN regexp_matches(b, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN b
+       WHEN starts_with(b, '//') THEN 'https:' || b
+       WHEN starts_with(b, '/') THEN 'https://site' || m::VARCHAR || '.com' || b
+       WHEN starts_with(b, '?') THEN base || b
+       ELSE 'https://site' || m::VARCHAR || '.com/a/b/' || b END AS eb
+FROM (SELECT *, regexp_replace(bh, '#.*$$', '') AS b FROM bd)),
+x AS (SELECT doc_id, m, base, eb,
   unnest(generate_series(1, len(regexp_extract_all(html, '$HrefPat', 1)))) AS link_no,
   unnest(regexp_extract_all(html, '$HrefPat', 1)) AS href0,
   unnest(regexp_extract_all(html, '$HrefPat', 2)) AS txt0
-FROM d),
-dec AS (SELECT doc_id, m, base, link_no,
+FROM be),
+dec AS (SELECT doc_id, m, base, eb, link_no,
   replace(replace(replace(replace(replace(
-    regexp_replace(regexp_replace(href0, '^"((?s).*)"$$', '\\1'), '^''((?s).*)''$$', '\\1'),
+    CASE WHEN starts_with(href0, '"') THEN regexp_replace(href0, '^"((?s).*)"$$', '\\1')
+         ELSE regexp_replace(href0, '^''((?s).*)''$$', '\\1') END,
     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS href,
   trim(regexp_replace(replace(replace(replace(replace(replace(regexp_replace(txt0, '(?s)<[^>]*>', '', 'g'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g')) AS anchor
 FROM x),
 res AS (SELECT doc_id, m, link_no, anchor,
   CASE WHEN regexp_matches(r, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN r
-       WHEN starts_with(r, '//') THEN 'https:' || r
-       WHEN starts_with(r, '/') THEN 'https://site' || m::VARCHAR || '.com' || r
-       WHEN r = '' THEN base
-       WHEN starts_with(r, '?') THEN base || r
-       ELSE 'https://site' || m::VARCHAR || '.com/a/b/' || r END AS resolved
-FROM (SELECT *, regexp_replace(href, '#.*$$', '') AS r FROM dec)),
+       WHEN starts_with(r, '//') THEN regexp_extract(eb, '^([A-Za-z][A-Za-z0-9+.-]*):', 1) || ':' || r
+       WHEN starts_with(r, '/') THEN ebroot || r
+       WHEN r = '' THEN ebroot || ebpath
+       WHEN starts_with(r, '?') THEN ebroot || ebpath || r
+       ELSE ebroot || regexp_replace(ebpath, '[^/]*$$', '') || r END AS resolved
+FROM (SELECT *,
+    regexp_extract(eb, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS ebroot,
+    CASE WHEN p0e = '' THEN '/' ELSE p0e END AS ebpath,
+    regexp_replace(href, '#.*$$', '') AS r
+  FROM (SELECT *, regexp_extract(eb, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0e FROM dec))),
 ok AS (SELECT * FROM res WHERE regexp_matches(resolved, '^https?://')),
 canon AS (SELECT doc_id, m, link_no, anchor,
   lower(regexp_extract(resolved, '^[a-z]+://([^:/?]*)', 1)) AS host,
-  regexp_replace(replace(replace(regexp_replace(
+  regexp_replace(replace(replace(replace(replace(regexp_replace(
       CASE WHEN p0 = '' THEN '/' ELSE p0 END,
-      '/{2,}', '/', 'g'), '%7E', '~'), '/a/b/../', '/a/'), '(.)/$$', '\\1') AS path,
+      '/{2,}', '/', 'g'), '%7E', '~'), '/a/b/../', '/a/'), '/bb/../', '/'), '/alt/dir/../', '/alt/'), '(.)/$$', '\\1') AS path,
   coalesce(array_to_string(list_sort(list_filter(string_split(
       regexp_replace(resolved, '^[^?]*\\??', ''), '&'),
     y -> NOT regexp_matches(y, '^(utm_[^=]*|fbclid|gclid)=') AND y <> '')), '&'), '') AS q
@@ -1273,7 +1419,10 @@ FROM cl GROUP BY spam_class ORDER BY spam_class""",
     "q295_domain_prior" ->
       raw"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x != '') AS t FROM documents),
 f AS (SELECT doc_id, list_concat(t, list_transform(generate_series(1, len(t) - 1), i -> t[i] || '_' || t[i + 1])) AS feats FROM tk),
-sc AS (SELECT doc_id, 'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk'])[((doc_id % 37) % 4)::INT + 1] AS domain,
+sc AS (SELECT doc_id,
+  CASE WHEN (doc_id % 37) % 5 = 4 THEN
+    (['','www.','blog.'])[(doc_id % 3)::INT + 1] || 'site' || (doc_id % 37)::VARCHAR || '.ck'
+  ELSE 'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk','ck'])[((doc_id % 37) % 5)::INT + 1] END AS domain,
   CASE WHEN coalesce(list_sum(list_transform(feats, x ->
     ((('0x' || substr(md5(x), 1, 8))::BIGINT % 4096) * 2654435761) % 2003 - 1001)), 0) > 0 THEN 1 ELSE 0 END AS keep
 FROM f),
@@ -1313,13 +1462,16 @@ FROM vis ORDER BY canon_url""",
     // strip the rotating subdomains through the PSL snapshot
     "q297_trap_detection" ->
       raw"""WITH docs AS (SELECT doc_id, text, doc_id % 37 AS m,
-  (['','www.','m.'])[(doc_id % 3)::INT + 1] || 'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk'])[((doc_id % 37) % 4)::INT + 1] AS host
+  (['','www.','m.'])[(doc_id % 3)::INT + 1] || 'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk','ck'])[((doc_id % 37) % 5)::INT + 1] AS host,
+  CASE WHEN (doc_id % 37) % 5 = 4 THEN
+    (['','www.','m.'])[(doc_id % 3)::INT + 1] || 'site' || (doc_id % 37)::VARCHAR || '.ck'
+  ELSE 'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk','ck'])[((doc_id % 37) % 5)::INT + 1] END AS dom
 FROM documents),
-nrm AS (SELECT m, doc_id, 'https://' || host || '/p/' || doc_id::VARCHAR AS url, text FROM docs),
-trp AS (SELECT m, doc_id,
+nrm AS (SELECT m, doc_id, dom, 'https://' || host || '/p/' || doc_id::VARCHAR AS url, text FROM docs),
+trp AS (SELECT m, doc_id, dom,
   'https://' || host || '/cal/' || doc_id::VARCHAR || '/view?session=' || (v * 7919 + doc_id)::VARCHAR || '&page=' || v::VARCHAR || '&cal=1' AS url, text
 FROM docs, generate_series(1, 5) AS t(v) WHERE m IN (5, 11)),
-u AS (SELECT m, 'site' || m::VARCHAR || '.' || (['com','co.jp','com.au','co.uk'])[(m % 4)::INT + 1] AS domain, url, sha256(text) AS digest,
+u AS (SELECT m, dom AS domain, url, sha256(text) AS digest,
   CASE WHEN contains(url, '?') THEN len(string_split(regexp_extract(url, '\?(.*)$$', 1), '&')) ELSE 0 END AS n_params,
   len(string_split(regexp_extract(url, '^https://[^/]*(/.*)$$', 1), '/')) - 1 AS depth
 FROM (SELECT * FROM nrm UNION ALL SELECT * FROM trp))
@@ -1405,7 +1557,8 @@ FROM uu GROUP BY domain),
 dm AS (SELECT domain, prior_ppm, CASE WHEN upc >= 3000 AND pmu >= 2000 THEN 1 ELSE 0 END AS is_trap FROM dom),
 rob AS (SELECT DISTINCT domain, m,
   'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) || 'Disallow: /dup' || chr(10) || 'Allow: /dup' || chr(10) ||
-  CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) ELSE '' END AS txt
+  'Disallow: /article/*7$$' || chr(10) || 'Allow: /tmp/x$$' || chr(10) ||
+  CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) || 'Disallow: /article/*9$$' || chr(10) ELSE '' END AS txt
 FROM base),
 lines AS (SELECT domain, unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln, unnest(string_split(txt, chr(10))) AS line FROM rob),
 fl AS (SELECT domain, ln, line, lower(trim(line)) AS lline FROM lines),
@@ -1419,11 +1572,19 @@ ru AS (SELECT domain, grp,
   trim(regexp_replace(line, '(?i)^\s*(allow|disallow):\s*', '')) AS rpath
   FROM g WHERE is_rule),
 rr AS (SELECT ru.domain, ag.agent, ru.allow, ru.rpath FROM ru JOIN ag USING (domain, grp) WHERE ru.rpath <> ''),
-spec AS (SELECT DISTINCT domain FROM rr WHERE agent = 'graftbot'),
+spec AS (SELECT DISTINCT domain FROM ag WHERE agent = 'graftbot'),
 eff AS (SELECT rr.domain, rr.allow, rr.rpath FROM rr LEFT JOIN spec ON rr.domain = spec.domain
   WHERE CASE WHEN spec.domain IS NOT NULL THEN rr.agent = 'graftbot' ELSE rr.agent = '*' END),
-mt AS (SELECT u.url, e.allow, length(e.rpath) AS l
-  FROM uu u JOIN eff e ON u.domain = e.domain AND starts_with(u.path, e.rpath)),
+eff2 AS (SELECT domain, allow, rpath, strlen(rpath) AS l,
+  (contains(rpath, '*') OR rpath LIKE '%$$') AS is_pat,
+  '^' || replace(regexp_replace(
+      CASE WHEN rpath LIKE '%$$' THEN substr(rpath, 1, length(rpath) - 1) ELSE rpath END,
+      '([.\\+?\[\](){}^$$|])', '\\\1', 'g'), '*', '.*')
+    || CASE WHEN rpath LIKE '%$$' THEN '$$' ELSE '' END AS rx
+FROM eff),
+mt AS (SELECT u.url, e.allow, e.l
+  FROM uu u JOIN eff2 e ON u.domain = e.domain
+   AND CASE WHEN e.is_pat THEN regexp_matches(u.path, e.rx) ELSE starts_with(u.path, e.rpath) END),
 win AS (SELECT url, allow, l, row_number() OVER (PARTITION BY url ORDER BY l DESC, allow DESC) AS rn FROM mt),
 gated AS (SELECT uu.doc_id, uu.url, uu.domain, uu.priority, dm.prior_ppm
   FROM uu JOIN dm ON uu.domain = dm.domain
@@ -1435,7 +1596,8 @@ SELECT doc_id, url, domain, priority, prior_ppm::BIGINT AS prior_ppm,
 FROM gated ORDER BY doc_id""",
 
     // q300: q289's robots replay + the group-scoped crawl-delay parse,
-    // the rules-presence group election, the 1000 ms default, and the
+    // the UA-run group-presence election (a delay-only graftbot group
+    // suppresses `*` wholesale), the 1000 ms default, and the
     // exact-millisecond pacing arithmetic
     "q300_frontier_pacing" ->
       raw"""WITH d AS (SELECT doc_id, doc_id % 37 AS m,
@@ -1453,6 +1615,7 @@ rob AS (SELECT DISTINCT domain, m,
   CASE WHEN m % 4 <> 3 THEN 'Crawl-delay: ' || (2 + m % 4)::VARCHAR || chr(10) ELSE '' END ||
   CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) ||
     CASE WHEN m % 2 = 0 THEN 'Crawl-delay: 0.5' || chr(10) ELSE '' END
+  WHEN m % 3 = 1 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Crawl-delay: 3' || chr(10)
   ELSE '' END AS txt
 FROM d),
 lines AS (SELECT domain, unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS ln, unnest(string_split(txt, chr(10))) AS line FROM rob),
@@ -1467,7 +1630,7 @@ ru AS (SELECT domain, grp,
   trim(regexp_replace(line, '(?i)^\s*(allow|disallow):\s*', '')) AS rpath
   FROM g WHERE is_rule),
 rr AS (SELECT ru.domain, ag.agent, ru.allow, ru.rpath FROM ru JOIN ag USING (domain, grp) WHERE ru.rpath <> ''),
-spec AS (SELECT DISTINCT domain FROM rr WHERE agent = 'graftbot'),
+spec AS (SELECT DISTINCT domain FROM ag WHERE agent = 'graftbot'),
 eff AS (SELECT rr.domain, rr.allow, rr.rpath FROM rr LEFT JOIN spec ON rr.domain = spec.domain
   WHERE CASE WHEN spec.domain IS NOT NULL THEN rr.agent = 'graftbot' ELSE rr.agent = '*' END),
 cd AS (SELECT g.domain, ag.agent,
@@ -1491,19 +1654,24 @@ SELECT wv.doc_id, wv.domain, wv.priority, wv.wave,
 FROM wv LEFT JOIN effd ON wv.domain = effd.domain
 ORDER BY wv.doc_id""",
 
-    // q301: the redirect graph rebuilt closed-form, then the RESOLUTION
-    // REPLAYED — three hop joins with the pre-step chain-containment
-    // loop flag, the truncation probe, and the final-status join
+    // q301: BOTH edge kinds rebuilt closed-form (http Location + meta
+    // refresh), then the RESOLUTION REPLAYED — three hop joins with the
+    // pre-step chain-containment loop flag, the truncation probe, the
+    // first-hop kind, and the final-status join
     "q301_redirect_chains" ->
       """WITH d AS (SELECT doc_id, doc_id % 4 AS k, 'https://site' || (doc_id % 37)::VARCHAR || '.com' AS h FROM documents),
 resp AS (
   SELECT h || '/p/' || doc_id::VARCHAR AS url, 200 AS status, '' AS loc FROM d
+  UNION ALL SELECT h || '/mm/' || doc_id::VARCHAR, 200, '' FROM d WHERE k = 0
+  UNION ALL SELECT h || '/m/' || doc_id::VARCHAR, 200, '' FROM d WHERE k = 1
   UNION ALL SELECT h || '/a/' || doc_id::VARCHAR, 301, h || '/p/' || doc_id::VARCHAR FROM d WHERE k = 1
   UNION ALL SELECT h || '/b/' || doc_id::VARCHAR, 302, h || '/a2/' || doc_id::VARCHAR FROM d WHERE k = 2
   UNION ALL SELECT h || '/a2/' || doc_id::VARCHAR, 301, h || '/p/' || doc_id::VARCHAR FROM d WHERE k = 2
   UNION ALL SELECT h || '/x/' || doc_id::VARCHAR, 302, h || '/y/' || doc_id::VARCHAR FROM d WHERE k = 3
   UNION ALL SELECT h || '/y/' || doc_id::VARCHAR, 302, h || '/x/' || doc_id::VARCHAR FROM d WHERE k = 3),
-e AS (SELECT url AS src, loc AS dst FROM resp WHERE status >= 300 AND status < 400 AND loc <> ''),
+e AS (SELECT url AS src, loc AS dst, 'http' AS kind FROM resp WHERE status >= 300 AND status < 400 AND loc <> ''
+  UNION ALL SELECT h || '/mm/' || doc_id::VARCHAR, h || '/p/' || doc_id::VARCHAR, 'meta' FROM d WHERE k = 0
+  UNION ALL SELECT h || '/m/' || doc_id::VARCHAR, h || '/a/' || doc_id::VARCHAR, 'meta' FROM d WHERE k = 1),
 s0 AS (SELECT url AS start_url, url AS cur, 0 AS n, [url] AS chain, false AS lp FROM resp),
 s1 AS (SELECT start_url,
   CASE WHEN e.dst IS NOT NULL AND NOT lp THEN e.dst ELSE cur END AS cur,
@@ -1525,10 +1693,27 @@ s3 AS (SELECT start_url,
 FROM s2 LEFT JOIN e ON s2.cur = e.src),
 fin AS (SELECT start_url, s3.cur AS final_url, n::BIGINT AS n_hops,
   CASE WHEN lp THEN 'loop' WHEN e.dst IS NOT NULL THEN 'truncated' ELSE 'resolved' END AS chain_status
-FROM s3 LEFT JOIN e ON s3.cur = e.src)
+FROM s3 LEFT JOIN e ON s3.cur = e.src),
+fk AS (SELECT s0.start_url, coalesce(e.kind, '') AS first_kind FROM s0 LEFT JOIN e ON s0.cur = e.src)
 SELECT f.start_url, f.final_url, f.n_hops, f.chain_status,
-  coalesce(r.status, 0)::BIGINT AS final_status
-FROM fin f LEFT JOIN resp r ON f.final_url = r.url
+  coalesce(r.status, 0)::BIGINT AS final_status, fk.first_kind
+FROM fin f LEFT JOIN resp r ON f.final_url = r.url JOIN fk ON f.start_url = fk.start_url
 ORDER BY f.start_url""",
+
+    // q302: the census replayed closed-form — the page length is exact
+    // (entity-escaped fixture html), decodable classes count DECODED
+    // bytes, the corrupt-gzip class counts its raw (magic + page) bytes
+    "q302_encoding_census" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS k,
+  octet_length(encode('<html><head><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p></body></html>')) AS blen
+FROM documents),
+c AS (SELECT
+  CASE k WHEN 0 THEN '' WHEN 1 THEN 'gzip' WHEN 2 THEN 'x-gzip' WHEN 3 THEN 'deflate'
+    WHEN 4 THEN 'br;undecoded' WHEN 5 THEN 'zstd;undecoded' ELSE 'gzip;undecoded' END AS content_encoding,
+  CASE WHEN k = 6 THEN blen + 2 ELSE blen END AS plen
+FROM d)
+SELECT content_encoding, count(*)::BIGINT AS n_responses, sum(plen)::BIGINT AS n_payload_bytes,
+  CASE WHEN content_encoding LIKE '%;undecoded' THEN 1 ELSE 0 END AS undecoded
+FROM c GROUP BY content_encoding ORDER BY content_encoding""",
   )
 }

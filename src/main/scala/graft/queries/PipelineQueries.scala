@@ -1659,13 +1659,22 @@ private[graft] object PipelineQueries {
       // label heuristic mis-keys (it would merge every *.co.jp host
       // into one bucket); the oracle states the registrable domain
       // closed-form while the engine must STRIP the subdomain and
-      // resolve the suffix from the data file
-      val tlds = array(lit("com"), lit("co.jp"), lit("com.au"), lit("co.uk"))
+      // resolve the suffix from the data file. Round 15 adds the PSL
+      // rule-syntax classes: `.ck` hosts exercise the `*.ck` WILDCARD
+      // (every `<label>.ck` is its own public suffix, so `www.site9.ck`
+      // caps independently of `site9.ck`), and every doc_id%11==7 doc
+      // rides a `sub{j}.www.ck` host the `!www.ck` EXCEPTION must pool
+      // into ONE `www.ck` bucket.
+      val tlds = array(lit("com"), lit("co.jp"), lit("com.au"), lit("co.uk"),
+        lit("ck"))
       val prefixes = array(lit(""), lit("www."), lit("a.b."))
-      val host = concat(
+      val host0 = concat(
         element_at(prefixes, (pmod($"doc_id", lit(3)) + 1).cast("int")),
         lit("site"), pmod($"doc_id", lit(37)), lit("."),
-        element_at(tlds, (pmod($"doc_id", lit(4)) + 1).cast("int")))
+        element_at(tlds, (pmod($"doc_id", lit(5)) + 1).cast("int")))
+      val host = when(pmod($"doc_id", lit(11)) === 7,
+        concat(lit("sub"), pmod($"doc_id", lit(3)), lit(".www.ck")))
+        .otherwise(host0)
       val withDomain = t(s, dir, "documents").select($"doc_id")
         .withColumn("domain", graft.operators.UrlOps.registrableDomainPsl(
           host, graft.operators.UrlOps.pslSnapshot))
@@ -1736,8 +1745,12 @@ private[graft] object PipelineQueries {
     // scan task — only record columns shuffle.
     "q273_warc_ingest" -> ((s, dir) => {
       import s.implicits._
+      // round 15: the chain runs through the DSv2 `warc` TABLE — blobs
+      // land as real .warc.gz files and come back through the
+      // column-pruning scan (WarcTableSpec pins the pushed schema)
       val warcs = graft.sources.WarcReader.buildFixture(t(s, dir, "documents"))
-      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      val recs = graft.sources.WarcReader.viaTable(s, warcs, "warc",
+        "q273-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       val isHtml = $"content_type".startsWith("text/html")
       recs.filter($"warc_type" === "response")
         .withColumn("canon_url",
@@ -1832,14 +1845,18 @@ private[graft] object PipelineQueries {
     // special forms: `/*.pdf$` (wildcard + end anchor) blocks the pdf
     // path class, `Allow: /cal/*/view` (11 octets) rescues calendar
     // views from `Disallow: /cal/` (5), and the regex COMPILATION
-    // itself (escape, `*`→`.*`, `$`→anchor) is replayed in SQL. The
-    // `Sitemap:` directives — one per domain plus one INSIDE the
-    // graftbot block, which §2.3 makes file-wide anyway — surface as a
-    // per-domain count, the discovery handoff to q282's parser. URLs
-    // cycle eight path shapes.
+    // itself (escape, `*`→`.*`, `$`→anchor) is replayed in SQL. Round
+    // 15 pins §2.2.2's "most OCTETS" literally: path class 8 matches
+    // both `Disallow: /n/éé*` (6 chars / 8 octets) and `Allow: /n/*xy`
+    // (6 chars / 6 octets) — by characters they would TIE (allow wins);
+    // by octets the disallow is more specific, so the class is blocked,
+    // rule_len 8. The `Sitemap:` directives — one per domain plus one
+    // INSIDE the graftbot block, which §2.3 makes file-wide anyway —
+    // surface as a per-domain count, the discovery handoff to q282's
+    // parser. URLs cycle nine path shapes.
     "q278_robots_txt" -> ((s, dir) => {
       import s.implicits._
-      val k = pmod($"doc_id", lit(8))
+      val k = pmod($"doc_id", lit(9))
       val urls = t(s, dir, "documents").select($"doc_id")
         .withColumn("m", pmod($"doc_id", lit(37)))
         .withColumn("domain", concat(lit("site"), $"m", lit(".com")))
@@ -1851,21 +1868,25 @@ private[graft] object PipelineQueries {
             .when(k === 4, lit("/dup/z"))
             .when(k === 5, concat(lit("/files/doc"), $"doc_id", lit(".pdf")))
             .when(k === 6, concat(lit("/cal/"), $"doc_id", lit("/view")))
-            .otherwise(concat(lit("/cal/"), $"doc_id", lit("/edit"))))
+            .when(k === 7, concat(lit("/cal/"), $"doc_id", lit("/edit")))
+            .otherwise(concat(lit("/n/éé"), $"doc_id", lit("xy"))))
       val robots = urls.select($"domain", $"m").distinct()
         .withColumn("txt", concat(
           lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
             "Disallow: /tmp\nDisallow: /dup\nAllow: /dup\n" +
             "Disallow: /*.pdf$\nAllow: /cal/*/view\nDisallow: /cal/\n" +
+            "Disallow: /n/éé*\nAllow: /n/*xy\n" +
             "Sitemap: https://site"), $"m", lit(".com/sitemap.xml\n"),
           when(pmod($"m", lit(3)) === 0,
             concat(lit("\nUser-agent: graftbot\nDisallow: /p/9\nAllow: /p\n" +
               "Sitemap: https://site"), $"m", lit(".com/sitemap-extra.xml\n")))
             .otherwise(lit(""))))
       val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+      val groups = graft.operators.RobotsTxt.agentGroupRows(robots, "domain", "txt")
       val sm = graft.operators.RobotsTxt.sitemapRows(robots, "domain", "txt")
         .groupBy($"domain").agg(count(lit(1)).as("n_sitemaps"))
-      graft.operators.RobotsTxt.allowed(urls, rules, "domain", "path", "graftbot")
+      graft.operators.RobotsTxt.allowed(urls, rules, "domain", "path", "graftbot",
+          groups = Some(groups))
         .join(broadcast(sm), Seq("domain"))
         .select($"doc_id", $"domain", $"path", $"allowed", $"rule_len",
           $"n_sitemaps")
@@ -2659,10 +2680,15 @@ FROM canon ORDER BY doc_id""",
     // q270: per-domain cap replayed as the per-domain salted-md5 window
     // (the groupedRowNumber output is byte-identical to the window form);
     // the registrable domain is STATED closed-form — the engine derives
-    // it from the subdomained host through the vendored PSL snapshot
+    // it from the subdomained host through the vendored PSL snapshot,
+    // including the `*.ck` wildcard (per-subdomain buckets) and the
+    // `!www.ck` exception (one pooled bucket)
     "q270_domain_caps" ->
       """WITH d AS (SELECT doc_id,
-  'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk'])[(doc_id % 4)::INT + 1] AS domain
+  CASE WHEN doc_id % 11 = 7 THEN 'www.ck'
+       WHEN doc_id % 5 = 4 THEN
+         (['','www.','b.'])[(doc_id % 3)::INT + 1] || 'site' || (doc_id % 37)::VARCHAR || '.ck'
+       ELSE 'site' || (doc_id % 37)::VARCHAR || '.' || (['com','co.jp','com.au','co.uk','ck'])[(doc_id % 5)::INT + 1] END AS domain
 FROM documents),
 r AS (SELECT domain, row_number() OVER (PARTITION BY domain ORDER BY md5('cap:' || doc_id::VARCHAR), doc_id) AS rn FROM d)
 SELECT domain, count(*)::BIGINT AS n_docs,
@@ -2803,14 +2829,15 @@ SELECT doc_id,
 FROM p ORDER BY doc_id""",
 
     // q278: the ENTIRE protocol replayed — same line explode, same
-    // grouping window (non-UA→UA transitions), same agent-group
-    // selection, the §2.2.3 regex COMPILATION (escape, `*`→`.*`,
-    // trailing-`$`→anchor) rebuilt in SQL, most-octets-allow-tiebreak
-    // election, and the group-independent Sitemap line count
+    // grouping window (non-UA→UA transitions), agent-group PRESENCE
+    // from the UA runs, the §2.2.3 regex COMPILATION (escape, `*`→`.*`,
+    // trailing-`$`→anchor) rebuilt in SQL, most-OCTETS-allow-tiebreak
+    // election (strlen, not length — the §2.2.2 divergence class 8
+    // pins), and the group-independent Sitemap line count
     "q278_robots_txt" ->
       """WITH d AS (SELECT doc_id, doc_id % 37 AS m,
   'site' || (doc_id % 37)::VARCHAR || '.com' AS domain,
-  CASE (doc_id % 8)
+  CASE (doc_id % 9)
     WHEN 0 THEN '/p/' || doc_id::VARCHAR
     WHEN 1 THEN '/private/a' || doc_id::VARCHAR
     WHEN 2 THEN '/private/ok/' || doc_id::VARCHAR
@@ -2818,11 +2845,13 @@ FROM p ORDER BY doc_id""",
     WHEN 4 THEN '/dup/z'
     WHEN 5 THEN '/files/doc' || doc_id::VARCHAR || '.pdf'
     WHEN 6 THEN '/cal/' || doc_id::VARCHAR || '/view'
-    ELSE '/cal/' || doc_id::VARCHAR || '/edit' END AS path
+    WHEN 7 THEN '/cal/' || doc_id::VARCHAR || '/edit'
+    ELSE '/n/éé' || doc_id::VARCHAR || 'xy' END AS path
 FROM documents),
 rob AS (SELECT DISTINCT domain,
   'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10) || 'Disallow: /dup' || chr(10) || 'Allow: /dup' || chr(10)
   || 'Disallow: /*.pdf$' || chr(10) || 'Allow: /cal/*/view' || chr(10) || 'Disallow: /cal/' || chr(10)
+  || 'Disallow: /n/éé*' || chr(10) || 'Allow: /n/*xy' || chr(10)
   || 'Sitemap: https://site' || m::VARCHAR || '.com/sitemap.xml' || chr(10) ||
   CASE WHEN m % 3 = 0 THEN chr(10) || 'User-agent: graftbot' || chr(10) || 'Disallow: /p/9' || chr(10) || 'Allow: /p' || chr(10) || 'Sitemap: https://site' || m::VARCHAR || '.com/sitemap-extra.xml' || chr(10) ELSE '' END AS txt
 FROM d),
@@ -2838,10 +2867,10 @@ ru AS (SELECT domain, grp,
   trim(regexp_replace(line, '(?i)^\s*(allow|disallow):\s*', '')) AS rpath
   FROM g WHERE is_rule),
 rr AS (SELECT ru.domain, ag.agent, ru.allow, ru.rpath FROM ru JOIN ag USING (domain, grp) WHERE ru.rpath <> ''),
-spec AS (SELECT DISTINCT domain FROM rr WHERE agent = 'graftbot'),
+spec AS (SELECT DISTINCT domain FROM ag WHERE agent = 'graftbot'),
 eff AS (SELECT rr.domain, rr.allow, rr.rpath FROM rr LEFT JOIN spec ON rr.domain = spec.domain
   WHERE CASE WHEN spec.domain IS NOT NULL THEN rr.agent = 'graftbot' ELSE rr.agent = '*' END),
-eff2 AS (SELECT domain, allow, rpath, length(rpath) AS l,
+eff2 AS (SELECT domain, allow, rpath, strlen(rpath) AS l,
   (contains(rpath, '*') OR rpath LIKE '%$') AS is_pat,
   '^' || replace(regexp_replace(
       CASE WHEN rpath LIKE '%$' THEN substr(rpath, 1, length(rpath) - 1) ELSE rpath END,

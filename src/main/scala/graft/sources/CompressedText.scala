@@ -44,10 +44,17 @@ object CompressedText {
     * gzip stream (magic, flags, or CRC failure — GZIPInputStream checks
     * the trailer CRC32, so corruption cannot yield silent garbage).
     */
+  /** Initial growth-buffer size: proportional to the input but clamped —
+    * `bytes.length * 3` overflows Int for entities past ~715 MB, and the
+    * ctor's IllegalArgumentException would crash the scan task instead
+    * of taking the skip-not-crash fallback the WARC split documents.
+    */
+  private def bufSize(n: Int): Int = math.max(64, math.min(n, Int.MaxValue / 4))
+
   def gunzip(bytes: Array[Byte]): Option[String] =
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-      val out = new ByteArrayOutputStream(bytes.length * 3)
+      val out = new ByteArrayOutputStream(bufSize(bytes.length))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -63,7 +70,7 @@ object CompressedText {
   def gunzipBytes(bytes: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-      val out = new ByteArrayOutputStream(bytes.length * 3)
+      val out = new ByteArrayOutputStream(bufSize(bytes.length))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -82,12 +89,12 @@ object CompressedText {
       val inf = new java.util.zip.Inflater(nowrap)
       try {
         inf.setInput(bytes)
-        val out = new ByteArrayOutputStream(bytes.length * 3)
+        val out = new ByteArrayOutputStream(bufSize(bytes.length))
         val buf = new Array[Byte](8192)
         var n = inf.inflate(buf)
         while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
         if (inf.finished()) Some(out.toByteArray) else None
-      } catch { case _: java.util.zip.DataFormatException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
       finally inf.end()
     }
     tryInflate(false).orElse(tryInflate(true))

@@ -192,10 +192,15 @@ object PdfCrypt {
   /** A verified empty-user-password decryptor for one document. `v5`
     * marks the ISO 32000-2 generation: streams decrypt under the FILE
     * key directly (Algorithm 1 per-object keys exist only in /V ≤ 4).
+    * `identity` marks an effective `/StmF /Identity` — the password
+    * still authenticated, but STREAMS are unencrypted and pass through
+    * verbatim (§7.6.5: Identity is the default stream filter, and a /V
+    * 4/5 document may encrypt strings only).
     */
   final case class Decryptor(key: Array[Byte], aes: Boolean,
-      v5: Boolean = false) {
+      v5: Boolean = false, identity: Boolean = false) {
     def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      if (identity) return data
       val k = if (v5) key else objKey(key, num, gen, aes)
       if (!aes) rc4(k, data)
       else if (data.length < 32 || data.length % 16 != 0) Array.emptyByteArray
@@ -212,6 +217,7 @@ object PdfCrypt {
     /** Builder-side inverse (fixtures): encrypt with a deterministic IV. */
     private[sources] def encryptStream(num: Int, gen: Int, data: Array[Byte],
         iv: Array[Byte]): Array[Byte] = {
+      if (identity) return data
       val k = if (v5) key else objKey(key, num, gen, aes)
       if (!aes) rc4(k, data)
       else {
@@ -240,6 +246,29 @@ object PdfCrypt {
       Integer.parseInt(even.substring(2 * i, 2 * i + 2), 16).toByte)
   }
 
+  /** §7.2.2/§7.3.5: a PDF name token runs until the next delimiter or
+    * whitespace — any other REGULAR character (letters, digits, `#`
+    * escapes, but also `-`, `+`, …) continues the name, so `/U-custom`
+    * must not satisfy a `/U` lookup.
+    */
+  private def nameContinues(c: Char): Boolean =
+    !(c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' ||
+      c == '\u0000' || "()<>[]{}/%".indexOf(c) >= 0)
+
+  /** The NAME value of a name-valued key (`/StmF /StdCF` → "StdCF"),
+    * token-bounded on both the key and the value.
+    */
+  private def pdfName(dict: String, keyName: String): Option[String] = {
+    var at = dict.indexOf(keyName)
+    while (at >= 0 && at + keyName.length < dict.length &&
+      nameContinues(dict.charAt(at + keyName.length)))
+      at = dict.indexOf(keyName, at + 1)
+    if (at < 0) return None
+    val rest = dict.substring(at + keyName.length).dropWhile(_.isWhitespace)
+    if (!rest.startsWith("/")) None
+    else Some(rest.drop(1).takeWhile(nameContinues))
+  }
+
   /** /O and /U values: hex string or literal string (escape table §7.3.4.2).
     * Key lookup is TOKEN-BOUNDED: `/U` must not match the `/UE` or `/URI`
     * prefix (the V5 dicts carry both /U and /UE), so the char after the
@@ -247,10 +276,9 @@ object PdfCrypt {
     */
   private def pdfString(dict: String, keyName: String): Option[Array[Byte]] = {
     var at = dict.indexOf(keyName)
-    while (at >= 0 && at + keyName.length < dict.length && {
-      val c = dict.charAt(at + keyName.length)
-      c.isLetterOrDigit || c == '#' // still inside a longer name token
-    }) at = dict.indexOf(keyName, at + 1)
+    while (at >= 0 && at + keyName.length < dict.length &&
+      nameContinues(dict.charAt(at + keyName.length)))
+      at = dict.indexOf(keyName, at + 1)
     if (at < 0) return None
     val rest = dict.substring(at + keyName.length)
     val hex = HexStrRe.findPrefixMatchOf(rest.dropWhile(_.isWhitespace))
@@ -313,15 +341,22 @@ object PdfCrypt {
           p <- IntRe("P").findFirstMatchIn(dict).map(_.group(1).toInt)
           o <- pdfString(dict, "/O")
           u <- pdfString(dict, "/U")
-          aes = v == 4 && dict.contains("/AESV2")
-          if v != 4 || aes || dict.contains("/Identity")
+          // §7.6.5: /StmF names the STREAM crypt filter; the default is
+          // /Identity (streams unencrypted even though the doc has an
+          // Encrypt dict). /V ≤ 2 predates crypt filters — always RC4.
+          stmF = if (v == 4) pdfName(dict, "/StmF").getOrElse("Identity")
+            else "StdCF"
+          cfm = if (v == 4) pdfName(dict, "/CFM").getOrElse("") else ""
+          if v <= 2 || stmF == "Identity" ||
+            (stmF == "StdCF" && (cfm == "AESV2" || cfm == "V2"))
           nBytes = if (r == 2) 5
             else IntRe("Length").findFirstMatchIn(dict).map(_.group(1).toInt / 8).getOrElse(5)
           key = fileKey(Array.emptyByteArray, o, p, id0, r, nBytes)
           uWant = computeU(key, id0, r)
           if (if (r == 2) java.util.Arrays.equals(uWant, u.take(32))
               else java.util.Arrays.equals(uWant.take(16), u.take(16)))
-        } yield Decryptor(key, aes)
+        } yield Decryptor(key, aes = cfm == "AESV2",
+          identity = v == 4 && stmF == "Identity")
       case _ => None
     }
   }
@@ -333,12 +368,18 @@ object PdfCrypt {
     */
   private def decryptorV5(dict: String, r: Int): Option[Decryptor] = {
     val empty = Array.emptyByteArray
+    // §7.6.5: the effective STREAM filter — /Identity (the default when
+    // /StmF is absent) means streams are NOT encrypted even though the
+    // password still authenticates; /StdCF must declare /CFM /AESV3 in
+    // this generation. Any other name refuses (the stub path).
+    val stmF = pdfName(dict, "/StmF").getOrElse("Identity")
+    val cfm = pdfName(dict, "/CFM").getOrElse("")
     for {
       u <- pdfString(dict, "/U")
       if u.length >= 48
       ue <- pdfString(dict, "/UE")
       if ue.length == 32
-      if dict.contains("/AESV3") || dict.contains("/Identity")
+      if stmF == "Identity" || (stmF == "StdCF" && cfm == "AESV3")
       vsalt = java.util.Arrays.copyOfRange(u, 32, 40)
       ksalt = java.util.Arrays.copyOfRange(u, 40, 48)
       if java.util.Arrays.equals(hash2B(empty, vsalt, empty, r), u.take(32))
@@ -351,7 +392,8 @@ object PdfCrypt {
           plain(9) == 'a' && plain(10) == 'd' && plain(11) == 'b'
         }
       }
-    } yield Decryptor(fileKey, aes = true, v5 = true)
+    } yield Decryptor(fileKey, aes = true, v5 = true,
+      identity = stmF == "Identity")
   }
 
   // ---------------------------------------------------------------------

@@ -62,15 +62,30 @@ object WarcReader {
     * Uncompressed input (no gzip magic) is treated as one member; a
     * member may hold several records (non-canonical but legal).
     */
-  def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
+  def parse(bytes: Array[Byte]): Seq[WarcRecord] =
+    parseWith(bytes, needHttp = true, needPayload = true)
+
+  /** Pruning-aware walk — the [[graft.sources.warc]] DSv2 table's entry
+    * point: `needPayload` gates the block copy and BOTH decoding layers
+    * (dechunk + content-coding inflate — the expensive 90% of record
+    * work; also required for `content_encoding`, whose `;undecoded` flag
+    * only exists by attempting the decode); `needHttp` gates the HTTP
+    * head parse (status / Content-Type / Location — a head-only scan,
+    * no body byte is copied). With both false the walk reads WARC
+    * headers and JUMPS over blocks — a `select(warc_type, target_uri)`
+    * touches ~1% of the archive's bytes beyond the inflate.
+    */
+  private[sources] def parseWith(bytes: Array[Byte], needHttp: Boolean,
+      needPayload: Boolean): Seq[WarcRecord] = {
     val members =
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1f &&
         (bytes(1) & 0xFF) == 0x8b) CompressedText.gzipMembers(bytes)
       else Seq(bytes)
-    members.flatMap(memberRecords)
+    members.flatMap(memberRecords(_, needHttp, needPayload))
   }
 
-  private def memberRecords(m: Array[Byte]): Seq[WarcRecord] = {
+  private def memberRecords(m: Array[Byte], needHttp: Boolean,
+      needPayload: Boolean): Seq[WarcRecord] = {
     val out = Seq.newBuilder[WarcRecord]
     var pos = 0
     var ok = true
@@ -78,7 +93,7 @@ object WarcReader {
       // skip inter-record CRLFs
       while (pos < m.length && (m(pos) == '\r' || m(pos) == '\n')) pos += 1
       if (pos >= m.length) ok = false
-      else parseOne(m, pos) match {
+      else parseOne(m, pos, needHttp, needPayload) match {
         case Some((rec, next)) => out += rec; pos = next
         case None => ok = false // malformed tail: keep what parsed
       }
@@ -90,7 +105,8 @@ object WarcReader {
     * `Content-Length` block bytes. Returns the record and the offset
     * just past its block.
     */
-  private def parseOne(m: Array[Byte], pos: Int): Option[(WarcRecord, Int)] = {
+  private def parseOne(m: Array[Byte], pos: Int, needHttp: Boolean,
+      needPayload: Boolean): Option[(WarcRecord, Int)] = {
     val headEnd = indexOfDoubleCrlf(m, pos)
     if (headEnd < 0) return None
     val head = new String(m, pos, headEnd - pos, ISO_8859_1)
@@ -122,13 +138,46 @@ object WarcReader {
     }
     val blockStart = headEnd + 4
     if (len < 0 || blockStart + len > m.length) return None
-    val block = java.util.Arrays.copyOfRange(m, blockStart, blockStart + len.toInt)
+    val blockEnd = blockStart + len.toInt
     val rec =
       if (ct.startsWith("application/http")) {
-        val (status, httpCt, body, cenc, loc) = splitHttp(block)
-        WarcRecord(warcType, uri, ct, status, httpCt, body, digest, cenc, loc)
-      } else WarcRecord(warcType, uri, ct, 0, "", block, digest)
-    Some((rec, blockStart + len.toInt))
+        if (needPayload) {
+          val block = java.util.Arrays.copyOfRange(m, blockStart, blockEnd)
+          val (status, httpCt, body, cenc, loc) = splitHttp(block)
+          WarcRecord(warcType, uri, ct, status, httpCt, body, digest, cenc, loc)
+        } else if (needHttp) {
+          val (status, httpCt, loc) = httpHead(m, blockStart, blockEnd)
+          WarcRecord(warcType, uri, ct, status, httpCt,
+            Array.emptyByteArray, digest, "", loc)
+        } else WarcRecord(warcType, uri, ct, 0, "", Array.emptyByteArray, digest)
+      } else WarcRecord(warcType, uri, ct, 0, "",
+        if (needPayload) java.util.Arrays.copyOfRange(m, blockStart, blockEnd)
+        else Array.emptyByteArray, digest)
+    Some((rec, blockEnd))
+  }
+
+  /** Head-only HTTP parse for pruned reads: status line + the two header
+    * fields, straight off the member array — no block copy, no decode.
+    */
+  private def httpHead(m: Array[Byte], blockStart: Int,
+      blockEnd: Int): (Int, String, String) = {
+    var headEnd = indexOfDoubleCrlf(m, blockStart)
+    if (headEnd < 0 || headEnd > blockEnd - 4) headEnd = blockEnd
+    val head = new String(m, blockStart, headEnd - blockStart, ISO_8859_1)
+    val lines = head.split("\r\n")
+    val status =
+      if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+        val parts = lines(0).split(" ")
+        if (parts.length >= 2)
+          try parts(1).toInt catch { case _: NumberFormatException => 0 }
+        else 0
+      } else 0
+    def header(name: String): Option[String] = lines.drop(1).collectFirst {
+      case l if l.toLowerCase(java.util.Locale.ROOT).startsWith(name + ":") =>
+        l.substring(l.indexOf(':') + 1).trim
+    }
+    (status, header("content-type").getOrElse(""),
+      header("location").getOrElse(""))
   }
 
   /** HTTP/1.1 message block → (status, Content-Type header, body,
@@ -220,8 +269,11 @@ object WarcReader {
     * bytes exist only transiently inside the scan task's record objects
     * and are never serialized into output rows, shuffled, or spilled
     * (WarcSpec pins this on the optimized plan). The archive blob itself
-    * is still fully parsed — pruning the WALK needs a DataSourceV2 table,
-    * which nothing downstream has required yet.
+    * is still fully parsed here — pruning the WALK is the DSv2 table's
+    * job ([[graft.sources.warc.WarcDataSource]], round 15:
+    * `spark.read.format("warc").load(dir)` pushes required columns into
+    * [[parseWith]]'s decode gates); this method remains the path for
+    * blobs that are already DataFrame rows.
     */
   def records(df: DataFrame, binCol: String): DataFrame = {
     val inSchema = df.schema
@@ -486,14 +538,7 @@ object WarcReader {
       coding: String, alsoChunked: Boolean): Array[Byte] = {
     val coded = coding match {
       case "gzip" => gz(body)
-      case "deflate" =>
-        val d = new java.util.zip.Deflater() // zlib framing (RFC 9110 §8.4.1.2)
-        d.setInput(body); d.finish()
-        val bos = new ByteArrayOutputStream(body.length / 2 + 32)
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-        d.end()
-        bos.toByteArray
+      case "deflate" => zlibDeflate(body)
       case other => throw new IllegalArgumentException(other)
     }
     val out = new ByteArrayOutputStream(coded.length + 160)
@@ -561,6 +606,114 @@ object WarcReader {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Content-Encoding CENSUS fixture (q302): one 200 response per doc
+    * whose coding class cycles `doc_id % 7` — identity, well-formed
+    * gzip / x-gzip / deflate, and the three UNDECODABLE classes a real
+    * archive carries: `br` and `zstd` (no pure-JDK decoder exists —
+    * their payloads stay opaque, flagged `;undecoded`) and a CORRUPT
+    * gzip stream (valid magic, garbage after — the decode attempt
+    * genuinely runs and fails). The undecodable bodies are the raw page
+    * bytes (class 6 prepends the 2-byte gzip magic), so every payload
+    * length is closed-form for the oracle while the flag reflects a
+    * REAL failed decode. This is the standing quantification of the
+    * brotli/zstd gap: at 100 TB the same census runs over real archives
+    * and prices what a vendored decoder would unlock.
+    */
+  def buildEncodingCensusFixture(docs: DataFrame, nShards: Int = 24): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val outSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("warc", BinaryType, nullable = false)))
+    val rdd = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].rdd
+      .map { case (id, text) => (id % nShards, (id, text)) }
+      .groupByKey(math.min(nShards, 32))
+      .map { case (shard, docsIt) =>
+        val bos = new ByteArrayOutputStream(1 << 16)
+        bos.write(gz(warcRecord("warcinfo", "", "application/warc-fields",
+          "software: graft-warc-fixture/1.0\r\n".getBytes(ISO_8859_1))))
+        docsIt.toSeq.sortBy(_._1).foreach { case (id, text) =>
+          val body = fixtureHtml(id, text).getBytes(UTF_8)
+          def resp(coding: Option[String], coded: Array[Byte]): Array[Byte] = {
+            val head = new StringBuilder(128)
+            head.append("HTTP/1.1 200 OK\r\n")
+              .append("Content-Type: text/html; charset=UTF-8\r\n")
+            coding.foreach(c =>
+              head.append("Content-Encoding: ").append(c).append("\r\n"))
+            head.append("Content-Length: ").append(coded.length).append("\r\n\r\n")
+            val o = new ByteArrayOutputStream(head.length + coded.length)
+            o.write(head.toString.getBytes(ISO_8859_1))
+            o.write(coded)
+            o.toByteArray
+          }
+          val http = (id % 7) match {
+            case 0 => resp(None, body)
+            case 1 => resp(Some("gzip"), gz(body))
+            case 2 => resp(Some("x-gzip"), gz(body))
+            case 3 => resp(Some("deflate"), zlibDeflate(body))
+            case 4 => resp(Some("br"), body)
+            case 5 => resp(Some("zstd"), body)
+            case _ => resp(Some("gzip"),
+              Array(0x1F.toByte, 0x8B.toByte) ++ body) // magic, then garbage
+          }
+          bos.write(gz(warcRecord("response", fixtureUrl(id),
+            "application/http; msgtype=response", http)))
+        }
+        Row(shard, bos.toByteArray)
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Fixture-side: materialize `(shardCol, binCol)` rows as real
+    * `<dir>/part-<shard>.warc.gz` FILES for the DSv2 `warc` table to
+    * read — executor-side writes (no driver collect), local-FS scope
+    * (fixture concession like the builders' `groupByKey`: a production
+    * corpus ARRIVES as files; nothing writes archives at query time).
+    * Deterministic names, so repeated runs overwrite byte-identically.
+    */
+  def writeBlobs(df: DataFrame, shardCol: String, binCol: String,
+      dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val sIdx = df.schema.fieldIndex(shardCol)
+    val bIdx = df.schema.fieldIndex(binCol)
+    df.foreachPartition { (it: Iterator[Row]) =>
+      it.foreach { r =>
+        val shard = r.get(sIdx) match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"part-$shard%05d.warc.gz"),
+          r.getAs[Array[Byte]](bIdx))
+      }
+    }
+  }
+
+  /** [[writeBlobs]] + `spark.read.format("warc").load` in one step — the
+    * fixture-to-table bridge the q273/q296/q298 chains ride: blobs land
+    * as real files under a deterministic per-fixture directory, and the
+    * DSv2 scan (with its column-pruning gates) reads them back.
+    */
+  def viaTable(spark: org.apache.spark.sql.SparkSession, warcs: DataFrame,
+      binCol: String, tag: String): DataFrame = {
+    val dir = s"/tmp/graft_warc_fixtures/$tag"
+    writeBlobs(warcs, "shard", binCol, dir)
+    spark.read.format("warc").load(dir)
+  }
+
+  /** zlib-framed deflate (RFC 9110 §8.4.1.2's `deflate`). */
+  private def zlibDeflate(body: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(body); d.finish()
+    val bos = new ByteArrayOutputStream(body.length / 2 + 32)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
   private def httpRedirect(status: Int, location: String): Array[Byte] = {
     val reason = if (status == 301) "Moved Permanently" else "Found"
     (s"HTTP/1.1 $status $reason\r\nLocation: $location\r\n" +
@@ -573,6 +726,16 @@ object WarcReader {
     * `/a2`→`/p`); 3: a 302 LOOP (`/x`↔`/y`). The Location headers are
     * real HTTP bytes the walk must extract — the q301 edge relation
     * comes out of `records`, never out of a side channel.
+    *
+    * Round 15 layers META-REFRESH redirects (the second-most-common real
+    * redirect form, carried in the BODY, not a header): doc_id%4==0 docs
+    * serve `/mm/{id}` — a 200 HTML page whose `<meta http-equiv=refresh>`
+    * targets `/p/{id}` (single-quoted content, uppercase `URL=`, a
+    * RELATIVE target the consumer must resolve); doc_id%4==1 docs serve
+    * `/m/{id}` targeting `/a/{id}`, making a MIXED meta→http chain
+    * (`/m` --meta--> `/a` --301--> `/p`). The meta edges come out of
+    * payload HTML through [[graft.operators.HtmlOps.metaRefreshUrl]],
+    * never a side channel.
     */
   def buildRedirectFixture(docs: DataFrame, nShards: Int = 24): DataFrame = {
     val spark = docs.sparkSession
@@ -595,8 +758,16 @@ object WarcReader {
               "application/http; msgtype=response", http)))
           resp(s"/p/$id", httpResponse(200, "text/html; charset=UTF-8",
             fixtureHtml(id, text).getBytes(UTF_8)))
+          def metaPage(target: String): Array[Byte] =
+            ("<html><head><meta http-equiv=\"refresh\" content='0; URL=" +
+              target + "'></head><body>moved</body></html>").getBytes(UTF_8)
           (id % 4) match {
+            case 0 =>
+              resp(s"/mm/$id", httpResponse(200, "text/html; charset=UTF-8",
+                metaPage(s"/p/$id")))
             case 1 =>
+              resp(s"/m/$id", httpResponse(200, "text/html; charset=UTF-8",
+                metaPage(s"/a/$id")))
               resp(s"/a/$id", httpRedirect(301, s"$host/p/$id"))
             case 2 =>
               resp(s"/b/$id", httpRedirect(302, s"$host/a2/$id"))

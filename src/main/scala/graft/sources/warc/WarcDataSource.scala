@@ -1,0 +1,183 @@
+package graft.sources.warc
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.WarcReader
+
+/** `spark.read.format("warc").load(dir)` — the WARC record walk as a
+  * DataSourceV2 TABLE, closing the round-13/14 carry-over: with the
+  * `flatMap`-based [[graft.sources.WarcReader.records]], serializer
+  * pruning keeps payload bytes out of OUTPUT rows, but the walk itself
+  * still decoded every record; as a DSv2 scan, Catalyst pushes the
+  * REQUIRED COLUMNS into the reader (`SupportsPushDownRequiredColumns`),
+  * so a `select(target_uri, http_status)` never copies a block, never
+  * dechunks, never inflates a content coding — the walk reads WARC
+  * headers, parses the HTTP head in place, and JUMPS over the body
+  * bytes ([[graft.sources.WarcReader.parseWith]]'s `needHttp` /
+  * `needPayload` gates; `content_encoding` implies the payload gate
+  * because its `;undecoded` flag only exists by attempting the decode).
+  *
+  * Scale shape: one InputPartition per `.warc.gz` FILE — WARC's gzip
+  * members are not splittable without a side index, and the archive
+  * convention (Common Crawl: ~1 GB files, `warc.paths` manifests) is
+  * built around file-level parallelism. A blob is fully inflated inside
+  * its task (same contract as `records`); malformed members/records
+  * skip, never crash.
+  *
+  * Registered under the short name `warc` via DataSourceRegister
+  * (META-INF/services), like any production connector.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcTable.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "the warc source needs a path: spark.read.format(\"warc\").load(dir)")
+    new WarcTable(path)
+  }
+}
+
+object WarcTable {
+  /** `path` (file provenance, like binaryFile's) + the same nine record
+    * columns [[graft.sources.WarcReader.records]] emits.
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("warc_content_type", StringType, nullable = false),
+    StructField("http_status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("payload_digest", StringType, nullable = false),
+    StructField("content_encoding", StringType, nullable = false),
+    StructField("http_location", StringType, nullable = false)))
+}
+
+class WarcTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"warc:$path"
+  override def schema(): StructType = WarcTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path)
+}
+
+/** Column pruning lands HERE: Catalyst hands the post-pruning schema to
+  * `pruneColumns`, and the reader factory derives its decode gates from
+  * exactly that field set.
+  */
+class WarcScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcTable.Schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty projection (count(*)) still needs one column to walk rows
+    required =
+      if (requiredSchema.isEmpty) StructType(WarcTable.Schema.take(2))
+      else requiredSchema
+
+  override def build(): Scan = new WarcScan(path, required)
+}
+
+class WarcScan(path: String, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warc $path required=[${required.fieldNames.mkString(",")}]"
+
+  /** Driver-side file listing under the session's Hadoop conf; one
+    * partition per file (members aren't splittable — see class doc).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    files.filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.toString)
+      .map(s => WarcInputPartition(s.getPath.toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    WarcReaderFactory(required.fieldNames)
+}
+
+case class WarcInputPartition(file: String) extends InputPartition
+
+case class WarcReaderFactory(fieldNames: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(
+      partition.asInstanceOf[WarcInputPartition].file, fieldNames)
+}
+
+class WarcPartitionReader(file: String, fieldNames: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  // the decode gates: payload (or the census column, whose ;undecoded
+  // flag requires the decode attempt) → full block work; the three HTTP
+  // head columns → head-only parse; neither → header walk + block jump
+  private val needPayload =
+    fieldNames.contains("payload") || fieldNames.contains("content_encoding")
+  private val needHttp = needPayload || fieldNames.contains("http_status") ||
+    fieldNames.contains("content_type") || fieldNames.contains("http_location")
+
+  private lazy val records: Iterator[WarcReader.WarcRecord] = {
+    val p = new HPath(file)
+    // executor-side: default Hadoop conf resolves the same local/DFS
+    // paths the driver listed (fixture scope is the local FS; a
+    // deployment ships its conf via spark.hadoop.* properties, which
+    // the default constructor picks up from core-site.xml)
+    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+    WarcReader.parseWith(bytes, needHttp, needPayload).iterator
+  }
+
+  private var cur: WarcReader.WarcRecord = _
+
+  override def next(): Boolean =
+    if (records.hasNext) { cur = records.next(); true } else false
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(fieldNames.toSeq.map {
+      case "path" => UTF8String.fromString(file)
+      case "warc_type" => UTF8String.fromString(cur.warcType)
+      case "target_uri" => UTF8String.fromString(cur.targetUri)
+      case "warc_content_type" => UTF8String.fromString(cur.warcContentType)
+      case "http_status" => cur.httpStatus
+      case "content_type" => UTF8String.fromString(cur.httpContentType)
+      case "payload" => cur.payload
+      case "payload_digest" => UTF8String.fromString(cur.payloadDigest)
+      case "content_encoding" => UTF8String.fromString(cur.contentEncoding)
+      case "http_location" => UTF8String.fromString(cur.httpLocation)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    })
+
+  override def close(): Unit = ()
+}

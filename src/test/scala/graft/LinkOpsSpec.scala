@@ -66,6 +66,10 @@ class LinkOpsSpec extends AnyFunSuite {
     val html = """<a href="/it's/fine">dq</a><a href='/say/"hi"'>sq</a><a href=bare>u</a>"""
     assert(hrefs(html) == Seq("/it's/fine", "/say/\"hi\"", "bare"))
     assert(anchors(html) == Seq("dq", "sq", "u"))
+    // the strips are MUTUALLY EXCLUSIVE: a double-quoted value that is
+    // itself single-quoted keeps its inner quotes (one strip, not two)
+    val nested = """<a href="'x'">dq-wrapping-sq</a><a href='"y"'>sq-wrapping-dq</a>"""
+    assert(hrefs(nested) == Seq("'x'", "\"y\""))
   }
 
   test("extractAnchorTexts: position-aligned, inner tags stripped, whitespace squashed") {
@@ -93,6 +97,36 @@ class LinkOpsSpec extends AnyFunSuite {
     // authority-only base: path defaults to /
     assert(resolve("https://h.com", "p") == "https://h.com/p")
     assert(resolve("https://h.com", "?a=1") == "https://h.com/?a=1")
+  }
+
+  test("extractBaseHref/effectiveBase: WHATWG first-wins, absolute and relative base forms") {
+    import spark.implicits._
+    def eb(page: String, html: String): String =
+      Seq((page, html)).toDF("p", "h")
+        .select(LinkOps.effectiveBase(col("p"), col("h"))).head.getString(0)
+    val page = "https://site1.com/a/b/page.html"
+    // no base → the page URL itself
+    assert(eb(page, "<html><body><a href=\"/x\">l</a></body></html>") == page)
+    // absolute base; the SECOND <base> is ignored (first-wins)
+    assert(eb(page, "<head><base href=\"https://other.org/bb/\">" +
+      "<base href=\"https://ignored.example/\"></head>") == "https://other.org/bb/")
+    // relative base resolves against the page URL first (path-absolute)
+    assert(eb(page, "<head><base href=\"/alt/dir/\"></head>") ==
+      "https://site1.com/alt/dir/")
+    // relative-path base merges onto the page's directory
+    assert(eb(page, "<head><base href=\"sub/\"></head>") ==
+      "https://site1.com/a/b/sub/")
+    // single-quoted and unquoted attribute forms both extract
+    assert(eb(page, "<base href='/sq/'>") == "https://site1.com/sq/")
+    assert(eb(page, "<base href=/uq/ target=_blank>") == "https://site1.com/uq/")
+    // links on a base-carrying page resolve against the EFFECTIVE base
+    val html = "<head><base href=\"https://other.org/bb/\"></head>" +
+      "<body><a href=\"rel.html\">r</a></body>"
+    val resolved = Seq((page, html)).toDF("p", "h")
+      .select(LinkOps.resolveReference(
+        LinkOps.effectiveBase(col("p"), col("h")),
+        element_at(LinkOps.extractHrefs(col("h")), 1))).head.getString(0)
+    assert(resolved == "https://other.org/bb/rel.html")
   }
 
   test("resolveReference + canonicalizeUrlFull cross-checks java.net.URI.resolve") {

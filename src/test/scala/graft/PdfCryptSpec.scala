@@ -83,4 +83,93 @@ class PdfCryptSpec extends AnyFunSuite {
     // landed on /UE would break auth; this pins the boundary rule)
     assert(s.indexOf("/UE <") != uAt)
   }
+
+  // -------------------------------------------------------------------
+  // EXTERNAL Algorithm 2.B vectors — produced by an INDEPENDENT
+  // implementation (scripts/gen_r6_vectors.py: Python hashlib +
+  // `cryptography`, written from the ISO 32000-2 §7.6.4.3.4 text, zero
+  // shared code with hash2B). Before round 15 the R6 fixtures were
+  // circular: builder and verifier shared hash2B, so a bug in the
+  // iteration/termination loop would pass every test and fail on every
+  // real R6 PDF. These vectors break that circularity.
+  // -------------------------------------------------------------------
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def hx(b: Array[Byte]): String = b.map(x => f"${x & 0xFF}%02X").mkString
+
+  test("hash2B matches the externally-generated Algorithm 2.B vectors") {
+    val e = Array.emptyByteArray
+    val salt07 = Array.tabulate[Byte](8)(_.toByte)
+    // empty pw, salt 00..07, no udata
+    assert(hx(PdfCrypt.hash2B(e, salt07, e, 6)) ==
+      "1403C04EB647D2E60452DFC4EB0A5E0CF322E8A83A759EABBD17D498A93BA041")
+    // empty pw, salt A5*8, no udata (different termination-round path)
+    assert(hx(PdfCrypt.hash2B(e, Array.fill[Byte](8)(0xA5.toByte), e, 6)) ==
+      "5488483891183A145CEEDC0696C94D888251ED48719E15B6BCC931B669495AF2")
+    // empty pw with a 48-byte udata — the /O computation path
+    val udata48 = Array.tabulate[Byte](48)(i => ((i * 7 + 3) % 256).toByte)
+    assert(hx(PdfCrypt.hash2B(e, salt07, udata48, 6)) ==
+      "64593B5DE694FCB2954C93E5468C969D73F9CB002CCF93C0951A8ECE674337E3")
+    // non-empty password (pw rides inside the 64x repeated block)
+    val pw = "graft-owner".getBytes("US-ASCII")
+    val salt1017 = Array.tabulate[Byte](8)(i => (16 + i).toByte)
+    val udataB = Array.tabulate[Byte](48)(i => ((i * 11 + 5) % 256).toByte)
+    assert(hx(PdfCrypt.hash2B(pw, salt1017, udataB, 6)) ==
+      "DF68FEE29AD78C3C2E9DF1CB28CF9E63B5F5A9D07A26DE0793CB32803384AC72")
+  }
+
+  /** Minimal document bytes around an externally-authored Encrypt dict. */
+  private def docWith(dict: String): Array[Byte] =
+    ("%PDF-1.7\n1 0 obj\n" + dict + "\nendobj\ntrailer\n" +
+      "<< /Encrypt 1 0 R /ID [<00112233445566778899AABBCCDDEEFF>" +
+      "<00112233445566778899AABBCCDDEEFF>] >>\n%%EOF")
+      .getBytes("ISO-8859-1")
+
+  // the Python-built credential set (Algorithm 8 / 2.A forward direction)
+  private val ExtFileKey =
+    "010E1B2835424F5C697683909DAAB7C4D1DEEBF805121F2C394653606D7A8794"
+  private val ExtU = "56AF12F56D50526F2E99953DD63CA826EC81F539B71DA705740E09" +
+    "6D967FBEF6202122232425262728292A2B2C2D2E2F"
+  private val ExtUE = "7A1FDA7884F87003412D24AB516291A276BE8753D01762228D6E9229CF2694EF"
+  private val ExtO = "D401846A0B7FB2E694255EB044E44365CA2F29EA964041D4300EDC" +
+    "AB3814D4F6303132333435363738393A3B3C3D3E3F"
+  private val ExtOE = "731225F931C9F9036A3DA8DDE25F6FFC520D7B0C49A4AF60404C90D92BDC65A5"
+
+  test("decryptorV5 recovers the file key from the externally-built R6 credential set") {
+    val dict = "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+      "/StmF /StdCF /StrF /StdCF " +
+      s"/O <$ExtO> /OE <$ExtOE> /U <$ExtU> /UE <$ExtUE> /P -3904 >>"
+    val dec = PdfCrypt.decryptorFor(docWith(dict))
+    assert(dec.isDefined, "empty-user-password auth must succeed")
+    assert(hx(dec.get.key) == ExtFileKey)
+    assert(dec.get.v5 && dec.get.aes && !dec.get.identity)
+  }
+
+  test("V5 /StmF /Identity authenticates but passes stream bytes through verbatim") {
+    val dict = "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 >> >> /StmF /Identity /StrF /StdCF " +
+      s"/O <$ExtO> /OE <$ExtOE> /U <$ExtU> /UE <$ExtUE> /P -3904 >>"
+    val dec = PdfCrypt.decryptorFor(docWith(dict))
+    assert(dec.isDefined && dec.get.identity)
+    val data = Array.tabulate[Byte](37)(_.toByte) // not even AES-block-sized
+    assert(dec.get.decryptStream(7, 0, data).sameElements(data))
+    // and an UNKNOWN stream filter name refuses cleanly
+    val odd = PdfCrypt.decryptorFor(docWith(dict.replace("/StmF /Identity", "/StmF /OddCF")))
+    assert(odd.isEmpty)
+  }
+
+  test("pdfString/pdfName token boundaries: regular chars like '-' continue a name") {
+    // /U-custom must NOT satisfy the /U lookup (PDF names may contain
+    // any regular character, not just alnum/#)
+    val dict = "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+      "/CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF /StrF /StdCF " +
+      "/U-custom <DEADBEEF> " +
+      s"/O <$ExtO> /OE <$ExtOE> /U <$ExtU> /UE <$ExtUE> /P -3904 >>"
+    val dec = PdfCrypt.decryptorFor(docWith(dict))
+    assert(dec.isDefined, "auth must skip the /U-custom decoy")
+    assert(hx(dec.get.key) == ExtFileKey)
+  }
 }

@@ -69,4 +69,47 @@ class RedirectChainsSpec extends AnyFunSuite {
       ((302, "https://site3.com/x/3")))
     assert(recs("https://site0.com/p/0") == ((200, "")))
   }
+
+  test("metaRefreshUrl: attribute orders, quoting forms, bare delay, comma separator") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def m(html: String): String =
+      Seq(html).toDF("h")
+        .select(graft.operators.HtmlOps.metaRefreshUrl(col("h")))
+        .head.getString(0)
+    // canonical double-quoted form
+    assert(m("""<meta http-equiv="refresh" content="5; url=/next">""") == "/next")
+    // single-quoted content, uppercase URL=, zero delay (the fixture form)
+    assert(m("""<meta http-equiv="refresh" content='0; URL=/p/7'>""") == "/p/7")
+    // content-first attribute order
+    assert(m("""<meta content="3;url=https://x.org/t" http-equiv=refresh>""") ==
+      "https://x.org/t")
+    // inner-quoted url value, entity-decoded query
+    assert(m("""<meta http-equiv=refresh content="1; url='/q?a=1&amp;b=2'">""") ==
+      "/q?a=1&b=2")
+    // comma separator (a common real-world variant), fractional delay
+    assert(m("""<meta http-equiv="refresh" content="2.5, url=/frac">""") == "/frac")
+    // bare delay = reload, NOT a redirect; and pages with no meta at all
+    assert(m("""<meta http-equiv="refresh" content="30">""") == "")
+    assert(m("<html><body>plain</body></html>") == "")
+  }
+
+  test("meta edges ride the WARC walk: /mm one-hop meta, /m meta->http mixed chain") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, decode, when, lit}
+    val docs = (0L until 8L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val recs = WarcReader.records(
+      WarcReader.buildRedirectFixture(docs, nShards = 2), "warc")
+      .filter($"warc_type" === "response" && $"http_status" === 200)
+      .select($"target_uri",
+        graft.operators.HtmlOps.metaRefreshUrl(decode($"payload", "UTF-8"))
+          .as("mt"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(recs("https://site0.com/mm/0") == "/p/0") // k=0 one-hop meta
+    assert(recs("https://site4.com/mm/4") == "/p/4")
+    assert(recs("https://site1.com/m/1") == "/a/1")  // k=1 meta→301 chain head
+    assert(recs("https://site0.com/p/0") == "")      // content pages: none
+  }
 }

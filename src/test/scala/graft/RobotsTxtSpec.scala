@@ -96,6 +96,56 @@ class RobotsTxtSpec extends AnyFunSuite {
     assert(got("/lit.x") == (0, 6L))
   }
 
+  test("§2.2.2 specificity is measured in OCTETS, not characters") {
+    val s = spark
+    import s.implicits._
+    // `/n/éé*` is 6 chars / 8 octets; `/n/*xy` is 6 chars / 6 octets. By
+    // characters they TIE (allow would win); by octets the disallow is
+    // strictly more specific — the RFC's rule — so the path is blocked.
+    val robots = Seq(
+      ("o.com", "User-agent: *\nDisallow: /n/éé*\nAllow: /n/*xy\n"))
+      .toDF("domain", "txt")
+    val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+    val got = graft.operators.RobotsTxt
+      .allowed(Seq(("o.com", "/n/éé9xy")).toDF("domain", "path"),
+        rules, "domain", "path", "graftbot")
+      .select($"allowed", $"rule_len").head
+    assert((got.getInt(0), got.getLong(1)) == (0, 8L))
+  }
+
+  test("group PRESENCE comes from UA runs: a rule-less graftbot group suppresses `*` wholesale") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(
+      // graftbot group holds ONLY a Crawl-delay line — zero rules — yet
+      // it EXISTS, so graftbot must ignore the `*` rules entirely
+      ("d.com", "User-agent: *\nDisallow: /\nCrawl-delay: 2\n" +
+        "\nUser-agent: graftbot\nCrawl-delay: 3\n"),
+      // control: no graftbot group → `*` applies
+      ("e.com", "User-agent: *\nDisallow: /\n")).toDF("domain", "txt")
+    val rules = graft.operators.RobotsTxt.ruleRows(robots, "domain", "txt")
+    val groups = graft.operators.RobotsTxt.agentGroupRows(robots, "domain", "txt")
+    assert(groups.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq ==
+      Seq(("d.com", "*"), ("d.com", "graftbot"), ("e.com", "*")))
+    val got = graft.operators.RobotsTxt
+      .allowed(Seq(("d.com", "/p"), ("e.com", "/p")).toDF("domain", "path"),
+        rules, "domain", "path", "graftbot", groups = Some(groups))
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(got("d.com") == 1) // our (rule-less) group wins wholesale
+    assert(got("e.com") == 0)
+    // without the groups frame, presence degrades to rule rows — the
+    // legacy behavior this overload exists to correct
+    val legacy = graft.operators.RobotsTxt
+      .allowed(Seq(("d.com", "/p")).toDF("domain", "path"),
+        rules, "domain", "path", "graftbot")
+      .head.getInt(2)
+    assert(legacy == 0)
+    // and the delay selection keyed on the same presence picks 3000 ms
+    val delays = graft.operators.RobotsTxt.crawlDelayRows(robots, "domain", "txt")
+    assert(delays.filter($"domain" === "d.com" && $"agent" === "graftbot")
+      .head.getLong(2) == 3000L)
+  }
+
   test("crawlDelayRows: group-scoped, exact milliseconds, unparsable values drop") {
     val s = spark
     import s.implicits._

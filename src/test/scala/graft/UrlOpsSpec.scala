@@ -67,6 +67,31 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(rdp("x.shop.ne.jp") == "shop.ne.jp")
   }
 
+  test("PSL wildcard and exception rules: *.ck one-label wildcard, !www.ck beats it") {
+    def rdp(h: String, s: Set[String]) = ev(RegistrableDomainPsl(lit(h), s))
+    val psl = Set("*.ck", "!www.ck", "*.kawasaki.jp", "!city.kawasaki.jp", "co.uk")
+    // wildcard: every <label>.ck is its own public suffix
+    assert(rdp("www.foo.ck", psl) == "www.foo.ck")
+    assert(rdp("a.b.foo.ck", psl) == "b.foo.ck")
+    // a host that IS a public suffix returns itself (the sentinel)
+    assert(rdp("foo.ck", psl) == "foo.ck")
+    // exception beats the wildcard: the rule's own span is registrable
+    assert(rdp("www.ck", psl) == "www.ck")
+    assert(rdp("a.www.ck", psl) == "www.ck")
+    assert(rdp("x.a.www.ck", psl) == "www.ck")
+    // multi-label wildcard base + its exception
+    assert(rdp("b.x.kawasaki.jp", psl) == "b.x.kawasaki.jp")
+    assert(rdp("a.city.kawasaki.jp", psl) == "city.kawasaki.jp")
+    assert(rdp("city.kawasaki.jp", psl) == "city.kawasaki.jp")
+    // plain rules still win by most labels, unrelated hosts untouched
+    assert(rdp("www.ex.co.uk", psl) == "ex.co.uk")
+    // the SNAPSHOT carries the rule-syntax blocks
+    val snap = graft.operators.UrlOps.pslSnapshot
+    assert(snap.contains("*.ck") && snap.contains("!www.ck"))
+    assert(ev(RegistrableDomainPsl(lit("sub0.www.ck"), snap)) == "www.ck")
+    assert(ev(RegistrableDomainPsl(lit("www.site9.ck"), snap)) == "www.site9.ck")
+  }
+
   test("urlSpamClassLarge: one alternation pass, boundary contract matches the fold variant") {
     import org.apache.spark.sql.functions.{col, lit => flit}
     val spark = org.apache.spark.sql.SparkSession.builder()
