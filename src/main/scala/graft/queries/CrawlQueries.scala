@@ -1032,7 +1032,12 @@ private[graft] object CrawlQueries {
       val httpEdges = recs
         .filter($"http_status" >= 300 && $"http_status" < 400 &&
           $"http_location" =!= "")
-        .select($"target_uri".as("src"), $"http_location".as("dst"),
+        // RFC 9110 §10.2.2: Location may be a RELATIVE reference — it
+        // resolves against the capture URL exactly like an href (the
+        // fixture's one-hop 301s carry relative targets to pin this)
+        .select($"target_uri".as("src"),
+          graft.operators.LinkOps
+            .resolveReference($"target_uri", $"http_location").as("dst"),
           lit("http").as("kind"))
       val metaEdges = recs.filter($"meta_target" =!= "")
         .select($"target_uri".as("src"),

@@ -37,7 +37,12 @@ import java.security.MessageDigest
   *   - /V 5 streams use the FILE key directly (no per-object keys in
   *     this generation), AES-256-CBC with IV prefix and PKCS#5 unpad.
   *
-  * Out of scope (still the documented stub): non-empty user passwords,
+  * Round 15: non-empty USER passwords decrypt too — [[decryptorFor]]
+  * takes the password bytes (the same Algorithm 2/2.A machinery keyed
+  * on it; empty remains the default), so a pipeline holding credentials
+  * for a partner corpus opens those documents through the same chain.
+  * Out of scope (still the documented stub): owner-password-only
+  * authentication (Algorithm 7), SASLprep of non-ASCII V5 passwords,
   * crypt filters other than /Identity and /StdCF, and per-string
   * decryption (this engine only reads STREAMS — content + ToUnicode —
   * which is the whole text-extraction surface).
@@ -315,11 +320,20 @@ object PdfCrypt {
 
   /** Parse + VERIFY: Some(decryptor) iff the document declares a
     * standard-handler /V 1/2/4/5 encryption this module supports AND the
-    * empty user password authenticates against /U. Anything else —
-    * unencrypted, unsupported /V, /O//U/ID missing, or a real user
-    * password — is None (caller falls back: unencrypted path or stub).
+    * user password authenticates against /U — the EMPTY password by
+    * default (the owner-restricted files that dominate real "encrypted"
+    * corpora), or a caller-supplied one (round 15: a curation pipeline
+    * holding credentials for a partner corpus passes them per document).
+    * Anything else — unencrypted, unsupported /V, /O//U/ID missing, or a
+    * wrong password — is None (caller falls back: unencrypted path or
+    * stub). /V 5 passwords are UTF-8 bytes (the SASLprep step of ISO
+    * 32000-2 §7.6.4.3.2 is out of scope — ASCII passwords, the
+    * overwhelming real case, are unaffected).
     */
-  def decryptorFor(bytes: Array[Byte]): Option[Decryptor] = {
+  def decryptorFor(bytes: Array[Byte]): Option[Decryptor] =
+    decryptorFor(bytes, Array.emptyByteArray)
+
+  def decryptorFor(bytes: Array[Byte], userPw: Array[Byte]): Option[Decryptor] = {
     // cheap bail on the 99% case
     if (PdfTextExtractor.indexOf(bytes, "/Encrypt", 0) < 0) return None
     val text = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -333,7 +347,7 @@ object PdfCrypt {
     } yield (dict, v, r)
     parsed.flatMap {
       case (dict, v, r) if v == 5 && (r == 5 || r == 6) =>
-        decryptorV5(dict, r)
+        decryptorV5(dict, r, userPw)
       case (dict, v, r) if (v == 1 || v == 2 || v == 4) && r >= 2 && r <= 4 =>
         for {
           idm <- IdRe.findFirstMatchIn(text)
@@ -351,7 +365,7 @@ object PdfCrypt {
             (stmF == "StdCF" && (cfm == "AESV2" || cfm == "V2"))
           nBytes = if (r == 2) 5
             else IntRe("Length").findFirstMatchIn(dict).map(_.group(1).toInt / 8).getOrElse(5)
-          key = fileKey(Array.emptyByteArray, o, p, id0, r, nBytes)
+          key = fileKey(userPw, o, p, id0, r, nBytes)
           uWant = computeU(key, id0, r)
           if (if (r == 2) java.util.Arrays.equals(uWant, u.take(32))
               else java.util.Arrays.equals(uWant.take(16), u.take(16)))
@@ -361,13 +375,15 @@ object PdfCrypt {
     }
   }
 
-  /** ISO 32000-2 Algorithm 2.A for the empty user password: validate the
-    * R5/R6 hash against /U[0..32], unwrap the file key from /UE under the
-    * key-salt intermediate, and (when /Perms is present) require
-    * Algorithm 13's `adb` sanity bytes — fail closed on any mismatch.
+  /** ISO 32000-2 Algorithm 2.A for the user password (empty by
+    * default): validate the R5/R6 hash against /U[0..32], unwrap the
+    * file key from /UE under the key-salt intermediate, and (when
+    * /Perms is present) require Algorithm 13's `adb` sanity bytes —
+    * fail closed on any mismatch.
     */
-  private def decryptorV5(dict: String, r: Int): Option[Decryptor] = {
-    val empty = Array.emptyByteArray
+  private def decryptorV5(dict: String, r: Int,
+      userPw: Array[Byte] = Array.emptyByteArray): Option[Decryptor] = {
+    val empty = Array.emptyByteArray // user-password hashes carry no udata
     // §7.6.5: the effective STREAM filter — /Identity (the default when
     // /StmF is absent) means streams are NOT encrypted even though the
     // password still authenticates; /StdCF must declare /CFM /AESV3 in
@@ -382,8 +398,8 @@ object PdfCrypt {
       if stmF == "Identity" || (stmF == "StdCF" && cfm == "AESV3")
       vsalt = java.util.Arrays.copyOfRange(u, 32, 40)
       ksalt = java.util.Arrays.copyOfRange(u, 40, 48)
-      if java.util.Arrays.equals(hash2B(empty, vsalt, empty, r), u.take(32))
-      ikey = hash2B(empty, ksalt, empty, r)
+      if java.util.Arrays.equals(hash2B(userPw, vsalt, empty, r), u.take(32))
+      ikey = hash2B(userPw, ksalt, empty, r)
       fileKey = aesCbc(javax.crypto.Cipher.DECRYPT_MODE, ikey,
         new Array[Byte](16), ue)
       if pdfString(dict, "/Perms").forall { pm =>
@@ -414,8 +430,9 @@ object PdfCrypt {
     * RC4-40 (V1/R2) / RC4-128 (V2/R3) / AES-128 (V4/R4 AESV2) /
     * AES-256 (V5/R6 AESV3).
     */
-  private[sources] def fixtureEncrypt(mode: Int, text: String): (String, Decryptor, Array[Byte]) = {
-    if (mode == 3) return fixtureEncryptV5(text)
+  private[sources] def fixtureEncrypt(mode: Int, text: String,
+      userPw: Array[Byte] = Array.emptyByteArray): (String, Decryptor, Array[Byte]) = {
+    if (mode == 3) return fixtureEncryptV5(text, userPw)
     val (id0, p) = fixtureParams(text)
     val (v, r, bits) = mode match {
       case 0 => (1, 2, 40)
@@ -424,8 +441,8 @@ object PdfCrypt {
     }
     val nBytes = bits / 8
     val owner = "graft-owner".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val o = computeO(owner, Array.emptyByteArray, r, nBytes)
-    val key = fileKey(Array.emptyByteArray, o, p, id0, r, nBytes)
+    val o = computeO(owner, userPw, r, nBytes)
+    val key = fileKey(userPw, o, p, id0, r, nBytes)
     val u = computeU(key, id0, r)
     def hx(b: Array[Byte]) = b.map(x => f"${x & 0xFF}%02X").mkString
     val cf = if (v == 4)
@@ -444,7 +461,8 @@ object PdfCrypt {
     * verify-then-unwrap chain is exercised against an independent
     * construction, not a copy of itself.
     */
-  private[sources] def fixtureEncryptV5(text: String): (String, Decryptor, Array[Byte]) = {
+  private[sources] def fixtureEncryptV5(text: String,
+      userPw: Array[Byte] = Array.emptyByteArray): (String, Decryptor, Array[Byte]) = {
     val empty = Array.emptyByteArray
     val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val fileKey = sha("SHA-256", "graft-filekey:".getBytes, tb)
@@ -456,9 +474,9 @@ object PdfCrypt {
     val p = -3904
     // /U (Algorithm 8): hash(pw, vsalt) ‖ vsalt ‖ ksalt; /UE wraps the
     // file key under the ksalt intermediate, zero IV
-    val u = hash2B(empty, vsalt, empty, 6) ++ vsalt ++ ksalt
+    val u = hash2B(userPw, vsalt, empty, 6) ++ vsalt ++ ksalt
     val ue = aesCbc(javax.crypto.Cipher.ENCRYPT_MODE,
-      hash2B(empty, ksalt, empty, 6), new Array[Byte](16), fileKey)
+      hash2B(userPw, ksalt, empty, 6), new Array[Byte](16), fileKey)
     // /O (Algorithm 9): owner hashes bind the full 48-byte /U
     val owner = "graft-owner".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val o = hash2B(owner, ovsalt, u, 6) ++ ovsalt ++ oksalt

@@ -84,10 +84,17 @@ object PdfTextExtractor {
     * filter chain; anything else keeps the stub contract (encrypted
     * streams fail their inflate and contribute nothing, never garbage).
     */
-  def extract(bytes: Array[Byte]): String = {
+  def extract(bytes: Array[Byte]): String = extract(bytes, "")
+
+  /** [[extract]] with a user password (round 15): a pipeline holding
+    * credentials for a protected corpus passes them per document; the
+    * empty string is the round-14 behavior (owner-restricted files).
+    */
+  def extract(bytes: Array[Byte], password: String): String = {
     if (!isPdf(bytes)) return ""
     val raw = rawStreams(bytes)
-    val streams = PdfCrypt.decryptorFor(bytes) match {
+    val pw = password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val streams = PdfCrypt.decryptorFor(bytes, pw) match {
       case Some(dec) => raw.map { case (n, g, dict, p) =>
         (n, g, dict, if (n >= 0) dec.decryptStream(n, math.max(g, 0), p) else p) }
       case None => raw
@@ -724,7 +731,14 @@ object PdfTextExtractor {
     * throughout (ID from the text, IV from object number + ID), so the
     * fixture replays byte-identically.
     */
-  def synthIdentityHPdf(text: String, encryptMode: Int): Array[Byte] = {
+  def synthIdentityHPdf(text: String, encryptMode: Int): Array[Byte] =
+    synthIdentityHPdf(text, encryptMode, "")
+
+  /** As above with a NON-EMPTY user password (round 15): the document
+    * only opens when the caller supplies it.
+    */
+  def synthIdentityHPdf(text: String, encryptMode: Int,
+      userPassword: String): Array[Byte] = {
     val units = text.toCharArray
     val cidOf = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
     units.foreach(c => cidOf.getOrElseUpdate(c, cidOf.size + 1))
@@ -760,7 +774,9 @@ end"""
     }
     def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val enc = if (encryptMode >= 0)
-      Some(PdfCrypt.fixtureEncrypt(encryptMode, text)) else None
+      Some(PdfCrypt.fixtureEncrypt(encryptMode, text,
+        userPassword.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    else None
     def sealStream(num: Int, plain: Array[Byte]): Array[Byte] = enc match {
       case Some((_, dec, id0)) =>
         dec.encryptStream(num, 0, plain, PdfCrypt.fixtureIv(num, id0))

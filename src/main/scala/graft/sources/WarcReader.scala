@@ -768,7 +768,9 @@ object WarcReader {
             case 1 =>
               resp(s"/m/$id", httpResponse(200, "text/html; charset=UTF-8",
                 metaPage(s"/a/$id")))
-              resp(s"/a/$id", httpRedirect(301, s"$host/p/$id"))
+              // RELATIVE Location (RFC 9110 §10.2.2 allows it; common in
+              // real archives) — the consumer must resolve it
+              resp(s"/a/$id", httpRedirect(301, s"/p/$id"))
             case 2 =>
               resp(s"/b/$id", httpRedirect(302, s"$host/a2/$id"))
               resp(s"/a2/$id", httpRedirect(301, s"$host/p/$id"))

@@ -161,6 +161,20 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(odd.isEmpty)
   }
 
+  test("non-empty user passwords: the document opens ONLY with the credential, all four generations") {
+    val text = "credentialed corpus body — Résumé 😀"
+    for (mode <- 0 to 3) {
+      val pdf = PdfTextExtractor.synthIdentityHPdf(text, mode, "s3cret-pw")
+      // without the password: auth fails, stub path, never garbage
+      assert(PdfCrypt.decryptorFor(pdf).isEmpty, s"mode $mode: empty pw must refuse")
+      assert(PdfTextExtractor.extract(pdf) == "", s"mode $mode")
+      // wrong password refuses too
+      assert(PdfTextExtractor.extract(pdf, "wrong") == "", s"mode $mode")
+      // the right credential opens the same extraction chain
+      assert(PdfTextExtractor.extract(pdf, "s3cret-pw") == text, s"mode $mode")
+    }
+  }
+
   test("pdfString/pdfName token boundaries: regular chars like '-' continue a name") {
     // /U-custom must NOT satisfy the /U lookup (PDF names may contain
     // any regular character, not just alnum/#)

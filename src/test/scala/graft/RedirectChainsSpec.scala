@@ -55,10 +55,11 @@ class RedirectChainsSpec extends AnyFunSuite {
       .filter($"warc_type" === "response")
       .select($"target_uri", $"http_status", $"http_location")
       .collect().map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
-    // doc 1 (k=1): /a 301 → /p; doc 2 (k=2): /b 302 → /a2 301 → /p;
-    // doc 3 (k=3): /x ↔ /y 302 loop; 200 pages carry no Location
-    assert(recs("https://site1.com/a/1") ==
-      ((301, "https://site1.com/p/1")))
+    // doc 1 (k=1): /a 301 → /p via a RELATIVE Location (surfaced
+    // verbatim — resolution is the consumer's §5.2.2 job); doc 2
+    // (k=2): /b 302 → /a2 301 → /p; doc 3 (k=3): /x ↔ /y 302 loop;
+    // 200 pages carry no Location
+    assert(recs("https://site1.com/a/1") == ((301, "/p/1")))
     assert(recs("https://site2.com/b/2") ==
       ((302, "https://site2.com/a2/2")))
     assert(recs("https://site2.com/a2/2") ==
