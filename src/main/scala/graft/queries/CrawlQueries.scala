@@ -27,16 +27,19 @@ private[graft] object CrawlQueries {
     * the http(s) filter drops.
     *
     * Round 15 layers `<base href>` (WHATWG fallback-base order, the
-    * round-14 verdict's top coverage gap): doc_id%6==1 pages declare an
+    * round-14 verdict's top coverage gap): doc_id%4==1 pages declare an
     * ABSOLUTE base on another host — `basehost{m%3}.org` (keyed off `m`
-    * so the q284/ScaleProbe host-graph stays a corpus quotient) — plus a
-    * SECOND `<base>` that must be ignored (first-wins); doc_id%6==4
-    * pages declare a RELATIVE base (`/alt/dir/`), which itself resolves
-    * against the page URL first. Every relative reference on those
-    * pages must resolve against the effective base, not the page URL.
-    * The oracle rebuilds the SAME page closed-form and replays base
-    * extraction, base resolution, href extraction, and reference
-    * resolution with the identical RE2 patterns and CASE chains.
+    * so the q284/ScaleProbe host-graph stays a corpus quotient; the
+    * SELECTOR modulus is 4 because it must divide the probe's 10⁷ id
+    * offset — per-copy counts of base-carrying docs must be EXACT for
+    * the link-mass closure) — plus a SECOND `<base>` that must be
+    * ignored (first-wins); doc_id%4==3 pages declare a RELATIVE base
+    * (`/alt/dir/`), which itself resolves against the page URL first.
+    * Every relative reference on those pages must resolve against the
+    * effective base, not the page URL. The oracle rebuilds the SAME
+    * page closed-form and replays base extraction, base resolution,
+    * href extraction, and reference resolution with the identical RE2
+    * patterns and CASE chains.
     */
   private def linkFixture(docs: DataFrame): DataFrame = {
     // the two-group regexp pass + per-href resolution downstream is
@@ -45,15 +48,15 @@ private[graft] object CrawlQueries {
     // (the q90 levenshtein lesson)
     val d = docs.select(col("doc_id"), pmod(col("doc_id"), lit(37)).as("m"))
       .repartition(32, col("doc_id"))
-    val k6 = pmod(col("doc_id"), lit(6))
+    val k4 = pmod(col("doc_id"), lit(4))
     d.withColumn("base", concat(lit("https://site"), col("m"),
         lit(".com/a/b/page"), col("doc_id"), lit(".html")))
       .withColumn("html", concat(
         lit("<html>"),
-        when(k6 === 1, concat(
+        when(k4 === 1, concat(
           lit("<head><base href=\"https://basehost"), pmod(col("m"), lit(3)),
           lit(".org/bb/\"><base href=\"https://ignored.example/zz/\"></head>")))
-          .when(k6 === 4, lit("<head><base href=\"/alt/dir/\"></head>"))
+          .when(k4 === 3, lit("<head><base href=\"/alt/dir/\"></head>"))
           .otherwise(lit("")),
         lit("<body><a href=\"https://Other"), pmod(col("doc_id"), lit(5)),
         lit(".ORG/x//y/\">read <b>doc</b> "), col("doc_id"),
@@ -1101,8 +1104,8 @@ private[graft] object CrawlQueries {
   private val FixtureCtes =
     """d AS (SELECT doc_id, doc_id % 37 AS m,
   'https://site' || (doc_id % 37)::VARCHAR || '.com/a/b/page' || doc_id::VARCHAR || '.html' AS base,
-  '<html>' || CASE WHEN doc_id % 6 = 1 THEN '<head><base href="https://basehost' || (doc_id % 37 % 3)::VARCHAR || '.org/bb/"><base href="https://ignored.example/zz/"></head>'
-    WHEN doc_id % 6 = 4 THEN '<head><base href="/alt/dir/"></head>' ELSE '' END
+  '<html>' || CASE WHEN doc_id % 4 = 1 THEN '<head><base href="https://basehost' || (doc_id % 37 % 3)::VARCHAR || '.org/bb/"><base href="https://ignored.example/zz/"></head>'
+    WHEN doc_id % 4 = 3 THEN '<head><base href="/alt/dir/"></head>' ELSE '' END
   || '<body><a href="https://Other' || (doc_id % 5)::VARCHAR || '.ORG/x//y/">read <b>doc</b> ' || doc_id::VARCHAR
   || '</a><a href="//cdn' || (doc_id % 3)::VARCHAR || '.net/lib.js">cdn</a><a href="/root/' || doc_id::VARCHAR
   || '?b=2&amp;a=1">rooted</a><a href="sub/p%7E' || doc_id::VARCHAR
