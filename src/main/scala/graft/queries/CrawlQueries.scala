@@ -759,10 +759,11 @@ private[graft] object CrawlQueries {
     // (RFC 9110 §8.4 — [[graft.sources.CompressedText.gunzipBytes]] /
     // `inflateBytes`, wire order dechunk-then-inflate for the stacked
     // class) and must hand the extractor EXACTLY the bytes the identity
-    // fixture would. doc_id % 3 cycles gzip+chunked / gzip / zlib-deflate;
-    // the new `content_encoding` census column is closed-form; the rest
-    // of the oracle is q273's byte-for-byte — one swallowed gzip header
-    // or off-by-one inflate flips every md5 downstream.
+    // fixture would. doc_id % 4 cycles gzip+chunked / gzip / zlib-deflate
+    // / zstd (round 15: real RFC 8878 frames through the pure-Java
+    // decoder); the `content_encoding` census column is closed-form; the
+    // rest of the oracle is q273's byte-for-byte — one swallowed gzip
+    // header or off-by-one inflate flips every md5 downstream.
     "q298_warc_content_encoding" -> ((s, dir) => {
       import s.implicits._
       // round 15: through the DSv2 `warc` table (file write + pruned scan)
@@ -1063,14 +1064,18 @@ private[graft] object CrawlQueries {
 
 
     // Content-Encoding census — the standing quantification of the
-    // undecoded-coding share (the round-14 verdict's brotli/zstd gap):
-    // per coding value, how many archived responses carry it and how
-    // many payload bytes stay OPAQUE to every downstream consumer
-    // (HtmlOps, charset sniff, MIME census all see raw coded bytes on
-    // `;undecoded` rows). The fixture cycles identity / well-formed
-    // gzip / x-gzip / deflate / brotli / zstd / CORRUPT-gzip, so the
+    // undecoded-coding share (the round-14 verdict's brotli/zstd gap;
+    // round 15 closes the zstd half with the pure-Java decoder every
+    // Spark distribution ships): per coding value, how many archived
+    // responses carry it and how many payload bytes stay OPAQUE to
+    // every downstream consumer (HtmlOps, charset sniff, MIME census
+    // all see raw coded bytes on `;undecoded` rows). The fixture
+    // cycles identity / well-formed gzip / x-gzip / deflate / REAL
+    // zstd frames / brotli / CORRUPT-gzip / CORRUPT-zstd, so the
     // census proves both directions: decodable codings decode (their
-    // payload bytes equal the page bytes) and undecodable ones are
+    // payload bytes equal the page bytes — zstd now among them, its
+    // frames compressed by zstd-jni and decoded by aircompressor, so
+    // the round-trip crosses implementations) and undecodable ones are
     // flagged, never silently passed off as text. One scan, one
     // coding-keyed aggregate — at 100 TB this is the cheapest query in
     // the wing (the payload bytes never shuffle; only per-coding
@@ -1499,7 +1504,7 @@ FROM u GROUP BY domain ORDER BY domain""",
       """WITH d AS (SELECT doc_id, text,
   'https://site' || (doc_id % 37)::VARCHAR || '.' || (['com','org','co.uk','net'])[(doc_id % 4)::INT + 1] || '/p/' || doc_id::VARCHAR || '?id=' || doc_id::VARCHAR AS canon_url,
   CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS st,
-  CASE WHEN doc_id % 17 = 0 THEN '' WHEN doc_id % 3 = 2 THEN 'deflate' ELSE 'gzip' END AS cenc,
+  CASE WHEN doc_id % 17 = 0 THEN '' WHEN doc_id % 4 = 2 THEN 'deflate' WHEN doc_id % 4 = 3 THEN 'zstd' ELSE 'gzip' END AS cenc,
   '<html><head><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p></body></html>' AS html
 FROM documents),
 tx AS (SELECT doc_id, canon_url, st, cenc, html,
@@ -1709,16 +1714,18 @@ FROM fin f LEFT JOIN resp r ON f.final_url = r.url JOIN fk ON f.start_url = fk.s
 ORDER BY f.start_url""",
 
     // q302: the census replayed closed-form — the page length is exact
-    // (entity-escaped fixture html), decodable classes count DECODED
-    // bytes, the corrupt-gzip class counts its raw (magic + page) bytes
+    // (entity-escaped fixture html), decodable classes (zstd included,
+    // round 15) count DECODED bytes, the corrupt-gzip/corrupt-zstd
+    // classes count their raw (magic + page) bytes
     "q302_encoding_census" ->
-      """WITH d AS (SELECT doc_id, doc_id % 7 AS k,
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS k,
   octet_length(encode('<html><head><title>Doc ' || doc_id::VARCHAR || '</title></head><body><h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') || '</p></body></html>')) AS blen
 FROM documents),
 c AS (SELECT
   CASE k WHEN 0 THEN '' WHEN 1 THEN 'gzip' WHEN 2 THEN 'x-gzip' WHEN 3 THEN 'deflate'
-    WHEN 4 THEN 'br;undecoded' WHEN 5 THEN 'zstd;undecoded' ELSE 'gzip;undecoded' END AS content_encoding,
-  CASE WHEN k = 6 THEN blen + 2 ELSE blen END AS plen
+    WHEN 4 THEN 'br;undecoded' WHEN 5 THEN 'zstd' WHEN 6 THEN 'gzip;undecoded'
+    ELSE 'zstd;undecoded' END AS content_encoding,
+  CASE WHEN k = 6 THEN blen + 2 WHEN k = 7 THEN blen + 4 ELSE blen END AS plen
 FROM d)
 SELECT content_encoding, count(*)::BIGINT AS n_responses, sum(plen)::BIGINT AS n_payload_bytes,
   CASE WHEN content_encoding LIKE '%;undecoded' THEN 1 ELSE 0 END AS undecoded

@@ -7,8 +7,11 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream, ZipEntry,
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
-/** Compressed-text ingestion on the codecs the JDK actually ships
-  * (`java.util.zip`) — REAL compression both ways, no stub: web dumps and
+/** Compressed-text ingestion on the codecs a Spark executor actually
+  * has — `java.util.zip` (gzip/deflate/zip) plus the zstd codec jars
+  * every Spark distribution bundles for its own shuffle/parquet
+  * compression (aircompressor pure-Java decode, zstd-jni encode) —
+  * REAL compression both ways, no stub: web dumps and
   * document archives arrive as gzip members and zip containers, and a
   * training-data pipeline's first operator is "get the text back out,
   * verifiably". The reference ingests only uncompressed PDF bytes
@@ -99,6 +102,38 @@ object CompressedText {
     }
     tryInflate(false).orElse(tryInflate(true))
   }
+
+  // ---------------------------------------------------------------------
+  // zstd frames (RFC 8878)
+  // ---------------------------------------------------------------------
+
+  /** Decode one zstd frame sequence (`Content-Encoding: zstd`,
+    * RFC 8878) with the PURE-JAVA decoder every Spark distribution
+    * already ships (aircompressor — Spark's own parquet/orc zstd
+    * codec), so scan tasks never depend on native-library extraction.
+    * None on any framing/checksum violation or trailing garbage —
+    * the skip-not-crash contract [[gunzipBytes]]/[[inflateBytes]] set.
+    */
+  def unzstdBytes(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new io.airlift.compress.zstd.ZstdInputStream(
+        new ByteArrayInputStream(bytes))
+      val out = new ByteArrayOutputStream(bufSize(bytes.length))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+
+  /** FIXTURE-side zstd compression, deliberately through the OTHER
+    * implementation (zstd-jni — the upstream C library via JNI, Spark's
+    * shuffle codec): every fixture round-trip crosses implementations,
+    * so a self-consistent encode/decode bug in either cannot pass
+    * (the same two-implementation argument as the AES-256 R6 vectors).
+    */
+  def zstdCompress(bytes: Array[Byte], level: Int = 3): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(bytes, level)
 
   /** Attach a real-gzip column compressing `textCol` (partition-local,
     * REAL `GZIPOutputStream` bytes).

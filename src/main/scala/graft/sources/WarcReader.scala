@@ -58,6 +58,22 @@ object WarcReader {
       payloadDigest: String = "", contentEncoding: String = "",
       httpLocation: String = "")
 
+  /** Record-level predicate gates the DSv2 scan pushes into the walk
+    * (accept-all defaults keep `records`/`parse` semantics — see
+    * [[graft.sources.warc.WarcFilters]] for the Filter→gate compiler).
+    * `typeOk` runs right after the WARC header walk: a failing record's
+    * block is JUMPED — its HTTP head is never parsed, its payload never
+    * copied, neither decode layer runs. `statusOk` (present only when a
+    * status filter was pushed) runs after an in-place head-only status
+    * parse and gates the block copy + dechunk + content-decode; non-HTTP
+    * records evaluate it at status 0, exactly the relation's output
+    * value for them, so consuming the filter is semantics-preserving.
+    */
+  final case class WarcGates(
+      typeOk: String => Boolean = _ => true,
+      statusOk: Option[Int => Boolean] = None)
+  object WarcGates { val AcceptAll: WarcGates = WarcGates() }
+
   /** Walk every record of a `.warc.gz` (or uncompressed `.warc`) blob.
     * Uncompressed input (no gzip magic) is treated as one member; a
     * member may hold several records (non-canonical but legal).
@@ -76,16 +92,17 @@ object WarcReader {
     * touches ~1% of the archive's bytes beyond the inflate.
     */
   private[sources] def parseWith(bytes: Array[Byte], needHttp: Boolean,
-      needPayload: Boolean): Seq[WarcRecord] = {
+      needPayload: Boolean,
+      gates: WarcGates = WarcGates.AcceptAll): Seq[WarcRecord] = {
     val members =
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1f &&
         (bytes(1) & 0xFF) == 0x8b) CompressedText.gzipMembers(bytes)
       else Seq(bytes)
-    members.flatMap(memberRecords(_, needHttp, needPayload))
+    members.flatMap(memberRecords(_, needHttp, needPayload, gates))
   }
 
   private def memberRecords(m: Array[Byte], needHttp: Boolean,
-      needPayload: Boolean): Seq[WarcRecord] = {
+      needPayload: Boolean, gates: WarcGates): Seq[WarcRecord] = {
     val out = Seq.newBuilder[WarcRecord]
     var pos = 0
     var ok = true
@@ -93,8 +110,8 @@ object WarcReader {
       // skip inter-record CRLFs
       while (pos < m.length && (m(pos) == '\r' || m(pos) == '\n')) pos += 1
       if (pos >= m.length) ok = false
-      else parseOne(m, pos, needHttp, needPayload) match {
-        case Some((rec, next)) => out += rec; pos = next
+      else parseOne(m, pos, needHttp, needPayload, gates) match {
+        case Some((rec, next)) => rec.foreach(out += _); pos = next
         case None => ok = false // malformed tail: keep what parsed
       }
     }
@@ -105,8 +122,12 @@ object WarcReader {
     * `Content-Length` block bytes. Returns the record and the offset
     * just past its block.
     */
+  /** One record starting at `pos`. None = malformed (walk stops);
+    * Some((None, next)) = well-formed but pushed-filter-rejected — the
+    * block was jumped without the gated work (see [[WarcGates]]).
+    */
   private def parseOne(m: Array[Byte], pos: Int, needHttp: Boolean,
-      needPayload: Boolean): Option[(WarcRecord, Int)] = {
+      needPayload: Boolean, gates: WarcGates): Option[(Option[WarcRecord], Int)] = {
     val headEnd = indexOfDoubleCrlf(m, pos)
     if (headEnd < 0) return None
     val head = new String(m, pos, headEnd - pos, ISO_8859_1)
@@ -139,8 +160,18 @@ object WarcReader {
     val blockStart = headEnd + 4
     if (len < 0 || blockStart + len > m.length) return None
     val blockEnd = blockStart + len.toInt
+    // pushed warc_type filter: jump the block before ANY block work
+    if (!gates.typeOk(warcType)) return Some((None, blockEnd))
+    val isHttp = ct.startsWith("application/http")
+    // pushed http_status filter: head-only in-place parse, evaluated
+    // BEFORE the block copy and both decode layers; non-HTTP records
+    // carry status 0 in the relation, so that is what the gate sees
+    val statusRejected = gates.statusOk.exists { ok =>
+      !ok(if (isHttp) httpHead(m, blockStart, blockEnd)._1 else 0)
+    }
+    if (statusRejected) return Some((None, blockEnd))
     val rec =
-      if (ct.startsWith("application/http")) {
+      if (isHttp) {
         if (needPayload) {
           val block = java.util.Arrays.copyOfRange(m, blockStart, blockEnd)
           val (status, httpCt, body, cenc, loc) = splitHttp(block)
@@ -153,7 +184,7 @@ object WarcReader {
       } else WarcRecord(warcType, uri, ct, 0, "",
         if (needPayload) java.util.Arrays.copyOfRange(m, blockStart, blockEnd)
         else Array.emptyByteArray, digest)
-    Some((rec, blockEnd))
+    Some((Some(rec), blockEnd))
   }
 
   /** Head-only HTTP parse for pruned reads: status line + the two header
@@ -189,9 +220,12 @@ object WarcReader {
     * consumer sees entity bytes:
     *   1. `Transfer-Encoding: chunked` (RFC 9112 §7.1, the shared
     *      [[org.apache.spark.sql.graft.expressions.HttpDechunk]] walker);
-    *   2. `Content-Encoding: gzip`/`x-gzip`/`deflate` (RFC 9110 §8.4 —
-    *      [[CompressedText.gunzipBytes]]/[[CompressedText.inflateBytes]];
-    *      the single most common real-WARC payload shape after identity).
+    *   2. `Content-Encoding: gzip`/`x-gzip`/`deflate`/`zstd` (RFC 9110
+    *      §8.4, RFC 8878 — [[CompressedText.gunzipBytes]] /
+    *      [[CompressedText.inflateBytes]]/[[CompressedText.unzstdBytes]];
+    *      gzip is the most common real-WARC payload shape after
+    *      identity). Only `br` remains opaque (no JVM decoder ships
+    *      with Spark); it is flagged, and q302 censuses the share.
     * Broken framing at either layer falls back to the raw bytes, never a
     * crash (a real corpus always contains some) — a broken content
     * coding is FLAGGED in the returned census value (`;undecoded`
@@ -242,7 +276,12 @@ object WarcReader {
           case Some(b) => (b, coding)
           case None => (dechunked, coding + ";undecoded")
         }
-      case other => (dechunked, other + ";undecoded") // br, zstd, multi-coding
+      case "zstd" =>
+        CompressedText.unzstdBytes(dechunked) match {
+          case Some(b) => (b, coding)
+          case None => (dechunked, coding + ";undecoded")
+        }
+      case other => (dechunked, other + ";undecoded") // br, multi-coding
     }
     (status, ct, entity, cenc, loc)
   }
@@ -539,6 +578,7 @@ object WarcReader {
     val coded = coding match {
       case "gzip" => gz(body)
       case "deflate" => zlibDeflate(body)
+      case "zstd" => CompressedText.zstdCompress(body)
       case other => throw new IllegalArgumentException(other)
     }
     val out = new ByteArrayOutputStream(coded.length + 160)
@@ -565,12 +605,16 @@ object WarcReader {
   }
 
   /** [[buildFixture]]'s layout with every 200-response CONTENT-ENCODED —
-    * the q298 integration fixture: `doc_id % 3` cycles gzip-then-chunked
-    * (both coding layers stacked in wire order), plain gzip, and
-    * zlib-deflate; 404s stay identity. The walk + split + dechunk +
-    * inflate chain must hand the extractor exactly the bytes
-    * [[buildFixture]] would — the q296 byte-for-byte contract, one layer
-    * deeper.
+    * the q298 integration fixture: `doc_id % 4` cycles gzip-then-chunked
+    * (both coding layers stacked in wire order), plain gzip,
+    * zlib-deflate, and zstd (round 15 — real RFC 8878 frames, so the
+    * FULL ingest chain, charset → HtmlOps → UrlOps, is proven through
+    * the zstd decode too, not just the q302 census); 404s stay
+    * identity. The walk + split + dechunk + inflate chain must hand the
+    * extractor exactly the bytes [[buildFixture]] would — the q296
+    * byte-for-byte contract, one layer deeper. The modulus divides the
+    * ScaleProbe's 10^7 id offset, keeping per-class counts exact under
+    * probe copies.
     */
   def buildContentEncodedFixture(docs: DataFrame, nShards: Int = 24): DataFrame = {
     val spark = docs.sparkSession
@@ -595,9 +639,10 @@ object WarcReader {
             else ("text/plain", "not found\n".getBytes(UTF_8))
           val http =
             if (status != 200) httpResponse(status, ct, body)
-            else if (id % 3 == 0) httpEncodedResponse(ct, body, "gzip", alsoChunked = true)
-            else if (id % 3 == 1) httpEncodedResponse(ct, body, "gzip", alsoChunked = false)
-            else httpEncodedResponse(ct, body, "deflate", alsoChunked = false)
+            else if (id % 4 == 0) httpEncodedResponse(ct, body, "gzip", alsoChunked = true)
+            else if (id % 4 == 1) httpEncodedResponse(ct, body, "gzip", alsoChunked = false)
+            else if (id % 4 == 2) httpEncodedResponse(ct, body, "deflate", alsoChunked = false)
+            else httpEncodedResponse(ct, body, "zstd", alsoChunked = false)
           bos.write(gz(warcRecord("response", url,
             "application/http; msgtype=response", http)))
         }
@@ -607,17 +652,21 @@ object WarcReader {
   }
 
   /** Content-Encoding CENSUS fixture (q302): one 200 response per doc
-    * whose coding class cycles `doc_id % 7` — identity, well-formed
-    * gzip / x-gzip / deflate, and the three UNDECODABLE classes a real
-    * archive carries: `br` and `zstd` (no pure-JDK decoder exists —
-    * their payloads stay opaque, flagged `;undecoded`) and a CORRUPT
-    * gzip stream (valid magic, garbage after — the decode attempt
-    * genuinely runs and fails). The undecodable bodies are the raw page
-    * bytes (class 6 prepends the 2-byte gzip magic), so every payload
-    * length is closed-form for the oracle while the flag reflects a
-    * REAL failed decode. This is the standing quantification of the
-    * brotli/zstd gap: at 100 TB the same census runs over real archives
-    * and prices what a vendored decoder would unlock.
+    * whose coding class cycles `doc_id % 8` — identity, well-formed
+    * gzip / x-gzip / deflate / zstd (REAL RFC 8878 frames, compressed
+    * by zstd-jni so the decode crosses implementations), and the three
+    * UNDECODABLE classes a real archive carries: `br` (the one coding
+    * no JVM decoder ships for — its payload stays opaque, flagged
+    * `;undecoded`) and CORRUPT gzip / CORRUPT zstd streams (valid
+    * magic, garbage after — both decode attempts genuinely run and
+    * fail). The undecodable bodies are the raw page bytes (class 6
+    * prepends the 2-byte gzip magic, class 7 the 4-byte zstd magic),
+    * so every payload length is closed-form for the oracle while the
+    * flag reflects a REAL failed decode. This is the standing
+    * quantification of the brotli gap: at 100 TB the same census runs
+    * over real archives and prices what a vendored decoder would
+    * unlock. The modulus divides the ScaleProbe's 10^7 id offset, so
+    * probe copies keep per-class counts exact.
     */
   def buildEncodingCensusFixture(docs: DataFrame, nShards: Int = 24): DataFrame = {
     val spark = docs.sparkSession
@@ -647,15 +696,17 @@ object WarcReader {
             o.write(coded)
             o.toByteArray
           }
-          val http = (id % 7) match {
+          val http = (id % 8) match {
             case 0 => resp(None, body)
             case 1 => resp(Some("gzip"), gz(body))
             case 2 => resp(Some("x-gzip"), gz(body))
             case 3 => resp(Some("deflate"), zlibDeflate(body))
             case 4 => resp(Some("br"), body)
-            case 5 => resp(Some("zstd"), body)
-            case _ => resp(Some("gzip"),
+            case 5 => resp(Some("zstd"), CompressedText.zstdCompress(body))
+            case 6 => resp(Some("gzip"),
               Array(0x1F.toByte, 0x8B.toByte) ++ body) // magic, then garbage
+            case _ => resp(Some("zstd"), // magic (RFC 8878 §3.1.1), garbage
+              Array(0x28.toByte, 0xB5.toByte, 0x2F.toByte, 0xFD.toByte) ++ body)
           }
           bos.write(gz(warcRecord("response", fixtureUrl(id),
             "application/http; msgtype=response", http)))

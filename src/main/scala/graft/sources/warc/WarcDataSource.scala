@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo,
+  EqualNullSafe, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+  LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,6 +27,12 @@ import graft.sources.WarcReader
   * bytes ([[graft.sources.WarcReader.parseWith]]'s `needHttp` /
   * `needPayload` gates; `content_encoding` implies the payload gate
   * because its `;undecoded` flag only exists by attempting the decode).
+  * FILTERS push the same way (`SupportsPushDownFilters`, round 15):
+  * `warc_type` / `http_status` predicates compile to record-level gates
+  * ([[WarcFilters]]) evaluated inside the walk — a rejected record's
+  * block is jumped before any copy or decode — and are CONSUMED (no
+  * residual Filter node), with an equality-vs-flatMap spec pinning the
+  * exactness.
   *
   * Scale shape: one InputPartition per `.warc.gz` FILE — WARC's gzip
   * members are not splittable without a side index, and the archive
@@ -77,13 +85,74 @@ class WarcTable(path: String) extends Table with SupportsRead {
     new WarcScanBuilder(path)
 }
 
-/** Column pruning lands HERE: Catalyst hands the post-pruning schema to
-  * `pruneColumns`, and the reader factory derives its decode gates from
-  * exactly that field set.
+/** V1 `Filter` → record-walk gate compiler. Only filters the walk can
+  * evaluate EXACTLY are consumed (reported pushed, NOT returned as
+  * residual — Catalyst drops them from the post-scan Filter, so the
+  * compiled gate IS the filter's only evaluation): equality/IN on
+  * `warc_type`, comparisons/IN on `http_status`, and `IsNotNull` on any
+  * schema column (every column is non-null by construction, so it
+  * compiles to accept-all). Everything else — URI prefixes, payload
+  * predicates — stays a post-scan Filter untouched. The 100 TB case
+  * this exists for: `warc_type = 'response'` skips the block work of
+  * the request/metadata records that make up roughly two thirds of a
+  * Common-Crawl-convention archive, and a status filter skips payload
+  * copy + dechunk + content-decode for every non-matching response
+  * ([[graft.sources.WarcReader.WarcGates]] documents where each gate
+  * runs inside the walk).
+  */
+private[warc] object WarcFilters {
+  sealed trait Gate
+  final case class TypeGate(f: String => Boolean) extends Gate
+  final case class StatusGate(f: Int => Boolean) extends Gate
+  case object TrueGate extends Gate
+
+  def compile(f: Filter): Option[Gate] = f match {
+    case IsNotNull(a) if WarcTable.Schema.fieldNames.contains(a) =>
+      Some(TrueGate) // all columns non-null by construction
+    case EqualTo("warc_type", v: String) => Some(TypeGate(_ == v))
+    case EqualNullSafe("warc_type", v: String) => Some(TypeGate(_ == v))
+    case In("warc_type", vs) if vs != null =>
+      // a null / non-string literal can never equal the non-null string
+      // column, so dropping it from the set is the exact semantics
+      val set = vs.collect { case s: String => s }.toSet
+      Some(TypeGate(set.contains))
+    case EqualTo("http_status", v: Int) => Some(StatusGate(_ == v))
+    case EqualNullSafe("http_status", v: Int) => Some(StatusGate(_ == v))
+    case In("http_status", vs) if vs != null =>
+      val set = vs.collect { case i: Int => i }.toSet
+      Some(StatusGate(set.contains))
+    case GreaterThan("http_status", v: Int) => Some(StatusGate(_ > v))
+    case GreaterThanOrEqual("http_status", v: Int) => Some(StatusGate(_ >= v))
+    case LessThan("http_status", v: Int) => Some(StatusGate(_ < v))
+    case LessThanOrEqual("http_status", v: Int) => Some(StatusGate(_ <= v))
+    case _ => None
+  }
+
+  /** Conjunction of every compiled gate (driver-side; the resulting
+    * closures ship to executors inside the reader factory).
+    */
+  def gates(filters: Array[Filter]): WarcReader.WarcGates = {
+    val compiled = filters.flatMap(compile)
+    val typeFs = compiled.collect { case TypeGate(g) => g }
+    val statusFs = compiled.collect { case StatusGate(g) => g }
+    WarcReader.WarcGates(
+      typeOk = if (typeFs.isEmpty) _ => true else t => typeFs.forall(_(t)),
+      statusOk =
+        if (statusFs.isEmpty) None else Some(s => statusFs.forall(_(s))))
+  }
+}
+
+/** Column pruning and filter pushdown land HERE: Catalyst hands the
+  * post-pruning schema to `pruneColumns` and the predicate conjuncts to
+  * `pushFilters`; the reader factory derives its decode gates from
+  * exactly that field set and the compiled record gates from exactly
+  * the consumed filters.
   */
 class WarcScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = WarcTable.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (count(*)) still needs one column to walk rows
@@ -91,14 +160,23 @@ class WarcScanBuilder(path: String)
       if (requiredSchema.isEmpty) StructType(WarcTable.Schema.take(2))
       else requiredSchema
 
-  override def build(): Scan = new WarcScan(path, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(f => WarcFilters.compile(f).isDefined)
+    pushed = sup
+    residual // post-scan evaluation only for what the walk can't do exactly
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new WarcScan(path, required, pushed)
 }
 
-class WarcScan(path: String, required: StructType) extends Scan with Batch {
+class WarcScan(path: String, required: StructType,
+    val pushed: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"warc $path required=[${required.fieldNames.mkString(",")}]"
+    s"warc $path required=[${required.fieldNames.mkString(",")}] " +
+      s"pushed=[${pushed.mkString(",")}]"
 
   /** Driver-side file listing under the session's Hadoop conf; one
     * partition per file (members aren't splittable — see class doc).
@@ -118,20 +196,20 @@ class WarcScan(path: String, required: StructType) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required.fieldNames)
+    WarcReaderFactory(required.fieldNames, WarcFilters.gates(pushed))
 }
 
 case class WarcInputPartition(file: String) extends InputPartition
 
-case class WarcReaderFactory(fieldNames: Array[String])
-    extends PartitionReaderFactory {
+case class WarcReaderFactory(fieldNames: Array[String],
+    gates: WarcReader.WarcGates) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(
-      partition.asInstanceOf[WarcInputPartition].file, fieldNames)
+      partition.asInstanceOf[WarcInputPartition].file, fieldNames, gates)
 }
 
-class WarcPartitionReader(file: String, fieldNames: Array[String])
-    extends PartitionReader[InternalRow] {
+class WarcPartitionReader(file: String, fieldNames: Array[String],
+    gates: WarcReader.WarcGates) extends PartitionReader[InternalRow] {
 
   // the decode gates: payload (or the census column, whose ;undecoded
   // flag requires the decode attempt) → full block work; the three HTTP
@@ -156,7 +234,7 @@ class WarcPartitionReader(file: String, fieldNames: Array[String])
         in.readFully(0, buf)
         buf
       } finally in.close()
-    WarcReader.parseWith(bytes, needHttp, needPayload).iterator
+    WarcReader.parseWith(bytes, needHttp, needPayload, gates).iterator
   }
 
   private var cur: WarcReader.WarcRecord = _

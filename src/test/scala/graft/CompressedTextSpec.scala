@@ -30,6 +30,31 @@ class CompressedTextSpec extends AnyFunSuite {
     assert(CompressedText.gunzip("not gzip".getBytes).isEmpty)
   }
 
+  test("zstd cross-implementation round-trip: zstd-jni frames decode pure-Java; corruption and garbage refuse") {
+    val body = ("zstd entity — κείμενο 😀 " * 40).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // compress with the JNI binding of the upstream C library, decode
+    // with aircompressor's from-spec pure-Java decoder: a bug that is
+    // self-consistent inside either implementation cannot pass
+    val frame = CompressedText.zstdCompress(body)
+    assert(frame.length < body.length / 2,
+      s"zstd ${frame.length}B for ${body.length}B input — not compressing")
+    assert(CompressedText.unzstdBytes(frame).exists(_.sameElements(body)))
+    // and the reverse direction: the C library accepts what it wrote
+    assert(com.github.luben.zstd.Zstd.decompress(frame, body.length * 2)
+      .take(body.length).sameElements(body))
+    // magic + garbage → None (the q302 corrupt-zstd class)
+    val broken = Array(0x28.toByte, 0xB5.toByte, 0x2F.toByte, 0xFD.toByte) ++ body
+    assert(CompressedText.unzstdBytes(broken).isEmpty)
+    // mid-frame corruption → refused (None), never the original bytes
+    val bad = frame.clone(); bad(frame.length / 2) = (bad(frame.length / 2) ^ 0x5a).toByte
+    assert(!CompressedText.unzstdBytes(bad).exists(_.sameElements(body)),
+      "corrupted frame decoded back to the original bytes")
+    assert(CompressedText.unzstdBytes("not zstd".getBytes).isEmpty)
+    // degenerate inputs must take the None path, not crash the task
+    assert(!CompressedText.unzstdBytes(Array.emptyByteArray).exists(_.nonEmpty))
+    assert(CompressedText.unzstdBytes(frame.take(6)).isEmpty) // truncated header
+  }
+
   test("zip slices: codepoint-aligned closed form, surrogate pairs never split, non-zip yields zero entries") {
     // 10 codepoints incl. an astral (2-UTF-16-unit) one at a slice edge:
     // unit-based slicing at 3 would sever the pair — codepoint slicing

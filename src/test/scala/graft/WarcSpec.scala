@@ -226,6 +226,14 @@ class WarcSpec extends AnyFunSuite {
     assert(b.contentEncoding == "gzip;undecoded" && b.payload.sameElements(broken))
     // unsupported coding (br) → flagged pass-through
     assert(respond("Content-Encoding: br\r\n", body).contentEncoding == "br;undecoded")
+    // zstd decodes inline — and the round-trip crosses implementations
+    // (zstd-jni C compressor here, aircompressor pure-Java decoder in the split)
+    val z = respond("Content-Encoding: zstd\r\n", CompressedText.zstdCompress(body))
+    assert(new String(z.payload, UTF_8) == new String(body, UTF_8) && z.contentEncoding == "zstd")
+    // corrupt zstd (valid RFC 8878 magic, garbage after) → raw bytes kept, flagged
+    val zBroken = Array(0x28.toByte, 0xB5.toByte, 0x2F.toByte, 0xFD.toByte) ++ body
+    val zb = respond("Content-Encoding: zstd\r\n", zBroken)
+    assert(zb.contentEncoding == "zstd;undecoded" && zb.payload.sameElements(zBroken))
     // identity / absent → empty census value, untouched body
     assert(respond("", body).contentEncoding == "" )
   }

@@ -81,6 +81,64 @@ class WarcTableSpec extends AnyFunSuite {
     assert(metaOnly.filter($"warc_type" === "response").count() == 24)
   }
 
+  test("filter pushdown: warc_type/http_status predicates are consumed by the scan, exactly; others stay post-scan") {
+    val s = spark
+    import s.implicits._
+    val dir = fixtureDir("pushdown")
+    val q = s.read.format("warc").load(dir)
+      .filter($"warc_type" === "response" && $"http_status" === 200)
+      .select($"target_uri", $"http_status", md5($"payload").as("pmd5"))
+    // the scan itself carries both predicates (plus Catalyst's inferred
+    // IsNotNulls, consumed as accept-all)...
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[graft.sources.warc.WarcScan]
+    val pushedStr = scan.pushed.map(_.toString).toSet
+    assert(pushedStr.contains("EqualTo(warc_type,response)") &&
+      pushedStr.contains("EqualTo(http_status,200)"),
+      s"filters not pushed: $pushedStr")
+    // ...and they are CONSUMED: no post-scan Filter survives
+    val residualFilters = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residualFilters.isEmpty,
+      s"pushed filters still evaluated post-scan: $residualFilters")
+    // exactness: equality with the (unpushed) flatMap walk
+    val docs = (0L until 24L).map(i => (i, s"body text $i")).toDF("doc_id", "text")
+    val want = WarcReader.records(WarcReader.buildFixture(docs, nShards = 4), "warc")
+      .filter($"warc_type" === "response" && $"http_status" === 200)
+      .select($"target_uri", $"http_status", md5($"payload").as("pmd5"))
+      .collect().map(_.toSeq).toSet
+    assert(q.collect().map(_.toSeq).toSet == want)
+    // a status filter alone rejects non-HTTP records at their output
+    // value 0 (the warcinfo record carries no HTTP block)
+    val nonZero = s.read.format("warc").load(dir)
+      .filter($"http_status" >= 200).select($"warc_type")
+      .collect().map(_.getString(0)).toSet
+    assert(nonZero == Set("response"))
+    val zeroOnly = s.read.format("warc").load(dir)
+      .filter($"http_status" < 200).select($"warc_type")
+      .collect().map(_.getString(0)).toSet
+    // warcinfo carries no HTTP block; request blocks have no status line
+    assert(zeroOnly == Set("warcinfo", "request"))
+    // a predicate the walk cannot evaluate exactly stays a post-scan
+    // Filter and still answers correctly
+    val like = s.read.format("warc").load(dir)
+      .filter($"warc_type" === "response" && $"target_uri".contains("id=3"))
+      .select($"target_uri")
+    val likeScan = like.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[graft.sources.warc.WarcScan]
+    assert(likeScan.pushed.map(_.toString)
+      .contains("EqualTo(warc_type,response)"))
+    assert(!likeScan.pushed.exists(_.toString.contains("Contains")),
+      "a StringContains predicate must not be consumed by the scan")
+    val likeFilters = like.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f }
+    assert(likeFilters.nonEmpty, "residual predicate lost its Filter node")
+    assert(like.count() > 0)
+  }
+
   test("pruned reads still compute their gated fields correctly (head-only parse)") {
     val s = spark
     import s.implicits._
