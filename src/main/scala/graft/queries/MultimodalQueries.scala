@@ -374,6 +374,26 @@ private[graft] object MultimodalQueries {
     }),
 
 
+    // Zstd round-trip audit (round 15, the q260 contract on the codec
+    // modern text corpora actually ship — `.jsonl.zst` members): REAL
+    // RFC 8878 frames both ways, and the round-trip CROSSES
+    // implementations — zstd-jni (the upstream C library) compresses,
+    // aircompressor (pure-Java, what the scan path uses) decodes — so a
+    // self-consistent bug in either side cannot pass. Oracle-checked
+    // columns are functions of the RECOVERED text; frame sizes are
+    // implementation-specific and spec-asserted instead.
+    "q303_zstd_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+        .repartition(32, $"doc_id") // spread the codec work (q90 lesson)
+      val zs = graft.sources.CompressedText.zstdCorpus(docs, "text")
+        .select($"doc_id", $"zs")
+      graft.sources.CompressedText.unzstdAudit(zs, "zs")
+        .select($"doc_id", $"is_zstd", $"rt_n_chars", $"rt_md5")
+        .orderBy($"doc_id")
+    }),
+
+
     // ID3v2 tag metadata — the bytes in FRONT of q243's mp3 frames,
     // closing the mp3 container matrix
     // ([[graft.operators.ContainerMeta.Id3Parser]]: syncsafe header,
@@ -722,6 +742,13 @@ FROM documents ORDER BY doc_id""",
     // replay directly; any corruption on the engine side hash-fails
     "q260_gzip_roundtrip" ->
       """SELECT doc_id, 1::INT AS is_gzip, length(text)::BIGINT AS rt_n_chars, md5(text) AS rt_md5
+FROM documents ORDER BY doc_id""",
+
+    // q303: q260's replay for the zstd round-trip — the recovered text
+    // IS the text, codepoint length + md5; a corrupted byte anywhere in
+    // the cross-implementation compress→decode chain hash-fails
+    "q303_zstd_roundtrip" ->
+      """SELECT doc_id, 1::INT AS is_zstd, length(text)::BIGINT AS rt_n_chars, md5(text) AS rt_md5
 FROM documents ORDER BY doc_id""",
 
     // q261: replay the codepoint slice grid (n = 1 + id%3 entries, step

@@ -192,6 +192,65 @@ object CompressedText {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Attach a real-zstd column compressing `textCol` (partition-local
+    * zstd-jni frames — the cross-implementation fixture side; see
+    * [[unzstdBytes]]). The `.jsonl.zst` convention's storage shape:
+    * modern public text corpora ship zstd-framed members.
+    */
+  def zstdCorpus(df: DataFrame, textCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("zs", BinaryType, nullable = false))
+    val txtIdx = inSchema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          Row.fromSeq(row.toSeq :+ zstdCompress(row.getString(txtIdx)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** [[gunzipAudit]]'s contract for zstd frames: decode `binCol` with
+    * the PURE-JAVA decoder (the other implementation than the one that
+    * compressed) and emit oracle-checkable functions of the recovered
+    * text — is_zstd, codepoint count, md5. A single corrupted byte
+    * anywhere in compress→store→decode flips the hash.
+    */
+  def unzstdAudit(df: DataFrame, binCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("is_zstd", IntegerType, nullable = false),
+      StructField("rt_n_chars", LongType, nullable = false),
+      StructField("rt_md5", StringType, nullable = false),
+      StructField("n_comp_bytes", LongType, nullable = false)))
+    val binIdx = inSchema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val bytes = row.getAs[Array[Byte]](binIdx)
+          unzstdBytes(bytes) match {
+            case Some(b) =>
+              val txt = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+              Row.fromSeq(row.toSeq ++ Seq[Any](1,
+                txt.codePointCount(0, txt.length).toLong,
+                md5Hex(txt), bytes.length.toLong))
+            case None =>
+              Row.fromSeq(row.toSeq ++ Seq[Any](0, 0L, "",
+                bytes.length.toLong))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

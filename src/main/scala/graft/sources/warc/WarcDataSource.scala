@@ -171,17 +171,18 @@ class WarcScanBuilder(path: String)
 }
 
 class WarcScan(path: String, required: StructType,
-    val pushed: Array[Filter] = Array.empty) extends Scan with Batch {
+    val pushed: Array[Filter] = Array.empty)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"warc $path required=[${required.fieldNames.mkString(",")}] " +
       s"pushed=[${pushed.mkString(",")}]"
 
-  /** Driver-side file listing under the session's Hadoop conf; one
-    * partition per file (members aren't splittable — see class doc).
+  /** Driver-side file listing under the session's Hadoop conf (listed
+    * once per scan, shared by partition planning and statistics).
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val fileStatuses: Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new HPath(path)
     val fs = p.getFileSystem(conf)
@@ -191,8 +192,33 @@ class WarcScan(path: String, required: StructType,
     files.filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
         !s.getPath.getName.startsWith("_"))
       .sortBy(_.getPath.toString)
-      .map(s => WarcInputPartition(s.getPath.toString): InputPartition)
+  }
+
+  /** One partition per file (members aren't splittable — see class doc). */
+  override def planInputPartitions(): Array[InputPartition] =
+    fileStatuses.map(s => WarcInputPartition(s.getPath.toString): InputPartition)
       .toArray
+
+  /** Without reported statistics a DSv2 relation costs
+    * `spark.sql.defaultSizeInBytes` (Long.MaxValue) — a small archive
+    * joined against anything can then never be auto-broadcast and always
+    * pays a shuffle. Report the listing's byte total scaled by
+    * `spark.sql.sources.fileCompressionFactor` (the same knob Spark's
+    * own file sources apply to compressed inputs — gzip'd WARC members
+    * inflate well beyond 1x, so deployments reading archive manifests
+    * should raise it); row count stays unknown (records per member vary).
+    */
+  override def estimateStatistics(): Statistics = {
+    val factor =
+      try SparkSession.active.sessionState.conf.fileCompressionFactor
+      catch { case scala.util.control.NonFatal(_) => 1.0 }
+    val bytes = (fileStatuses.map(_.getLen).sum * factor).toLong
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-import org.apache.spark.sql.functions.md5
+import org.apache.spark.sql.functions.{concat, lit, md5}
 
 import graft.sources.WarcReader
 
@@ -137,6 +137,36 @@ class WarcTableSpec extends AnyFunSuite {
       case f: org.apache.spark.sql.execution.FilterExec => f }
     assert(likeFilters.nonEmpty, "residual predicate lost its Filter node")
     assert(like.count() > 0)
+  }
+
+  test("reported statistics: scan costs its file bytes, so a small archive auto-broadcasts in a join") {
+    val s = spark
+    import s.implicits._
+    val dir = fixtureDir("stats")
+    // the scan reports the listing's byte total (default compression
+    // factor 1.0) — not the Long.MaxValue a stats-less DSv2 relation costs
+    val q = s.read.format("warc").load(dir).select($"target_uri")
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.asInstanceOf[graft.sources.warc.WarcScan]
+    val onDisk = new java.io.File(dir).listFiles().filter(_.isFile)
+      .map(_.length).sum
+    val stats = scan.estimateStatistics()
+    assert(stats.sizeInBytes.isPresent && stats.sizeInBytes.getAsLong == onDisk,
+      s"stats ${stats.sizeInBytes} != file bytes $onDisk")
+    // and the planner USES it: a join against a big side picks a
+    // broadcast with the (tiny) warc relation as the build side
+    val big = s.range(0, 100000L)
+      .select(concat(lit("https://Site"), ($"id" % 37),
+        lit(".com/p//"), $"id").as("u"))
+    val joined = big.join(s.read.format("warc").load(dir)
+        .filter($"warc_type" === "response").select($"target_uri"),
+      $"u" === $"target_uri")
+    // (string-match: AQE wraps the join in AdaptiveSparkPlanExec, which
+    // TreeNode collect does not traverse into)
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"small warc side was not auto-broadcast:\n${planStr.take(2000)}")
   }
 
   test("pruned reads still compute their gated fields correctly (head-only parse)") {
