@@ -316,6 +316,118 @@ object CompressedText {
     out.result()
   }
 
+  /** [[gzipMembers]] made LAZY over an `InputStream`: one decompressed
+    * member per `next()`, the trailer CRC32 + ISIZE of each verified, a
+    * malformed member ending the iteration with everything already
+    * decoded kept (the same skip-not-crash tail contract). Peak memory
+    * is O(largest member), never O(stream) — the property that lets a
+    * scan task walk a multi-GB `.warc.gz` (whose members are single
+    * records, KBs to MBs) without ever materializing the archive. The
+    * caller owns closing `in`; this never reads past the byte after the
+    * last well-formed member's trailer plus one internal buffer.
+    */
+  def streamMembers(in: java.io.InputStream): Iterator[Array[Byte]] =
+    new scala.collection.AbstractIterator[Array[Byte]] {
+      private val buf = new Array[Byte](64 * 1024)
+      private var bufLen = 0 // valid bytes in buf
+      private var bufPos = 0 // next unconsumed byte
+      private var finished = false
+      private var pending: Array[Byte] = null
+      private var computed = false
+
+      private def refill(): Boolean = {
+        if (bufPos < bufLen) return true
+        bufPos = 0
+        bufLen = in.read(buf)
+        bufLen > 0
+      }
+      private def readByte(): Int =
+        if (!refill()) -1 else { val b = buf(bufPos) & 0xFF; bufPos += 1; b }
+      private def skipN(n: Int): Boolean = {
+        var k = n
+        while (k > 0) { if (readByte() < 0) return false; k -= 1 }
+        true
+      }
+      private def skipZeroTerminated(): Boolean = {
+        var b = readByte()
+        while (b > 0) b = readByte()
+        b == 0
+      }
+      private def readLe32(): Long = {
+        var v = 0L
+        var i = 0
+        while (i < 4) {
+          val b = readByte()
+          if (b < 0) return -1L
+          v |= b.toLong << (8 * i); i += 1
+        }
+        v
+      }
+
+      /** Decode the next member into `pending`, or mark finished (clean
+        * EOF at a member boundary, or any malformed/truncated member).
+        */
+      private def advance(): Unit = {
+        pending = null
+        if (finished) return
+        val b0 = readByte()
+        if (b0 < 0) { finished = true; return } // clean EOF
+        val b1 = readByte(); val b2 = readByte()
+        if (b0 != 0x1f || b1 != 0x8b || b2 != 8) { finished = true; return }
+        val flg = readByte()
+        if (flg < 0 || !skipN(6)) { finished = true; return } // MTIME,XFL,OS
+        try {
+          if ((flg & 4) != 0) { // FEXTRA
+            val x0 = readByte(); val x1 = readByte()
+            if (x1 < 0 || !skipN(x0 | (x1 << 8))) { finished = true; return }
+          }
+          if ((flg & 8) != 0 && !skipZeroTerminated()) { finished = true; return }
+          if ((flg & 16) != 0 && !skipZeroTerminated()) { finished = true; return }
+          if ((flg & 2) != 0 && !skipN(2)) { finished = true; return }
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            val bo = new ByteArrayOutputStream(8192)
+            val out = new Array[Byte](8192)
+            while (!inf.finished()) {
+              if (inf.needsInput()) {
+                if (!refill())
+                  throw new java.util.zip.DataFormatException("truncated member")
+                inf.setInput(buf, bufPos, bufLen - bufPos)
+                bufPos = bufLen // handed over; rewound via getRemaining below
+              }
+              val n = inf.inflate(out)
+              if (n > 0) bo.write(out, 0, n)
+              else if (n == 0 && inf.needsDictionary())
+                throw new java.util.zip.DataFormatException("needs dictionary")
+            }
+            // hand the unconsumed tail of the last buffer back to the walk
+            bufPos -= inf.getRemaining
+            val member = bo.toByteArray
+            val crcv = readLe32(); val isz = readLe32()
+            if (crcv < 0 || isz < 0)
+              throw new java.util.zip.DataFormatException("truncated trailer")
+            val crc = new java.util.zip.CRC32
+            crc.update(member)
+            if (crcv != crc.getValue || isz != (member.length & 0xFFFFFFFFL))
+              throw new java.util.zip.DataFormatException("CRC/ISIZE mismatch")
+            pending = member
+          } finally inf.end()
+        } catch { case _: Exception => finished = true; pending = null }
+      }
+
+      override def hasNext: Boolean = {
+        if (!computed) { advance(); computed = true }
+        pending != null
+      }
+      override def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException("streamMembers")
+        computed = false
+        val m = pending
+        pending = null
+        m
+      }
+    }
+
   // ---------------------------------------------------------------------
   // zip containers (APPNOTE.TXT): multi-entry archives
   // ---------------------------------------------------------------------

@@ -101,6 +101,31 @@ object WarcReader {
     members.flatMap(memberRecords(_, needHttp, needPayload, gates))
   }
 
+  /** [[parseWith]] over an OPEN STREAM — the DSv2 partition reader's
+    * walk (round 15): members decode lazily one at a time
+    * ([[CompressedText.streamMembers]]), so a task's peak memory is
+    * O(largest member) — one record, KBs to MBs under the
+    * record-per-member convention — never O(archive): a multi-GB
+    * `.warc.gz` walks in constant memory, where the previous
+    * read-fully-then-parse shape held the whole compressed file AND
+    * every parsed record at once. Uncompressed input (no gzip magic)
+    * degrades to one fully-buffered member, preserving [[parse]]
+    * semantics for the rare bare `.warc`. The caller owns closing `in`.
+    */
+  def streamRecords(in: java.io.InputStream,
+      needHttp: Boolean, needPayload: Boolean,
+      gates: WarcGates = WarcGates.AcceptAll): Iterator[WarcRecord] = {
+    val pb = new java.io.PushbackInputStream(in, 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    val members: Iterator[Array[Byte]] =
+      if (b0 == 0x1f && b1 == 0x8b) CompressedText.streamMembers(pb)
+      else if (b0 < 0) Iterator.empty
+      else Iterator.single(pb.readAllBytes())
+    members.flatMap(memberRecords(_, needHttp, needPayload, gates))
+  }
+
   private def memberRecords(m: Array[Byte], needHttp: Boolean,
       needPayload: Boolean, gates: WarcGates): Seq[WarcRecord] = {
     val out = Seq.newBuilder[WarcRecord]

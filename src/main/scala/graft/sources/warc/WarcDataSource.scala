@@ -37,9 +37,16 @@ import graft.sources.WarcReader
   * Scale shape: one InputPartition per `.warc.gz` FILE — WARC's gzip
   * members are not splittable without a side index, and the archive
   * convention (Common Crawl: ~1 GB files, `warc.paths` manifests) is
-  * built around file-level parallelism. A blob is fully inflated inside
-  * its task (same contract as `records`); malformed members/records
-  * skip, never crash.
+  * built around file-level parallelism. The walk STREAMS: members
+  * decode lazily one at a time ([[graft.sources.WarcReader.streamRecords]]),
+  * so a task's peak memory is O(largest member) — one record — never
+  * O(archive); malformed members/records skip, never crash.
+  *
+  * Input is a directory/file path (`load(dir)`) or a Common-Crawl-style
+  * manifest (`.option("manifest", "…/warc.paths[.gz]").load()` — one
+  * archive path per line, relative lines resolving against the
+  * manifest's directory), the convention real crawl snapshots are
+  * distributed under.
   *
   * Registered under the short name `warc` via DataSourceRegister
   * (META-INF/services), like any production connector.
@@ -53,9 +60,13 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
-    require(path != null && path.nonEmpty,
-      "the warc source needs a path: spark.read.format(\"warc\").load(dir)")
-    new WarcTable(path)
+    val manifest = properties.get("manifest")
+    require((path != null && path.nonEmpty) ||
+        (manifest != null && manifest.nonEmpty),
+      "the warc source needs a path (spark.read.format(\"warc\").load(dir)) " +
+        "or a manifest (.option(\"manifest\", warcPathsFile).load())")
+    new WarcTable(Option(path).filter(_.nonEmpty),
+      Option(manifest).filter(_.nonEmpty))
   }
 }
 
@@ -76,13 +87,15 @@ object WarcTable {
     StructField("http_location", StringType, nullable = false)))
 }
 
-class WarcTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"warc:$path"
+class WarcTable(path: Option[String], manifest: Option[String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"warc:${path.getOrElse("")}${manifest.map(m => s" manifest=$m").getOrElse("")}"
   override def schema(): StructType = WarcTable.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(path)
+    new WarcScanBuilder(path, manifest)
 }
 
 /** V1 `Filter` → record-walk gate compiler. Only filters the walk can
@@ -148,7 +161,7 @@ private[warc] object WarcFilters {
   * exactly that field set and the compiled record gates from exactly
   * the consumed filters.
   */
-class WarcScanBuilder(path: String)
+class WarcScanBuilder(path: Option[String], manifest: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = WarcTable.Schema
@@ -167,31 +180,67 @@ class WarcScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WarcScan(path, required, pushed)
+  override def build(): Scan = new WarcScan(path, manifest, required, pushed)
 }
 
-class WarcScan(path: String, required: StructType,
-    val pushed: Array[Filter] = Array.empty)
+class WarcScan(path: Option[String], manifest: Option[String],
+    required: StructType, val pushed: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"warc $path required=[${required.fieldNames.mkString(",")}] " +
+    s"warc ${path.getOrElse("")}" +
+      manifest.map(m => s" manifest=$m").getOrElse("") +
+      s" required=[${required.fieldNames.mkString(",")}] " +
       s"pushed=[${pushed.mkString(",")}]"
 
   /** Driver-side file listing under the session's Hadoop conf (listed
     * once per scan, shared by partition planning and statistics).
+    * With a `manifest` option the listing is the MANIFEST's lines — the
+    * Common Crawl distribution convention (`warc.paths`, optionally
+    * gzipped: one archive path per line; blank lines and `#` comments
+    * skipped; relative lines resolve against the manifest's own
+    * directory, so a mirrored `warc.paths` next to its `crawl-data/`
+    * tree reads verbatim) — which also prices the scan's statistics
+    * without listing remote directories.
     */
   private lazy val fileStatuses: Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val p = new HPath(path)
-    val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-      else Seq(fs.getFileStatus(p))
-    files.filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-        !s.getPath.getName.startsWith("_"))
-      .sortBy(_.getPath.toString)
+    manifest match {
+      case Some(mf) =>
+        val mp = new HPath(mf)
+        val mfs = mp.getFileSystem(conf)
+        val raw = {
+          val st = mfs.open(mp)
+          try st.readAllBytes() finally st.close()
+        }
+        val bytes =
+          if (mf.endsWith(".gz"))
+            graft.sources.CompressedText.gunzipBytes(raw).getOrElse(
+              throw new IllegalArgumentException(s"corrupt gzip manifest: $mf"))
+          else raw
+        val base = mp.getParent
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator.map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { line =>
+            val p = new HPath(line)
+            val resolved = if (p.isAbsolute || line.contains("://")) p
+              else new HPath(base, line)
+            resolved.getFileSystem(conf).getFileStatus(resolved)
+          }
+          .toSeq.sortBy(_.getPath.toString)
+      case None =>
+        val p = new HPath(path.getOrElse(
+          throw new IllegalArgumentException("warc: no path and no manifest")))
+        val fs = p.getFileSystem(conf)
+        val files =
+          if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+          else Seq(fs.getFileStatus(p))
+        files.filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+            !s.getPath.getName.startsWith("_"))
+          .sortBy(_.getPath.toString)
+    }
   }
 
   /** One partition per file (members aren't splittable — see class doc). */
@@ -245,6 +294,8 @@ class WarcPartitionReader(file: String, fieldNames: Array[String],
   private val needHttp = needPayload || fieldNames.contains("http_status") ||
     fieldNames.contains("content_type") || fieldNames.contains("http_location")
 
+  private var in: java.io.InputStream = _
+
   private lazy val records: Iterator[WarcReader.WarcRecord] = {
     val p = new HPath(file)
     // executor-side: default Hadoop conf resolves the same local/DFS
@@ -252,15 +303,12 @@ class WarcPartitionReader(file: String, fieldNames: Array[String],
     // deployment ships its conf via spark.hadoop.* properties, which
     // the default constructor picks up from core-site.xml)
     val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(p)
-    val bytes =
-      try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        buf
-      } finally in.close()
-    WarcReader.parseWith(bytes, needHttp, needPayload, gates).iterator
+    in = fs.open(p)
+    // STREAMING walk (round 15): members decode lazily, so task memory
+    // is O(largest member) — a multi-GB archive never materializes
+    // (the previous shape read the whole file AND parsed every record
+    // into one Seq before the first row was served)
+    WarcReader.streamRecords(in, needHttp, needPayload, gates)
   }
 
   private var cur: WarcReader.WarcRecord = _
@@ -283,5 +331,5 @@ class WarcPartitionReader(file: String, fieldNames: Array[String],
       case other => throw new IllegalArgumentException(s"unknown column $other")
     })
 
-  override def close(): Unit = ()
+  override def close(): Unit = if (in != null) in.close()
 }

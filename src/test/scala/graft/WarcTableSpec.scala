@@ -169,6 +169,88 @@ class WarcTableSpec extends AnyFunSuite {
       s"small warc side was not auto-broadcast:\n${planStr.take(2000)}")
   }
 
+  test("manifest option: a warc.paths file (plain or gzipped) selects exactly its listed archives") {
+    val s = spark
+    import s.implicits._
+    val dir = fixtureDir("manifest")
+    val files = new java.io.File(dir).listFiles().filter(_.isFile)
+      .map(_.getName).sorted
+    assert(files.length == 4)
+    // list only the first two shards: one relative line, one absolute,
+    // plus a comment and a blank line (the warc.paths conventions)
+    val manifestTxt = s"# crawl manifest\n${files(0)}\n\n$dir/${files(1)}\n"
+    val mf = s"$dir/warc.paths"
+    java.nio.file.Files.write(java.nio.file.Paths.get(mf),
+      manifestTxt.getBytes("UTF-8"))
+    val viaManifest = s.read.format("warc").option("manifest", mf).load()
+      .select($"path", $"target_uri").collect()
+    val wantPaths = Set(files(0), files(1)).map(f => s"file:$dir/$f")
+    assert(viaManifest.map(_.getString(0)).toSet == wantPaths,
+      s"manifest read wrong files: ${viaManifest.map(_.getString(0)).toSet}")
+    val wantRows = s.read.format("warc").load(dir)
+      .filter($"path".isin(wantPaths.toSeq: _*))
+      .select($"path", $"target_uri").collect().map(_.toSeq).toSet
+    assert(viaManifest.map(_.toSeq).toSet == wantRows)
+    // gzipped manifest (warc.paths.gz, the published form) reads the same
+    val mfGz = s"$dir/warc.paths.gz"
+    java.nio.file.Files.write(java.nio.file.Paths.get(mfGz),
+      graft.sources.CompressedText.gzip(manifestTxt))
+    val viaGz = s.read.format("warc").option("manifest", mfGz).load()
+      .select($"path", $"target_uri").collect().map(_.toSeq).toSet
+    assert(viaGz == wantRows)
+    // and the reported statistics price exactly the two listed files
+    val scan = s.read.format("warc").option("manifest", mf).load()
+      .select($"target_uri").queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b
+      }.head.scan.asInstanceOf[graft.sources.warc.WarcScan]
+    val wantBytes = Seq(files(0), files(1))
+      .map(f => new java.io.File(dir, f).length).sum
+    assert(scan.estimateStatistics().sizeInBytes.getAsLong == wantBytes)
+  }
+
+  test("streaming walk: records equal the array walk, decode lazily (first record before the stream ends), and keep the well-formed prefix of a corrupt tail") {
+    val s = spark
+    import s.implicits._
+    // incompressible text so the archive comfortably exceeds the walk's
+    // 64 KB stream buffer — otherwise "lazy" is unobservable
+    val docs = (0L until 24L).map { i =>
+      (i, new scala.util.Random(i).alphanumeric.take(8192).mkString)
+    }.toDF("doc_id", "text")
+    val blob = WarcReader.buildFixture(docs, nShards = 1)
+      .select($"warc").collect().head.getAs[Array[Byte]](0)
+    val want = WarcReader.parse(blob).map(r =>
+      (r.warcType, r.targetUri, r.httpStatus, r.payload.toSeq))
+    // equality with the array walk
+    val got = WarcReader.streamRecords(
+      new java.io.ByteArrayInputStream(blob), needHttp = true,
+      needPayload = true).toSeq.map(r =>
+      (r.warcType, r.targetUri, r.httpStatus, r.payload.toSeq))
+    assert(got == want && want.size == 49) // warcinfo + 24 x (request+response)
+    // LAZINESS: serving the first record must not consume the archive —
+    // the bounded-memory claim, observed at the stream
+    var consumed = 0L
+    val counting = new java.io.InputStream {
+      val in = new java.io.ByteArrayInputStream(blob)
+      override def read(): Int = { val b = in.read(); if (b >= 0) consumed += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = in.read(b, off, len); if (n > 0) consumed += n; n }
+    }
+    val it = WarcReader.streamRecords(counting, needHttp = true, needPayload = true)
+    assert(it.hasNext); it.next()
+    assert(consumed < blob.length,
+      s"first record consumed the whole archive ($consumed of ${blob.length})")
+    // corrupt tail: flip a byte mid-archive — every member before it
+    // survives, the walk never throws
+    val bad = blob.clone()
+    bad(blob.length / 2) = (bad(blob.length / 2) ^ 0x5a).toByte
+    val prefix = WarcReader.streamRecords(
+      new java.io.ByteArrayInputStream(bad), needHttp = true,
+      needPayload = true).toSeq
+    assert(prefix.nonEmpty && prefix.size < want.size)
+    assert(prefix.map(r => (r.warcType, r.targetUri, r.httpStatus,
+      r.payload.toSeq)) == want.take(prefix.size))
+  }
+
   test("pruned reads still compute their gated fields correctly (head-only parse)") {
     val s = spark
     import s.implicits._
