@@ -173,13 +173,16 @@ class WarcTableSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val dir = fixtureDir("manifest")
-    val files = new java.io.File(dir).listFiles().filter(_.isFile)
+    // only the archives: a prior run's manifests may still sit in the
+    // fixture dir (they are _-prefixed, so the table listing skips them)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".warc.gz"))
       .map(_.getName).sorted
     assert(files.length == 4)
     // list only the first two shards: one relative line, one absolute,
     // plus a comment and a blank line (the warc.paths conventions)
     val manifestTxt = s"# crawl manifest\n${files(0)}\n\n$dir/${files(1)}\n"
-    val mf = s"$dir/warc.paths"
+    val mf = s"$dir/_warc.paths"
     java.nio.file.Files.write(java.nio.file.Paths.get(mf),
       manifestTxt.getBytes("UTF-8"))
     val viaManifest = s.read.format("warc").option("manifest", mf).load()
@@ -192,7 +195,7 @@ class WarcTableSpec extends AnyFunSuite {
       .select($"path", $"target_uri").collect().map(_.toSeq).toSet
     assert(viaManifest.map(_.toSeq).toSet == wantRows)
     // gzipped manifest (warc.paths.gz, the published form) reads the same
-    val mfGz = s"$dir/warc.paths.gz"
+    val mfGz = s"$dir/_warc.paths.gz"
     java.nio.file.Files.write(java.nio.file.Paths.get(mfGz),
       graft.sources.CompressedText.gzip(manifestTxt))
     val viaGz = s.read.format("warc").option("manifest", mfGz).load()
