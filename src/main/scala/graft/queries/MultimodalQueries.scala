@@ -448,23 +448,32 @@ private[graft] object MultimodalQueries {
 
     // Identity-H PDF round-trip — the round-12 CID slice of the PDF tail
     // exercised end-to-end on the REAL corpus text: every document is
-    // embedded in a FlateDecode Identity-H PDF (2-byte CIDs through a
-    // /ToUnicode CMap built per doc,
-    // [[graft.sources.PdfTextExtractor.synthIdentityHPdf]]) and pulled
-    // back out through the extractor's font-resolution → CMap-parse →
-    // CID-decode path. Oracle-checked columns are functions of the
-    // RECOVERED text (codepoint count + md5 — the q260 gzip contract),
-    // so one wrong CID mapping anywhere flips the hash. Sentinel
-    // wrapping keeps whitespace-edged docs exact under the extractor's
-    // outer trim. Bytes never leave their scan task.
+    // embedded in a FlateDecode Identity-H PDF and pulled back out
+    // through the extractor's font-resolution path. The mapping CARRIER
+    // cycles by doc_id % 3 (round 15): a /ToUnicode CMap (§9.10.2's
+    // primary route), an embedded-TrueType format-12 cmap inverted
+    // glyph→code-point with /CIDToGIDMap /Identity, and a format-4 cmap
+    // composed through a /CIDToGIDMap STREAM with shifted glyph ids —
+    // the no-ToUnicode shapes real CID PDFs ship
+    // ([[graft.sources.TrueTypeCmap]]). Oracle-checked columns are
+    // functions of the RECOVERED text (codepoint count + md5 — the q260
+    // gzip contract), so one wrong CID mapping anywhere — CMap parse,
+    // sfnt walk, cmap inversion, gid-stream composition — flips the
+    // hash. Sentinel wrapping keeps whitespace-edged docs exact under
+    // the extractor's outer trim. Bytes never leave their scan task.
     "q268_pdf_cid_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
         .repartition(32, $"doc_id") // spread the per-row build/extract
-      val pdfs = graft.sources.PdfIngest.synthCidPdfCorpus(docs, "text")
+      val pdfs = graft.sources.PdfIngest
+        .synthCidPdfCorpus(docs, "doc_id", "text", 64)
         .select($"doc_id", $"pdf")
       graft.sources.PdfIngest.cidPdfAudit(pdfs, "pdf")
-        .select($"doc_id", $"is_pdf", $"rt_n_chars", $"rt_md5")
+        .select($"doc_id",
+          when(pmod($"doc_id", lit(3)) === 0, "tounicode")
+            .when(pmod($"doc_id", lit(3)) === 1, "fontfile2-identity")
+            .otherwise("fontfile2-gidstream").as("font_path"),
+          $"is_pdf", $"rt_n_chars", $"rt_md5")
         .orderBy($"doc_id")
     }),
 
@@ -803,9 +812,12 @@ FROM p ORDER BY doc_id""",
 FROM documents ORDER BY doc_id""",
 
     // q268: the recovered text IS the text — codepoint length + md5
-    // replayed straight off the documents table (q260's contract)
+    // replayed straight off the documents table (q260's contract), plus
+    // the closed-form mapping-carrier census (round 15)
     "q268_pdf_cid_roundtrip" ->
-      """SELECT doc_id, 1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
+      """SELECT doc_id,
+CASE WHEN doc_id % 3 = 0 THEN 'tounicode' WHEN doc_id % 3 = 1 THEN 'fontfile2-identity' ELSE 'fontfile2-gidstream' END AS font_path,
+1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
 md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
 
     // q276: decryption must be LOSSLESS, so the oracle is q268's plus

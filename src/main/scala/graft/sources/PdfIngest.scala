@@ -170,6 +170,40 @@ object PdfIngest {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** As [[synthCidPdfCorpus]], cycling the CID→text mapping carrier by
+    * `idCol % 3` — the round-15 FontFile2 wing: 0 = `/ToUnicode` CMap
+    * (the §9.10.2 primary route), 1 = NO ToUnicode, embedded-TrueType
+    * format-12 cmap with `/CIDToGIDMap /Identity`, 2 = NO ToUnicode,
+    * format-4 cmap (format 12 when the text carries astral code points)
+    * composed through a `/CIDToGIDMap` STREAM with shifted glyph ids
+    * ([[PdfTextExtractor.synthCidFontPdf]]). One corpus exercises every
+    * supported mapping source against the same text-identity oracle.
+    */
+  def synthCidPdfCorpus(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val outSchema = org.apache.spark.sql.types.StructType(inSchema.fields :+
+      org.apache.spark.sql.types.StructField("pdf",
+        org.apache.spark.sql.types.BinaryType, nullable = false))
+    val idIdx = inSchema.fieldIndex(idCol)
+    val txtIdx = inSchema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val wrapped = "X" + row.getString(txtIdx) + "X"
+          val pdf = (row.getLong(idIdx) % 3) match {
+            case 0 => PdfTextExtractor.synthIdentityHPdf(wrapped)
+            case 1 => PdfTextExtractor.synthCidFontPdf(wrapped, useStreamMap = false)
+            case _ => PdfTextExtractor.synthCidFontPdf(wrapped, useStreamMap = true)
+          }
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pdf)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** As [[synthCidPdfCorpus]], additionally ENCRYPTING each PDF under the
     * standard security handler with an empty user password — cipher
     * generation cycles by `idCol % 4` (RC4-40 V1/R2, RC4-128 V2/R3,

@@ -48,12 +48,19 @@ import java.util.zip.Inflater
   * — ciphertext, JPEG — legally end in CR/LF or contain `endstream`;
   * the keyword scan is only the fallback).
   *
+  * Round 15 demotes two more: USER-password-protected documents decrypt
+  * when the caller supplies the password ([[extract(bytes:Array[Byte],password:String)*]]),
+  * and CIDFontType2 fonts WITHOUT a ToUnicode CMap decode through the
+  * embedded TrueType program — `/FontFile2`'s `cmap` table inverted
+  * glyph→code-point ([[TrueTypeCmap]]), composed with `/CIDToGIDMap`
+  * (Identity or the stream form).
+  *
   * Still out of scope (the documented fallback remains
-  * [[PdfIngest.stubPdfToText]]): CID fonts WITHOUT a ToUnicode CMap
-  * (decoding those needs the embedded font program's glyph→char tables),
-  * non-Identity CID encodings (predefined CMaps ship with font
-  * subsystems, not the spec), user-password-protected documents
-  * (any /V — a real password is a secret this engine cannot guess),
+  * [[PdfIngest.stubPdfToText]]): CIDFontType0 (CFF, `/FontFile3`)
+  * without ToUnicode (gid→CID lives in the CFF charset, a different
+  * container), non-Identity CID encodings (predefined CMaps ship with
+  * font subsystems, not the spec), password-less protected documents
+  * (a real password is a secret this engine cannot guess),
   * the JPX image filter (no JDK codec), and object streams
   * (`/ObjStm` — the spec forbids STREAMS inside one, so content/CMap
   * stream bytes never live there, though page and font DICTIONARIES can;
@@ -540,6 +547,10 @@ object PdfTextExtractor {
   private val Type0Re = """/Subtype\s*/Type0""".r
   private val ToUnicodeRe = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
   private val IdentityHRe = """/Encoding\s*/Identity-H""".r
+  private val DescFontsRe = """/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R""".r
+  private val FontDescRe = """/FontDescriptor\s+(\d+)\s+\d+\s+R""".r
+  private val FontFile2Re = """/FontFile2\s+(\d+)\s+\d+\s+R""".r
+  private val CidToGidRe = """/CIDToGIDMap\s+(\d+)\s+\d+\s+R""".r
   private val FontResRe = """(?s)/Font\s*<<(.*?)>>""".r
   private val FontRefRe = """/(\w+)\s+(\d+)\s+\d+\s+R""".r
   private val HexTokRe = """<([0-9A-Fa-f]+)>|\[|\]""".r
@@ -584,37 +595,96 @@ object PdfTextExtractor {
   }
 
   /** Resource-name → CID-to-text map for every `/Type0` + `/Identity-H`
-    * font with a `/ToUnicode` stream, resolved over the same byte scan
-    * (no xref): font dicts are plain objects, `/Font << /F1 N 0 R >>`
-    * resource spans bind names to them (merged document-wide — a name
-    * bound to different fonts on different pages keeps the first, the
-    * byte-scan trade-off), and the CMap stream is found by object number.
+    * font, resolved over the same byte scan (no xref): font dicts are
+    * plain objects, `/Font << /F1 N 0 R >>` resource spans bind names
+    * to them (merged document-wide — a name bound to different fonts on
+    * different pages keeps the first, the byte-scan trade-off), and
+    * streams are found by object number.
+    *
+    * Two mapping sources, in spec-priority order: a `/ToUnicode` CMap
+    * stream when present (ISO 32000-2 §9.10.2 names it the primary
+    * text-extraction route), else — round 15 — the descendant
+    * CIDFontType2's embedded TrueType program: `/FontFile2`'s `cmap`
+    * table inverted by [[TrueTypeCmap.glyphToString]], composed through
+    * `/CIDToGIDMap` (`/Identity`, absent = identity, or the 2-byte-BE
+    * stream form §9.7.4.3). CIDFontType0 (CFF, `/FontFile3`) without
+    * ToUnicode remains a disclosed stub — its charset maps gid→CID
+    * inside the CFF program, a different container.
     */
   private[graft] def fontCmaps(bytes: Array[Byte],
       streams: Seq[(Int, Int, String, Array[Byte])]): Map[String, Map[Int, String]] = {
     // cheap bail: no Type0 machinery in the file
     if (indexOf(bytes, "Identity-H", 0) < 0) return Map.empty
     val text = new String(bytes, "ISO-8859-1")
-    // font object number → ToUnicode stream object number; the three
-    // regexes run only over each bounded obj body, never the whole file
-    val toUni = objSpans(text).flatMap { case (num, body) =>
+    val spans = objSpans(text)
+    // obj number → bodies in file order; lookups take the first body that
+    // actually matches the pattern being sought, so a chance "N 0 obj"
+    // byte run inside a compressed payload cannot shadow the real object
+    // (an updated object still needs the xref walk this byte-scan
+    // deliberately avoids)
+    val spansByNum: Map[Int, Seq[String]] =
+      spans.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    def findIn(num: Int, re: scala.util.matching.Regex): Option[scala.util.matching.Regex.Match] =
+      spansByNum.getOrElse(num, Seq.empty).iterator
+        .flatMap(re.findFirstMatchIn(_)).nextOption()
+    def streamOf(num: Int): Option[Array[Byte]] =
+      streams.collectFirst { case (n, _, dict, payload) if n == num =>
+        decodePayload(dict, payload) }
+    // font object number → mapping source: Left(ToUnicode stream obj) or
+    // Right(descendant font obj); the regexes run only over each bounded
+    // obj body, never the whole file
+    val source = spans.flatMap { case (num, body) =>
       if (Type0Re.findFirstIn(body).isEmpty ||
         IdentityHRe.findFirstIn(body).isEmpty) None
-      else ToUnicodeRe.findFirstMatchIn(body)
-        .map(t => num -> t.group(1).toInt)
+      else ToUnicodeRe.findFirstMatchIn(body) match {
+        case Some(t) => Some(num -> Left(t.group(1).toInt))
+        case None => DescFontsRe.findFirstMatchIn(body)
+          .map(d => num -> Right(d.group(1).toInt))
+      }
     }.toMap
-    if (toUni.isEmpty) return Map.empty
+    if (source.isEmpty) return Map.empty
+    // CID→text via the descendant's embedded TrueType cmap; the
+    // descendant body is elected ONCE (first span carrying the
+    // /FontDescriptor ref) so the CIDToGIDMap form is read off the same
+    // dictionary that named the font program
+    def fromFontFile2(descObj: Int): Map[Int, String] = {
+      val descBody = spansByNum.getOrElse(descObj, Seq.empty)
+        .find(FontDescRe.findFirstIn(_).isDefined).getOrElse("")
+      val g2s = (for {
+        fdM <- FontDescRe.findFirstMatchIn(descBody)
+        ffM <- findIn(fdM.group(1).toInt, FontFile2Re)
+        ttf <- streamOf(ffM.group(1).toInt)
+      } yield TrueTypeCmap.glyphToString(ttf)).getOrElse(Map.empty)
+      if (g2s.isEmpty) return Map.empty
+      CidToGidRe.findFirstMatchIn(descBody) match {
+        case Some(m) =>
+          // stream form: byte pair 2i..2i+1 is the glyph id of CID i
+          streamOf(m.group(1).toInt) match {
+            case Some(map) =>
+              val out = Map.newBuilder[Int, String]
+              var cid = 0
+              while (2 * cid + 1 < map.length) {
+                val gid = ((map(2 * cid) & 0xFF) << 8) | (map(2 * cid + 1) & 0xFF)
+                g2s.get(gid).foreach(s => out += cid -> s)
+                cid += 1
+              }
+              out.result()
+            case None => Map.empty
+          }
+        case None => g2s // /Identity or absent: CID == GID
+      }
+    }
     // resource name → font object number (first binding wins)
     val names = FontResRe.findAllMatchIn(text).flatMap(m =>
       FontRefRe.findAllMatchIn(m.group(1)).map(r => r.group(1) -> r.group(2).toInt))
       .toSeq.distinct
     val cmapOf = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
     names.flatMap { case (name, fontObj) =>
-      toUni.get(fontObj).flatMap { tuObj =>
-        val cm = cmapOf.getOrElseUpdate(tuObj,
-          streams.collectFirst { case (n, _, dict, payload) if n == tuObj =>
-            parseCMap(decodePayload(dict, payload))
-          }.getOrElse(Map.empty))
+      source.get(fontObj).flatMap { src =>
+        val cm = cmapOf.getOrElseUpdate(fontObj, src match {
+          case Left(tuObj) => streamOf(tuObj).map(parseCMap).getOrElse(Map.empty)
+          case Right(descObj) => fromFontFile2(descObj)
+        })
         if (cm.nonEmpty) Some(name -> cm) else None
       }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
@@ -804,6 +874,80 @@ end"""
       val hx = id0.map(b => f"${b & 0xFF}%02X").mkString
       out.write(cc(s"8 0 obj $dict endobj\n"))
       out.write(cc(s"trailer << /Root 1 0 R /Encrypt 8 0 R /ID [<$hx> <$hx>] >>\n"))
+    }
+    out.write(cc("%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** Deterministic Identity-H fixture PDF WITHOUT a `/ToUnicode` CMap —
+    * the round-15 FontFile2 path: `text`'s code points map to CIDs 1..k
+    * in order of first appearance, and the mapping is carried ONLY by
+    * the descendant CIDFontType2's embedded TrueType program, whose
+    * `cmap` table the extractor must invert ([[TrueTypeCmap]]).
+    *
+    * `useStreamMap = false`: `/CIDToGIDMap /Identity`, glyph id == CID,
+    * cmap emitted as a (3,10) format-12 subtable.
+    * `useStreamMap = true`: glyph ids are CID+7 and a `/CIDToGIDMap`
+    * STREAM (2-byte-BE per CID, §9.7.4.3) carries the shift, so
+    * extraction must COMPOSE stream→cmap-inverse; the cmap is a (3,1)
+    * format-4 subtable when the text is BMP-only (format 4 cannot
+    * express astral code points — those texts upgrade to format 12).
+    * Both the font program and the gid map ride real FlateDecode
+    * streams, exercising the binary filter chain.
+    */
+  def synthCidFontPdf(text: String, useStreamMap: Boolean): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val cidOf = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+    cps.foreach(cp => cidOf.getOrElseUpdate(cp, cidOf.size + 1))
+    val hexCids = cps.map(cp => f"${cidOf(cp)}%04X").mkString
+    val content = s"BT /F1 12 Tf <$hexCids> Tj ET"
+    val shift = if (useStreamMap) 7 else 0
+    val ttf = TrueTypeCmap.buildTtf(
+      cidOf.toSeq.map { case (cp, cid) => cp -> (cid + shift) },
+      forceFormat12 = !useStreamMap)
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new ByteArrayOutputStream()
+    out.write(cc("%PDF-1.4\n"))
+    out.write(cc("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"))
+    out.write(cc("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"))
+    out.write(cc("3 0 obj << /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >> endobj\n"))
+    out.write(cc("4 0 obj << /Type /Font /Subtype /Type0 /BaseFont /GraftSynth " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] >> endobj\n"))
+    val contentZ = deflate(content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(cc(s"5 0 obj << /Length ${contentZ.length} /Filter /FlateDecode >>\nstream\n"))
+    out.write(contentZ)
+    out.write(cc("\nendstream\nendobj\n"))
+    val c2g = if (useStreamMap) "9 0 R" else "/Identity"
+    out.write(cc("6 0 obj << /Type /Font /Subtype /CIDFontType2 " +
+      s"/BaseFont /GraftSynth /FontDescriptor 7 0 R /CIDToGIDMap $c2g >> endobj\n"))
+    out.write(cc("7 0 obj << /Type /FontDescriptor /FontName /GraftSynth " +
+      "/Flags 4 /FontFile2 8 0 R >> endobj\n"))
+    val ttfZ = deflate(ttf)
+    out.write(cc(s"8 0 obj << /Length ${ttfZ.length} /Filter /FlateDecode " +
+      s"/Length1 ${ttf.length} >>\nstream\n"))
+    out.write(ttfZ)
+    out.write(cc("\nendstream\nendobj\n"))
+    if (useStreamMap) {
+      val map = new Array[Byte](2 * (cidOf.size + 1)) // CID 0 → glyph 0
+      cidOf.values.foreach { cid =>
+        val gid = cid + shift
+        map(2 * cid) = ((gid >> 8) & 0xFF).toByte
+        map(2 * cid + 1) = (gid & 0xFF).toByte
+      }
+      val mapZ = deflate(map)
+      out.write(cc(s"9 0 obj << /Length ${mapZ.length} /Filter /FlateDecode >>\nstream\n"))
+      out.write(mapZ)
+      out.write(cc("\nendstream\nendobj\n"))
     }
     out.write(cc("%%EOF\n"))
     out.toByteArray
