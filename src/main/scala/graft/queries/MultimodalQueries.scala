@@ -450,17 +450,21 @@ private[graft] object MultimodalQueries {
     // exercised end-to-end on the REAL corpus text: every document is
     // embedded in a FlateDecode Identity-H PDF and pulled back out
     // through the extractor's font-resolution path. The mapping CARRIER
-    // cycles by doc_id % 3 (round 15): a /ToUnicode CMap (§9.10.2's
+    // cycles by doc_id % 4 (round 15): a /ToUnicode CMap (§9.10.2's
     // primary route), an embedded-TrueType format-12 cmap inverted
-    // glyph→code-point with /CIDToGIDMap /Identity, and a format-4 cmap
+    // glyph→code-point with /CIDToGIDMap /Identity, a format-4 cmap
     // composed through a /CIDToGIDMap STREAM with shifted glyph ids —
     // the no-ToUnicode shapes real CID PDFs ship
-    // ([[graft.sources.TrueTypeCmap]]). Oracle-checked columns are
-    // functions of the RECOVERED text (codepoint count + md5 — the q260
-    // gzip contract), so one wrong CID mapping anywhere — CMap parse,
-    // sfnt walk, cmap inversion, gid-stream composition — flips the
-    // hash. Sentinel wrapping keeps whitespace-edged docs exact under
-    // the extractor's outer trim. Bytes never leave their scan task.
+    // ([[graft.sources.TrueTypeCmap]]) — and the ToUnicode route with
+    // every page/font dictionary packed inside a /Type /ObjStm object
+    // stream, the PDF 1.5+ layout where a raw byte scan sees no font
+    // dict at all. Oracle-checked columns are functions of the
+    // RECOVERED text (codepoint count + md5 — the q260 gzip contract),
+    // so one wrong CID mapping anywhere — CMap parse, sfnt walk, cmap
+    // inversion, gid-stream composition, ObjStm offset walk — flips
+    // the hash. Sentinel wrapping keeps whitespace-edged docs exact
+    // under the extractor's outer trim. Bytes never leave their scan
+    // task.
     "q268_pdf_cid_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
@@ -470,9 +474,10 @@ private[graft] object MultimodalQueries {
         .select($"doc_id", $"pdf")
       graft.sources.PdfIngest.cidPdfAudit(pdfs, "pdf")
         .select($"doc_id",
-          when(pmod($"doc_id", lit(3)) === 0, "tounicode")
-            .when(pmod($"doc_id", lit(3)) === 1, "fontfile2-identity")
-            .otherwise("fontfile2-gidstream").as("font_path"),
+          when(pmod($"doc_id", lit(4)) === 0, "tounicode")
+            .when(pmod($"doc_id", lit(4)) === 1, "fontfile2-identity")
+            .when(pmod($"doc_id", lit(4)) === 2, "fontfile2-gidstream")
+            .otherwise("objstm-tounicode").as("font_path"),
           $"is_pdf", $"rt_n_chars", $"rt_md5")
         .orderBy($"doc_id")
     }),
@@ -816,7 +821,7 @@ FROM documents ORDER BY doc_id""",
     // the closed-form mapping-carrier census (round 15)
     "q268_pdf_cid_roundtrip" ->
       """SELECT doc_id,
-CASE WHEN doc_id % 3 = 0 THEN 'tounicode' WHEN doc_id % 3 = 1 THEN 'fontfile2-identity' ELSE 'fontfile2-gidstream' END AS font_path,
+CASE WHEN doc_id % 4 = 0 THEN 'tounicode' WHEN doc_id % 4 = 1 THEN 'fontfile2-identity' WHEN doc_id % 4 = 2 THEN 'fontfile2-gidstream' ELSE 'objstm-tounicode' END AS font_path,
 1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
 md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
 

@@ -171,13 +171,17 @@ object PdfIngest {
   }
 
   /** As [[synthCidPdfCorpus]], cycling the CID→text mapping carrier by
-    * `idCol % 3` — the round-15 FontFile2 wing: 0 = `/ToUnicode` CMap
-    * (the §9.10.2 primary route), 1 = NO ToUnicode, embedded-TrueType
-    * format-12 cmap with `/CIDToGIDMap /Identity`, 2 = NO ToUnicode,
-    * format-4 cmap (format 12 when the text carries astral code points)
-    * composed through a `/CIDToGIDMap` STREAM with shifted glyph ids
-    * ([[PdfTextExtractor.synthCidFontPdf]]). One corpus exercises every
-    * supported mapping source against the same text-identity oracle.
+    * `idCol % 4` — the round-15 FontFile2/ObjStm wing: 0 = `/ToUnicode`
+    * CMap (the §9.10.2 primary route), 1 = NO ToUnicode,
+    * embedded-TrueType format-12 cmap with `/CIDToGIDMap /Identity`,
+    * 2 = NO ToUnicode, format-4 cmap (format 12 when the text carries
+    * astral code points) composed through a `/CIDToGIDMap` STREAM with
+    * shifted glyph ids ([[PdfTextExtractor.synthCidFontPdf]]), 3 =
+    * ToUnicode route but with the page/font/descendant DICTIONARIES
+    * packed inside a `/Type /ObjStm` object stream
+    * ([[PdfTextExtractor.synthObjStmPdf]] — the PDF 1.5+ layout). One
+    * corpus exercises every supported mapping source and object
+    * packaging against the same text-identity oracle.
     */
   def synthCidPdfCorpus(df: DataFrame, idCol: String, textCol: String,
       batchSize: Int): DataFrame = {
@@ -192,10 +196,11 @@ object PdfIngest {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
           val wrapped = "X" + row.getString(txtIdx) + "X"
-          val pdf = (row.getLong(idIdx) % 3) match {
+          val pdf = (row.getLong(idIdx) % 4) match {
             case 0 => PdfTextExtractor.synthIdentityHPdf(wrapped)
             case 1 => PdfTextExtractor.synthCidFontPdf(wrapped, useStreamMap = false)
-            case _ => PdfTextExtractor.synthCidFontPdf(wrapped, useStreamMap = true)
+            case 2 => PdfTextExtractor.synthCidFontPdf(wrapped, useStreamMap = true)
+            case _ => PdfTextExtractor.synthObjStmPdf(wrapped)
           }
           org.apache.spark.sql.Row.fromSeq(row.toSeq :+ pdf)
         }

@@ -60,13 +60,14 @@ import java.util.zip.Inflater
   * without ToUnicode (gid→CID lives in the CFF charset, a different
   * container), non-Identity CID encodings (predefined CMaps ship with
   * font subsystems, not the spec), password-less protected documents
-  * (a real password is a secret this engine cannot guess),
-  * the JPX image filter (no JDK codec), and object streams
-  * (`/ObjStm` — the spec forbids STREAMS inside one, so content/CMap
-  * stream bytes never live there, though page and font DICTIONARIES can;
-  * this byte-scan resolves fonts by name pattern, not by walking those
-  * dictionaries, so it never needs to open an ObjStm — an xref-walking
-  * extension would). A chain containing an unsupported filter yields empty
+  * (a real password is a secret this engine cannot guess), and
+  * the JPX image filter (no JDK codec). Object streams (`/ObjStm`,
+  * §7.5.7) ARE opened since round 15: the spec forbids STREAMS inside
+  * one, so content/CMap/font-program bytes never live there, but page
+  * and font DICTIONARIES do in every PDF 1.5+ producer's output —
+  * [[objStmSpans]] inflates each ObjStm and walks its offset header,
+  * and [[fontCmaps]] resolves fonts across raw and packed spans alike.
+  * A chain containing an unsupported filter yields empty
   * bytes, never garbage text; an unmapped CID contributes nothing,
   * never a wrong glyph.
   */
@@ -594,6 +595,46 @@ object PdfTextExtractor {
     out.result()
   }
 
+  /** Objects packed inside `/Type /ObjStm` object streams (ISO 32000-2
+    * §7.5.7 — the PDF 1.5+ compression every modern producer emits):
+    * the payload opens with `N` pairs of integers (object number,
+    * byte offset relative to `/First`), then the concatenated object
+    * bodies. Streams are forbidden inside one, but page and FONT
+    * dictionaries live there routinely — without this walk a
+    * compressed font dict is invisible to the byte scan and its text
+    * silently fails to decode. Returns (object number, body) spans in
+    * stream order; malformed headers yield nothing, never garbage.
+    */
+  private[graft] def objStmSpans(
+      streams: Seq[(Int, Int, String, Array[Byte])]): List[(Int, String)] = {
+    val out = List.newBuilder[(Int, String)]
+    for ((_, _, dict, payload) <- streams if dict.contains("/ObjStm")) {
+      val data = decodePayload(dict, payload)
+      if (data.nonEmpty) {
+        val text = new String(data, "ISO-8859-1")
+        (intParam(dict, "/N"), intParam(dict, "/First")) match {
+          case (Some(n), Some(first))
+              if n > 0 && n <= 100000 && first > 0 && first <= text.length =>
+            val header = text.substring(0, first)
+            val ints = """\d+""".r.findAllIn(header).take(2 * n).map(_.toLong).toSeq
+            if (ints.length == 2 * n) {
+              val pairs = ints.grouped(2).map(p => (p(0).toInt, p(1).toInt)).toSeq
+              for (i <- pairs.indices) {
+                val (num, off) = pairs(i)
+                val start = first + off
+                val end =
+                  if (i + 1 < pairs.length) first + pairs(i + 1)._2 else text.length
+                if (start >= first && start <= end && end <= text.length)
+                  out += ((num, text.substring(start, end)))
+              }
+            }
+          case _ => ()
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Resource-name → CID-to-text map for every `/Type0` + `/Identity-H`
     * font, resolved over the same byte scan (no xref): font dicts are
     * plain objects, `/Font << /F1 N 0 R >>` resource spans bind names
@@ -613,10 +654,17 @@ object PdfTextExtractor {
     */
   private[graft] def fontCmaps(bytes: Array[Byte],
       streams: Seq[(Int, Int, String, Array[Byte])]): Map[String, Map[Int, String]] = {
-    // cheap bail: no Type0 machinery in the file
-    if (indexOf(bytes, "Identity-H", 0) < 0) return Map.empty
+    // cheap bail: no Type0 machinery in the file — checking the raw
+    // bytes first, and the decoded object-stream bodies only when the
+    // file declares an /ObjStm (a compressed font dict is invisible to
+    // the raw scan)
+    val rawIdH = indexOf(bytes, "Identity-H", 0) >= 0
+    val stm =
+      if (rawIdH || indexOf(bytes, "/ObjStm", 0) >= 0) objStmSpans(streams)
+      else Nil
+    if (!rawIdH && !stm.exists(_._2.contains("Identity-H"))) return Map.empty
     val text = new String(bytes, "ISO-8859-1")
-    val spans = objSpans(text)
+    val spans = objSpans(text) ++ stm
     // obj number → bodies in file order; lookups take the first body that
     // actually matches the pattern being sought, so a chance "N 0 obj"
     // byte run inside a compressed payload cannot shadow the real object
@@ -674,8 +722,11 @@ object PdfTextExtractor {
         case None => g2s // /Identity or absent: CID == GID
       }
     }
-    // resource name → font object number (first binding wins)
-    val names = FontResRe.findAllMatchIn(text).flatMap(m =>
+    // resource name → font object number (first binding wins); page
+    // resource dicts may themselves live inside an object stream
+    val resText =
+      if (stm.isEmpty) text else text + "\n" + stm.map(_._2).mkString("\n")
+    val names = FontResRe.findAllMatchIn(resText).flatMap(m =>
       FontRefRe.findAllMatchIn(m.group(1)).map(r => r.group(1) -> r.group(2).toInt))
       .toSeq.distinct
     val cmapOf = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
@@ -949,6 +1000,84 @@ end"""
       out.write(mapZ)
       out.write(cc("\nendstream\nendobj\n"))
     }
+    out.write(cc("%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** Deterministic Identity-H fixture PDF whose page, Type0 font, and
+    * descendant-font DICTIONARIES are packed inside a `/Type /ObjStm`
+    * object stream (§7.5.7) — the PDF 1.5+ layout modern producers
+    * emit, where a raw byte scan sees no font dict at all. The content
+    * stream and the `/ToUnicode` CMap remain top-level (streams are
+    * forbidden inside an ObjStm), both real FlateDecode; the ObjStm
+    * payload is itself FlateDecode, so extraction must inflate the
+    * container before it can even FIND the font. CID scheme matches
+    * [[synthIdentityHPdf]] (UTF-16 code units → CIDs 1..k).
+    */
+  def synthObjStmPdf(text: String): Array[Byte] = {
+    val units = text.toCharArray
+    val cidOf = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+    units.foreach(c => cidOf.getOrElseUpdate(c, cidOf.size + 1))
+    val hexCids = units.map(c => f"${cidOf(c)}%04X").mkString
+    val content = s"BT /F1 12 Tf <$hexCids> Tj ET"
+    val entries = cidOf.toSeq.map { case (c, cid) => f"<$cid%04X> <${c.toInt}%04X>" }
+    val groups = entries.grouped(100)
+      .map(g => s"${g.length} beginbfchar\n${g.mkString("\n")}\nendbfchar")
+      .mkString("\n")
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Graft-Identity-ToUnicode def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+$groups
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def cc(s: String) = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // the three packed dictionaries: (objnum, body)
+    val packed = Seq(
+      3 -> ("<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+      4 -> ("<< /Type /Font /Subtype /Type0 /BaseFont /GraftSynth " +
+        "/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>"),
+      6 -> "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftSynth /CIDToGIDMap /Identity >>")
+    val offsets = packed.scanLeft(0) { case (acc, (_, b)) => acc + b.length + 1 }
+    val header = packed.zip(offsets).map { case ((num, _), off) => s"$num $off" }
+      .mkString("", " ", "\n")
+    val body = packed.map(_._2).mkString("", "\n", "\n")
+    val stmPlain = header + body
+    val first = header.length
+    val stmZ = deflate(stmPlain.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val out = new ByteArrayOutputStream()
+    out.write(cc("%PDF-1.5\n"))
+    out.write(cc("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"))
+    out.write(cc("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"))
+    out.write(cc(s"10 0 obj << /Type /ObjStm /N ${packed.length} /First $first " +
+      s"/Length ${stmZ.length} /Filter /FlateDecode >>\nstream\n"))
+    out.write(stmZ)
+    out.write(cc("\nendstream\nendobj\n"))
+    val contentZ = deflate(content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(cc(s"5 0 obj << /Length ${contentZ.length} /Filter /FlateDecode >>\nstream\n"))
+    out.write(contentZ)
+    out.write(cc("\nendstream\nendobj\n"))
+    val cmapZ = deflate(cmap.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(cc(s"7 0 obj << /Length ${cmapZ.length} /Filter /FlateDecode >>\nstream\n"))
+    out.write(cmapZ)
+    out.write(cc("\nendstream\nendobj\n"))
     out.write(cc("%%EOF\n"))
     out.toByteArray
   }

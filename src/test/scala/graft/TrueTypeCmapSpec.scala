@@ -113,6 +113,29 @@ class TrueTypeCmapSpec extends AnyFunSuite {
     assert(PdfTextExtractor.extract(cut.getBytes("ISO-8859-1")) == "")
   }
 
+  test("ObjStm-packed font dictionaries resolve: round-trip, and the raw scan alone provably cannot") {
+    val text = "fonts hide in object streams: éé 中"
+    val pdf = PdfTextExtractor.synthObjStmPdf(text)
+    assert(PdfTextExtractor.extract(pdf) == text)
+    // the font dict is genuinely invisible to the raw byte scan: the
+    // only Identity-H / Type0 mentions live inside the FlateDecode
+    // ObjStm payload
+    val raw = new String(pdf, "ISO-8859-1")
+    assert(!raw.contains("Identity-H") && !raw.contains("/Type0"))
+  }
+
+  test("malformed ObjStm headers yield no text, never garbage") {
+    val pdf = PdfTextExtractor.synthObjStmPdf("abc")
+    val s = new String(pdf, "ISO-8859-1")
+    // lie about /First so the offset header is misparsed
+    val lied = s.replaceFirst("""/First \d+""", "/First 999999")
+    assert(PdfTextExtractor.extract(lied.getBytes("ISO-8859-1")) == "")
+    // and a corrupted payload (flate garbage) degrades to empty too
+    val at = s.indexOf("stream\n") + 10
+    val bad = pdf.clone(); bad(at) = (bad(at) ^ 0x5A).toByte
+    assert(PdfTextExtractor.extract(bad) == "")
+  }
+
   test("ToUnicode stays the primary route when both carriers exist") {
     // Splice a /ToUnicode ref pointing at the OTHER text's CMap into a
     // FontFile2 PDF is involved; instead pin the precedence at the unit
