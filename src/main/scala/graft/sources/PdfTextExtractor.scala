@@ -107,12 +107,12 @@ object PdfTextExtractor {
         (n, g, dict, if (n >= 0) dec.decryptStream(n, math.max(g, 0), p) else p) }
       case None => raw
     }
-    val fonts = fontCmaps(bytes, streams)
+    val (fonts, simpleFonts) = fontDecoders(bytes, streams)
     val out = new StringBuilder
     for ((_, _, dict, payload) <- streams) {
       val data = decodePayload(dict, payload)
       if (containsTextBlock(data)) {
-        val text = contentText(data, fonts)
+        val text = contentText(data, fonts, simpleFonts)
         if (text.nonEmpty) {
           if (out.nonEmpty && !out.endsWith("\n")) out.append('\n')
           out.append(text)
@@ -552,6 +552,11 @@ object PdfTextExtractor {
   private val FontDescRe = """/FontDescriptor\s+(\d+)\s+\d+\s+R""".r
   private val FontFile2Re = """/FontFile2\s+(\d+)\s+\d+\s+R""".r
   private val CidToGidRe = """/CIDToGIDMap\s+(\d+)\s+\d+\s+R""".r
+  private val SimpleFontRe = """/Subtype\s*/(TrueType|Type1|MMType1)\b""".r
+  private val EncRefRe = """/Encoding\s+(\d+)\s+\d+\s+R""".r
+  private val BaseEncRe = """/(?:BaseEncoding|Encoding)\s*/(WinAnsiEncoding|MacRomanEncoding|StandardEncoding)""".r
+  private val DiffsRe = """(?s)/Differences\s*\[(.*?)\]""".r
+  private val DiffTokRe = """(\d+)|/([^\s/\[\]<>()]+)""".r
   private val FontResRe = """(?s)/Font\s*<<(.*?)>>""".r
   private val FontRefRe = """/(\w+)\s+(\d+)\s+\d+\s+R""".r
   private val HexTokRe = """<([0-9A-Fa-f]+)>|\[|\]""".r
@@ -653,16 +658,34 @@ object PdfTextExtractor {
     * inside the CFF program, a different container.
     */
   private[graft] def fontCmaps(bytes: Array[Byte],
-      streams: Seq[(Int, Int, String, Array[Byte])]): Map[String, Map[Int, String]] = {
-    // cheap bail: no Type0 machinery in the file — checking the raw
+      streams: Seq[(Int, Int, String, Array[Byte])]): Map[String, Map[Int, String]] =
+    fontDecoders(bytes, streams)._1
+
+  /** Both decoder families in one span walk: `_1` the CID maps above,
+    * `_2` per-resource 256-entry tables for SIMPLE fonts (`/TrueType`,
+    * `/Type1`, `/MMType1`) — base encoding (`/WinAnsiEncoding`,
+    * `/MacRomanEncoding`, or the Latin-1 identity fallback) overlaid
+    * with `/Differences` names resolved through [[PdfEncodings]]
+    * (`uniXXXX` + the AGL subset; unknown names yield "", never a
+    * wrong glyph). The `/Encoding` entry may be an inline name, an
+    * inline dictionary, or an indirect reference to one.
+    */
+  private[graft] def fontDecoders(bytes: Array[Byte],
+      streams: Seq[(Int, Int, String, Array[Byte])]): (Map[String, Map[Int, String]], Map[String, Array[String]]) = {
+    // cheap bail: no font machinery in the file — checking the raw
     // bytes first, and the decoded object-stream bodies only when the
     // file declares an /ObjStm (a compressed font dict is invisible to
     // the raw scan)
     val rawIdH = indexOf(bytes, "Identity-H", 0) >= 0
+    val rawSimple = indexOf(bytes, "/TrueType", 0) >= 0 ||
+      indexOf(bytes, "/Type1", 0) >= 0 || indexOf(bytes, "/MMType1", 0) >= 0
     val stm =
-      if (rawIdH || indexOf(bytes, "/ObjStm", 0) >= 0) objStmSpans(streams)
+      if (rawIdH || rawSimple || indexOf(bytes, "/ObjStm", 0) >= 0) objStmSpans(streams)
       else Nil
-    if (!rawIdH && !stm.exists(_._2.contains("Identity-H"))) return Map.empty
+    val anyIdH = rawIdH || stm.exists(_._2.contains("Identity-H"))
+    val anySimple = rawSimple || stm.exists(s =>
+      s._2.contains("/TrueType") || s._2.contains("/Type1") || s._2.contains("/MMType1"))
+    if (!anyIdH && !anySimple) return (Map.empty, Map.empty)
     val text = new String(bytes, "ISO-8859-1")
     val spans = objSpans(text) ++ stm
     // obj number → bodies in file order; lookups take the first body that
@@ -690,7 +713,39 @@ object PdfTextExtractor {
           .map(d => num -> Right(d.group(1).toInt))
       }
     }.toMap
-    if (source.isEmpty) return Map.empty
+    // simple-font object number → its 256-entry code table
+    val simpleSource: Map[Int, Array[String]] = if (!anySimple) Map.empty
+    else spans.flatMap { case (num, body) =>
+      if (SimpleFontRe.findFirstIn(body).isEmpty ||
+        Type0Re.findFirstIn(body).isDefined) None
+      else {
+        val encBody = EncRefRe.findFirstMatchIn(body) match {
+          case Some(r) =>
+            // indirect /Encoding N 0 R: the dict lives in its own object
+            spansByNum.getOrElse(r.group(1).toInt, Seq.empty)
+              .find(b => BaseEncRe.findFirstIn(b).isDefined ||
+                DiffsRe.findFirstIn(b).isDefined)
+              .getOrElse("")
+          case None => body // inline name or inline dict, if any
+        }
+        val base = BaseEncRe.findFirstMatchIn(encBody)
+          .orElse(BaseEncRe.findFirstMatchIn(body))
+          .map(_.group(1)).getOrElse("")
+        val table = PdfEncodings.baseTable(base)
+        DiffsRe.findFirstMatchIn(encBody).foreach { d =>
+          var code = -1
+          DiffTokRe.findAllMatchIn(d.group(1)).foreach { t =>
+            if (t.group(1) != null) code = t.group(1).toInt
+            else if (code >= 0 && code < 256) {
+              table(code) = PdfEncodings.glyphName(t.group(2)).getOrElse("")
+              code += 1
+            }
+          }
+        }
+        Some(num -> table)
+      }
+    }.toMap
+    if (source.isEmpty && simpleSource.isEmpty) return (Map.empty, Map.empty)
     // CID→text via the descendant's embedded TrueType cmap; the
     // descendant body is elected ONCE (first span carrying the
     // /FontDescriptor ref) so the CIDToGIDMap form is read off the same
@@ -730,7 +785,7 @@ object PdfTextExtractor {
       FontRefRe.findAllMatchIn(m.group(1)).map(r => r.group(1) -> r.group(2).toInt))
       .toSeq.distinct
     val cmapOf = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
-    names.flatMap { case (name, fontObj) =>
+    val cid = names.flatMap { case (name, fontObj) =>
       source.get(fontObj).flatMap { src =>
         val cm = cmapOf.getOrElseUpdate(fontObj, src match {
           case Left(tuObj) => streamOf(tuObj).map(parseCMap).getOrElse(Map.empty)
@@ -739,6 +794,10 @@ object PdfTextExtractor {
         if (cm.nonEmpty) Some(name -> cm) else None
       }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+    val simple = names.flatMap { case (name, fontObj) =>
+      simpleSource.get(fontObj).map(name -> _)
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+    (cid, simple)
   }
 
   /** `bfchar`/`bfrange` sections of a ToUnicode CMap → CID → text.
@@ -1105,16 +1164,25 @@ end"""
     * decode as 2-byte CIDs through it.
     */
   private[sources] def contentText(data: Array[Byte],
-      fonts: Map[String, Map[Int, String]] = Map.empty): String = {
+      fonts: Map[String, Map[Int, String]] = Map.empty,
+      simpleFonts: Map[String, Array[String]] = Map.empty): String = {
     val out = new StringBuilder
     var inBT = false
     var pend = List.empty[Tok] // operand stack (reverse order)
     var arr: List[Tok] = null  // non-null while inside [ … ]
     var cmap: Map[Int, String] = null // non-null while a CID font is selected
+    var simple: Array[String] = null  // non-null while a simple font with a known encoding is selected
 
     def push(t: Tok): Unit = if (arr != null) arr = t :: arr else pend = t :: pend
     def newline(): Unit = if (out.nonEmpty && !out.endsWith("\n")) out.append('\n')
-    def show(s: String): String = if (cmap != null) decodeCids(s, cmap) else s
+    def show(s: String): String =
+      if (cmap != null) decodeCids(s, cmap)
+      else if (simple != null) {
+        val sb = new StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) { sb.append(simple(s.charAt(i) & 0xFF)); i += 1 }
+        sb.result()
+      } else s
     def lastStr: String = pend.collectFirst { case Str(s) => show(s) }.getOrElse("")
 
     val toks = tokenize(data)
@@ -1128,8 +1196,10 @@ end"""
       case op: Op =>
         op.name match {
           case "Tf" => // /Fname size Tf — selects the font, inside BT or out
-            cmap = pend.collectFirst { case Name(n) => n }
-              .flatMap(fonts.get).orNull
+            val fname = pend.collectFirst { case Name(n) => n }
+            cmap = fname.flatMap(fonts.get).orNull
+            simple = if (cmap != null) null
+              else fname.flatMap(simpleFonts.get).orNull
           case _ => ()
         }
         if (inBT) op.name match {
