@@ -62,10 +62,12 @@ object Bench {
   def compactRecord(results: Seq[(String, Double)], total: Double,
       failures: Int, passes: Int, contended: Boolean, perPass: String,
       loadStart: String, loadEnd: String, sfDir: String, fullPath: String,
-      topSlow: Int = 10): String = {
+      topSlow: Int = 10, effectiveCores: Double = 0.0): String = {
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(topSlow)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":$failures,"passes":$passes,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd","queries":$slow,"queries_full":"$fullPath","sf":"$sfDir"}"""
+    val cal = if (effectiveCores > 0)
+      f""""effective_cores":$effectiveCores%.1f,""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":$failures,"passes":$passes,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd",$cal"queries":$slow,"queries_full":"$fullPath","sf":"$sfDir"}"""
   }
 
   /** Persist the compact summary at a tiny stable path too: the driver
@@ -81,6 +83,37 @@ object Bench {
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (record + "\n").getBytes("UTF-8"))
     out
+  }
+
+  /** In-JVM CPU calibration: the same fixed SHA-256 chain timed once
+    * single-threaded and once running on every advertised core
+    * concurrently. On a dedicated host the parallel wall ≈ the single
+    * time and `effectiveCores` ≈ the core count; on an overcommitted
+    * hypervisor the parallel wall stretches and `effectiveCores`
+    * records the throughput the host actually delivered. Runs before
+    * the passes (~1 s) so every committed record carries the evidence a
+    * round-over-round comparison needs — round-15 lesson: a 32-vCPU
+    * host delivering ~7 effective cores reads as a 2× suite regression
+    * on identical code, and loadavg alone cannot distinguish the two.
+    */
+  def calibrate(threads: Int): (Double, Double, Double) = {
+    // ~200 ms of chained SHA-256 per measurement: long enough that
+    // thread start/scheduling cost (~ms) cannot masquerade as missing
+    // parallelism (the first cut used ~20 ms bursts and measured 0.9
+    // "effective cores" on an idle 32-vCPU host)
+    def burn(iters: Int): Unit = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      var x = new Array[Byte](64)
+      var i = 0
+      while (i < iters) { x = md.digest(x); i += 1 }
+    }
+    burn(150000) // JIT warm-up, untimed
+    val t0 = System.nanoTime(); burn(1500000)
+    val single = (System.nanoTime() - t0) / 1e9
+    val ts = (1 to threads).map(_ => new Thread(() => burn(1500000)))
+    val t1 = System.nanoTime(); ts.foreach(_.start()); ts.foreach(_.join())
+    val wall = (System.nanoTime() - t1) / 1e9
+    (single, wall, if (wall > 0) threads * single / wall else 0.0)
   }
 
   private def loadavg(): String =
@@ -103,6 +136,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
+    val (calSingle, calWall, effCores) = calibrate(cpus.toInt)
 
     // warm-up: touch every table once (scan + codegen init, no shuffle)
     Tables.Names.foreach { n =>
@@ -114,7 +148,14 @@ object Bench {
     // prune computed projections and under-measure expression-heavy queries)
     // failures surface as -1 so a crashing query can never masquerade as a
     // fast one in the driver's bench record
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // builder-side iteration aid, mirroring Verify's: SPARK_GRAFT_ONLY
+    // restricts the pass to named queries/prefixes. The driver never
+    // sets it, so the recorded contract surface is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(p => name == p || name.startsWith(p)))
+    val ordered = SparkEntry.queries.toSeq.filter(kv => wanted(kv._1)).sortBy(_._1)
     def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -161,7 +202,8 @@ object Bench {
     val perPassQueries = allPasses.map(p =>
       p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failures":$failures,"passes":$effPasses,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd","queries":$qs,"queries_per_pass":$perPassQueries,"sf":"$sfDir"}"""
+    val cal = f""""cal_single_s":$calSingle%.3f,"cal_parallel_s":$calWall%.3f,"effective_cores":$effCores%.1f"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failures":$failures,"passes":$effPasses,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd",$cal,"queries":$qs,"queries_per_pass":$perPassQueries,"sf":"$sfDir"}"""
     println(record)
     // the driver's captured stdout tail has truncated alphabetically-early
     // per-query times in past rounds — persist the COMPLETE record in-repo
@@ -181,7 +223,7 @@ object Bench {
     // the driver's 2000-char stdout tail can actually parse — ALSO written
     // to a stable in-repo path so a tail-parse failure is recoverable
     val compact = compactRecord(results, total, failures, effPasses, contended,
-      perPass, loadStart, loadEnd, sfDir, fullPath)
+      perPass, loadStart, loadEnd, sfDir, fullPath, effectiveCores = effCores)
     try writeSummary(compact, contended)
     catch { case e: Throwable =>
       System.err.println(s"[bench] summary write failed: ${e.getMessage}")

@@ -83,4 +83,24 @@ class BenchRecordSpec extends AnyFunSuite {
     // a single outlier pass cannot drag the committed number (3 passes)
     assert(Bench.median(Seq(1.0, 1.1, 40.0)) == 1.1)
   }
+
+  test("calibration: sane single/parallel times, effective cores bounded by thread count") {
+    val (single, wall, eff) = Bench.calibrate(4)
+    assert(single > 0 && wall > 0)
+    assert(wall >= single * 0.5, s"parallel wall $wall vs single $single")
+    // throughput can never exceed the advertised parallelism (small
+    // timing jitter tolerated), and must be at least one core
+    assert(eff <= 4.2 && eff >= 0.5, s"effective cores $eff")
+  }
+
+  test("compact record carries effective_cores when calibrated, omits it otherwise") {
+    val results = Seq("q1" -> 1.0, "q2" -> 2.0)
+    val withCal = Bench.compactRecord(results, 3.0, 0, 3, contended = false,
+      "[3.0]", "0.1", "0.2", "/sf", "bench/bench_full.json",
+      effectiveCores = 7.2)
+    assert(withCal.contains("\"effective_cores\":7.2"))
+    val withoutCal = Bench.compactRecord(results, 3.0, 0, 3, contended = false,
+      "[3.0]", "0.1", "0.2", "/sf", "bench/bench_full.json")
+    assert(!withoutCal.contains("effective_cores"))
+  }
 }
