@@ -1251,6 +1251,80 @@ object StatefulOps {
       }
   }
 
+  final case class FrontierSlot(domain: String, window_start: Long,
+    doc_id: Long, priority: Long, wave: Long, delay_ms: Long,
+    fetch_offset_ms: Long)
+
+  /** Streaming twin #20 — q300's crawl-delay-paced frontier at discovery
+    * granularity: the schedule a polite crawler computes for each
+    * (domain, discovery-window) as URL discoveries stream in. Pacing is
+    * a FULL-SET property — a URL's wave is its rank by (priority desc,
+    * doc_id) among everything the window discovered for that domain —
+    * so unlike the monoid twins nothing sound can be emitted per
+    * arrival; the twin instead BUFFERS the window and emits the whole
+    * schedule exactly once, when the WATERMARK passes window end (the
+    * moment no admissible discovery can still arrive — the
+    * [[EventWindow]] entitlement argument, used here for emission
+    * instead of eviction). Emission-at-close makes the result
+    * arrival-order-free by construction: any micro-batch split of the
+    * same discoveries yields byte-identical schedules, the q300 batch
+    * ranking applied per window. State is O(window URLs per domain)
+    * while open — the same floor the batch rank has, bounded in
+    * practice by per-domain caps (q270) upstream — and is REMOVED at
+    * emission, so closed windows cost nothing.
+    *
+    * `urls` must carry domain (string), doc_id/priority/delay_ms
+    * (long — join the q300 effective-delay relation and robots gate
+    * upstream; this operator prices waves, it does not police paths),
+    * and `tsCol` (timestamp event time).
+    */
+  def windowedFrontierSchedule(urls: DataFrame, tsCol: String,
+      windowMs: Long, watermarkDelay: String): Dataset[FrontierSlot] = {
+    import urls.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    urls.withWatermark(tsCol, watermarkDelay)
+      .select(col("domain").cast("string"), col("doc_id").cast("long"),
+        col("priority").cast("long"), col("delay_ms").cast("long"),
+        (floor(unix_millis(col(tsCol)) / windowMs) * windowMs).cast("long")
+          .as("window_start"),
+        // the WATERMARKED column itself must reach the stateful operator
+        // (Spark refuses event-time timeout otherwise); unused in the
+        // function body
+        col(tsCol).as("__ts"))
+      .as[(String, Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._5))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (String, Long),
+         rows: Iterator[(String, Long, Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[Seq[(Long, Long, Long)]]) =>
+          val (domain, winStart) = key
+          if (state.hasTimedOut) {
+            // window closed: rank by (priority desc, doc_id) — q300's
+            // exact batch order — and emit the schedule in one piece
+            val members = state.get
+            state.remove()
+            members.sortBy { case (id, prio, _) => (-prio, id) }
+              .iterator.zipWithIndex.map { case ((id, prio, delay), i) =>
+                FrontierSlot(domain, winStart, id, prio, i + 1L, delay,
+                  i.toLong * delay)
+              }
+          } else {
+            var members = state.getOption.getOrElse(Seq.empty)
+            rows.foreach { case (_, id, prio, delay, _, _) =>
+              members = members :+ ((id, prio, delay))
+            }
+            state.update(members)
+            // fire the moment the watermark passes window end: every
+            // discovery with ts inside the window would be LATE after
+            // that, so the buffered set is complete
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, winStart + windowMs))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Exact intersection size of two ascending-sorted sequences. */
   private def intersectSortedCount(a: Seq[Long], b: Seq[Long]): Long = {
     val ai = a.iterator.buffered
