@@ -66,7 +66,7 @@ object Bench {
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(topSlow)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val cal = if (effectiveCores > 0)
-      f""""effective_cores":$effectiveCores%.1f,""" else ""
+      s""""effective_cores":${round1(effectiveCores)},""" else ""
     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failures":$failures,"passes":$passes,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd",$cal"queries":$slow,"queries_full":"$fullPath","sf":"$sfDir"}"""
   }
 
@@ -115,6 +115,12 @@ object Bench {
     val wall = (System.nanoTime() - t1) / 1e9
     (single, wall, if (wall > 0) threads * single / wall else 0.0)
   }
+
+  /** Locale-independent rounded JSON number (Double.toString never uses
+    * a comma decimal, unlike the f interpolator's String.format).
+    */
+  private def round3(v: Double): Double = math.rint(v * 1000) / 1000
+  private def round1(v: Double): Double = math.rint(v * 10) / 10
 
   private def loadavg(): String =
     try {
@@ -202,14 +208,21 @@ object Bench {
     val perPassQueries = allPasses.map(p =>
       p.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
-    val cal = f""""cal_single_s":$calSingle%.3f,"cal_parallel_s":$calWall%.3f,"effective_cores":$effCores%.1f"""
+    // plain Double interpolation everywhere: Double.toString is
+    // locale-independent, where an f-interpolator would emit comma
+    // decimals (invalid JSON) under a comma-decimal default locale
+    val cal = s""""cal_single_s":${round3(calSingle)},"cal_parallel_s":${round3(calWall)},"effective_cores":${round1(effCores)}"""
     val record = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","failures":$failures,"passes":$effPasses,"contended":$contended,"totals_per_pass":$perPass,"load_start":"$loadStart","load_end":"$loadEnd",$cal,"queries":$qs,"queries_per_pass":$perPassQueries,"sf":"$sfDir"}"""
     println(record)
     // the driver's captured stdout tail has truncated alphabetically-early
     // per-query times in past rounds — persist the COMPLETE record in-repo
     // too (path overridable; writing must never fail the bench itself).
-    // recordTarget diverts a contended run away from an uncontended record.
-    var fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_full.json")
+    // recordTarget diverts a contended run away from an uncontended record,
+    // and an SPARK_GRAFT_ONLY-filtered run must NEVER touch the committed
+    // record paths (a partial total would replace the full-suite number):
+    // it defaults to /tmp and skips the stable summary below.
+    var fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/bench_partial.json" else "bench/bench_full.json")
     try {
       val out = recordTarget(java.nio.file.Paths.get(fullPath), contended)
       fullPath = out.toString
@@ -224,10 +237,11 @@ object Bench {
     // to a stable in-repo path so a tail-parse failure is recoverable
     val compact = compactRecord(results, total, failures, effPasses, contended,
       perPass, loadStart, loadEnd, sfDir, fullPath, effectiveCores = effCores)
-    try writeSummary(compact, contended)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] summary write failed: ${e.getMessage}")
-    }
+    if (only.isEmpty)
+      try writeSummary(compact, contended)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] summary write failed: ${e.getMessage}")
+      }
     println(compact)
   }
 }

@@ -821,7 +821,7 @@ FROM documents ORDER BY doc_id""",
     // the closed-form mapping-carrier census (round 15)
     "q268_pdf_cid_roundtrip" ->
       """SELECT doc_id,
-CASE WHEN doc_id % 4 = 0 THEN 'tounicode' WHEN doc_id % 4 = 1 THEN 'fontfile2-identity' WHEN doc_id % 4 = 2 THEN 'fontfile2-gidstream' ELSE 'objstm-tounicode' END AS font_path,
+CASE WHEN (doc_id % 4 + 4) % 4 = 0 THEN 'tounicode' WHEN (doc_id % 4 + 4) % 4 = 1 THEN 'fontfile2-identity' WHEN (doc_id % 4 + 4) % 4 = 2 THEN 'fontfile2-gidstream' ELSE 'objstm-tounicode' END AS font_path,
 1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
 md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
 
@@ -829,7 +829,7 @@ md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
     // the closed-form cipher census
     "q276_pdf_decrypt_roundtrip" ->
       """SELECT doc_id,
-CASE WHEN doc_id % 4 = 0 THEN 'rc4-40' WHEN doc_id % 4 = 1 THEN 'rc4-128' WHEN doc_id % 4 = 2 THEN 'aes-128' ELSE 'aes-256' END AS cipher,
+CASE WHEN (doc_id % 4 + 4) % 4 = 0 THEN 'rc4-40' WHEN (doc_id % 4 + 4) % 4 = 1 THEN 'rc4-128' WHEN (doc_id % 4 + 4) % 4 = 2 THEN 'aes-128' ELSE 'aes-256' END AS cipher,
 1::INT AS is_pdf, length(text)::BIGINT AS rt_n_chars,
 md5(text) AS rt_md5 FROM documents ORDER BY doc_id""",
 

@@ -196,7 +196,9 @@ object PdfIngest {
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
           val wrapped = "X" + row.getString(txtIdx) + "X"
-          val pdf = (row.getLong(idIdx) % 4) match {
+          // floorMod: matches Spark's pmod and the oracle's
+          // ((doc_id%4)+4)%4, so all three agree on negative ids too
+          val pdf = java.lang.Math.floorMod(row.getLong(idIdx), 4L).toInt match {
             case 0 => PdfTextExtractor.synthIdentityHPdf(wrapped)
             case 1 => PdfTextExtractor.synthCidFontPdf(wrapped, useStreamMap = false)
             case 2 => PdfTextExtractor.synthCidFontPdf(wrapped, useStreamMap = true)
@@ -228,7 +230,7 @@ object PdfIngest {
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
-          val mode = (row.getLong(idIdx) % 4).toInt
+          val mode = java.lang.Math.floorMod(row.getLong(idIdx), 4L).toInt
           org.apache.spark.sql.Row.fromSeq(row.toSeq :+
             PdfTextExtractor.synthIdentityHPdf(
               "X" + row.getString(txtIdx) + "X", mode))

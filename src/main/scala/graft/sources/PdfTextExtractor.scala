@@ -66,7 +66,7 @@ import java.util.zip.Inflater
   * one, so content/CMap/font-program bytes never live there, but page
   * and font DICTIONARIES do in every PDF 1.5+ producer's output —
   * [[objStmSpans]] inflates each ObjStm and walks its offset header,
-  * and [[fontCmaps]] resolves fonts across raw and packed spans alike.
+  * and [[fontDecoders]] resolves fonts across raw and packed spans alike.
   * A chain containing an unsupported filter yields empty
   * bytes, never garbage text; an unmapped CID contributes nothing,
   * never a wrong glyph.
@@ -657,12 +657,34 @@ object PdfTextExtractor {
     * ToUnicode remains a disclosed stub — its charset maps gid→CID
     * inside the CFF program, a different container.
     */
-  private[graft] def fontCmaps(bytes: Array[Byte],
-      streams: Seq[(Int, Int, String, Array[Byte])]): Map[String, Map[Int, String]] =
-    fontDecoders(bytes, streams)._1
+  /** One linear pass over the bytes answering "does any needle occur" —
+    * the cheap-bail scan ([[fontDecoders]]) asks about five substrings,
+    * and five separate `indexOf` passes would quintuple the hot-path
+    * scan cost on the (overwhelming) majority of documents that contain
+    * none of them.
+    */
+  private[sources] def containsAny(hay: Array[Byte], needles: Seq[String]): Array[Boolean] = {
+    val ns = needles.map(_.getBytes("ISO-8859-1")).toArray
+    val found = new Array[Boolean](ns.length)
+    var remaining = ns.length
+    var i = 0
+    while (i < hay.length && remaining > 0) {
+      var k = 0
+      while (k < ns.length) {
+        if (!found(k) && hay(i) == ns(k)(0) && i + ns(k).length <= hay.length) {
+          var j = 1
+          while (j < ns(k).length && hay(i + j) == ns(k)(j)) j += 1
+          if (j == ns(k).length) { found(k) = true; remaining -= 1 }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    found
+  }
 
-  /** Both decoder families in one span walk: `_1` the CID maps above,
-    * `_2` per-resource 256-entry tables for SIMPLE fonts (`/TrueType`,
+  /** Both decoder families in one span walk: `_1` CID maps for composite
+    * fonts, `_2` per-resource 256-entry tables for SIMPLE fonts (`/TrueType`,
     * `/Type1`, `/MMType1`) — base encoding (`/WinAnsiEncoding`,
     * `/MacRomanEncoding`, or the Latin-1 identity fallback) overlaid
     * with `/Differences` names resolved through [[PdfEncodings]]
@@ -672,15 +694,16 @@ object PdfTextExtractor {
     */
   private[graft] def fontDecoders(bytes: Array[Byte],
       streams: Seq[(Int, Int, String, Array[Byte])]): (Map[String, Map[Int, String]], Map[String, Array[String]]) = {
-    // cheap bail: no font machinery in the file — checking the raw
-    // bytes first, and the decoded object-stream bodies only when the
-    // file declares an /ObjStm (a compressed font dict is invisible to
-    // the raw scan)
-    val rawIdH = indexOf(bytes, "Identity-H", 0) >= 0
-    val rawSimple = indexOf(bytes, "/TrueType", 0) >= 0 ||
-      indexOf(bytes, "/Type1", 0) >= 0 || indexOf(bytes, "/MMType1", 0) >= 0
+    // cheap bail: no font machinery in the file — ONE pass over the raw
+    // bytes for all five markers, then the decoded object-stream bodies
+    // only when the file declares an /ObjStm (a compressed font dict is
+    // invisible to the raw scan)
+    val raw = containsAny(bytes,
+      Seq("Identity-H", "/TrueType", "/Type1", "/MMType1", "/ObjStm"))
+    val rawIdH = raw(0)
+    val rawSimple = raw(1) || raw(2) || raw(3)
     val stm =
-      if (rawIdH || rawSimple || indexOf(bytes, "/ObjStm", 0) >= 0) objStmSpans(streams)
+      if (rawIdH || rawSimple || raw(4)) objStmSpans(streams)
       else Nil
     val anyIdH = rawIdH || stm.exists(_._2.contains("Identity-H"))
     val anySimple = rawSimple || stm.exists(s =>
@@ -701,23 +724,29 @@ object PdfTextExtractor {
     def streamOf(num: Int): Option[Array[Byte]] =
       streams.collectFirst { case (n, _, dict, payload) if n == num =>
         decodePayload(dict, payload) }
-    // font object number → mapping source: Left(ToUnicode stream obj) or
-    // Right(descendant font obj); the regexes run only over each bounded
-    // obj body, never the whole file
-    val source = spans.flatMap { case (num, body) =>
-      if (Type0Re.findFirstIn(body).isEmpty ||
-        IdentityHRe.findFirstIn(body).isEmpty) None
-      else ToUnicodeRe.findFirstMatchIn(body) match {
-        case Some(t) => Some(num -> Left(t.group(1).toInt))
-        case None => DescFontsRe.findFirstMatchIn(body)
-          .map(d => num -> Right(d.group(1).toInt))
+    // font object number → (ToUnicode stream obj, descendant font obj);
+    // FIRST matching span wins — the same precedence every other lookup
+    // here uses, so a duplicated object number resolves entirely from
+    // one revision. The regexes run only over each bounded obj body,
+    // never the whole file. Both refs are kept: when the ToUnicode
+    // stream is missing or unparseable the descendant's embedded cmap
+    // is the fallback, and a Type0 font that resolves to NOTHING still
+    // binds an empty map so its CIDs DROP rather than leak raw bytes.
+    val source: Map[Int, (Option[Int], Option[Int])] =
+      spans.foldLeft(Map.empty[Int, (Option[Int], Option[Int])]) {
+        case (acc, (num, body)) =>
+          if (acc.contains(num) || Type0Re.findFirstIn(body).isEmpty ||
+            IdentityHRe.findFirstIn(body).isEmpty) acc
+          else acc + (num -> ((
+            ToUnicodeRe.findFirstMatchIn(body).map(_.group(1).toInt),
+            DescFontsRe.findFirstMatchIn(body).map(_.group(1).toInt))))
       }
-    }.toMap
-    // simple-font object number → its 256-entry code table
+    // simple-font object number → its 256-entry code table (first
+    // matching span wins, as above)
     val simpleSource: Map[Int, Array[String]] = if (!anySimple) Map.empty
-    else spans.flatMap { case (num, body) =>
-      if (SimpleFontRe.findFirstIn(body).isEmpty ||
-        Type0Re.findFirstIn(body).isDefined) None
+    else spans.foldLeft(Map.empty[Int, Array[String]]) { case (acc, (num, body)) =>
+      if (acc.contains(num) || SimpleFontRe.findFirstIn(body).isEmpty ||
+        Type0Re.findFirstIn(body).isDefined) acc
       else {
         val encBody = EncRefRe.findFirstMatchIn(body) match {
           case Some(r) =>
@@ -742,9 +771,9 @@ object PdfTextExtractor {
             }
           }
         }
-        Some(num -> table)
+        acc + (num -> table)
       }
-    }.toMap
+    }
     if (source.isEmpty && simpleSource.isEmpty) return (Map.empty, Map.empty)
     // CID→text via the descendant's embedded TrueType cmap; the
     // descendant body is elected ONCE (first span carrying the
@@ -786,12 +815,18 @@ object PdfTextExtractor {
       .toSeq.distinct
     val cmapOf = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
     val cid = names.flatMap { case (name, fontObj) =>
-      source.get(fontObj).flatMap { src =>
-        val cm = cmapOf.getOrElseUpdate(fontObj, src match {
-          case Left(tuObj) => streamOf(tuObj).map(parseCMap).getOrElse(Map.empty)
-          case Right(descObj) => fromFontFile2(descObj)
+      source.get(fontObj).map { case (tuObj, descObj) =>
+        // ToUnicode first (§9.10.2's primary route), the descendant's
+        // embedded cmap when that stream is missing or unparseable; a
+        // Type0 font that resolves to NOTHING binds the EMPTY map — its
+        // CIDs then drop in decodeCids instead of leaking as raw bytes
+        val cm = cmapOf.getOrElseUpdate(fontObj, {
+          val viaTu = tuObj.flatMap(streamOf).map(parseCMap)
+            .getOrElse(Map.empty[Int, String])
+          if (viaTu.nonEmpty) viaTu
+          else descObj.map(fromFontFile2).getOrElse(Map.empty)
         })
-        if (cm.nonEmpty) Some(name -> cm) else None
+        name -> cm
       }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
     val simple = names.flatMap { case (name, fontObj) =>

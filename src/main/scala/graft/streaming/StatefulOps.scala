@@ -1312,7 +1312,9 @@ object StatefulOps {
           } else {
             var members = state.getOption.getOrElse(Seq.empty)
             rows.foreach { case (_, id, prio, delay, _, _) =>
-              members = members :+ ((id, prio, delay))
+              // prepend: O(1) where :+ on the default Seq is O(k) per
+              // row (quadratic over a window); emission sorts anyway
+              members = ((id, prio, delay)) +: members
             }
             state.update(members)
             // fire the moment the watermark passes window end: every

@@ -136,6 +136,29 @@ class TrueTypeCmapSpec extends AnyFunSuite {
     assert(PdfTextExtractor.extract(bad) == "")
   }
 
+  test("unparseable ToUnicode falls back to the descendant's embedded cmap") {
+    // synthCidFontPdf carries FontFile2 only; splice in a /ToUnicode ref
+    // to a NONEXISTENT object — the primary route resolves to nothing,
+    // and extraction must recover through the embedded cmap
+    val pdf = PdfTextExtractor.synthCidFontPdf("fallback works", useStreamMap = false)
+    val s = new String(pdf, "ISO-8859-1")
+    val spliced = s.replace("/DescendantFonts [6 0 R]",
+      "/ToUnicode 77 0 R /DescendantFonts [6 0 R]")
+    assert(PdfTextExtractor.extract(spliced.getBytes("ISO-8859-1")) == "fallback works")
+  }
+
+  test("a Type0 font whose mapping resolves to nothing DROPS its CIDs — raw bytes never leak") {
+    // corrupt the ToUnicode CMap stream payload: no descendant FontFile2
+    // exists to fall back to, so the show-text operand must contribute
+    // NOTHING — before round 15's empty-map binding the raw 2-byte CID
+    // chars leaked as mojibake here
+    val pdf = PdfTextExtractor.synthIdentityHPdf("secret payload")
+    val s = new String(pdf, "ISO-8859-1")
+    val at = s.indexOf("stream\n", s.indexOf("7 0 obj")) + 10
+    val bad = pdf.clone(); bad(at) = (bad(at) ^ 0x5A).toByte
+    assert(PdfTextExtractor.extract(bad) == "")
+  }
+
   test("ToUnicode stays the primary route when both carriers exist") {
     // Splice a /ToUnicode ref pointing at the OTHER text's CMap into a
     // FontFile2 PDF is involved; instead pin the precedence at the unit
