@@ -54,12 +54,19 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int)
   private val bs: Array[Long] = Array.tabulate(numHashes)(j => 12345L + 7919L * j)
 
   override def nullSafeEval(input: Any): Any = {
+    // Round 16: one UTF-8 encode per ROW (round-tripped through String so
+    // invalid input bytes take the same replacement-char path as before),
+    // windows sliced by code-point BYTE boundaries (no per-shingle String
+    // + getBytes), and duplicate windows deduped with an open-addressed
+    // offset table BEFORE hashing — absorb() is idempotent on the min, so
+    // hashing each distinct shingle once is value-identical and skips an
+    // md5 per repeated window (SketchSpec pins parity vs the HOF form).
     val s = input.asInstanceOf[UTF8String].toString
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val md = MessageDigest.getInstance("MD5")
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    def absorb(shingle: String): Unit = {
-      val b = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val base = SketchHash.stable60(md, b, 0, b.length) % SketchHash.Modulus
+    def absorb(from: Int, len: Int): Unit = {
+      val base = SketchHash.stable60(md, bytes, from, len) % SketchHash.Modulus
       var j = 0
       while (j < numHashes) {
         val v = (base * as(j) + bs(j)) % SketchHash.Modulus
@@ -67,15 +74,48 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleLen: Int)
         j += 1
       }
     }
-    // window by CODE POINTS, matching Spark's length()/substring and the
-    // DuckDB oracle (UTF-16 units would diverge on astral chars)
-    val cps = s.codePoints().toArray
-    if (cps.length < shingleLen) absorb(s)
+    // code-point start offsets (UTF-8 continuation bytes are 10xxxxxx),
+    // matching Spark's length()/substring and the DuckDB oracle
+    val cpOff = new Array[Int](bytes.length + 1)
+    var ncp = 0
+    var p = 0
+    while (p < bytes.length) {
+      if ((bytes(p) & 0xc0) != 0x80) { cpOff(ncp) = p; ncp += 1 }
+      p += 1
+    }
+    cpOff(ncp) = bytes.length
+    if (ncp < shingleLen) absorb(0, bytes.length)
     else {
+      val m = ncp - shingleLen + 1
+      var cap = 8
+      while (cap < m * 2) cap <<= 1
+      val table = new Array[Int](cap)
+      java.util.Arrays.fill(table, -1)
+      val mask = cap - 1
       var i = 0
-      val last = cps.length - shingleLen
-      while (i <= last) {
-        absorb(new String(cps, i, shingleLen))
+      while (i <= ncp - shingleLen) {
+        val from = cpOff(i)
+        val len = cpOff(i + shingleLen) - from
+        // open-addressed dedupe keyed on window bytes
+        var h = 1
+        var k = from
+        while (k < from + len) { h = h * 31 + bytes(k); k += 1 }
+        h ^= (h >>> 16); h *= 0x85ebca6b
+        h &= mask
+        var fresh = false
+        var done = false
+        while (!done) {
+          val off = table(h)
+          if (off == -1) { table(h) = i; fresh = true; done = true }
+          else {
+            val oFrom = cpOff(off)
+            val oLen = cpOff(off + shingleLen) - oFrom
+            if (oLen == len && java.util.Arrays.equals(
+                bytes, oFrom, oFrom + oLen, bytes, from, from + len)) done = true
+            else h = (h + 1) & mask
+          }
+        }
+        if (fresh) absorb(from, len)
         i += 1
       }
     }
@@ -358,26 +398,109 @@ case class ShinglePairScores(left: Expression, right: Expression, n: Int)
     StructField("jac", DoubleType, nullable = false)))
   override def nullIntolerant: Boolean = true
 
-  private def shingleSet(s: String): java.util.HashSet[String] = {
-    val out = new java.util.HashSet[String]()
-    val cps = s.codePoints().toArray
-    if (cps.length < n) out.add(s)
-    else {
-      var i = 0
-      while (i <= cps.length - n) { out.add(new String(cps, i, n)); i += 1 }
+  // Round 16: allocation-free evaluator. The candidate verifier runs on
+  // every LSH pair (1.4M pairs at sf0.1), and the HashSet<String>
+  // formulation allocated one String per window per side per pair. This
+  // version dedupes windows with open-addressed offset tables directly
+  // over the code-point arrays — same sets, same |∩|, same divisions
+  // (SketchSpec pins value parity against the HOF formulation).
+
+  /** Open-addressed table of distinct window START OFFSETS over `cps`.
+    * Returns (table, mask, distinctCount); empty slots hold -1.
+    */
+  private def buildTable(cps: Array[Int], m: Int): (Array[Int], Int, Int) = {
+    var cap = 8
+    while (cap < m * 2) cap <<= 1
+    val table = new Array[Int](cap)
+    java.util.Arrays.fill(table, -1)
+    val mask = cap - 1
+    var distinct = 0
+    var i = 0
+    while (i < m) {
+      var h = windowHash(cps, i) & mask
+      var done = false
+      while (!done) {
+        val off = table(h)
+        if (off == -1) { table(h) = i; distinct += 1; done = true }
+        else if (windowEq(cps, off, cps, i)) done = true // dup window
+        else h = (h + 1) & mask
+      }
+      i += 1
     }
-    out
+    (table, mask, distinct)
+  }
+
+  private def windowHash(cps: Array[Int], off: Int): Int = {
+    var h = 1
+    var k = 0
+    while (k < n) { h = h * 31 + cps(off + k); k += 1 }
+    // finalizer: spread the polynomial hash before masking
+    h ^= (h >>> 16)
+    h * 0x85ebca6b
+  }
+
+  private def windowEq(a: Array[Int], ao: Int, b: Array[Int], bo: Int): Boolean = {
+    var k = 0
+    while (k < n) {
+      if (a(ao + k) != b(bo + k)) return false
+      k += 1
+    }
+    true
+  }
+
+  /** Distinct windows of `probe` found in `base`'s table. */
+  private def intersect(base: Array[Int], baseTable: Array[Int], mask: Int,
+      probe: Array[Int], probeTable: Array[Int], probeMask: Int): Int = {
+    var inter = 0
+    var s = 0
+    while (s <= probeMask) {
+      val off = probeTable(s) // each DISTINCT probe window exactly once
+      if (off != -1) {
+        var h = windowHash(probe, off) & mask
+        var done = false
+        while (!done) {
+          val boff = baseTable(h)
+          if (boff == -1) done = true
+          else if (windowEq(base, boff, probe, off)) { inter += 1; done = true }
+          else h = (h + 1) & mask
+        }
+      }
+      s += 1
+    }
+    inter
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = shingleSet(a.asInstanceOf[UTF8String].toString)
-    val sb = shingleSet(b.asInstanceOf[UTF8String].toString)
-    var inter = 0
-    val it = sa.iterator()
-    while (it.hasNext) if (sb.contains(it.next())) inter += 1
-    val union = sa.size + sb.size - inter
+    val sa = a.asInstanceOf[UTF8String].toString
+    val sb = b.asInstanceOf[UTF8String].toString
+    val cpa = sa.codePoints().toArray
+    val cpb = sb.codePoints().toArray
+    // whole-string fallback (< n code points = one shingle, the string
+    // itself): an under-length string can only ever match another
+    // under-length EQUAL string — n-length windows are never that short
+    if (cpa.length < n || cpb.length < n) {
+      val na = if (cpa.length < n) 1 else cpa.length - n + 1
+      val nb = if (cpb.length < n) 1 else cpb.length - n + 1
+      // distinct counts still needed on the long side
+      val (da, db) =
+        if (cpa.length >= n) (buildTable(cpa, na)._3, 1)
+        else if (cpb.length >= n) (1, buildTable(cpb, nb)._3)
+        else (1, 1)
+      val inter =
+        if (cpa.length < n && cpb.length < n) (if (sa == sb) 1 else 0)
+        else 0
+      val union = da + db - inter
+      return org.apache.spark.sql.catalyst.InternalRow(
+        inter.toDouble / da, inter.toDouble / db, inter.toDouble / union)
+    }
+    val ma = cpa.length - n + 1
+    val mb = cpb.length - n + 1
+    val (ta, maskA, da) = buildTable(cpa, ma)
+    val (tb, maskB, db) = buildTable(cpb, mb)
+    val inter = intersect(cpa, ta, maskA, cpb, tb, maskB)
+    val union = da + db - inter
     org.apache.spark.sql.catalyst.InternalRow(
-      inter.toDouble / sa.size, inter.toDouble / sb.size, inter.toDouble / union)
+      inter.toDouble / da, inter.toDouble / db, inter.toDouble / union)
   }
 
   override protected def withNewChildrenInternal(

@@ -113,7 +113,15 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingle: Int, bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val sigs = minhashSig(df, textCol, numHashes, shingle).select(col(idCol), col("minhash"))
+    // round 16: the signature pass (one md5 per shingle over the whole
+    // corpus) is compute-bound — spread a narrow (id, text) projection
+    // across the session's parallelism BEFORE computing signatures; a
+    // one-split small parquet otherwise runs the entire pass in one task
+    // (guide §2; no-op when the scan is already parallel)
+    val spreadDf = Tuning.spread(
+      df.select(col(idCol), col(textCol)), col(idCol))
+    val sigs = minhashSig(spreadDf, textCol, numHashes, shingle)
+      .select(col(idCol), col("minhash"))
     bandSelfJoin(sigs, idCol, bands, rowsPerBand, Seq("minhash"))
       .select(col("id_a"), col("id_b"),
         round(sigJaccard(col("minhash_a"), col("minhash_b")), 4).as("est_jac"))
@@ -132,7 +140,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingle: Int, bands: Int, rowsPerBand: Int): DataFrame =
     bandExplode(
-      minhashSig(df, textCol, numHashes, shingle).select(col(idCol), col("minhash")),
+      minhashSig(Tuning.spread(df.select(col(idCol), col(textCol)), col(idCol)),
+        textCol, numHashes, shingle).select(col(idCol), col("minhash")),
       idCol, bands, rowsPerBand, Seq("minhash"))
 
   /** Incremental near-dup: the nightly-ingest shape. New documents
@@ -269,7 +278,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x8-bit banding is only complete for hamming <= 3, got $maxHamming")
-    val banded = simhash32(df, textCol, "__sh")
+    val banded = simhash32(
+        Tuning.spread(df.select(col(idCol), col(textCol)), col(idCol)),
+        textCol, "__sh")
       .select(col(idCol), col("__sh").cast("long").as("__sh"))
       .select(col(idCol), col("__sh"), explode(sequence(lit(0), lit(3))).as("__b"))
       .withColumn("__key", expr("shiftright(__sh, __b * 8) & 255"))
@@ -316,15 +327,37 @@ object Dedup {
     * depending on the corpus: a 100 TB table whose dup graph touches 1% of
     * documents pays the per-round join on that 1%, not on every id — the
     * singleton majority is never shuffled through a propagation round.
+    *
+    * Round 16: the endpoint labels come from [[componentsOverEndpoints]] —
+    * a LOCAL union-find when the staged pair list is under
+    * `spark.graft.graph.localEdgeLimit` (the dup graph is a small quotient
+    * of the corpus; see [[LocalGraph]]), the unchanged distributed
+    * min-label rounds otherwise. Output is bit-identical either way
+    * (LocalGraphSpec pins the parity).
     */
   def resolveClustersSparse(pairs: DataFrame, allIds: DataFrame): DataFrame = {
     val idc = allIds.columns.head
-    val endpoints = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
-    val resolved = resolveClusters(pairs, endpoints)
+    val resolved = componentsOverEndpoints(pairs)
     allIds.select(col(idc).as("id")).distinct()
       .join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("keeper_id"), col("id")).as("keeper_id"))
+  }
+
+  /** Min-label component labels (id, keeper_id) for the pair graph's
+    * ENDPOINTS: size-gated local union-find, else the distributed rounds
+    * of [[resolveClusters]] over the endpoint set.
+    */
+  private[graft] def componentsOverEndpoints(pairs: DataFrame): DataFrame = {
+    val staged = LocalGraph.stage(pairs, "id_a", "id_b")
+    staged.edges match {
+      case Some(arr) =>
+        LocalGraph.componentLabelsDF(pairs.sparkSession, arr,
+          staged.df.schema.head.dataType)
+      case None =>
+        val endpoints = staged.df.select(col("id_a").as("id"))
+          .union(staged.df.select(col("id_b").as("id")))
+        resolveClusters(staged.df, endpoints)
+    }
   }
 
   /** [[resolveClustersSparse]] with a giant-component guard: components

@@ -129,7 +129,26 @@ object GraphMetrics {
   def kCoreWithPeels(
       pairs: DataFrame, aCol: String, bCol: String,
       k: Int = 2, rounds: Int = 8): (DataFrame, Int) = {
-    var edges = pairs
+    // round 16: size-gated local peel (see LocalGraph) — identical rounds,
+    // identical early exit, identical output; distributed loop unchanged
+    // above the edge limit
+    val staged = LocalGraph.stage(pairs, aCol, bCol)
+    staged.edges.foreach { arr =>
+      val spark = pairs.sparkSession
+      val idType = staged.df.schema.head.dataType
+      val (core, peels) = LocalGraph.kCore(arr, k, rounds)
+      val rows = core.map { case (v, d) => org.apache.spark.sql.Row(v, d) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("core_degree",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return (df.select(col("v").cast(idType).as("v"), col("core_degree")),
+        peels)
+    }
+    var edges = staged.df
       .select(least(col(aCol), col(bCol)).as("lo"),
         greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo") =!= col("hi"))
@@ -233,7 +252,31 @@ object GraphMetrics {
   def harmonicCentrality(pairs: DataFrame, aCol: String, bCol: String,
       hops: Int = 3): DataFrame = {
     require(hops >= 1 && hops <= 8, s"hops must be in [1, 8], got $hops")
-    val edges = pairs
+    // round 16: size-gated local BFS (see LocalGraph) — the pair graph is
+    // a small quotient of the corpus; under the edge limit the whole
+    // hops-bounded closure runs in-process with identical micro-unit
+    // arithmetic, above it the distributed frontier rounds run unchanged
+    val staged = LocalGraph.stage(pairs, aCol, bCol)
+    staged.edges.foreach { arr =>
+      val spark = pairs.sparkSession
+      val idType = staged.df.schema.head.dataType
+      val rows = LocalGraph.harmonicCentrality(arr, hops)
+        .map { case (id, n1, nf, h) => org.apache.spark.sql.Row(id, n1, nf, h) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_1hop",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_far",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("h_micro",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return df.select(col("id").cast(idType).as("id"),
+        col("n_1hop"), col("n_far"), col("h_micro"))
+    }
+    val edges = staged.df
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .filter(col("src") =!= col("dst"))
     val sym = edges
@@ -279,10 +322,12 @@ object GraphMetrics {
     */
   def harmonicCentralityGuarded(pairs: DataFrame, aCol: String, bCol: String,
       hops: Int, maxShare4: Long, totalIds: DataFrame): DataFrame = {
-    val endpoints = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id"))).distinct()
-    val labels = Dedup.resolveClusters(
-        pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b")), endpoints)
+    // round 16: stage the pair list ONCE — it feeds the component labels,
+    // the flag gate and the BFS; without the cut the upstream pipeline
+    // (for q221 the whole LSH dedup pass) re-ran per consumer
+    val p = pairs.localCheckpoint(false)
+    val labels = Dedup.componentsOverEndpoints(
+        p.select(col(aCol).as("id_a"), col(bCol).as("id_b")))
       .select(col("id"), col("keeper_id").as("__cid"))
     val sizes = labels.groupBy(col("__cid")).agg(count(lit(1)).as("__sz"))
     val tot = broadcast(totalIds.select(col(totalIds.columns.head).as("id"))
@@ -293,7 +338,7 @@ object GraphMetrics {
           .cast("int").as("flagged"))
       .localCheckpoint(false) // read by the edge gate and the final join
     val ok = flags.filter(col("flagged") === 0).select(col("id").as(aCol))
-    val keptPairs = pairs.join(ok, Seq(aCol), "left_semi")
+    val keptPairs = p.join(ok, Seq(aCol), "left_semi")
     flags.join(harmonicCentrality(keptPairs, aCol, bCol, hops), Seq("id"), "left")
       .select(col("id"), col("n_1hop"), col("n_far"), col("h_micro"),
         col("flagged"))
@@ -325,9 +370,28 @@ object GraphMetrics {
     */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
       rounds: Int): DataFrame = {
-    val edges = pairs
+    // round 16: size-gated local rounds (see LocalGraph) — identical vote
+    // counts and (count desc, label asc) ties; distributed loop unchanged
+    // above the edge limit
+    val staged = LocalGraph.stage(pairs, aCol, bCol)
+    staged.edges.foreach { arr =>
+      val spark = pairs.sparkSession
+      val idType = staged.df.schema.head.dataType
+      val rows = LocalGraph.labelPropagation(arr, rounds)
+        .map { case (id, lab) => org.apache.spark.sql.Row(id, lab) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return df.select(col("id").cast(idType).as("id"),
+        col("label").cast(idType).as("label"))
+    }
+    val edges = staged.df
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .union(staged.df.select(col(bCol).as("src"), col(aCol).as("dst")))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint(false) // every round joins it
     var labels = edges.select(col("src").as("id")).distinct()

@@ -73,12 +73,32 @@ object PageRank {
   def ranksIterated(pairs: DataFrame, aCol: String, bCol: String, iters: Int,
       broadcastNodeLimit: Long = 10000000L,
       toleranceU: Long = 0L): (DataFrame, Int) = {
-    // stage the INPUT pairs first: the symmetrizing union reads them once
-    // per direction, and without the cut each branch re-runs the whole
-    // upstream pipeline (for the q108 use the LSH dedup pipeline — a
-    // corpus scan + signature pass per branch; 7.4 s → 2.6 s at sf0.1)
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(false)
+    // round 16: size-gated local iteration (see LocalGraph) — the staged
+    // pair list is counted anyway; under the edge limit the whole integer
+    // ppm walk runs in-process with bit-identical arithmetic and early
+    // exit, above it the distributed rounds below run unchanged
+    val stagedAny = LocalGraph.stageAny(pairs, aCol, bCol)
+    stagedAny.edges.foreach { arr =>
+      val spark = pairs.sparkSession
+      val idType = stagedAny.df.schema.head.dataType
+      val (out, it) = LocalGraph.pageRank(arr, iters, toleranceU)
+      val rows = out.map { case (id, deg, r) => org.apache.spark.sql.Row(id, deg, r) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType, nullable = true),
+          org.apache.spark.sql.types.StructField("deg",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rank_u",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return (df, it)
+    }
+    // the INPUT pairs are already staged by LocalGraph.stageAny: the
+    // symmetrizing union reads that checkpoint once per direction instead
+    // of re-running the whole upstream pipeline per branch (for the q108
+    // use the LSH dedup pipeline — a corpus scan + signature pass per
+    // branch; 7.4 s → 2.6 s at sf0.1)
+    val fwd = stagedAny.df.select(col(aCol).as("src"), col(bCol).as("dst"))
     // …then the edge list, which degree, adjacency and node set each read
     // (no distinct — see the contract above; self-loops still dropped)
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -132,8 +152,30 @@ object PageRank {
   def personalizedRanks(
       pairs: DataFrame, aCol: String, bCol: String, seeds: Seq[Long],
       iters: Int, broadcastNodeLimit: Long = 10000000L): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(false)
+    // round 16: size-gated local walk, integral ids only (the seed set is
+    // Seq[Long]); identical ppm arithmetic — running to a fixed point
+    // early is output-invisible because the update is deterministic
+    val staged = LocalGraph.stage(pairs, aCol, bCol)
+    staged.edges.foreach { arr =>
+      val spark = pairs.sparkSession
+      val idType = staged.df.schema.head.dataType
+      val seedSet: Set[Any] = seeds.map(_.asInstanceOf[Any]).toSet
+      val (out, _) = LocalGraph.pageRank(
+        arr.map { case (a, b) => (a: Any, b: Any) }, iters, toleranceU = 0L,
+        seedsU = Some(seedSet))
+      val rows = out.map { case (id, deg, r) => org.apache.spark.sql.Row(id, deg, r) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("deg",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("rank_u",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      return df.select(col("id").cast(idType).as("id"), col("deg"), col("rank_u"))
+    }
+    val fwd = staged.df.select(col(aCol).as("src"), col(bCol).as("dst"))
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint(false)

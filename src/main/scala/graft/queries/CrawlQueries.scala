@@ -45,9 +45,11 @@ private[graft] object CrawlQueries {
     // the two-group regexp pass + per-href resolution downstream is
     // compute-bound: a small parquet arrives as ONE partition and AQE
     // never splits a compute-heavy stage, so spread it explicitly
-    // (the q90 levenshtein lesson)
-    val d = docs.select(col("doc_id"), pmod(col("doc_id"), lit(37)).as("m"))
-      .repartition(32, col("doc_id"))
+    // (the q90 levenshtein lesson; fan-out is session-derived, round 16 —
+    // 32 was a local-mode constant that over-tasked the 8-core run)
+    val d = graft.operators.Tuning.spread(
+      docs.select(col("doc_id"), pmod(col("doc_id"), lit(37)).as("m")),
+      col("doc_id"))
     val k4 = pmod(col("doc_id"), lit(4))
     d.withColumn("base", concat(lit("https://site"), col("m"),
         lit(".com/a/b/page"), col("doc_id"), lit(".html")))
@@ -81,11 +83,17 @@ private[graft] object CrawlQueries {
     */
   private[graft] def hostEdges(docs: DataFrame): DataFrame = {
     val fx = linkFixture(docs)
+    // Tuning.once on eb/resolved (guide §4.4): without the barrier the
+    // optimizer inlines the whole base-extraction + resolution regex chain
+    // into the pushed filter AND each consuming projection — ~3 evaluations
+    // per link row, each re-scanning the full page markup for <base>
     fx.select(col("m"),
-        graft.operators.LinkOps.effectiveBase(col("base"), col("html")).as("eb"),
+        graft.operators.Tuning.once(graft.operators.LinkOps
+          .effectiveBase(col("base"), col("html"))).as("eb"),
         explode(graft.operators.LinkOps.extractHrefs(col("html"))).as("href"))
       .withColumn("resolved",
-        graft.operators.LinkOps.resolveReference(col("eb"), col("href")))
+        graft.operators.Tuning.once(graft.operators.LinkOps
+          .resolveReference(col("eb"), col("href"))))
       .filter(col("resolved").rlike("^https?://"))
       .select(concat(lit("site"), col("m"), lit(".com")).as("src_host"),
         lower(regexp_extract(col("resolved"), "^[a-z]+://([^:/?]*)", 1))
@@ -116,11 +124,16 @@ private[graft] object CrawlQueries {
         graft.operators.LinkOps.extractHrefs($"html"),
         graft.operators.LinkOps.extractAnchorTexts($"html"),
         (h, a) => struct(h.as("href"), a.as("anchor")))
+      // Tuning.once barriers (guide §4.4): eb evaluates once per PAGE and
+      // resolved once per LINK — round 15's plan showed both chains
+      // re-inlined into the pushed filter and every output projection
       fx.select($"doc_id",
-          graft.operators.LinkOps.effectiveBase($"base", $"html").as("eb"),
+          graft.operators.Tuning.once(
+            graft.operators.LinkOps.effectiveBase($"base", $"html")).as("eb"),
           posexplode(pairs))
         .select($"doc_id", ($"pos" + 1).cast("long").as("link_no"),
-          graft.operators.LinkOps.resolveReference($"eb", $"col.href")
+          graft.operators.Tuning.once(
+            graft.operators.LinkOps.resolveReference($"eb", $"col.href"))
             .as("resolved"),
           $"col.anchor".as("anchor"))
         .filter($"resolved".rlike("^https?://"))
@@ -398,11 +411,14 @@ private[graft] object CrawlQueries {
         graft.operators.LinkOps.extractHrefs($"html"),
         graft.operators.LinkOps.extractAnchorTexts($"html"),
         (h, a) => struct(h.as("href"), a.as("anchor")))
+      // Tuning.once barriers (guide §4.4) — same duplication fix as q283
       val links = fx.select($"m",
-          graft.operators.LinkOps.effectiveBase($"base", $"html").as("eb"),
+          graft.operators.Tuning.once(
+            graft.operators.LinkOps.effectiveBase($"base", $"html")).as("eb"),
           explode(pairs).as("p"))
         .withColumn("resolved",
-          graft.operators.LinkOps.resolveReference($"eb", $"p.href"))
+          graft.operators.Tuning.once(
+            graft.operators.LinkOps.resolveReference($"eb", $"p.href")))
         .filter($"resolved".rlike("^https?://"))
         .select(
           graft.operators.UrlOps.canonicalizeUrlFull($"resolved").as("url"),

@@ -140,7 +140,7 @@ private[graft] object DedupQueries {
       val pairs = graft.operators.Dedup.nearDupPairs(
         docs, "doc_id", "text",
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
-      graft.operators.Dedup.resolveClusters(pairs, docs.select($"doc_id"))
+      graft.operators.Dedup.resolveClustersSparse(pairs, docs.select($"doc_id"))
         .select($"id".as("doc_id"), $"keeper_id")
         .orderBy($"doc_id")
     }),
@@ -167,7 +167,7 @@ private[graft] object DedupQueries {
           win, "win_id", "wtext",
           numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.5)
         .filter($"est_jac" < 1.0)
-      graft.operators.Dedup.resolveClusters(pairs, win.select($"win_id"))
+      graft.operators.Dedup.resolveClustersSparse(pairs, win.select($"win_id"))
         .select($"id".as("win_id"), $"keeper_id")
         .orderBy($"win_id")
     }),
@@ -250,7 +250,7 @@ private[graft] object DedupQueries {
       val pairs = graft.operators.Dedup.nearDupPairs(
         docs, "doc_id", "text",
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
-      val keep = graft.operators.Dedup.resolveClusters(pairs, docs.select($"doc_id"))
+      val keep = graft.operators.Dedup.resolveClustersSparse(pairs, docs.select($"doc_id"))
       docs.join(keep, docs("doc_id") === keep("id"))
         .select($"source", ($"keeper_id" === $"doc_id").as("kept"), $"text")
         .groupBy($"source")
@@ -346,25 +346,50 @@ private[graft] object DedupQueries {
     "q115_containment" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
+      // round 16 restructure (was: full-text join → hardcoded
+      // repartition(32) → scorer → localCheckpoint):
+      //  - the signature pass spreads across the session's parallelism;
+      //  - the BYTES-TINY candidate pair relation (16 B/row) is
+      //    repartitioned to the session's parallelism FIRST — an explicit-N
+      //    exchange because AQE coalesces the distinct's small output onto
+      //    one core right before the compute-bound verify (the q90 trap) —
+      //    and only then are the texts attached (docs is a stats-carrying
+      //    scan, so Spark broadcasts it at bench scale and shuffle-joins at
+      //    corpus scale on its own);
+      //  - ONE Tuning.once barrier (guide §4.4) pins a single scorer
+      //    evaluation per pair where round 15 needed an eager
+      //    localCheckpoint (plan: Scan ExistingRDD, UnknownPartitioning,
+      //    AQE dead) to stop the 5-fold re-inlining.
       val sigs = graft.operators.Dedup
-        .minhashSig(docs, "text", numHashes = 8, shingle = 4)
+        .minhashSig(graft.operators.Tuning.spread(
+          docs.select($"doc_id", $"text"), $"doc_id"),
+          "text", numHashes = 8, shingle = 4)
         .select($"doc_id", $"minhash")
-      val cand = graft.operators.Dedup.lshCandidates(sigs, "doc_id", bands = 4, rowsPerBand = 2)
-      // the scored relation is checkpointed BEFORE field extraction:
-      // project-collapse + filter pushdown would otherwise re-inline the
-      // scorer into every GetStructField AND the filter predicate — up to
-      // 5 evaluations per pair of the expensive expression
+      // reversed key order ON PURPOSE: repartition(N, id_a, id_b) is
+      // identical to the distinct's own exchange, so the optimizer drops
+      // it as redundant and AQE then coalesces the tiny pair shuffle onto
+      // one core right before the verify; (id_b, id_a) keeps a distinct
+      // REPARTITION_BY_NUM exchange (16 B/row — cheap) that AQE must honor
+      val cand = graft.operators.Dedup
+        .lshCandidates(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+        .repartition(graft.operators.Tuning.spreadPartitions(docs),
+          $"id_b", $"id_a")
       val scored = cand
         .join(docs.select($"doc_id".as("id_a"), $"text".as("text_a")), Seq("id_a"))
         .join(docs.select($"doc_id".as("id_b"), $"text".as("text_b")), Seq("id_b"))
-        .repartition(32, $"id_a", $"id_b")
         .select($"id_a", $"id_b",
-          graft.operators.Dedup.pairScores($"text_a", $"text_b", 5).as("sc"))
-        .localCheckpoint(false)
+          graft.operators.Tuning.once(
+            graft.operators.Dedup.pairScores($"text_a", $"text_b", 5)).as("sc"))
+      // survivors-only cut before the global sort: the range exchange's
+      // SAMPLE pass re-executes its child, which would run the verify over
+      // every candidate pair twice; the checkpoint holds only the
+      // output-sized filtered rows (25 at sf0.1 — vs round 15's checkpoint
+      // of ALL scored candidates)
       scored.select($"id_a", $"id_b",
           fq4($"sc.cont_ab").as("cont_ab4"), fq4($"sc.cont_ba").as("cont_ba4"),
           fq4($"sc.jac").as("jac4"))
         .filter(greatest($"cont_ab4", $"cont_ba4") >= 0.8)
+        .localCheckpoint(false)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -380,7 +405,7 @@ private[graft] object DedupQueries {
       val pairs = graft.operators.Dedup.nearDupPairs(
         docs, "doc_id", "text",
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
-      graft.operators.Dedup.resolveClusters(pairs, docs.select($"doc_id"))
+      graft.operators.Dedup.resolveClustersSparse(pairs, docs.select($"doc_id"))
         .join(docs.select($"doc_id", $"n_chars"), $"id" === $"doc_id")
         .groupBy($"keeper_id")
         .agg(count(lit(1)).as("n_members"),
@@ -505,7 +530,7 @@ private[graft] object DedupQueries {
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
         .localCheckpoint(false) // labels + strengths both read it
       val lab = graft.operators.Dedup
-        .resolveClusters(pairs, docs.select($"doc_id"))
+        .resolveClustersSparse(pairs, docs.select($"doc_id"))
       val strength = pairs
         .select($"id_a".as("id"), expr("cast(floor(est_jac * 10000) as bigint)").as("w4"))
         .unionByName(pairs

@@ -69,7 +69,7 @@ private[graft] object GraphQueries {
       val pairs = graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 0.75)
       val labels = graft.operators.Dedup
-        .resolveClusters(pairs, docs.select($"doc_id"))
+        .resolveClustersSparse(pairs, docs.select($"doc_id"))
       val sizes = labels.groupBy($"keeper_id").agg(count(lit(1)).as("sz"))
       val tot = labels.agg(count(lit(1)).as("n"))
       sizes.groupBy($"sz".as("size")).agg(count(lit(1)).as("n_components"))

@@ -208,7 +208,7 @@ private[graft] object PipelineQueries {
       val pairs = graft.operators.Dedup.nearDupPairs(
         docs, "doc_id", "text",
         numHashes = 8, shingle = 4, bands = 4, rowsPerBand = 2, threshold = 1.0)
-      val keep = graft.operators.Dedup.resolveClusters(pairs, docs.select($"doc_id"))
+      val keep = graft.operators.Dedup.resolveClustersSparse(pairs, docs.select($"doc_id"))
       val bucket = pmod(graft.functions.HashFunctions
         .stableHash64(concat(lit("split:"), $"keeper_id".cast("string"))), lit(100L))
       docs.join(keep, docs("doc_id") === keep("id"))
