@@ -158,7 +158,7 @@ object SparkEntry {
     // never splits — spread it BEFORE the mapPartitions (explicit-N
     // overload: plain repartition(col) is AQE-coalescible)
     val imgs = graft.operators.Multimodal
-      .synthImageCorpus(docs.repartition(32, $"doc_id"), "doc_id", groupDiv = 4L)
+      .synthImageCorpus(graft.operators.Tuning.spreadDocs(docs), "doc_id", groupDiv = 4L)
     val hashed = graft.operators.Multimodal.perceptualHashes(imgs, "img")
       .select($"doc_id", $"a0", $"a1", $"a2", $"a3",
         $"d0", $"d1", $"d2", $"d3")

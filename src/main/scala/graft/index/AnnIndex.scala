@@ -51,8 +51,14 @@ object AnnIndex {
       .select($"vec_id", $"centroid_id")
     val cb = graft.operators.PqCodebook.train(emb, m, sub, kcode, trainIters)
     cb.write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    // cluster by the partition column before the partitioned write
+    // (guide §6): without it every write task touches every cell
+    // directory — tasks × cells tiny files whose open/commit overhead
+    // dominates the build AND every later pruned serve scan; keyed
+    // repartition makes files-per-cell ~1 (AQE sizes the task count)
     encodeCodes(emb, cb, m, sub)
       .join(cells, Seq("vec_id"))
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
   }
@@ -84,6 +90,7 @@ object AnnIndex {
       .select($"vec_id", $"centroid_id")
     encodeCodes(delta, cb, m, sub)
       .join(cells, Seq("vec_id"))
+      .repartition(col("centroid_id")) // one file per touched cell (§6)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
   }

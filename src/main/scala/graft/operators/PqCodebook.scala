@@ -53,11 +53,29 @@ object PqCodebook {
 
   /** Trained codebook: (s, code, cent) with `m·kcode` rows. `iters = 0`
     * returns the raw seed grid (the pre-round-12 behavior).
+    *
+    * Round 16: size-gated LOCAL Lloyd (the [[LocalGraph]] strategy applied
+    * to codebook training) — each iteration of the distributed loop costs
+    * one n·m-row shuffle, a positional-mean aggregation and an eager
+    * checkpoint, all fixed overhead when the corpus is small. Under
+    * `spark.graft.pq.localTrainLimit` vectors (default 2^20 — a 64-dim
+    * float corpus of that size collects to ~270 MB, the broadcast-relation
+    * order of magnitude) the SAME arithmetic (ascending-index double dot,
+    * max-margin argmax with lowest-code ties, micro-unit BIGINT mean) runs
+    * in-process; above it, the distributed loop below is unchanged.
+    * AnnIndexSpec/PqCodebookSpec parity covers both paths.
     */
   def train(emb: DataFrame, m: Int, sub: Int, kcode: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val localLimit = spark.conf.getOption("spark.graft.pq.localTrainLimit")
+      .map(_.toLong).getOrElse(1L << 20)
+    if (iters > 0 && emb.count() <= localLimit) {
+      val rows = emb.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      return trainLocal(spark, rows, m, sub, kcode, iters)
+    }
     val subs = broadcast((0 until m).map(_.toLong).toDF("s"))
     val seeds = emb.orderBy(col(idCol)).limit(kcode)
       .withColumn("code",
@@ -101,6 +119,82 @@ object PqCodebook {
         .localCheckpoint()
     }
     cb
+  }
+
+  /** In-process Lloyd, arithmetic-identical to the distributed loop:
+    * ascending-index double-accumulated dots, argmax of (dot − ‖c‖²/2)
+    * with ties to the LOWEST code, cluster means as BIGINT micro-unit
+    * sums divided once in double and cast to float, empty codes keeping
+    * their previous centroid.
+    */
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+      sorted: Array[(Long, Seq[Float])], m: Int, sub: Int, kcode: Int,
+      iters: Int): DataFrame = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var d = 0.0; var i = 0
+      while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+      d
+    }
+    val vecs = sorted.map(_._2.toArray)
+    // seed grid: the kcode lowest-id vectors' sub-blocks
+    val cb = Array.tabulate(m, kcode) { (s, c) =>
+      java.util.Arrays.copyOfRange(vecs(c), s * sub, s * sub + sub)
+    }
+    for (_ <- 0 until iters) {
+      val su = Array.fill(m, kcode, sub)(0L)
+      val cnt = Array.fill(m, kcode)(0L)
+      var s = 0
+      while (s < m) {
+        val halfN = Array.tabulate(kcode)(c => dot(cb(s)(c), cb(s)(c)) / 2.0)
+        var v = 0
+        while (v < vecs.length) {
+          val sv = java.util.Arrays.copyOfRange(vecs(v), s * sub, s * sub + sub)
+          var best = 0
+          var bestSc = Double.NegativeInfinity
+          var c = 0
+          while (c < kcode) {
+            val sc = dot(sv, cb(s)(c)) - halfN(c)
+            if (sc > bestSc) { bestSc = sc; best = c } // ties keep LOWEST code
+            c += 1
+          }
+          cnt(s)(best) += 1L
+          var p = 0
+          while (p < sub) {
+            su(s)(best)(p) += math.floor(sv(p).toDouble * 1000000.0).toLong
+            p += 1
+          }
+          v += 1
+        }
+        var c = 0
+        while (c < kcode) {
+          if (cnt(s)(c) > 0L) {
+            val mean = new Array[Float](sub)
+            var p = 0
+            while (p < sub) {
+              mean(p) = (su(s)(c)(p).toDouble / cnt(s)(c).toDouble / 1000000.0).toFloat
+              p += 1
+            }
+            cb(s)(c) = mean
+          } // else: empty code keeps its previous centroid
+          c += 1
+        }
+        s += 1
+      }
+    }
+    val out = for (s <- 0 until m; c <- 0 until kcode)
+      yield org.apache.spark.sql.Row(s.toLong, c.toLong, cb(s)(c).toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("code",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false),
+          nullable = false))))
   }
 
   /** Compressed index: (idCol, s, code) — argmin-L2 encode of every

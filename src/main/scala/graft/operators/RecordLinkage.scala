@@ -74,7 +74,11 @@ object RecordLinkage {
     val ver = cand
       .join(left.select(col(idL).as("lid"), col(nameL).as("__ln")), "lid")
       .join(right.select(col(idR).as("rid"), col(nameR).as("__rn")), "rid")
-      .repartition(32, col("rid")) // spread the DP before computing it
+      // spread the DP before computing it — session-derived fan-out
+      // (explicit-N repartition, not Tuning.spread: the input carries
+      // exchanges, and the q90 trap is AQE coalescing this tiny relation
+      // onto one core right before the compute-bound projection)
+      .repartition(Tuning.spreadPartitions(cand), col("rid"))
       .select(col("lid"), col("rid"),
         levenshtein(col("__ln"), col("__rn")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)

@@ -34,8 +34,13 @@ object RepeatedSpans {
   def census(docs: DataFrame, idCol: String, textCol: String,
       lengths: Seq[Int]): DataFrame = {
     require(lengths.nonEmpty && lengths.forall(_ >= 1))
-    val toks = docs.select(col(idCol).as("id"),
-      regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0)).as("tk"))
+    // spread the window-hash pass (one md5 per window × |lengths| — the
+    // suite's heaviest per-row loop after the PDF codecs): a one-split
+    // corpus otherwise runs it single-threaded (q90 lesson, adaptive N)
+    val toks = Tuning.spread(
+      docs.select(col(idCol).as("id"),
+        regexp_extract_all(lower(col(textCol)), lit("\\w+"), lit(0)).as("tk")),
+      col("id"))
     // sequence(1, stop) DESCENDS when stop < 1 — short docs must yield an
     // empty window list, not [1, 0]
     val starts = when(size(col("tk")) >= col("span_len"),

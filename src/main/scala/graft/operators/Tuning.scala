@@ -46,6 +46,12 @@ object Tuning {
     else df.repartition(target, keys: _*)
   }
 
+  /** [[spread]] keyed on doc_id — the common "spread the per-document
+    * codec work" shape (the q90 lesson with a session-derived fan-out).
+    */
+  def spreadDocs(df: DataFrame): DataFrame =
+    spread(df, org.apache.spark.sql.functions.col("doc_id"))
+
   /** [[org.apache.spark.sql.graft.expressions.Once]] as a Column: pin ONE
     * evaluation per row of an expensive projected column (guide §4.4 —
     * stops CollapseProject / filter-pushdown from re-inlining the

@@ -140,6 +140,11 @@ private[graft] object CrawlQueries {
         .select($"doc_id", $"link_no",
           graft.operators.UrlOps.canonicalizeUrlFull($"resolved").as("url"),
           $"anchor")
+        // output-sized cut before the global sort: the range exchange's
+        // sample pass re-executes its child, which would run the whole
+        // extract+resolve+canonicalize chain twice (no exchange between
+        // the compute and the sort)
+        .localCheckpoint(false)
         .orderBy($"doc_id", $"link_no")
     }),
 
@@ -197,7 +202,7 @@ private[graft] object CrawlQueries {
     // election.
     "q285_cdx_latest_capture" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").repartition(32, $"doc_id")
+      val docs = t(s, dir, "documents").transform(graft.operators.Tuning.spreadDocs)
         .select($"doc_id", $"text", $"n_chars",
           pmod($"doc_id", lit(37)).as("m"))
       val prim = docs
@@ -340,7 +345,7 @@ private[graft] object CrawlQueries {
         acc + ((b * 2654435761L) % 2003 - 1001)
       })
       // per-feature md5 is compute-bound: spread the 1-partition scan
-      t(s, dir, "documents").repartition(32, $"doc_id")
+      t(s, dir, "documents").transform(graft.operators.Tuning.spreadDocs)
         .select($"doc_id", $"source",
           size(feats).cast("long").as("n_feat"),
           score.as("score_u"))
@@ -460,7 +465,7 @@ private[graft] object CrawlQueries {
     // key reversal.
     "q291_recrawl_planner" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").repartition(32, $"doc_id")
+      val docs = t(s, dir, "documents").transform(graft.operators.Tuning.spreadDocs)
         .select($"doc_id", $"text", $"n_chars",
           pmod($"doc_id", lit(37)).as("m"))
       val prim = docs
@@ -528,14 +533,20 @@ private[graft] object CrawlQueries {
         .withColumn("canonical", ($"url" === $"curl").cast("int"))
       val warcs = graft.sources.WarcReader.buildWithRevisits(
         flagged, "shard", "url", "body", "canonical")
-      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      // round 16: through the DSv2 `warc` table (q273's routing) so the
+      // record walk prunes to the consumed columns; the checkpoint holds
+      // (type, digest, payload length)-sized rows for the two consumers
+      val recs = graft.sources.WarcReader.viaTable(s, warcs, "warc",
+          "q292-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
         .filter($"warc_type" =!= "warcinfo")
+        .select($"warc_type", $"payload_digest",
+          length($"payload").cast("long").as("payload_len"))
         .localCheckpoint(false) // census + resolution join both read it
       val responses = recs.filter($"warc_type" === "response")
         .select($"payload_digest".as("rd")).distinct()
       recs.groupBy($"warc_type")
         .agg(count(lit(1)).as("n_records"),
-          sum(length($"payload")).cast("long").as("payload_bytes"))
+          sum($"payload_len").cast("long").as("payload_bytes"))
         .join(
           recs.filter($"warc_type" === "revisit")
             .join(responses, $"payload_digest" === $"rd")
@@ -645,7 +656,7 @@ private[graft] object CrawlQueries {
         element_at(prefixes, (pmod($"doc_id", lit(3)) + 1).cast("int")),
         lit("site"), pmod($"doc_id", lit(37)), lit("."),
         element_at(tlds, (pmod(pmod($"doc_id", lit(37)), lit(5)) + 1).cast("int")))
-      val scored = t(s, dir, "documents").repartition(32, $"doc_id")
+      val scored = t(s, dir, "documents").transform(graft.operators.Tuning.spreadDocs)
         .select($"doc_id",
           graft.operators.UrlOps.registrableDomainPsl(
             host, graft.operators.UrlOps.pslSnapshot).as("domain"),
@@ -830,7 +841,7 @@ private[graft] object CrawlQueries {
     "q299_frontier_fused" -> ((s, dir) => {
       import s.implicits._
       val k = pmod($"doc_id", lit(6))
-      val base = t(s, dir, "documents").repartition(32, $"doc_id")
+      val base = t(s, dir, "documents").transform(graft.operators.Tuning.spreadDocs)
         .select($"doc_id", $"text", pmod($"doc_id", lit(37)).as("m"))
         .withColumn("domain", concat(lit("site"), $"m", lit(".com")))
         .withColumn("priority", pmod($"doc_id" * 37 + 11, lit(100)).cast("long"))
@@ -1042,7 +1053,10 @@ private[graft] object CrawlQueries {
       import s.implicits._
       val warcs = graft.sources.WarcReader
         .buildRedirectFixture(t(s, dir, "documents"))
-      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      // round 16: DSv2 `warc` table — the warc_type=response gate pushes
+      // into the record walk (request/warcinfo payloads never copied)
+      val recs = graft.sources.WarcReader.viaTable(s, warcs, "warc",
+          "q301-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
         .filter($"warc_type" === "response")
         .select($"target_uri", $"http_status", $"http_location",
           when($"http_status" === 200 && $"content_type".startsWith("text/html"),
@@ -1100,7 +1114,9 @@ private[graft] object CrawlQueries {
       import s.implicits._
       val warcs = graft.sources.WarcReader
         .buildEncodingCensusFixture(t(s, dir, "documents"))
-      graft.sources.WarcReader.records(warcs, "warc")
+      // round 16: DSv2 `warc` table — type gate pushed into the walk
+      graft.sources.WarcReader.viaTable(s, warcs, "warc",
+          "q302-" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
         .filter($"warc_type" === "response")
         .groupBy($"content_encoding")
         .agg(count(lit(1)).as("n_responses"),

@@ -142,12 +142,15 @@ private[graft] object MultimodalQueries {
       // spread the per-row WAV encode+decode before the mapPartitions
       // (the q90 single-partition-codec lesson, as in imagePhashPairs)
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id")
+        .transform(graft.operators.Tuning.spreadDocs)
       val wavs = graft.operators.Multimodal
         .synthAudioCorpus(docs, "doc_id", nSamples = 64, sampleRate = 8000)
       graft.operators.Multimodal.audioFeatures(wavs, "wav", windowSize = 16)
         .select($"doc_id", $"sample_rate".cast("long").as("sample_rate"),
           $"n_samples", $"win", $"energy", $"n_zc", $"peak")
+        // output-sized cut: the sort's sample pass would re-run the WAV
+        // encode+decode chain (no exchange between the codec and the sort)
+        .localCheckpoint(false)
         .orderBy($"doc_id", $"win")
     }),
 
@@ -165,7 +168,7 @@ private[graft] object MultimodalQueries {
     "q225_phash_pooling" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id") // spread the codec work (q90 lesson)
+        .transform(graft.operators.Tuning.spreadDocs) // spread the codec work (q90 lesson)
       val imgs = graft.operators.Multimodal
         .synthImageCorpus(docs, "doc_id", groupDiv = 4)
       // ONE decode pass: perceptualHashes carries the pooled dHash along
@@ -196,7 +199,7 @@ private[graft] object MultimodalQueries {
     "q231_audio_neardup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id") // spread the codec work (q90 lesson)
+        .transform(graft.operators.Tuning.spreadDocs) // spread the codec work (q90 lesson)
       val wavs = graft.operators.Multimodal.synthAudioGroups(
         docs, "doc_id", groupDiv = 4, nSamples = 64, sampleRate = 8000)
       val feats = graft.operators.Multimodal.audioSignBands(wavs, "wav")
@@ -232,7 +235,7 @@ private[graft] object MultimodalQueries {
     "q243_mpeg_metadata" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id") // spread the per-row framing (q90 lesson)
+        .transform(graft.operators.Tuning.spreadDocs) // spread the per-row framing (q90 lesson)
       val mp3s = graft.operators.Multimodal.synthMpegCorpus(docs, "doc_id")
       graft.operators.Multimodal.mpegMeta(mp3s, "mp3")
         .select($"doc_id", $"mpeg_meta.is_mpeg".cast("int").as("is_mpeg"),
@@ -258,7 +261,7 @@ private[graft] object MultimodalQueries {
     "q253_mp4_metadata" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id") // spread the per-row box build/walk
+        .transform(graft.operators.Tuning.spreadDocs) // spread the per-row box build/walk
       val mp4s = graft.operators.ContainerMeta.synthMp4Corpus(docs, "doc_id")
       graft.operators.ContainerMeta.mp4Meta(mp4s, "mp4")
         .select($"doc_id", $"mp4_meta.is_mp4".cast("int").as("is_mp4"),
@@ -280,7 +283,7 @@ private[graft] object MultimodalQueries {
     "q254_adts_metadata" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id")
+        .transform(graft.operators.Tuning.spreadDocs)
       val aacs = graft.operators.ContainerMeta.synthAdtsCorpus(docs, "doc_id")
       graft.operators.ContainerMeta.adtsMeta(aacs, "aac")
         .select($"doc_id", $"adts_meta.is_adts".cast("int").as("is_adts"),
@@ -302,7 +305,7 @@ private[graft] object MultimodalQueries {
     "q259_flac_metadata" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id")
+        .transform(graft.operators.Tuning.spreadDocs)
       val flacs = graft.operators.ContainerMeta.synthFlacCorpus(docs, "doc_id")
       graft.operators.ContainerMeta.flacMeta(flacs, "flac")
         .select($"doc_id", $"flac_meta.is_flac".cast("int").as("is_flac"),
@@ -323,7 +326,7 @@ private[graft] object MultimodalQueries {
     "q262_webm_metadata" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id")
+        .transform(graft.operators.Tuning.spreadDocs)
       val webms = graft.operators.ContainerMeta.synthEbmlCorpus(docs, "doc_id")
       graft.operators.ContainerMeta.ebmlMeta(webms, "webm")
         .select($"doc_id", $"ebml_meta.is_ebml".cast("int").as("is_ebml"),
@@ -349,7 +352,7 @@ private[graft] object MultimodalQueries {
     "q260_gzip_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
-        .repartition(32, $"doc_id") // spread the codec work (q90 lesson)
+        .transform(graft.operators.Tuning.spreadDocs) // spread the codec work (q90 lesson)
       val gz = graft.sources.CompressedText.gzipCorpus(docs, "text")
         .select($"doc_id", $"gz")
       graft.sources.CompressedText.gunzipAudit(gz, "gz")
@@ -365,7 +368,7 @@ private[graft] object MultimodalQueries {
     "q261_zip_entries" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
-        .repartition(32, $"doc_id")
+        .transform(graft.operators.Tuning.spreadDocs)
       val zips = graft.sources.CompressedText.zipCorpus(docs, "doc_id", "text")
         .select($"doc_id", $"zip")
       graft.sources.CompressedText.zipEntriesAudit(zips, "zip")
@@ -385,7 +388,7 @@ private[graft] object MultimodalQueries {
     "q303_zstd_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
-        .repartition(32, $"doc_id") // spread the codec work (q90 lesson)
+        .transform(graft.operators.Tuning.spreadDocs) // spread the codec work (q90 lesson)
       val zs = graft.sources.CompressedText.zstdCorpus(docs, "text")
         .select($"doc_id", $"zs")
       graft.sources.CompressedText.unzstdAudit(zs, "zs")
@@ -407,7 +410,7 @@ private[graft] object MultimodalQueries {
     "q266_id3_metadata" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id") // spread the per-row tag build/walk
+        .transform(graft.operators.Tuning.spreadDocs) // spread the per-row tag build/walk
       val tags = graft.operators.ContainerMeta.synthId3Corpus(docs, "doc_id")
       graft.operators.ContainerMeta.id3Meta(tags, "id3")
         .select($"doc_id", $"id3_meta.is_id3".cast("int").as("is_id3"),
@@ -432,7 +435,7 @@ private[graft] object MultimodalQueries {
     "q267_ogg_metadata" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id") // spread the per-row CRC work
+        .transform(graft.operators.Tuning.spreadDocs) // spread the per-row CRC work
       val oggs = graft.operators.ContainerMeta.synthOggCorpus(docs, "doc_id")
       graft.operators.ContainerMeta.oggMeta(oggs, "ogg")
         .select($"doc_id", $"ogg_meta.is_ogg".cast("int").as("is_ogg"),
@@ -468,7 +471,7 @@ private[graft] object MultimodalQueries {
     "q268_pdf_cid_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
-        .repartition(32, $"doc_id") // spread the per-row build/extract
+        .transform(graft.operators.Tuning.spreadDocs) // spread the per-row build/extract
       val pdfs = graft.sources.PdfIngest
         .synthCidPdfCorpus(docs, "doc_id", "text", 64)
         .select($"doc_id", $"pdf")
@@ -500,7 +503,7 @@ private[graft] object MultimodalQueries {
     "q276_pdf_decrypt_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
-        .repartition(32, $"doc_id") // spread the per-row build/decrypt
+        .transform(graft.operators.Tuning.spreadDocs) // spread the per-row build/decrypt
       val pdfs = graft.sources.PdfIngest
         .synthEncryptedPdfCorpus(docs, "doc_id", "text")
         .select($"doc_id", $"pdf")
@@ -511,6 +514,9 @@ private[graft] object MultimodalQueries {
             .when(pmod($"doc_id", lit(4)) === 2, "aes-128")
             .otherwise("aes-256").as("cipher"),
           $"is_pdf", $"rt_n_chars", $"rt_md5")
+        // output-sized cut: the sort's sample pass would re-run the PDF
+        // build + decrypt + extract chain (no exchange before the sort)
+        .localCheckpoint(false)
         .orderBy($"doc_id")
     }),
 
@@ -530,7 +536,7 @@ private[graft] object MultimodalQueries {
     "q281_pdf_images" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id")
-        .repartition(32, $"doc_id") // spread the per-row encode/decode
+        .transform(graft.operators.Tuning.spreadDocs) // spread the per-row encode/decode
       graft.sources.PdfImages.imageCensus(docs, "doc_id")
         .select($"doc_id", $"n_images", $"dct_ok", $"dct_w", $"dct_h",
           $"dct_ch", $"raw_ok", $"raw_w", $"raw_h")

@@ -1788,15 +1788,21 @@ private[graft] object PipelineQueries {
     "q274_charset_numrefs" -> ((s, dir) => {
       import s.implicits._
       val fx = graft.operators.HtmlOps.charsetFixture(t(s, dir, "documents"))
+      // Tuning.once barriers (guide §4.4): page feeds title + vis and vis
+      // feeds length + md5 — without the fences the charset decode and the
+      // visible-text strip re-inline into every consumer
       fx.withColumn("charset",
           graft.operators.HtmlOps.sniffCharset($"body", $"http_ct"))
-        .withColumn("page",
-          graft.operators.HtmlOps.charsetDecode($"body", $"http_ct"))
-        .withColumn("vis", graft.operators.HtmlOps.visibleTextDecoded($"page"))
+        .withColumn("page", graft.operators.Tuning.once(
+          graft.operators.HtmlOps.charsetDecode($"body", $"http_ct")))
+        .withColumn("vis", graft.operators.Tuning.once(
+          graft.operators.HtmlOps.visibleTextDecoded($"page")))
         .select($"doc_id", $"charset",
           graft.operators.HtmlOps.htmlTitle($"page").as("title"),
           length($"vis").cast("long").as("vis_n_chars"),
           md5($"vis").as("vis_md5"))
+        // output-sized cut: the sort's sample pass re-runs the decode chain
+        .localCheckpoint(false)
         .orderBy($"doc_id")
     }),
 
@@ -1907,13 +1913,21 @@ private[graft] object PipelineQueries {
     "q279_wet_conversion" -> ((s, dir) => {
       import s.implicits._
       val warcs = graft.sources.WarcReader.buildFixture(t(s, dir, "documents"))
-      val recs = graft.sources.WarcReader.records(warcs, "warc")
+      // round 16: both walks through the DSv2 `warc` table — the
+      // type/status gates push into the record walk (request payloads are
+      // never copied) and the read schema prunes to the consumed columns;
+      // the shard key of the first read is recovered from the blob
+      // filename writeBlobs derives from it (part-<shard>.warc.gz)
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val recs = graft.sources.WarcReader.viaTable(s, warcs, "warc", s"q279-$tag")
       val pages = recs
         .filter($"warc_type" === "response" && $"http_status" === 200)
-        .select($"shard", $"target_uri",
+        .select(regexp_extract($"path", "part-(\\d+)\\.warc\\.gz$", 1)
+            .cast("long").as("shard"),
+          $"target_uri",
           graft.operators.HtmlOps.visibleText(decode($"payload", "UTF-8")).as("vis"))
       val wet = graft.sources.WarcReader.buildWet(pages, "shard", "target_uri", "vis")
-      graft.sources.WarcReader.records(wet, "wet")
+      graft.sources.WarcReader.viaTable(s, wet, "wet", s"q279wet-$tag")
         .filter($"warc_type" === "conversion")
         .select(
           graft.operators.UrlOps.canonicalizeUrl($"target_uri").as("canon_url"),

@@ -1003,9 +1003,13 @@ private[graft] object StatsQueries {
     // aggregate — the window orders 32 rows per type, never the corpus.
     "q228_bootstrap_ci" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-        .select($"event_type", $"event_id",
-          expr("cast(floor(value * 1000000) as bigint)").as("vu"))
+      // spread the draw expansion: 32 hash draws per event (one md5 each)
+      // otherwise run on the events scan's single split (q90 lesson)
+      val ev = graft.operators.Tuning.spread(
+        t(s, dir, "events")
+          .select($"event_type", $"event_id",
+            expr("cast(floor(value * 1000000) as bigint)").as("vu")),
+        $"event_id")
       val draws = ev.select($"event_type", $"event_id", $"vu",
           explode(sequence(lit(0L), lit(31L))).as("b"))
         .withColumn("u", pmod(graft.functions.HashFunctions.stableHash64(

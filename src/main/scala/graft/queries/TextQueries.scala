@@ -653,7 +653,9 @@ private[graft] object TextQueries {
     "q137_pii_redact" -> ((s, dir) => {
       import s.implicits._
       val qs = graft.operators.QualitySignals
-      val aug = t(s, dir, "documents").select($"doc_id",
+      // spread the regex-heavy scan (q90 lesson, session-derived N)
+      val aug = graft.operators.Tuning.spreadDocs(t(s, dir, "documents"))
+        .select($"doc_id",
         concat($"text",
           when($"doc_id" % 5 === 0,
             concat(lit(" contact user"), $"doc_id".cast("string"),
@@ -667,10 +669,12 @@ private[graft] object TextQueries {
             concat(lit(" host 10.0."), ($"doc_id" % 256).cast("string"),
               lit("."), (expr("doc_id div 256") % 256).cast("string")))
             .otherwise(lit(""))).as("text"))
+      // Tuning.once (guide §4.4): pii feeds 4 consumers and red feeds
+      // length + the residual re-scan — fence each to one evaluation
       aug.select($"doc_id", length($"text").as("raw_len"),
-          qs.piiCounts($"text").as("pii"),
-          qs.redactPii($"text").as("red"))
-        .withColumn("residual", qs.piiCounts($"red"))
+          graft.operators.Tuning.once(qs.piiCounts($"text")).as("pii"),
+          graft.operators.Tuning.once(qs.redactPii($"text")).as("red"))
+        .withColumn("residual", graft.operators.Tuning.once(qs.piiCounts($"red")))
         .select($"doc_id", $"raw_len",
           $"pii.n_email".cast("long").as("n_email"),
           $"pii.n_phone".cast("long").as("n_phone"),
@@ -680,6 +684,8 @@ private[graft] object TextQueries {
             .as("clean"),
           ($"residual.n_email" + $"residual.n_phone" + $"residual.n_ip")
             .cast("long").as("residual_hits"))
+        // output-sized cut: the sort's sample pass re-runs the regex scans
+        .localCheckpoint(false)
         .orderBy($"doc_id")
     }),
 
