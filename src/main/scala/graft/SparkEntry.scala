@@ -312,12 +312,23 @@ object SparkEntry {
   /** The band-relation body shared by both staging variants: MinHash
     * signature at the scan, 4 banded hashes per doc via md5/conv (the same
     * stableHash64 formula the DataFrame path compiles). */
-  private[graft] val sqlBandsBody: String =
-    """SELECT doc_id, mh, b,
+  private[graft] val sqlBandsBody: String = sqlBandsBodyN(0)
+
+  /** [[sqlBandsBody]] with the signature scan spread over `n` partitions
+    * (`n <= 0` leaves the scan's own layout): the per-shingle md5 pass is
+    * compute-bound and a one-split corpus otherwise runs it in a single
+    * task — the q90 lesson expressed as the REPARTITION hint, still plain
+    * SQL a SQL-only user can type. Values are identical at any `n`.
+    */
+  private[graft] def sqlBandsBodyN(n: Int): String = {
+    val hint = if (n > 0) s"/*+ REPARTITION($n, doc_id) */ " else ""
+    s"""SELECT doc_id, mh, b,
       |       cast(conv(substring(md5(concat_ws(',',
       |         transform(slice(mh, b*2 + 1, 2), x -> cast(x AS string)))), 1, 15), 16, 10) AS bigint) AS h
-      |FROM (SELECT doc_id, minhash_sig(text, 8, 4) AS mh FROM v_documents) sig
+      |FROM (SELECT doc_id, minhash_sig(text, 8, 4) AS mh
+      |      FROM (SELECT $hint doc_id, text FROM v_documents) spread) sig
       |LATERAL VIEW explode(sequence(0, 3)) t AS b""".stripMargin
+  }
 
   /** The q56 SQL-text dedup pipeline against an existing `v_documents` temp
     * view — factored out so [[ScaleProbe]] measures exactly the shipped
@@ -358,12 +369,13 @@ object SparkEntry {
           s.conf.get("spark.graft.sqlDedup.autoTableBytes", (4L << 20).toString).toLong
         s.table("v_documents").queryExecution.optimizedPlan.stats.sizeInBytes > threshold
     }
+    val body = sqlBandsBodyN(s.sparkContext.defaultParallelism)
     val stage =
       if (useTable) {
-        s.sql(s"CREATE TABLE sql_bands_stage USING parquet AS\n$sqlBandsBody")
+        s.sql(s"CREATE TABLE sql_bands_stage USING parquet AS\n$body")
         "sql_bands_stage"
       } else {
-        s.sql(s"CREATE OR REPLACE TEMP VIEW v_sql_bands AS\n$sqlBandsBody")
+        s.sql(s"CREATE OR REPLACE TEMP VIEW v_sql_bands AS\n$body")
         s.sql("CACHE TABLE v_sql_bands") // eager: ONE corpus scan, ONE minhash pass
         "v_sql_bands"
       }

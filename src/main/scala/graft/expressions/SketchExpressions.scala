@@ -296,6 +296,57 @@ case class WordNGrams(child: Expression, n: Int)
   override def prettyName: String = "word_ngrams"
 }
 
+/** Space-joined n-gram windows over an EXISTING token array — the native
+  * twin of `QualitySignals.ngramsStrict`'s HOF formulation, value-identical:
+  * fewer than `n` tokens yield an EMPTY array (unlike [[WordNGrams]]'s
+  * whole-run fallback), otherwise one gram per window position.
+  *
+  * Round-16 motivation: the HOF form `transform(sequence(1, sz-n+1),
+  * i -> array_join(slice(tokens, i, n), " "))` embeds the TOKENS argument
+  * inside the lambda body, so when a caller passes a computed expression
+  * (q148 passed the whole tokenizer) it re-evaluates once PER GRAM — 46×
+  * redundant tokenization per document — and even over a bound attribute
+  * it interprets two lambdas per gram. One compiled loop, tokens
+  * evaluated exactly once.
+  */
+case class ArrayNGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(n >= 1, s"array_ngrams: n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sz = arr.numElements()
+    val m = sz - n + 1
+    if (m <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val toks = new Array[UTF8String](sz)
+      var i = 0
+      while (i < sz) { toks(i) = arr.getUTF8String(i); i += 1 }
+      val out = new Array[Any](m)
+      i = 0
+      while (i < m) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) { parts(k) = toks(i + k); k += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayNGrams =
+    copy(child = newChild)
+
+  override def prettyName: String = "array_ngrams"
+}
+
 /** Exact character-shingle Jaccard between two strings in one compiled pass:
   * distinct n-gram sets of both sides (code-point windows; texts shorter
   * than n contribute themselves), then |A∩B| / |A∪B| — value-identical to

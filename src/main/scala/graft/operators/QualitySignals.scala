@@ -25,6 +25,21 @@ object QualitySignals {
     */
   def ngramsStrict(tokens: Column, n: Int): Column = {
     require(n >= 1, "n must be >= 1")
+    // round 16: native one-loop expression — the HOF formulation embedded
+    // the tokens ARGUMENT inside its lambda, re-evaluating it per gram
+    // when callers pass a computed expression (q148 re-tokenized per
+    // gram), and interpreted two lambdas per gram even over attributes.
+    // Value-identical (QualitySignalsSpec pins the HOF parity).
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.toColumn(org.apache.spark.sql.graft.expressions.ArrayNGrams(
+      Bridge.toExpr(tokens), n))
+  }
+
+  /** The HOF formulation of [[ngramsStrict]] — kept as the independent
+    * cross-check the native expression is spec-pinned against.
+    */
+  private[graft] def ngramsStrictHof(tokens: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
     val sz = size(tokens)
     when(sz < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), sz - (n - 1)),

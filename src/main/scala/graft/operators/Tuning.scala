@@ -52,6 +52,17 @@ object Tuning {
   def spreadDocs(df: DataFrame): DataFrame =
     spread(df, org.apache.spark.sql.functions.col("doc_id"))
 
+  /** Exchange shield before a trailing global sort: the range exchange
+    * SAMPLES its child by executing it, so an exchange-free expensive
+    * segment (codec work, regex chains, pair verification) runs TWICE —
+    * once for the boundaries, once for the shuffle write. A hash
+    * exchange on the (output-sized) result materializes an AQE stage the
+    * sampler reads instead. Row-identical; unlike a localCheckpoint cut
+    * it keeps the full lineage visible in the plan and AQE alive.
+    */
+  def sortShield(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(spreadPartitions(df), keys: _*)
+
   /** [[org.apache.spark.sql.graft.expressions.Once]] as a Column: pin ONE
     * evaluation per row of an expensive projected column (guide §4.4 —
     * stops CollapseProject / filter-pushdown from re-inlining the

@@ -140,11 +140,10 @@ private[graft] object CrawlQueries {
         .select($"doc_id", $"link_no",
           graft.operators.UrlOps.canonicalizeUrlFull($"resolved").as("url"),
           $"anchor")
-        // output-sized cut before the global sort: the range exchange's
-        // sample pass re-executes its child, which would run the whole
-        // extract+resolve+canonicalize chain twice (no exchange between
-        // the compute and the sort)
-        .localCheckpoint(false)
+        // sortShield: the range exchange's sample pass re-executes its
+        // child, which would run the whole extract+resolve+canonicalize
+        // chain twice (no exchange between the compute and the sort)
+        .transform(d => graft.operators.Tuning.sortShield(d, $"doc_id"))
         .orderBy($"doc_id", $"link_no")
     }),
 

@@ -380,16 +380,17 @@ private[graft] object DedupQueries {
         .select($"id_a", $"id_b",
           graft.operators.Tuning.once(
             graft.operators.Dedup.pairScores($"text_a", $"text_b", 5)).as("sc"))
-      // survivors-only cut before the global sort: the range exchange's
-      // SAMPLE pass re-executes its child, which would run the verify over
-      // every candidate pair twice; the checkpoint holds only the
-      // output-sized filtered rows (25 at sf0.1 — vs round 15's checkpoint
-      // of ALL scored candidates)
-      scored.select($"id_a", $"id_b",
-          fq4($"sc.cont_ab").as("cont_ab4"), fq4($"sc.cont_ba").as("cont_ba4"),
-          fq4($"sc.jac").as("jac4"))
-        .filter(greatest($"cont_ab4", $"cont_ba4") >= 0.8)
-        .localCheckpoint(false)
+      // sortShield before the global sort: the range exchange's SAMPLE
+      // pass re-executes its child, which would run the verify over every
+      // candidate pair twice; the shield exchange carries only the
+      // output-sized filtered rows (25 at sf0.1 — vs round 15's eager
+      // checkpoint of ALL scored candidates)
+      graft.operators.Tuning.sortShield(
+        scored.select($"id_a", $"id_b",
+            fq4($"sc.cont_ab").as("cont_ab4"), fq4($"sc.cont_ba").as("cont_ba4"),
+            fq4($"sc.jac").as("jac4"))
+          .filter(greatest($"cont_ab4", $"cont_ba4") >= 0.8),
+        $"id_a", $"id_b")
         .orderBy($"id_a", $"id_b")
     }),
 

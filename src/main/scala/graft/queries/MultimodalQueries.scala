@@ -148,9 +148,9 @@ private[graft] object MultimodalQueries {
       graft.operators.Multimodal.audioFeatures(wavs, "wav", windowSize = 16)
         .select($"doc_id", $"sample_rate".cast("long").as("sample_rate"),
           $"n_samples", $"win", $"energy", $"n_zc", $"peak")
-        // output-sized cut: the sort's sample pass would re-run the WAV
+        // sortShield: the sort's sample pass would re-run the WAV
         // encode+decode chain (no exchange between the codec and the sort)
-        .localCheckpoint(false)
+        .transform(d => graft.operators.Tuning.sortShield(d, $"doc_id"))
         .orderBy($"doc_id", $"win")
     }),
 
@@ -514,9 +514,9 @@ private[graft] object MultimodalQueries {
             .when(pmod($"doc_id", lit(4)) === 2, "aes-128")
             .otherwise("aes-256").as("cipher"),
           $"is_pdf", $"rt_n_chars", $"rt_md5")
-        // output-sized cut: the sort's sample pass would re-run the PDF
+        // sortShield: the sort's sample pass would re-run the PDF
         // build + decrypt + extract chain (no exchange before the sort)
-        .localCheckpoint(false)
+        .transform(d => graft.operators.Tuning.sortShield(d, $"doc_id"))
         .orderBy($"doc_id")
     }),
 

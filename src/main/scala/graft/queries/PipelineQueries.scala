@@ -1801,8 +1801,8 @@ private[graft] object PipelineQueries {
           graft.operators.HtmlOps.htmlTitle($"page").as("title"),
           length($"vis").cast("long").as("vis_n_chars"),
           md5($"vis").as("vis_md5"))
-        // output-sized cut: the sort's sample pass re-runs the decode chain
-        .localCheckpoint(false)
+        // sortShield: the sort's sample pass re-runs the decode chain
+        .transform(d => graft.operators.Tuning.sortShield(d, $"doc_id"))
         .orderBy($"doc_id")
     }),
 

@@ -1458,25 +1458,55 @@ private[graft] object StatsQueries {
       val p = pairs.join(broadcast(rows), Seq("cur"))
         .select($"cur", $"nxt", expr("c * 1000000 div c_cur").as("p6"))
         .localCheckpoint(false) // re-joined every iteration
-      val states = p.select($"cur".as("st")).distinct()
-        .localCheckpoint(false)
-      val nStates = broadcast(states.agg(count(lit(1)).as("t")))
-      var pi = states.crossJoin(nStates)
-        .select($"st", expr("1000000 div t").as("pi6"))
-        .localCheckpoint(false)
-      var prev = pi
-      for (_ <- 1 to 16) {
-        prev = pi
-        pi = pi.join(p, pi("st") === p("cur"))
-          .groupBy($"nxt")
-          .agg(sum(expr("pi6 * p6 div 1000000")).as("npi6"))
-          .select($"nxt".as("st"), $"npi6".as("pi6"))
+      // round 16: the transition matrix is event-TYPE² sized (a quotient of
+      // the corpus, like the LocalGraph edge lists) — under the limit the
+      // 16 ppm steps run in-process with identical integer arithmetic;
+      // above it the distributed loop below runs unchanged
+      val localLimit = s.conf
+        .getOption("spark.graft.markov.localTransitionLimit")
+        .map(_.toLong).getOrElse(1L << 20)
+      if (p.count() <= localLimit) {
+        val trans = p.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val states = trans.map(_._1).distinct
+        val t = states.length.toLong
+        var piM = states.map(st => st -> 1000000L / t).toMap
+        var prevM = piM
+        for (_ <- 1 to 16) {
+          prevM = piM
+          val next = scala.collection.mutable.HashMap.empty[String, Long]
+          trans.foreach { case (cur, nxt, p6) =>
+            piM.get(cur).foreach { pi6 =>
+              next(nxt) = next.getOrElse(nxt, 0L) + pi6 * p6 / 1000000L
+            }
+          }
+          piM = next.toMap
+        }
+        val out = piM.keySet.intersect(prevM.keySet).toSeq.sorted.map { st =>
+          (st, piM(st), math.abs(piM(st) - prevM(st)))
+        }
+        out.toDF("event_type", "pi6", "resid6").orderBy($"event_type")
+      } else {
+        val states = p.select($"cur".as("st")).distinct()
           .localCheckpoint(false)
+        val nStates = broadcast(states.agg(count(lit(1)).as("t")))
+        var pi = states.crossJoin(nStates)
+          .select($"st", expr("1000000 div t").as("pi6"))
+          .localCheckpoint(false)
+        var prev = pi
+        for (_ <- 1 to 16) {
+          prev = pi
+          pi = pi.join(p, pi("st") === p("cur"))
+            .groupBy($"nxt")
+            .agg(sum(expr("pi6 * p6 div 1000000")).as("npi6"))
+            .select($"nxt".as("st"), $"npi6".as("pi6"))
+            .localCheckpoint(false)
+        }
+        pi.join(prev.select($"st", $"pi6".as("prev6")), Seq("st"))
+          .select($"st".as("event_type"), $"pi6",
+            abs($"pi6" - $"prev6").as("resid6"))
+          .orderBy($"event_type")
       }
-      pi.join(prev.select($"st", $"pi6".as("prev6")), Seq("st"))
-        .select($"st".as("event_type"), $"pi6",
-          abs($"pi6" - $"prev6").as("resid6"))
-        .orderBy($"event_type")
     }),
 
 

@@ -684,8 +684,8 @@ private[graft] object TextQueries {
             .as("clean"),
           ($"residual.n_email" + $"residual.n_phone" + $"residual.n_ip")
             .cast("long").as("residual_hits"))
-        // output-sized cut: the sort's sample pass re-runs the regex scans
-        .localCheckpoint(false)
+        // sortShield: the sort's sample pass re-runs the regex scans
+        .transform(d => graft.operators.Tuning.sortShield(d, $"doc_id"))
         .orderBy($"doc_id")
     }),
 

@@ -47,6 +47,22 @@ class QualitySignalsSpec extends AnyFunSuite {
     assert(got === Seq("x", "y"))
   }
 
+  test("ngramsStrict native == HOF formulation across n and token counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf"),
+      (1L, "one two"), (2L, ""), (3L, "  padded   spaces  here "),
+      (4L, "repeat repeat repeat repeat")).toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 5, 9)) {
+      val tk = graft.operators.TextAnalysis.tokensCol($"text")
+      val nat = docs.select($"id", QualitySignals.ngramsStrict(tk, n).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq.sortBy(_._1)
+      val hof = docs.select($"id", QualitySignals.ngramsStrictHof(tk, n).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toSeq.sortBy(_._1)
+      assert(nat === hof, s"n=$n")
+    }
+  }
+
   test("piiCounts finds planted patterns exactly; clean text scores zero") {
     import spark.implicits._
     val dirty = "mail a.b+c@sub.corp.example then 415-555-0101 or 555-123-4567 " +

@@ -270,4 +270,65 @@ class WarcTableSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(full == want)
   }
+
+  private def warcScansOf(df: org.apache.spark.sql.DataFrame)
+      : Seq[graft.sources.warc.WarcScan] = {
+    // AQE hides the inner plan from collect — unwrap it
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    plan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.warc.WarcScan] =>
+        b.scan.asInstanceOf[graft.sources.warc.WarcScan]
+    }
+  }
+
+  test("round 16: the reads the migrated queries build (q279/q292/q301/q302) " +
+      "prune their read schema and push their type gates") {
+    val s = spark
+    import s.implicits._
+    val dir = fixtureDir("migrated")
+    val tbl = s.read.format("warc").load(dir)
+    // q292's read: everything but warcinfo, (type, digest, payload length)
+    val q292read = tbl.filter($"warc_type" =!= "warcinfo")
+      .select($"warc_type", $"payload_digest",
+        org.apache.spark.sql.functions.length($"payload").as("payload_len"))
+    val s292 = warcScansOf(q292read)
+    assert(s292.nonEmpty &&
+      s292.head.readSchema().fieldNames.toSet ==
+        Set("warc_type", "payload_digest", "payload"),
+      s"q292 read schema: ${s292.map(_.readSchema().fieldNames.toSeq)}")
+    // q301's read: responses only, redirect metadata + payload for the
+    // meta-refresh probe — digest/encoding never read, type gate pushed
+    val q301read = tbl.filter($"warc_type" === "response")
+      .select($"target_uri", $"http_status", $"http_location", $"payload",
+        $"content_type")
+    val s301 = warcScansOf(q301read)
+    val r301 = s301.head.readSchema().fieldNames.toSet
+    assert(!r301.contains("payload_digest") && !r301.contains("content_encoding"),
+      s"q301 read schema leaks: $r301")
+    assert(s301.head.pushed.map(_.toString)
+      .exists(_.contains("EqualTo(warc_type,response)")))
+    // q302's read (no checkpoint in the query — assert the registry plan)
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val s302 = warcScansOf(SparkEntry.queries("q302_encoding_census")(s, sfDir))
+    assert(s302.nonEmpty, "q302 no longer reads through the warc table")
+    val r302 = s302.head.readSchema().fieldNames.toSet
+    assert(!r302.contains("target_uri") && !r302.contains("http_location"),
+      s"q302 read schema leaks: $r302")
+    assert(s302.head.pushed.map(_.toString)
+      .exists(_.contains("EqualTo(warc_type,response)")))
+    // q279's WET re-read is a fresh table scan in the registry plan:
+    // conversion gate pushed, encoding/digest never read
+    val s279 = warcScansOf(SparkEntry.queries("q279_wet_conversion")(s, sfDir))
+    assert(s279.nonEmpty, "q279 no longer re-reads WET through the warc table")
+    val r279 = s279.head.readSchema().fieldNames.toSet
+    assert(!r279.contains("content_encoding") && !r279.contains("payload_digest"),
+      s"q279 read schema leaks: $r279")
+    assert(s279.head.pushed.map(_.toString)
+      .exists(_.contains("EqualTo(warc_type,conversion)")))
+  }
 }
